@@ -1,0 +1,82 @@
+"""Table registry over the parquet fixtures.
+
+The reference keeps a pickled system catalog (andb_class / andb_attribute,
+andb/catalog/class_.py:17-32, attribute.py:6-27) and one heap file per
+relation. Here a "database" is a directory of parquet tables; Spark's
+session catalog plus these helpers replace the whole catalog subsystem.
+
+At 100 TB each of these would be a partitioned parquet/iceberg dataset
+(orders/lineitem/events date-partitioned); `load_table` reads whatever
+layout sits at ``<dir>/<name>.parquet`` so the same code serves both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Canonical driver fixture tables (TESTDATA.md / FIXTURES.md §B).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every scale factor the
+# TPC-H-ish schema reaches (region 5 rows, nation 25 — constant; supplier
+# and part grow slowly). Joins against these should never shuffle the
+# fact side.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning and predicate pushdown reach
+    the parquet reader via Catalyst — callers just select/filter.
+
+    The events table is written with nanosecond parquet timestamps,
+    which Spark refuses by default (PARQUET_TYPE_ILLEGAL); we read them
+    as raw nanos (legacy conf) and floor-convert to the engine's
+    microsecond TimestampType — the same truncation DuckDB applies when
+    casting TIMESTAMP_NS to TIMESTAMP."""
+    path = table_path(sf_dir, name)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer division — ns magnitudes exceed double's 53-bit mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (for the SQL entry
+    point) and return the DataFrames keyed by name."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,48 @@
+"""SQL-side registration of the engine's extra functions.
+
+The Spark analog of the reference's function catalog
+(andb/catalog/function.py:14-136): builtin + user-defined functions
+resolvable by name from SQL. We register the vector/text expressions so
+``spark.sql("SELECT cosine_distance(a, b) ...")`` works like the
+reference's ``SELECT cosine_distance(...)`` (its only builtin).
+
+Registration uses DataFrame-expression-backed SQL functions where the
+API allows; otherwise a tiny wrapper. All stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+_SQL_FUNCTION_DEFS = {
+    # name -> (argument list, SQL body) — registered as SQL temp functions
+    # so they stay pure Catalyst expressions (no Python round-trip).
+    "vec_dot": (
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+    ),
+    "vec_norm": (
+        "a ARRAY<FLOAT>",
+        "sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))",
+    ),
+    "cosine_similarity": (
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+        "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))",
+    ),
+    "cosine_distance": (
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+        "1.0 - cosine_similarity(a, b)",
+    ),
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the engine's SQL functions on the session."""
+    for name, (args, body) in _SQL_FUNCTION_DEFS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS DOUBLE RETURN {body}"
+        )

@@ -1,0 +1,98 @@
+"""As-of (most-recent-match) join.
+
+Spark has no native as-of join (SURVEY §2.3 "broadcast/range/as-of" row);
+this implements it as a composition of built-in ops — the union-tag +
+window "last known value" technique:
+
+1. Tag left (probe) and right (reference) rows, union them on aligned
+   schemas.
+2. One window pass per key ordered by (time, tag) carries the last
+   non-null reference payload forward (``F.last(ignorenulls=True)``).
+3. Keep probe rows; each now holds the latest reference row with
+   ref_time <= probe_time.
+
+Cost: ONE shuffle of (left ∪ right) on the key — strictly better at
+scale than the join+filter+argmax formulation (which shuffles the same
+data AND materializes every (probe, candidate) pair before pruning).
+`pd.merge_asof` via applyInPandas would add an Arrow round-trip for no
+semantic gain, so this stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach `payload_cols` from the right row with
+    the greatest right_time <= left_time (direction='backward') sharing
+    the join key. Unmatched left rows keep NULL payloads.
+
+    `right_tiebreak`: column ordering reference rows with equal
+    right_time (the row with the greatest tiebreak wins) — required for
+    a deterministic result when right times can collide."""
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+
+    lcols = left.columns
+    left_struct = F.struct(*[F.col(c) for c in lcols])
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    left_type = left.select(left_struct.alias("s")).schema["s"].dataType
+    payload_type = right.select(payload_struct.alias("s")).schema["s"].dataType
+
+    l_aligned = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast("bigint").alias("_seq"),
+        left_struct.alias("_left"),
+        F.lit(None).cast(payload_type).alias("_payload"),
+    )
+    r_seq = (
+        F.col(right_tiebreak).cast("bigint")
+        if right_tiebreak is not None
+        else F.lit(0).cast("bigint")
+    )
+    r_aligned = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_probe"),
+        r_seq.alias("_seq"),
+        F.lit(None).cast(left_type).alias("_left"),
+        payload_struct.alias("_payload"),
+    )
+
+    unioned = l_aligned.unionByName(r_aligned)
+    # Reference rows sort before probe rows at equal time (_is_probe
+    # ascending), so an exactly-simultaneous reference row is visible to
+    # the probe (<= semantics). Among equal-time reference rows the
+    # greatest _seq sorts last and therefore wins the carry-forward.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_is_probe").asc(),
+            F.col("_seq").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "_ref", F.last("_payload", ignorenulls=True).over(w)
+    )
+    probes = carried.filter(F.col("_is_probe") == 1)
+    out_cols = [F.col(f"_left.{c}").alias(c) for c in lcols] + [
+        F.col(f"_ref.{c}").alias(c) for c in payload_cols
+    ]
+    return probes.select(*out_cols)

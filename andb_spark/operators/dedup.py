@@ -1,0 +1,293 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+North-star surface (build brief): exact dedup, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup (the last lives in
+``operators/similarity.py``). The reference has no dedup at all; its
+closest relative is the vector type + cosine builtin
+(andb/catalog/type.py:237-280, catalog/buitin_functions.py:3-12).
+
+Design constraints honored here:
+- Everything is pure Catalyst expressions (md5/split/explode/groupBy) —
+  JVM-side, whole-stage-codegen'd, no Python UDFs. The same hash math is
+  expressible in ANSI SQL, which is what makes these operators
+  oracle-checkable against DuckDB.
+- MinHash signatures use md5 hex strings ordered lexicographically
+  (fixed-width hex ⇒ lexicographic order == numeric order), so "min
+  hash" never needs a 64-bit integer conversion that engines disagree
+  on.
+- At 100 TB: the only shuffles are the groupBys on (doc, hash-slot) and
+  the band-bucket self-join. Band signatures are high-entropy md5s ⇒
+  near-uniform shuffle keys, no skew. Candidate verification joins only
+  the candidate pairs' shingle sets, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from andb_spark.functions.text import tokens
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    text = F.col(text) if isinstance(text, str) else text
+    words = tokens(text)
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text). Returns one row per
+    duplicated content hash with the group size and the survivor id
+    (min id — the canonical "keep-first" policy)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text. Returns the
+    surviving ids. Equivalent plan to a groupBy-min — one shuffle."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature rows: (id, h, min_hash) for
+    h in [0, num_hashes). Hash family: md5(h || '|' || shingle),
+    compared as fixed-width hex strings."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    )
+    hashed = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        "shingle",
+    ).select(
+        id_col,
+        "h",
+        F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("min_hash"))
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """Fold signature rows into LSH band signatures: (id, band, band_sig).
+    band_sig = md5 of the band's min-hashes concatenated in h order."""
+    banded = signatures.withColumn(
+        "band", F.floor(F.col("h") / rows_per_band).cast("int")
+    )
+    # Within a band the h values are consecutive; aggregate them in h
+    # order deterministically via min/max (rows_per_band == 2) or a
+    # sorted struct collect for the general case.
+    if rows_per_band == 2:
+        agg = banded.groupBy(id_col, "band").agg(
+            F.md5(
+                F.concat(
+                    F.min(F.when(F.col("h") % 2 == 0, F.col("min_hash"))),
+                    F.min(F.when(F.col("h") % 2 == 1, F.col("min_hash"))),
+                )
+            ).alias("band_sig")
+        )
+    else:
+        agg = banded.groupBy(id_col, "band").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("h"), F.col("min_hash")))
+                        ),
+                        lambda s: s.getField("min_hash"),
+                    ),
+                    "",
+                )
+            ).alias("band_sig")
+        )
+    return agg
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join band buckets → distinct candidate pairs (id_a < id_b).
+    The join key (band, band_sig) is a uniform md5 — no skew at scale."""
+    a = bands.select(
+        F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only (never all pairs).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, rounded to
+    6 decimals for cross-engine stability."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col)).alias("shingle")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("_id").alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col("_id").alias("id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs with exact
+    Jaccard >= threshold among LSH candidates."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    bands = lsh_bands(sigs, id_col, rows_per_band)
+    cands = lsh_candidate_pairs(bands, id_col)
+    return jaccard_verify(df, cands, text_col, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard >= threshold, computed via an
+    inverted index on shingles (shingle-equality join), NOT a cartesian
+    product — the classic scalable formulation: only pairs sharing at
+    least one shingle are ever materialized."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col)).alias("shingle")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        sh.select(F.col("_id").alias("id_a"), "shingle")
+        .join(sh.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprints: (id, simhash int). Bit j of the fingerprint
+    is the sign of sum over tokens of (bit j of md5(token) ? +1 : -1).
+    Uses the first `bits` bits (hex chars left-to-right, high nibble
+    first); identical integer math is expressible in the DuckDB oracle.
+    """
+    assert bits % 4 == 0 and bits <= 64
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("th", F.md5(F.col("tok")))
+    expanded = toks.select(
+        id_col,
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    # hex digit at char position j//4 (1-based substr), bit (3 - j%4).
+    digit = F.conv(
+        F.substring(F.col("th"), (F.floor(F.col("j") / 4) + 1).cast("int"), 1),
+        16,
+        10,
+    ).cast("int")
+    divisor = (
+        F.when(F.col("j") % 4 == 0, 8)
+        .when(F.col("j") % 4 == 1, 4)
+        .when(F.col("j") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    bit = (F.floor(digit / divisor).cast("int") % 2).alias("bit")
+    contrib = expanded.select(
+        id_col,
+        "j",
+        F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
+    )
+    bitvals = contrib.groupBy(id_col, "j").agg(
+        F.when(F.sum("c") > 0, F.lit(1)).otherwise(F.lit(0)).alias("b")
+    )
+    return bitvals.groupBy(id_col).agg(
+        F.sum(
+            F.col("b")
+            * F.pow(F.lit(2.0), (F.lit(bits - 1) - F.col("j")).cast("double")).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )

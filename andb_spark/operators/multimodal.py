@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+North-star surface (build brief): binary payload columns with typed
+metadata, plus decode / feature-extract / resize / frame-sample stages
+as Arrow-batched pandas UDFs over ``mapInPandas``. The image/audio
+codec libraries are NOT in this container, so the codec call itself is
+stubbed (``decode_image`` raises NotImplementedError unless
+``fake=True``); everything Spark-side — schema, partition behavior,
+UDF signature, Arrow batch shape — is real and tested.
+
+The deterministic fake decoder derives metadata purely from the bytes
+(md5-seeded), so results are stable across runs/engines and the
+pipeline stays benchmarkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int"
+)
+
+
+def binarize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Turn a text column into an opaque binary payload column — the
+    shape of an image/audio ingest table: (id, payload binary,
+    n_bytes, checksum)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def decode_image(data: bytes, fake: bool = False) -> tuple[str, int, int]:
+    """Decode an image payload → (format, width, height).
+
+    STUB: real decoding needs Pillow/libvips which are not in this
+    container. ``fake=True`` returns deterministic metadata seeded by
+    the payload digest so the distributed plumbing can be exercised and
+    verified end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    d = hashlib.md5(data).digest()
+    fmt = ("png", "jpeg", "webp")[d[0] % 3]
+    width = 64 + (int.from_bytes(d[1:3], "big") % 1024)
+    height = 64 + (int.from_bytes(d[3:5], "big") % 1024)
+    return fmt, width, height
+
+
+def extract_image_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature-extraction stage: per-partition Arrow batches
+    in, one metadata row per payload out. This is the pattern a real
+    decode/resize/frame-sample stage uses — swap the stub for a codec
+    call and the distributed shape is unchanged."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decode_image(b, fake=fake) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "format": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                }
+            )
+
+    return binary_df.mapInPandas(_extract, schema=IMAGE_META_SCHEMA)

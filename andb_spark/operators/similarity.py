@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extends the reference's embryonic vector support — `VectorType`
+(andb/catalog/type.py:237-280) + `cosine_distance`
+(andb/catalog/buitin_functions.py:3-12) + the "we will support vector
+index in the future here" TODO (implementations.py:108) — into working
+operators:
+
+- ``cosine_topk``: brute-force exact top-k. One scan + TakeOrderedAndProject
+  (Spark's top-k needs no full sort); dot products are JVM-side
+  zip_with/aggregate folds — scales linearly, embarrassingly parallel.
+- ``pairwise_near_dup``: exact all-pairs cosine above threshold
+  (bounded inputs; at scale use LSH/IVF below to prune).
+- ``ivf_assign`` / ``ivf_topk``: IVF-style ANN. Centroids are a fixed
+  (broadcast) table; assignment is a broadcast cross join + min —
+  shuffle-free on the big side. The probe searches only the query's
+  nearest ``nprobe`` clusters — the standard recall/latency trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from andb_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    return df.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def pairwise_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: cosine >= threshold,
+    id_a < id_b. Normalizes once per row (norm is computed in the
+    projection, not per pair)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties to
+    the smallest centroid id). Broadcast cross join + per-row arg-max —
+    the big side never shuffles."""
+    scored = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(centroid_vec_col)), 6
+            ),
+        )
+        .select(id_col, centroid_id_col, "cos_sim")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col(centroid_id_col)).alias("neg_cid")))
+        .alias("best")
+    )
+    return best.select(
+        id_col,
+        (-F.col("best.neg_cid")).cast("int").alias(centroid_id_col),
+        F.col("best.cos_sim").alias("centroid_sim"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """ANN top-k: probe only the nprobe centroids nearest the query,
+    then exact-rank within those clusters. Approximate by construction
+    (recall < 1 when the true neighbor lives in an unprobed cluster)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe_ids = [
+        r[0]
+        for r in centroids.select(
+            centroid_id_col,
+            cosine_similarity(F.col(centroid_vec_col), q).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col(centroid_id_col))
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
+    )
+    probed = embeddings.join(
+        assigned.filter(F.col(centroid_id_col).isin(probe_ids)).select(id_col),
+        id_col,
+    )
+    return (
+        probed.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,121 @@
+"""Windowed aggregations over event streams — batch and streaming twins.
+
+Each aggregation is defined ONCE as a DataFrame transform and applied
+to either a batch scan or a ``readStream`` source; Structured
+Streaming's contract (incremental execution of the same logical plan)
+guarantees the results agree on finite input, which is exactly what the
+DuckDB oracle checks via the batch twin.
+
+Watermarks bound state at scale: with ``withWatermark('ts', d)`` the
+state store drops windows older than the watermark — mandatory for an
+unbounded 100 TB/day stream, a no-op for the finite fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per event_type counts/sums over non-overlapping windows."""
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Per-user session windows: a session closes after `gap` of
+    inactivity. Works identically in batch and streaming
+    (``F.session_window``)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    events_path: str,
+    transform,
+    watermark: str = "1 hour",
+    query_name: str = "andb_stream_out",
+) -> DataFrame:
+    """Run `transform` as a real Structured Streaming query over the
+    parquet events source (finite fixture → runs to completion), return
+    the materialized result from the memory sink.
+
+    At scale the source would be Kafka and the sink a Delta table; the
+    transform and watermark are unchanged — that is the point of
+    Structured Streaming's unified batch/stream API.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # The file-stream source wants a directory; point it at the parent
+    # with a glob filter selecting just the events file.
+    base_dir, file_name = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", file_name)
+        .load(base_dir)
+    )
+    # The fixture stores ts as raw nanos (see catalog.load_table) —
+    # integer-divide to micros before watermarking.
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withWatermark("ts", watermark)
+    out = transform(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -1,0 +1,378 @@
+"""LLM-data-pipeline workloads: dedup, text analysis, as-of join,
+multimodal plumbing (build brief north-star ops; SURVEY §2.9/§7 Phase 3).
+
+Oracle notes: every hash-based op uses md5 (available in both Spark and
+DuckDB, identical hex output) and compares hex strings lexicographically
+instead of converting to 64-bit ints, so the two engines never disagree
+on hash arithmetic. Ratios are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from andb_spark.catalog import load_table
+from andb_spark.functions import text as TX
+from andb_spark.operators import dedup as DD
+from andb_spark.operators.asof import asof_join
+from andb_spark.operators.multimodal import binarize, extract_image_meta
+from andb_spark.session import tune_for_session
+
+# Shared DuckDB SQL fragments (inlined into oracles below).
+_WORDS = (
+    "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),"
+    " i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- dedup --
+def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dup_groups(_docs(spark, sf_dir), "text", "doc_id").orderBy(
+        "text_hash"
+    )
+
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf_dir), "text", "doc_id").orderBy("doc_id")
+
+
+def d_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via order-insensitive fingerprint (sorted token set)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fp")
+    )
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", num_hashes=8, rows_per_band=2,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
+
+
+# ---------------------------------------------------------- text analysis --
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+            F.round(TX.avg_token_length("text"), 6).alias("avg_tok_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            TX.lang_id("text").alias("lang_pred"),
+            F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(TX.quality_score("text"), 6).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup by source — the triage query of a data
+    pipeline (volume, dedup rate, token budget per source)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_unique_texts"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars")), 6).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------------- as-of join --
+def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order as of the event
+    time (operators/asof.py — union+window, one shuffle)."""
+    tune_for_session(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", "o_orderkey", "o_totalprice"
+    ).orderBy("event_id")
+
+
+# ----------------------------------------------------------- multimodal --
+def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column plumbing: byte length + checksum + head
+    bytes — the typed-metadata shape of a multimodal ingest table."""
+    d = _docs(spark, sf_dir)
+    b = binarize(d, "text", "doc_id")
+    return b.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "checksum",
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("head_hex"),
+    ).orderBy("doc_id")
+
+
+def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction with the deterministic fake
+    decoder (real codecs stubbed — operators/multimodal.py)."""
+    d = _docs(spark, sf_dir)
+    return extract_image_meta(binarize(d, "text", "doc_id"), fake=True).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES = {
+    "d_exact_dup_groups": d_exact_dup_groups,
+    "d_exact_dedup": d_exact_dedup,
+    "d_fingerprint_dup_groups": d_fingerprint_dup_groups,
+    "d_minhash_lsh": d_minhash_lsh,
+    "d_ngram_jaccard": d_ngram_jaccard,
+    "d_simhash": d_simhash,
+    "t_token_stats": t_token_stats,
+    "t_lang_quality": t_lang_quality,
+    "t_fingerprint": t_fingerprint,
+    "t_source_stats": t_source_stats,
+    "a_asof_join": a_asof_join,
+    "m_binary_meta": m_binary_meta,
+    "m_image_meta": m_image_meta,
+}
+
+
+_FP = (
+    "md5(array_to_string(list_sort(list_distinct("
+    + _WORDS.format(col="lower(text)")
+    + ")), ' '))"
+)
+
+_HEX2INT = (
+    "list_sum(list_transform([1, 2, 3, 4], i -> "
+    "(strpos('0123456789abcdef', substr({h}, {off} + i, 1)) - 1)"
+    " * CAST(pow(16, 4 - i) AS BIGINT)))"
+)
+
+ORACLES = {
+    "d_exact_dup_groups": """
+        SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+    """,
+    "d_exact_dedup": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ORDER BY doc_id
+    """,
+    "d_fingerprint_dup_groups": f"""
+        SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
+            SELECT doc_id, {_FP} AS fp FROM documents
+        ) t GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+    """,
+    "d_minhash_lsh": f"""
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        mh AS (
+            SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS min_hash
+            FROM sh, (SELECT unnest(range(0, 8)) AS h) hs
+            GROUP BY doc_id, h
+        ),
+        bands AS (
+            SELECT doc_id, CAST(h // 2 AS INT) AS band,
+                   md5(min(CASE WHEN h % 2 = 0 THEN min_hash END)
+                       || min(CASE WHEN h % 2 = 1 THEN min_hash END)) AS band_sig
+            FROM mh GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                     JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    "d_ngram_jaccard": f"""
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
+                  FROM documents WHERE doc_id < 300)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                     JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    "d_simhash": """
+        WITH toks AS (
+            SELECT doc_id, md5(unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS th
+            FROM documents WHERE doc_id < 300
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN sum(CASE WHEN CAST(floor(
+                       (strpos('0123456789abcdef',
+                               substr(th, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                       / (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                     WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+                        THEN 1 ELSE -1 END) > 0
+                   THEN 1 ELSE 0 END AS b
+            FROM toks, (SELECT unnest(range(0, 16)) AS j) js
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(sum(b * CAST(pow(2, 15 - j) AS BIGINT)) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    "t_token_stats": f"""
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+               round(list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE)))
+                     / len(w), 6) AS avg_tok_len
+        FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents)
+        ORDER BY doc_id
+    """,
+    "t_lang_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_WORDS.format(col='lower(text)')} AS w
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text,
+                   CAST(len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','on','for'], x)))
+                       AS DOUBLE) / len(w) AS swr,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       AS DOUBLE) / length(text) AS pr,
+                   list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE)))
+                       / len(w) AS awl
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN swr >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred,
+               round(swr, 6) AS stopword_ratio,
+               round(pr, 6) AS punct_ratio,
+               round(least(swr * 4.0, 1.0) * 0.5
+                     + (1.0 - least(pr * 10.0, 1.0)) * 0.3
+                     + CASE WHEN awl >= 3.0 AND awl <= 8.0
+                            THEN 0.2 ELSE 0.0 END, 6) AS quality
+        FROM m ORDER BY doc_id
+    """,
+    "t_fingerprint": f"""
+        SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id
+    """,
+    "t_source_stats": f"""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique_texts,
+               CAST(sum(len({_WORDS.format(col='text')})) AS BIGINT) AS total_tokens,
+               round(avg(n_chars), 6) AS avg_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "a_asof_join": """
+        SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice
+        FROM events e LEFT JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) ref ON TRUE
+        ORDER BY e.event_id
+    """,
+    "m_binary_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+        FROM documents ORDER BY doc_id
+    """,
+    "m_image_meta": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS hh
+            FROM documents
+        )
+        SELECT doc_id, n_bytes,
+               ['png', 'jpeg', 'webp'][
+                   CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)
+                        AS INT) % 3 + 1] AS format,
+               CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
+               CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
+        FROM h ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,854 @@
+"""Relational operator coverage (SURVEY.md §2.1-§2.7, §2.10).
+
+Each query exercises one row (or a tight cluster) of the reference's
+declared operator inventory, expressed with the DataFrame API so
+Catalyst owns the physical plan. The DuckDB oracle SQL for each lives in
+``ORACLES`` with identical output column names (the driver sorts columns
+by name and hash-compares values).
+
+Determinism rules applied throughout (required for hash-matching an
+independent engine):
+- Double aggregates are wrapped in ``round(x, 2)`` (money) or
+  ``round(x, 6)`` (ratios/averages) on BOTH sides, absorbing the
+  few-ulp differences of different summation orders.
+- Window/limit queries order by a key suffix that is globally unique so
+  row_number/limit frontiers are unambiguous.
+
+Scale notes: joins against region/nation/supplier/part are explicitly
+broadcast (they are bounded-size dims — andb_spark.catalog.
+BROADCAST_TABLES); fact-fact joins (lineitem x orders) shuffle on the
+join key, which AQE re-plans at runtime. Aggregations are partial
+(map-side combine) by construction in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from andb_spark.catalog import BROADCAST_TABLES, load_table
+from andb_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    df = load_table(spark, sf_dir, name)
+    return F.broadcast(df) if name in BROADCAST_TABLES else df
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregation — flagship: TPC-H Q1-shaped pricing summary.
+# Reference parity: HashAggregation (physical/select.py:690-759) supports ONE
+# group column and ONE aggregate; this is the generalized form (multi-column
+# group, 7 aggregates incl. avg/count), all map-side-combinable.
+# --------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate without GROUP BY — 🛑 in the reference
+    (transformations.py:178-181 rejects it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (reference: HAVING as post-agg filter,
+    implementations.py:184-188)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+    ).orderBy("l_returnflag")
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (oracle: CASE-WHEN aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, group, top-10 — multi-way join the
+    reference cannot run (one join max, transformations.py:161-162)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join with broadcast dims, grouped by nation."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        r.filter(F.col("r_name") == "ASIA")
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER (reference NestedLoopJoin.outer_join select.py:558-597)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        c.join(agg, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER (reference swaps to left, select.py:525-526)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER (reference full_join select.py:599-652)."""
+    c = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, F.col("c_nationkey") == F.col("s_nationkey"), "full")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias(
+                "nationkey"
+            ),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS (reference: TODO comment only, select.py:481)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 300000)
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two bounded dims (reference cross_join
+    select.py:549-552, implicit `FROM a, b`)."""
+    r = _t(spark, sf_dir, "region")
+    pr = (
+        _t(spark, sf_dir, "part")
+        .select("p_brand")
+        .distinct()
+    )
+    return (
+        r.crossJoin(pr)
+        .select("r_name", "p_brand")
+        .orderBy("r_name", "p_brand")
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: suppliers richer than their nation's average
+    customer balance. Reference inner_join is theta-capable
+    (select.py:554-556); Spark plans BNLJ/broadcast for this."""
+    s = _t(spark, sf_dir, "supplier")
+    nat_avg = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        s.join(
+            F.broadcast(nat_avg),
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("s_acctbal") > F.col("avg_bal")),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 filter / predicates / expressions
+# --------------------------------------------------------------------------
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / IN / BETWEEN / IS NULL / AND-OR — the reference's declared
+    but unexecutable predicate set (ExprOperation, utils.py:42-59)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_name").like("%red%")
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & F.col("p_size").between(5, 40)
+            & F.col("p_retailprice").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def q_case_cast_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / CAST / || concat — all 🛑 in the reference
+    (SURVEY §2.2: lexer tokens without grammar rules)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") >= 300000, F.lit("big"))
+            .when(F.col("o_totalprice") >= 100000, F.lit("mid"))
+            .otherwise(F.lit("small"))
+            .alias("bucket"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+            F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+                "status_prio"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.regexp_replace(F.col("p_type"), "[aeiou]", "").alias("type_novowel"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        )
+        .orderBy("p_partkey")
+        .limit(150)
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.pmod(F.col("l_partkey"), F.lit(7)).alias("pk_mod"),
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 sort / limit / distinct / top-k
+# --------------------------------------------------------------------------
+def q_sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY asc/desc (reference Sort select.py:761-856)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").orderBy(
+        F.col("c_mktsegment").asc(),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey").asc(),
+    )
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT+OFFSET — parsed but never wired in the reference
+    (parser_.py:115-148, transformations.py:199)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(10)
+        .limit(20)
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — 🛑 DuplicateRemovalOperator never planned
+    (logical.py:284-286)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority class (window + filter — Spark plans
+    this as a per-partition TopK, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 set operations — all 🛑 in the reference (no planner rule)
+# --------------------------------------------------------------------------
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("nationkey", "side")
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# §2.8 window functions — lexer-only in the reference
+# --------------------------------------------------------------------------
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate")
+            ).alias("rk"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.10 subqueries / CTE — NotImplementedError in the reference
+# (transformations.py:278-279)
+# --------------------------------------------------------------------------
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        FROM lineitem
+        WHERE l_extendedprice > (SELECT avg(l_extendedprice) * 1.9 FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
+
+
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, s.total_spend, s.n_orders
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE s.n_orders >= 4
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue": q3_top_revenue,
+    "q5_region_revenue": q5_region_revenue,
+    "q_global_agg": q_global_agg,
+    "q_having": q_having,
+    "q_count_distinct": q_count_distinct,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_pivot": q_pivot,
+    "q_join_left": q_join_left,
+    "q_join_right": q_join_right,
+    "q_join_full": q_join_full,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_cross": q_join_cross,
+    "q_join_theta": q_join_theta,
+    "q_predicates": q_predicates,
+    "q_case_cast_concat": q_case_cast_concat,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_math_funcs": q_math_funcs,
+    "q_sort_multi_key": q_sort_multi_key,
+    "q_limit_offset": q_limit_offset,
+    "q_distinct": q_distinct,
+    "q_topk_per_group": q_topk_per_group,
+    "q_union_all": q_union_all,
+    "q_union_distinct": q_union_distinct,
+    "q_intersect": q_intersect,
+    "q_except": q_except,
+    "q_window_funcs": q_window_funcs,
+    "q_in_subquery": q_in_subquery,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_cte": q_cte,
+    "q_exists_subquery": q_exists_subquery,
+}
+
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue": """
+        SELECT o_orderkey, o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+                    JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q_global_agg": """
+        SELECT count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS total_qty,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem
+    """,
+    "q_having": """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+        ORDER BY o_custkey
+    """,
+    "q_count_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+    "q_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_join_left": """
+        SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+        ORDER BY c_custkey
+    """,
+    "q_join_right": """
+        SELECT n_name, count(s_suppkey) AS n_suppliers
+        FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q_join_full": """
+        SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+          ON c.c_nationkey = s.s_nationkey
+        ORDER BY nationkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
+        ORDER BY c_custkey
+    """,
+    "q_join_cross": """
+        SELECT r_name, p_brand
+        FROM region CROSS JOIN (SELECT DISTINCT p_brand FROM part) p
+        ORDER BY r_name, p_brand
+    """,
+    "q_join_theta": """
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN (
+            SELECT c_nationkey, avg(c_acctbal) AS avg_bal
+            FROM customer GROUP BY c_nationkey
+        ) n ON s_nationkey = c_nationkey AND s_acctbal > avg_bal
+        ORDER BY s_suppkey
+    """,
+    "q_predicates": """
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part
+        WHERE p_name LIKE '%red%'
+          AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_size BETWEEN 5 AND 40
+          AND p_retailprice IS NOT NULL
+        ORDER BY p_partkey
+    """,
+    "q_case_cast_concat": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 300000 THEN 'big'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'small' END AS bucket,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+               o_orderstatus || '-' || o_orderpriority AS status_prio
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+    "q_string_funcs": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               substring(p_name, 1, 5) AS name_prefix,
+               length(p_name) AS name_len,
+               regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        FROM part ORDER BY p_partkey LIMIT 150
+    """,
+    "q_date_funcs": """
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+    """,
+    "q_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               round(ln(l_extendedprice + 1), 6) AS price_ln,
+               abs(l_discount - 0.05) AS disc_dev,
+               l_partkey % 7 AS pk_mod,
+               CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q_sort_multi_key": """
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer
+        ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+    """,
+    "q_limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 10
+    """,
+    "q_distinct": """
+        SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        ORDER BY c_mktsegment, c_nationkey
+    """,
+    "q_topk_per_group": """
+        SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+        ) t WHERE rk <= 3 ORDER BY o_orderpriority, rk
+    """,
+    "q_union_all": """
+        SELECT nationkey, side, count(*) AS n FROM (
+            SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+        ) u GROUP BY nationkey, side ORDER BY nationkey, side
+    """,
+    "q_union_distinct": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q_window_funcs": """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rk,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn
+    """,
+    "q_in_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        ORDER BY o_orderkey
+    """,
+    "q_scalar_subquery": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        FROM lineitem
+        WHERE l_extendedprice > (SELECT avg(l_extendedprice) * 1.9 FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q_cte": """
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, s.total_spend, s.n_orders
+        FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE s.n_orders >= 4
+        ORDER BY c.c_custkey
+    """,
+    "q_exists_subquery": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
+}

@@ -1,0 +1,102 @@
+"""Streaming workloads over the events table (SURVEY §2.9 — north-star;
+the reference has no streaming at all).
+
+Window aggregations are defined once in ``andb_spark.streaming.windows``
+and run here in batch mode (oracle-checkable); ``s_stream_tumbling``
+runs the SAME transform as a real Structured Streaming query (parquet
+source → watermark → memory sink) and returns the materialized result —
+the batch/stream equivalence IS the correctness statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from andb_spark.catalog import load_table, table_path
+from andb_spark.session import tune_for_session
+from andb_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_events(spark, sf_dir)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_events(spark, sf_dir)).orderBy("window_start")
+
+
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_events(spark, sf_dir)).orderBy(
+        "user_id", "session_start"
+    )
+
+
+def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real readStream execution of the tumbling aggregation."""
+    tune_for_session(spark)
+    out = stream_events(
+        spark,
+        table_path(sf_dir, "events"),
+        tumbling_agg,
+        watermark="1 hour",
+        query_name="andb_stream_tumbling",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+QUERIES = {
+    "s_tumbling": s_tumbling,
+    "s_sliding": s_sliding,
+    "s_session": s_session,
+    "s_stream_tumbling": s_stream_tumbling,
+}
+
+_TUMBLING_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+ORACLES = {
+    "s_tumbling": _TUMBLING_SQL,
+    "s_stream_tumbling": _TUMBLING_SQL,
+    "s_sliding": """
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '30 minutes' AS window_start,
+               count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events, (SELECT unnest([0, 1]) AS k) ks
+        GROUP BY 1 ORDER BY window_start
+    """,
+    "s_session": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM e
+        )
+        SELECT min(ts) AS session_start, user_id,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+}

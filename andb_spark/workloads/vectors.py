@@ -1,0 +1,184 @@
+"""Vector similarity workloads over the embeddings table.
+
+Extends the reference's vector seed (VectorType catalog/type.py:237-280,
+cosine_distance buitin_functions.py:3-12) into search operators
+(operators/similarity.py). All dot products are double-precision
+sequential folds on both engines; similarities rounded to 6 decimals.
+
+The DuckDB oracles expand arrays positionally (generate_subscripts +
+zip join) — no reliance on DuckDB's float32 list_* kernels, which would
+diverge from the double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from andb_spark.catalog import load_table
+from andb_spark.operators import similarity as SIM
+from andb_spark.session import tune_for_session
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(emb: DataFrame, vec_id: int = 0) -> list[float]:
+    """Driver-side fetch of one query vector (a point lookup, the analog
+    of the reference's IndexScan equality path — constant-size data)."""
+    return list(emb.filter(F.col("vec_id") == vec_id).head()["embedding"])
+
+
+def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 by cosine vs the vec_id=0 embedding."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb, 0)
+    return SIM.cosine_topk(emb, q, k=10, exclude_id=0)
+
+
+def v_pairwise_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded subset — at scale
+    the LSH/IVF path prunes the quadratic term)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
+    return SIM.pairwise_near_dup(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def v_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: assign every vector to its nearest of 16 fixed
+    centroids (embeddings 0..15 — deterministic, no iterative k-means)."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return SIM.ivf_assign(emb, cents).orderBy("vec_id")
+
+
+def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search: probe the 2 clusters nearest the query, exact-rank
+    inside them. Approximate globally, deterministic by construction."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    q = _query_vec(emb, 0)
+    return SIM.ivf_topk(emb, cents, q, k=5, nprobe=2)
+
+
+QUERIES = {
+    "v_cosine_topk": v_cosine_topk,
+    "v_pairwise_near_dup": v_pairwise_near_dup,
+    "v_ivf_assign": v_ivf_assign,
+    "v_ivf_topk": v_ivf_topk,
+}
+
+# Positional array expansion shared by the oracles.
+_EXPAND = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+    " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+)
+
+ORACLES = {
+    "v_cosine_topk": f"""
+        WITH e AS ({_EXPAND}),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i) GROUP BY e.vec_id
+        )
+        SELECT d.vec_id,
+               round(d.dp / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+                   AS cos_sim
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        WHERE d.vec_id <> 0
+        ORDER BY cos_sim DESC, d.vec_id
+        LIMIT 10
+    """,
+    "v_pairwise_near_dup": f"""
+        WITH e AS ({_EXPAND}),
+        sub AS (SELECT * FROM e WHERE vec_id < 400),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM sub GROUP BY vec_id),
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+            FROM sub a JOIN sub b USING (i)
+            WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM dots JOIN norms na ON na.vec_id = id_a
+                  JOIN norms nb ON nb.vec_id = id_b
+        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+        ORDER BY id_a, id_b
+    """,
+    "v_ivf_assign": f"""
+        WITH e AS ({_EXPAND}),
+        c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 16),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT e.vec_id, c.cid, sum(e.v * c.v) AS dp
+            FROM e JOIN c USING (i) GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.vec_id, d.cid,
+                   round(d.dp / (ne.nrm * nc.nrm), 6) AS cos_sim
+            FROM dots d JOIN norms ne ON ne.vec_id = d.vec_id
+                        JOIN norms nc ON nc.vec_id = d.cid
+        )
+        SELECT vec_id, CAST(cid AS INT) AS centroid_id, cos_sim AS centroid_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rn
+            FROM sims
+        ) t WHERE rn = 1 ORDER BY vec_id
+    """,
+    "v_ivf_topk": f"""
+        WITH e AS ({_EXPAND}),
+        c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 16),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        qnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
+        -- probe selection: 2 centroids nearest the query
+        cq AS (
+            SELECT c.cid, sum(c.v * q.v) AS dp FROM c JOIN q USING (i) GROUP BY c.cid
+        ),
+        probes AS (
+            SELECT cid FROM cq JOIN norms nc ON nc.vec_id = cq.cid
+            ORDER BY cq.dp / (nc.nrm * (SELECT nrm FROM qnorm)) DESC, cid
+            LIMIT 2
+        ),
+        -- IVF assignment of every vector (same math as v_ivf_assign)
+        dots AS (
+            SELECT e.vec_id, c.cid, sum(e.v * c.v) AS dp
+            FROM e JOIN c USING (i) GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.vec_id, d.cid, round(d.dp / (ne.nrm * nc.nrm), 6) AS cos_sim
+            FROM dots d JOIN norms ne ON ne.vec_id = d.vec_id
+                        JOIN norms nc ON nc.vec_id = d.cid
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rn
+                FROM sims
+            ) t WHERE rn = 1
+        ),
+        -- exact rank within probed clusters
+        qdots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i)
+            WHERE e.vec_id IN (SELECT vec_id FROM assigned
+                               WHERE cid IN (SELECT cid FROM probes))
+            GROUP BY e.vec_id
+        )
+        SELECT d.vec_id,
+               round(d.dp / (n.nrm * (SELECT nrm FROM qnorm)), 6) AS cos_sim
+        FROM qdots d JOIN norms n ON n.vec_id = d.vec_id
+        ORDER BY cos_sim DESC, d.vec_id
+        LIMIT 5
+    """,
+}
