@@ -1,0 +1,454 @@
+"""SQL entry point — the engine's analog of the reference's
+``execute_simple_query`` (andb/entrance.py:16-55) and result shaping
+(``ExecuteResultSet``, andb/executor/portal.py:38-82).
+
+Statement classes and their handling (SURVEY.md §2.10):
+
+- SELECT / EXPLAIN SELECT / WITH ...: delegated to Spark SQL over the
+  registered views (fixture tables + managed tables). Catalyst is the
+  analyzer/optimizer (SURVEY §3, §4 — everything the reference's
+  transformations.py does, Catalyst does strictly better).
+- CREATE TABLE (AnDB dialect types: int/bigint/real/double/boolean/
+  char/varchar(n)/text/vector, NOT NULL): managed parquet table under
+  the warehouse dir + JSON catalog (the analog of andb_class/
+  andb_attribute, catalog/class_.py:17-32, attribute.py:6-27).
+- INSERT [cols] VALUES / INSERT ... SELECT: NOT NULL enforced at write
+  (mirrors relation.py:122-123 / transformations.py:486-488), varchar(n)
+  truncated at write (mirrors relation.py:129-130).
+- UPDATE ... SET ... WHERE / DELETE FROM ... WHERE: read-modify-
+  overwrite of the managed parquet (the Spark-on-plain-parquet version
+  of the reference's delete+insert rewrite, update.py:15-95).
+- CREATE/DROP INDEX: metadata-only with column validation (utility.py:
+  24-40 semantics) — Spark needs no B+tree; partition pruning and
+  min/max skipping replace it (SURVEY §2.1 IndexScan row).
+- EXPLAIN: two-column (logical, physical) single-row result preserving
+  the reference's output shape (portal.py:124-128).
+- CHECKPOINT: clears the Spark cache (xact checkpoint analog).
+
+At scale, managed tables are directories of parquet parts; writes go
+through a staged directory + atomic rename so readers never observe a
+half-written table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from andb_spark.functions.register import register_all
+from andb_spark.session import get_session, tune_for_session
+
+# AnDB type name → Spark type (SURVEY.md §1.2 mapping table).
+_TYPE_MAP = {
+    "integer": T.IntegerType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "real": T.FloatType(),
+    "float": T.FloatType(),
+    "double precision": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "char": T.StringType(),
+    "text": T.StringType(),
+    "vector": T.ArrayType(T.FloatType()),
+    # extensions beyond the reference (testdata needs them):
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "string": T.StringType(),
+}
+
+_VARCHAR_RE = re.compile(r"^varchar\s*\(?\s*(\d+)\s*\)?$", re.IGNORECASE)
+
+
+class EngineError(Exception):
+    """Analog of the reference's AnDBError hierarchy."""
+
+
+@dataclass
+class Result:
+    """Shape of the reference's ExecuteResultSet (portal.py:38-82):
+    attribute names/types, row tuples, effected-row count, timing."""
+
+    columns: list[str] = field(default_factory=list)
+    types: list[str] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+    effect_rows: int = 0
+    elapsed: float = 0.0
+    success: bool = True
+
+    def __iter__(self):
+        return iter(self.rows)
+
+
+def _parse_type(name: str) -> tuple[T.DataType, int | None]:
+    name = name.strip().lower()
+    m = _VARCHAR_RE.match(name)
+    if m:
+        return T.StringType(), int(m.group(1))
+    if name in _TYPE_MAP:
+        return _TYPE_MAP[name], None
+    raise EngineError(f"unknown type: {name}")
+
+
+class AnalyticsEngine:
+    """A database-shaped facade over a SparkSession + warehouse dir."""
+
+    def __init__(
+        self,
+        warehouse_dir: str,
+        spark: SparkSession | None = None,
+        attach_dir: str | None = None,
+    ):
+        self.spark = tune_for_session(spark or get_session())
+        self.warehouse = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+        self._catalog_path = os.path.join(warehouse_dir, "_catalog.json")
+        self.catalog: dict = (
+            json.load(open(self._catalog_path))
+            if os.path.exists(self._catalog_path)
+            else {"tables": {}, "indexes": {}}
+        )
+        register_all(self.spark)
+        # re-register managed tables from a previous session (durability
+        # across engine restarts — the reference's catalog reload,
+        # initializer.py:51-63)
+        for name in self.catalog["tables"]:
+            if os.path.exists(self._table_dir(name)):
+                self._view(name)
+        if attach_dir:
+            from andb_spark.catalog import register_tables
+
+            register_tables(self.spark, attach_dir)
+
+    # ------------------------------------------------------------- util --
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _view(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(self._table_dir(name))
+        df.createOrReplaceTempView(name)
+        return df
+
+    def _meta(self, name: str) -> dict:
+        try:
+            return self.catalog["tables"][name]
+        except KeyError:
+            raise EngineError(f"table {name} does not exist") from None
+
+    def _save_catalog(self) -> None:
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.catalog, f, indent=1)
+        os.replace(tmp, self._catalog_path)
+
+    def _overwrite(self, name: str, df: DataFrame) -> int:
+        """Staged write + atomic swap: write to a fresh dir, then rename
+        over the old one. Readers see the old or the new table, never a
+        mix (plain-parquet ACID in the absence of Delta)."""
+        target = self._table_dir(name)
+        staged = target + ".staged-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(staged)
+        n = self.spark.read.parquet(staged).count()
+        old = target + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(staged, target)
+        shutil.rmtree(old, ignore_errors=True)
+        self._view(name)
+        return n
+
+    def _schema(self, name: str) -> T.StructType:
+        meta = self._meta(name)
+        fields = []
+        for col in meta["columns"]:
+            dt, _ = _parse_type(col["type"])
+            fields.append(T.StructField(col["name"], dt, not col["notnull"]))
+        return T.StructType(fields)
+
+    def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
+        """NOT NULL rejection + varchar(n) truncation, mirroring the
+        reference's insert path (relation.py:122-130)."""
+        meta = self._meta(name)
+        for col in meta["columns"]:
+            if col["notnull"]:
+                bad = df.filter(F.col(col["name"]).isNull()).limit(1).count()
+                if bad:
+                    raise EngineError(
+                        f"column {col['name']} of {name} violates NOT NULL"
+                    )
+            m = _VARCHAR_RE.match(col["type"])
+            if m:
+                df = df.withColumn(
+                    col["name"],
+                    F.substring(F.col(col["name"]), 1, int(m.group(1))),
+                )
+        return df
+
+    # ---------------------------------------------------------- execute --
+    def execute(self, sql: str) -> Result:
+        """One statement in, one Result out (entrance.py:16-55 shape)."""
+        t0 = time.perf_counter()
+        stmt = sql.strip().rstrip(";").strip()
+        head = stmt.split(None, 2)[0].upper() if stmt else ""
+        try:
+            if head == "CREATE" and re.match(r"create\s+table", stmt, re.I):
+                r = self._create_table(stmt)
+            elif head == "CREATE" and re.match(r"create\s+index", stmt, re.I):
+                r = self._create_index(stmt)
+            elif head == "DROP" and re.match(r"drop\s+table", stmt, re.I):
+                r = self._drop_table(stmt)
+            elif head == "DROP" and re.match(r"drop\s+index", stmt, re.I):
+                r = self._drop_index(stmt)
+            elif head == "INSERT":
+                r = self._insert(stmt)
+            elif head == "DELETE":
+                r = self._delete(stmt)
+            elif head == "UPDATE":
+                r = self._update(stmt)
+            elif head == "EXPLAIN":
+                r = self._explain(stmt)
+            elif head == "CHECKPOINT":
+                self.spark.catalog.clearCache()
+                r = Result()
+            elif head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE"):
+                r = self._select(stmt)
+            else:
+                raise EngineError(f"unsupported statement: {head or '<empty>'}")
+        except EngineError:
+            raise
+        except Exception as e:  # surface Spark analysis errors uniformly
+            raise EngineError(str(e)) from e
+        r.elapsed = time.perf_counter() - t0
+        return r
+
+    # ------------------------------------------------------- statements --
+    def _select(self, stmt: str) -> Result:
+        df = self.spark.sql(stmt)
+        rows = [tuple(r) for r in df.collect()]
+        return Result(
+            columns=list(df.columns),
+            types=[f.dataType.simpleString() for f in df.schema.fields],
+            rows=rows,
+            effect_rows=len(rows),
+        )
+
+    def _explain(self, stmt: str) -> Result:
+        inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
+        df = self.spark.sql(inner)
+        qe = df._jdf.queryExecution()
+        logical = qe.optimizedPlan().toString()
+        physical = qe.executedPlan().toString()
+        # Two-column, logical + physical — the reference's EXPLAIN output
+        # shape (portal.py:124-128).
+        return Result(
+            columns=["Logical Plan", "Physical Plan"],
+            types=["string", "string"],
+            rows=[(logical, physical)],
+            effect_rows=1,
+        )
+
+    def _create_table(self, stmt: str) -> Result:
+        m = re.match(
+            r"create\s+table\s+(\w+)\s*\((.*)\)\s*$", stmt, re.I | re.S
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE TABLE: {stmt!r}")
+        name, body = m.group(1), m.group(2)
+        if name in self.catalog["tables"]:
+            raise EngineError(f"table {name} already exists")
+        columns = []
+        for coldef in _split_top_level(body):
+            parts = coldef.strip().split()
+            if len(parts) < 2:
+                raise EngineError(f"bad column definition: {coldef!r}")
+            cname = parts[0]
+            rest = " ".join(parts[1:])
+            notnull = bool(re.search(r"not\s+null\s*$", rest, re.I))
+            tname = re.sub(r"not\s+null\s*$", "", rest, flags=re.I).strip()
+            _parse_type(tname)  # validate against the type table
+            columns.append({"name": cname, "type": tname, "notnull": notnull})
+        self.catalog["tables"][name] = {"columns": columns}
+        self._save_catalog()
+        empty = self.spark.createDataFrame([], self._schema(name))
+        self._overwrite(name, empty)
+        return Result()
+
+    def _drop_table(self, stmt: str) -> Result:
+        m = re.match(r"drop\s+table\s+(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse DROP TABLE: {stmt!r}")
+        name = m.group(1)
+        self._meta(name)
+        del self.catalog["tables"][name]
+        self.catalog["indexes"] = {
+            k: v for k, v in self.catalog["indexes"].items() if v["table"] != name
+        }
+        self._save_catalog()
+        self.spark.catalog.dropTempView(name)
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)
+        return Result()
+
+    def _create_index(self, stmt: str) -> Result:
+        m = re.match(
+            r"create\s+index\s+(\w+)\s+on\s+(\w+)\s*\(([^)]*)\)"
+            r"(?:\s+using\s+(\w+))?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE INDEX: {stmt!r}")
+        idx, table, cols, method = m.groups()
+        meta = self._meta(table)
+        have = {c["name"] for c in meta["columns"]}
+        want = [c.strip() for c in cols.split(",")]
+        missing = [c for c in want if c not in have]
+        if missing:
+            raise EngineError(f"index columns not in {table}: {missing}")
+        if idx in self.catalog["indexes"]:
+            raise EngineError(f"index {idx} already exists")
+        # Metadata only: Spark's scan-time pruning (partition/min-max/
+        # dictionary) subsumes a B+tree for OLAP; the catalog entry keeps
+        # the reference's DDL surface (utility.py:11-49) queryable.
+        self.catalog["indexes"][idx] = {
+            "table": table,
+            "columns": want,
+            "method": (method or "btree").lower(),
+        }
+        self._save_catalog()
+        return Result()
+
+    def _drop_index(self, stmt: str) -> Result:
+        m = re.match(r"drop\s+index\s+(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse DROP INDEX: {stmt!r}")
+        idx = m.group(1)
+        if idx not in self.catalog["indexes"]:
+            raise EngineError(f"index {idx} does not exist")
+        del self.catalog["indexes"][idx]
+        self._save_catalog()
+        return Result()
+
+    def _insert(self, stmt: str) -> Result:
+        m = re.match(
+            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(values\s*(.*)|select\s+.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse INSERT: {stmt!r}")
+        name = m.group(1)
+        collist = (
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        )
+        tail = m.group(4)
+        schema = self._schema(name)
+        target_cols = [f.name for f in schema.fields]
+        if re.match(r"values", tail, re.I):
+            values_sql = "SELECT * FROM " + tail  # VALUES (...) , (...)
+            src = self.spark.sql(values_sql)
+        else:
+            src = self.spark.sql(tail)  # INSERT ... SELECT
+        cols = collist or target_cols
+        if len(src.columns) != len(cols):
+            raise EngineError(
+                f"INSERT column count mismatch: {len(src.columns)} vs {len(cols)}"
+            )
+        src = src.toDF(*cols)
+        # missing columns → NULL, then order + cast to the table schema
+        for f in schema.fields:
+            if f.name not in cols:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        src = self._enforce_constraints(name, src)
+        n = src.count()
+        existing = self.spark.read.parquet(self._table_dir(name))
+        self._overwrite(name, existing.unionByName(src))
+        return Result(effect_rows=n)
+
+    def _delete(self, stmt: str) -> Result:
+        m = re.match(
+            r"delete\s+from\s+(\w+)(?:\s+where\s+(.*))?$", stmt, re.I | re.S
+        )
+        if not m:
+            raise EngineError(f"cannot parse DELETE: {stmt!r}")
+        name, cond = m.group(1), m.group(2)
+        self._meta(name)
+        df = self.spark.read.parquet(self._table_dir(name))
+        before = df.count()
+        kept = (
+            df.filter(~F.coalesce(F.expr(cond), F.lit(False))) if cond else df.limit(0)
+        )
+        after = self._overwrite(name, kept)
+        return Result(effect_rows=before - after)
+
+    def _update(self, stmt: str) -> Result:
+        m = re.match(
+            r"update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse UPDATE: {stmt!r}")
+        name, setlist, cond = m.groups()
+        self._meta(name)
+        df = self.spark.read.parquet(self._table_dir(name))
+        condition = F.expr(cond) if cond else F.lit(True)
+        n_hit = df.filter(condition).count()
+        schema = self._schema(name)
+        for assign in _split_top_level(setlist):
+            col, _, val = assign.partition("=")
+            col = col.strip()
+            target = next(
+                (f for f in schema.fields if f.name == col), None
+            )
+            if target is None:
+                raise EngineError(f"column {col} not in {name}")
+            df = df.withColumn(
+                col,
+                F.when(condition, F.expr(val.strip()).cast(target.dataType))
+                .otherwise(F.col(col)),
+            )
+        df = self._enforce_constraints(name, df)
+        self._overwrite(name, df)
+        return Result(effect_rows=n_hit)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parens/quotes (column def lists,
+    SET lists)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]

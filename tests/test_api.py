@@ -1,0 +1,135 @@
+"""End-to-end SQL surface tests for AnalyticsEngine — the translation of
+the reference's e2e smoke script (tests/unit/test_execution.py:19-60:
+DDL, inserts, deletes, updates, filters, group/having, joins, index
+create/use, explain) with actual result assertions the reference lacks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from andb_spark.api import AnalyticsEngine, EngineError
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+
+
+def test_reference_e2e_script(engine):
+    """Mirrors test_execution.py:19-60 statement-for-statement (t1/t2
+    fixtures from FIXTURES.md §A), asserting results."""
+    e = engine.execute
+    e("create table t1 (a int not null, b text)")
+    assert e("insert into t1 values (1, 'aaa'), (2, 'bbb'), (3, null)").effect_rows == 3
+    e("insert into t1 values (4, 'ccc'), (4, 'ccc'), (4, 'ccc')")
+    # NOT NULL enforcement (relation.py:122-123 behavior)
+    with pytest.raises(EngineError, match="NOT NULL"):
+        e("insert into t1 values (null, 'x')")
+
+    r = e("select a, b from t1 where a > 2 order by a")
+    assert r.rows == [(3, None), (4, "ccc"), (4, "ccc"), (4, "ccc")]
+
+    r = e("select a, count(1) as n from t1 group by a having count(1) > 1 order by a")
+    assert r.rows == [(4, 3)]
+
+    e("create table t2 (a int, city text)")
+    e(
+        "insert into t2 values (1, 'beijing'), (2, 'shanghai'),"
+        " (3, 'guangdong'), (4, 'shenzhen')"
+    )
+    # implicit cross join + equi join (test_execution.py:48-55)
+    r = e("select count(1) as n from t1, t2")
+    assert r.rows == [(6 * 4,)]
+    r = e(
+        "select t1.a, t2.city from t1 join t2 on t1.a = t2.a"
+        " where t1.b is not null order by t1.a, t2.city"
+    )
+    assert r.rows[0] == (1, "beijing") and len(r.rows) == 5
+
+    # UPDATE with and without WHERE (update.py semantics)
+    assert e("update t2 set city = 'bj' where a = 1").effect_rows == 1
+    assert e("select city from t2 where a = 1").rows == [("bj",)]
+    # DELETE with WHERE then full DELETE (delete.py semantics)
+    assert e("delete from t1 where a = 4").effect_rows == 3
+    assert e("select count(1) as n from t1").rows == [(3,)]
+    assert e("delete from t1").effect_rows == 3
+
+    # index DDL is metadata with validation (utility.py:24-40)
+    e("create index idx1 on t2 (a)")
+    with pytest.raises(EngineError, match="not in"):
+        e("create index idx2 on t2 (nope)")
+    e("drop index idx1")
+    with pytest.raises(EngineError):
+        e("drop index idx1")
+
+    e("drop table t1")
+    with pytest.raises(EngineError):
+        e("select * from t1")
+
+    e("checkpoint")  # no-op parity
+
+
+def test_explain_two_plan_shape(engine):
+    engine.execute("create table tx (a int, b double)")
+    engine.execute("insert into tx values (1, 1.5), (2, 2.5)")
+    r = engine.execute("explain select a, sum(b) as s from tx group by a")
+    assert r.columns == ["Logical Plan", "Physical Plan"]
+    logical, physical = r.rows[0]
+    assert "Aggregate" in logical
+    assert "HashAggregate" in physical or "SortAggregate" in physical
+
+
+def test_varchar_truncation_and_types(engine):
+    e = engine.execute
+    e("create table tv (v varchar(3), f real, d double, bg bigint, vec vector)")
+    e("insert into tv values ('abcdef', 1.5, 2.5, 9000000000, array(1.0, 2.0))")
+    r = e("select v, bg, vec from tv")
+    assert r.rows == [("abc", 9000000000, [1.0, 2.0])]
+    # vector works with the registered cosine functions
+    r = e("select round(cosine_similarity(vec, vec), 6) as cs from tv")
+    assert r.rows == [(1.0,)]
+
+
+def test_insert_select_and_column_list(engine):
+    e = engine.execute
+    e("create table src (a int, b text)")
+    e("insert into src values (1, 'x'), (2, 'y')")
+    e("create table dst (a int, b text)")
+    assert e("insert into dst select a, b from src where a > 1").effect_rows == 1
+    # column-list insert fills missing with NULL
+    assert e("insert into dst (a) values (99)").effect_rows == 1
+    r = e("select a, b from dst order by a")
+    assert r.rows == [(2, "y"), (99, None)]
+
+
+def test_update_expression_values(engine):
+    """Beyond the reference (constant-only UPDATE, transformations.py:537):
+    expression values work because Spark evaluates the SET expression."""
+    e = engine.execute
+    e("create table tu (a int, b int)")
+    e("insert into tu values (1, 10), (2, 20)")
+    e("update tu set b = b * 2 + a where a = 2")
+    assert e("select b from tu order by a").rows == [(10,), (42,)]
+
+
+def test_durability_across_engine_restart(engine, spark, tmp_path):
+    engine.execute("create table keep (a int)")
+    engine.execute("insert into keep values (7)")
+    fresh = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    assert fresh.execute("select a from keep").rows == [(7,)]
+
+
+def test_select_over_attached_fixtures(spark, tmp_path, sf_dir):
+    eng = AnalyticsEngine(str(tmp_path / "wh2"), spark=spark, attach_dir=sf_dir)
+    r = eng.execute(
+        "select l_returnflag, count(1) as n from lineitem"
+        " where l_quantity > 30 group by l_returnflag order by l_returnflag"
+    )
+    assert len(r.rows) >= 2
+    assert r.columns == ["l_returnflag", "n"]
+
+
+def test_unsupported_statement_errors(engine):
+    with pytest.raises(EngineError, match="unsupported"):
+        engine.execute("vacuum everything")
