@@ -58,20 +58,28 @@ def avg_token_length(text: Column | str) -> Column:
     return total / F.size(toks).cast("double")
 
 
-def quality_score(text: Column | str) -> Column:
-    """Deterministic [0,1] quality heuristic: rewards stopword presence
-    (natural language), penalizes punctuation soup and degenerate token
-    lengths. Same closed form in the oracle SQL."""
-    t = _to_col(text)
-    sw = stopword_ratio(t)
-    pr = punct_ratio(t)
-    awl = avg_token_length(t)
-    score = (
+def quality_from_measures(sw: Column, pr: Column, awl: Column) -> Column:
+    """Quality closed form over precomputed measures. Keeping this as a
+    function of *columns* lets callers stage the expensive tokenizing
+    measures in one projection and reuse them — Catalyst's
+    CollapseProject will not re-inline a non-trivial alias referenced
+    more than once, so each document is tokenized once, not once per
+    derived output column."""
+    return (
         F.least(sw * F.lit(4.0), F.lit(1.0)) * F.lit(0.5)
         + (F.lit(1.0) - F.least(pr * F.lit(10.0), F.lit(1.0))) * F.lit(0.3)
         + F.when((awl >= 3.0) & (awl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return score
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards stopword presence
+    (natural language), penalizes punctuation soup and degenerate token
+    lengths. Same closed form in the oracle SQL. Prefer staging the
+    three measures and calling quality_from_measures when also emitting
+    the measures themselves."""
+    t = _to_col(text)
+    return quality_from_measures(stopword_ratio(t), punct_ratio(t), avg_token_length(t))
 
 
 def lang_id(text: Column | str) -> Column:

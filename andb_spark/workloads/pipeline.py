@@ -78,28 +78,52 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- text analysis --
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the token array once; the three measures derive from the
+    # staged column (tokenize-once — a single regex split per document
+    # instead of one per output column).
     d = _docs(spark, sf_dir)
-    toks = TX.tokens(F.col("text"))
+    staged = d.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
     return (
-        d.select(
+        staged.select(
             "doc_id",
             F.size(toks).cast("bigint").alias("n_tokens"),
             F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
-            F.round(TX.avg_token_length("text"), 6).alias("avg_tok_len"),
+            F.round(total_len / F.size(toks).cast("double"), 6).alias(
+                "avg_tok_len"
+            ),
         )
         .orderBy("doc_id")
     )
 
 
 def t_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the three tokenizing measures in one projection, then derive
+    # lang/quality from the staged columns. Without staging, the four
+    # output columns each inline the tokenize+filter lambdas (~5 regex
+    # splits per document); with it, each measure runs once.
     d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("_sw"),
+        TX.punct_ratio("text").alias("_pr"),
+        TX.avg_token_length("text").alias("_awl"),
+    )
+    sw, pr, awl = F.col("_sw"), F.col("_pr"), F.col("_awl")
     return (
-        d.select(
+        staged.select(
             "doc_id",
-            TX.lang_id("text").alias("lang_pred"),
-            F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-            F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
-            F.round(TX.quality_score("text"), 6).alias("quality"),
+            F.when(sw >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias(
+                "lang_pred"
+            ),
+            F.round(sw, 6).alias("stopword_ratio"),
+            F.round(pr, 6).alias("punct_ratio"),
+            F.round(TX.quality_from_measures(sw, pr, awl), 6).alias("quality"),
         )
         .orderBy("doc_id")
     )
