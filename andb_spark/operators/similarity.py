@@ -108,6 +108,53 @@ def ivf_assign(
     )
 
 
+def bucketed_near_dup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Embedding near-duplicate pairs with the quadratic term pruned by
+    clustering: vectors are IVF-assigned to centroids, pairs are scored
+    only within a cluster. The n² cross join becomes sum over clusters
+    of |cluster|² — with balanced clusters, a 1/n_centroids fraction of
+    the work, and the self-join shuffles on centroid_id instead of
+    replicating the table. Approximate by construction: a near-dup pair
+    split across two clusters is missed (the LSH/IVF recall trade)."""
+    assigned = embeddings.join(
+        ivf_assign(
+            embeddings, centroids, id_col, vec_col, centroid_id_col,
+            centroid_vec_col,
+        ).select(id_col, centroid_id_col),
+        id_col,
+    )
+    a = assigned.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = assigned.select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        a.join(b, centroid_id_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     centroids: DataFrame,

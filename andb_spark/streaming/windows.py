@@ -76,21 +76,13 @@ def session_agg(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
-def stream_events(
-    spark: SparkSession,
-    events_path: str,
-    transform,
-    watermark: str = "1 hour",
-    query_name: str = "andb_stream_out",
+def stream_source(
+    spark: SparkSession, events_path: str, watermark: str | None = "1 hour"
 ) -> DataFrame:
-    """Run `transform` as a real Structured Streaming query over the
-    parquet events source (finite fixture → runs to completion), return
-    the materialized result from the memory sink.
-
-    At scale the source would be Kafka and the sink a Delta table; the
-    transform and watermark are unchanged — that is the point of
-    Structured Streaming's unified batch/stream API.
-    """
+    """``readStream`` over the parquet events fixture, with event-time
+    watermark applied. At scale the source would be Kafka/Delta; every
+    transform downstream is unchanged — that is the point of Structured
+    Streaming's unified batch/stream API."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     # The file-stream source wants a directory; point it at the parent
@@ -106,10 +98,21 @@ def stream_events(
     # integer-divide to micros before watermarking.
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.withWatermark("ts", watermark)
-    out = transform(stream)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    return stream
+
+
+def run_stream(
+    out: DataFrame,
+    query_name: str = "andb_stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming DataFrame to completion on its finite source via
+    a memory sink; return the materialized result table."""
+    spark = out.sparkSession
     q = (
-        out.writeStream.outputMode("complete")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -119,3 +122,17 @@ def stream_events(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_events(
+    spark: SparkSession,
+    events_path: str,
+    transform,
+    watermark: str = "1 hour",
+    query_name: str = "andb_stream_out",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Source → transform → memory sink, run to completion (the finite
+    fixture terminates processAllAvailable)."""
+    out = transform(stream_source(spark, events_path, watermark))
+    return run_stream(out, query_name, output_mode)

@@ -12,12 +12,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from andb_spark.catalog import load_table, table_path
 from andb_spark.session import tune_for_session
+from andb_spark.streaming.stateful import stateful_user_stats
 from andb_spark.streaming.windows import (
+    run_stream,
     session_agg,
     sliding_agg,
     stream_events,
+    stream_source,
     tumbling_agg,
 )
 
@@ -56,11 +61,59 @@ def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def s_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user stats in explicit group state. The finite fixture arrives
+    in one micro-batch, so the emitted update per user IS the final
+    state — oracle-checkable against a batch GROUP BY."""
+    tune_for_session(spark)
+    out = stream_events(
+        spark,
+        table_path(sf_dir, "events"),
+        stateful_user_stats,
+        watermark="1 hour",
+        query_name="andb_stateful_user",
+        output_mode="update",
+    )
+    # If the source ever splits into several micro-batches, keep the
+    # last (cumulative) update per user: state is monotone in n_events.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): the events
+    stream unioned with itself (every event arrives exactly twice, the
+    at-least-once-delivery shape) deduped back to exactly-once on
+    event_id. State holds only ids younger than the watermark — bounded
+    on an unbounded stream."""
+    tune_for_session(spark)
+    path = table_path(sf_dir, "events")
+    s1 = stream_source(spark, path, watermark="1 hour")
+    s2 = stream_source(spark, path, watermark="1 hour")
+    deduped = s1.unionAll(s2).dropDuplicatesWithinWatermark(["event_id"])
+    out = run_stream(
+        deduped, query_name="andb_stream_dedup", output_mode="append"
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "s_tumbling": s_tumbling,
     "s_sliding": s_sliding,
     "s_session": s_session,
     "s_stream_tumbling": s_stream_tumbling,
+    "s_stateful_user": s_stateful_user,
+    "s_stream_dedup": s_stream_dedup,
 }
 
 _TUMBLING_SQL = """
@@ -70,6 +123,16 @@ _TUMBLING_SQL = """
 """
 
 ORACLES = {
+    "s_stateful_user": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               round(max(value), 2) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "s_stream_dedup": """
+        SELECT event_id, user_id, event_type, round(value, 6) AS value
+        FROM events ORDER BY event_id
+    """,
     "s_tumbling": _TUMBLING_SQL,
     "s_stream_tumbling": _TUMBLING_SQL,
     "s_sliding": """

@@ -68,11 +68,26 @@ def v_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, cents, q, k=5, nprobe=2)
 
 
+def v_cluster_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-bucketed pairwise — the
+    cross join pruned to within-cluster pairs (operators/similarity.py
+    bucketed_near_dup)."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return SIM.bucketed_near_dup(emb, cents, threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
 QUERIES = {
     "v_cosine_topk": v_cosine_topk,
     "v_pairwise_near_dup": v_pairwise_near_dup,
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
+    "v_cluster_near_dup": v_cluster_near_dup,
 }
 
 # Positional array expansion shared by the oracles.
@@ -134,6 +149,41 @@ ORACLES = {
                 PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rn
             FROM sims
         ) t WHERE rn = 1 ORDER BY vec_id
+    """,
+    "v_cluster_near_dup": f"""
+        WITH e AS ({_EXPAND}),
+        c AS (SELECT vec_id AS cid, i, v FROM e WHERE vec_id < 16),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT e.vec_id, c.cid, sum(e.v * c.v) AS dp
+            FROM e JOIN c USING (i) GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.vec_id, d.cid,
+                   round(d.dp / (ne.nrm * nc.nrm), 6) AS cos_sim
+            FROM dots d JOIN norms ne ON ne.vec_id = d.vec_id
+                        JOIN norms nc ON nc.vec_id = d.cid
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rn
+                FROM sims
+            ) t WHERE rn = 1
+        ),
+        pair_dots AS (
+            SELECT aa.vec_id AS id_a, bb.vec_id AS id_b, sum(ea.v * eb.v) AS dp
+            FROM assigned aa JOIN assigned bb
+                 ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+                 JOIN e ea ON ea.vec_id = aa.vec_id
+                 JOIN e eb ON eb.vec_id = bb.vec_id AND eb.i = ea.i
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM pair_dots JOIN norms na ON na.vec_id = id_a
+                       JOIN norms nb ON nb.vec_id = id_b
+        WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+        ORDER BY id_a, id_b
     """,
     "v_ivf_topk": f"""
         WITH e AS ({_EXPAND}),

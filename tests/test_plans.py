@@ -1,0 +1,104 @@
+"""Physical-plan property tests — the scale contract.
+
+Correctness is the oracle's job (tools/compare.py); these tests pin the
+*plan shapes* that make the same queries viable at 100 TB on a real
+cluster: filters pushed to the parquet scan, columns pruned, small dims
+broadcast instead of shuffling the fact side, top-k without a full
+sort, and no row-at-a-time Python in any hot path.
+
+They read the executed plan AFTER running the query so AQE's final
+(re-planned) strategy is what's asserted, not the static guess.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from andb_spark.workloads import all_queries
+
+QUERIES = all_queries()
+
+
+def final_plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # drive AQE to its final plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    plan = final_plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = final_plan(spark, sf_dir, "q6_forecast_revenue")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan}"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # 11-column table, 4-column query: the scan must not read the rest.
+    assert read_cols == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }, read_cols
+
+
+def test_q5_broadcasts_dimension_joins(spark, sf_dir):
+    plan = final_plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # The star chain must not sort-merge the tiny dims.
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+
+
+def test_q3_topk_avoids_full_sort(spark, sf_dir):
+    plan = final_plan(spark, sf_dir, "q3_top_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregates (partial + final) around the
+    exchange, so the shuffle carries group rows, not raw rows."""
+    plan = final_plan(spark, sf_dir, "q1_pricing_summary")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark, sf_dir):
+    plan = final_plan(spark, sf_dir, "v_ivf_assign")
+    assert "Broadcast" in plan, plan
+
+
+def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
+    """Every relational/pipeline/vector query must stay JVM-side:
+    BatchEvalPython (row-at-a-time Python UDF) is banned. ArrowEvalPython
+    / mapInPandas appear only in the explicitly-multimodal queries."""
+    from andb_spark.workloads import pipeline, relational, vectors
+
+    allowed_pandas = {"m_image_meta"}
+    names = (
+        list(relational.QUERIES) + list(pipeline.QUERIES) + list(vectors.QUERIES)
+    )
+    offenders = []
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if name not in allowed_pandas and (
+            "ArrowEvalPython" in plan or "MapInPandas" in plan
+        ):
+            offenders.append((name, "pandas-path"))
+    assert not offenders, offenders
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is union+window — it must shuffle once on the
+    partition key, never produce a cartesian/range join explosion."""
+    plan = final_plan(spark, sf_dir, "a_asof_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
