@@ -46,3 +46,35 @@ def register_all(spark: SparkSession) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
             f"RETURNS DOUBLE RETURN {body}"
         )
+
+
+def register_udf(
+    spark: SparkSession,
+    name: str,
+    fn,
+    return_type: str = "string",
+    vectorized: bool = True,
+):
+    """User-defined function registration — the surface the reference
+    declares but never implemented (FunctionKinds.USER_DEFINED='u',
+    andb/catalog/function.py:16; lookup raises NotImplementedError,
+    function.py:111-121). After registration the function is callable
+    from both SQL and the DataFrame API.
+
+    ``vectorized=True`` registers an Arrow-batched pandas UDF
+    (``fn(pd.Series, ...) -> pd.Series``) — the only Python-function
+    shape acceptable in a hot path at scale. ``vectorized=False``
+    registers a row-at-a-time UDF (``fn(*scalars) -> scalar``) for
+    convenience parity with the reference's per-tuple ``perform_function``
+    (function.py:123-136); its plan shows BatchEvalPython and should
+    never sit under a 100 TB scan."""
+    if vectorized:
+        from pyspark.sql.functions import pandas_udf
+
+        wrapped = pandas_udf(return_type)(fn)
+    else:
+        from pyspark.sql.functions import udf
+
+        wrapped = udf(fn, return_type)
+    spark.udf.register(name, wrapped)
+    return wrapped

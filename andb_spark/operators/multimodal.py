@@ -81,3 +81,60 @@ def extract_image_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return binary_df.mapInPandas(_extract, schema=IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = IMAGE_META_SCHEMA + ", new_width int, new_height int"
+
+
+def resize_images(meta_df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage: aspect-preserving clamp of the longer side to
+    ``max_side`` (no-op when already small enough). A real implementation
+    would transform the payload through a codec; the stub computes the
+    target geometry — which is the part a pipeline plans storage and
+    batch shapes around — over the same mapInPandas plumbing."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            long_side = pdf[["width", "height"]].max(axis=1)
+            scale = (max_side / long_side).clip(upper=1.0)
+            out = pdf.copy()
+            # floor via int-cast, matching the oracle's integer math
+            out["new_width"] = (pdf["width"] * scale).astype(int)
+            out["new_height"] = (pdf["height"] * scale).astype(int)
+            yield out
+
+    return meta_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts double, frame_checksum string"
+
+
+def sample_frames(binary_df: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video payloads: one input row fans out
+    to up to ``max_frames`` evenly-spaced frame rows (the 1→N batch
+    shape that distinguishes this stage from per-row decode). Duration
+    and frame checksums are deterministic digest fakes; a real decoder
+    swaps in container demux + keyframe seek with the same schema."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts": [], "frame_checksum": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                d = hashlib.md5(data).digest()
+                duration = 1 + d[5] % 60  # fake seconds
+                n = min(max_frames, duration)
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts"].append(round(i * duration / n, 6))
+                    rows["frame_checksum"].append(
+                        hashlib.md5(data + b"#%d" % i).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_sample, schema=FRAME_SCHEMA)

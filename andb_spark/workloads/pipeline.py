@@ -16,7 +16,12 @@ from andb_spark.catalog import load_table
 from andb_spark.functions import text as TX
 from andb_spark.operators import dedup as DD
 from andb_spark.operators.asof import asof_join
-from andb_spark.operators.multimodal import binarize, extract_image_meta
+from andb_spark.operators.multimodal import (
+    binarize,
+    extract_image_meta,
+    resize_images,
+    sample_frames,
+)
 from andb_spark.session import tune_for_session
 
 # Shared DuckDB SQL fragments (inlined into oracles below).
@@ -198,6 +203,24 @@ def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained mapInPandas stages: decode → resize (both stub-backed,
+    both real Arrow plumbing)."""
+    d = _docs(spark, sf_dir)
+    meta = extract_image_meta(binarize(d, "text", "doc_id"), fake=True)
+    return resize_images(meta, max_side=256).select(
+        "doc_id", "width", "height", "new_width", "new_height"
+    ).orderBy("doc_id")
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over binary payloads (mapInPandas fan-out)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return sample_frames(binarize(d, "text", "doc_id"), max_frames=4).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 QUERIES = {
     "d_exact_dup_groups": d_exact_dup_groups,
     "d_exact_dedup": d_exact_dedup,
@@ -212,6 +235,8 @@ QUERIES = {
     "a_asof_join": a_asof_join,
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
+    "m_resize": m_resize,
+    "m_frame_sample": m_frame_sample,
 }
 
 
@@ -398,5 +423,38 @@ ORACLES = {
                CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
                CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
         FROM h ORDER BY doc_id
+    """,
+    "m_resize": f"""
+        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        dims AS (
+            SELECT doc_id,
+                   CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
+                   CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
+            FROM h
+        )
+        SELECT doc_id, width, height,
+               CAST(floor(width * least(256.0 / greatest(width, height), 1.0))
+                    AS INT) AS new_width,
+               CAST(floor(height * least(256.0 / greatest(width, height), 1.0))
+                    AS INT) AS new_height
+        FROM dims ORDER BY doc_id
+    """,
+    "m_frame_sample": """
+        WITH h AS (
+            SELECT doc_id, text, md5(text) AS hh FROM documents WHERE doc_id < 200
+        ),
+        d AS (
+            SELECT doc_id, text,
+                   1 + ((strpos('0123456789abcdef', substr(hh, 11, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hh, 12, 1)) - 1)) % 60
+                       AS duration
+            FROM h
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               round(i * duration * 1.0 / least(4, duration), 6) AS frame_ts,
+               md5(text || '#' || CAST(i AS VARCHAR)) AS frame_checksum
+        FROM d, generate_series(0, 3) s(i)
+        WHERE i < least(4, duration)
+        ORDER BY doc_id, frame_idx
     """,
 }

@@ -28,6 +28,10 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_type_revenue_ratio",
+    "q18_large_orders",
     "q_window_funcs",
     "q_topk_per_group",
     "d_exact_dedup",

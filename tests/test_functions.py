@@ -72,3 +72,25 @@ def test_fingerprint_order_insensitive(spark):
     fps = {r["i"]: r["fp"] for r in df.select("i", TX.fingerprint("t").alias("fp")).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_register_udf_vectorized_and_row(spark):
+    import pandas as pd
+
+    from andb_spark.functions.register import register_udf
+
+    register_udf(
+        spark, "t_double_it", lambda s: s * 2.0, "double", vectorized=True
+    )
+    register_udf(
+        spark,
+        "t_shout",
+        lambda s: (s or "").upper() + "!",
+        "string",
+        vectorized=False,
+    )
+    row = spark.sql(
+        "SELECT t_double_it(CAST(21 AS DOUBLE)) AS d, t_shout('hey') AS s"
+    ).first()
+    assert row["d"] == 42.0
+    assert row["s"] == "HEY!"
