@@ -201,8 +201,14 @@ class AnalyticsEngine:
         stmt = sql.strip().rstrip(";").strip()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
-            if head == "CREATE" and re.match(r"create\s+table", stmt, re.I):
+            if head == "CREATE" and re.match(
+                r"create\s+table\s+\w+\s+as\s+select", stmt, re.I
+            ):
+                r = self._create_table_as(stmt)
+            elif head == "CREATE" and re.match(r"create\s+table", stmt, re.I):
                 r = self._create_table(stmt)
+            elif head == "ALTER":
+                r = self._alter_table(stmt)
             elif head == "CREATE" and re.match(r"create\s+index", stmt, re.I):
                 r = self._create_index(stmt)
             elif head == "DROP" and re.match(r"drop\s+table", stmt, re.I):
@@ -281,6 +287,81 @@ class AnalyticsEngine:
         self._save_catalog()
         empty = self.spark.createDataFrame([], self._schema(name))
         self._overwrite(name, empty)
+        return Result()
+
+    def _create_table_as(self, stmt: str) -> Result:
+        """CTAS — schema inferred from the SELECT (an extension; the
+        reference has no CTAS and no schema inference anywhere)."""
+        m = re.match(
+            r"create\s+table\s+(\w+)\s+as\s+(select\s+.*)$", stmt, re.I | re.S
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE TABLE AS: {stmt!r}")
+        name, query = m.groups()
+        if name in self.catalog["tables"]:
+            raise EngineError(f"table {name} already exists")
+        src = self.spark.sql(query)
+        type_names = {
+            "int": "int", "bigint": "bigint", "float": "real",
+            "double": "double", "boolean": "boolean", "string": "text",
+            "timestamp": "timestamp", "date": "date",
+            "array<float>": "vector",
+        }
+        columns = []
+        for f_ in src.schema.fields:
+            tname = type_names.get(f_.dataType.simpleString())
+            if tname is None:
+                raise EngineError(
+                    f"CTAS column {f_.name} has unsupported type "
+                    f"{f_.dataType.simpleString()}"
+                )
+            columns.append({"name": f_.name, "type": tname, "notnull": False})
+        self.catalog["tables"][name] = {"columns": columns}
+        self._save_catalog()
+        n = self._overwrite(name, src)
+        return Result(effect_rows=n)
+
+    def _alter_table(self, stmt: str) -> Result:
+        """ALTER TABLE — parsed-only in the reference (parser_.py:98-101,
+        no transformation). Supports ADD COLUMN, DROP COLUMN, RENAME
+        COLUMN over the managed parquet (schema change = rewrite)."""
+        m = re.match(
+            r"alter\s+table\s+(\w+)\s+"
+            r"(?:add\s+column\s+(\w+)\s+([\w() ]+?)"
+            r"|drop\s+column\s+(\w+)"
+            r"|rename\s+column\s+(\w+)\s+to\s+(\w+))\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse ALTER TABLE: {stmt!r}")
+        name, add_col, add_type, drop_col, ren_from, ren_to = m.groups()
+        meta = self._meta(name)
+        cols = meta["columns"]
+        df = self.spark.read.parquet(self._table_dir(name))
+        if add_col:
+            if any(c["name"] == add_col for c in cols):
+                raise EngineError(f"column {add_col} already exists in {name}")
+            dt, _ = _parse_type(add_type)
+            cols.append(
+                {"name": add_col, "type": add_type.strip().lower(), "notnull": False}
+            )
+            df = df.withColumn(add_col, F.lit(None).cast(dt))
+        elif drop_col:
+            if not any(c["name"] == drop_col for c in cols):
+                raise EngineError(f"column {drop_col} not in {name}")
+            meta["columns"] = [c for c in cols if c["name"] != drop_col]
+            df = df.drop(drop_col)
+        else:
+            target = next((c for c in cols if c["name"] == ren_from), None)
+            if target is None:
+                raise EngineError(f"column {ren_from} not in {name}")
+            if any(c["name"] == ren_to for c in cols):
+                raise EngineError(f"column {ren_to} already exists in {name}")
+            target["name"] = ren_to
+            df = df.withColumnRenamed(ren_from, ren_to)
+        self._save_catalog()
+        self._overwrite(name, df)
         return Result()
 
     def _drop_table(self, stmt: str) -> Result:

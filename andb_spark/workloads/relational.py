@@ -657,8 +657,31 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_function_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function scan (reference FunctionScan is a stub `pass`,
+    physical/select.py:454-455): posexplode of a computed array —
+    one input row fans out to one row per token with its ordinal."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def q_select_no_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT without FROM — parses in the reference but the planner
+    asserts >=1 scan (transformations.py:98)."""
+    tune_for_session(spark)
+    return spark.sql(
+        "SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith"
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q_function_scan": q_function_scan,
+    "q_select_no_from": q_select_no_from,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_type_revenue_ratio": q14_type_revenue_ratio,
@@ -700,6 +723,21 @@ QUERIES = {
 
 
 ORACLES = {
+    "q_function_scan": """
+        SELECT doc_id,
+               CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+               unnest(w) AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents WHERE doc_id < 50
+        )
+        ORDER BY doc_id, pos
+    """,
+    "q_select_no_from": """
+        SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem

@@ -133,3 +133,28 @@ def test_select_over_attached_fixtures(spark, tmp_path, sf_dir):
 def test_unsupported_statement_errors(engine):
     with pytest.raises(EngineError, match="unsupported"):
         engine.execute("vacuum everything")
+
+
+def test_ctas_and_alter_table(engine):
+    e = engine.execute
+    e("create table base (a int, b text)")
+    e("insert into base values (1, 'x'), (2, 'y'), (3, 'z')")
+    r = e("create table derived as select a, b from base where a >= 2")
+    assert r.effect_rows == 2
+
+    e("alter table derived add column score double")
+    assert e("select a, b, score from derived order by a").rows == [
+        (2, "y", None),
+        (3, "z", None),
+    ]
+    e("alter table derived rename column b to label")
+    assert e("select label from derived order by a").rows == [("y",), ("z",)]
+    e("alter table derived drop column score")
+    assert e("select * from derived order by a").columns == ["a", "label"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(EngineError, match="already exists"):
+        e("alter table derived add column a int")
+    with _pytest.raises(EngineError, match="not in"):
+        e("alter table derived drop column nope")

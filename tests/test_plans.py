@@ -79,7 +79,7 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
     / mapInPandas appear only in the explicitly-multimodal queries."""
     from andb_spark.workloads import pipeline, relational, vectors
 
-    allowed_pandas = {"m_image_meta"}
+    allowed_pandas = {"m_image_meta", "m_resize", "m_frame_sample"}
     names = (
         list(relational.QUERIES) + list(pipeline.QUERIES) + list(vectors.QUERIES)
     )
