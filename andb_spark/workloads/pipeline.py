@@ -158,6 +158,42 @@ def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution range join: for each purchase, the same-user events
+    inside its trailing 30-minute window, counted per purchase. Executed
+    as a bucketed interval join (operators/rangejoin.py) — equi-join on
+    (30-min bucket, user), never a nested-loop theta join. Purchases
+    with no prior-window events are absent (inner-join semantics,
+    mirrored by the oracle)."""
+    from andb_spark.operators.rangejoin import bucketed_interval_join
+
+    tune_for_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    others = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = bucketed_interval_join(
+        others, purchases, "ts", "w_start", "w_end",
+        keys=("user_id",), bucket_seconds=1800,
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_events"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("n_clicks"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 # ----------------------------------------------------------- as-of join --
 def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event joined to the user's most recent order as of the event
@@ -233,6 +269,7 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_source_stats": t_source_stats,
     "a_asof_join": a_asof_join,
+    "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
     "m_resize": m_resize,
@@ -400,6 +437,25 @@ ORACLES = {
             ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
         ) ref ON TRUE
         ORDER BY e.event_id
+    """,
+    "a_range_join": """
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id,
+                   CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS w_start,
+                   CAST(ts AS TIMESTAMP) AS w_end
+            FROM events WHERE event_type = 'purchase'
+        ),
+        o AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type <> 'purchase'
+        )
+        SELECT p.purchase_id, p.user_id,
+               count(*) AS n_prior_events,
+               sum(CASE WHEN o.event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_clicks
+        FROM p JOIN o ON o.user_id = p.user_id
+                     AND o.ts BETWEEN p.w_start AND p.w_end
+        GROUP BY 1, 2 ORDER BY purchase_id
     """,
     "m_binary_meta": """
         SELECT doc_id,

@@ -657,6 +657,33 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation on a pathologically hot key —
+    l_returnflag has 3 distinct values across the whole fact table, so a
+    naive single-phase shuffle lands everything on 3 reducers. The
+    (key, salt) phase spreads each flag over 16 reducers first
+    (operators/skew.py). Result identical to a plain GROUP BY."""
+    from andb_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        salt_cols=["l_orderkey", "l_linenumber"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "qty": F.sum("l_quantity"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        final_aggs={
+            "n": F.sum("n"),
+            "qty": F.round(F.sum("qty"), 2),
+            "max_price": F.round(F.max("max_price"), 2),
+        },
+        n_salts=16,
+    ).orderBy("l_returnflag")
+
+
 def q_function_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-function scan (reference FunctionScan is a stub `pass`,
     physical/select.py:454-455): posexplode of a computed array —
@@ -682,6 +709,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_function_scan": q_function_scan,
     "q_select_no_from": q_select_no_from,
+    "q_skew_salted_agg": q_skew_salted_agg,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_type_revenue_ratio": q14_type_revenue_ratio,
@@ -737,6 +765,12 @@ ORACLES = {
     """,
     "q_select_no_from": """
         SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
+    "q_skew_salted_agg": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q6_forecast_revenue": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -170,3 +170,75 @@ def test_multimodal_stub_and_fake_decode(spark):
     # deterministic: same bytes → same metadata on re-run
     again = extract_image_meta(binarize(df, "text", "doc_id"), fake=True).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from andb_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id int, k string"
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 9.9)], "k string, weight double"
+    )
+    got = (
+        salted_join(fact, dim, "k", n_salts=8)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("weight"), 2).alias("w"))
+        .orderBy("k")
+        .collect()
+    )
+    want = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("weight"), 2).alias("w"))
+        .orderBy("k")
+        .collect()
+    )
+    assert got == want
+
+
+def test_bucketed_interval_join_matches_theta_join(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from andb_spark.operators.rangejoin import bucketed_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid int, uid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                j,
+                j % 3,
+                base + dt.timedelta(minutes=50 * j),
+                base + dt.timedelta(minutes=50 * j + 40),
+            )
+            for j in range(20)
+        ],
+        "iid int, uid int, w_start timestamp, w_end timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_interval_join(
+            points, intervals, "ts", "w_start", "w_end",
+            keys=("uid",), bucket_seconds=600,
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.uid") == F.col("i.uid"))
+            & F.col("p.ts").between(F.col("i.w_start"), F.col("i.w_end")),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -96,6 +96,15 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bucketed interval join must plan as a hash equi-join on
+    (bucket, key) — never the nested-loop theta join Spark gives a raw
+    BETWEEN predicate."""
+    plan = final_plan(spark, sf_dir, "a_range_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The as-of join is union+window — it must shuffle once on the
     partition key, never produce a cartesian/range join explosion."""
