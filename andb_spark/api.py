@@ -238,7 +238,12 @@ class AnalyticsEngine:
         return r
 
     # ------------------------------------------------------- statements --
+    _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)
+
     def _select(self, stmt: str) -> Result:
+        # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
+        # 138-148) → standard `LIMIT n OFFSET off`.
+        stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
         df = self.spark.sql(stmt)
         rows = [tuple(r) for r in df.collect()]
         return Result(

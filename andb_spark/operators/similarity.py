@@ -108,6 +108,80 @@ def ivf_assign(
     )
 
 
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    iterative-algorithm pattern (genuinely non-SQL-expressible; the
+    driver applies its rows-only check).
+
+    Initialization: the k lowest-id vectors (no RNG → reproducible).
+    Per iteration: broadcast the k current centroids (k × dim doubles —
+    constant size, the ONLY driver-side data), assign every vector to
+    its nearest centroid by cosine, recompute centroids as arithmetic
+    means via one groupBy. The corpus is scanned once per iteration and
+    never collected; this is exactly MLlib's KMeans dataflow shape.
+
+    Returns (cluster_id, n_members, avg_sim): per-cluster size and mean
+    cosine similarity to the final centroid, rounded for stability."""
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(
+            embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+        )
+    ]
+
+    def centroid_df():
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            f"centroid_id int, centroid_vec array<double>",
+        )
+
+    def assign():
+        return ivf_assign(
+            embeddings, F.broadcast(centroid_df()), id_col, vec_col
+        )
+
+    for _ in range(iterations):
+        assigned = assign().select(id_col, "centroid_id")
+        joined = embeddings.join(assigned, id_col)
+        # mean vector per cluster: positional explode + groupBy(cid, pos)
+        exploded = joined.select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+        )
+        means = (
+            exploded.groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
+            )
+            .collect()
+        )
+        cents = [
+            (r["centroid_id"], [float(x) for x in r["centroid_vec"]])
+            for r in sorted(means, key=lambda r: r["centroid_id"])
+        ]
+
+    final = assign()
+    return (
+        final.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("centroid_sim"), 6).alias("avg_sim"),
+        )
+        .withColumnRenamed("centroid_id", "cluster_id")
+        .orderBy("cluster_id")
+    )
+
+
 def bucketed_near_dup(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -82,12 +82,22 @@ def v_cluster_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (3 iterations, deterministic init) —
+    the iterative-algorithm category: genuinely non-SQL-expressible, so
+    there is deliberately no oracle entry (driver applies the rows-only
+    check). Correctness is unit-tested instead (tests/test_operators.py
+    asserts convergence invariants)."""
+    return SIM.kmeans(_emb(spark, sf_dir), k=8, iterations=3)
+
+
 QUERIES = {
     "v_cosine_topk": v_cosine_topk,
     "v_pairwise_near_dup": v_pairwise_near_dup,
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
     "v_cluster_near_dup": v_cluster_near_dup,
+    "v_kmeans": v_kmeans,
 }
 
 # Positional array expansion shared by the oracles.

@@ -158,3 +158,12 @@ def test_ctas_and_alter_table(engine):
         e("alter table derived add column a int")
     with _pytest.raises(EngineError, match="not in"):
         e("alter table derived drop column nope")
+
+
+def test_limit_offset_dialect(engine):
+    """AnDB's MySQL-style `LIMIT off,n` (parser_.py:138-148)."""
+    e = engine.execute
+    e("create table tl (a int)")
+    e("insert into tl values (1), (2), (3), (4), (5)")
+    assert e("select a from tl order by a limit 1, 2").rows == [(2,), (3,)]
+    assert e("select a from tl order by a limit 2").rows == [(1,), (2,)]

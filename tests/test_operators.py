@@ -242,3 +242,20 @@ def test_bucketed_interval_join_matches_theta_join(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    from andb_spark.catalog import load_table
+    from andb_spark.operators.similarity import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    rows = kmeans(emb, k=8, iterations=2).collect()
+    # every vector assigned exactly once; clusters labeled 0..7
+    assert sum(r["n_members"] for r in rows) == n_total
+    assert {r["cluster_id"] for r in rows} <= set(range(8))
+    # members are on average positively aligned with their centroid
+    assert all(r["avg_sim"] > 0 for r in rows)
+    # determinism: same input -> same result
+    rows2 = kmeans(emb, k=8, iterations=2).collect()
+    assert rows == rows2

@@ -90,8 +90,11 @@ def test_every_query_has_oracle():
     assert set(oracles) <= set(qs)
     missing = set(qs) - set(oracles)
     # Policy: every operator ships an oracle unless genuinely
-    # non-SQL-expressible; today none are exempt.
-    assert not missing
+    # non-SQL-expressible (iterative algorithms / custom stateful ops —
+    # the driver applies its weaker rows-only check to these, and unit
+    # tests cover their invariants instead).
+    exempt = {"v_kmeans"}
+    assert missing <= exempt, missing - exempt
 
 
 def test_entry_smoke(spark):

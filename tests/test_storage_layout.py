@@ -1,0 +1,86 @@
+"""Storage-layout scale tests: partitioned writes with partition
+pruning, and bucketed tables whose joins need no shuffle.
+
+At 100 TB the physical layout IS the index (SURVEY §2.1: the
+reference's B+tree maps to partition/file pruning here): a
+date-partitioned fact table turns time filters into directory pruning,
+and pre-bucketing co-located join keys removes the dominant shuffle
+from repeated fact-fact joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from andb_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "lineitem_by_month")
+    (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    one_month = back.filter(F.col("ship_month") == "1996-03").select(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = _plan(one_month)
+    # The month filter must prune at the directory level, not post-scan.
+    assert "PartitionFilters" in plan
+    assert "ship_month" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # and the pruned scan reads a fraction of the partitions
+    n_parts = back.select("ship_month").distinct().count()
+    assert n_parts > 12  # sanity: fixture spans years
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count
+    sort-merge-join with NO Exchange on either side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS o_bkt")
+    (
+        li.select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bkt")
+    )
+    (
+        o.select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("o_bkt")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("li_bkt")
+            .join(
+                spark.table("o_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
+    join_part = plan.split("SortMergeJoin", 1)[0]
+    assert "SortMergeJoin" in plan, plan
+    # no hash-repartitioning exchange feeds the join: bucket layout
+    # already co-locates both sides
+    assert "Exchange hashpartitioning" not in join_part, plan
