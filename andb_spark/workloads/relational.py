@@ -684,6 +684,24 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: HyperLogLog++ approximate distinct counts.
+    At 100 TB approx_count_distinct replaces the exact two-shuffle
+    distinct with a constant-memory mergeable sketch — the standard
+    cardinality path for dashboards. No oracle (DuckDB's HLL yields
+    different estimates); accuracy is unit-tested against the exact
+    count (tests/test_operators.py::test_approx_distinct_accuracy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_function_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-function scan (reference FunctionScan is a stub `pass`,
     physical/select.py:454-455): posexplode of a computed array —
@@ -710,6 +728,7 @@ QUERIES = {
     "q_function_scan": q_function_scan,
     "q_select_no_from": q_select_no_from,
     "q_skew_salted_agg": q_skew_salted_agg,
+    "q_approx_distinct": q_approx_distinct,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_type_revenue_ratio": q14_type_revenue_ratio,

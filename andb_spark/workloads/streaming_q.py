@@ -107,8 +107,29 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def s_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical window rollup (the 'continuous aggregate' /
+    hypertable-rollup pattern): the hourly tumbling aggregate re-rolled
+    to days. At scale the hourly layer is a materialized incremental
+    table; the daily layer reads it instead of raw events — 24× less
+    input, same math, which is what makes multi-resolution dashboards
+    affordable on an unbounded stream."""
+    hourly = tumbling_agg(_events(spark, sf_dir))  # window_start, event_type, n, total_value
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "window_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 QUERIES = {
     "s_tumbling": s_tumbling,
+    "s_daily_rollup": s_daily_rollup,
     "s_sliding": s_sliding,
     "s_session": s_session,
     "s_stream_tumbling": s_stream_tumbling,
@@ -123,6 +144,18 @@ _TUMBLING_SQL = """
 """
 
 ORACLES = {
+    "s_daily_rollup": """
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                       AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 2) AS tv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', window_start) AS TIMESTAMP) AS day,
+               event_type,
+               sum(n) AS n, round(sum(tv), 2) AS total_value
+        FROM hourly GROUP BY 1, 2 ORDER BY day, event_type
+    """,
     "s_stateful_user": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value,

@@ -1,0 +1,139 @@
+"""Property-based differential fuzzing: randomized filter/group/agg
+queries executed by BOTH Spark SQL and DuckDB over the same parquet
+fixture must agree.
+
+This is the randomized arm of the engine's oracle strategy (SURVEY §5 —
+the reference has no golden results at all; we differential-test
+everything). The named queries pin one point each in operator space;
+the fuzzer walks the cross product of predicates × group keys ×
+aggregates and catches semantic drift (null handling, type coercion,
+rounding, overflow) that hand-picked queries miss.
+
+Generated SQL sticks to the ANSI subset both engines parse identically,
+and floats are compared with a tiny absolute tolerance after rounding on
+both sides (different summation orders are legal).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from andb_spark.catalog import table_path
+
+NUM_PREDS = [
+    ("l_quantity", st.integers(1, 50)),
+    ("l_extendedprice", st.integers(1000, 90000)),
+    ("l_discount", st.sampled_from([0.02, 0.05, 0.08])),
+    ("l_suppkey", st.integers(1, 10)),
+]
+OPS = ["<", "<=", ">", ">=", "="]
+
+predicate = st.one_of(
+    st.tuples(st.sampled_from(NUM_PREDS), st.sampled_from(OPS)).flatmap(
+        lambda t: t[0][1].map(lambda v: f"{t[0][0]} {t[1]} {v}")
+    ),
+    st.sampled_from(
+        [
+            "l_returnflag IN ('A', 'N')",
+            "l_linestatus = 'F'",
+            "l_returnflag <> 'R'",
+            "l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-06-30'",
+            "l_quantity BETWEEN 10 AND 40",
+            "l_tax IS NOT NULL",
+        ]
+    ),
+)
+
+group_key = st.sampled_from(
+    [
+        "l_returnflag",
+        "l_linestatus",
+        "l_returnflag, l_linestatus",
+        "l_suppkey % 3",
+        "",  # global aggregate
+    ]
+)
+
+aggregates = st.lists(
+    st.sampled_from(
+        [
+            "count(*)",
+            "round(sum(l_quantity), 2)",
+            "round(min(l_extendedprice), 2)",
+            "round(max(l_extendedprice), 2)",
+            "round(avg(l_discount), 6)",
+            "count(distinct l_partkey)",
+            "round(sum(l_extendedprice * (1 - l_discount)), 2)",
+        ]
+    ),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+def _build_sql(preds: list[str], key: str, aggs: list[str]) -> str:
+    cols = [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+    select = (", ".join(filter(None, [key])) + ", " if key else "") + ", ".join(cols)
+    sql = f"SELECT {select} FROM lineitem"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if key:
+        sql += f" GROUP BY {key}"
+    return sql
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 4)
+    return v
+
+
+def _rowset(rows):
+    return sorted(
+        (tuple(_norm_cell(c) for c in r) for r in rows),
+        key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t),
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    spark.read.parquet(table_path(sf_dir, "lineitem")).createOrReplaceTempView(
+        "lineitem"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{table_path(sf_dir, 'lineitem')}')"
+    )
+    return spark, con
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    preds=st.lists(predicate, max_size=2, unique=True),
+    key=group_key,
+    aggs=aggregates,
+)
+def test_random_query_agrees_with_duckdb(engines, preds, key, aggs):
+    spark, con = engines
+    sql = _build_sql(preds, key, aggs)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert len(srows) == len(drows), sql
+    s_set, d_set = _rowset(srows), _rowset(drows)
+    for srow, drow in zip(s_set, d_set):
+        assert len(srow) == len(drow), sql
+        for a, b in zip(srow, drow):
+            if isinstance(a, float) or isinstance(b, float):
+                assert a is not None and b is not None and math.isclose(
+                    float(a), float(b), rel_tol=1e-9, abs_tol=1e-4
+                ), (sql, srow, drow)
+            else:
+                assert a == b, (sql, srow, drow)

@@ -259,3 +259,21 @@ def test_kmeans_invariants(spark, sf_dir):
     # determinism: same input -> same result
     rows2 = kmeans(emb, k=8, iterations=2).collect()
     assert rows == rows2
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from andb_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+            F.countDistinct("l_partkey").alias("x"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r["a"] - r["x"]) / r["x"] < 0.1, (r["a"], r["x"])
