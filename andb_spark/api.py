@@ -118,6 +118,12 @@ class AnalyticsEngine:
             if os.path.exists(self._catalog_path)
             else {"tables": {}, "indexes": {}}
         )
+        # Active transaction state (BEGIN..COMMIT/ROLLBACK): a snapshot
+        # of the catalog plus the version dirs created/superseded since
+        # BEGIN. Table data is versioned directories, so rollback is a
+        # pointer restore — no data copy (MVCC-lite; the analog of the
+        # reference's WAL-undo abort path, andb/storage/xact/undo.py).
+        self._txn: dict | None = None
         register_all(self.spark)
         # re-register managed tables from a previous session (durability
         # across engine restarts — the reference's catalog reload,
@@ -132,7 +138,14 @@ class AnalyticsEngine:
 
     # ------------------------------------------------------------- util --
     def _table_dir(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        """Current version directory of a managed table. Each write
+        creates a new version dir and moves the catalog pointer; old
+        versions are deleted at commit time (immediately when no
+        transaction is open)."""
+        meta = self.catalog["tables"].get(name)
+        version = meta.get("version", "") if meta else ""
+        base = os.path.join(self.warehouse, name)
+        return os.path.join(base, version) if version else base
 
     def _view(self, name: str) -> DataFrame:
         df = self.spark.read.parquet(self._table_dir(name))
@@ -152,18 +165,28 @@ class AnalyticsEngine:
         os.replace(tmp, self._catalog_path)
 
     def _overwrite(self, name: str, df: DataFrame) -> int:
-        """Staged write + atomic swap: write to a fresh dir, then rename
-        over the old one. Readers see the old or the new table, never a
-        mix (plain-parquet ACID in the absence of Delta)."""
-        target = self._table_dir(name)
-        staged = target + ".staged-" + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(staged)
-        n = self.spark.read.parquet(staged).count()
-        old = target + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(target):
-            os.rename(target, old)
-        os.rename(staged, target)
-        shutil.rmtree(old, ignore_errors=True)
+        """Versioned write: the new table state lands in a fresh version
+        dir, then the catalog pointer moves. Readers see the old or the
+        new version, never a mix (plain-parquet ACID without Delta).
+        Inside a transaction the superseded version is retained for
+        rollback; otherwise it is deleted immediately."""
+        meta = self._meta(name)
+        old_version = meta.get("version")
+        old_dir = (
+            os.path.join(self.warehouse, name, old_version) if old_version else None
+        )
+        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self.warehouse, name, new_version)
+        df.write.mode("overwrite").parquet(new_dir)
+        n = self.spark.read.parquet(new_dir).count()
+        meta["version"] = new_version
+        self._save_catalog()
+        if self._txn is not None:
+            self._txn["created"].append(new_dir)
+            if old_dir:
+                self._txn["superseded"].append(old_dir)
+        elif old_dir:
+            shutil.rmtree(old_dir, ignore_errors=True)
         self._view(name)
         return n
 
@@ -226,6 +249,12 @@ class AnalyticsEngine:
             elif head == "CHECKPOINT":
                 self.spark.catalog.clearCache()
                 r = Result()
+            elif head in ("BEGIN", "START"):
+                r = self._begin()
+            elif head == "COMMIT":
+                r = self._commit()
+            elif head in ("ROLLBACK", "ABORT"):
+                r = self._rollback()
             elif head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE"):
                 r = self._select(stmt)
             else:
@@ -236,6 +265,55 @@ class AnalyticsEngine:
             raise EngineError(str(e)) from e
         r.elapsed = time.perf_counter() - t0
         return r
+
+    # ----------------------------------------------------- transactions --
+    def _begin(self) -> Result:
+        """BEGIN: snapshot the catalog. Data needs no snapshot — every
+        write lands in a fresh version dir, so the snapshot's pointers
+        keep addressing immutable data (the reference's analog: xid
+        allocation + undo chain, andb/entrance.py:25-51)."""
+        if self._txn is not None:
+            raise EngineError("transaction already in progress")
+        self._txn = {
+            "catalog": json.loads(json.dumps(self.catalog)),
+            "created": [],      # version dirs written since BEGIN
+            "superseded": [],   # version dirs replaced since BEGIN
+        }
+        return Result()
+
+    def _commit(self) -> Result:
+        """COMMIT: superseded versions become unreachable — delete."""
+        if self._txn is None:
+            raise EngineError("no transaction in progress")
+        for d in self._txn["superseded"]:
+            shutil.rmtree(d, ignore_errors=True)
+        self._txn = None
+        return Result()
+
+    def _rollback(self) -> Result:
+        """ROLLBACK/ABORT: restore the catalog snapshot and delete every
+        version written since BEGIN. Mirrors the abort semantics the
+        reference asserts in its e2e suite (tests/unit/
+        test_execution.py:64-130: post-abort heap contents equal the
+        pre-transaction rows)."""
+        if self._txn is None:
+            raise EngineError("no transaction in progress")
+        snapshot = self._txn["catalog"]
+        created = self._txn["created"]
+        current_tables = set(self.catalog["tables"])
+        self.catalog = snapshot
+        self._save_catalog()
+        for d in created:
+            shutil.rmtree(d, ignore_errors=True)
+        # re-point views: restore tables from the snapshot, drop views of
+        # tables created inside the transaction
+        for name in current_tables - set(snapshot["tables"]):
+            self.spark.catalog.dropTempView(name)
+        for name in snapshot["tables"]:
+            if os.path.exists(self._table_dir(name)):
+                self._view(name)
+        self._txn = None
+        return Result()
 
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)
@@ -375,13 +453,17 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse DROP TABLE: {stmt!r}")
         name = m.group(1)
         self._meta(name)
+        base = os.path.join(self.warehouse, name)
         del self.catalog["tables"][name]
         self.catalog["indexes"] = {
             k: v for k, v in self.catalog["indexes"].items() if v["table"] != name
         }
         self._save_catalog()
         self.spark.catalog.dropTempView(name)
-        shutil.rmtree(self._table_dir(name), ignore_errors=True)
+        if self._txn is not None:
+            self._txn["superseded"].append(base)  # data kept until COMMIT
+        else:
+            shutil.rmtree(base, ignore_errors=True)
         return Result()
 
     def _create_index(self, stmt: str) -> Result:

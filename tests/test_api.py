@@ -167,3 +167,49 @@ def test_limit_offset_dialect(engine):
     e("insert into tl values (1), (2), (3), (4), (5)")
     assert e("select a from tl order by a limit 1, 2").rows == [(2,), (3,)]
     assert e("select a from tl order by a limit 2").rows == [(1,), (2,)]
+
+
+def test_transaction_rollback_and_commit(engine):
+    """Mirrors the reference's transaction-abort e2e assertions
+    (tests/unit/test_execution.py:64-130): post-abort table contents
+    equal the pre-transaction rows; committed changes survive."""
+    e = engine.execute
+    e("create table tx1 (a int, b text)")
+    e("insert into tx1 values (1, 'a1'), (2, 'b2')")
+    old_rows = e("select * from tx1 order by a").rows
+
+    # abort an update + insert + delete
+    e("begin")
+    e("update tx1 set b = 'changed' where a = 1")
+    e("insert into tx1 values (9, '九')")
+    e("delete from tx1 where a = 2")
+    assert e("select count(1) as n from tx1").rows == [(2,)]
+    e("rollback")
+    assert e("select * from tx1 order by a").rows == old_rows
+
+    # abort a DROP TABLE
+    e("begin")
+    e("drop table tx1")
+    e("rollback")
+    assert e("select * from tx1 order by a").rows == old_rows
+
+    # abort a CREATE TABLE
+    e("begin")
+    e("create table tx2 (x int)")
+    e("rollback")
+    import pytest as _pytest
+    with _pytest.raises(EngineError):
+        e("select * from tx2")
+
+    # commit persists
+    e("begin")
+    e("update tx1 set b = 'done' where a = 1")
+    e("commit")
+    assert e("select b from tx1 where a = 1").rows == [("done",)]
+
+    with _pytest.raises(EngineError, match="no transaction"):
+        e("commit")
+    e("begin")
+    with _pytest.raises(EngineError, match="already in progress"):
+        e("begin")
+    e("rollback")
