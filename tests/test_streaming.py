@@ -41,3 +41,74 @@ def test_session_windows_respect_gap(spark, sf_dir):
     out = session_agg(ev)
     # sessions per user are disjoint: total events preserved
     assert out.groupBy().sum("n_events").collect()[0][0] == ev.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark arriving
+    after its window was finalized is dropped, not retro-applied. Two
+    micro-batches (maxFilesPerTrigger=1), append mode: batch 1 closes
+    window [09:00, 10:00) by advancing the watermark past it; batch 2
+    delivers a 09:45 straggler, which must not change the emitted
+    count."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from andb_spark.streaming.windows import tumbling_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    d = dt.datetime(2024, 1, 1)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    on_time = [
+        (1, d + dt.timedelta(hours=9, minutes=5), 1, "click", 1.0),
+        (2, d + dt.timedelta(hours=9, minutes=10), 1, "click", 1.0),
+        (3, d + dt.timedelta(hours=9, minutes=30), 1, "click", 1.0),
+        # pushes watermark to 10:20 (10:30 - 10min), closing [09:00,10:00)
+        (4, d + dt.timedelta(hours=10, minutes=30), 1, "click", 1.0),
+    ]
+    # Spark's late-event filter runs one batch behind eviction
+    # (SPARK-24634: watermarkForLateEvents = the PREVIOUS batch's
+    # watermark), so the straggler arrives two batches after its window:
+    bump = [(6, d + dt.timedelta(hours=12, minutes=0), 1, "click", 1.0)]
+    late = [
+        (5, d + dt.timedelta(hours=9, minutes=45), 1, "click", 99.0),  # late!
+        (7, d + dt.timedelta(hours=13, minutes=0), 1, "click", 1.0),
+    ]
+    write_batch("b1", on_time)
+    write_batch("b2", bump)
+    write_batch("b3", late)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = tumbling_agg(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start"]: r["n"] for r in spark.table("late_test").collect()
+    }
+    w9 = d + dt.timedelta(hours=9)
+    assert got.get(w9) == 3, got  # the 09:45 straggler was dropped
