@@ -684,6 +684,40 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events table: signup → first view AFTER
+    the signup → first purchase AFTER that view, per user; output is the
+    user count surviving each stage. Each stage is a time-conditional
+    semi-join on the previous stage's frontier timestamp — the classic
+    sequence-analytics shape (three shuffles on user_id, each input
+    pre-filtered by event type)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: HyperLogLog++ approximate distinct counts.
     At 100 TB approx_count_distinct replaces the exact two-shuffle
@@ -729,6 +763,7 @@ QUERIES = {
     "q_select_no_from": q_select_no_from,
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_approx_distinct": q_approx_distinct,
+    "q_funnel": q_funnel,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_type_revenue_ratio": q14_type_revenue_ratio,
@@ -784,6 +819,27 @@ ORACLES = {
     """,
     "q_select_no_from": """
         SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
+    "q_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_signup,
+               (SELECT count(*) FROM s2) AS n_viewed,
+               (SELECT count(*) FROM s3) AS n_purchased
     """,
     "q_skew_salted_agg": """
         SELECT l_returnflag, count(*) AS n,
