@@ -12,10 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from andb_spark.workloads import relational, pipeline, vectors, streaming_q
+from andb_spark.workloads import relational, tpch_extra, pipeline, vectors, streaming_q
 
 
-_MODULES = (relational, pipeline, vectors, streaming_q)
+_MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
