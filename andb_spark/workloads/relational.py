@@ -718,6 +718,81 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the
+    events.props JSON payload and aggregate it per event type.
+    get_json_object is a JVM-side codegen'd path expression — at scale
+    the JSON parse happens once per row inside the scan stage, no
+    Python. (For repeated multi-field extraction, from_json to a struct
+    would parse once for all fields.)"""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation and
+    covariance — single-pass partial-aggregatable moments (each is a
+    map-side-combinable sum of powers), so one shuffle regardless of
+    data size. Rounded on both sides: the moment sums are
+    order-sensitive in floating point."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qp"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + quartiles) matching
+    DuckDB's quantile_cont. Exact percentile requires a full sort of
+    the group — at 100 TB swap in approx_percentile (t-digest sketch,
+    one pass, mergeable); kept exact here because the oracle gate
+    hash-compares values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag totals,
+    per-(flag,status) detail, and the grand total in ONE pass — Spark
+    expands the sets map-side, so the fact table is still read once."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_returnflag", "l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: HyperLogLog++ approximate distinct counts.
     At 100 TB approx_count_distinct replaces the exact two-shuffle
@@ -764,6 +839,10 @@ QUERIES = {
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_approx_distinct": q_approx_distinct,
     "q_funnel": q_funnel,
+    "q_json_extract": q_json_extract,
+    "q_stats_agg": q_stats_agg,
+    "q_percentiles": q_percentiles,
+    "q_grouping_sets": q_grouping_sets,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_type_revenue_ratio": q14_type_revenue_ratio,
@@ -819,6 +898,39 @@ ORACLES = {
     """,
     "q_select_no_from": """
         SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
+    "q_json_extract": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag),
+                                (l_returnflag, l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
     """,
     "q_funnel": """
         WITH s1 AS (
