@@ -246,6 +246,8 @@ class AnalyticsEngine:
                 r = self._update(stmt)
             elif head == "EXPLAIN":
                 r = self._explain(stmt)
+            elif head == "COPY":
+                r = self._copy(stmt)
             elif head == "CHECKPOINT":
                 self.spark.catalog.clearCache()
                 r = Result()
@@ -536,6 +538,50 @@ class AnalyticsEngine:
         for f in schema.fields:
             if f.name not in cols:
                 src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        src = self._enforce_constraints(name, src)
+        n = src.count()
+        existing = self.spark.read.parquet(self._table_dir(name))
+        self._overwrite(name, existing.unionByName(src))
+        return Result(effect_rows=n)
+
+    def _copy(self, stmt: str) -> Result:
+        """COPY <table> TO|FROM '<path>' [FORMAT parquet|csv|json|orc]
+        — external export/import (Postgres COPY shape; the reference has
+        no bulk I/O at all). FROM appends through the same
+        cast-to-schema + constraint path as INSERT; TO exports the
+        current table version."""
+        from andb_spark.sources import read_source, write_source
+
+        m = re.match(
+            r"copy\s+(\w+)\s+(to|from)\s+'([^']+)'(?:\s+format\s+(\w+))?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise EngineError(
+                "syntax: COPY table TO|FROM 'path' [FORMAT parquet|csv|json|orc]"
+            )
+        name, direction, path, fmt = (
+            m.group(1),
+            m.group(2).lower(),
+            m.group(3),
+            m.group(4),
+        )
+        schema = self._schema(name)
+        if direction == "to":
+            df = self.spark.read.parquet(self._table_dir(name))
+            try:
+                write_source(df, path, fmt)
+            except ValueError as e:
+                raise EngineError(str(e)) from e
+            return Result(effect_rows=df.count())
+        try:
+            src = read_source(self.spark, path, fmt, schema=schema)
+        except ValueError as e:
+            raise EngineError(str(e)) from e
         src = src.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
