@@ -77,11 +77,14 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
     """Every relational/pipeline/vector query must stay JVM-side:
     BatchEvalPython (row-at-a-time Python UDF) is banned. ArrowEvalPython
     / mapInPandas appear only in the explicitly-multimodal queries."""
-    from andb_spark.workloads import pipeline, relational, vectors
+    from andb_spark.workloads import pipeline, relational, tpch_extra, vectors
 
     allowed_pandas = {"m_image_meta", "m_resize", "m_frame_sample"}
     names = (
-        list(relational.QUERIES) + list(pipeline.QUERIES) + list(vectors.QUERIES)
+        list(relational.QUERIES)
+        + list(tpch_extra.QUERIES)
+        + list(pipeline.QUERIES)
+        + list(vectors.QUERIES)
     )
     offenders = []
     for name in names:
@@ -94,6 +97,39 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
         ):
             offenders.append((name, "pandas-path"))
     assert not offenders, offenders
+
+
+def test_tpch_extra_no_cartesian_products(spark, sf_dir):
+    """None of the adapted TPC-H shapes may degrade to a cartesian or
+    nested-loop join — the correlated subqueries are all expressed as
+    aggregate-then-join / semi-join, which must plan as hash joins.
+    Exception: the two scalar-subquery queries join a ONE-ROW broadcast
+    (the threshold) with no key — that is a BroadcastNestedLoopJoin by
+    construction and is O(n) work."""
+    from andb_spark.workloads import tpch_extra
+
+    scalar_bnlj_ok = {"q11_important_suppliers", "q22_idle_customers"}
+    for name in tpch_extra.QUERIES:
+        plan = final_plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name not in scalar_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    """EXISTS must become a semi-join (no row duplication before the
+    count), not a deduplicated inner join."""
+    plan = final_plan(spark, sf_dir, "q4_priority_exists")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q8_star_join_broadcasts_dims(spark, sf_dir):
+    """The 6-way market-share star join must broadcast its dimension
+    sides — at most one shuffle join (the lineitem-orders fact-fact
+    edge) is acceptable."""
+    plan = final_plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
 
 
 def test_range_join_is_equi_join(spark, sf_dir):
