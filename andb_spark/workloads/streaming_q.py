@@ -107,6 +107,50 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint:
+    each view joined to the same user's purchases within the following
+    30 minutes. Both sides are watermarked and the join condition bounds
+    event time on both sides, so the state store can evict rows older
+    than (watermark - 30 min) — bounded state on an unbounded stream,
+    the one thing that makes stream-stream joins viable at scale. Inner
+    join results emit in the micro-batch they match (no watermark
+    wait)."""
+    tune_for_session(spark)
+    path = table_path(sf_dir, "events")
+    views = (
+        stream_source(spark, path, watermark="1 hour")
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+    )
+    purchases = (
+        stream_source(spark, path, watermark="1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("interval 30 minutes")
+        ),
+        "inner",
+    )
+    out = run_stream(joined, query_name="andb_stream_join", output_mode="append")
+    return out.select(
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    ).orderBy("user_id", "view_ts", "purchase_ts")
+
+
 def s_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical window rollup (the 'continuous aggregate' /
     hypertable-rollup pattern): the hourly tumbling aggregate re-rolled
@@ -135,6 +179,7 @@ QUERIES = {
     "s_stream_tumbling": s_stream_tumbling,
     "s_stateful_user": s_stateful_user,
     "s_stream_dedup": s_stream_dedup,
+    "s_stream_join": s_stream_join,
 }
 
 _TUMBLING_SQL = """
@@ -168,6 +213,19 @@ ORACLES = {
     """,
     "s_tumbling": _TUMBLING_SQL,
     "s_stream_tumbling": _TUMBLING_SQL,
+    "s_stream_join": """
+        SELECT v.user_id AS user_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               round(p.value, 6) AS purchase_value
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL '30 minutes'
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        ORDER BY user_id, view_ts, purchase_ts
+    """,
     "s_sliding": """
         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
                    - k * INTERVAL '30 minutes' AS window_start,
