@@ -301,6 +301,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step
+    that turns near-duplicate PAIRS into duplicate GROUPS (transitive
+    closure: A~B, B~C ⇒ {A,B,C} share one canonical id). Returns
+    (node, component_id) where component_id = min node id in the
+    component, the standard keep-smallest-survivor convention.
+
+    Distributed min-label propagation: each iteration every node takes
+    the min of its own label and its neighbors' labels — one shuffle
+    (join on the edge endpoint) + one aggregation per iteration,
+    converging in O(graph diameter) rounds. Near-dup graphs are
+    overwhelmingly small dense clusters, so diameter is tiny in
+    practice.
+
+    Scale mechanics:
+    - ``edges`` is materialized once up front (localCheckpoint) — the
+      iteration must never re-evaluate an expensive upstream candidate
+      pipeline, and each round's result is checkpointed to truncate
+      the exponentially-growing lineage (on a cluster: checkpoint to
+      reliable storage instead).
+    - Convergence is detected with a changed-label count — one extra
+      action per round on the (small) label table, not on the corpus.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = und.join(labels, und.v == labels.node).groupBy("u").agg(
+            F.min("component_id").alias("nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprints: (id, simhash int). Bit j of the fingerprint
     is the sign of sum over tokens of (bit j of md5(token) ? +1 : -1).

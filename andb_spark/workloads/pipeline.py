@@ -76,6 +76,20 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS via connected components
+    (transitive closure). The edge set is the exact n-gram Jaccard
+    graph; the component id is the min doc_id — the survivor every
+    other member dedups to."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    edges = DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+    return (
+        DD.connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "component_id")
+        .orderBy("doc_id")
+    )
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
@@ -263,6 +277,7 @@ QUERIES = {
     "d_fingerprint_dup_groups": d_fingerprint_dup_groups,
     "d_minhash_lsh": d_minhash_lsh,
     "d_ngram_jaccard": d_ngram_jaccard,
+    "d_dup_components": d_dup_components,
     "d_simhash": d_simhash,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
@@ -361,6 +376,40 @@ ORACLES = {
                      JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.3
         ORDER BY id_a, id_b
+    """,
+    "d_dup_components": f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
+                  FROM documents WHERE doc_id < 300)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                         JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+                  >= 0.3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS component_id
+        FROM reach GROUP BY id ORDER BY doc_id
     """,
     "d_simhash": """
         WITH toks AS (

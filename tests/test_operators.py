@@ -277,3 +277,21 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     )
     for r in got:
         assert abs(r["a"] - r["x"]) / r["x"] < 0.1, (r["a"], r["x"])
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain 1-2-3 collapses to one component even though 1 and 3 share
+    no edge; disjoint pair {10,11} keeps its own; labels are min-id."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 4), (4, 6), (6, 7)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in DD.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (4, 4), (5, 4), (6, 4), (7, 4),
+    }
