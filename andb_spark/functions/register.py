@@ -78,3 +78,47 @@ def register_udf(
         wrapped = udf(fn, return_type)
     spark.udf.register(name, wrapped)
     return wrapped
+
+
+def register_udaf(spark: SparkSession, name: str, fn, return_type: str = "double"):
+    """User-defined AGGREGATE function (absent in the reference — its
+    only aggregates are the five builtins, andb/sql/optimizer/logical.py
+    :41-46). Registered as an Arrow grouped-agg pandas UDF: ``fn``
+    receives each group's column as a pandas Series and returns one
+    scalar. Callable from SQL under GROUP BY and from ``df.agg``.
+
+    Scale caveat: a grouped-agg pandas UDF has NO partial aggregation —
+    every raw row of a group crosses the shuffle to one task (fine for
+    bounded groups, wrong for power-law group sizes). Prefer composing
+    builtin aggregates when the math allows; this is the escape hatch
+    for genuinely custom math."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf infers GROUPED_AGG from a Series -> scalar signature;
+    # assign annotation OBJECTS directly (this module's `from __future__
+    # import annotations` would stringify inline hints, which the
+    # inference rejects)
+    def _agg(v):
+        return fn(v)
+
+    _agg.__annotations__ = {"v": pd.Series, "return": float}
+
+    wrapped = pandas_udf(return_type)(_agg)
+    spark.udf.register(name, wrapped)
+    return wrapped
+
+
+def register_udtf(spark: SparkSession, name: str, cls, return_type: str):
+    """User-defined TABLE function (the reference stubs FunctionScan
+    with ``pass``, physical/select.py:454-455). ``cls`` is a class with
+    an ``eval(self, ...)`` generator yielding tuples; after registration
+    it is callable in FROM position: ``SELECT * FROM name(args)``.
+    Rows stream out via Arrow batches — lateral-join fan-out happens
+    executor-side, never on the driver."""
+    from pyspark.sql.functions import udtf
+
+    wrapped = udtf(cls, returnType=return_type)
+    spark.udtf.register(name, wrapped)
+    return wrapped

@@ -94,3 +94,30 @@ def test_register_udf_vectorized_and_row(spark):
     ).first()
     assert row["d"] == 42.0
     assert row["s"] == "HEY!"
+
+
+def test_register_udaf_grouped(spark):
+    from andb_spark.functions.register import register_udaf
+
+    register_udaf(spark, "t_midrange", lambda s: (s.min() + s.max()) / 2.0)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 10.0)], ["k", "v"]
+    )
+    df.createOrReplaceTempView("t_udaf_src")
+    rows = spark.sql(
+        "SELECT k, t_midrange(v) AS mid FROM t_udaf_src GROUP BY k ORDER BY k"
+    ).collect()
+    assert [(r.k, r.mid) for r in rows] == [("a", 3.0), ("b", 6.0)]
+
+
+def test_register_udtf_from_position(spark):
+    from andb_spark.functions.register import register_udtf
+
+    class Squares:
+        def eval(self, start: int, end: int):
+            for n in range(start, end + 1):
+                yield (n, n * n)
+
+    register_udtf(spark, "t_squares", Squares, "num int, squared int")
+    rows = spark.sql("SELECT * FROM t_squares(1, 3) ORDER BY num").collect()
+    assert [(r.num, r.squared) for r in rows] == [(1, 1), (2, 4), (3, 9)]
