@@ -492,6 +492,49 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME variants beyond the default: a RANGE frame (peers
+    by value distance — here a trailing 7-day spend window per
+    customer), a bounded ROWS frame (3-order moving sum), and the
+    rank-family distribution functions (ntile/percent_rank/cume_dist).
+    One shuffle on o_custkey serves every window — all frames share the
+    same partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_day = Window.partitionBy("o_custkey").orderBy(day)
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # decimal, not double: a 3-row avg rounded to cents straddles
+            # the .xx5 boundary often enough that float summation order
+            # flips the last digit vs the oracle; decimal math is exact
+            # on both engines
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(
+                    by_day.rangeBetween(-7, 0)
+                ),
+                2,
+            ).cast("double").alias("spend_7d"),
+            # sum, not avg: DuckDB's avg(DECIMAL) returns double, which
+            # reintroduces the rounding race; a decimal SUM over the
+            # same 3-row frame is exact on both engines
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(
+                    base.rowsBetween(-2, 0)
+                ),
+                2,
+            ).cast("double").alias("sum3"),
+            F.ntile(4).over(base).alias("quartile"),
+            F.round(F.percent_rank().over(base), 6).alias("pr"),
+            F.round(F.cume_dist().over(base), 6).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.10 subqueries / CTE — NotImplementedError in the reference
 # (transformations.py:278-279)
@@ -876,6 +919,7 @@ QUERIES = {
     "q_intersect": q_intersect,
     "q_except": q_except,
     "q_window_funcs": q_window_funcs,
+    "q_window_frames": q_window_frames,
     "q_in_subquery": q_in_subquery,
     "q_scalar_subquery": q_scalar_subquery,
     "q_cte": q_cte,
@@ -898,6 +942,25 @@ ORACLES = {
     """,
     "q_select_no_from": """
         SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
+    "q_window_frames": """
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                   AS spend_7d,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                   AS sum3,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
     """,
     "q_json_extract": """
         SELECT event_type, count(*) AS n,
