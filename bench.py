@@ -52,11 +52,21 @@ def main() -> None:
     spark = build_session("andb_bench")
     qs = all_queries()
 
-    # Warm-up: touch the fact table once so JVM startup/codegen jitter
-    # doesn't land in the first measured query.
+    # Warm-up: touch the fact table (JVM + scan paths), then run each
+    # headline query once at the smallest scale factor so plan analysis
+    # + Janino codegen compile outside the timed region — the timings
+    # then measure steady-state data throughput at the bench SF, which
+    # is the quantity that extrapolates to a warm cluster.
     from andb_spark.catalog import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).collect()
+            except Exception as e:  # never let warm-up kill the bench
+                print(f"# warm-up {name} failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
