@@ -91,6 +91,65 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+# Top-10 most frequent English letter bigrams (public corpus statistics
+# — Norvig's Google-books counts). Used by the n-gram language ID.
+NGRAMS = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
+
+
+def ngram_density(text: Column | str) -> Column:
+    """Occurrences of the frequent-English-bigram set per character
+    (double). Pure string arithmetic — `(len(t) - len(replace(t, g)))/2`
+    per bigram — so it stays JVM-side and the DuckDB oracle can state
+    the identical closed form."""
+    t = F.lower(_to_col(text))
+    total = None
+    for g in NGRAMS:
+        occ = (F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))) / 2
+        total = occ if total is None else total + occ
+    return total.cast("double") / F.length(t).cast("double")
+
+
+def lang_id_ngram(text: Column | str, threshold: float = 0.08) -> Column:
+    """Character-n-gram language ID: 'en' when the density of frequent
+    English bigrams clears ``threshold``. Complements the stopword-based
+    `lang_id` (token-level evidence vs character-level evidence). On the
+    synthetic corpus (language-uniform word salad) the interesting part
+    is the oracle-checked computation, not classifier accuracy."""
+    return F.when(ngram_density(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+# Rabin-Karp rolling-hash parameters. MOD is a Mersenne prime small
+# enough that acc*BASE + token_hash stays far below 2^63 (acc < 2^31,
+# token hash < 2^32 → max ~2^37), so the fold is exact in BIGINT
+# arithmetic on both Spark and DuckDB.
+RH_BASE = 31
+RH_MOD = 2_147_483_647
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Order-SENSITIVE document digest: Rabin-Karp polynomial rolling
+    hash over the lowercased token stream,
+
+        h = fold(tokens, 0, (acc, t) -> (acc*31 + h32(t)) mod (2^31-1))
+
+    where h32(t) = first 8 hex digits of md5(t). Complements
+    `fingerprint` (order-insensitive set hash): two docs with the same
+    words in different order share a fingerprint but not a rolling hash.
+    All JVM-side (`transform` + `aggregate` over the token array); md5
+    makes the per-token value engine-portable for the oracle."""
+    toks = tokens(F.lower(_to_col(text)))
+    tok_h = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+    )
+    return F.aggregate(
+        tok_h,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(RH_BASE) + h) % F.lit(RH_MOD),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted set of
     lowercased tokens. Two documents that are word-permutations of each

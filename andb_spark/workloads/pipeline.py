@@ -156,6 +156,36 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level language ID (frequent-English-bigram density) next
+    to the token-level stopword classifier — the two standard cheap
+    signals a corpus pipeline combines before paying for a model."""
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", TX.ngram_density("text").alias("_nd"))
+    nd = F.col("_nd")
+    return staged.select(
+        "doc_id",
+        F.round(nd, 6).alias("ngram_density"),
+        F.when(nd >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_ngram"
+        ),
+    ).orderBy("doc_id")
+
+
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp digest vs the order-insensitive set
+    fingerprint: docs sharing `fp` but not `rh` are word-permutations."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TX.rolling_hash("text").alias("rh"),
+            TX.fingerprint("text").alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup by source — the triage query of a data
     pipeline (volume, dedup rate, token budget per source)."""
@@ -282,6 +312,8 @@ QUERIES = {
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
+    "t_lang_ngram": t_lang_ngram,
+    "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_source_stats": t_source_stats,
     "a_asof_join": a_asof_join,
     "a_range_join": a_range_join,
@@ -296,6 +328,21 @@ _FP = (
     "md5(array_to_string(list_sort(list_distinct("
     + _WORDS.format(col="lower(text)")
     + ")), ' '))"
+)
+
+# Rabin-Karp rolling hash twin of functions/text.py::rolling_hash —
+# same fold, same md5-derived 32-bit token values, same Mersenne mod.
+_RH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    + _WORDS.format(col="lower(text)")
+    + ", x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))),"
+    " (acc, h) -> (acc * 31 + h) % 2147483647)"
+)
+
+# Frequent-English-bigram density twin of functions/text.py::ngram_density.
+_NGRAM_TERMS = " + ".join(
+    f"(length(t) - length(replace(t, '{g}', ''))) / 2"
+    for g in ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
 )
 
 _HEX2INT = (
@@ -470,6 +517,17 @@ ORACLES = {
     """,
     "t_fingerprint": f"""
         SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id
+    """,
+    "t_lang_ngram": f"""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        s AS (SELECT doc_id, ({_NGRAM_TERMS}) / length(t) AS nd FROM d)
+        SELECT doc_id, round(nd, 6) AS ngram_density,
+               CASE WHEN nd >= 0.08 THEN 'en' ELSE 'other' END AS lang_ngram
+        FROM s ORDER BY doc_id
+    """,
+    "t_rolling_fingerprint": f"""
+        SELECT doc_id, {_RH} AS rh, {_FP} AS fp
+        FROM documents ORDER BY doc_id
     """,
     "t_source_stats": f"""
         SELECT source, count(*) AS n_docs,

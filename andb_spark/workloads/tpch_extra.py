@@ -183,10 +183,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     part = _t(spark, sf_dir, "part")
     nation = _t(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
-    )
+    # Per-row profit in integer cents: the raw double product is
+    # bit-identical on any IEEE engine, so round(x*100)::bigint is too,
+    # and the BIGINT sum is exact and order-independent — a rounded
+    # double sum can flip the last cent with summation order (observed
+    # at sf0.001: ...248.865 ties).
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+        )
+        * 100,
+        0,
+    ).cast("bigint")
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -195,7 +204,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg((F.sum(profit_cents) / 100.0).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -252,6 +261,34 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15 shape: revenue view over a quarter + scalar-subquery max +
+    join-back (the canonical CREATE VIEW revenue0 ... WHERE total =
+    (SELECT max ...)). Metric is total shipped quantity — integral
+    doubles sum exactly, so the max-equality predicate cannot flip on
+    summation order (Spark vs DuckDB vs partitioning).
+
+    Scale: one shuffle builds the per-supplier view; the one-row max
+    joins back as a broadcast; supplier dim is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+    mx = rev.agg(F.max("total_qty").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_qty == mx._mx)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_qty")
+        .orderBy("s_suppkey")
     )
 
 
@@ -415,6 +452,7 @@ QUERIES = {
     "q11_important_suppliers": q11_important_suppliers,
     "q12_priority_class": q12_priority_class,
     "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
     "q16_supplier_part_count": q16_supplier_part_count,
     "q17_small_quantity": q17_small_quantity,
     "q19_or_of_ands": q19_or_of_ands,
@@ -489,8 +527,9 @@ ORACLES = {
     """,
     "q9_product_profit": """
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+               sum(CAST(round((l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1) * 100, 0)
+                        AS BIGINT)) / 100.0 AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -528,6 +567,19 @@ ORACLES = {
         )
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey, sum(l_quantity) AS total_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_qty
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_qty = (SELECT max(total_qty) FROM rev)
+        ORDER BY s_suppkey
     """,
     "q16_supplier_part_count": """
         SELECT p_brand, p_type, p_size,
