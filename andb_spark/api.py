@@ -158,6 +158,14 @@ class AnalyticsEngine:
         except KeyError:
             raise EngineError(f"table {name} does not exist") from None
 
+    def _writable_meta(self, name: str) -> dict:
+        meta = self._meta(name)
+        if meta.get("matview_sql"):
+            raise EngineError(
+                f"{name} is a materialized view; use REFRESH MATERIALIZED VIEW"
+            )
+        return meta
+
     def _save_catalog(self) -> None:
         tmp = self._catalog_path + ".tmp"
         with open(tmp, "w") as f:
@@ -228,6 +236,18 @@ class AnalyticsEngine:
                 r"create\s+table\s+\w+\s+as\s+select", stmt, re.I
             ):
                 r = self._create_table_as(stmt)
+            elif head == "CREATE" and re.match(
+                r"create\s+materialized\s+view", stmt, re.I
+            ):
+                r = self._create_matview(stmt)
+            elif head == "REFRESH":
+                r = self._refresh_matview(stmt)
+            elif head == "DROP" and re.match(
+                r"drop\s+materialized\s+view\s+(\w+)", stmt, re.I
+            ):
+                r = self._drop_table(
+                    re.sub(r"materialized\s+view", "table", stmt, flags=re.I)
+                )
             elif head == "CREATE" and re.match(r"create\s+table", stmt, re.I):
                 r = self._create_table(stmt)
             elif head == "ALTER":
@@ -383,6 +403,44 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse CREATE TABLE AS: {stmt!r}")
         name, query = m.groups()
+        return self._materialize_select(name, query)
+
+    def _create_matview(self, stmt: str) -> Result:
+        """CREATE MATERIALIZED VIEW name AS select — a managed table
+        that remembers its defining query; REFRESH re-runs it with the
+        same versioned atomic swap writes use, so concurrent readers
+        keep the previous snapshot. DML into it is rejected.
+
+        Scale: refresh cost is that of the defining query; for the
+        partition-aligned rollups this engine targets (daily/hourly
+        continuous aggregates, streaming_q.s_daily_rollup), re-running
+        over only late partitions is the streaming path
+        (streaming/windows.py) — batch REFRESH is the full-fidelity
+        fallback."""
+        m = re.match(
+            r"create\s+materialized\s+view\s+(\w+)\s+as\s+((?:select|with)\s+.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE MATERIALIZED VIEW: {stmt!r}")
+        name, query = m.groups()
+        return self._materialize_select(name, query, matview_sql=query)
+
+    def _refresh_matview(self, stmt: str) -> Result:
+        m = re.match(r"refresh\s+materialized\s+view\s+(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse REFRESH: {stmt!r}")
+        name = m.group(1)
+        sql = self._meta(name).get("matview_sql")
+        if not sql:
+            raise EngineError(f"{name} is not a materialized view")
+        n = self._overwrite(name, self.spark.sql(sql))
+        return Result(effect_rows=n)
+
+    def _materialize_select(
+        self, name: str, query: str, matview_sql: str | None = None
+    ) -> Result:
         if name in self.catalog["tables"]:
             raise EngineError(f"table {name} already exists")
         src = self.spark.sql(query)
@@ -401,7 +459,10 @@ class AnalyticsEngine:
                     f"{f_.dataType.simpleString()}"
                 )
             columns.append({"name": f_.name, "type": tname, "notnull": False})
-        self.catalog["tables"][name] = {"columns": columns}
+        meta: dict = {"columns": columns}
+        if matview_sql:
+            meta["matview_sql"] = matview_sql
+        self.catalog["tables"][name] = meta
         self._save_catalog()
         n = self._overwrite(name, src)
         return Result(effect_rows=n)
@@ -598,7 +659,7 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse DELETE: {stmt!r}")
         name, cond = m.group(1), m.group(2)
-        self._meta(name)
+        self._writable_meta(name)
         df = self.spark.read.parquet(self._table_dir(name))
         before = df.count()
         kept = (

@@ -213,3 +213,31 @@ def test_transaction_rollback_and_commit(engine):
     with _pytest.raises(EngineError, match="already in progress"):
         e("begin")
     e("rollback")
+
+
+def test_materialized_view_create_refresh_drop(engine):
+    e = engine.execute
+    e("create table base (k int, v int)")
+    e("insert into base values (1, 10), (1, 20), (2, 5)")
+    r = e(
+        "create materialized view mv as"
+        " select k, sum(v) as total from base group by k"
+    )
+    assert r.effect_rows == 2
+    assert e("select k, total from mv order by k").rows == [(1, 30), (2, 5)]
+
+    # matview is stale until REFRESH (snapshot semantics), then catches up
+    e("insert into base values (2, 95)")
+    assert e("select total from mv where k = 2").rows == [(5,)]
+    assert e("refresh materialized view mv").effect_rows == 2
+    assert e("select total from mv where k = 2").rows == [(100,)]
+
+    # direct DML into a matview is rejected
+    with pytest.raises(EngineError, match="materialized view"):
+        e("delete from mv")
+    with pytest.raises(EngineError, match="not a materialized view"):
+        e("refresh materialized view base")
+
+    e("drop materialized view mv")
+    with pytest.raises(EngineError, match="does not exist"):
+        e("refresh materialized view mv")

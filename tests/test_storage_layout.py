@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from andb_spark.catalog import load_table
+from andb_spark.operators.zorder import zorder
 
 
 def _plan(df) -> str:
@@ -84,3 +85,49 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
     # no hash-repartitioning exchange feeds the join: bucket layout
     # already co-locates both sides
     assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_zorder_narrows_per_file_ranges_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordering on (l_partkey, l_suppkey) must give narrow per-file
+    value ranges on BOTH columns — that is the property Parquet footer
+    min/max skipping needs. A linear sort only achieves it for the
+    leading column (the secondary column spans ~the full range in every
+    file), which is exactly what this asserts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 16
+
+    z_out = str(tmp_path / "z")
+    zorder(li, ["l_partkey", "l_suppkey"], num_partitions=n_files).write.parquet(z_out)
+    lin_out = str(tmp_path / "lin")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(lin_out)
+    )
+
+    def avg_file_span(path: str, col: str) -> float:
+        df = spark.read.parquet(path)
+        lo, hi = df.agg(F.min(col), F.max(col)).first()
+        spans = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        return spans / max(hi - lo, 1)
+
+    # Linear sort: leading column clusters tightly, secondary does not.
+    assert avg_file_span(lin_out, "l_partkey") < 0.15
+    assert avg_file_span(lin_out, "l_suppkey") > 0.6
+    # Z-order: both columns cluster well below the unclustered baseline.
+    z_part = avg_file_span(z_out, "l_partkey")
+    z_supp = avg_file_span(z_out, "l_suppkey")
+    assert z_part < 0.5, z_part
+    assert z_supp < 0.5, z_supp
+
+
+def test_zorder_preserves_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder(li, ["l_partkey", "l_suppkey"], num_partitions=4)
+    assert z.count() == li.count()
+    assert z.columns == li.columns
