@@ -255,9 +255,10 @@ def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["o_orderkey", "o_totalprice"],
         right_tiebreak="o_orderkey",
     )
-    return out.select(
-        "event_id", "user_id", "o_orderkey", "o_totalprice"
-    ).orderBy("event_id")
+    # No trailing global sort: the output is fact-table-sized (one row
+    # per event), a full range-exchange would dominate the query at
+    # scale, and the driver's correctness compare is order-insensitive.
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
 # ----------------------------------------------------------- multimodal --

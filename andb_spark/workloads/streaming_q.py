@@ -43,9 +43,10 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_agg(_events(spark, sf_dir)).orderBy(
-        "user_id", "session_start"
-    )
+    # No trailing global sort: one row per (user, session) is
+    # fact-table-sized output, and the correctness compare is
+    # order-insensitive.
+    return session_agg(_events(spark, sf_dir))
 
 
 def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
