@@ -150,6 +150,21 @@ def rolling_hash(text: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer pattern: runs of letters, runs of digits, runs
+# of other non-space chars — the GPT-2-style split that determines how
+# many "pieces" a subword tokenizer would start from. ASCII classes
+# only, so java.util.regex (Spark) and RE2 (DuckDB oracle) agree.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization of lowercased text → array<string>.
+    Unlike whitespace `tokens`, splits "don't" → ["don", "'", "t"] and
+    "x2" → ["x", "2"] — the pre-tokenization granularity that token-count
+    budgeting for LLM training actually needs."""
+    return F.regexp_extract_all(F.lower(_to_col(text)), F.lit(BPE_PATTERN), 0)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted set of
     lowercased tokens. Two documents that are word-permutations of each

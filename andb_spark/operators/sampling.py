@@ -1,0 +1,77 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A corpus pipeline needs repeatable samples: the same (salt, key) must
+land in the same sample on every run, on every engine, regardless of
+partitioning — which rules out `df.sample()` (seeded per-partition RNG,
+not stable under repartitioning and not expressible in the oracle SQL).
+Instead both operators hash the row key with md5 and decide membership
+from the hex digest, so membership is a pure function of the data:
+
+- ``hash_sample``: Bernoulli-style fraction sample. Keep a row iff the
+  first 4 hex chars of md5(salt|key) sort below a threshold derived
+  from the fraction (hex strings compare lexicographically == numerically
+  for fixed width — the same trick dedup.py uses for min-hashes). A pure
+  scan filter: no shuffle, no state, pushes down to the Parquet scan,
+  and composes with any downstream operator. Different salts give
+  independent samples; the same salt gives nested samples (fraction
+  0.05 ⊂ fraction 0.10 — useful for scaling-law data ladders).
+
+- ``stratified_sample``: exactly n rows per stratum, chosen by hash
+  order (row_number over the stratum ordered by digest). One shuffle on
+  the strata columns. At extreme scale with billions of rows per
+  stratum, replace the global window with a per-stratum threshold from
+  `approx_percentile` over the digest and filter — constant memory,
+  two scans, no full sort; the window form here is exact and right for
+  strata that fit a partition.
+
+The reference has no sampling at all; this is north-star surface
+(build-brief "operations a large-scale training-data pipeline needs").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_digest(key: Column | str, salt: str) -> Column:
+    """First 4 hex chars of md5(salt|key) — the membership digest."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), k.cast("string"))), 1, 4
+    )
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold such that P[digest < threshold] == fraction (to
+    1/65536 granularity)."""
+    assert 0.0 <= fraction <= 1.0
+    return format(min(int(fraction * 65536), 65535), "04x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s42"
+) -> DataFrame:
+    """Deterministic ~fraction sample keyed on ``key_col``."""
+    return df.filter(
+        sample_digest(key_col, salt) < F.lit(fraction_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "s42",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, in deterministic hash
+    order. Adds ``sample_rank`` (1-based rank within the stratum). Ties
+    broken by the key itself so the pick is total-ordered."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        sample_digest(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

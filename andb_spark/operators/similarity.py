@@ -19,7 +19,7 @@ operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from andb_spark.functions.vector import cosine_similarity, dot, l2_norm
@@ -226,6 +226,63 @@ def bucketed_near_dup(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def sign_bucket(vec: Column | str, bits: int = 4) -> Column:
+    """Sign-LSH bucket of a vector: one char per leading component,
+    '1' if the component is >= 0 else '0'. Axis-aligned random-hyperplane
+    LSH for cosine similarity (the hyperplanes are the first ``bits``
+    coordinate planes — deterministic, so the DuckDB oracle can state
+    the identical rule). Pure per-row expression: computing it is
+    shuffle-free, and at scale the table is WRITTEN bucketed/partitioned
+    by this column so a probe reads only the matching buckets
+    (layout-as-index, the same design as SCALE.md §3.1)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.concat(
+        *[
+            F.when(F.element_at(v, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, bits + 1)
+        ]
+    )
+
+
+def signlsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    bits: int = 4,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k via sign-LSH bucketing (the LSH-bucketed alternative to
+    ``ivf_topk``): candidates are vectors whose bucket is within
+    ``max_hamming`` bits of the query's bucket; exact cosine rank within
+    the candidate set. Approximate by construction — a true neighbor on
+    the far side of >max_hamming hyperplanes is missed.
+
+    The candidate predicate is a plain scan filter (no centroid table,
+    no join, no shuffle); with a bucket-partitioned layout it becomes
+    partition pruning and the scan touches bits+1 of 2^bits buckets."""
+    qb = "".join("1" if float(v) >= 0.0 else "0" for v in query_vec[:bits])
+    b = sign_bucket(F.col(vec_col), bits)
+    hamming = None
+    for i in range(1, bits + 1):
+        term = (F.substring(b, i, 1) != F.lit(qb[i - 1])).cast("int")
+        hamming = term if hamming is None else hamming + term
+    cand = embeddings.filter(hamming <= max_hamming)
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -202,6 +202,58 @@ def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token budget per document: piece count by class
+    (letters / digits / punctuation runs) and fertility — pieces per
+    whitespace word, the number that turns a corpus size into a training
+    token budget. Tokenizes once into a staged array column."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        TX.bpe_tokens("text").alias("_bt"),
+        TX.token_count("text").alias("_nw"),
+    )
+    bt = F.col("_bt")
+    n_bpe = F.size(bt).cast("bigint")
+    n_alpha = F.size(F.filter(bt, lambda x: x.rlike("^[a-z]+$"))).cast("bigint")
+    n_num = F.size(F.filter(bt, lambda x: x.rlike("^[0-9]+$"))).cast("bigint")
+    return staged.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_alpha.alias("n_alpha"),
+        n_num.alias("n_num"),
+        (n_bpe - n_alpha - n_num).alias("n_punct"),
+        F.round(n_bpe.cast("double") / F.col("_nw").cast("double"), 6).alias(
+            "fertility"
+        ),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------- sampling --
+def p_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample of the corpus keyed on
+    doc_id (operators/sampling.py::hash_sample) — a pure scan filter,
+    repeatable across runs/engines/partitionings."""
+    from andb_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf_dir)
+    return hash_sample(d, "doc_id", fraction=0.125).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
+def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source in deterministic hash order
+    (operators/sampling.py::stratified_sample) — the balanced-subset
+    primitive for eval-set construction."""
+    from andb_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    return stratified_sample(d, ["source"], 5, "doc_id").select(
+        "source", "doc_id", "sample_rank"
+    ).orderBy("source", "sample_rank")
+
+
 def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: for each purchase, the same-user events
     inside its trailing 30-minute window, counted per purchase. Executed
@@ -316,6 +368,9 @@ QUERIES = {
     "t_lang_ngram": t_lang_ngram,
     "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_source_stats": t_source_stats,
+    "t_bpe_tokens": t_bpe_tokens,
+    "p_sample_hash": p_sample_hash,
+    "p_sample_stratified": p_sample_stratified,
     "a_asof_join": a_asof_join,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
@@ -536,6 +591,41 @@ ORACLES = {
                CAST(sum(len({_WORDS.format(col='text')})) AS BIGINT) AS total_tokens,
                round(avg(n_chars), 6) AS avg_chars
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "t_bpe_tokens": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS bt,
+                   len({_WORDS.format(col='text')}) AS nw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(bt) AS BIGINT) AS n_bpe,
+               CAST(len(list_filter(bt, x -> regexp_full_match(x, '[a-z]+')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(bt, x -> regexp_full_match(x, '[0-9]+')))
+                    AS BIGINT) AS n_num,
+               CAST(len(bt)
+                    - len(list_filter(bt, x -> regexp_full_match(x, '[a-z]+')))
+                    - len(list_filter(bt, x -> regexp_full_match(x, '[0-9]+')))
+                    AS BIGINT) AS n_punct,
+               round(CAST(len(bt) AS DOUBLE) / nw, 6) AS fertility
+        FROM b ORDER BY doc_id
+    """,
+    "p_sample_hash": """
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+        ORDER BY doc_id
+    """,
+    "p_sample_stratified": """
+        SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+            SELECT source, doc_id, row_number() OVER (
+                PARTITION BY source
+                ORDER BY substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4),
+                         doc_id) AS rn
+            FROM documents
+        ) t WHERE rn <= 5 ORDER BY source, sample_rank
     """,
     "a_asof_join": """
         SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice

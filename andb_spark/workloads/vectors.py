@@ -82,6 +82,17 @@ def v_cluster_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search, LSH-bucketed variant (vs v_ivf_topk's IVF): sign-LSH
+    bucket on the leading 4 components, probe buckets within Hamming
+    distance 1 of the query's bucket, exact cosine rank inside. No
+    centroid table, no join — the candidate test is a scan filter that a
+    bucket-partitioned layout turns into partition pruning."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb, 0)
+    return SIM.signlsh_topk(emb, q, k=5, bits=4, max_hamming=1, exclude_id=0)
+
+
 def v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (3 iterations, deterministic init) —
     the iterative-algorithm category: genuinely non-SQL-expressible, so
@@ -96,6 +107,7 @@ QUERIES = {
     "v_pairwise_near_dup": v_pairwise_near_dup,
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
+    "v_lsh_topk": v_lsh_topk,
     "v_cluster_near_dup": v_cluster_near_dup,
     "v_kmeans": v_kmeans,
 }
@@ -194,6 +206,42 @@ ORACLES = {
                        JOIN norms nb ON nb.vec_id = id_b
         WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
         ORDER BY id_a, id_b
+    """,
+    "v_lsh_topk": f"""
+        WITH e AS ({_EXPAND}),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        buckets AS (
+            SELECT vec_id,
+                   string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY i) AS bucket
+            FROM e WHERE i <= 4 GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        cand AS (
+            SELECT b.vec_id FROM buckets b, qb
+            WHERE b.vec_id <> 0
+              AND (CASE WHEN substr(b.bucket, 1, 1) <> substr(qb.bucket, 1, 1)
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN substr(b.bucket, 2, 1) <> substr(qb.bucket, 2, 1)
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN substr(b.bucket, 3, 1) <> substr(qb.bucket, 3, 1)
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN substr(b.bucket, 4, 1) <> substr(qb.bucket, 4, 1)
+                        THEN 1 ELSE 0 END) <= 1
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i)
+            JOIN cand c ON c.vec_id = e.vec_id
+            GROUP BY e.vec_id
+        )
+        SELECT d.vec_id,
+               round(d.dp / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+                   AS cos_sim
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        ORDER BY cos_sim DESC, d.vec_id
+        LIMIT 5
     """,
     "v_ivf_topk": f"""
         WITH e AS ({_EXPAND}),

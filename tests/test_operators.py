@@ -115,6 +115,63 @@ def test_ivf_assign_prefers_best_then_smallest_id(spark):
     assert out[11] == 2
 
 
+def test_signlsh_topk_prunes_far_buckets_and_ranks_exactly(spark):
+    # 2-dim vectors, bits=2 buckets: query (1,1) → bucket "11".
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.8]),   # bucket 11, hamming 0
+            (2, [0.5, -0.1]),  # bucket 10, hamming 1
+            (3, [-0.5, -0.5]), # bucket 00, hamming 2 → pruned
+            (4, [1.0, 1.0]),   # bucket 11, hamming 0
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = SIM.signlsh_topk(df, [1.0, 1.0], k=4, bits=2, max_hamming=1)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 3 not in ids  # beyond the probe radius
+    assert ids[0] == 4  # exact cosine rank inside the candidate set
+    assert set(ids) == {1, 2, 4}
+
+
+def test_hash_sample_deterministic_nested_and_unsheared(spark):
+    from andb_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in hash_sample(df, "k", 0.05).collect()}
+    big = {r["k"] for r in hash_sample(df, "k", 0.20).collect()}
+    assert small <= big  # same salt → nested samples
+    assert small == {
+        r["k"] for r in hash_sample(df.repartition(7), "k", 0.05).collect()
+    }  # membership independent of partitioning
+    assert 0.10 < len(big) / 2000 < 0.30  # ~fraction sized
+    other = {r["k"] for r in hash_sample(df, "k", 0.20, salt="x").collect()}
+    assert other != big  # different salt → different sample
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    from andb_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(g, i) for g in ("a", "b") for i in range(10)] + [("c", 0)],
+        ["g", "k"],
+    )
+    out = stratified_sample(df, ["g"], 3, "k").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["sample_rank"])
+    assert sorted(by_g["a"]) == [1, 2, 3]
+    assert sorted(by_g["b"]) == [1, 2, 3]
+    assert by_g["c"] == [1]  # stratum smaller than n → all rows
+
+
+def test_bpe_tokens_split_classes(spark):
+    from andb_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([(1, "Don't x2 --ok")], ["id", "t"])
+    out = df.select(bpe_tokens("t").alias("bt")).head()["bt"]
+    assert out == ["don", "'", "t", "x", "2", "--", "ok"]
+
+
 def test_asof_join_backward_semantics(spark):
     ts = datetime.datetime
     left = spark.createDataFrame(
