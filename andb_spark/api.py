@@ -124,6 +124,12 @@ class AnalyticsEngine:
         # pointer restore — no data copy (MVCC-lite; the analog of the
         # reference's WAL-undo abort path, andb/storage/xact/undo.py).
         self._txn: dict | None = None
+        # Session variables (the reference's SessionVars threading.local,
+        # andb/runtime/session_vars.py:6-8). `andb.ann_mode` gates the
+        # vector access-path rewrite in _select (plans/ann.py): approximate
+        # answers are strictly opt-in.
+        self.session_vars: dict[str, str] = {"andb.ann_mode": "exact"}
+        self.catalog.setdefault("stats", {})
         register_all(self.spark)
         # re-register managed tables from a previous session (durability
         # across engine restarts — the reference's catalog reload,
@@ -271,6 +277,14 @@ class AnalyticsEngine:
             elif head == "CHECKPOINT":
                 self.spark.catalog.clearCache()
                 r = Result()
+            elif head == "SET":
+                r = self._set_var(stmt)
+            elif head == "ANALYZE":
+                r = self._analyze(stmt)
+            elif head == "SHOW" and re.match(r"show\s+stats\s+for\s+\w+", stmt, re.I):
+                r = self._show_stats(stmt)
+            elif head == "SHOW" and re.match(r"show\s+var\s+", stmt, re.I):
+                r = self._show_var(stmt)
             elif head in ("BEGIN", "START"):
                 r = self._begin()
             elif head == "COMMIT":
@@ -337,14 +351,116 @@ class AnalyticsEngine:
         self._txn = None
         return Result()
 
+    # --------------------------------------------- vars / stats / ANALYZE --
+    def _set_var(self, stmt: str) -> Result:
+        m = re.match(r"set\s+([\w.]+)\s*=\s*'?([\w.\-]+)'?\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse SET statement: {stmt}")
+        name, value = m.group(1), m.group(2)
+        if name == "andb.ann_mode":
+            from andb_spark.plans.ann import MODES
+
+            if value not in MODES:
+                raise EngineError(f"andb.ann_mode must be one of {MODES}")
+        self.session_vars[name] = value
+        return Result()
+
+    def _show_var(self, stmt: str) -> Result:
+        name = re.match(r"show\s+var\s+([\w.]+)\s*$", stmt, re.I).group(1)
+        return Result(
+            columns=["name", "value"],
+            types=["string", "string"],
+            rows=[(name, self.session_vars.get(name))],
+            effect_rows=1,
+        )
+
+    def _analyze(self, stmt: str) -> Result:
+        """ANALYZE <table>: one-scan statistics into the catalog (the
+        content of the reference's empty statistic stubs — plans/stats).
+        Works on managed tables and attached fixture views alike."""
+        m = re.match(r"analyze\s+(?:table\s+)?(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse ANALYZE statement: {stmt}")
+        name = m.group(1)
+        from andb_spark.plans.stats import collect_stats
+
+        stats = collect_stats(self.spark.table(name))
+        self.catalog["stats"][name] = stats
+        self._save_catalog()
+        return Result(
+            columns=["table", "rows", "n_columns"],
+            types=["string", "bigint", "int"],
+            rows=[(name, stats["rows"], len(stats["columns"]))],
+            effect_rows=1,
+        )
+
+    def _show_stats(self, stmt: str) -> Result:
+        name = re.match(r"show\s+stats\s+for\s+(\w+)\s*$", stmt, re.I).group(1)
+        stats = self.catalog["stats"].get(name)
+        if stats is None:
+            raise EngineError(f"no statistics for {name} — run ANALYZE {name}")
+        rows = [
+            (
+                c,
+                stats["rows"],
+                s["nulls"],
+                s["ndv"],
+                str(s.get("min")),
+                str(s.get("max")),
+            )
+            for c, s in stats["columns"].items()
+        ]
+        return Result(
+            columns=["column", "table_rows", "nulls", "ndv", "min", "max"],
+            types=["string", "bigint", "bigint", "bigint", "string", "string"],
+            rows=rows,
+            effect_rows=len(rows),
+        )
+
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)
+
+    # Vector-search access-path rewrite target:
+    #   SELECT <id>, cosine_distance(<vec>, array(...)) AS <d>
+    #   FROM <table> ORDER BY <d> [ASC] LIMIT <k>
+    # — the query shape the reference's vector future pointed at
+    # (implementations.py:108). Rewritten through plans/ann.py when the
+    # session has opted in (SET andb.ann_mode = lsh | auto).
+    _ANN_RE = re.compile(
+        r"^select\s+(?P<id>\w+)\s*,\s*"
+        r"cosine_distance\(\s*(?P<vec>\w+)\s*,\s*array\((?P<lit>[^)]*)\)\s*\)"
+        r"\s+as\s+(?P<alias>\w+)\s+"
+        r"from\s+(?P<table>\w+)\s+"
+        r"order\s+by\s+(?P=alias)(?:\s+asc)?\s+limit\s+(?P<k>\d+)\s*$",
+        re.I,
+    )
 
     def _select(self, stmt: str) -> Result:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
         stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
-        df = self.spark.sql(stmt)
+        mode = self.session_vars.get("andb.ann_mode", "exact")
+        ann = self._ANN_RE.match(stmt) if mode != "exact" else None
+        if ann:
+            from andb_spark.plans.ann import ann_topk
+
+            qv = [float(x) for x in ann.group("lit").split(",") if x.strip()]
+            df, path = ann_topk(
+                self.spark.table(ann.group("table")),
+                qv,
+                int(ann.group("k")),
+                mode=mode,
+                stats=self.catalog["stats"].get(ann.group("table")),
+                id_col=ann.group("id"),
+                vec_col=ann.group("vec"),
+            )
+            self.session_vars["andb.last_ann_path"] = path
+            df = df.select(
+                F.col(ann.group("id")),
+                (F.lit(1.0) - F.col("cos_sim")).alias(ann.group("alias")),
+            )
+        else:
+            df = self.spark.sql(stmt)
         rows = [tuple(r) for r in df.collect()]
         return Result(
             columns=list(df.columns),

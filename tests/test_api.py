@@ -135,6 +135,59 @@ def test_unsupported_statement_errors(engine):
         engine.execute("vacuum everything")
 
 
+def test_analyze_and_show_stats(spark, tmp_path, sf_dir):
+    eng = AnalyticsEngine(str(tmp_path / "wh3"), spark=spark, attach_dir=sf_dir)
+    r = eng.execute("analyze nation")
+    assert r.rows == [("nation", 25, 3)]
+    stats = {row[0]: row for row in eng.execute("show stats for nation").rows}
+    col, table_rows, nulls, ndv, mn, mx = stats["n_nationkey"]
+    assert table_rows == 25 and nulls == 0
+    assert 20 <= ndv <= 30  # HLL approximation of 25
+    assert (mn, mx) == ("0", "24")
+    with pytest.raises(EngineError, match="ANALYZE"):
+        eng.execute("show stats for region")
+
+
+def test_ann_access_path_selection(spark, tmp_path, sf_dir):
+    eng = AnalyticsEngine(str(tmp_path / "wh4"), spark=spark, attach_dir=sf_dir)
+    qv = eng.spark.table("embeddings").filter("vec_id = 0").head()["embedding"]
+    lit = ", ".join(repr(float(x)) for x in qv)
+    q = (
+        f"select vec_id, cosine_distance(embedding, array({lit})) as d"
+        f" from embeddings order by d limit 5"
+    )
+    exact = eng.execute(q)  # default mode: plain Spark SQL, no rewrite
+    assert "andb.last_ann_path" not in eng.session_vars
+
+    with pytest.raises(EngineError, match="ann_mode"):
+        eng.execute("set andb.ann_mode = bogus")
+
+    # auto + no stats → exact path (safety default)
+    eng.execute("set andb.ann_mode = auto")
+    auto = eng.execute(q)
+    assert eng.session_vars["andb.last_ann_path"] == "exact"
+    assert [r[0] for r in auto.rows] == [r[0] for r in exact.rows]
+
+    # auto + stats saying the table is tiny → still exact
+    eng.execute("analyze embeddings")
+    eng.execute(q)
+    assert eng.session_vars["andb.last_ann_path"] == "exact"
+
+    # forced lsh → bucket probe; results are a subset of the corpus
+    # ranked exactly within the probed buckets
+    eng.execute("set andb.ann_mode = lsh")
+    lsh = eng.execute(q)
+    assert eng.session_vars["andb.last_ann_path"] == "lsh"
+    assert eng.execute("show var andb.last_ann_path").rows == [
+        ("andb.last_ann_path", "lsh")
+    ]
+    assert lsh.columns == ["vec_id", "d"]
+    assert 0 < len(lsh.rows) <= 5
+    # distances ascend, and vec_id 0 itself (distance 0) tops the list
+    ds = [r[1] for r in lsh.rows]
+    assert ds == sorted(ds) and lsh.rows[0][0] == 0
+
+
 def test_ctas_and_alter_table(engine):
     e = engine.execute
     e("create table base (a int, b text)")

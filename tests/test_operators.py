@@ -133,6 +133,18 @@ def test_signlsh_topk_prunes_far_buckets_and_ranks_exactly(spark):
     assert set(ids) == {1, 2, 4}
 
 
+def test_ann_path_chooser_rules():
+    from andb_spark.plans.ann import choose_topk_path
+
+    assert choose_topk_path("exact", {"rows": 10**9}) == "exact"  # forced
+    assert choose_topk_path("lsh", None) == "lsh"  # forced
+    assert choose_topk_path("auto", None) == "exact"  # no stats → safe
+    assert choose_topk_path("auto", {"rows": 500}) == "exact"  # tiny
+    assert choose_topk_path("auto", {"rows": 10**8}) == "lsh"  # big
+    with pytest.raises(ValueError):
+        choose_topk_path("bogus", None)
+
+
 def test_hash_sample_deterministic_nested_and_unsheared(spark):
     from andb_spark.operators.sampling import hash_sample
 
