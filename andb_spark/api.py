@@ -266,6 +266,8 @@ class AnalyticsEngine:
                 r = self._drop_index(stmt)
             elif head == "INSERT":
                 r = self._insert(stmt)
+            elif head == "MERGE":
+                r = self._merge(stmt)
             elif head == "DELETE":
                 r = self._delete(stmt)
             elif head == "UPDATE":
@@ -470,6 +472,24 @@ class AnalyticsEngine:
         )
 
     def _explain(self, stmt: str) -> Result:
+        ana = re.match(r"^explain\s+analyze\s+(.*)$", stmt, re.I | re.S)
+        if ana:
+            # EXPLAIN ANALYZE: execute, then report the FINAL physical
+            # plan (post-AQE re-planning — the plan that actually ran)
+            # plus wall time and row count — the Spark analog of the
+            # reference portal's per-operator actual_rows/elapsed
+            # instrumentation (portal.py:93-118, physical/base.py:22-24).
+            df = self.spark.sql(ana.group(1))
+            t0 = time.perf_counter()
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            physical = df._jdf.queryExecution().executedPlan().toString()
+            return Result(
+                columns=["Physical Plan", "rows", "elapsed_sec"],
+                types=["string", "bigint", "double"],
+                rows=[(physical, n, round(dt, 6))],
+                effect_rows=1,
+            )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
         df = self.spark.sql(inner)
         qe = df._jdf.queryExecution()
@@ -723,6 +743,116 @@ class AnalyticsEngine:
         existing = self.spark.read.parquet(self._table_dir(name))
         self._overwrite(name, existing.unionByName(src))
         return Result(effect_rows=n)
+
+    _MERGE_RE = re.compile(
+        r"^merge\s+into\s+(?P<target>\w+)\s+using\s+(?P<source>\w+)\s+"
+        r"on\s+(?P<cond>.*?)\s+(?P<clauses>when\s+.*)$",
+        re.I | re.S,
+    )
+    _MERGE_CLAUSE_RE = re.compile(
+        r"when\s+(?P<not>not\s+)?matched\s+then\s+"
+        r"(?P<action>update\s+set\s+.*?|delete"
+        r"|insert\s*(?:\([^)]*\))?\s*values\s*\(.*?\))"
+        r"\s*(?=when\s+(?:not\s+)?matched|$)",
+        re.I | re.S,
+    )
+
+    def _merge(self, stmt: str) -> Result:
+        """MERGE INTO target USING source ON cond
+        [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
+        [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
+
+        Upsert — absent in the reference (whose DML stops at
+        INSERT/UPDATE/DELETE, SURVEY §2.10) but table stakes for a
+        lakehouse engine. Executed as the classic two-branch rewrite
+        (the same dataflow Delta's MERGE lowers to): one left join
+        producing the updated/survived target rows, one anti join
+        producing the inserts, unioned and atomically swapped in via the
+        versioned write path. One shuffle per branch on the join keys;
+        at scale the join inherits AQE skew splitting like any other.
+        ``source`` must be unique on the join key (ANSI MERGE's multiple-
+        match error is not detected — documented engine caveat)."""
+        m = self._MERGE_RE.match(stmt)
+        if not m:
+            raise EngineError(f"cannot parse MERGE statement: {stmt}")
+        target, source = m.group("target"), m.group("source")
+        cond = m.group("cond").strip()
+        schema = self._schema(target)
+        tcols = [f.name for f in schema.fields]
+        update_set: dict[str, str] | None = None
+        matched_delete = False
+        insert_cols: list[str] | None = None
+        insert_vals: list[str] | None = None
+        for cm in self._MERGE_CLAUSE_RE.finditer(m.group("clauses")):
+            action = cm.group("action").strip()
+            if cm.group("not"):
+                im = re.match(
+                    r"insert\s*(?:\(([^)]*)\))?\s*values\s*\((.*)\)\s*$",
+                    action,
+                    re.I | re.S,
+                )
+                insert_cols = (
+                    [c.strip() for c in im.group(1).split(",")]
+                    if im.group(1)
+                    else tcols
+                )
+                insert_vals = [v.strip() for v in _split_top_level(im.group(2))]
+                if len(insert_vals) != len(insert_cols):
+                    raise EngineError("MERGE INSERT column/value count mismatch")
+            elif re.match(r"delete$", action, re.I):
+                matched_delete = True
+            else:
+                um = re.match(r"update\s+set\s+(.*)$", action, re.I | re.S)
+                update_set = {}
+                for part in _split_top_level(um.group(1)):
+                    k, v = part.split("=", 1)
+                    update_set[k.strip().split(".")[-1]] = v.strip()
+
+        t = self.spark.table(target).alias(target)
+        s = self.spark.table(source).alias(source)
+        jcond = F.expr(cond)
+        n_matched = 0
+        if update_set or matched_delete:
+            n_matched = t.join(s, jcond, "left_semi").count()
+        marked = s.withColumn("__m", F.lit(1)).alias(source)
+        joined = t.join(marked, jcond, "left")
+        if matched_delete:
+            kept = joined.filter(F.col("__m").isNull()).select(
+                *[F.col(f"{target}.{c}").alias(c) for c in tcols]
+            )
+        elif update_set:
+            kept = joined.select(
+                *[
+                    F.when(
+                        F.col("__m").isNotNull(),
+                        F.expr(update_set.get(c, f"{target}.{c}")),
+                    )
+                    .otherwise(F.col(f"{target}.{c}"))
+                    .cast(schema[c].dataType)
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+        else:
+            kept = t.select(*[F.col(f"{target}.{c}").alias(c) for c in tcols])
+        out = kept
+        n_inserted = 0
+        if insert_vals is not None:
+            anti = s.join(t, jcond, "left_anti")
+            n_inserted = anti.count()
+            ins = anti.select(
+                *[F.expr(v).alias(c) for c, v in zip(insert_cols, insert_vals)]
+            )
+            for f in schema.fields:
+                if f.name not in insert_cols:
+                    ins = ins.withColumn(f.name, F.lit(None).cast(f.dataType))
+            ins = ins.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+            out = out.unionByName(ins)
+        out = self._enforce_constraints(target, out)
+        self._overwrite(target, out)
+        return Result(effect_rows=n_matched + n_inserted)
 
     def _copy(self, stmt: str) -> Result:
         """COPY <table> TO|FROM '<path>' [FORMAT parquet|csv|json|orc]

@@ -135,6 +135,43 @@ def test_unsupported_statement_errors(engine):
         engine.execute("vacuum everything")
 
 
+def test_merge_upsert_and_delete(engine):
+    e = engine.execute
+    e("create table tgt (k int not null, v text, n int)")
+    e("insert into tgt values (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    e("create table src (k int, v text)")
+    e("insert into src values (2, 'B'), (4, 'D')")
+
+    r = e(
+        "merge into tgt using src on tgt.k = src.k"
+        " when matched then update set v = src.v, n = tgt.n + 1"
+        " when not matched then insert (k, v) values (src.k, src.v)"
+    )
+    assert r.effect_rows == 2  # 1 update + 1 insert
+    rows = e("select k, v, n from tgt order by k").rows
+    assert rows == [(1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "D", None)]
+
+    # MATCHED DELETE branch
+    r = e("merge into tgt using src on tgt.k = src.k when matched then delete")
+    assert r.effect_rows == 2
+    assert [r[0] for r in e("select k from tgt order by k").rows] == [1, 3]
+
+    with pytest.raises(EngineError, match="MERGE"):
+        e("merge into tgt using src on tgt.k = src.k"
+          " when not matched then insert (k) values (src.k, src.v)")
+
+
+def test_explain_analyze_reports_final_plan_and_rows(engine):
+    e = engine.execute
+    e("create table ea (a int, b int)")
+    e("insert into ea values (1, 1), (2, 2), (3, 3)")
+    r = e("explain analyze select a, sum(b) as s from ea group by a")
+    assert r.columns == ["Physical Plan", "rows", "elapsed_sec"]
+    plan, nrows, elapsed = r.rows[0]
+    assert nrows == 3 and elapsed > 0
+    assert "HashAggregate" in plan  # the plan that actually executed
+
+
 def test_analyze_and_show_stats(spark, tmp_path, sf_dir):
     eng = AnalyticsEngine(str(tmp_path / "wh3"), spark=spark, attach_dir=sf_dir)
     r = eng.execute("analyze nation")
