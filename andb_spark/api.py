@@ -178,14 +178,22 @@ class AnalyticsEngine:
             json.dump(self.catalog, f, indent=1)
         os.replace(tmp, self._catalog_path)
 
+    # How many superseded versions stay readable via VERSION AS OF
+    # before the write path prunes them (VACUUM prunes all).
+    RETAIN_VERSIONS = 5
+
     def _overwrite(self, name: str, df: DataFrame) -> int:
         """Versioned write: the new table state lands in a fresh version
         dir, then the catalog pointer moves. Readers see the old or the
         new version, never a mix (plain-parquet ACID without Delta).
         Inside a transaction the superseded version is retained for
-        rollback; otherwise it is deleted immediately."""
+        rollback; otherwise it joins the table's version HISTORY, kept
+        readable for time travel (`VERSION AS OF`) up to RETAIN_VERSIONS
+        back — immutable version dirs make time travel free, the same
+        economics as Delta/Iceberg snapshots."""
         meta = self._meta(name)
         old_version = meta.get("version")
+        old_vnum = meta.get("vnum", 1)
         old_dir = (
             os.path.join(self.warehouse, name, old_version) if old_version else None
         )
@@ -194,13 +202,21 @@ class AnalyticsEngine:
         df.write.mode("overwrite").parquet(new_dir)
         n = self.spark.read.parquet(new_dir).count()
         meta["version"] = new_version
-        self._save_catalog()
+        meta["vnum"] = old_vnum + 1
         if self._txn is not None:
             self._txn["created"].append(new_dir)
             if old_dir:
                 self._txn["superseded"].append(old_dir)
         elif old_dir:
-            shutil.rmtree(old_dir, ignore_errors=True)
+            history = meta.setdefault("history", [])
+            history.append({"vnum": old_vnum, "version": old_version})
+            for entry in history[: -self.RETAIN_VERSIONS]:
+                shutil.rmtree(
+                    os.path.join(self.warehouse, name, entry["version"]),
+                    ignore_errors=True,
+                )
+            meta["history"] = history[-self.RETAIN_VERSIONS :]
+        self._save_catalog()
         self._view(name)
         return n
 
@@ -287,6 +303,12 @@ class AnalyticsEngine:
                 r = self._show_stats(stmt)
             elif head == "SHOW" and re.match(r"show\s+var\s+", stmt, re.I):
                 r = self._show_var(stmt)
+            elif head == "SHOW" and re.match(
+                r"show\s+history\s+for\s+\w+", stmt, re.I
+            ):
+                r = self._show_history(stmt)
+            elif head == "VACUUM":
+                r = self._vacuum(stmt)
             elif head in ("BEGIN", "START"):
                 r = self._begin()
             elif head == "COMMIT":
@@ -419,8 +441,59 @@ class AnalyticsEngine:
             effect_rows=len(rows),
         )
 
+    # ------------------------------------------------- time travel --
+    def _resolve_version(self, name: str, vnum: int) -> str:
+        """Directory of a table version by number (current or retained)."""
+        meta = self._meta(name)
+        if meta.get("vnum", 1) == vnum:
+            return self._table_dir(name)
+        for entry in meta.get("history", []):
+            if entry["vnum"] == vnum:
+                return os.path.join(self.warehouse, name, entry["version"])
+        retained = [e["vnum"] for e in meta.get("history", [])] + [
+            meta.get("vnum", 1)
+        ]
+        raise EngineError(
+            f"version {vnum} of {name} is not retained (available: {retained})"
+        )
+
+    def _show_history(self, stmt: str) -> Result:
+        name = re.match(r"show\s+history\s+for\s+(\w+)\s*$", stmt, re.I).group(1)
+        meta = self._meta(name)
+        rows = [
+            (e["vnum"], e["version"], False) for e in meta.get("history", [])
+        ] + [(meta.get("vnum", 1), meta.get("version", ""), True)]
+        return Result(
+            columns=["version", "dir", "is_current"],
+            types=["int", "string", "boolean"],
+            rows=rows,
+            effect_rows=len(rows),
+        )
+
+    def _vacuum(self, stmt: str) -> Result:
+        """VACUUM <table>: drop all retained non-current versions."""
+        m = re.match(r"vacuum\s+(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse VACUUM statement: {stmt}")
+        name = m.group(1)
+        meta = self._meta(name)
+        history = meta.get("history", [])
+        for entry in history:
+            shutil.rmtree(
+                os.path.join(self.warehouse, name, entry["version"]),
+                ignore_errors=True,
+            )
+        meta["history"] = []
+        self._save_catalog()
+        return Result(effect_rows=len(history))
+
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)
+
+    # Time travel: `FROM <table> VERSION AS OF <n>` reads the retained
+    # version dir — immutable version dirs make historical reads free
+    # (Delta/Iceberg snapshot semantics over plain parquet).
+    _VERSION_RE = re.compile(r"\b(\w+)\s+version\s+as\s+of\s+(\d+)", re.I)
 
     # Vector-search access-path rewrite target:
     #   SELECT <id>, cosine_distance(<vec>, array(...)) AS <d>
@@ -441,6 +514,16 @@ class AnalyticsEngine:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
         stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
+
+        def _version_view(m: re.Match) -> str:
+            name, vnum = m.group(1), int(m.group(2))
+            view = f"{name}__v{vnum}"
+            self.spark.read.parquet(
+                self._resolve_version(name, vnum)
+            ).createOrReplaceTempView(view)
+            return view
+
+        stmt = self._VERSION_RE.sub(_version_view, stmt)
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(stmt) if mode != "exact" else None
         if ann:

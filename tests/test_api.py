@@ -132,7 +132,42 @@ def test_select_over_attached_fixtures(spark, tmp_path, sf_dir):
 
 def test_unsupported_statement_errors(engine):
     with pytest.raises(EngineError, match="unsupported"):
-        engine.execute("vacuum everything")
+        engine.execute("frobnicate everything")
+
+
+def test_time_travel_history_and_vacuum(engine):
+    e = engine.execute
+    e("create table tt (a int)")
+    e("insert into tt values (1)")          # → v3 (v2 = empty create)
+    e("insert into tt values (2)")          # → v4
+    e("update tt set a = a * 10")           # → v5
+    hist = e("show history for tt").rows
+    assert [h[0] for h in hist] == sorted(h[0] for h in hist)
+    assert hist[-1][2] is True  # current flagged
+
+    cur = e("select a from tt order by a").rows
+    assert cur == [(10,), (20,)]
+    assert e("select a from tt version as of 2").rows == []  # post-create
+    v3 = e("select a from tt version as of 3 order by a").rows
+    assert v3 == [(1,)]
+    v4 = e("select a from tt version as of 4 order by a").rows
+    assert v4 == [(1,), (2,)]
+    # joins across versions work (each version is just a view)
+    r = e(
+        "select cur.a as now, old.a as before from tt cur"
+        " join tt version as of 4 old on cur.a = old.a * 10"
+        " order by now"
+    )
+    assert r.rows == [(10, 1), (20, 2)]
+
+    with pytest.raises(EngineError, match="not retained"):
+        e("select a from tt version as of 99")
+
+    n = e("vacuum tt").effect_rows
+    assert n >= 2
+    with pytest.raises(EngineError, match="not retained"):
+        e("select a from tt version as of 2")
+    assert e("select a from tt order by a").rows == cur  # current unaffected
 
 
 def test_merge_upsert_and_delete(engine):
