@@ -229,6 +229,80 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 tokens by frequency — the vocabulary/heavy-
+    hitter query every tokenizer-training pipeline starts from. Explode →
+    partial-aggregated count → TakeOrderedAndProject: the shuffle carries
+    one row per (token, partition), the driver sees 50 rows. At 100 TB
+    swap the exact count for a count-min/approx top-k only if the
+    vocabulary itself (not the corpus) outgrows the cluster."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing). Two aggregations
+    (term-frequency per doc, document-frequency per term) + a broadcast-
+    sized join on term + a per-doc top-k window. The df table is
+    vocabulary-sized — broadcastable at any corpus scale."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (
+            F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double"))
+            + F.lit(1.0)
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tfidf"), 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 100-char buckets with per-bucket
+    mean token count — the corpus-shape triage chart. One aggregation."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            (F.floor(F.col("n_chars") / 100) * 100).alias("bucket_lo"),
+            TX.token_count("text").alias("_nt"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 # -------------------------------------------------------------- sampling --
 def p_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~12.5% Bernoulli sample of the corpus keyed on
@@ -369,6 +443,9 @@ QUERIES = {
     "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_source_stats": t_source_stats,
     "t_bpe_tokens": t_bpe_tokens,
+    "t_heavy_hitters": t_heavy_hitters,
+    "t_tfidf": t_tfidf,
+    "t_length_histogram": t_length_histogram,
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
     "a_asof_join": a_asof_join,
@@ -612,6 +689,39 @@ ORACLES = {
                     AS BIGINT) AS n_punct,
                round(CAST(len(bt) AS DOUBLE) / nw, 6) AS fertility
         FROM b ORDER BY doc_id
+    """,
+    "t_heavy_hitters": f"""
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest({_WORDS.format(col='lower(text)')}) AS token
+            FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    "t_tfidf": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_WORDS.format(col='lower(text)')}) AS term
+            FROM documents WHERE doc_id < 50
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE))
+                            + 1.0) AS tfidf
+            FROM tf JOIN dfreq USING (term), n
+        )
+        SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        ) t WHERE rn <= 3 ORDER BY doc_id, rank
+    """,
+    "t_length_histogram": f"""
+        SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+               count(*) AS n_docs,
+               round(avg(len({_WORDS.format(col='text')})), 6) AS avg_tokens
+        FROM documents GROUP BY 1 ORDER BY bucket_lo
     """,
     "p_sample_hash": """
         SELECT doc_id, source FROM documents
