@@ -303,6 +303,45 @@ def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven corpus filter: keep documents strictly above their
+    source's median quality score — the percentile-threshold filtering
+    step of a training pipeline (threshold from the data, not a magic
+    constant). One agg for the per-source medians (exact interpolated
+    percentile; the threshold table is strata-sized → broadcast), one
+    broadcast join + filter over the corpus. At 100 TB swap the exact
+    percentile for approx_percentile; the dataflow is unchanged."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        "source",
+        TX.stopword_ratio("text").alias("_sw"),
+        TX.punct_ratio("text").alias("_pr"),
+        TX.avg_token_length("text").alias("_awl"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "source",
+        TX.quality_from_measures(
+            F.col("_sw"), F.col("_pr"), F.col("_awl")
+        ).alias("_q"),
+    )
+    med = scored.groupBy("source").agg(
+        F.percentile("_q", F.lit(0.5)).alias("_med")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("_q") > F.col("_med"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("_q"), 6).alias("quality"),
+            F.round(F.col("_med"), 6).alias("source_median"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # -------------------------------------------------------------- sampling --
 def p_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~12.5% Bernoulli sample of the corpus keyed on
@@ -446,6 +485,7 @@ QUERIES = {
     "t_heavy_hitters": t_heavy_hitters,
     "t_tfidf": t_tfidf,
     "t_length_histogram": t_length_histogram,
+    "p_quality_filter": p_quality_filter,
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
     "a_asof_join": a_asof_join,
@@ -722,6 +762,40 @@ ORACLES = {
                count(*) AS n_docs,
                round(avg(len({_WORDS.format(col='text')})), 6) AS avg_tokens
         FROM documents GROUP BY 1 ORDER BY bucket_lo
+    """,
+    "p_quality_filter": f"""
+        WITH base AS (
+            SELECT doc_id, source, text, {_WORDS.format(col='lower(text)')} AS w
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(w, x -> list_contains(
+                       ['the','a','of','and','to','in','is','it','on','for'], x)))
+                       AS DOUBLE) / len(w) AS swr,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       AS DOUBLE) / length(text) AS pr,
+                   list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE)))
+                       / len(w) AS awl
+            FROM base
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   least(swr * 4.0, 1.0) * 0.5
+                   + (1.0 - least(pr * 10.0, 1.0)) * 0.3
+                   + CASE WHEN awl >= 3.0 AND awl <= 8.0
+                          THEN 0.2 ELSE 0.0 END AS q
+            FROM m
+        ),
+        med AS (
+            SELECT source,
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY q) AS med
+            FROM scored GROUP BY source
+        )
+        SELECT doc_id, scored.source, round(q, 6) AS quality,
+               round(med, 6) AS source_median
+        FROM scored JOIN med ON med.source = scored.source
+        WHERE q > med ORDER BY doc_id
     """,
     "p_sample_hash": """
         SELECT doc_id, source FROM documents
