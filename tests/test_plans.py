@@ -147,3 +147,45 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = final_plan(spark, sf_dir, "a_asof_join")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_heavy_hitters_partial_agg_and_topk(spark, sf_dir):
+    """Vocabulary top-k: the token count must partial-aggregate before
+    the shuffle (one row per (token, partition) crosses) and the top-50
+    must be TakeOrderedAndProject, never a global sort."""
+    plan = final_plan(spark, sf_dir, "t_heavy_hitters")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not re.search(r"\bSort\b(?!MergeJoin)", plan), plan
+
+
+def test_tfidf_broadcasts_document_frequency(spark, sf_dir):
+    """The df (vocabulary-sized) side of the TF-IDF join must broadcast —
+    the corpus-sized tf side never shuffles for the join."""
+    plan = final_plan(spark, sf_dir, "t_tfidf")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_filter_broadcasts_medians(spark, sf_dir):
+    """The per-source median table (strata-sized) must broadcast; the
+    corpus side of the threshold join must not shuffle."""
+    plan = final_plan(spark, sf_dir, "p_quality_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_signlsh_probe_is_scan_filter(spark, sf_dir):
+    """The sign-LSH ANN probe is a pure scan filter + TakeOrdered: no
+    join, no aggregation, no shuffle anywhere in the plan."""
+    plan = final_plan(spark, sf_dir, "v_lsh_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    for op in ("Join", "Exchange", "HashAggregate"):
+        assert op not in plan, f"{op} in signlsh plan:\n{plan}"
+
+
+def test_hash_sample_is_pure_scan_filter(spark, sf_dir):
+    """Deterministic sampling composes as a filter directly over the
+    scan — no shuffle, no materialization barrier."""
+    plan = final_plan(spark, sf_dir, "p_sample_hash")
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan, plan
