@@ -124,6 +124,57 @@ def run_stream(
     return spark.table(query_name)
 
 
+def stream_into_table(
+    out: DataFrame,
+    engine,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    query_name: str = "andb_stream_ingest",
+) -> None:
+    """Continuous ingest: a streaming aggregate maintained inside a
+    managed engine table via ``foreachBatch`` — the incremental
+    materialized-view path (REFRESH MATERIALIZED VIEW is the batch
+    fallback; this keeps the same table current per micro-batch).
+
+    Exactly-once effect from two halves:
+    - Structured Streaming's checkpoint replays each epoch with the SAME
+      batch_id after failure;
+    - the sink is idempotent per batch_id — replayed batches are skipped
+      via the high-water mark recorded in the table's catalog entry, and
+      the upsert itself lands through the engine's atomic versioned
+      write (readers see the pre- or post-batch table, never a mix).
+
+    The per-batch upsert is anti-join + union on ``keys`` — in `update`
+    output mode each micro-batch emits only re-aggregated keys, so the
+    work per batch is proportional to changed keys, not table size
+    (state lives in the streaming state store, bounded by the
+    watermark)."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = engine.catalog["tables"][table]
+        if meta.get("last_stream_batch", -1) >= batch_id:
+            return  # checkpoint replay — already applied
+        current = engine.spark.read.parquet(engine._table_dir(table))
+        kept = current.join(
+            batch_df.select(*keys).distinct(), keys, "left_anti"
+        )
+        engine._overwrite(table, kept.unionByName(batch_df))
+        meta["last_stream_batch"] = batch_id
+        engine._save_catalog()
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def stream_events(
     spark: SparkSession,
     events_path: str,

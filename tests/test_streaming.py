@@ -9,8 +9,49 @@ from andb_spark.streaming.windows import (
     session_agg,
     sliding_agg,
     stream_events,
+    stream_into_table,
+    stream_source,
     tumbling_agg,
 )
+
+
+def test_stream_into_managed_table_idempotent(spark, tmp_path, sf_dir):
+    """foreachBatch ingest: the streaming tumbling aggregate maintained
+    in a managed table equals the batch aggregate, and a checkpoint
+    replay (same batch ids) applies no duplicate effects."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    eng.execute(
+        "create table hourly (window_start timestamp, event_type text,"
+        " n bigint, total_value double)"
+    )
+    events_path = table_path(sf_dir, "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = tumbling_agg(stream_source(spark, events_path))
+    stream_into_table(
+        out, eng, "hourly", ["window_start", "event_type"], ckpt
+    )
+    got = sorted(tuple(r) for r in eng.execute(
+        "select window_start, event_type, n, total_value from hourly"
+    ).rows)
+    batch = sorted(
+        tuple(r)
+        for r in tumbling_agg(load_table(spark, sf_dir, "events")).collect()
+    )
+    assert got == batch
+    vnum_after = eng.catalog["tables"]["hourly"]["vnum"]
+
+    # Re-run over the same checkpoint: no new data, no replayed effects.
+    out2 = tumbling_agg(stream_source(spark, events_path))
+    stream_into_table(
+        out2, eng, "hourly", ["window_start", "event_type"], ckpt
+    )
+    assert eng.catalog["tables"]["hourly"]["vnum"] == vnum_after
+    got2 = sorted(tuple(r) for r in eng.execute(
+        "select window_start, event_type, n, total_value from hourly"
+    ).rows)
+    assert got2 == batch
 
 
 def test_stream_equals_batch_tumbling(spark, sf_dir):
