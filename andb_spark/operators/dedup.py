@@ -74,8 +74,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exploded_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle) rows — the shared input of the signature and
+    verification stages."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: (id, sig array<string>) where
     sig[h] = min over shingles of md5(h || '|' || shingle), compared as
@@ -92,7 +104,11 @@ def minhash_signatures(
     # interpreted per element and benches ~6× slower), and partial
     # aggregation means the shuffle carries one row per (doc, partition),
     # not per (doc, shingle, hash).
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else exploded_shingles(df, text_col, id_col)
+    )
     aggs = [
         F.min(
             F.md5(F.concat_ws("|", F.lit(h), F.col("shingle")))
@@ -175,6 +191,7 @@ def jaccard_verify(
     text_col: str,
     id_col: str,
     threshold: float,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only (never all pairs).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, rounded to
@@ -186,8 +203,13 @@ def jaccard_verify(
     expensive relative to plan compilation should pass a persisted
     ``candidates`` and a pre-restricted ``df`` (see minhash_lsh_pairs
     ``materialize=True``)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col)).alias("shingle")
+    sh = (
+        shingle_df.withColumnRenamed(id_col, "_id")
+        if shingle_df is not None
+        else df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(text_col)).alias("shingle"),
+        )
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("_id").alias("id_a"), F.col("shingle"))
@@ -229,25 +251,36 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     materialize: bool = False,
+    checkpoint_shingles: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs with exact
     Jaccard >= threshold among LSH candidates.
 
-    ``materialize`` picks the execution regime (measured, not guessed):
+    Execution regimes (measured, not guessed; combinable):
 
-    - False (default): pure lazy composition. Downstream consumers
+    - default (both False): pure lazy composition. Downstream consumers
       re-evaluate shared subtrees, but all re-evaluations reuse the same
-      compiled codegen classes. At small-to-medium corpus sizes the
-      recompute is cheaper than the extra plan shapes + cache
-      serialization that persisting introduces (cold end-to-end at
-      sf0.1: ~8.5s lazy vs ~13s persisted).
-    - True: persist the candidate set (tiny relative to the corpus) and
-      restrict verification to candidate documents via a semi-join — the
-      MLlib-style "cache the small midpoint, never the corpus" pattern.
-      At 100 TB, where one corpus-wide signature pass costs hours, the
-      lazy plan would run it 3× in verification; this caps it at one.
+      compiled codegen classes. At small corpus sizes the recompute is
+      cheaper than any materialization bookkeeping.
+    - ``checkpoint_shingles``: materialize the exploded (id, shingle)
+      table once and feed it to BOTH the signature and the verification
+      stages — tokenize/shingle runs once instead of ~4×. Measured at
+      sf0.1: ~3.3s lazy → ~2.8s. The shingle table is corpus-sized, so
+      this is the mid-scale regime: local disk/memory can hold it. (On
+      a cluster, checkpoint to reliable storage.)
+    - ``materialize``: persist the candidate set (tiny relative to the
+      corpus) and restrict verification to candidate documents via a
+      semi-join — the MLlib-style "cache the small midpoint, never the
+      corpus" pattern. At 100 TB, where one corpus-wide signature pass
+      costs hours and the shingle table is too big to store, this caps
+      signature passes at one while materializing only candidate ids.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    shingle_df = None
+    if checkpoint_shingles:
+        shingle_df = exploded_shingles(df, text_col, id_col).localCheckpoint(
+            eager=True
+        )
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_df)
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
     if materialize:
@@ -258,7 +291,8 @@ def minhash_lsh_pairs(
             .distinct()
         )
         df = df.join(cand_ids, df[id_col] == cand_ids["_id"], "left_semi")
-    return jaccard_verify(df, cands, text_col, id_col, threshold)
+        shingle_df = None  # df was restricted; recompute shingles on it
+    return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_df)
 
 
 def ngram_jaccard_pairs(

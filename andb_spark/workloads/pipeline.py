@@ -65,7 +65,7 @@ def d_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
         _docs(spark, sf_dir), "text", "doc_id", num_hashes=8, rows_per_band=2,
-        threshold=0.5,
+        threshold=0.5, checkpoint_shingles=True,
     ).orderBy("id_a", "id_b")
 
 
