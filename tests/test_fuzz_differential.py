@@ -115,6 +115,61 @@ def engines(spark, sf_dir):
     return spark, con
 
 
+# Window-function fuzz arm. Every OVER clause orders by a TOTAL order
+# (the chosen sort column + the (l_orderkey, l_linenumber) unique key)
+# so rank/lag results are deterministic and engine-independent.
+_WIN_PARTITION = st.sampled_from(
+    ["l_returnflag", "l_linestatus", "l_suppkey % 5", ""]
+)
+_WIN_ORDER = st.sampled_from(["l_quantity", "l_extendedprice", "l_shipdate"])
+_WIN_FUNC = st.sampled_from(
+    [
+        "row_number()",
+        "rank()",
+        "dense_rank()",
+        "lag(l_quantity, 1)",
+        "lead(l_quantity, 1)",
+        "SUM_ROWS",  # running sum with an explicit ROWS frame
+    ]
+)
+
+
+def _build_window_sql(part: str, order: str, fn: str) -> str:
+    over = (
+        (f"PARTITION BY {part} " if part else "")
+        + f"ORDER BY {order}, l_orderkey, l_linenumber"
+    )
+    if fn == "SUM_ROWS":
+        expr = (
+            f"round(sum(l_quantity) OVER ({over}"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+        )
+    else:
+        expr = f"{fn} OVER ({over})"
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS w FROM lineitem"
+        f" WHERE l_orderkey < 500"
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(part=_WIN_PARTITION, order=_WIN_ORDER, fn=_WIN_FUNC)
+def test_random_window_query_agrees_with_duckdb(engines, part, order, fn):
+    spark, con = engines
+    sql = _build_window_sql(part, order, fn)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert len(srows) == len(drows), sql
+    for srow, drow in zip(_rowset(srows), _rowset(drows)):
+        for a, b in zip(srow, drow):
+            if isinstance(a, float) or isinstance(b, float):
+                assert math.isclose(
+                    float(a), float(b), rel_tol=1e-9, abs_tol=1e-4
+                ), (sql, srow, drow)
+            else:
+                assert a == b, (sql, srow, drow)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     preds=st.lists(predicate, max_size=2, unique=True),
