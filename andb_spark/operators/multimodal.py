@@ -83,6 +83,59 @@ def extract_image_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     return binary_df.mapInPandas(_extract, schema=IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, codec string, sample_rate int,"
+    " channels int, duration_ms int, n_samples bigint"
+)
+
+
+def decode_audio(data: bytes, fake: bool = False) -> tuple[str, int, int, int]:
+    """Decode an audio payload → (codec, sample_rate, channels,
+    duration_ms). STUB like ``decode_image``: real decoding needs
+    ffmpeg/soundfile, absent here; ``fake=True`` derives deterministic
+    metadata from the payload digest."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs not available in this environment; "
+            "pass fake=True for the deterministic test decoder"
+        )
+    d = hashlib.md5(data).digest()
+    codec = ("wav", "mp3", "flac")[d[0] % 3]
+    sample_rate = (8000, 16000, 22050, 44100, 48000)[d[1] % 5]
+    channels = 1 + d[2] % 2
+    duration_ms = 500 + int.from_bytes(d[3:5], "big") % 60000
+    return codec, sample_rate, channels, duration_ms
+
+
+def extract_audio_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature-extraction stage over the same mapInPandas plumbing
+    as ``extract_image_meta``; adds the derived sample count (the number
+    a training pipeline budgets audio-token counts from)."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decode_audio(b, fake=fake) for b in pdf["payload"]]
+            duration = [m[3] for m in metas]
+            rate = [m[1] for m in metas]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "codec": [m[0] for m in metas],
+                    "sample_rate": rate,
+                    "channels": [m[2] for m in metas],
+                    "duration_ms": duration,
+                    "n_samples": [
+                        dm * r // 1000 for dm, r in zip(duration, rate)
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(_extract, schema=AUDIO_META_SCHEMA)
+
+
 RESIZED_SCHEMA = IMAGE_META_SCHEMA + ", new_width int, new_height int"
 
 

@@ -18,6 +18,7 @@ from andb_spark.operators import dedup as DD
 from andb_spark.operators.asof import asof_join
 from andb_spark.operators.multimodal import (
     binarize,
+    extract_audio_meta,
     extract_image_meta,
     resize_images,
     sample_frames,
@@ -460,6 +461,16 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def m_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of m_image_meta: mapInPandas feature
+    extraction with the deterministic fake codec, plus the derived
+    per-payload sample count."""
+    d = _docs(spark, sf_dir)
+    return extract_audio_meta(binarize(d, "text", "doc_id"), fake=True).orderBy(
+        "doc_id"
+    )
+
+
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over binary payloads (mapInPandas fan-out)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -493,6 +504,7 @@ QUERIES = {
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
+    "m_audio_meta": m_audio_meta,
     "m_resize": m_resize,
     "m_frame_sample": m_frame_sample,
 }
@@ -862,6 +874,35 @@ ORACLES = {
                CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
                CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
         FROM h ORDER BY doc_id
+    """,
+    "m_audio_meta": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS hh
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, n_bytes,
+                   (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) AS b0,
+                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) AS b1,
+                   (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) AS b2,
+                   {_HEX2INT.format(h='hh', off='6')} AS w16
+            FROM h
+        )
+        SELECT doc_id, n_bytes,
+               ['wav', 'mp3', 'flac'][CAST(b0 AS INT) % 3 + 1] AS codec,
+               CAST([8000, 16000, 22050, 44100, 48000][CAST(b1 AS INT) % 5 + 1]
+                    AS INT) AS sample_rate,
+               CAST(1 + b2 % 2 AS INT) AS channels,
+               CAST(500 + w16 % 60000 AS INT) AS duration_ms,
+               CAST((CAST(500 + w16 % 60000 AS BIGINT)
+                     * [8000, 16000, 22050, 44100, 48000][CAST(b1 AS INT) % 5 + 1])
+                    // 1000 AS BIGINT) AS n_samples
+        FROM b ORDER BY doc_id
     """,
     "m_resize": f"""
         WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
