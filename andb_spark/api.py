@@ -574,9 +574,23 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
+        mode = self.session_vars.get("andb.ann_mode", "exact")
+        ann = self._ANN_RE.match(inner) if mode != "exact" else None
+        if ann:
+            # Surface the access-path decision (the reference's EXPLAIN
+            # shows its scan choice the same way — IndexScan vs
+            # TableScan in the physical plan text).
+            from andb_spark.plans.ann import choose_topk_path
+
+            path = choose_topk_path(
+                mode, self.catalog["stats"].get(ann.group("table"))
+            )
+            header = f"-- vector access path: {path} (andb.ann_mode={mode})\n"
+        else:
+            header = ""
         df = self.spark.sql(inner)
         qe = df._jdf.queryExecution()
-        logical = qe.optimizedPlan().toString()
+        logical = header + qe.optimizedPlan().toString()
         physical = qe.executedPlan().toString()
         # Two-column, logical + physical — the reference's EXPLAIN output
         # shape (portal.py:124-128).

@@ -248,6 +248,8 @@ def test_ann_access_path_selection(spark, tmp_path, sf_dir):
     # forced lsh → bucket probe; results are a subset of the corpus
     # ranked exactly within the probed buckets
     eng.execute("set andb.ann_mode = lsh")
+    expl = eng.execute(f"explain {q}")
+    assert "vector access path: lsh" in expl.rows[0][0]
     lsh = eng.execute(q)
     assert eng.session_vars["andb.last_ann_path"] == "lsh"
     assert eng.execute("show var andb.last_ann_path").rows == [
