@@ -165,6 +165,30 @@ def bpe_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(_to_col(text)), F.lit(BPE_PATTERN), 0)
 
 
+# PII / contamination patterns — the portable regex subset (explicit
+# classes, bounded quantifiers) so Spark's java.util.regex and the
+# DuckDB oracle's RE2 agree.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+URL_PATTERN = r"https?://[^ \t\n]+"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_urls) found in the lowercased text."""
+    t = F.lower(_to_col(text))
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), 0))
+    return n_emails.cast("bigint"), n_urls.cast("bigint")
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Lowercased text with emails/URLs replaced by typed placeholders —
+    the scrubbing transform a corpus pipeline applies before training.
+    Pure Catalyst regexp_replace, JVM-side."""
+    t = F.lower(_to_col(text))
+    t = F.regexp_replace(t, EMAIL_PATTERN, "<email>")
+    return F.regexp_replace(t, URL_PATTERN, "<url>")
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted set of
     lowercased tokens. Two documents that are word-permutations of each

@@ -230,6 +230,22 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: count emails/URLs per document and emit the
+    digest of the redacted text (placeholder-substituted) — the
+    before-training scrubbing pass, all JVM-side regexp. On this
+    synthetic corpus most counts are zero; the oracle still pins the
+    exact counting + redaction semantics."""
+    d = _docs(spark, sf_dir)
+    n_emails, n_urls = TX.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.md5(TX.pii_redact(F.col("text"))).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
 def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 tokens by frequency — the vocabulary/heavy-
     hitter query every tokenizer-training pipeline starts from. Explode →
@@ -494,6 +510,7 @@ QUERIES = {
     "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_source_stats": t_source_stats,
     "t_bpe_tokens": t_bpe_tokens,
+    "t_pii_scrub": t_pii_scrub,
     "t_heavy_hitters": t_heavy_hitters,
     "t_tfidf": t_tfidf,
     "t_length_histogram": t_length_histogram,
@@ -742,6 +759,18 @@ ORACLES = {
                     AS BIGINT) AS n_punct,
                round(CAST(len(bt) AS DOUBLE) / nw, 6) AS fertility
         FROM b ORDER BY doc_id
+    """,
+    "t_pii_scrub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(lower(text),
+                   'https?://[^ \\t\\n]+')) AS BIGINT) AS n_urls,
+               md5(regexp_replace(regexp_replace(lower(text),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<email>', 'g'),
+                   'https?://[^ \\t\\n]+', '<url>', 'g')) AS redacted_hash
+        FROM documents ORDER BY doc_id
     """,
     "t_heavy_hitters": f"""
         SELECT token, count(*) AS n FROM (

@@ -176,6 +176,21 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     assert by_g["c"] == [1]  # stratum smaller than n → all rows
 
 
+def test_pii_scrub_counts_and_redacts(spark):
+    from andb_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "Mail A@B.com or c.d@e.org via https://x.io/p?q=1 now")],
+        ["id", "t"],
+    )
+    n_emails, n_urls = pii_counts("t")
+    row = df.select(
+        n_emails.alias("e"), n_urls.alias("u"), pii_redact("t").alias("r")
+    ).head()
+    assert (row["e"], row["u"]) == (2, 1)
+    assert row["r"] == "mail <email> or <email> via <url> now"
+
+
 def test_bpe_tokens_split_classes(spark):
     from andb_spark.functions.text import bpe_tokens
 
