@@ -96,6 +96,27 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
 
 
+def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check: texts that appear in MORE THAN ONE source —
+    the shape of train/eval leakage detection (same content on both
+    sides of a split). One hash-groupBy; the source list is a bounded
+    distinct-set per hash, emitted as a sorted string for a stable
+    cross-engine representation."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .orderBy("text_hash")
+    )
+
+
 # ---------------------------------------------------------- text analysis --
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the token array once; the three measures derive from the
@@ -503,6 +524,7 @@ QUERIES = {
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_dup_components": d_dup_components,
     "d_simhash": d_simhash,
+    "d_cross_source_dups": d_cross_source_dups,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
@@ -759,6 +781,15 @@ ORACLES = {
                     AS BIGINT) AS n_punct,
                round(CAST(len(bt) AS DOUBLE) / nw, 6) AS fertility
         FROM b ORDER BY doc_id
+    """,
+    "d_cross_source_dups": """
+        SELECT md5(text) AS text_hash,
+               count(DISTINCT source) AS n_sources,
+               count(*) AS n_copies,
+               array_to_string(list_sort(list_distinct(array_agg(source))), ',')
+                   AS sources
+        FROM documents GROUP BY 1
+        HAVING count(DISTINCT source) > 1 ORDER BY text_hash
     """,
     "t_pii_scrub": """
         SELECT doc_id,

@@ -176,6 +176,39 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     assert by_g["c"] == [1]  # stratum smaller than n → all rows
 
 
+def test_cross_source_dups_semantics(spark, tmp_path):
+    """The contamination query returns one row per text present in >1
+    source, with the sorted distinct source list (fixture corpus has no
+    cross-source dups, so semantics are pinned here on crafted data)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "leaked text", "train"),
+            (2, "leaked text", "eval"),
+            (3, "leaked text", "train"),
+            (4, "clean text", "train"),
+            (5, "clean text", "train"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = (
+        df.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_sources") > 1)
+        .collect()
+    )
+    assert len(out) == 1
+    assert (out[0]["n_sources"], out[0]["n_copies"]) == (2, 3)
+    assert out[0]["sources"] == "eval,train"
+
+
 def test_pii_scrub_counts_and_redacts(spark):
     from andb_spark.functions.text import pii_counts, pii_redact
 
