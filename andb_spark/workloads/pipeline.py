@@ -96,6 +96,23 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
 
 
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: dedup an INCREMENT
+    (docs 400+) against the HISTORICAL corpus (docs <400) without
+    rescanning history per pair. Anti-join on content hash; at 100 TB
+    the historical side is a bucketed table of content hashes (hash =
+    join key, pre-bucketed ⇒ the nightly increment join is shuffle-free
+    on the history side and the increment side is tiny)."""
+    d = _docs(spark, sf_dir)
+    new = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    old = d.filter(F.col("doc_id") < 400).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    return new.join(old, "h", "left_anti").select("doc_id").orderBy("doc_id")
+
+
 def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination check: texts that appear in MORE THAN ONE source —
     the shape of train/eval leakage detection (same content on both
@@ -525,6 +542,7 @@ QUERIES = {
     "d_dup_components": d_dup_components,
     "d_simhash": d_simhash,
     "d_cross_source_dups": d_cross_source_dups,
+    "d_incremental_dedup": d_incremental_dedup,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
@@ -781,6 +799,13 @@ ORACLES = {
                     AS BIGINT) AS n_punct,
                round(CAST(len(bt) AS DOUBLE) / nw, 6) AS fertility
         FROM b ORDER BY doc_id
+    """,
+    "d_incremental_dedup": """
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 400
+          AND md5(text) NOT IN (
+              SELECT md5(text) FROM documents WHERE doc_id < 400)
+        ORDER BY doc_id
     """,
     "d_cross_source_dups": """
         SELECT md5(text) AS text_hash,
