@@ -48,7 +48,10 @@ def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.exact_dedup(_docs(spark, sf_dir), "text", "doc_id").orderBy("doc_id")
+    # No trailing sort: survivors are corpus-sized output; the compare
+    # is order-insensitive and a global range-exchange would dominate
+    # the one-shuffle dedup at scale.
+    return DD.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def d_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,10 +67,11 @@ def d_fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup pair sets are unbounded output — no trailing global sort.
     return DD.minhash_lsh_pairs(
         _docs(spark, sf_dir), "text", "doc_id", num_hashes=8, rows_per_band=2,
         threshold=0.5, checkpoint_shingles=True,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +187,8 @@ def t_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pr, 6).alias("punct_ratio"),
             F.round(TX.quality_from_measures(sw, pr, awl), 6).alias("quality"),
         )
-        .orderBy("doc_id")
+        # No trailing sort: per-document scores are corpus-sized output —
+        # keeping the query a single shuffle-free scan stage.
     )
 
 
