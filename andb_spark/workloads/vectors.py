@@ -93,6 +93,39 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.signlsh_topk(emb, q, k=5, bits=4, max_hamming=1, exclude_id=0)
 
 
+def v_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization summary per embedding (scale =
+    127/max|v|, q_i = floor(v_i·scale)) — the 4× storage compression a
+    100 TB vector corpus ships with (float32 → int8). Pure per-row
+    higher-order-function math, shuffle-free; emits the scale and the
+    quantized checksum aggregates the oracle can recompute exactly
+    (floor avoids round-half tie-breaking divergence across engines).
+    Assumes no all-zero vectors (true of normalized embeddings)."""
+    emb = _emb(spark, sf_dir)
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        (
+            F.lit(127.0)
+            / F.array_max(F.transform(vd, lambda x: F.abs(x)))
+        ).alias("_s"),
+    )
+    q = F.transform(
+        F.transform("embedding", lambda x: x.cast("double")),
+        lambda x: F.floor(x * F.col("_s")).cast("bigint"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(F.col("_s"), 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
 def v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (3 iterations, deterministic init) —
     the iterative-algorithm category: genuinely non-SQL-expressible, so
@@ -108,6 +141,7 @@ QUERIES = {
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
     "v_lsh_topk": v_lsh_topk,
+    "v_quantize": v_quantize,
     "v_cluster_near_dup": v_cluster_near_dup,
     "v_kmeans": v_kmeans,
 }
@@ -206,6 +240,18 @@ ORACLES = {
                        JOIN norms nb ON nb.vec_id = id_b
         WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
         ORDER BY id_a, id_b
+    """,
+    "v_quantize": f"""
+        WITH e AS ({_EXPAND}),
+        s AS (SELECT vec_id, 127.0 / max(abs(v)) AS scale FROM e GROUP BY vec_id),
+        q AS (
+            SELECT e.vec_id, s.scale,
+                   CAST(floor(e.v * s.scale) AS BIGINT) AS qv
+            FROM e JOIN s USING (vec_id)
+        )
+        SELECT vec_id, round(scale, 6) AS scale,
+               sum(qv) AS q_sum, min(qv) AS q_min, max(qv) AS q_max
+        FROM q GROUP BY vec_id, scale
     """,
     "v_lsh_topk": f"""
         WITH e AS ({_EXPAND}),
