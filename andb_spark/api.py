@@ -751,6 +751,7 @@ class AnalyticsEngine:
         self._meta(name)
         base = os.path.join(self.warehouse, name)
         del self.catalog["tables"][name]
+        self.catalog["stats"].pop(name, None)  # stats die with the table
         self.catalog["indexes"] = {
             k: v for k, v in self.catalog["indexes"].items() if v["table"] != name
         }
