@@ -42,6 +42,32 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert n_parts > 12  # sanity: fixture spans years
 
 
+def test_signlsh_bucket_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The sign-LSH scale claim, demonstrated: embeddings written
+    partitioned by their LSH bucket turn an ANN probe's candidate test
+    into DIRECTORY-level partition pruning — the probe reads only the
+    matching bucket dirs, never the corpus."""
+    from andb_spark.operators.similarity import sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "emb_by_bucket")
+    (
+        emb.withColumn("bucket", sign_bucket("embedding", 4))
+        .write.partitionBy("bucket")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("bucket") == "0101").select(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # every 4-bit bucket with members got its own directory
+    n_buckets = back.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 16
+
+
 def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key into the same bucket count
     sort-merge-join with NO Exchange on either side."""
