@@ -554,23 +554,69 @@ class AnalyticsEngine:
             effect_rows=len(rows),
         )
 
+    @staticmethod
+    def _operator_metrics(jplan) -> str:
+        """Per-operator executed metrics, one line per plan node:
+        ``OpName: numOutputRows=…, …`` indented by tree depth. The
+        direct analog of the reference portal's per-operator
+        actual_rows/elapsed instrumentation (portal.py:93-118,
+        physical/base.py:22-24) — but read from Spark's SQLMetric
+        registry, which the executors populated during the run. AQE /
+        query-stage / reused-exchange wrappers are unwrapped so the
+        reported tree is the plan that actually ran; any wrapper whose
+        accessor this Spark version lacks just stops the descent."""
+        lines: list[str] = []
+
+        def walk(node, depth: int) -> None:
+            cls = node.getClass().getSimpleName()
+            vals = []
+            it = node.metrics().iterator()
+            while it.hasNext():
+                e = it.next()
+                vals.append(f"{e._1()}={e._2().value()}")
+            lines.append("  " * depth + f"{cls}: {', '.join(sorted(vals))}")
+            try:
+                if cls == "AdaptiveSparkPlanExec":
+                    walk(node.executedPlan(), depth + 1)
+                    return
+                if cls.endswith("QueryStageExec"):
+                    walk(node.plan(), depth + 1)
+                    return
+            except Exception:
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth + 1)
+
+        try:
+            walk(jplan, 0)
+        except Exception:
+            pass
+        return "\n".join(lines)
+
     def _explain(self, stmt: str) -> Result:
         ana = re.match(r"^explain\s+analyze\s+(.*)$", stmt, re.I | re.S)
         if ana:
             # EXPLAIN ANALYZE: execute, then report the FINAL physical
             # plan (post-AQE re-planning — the plan that actually ran)
-            # plus wall time and row count — the Spark analog of the
-            # reference portal's per-operator actual_rows/elapsed
-            # instrumentation (portal.py:93-118, physical/base.py:22-24).
+            # plus wall time, row count, and the per-operator SQLMetric
+            # table — the Spark analog of the reference portal's
+            # per-operator actual_rows/elapsed instrumentation
+            # (portal.py:93-118, physical/base.py:22-24).
             df = self.spark.sql(ana.group(1))
             t0 = time.perf_counter()
             n = len(df.collect())
             dt = time.perf_counter() - t0
-            physical = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
             return Result(
-                columns=["Physical Plan", "rows", "elapsed_sec"],
-                types=["string", "bigint", "double"],
-                rows=[(physical, n, round(dt, 6))],
+                columns=[
+                    "Physical Plan", "rows", "elapsed_sec", "Operator Metrics"
+                ],
+                types=["string", "bigint", "double", "string"],
+                rows=[(
+                    jplan.toString(), n, round(dt, 6),
+                    self._operator_metrics(jplan),
+                )],
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)

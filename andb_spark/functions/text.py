@@ -91,6 +91,29 @@ def lang_id(text: Column | str) -> Column:
     )
 
 
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram array: [t1 t2, t2 t3, ...] (empty for
+    single-token input). Pure higher-order-function math — stays inside
+    whole-stage codegen, no explode, no shuffle."""
+    return F.transform(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+
+
+def max_count_fraction(arr: Column) -> Column:
+    """Fraction of the array taken by its single most frequent element
+    (double; null for empty input). O(distinct × n) per row — fine for
+    document-sized arrays, and shuffle-free, unlike the explode +
+    groupBy + window formulation which would shuffle the whole corpus
+    twice to answer a per-row question."""
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda t: F.size(F.filter(arr, lambda x: x == t)),
+    )
+    return F.array_max(counts).cast("double") / F.size(arr).cast("double")
+
+
 # Top-10 most frequent English letter bigrams (public corpus statistics
 # — Norvig's Google-books counts). Used by the n-gram language ID.
 NGRAMS = ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")

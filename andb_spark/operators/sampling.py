@@ -58,6 +58,71 @@ def hash_sample(
     )
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    partitions: int = 32,
+) -> DataFrame:
+    """~k rows sampled with probability proportional to an INTEGER
+    weight (systematic PPS sampling: walk the cumulative-weight line in
+    key order, pick one row per total/k stride). Deterministic — the
+    pick set is a pure integer function of (weights, key order), so the
+    DuckDB oracle can state it exactly; no float pow()/ln() whose last
+    ulp could disagree across engines (the reason we rejected
+    Efraimidis-Espirakis A-ES).
+
+    Scale design: a naive cumulative sum is a window over ONE partition
+    — a non-starter at corpus scale. This is the standard two-phase
+    prefix-sum instead: range-partition by key, per-partition subtotals
+    (tiny — one row per partition), prefix offsets over that tiny table,
+    broadcast back, then a per-partition running sum. No global
+    single-partition stage ever sees the full data.
+
+    A row heavier than total/k spans multiple strides but is emitted
+    once, so the output can be slightly under k; callers wanting
+    exactly-k should cap weights first.
+    """
+    w, key = F.col(weight_col), F.col(key_col)
+    staged = df.repartitionByRange(partitions, key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = staged.groupBy("_pid").agg(F.sum(w).alias("_psum"))
+    # Prefix offsets: window over the per-partition subtotal table —
+    # `partitions` rows, so the unavoidable single-partition window is
+    # over a broadcast-sized input, not the data.
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_psum").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    ).select("_pid", "_off")
+    total = totals.agg(F.sum("_psum").alias("_total"))
+    cum = (
+        F.sum(w).over(Window.partitionBy("_pid").orderBy(key)) + F.col("_off")
+    )
+    return (
+        staged.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_cum", cum)
+        # Selected iff the cumulative interval (cum-w, cum] crosses a
+        # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
+        .filter(
+            F.expr(
+                f"((_cum - {weight_col}) * {k}) div _total"
+                f" < (_cum * {k}) div _total"
+            )
+        )
+        .drop("_pid", "_off", "_total", "_cum")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

@@ -230,6 +230,47 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-token fraction, top-token fraction, and top-bigram
+    fraction per document, plus a repetitive-document flag. All four
+    measures are higher-order-function math over one staged token
+    array — a single shuffle-free scan stage, no explode/groupBy
+    (which would shuffle the whole corpus to answer a per-row
+    question). The reference has no text analysis at all (its only
+    function is cosine_distance, catalog/buitin_functions.py:3-12);
+    north-star surface."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("_w")
+    )
+    w = F.col("_w")
+    staged2 = staged.select("doc_id", w, TX.bigrams(w).alias("_b"))
+    b = F.col("_b")
+    staged3 = staged2.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double")
+            / F.size(w).cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(TX.max_count_fraction(w), 6).alias("top_token_frac"),
+        F.round(TX.max_count_fraction(b), 6).alias("top_bigram_frac"),
+    )
+    # Flag from the ROUNDED measures so the threshold comparison can
+    # never straddle a float ulp between engines.
+    return staged3.withColumn(
+        "flagged",
+        (
+            (F.col("top_token_frac") >= 0.15)
+            | (F.col("top_bigram_frac") >= 0.08)
+        ).cast("int"),
+    )
+    # No trailing sort: per-document scores are corpus-sized output.
+
+
 def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup by source — the triage query of a data
     pipeline (volume, dedup rate, token budget per source)."""
@@ -428,6 +469,22 @@ def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sample_rank")
 
 
+def p_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~64 docs sampled proportional to length (systematic PPS,
+    operators/sampling.py::weighted_systematic_sample) — the
+    token-budget-aware subset primitive: long documents carry more
+    training tokens, so a length-weighted sample matches the token
+    distribution a uniform sample misses."""
+    from andb_spark.operators.sampling import weighted_systematic_sample
+
+    d = _docs(spark, sf_dir)
+    return (
+        weighted_systematic_sample(d, "n_chars", "doc_id", k=64)
+        .select("doc_id", F.col("n_chars").alias("weight"))
+        .orderBy("doc_id")
+    )
+
+
 def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: for each purchase, the same-user events
     inside its trailing 30-minute window, counted per purchase. Executed
@@ -553,6 +610,7 @@ QUERIES = {
     "t_fingerprint": t_fingerprint,
     "t_lang_ngram": t_lang_ngram,
     "t_rolling_fingerprint": t_rolling_fingerprint,
+    "t_repetition": t_repetition,
     "t_source_stats": t_source_stats,
     "t_bpe_tokens": t_bpe_tokens,
     "t_pii_scrub": t_pii_scrub,
@@ -562,6 +620,7 @@ QUERIES = {
     "p_quality_filter": p_quality_filter,
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
+    "p_sample_weighted": p_sample_weighted,
     "a_asof_join": a_asof_join,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
@@ -777,6 +836,36 @@ ORACLES = {
         SELECT doc_id, {_RH} AS rh, {_FP} AS fp
         FROM documents ORDER BY doc_id
     """,
+    "t_repetition": f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS.format(col='lower(text)')} AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, w,
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS b
+            FROM base
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                         / len(w), 6) AS dup_token_frac,
+                   round(CAST(list_max(list_transform(list_distinct(w),
+                             t -> len(list_filter(w, x -> x = t))))
+                         AS DOUBLE) / len(w), 6) AS top_token_frac,
+                   round(CAST(list_max(list_transform(list_distinct(b),
+                             t -> len(list_filter(b, x -> x = t))))
+                         AS DOUBLE) / len(b), 6) AS top_bigram_frac
+            FROM bg
+        )
+        SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+               top_bigram_frac,
+               CAST(top_token_frac >= 0.15 OR top_bigram_frac >= 0.08
+                    AS INT) AS flagged
+        FROM m
+    """,
     "t_source_stats": f"""
         SELECT source, count(*) AS n_docs,
                count(DISTINCT md5(text)) AS n_unique_texts,
@@ -913,6 +1002,18 @@ ORACLES = {
                          doc_id) AS rn
             FROM documents
         ) t WHERE rn <= 5 ORDER BY source, sample_rank
+    """,
+    "p_sample_weighted": """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id) AS cum,
+                   sum(n_chars) OVER () AS total
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+        FROM c
+        WHERE ((cum - n_chars) * 64) // total < (cum * 64) // total
+        ORDER BY doc_id
     """,
     "a_asof_join": """
         SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice

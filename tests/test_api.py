@@ -201,10 +201,18 @@ def test_explain_analyze_reports_final_plan_and_rows(engine):
     e("create table ea (a int, b int)")
     e("insert into ea values (1, 1), (2, 2), (3, 3)")
     r = e("explain analyze select a, sum(b) as s from ea group by a")
-    assert r.columns == ["Physical Plan", "rows", "elapsed_sec"]
-    plan, nrows, elapsed = r.rows[0]
+    assert r.columns == [
+        "Physical Plan", "rows", "elapsed_sec", "Operator Metrics"
+    ]
+    plan, nrows, elapsed, metrics = r.rows[0]
     assert nrows == 3 and elapsed > 0
     assert "HashAggregate" in plan  # the plan that actually executed
+    # Per-operator SQLMetric lines: the final aggregate really reports
+    # its executed output rows (3 groups), operator by operator.
+    agg_lines = [
+        ln for ln in metrics.splitlines() if "HashAggregate" in ln
+    ]
+    assert agg_lines and any("numOutputRows=3" in ln for ln in agg_lines)
 
 
 def test_analyze_and_show_stats(spark, tmp_path, sf_dir):

@@ -121,3 +121,20 @@ def test_register_udtf_from_position(spark):
     register_udtf(spark, "t_squares", Squares, "num int, squared int")
     rows = spark.sql("SELECT * FROM t_squares(1, 3) ORDER BY num").collect()
     assert [(r.num, r.squared) for r in rows] == [(1, 1), (2, 4), (3, 9)]
+
+
+def test_bigrams_and_repetition_measures(spark):
+    df = spark.createDataFrame(
+        [("a b a b a",), ("solo",), ("x x x x",)], ["t"]
+    )
+    rows = df.select(
+        TX.bigrams(TX.tokens("t")).alias("bg"),
+        TX.max_count_fraction(TX.tokens("t")).alias("ttf"),
+        TX.max_count_fraction(TX.bigrams(TX.tokens("t"))).alias("tbf"),
+    ).collect()
+    rep, solo, degenerate = rows
+    assert rep["bg"] == ["a b", "b a", "a b", "b a"]
+    assert math.isclose(rep["ttf"], 3 / 5)  # 'a' appears 3 of 5
+    assert math.isclose(rep["tbf"], 2 / 4)  # 'a b' twice of 4 bigrams
+    assert solo["bg"] == [] and solo["tbf"] is None  # no bigram for 1 token
+    assert math.isclose(degenerate["ttf"], 1.0)

@@ -176,6 +176,31 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     assert by_g["c"] == [1]  # stratum smaller than n → all rows
 
 
+def test_weighted_systematic_sample_invariants(spark):
+    from andb_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 50) for i in range(1000)], ["k", "w"]
+    )
+    picked = weighted_systematic_sample(df, "w", "k", k=40).collect()
+    # All weights < total/k here, so the stride walk picks exactly k.
+    assert len(picked) == 40
+    keys = {r["k"] for r in picked}
+    # Pick set is a pure function of (weights, key order) — invariant
+    # under input partitioning (the two-phase prefix sum must agree
+    # with itself at any partition count).
+    for parts in (1, 7):
+        again = weighted_systematic_sample(
+            df.repartition(13), "w", "k", k=40, partitions=parts
+        ).collect()
+        assert {r["k"] for r in again} == keys
+    # Weight-proportionality: the picked rows over-represent heavy rows
+    # (mean picked weight well above the population mean).
+    mean_all = sum(1 + (i * 7) % 50 for i in range(1000)) / 1000
+    mean_picked = sum(r["w"] for r in picked) / len(picked)
+    assert mean_picked > mean_all * 1.2
+
+
 def test_cross_source_dups_semantics(spark, tmp_path):
     """The contamination query returns one row per text present in >1
     source, with the sorted distinct source list (fixture corpus has no
