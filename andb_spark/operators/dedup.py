@@ -295,6 +295,76 @@ def minhash_lsh_pairs(
     return jaccard_verify(df, cands, text_col, id_col, threshold, shingle_df)
 
 
+def band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The maintainable LSH state: (id, band, band_sig) rows. MinHash
+    signatures are a pure per-document function, so this table is
+    append-only — each ingest increment computes bands for ITS docs
+    only and appends them; history is never recomputed. At 100 TB,
+    store it as a managed table bucketed by (band, band_sig) so the
+    nightly increment-vs-history candidate join is shuffle-free on the
+    history side."""
+    return lsh_bands(
+        minhash_signatures(df, text_col, id_col, num_hashes), id_col,
+        num_hashes, rows_per_band,
+    )
+
+
+def incremental_minhash_pairs(
+    history_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    history_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of an ingest INCREMENT against the HISTORICAL
+    corpus — the production dedup shape (its exact-hash sibling is the
+    anti-join in workloads d_incremental_dedup): signature work is
+    proportional to the increment, never to history.
+
+    Pass ``history_bands`` (the maintained ``band_table``) to skip
+    recomputing historical signatures entirely; otherwise they are
+    derived from ``history_df`` here. Verification (exact Jaccard) only
+    ever shingles the increment plus the candidate history docs — the
+    history side is restricted by a semi-join on candidate ids before
+    any text processing, so a 100 TB history contributes only its
+    (few) colliding documents to the verify stage.
+
+    Returns (id_a = history id, id_b = new id, jaccard >= threshold).
+    New-vs-new duplicates inside the increment are the job of the
+    ordinary ``minhash_lsh_pairs`` over the (small) increment.
+    """
+    hb = (
+        history_bands
+        if history_bands is not None
+        else band_table(history_df, text_col, id_col, num_hashes, rows_per_band)
+    )
+    nb = band_table(new_df, text_col, id_col, num_hashes, rows_per_band)
+    cands = (
+        hb.select("band", "band_sig", F.col(id_col).alias("id_a"))
+        .join(
+            nb.select("band", "band_sig", F.col(id_col).alias("id_b")),
+            ["band", "band_sig"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hist_hit = history_df.join(
+        cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    return jaccard_verify(
+        hist_hit.unionByName(new_df), cands, text_col, id_col, threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float
 ) -> DataFrame:

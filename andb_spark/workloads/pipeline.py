@@ -117,6 +117,22 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(old, "h", "left_anti").select("doc_id").orderBy("doc_id")
 
 
+def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup (not just exact) incremental dedup: the ingest increment
+    (docs 400+) LSH-joined against the historical corpus's maintained
+    band table (docs <400; operators/dedup.py::band_table +
+    incremental_minhash_pairs), then exact-Jaccard verified. Signature
+    work ∝ increment; verify work ∝ candidates — history is never
+    re-shingled wholesale."""
+    d = _docs(spark, sf_dir)
+    hist = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    return DD.incremental_minhash_pairs(
+        hist, new, "text", "doc_id", num_hashes=8, rows_per_band=2,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
 def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination check: texts that appear in MORE THAN ONE source —
     the shape of train/eval leakage detection (same content on both
@@ -605,6 +621,7 @@ QUERIES = {
     "d_simhash": d_simhash,
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
+    "d_incremental_minhash": d_incremental_minhash,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
@@ -900,6 +917,44 @@ ORACLES = {
           AND md5(text) NOT IN (
               SELECT md5(text) FROM documents WHERE doc_id < 400)
         ORDER BY doc_id
+    """,
+    "d_incremental_minhash": f"""
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        mh AS (
+            SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS min_hash
+            FROM sh, (SELECT unnest(range(0, 8)) AS h) hs
+            GROUP BY doc_id, h
+        ),
+        bands AS (
+            SELECT doc_id, CAST(h // 2 AS INT) AS band,
+                   md5(min(CASE WHEN h % 2 = 0 THEN min_hash END)
+                       || min(CASE WHEN h % 2 = 1 THEN min_hash END)) AS band_sig
+            FROM mh GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < 400 AND b.doc_id >= 400
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                     JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.5
+        ORDER BY id_a, id_b
     """,
     "d_cross_source_dups": """
         SELECT md5(text) AS text_hash,

@@ -176,6 +176,48 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     assert by_g["c"] == [1]  # stratum smaller than n → all rows
 
 
+def test_incremental_minhash_band_table_maintenance(spark, sf_dir, tmp_path):
+    """The LSH band table is append-only state: dedup increment N
+    against the PERSISTED band table of everything before it, append
+    increment N's bands, repeat. Each increment's result must equal the
+    from-scratch computation over the same split."""
+    from andb_spark.catalog import load_table
+    from andb_spark.operators.dedup import band_table, incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist1 = docs.filter(F.col("doc_id") < 300)
+    inc1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    inc2 = docs.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "bands")
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    band_table(hist1, "text", "doc_id").write.parquet(path)
+    got1 = pairset(
+        incremental_minhash_pairs(
+            hist1, inc1, "text", "doc_id",
+            history_bands=spark.read.parquet(path),
+        )
+    )
+    assert got1 == pairset(
+        incremental_minhash_pairs(hist1, inc1, "text", "doc_id")
+    )
+
+    band_table(inc1, "text", "doc_id").write.mode("append").parquet(path)
+    hist2 = docs.filter(F.col("doc_id") < 400)
+    got2 = pairset(
+        incremental_minhash_pairs(
+            hist2, inc2, "text", "doc_id",
+            history_bands=spark.read.parquet(path),
+        )
+    )
+    assert got2 == pairset(
+        incremental_minhash_pairs(hist2, inc2, "text", "doc_id")
+    )
+    assert got2  # the fixture corpus has cross-split near-dups
+
+
 def test_weighted_systematic_sample_invariants(spark):
     from andb_spark.operators.sampling import weighted_systematic_sample
 
