@@ -58,31 +58,23 @@ def hash_sample(
     )
 
 
-def weighted_systematic_sample(
+def prefix_sum(
     df: DataFrame,
     weight_col: str,
     key_col: str,
-    k: int,
     partitions: int = 32,
 ) -> DataFrame:
-    """~k rows sampled with probability proportional to an INTEGER
-    weight (systematic PPS sampling: walk the cumulative-weight line in
-    key order, pick one row per total/k stride). Deterministic — the
-    pick set is a pure integer function of (weights, key order), so the
-    DuckDB oracle can state it exactly; no float pow()/ln() whose last
-    ulp could disagree across engines (the reason we rejected
-    Efraimidis-Espirakis A-ES).
+    """Global running sum of ``weight_col`` in ``key_col`` order,
+    without ever collapsing the data to one partition. Adds ``_cum``
+    (inclusive cumulative sum) and ``_total`` (grand total) columns;
+    internal ``_pid``/``_off`` staging columns are dropped.
 
-    Scale design: a naive cumulative sum is a window over ONE partition
-    — a non-starter at corpus scale. This is the standard two-phase
-    prefix-sum instead: range-partition by key, per-partition subtotals
-    (tiny — one row per partition), prefix offsets over that tiny table,
-    broadcast back, then a per-partition running sum. No global
+    A naive cumulative sum is a window over ONE partition — a
+    non-starter at corpus scale. This is the standard two-phase
+    prefix sum instead: range-partition by key, per-partition subtotals
+    (tiny — one row per partition), prefix offsets over that tiny
+    table, broadcast back, then a per-partition running sum. No global
     single-partition stage ever sees the full data.
-
-    A row heavier than total/k spans multiple strides but is emitted
-    once, so the output can be slightly under k; callers wanting
-    exactly-k should cap weights first.
     """
     w, key = F.col(weight_col), F.col(key_col)
     staged = df.repartitionByRange(partitions, key).withColumn(
@@ -111,6 +103,31 @@ def weighted_systematic_sample(
         staged.join(F.broadcast(offsets), "_pid")
         .crossJoin(F.broadcast(total))
         .withColumn("_cum", cum)
+        .drop("_pid", "_off")
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    partitions: int = 32,
+) -> DataFrame:
+    """~k rows sampled with probability proportional to an INTEGER
+    weight (systematic PPS sampling: walk the cumulative-weight line in
+    key order, pick one row per total/k stride). Deterministic — the
+    pick set is a pure integer function of (weights, key order), so the
+    DuckDB oracle can state it exactly; no float pow()/ln() whose last
+    ulp could disagree across engines (the reason we rejected
+    Efraimidis-Espirakis A-ES).
+
+    A row heavier than total/k spans multiple strides but is emitted
+    once, so the output can be slightly under k; callers wanting
+    exactly-k should cap weights first.
+    """
+    return (
+        prefix_sum(df, weight_col, key_col, partitions)
         # Selected iff the cumulative interval (cum-w, cum] crosses a
         # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
         .filter(
@@ -119,8 +136,70 @@ def weighted_systematic_sample(
                 f" < (_cum * {k}) div _total"
             )
         )
-        .drop("_pid", "_off", "_total", "_cum")
+        .drop("_cum", "_total")
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    budget: int,
+    partitions: int = 32,
+) -> DataFrame:
+    """Assign each row to a contiguous fixed-budget shard: walk rows in
+    ``key_col`` order accumulating INTEGER ``weight_col`` (e.g. token
+    counts) and start a new shard every ``budget`` units — the
+    "pack documents into ~N-token training shards" step of a data
+    pipeline. A document belongs to the shard its interval STARTS in:
+    ``shard_id = (cum - w) div budget``. Deterministic integer math
+    over the two-phase prefix sum, so shard assignment is reproducible
+    and oracle-checkable, and no stage sees the data in one partition.
+
+    Shards are ~budget-sized (a row straddling a boundary bloats its
+    shard by less than one row; rows heavier than the budget get a
+    shard of their own plus spillover)."""
+    return (
+        prefix_sum(df, weight_col, key_col, partitions)
+        .withColumn(
+            "shard_id",
+            F.expr(f"(_cum - {weight_col}) div {budget}").cast("bigint"),
+        )
+        .drop("_cum", "_total")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "s42",
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/val/test): adds a
+    ``split`` column chosen by where the row's membership digest falls
+    among cumulative fraction thresholds. A pure scan expression — no
+    shuffle, stable under repartitioning/engines, and a row keeps its
+    split forever as the corpus grows (membership depends only on salt
+    and key). The last split absorbs rounding remainder; fractions
+    should sum to 1."""
+    digest = sample_digest(key_col, salt)
+    names = list(splits)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = digest < F.lit(fraction_threshold(acc))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn("split", expr)
 
 
 def stratified_sample(

@@ -501,6 +501,44 @@ def p_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split
+    (operators/sampling.py::hash_split) rolled up per split — assignment
+    is a pure scan expression on the doc_id digest, so a document keeps
+    its split forever as the corpus grows (no eval-set churn)."""
+    from andb_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    return (
+        hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def p_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~25k-char contiguous training shards
+    (operators/sampling.py::pack_shards — two-phase prefix sum, exact
+    integer math), rolled up per shard. The write-side twin is
+    `df.write.partitionBy('shard_id')` — shards become directories."""
+    from andb_spark.operators.sampling import pack_shards
+
+    d = _docs(spark, sf_dir)
+    return (
+        pack_shards(d, "n_chars", "doc_id", budget=25000)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: for each purchase, the same-user events
     inside its trailing 30-minute window, counted per purchase. Executed
@@ -638,6 +676,8 @@ QUERIES = {
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
     "p_sample_weighted": p_sample_weighted,
+    "p_split": p_split,
+    "p_pack_shards": p_pack_shards,
     "a_asof_join": a_asof_join,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
@@ -1069,6 +1109,29 @@ ORACLES = {
         FROM c
         WHERE ((cum - n_chars) * 64) // total < (cum * 64) // total
         ORDER BY doc_id
+    """,
+    "p_split": """
+        SELECT CASE
+                 WHEN substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      < 'e666' THEN 'train'
+                 WHEN substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                      < 'f333' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY split
+    """,
+    "p_pack_shards": """
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY doc_id) AS cum
+            FROM documents
+        )
+        SELECT CAST((cum - n_chars) // 25000 AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY 1 ORDER BY shard_id
     """,
     "a_asof_join": """
         SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice

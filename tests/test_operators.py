@@ -243,6 +243,57 @@ def test_weighted_systematic_sample_invariants(spark):
     assert mean_picked > mean_all * 1.2
 
 
+def test_pack_shards_budget_and_partition_invariance(spark):
+    from andb_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 3) % 40) for i in range(500)], ["k", "w"]
+    )
+    out = pack_shards(df, "w", "k", budget=300).collect()
+    assert len(out) == 500  # every row assigned
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["w"])
+    # Shard ids are contiguous from 0 (documents packed in key order).
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    # A shard spans at most budget + one straddling row, and every
+    # non-final shard is closed out: the cumulative total through shard
+    # N reaches past boundary (N+1)·budget (its last row straddles it).
+    running = 0
+    for sid in sorted(by_shard):
+        weights = by_shard[sid]
+        assert sum(weights) < 300 + max(weights)
+        running += sum(weights)
+        if sid != max(by_shard):
+            assert running >= (sid + 1) * 300
+    # Assignment is partitioning-invariant (two-phase prefix sum).
+    again = {
+        (r["k"], r["shard_id"])
+        for r in pack_shards(
+            df.repartition(11), "w", "k", budget=300, partitions=5
+        ).collect()
+    }
+    assert again == {(r["k"], r["shard_id"]) for r in out}
+
+
+def test_hash_split_disjoint_stable_and_sized(spark):
+    from andb_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["k"]: r["split"] for r in hash_split(df, "k", fr).collect()}
+    assert len(out) == 4000  # every row in exactly one split
+    share = {s: sum(1 for v in out.values() if v == s) / 4000 for s in fr}
+    assert 0.75 < share["train"] < 0.85
+    assert 0.07 < share["val"] < 0.13 and 0.07 < share["test"] < 0.13
+    # Stable under repartitioning and under corpus growth: a row's
+    # split depends only on (salt, key).
+    sub = hash_split(df.filter(F.col("k") < 100).repartition(7), "k", fr)
+    assert {r["k"]: r["split"] for r in sub.collect()} == {
+        k: v for k, v in out.items() if k < 100
+    }
+
+
 def test_cross_source_dups_semantics(spark, tmp_path):
     """The contamination query returns one row per text present in >1
     source, with the sorted distinct source list (fixture corpus has no
