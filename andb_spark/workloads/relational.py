@@ -854,6 +854,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles: approx_percentile (Greenwald-Khanna sketch,
+    accuracy 1/10000) per return flag — the one-pass constant-memory
+    mergeable path that replaces q_percentiles' exact full-sort
+    formulation at 100 TB. No oracle (sketch estimates are
+    engine-specific); accuracy is unit-tested against exact
+    percentiles (tests/test_operators.py::
+    test_approx_quantile_accuracy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(10000),
+            ).alias("approx_q"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_q")[0].alias("p25"),
+            F.col("approx_q")[1].alias("median"),
+            F.col("approx_q")[2].alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_function_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-function scan (reference FunctionScan is a stub `pass`,
     physical/select.py:454-455): posexplode of a computed array —
@@ -881,6 +908,7 @@ QUERIES = {
     "q_select_no_from": q_select_no_from,
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_quantile": q_approx_quantile,
     "q_funnel": q_funnel,
     "q_json_extract": q_json_extract,
     "q_stats_agg": q_stats_agg,

@@ -530,3 +530,23 @@ def test_connected_components_transitive_closure(spark):
         (10, 10), (11, 10),
         (4, 4), (5, 4), (6, 4), (7, 4),
     }
+
+
+def test_approx_quantile_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from andb_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("a"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("x"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r["a"] - r["x"]) / r["x"] < 0.01, (r["a"], r["x"])
