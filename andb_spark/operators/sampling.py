@@ -63,11 +63,14 @@ def prefix_sum(
     weight_col: str,
     key_col: str,
     partitions: int = 32,
+    include_total: bool = False,
 ) -> DataFrame:
     """Global running sum of ``weight_col`` in ``key_col`` order,
     without ever collapsing the data to one partition. Adds ``_cum``
-    (inclusive cumulative sum) and ``_total`` (grand total) columns;
-    internal ``_pid``/``_off`` staging columns are dropped.
+    (inclusive cumulative sum) and, when ``include_total``, ``_total``
+    (grand total — an extra 1-row cross join; skip it when unused, or
+    Catalyst still pays a scan to produce the joined row); internal
+    ``_pid``/``_off`` staging columns are dropped.
 
     A naive cumulative sum is a window over ONE partition — a
     non-starter at corpus scale. This is the standard two-phase
@@ -95,16 +98,14 @@ def prefix_sum(
             F.lit(0).cast("bigint"),
         ),
     ).select("_pid", "_off")
-    total = totals.agg(F.sum("_psum").alias("_total"))
     cum = (
         F.sum(w).over(Window.partitionBy("_pid").orderBy(key)) + F.col("_off")
     )
-    return (
-        staged.join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_cum", cum)
-        .drop("_pid", "_off")
-    )
+    out = staged.join(F.broadcast(offsets), "_pid")
+    if include_total:
+        total = totals.agg(F.sum("_psum").alias("_total"))
+        out = out.crossJoin(F.broadcast(total))
+    return out.withColumn("_cum", cum).drop("_pid", "_off")
 
 
 def weighted_systematic_sample(
@@ -127,7 +128,7 @@ def weighted_systematic_sample(
     exactly-k should cap weights first.
     """
     return (
-        prefix_sum(df, weight_col, key_col, partitions)
+        prefix_sum(df, weight_col, key_col, partitions, include_total=True)
         # Selected iff the cumulative interval (cum-w, cum] crosses a
         # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
         .filter(
@@ -165,7 +166,7 @@ def pack_shards(
             "shard_id",
             F.expr(f"(_cum - {weight_col}) div {budget}").cast("bigint"),
         )
-        .drop("_cum", "_total")
+        .drop("_cum")
     )
 
 

@@ -189,3 +189,25 @@ def test_hash_sample_is_pure_scan_filter(spark, sf_dir):
     plan = final_plan(spark, sf_dir, "p_sample_hash")
     assert "Exchange" not in plan, plan
     assert "Filter" in plan, plan
+
+
+def test_prefix_sum_never_single_partitions_the_data(spark, sf_dir):
+    """The two-phase prefix sum's scale contract: the DATA-sized window
+    runs partitioned by _pid (hash exchange), and the only
+    SinglePartition stages are over the tiny per-partition subtotal
+    table (broadcast back). A naive global-ordered window would put the
+    whole corpus through one partition."""
+    plan = final_plan(spark, sf_dir, "p_pack_shards")
+    # The corpus-side running sum is partitioned on the staging pid.
+    assert re.search(r"hashpartitioning\(_pid", plan), plan
+    # Subtotal offsets come back as a broadcast, not a data shuffle.
+    assert "BroadcastExchange" in plan, plan
+    # The window that sums the corpus weight column must carry a
+    # partition spec (windowspecdefinition(_pid, ...)); the only
+    # unpartitioned window is the offsets one over _psum (tiny).
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [sum(n_chars" in ln
+    ]
+    assert data_windows, plan
+    assert all("windowspecdefinition(_pid" in ln for ln in data_windows), plan
