@@ -95,6 +95,24 @@ def d_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: jaccard pairs → connected
+    components → keep one doc (min id) per duplicate group, plus every
+    unpaired doc. The anti-join applies the component labels back to
+    the corpus — the actual "write the cleaned corpus" step downstream
+    of d_dup_components' diagnostics."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    edges = DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.3)
+    drop = (
+        DD.connected_components(edges)
+        .filter(F.col("node") != F.col("component_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d.join(drop, "doc_id", "left_anti").select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
@@ -501,6 +519,46 @@ def p_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: given per-source target shares (here a
+    deterministic 1/2/3-weight ramp over the source id) and a global
+    char budget (50% of the corpus), compute each source's sampling
+    rate = min(1, budget·share / available) and the planned chars it
+    contributes. One corpus-sized shuffle (the per-source agg); the
+    mixture math runs on the 20-row rollup with the totals broadcast —
+    the plan a pipeline feeds into hash_sample per source."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(F.sum("n_chars").alias("avail")).withColumn(
+        "w", 1 + F.substring("source", 4, 10).cast("int") % 3
+    )
+    t = s.agg(
+        F.sum("avail").alias("tot_chars"), F.sum("w").alias("tot_w")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(0.5)
+        * F.col("tot_chars")
+        * F.col("w")
+        / F.col("tot_w")
+        / F.col("avail"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("avail").cast("bigint").alias("avail"),
+            F.round(F.col("w").cast("double") / F.col("tot_w"), 6).alias(
+                "target_share"
+            ),
+            F.round(rate, 6).alias("rate"),
+            F.floor(rate * F.col("avail")).cast("bigint").alias(
+                "planned_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def p_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split
     (operators/sampling.py::hash_split) rolled up per split — assignment
@@ -656,6 +714,7 @@ QUERIES = {
     "d_minhash_lsh": d_minhash_lsh,
     "d_ngram_jaccard": d_ngram_jaccard,
     "d_dup_components": d_dup_components,
+    "d_dedup_survivors": d_dedup_survivors,
     "d_simhash": d_simhash,
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
@@ -676,6 +735,7 @@ QUERIES = {
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
     "p_sample_weighted": p_sample_weighted,
+    "p_mixture_plan": p_mixture_plan,
     "p_split": p_split,
     "p_pack_shards": p_pack_shards,
     "a_asof_join": a_asof_join,
@@ -821,6 +881,43 @@ ORACLES = {
         )
         SELECT id AS doc_id, min(r) AS component_id
         FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    "d_dedup_survivors": f"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
+                  FROM documents WHERE doc_id < 300)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                         JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+                  >= 0.3
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id < 300
+          AND doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
+        ORDER BY doc_id
     """,
     "d_simhash": """
         WITH toks AS (
@@ -1109,6 +1206,22 @@ ORACLES = {
         FROM c
         WHERE ((cum - n_chars) * 64) // total < (cum * 64) // total
         ORDER BY doc_id
+    """,
+    "p_mixture_plan": """
+        WITH s AS (
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail,
+                   1 + CAST(substr(source, 4) AS INT) % 3 AS w
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot_chars,
+                     CAST(sum(w) AS BIGINT) AS tot_w FROM s)
+        SELECT source, avail,
+               round(CAST(w AS DOUBLE) / tot_w, 6) AS target_share,
+               round(least(1.0, 0.5 * tot_chars * w / tot_w / avail), 6)
+                   AS rate,
+               CAST(floor(least(1.0, 0.5 * tot_chars * w / tot_w / avail)
+                          * avail) AS BIGINT) AS planned_chars
+        FROM s, t ORDER BY source
     """,
     "p_split": """
         SELECT CASE
