@@ -157,3 +157,46 @@ def test_zorder_preserves_rows(spark, sf_dir):
     z = zorder(li, ["l_partkey", "l_suppkey"], num_partitions=4)
     assert z.count() == li.count()
     assert z.columns == li.columns
+
+def test_incremental_band_join_shuffle_free_on_history(spark, sf_dir, tmp_path):
+    """The incremental-dedup scale claim (operators/dedup.py::band_table):
+    with the historical band table BUCKETED by (band, band_sig), the
+    nightly increment-vs-history candidate join shuffles only the
+    (tiny) increment side — the history scan feeds the join with no
+    Exchange."""
+    from andb_spark.operators.dedup import band_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 400)
+    inc = docs.filter(F.col("doc_id") >= 400)
+    spark.sql("DROP TABLE IF EXISTS bands_hist")
+    (
+        band_table(hist, "text", "doc_id")
+        .write.bucketBy(8, "band", "band_sig")
+        .sortBy("band", "band_sig")
+        .mode("overwrite")
+        .saveAsTable("bands_hist")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bands_hist").withColumnRenamed(
+            "doc_id", "id_a"
+        ).join(
+            band_table(inc, "text", "doc_id").withColumnRenamed(
+                "doc_id", "id_b"
+            ),
+            ["band", "band_sig"],
+        ).select("band", "band_sig", "id_a", "id_b")
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bands_hist")
+    assert "SortMergeJoin" in plan, plan
+    # The history side (left child: first FileScan after the join node)
+    # is the bucketed scan, fed with no repartitioning exchange.
+    left_child = plan.split("SortMergeJoin", 1)[1].split("FileScan", 1)[0]
+    assert "Exchange hashpartitioning" not in left_child, plan
+    first_scan = plan.split("SortMergeJoin", 1)[1].split("FileScan", 1)[1]
+    first_scan_line = first_scan.splitlines()[0]
+    assert "Bucketed: true" in first_scan_line, first_scan_line
