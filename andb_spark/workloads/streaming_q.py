@@ -152,6 +152,30 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "view_ts", "purchase_ts")
 
 
+def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the static
+    customer dimension — the canonical per-micro-batch dimension join.
+    No streaming state at all (the static side is just broadcast into
+    each batch), so it scales with the dim table, not stream age;
+    append mode emits enriched rows as they arrive."""
+    tune_for_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment"
+    )
+    s = stream_source(spark, table_path(sf_dir, "events"), watermark="1 hour")
+    joined = s.join(F.broadcast(cust), "user_id", "inner").select(
+        "event_id",
+        "user_id",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round("value", 6).alias("value"),
+    )
+    out = run_stream(
+        joined, query_name="andb_stream_enrich", output_mode="append"
+    )
+    return out.orderBy("event_id")
+
+
 def s_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical window rollup (the 'continuous aggregate' /
     hypertable-rollup pattern): the hourly tumbling aggregate re-rolled
@@ -181,6 +205,7 @@ QUERIES = {
     "s_stateful_user": s_stateful_user,
     "s_stream_dedup": s_stream_dedup,
     "s_stream_join": s_stream_join,
+    "s_stream_enrich": s_stream_enrich,
 }
 
 _TUMBLING_SQL = """
@@ -226,6 +251,12 @@ ORACLES = {
          AND p.ts <= v.ts + INTERVAL '30 minutes'
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         ORDER BY user_id, view_ts, purchase_ts
+    """,
+    "s_stream_enrich": """
+        SELECT event_id, e.user_id AS user_id, c_nationkey, c_mktsegment,
+               round(value, 6) AS value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY event_id
     """,
     "s_sliding": """
         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))

@@ -104,14 +104,13 @@ def _rowset(rows):
 
 @pytest.fixture(scope="module")
 def engines(spark, sf_dir):
-    spark.read.parquet(table_path(sf_dir, "lineitem")).createOrReplaceTempView(
-        "lineitem"
-    )
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{table_path(sf_dir, 'lineitem')}')"
-    )
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(table_path(sf_dir, t)).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
     return spark, con
 
 
@@ -157,6 +156,57 @@ def _build_window_sql(part: str, order: str, fn: str) -> str:
 def test_random_window_query_agrees_with_duckdb(engines, part, order, fn):
     spark, con = engines
     sql = _build_window_sql(part, order, fn)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert len(srows) == len(drows), sql
+    for srow, drow in zip(_rowset(srows), _rowset(drows)):
+        for a, b in zip(srow, drow):
+            if isinstance(a, float) or isinstance(b, float):
+                assert math.isclose(
+                    float(a), float(b), rel_tol=1e-9, abs_tol=1e-4
+                ), (sql, srow, drow)
+            else:
+                assert a == b, (sql, srow, drow)
+
+
+# Join fuzz arm: lineitem ⋈ orders with random join type / filters /
+# grouping. Semi/anti shapes are covered via EXISTS predicates (the
+# spelling both engines parse identically).
+_JOIN_TYPE = st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN"])
+_JOIN_PRED = st.sampled_from(
+    [
+        "",
+        "o_orderstatus = 'F'",
+        "l_quantity > 25",
+        "o_totalprice < 150000",
+        "EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l_orderkey"
+        " AND o2.o_orderpriority = '1-URGENT')",
+        "NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_orderkey ="
+        " l_orderkey AND o2.o_orderstatus = 'P')",
+    ]
+)
+_JOIN_KEY = st.sampled_from(
+    ["o_orderpriority", "l_returnflag", "o_orderstatus, l_linestatus"]
+)
+
+
+def _build_join_sql(jt: str, pred: str, key: str) -> str:
+    sql = (
+        f"SELECT {key}, count(*) AS a0,"
+        f" round(sum(l_extendedprice), 2) AS a1,"
+        f" count(o_orderkey) AS a2"
+        f" FROM lineitem {jt} orders ON l_orderkey = o_orderkey"
+    )
+    if pred:
+        sql += f" WHERE {pred}"
+    return sql + f" GROUP BY {key}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(jt=_JOIN_TYPE, pred=_JOIN_PRED, key=_JOIN_KEY)
+def test_random_join_query_agrees_with_duckdb(engines, jt, pred, key):
+    spark, con = engines
+    sql = _build_join_sql(jt, pred, key)
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = con.execute(sql).fetchall()
     assert len(srows) == len(drows), sql
