@@ -326,3 +326,53 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int,
+    coarse_dims: int = 16,
+    coarse_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Two-stage coarse-to-fine ANN (Matryoshka-style truncated-dim
+    retrieval): stage 1 ranks by dot product over only the LEADING
+    ``coarse_dims`` components and keeps ``coarse_k`` candidates
+    (TakeOrdered — never a full sort); stage 2 computes the exact
+    full-dimension cosine for those candidates and returns the top k.
+
+    Scale shape: stage 1 is the only corpus-sized pass and does
+    dims/coarse_dims× less arithmetic (at rest, store the prefix as its
+    own narrow column — or its int8-quantized form — so the scan reads
+    a fraction of the vector bytes); stage 2 touches ``coarse_k`` rows
+    regardless of corpus size. Deterministic by (rounded score, id)
+    ordering on both stages."""
+    qc = F.array(*[F.lit(float(v)) for v in query_vec[:coarse_dims]])
+    qf = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    prefix = F.slice(F.col(vec_col), 1, coarse_dims)
+    cand = (
+        df.select(
+            id_col,
+            vec_col,
+            F.round(dot(prefix, qc), 6).alias("coarse_score"),
+        )
+        .orderBy(F.col("coarse_score").desc(), F.col(id_col))
+        .limit(coarse_k)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("coarse_score"),
+            F.round(cosine_similarity(F.col(vec_col), qf), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -93,6 +93,20 @@ def v_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.signlsh_topk(emb, q, k=5, bits=4, max_hamming=1, exclude_id=0)
 
 
+def v_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (operators/similarity.py::rerank_topk): coarse
+    dot-product ranking on the leading 16 of 64 dims keeps 50
+    candidates; exact full-dim cosine reranks them to the top 10. The
+    third ANN family next to IVF (v_ivf_topk) and sign-LSH
+    (v_lsh_topk) — the one that needs no index structure at all, just
+    a narrow prefix column."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb, 0)
+    return SIM.rerank_topk(
+        emb, q, k=10, coarse_dims=16, coarse_k=50, exclude_id=0
+    )
+
+
 def v_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization summary per embedding (scale =
     127/max|v|, q_i = floor(v_i·scale)) — the 4× storage compression a
@@ -141,6 +155,7 @@ QUERIES = {
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
     "v_lsh_topk": v_lsh_topk,
+    "v_rerank_topk": v_rerank_topk,
     "v_quantize": v_quantize,
     "v_cluster_near_dup": v_cluster_near_dup,
     "v_kmeans": v_kmeans,
@@ -288,6 +303,33 @@ ORACLES = {
         FROM dots d JOIN norms n ON n.vec_id = d.vec_id
         ORDER BY cos_sim DESC, d.vec_id
         LIMIT 5
+    """,
+    "v_rerank_topk": f"""
+        WITH e AS ({_EXPAND}),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        coarse AS (
+            SELECT e.vec_id, round(sum(e.v * q.v), 6) AS coarse_score
+            FROM e JOIN q USING (i)
+            WHERE e.i <= 16 AND e.vec_id <> 0
+            GROUP BY e.vec_id
+        ),
+        cand AS (
+            SELECT * FROM coarse ORDER BY coarse_score DESC, vec_id LIMIT 50
+        ),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i)
+            JOIN cand c ON c.vec_id = e.vec_id
+            GROUP BY e.vec_id
+        )
+        SELECT d.vec_id, c.coarse_score,
+               round(d.dp / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+                   AS cos_sim
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+                    JOIN cand c ON c.vec_id = d.vec_id
+        ORDER BY cos_sim DESC, d.vec_id
+        LIMIT 10
     """,
     "v_ivf_topk": f"""
         WITH e AS ({_EXPAND}),

@@ -550,3 +550,25 @@ def test_approx_quantile_accuracy(spark, sf_dir):
     )
     for r in got:
         assert abs(r["a"] - r["x"]) / r["x"] < 0.01, (r["a"], r["x"])
+
+
+def test_rerank_topk_two_stage_prunes_then_exact(spark):
+    """Coarse stage keeps coarse_k by PREFIX dot product; fine stage
+    ranks survivors by full-dim cosine. A vector whose prefix scores
+    below the coarse cut never reaches reranking, however good its
+    tail."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # prefix 1.0, exact match
+            (2, [0.9, 0.0, 1.0, 1.0]),   # prefix 0.9, weaker full cosine
+            (3, [0.0, 1.0, 0.0, 0.0]),   # prefix 0.0 → cut at coarse_k=2
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = SIM.rerank_topk(
+        df, [1.0, 0.0, 0.0, 0.0], k=3, coarse_dims=2, coarse_k=2
+    ).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]  # 3 pruned in stage 1
+    assert out[0]["cos_sim"] == 1.0
+    assert out[0]["cos_sim"] > out[1]["cos_sim"]
+    assert out[0]["coarse_score"] > out[1]["coarse_score"]
