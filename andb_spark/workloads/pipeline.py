@@ -151,6 +151,29 @@ def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C shape): flag
+    training docs that share any word 5-gram with the EVAL set (docs
+    0-19 standing in for a benchmark). Asymmetric by design — the eval
+    side is tiny, so its distinct n-gram set BROADCASTS and the corpus
+    side stays a scan + broadcast-hash-join probe: no corpus shuffle at
+    all until the per-doc count agg. Distinct from d_cross_source_dups
+    (exact-text collisions) and d_ngram_jaccard (pairwise similarity):
+    one shared n-gram flags, however dissimilar the docs."""
+    d = _docs(spark, sf_dir)
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(DD.shingles("text", n=5)).alias("g")
+    )
+    eval_grams = grams(d.filter(F.col("doc_id") < 20)).select("g").distinct()
+    corpus = grams(d.filter(F.col("doc_id") >= 20))
+    return (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
 def d_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination check: texts that appear in MORE THAN ONE source —
     the shape of train/eval leakage detection (same content on both
@@ -716,6 +739,7 @@ QUERIES = {
     "d_dup_components": d_dup_components,
     "d_dedup_survivors": d_dedup_survivors,
     "d_simhash": d_simhash,
+    "d_decontaminate": d_decontaminate,
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
     "d_incremental_minhash": d_incremental_minhash,
@@ -1092,6 +1116,22 @@ ORACLES = {
                      JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "d_decontaminate": f"""
+        WITH g5 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 3, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
+                  FROM documents)
+        ),
+        ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 20)
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM g5 JOIN ev USING (g)
+        WHERE doc_id >= 20
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "d_cross_source_dups": """
         SELECT md5(text) AS text_hash,
