@@ -727,6 +727,27 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the events stream table: users grouped by
+    first-seen day, counted per day-offset of later activity — the
+    standard product-analytics rollup. Distinct (user, day) activity
+    first (collapses the fact table to user-days before any join), the
+    per-user cohort min reuses that reduced table, and the final
+    distinct-count shuffles user-days, not raw events."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over the events table: signup → first view AFTER
     the signup → first purchase AFTER that view, per user; output is the
@@ -910,6 +931,7 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantile": q_approx_quantile,
     "q_funnel": q_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
     "q_json_extract": q_json_extract,
     "q_stats_agg": q_stats_agg,
     "q_percentiles": q_percentiles,
@@ -1022,6 +1044,21 @@ ORACLES = {
         GROUP BY GROUPING SETS ((l_returnflag),
                                 (l_returnflag, l_linestatus), ())
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_retention_cohorts": """
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+        )
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+               date_diff('day', cohort_day, day) AS offset_days,
+               count(DISTINCT d.user_id) AS n_users
+        FROM days d JOIN cohort c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, offset_days
     """,
     "q_funnel": """
         WITH s1 AS (
