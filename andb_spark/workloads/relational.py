@@ -535,6 +535,33 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions (first_value / last_value /
+    nth_value) with an explicit full-partition frame — the remaining
+    window subfamily next to ranks, offsets (lag/lead), and frames.
+    Default frames end at CURRENT ROW, so last_value needs the explicit
+    UNBOUNDED FOLLOWING bound to mean "the partition's last": the
+    classic window gotcha, pinned here identically in both engines.
+    Same single shuffle on the partition key as every other window."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first_value("o_orderkey").over(w).alias("first_order"),
+            F.last_value("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.10 subqueries / CTE — NotImplementedError in the reference
 # (transformations.py:278-279)
@@ -970,6 +997,7 @@ QUERIES = {
     "q_except": q_except,
     "q_window_funcs": q_window_funcs,
     "q_window_frames": q_window_frames,
+    "q_window_navigation": q_window_navigation,
     "q_in_subquery": q_in_subquery,
     "q_scalar_subquery": q_scalar_subquery,
     "q_cte": q_cte,
@@ -992,6 +1020,18 @@ ORACLES = {
     """,
     "q_select_no_from": """
         SELECT 1 AS one, 'x' AS s, round(2.5 * 2, 1) AS d, 1 + 2 * 3 AS arith
+    """,
+    "q_window_navigation": """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER w AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+        ORDER BY o_custkey, o_orderkey
     """,
     "q_window_frames": """
         SELECT o_custkey, o_orderkey,
