@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins. Keys absent here (none currently)
-    would fall back to the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL twins. Keys absent here fall back to
+    the driver's rows-only check — deliberately so for the sketch and
+    iterative ops whose estimates are engine-specific
+    (q_approx_distinct, q_approx_quantile, v_kmeans), each of which has
+    an accuracy/invariant unit test instead."""
     return all_oracles()
