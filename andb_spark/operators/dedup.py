@@ -515,3 +515,66 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         .cast("bigint")
         .alias("simhash")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding over the fingerprint
+    (4-bit bands — any pair within Hamming distance 3 shares at least
+    one of the 4 bands exactly, so candidates come from equality joins,
+    never a cross product), then exact popcount verification
+    bit_count(xor) <= max_hamming. All integer math (div/mod/xor/
+    popcount) — engine-portable, oracle-checkable.
+
+    Same scale shape as MinHash-LSH: fingerprints are a per-doc
+    aggregate, the band join keys are near-uniform fingerprint slices,
+    and verification is arithmetic on the candidate pairs only. SimHash
+    state per doc is one BIGINT — 64× smaller than a MinHash signature
+    — which is why corpus pipelines keep both: SimHash for cheap
+    near-exact dedup, MinHash for tunable Jaccard thresholds."""
+    assert bits % 4 == 0
+    sh = simhash(df, text_col, id_col, bits)
+    n_bands = bits // 4
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            (F.col("simhash") / F.lit(16 ** b)).cast("bigint")
+                            % 16
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band"), F.col("bv.band_val"))
+    a = bands.select(
+        "band", "band_val",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        "band", "band_val",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

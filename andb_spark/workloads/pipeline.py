@@ -118,6 +118,18 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, "text", "doc_id", bits=16).orderBy("doc_id")
 
 
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (completing d_simhash's fingerprints):
+    pigeonhole 4-bit bands generate candidates by equality join, exact
+    popcount(xor) <= 2 verifies. One BIGINT of state per doc — the
+    cheap near-exact-dup screen a pipeline runs before the costlier
+    Jaccard MinHash pass."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return DD.simhash_pairs(
+        d, "text", "doc_id", bits=16, max_hamming=2
+    ).orderBy("id_a", "id_b")
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the production shape: dedup an INCREMENT
     (docs 400+) against the HISTORICAL corpus (docs <400) without
@@ -739,6 +751,7 @@ QUERIES = {
     "d_dup_components": d_dup_components,
     "d_dedup_survivors": d_dedup_survivors,
     "d_simhash": d_simhash,
+    "d_simhash_pairs": d_simhash_pairs,
     "d_decontaminate": d_decontaminate,
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
@@ -964,6 +977,48 @@ ORACLES = {
         SELECT doc_id,
                CAST(sum(b * CAST(pow(2, 15 - j) AS BIGINT)) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    "d_simhash_pairs": """
+        WITH toks AS (
+            SELECT doc_id, md5(unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS th
+            FROM documents WHERE doc_id < 300
+        ),
+        bits AS (
+            SELECT doc_id, j,
+                   CASE WHEN sum(CASE WHEN CAST(floor(
+                       (strpos('0123456789abcdef',
+                               substr(th, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                       / (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                     WHEN 2 THEN 2 ELSE 1 END)) AS INT) % 2 = 1
+                        THEN 1 ELSE -1 END) > 0
+                   THEN 1 ELSE 0 END AS b
+            FROM toks, (SELECT unnest(range(0, 16)) AS j) js
+            GROUP BY doc_id, j
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(sum(b * CAST(pow(2, 15 - j) AS BIGINT)) AS BIGINT)
+                       AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, bnd,
+                   (simhash // CAST(pow(16, bnd) AS BIGINT)) % 16 AS band_val
+            FROM sh, (SELECT unnest(range(0, 4)) AS bnd) bs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.bnd = b.bnd AND a.band_val = b.band_val
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 2
+        ORDER BY id_a, id_b
     """,
     "t_token_stats": f"""
         SELECT doc_id,

@@ -572,3 +572,22 @@ def test_rerank_topk_two_stage_prunes_then_exact(spark):
     assert out[0]["cos_sim"] == 1.0
     assert out[0]["cos_sim"] > out[1]["cos_sim"]
     assert out[0]["coarse_score"] > out[1]["coarse_score"]
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_pairs(df, "text", "doc_id").collect()
+    }
+    assert got.get((1, 2)) == 0  # identical text → identical fingerprint
+    strict = DD.simhash_pairs(df, "text", "doc_id", max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in strict} >= {(1, 2)}
+    assert all(r["hamming"] == 0 for r in strict)
