@@ -340,6 +340,24 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No trailing sort: per-document scores are corpus-sized output.
 
 
+def t_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate screen: document PREFIXES (first 2 tokens) that
+    repeat across many docs of one source — the shape of shared
+    headers/templates (CCNet-style cleanup finds footers the same way
+    on reversed arrays). One groupBy on (source, prefix); the prefix
+    is a pure slice of the token array, no explode."""
+    d = _docs(spark, sf_dir)
+    prefix = F.concat_ws(
+        " ", F.slice(TX.tokens(F.lower(F.col("text"))), 1, 2)
+    )
+    return (
+        d.groupBy("source", prefix.alias("prefix2"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("source", "prefix2")
+    )
+
+
 def t_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup by source — the triage query of a data
     pipeline (volume, dedup rate, token budget per source)."""
@@ -762,6 +780,7 @@ QUERIES = {
     "t_lang_ngram": t_lang_ngram,
     "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_repetition": t_repetition,
+    "t_boilerplate": t_boilerplate,
     "t_source_stats": t_source_stats,
     "t_bpe_tokens": t_bpe_tokens,
     "t_pii_scrub": t_pii_scrub,
@@ -1098,6 +1117,15 @@ ORACLES = {
                CAST(top_token_frac >= 0.15 OR top_bigram_frac >= 0.08
                     AS INT) AS flagged
         FROM m
+    """,
+    "t_boilerplate": f"""
+        SELECT source,
+               array_to_string(w[1:2], ' ') AS prefix2,
+               count(*) AS n_docs
+        FROM (SELECT source, {_WORDS.format(col='lower(text)')} AS w
+              FROM documents)
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY source, prefix2
     """,
     "t_source_stats": f"""
         SELECT source, count(*) AS n_docs,

@@ -211,3 +211,14 @@ def test_prefix_sum_never_single_partitions_the_data(spark, sf_dir):
     ]
     assert data_windows, plan
     assert all("windowspecdefinition(_pid" in ln for ln in data_windows), plan
+
+
+def test_decontaminate_probes_broadcast_eval_set(spark, sf_dir):
+    """The decontamination scale claim: the eval set's distinct n-grams
+    broadcast, so the corpus side reaches the join as a pure
+    scan+generate probe. The final plan's only hash exchanges are the
+    tiny eval-gram distinct and the per-doc count aggregate."""
+    plan = final_plan(spark, sf_dir, "d_decontaminate")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert final.count("Exchange hashpartitioning") == 2, plan
