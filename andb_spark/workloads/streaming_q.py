@@ -176,6 +176,37 @@ def s_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly window on a real stream. Structured
+    Streaming rejects COUNT(DISTINCT) in streaming aggregations, so
+    this runs the streaming-safe rewrite: watermarked dropDuplicates
+    on (window, user) — state holds one row per distinct pair, evicted
+    with the watermark — then an ordinary count per window. The batch
+    oracle states the same result as a plain COUNT(DISTINCT)."""
+    tune_for_session(spark)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withColumn("w", F.window("ts", "1 hour"))
+            .dropDuplicates(["w", "user_id"])
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("n_users"),
+            )
+        )
+
+    out = stream_events(
+        spark,
+        table_path(sf_dir, "events"),
+        transform,
+        watermark="1 hour",
+        query_name="andb_stream_distinct",
+    )
+    return out.orderBy("window_start")
+
+
 def s_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical window rollup (the 'continuous aggregate' /
     hypertable-rollup pattern): the hourly tumbling aggregate re-rolled
@@ -206,6 +237,7 @@ QUERIES = {
     "s_stream_dedup": s_stream_dedup,
     "s_stream_join": s_stream_join,
     "s_stream_enrich": s_stream_enrich,
+    "s_stream_distinct": s_stream_distinct,
 }
 
 _TUMBLING_SQL = """
@@ -251,6 +283,12 @@ ORACLES = {
          AND p.ts <= v.ts + INTERVAL '30 minutes'
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         ORDER BY user_id, view_ts, purchase_ts
+    """,
+    "s_stream_distinct": """
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1 ORDER BY window_start
     """,
     "s_stream_enrich": """
         SELECT event_id, e.user_id AS user_id, c_nationkey, c_mktsegment,
