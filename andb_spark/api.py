@@ -309,6 +309,8 @@ class AnalyticsEngine:
                 r = self._show_history(stmt)
             elif head == "VACUUM":
                 r = self._vacuum(stmt)
+            elif head == "OPTIMIZE":
+                r = self._optimize(stmt)
             elif head in ("BEGIN", "START"):
                 r = self._begin()
             elif head == "COMMIT":
@@ -486,6 +488,52 @@ class AnalyticsEngine:
         meta["history"] = []
         self._save_catalog()
         return Result(effect_rows=len(history))
+
+    # Target bytes per file for OPTIMIZE (the standard lakehouse 128 MB).
+    OPTIMIZE_FILE_BYTES = 128 * 1024 * 1024
+
+    def _optimize(self, stmt: str) -> Result:
+        """OPTIMIZE <table> [ZORDER BY (a, b)]: compact a managed
+        table's small files into ~128 MB targets (the many-small-file
+        problem every append-heavy parquet table develops), optionally
+        Z-order-clustering on the way (operators/zorder.py) so footer
+        min/max stats prune scans on the clustered columns. The rewrite
+        reuses the versioned-write machinery — readers keep the old
+        version until the catalog pointer swaps, and time travel
+        retains it."""
+        m = re.match(
+            r"optimize\s+(\w+)\s*(?:zorder\s+by\s*\(([^)]*)\))?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse OPTIMIZE statement: {stmt}")
+        name, zcols = m.group(1), m.group(2)
+        table_dir = self._table_dir(name)
+        n_files_before = sum(
+            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
+        )
+        total_bytes = sum(
+            os.path.getsize(os.path.join(table_dir, f))
+            for f in os.listdir(table_dir)
+            if f.endswith(".parquet")
+        )
+        target = max(1, -(-total_bytes // self.OPTIMIZE_FILE_BYTES))
+        df = self.spark.read.parquet(table_dir)
+        if zcols:
+            from andb_spark.operators.zorder import zorder
+
+            cols = [c.strip() for c in zcols.split(",") if c.strip()]
+            df = zorder(df, cols, num_partitions=target)
+        else:
+            df = df.coalesce(target)
+        n = self._overwrite(name, df)
+        return Result(
+            columns=["files_before", "files_after", "rows"],
+            types=["bigint", "bigint", "bigint"],
+            rows=[(n_files_before, target, n)],
+            effect_rows=n,
+        )
 
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)

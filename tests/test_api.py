@@ -376,3 +376,24 @@ def test_materialized_view_create_refresh_drop(engine):
     e("drop materialized view mv")
     with pytest.raises(EngineError, match="does not exist"):
         e("refresh materialized view mv")
+
+
+def test_optimize_compacts_files_and_preserves_rows(engine):
+    e = engine.execute
+    e("create table opt (a int, b int)")
+    # Each insert writes its own version; within a version each insert's
+    # frame may span several part files — the small-file shape.
+    for i in range(4):
+        e(f"insert into opt select id, id * 2 from range({i * 10}, {i * 10 + 10})")
+    before = e("select count(1) as n from opt").rows[0][0]
+    r = e("optimize opt")
+    assert r.columns == ["files_before", "files_after", "rows"]
+    files_before, files_after, nrows = r.rows[0]
+    assert nrows == before == 40
+    assert files_after <= files_before and files_after == 1  # tiny table
+    assert e("select count(1) as n from opt").rows[0][0] == 40
+    # ZORDER form clusters while compacting, same contents.
+    r2 = e("optimize opt zorder by (a, b)")
+    assert r2.rows[0][2] == 40
+    got = sorted(t for t, in e("select a from opt").rows)
+    assert got == list(range(0, 40))
