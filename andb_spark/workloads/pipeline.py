@@ -340,6 +340,32 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No trailing sort: per-document scores are corpus-sized output.
 
 
+def t_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document (nats) — the vocabulary-diversity
+    quality signal: repetitive/templated docs score low, natural text
+    high. Same shuffle-free HOF shape as t_repetition: per-distinct-
+    token counts folded into -Σ p·ln p inside one scan stage."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("_w")
+    )
+    w = F.col("_w")
+    n = F.size(w).cast("double")
+    probs = F.transform(
+        F.array_distinct(w),
+        lambda t: F.size(F.filter(w, lambda x: x == t)).cast("double") / n,
+    )
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log(p)
+    )
+    return staged.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.round(entropy, 6).alias("entropy"),
+    )
+    # No trailing sort: corpus-sized per-doc output.
+
+
 def t_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate screen: document PREFIXES (first 2 tokens) that
     repeat across many docs of one source — the shape of shared
@@ -781,6 +807,7 @@ QUERIES = {
     "t_rolling_fingerprint": t_rolling_fingerprint,
     "t_repetition": t_repetition,
     "t_boilerplate": t_boilerplate,
+    "t_entropy": t_entropy,
     "t_source_stats": t_source_stats,
     "t_bpe_tokens": t_bpe_tokens,
     "t_pii_scrub": t_pii_scrub,
@@ -1117,6 +1144,17 @@ ORACLES = {
                CAST(top_token_frac >= 0.15 OR top_bigram_frac >= 0.08
                     AS INT) AS flagged
         FROM m
+    """,
+    "t_entropy": f"""
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               round(-list_sum(list_transform(list_distinct(w),
+                   t -> (CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                         / len(w))
+                        * ln(CAST(len(list_filter(w, x -> x = t)) AS DOUBLE)
+                             / len(w)))), 6) AS entropy
+        FROM (SELECT doc_id, {_WORDS.format(col='lower(text)')} AS w
+              FROM documents)
     """,
     "t_boilerplate": f"""
         SELECT source,
