@@ -191,3 +191,34 @@ def sample_frames(binary_df: DataFrame, max_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id bigint, embedding array<double>"
+
+
+def embed_image(binary_df: DataFrame, dims: int = 8) -> DataFrame:
+    """Feature-extraction stage: payload → embedding vector, the bridge
+    from multimodal ingest into the vector operators (ANN search,
+    near-dup, clustering all consume its output schema). STUB like the
+    decoders — a real implementation runs a vision encoder over the
+    same Arrow-batched mapInPandas plumbing; the fake derives
+    ``dims`` components from digest byte pairs (uniform in [0, 1],
+    deterministic across runs/engines, restatable in SQL)."""
+    assert dims <= 8  # one md5 digest = 16 bytes = 8 pairs
+
+    def _embed(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                d = hashlib.md5(bytes(payload)).digest()
+                embs.append(
+                    [
+                        int.from_bytes(d[2 * i: 2 * i + 2], "big") / 65535.0
+                        for i in range(dims)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return binary_df.mapInPandas(_embed, schema=EMBED_SCHEMA)

@@ -18,6 +18,7 @@ from andb_spark.operators import dedup as DD
 from andb_spark.operators.asof import asof_join
 from andb_spark.operators.multimodal import (
     binarize,
+    embed_image,
     extract_audio_meta,
     extract_image_meta,
     resize_images,
@@ -778,6 +779,15 @@ def m_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → vector bridge: the (stubbed) embedding stage whose
+    output schema feeds the ANN / near-dup / clustering operators
+    directly (operators/multimodal.py::embed_image)."""
+    d = _docs(spark, sf_dir)
+    return embed_image(binarize(d, "text", "doc_id"))
+    # No trailing sort: corpus-sized per-doc output.
+
+
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over binary payloads (mapInPandas fan-out)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -827,6 +837,7 @@ QUERIES = {
     "m_image_meta": m_image_meta,
     "m_audio_meta": m_audio_meta,
     "m_resize": m_resize,
+    "m_image_embed": m_image_embed,
     "m_frame_sample": m_frame_sample,
 }
 
@@ -1501,6 +1512,13 @@ ORACLES = {
                CAST(floor(height * least(256.0 / greatest(width, height), 1.0))
                     AS INT) AS new_height
         FROM dims ORDER BY doc_id
+    """,
+    "m_image_embed": f"""
+        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+        SELECT doc_id,
+               [{", ".join(_HEX2INT.format(h='hh', off=str(4 * i)) + " / 65535.0"
+                           for i in range(8))}] AS embedding
+        FROM h
     """,
     "m_frame_sample": """
         WITH h AS (

@@ -79,7 +79,10 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
     / mapInPandas appear only in the explicitly-multimodal queries."""
     from andb_spark.workloads import pipeline, relational, tpch_extra, vectors
 
-    allowed_pandas = {"m_image_meta", "m_audio_meta", "m_resize", "m_frame_sample"}
+    allowed_pandas = {
+        "m_image_meta", "m_audio_meta", "m_resize", "m_frame_sample",
+        "m_image_embed",
+    }
     names = (
         list(relational.QUERIES)
         + list(tpch_extra.QUERIES)
