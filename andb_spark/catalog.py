@@ -59,11 +59,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — ns magnitudes exceed double's 53-bit mantissa
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # session TZ is UTC, so this cast is value-preserving; the
+        # engine's event-time type is TimestampType (watermarkable).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -42,6 +42,10 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture timestamps are written without UTC adjustment; read them
+        # as the engine's TimestampType (session TZ is UTC) rather than
+        # TIMESTAMP_NTZ, which watermarks/windows reject.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("ANDB_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -76,6 +80,8 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         # events.parquet carries INT64 nanos timestamps; read as long
         # (converted in catalog.load_table) instead of erroring.
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # un-adjusted parquet timestamps → TimestampType, not NTZ
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

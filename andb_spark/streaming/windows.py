@@ -98,6 +98,10 @@ def stream_source(
     # integer-divide to micros before watermarking.
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # value-preserving under the UTC session TZ; watermarks require
+        # TimestampType, not NTZ.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if watermark is not None:
         stream = stream.withWatermark("ts", watermark)
     return stream
