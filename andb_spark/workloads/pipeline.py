@@ -461,6 +461,69 @@ def t_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed 64-token
+    chunks (the pre-tokenization step of sequence packing; pack_shards
+    then groups chunks into shards). Tokenize once, explode a 0..n_chunks
+    sequence, slice the token array per chunk — all JVM-side array ops in
+    one narrow stage, no shuffle until the output sort. Chunk identity is
+    an md5 over the re-joined token slice so the oracle compares content,
+    not engine-side array representations. Empty documents produce zero
+    chunks (the sequence is guarded: Spark's sequence(0, -1) would count
+    DOWN, not produce an empty array)."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    chunks = (
+        t.withColumn("n_chunks", F.ceil(F.size("w") / F.lit(64.0)))
+        .filter(F.col("n_chunks") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.slice(F.col("w"), F.col("chunk_idx") * 64 + 1, 64).alias("chunk"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def t_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters: approx_top_k (Datasketches frequent-
+    items) over the token stream — the scale path for t_heavy_hitters
+    when the vocabulary itself outgrows a groupBy (web-scale corpora:
+    billions of distinct tokens/URLs/hosts). The sketch is bounded-memory
+    (maxItemsTracked slots), partial-aggregatable and mergeable, so the
+    shuffle carries one sketch per partition instead of one row per
+    distinct token. No DuckDB oracle (sketch internals differ);
+    tests/test_operators.py pins sketch-vs-exact agreement at this scale,
+    where maxItemsTracked exceeds the vocabulary and counts are exact."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    sketch = toks.agg(
+        F.expr("approx_top_k(token, 20, 100000)").alias("tk")
+    )
+    return (
+        sketch.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+    )
+
+
 def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing). Two aggregations
@@ -822,6 +885,8 @@ QUERIES = {
     "t_bpe_tokens": t_bpe_tokens,
     "t_pii_scrub": t_pii_scrub,
     "t_heavy_hitters": t_heavy_hitters,
+    "t_chunking": t_chunking,
+    "t_approx_topk": t_approx_topk,
     "t_tfidf": t_tfidf,
     "t_length_histogram": t_length_histogram,
     "p_quality_filter": p_quality_filter,
@@ -1291,6 +1356,21 @@ ORACLES = {
             SELECT unnest({_WORDS.format(col='lower(text)')}) AS token
             FROM documents
         ) GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    "t_chunking": f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents
+        ),
+        c AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   list_slice(w, i*64+1, i*64+64) AS chunk
+            FROM t, LATERAL (
+                SELECT unnest(range(0, CAST(ceil(len(w)/64.0) AS BIGINT))) AS i
+            ) r
+        )
+        SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx
     """,
     "t_tfidf": f"""
         WITH toks AS (

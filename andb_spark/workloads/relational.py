@@ -830,6 +830,77 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min), the lag-flag →
+    running-sum method — the batch mirror of the streaming
+    session_window query (s_session). Per-user event streams are
+    windowed (one shuffle on user_id), session ids are cumulative sums
+    of new-session flags, then sessions roll up into a bounded
+    session-length histogram. Gap arithmetic is integer microseconds
+    (unix_micros) so both engines compare exact values; session
+    membership depends only on the sorted timestamp multiset, so
+    equal-timestamp tie order cannot change the result."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = us - F.lag(us).over(w)
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_session = (
+        flagged.withColumn("sid", F.sum("new_s").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max("us") - F.min("us")) / F.lit(1e6), 6).alias("dur"),
+        )
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("dur"), 6).alias("avg_duration_secs"),
+        )
+        .orderBy("n_events")
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HllSketch of active
+    users (hll_sketch_agg, Datasketches HLL), merged with hll_union_agg
+    into the overall estimate WITHOUT rescanning the fact table — the
+    incremental-rollup pattern for 100 TB: store the per-day sketch
+    column in a stats table; any date-range distinct count is then a
+    sketch merge over days, not a fact scan. Sketch inserts and unions
+    are commutative/idempotent, so the estimate is deterministic under
+    Spark's partition-order nondeterminism. No DuckDB oracle (different
+    sketch implementation) — accuracy is unit-tested against exact
+    countDistinct (tests/test_operators.py)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    return (
+        daily.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "distinct_users_est"
+            ),
+        )
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: sample stddev/variance, correlation and
     covariance — single-pass partial-aggregatable moments (each is a
@@ -960,6 +1031,8 @@ QUERIES = {
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_json_extract": q_json_extract,
+    "q_sessionize": q_sessionize,
+    "q_hll_distinct": q_hll_distinct,
     "q_stats_agg": q_stats_agg,
     "q_percentiles": q_percentiles,
     "q_grouping_sets": q_grouping_sets,
@@ -1099,6 +1172,31 @@ ORACLES = {
                count(DISTINCT d.user_id) AS n_users
         FROM days d JOIN cohort c USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) > 1800000000
+                        OR lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, sid, count(*) AS n_events,
+                   round((max(us) - min(us)) / 1e6, 6) AS dur
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT n_events, count(*) AS n_sessions,
+               round(avg(dur), 6) AS avg_duration_secs
+        FROM per GROUP BY 1 ORDER BY 1
     """,
     "q_funnel": """
         WITH s1 AS (

@@ -514,6 +514,53 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert abs(r["a"] - r["x"]) / r["x"] < 0.1, (r["a"], r["x"])
 
 
+def test_hll_distinct_accuracy(spark, sf_dir):
+    """The per-day-sketch → union rollup (q_hll_distinct) agrees with an
+    exact countDistinct within HLL error at this cardinality, and the
+    day count matches exactly (it is a plain count)."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.catalog import load_table
+    from andb_spark.workloads.relational import q_hll_distinct
+
+    got = q_hll_distinct(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("x"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("d"),
+    ).collect()[0]
+    assert got["n_days"] == exact["d"]
+    assert abs(got["distinct_users_est"] - exact["x"]) / exact["x"] < 0.05
+
+
+def test_approx_topk_exact_at_small_vocab(spark, sf_dir):
+    """With maxItemsTracked far above the fixture vocabulary the
+    frequent-items sketch degenerates to exact counting: every reported
+    (token, n) matches the exact token frequency, and the reported top
+    item IS the exact heavy hitter."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.catalog import load_table
+    from andb_spark.functions import text as TX
+    from andb_spark.workloads.pipeline import t_approx_topk
+
+    got = t_approx_topk(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    exact = dict(
+        d.select(
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    assert len(got) == 20
+    for r in got:
+        assert exact[r["token"]] == r["n"], (r["token"], r["n"])
+    top_exact = max(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    assert got[0]["n"] == top_exact[1]
+
+
 def test_connected_components_transitive_closure(spark):
     """Chain 1-2-3 collapses to one component even though 1 and 3 share
     no edge; disjoint pair {10,11} keeps its own; labels are min-id."""
