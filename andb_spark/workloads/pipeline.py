@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from andb_spark.catalog import load_table
 from andb_spark.functions import text as TX
+from andb_spark.operators import bloom as BL
 from andb_spark.operators import dedup as DD
 from andb_spark.operators.asof import asof_join
 from andb_spark.operators.multimodal import (
@@ -146,6 +147,28 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("h")
     )
     return new.join(old, "h", "left_anti").select("doc_id").orderBy("doc_id")
+
+
+def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a BROADCAST Bloom filter instead of the
+    anti-join (compare d_incremental_dedup): the history's content
+    hashes are packed once into a bit array (operators/bloom.py) that
+    ships to every executor, and the increment is screened with a local
+    bit test — no shuffle, no history scan at query time, and per-day
+    filters merge by bitwise OR. Drops a ~fpp fraction of genuinely-new
+    docs (deterministically — fixed xxhash64 lanes); never passes a true
+    duplicate. No DuckDB oracle (the verdict depends on the filter's
+    internal hashing); tests/test_operators.py pins the no-false-
+    negative invariant and the false-positive budget."""
+    d = _docs(spark, sf_dir)
+    hist = d.filter(F.col("doc_id") < 400).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    inc = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    bf = BL.build_bloom(hist, "h", fpp=0.01)
+    return BL.bloom_new_items(inc, "h", bf).select("doc_id").orderBy("doc_id")
 
 
 def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +895,7 @@ QUERIES = {
     "d_decontaminate": d_decontaminate,
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
+    "d_bloom_dedup": d_bloom_dedup,
     "d_incremental_minhash": d_incremental_minhash,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,

@@ -514,6 +514,48 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert abs(r["a"] - r["x"]) / r["x"] < 0.1, (r["a"], r["x"])
 
 
+def test_bloom_filter_membership_and_merge(spark):
+    """Every inserted key hits (Bloom never has false negatives); two
+    filters built with identical params merge by OR into one that
+    contains both key sets."""
+    from andb_spark.operators import bloom as BL
+
+    a = spark.createDataFrame([(f"key-{i}",) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(f"other-{i}",) for i in range(200)], ["k"])
+    bf_a = BL.build_bloom(a, "k", num_items=200, fpp=0.01)
+    bf_b = BL.build_bloom(b, "k", num_items=200, fpp=0.01)
+    hits = BL.with_might_contain(a, "k", bf_a).filter("might_contain")
+    assert hits.count() == 200
+    merged = BL.merge_blooms(bf_a, bf_b)
+    both = a.union(b)
+    assert (
+        BL.with_might_contain(both, "k", merged)
+        .filter("might_contain")
+        .count()
+        == 400
+    )
+    assert 0.0 < merged.fill_ratio < 1.0
+
+
+def test_bloom_dedup_no_false_negatives_and_fp_budget(spark, sf_dir):
+    """d_bloom_dedup vs the exact anti-join (d_incremental_dedup):
+    the Bloom screen never passes a true duplicate (survivors are a
+    subset of the exact survivors), drops at most a small
+    false-positive fraction of genuinely-new docs, and is
+    deterministic across runs."""
+    from andb_spark.workloads.pipeline import (
+        d_bloom_dedup,
+        d_incremental_dedup,
+    )
+
+    exact = {r[0] for r in d_incremental_dedup(spark, sf_dir).collect()}
+    got = [r[0] for r in d_bloom_dedup(spark, sf_dir).collect()]
+    assert set(got) <= exact
+    dropped = len(exact) - len(got)
+    assert dropped <= max(3, int(0.05 * len(exact))), dropped
+    assert got == [r[0] for r in d_bloom_dedup(spark, sf_dir).collect()]
+
+
 def test_hll_distinct_accuracy(spark, sf_dir):
     """The per-day-sketch → union rollup (q_hll_distinct) agrees with an
     exact countDistinct within HLL error at this cardinality, and the

@@ -99,6 +99,7 @@ def test_every_query_has_oracle():
         "q_approx_quantile",
         "q_hll_distinct",
         "t_approx_topk",
+        "d_bloom_dedup",
     }
     assert missing <= exempt, missing - exempt
 
