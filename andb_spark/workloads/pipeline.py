@@ -685,6 +685,38 @@ def p_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the anti-domination rebalancer (cap any
+    one domain/source at N docs so it cannot swamp the mixture). Keeps
+    the first 40 docs per source in deterministic hash order (same
+    total-ordered digest as stratified sampling) and reports
+    kept/dropped per source. One window shuffle on source + one
+    bounded aggregation; at corpus scale the cap runs per-partition
+    first (rank ≤ N survives partial filtering) and sources are
+    high-cardinality domains, so the window key does not skew."""
+    from andb_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    capped = stratified_sample(d, ["source"], 40, "doc_id")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            capped.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept")
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
 def p_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture planning: given per-source target shares (here a
     deterministic 1/2/3-weight ramp over the source id) and a global
@@ -916,6 +948,7 @@ QUERIES = {
     "p_quality_filter": p_quality_filter,
     "p_sample_hash": p_sample_hash,
     "p_sample_stratified": p_sample_stratified,
+    "p_source_cap": p_source_cap,
     "p_sample_weighted": p_sample_weighted,
     "p_mixture_plan": p_mixture_plan,
     "p_split": p_split,
@@ -1461,6 +1494,26 @@ ORACLES = {
         SELECT doc_id, source FROM documents
         WHERE substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
         ORDER BY doc_id
+    """,
+    "p_source_cap": """
+        WITH capped AS (
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY substr(md5('s42|' || CAST(doc_id AS VARCHAR)), 1, 4),
+                             doc_id) AS rn
+                FROM documents
+            ) t WHERE rn <= 40
+        ),
+        totals AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        kept AS (
+            SELECT source, count(*) AS n_kept FROM capped GROUP BY source
+        )
+        SELECT t.source, t.n_docs, k.n_kept, t.n_docs - k.n_kept AS n_dropped
+        FROM totals t JOIN kept k USING (source)
+        ORDER BY t.source
     """,
     "p_sample_stratified": """
         SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from andb_spark.catalog import load_table
+from andb_spark.operators import dedup as DD
 from andb_spark.operators import similarity as SIM
 from andb_spark.session import tune_for_session
 
@@ -43,6 +44,29 @@ def v_pairwise_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH/IVF path prunes the quadratic term)."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
     return SIM.pairwise_near_dup(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def v_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (SemDeDup shape): embedding-cosine
+    near-dup pairs → connected components (transitive closure) → keep
+    the min-id representative of each semantic cluster, drop the rest.
+    The embedding twin of d_dedup_survivors' n-gram pipeline: same
+    graph machinery (operators/dedup.py::connected_components), edges
+    from exact cosine here (bounded subset) — at corpus scale the edge
+    builder swaps to the IVF/LSH-bucketed candidate path
+    (v_cluster_near_dup) without touching the component/survivor
+    stages."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
+    pairs = SIM.pairwise_near_dup(emb, threshold=0.35)
+    comp = DD.connected_components(pairs.select("id_a", "id_b"))
+    removed = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    return (
+        emb.select("vec_id")
+        .join(removed, "vec_id", "left_anti")
+        .orderBy("vec_id")
+    )
 
 
 def v_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,6 +176,7 @@ def v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "v_cosine_topk": v_cosine_topk,
     "v_pairwise_near_dup": v_pairwise_near_dup,
+    "v_semantic_dedup": v_semantic_dedup,
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
     "v_lsh_topk": v_lsh_topk,
@@ -183,6 +208,38 @@ ORACLES = {
         WHERE d.vec_id <> 0
         ORDER BY cos_sim DESC, d.vec_id
         LIMIT 10
+    """,
+    "v_semantic_dedup": f"""
+        WITH RECURSIVE e AS ({_EXPAND}),
+        sub AS (SELECT * FROM e WHERE vec_id < 400),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM sub GROUP BY vec_id),
+        dots AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+            FROM sub a JOIN sub b USING (i)
+            WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM dots JOIN norms na ON na.vec_id = id_a
+                      JOIN norms nb ON nb.vec_id = id_b
+            WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e2.dst, reach.r FROM edges e2 JOIN reach ON e2.src = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id < 400
+          AND vec_id NOT IN (SELECT id FROM comp WHERE id <> cid)
+        ORDER BY vec_id
     """,
     "v_pairwise_near_dup": f"""
         WITH e AS ({_EXPAND}),
