@@ -62,6 +62,23 @@ def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def s_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real readStream execution of the session-window aggregation:
+    session_window merges per-user gap-bounded sessions as stateful
+    streaming state; the watermark bounds that state (sessions older
+    than the watermark close and evict). Same transform as the batch
+    s_session — batch/stream equivalence is the correctness statement,
+    checked against the lag-flag SQL oracle."""
+    tune_for_session(spark)
+    return stream_events(
+        spark,
+        table_path(sf_dir, "events"),
+        session_agg,
+        watermark="1 hour",
+        query_name="andb_stream_session",
+    )
+
+
 def s_stateful_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running
     per-user stats in explicit group state. The finite fixture arrives
@@ -233,6 +250,7 @@ QUERIES = {
     "s_sliding": s_sliding,
     "s_session": s_session,
     "s_stream_tumbling": s_stream_tumbling,
+    "s_stream_session": s_stream_session,
     "s_stateful_user": s_stateful_user,
     "s_stream_dedup": s_stream_dedup,
     "s_stream_join": s_stream_join,
@@ -245,6 +263,27 @@ _TUMBLING_SQL = """
            count(*) AS n, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
+
+_SESSION_SQL = """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM e
+        )
+        SELECT min(ts) AS session_start, user_id,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """
 
 ORACLES = {
     "s_daily_rollup": """
@@ -303,24 +342,6 @@ ORACLES = {
         FROM events, (SELECT unnest([0, 1]) AS k) ks
         GROUP BY 1 ORDER BY window_start
     """,
-    "s_session": """
-        WITH e AS (
-            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
-                        THEN 1 ELSE 0 END AS new_s
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        s AS (
-            SELECT *, sum(new_s) OVER (
-                PARTITION BY user_id ORDER BY ts
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-            FROM e
-        )
-        SELECT min(ts) AS session_start, user_id,
-               count(*) AS n_events, round(sum(value), 2) AS session_value
-        FROM s GROUP BY user_id, sid
-        ORDER BY user_id, session_start
-    """,
+    "s_session": _SESSION_SQL,
+    "s_stream_session": _SESSION_SQL,
 }
