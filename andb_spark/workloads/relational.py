@@ -841,21 +841,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership depends only on the sorted timestamp multiset, so
     equal-timestamp tie order cannot change the result."""
     ev = _t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = us - F.lag(us).over(w)
-    flagged = ev.select(
+    # Both windows share one spec (same partition key, same sort key) so
+    # Catalyst plans ONE exchange + ONE sort and chains the window
+    # functions; the session rollup's groupBy(user_id, sid) is then
+    # satisfied by the existing user_id partitioning — no re-shuffle.
+    staged = ev.select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap_us = F.col("us") - F.lag("us").over(w)
+    flagged = staged.select(
         "user_id",
-        us.alias("us"),
+        "us",
         F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
         .otherwise(0)
         .alias("new_s"),
     )
-    wc = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
     per_session = (
         flagged.withColumn("sid", F.sum("new_s").over(wc))
         .groupBy("user_id", "sid")

@@ -225,3 +225,24 @@ def test_decontaminate_probes_broadcast_eval_set(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, plan
     assert final.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Context-window chunking must stay a narrow stage: tokenize,
+    explode the chunk-index sequence, slice — no hash shuffle at all;
+    the only exchange is the range partitioning of the output sort."""
+    plan = final_plan(spark, sf_dir, "t_chunking")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 0, plan
+    assert final.count("Exchange rangepartitioning") == 1, plan
+
+
+def test_sessionize_two_bounded_shuffles(spark, sf_dir):
+    """Batch sessionization: both windows share one spec, so the fact
+    table is exchanged ONCE on user_id (the session rollup's
+    groupBy(user_id, sid) is satisfied by that same partitioning); the
+    only other hash exchange is the bounded session-length histogram."""
+    plan = final_plan(spark, sf_dir, "q_sessionize")
+    final = plan.split("== Initial Plan ==")[0]
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", final)
+    assert sorted(keys) == ["n_events", "user_id"], final
