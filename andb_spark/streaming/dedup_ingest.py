@@ -1,0 +1,151 @@
+"""Continuous corpus ingest with dedup — streaming + LSH state combined.
+
+The production shape of training-data collection: documents arrive
+continuously; each micro-batch must be screened against everything
+already accepted (exact and near-duplicate) BEFORE it lands in the
+clean corpus, and the dedup state must advance incrementally — history
+is never re-signed or re-shingled.
+
+Maintained state (two managed engine tables):
+- ``clean``  — accepted documents + their content hash (the exact-dup
+  screen key, stored so history hashes are never recomputed).
+- ``bands``  — the append-only LSH band table
+  (operators/dedup.py::band_table): MinHash signatures are a pure
+  per-document function, so each batch appends bands for ITS survivors
+  only.
+
+Per micro-batch, work is proportional to the batch:
+1. in-batch exact dedup (min-id per content hash);
+2. exact screen vs history — anti-join on the stored hash column;
+3. near-dup screen vs history — the maintained band table provides
+   candidates (incremental_minhash_pairs with history_bands), so only
+   colliding history docs are ever re-shingled for verification;
+4. in-batch near-dup — LSH pairs + connected components over the
+   (small) batch, keep the min-id representative;
+5. survivors append to ``clean``; their bands append to ``bands``.
+
+Exactly-once: Structured Streaming replays epochs with the same
+batch_id; the sink records a high-water mark in the clean table's
+catalog entry and skips replayed batches, and both state tables land
+through the engine's atomic versioned write. At 100 TB the two state
+tables are bucketed by hash / (band, band_sig) so both screens are
+shuffle-free on the history side (see SCALE.md §5); the
+read-union-overwrite used here becomes a plain append on a real table
+format.
+
+The reference has no streaming and no dedup; this is the north-star
+integration of both extension tracks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from andb_spark.operators import dedup as DD
+
+
+def _survivors_of_batch(
+    batch_df: DataFrame,
+    clean_df: DataFrame,
+    bands_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+) -> DataFrame:
+    """The batch's accepted documents, with a ``text_hash`` column."""
+    hashed = batch_df.withColumn("text_hash", F.md5(F.col(text_col)))
+
+    # 1. in-batch exact dedup: min id per content hash.
+    keep = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    batch_u = hashed.join(keep, [id_col, "text_hash"], "left_semi")
+
+    # 2. exact screen vs history (stored hashes — no history text read).
+    batch_u = batch_u.join(
+        clean_df.select("text_hash"), "text_hash", "left_anti"
+    )
+
+    # 3. near-dup screen vs history via the maintained band table.
+    near_hist = DD.incremental_minhash_pairs(
+        clean_df,
+        batch_u,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+        history_bands=bands_df,
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    batch_u = batch_u.join(near_hist, id_col, "left_anti")
+
+    # 4. in-batch near-dup: pairs -> components -> min-id survivor.
+    pairs = DD.minhash_lsh_pairs(
+        batch_u, text_col, id_col,
+        num_hashes=num_hashes, rows_per_band=rows_per_band,
+        threshold=threshold,
+    )
+    removed = (
+        DD.connected_components(pairs.select("id_a", "id_b"))
+        .filter(F.col("node") != F.col("component_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return batch_u.join(removed, id_col, "left_anti")
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    docs_path: str,
+    engine,
+    clean_table: str,
+    bands_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    query_name: str = "andb_dedup_ingest",
+) -> None:
+    """Run the continuous dedup-ingest pipeline over a document stream
+    until the (finite) source drains. ``clean_table`` and
+    ``bands_table`` must exist (create them with the engine's DDL);
+    first-seen documents win across batches — the accepted corpus is
+    order-dependent in exactly the way a real ingest is."""
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = engine.catalog["tables"][clean_table]
+        if meta.get("last_stream_batch", -1) >= batch_id:
+            return  # checkpoint replay — already applied
+        clean_df = engine.spark.read.parquet(engine._table_dir(clean_table))
+        bands_df = engine.spark.read.parquet(engine._table_dir(bands_table))
+        surv = _survivors_of_batch(
+            batch_df, clean_df, bands_df,
+            text_col, id_col, num_hashes, rows_per_band, threshold,
+        ).select(*clean_df.columns).localCheckpoint(eager=True)
+        new_bands = DD.band_table(
+            surv, text_col, id_col, num_hashes, rows_per_band
+        ).select(*bands_df.columns)
+        engine._overwrite(clean_table, clean_df.unionByName(surv))
+        engine._overwrite(bands_table, bands_df.unionByName(new_bands))
+        meta["last_stream_batch"] = batch_id
+        engine._save_catalog()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -34,9 +34,12 @@ HEADLINE = (
     "q18_large_orders",
     "q_window_funcs",
     "q_topk_per_group",
+    "q_sessionize",
     "d_exact_dedup",
     "d_minhash_lsh",
+    "d_bloom_dedup",
     "t_lang_quality",
+    "t_chunking",
     "v_cosine_topk",
     "a_asof_join",
     "s_tumbling",

