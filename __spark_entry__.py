@@ -38,7 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins. Keys absent here fall back to
     the driver's rows-only check — deliberately so for the sketch and
-    iterative ops whose estimates are engine-specific
-    (q_approx_distinct, q_approx_quantile, v_kmeans), each of which has
-    an accuracy/invariant unit test instead."""
+    iterative ops whose results are engine-specific (q_approx_distinct,
+    q_approx_quantile, q_hll_distinct, t_approx_topk, d_bloom_dedup,
+    v_kmeans), each of which has an accuracy/invariant unit test
+    instead (tests/test_operators.py)."""
     return all_oracles()

@@ -1,0 +1,158 @@
+"""Workload-level computation-reuse advisor (SparkCruise-style).
+
+SparkCruise (VLDB 2021, "SparkCruise: Workload Optimization in Managed
+Spark Clusters at Microsoft" — PAPERS.md) observed that production
+Spark workloads repeat the same subcomputations across queries, and
+that materializing the hottest shared ones pays for itself. This module
+is that idea scaled to our engine's surface: fingerprint every query's
+*scans* (table, pruned column set, pushed filters — the part of the
+plan that dominates 100 TB cost), aggregate the fingerprints across the
+whole registered workload, and recommend shared materializations:
+
+- a **projection** recommendation when many queries read the same
+  narrow slice of a wide table (materialize the column-pruned slice —
+  the classic vertical partition / covering-index analog, the Spark
+  twin of the reference's CoveredIndexScan, andb/executor/operator/
+  physical/select.py:362-381);
+- a **shared-scan** recommendation when the identical (table, columns,
+  filters) signature recurs (materialize once, read many — the common
+  subexpression case).
+
+Advisory only — nothing is rewritten behind the user's back; the
+output feeds `CREATE MATERIALIZED VIEW`, which the engine already
+maintains atomically. Fingerprints come from the static optimized plan
+(`sparkPlan`), so advising over N queries costs N plan compilations and
+ZERO executions.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class ScanSignature:
+    """One FileScan's reusable identity."""
+
+    table: str
+    columns: tuple[str, ...]  # ReadSchema — what actually leaves the scan
+    filters: tuple[str, ...]  # PushedFilters — parquet-level pruning
+
+
+@dataclass
+class ReuseReport:
+    """Scan fingerprints aggregated over a workload."""
+
+    # signature -> query names that produce it
+    scans: dict[ScanSignature, list[str]] = field(default_factory=dict)
+    # table -> full schema width seen across the workload (max observed)
+    table_width: dict[str, int] = field(default_factory=dict)
+
+
+def scan_signatures(df: DataFrame) -> list[ScanSignature]:
+    """Extract every parquet scan's (table, read columns, pushed
+    filters) from the STATIC optimized plan — no execution. Walks the
+    JVM plan tree (FileSourceScanExec accessors) instead of parsing
+    plan strings, which Spark truncates."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    leaves = plan.collectLeaves()
+    out = []
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if not leaf.getClass().getName().endswith("FileSourceScanExec"):
+            continue
+        path = leaf.relation().location().rootPaths().apply(0).toString()
+        table = path.rstrip("/").split("/")[-1].removesuffix(".parquet")
+        cols = tuple(sorted(leaf.requiredSchema().fieldNames()))
+        opt = leaf.metadata().get("PushedFilters")
+        raw = opt.get() if opt.isDefined() else "[]"
+        # "[IsNotNull(a), GreaterThan(b,3)]" -> split on top-level commas
+        flt = tuple(
+            sorted(
+                f.strip()
+                for f in re.split(r",\s*(?![^()]*\))", raw.strip("[]"))
+                if f.strip()
+            )
+        )
+        out.append(ScanSignature(table, cols, flt))
+    return out
+
+
+def analyze_workload(
+    queries: dict, spark, sf_dir: str, names: list[str] | None = None
+) -> ReuseReport:
+    """Fingerprint a set of registered queries (plan compile only)."""
+    report = ReuseReport()
+    grouped: dict[ScanSignature, list[str]] = defaultdict(list)
+    for name in names if names is not None else sorted(queries):
+        try:
+            df = queries[name](spark, sf_dir)
+        except Exception:
+            continue  # streaming-only entries etc. — not scan-advisable
+        for sig in scan_signatures(df):
+            grouped[sig].append(name)
+            if sig.table not in report.table_width:
+                # true schema width, so the projection heuristic compares
+                # read columns against the FULL table, not other readers
+                try:
+                    full = spark.read.parquet(
+                        f"{sf_dir}/{sig.table}.parquet"
+                    )
+                    report.table_width[sig.table] = len(full.columns)
+                except Exception:
+                    report.table_width[sig.table] = len(sig.columns)
+    report.scans = dict(grouped)
+    return report
+
+
+def recommendations(
+    report: ReuseReport,
+    min_queries: int = 3,
+    max_width_fraction: float = 0.75,
+) -> list[dict]:
+    """Turn the fingerprint aggregate into ranked, actionable advice.
+
+    Returns dicts with kind ('shared_scan' | 'projection'), table,
+    columns, n_queries, queries and, for shared scans, filters —
+    sorted by how many queries each materialization would serve.
+    """
+    recs: list[dict] = []
+    # identical signature reused across queries -> shared scan
+    for sig, qs in report.scans.items():
+        if len(set(qs)) >= min_queries and sig.filters:
+            recs.append(
+                {
+                    "kind": "shared_scan",
+                    "table": sig.table,
+                    "columns": list(sig.columns),
+                    "filters": list(sig.filters),
+                    "n_queries": len(set(qs)),
+                    "queries": sorted(set(qs)),
+                }
+            )
+    # many queries reading a narrow slice of the same table -> projection
+    by_table: dict[str, tuple[set[str], set[str]]] = {}
+    for sig, qs in report.scans.items():
+        cols, users = by_table.setdefault(sig.table, (set(), set()))
+        cols.update(sig.columns)
+        users.update(qs)
+    for table, (cols, users) in by_table.items():
+        width = report.table_width.get(table, len(cols)) or len(cols)
+        if (
+            len(users) >= min_queries
+            and len(cols) / max(width, 1) <= max_width_fraction
+        ):
+            recs.append(
+                {
+                    "kind": "projection",
+                    "table": table,
+                    "columns": sorted(cols),
+                    "n_queries": len(users),
+                    "queries": sorted(users),
+                }
+            )
+    return sorted(recs, key=lambda r: -r["n_queries"])

@@ -249,3 +249,33 @@ def test_sessionize_two_bounded_shuffles(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", final)
     assert sorted(keys) == ["n_events", "user_id"], final
+
+
+def test_reuse_advisor_finds_shared_scans_and_projections(spark, sf_dir):
+    """SparkCruise-style workload advisor (plans/reuse.py): over a
+    slice of the registered workload it must (a) fingerprint scans from
+    the static plan without executing anything, (b) surface the
+    documents (doc_id, text) slice that the dedup/text pipeline reads
+    repeatedly as a projection candidate, and (c) rank by reuse count."""
+    from andb_spark.plans.reuse import analyze_workload, recommendations
+    from andb_spark.workloads import all_queries
+
+    names = [
+        "q6_forecast_revenue", "q1_pricing_summary",  # lineitem readers
+        "d_exact_dedup", "d_exact_dup_groups", "d_fingerprint_dup_groups",
+        "t_fingerprint", "t_entropy",                 # documents readers
+    ]
+    report = analyze_workload(all_queries(), spark, sf_dir, names=names)
+    assert report.scans, "no scan fingerprints extracted"
+    # static fingerprinting saw both tables with their true widths
+    assert report.table_width["documents"] == 5
+    assert report.table_width["lineitem"] >= 10
+    recs = recommendations(report, min_queries=3)
+    proj = [r for r in recs if r["kind"] == "projection"]
+    docs_proj = [r for r in proj if r["table"] == "documents"]
+    assert docs_proj, recs
+    # the dedup/text readers touch only (doc_id, text) — a 2/5 slice
+    assert set(docs_proj[0]["columns"]) <= {"doc_id", "text"}
+    assert docs_proj[0]["n_queries"] >= 5
+    # ranking: first recommendation serves the most queries
+    assert recs == sorted(recs, key=lambda r: -r["n_queries"])
