@@ -242,3 +242,35 @@ def test_random_query_agrees_with_duckdb(engines, preds, key, aggs):
                 ), (sql, srow, drow)
             else:
                 assert a == b, (sql, srow, drow)
+
+
+# Set-operation fuzz arm (SURVEY §2.6 — every set op is dead in the
+# reference; here each is differential-tested across random operand
+# pairs). Projections stick to discrete columns so the comparison is
+# exact, and ALL-variants exercise bag (multiset) semantics.
+_SET_OP = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+     "EXCEPT", "EXCEPT ALL"]
+)
+_SET_COLS = st.sampled_from(
+    [
+        "l_returnflag, l_linestatus",
+        "l_suppkey % 5 AS k",
+        "l_returnflag",
+        "l_linenumber, l_returnflag",
+    ]
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(op=_SET_OP, cols=_SET_COLS, pa=predicate, pb=predicate)
+def test_random_set_operation_agrees_with_duckdb(engines, op, cols, pa, pb):
+    spark, con = engines
+    sql = (
+        f"SELECT {cols} FROM lineitem WHERE {pa}"
+        f" {op} "
+        f"SELECT {cols} FROM lineitem WHERE {pb}"
+    )
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert _rowset(srows) == _rowset(drows), sql
