@@ -874,6 +874,49 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill — the reference's roadmap
+    'time-series module' (README.md:5) realized: build the complete
+    hourly spine (sequence(min, max, 1 hour) × event types), left-join
+    the hourly rollup onto it, fill missing counts with 0 and carry the
+    last observed average forward (last ignorenulls window). Everything
+    after the one fact-table aggregation shuffle operates on
+    rollup-sized data: the spine is hours × types (bounded), so the
+    spine join, the forward-fill window, and the output sort never see
+    the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    ).crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("avg_value_ff"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-day HllSketch of active
     users (hll_sketch_agg, Datasketches HLL), merged with hll_union_agg
@@ -1032,6 +1075,7 @@ QUERIES = {
     "q_retention_cohorts": q_retention_cohorts,
     "q_json_extract": q_json_extract,
     "q_sessionize": q_sessionize,
+    "q_gapfill": q_gapfill,
     "q_hll_distinct": q_hll_distinct,
     "q_stats_agg": q_stats_agg,
     "q_percentiles": q_percentiles,
@@ -1172,6 +1216,33 @@ ORACLES = {
                count(DISTINCT d.user_id) AS n_users
         FROM days d JOIN cohort c USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+    """,
+    "q_gapfill": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                   event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+                   date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT g.h AS hour, t.event_type
+            FROM span,
+                 LATERAL (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 HOUR)) AS h) g,
+                 (SELECT DISTINCT event_type FROM events) t
+        )
+        SELECT s.hour, s.event_type, coalesce(h.n, 0) AS n,
+               last_value(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_ff
+        FROM spine s LEFT JOIN hourly h
+          ON h.hour = s.hour AND h.event_type = s.event_type
+        ORDER BY s.hour, s.event_type
     """,
     "q_sessionize": """
         WITH flagged AS (
