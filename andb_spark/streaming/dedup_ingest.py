@@ -149,3 +149,63 @@ def stream_dedup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    embeddings_path: str,
+    engine,
+    assign_table: str,
+    centroids: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    query_name: str = "andb_ivf_ingest",
+) -> None:
+    """Continuous ANN-index maintenance — the vector twin of
+    ``stream_dedup_ingest``: embeddings arrive continuously and the IVF
+    assignment table (vec_id → centroid_id, the index an ANN probe
+    prunes by) stays current per micro-batch.
+
+    Per batch: assign the batch's vectors to the broadcast centroids
+    (operators/similarity.py::ivf_assign — the big side never
+    shuffles), drop ids already assigned (first write wins, so a
+    re-delivered vector cannot flip cells between batches), append.
+    Exactly-once via the same batch-id high-water mark + atomic
+    versioned write as the dedup ingest. At 100 TB the assignment
+    table is bucket-partitioned by centroid_id, so each appended batch
+    lands in the cells a probe will later prune to."""
+    from andb_spark.operators.similarity import ivf_assign
+
+    schema = spark.read.parquet(embeddings_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(embeddings_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = engine.catalog["tables"][assign_table]
+        if meta.get("last_stream_batch", -1) >= batch_id:
+            return  # checkpoint replay — already applied
+        current = engine.spark.read.parquet(engine._table_dir(assign_table))
+        assigned = (
+            ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+            .join(current.select(id_col), id_col, "left_anti")
+            .select(*current.columns)
+        )
+        engine._overwrite(assign_table, current.unionByName(assigned))
+        meta["last_stream_batch"] = batch_id
+        engine._save_catalog()
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -221,3 +221,45 @@ def test_stream_dedup_ingest_two_batches_idempotent(spark, tmp_path, sf_dir):
     assert eng.catalog["tables"]["corpus_clean"]["vnum"] == v_clean
     clean2 = eng.spark.read.parquet(eng._table_dir("corpus_clean"))
     assert clean2.count() == n_clean
+
+
+def test_stream_ivf_ingest_matches_batch_assignment(spark, tmp_path, sf_dir):
+    """Continuous IVF maintenance: embeddings arriving in two
+    micro-batches produce exactly the batch ivf_assign result, and a
+    checkpoint replay applies no duplicate effects."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.api import AnalyticsEngine
+    from andb_spark.operators.similarity import ivf_assign
+    from andb_spark.streaming.dedup_ingest import stream_ivf_ingest
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    eng.execute(
+        "create table ivf_assign (vec_id bigint, centroid_id int,"
+        " centroid_sim double)"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    src = str(tmp_path / "emb_src")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_ivf")
+
+    stream_ivf_ingest(
+        spark, src, eng, "ivf_assign", cents, ckpt, max_files_per_trigger=1
+    )
+    got = sorted(
+        tuple(r)
+        for r in eng.spark.read.parquet(eng._table_dir("ivf_assign")).collect()
+    )
+    expect = sorted(tuple(r) for r in ivf_assign(emb, cents).collect())
+    assert got == expect
+
+    v = eng.catalog["tables"]["ivf_assign"]["vnum"]
+    stream_ivf_ingest(
+        spark, src, eng, "ivf_assign", cents, ckpt, max_files_per_trigger=1
+    )
+    assert eng.catalog["tables"]["ivf_assign"]["vnum"] == v
