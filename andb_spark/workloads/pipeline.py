@@ -547,6 +547,30 @@ def t_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health dashboard: per source, document count, how many
+    documents are copies of an earlier one (exact content hash), and
+    the dup rate — the triage number a dedup run is judged by. One
+    window over content hash + one bounded per-source aggregation."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    flagged = d.select(
+        "source",
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dups"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing). Two aggregations
@@ -942,6 +966,7 @@ QUERIES = {
     "t_pii_scrub": t_pii_scrub,
     "t_heavy_hitters": t_heavy_hitters,
     "t_chunking": t_chunking,
+    "t_dup_rate_report": t_dup_rate_report,
     "t_approx_topk": t_approx_topk,
     "t_tfidf": t_tfidf,
     "t_length_histogram": t_length_histogram,
@@ -1413,6 +1438,18 @@ ORACLES = {
             SELECT unnest({_WORDS.format(col='lower(text)')}) AS token
             FROM documents
         ) GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    "t_dup_rate_report": """
+        WITH flagged AS (
+            SELECT source,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id) > 1
+                   THEN 1 ELSE 0 END AS is_dup
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(is_dup) AS n_dups,
+               round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
+        FROM flagged GROUP BY source ORDER BY source
     """,
     "t_chunking": f"""
         WITH t AS (

@@ -944,6 +944,33 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type anomaly screen: events whose value is ≥3 sample
+    standard deviations from their event type's mean. The mean/std
+    table is type-sized, so it broadcasts back onto the fact scan —
+    one partial-aggregated shuffle for the moments, then a pure scan
+    filter; at 100 TB the second pass reads the same partitions with
+    the thresholds inlined."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) >= 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: sample stddev/variance, correlation and
     covariance — single-pass partial-aggregatable moments (each is a
@@ -1076,6 +1103,7 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_sessionize": q_sessionize,
     "q_gapfill": q_gapfill,
+    "q_anomaly_zscore": q_anomaly_zscore,
     "q_hll_distinct": q_hll_distinct,
     "q_stats_agg": q_stats_agg,
     "q_percentiles": q_percentiles,
@@ -1216,6 +1244,17 @@ ORACLES = {
                count(DISTINCT d.user_id) AS n_users
         FROM days d JOIN cohort c USING (user_id)
         GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+    """,
+    "q_anomaly_zscore": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+               round((e.value - s.mu) / s.sd, 4) AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE abs(e.value - s.mu) >= 3 * s.sd
+        ORDER BY e.event_id
     """,
     "q_gapfill": """
         WITH hourly AS (
