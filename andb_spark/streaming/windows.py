@@ -48,7 +48,11 @@ def sliding_agg(
         events.groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # round(sum,2)/n: exact for 2-decimal inputs — see
+            # workloads/relational.py q_gapfill note on boundary flips
+            F.round(
+                F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "avg_value")
     )

@@ -55,8 +55,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # exact-decimal averages: round(sum,2) is exact for the
+            # 2-decimal inputs, so sum/n then round(6) is bit-identical
+            # across engines (a direct round(avg,6) can land ON a
+            # rounding boundary where summation-order ulps flip it)
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -868,7 +876,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_session.groupBy("n_events")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("dur"), 6).alias("avg_duration_secs"),
+            F.round(
+                F.round(F.sum("dur"), 6) / F.count(F.lit(1)), 6
+            ).alias("avg_duration_secs"),
         )
         .orderBy("n_events")
     )
@@ -885,11 +895,19 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine join, the forward-fill window, and the output sort never see
     the fact table."""
     ev = _t(spark, sf_dir, "events")
+    # avg computed as round(sum,2)/n: the 2-decimal sum is exact (input
+    # values are 2-decimal, so the true sum is a multiple of 0.01 —
+    # never near a rounding boundary), making the division and final
+    # round bit-identical across engines. A direct round(avg, 6) can
+    # land ON a boundary, where summation-order ulps flip the digit
+    # (observed at sf0.1).
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
     )
     span = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1259,7 +1277,8 @@ ORACLES = {
     "q_gapfill": """
         WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
-                   event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+                   event_type, count(*) AS n,
+                   round(round(sum(value), 2) / count(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
         ),
         span AS (
@@ -1305,7 +1324,7 @@ ORACLES = {
             FROM sess GROUP BY 1, 2
         )
         SELECT n_events, count(*) AS n_sessions,
-               round(avg(dur), 6) AS avg_duration_secs
+               round(round(sum(dur), 6) / count(*), 6) AS avg_duration_secs
         FROM per GROUP BY 1 ORDER BY 1
     """,
     "q_funnel": """
@@ -1384,8 +1403,8 @@ ORACLES = {
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_discount), 6) AS avg_disc,
+               round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+               round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'

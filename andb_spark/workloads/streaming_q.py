@@ -338,7 +338,7 @@ ORACLES = {
     "s_sliding": """
         SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
                    - k * INTERVAL '30 minutes' AS window_start,
-               count(*) AS n, round(avg(value), 6) AS avg_value
+               count(*) AS n, round(round(sum(value), 2) / count(*), 6) AS avg_value
         FROM events, (SELECT unnest([0, 1]) AS k) ks
         GROUP BY 1 ORDER BY window_start
     """,
