@@ -11,6 +11,13 @@ independent engine):
 - Double aggregates are wrapped in ``round(x, 2)`` (money) or
   ``round(x, 6)`` (ratios/averages) on BOTH sides, absorbing the
   few-ulp differences of different summation orders.
+- AVERAGES of exact-decimal inputs use ``round(round(sum, d)/n, 6)``,
+  never ``round(avg, 6)``: the true sum is a multiple of 10^-d so the
+  inner round is boundary-safe, making the division bit-identical —
+  a direct rounded average can land exactly ON a rounding boundary
+  where summation order decides the digit (bit us at sf0.1).
+  Averages of integer inputs are exact already (integer sums are
+  exact in doubles) and stay plain.
 - Window/limit queries order by a key suffix that is globally unique so
   row_number/limit frontiers are unambiguous.
 
