@@ -819,6 +819,40 @@ def p_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed, oracle-checked
+    query: quality filter (≥20 tokens) → exact dedup (min-id survivor
+    per content hash) → deterministic train split (digest threshold) →
+    token-budget shard packing — the capstone statement that the
+    operator stages compose. Tokenization happens ONCE (the count rides
+    along every stage); the stages contribute one agg shuffle (dedup),
+    a scan-expression split (free), and the two-phase prefix sum
+    (pack_shards — never single-partitions the corpus). Output is one
+    bounded row per shard."""
+    from andb_spark.operators.sampling import hash_split, pack_shards
+
+    d = _docs(spark, sf_dir)
+    staged = d.withColumn("_nt", TX.token_count("text")).filter(
+        F.col("_nt") >= 20
+    )
+    keep = staged.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    clean = staged.join(keep.select("doc_id"), "doc_id", "left_semi")
+    train = hash_split(
+        clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).filter(F.col("split") == "train")
+    shards = pack_shards(train, "_nt", "doc_id", budget=2000)
+    return (
+        shards.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def a_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution range join: for each purchase, the same-user events
     inside its trailing 30-minute window, counted per purchase. Executed
@@ -978,6 +1012,7 @@ QUERIES = {
     "p_mixture_plan": p_mixture_plan,
     "p_split": p_split,
     "p_pack_shards": p_pack_shards,
+    "p_pipeline_e2e": p_pipeline_e2e,
     "a_asof_join": a_asof_join,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
@@ -1600,6 +1635,30 @@ ORACLES = {
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY split
+    """,
+    "p_pipeline_e2e": f"""
+        WITH q AS (
+            SELECT doc_id, text,
+                   len({_WORDS.format(col='text')}) AS nt
+            FROM documents
+            WHERE len({_WORDS.format(col='text')}) >= 20
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+        ),
+        train AS (
+            SELECT q.doc_id, q.nt FROM q JOIN keep USING (doc_id)
+            WHERE substr(md5('s42|' || CAST(q.doc_id AS VARCHAR)), 1, 4)
+                  < 'e666'
+        ),
+        c AS (
+            SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id) AS cum
+            FROM train
+        )
+        SELECT CAST((cum - nt) // 2000 AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM c GROUP BY 1 ORDER BY shard_id
     """,
     "p_pack_shards": """
         WITH c AS (
