@@ -46,6 +46,58 @@ def v_pairwise_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pairwise_near_dup(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
+def v_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-10 by cosine RESTRICTED to a
+    metadata predicate (label = 3) — the filter composes with the scan
+    (pre-filter strategy), so the ranking only scores qualifying rows.
+    On a label-partitioned layout the predicate becomes partition
+    pruning and the ANN variants (IVF/LSH) apply unchanged within the
+    filtered slice."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb, 0)
+    return SIM.cosine_topk(
+        emb.filter(F.col("label") == 3), q, k=10, exclude_id=0
+    )
+
+
+def v_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join: top-3 neighbors (among vec_id ≥ 16) for EACH
+    of the 8 query vectors in ONE job — broadcast the query set, score
+    every (candidate, query) pair in the scan stage, rank per query
+    with a window. The shuffle carries only (query, candidate, sim)
+    triples; at scale the candidate side stays partition-pruned by the
+    same IVF/LSH bucketing as single-query ANN."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = emb.filter(F.col("vec_id") >= 16)
+    scored = cands.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            SIM.cosine_similarity(F.col("embedding"), F.col("query_vec")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def v_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup end-to-end (SemDeDup shape): embedding-cosine
     near-dup pairs → connected components (transitive closure) → keep
@@ -177,6 +229,8 @@ QUERIES = {
     "v_cosine_topk": v_cosine_topk,
     "v_pairwise_near_dup": v_pairwise_near_dup,
     "v_semantic_dedup": v_semantic_dedup,
+    "v_filtered_topk": v_filtered_topk,
+    "v_knn_join": v_knn_join,
     "v_ivf_assign": v_ivf_assign,
     "v_ivf_topk": v_ivf_topk,
     "v_lsh_topk": v_lsh_topk,
@@ -208,6 +262,46 @@ ORACLES = {
         WHERE d.vec_id <> 0
         ORDER BY cos_sim DESC, d.vec_id
         LIMIT 10
+    """,
+    "v_filtered_topk": f"""
+        WITH e AS ({_EXPAND}),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        lab AS (SELECT vec_id FROM embeddings WHERE label = 3),
+        dots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i) JOIN lab ON lab.vec_id = e.vec_id
+            GROUP BY e.vec_id
+        )
+        SELECT d.vec_id,
+               round(d.dp / (n.nrm * (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+                   AS cos_sim
+        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        WHERE d.vec_id <> 0
+        ORDER BY cos_sim DESC, d.vec_id
+        LIMIT 10
+    """,
+    "v_knn_join": f"""
+        WITH e AS ({_EXPAND}),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+        qe AS (SELECT vec_id AS query_id, i, v FROM e WHERE vec_id < 8),
+        ce AS (SELECT vec_id AS neighbor_id, i, v FROM e WHERE vec_id >= 16),
+        dots AS (
+            SELECT ce.neighbor_id, qe.query_id, sum(ce.v * qe.v) AS dp
+            FROM ce JOIN qe USING (i) GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT query_id, neighbor_id,
+                   round(dp / (nq.nrm * nc.nrm), 6) AS cos_sim
+            FROM dots JOIN norms nq ON nq.vec_id = query_id
+                      JOIN norms nc ON nc.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM sims
+        ) t WHERE rn <= 3 ORDER BY query_id, rank
     """,
     "v_semantic_dedup": f"""
         WITH RECURSIVE e AS ({_EXPAND}),
