@@ -1224,7 +1224,7 @@ ORACLES = {
     """,
     "q_json_extract": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         FROM events
