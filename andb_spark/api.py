@@ -85,6 +85,7 @@ class Result:
     effect_rows: int = 0
     elapsed: float = 0.0
     success: bool = True
+    warning: str | None = None
 
     def __iter__(self):
         return iter(self.rows)
@@ -137,6 +138,7 @@ class AnalyticsEngine:
         for name in self.catalog["tables"]:
             if os.path.exists(self._table_dir(name)):
                 self._view(name)
+        self._refresh_system_views()
         if attach_dir:
             from andb_spark.catalog import register_tables
 
@@ -177,6 +179,71 @@ class AnalyticsEngine:
         with open(tmp, "w") as f:
             json.dump(self.catalog, f, indent=1)
         os.replace(tmp, self._catalog_path)
+        self._refresh_system_views()
+
+    # System catalog relations, SQL-selectable like any table. The
+    # reference exposes its catalog the same way via SystemTableScan
+    # (andb/executor/operator/physical/select.py:407-417) over andb_class
+    # / andb_attribute / andb_index (andb/catalog/class_.py:17-32,
+    # attribute.py:6-27); here the catalog is driver-held JSON metadata
+    # (KBs, not data), so temp views over tiny local DataFrames are the
+    # right physical form — no scan, no shuffle, broadcastable into any
+    # metadata join at every scale.
+    def _refresh_system_views(self) -> None:
+        tables_rows = [
+            (
+                name,
+                len(meta.get("columns", [])),
+                meta.get("vnum", 1),
+                bool(meta.get("matview_sql")),
+            )
+            for name, meta in sorted(self.catalog["tables"].items())
+        ]
+        tables_schema = T.StructType(
+            [
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("column_count", T.IntegerType(), False),
+                T.StructField("version", T.IntegerType(), False),
+                T.StructField("is_matview", T.BooleanType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            tables_rows, tables_schema
+        ).createOrReplaceTempView("andb_tables")
+
+        cols_rows = [
+            (name, c["name"], i + 1, c["type"], bool(c.get("notnull")))
+            for name, meta in sorted(self.catalog["tables"].items())
+            for i, c in enumerate(meta.get("columns", []))
+        ]
+        cols_schema = T.StructType(
+            [
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("column_name", T.StringType(), False),
+                T.StructField("ordinal", T.IntegerType(), False),
+                T.StructField("type_name", T.StringType(), False),
+                T.StructField("notnull", T.BooleanType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            cols_rows, cols_schema
+        ).createOrReplaceTempView("andb_columns")
+
+        idx_rows = [
+            (idx, meta["table"], ",".join(meta["columns"]), meta["method"])
+            for idx, meta in sorted(self.catalog["indexes"].items())
+        ]
+        idx_schema = T.StructType(
+            [
+                T.StructField("index_name", T.StringType(), False),
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("columns", T.StringType(), False),
+                T.StructField("method", T.StringType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            idx_rows, idx_schema
+        ).createOrReplaceTempView("andb_indexes")
 
     # How many superseded versions stay readable via VERSION AS OF
     # before the write path prunes them (VACUUM prunes all).
@@ -594,12 +661,32 @@ class AnalyticsEngine:
             )
         else:
             df = self.spark.sql(stmt)
-        rows = [tuple(r) for r in df.collect()]
+        return self._fetch(df)
+
+    def _fetch(self, df: DataFrame) -> Result:
+        """Materialize a SELECT for the reference-shaped Result, with a
+        bounded driver footprint: the reference's portal streams tuples
+        through a socket (portal.py:38-82) and never holds an unbounded
+        result either. We push the cap INTO the plan (`limit(cap+1)` →
+        CollectLimit, executors stop early) instead of collecting then
+        truncating; at 100× data an unguarded `SELECT *` returns the
+        first cap rows plus a warning rather than OOMing the driver.
+        Tunable per session: SET andb.max_result_rows = n."""
+        cap = int(self.session_vars.get("andb.max_result_rows", "1000000"))
+        rows = [tuple(r) for r in df.limit(cap + 1).collect()]
+        warning = None
+        if len(rows) > cap:
+            rows = rows[:cap]
+            warning = (
+                f"result truncated to andb.max_result_rows={cap}; "
+                "use COPY TO for full extracts"
+            )
         return Result(
             columns=list(df.columns),
             types=[f.dataType.simpleString() for f in df.schema.fields],
             rows=rows,
             effect_rows=len(rows),
+            warning=warning,
         )
 
     @staticmethod
@@ -653,7 +740,14 @@ class AnalyticsEngine:
             # (portal.py:93-118, physical/base.py:22-24).
             df = self.spark.sql(ana.group(1))
             t0 = time.perf_counter()
-            n = len(df.collect())
+            # Execute THIS queryExecution's physical plan without
+            # materializing rows on the driver: toRdd() runs the same
+            # executedPlan (populating its SQLMetrics) and the JVM-side
+            # count() only ships per-partition counts back. A plain
+            # df.count() would instead execute a rewritten Aggregate
+            # plan, and df.collect() would hold the full result set
+            # driver-side — unbounded at scale.
+            n = df._jdf.queryExecution().toRdd().count()
             dt = time.perf_counter() - t0
             jplan = df._jdf.queryExecution().executedPlan()
             return Result(

@@ -397,3 +397,65 @@ def test_optimize_compacts_files_and_preserves_rows(engine):
     assert r2.rows[0][2] == 40
     got = sorted(t for t, in e("select a from opt").rows)
     assert got == list(range(0, 40))
+
+
+def test_system_catalog_relations(engine):
+    """SQL-selectable system catalog — parity with the reference's
+    SystemTableScan over andb_class/andb_attribute/andb_index
+    (select.py:407-417): catalog relations join and filter like any
+    table, and DDL is reflected immediately."""
+    e = engine.execute
+    e("create table sc1 (a int not null, b text)")
+    e("create table sc2 (x double)")
+    e("create index sc1_a on sc1 (a)")
+
+    r = e("select table_name, column_count from andb_tables order by table_name")
+    assert r.rows == [("sc1", 2), ("sc2", 1)]
+
+    r = e(
+        "select column_name, type_name, notnull from andb_columns "
+        "where table_name = 'sc1' order by ordinal"
+    )
+    assert r.rows == [("a", "int", True), ("b", "text", False)]
+
+    # catalog relations join like any other relation
+    r = e(
+        "select t.table_name, i.index_name, i.method from andb_tables t "
+        "join andb_indexes i on t.table_name = i.table_name"
+    )
+    assert r.rows == [("sc1", "sc1_a", "btree")]
+
+    # DDL reflects immediately: drops disappear from the views
+    e("drop index sc1_a")
+    e("drop table sc2")
+    assert e("select count(*) as n from andb_indexes").rows == [(0,)]
+    r = e("select table_name from andb_tables")
+    assert r.rows == [("sc1",)]
+
+
+def test_select_result_is_driver_bounded(engine):
+    """An unbounded SELECT must not materialize fully on the driver:
+    the row cap is pushed into the plan (CollectLimit) and the result
+    carries a truncation warning (VERDICT r1 item 6)."""
+    e = engine.execute
+    e("create table big as select explode(sequence(1, 5000)) as n")
+    e("set andb.max_result_rows = 100")
+    r = e("select n from big")
+    assert len(r.rows) == 100
+    assert r.warning and "truncated" in r.warning
+    # under the cap: untouched, no warning
+    r = e("select n from big order by n limit 7")
+    assert [t[0] for t in r.rows] == [1, 2, 3, 4, 5, 6, 7]
+    assert r.warning is None
+    e("set andb.max_result_rows = 1000000")
+
+
+def test_explain_analyze_does_not_collect(engine):
+    """EXPLAIN ANALYZE executes the plan for real metrics but ships only
+    counts to the driver (no row materialization)."""
+    e = engine.execute
+    e("create table ea as select explode(sequence(1, 1000)) as n")
+    r = e("explain analyze select n from ea where n % 2 = 0")
+    (plan, rows, elapsed, metrics) = r.rows[0]
+    assert rows == 500
+    assert "numOutputRows" in metrics
