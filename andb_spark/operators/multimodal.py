@@ -2,22 +2,26 @@
 
 North-star surface (build brief): binary payload columns with typed
 metadata, plus decode / feature-extract / resize / frame-sample stages
-as Arrow-batched pandas UDFs over ``mapInPandas``. The image/audio
-codec libraries are NOT in this container, so the codec call itself is
-stubbed (``decode_image`` raises NotImplementedError unless
-``fake=True``); everything Spark-side — schema, partition behavior,
-UDF signature, Arrow batch shape — is real and tested.
+as Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The deterministic fake decoder derives metadata purely from the bytes
-(md5-seeded), so results are stable across runs/engines and the
-pipeline stays benchmarkable.
+Decode is REAL for the byte-level formats a pure numpy + stdlib parser
+can handle — BMP (uncompressed 24/32-bit) and PPM (P6/P3) to full pixel
+arrays, PNG/JPEG/GIF to header metadata, WAV (PCM 8/16-bit) to full
+sample arrays — no codec library needed. Compressed-bitstream formats
+(JPEG pixels, MP3/FLAC samples) would need libs absent from this
+container; those payloads raise ``NotImplementedError`` on the pixel
+path. The md5-seeded deterministic fake decoder remains for the
+synthetic text-payload fixtures (``fake=True``), so the distributed
+plumbing stays benchmarkable on data that isn't really images.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,24 +43,147 @@ def binarize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _image_header(data: bytes) -> tuple[str, int, int] | None:
+    """Sniff magic bytes and parse (format, width, height) from the
+    container header alone — pure byte arithmetic, no codec."""
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack_from("<ii", data, 18)
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if data[:2] in (b"P6", b"P3"):
+        try:
+            w, h, _ = _ppm_header(data)[:3]
+            return "ppm", w, h
+        except ValueError:
+            return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack_from(">II", data, 16)  # IHDR is first
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack_from("<HH", data, 6)
+        return "gif", w, h
+    if data[:2] == b"\xff\xd8":
+        # scan JPEG markers for the first SOFn frame header
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack_from(">HH", data, i + 5)
+                return "jpeg", w, h
+            i += 2 + struct.unpack_from(">H", data, i + 2)[0]
+        return None
+    return None
+
+
+def _ppm_header(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a PPM header → (width, height, maxval, pixel_offset, magic).
+    Handles whitespace/comment runs per the netpbm spec."""
+    magic = data[:2]
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3 and pos < len(data):
+        c = data[pos: pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] not in b"\r\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(data) and data[pos: pos + 1].isdigit():
+                pos += 1
+            vals.append(int(data[start:pos]))
+        else:
+            raise ValueError("bad PPM header")
+    if len(vals) < 3:
+        raise ValueError("truncated PPM header")
+    pos += 1  # single whitespace after maxval, then raster
+    return vals[0], vals[1], vals[2], pos, magic
+
+
 def decode_image(data: bytes, fake: bool = False) -> tuple[str, int, int]:
     """Decode an image payload → (format, width, height).
 
-    STUB: real decoding needs Pillow/libvips which are not in this
-    container. ``fake=True`` returns deterministic metadata seeded by
-    the payload digest so the distributed plumbing can be exercised and
-    verified end-to-end.
+    REAL for BMP/PPM/PNG/GIF/JPEG via pure header parsing (magic bytes
+    + fixed-offset or marker-scan dimensions — no codec library).
+    ``fake=True`` switches to the md5-seeded deterministic decoder for
+    the synthetic text-payload fixtures, which aren't real images.
     """
-    if not fake:
+    if fake:
+        d = hashlib.md5(data).digest()
+        fmt = ("png", "jpeg", "webp")[d[0] % 3]
+        width = 64 + (int.from_bytes(d[1:3], "big") % 1024)
+        height = 64 + (int.from_bytes(d[3:5], "big") % 1024)
+        return fmt, width, height
+    meta = _image_header(data)
+    if meta is None:
         raise NotImplementedError(
-            "image codecs not available in this environment; "
-            "pass fake=True for the deterministic test decoder"
+            "unrecognized image container (BMP/PPM/PNG/GIF/JPEG headers "
+            "supported without codec libraries)"
         )
-    d = hashlib.md5(data).digest()
-    fmt = ("png", "jpeg", "webp")[d[0] % 3]
-    width = 64 + (int.from_bytes(d[1:3], "big") % 1024)
-    height = 64 + (int.from_bytes(d[3:5], "big") % 1024)
-    return fmt, width, height
+    return meta
+
+
+def decode_image_pixels(data: bytes) -> np.ndarray:
+    """Full pixel decode → uint8 array of shape (height, width, 3).
+
+    REAL for the uncompressed formats: BMP (24/32-bit BI_RGB, including
+    bottom-up row order and 4-byte row padding) and PPM (P6 binary and
+    P3 ascii). Compressed bitstreams (PNG deflate, JPEG DCT) need codec
+    libraries absent from this container and raise NotImplementedError.
+    """
+    if data[:2] == b"BM":
+        off = struct.unpack_from("<I", data, 10)[0]
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+        if comp != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"only uncompressed 24/32-bit BMP supported (bpp={bpp},"
+                f" compression={comp})"
+            )
+        top_down, h = h < 0, abs(h)
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+        raw = np.frombuffer(data, np.uint8, stride * h, off)
+        px = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            px = px[::-1]
+        return px[:, :, 2::-1]  # BGR(A) storage → RGB
+    if data[:2] in (b"P6", b"P3"):
+        w, h, maxval, off, magic = _ppm_header(data)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        if magic == b"P6":
+            px = np.frombuffer(data, np.uint8, w * h * 3, off)
+        else:
+            px = np.array(data[off - 1:].split(), np.uint8)[: w * h * 3]
+        return px.reshape(h, w, 3)
+    raise NotImplementedError(
+        "pixel decode supports uncompressed BMP and PPM payloads"
+    )
+
+
+def resize_pixels(px: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor downscale of the longer side
+    to ``max_side`` (no-op when already small enough) — vectorized
+    index-gather, the numpy analog of a codec resample."""
+    h, w = px.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    if scale >= 1.0:
+        return px
+    nh, nw = int(h * scale), int(w * scale)
+    rows = (np.arange(nh) * (h / nh)).astype(np.int64)
+    cols = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return px[rows][:, cols]
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Serialize an RGB pixel array as binary PPM (P6) — the round-trip
+    target for the real resize stage."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px[:, :, :3].astype(np.uint8).tobytes()
 
 
 def extract_image_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -89,22 +216,73 @@ AUDIO_META_SCHEMA = (
 )
 
 
+def _wav_chunks(data: bytes) -> dict[bytes, tuple[int, int]]:
+    """Walk RIFF/WAVE chunks → {chunk_id: (offset, size)} for the first
+    occurrence of each (chunks pad to even byte boundaries)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, tuple[int, int]] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos: pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        out.setdefault(cid, (pos + 8, size))
+        pos += 8 + size + (size & 1)
+    return out
+
+
 def decode_audio(data: bytes, fake: bool = False) -> tuple[str, int, int, int]:
     """Decode an audio payload → (codec, sample_rate, channels,
-    duration_ms). STUB like ``decode_image``: real decoding needs
-    ffmpeg/soundfile, absent here; ``fake=True`` derives deterministic
-    metadata from the payload digest."""
-    if not fake:
+    duration_ms).
+
+    REAL for WAV: RIFF chunk walk + fmt/data parse, pure struct
+    arithmetic. Compressed codecs (mp3/flac) need libraries absent from
+    this container and raise NotImplementedError. ``fake=True`` keeps
+    the md5-seeded deterministic decoder for synthetic payloads."""
+    if fake:
+        d = hashlib.md5(data).digest()
+        codec = ("wav", "mp3", "flac")[d[0] % 3]
+        sample_rate = (8000, 16000, 22050, 44100, 48000)[d[1] % 5]
+        channels = 1 + d[2] % 2
+        duration_ms = 500 + int.from_bytes(d[3:5], "big") % 60000
+        return codec, sample_rate, channels, duration_ms
+    if data[:4] != b"RIFF":
         raise NotImplementedError(
-            "audio codecs not available in this environment; "
-            "pass fake=True for the deterministic test decoder"
+            "unrecognized audio container (WAV supported without codec "
+            "libraries)"
         )
-    d = hashlib.md5(data).digest()
-    codec = ("wav", "mp3", "flac")[d[0] % 3]
-    sample_rate = (8000, 16000, 22050, 44100, 48000)[d[1] % 5]
-    channels = 1 + d[2] % 2
-    duration_ms = 500 + int.from_bytes(d[3:5], "big") % 60000
-    return codec, sample_rate, channels, duration_ms
+    chunks = _wav_chunks(data)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAV missing fmt/data chunks")
+    off, _ = chunks[b"fmt "]
+    _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
+        "<HHIIHH", data, off
+    )
+    _, dsize = chunks[b"data"]
+    n_frames = dsize // block_align if block_align else 0
+    return "wav", sample_rate, channels, n_frames * 1000 // sample_rate
+
+
+def decode_audio_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Full sample decode → (float32 array of shape (frames, channels)
+    scaled to [-1, 1], sample_rate). REAL for PCM 8/16-bit WAV."""
+    chunks = _wav_chunks(data)
+    off, _ = chunks[b"fmt "]
+    fmt_tag, channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", data, off
+    )
+    if fmt_tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV supported (fmt={fmt_tag}, bits={bits})"
+        )
+    doff, dsize = chunks[b"data"]
+    if bits == 16:
+        raw = np.frombuffer(data, "<i2", dsize // 2, doff)
+        samples = raw.astype(np.float32) / 32768.0
+    else:  # 8-bit WAV is unsigned, midpoint 128
+        raw = np.frombuffer(data, np.uint8, dsize, doff)
+        samples = (raw.astype(np.float32) - 128.0) / 128.0
+    return samples.reshape(-1, channels), sample_rate
 
 
 def extract_audio_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -157,6 +335,38 @@ def resize_images(meta_df: DataFrame, max_side: int = 256) -> DataFrame:
             yield out
 
     return meta_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+RESIZED_PAYLOAD_SCHEMA = (
+    "doc_id bigint, payload binary, format string, width int, height int"
+)
+
+
+def resize_payloads(binary_df: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL resize stage: decode pixels (BMP/PPM), nearest-neighbor
+    downscale, re-encode as PPM — full payload→payload transform over
+    the same Arrow-batched mapInPandas plumbing as the metadata stages.
+    This is the exact distributed shape a libvips/Pillow resize uses;
+    only the per-payload codec call differs."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "payload": [], "format": [],
+                "width": [], "height": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = resize_pixels(decode_image_pixels(bytes(payload)), max_side)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_ppm(px))
+                out["format"].append("ppm")
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_resize, schema=RESIZED_PAYLOAD_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts double, frame_checksum string"

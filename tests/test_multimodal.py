@@ -1,0 +1,135 @@
+"""Real multimodal decode tests — byte-level fixtures built by hand so
+every assertion is byte-for-byte against independently-computed values
+(no codec library on either side). Covers VERDICT r1 item 5: one real
+format per modality (BMP/PPM pixels, WAV samples) behind the same
+mapInPandas stages the stubs used.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from andb_spark.operators.multimodal import (
+    decode_audio,
+    decode_audio_samples,
+    decode_image,
+    decode_image_pixels,
+    encode_ppm,
+    resize_payloads,
+    resize_pixels,
+)
+
+
+def make_bmp(px: np.ndarray) -> bytes:
+    """Serialize (h, w, 3) RGB as bottom-up 24-bit BI_RGB BMP with the
+    spec's 4-byte row padding — independent of the decoder under test."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row.astype(int):
+            line += bytes((b, g, r))  # BGR storage
+        line += b"\x00" * (stride - len(line))
+        raster += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def make_wav(samples: np.ndarray, rate: int, channels: int) -> bytes:
+    """PCM16 RIFF/WAVE serializer, independent of the decoder."""
+    data = (samples * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+PX = np.array(
+    [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+     [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+    dtype=np.uint8,
+)  # 2 rows x 3 cols
+
+
+def test_bmp_header_and_pixel_decode_byte_for_byte():
+    payload = make_bmp(PX)
+    assert decode_image(payload) == ("bmp", 3, 2)
+    out = decode_image_pixels(payload)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, PX)
+
+
+def test_ppm_p6_round_trip_and_p3():
+    p6 = encode_ppm(PX)
+    assert decode_image(p6) == ("ppm", 3, 2)
+    assert np.array_equal(decode_image_pixels(p6), PX)
+    # P3 ascii with a comment line in the header
+    body = " ".join(str(v) for v in PX.flatten())
+    p3 = ("P3\n# comment\n3 2\n255\n" + body).encode()
+    assert decode_image(p3) == ("ppm", 3, 2)
+    assert np.array_equal(decode_image_pixels(p3), PX)
+
+
+def test_png_gif_jpeg_header_metadata():
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 640, 480, 8, 2, 0, 0, 0
+    )
+    assert decode_image(png) == ("png", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert decode_image(gif) == ("gif", 320, 200)
+    # JPEG: SOI, APP0 (skipped via length), SOF0 with dims
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 768, 1024)
+        + b"\x03\x00\x00\x00"
+    )
+    assert decode_image(jpeg) == ("jpeg", 1024, 768)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not an image")
+
+
+def test_resize_pixels_nearest_neighbor():
+    big = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3)
+    out = resize_pixels(big, 4)
+    assert out.shape == (4, 2, 3)
+    # nearest-neighbor gather: rows 0,2,4,6 and cols 0,2
+    assert np.array_equal(out, big[::2][:, ::2])
+    same = resize_pixels(big, 100)  # no upscale
+    assert same is big
+
+
+def test_wav_metadata_and_sample_decode():
+    t = np.arange(480) / 48.0
+    samples = np.stack([np.sin(t), np.cos(t)], axis=1).astype(np.float32) * 0.5
+    payload = make_wav(samples, 48000, 2)
+    assert decode_audio(payload) == ("wav", 48000, 2, 10)  # 480/48000 s
+    out, rate = decode_audio_samples(payload)
+    assert rate == 48000 and out.shape == (480, 2)
+    # byte-exact vs the independent int16 quantization
+    expect = (samples * 32768.0).clip(-32768, 32767).astype("<i2") / 32768.0
+    assert np.array_equal(out, expect.astype(np.float32))
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 16)
+
+
+def test_distributed_real_resize_stage(spark):
+    """resize_payloads runs the real decode→resize→encode per payload
+    inside mapInPandas; verify output payloads decode byte-for-byte to
+    the independently-resized pixels."""
+    big = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    rows = [(1, bytearray(make_bmp(big))), (2, bytearray(encode_ppm(PX)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in resize_payloads(df, max_side=4).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    assert np.array_equal(
+        decode_image_pixels(bytes(out[1]["payload"])), big[::2][:, ::2]
+    )
+    # already small: pass-through geometry, re-encoded as ppm
+    assert (out[2]["width"], out[2]["height"]) == (3, 2)
+    assert np.array_equal(decode_image_pixels(bytes(out[2]["payload"])), PX)
