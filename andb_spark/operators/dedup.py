@@ -157,11 +157,6 @@ def lsh_bands(
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Band buckets → distinct candidate pairs (id_a < id_b).
 
-    Formulated as groupBy(bucket) → sorted id list → in-bucket pair
-    generation, NOT a self-join: a self-join evaluates the whole
-    upstream signature pipeline twice (Spark shares no subtrees across
-    join inputs), and its output is the same k² rows per bucket that the
-    pair generator emits, so the join buys nothing. One shuffle total.
     Formulated as a bucket self-join: both sides re-evaluate the band
     pipeline (Spark shares no subtrees across join inputs), but they
     share the *compiled* codegen classes, and measured cold end-to-end

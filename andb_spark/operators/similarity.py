@@ -9,8 +9,10 @@ operators:
 - ``cosine_topk``: brute-force exact top-k. One scan + TakeOrderedAndProject
   (Spark's top-k needs no full sort); dot products are JVM-side
   zip_with/aggregate folds — scales linearly, embarrassingly parallel.
-- ``pairwise_near_dup``: exact all-pairs cosine above threshold
-  (bounded inputs; at scale use LSH/IVF below to prune).
+- ``pairwise_near_dup``: exact all-pairs cosine above threshold — the
+  bounded exact verifier (guarded at EXACT_PAIRS_ROW_CAP rows).
+- ``near_dup_pairs``: size-routed chooser over the exact verifier and
+  the IVF-bucketed plan — the corpus-scale entry point.
 - ``ivf_assign`` / ``ivf_topk``: IVF-style ANN. Centroids are a fixed
   (broadcast) table; assignment is a broadcast cross join + min —
   shuffle-free on the big side. The probe searches only the query's
@@ -45,15 +47,37 @@ def cosine_topk(
     return df.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+# Ceiling for the exact all-pairs path: n rows → n²/2 pair evaluations,
+# so 20k rows ≈ 2e8 dot products — the most a single query should spend
+# before the bucketed path's 1/n_clusters pruning pays for its extra
+# shuffle. Same role as plans/ann.py::EXACT_ROW_CAP for top-k.
+EXACT_PAIRS_ROW_CAP = 20_000
+
+
 def pairwise_near_dup(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_exact_rows: int | None = EXACT_PAIRS_ROW_CAP,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine >= threshold,
     id_a < id_b. Normalizes once per row (norm is computed in the
-    projection, not per pair)."""
+    projection, not per pair).
+
+    This is the BOUNDED EXACT VERIFIER: the cross join is quadratic, so
+    a guard refuses inputs past ``max_exact_rows`` (the probe scans at
+    most cap+1 rows, so the guard itself is O(cap)). Corpus-scale
+    callers go through ``near_dup_pairs`` below, which routes to the
+    cluster-bucketed plan instead; pass ``max_exact_rows=None`` only
+    when the caller has already sized the input."""
+    if max_exact_rows is not None:
+        n = embeddings.limit(max_exact_rows + 1).count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"pairwise_near_dup input exceeds {max_exact_rows} rows; "
+                "use near_dup_pairs() for size-routed execution"
+            )
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -226,6 +250,57 @@ def bucketed_near_dup(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "auto",
+    stats: dict | None = None,
+    exact_row_cap: int = EXACT_PAIRS_ROW_CAP,
+    n_centroids: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Size-routed near-duplicate pairs — the pairwise analog of
+    plans/ann.py::choose_topk_path. Returns (pairs_df, path_taken).
+
+    ``auto`` picks the exact all-pairs verifier while n² work is cheaper
+    than the bucketed plan's extra assignment shuffle (n ≤ cap), and the
+    IVF-bucketed plan past it — so the quadratic cross join is never
+    reachable from a corpus-scale input. Row count comes from ANALYZE
+    statistics when present; otherwise a capped probe scan (reads at
+    most cap+1 rows, never the full table). Centroids default to
+    ~sqrt(n) vectors taken deterministically by lowest id — at 100 TB
+    you'd feed k-means centroids (operators/similarity.py::kmeans), the
+    plan shape is identical."""
+    if mode not in ("exact", "bucketed", "auto"):
+        raise ValueError(f"mode must be exact|bucketed|auto, got {mode!r}")
+    rows = (stats or {}).get("rows")
+    if mode == "auto" and rows is None:
+        rows = embeddings.limit(exact_row_cap + 1).count()
+    if mode == "exact" or (mode == "auto" and rows <= exact_row_cap):
+        return (
+            pairwise_near_dup(
+                embeddings, threshold, id_col, vec_col, max_exact_rows=None
+            ),
+            "exact",
+        )
+    k = n_centroids or max(16, min(4096, int((rows or exact_row_cap) ** 0.5)))
+    centroids = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("int").alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    return (
+        bucketed_near_dup(
+            embeddings, centroids, threshold, id_col=id_col, vec_col=vec_col
+        ),
+        "bucketed",
     )
 
 

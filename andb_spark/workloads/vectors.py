@@ -40,10 +40,14 @@ def v_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v_pairwise_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (bounded subset — at scale
-    the LSH/IVF path prunes the quadratic term)."""
+    """Embedding-cosine near-duplicate pairs via the size-routed chooser
+    (operators/similarity.py::near_dup_pairs): this 400-vector input
+    resolves to the exact all-pairs verifier; past EXACT_PAIRS_ROW_CAP
+    the same call routes to the IVF-bucketed plan, so no unconditional
+    cross join is reachable from a corpus-scale input."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
-    return SIM.pairwise_near_dup(emb, threshold=0.35).orderBy("id_a", "id_b")
+    pairs, _path = SIM.near_dup_pairs(emb, threshold=0.35)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def v_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +113,7 @@ def v_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v_cluster_near_dup) without touching the component/survivor
     stages."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
-    pairs = SIM.pairwise_near_dup(emb, threshold=0.35)
+    pairs, _path = SIM.near_dup_pairs(emb, threshold=0.35)
     comp = DD.connected_components(pairs.select("id_a", "id_b"))
     removed = comp.filter(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("vec_id")

@@ -102,6 +102,37 @@ def test_pairwise_near_dup_symmetric_free(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
 
 
+def test_pairwise_near_dup_guard_refuses_oversized_input(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="near_dup_pairs"):
+        SIM.pairwise_near_dup(df, threshold=0.5, max_exact_rows=4)
+
+
+def test_near_dup_pairs_chooser_routes_by_size(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.001 * (i % 7)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    exact, path = SIM.near_dup_pairs(df, threshold=0.999)
+    assert path == "exact"
+    # past the cap: bucketed plan, and its pairs are a subset of exact's
+    # (the IVF recall trade loses only cross-cluster pairs)
+    bucketed, path = SIM.near_dup_pairs(
+        df, threshold=0.999, exact_row_cap=10, n_centroids=3
+    )
+    assert path == "bucketed"
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    assert b <= e and len(b) > 0
+    # stats-driven routing skips the probe scan and still routes big
+    _, path = SIM.near_dup_pairs(
+        df, threshold=0.999, stats={"rows": 10**9}, n_centroids=3
+    )
+    assert path == "bucketed"
+
+
 def test_ivf_assign_prefers_best_then_smallest_id(spark):
     emb = spark.createDataFrame(
         [(10, [1.0, 0.0]), (11, [0.0, 1.0])], ["vec_id", "embedding"]
