@@ -258,16 +258,36 @@ class AnalyticsEngine:
         readable for time travel (`VERSION AS OF`) up to RETAIN_VERSIONS
         back — immutable version dirs make time travel free, the same
         economics as Delta/Iceberg snapshots."""
+        n = self._stage_version(name, df)
+        self._advance_pointer(name)
+        self._save_catalog()
+        self._view(name)
+        return n
+
+    def _stage_version(self, name: str, df: DataFrame) -> int:
+        """Phase 1 of a versioned write: land the new table state in a
+        fresh version dir on disk. Nothing references it yet — a crash
+        here leaves only unreachable garbage (VACUUM-able), never a
+        partial table."""
+        meta = self._meta(name)
+        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self.warehouse, name, new_version)
+        df.write.mode("overwrite").parquet(new_dir)
+        meta["_staged"] = new_version
+        return self.spark.read.parquet(new_dir).count()
+
+    def _advance_pointer(self, name: str) -> None:
+        """Phase 2: move the catalog pointer to the staged version
+        (in memory — durable only at the next ``_save_catalog``, which
+        is the commit point)."""
         meta = self._meta(name)
         old_version = meta.get("version")
         old_vnum = meta.get("vnum", 1)
         old_dir = (
             os.path.join(self.warehouse, name, old_version) if old_version else None
         )
-        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_version = meta.pop("_staged")
         new_dir = os.path.join(self.warehouse, name, new_version)
-        df.write.mode("overwrite").parquet(new_dir)
-        n = self.spark.read.parquet(new_dir).count()
         meta["version"] = new_version
         meta["vnum"] = old_vnum + 1
         if self._txn is not None:
@@ -283,9 +303,36 @@ class AnalyticsEngine:
                     ignore_errors=True,
                 )
             meta["history"] = history[-self.RETAIN_VERSIONS :]
+
+    def _overwrite_all(
+        self,
+        updates: dict[str, DataFrame],
+        extra_meta: dict[str, dict] | None = None,
+    ) -> dict[str, int]:
+        """Multi-table ATOMIC overwrite: stage every table's new version
+        dir on disk, then move all catalog pointers plus any extra
+        metadata keys (e.g. a streaming high-water mark) and commit them
+        in ONE catalog save — ``os.replace`` of the catalog JSON is the
+        single commit point, so readers (and crash recovery) see either
+        none or all of the updates. This is what lets the streaming
+        dedup ingest keep its clean/bands tables and batch mark in
+        lockstep (streaming/dedup_ingest.py)."""
+        counts = {}
+        try:
+            for name, df in updates.items():
+                counts[name] = self._stage_version(name, df)
+        except Exception:
+            for name in updates:  # drop staging markers; dirs are garbage
+                self._meta(name).pop("_staged", None)
+            raise
+        for name in updates:
+            self._advance_pointer(name)
+        for name, kv in (extra_meta or {}).items():
+            self._meta(name).update(kv)
         self._save_catalog()
-        self._view(name)
-        return n
+        for name in updates:
+            self._view(name)
+        return counts
 
     def _schema(self, name: str) -> T.StructType:
         meta = self._meta(name)

@@ -21,17 +21,22 @@ whole registered workload, and recommend shared materializations:
 Advisory only — nothing is rewritten behind the user's back; the
 output feeds `CREATE MATERIALIZED VIEW`, which the engine already
 maintains atomically. Fingerprints come from the static optimized plan
-(`sparkPlan`), so advising over N queries costs N plan compilations and
-ZERO executions.
+(`sparkPlan`); streaming builders are name-excluded so advising never
+runs a streaming job, though a few batch builders (k-means, bloom
+build) execute bounded driver-side jobs as part of constructing their
+DataFrame — advising costs plan compilation plus only those builders'
+own setup work.
 """
 
 from __future__ import annotations
 
-import re
+import logging
 from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -51,6 +56,8 @@ class ReuseReport:
     scans: dict[ScanSignature, list[str]] = field(default_factory=dict)
     # table -> full schema width seen across the workload (max observed)
     table_width: dict[str, int] = field(default_factory=dict)
+    # query name -> error string, for builders that failed to compile
+    errors: dict[str, str] = field(default_factory=dict)
 
 
 def scan_signatures(df: DataFrame) -> list[ScanSignature]:
@@ -70,11 +77,11 @@ def scan_signatures(df: DataFrame) -> list[ScanSignature]:
         cols = tuple(sorted(leaf.requiredSchema().fieldNames()))
         opt = leaf.metadata().get("PushedFilters")
         raw = opt.get() if opt.isDefined() else "[]"
-        # "[IsNotNull(a), GreaterThan(b,3)]" -> split on top-level commas
+        # "[IsNotNull(a), In(b, [1,2])]" -> split on top-level commas
         flt = tuple(
             sorted(
                 f.strip()
-                for f in re.split(r",\s*(?![^()]*\))", raw.strip("[]"))
+                for f in _split_filters(raw.strip().removeprefix("[").removesuffix("]"))
                 if f.strip()
             )
         )
@@ -82,17 +89,62 @@ def scan_signatures(df: DataFrame) -> list[ScanSignature]:
     return out
 
 
+def _split_filters(s: str) -> list[str]:
+    """Split a PushedFilters rendering on top-level commas, tracking
+    bracket depth and quoted strings — a lookahead regex mis-splits
+    nested parens and literal lists like ``In(c, [1,2])`` or
+    ``StringContains(c, "x,y")``."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote: str | None = None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def analyze_workload(
     queries: dict, spark, sf_dir: str, names: list[str] | None = None
 ) -> ReuseReport:
-    """Fingerprint a set of registered queries (plan compile only)."""
+    """Fingerprint a set of registered queries (plan compile only).
+
+    Queries whose BUILDER executes work are excluded by name up front:
+    the ``s_stream_*`` builders run Structured Streaming jobs to
+    completion as a side effect of construction (and yield no
+    FileSourceScan to fingerprint anyway), so "compile-only" would be
+    false if they were invoked. Builders that raise are recorded in
+    ``report.errors`` and logged — a silent skip would hide genuine
+    regressions from the advisor's output."""
     report = ReuseReport()
     grouped: dict[ScanSignature, list[str]] = defaultdict(list)
     for name in names if names is not None else sorted(queries):
+        if name.startswith("s_stream_"):
+            continue  # builder executes a streaming job; not advisable
         try:
             df = queries[name](spark, sf_dir)
-        except Exception:
-            continue  # streaming-only entries etc. — not scan-advisable
+        except Exception as e:
+            report.errors[name] = f"{type(e).__name__}: {e}"
+            log.warning("reuse advisor: query %s failed to build: %s", name, e)
+            continue
         for sig in scan_signatures(df):
             grouped[sig].append(name)
             if sig.table not in report.table_width:

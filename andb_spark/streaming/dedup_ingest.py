@@ -26,8 +26,11 @@ Per micro-batch, work is proportional to the batch:
 
 Exactly-once: Structured Streaming replays epochs with the same
 batch_id; the sink records a high-water mark in the clean table's
-catalog entry and skips replayed batches, and both state tables land
-through the engine's atomic versioned write. At 100 TB the two state
+catalog entry and skips replayed batches. Both state tables' version
+pointers and the mark commit in ONE atomic catalog save
+(api.py::_overwrite_all) — a crash mid-batch leaves all three or none,
+so replay can never find survivors in ``clean`` whose band rows were
+lost. At 100 TB the two state
 tables are bucketed by hash / (band, band_sig) so both screens are
 shuffle-free on the history side (see SCALE.md §5); the
 read-union-overwrite used here becomes a plain append on a real table
@@ -133,10 +136,17 @@ def stream_dedup_ingest(
         new_bands = DD.band_table(
             surv, text_col, id_col, num_hashes, rows_per_band
         ).select(*bands_df.columns)
-        engine._overwrite(clean_table, clean_df.unionByName(surv))
-        engine._overwrite(bands_table, bands_df.unionByName(new_bands))
-        meta["last_stream_batch"] = batch_id
-        engine._save_catalog()
+        # Single commit point: both tables' version pointers AND the
+        # batch high-water mark land in one atomic catalog save — a
+        # crash leaves either the whole batch applied or none of it,
+        # never survivors-in-clean with their band rows missing.
+        engine._overwrite_all(
+            {
+                clean_table: clean_df.unionByName(surv),
+                bands_table: bands_df.unionByName(new_bands),
+            },
+            extra_meta={clean_table: {"last_stream_batch": batch_id}},
+        )
 
     q = (
         stream.writeStream.outputMode("append")
@@ -194,9 +204,10 @@ def stream_ivf_ingest(
             .join(current.select(id_col), id_col, "left_anti")
             .select(*current.columns)
         )
-        engine._overwrite(assign_table, current.unionByName(assigned))
-        meta["last_stream_batch"] = batch_id
-        engine._save_catalog()
+        engine._overwrite_all(
+            {assign_table: current.unionByName(assigned)},
+            extra_meta={assign_table: {"last_stream_batch": batch_id}},
+        )
 
     q = (
         stream.writeStream.outputMode("append")

@@ -975,15 +975,22 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is type-sized, so it broadcasts back onto the fact scan —
     one partial-aggregated shuffle for the moments, then a pure scan
     filter; at 100 TB the second pass reads the same partitions with
-    the thresholds inlined."""
+    the thresholds inlined. mu/sd are rounded (module determinism rule:
+    double aggregates round on both sides before any comparison — a row
+    ulps from the 3-sigma boundary must not flip between Spark's and
+    DuckDB's summation orders), and sd > 0 guards the all-equal group
+    whose 0/0 zscore is engine-divergent."""
     ev = _t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sd"),
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(F.col("value") - F.col("mu")) >= 3 * F.col("sd"))
+        .filter(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) >= 3 * F.col("sd"))
+        )
         .select(
             "event_id",
             "event_type",
@@ -1272,13 +1279,14 @@ ORACLES = {
     """,
     "q_anomaly_zscore": """
         WITH stats AS (
-            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            SELECT event_type, round(avg(value), 6) AS mu,
+                   round(stddev_samp(value), 6) AS sd
             FROM events GROUP BY event_type
         )
         SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
                round((e.value - s.mu) / s.sd, 4) AS zscore
         FROM events e JOIN stats s USING (event_type)
-        WHERE abs(e.value - s.mu) >= 3 * s.sd
+        WHERE s.sd > 0 AND abs(e.value - s.mu) >= 3 * s.sd
         ORDER BY e.event_id
     """,
     "q_gapfill": """

@@ -459,3 +459,44 @@ def test_explain_analyze_does_not_collect(engine):
     (plan, rows, elapsed, metrics) = r.rows[0]
     assert rows == 500
     assert "numOutputRows" in metrics
+
+
+def test_overwrite_all_is_all_or_nothing(engine, monkeypatch):
+    """Multi-table atomic overwrite (ADVICE r1): a failure before the
+    single catalog-save commit point leaves every table at its old
+    version and no staging markers behind."""
+    e = engine.execute
+    e("create table ta (x int)")
+    e("create table tb (y int)")
+    e("insert into ta values (1)")
+    e("insert into tb values (2)")
+    before = {t: engine.catalog["tables"][t]["vnum"] for t in ("ta", "tb")}
+
+    real = engine._stage_version
+
+    def failing(name, df):
+        if name == "tb":
+            raise RuntimeError("disk full")
+        return real(name, df)
+
+    monkeypatch.setattr(engine, "_stage_version", failing)
+    df1 = engine.spark.sql("select 10 as x")
+    df2 = engine.spark.sql("select 20 as y")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        engine._overwrite_all({"ta": df1, "tb": df2})
+    monkeypatch.setattr(engine, "_stage_version", real)
+    # no partial commit: pointers unmoved, no staged markers, data intact
+    for t in ("ta", "tb"):
+        assert engine.catalog["tables"][t]["vnum"] == before[t]
+        assert "_staged" not in engine.catalog["tables"][t]
+    assert e("select x from ta").rows == [(1,)]
+    assert e("select y from tb").rows == [(2,)]
+    # and the success path moves both in one commit
+    engine._overwrite_all(
+        {"ta": df1, "tb": df2}, extra_meta={"ta": {"last_stream_batch": 7}}
+    )
+    assert e("select x from ta").rows == [(10,)]
+    assert e("select y from tb").rows == [(20,)]
+    assert engine.catalog["tables"]["ta"]["last_stream_batch"] == 7

@@ -279,3 +279,31 @@ def test_reuse_advisor_finds_shared_scans_and_projections(spark, sf_dir):
     assert docs_proj[0]["n_queries"] >= 5
     # ranking: first recommendation serves the most queries
     assert recs == sorted(recs, key=lambda r: -r["n_queries"])
+
+
+def test_reuse_filter_splitter_handles_nesting_and_strings():
+    from andb_spark.plans.reuse import _split_filters
+
+    assert _split_filters("IsNotNull(a), GreaterThan(b,3)") == [
+        "IsNotNull(a)", " GreaterThan(b,3)"
+    ]
+    # literal lists and quoted strings must not fragment
+    assert _split_filters('In(c, [1,2,3]), StringContains(d, "x,y")') == [
+        "In(c, [1,2,3])", ' StringContains(d, "x,y")'
+    ]
+    assert _split_filters("Or(And(Eq(a,1),Eq(b,2)), IsNull(c))") == [
+        "Or(And(Eq(a,1),Eq(b,2)), IsNull(c))"
+    ]
+
+
+def test_reuse_advisor_skips_streaming_and_records_errors(spark, sf_dir):
+    from andb_spark.plans.reuse import analyze_workload
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("builder regression")
+
+    qs = {"s_stream_fake": boom, "q_bad": boom}
+    report = analyze_workload(qs, spark, sf_dir)
+    # streaming name skipped silently (never invoked), failure recorded
+    assert "s_stream_fake" not in report.errors
+    assert "builder regression" in report.errors["q_bad"]
