@@ -20,7 +20,12 @@ import math
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import given, seed, settings, strategies as st
+
+# Rotated once per build round (driver round number): @seed makes each
+# round's exploration reproducible while successive rounds walk fresh
+# regions of the query space instead of re-testing the same examples.
+FUZZ_ROUND = 2
 
 from andb_spark.catalog import table_path
 
@@ -151,6 +156,7 @@ def _build_window_sql(part: str, order: str, fn: str) -> str:
     )
 
 
+@seed(FUZZ_ROUND)
 @settings(max_examples=15, deadline=None)
 @given(part=_WIN_PARTITION, order=_WIN_ORDER, fn=_WIN_FUNC)
 def test_random_window_query_agrees_with_duckdb(engines, part, order, fn):
@@ -202,6 +208,7 @@ def _build_join_sql(jt: str, pred: str, key: str) -> str:
     return sql + f" GROUP BY {key}"
 
 
+@seed(FUZZ_ROUND)
 @settings(max_examples=15, deadline=None)
 @given(jt=_JOIN_TYPE, pred=_JOIN_PRED, key=_JOIN_KEY)
 def test_random_join_query_agrees_with_duckdb(engines, jt, pred, key):
@@ -220,6 +227,7 @@ def test_random_join_query_agrees_with_duckdb(engines, jt, pred, key):
                 assert a == b, (sql, srow, drow)
 
 
+@seed(FUZZ_ROUND)
 @settings(max_examples=25, deadline=None)
 @given(
     preds=st.lists(predicate, max_size=2, unique=True),
@@ -262,6 +270,7 @@ _SET_COLS = st.sampled_from(
 )
 
 
+@seed(FUZZ_ROUND)
 @settings(max_examples=20, deadline=None)
 @given(op=_SET_OP, cols=_SET_COLS, pa=predicate, pb=predicate)
 def test_random_set_operation_agrees_with_duckdb(engines, op, cols, pa, pb):
@@ -274,3 +283,147 @@ def test_random_set_operation_agrees_with_duckdb(engines, op, cols, pa, pb):
     srows = [tuple(r) for r in spark.sql(sql).collect()]
     drows = con.execute(sql).fetchall()
     assert _rowset(srows) == _rowset(drows), sql
+
+
+# Subquery fuzz arm (VERDICT r1 item 10): scalar / IN / EXISTS /
+# derived-table shapes composed with random predicates. NOT IN is kept
+# on non-nullable key columns so its three-valued-logic trap doesn't
+# make the query itself undefined — the engines must still agree on the
+# well-defined cases.
+_SUBQ_SHAPE = st.sampled_from(["scalar_where", "in", "not_in", "exists",
+                               "derived", "scalar_select"])
+_SUBQ_ORDER_PRED = st.sampled_from(
+    [
+        "o_orderstatus = 'F'",
+        "o_orderpriority = '1-URGENT'",
+        "o_totalprice > 100000",
+        "o_custkey % 3 = 0",
+    ]
+)
+
+
+def _build_subquery_sql(shape: str, pred: str, opred: str) -> str:
+    if shape == "scalar_where":
+        return (
+            "SELECT count(*) AS a0 FROM lineitem WHERE "
+            f"{pred} AND l_quantity > "
+            "(SELECT avg(l_quantity) FROM lineitem)"
+        )
+    if shape == "in":
+        return (
+            "SELECT count(*) AS a0, count(distinct l_orderkey) AS a1 "
+            "FROM lineitem WHERE l_orderkey IN "
+            f"(SELECT o_orderkey FROM orders WHERE {opred}) AND {pred}"
+        )
+    if shape == "not_in":
+        return (
+            "SELECT count(*) AS a0 FROM lineitem WHERE l_orderkey NOT IN "
+            f"(SELECT o_orderkey FROM orders WHERE {opred}) AND {pred}"
+        )
+    if shape == "exists":
+        return (
+            "SELECT l_returnflag, count(*) AS a0 FROM lineitem WHERE "
+            f"{pred} AND EXISTS (SELECT 1 FROM orders WHERE "
+            f"o_orderkey = l_orderkey AND {opred}) GROUP BY l_returnflag"
+        )
+    if shape == "derived":
+        return (
+            "SELECT k, count(*) AS a0, round(sum(q), 2) AS a1 FROM "
+            f"(SELECT l_suppkey % 7 AS k, l_quantity AS q FROM lineitem "
+            f"WHERE {pred}) d GROUP BY k"
+        )
+    return (  # scalar_select
+        "SELECT count(*) AS a0, "
+        "(SELECT round(max(o_totalprice), 2) FROM orders WHERE "
+        f"{opred}) AS a1 FROM lineitem WHERE {pred}"
+    )
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=18, deadline=None)
+@given(shape=_SUBQ_SHAPE, pred=predicate, opred=_SUBQ_ORDER_PRED)
+def test_random_subquery_agrees_with_duckdb(engines, shape, pred, opred):
+    spark, con = engines
+    sql = _build_subquery_sql(shape, pred, opred)
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert len(srows) == len(drows), sql
+    for srow, drow in zip(_rowset(srows), _rowset(drows)):
+        for a, b in zip(srow, drow):
+            if isinstance(a, float) or isinstance(b, float):
+                assert math.isclose(
+                    float(a), float(b), rel_tol=1e-9, abs_tol=1e-4
+                ), (sql, srow, drow)
+            else:
+                assert a == b, (sql, srow, drow)
+
+
+# Expression-nesting fuzz arm: recursively composed integer expressions
+# (arithmetic, CASE, least/greatest, coalesce/nullif, abs) — integer
+# domain end-to-end so comparison is EXACT; division appears only at
+# the rounded top level. Catches coercion/precedence/null-propagation
+# drift that flat expressions miss.
+_INT_LEAF = st.sampled_from(
+    ["l_quantity", "l_linenumber", "l_suppkey", "l_partkey % 11",
+     "3", "7", "-2"]
+)
+
+
+def _combine(children):
+    a, b = children
+
+    return st.sampled_from(
+        [
+            f"({a} + {b})",
+            f"({a} - {b})",
+            f"({a} * {b})",
+            f"abs({a} - {b})",
+            f"least({a}, {b})",
+            f"greatest({a}, {b})",
+            f"coalesce(nullif({a}, {b}), {b})",
+            f"(CASE WHEN {a} > {b} THEN {a} ELSE {b} END)",
+            f"(CASE WHEN {a} = {b} THEN 0 WHEN {a} < {b} THEN -1 ELSE 1 END)",
+        ]
+    )
+
+
+_INT_EXPR = st.recursive(
+    _INT_LEAF,
+    lambda inner: st.tuples(inner, inner).flatmap(_combine),
+    max_leaves=6,
+)
+_STR_EXPR = st.sampled_from(
+    [
+        "upper(substr(l_returnflag || l_linestatus, 1, 2))",
+        "substr(l_returnflag || '_' || l_linestatus, 2, 2)",
+        "coalesce(nullif(l_linestatus, 'F'), l_returnflag)",
+        "CASE WHEN length(l_returnflag || l_linestatus) > 1"
+        " THEN lower(l_returnflag) ELSE l_returnflag END",
+    ]
+)
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=20, deadline=None)
+@given(e1=_INT_EXPR, e2=_INT_EXPR, s=_STR_EXPR, pred=predicate)
+def test_random_nested_expression_agrees_with_duckdb(engines, e1, e2, s, pred):
+    spark, con = engines
+    sql = (
+        f"SELECT {s} AS g, count(*) AS a0, sum({e1}) AS a1, "
+        f"min({e2}) AS a2, "
+        f"round(sum({e1}) / nullif(sum(abs({e2})), 0), 4) AS a3 "
+        f"FROM lineitem WHERE {pred} AND l_orderkey < 2000 GROUP BY g"
+    )
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = con.execute(sql).fetchall()
+    assert len(srows) == len(drows), sql
+    for srow, drow in zip(_rowset(srows), _rowset(drows)):
+        for a, b in zip(srow, drow):
+            if isinstance(a, float) or isinstance(b, float):
+                assert (a is None) == (b is None), (sql, srow, drow)
+                if a is not None:
+                    assert math.isclose(
+                        float(a), float(b), rel_tol=1e-9, abs_tol=1e-4
+                    ), (sql, srow, drow)
+            else:
+                assert a == b, (sql, srow, drow)
