@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from andb_spark.session import build_session  # noqa: E402
 from andb_spark.workloads import all_queries  # noqa: E402
 
-HEADLINE = (
+# The r1 headline set (BENCH_r01 baseline: 13.915 s total at sf0.1).
+# Kept intact so the 2x BASELINE.md rule compares like for like — the
+# JSON line reports their subtotal separately as r01_subset_sec.
+HEADLINE_R01 = (
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
@@ -45,6 +48,30 @@ HEADLINE = (
     "s_tumbling",
     "s_session",
 )
+
+# Queries promoted into the driver's correctness spotlight in r2
+# (workloads/__init__.py::DRIVER_SPOTLIGHT) — tracked from the start so
+# every driver-graded family has a wall-time history. Streaming
+# readStream queries stay out (their fixed micro-batch startup swamps
+# data throughput; the batch twins above time the same plans).
+HEADLINE_R02 = (
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "q_window_navigation",
+    "q_cte",
+    "a_range_join",
+    "d_dup_components",
+    "d_incremental_minhash",
+    "v_ivf_topk",
+    "v_knn_join",
+    "p_split",
+    "p_pipeline_e2e",
+    "m_image_meta",
+)
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02
 
 
 def main() -> None:
@@ -89,6 +116,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
     print(
         json.dumps(
             {
@@ -97,6 +125,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "r01_subset_sec": r01,
             }
         )
     )
