@@ -319,6 +319,7 @@ def incremental_minhash_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     history_bands: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of an ingest INCREMENT against the HISTORICAL
     corpus — the production dedup shape (its exact-hash sibling is the
@@ -332,6 +333,20 @@ def incremental_minhash_pairs(
     history side is restricted by a semi-join on candidate ids before
     any text processing, so a 100 TB history contributes only its
     (few) colliding documents to the verify stage.
+
+    ``materialize``: lazily composed, the candidate pairs feed both the
+    history restriction and the verify join, and the verify stage
+    references its shingle table three ways (sizes + both pair sides) —
+    the executed plan carries ~25 corpus scans (exchange reuse catches
+    only a few; AQE hides the recompute locally where stage overhead
+    dominates, but 25 scans of a 100 TB corpus is the whole game at
+    scale). With ``materialize`` the tiny candidate pair set and the
+    increment-plus-hits shingle table are checkpointed once, capping
+    corpus passes at three (two band tables + one verify shingle). At
+    sf0.1 the two regimes are within ~0.5s of each other — local stage
+    overhead, not scan cost, dominates there; the flag is about the
+    scan multiplicity. Opt-in solely so plan-only callers (EXPLAIN,
+    the reuse advisor) stay execution-free.
 
     Returns (id_a = history id, id_b = new id, jaccard >= threshold).
     New-vs-new duplicates inside the increment are the job of the
@@ -352,11 +367,22 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if materialize:
+        # localCheckpoint (not persist): cuts the lineage so every
+        # downstream reference reads the tiny computed pair set instead
+        # of re-deriving signatures; no unpersist bookkeeping needed.
+        cands = cands.localCheckpoint(eager=True)
     hist_hit = history_df.join(
         cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
     )
+    verify_input = hist_hit.unionByName(new_df)
+    shingle_df = None
+    if materialize:
+        shingle_df = exploded_shingles(
+            verify_input, text_col, id_col
+        ).localCheckpoint(eager=True)
     return jaccard_verify(
-        hist_hit.unionByName(new_df), cands, text_col, id_col, threshold
+        verify_input, cands, text_col, id_col, threshold, shingle_df
     )
 
 

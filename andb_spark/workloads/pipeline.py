@@ -183,7 +183,7 @@ def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") >= 400)
     return DD.incremental_minhash_pairs(
         hist, new, "text", "doc_id", num_hashes=8, rows_per_band=2,
-        threshold=0.5,
+        threshold=0.5, materialize=True,
     ).orderBy("id_a", "id_b")
 
 
