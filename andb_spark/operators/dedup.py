@@ -386,6 +386,113 @@ def incremental_minhash_pairs(
     )
 
 
+def passage_chunks(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """Non-overlapping k-token passages of every document:
+    (id, chunk_idx, chunk_text, chunk_hash). The unit of passage-level
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — exact substring dedup at passage granularity):
+    exact-dup screening below document scope catches boilerplate and
+    quoted passages document-level hashing misses. Tokenize once,
+    explode a chunk-index sequence, slice — one narrow stage, no
+    shuffle (the same machinery as workloads t_chunking)."""
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    return (
+        t.withColumn("_n", F.ceil(F.size("_w") / F.lit(float(k))))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+            "_w",
+        )
+        .select(
+            id_col,
+            F.col("_i").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), F.col("_i") * k + 1, k)
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_hash", F.md5(F.col("chunk_text")))
+    )
+
+
+def repeated_passages(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """Corpus-wide repeated-passage report: every k-token chunk that
+    occurs 2+ times → (chunk_hash, n_docs, n_occurrences, first_doc,
+    first_idx). One hash-keyed groupBy (md5 keys ⇒ uniform shuffle);
+    the first occurrence is the min of a zero-padded sortable
+    ``doc:idx`` string, a total order both engines agree on."""
+    c = passage_chunks(df, text_col, id_col, k)
+    key = F.format_string("%012d:%06d", F.col(id_col), F.col("chunk_idx"))
+    agg = (
+        c.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(key).alias("_first"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    return agg.select(
+        "chunk_hash",
+        "n_docs",
+        "n_occurrences",
+        F.split("_first", ":")[0].cast("bigint").alias("first_doc"),
+        F.split("_first", ":")[1].cast("int").alias("first_idx"),
+    )
+
+
+def scrub_repeated_passages(
+    df: DataFrame, text_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """Passage-scrubbed corpus: drop every repeat of a duplicated
+    passage except its global first occurrence (min (doc, idx) — so
+    every distinct passage survives exactly once), then reassemble each
+    document from its kept chunks in order. Returns (id, n_kept,
+    n_dropped, scrubbed_hash) — the hash stands in for the rebuilt text
+    so results stay compact and comparable.
+
+    Scale: one row_number window keyed by chunk_hash (uniform md5
+    partitions) + one groupBy(doc) for reassembly — two shuffles total,
+    both corpus-chunk-sized, no all-pairs term anywhere. The reassembly
+    collects k-token strings per doc, bounded by document length."""
+    from pyspark.sql import Window
+
+    c = passage_chunks(df, text_col, id_col, k)
+    w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_idx")
+    marked = c.withColumn("_rn", F.row_number().over(w))
+    kept = marked.withColumn(
+        "_keep", (F.col("_rn") == 1).cast("int")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.sum("_keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("_keep")).alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep") == 1,
+                                    F.struct("chunk_idx", "chunk_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                )
+            ).alias("scrubbed_hash"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float
 ) -> DataFrame:

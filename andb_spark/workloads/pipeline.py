@@ -187,6 +187,31 @@ def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def d_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication report: every 16-token chunk occurring
+    2+ times corpus-wide, with its first occurrence (operators/dedup.py
+    ::repeated_passages — the Lee et al. 2022 exact-substring-dedup
+    granularity). Catches cross-document boilerplate that doc-level
+    hashing (d_exact_dup_groups) misses. One hash-keyed groupBy."""
+    d = _docs(spark, sf_dir)
+    return DD.repeated_passages(d, "text", "doc_id", k=16).orderBy(
+        "chunk_hash"
+    )
+
+
+def d_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-scrubbed corpus: drop every repeat of a duplicated
+    16-token chunk except its global first occurrence, reassemble each
+    doc from its kept chunks (operators/dedup.py::
+    scrub_repeated_passages). The rewrite sibling of
+    d_repeated_passages: the corpus keeps every distinct passage
+    exactly once. Two chunk-sized shuffles, no all-pairs term."""
+    d = _docs(spark, sf_dir)
+    return DD.scrub_repeated_passages(d, "text", "doc_id", k=16).orderBy(
+        "doc_id"
+    )
+
+
 def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C shape): flag
     training docs that share any word 5-gram with the EVAL set (docs
@@ -987,6 +1012,8 @@ QUERIES = {
     "d_incremental_dedup": d_incremental_dedup,
     "d_bloom_dedup": d_bloom_dedup,
     "d_incremental_minhash": d_incremental_minhash,
+    "d_repeated_passages": d_repeated_passages,
+    "d_passage_scrub": d_passage_scrub,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
@@ -1430,6 +1457,56 @@ ORACLES = {
                      JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "d_repeated_passages": f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents
+        ),
+        c AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   md5(array_to_string(list_slice(w, i*16+1, i*16+16), ' '))
+                       AS chunk_hash
+            FROM t, LATERAL (
+                SELECT unnest(range(0, CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+            ) r
+        )
+        SELECT chunk_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               CAST(split_part(min(printf('%012d:%06d', doc_id, chunk_idx)),
+                               ':', 1) AS BIGINT) AS first_doc,
+               CAST(split_part(min(printf('%012d:%06d', doc_id, chunk_idx)),
+                               ':', 2) AS INT) AS first_idx
+        FROM c GROUP BY chunk_hash HAVING count(*) >= 2
+        ORDER BY chunk_hash
+    """,
+    "d_passage_scrub": f"""
+        WITH t AS (
+            SELECT doc_id, {_WORDS.format(col='text')} AS w FROM documents
+        ),
+        c AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(list_slice(w, i*16+1, i*16+16), ' ')
+                       AS chunk_text
+            FROM t, LATERAL (
+                SELECT unnest(range(0, CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+            ) r
+        ),
+        m AS (
+            SELECT doc_id, chunk_idx, chunk_text,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY md5(chunk_text)
+                       ORDER BY doc_id, chunk_idx
+                   ) = 1 THEN 1 ELSE 0 END AS keep
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+               md5(string_agg(CASE WHEN keep = 1 THEN chunk_text END,
+                              ' ' ORDER BY chunk_idx)) AS scrubbed_hash
+        FROM m GROUP BY doc_id HAVING sum(keep) > 0
+        ORDER BY doc_id
     """,
     "d_decontaminate": f"""
         WITH g5 AS (

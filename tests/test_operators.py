@@ -711,3 +711,33 @@ def test_simhash_pairs_identical_docs_hamming_zero(spark):
     strict = DD.simhash_pairs(df, "text", "doc_id", max_hamming=0).collect()
     assert {(r["id_a"], r["id_b"]) for r in strict} >= {(1, 2)}
     assert all(r["hamming"] == 0 for r in strict)
+
+
+def test_passage_dedup_keeps_every_distinct_passage_once(spark):
+    import andb_spark.operators.dedup as DDp
+
+    rows = [
+        (1, "a b c d e f x y"),       # chunks (k=4): "a b c d", "e f x y"
+        (2, "a b c d q r s t"),       # repeats doc1's first chunk
+        (3, "e f x y a b c d"),       # repeats both, reversed order
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = {r["chunk_hash"]: r for r in
+           DDp.repeated_passages(df, "text", "doc_id", k=4).collect()}
+    assert len(rep) == 2  # both chunks repeat
+    for r in rep.values():
+        assert r["n_docs"] == 3 or r["n_docs"] == 2
+        assert r["first_doc"] == 1  # doc 1 owns both first occurrences
+
+    scrub = {r["doc_id"]: r for r in
+             DDp.scrub_repeated_passages(df, "text", "doc_id", k=4).collect()}
+    # doc1 keeps both chunks; doc2 loses 1; doc3 loses both -> filtered out
+    assert scrub[1]["n_kept"] == 2 and scrub[1]["n_dropped"] == 0
+    assert scrub[2]["n_kept"] == 1 and scrub[2]["n_dropped"] == 1
+    assert 3 not in scrub
+    # total kept chunks == number of distinct chunks corpus-wide
+    import pyspark.sql.functions as _F
+
+    chunks = DDp.passage_chunks(df, "text", "doc_id", k=4)
+    n_distinct = chunks.select("chunk_hash").distinct().count()
+    assert sum(r["n_kept"] for r in scrub.values()) == n_distinct
