@@ -1559,7 +1559,8 @@ ORACLES = {
                    THEN 1 ELSE 0 END AS is_dup
             FROM documents
         )
-        SELECT source, count(*) AS n_docs, sum(is_dup) AS n_dups,
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups,
                round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate
         FROM flagged GROUP BY source ORDER BY source
     """,
@@ -1770,8 +1771,8 @@ ORACLES = {
         )
         SELECT p.purchase_id, p.user_id,
                count(*) AS n_prior_events,
-               sum(CASE WHEN o.event_type = 'click' THEN 1 ELSE 0 END)
-                   AS n_clicks
+               CAST(sum(CASE WHEN o.event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks
         FROM p JOIN o ON o.user_id = p.user_id
                      AND o.ts BETWEEN p.w_start AND p.w_end
         GROUP BY 1, 2 ORDER BY purchase_id

@@ -295,7 +295,8 @@ ORACLES = {
         )
         SELECT CAST(date_trunc('day', window_start) AS TIMESTAMP) AS day,
                event_type,
-               sum(n) AS n, round(sum(tv), 2) AS total_value
+               CAST(sum(n) AS BIGINT) AS n,
+               round(sum(tv), 2) AS total_value
         FROM hourly GROUP BY 1, 2 ORDER BY day, event_type
     """,
     "s_stateful_user": """

@@ -420,7 +420,8 @@ ORACLES = {
             FROM e JOIN s USING (vec_id)
         )
         SELECT vec_id, round(scale, 6) AS scale,
-               sum(qv) AS q_sum, min(qv) AS q_min, max(qv) AS q_max
+               CAST(sum(qv) AS BIGINT) AS q_sum, min(qv) AS q_min,
+               max(qv) AS q_max
         FROM q GROUP BY vec_id, scale
     """,
     "v_lsh_topk": f"""
