@@ -259,8 +259,10 @@ class AnalyticsEngine:
         back — immutable version dirs make time travel free, the same
         economics as Delta/Iceberg snapshots."""
         n = self._stage_version(name, df)
-        self._advance_pointer(name)
+        prune = self._advance_pointer(name)
         self._save_catalog()
+        for d in prune:  # only after the commit point — see _advance_pointer
+            shutil.rmtree(d, ignore_errors=True)
         self._view(name)
         return n
 
@@ -276,10 +278,15 @@ class AnalyticsEngine:
         meta["_staged"] = new_version
         return self.spark.read.parquet(new_dir).count()
 
-    def _advance_pointer(self, name: str) -> None:
+    def _advance_pointer(self, name: str) -> list[str]:
         """Phase 2: move the catalog pointer to the staged version
         (in memory — durable only at the next ``_save_catalog``, which
-        is the commit point)."""
+        is the commit point). Returns the beyond-retention version dirs
+        to prune; the CALLER deletes them AFTER the catalog save — a
+        destructive rmtree before the commit point would leave the
+        durable (old) catalog referencing pruned dirs on crash,
+        breaking VERSION AS OF and the all-or-nothing contract of
+        ``_overwrite_all``."""
         meta = self._meta(name)
         old_version = meta.get("version")
         old_vnum = meta.get("vnum", 1)
@@ -290,6 +297,7 @@ class AnalyticsEngine:
         new_dir = os.path.join(self.warehouse, name, new_version)
         meta["version"] = new_version
         meta["vnum"] = old_vnum + 1
+        prune: list[str] = []
         if self._txn is not None:
             self._txn["created"].append(new_dir)
             if old_dir:
@@ -297,12 +305,12 @@ class AnalyticsEngine:
         elif old_dir:
             history = meta.setdefault("history", [])
             history.append({"vnum": old_vnum, "version": old_version})
-            for entry in history[: -self.RETAIN_VERSIONS]:
-                shutil.rmtree(
-                    os.path.join(self.warehouse, name, entry["version"]),
-                    ignore_errors=True,
-                )
+            prune = [
+                os.path.join(self.warehouse, name, entry["version"])
+                for entry in history[: -self.RETAIN_VERSIONS]
+            ]
             meta["history"] = history[-self.RETAIN_VERSIONS :]
+        return prune
 
     def _overwrite_all(
         self,
@@ -325,11 +333,14 @@ class AnalyticsEngine:
             for name in updates:  # drop staging markers; dirs are garbage
                 self._meta(name).pop("_staged", None)
             raise
+        prune: list[str] = []
         for name in updates:
-            self._advance_pointer(name)
+            prune += self._advance_pointer(name)
         for name, kv in (extra_meta or {}).items():
             self._meta(name).update(kv)
         self._save_catalog()
+        for d in prune:  # destructive step strictly after the commit
+            shutil.rmtree(d, ignore_errors=True)
         for name in updates:
             self._view(name)
         return counts
@@ -502,6 +513,13 @@ class AnalyticsEngine:
 
             if value not in MODES:
                 raise EngineError(f"andb.ann_mode must be one of {MODES}")
+        if name == "andb.max_result_rows":
+            # validate HERE: a bad value accepted at SET time would make
+            # every later SELECT fail inside _fetch
+            if not re.fullmatch(r"\d+", value) or int(value) < 1:
+                raise EngineError(
+                    "andb.max_result_rows must be a positive integer"
+                )
         self.session_vars[name] = value
         return Result()
 
@@ -843,8 +861,7 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse CREATE TABLE: {stmt!r}")
         name, body = m.group(1), m.group(2)
-        if name in self.catalog["tables"]:
-            raise EngineError(f"table {name} already exists")
+        self._check_name_free(name)
         columns = []
         for coldef in _split_top_level(body):
             parts = coldef.strip().split()
@@ -906,11 +923,22 @@ class AnalyticsEngine:
         n = self._overwrite(name, self.spark.sql(sql))
         return Result(effect_rows=n)
 
+    # Names owned by the SQL-selectable system catalog views; a user
+    # table with one of these names would be silently shadowed at the
+    # next _refresh_system_views, so creation rejects them up front
+    # (the reference reserves its andb_* catalog names the same way).
+    RESERVED_NAMES = frozenset({"andb_tables", "andb_columns", "andb_indexes"})
+
+    def _check_name_free(self, name: str) -> None:
+        if name.lower() in self.RESERVED_NAMES:
+            raise EngineError(f"{name} is a reserved system catalog name")
+        if name in self.catalog["tables"]:
+            raise EngineError(f"table {name} already exists")
+
     def _materialize_select(
         self, name: str, query: str, matview_sql: str | None = None
     ) -> Result:
-        if name in self.catalog["tables"]:
-            raise EngineError(f"table {name} already exists")
+        self._check_name_free(name)
         src = self.spark.sql(query)
         type_names = {
             "int": "int", "bigint": "bigint", "float": "real",

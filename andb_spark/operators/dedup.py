@@ -341,12 +341,13 @@ def incremental_minhash_pairs(
     only a few; AQE hides the recompute locally where stage overhead
     dominates, but 25 scans of a 100 TB corpus is the whole game at
     scale). With ``materialize`` the tiny candidate pair set and the
-    increment-plus-hits shingle table are checkpointed once, capping
-    corpus passes at three (two band tables + one verify shingle). At
-    sf0.1 the two regimes are within ~0.5s of each other — local stage
-    overhead, not scan cost, dominates there; the flag is about the
-    scan multiplicity. Opt-in solely so plan-only callers (EXPLAIN,
-    the reuse advisor) stay execution-free.
+    increment-plus-hits shingle table are lazily persisted: the first
+    action computes and caches them, capping corpus passes at three
+    (two band tables + one verify shingle) while construction itself
+    runs no jobs — EXPLAIN and the reuse advisor stay execution-free
+    even over the opted-in workload query. At sf0.1 the two regimes
+    are within ~0.5s of each other — local stage overhead, not scan
+    cost, dominates there; the flag is about the scan multiplicity.
 
     Returns (id_a = history id, id_b = new id, jaccard >= threshold).
     New-vs-new duplicates inside the increment are the job of the
@@ -368,10 +369,12 @@ def incremental_minhash_pairs(
         .distinct()
     )
     if materialize:
-        # localCheckpoint (not persist): cuts the lineage so every
-        # downstream reference reads the tiny computed pair set instead
-        # of re-deriving signatures; no unpersist bookkeeping needed.
-        cands = cands.localCheckpoint(eager=True)
+        # persist (LAZY, like minhash_lsh_pairs): the first action
+        # computes and caches the tiny pair set; later references read
+        # the cache instead of re-deriving signatures. Building the
+        # DataFrame stays execution-free, so EXPLAIN / the reuse
+        # advisor can invoke this builder without running jobs.
+        cands = cands.persist()
     hist_hit = history_df.join(
         cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
     )
@@ -380,7 +383,7 @@ def incremental_minhash_pairs(
     if materialize:
         shingle_df = exploded_shingles(
             verify_input, text_col, id_col
-        ).localCheckpoint(eager=True)
+        ).persist()
     return jaccard_verify(
         verify_input, cands, text_col, id_col, threshold, shingle_df
     )

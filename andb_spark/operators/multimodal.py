@@ -67,11 +67,22 @@ def _image_header(data: bytes) -> tuple[str, int, int] | None:
         while i + 9 < len(data):
             if data[i] != 0xFF:
                 return None
-            marker = data[i + 1]
+            # the spec allows any number of 0xFF fill bytes before a
+            # marker byte; standalone markers (RSTn, SOI, EOI, TEM)
+            # carry no length segment
+            j = i
+            while j + 1 < len(data) and data[j + 1] == 0xFF:
+                j += 1
+            if j + 9 >= len(data):
+                return None
+            marker = data[j + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack_from(">HH", data, i + 5)
+                h, w = struct.unpack_from(">HH", data, j + 5)
                 return "jpeg", w, h
-            i += 2 + struct.unpack_from(">H", data, i + 2)[0]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i = j + 2  # standalone marker, no length
+            else:
+                i = j + 2 + struct.unpack_from(">H", data, j + 2)[0]
         return None
     return None
 
@@ -173,7 +184,9 @@ def resize_pixels(px: np.ndarray, max_side: int) -> np.ndarray:
     scale = min(1.0, max_side / max(h, w))
     if scale >= 1.0:
         return px
-    nh, nw = int(h * scale), int(w * scale)
+    # clamp to >= 1: a degenerate strip (1xN) must not round to zero
+    # rows/cols and divide by zero
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
     rows = (np.arange(nh) * (h / nh)).astype(np.int64)
     cols = (np.arange(nw) * (w / nw)).astype(np.int64)
     return px[rows][:, cols]
@@ -258,6 +271,8 @@ def decode_audio(data: bytes, fake: bool = False) -> tuple[str, int, int, int]:
     _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
         "<HHIIHH", data, off
     )
+    if sample_rate <= 0:
+        raise ValueError("WAV declares non-positive sample rate")
     _, dsize = chunks[b"data"]
     n_frames = dsize // block_align if block_align else 0
     return "wav", sample_rate, channels, n_frames * 1000 // sample_rate
@@ -267,6 +282,8 @@ def decode_audio_samples(data: bytes) -> tuple[np.ndarray, int]:
     """Full sample decode → (float32 array of shape (frames, channels)
     scaled to [-1, 1], sample_rate). REAL for PCM 8/16-bit WAV."""
     chunks = _wav_chunks(data)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAV missing fmt/data chunks")
     off, _ = chunks[b"fmt "]
     fmt_tag, channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", data, off

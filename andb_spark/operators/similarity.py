@@ -280,6 +280,13 @@ def near_dup_pairs(
     rows = (stats or {}).get("rows")
     if mode == "auto" and rows is None:
         rows = embeddings.limit(exact_row_cap + 1).count()
+        if rows > exact_row_cap:
+            # The capped probe only proves "bigger than the cap" — sizing
+            # centroids from it would pin k at sqrt(cap) for EVERY large
+            # corpus (1B rows -> 141 clusters of ~7M -> quadratic
+            # in-cluster blowup). A real count is one metadata-only job
+            # on parquet (footer row counts, no data read).
+            rows = embeddings.count()
     if mode == "exact" or (mode == "auto" and rows <= exact_row_cap):
         return (
             pairwise_near_dup(

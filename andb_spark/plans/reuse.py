@@ -128,16 +128,19 @@ def analyze_workload(
     """Fingerprint a set of registered queries (plan compile only).
 
     Queries whose BUILDER executes work are excluded by name up front:
-    the ``s_stream_*`` builders run Structured Streaming jobs to
-    completion as a side effect of construction (and yield no
-    FileSourceScan to fingerprint anyway), so "compile-only" would be
-    false if they were invoked. Builders that raise are recorded in
-    ``report.errors`` and logged — a silent skip would hide genuine
-    regressions from the advisor's output."""
+    the streaming builders (workloads.streaming_q.EXECUTING_BUILDERS —
+    the ``s_stream_*`` family plus ``s_stateful_user``) run Structured
+    Streaming jobs to completion as a side effect of construction (and
+    yield no FileSourceScan to fingerprint anyway), so "compile-only"
+    would be false if they were invoked. Builders that raise are
+    recorded in ``report.errors`` and logged — a silent skip would hide
+    genuine regressions from the advisor's output."""
+    from andb_spark.workloads.streaming_q import EXECUTING_BUILDERS
+
     report = ReuseReport()
     grouped: dict[ScanSignature, list[str]] = defaultdict(list)
     for name in names if names is not None else sorted(queries):
-        if name.startswith("s_stream_"):
+        if name.startswith("s_stream_") or name in EXECUTING_BUILDERS:
             continue  # builder executes a streaming job; not advisable
         try:
             df = queries[name](spark, sf_dir)

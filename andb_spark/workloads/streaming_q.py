@@ -258,6 +258,23 @@ QUERIES = {
     "s_stream_distinct": s_stream_distinct,
 }
 
+# Builders whose CONSTRUCTION executes a Structured Streaming job to
+# completion (readStream → foreachBatch sink → collected result). Tools
+# that invoke builders for plan inspection only (plans/reuse.py) must
+# skip these by name — "s_stateful_user" streams too despite not
+# carrying the s_stream_ prefix.
+EXECUTING_BUILDERS = frozenset(
+    {
+        "s_stream_tumbling",
+        "s_stream_session",
+        "s_stateful_user",
+        "s_stream_dedup",
+        "s_stream_join",
+        "s_stream_enrich",
+        "s_stream_distinct",
+    }
+)
+
 _TUMBLING_SQL = """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total_value

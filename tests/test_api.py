@@ -500,3 +500,17 @@ def test_overwrite_all_is_all_or_nothing(engine, monkeypatch):
     assert e("select x from ta").rows == [(10,)]
     assert e("select y from tb").rows == [(20,)]
     assert engine.catalog["tables"]["ta"]["last_stream_batch"] == 7
+
+
+def test_reserved_catalog_names_and_set_validation(engine):
+    e = engine.execute
+    with pytest.raises(EngineError, match="reserved"):
+        e("create table andb_tables (x int)")
+    with pytest.raises(EngineError, match="reserved"):
+        e("create table ANDB_INDEXES as select 1 as x")
+    with pytest.raises(EngineError, match="positive integer"):
+        e("set andb.max_result_rows = 1e6")
+    with pytest.raises(EngineError, match="positive integer"):
+        e("set andb.max_result_rows = abc")
+    e("set andb.max_result_rows = 500")  # valid value still accepted
+    e("set andb.max_result_rows = 1000000")

@@ -372,11 +372,17 @@ _INT_LEAF = st.sampled_from(
 def _combine(children):
     a, b = children
 
+    # Products reduce mod a prime so nested chains can't overflow
+    # BIGINT when summed over the fixture — Spark's ANSI mode throws on
+    # int64 overflow while DuckDB widens to HUGEINT, which would turn a
+    # legal-but-huge expression into a spurious engine divergence under
+    # some future FUZZ_ROUND seed. Both engines define % identically
+    # for the operand signs involved (sign of the dividend).
     return st.sampled_from(
         [
             f"({a} + {b})",
             f"({a} - {b})",
-            f"({a} * {b})",
+            f"(({a} * {b}) % 100003)",
             f"abs({a} - {b})",
             f"least({a}, {b})",
             f"greatest({a}, {b})",

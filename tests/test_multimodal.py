@@ -133,3 +133,38 @@ def test_distributed_real_resize_stage(spark):
     # already small: pass-through geometry, re-encoded as ppm
     assert (out[2]["width"], out[2]["height"]) == (3, 2)
     assert np.array_equal(decode_image_pixels(bytes(out[2]["payload"])), PX)
+
+
+def test_resize_degenerate_strip_and_jpeg_fill_bytes():
+    """Review-findings regressions: 1xN strips must not divide by zero,
+    and JPEG 0xFF fill bytes / standalone RST markers must not derail
+    the SOF scan."""
+    strip = np.arange(1 * 1000 * 3, dtype=np.uint8).reshape(1, 1000, 3)
+    out = resize_pixels(strip, 4)
+    assert out.shape == (1, 4, 3)
+    # fill bytes before APP0 and a standalone RST marker before SOF0
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xd0"  # standalone RST0, no length
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 10, 20) + b"\x03\x00\x00\x00"
+    )
+    assert decode_image(jpeg) == ("jpeg", 20, 10)
+
+
+def test_wav_malformed_payloads_raise_cleanly():
+    import pytest as _pytest
+
+    bad = b"RIFF" + struct.pack("<I", 4) + b"WAVE"  # no fmt/data
+    with _pytest.raises(ValueError, match="fmt/data"):
+        decode_audio(bad)
+    with _pytest.raises(ValueError, match="fmt/data"):
+        decode_audio_samples(bad)
+    # declared zero sample rate
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
