@@ -257,12 +257,16 @@ def minhash_lsh_pairs(
       re-evaluate shared subtrees, but all re-evaluations reuse the same
       compiled codegen classes. At small corpus sizes the recompute is
       cheaper than any materialization bookkeeping.
-    - ``checkpoint_shingles``: materialize the exploded (id, shingle)
-      table once and feed it to BOTH the signature and the verification
-      stages — tokenize/shingle runs once instead of ~4×. Measured at
-      sf0.1: ~3.3s lazy → ~2.8s. The shingle table is corpus-sized, so
-      this is the mid-scale regime: local disk/memory can hold it. (On
-      a cluster, checkpoint to reliable storage.)
+    - ``checkpoint_shingles``: cache the exploded (id, shingle) table
+      once (LAZY persist — the first action computes it, later
+      references read the cache; construction runs no jobs, so EXPLAIN
+      and the reuse advisor stay execution-free) and feed it to BOTH
+      the signature and the verification stages — tokenize/shingle runs
+      once instead of ~4×. Measured at sf0.1: 2.5s lazy → 1.7s persist
+      (an earlier eager localCheckpoint variant was 2.5s — serializing
+      the corpus-sized table up front cost more than the recompute it
+      saved). The shingle table is corpus-sized, so this is the
+      mid-scale regime: executor memory/disk can hold it.
     - ``materialize``: persist the candidate set (tiny relative to the
       corpus) and restrict verification to candidate documents via a
       semi-join — the MLlib-style "cache the small midpoint, never the
@@ -272,9 +276,7 @@ def minhash_lsh_pairs(
     """
     shingle_df = None
     if checkpoint_shingles:
-        shingle_df = exploded_shingles(df, text_col, id_col).localCheckpoint(
-            eager=True
-        )
+        shingle_df = exploded_shingles(df, text_col, id_col).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_df)
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
