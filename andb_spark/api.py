@@ -355,15 +355,25 @@ class AnalyticsEngine:
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
         """NOT NULL rejection + varchar(n) truncation, mirroring the
-        reference's insert path (relation.py:122-130)."""
+        reference's insert path (relation.py:122-130). All NOT NULL
+        columns are checked in ONE pass (a single any-null filter +
+        limit(1)) rather than one Spark job per column — at scale an
+        N-column insert costs one scan, not N."""
         meta = self._meta(name)
+        nn_cols = [c["name"] for c in meta["columns"] if c["notnull"]]
+        if nn_cols:
+            any_null = None
+            for c in nn_cols:
+                cond = F.col(c).isNull()
+                any_null = cond if any_null is None else (any_null | cond)
+            bad = df.filter(any_null).select(*nn_cols).limit(1).collect()
+            if bad:
+                row = bad[0]
+                culprit = next(c for c in nn_cols if row[c] is None)
+                raise EngineError(
+                    f"column {culprit} of {name} violates NOT NULL"
+                )
         for col in meta["columns"]:
-            if col["notnull"]:
-                bad = df.filter(F.col(col["name"]).isNull()).limit(1).count()
-                if bad:
-                    raise EngineError(
-                        f"column {col['name']} of {name} violates NOT NULL"
-                    )
             m = _VARCHAR_RE.match(col["type"])
             if m:
                 df = df.withColumn(

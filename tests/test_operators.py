@@ -741,3 +741,48 @@ def test_passage_dedup_keeps_every_distinct_passage_once(spark):
     chunks = DDp.passage_chunks(df, "text", "doc_id", k=4)
     n_distinct = chunks.select("chunk_hash").distinct().count()
     assert sum(r["n_kept"] for r in scrub.values()) == n_distinct
+
+
+def test_passage_scrub_matches_python_model(spark):
+    """Differential property: Spark passage scrub vs an independent
+    pure-Python reimplementation on randomized small corpora."""
+    import hashlib as _hl
+    import random
+
+    import andb_spark.operators.dedup as DDp
+
+    rng = random.Random(20260813)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(3):
+        docs = []
+        for doc_id in range(8):
+            n = rng.randint(0, 12)
+            docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+        # python model: k=3 chunks, keep global first occurrence
+        k = 3
+        chunks = []  # (doc, idx, text)
+        for doc_id, text in docs:
+            words = text.split()
+            for i in range(0, (len(words) + k - 1) // k):
+                chunks.append((doc_id, i, " ".join(words[i * k:(i + 1) * k])))
+        first = {}
+        for doc_id, i, c in sorted(chunks):
+            first.setdefault(c, (doc_id, i))
+        expect = {}
+        for doc_id, _ in docs:
+            kept = [c for d, i, c in sorted(chunks)
+                    if d == doc_id and first[c] == (d, i)]
+            total = sum(1 for d, _, _ in chunks if d == doc_id)
+            if kept:
+                expect[doc_id] = (
+                    len(kept), total - len(kept),
+                    _hl.md5(" ".join(kept).encode()).hexdigest(),
+                )
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_kept"], r["n_dropped"], r["scrubbed_hash"])
+            for r in DDp.scrub_repeated_passages(df, "text", "doc_id", k=k).collect()
+        }
+        assert got == expect, (trial, docs)
