@@ -133,7 +133,13 @@ _WIN_FUNC = st.sampled_from(
         "dense_rank()",
         "lag(l_quantity, 1)",
         "lead(l_quantity, 1)",
-        "SUM_ROWS",  # running sum with an explicit ROWS frame
+        "ntile(4)",
+        "PCT_RANK",
+        "CUME_DIST",
+        "first_value(l_quantity)",
+        "SUM_ROWS",     # running sum with an explicit ROWS frame
+        "SUM_SLIDING",  # bounded ROWS frame (3 PRECEDING..1 FOLLOWING)
+        "MIN_FOLLOW",   # forward-looking ROWS frame
     ]
 )
 
@@ -143,13 +149,25 @@ def _build_window_sql(part: str, order: str, fn: str) -> str:
         (f"PARTITION BY {part} " if part else "")
         + f"ORDER BY {order}, l_orderkey, l_linenumber"
     )
-    if fn == "SUM_ROWS":
-        expr = (
+    frames = {
+        "SUM_ROWS": (
             f"round(sum(l_quantity) OVER ({over}"
             f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
-        )
-    else:
-        expr = f"{fn} OVER ({over})"
+        ),
+        "SUM_SLIDING": (
+            f"round(sum(l_quantity) OVER ({over}"
+            f" ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING), 2)"
+        ),
+        "MIN_FOLLOW": (
+            f"min(l_linenumber) OVER ({over}"
+            f" ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)"
+        ),
+        # round() wraps the whole window expression — `round(f()) OVER`
+        # would attach OVER to round and both engines reject it
+        "PCT_RANK": f"round(percent_rank() OVER ({over}), 6)",
+        "CUME_DIST": f"round(cume_dist() OVER ({over}), 6)",
+    }
+    expr = frames.get(fn, f"{fn} OVER ({over})")
     return (
         f"SELECT l_orderkey, l_linenumber, {expr} AS w FROM lineitem"
         f" WHERE l_orderkey < 500"
