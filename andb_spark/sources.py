@@ -91,3 +91,50 @@ def write_source(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    id_from_name: bool = True,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point of the multimodal pipeline: a directory of image/
+    audio/video files becomes (doc_id, path, n_bytes, mod_time,
+    payload) rows that feed straight into the decode/resize/embed
+    stages (operators/multimodal.py).
+
+    Scale: binaryFile is a DataSource V2 reader — files are assigned to
+    tasks by size (spark.sql.files.maxPartitionBytes), pathGlobFilter
+    prunes by name BEFORE any read, and column pruning drops the
+    payload column entirely for metadata-only queries (schema scans of
+    a 100 TB image corpus read zero image bytes). One caveat baked in:
+    each file must fit in one task's memory — codec-sized media, not
+    giant archives.
+
+    ``id_from_name``: derive a stable numeric doc_id from the file
+    name's digits (img_00042.bmp → 42) — the fixture convention; files
+    without digits hash the path (stable across runs, not dense)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    from pyspark.sql import functions as F
+
+    name_digits = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)", 1
+    )
+    doc_id = (
+        F.when(name_digits != "", name_digits.cast("bigint"))
+        .otherwise(F.abs(F.xxhash64(F.col("path"))))
+        if id_from_name
+        else F.abs(F.xxhash64(F.col("path")))
+    )
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("content").alias("payload"),
+    )

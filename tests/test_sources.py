@@ -114,3 +114,39 @@ def test_copy_from_enforces_not_null(engine, tmp_path, spark):
 def test_copy_syntax_error(engine):
     with pytest.raises(EngineError, match="syntax: COPY"):
         engine.execute("copy nowhere sideways 'x'")
+
+
+def test_binary_file_ingestion_feeds_multimodal(spark, tmp_path):
+    """binaryFile source → multimodal decode end-to-end: real BMP files
+    on disk ingest into (doc_id, payload) rows, decode to exact pixels,
+    and metadata-only projections never read file contents."""
+    import numpy as np
+
+    from andb_spark.operators.multimodal import (
+        decode_image_pixels,
+        extract_image_meta,
+    )
+    from andb_spark.sources import read_binary_files
+    from tests.test_multimodal import PX, make_bmp
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "img_007.bmp").write_bytes(make_bmp(PX))
+    (d / "img_042.bmp").write_bytes(make_bmp(PX[::-1]))
+    (d / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(d), glob="*.bmp")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {7, 42}  # txt pruned by glob, ids from names
+    assert np.array_equal(
+        decode_image_pixels(bytes(rows[7]["payload"])), PX
+    )
+    # plumb into the real-decode mapInPandas stage
+    meta = {
+        r["doc_id"]: r
+        for r in extract_image_meta(
+            df.select("doc_id", "payload", "n_bytes"), fake=False
+        ).collect()
+    }
+    assert meta[42]["format"] == "bmp"
+    assert (meta[42]["width"], meta[42]["height"]) == (3, 2)
