@@ -212,6 +212,42 @@ def d_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the LSH banding scheme (8 hashes × 2 rows/band):
+    candidate recall against exact n-gram-Jaccard ground truth on a
+    bounded subset, plus candidate volume (the cost side of the
+    recall/cost dial). THE tuning query for bands/rows choices: recall
+    < 1 means truly-similar pairs never became candidates (missed by
+    every band), n_cand >> n_exact means bands are too permissive. The
+    exact side is quadratic, hence the bounded subset — the audit runs
+    on a sample, the tuned parameters apply corpus-wide."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    exact = DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    bands = DD.lsh_bands(
+        DD.minhash_signatures(d, "text", "doc_id", num_hashes=8),
+        "doc_id",
+        num_hashes=8,
+        rows_per_band=2,
+    )
+    cand = DD.lsh_candidate_pairs(bands, "doc_id")
+    hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3 appendix-C shape): flag
     training docs that share any word 5-gram with the EVAL set (docs
@@ -1014,6 +1050,7 @@ QUERIES = {
     "d_incremental_minhash": d_incremental_minhash,
     "d_repeated_passages": d_repeated_passages,
     "d_passage_scrub": d_passage_scrub,
+    "d_lsh_recall_audit": d_lsh_recall_audit,
     "t_token_stats": t_token_stats,
     "t_lang_quality": t_lang_quality,
     "t_fingerprint": t_fingerprint,
@@ -1457,6 +1494,52 @@ ORACLES = {
                      JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) >= 0.5
         ORDER BY id_a, id_b
+    """,
+    "d_lsh_recall_audit": f"""
+        WITH docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
+                  FROM documents WHERE doc_id < 300)
+        ),
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        exact_inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT id_a, id_b FROM exact_inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(n_inter AS DOUBLE)
+                        / (sa.n + sb.n - n_inter), 6) >= 0.5
+        ),
+        mh AS (
+            SELECT doc_id, h, min(md5(h::VARCHAR || '|' || shingle)) AS min_hash
+            FROM sh, (SELECT unnest(range(0, 8)) AS h) hs
+            GROUP BY doc_id, h
+        ),
+        bands AS (
+            SELECT doc_id, CAST(h // 2 AS INT) AS band,
+                   md5(min(CASE WHEN h % 2 = 0 THEN min_hash END)
+                       || min(CASE WHEN h % 2 = 1 THEN min_hash END)) AS band_sig
+            FROM mh GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig
+            WHERE a.doc_id < b.doc_id
+        ),
+        hit AS (SELECT e.id_a, e.id_b FROM exact e
+                JOIN cand c USING (id_a, id_b))
+        SELECT (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM cand) AS n_cand,
+               (SELECT count(*) FROM hit) AS n_hit,
+               round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                     / (SELECT count(*) FROM exact), 6) AS recall
     """,
     "d_repeated_passages": f"""
         WITH t AS (
