@@ -220,3 +220,79 @@ def stream_ivf_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_multimodal_ingest(
+    spark: SparkSession,
+    files_dir: str,
+    engine,
+    meta_table: str,
+    checkpoint_dir: str,
+    glob: str | None = None,
+    fake_decode: bool = False,
+    max_files_per_trigger: int | None = None,
+    query_name: str = "andb_multimodal_ingest",
+) -> None:
+    """Continuous multimodal ingest — the binaryFile twin of
+    ``stream_dedup_ingest``: media files land in a directory, each
+    micro-batch decodes the new files' metadata (operators/multimodal
+    ::extract_image_meta — real header parse, Arrow-batched) and
+    appends it to a managed metadata table, first write per doc_id
+    wins. Exactly-once via the same batch-id high-water mark + atomic
+    versioned write as the other ingests.
+
+    Scale: the file stream assigns whole files to tasks; decode work
+    per batch ∝ new files; the metadata table is the only state and is
+    append-only. At 100 TB the payload never lands anywhere — only its
+    k-bytes of decoded metadata do (the binaryFile reader prunes the
+    content column for downstream metadata-only readers)."""
+    from andb_spark.operators.multimodal import extract_image_meta
+    from andb_spark.sources import read_binary_files
+
+    # Schema must be fixed for readStream: take it from a batch read of
+    # the same source (cheap — listing + footer only).
+    schema = spark.read.format("binaryFile").load(files_dir).schema
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(files_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = engine.catalog["tables"][meta_table]
+        if meta.get("last_stream_batch", -1) >= batch_id:
+            return  # checkpoint replay — already applied
+        from pyspark.sql import functions as SF
+
+        name_digits = SF.regexp_extract(
+            SF.element_at(SF.split(SF.col("path"), "/"), -1), r"(\d+)", 1
+        )
+        binary_df = batch_df.select(
+            SF.when(name_digits != "", name_digits.cast("bigint"))
+            .otherwise(SF.abs(SF.xxhash64(SF.col("path"))))
+            .alias("doc_id"),
+            SF.col("length").alias("n_bytes"),
+            SF.col("content").alias("payload"),
+        )
+        decoded = extract_image_meta(binary_df, fake=fake_decode)
+        current = engine.spark.read.parquet(engine._table_dir(meta_table))
+        fresh = decoded.join(
+            current.select("doc_id"), "doc_id", "left_anti"
+        ).select(*current.columns)
+        engine._overwrite_all(
+            {meta_table: current.unionByName(fresh)},
+            extra_meta={meta_table: {"last_stream_batch": batch_id}},
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
