@@ -37,6 +37,7 @@ import os
 import re
 import shutil
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 
@@ -145,18 +146,71 @@ class AnalyticsEngine:
             register_tables(self.spark, attach_dir)
 
     # ------------------------------------------------------------- util --
+    #
+    # Storage model (manifest versions — the Iceberg/Delta snapshot
+    # economics over plain parquet): a table VERSION is an ordered list
+    # of immutable data paths ("segments": a directory written by one
+    # commit, or an individual surviving parquet file left by
+    # copy-on-write DML). Segments are SHARED across versions, so
+    #   - append (INSERT / COPY FROM / streaming batch) writes only the
+    #     new rows and commits manifest = old + [new]  → O(batch);
+    #   - UPDATE/DELETE rewrite only the files containing matched rows
+    #     and re-reference every untouched file  → O(changed files);
+    #   - overwrite (CREATE/ALTER/OPTIMIZE/MERGE) commits [new].
+    # The catalog JSON `os.replace` stays the single commit point;
+    # readers resolve the manifest to concrete paths at view refresh, so
+    # they see an old version or the new one, never a mix. Pruning is
+    # reference-counted: a segment dir dies only when neither the
+    # current manifest nor any retained history entry references it or
+    # a file inside it.
     def _table_dir(self, name: str) -> str:
-        """Current version directory of a managed table. Each write
-        creates a new version dir and moves the catalog pointer; old
-        versions are deleted at commit time (immediately when no
-        transaction is open)."""
+        """Directory of the table's most recent commit segment — the
+        anchor for existence checks. NOT the full table: readers go
+        through ``_read_table`` (a version can span many segments)."""
         meta = self.catalog["tables"].get(name)
         version = meta.get("version", "") if meta else ""
         base = os.path.join(self.warehouse, name)
         return os.path.join(base, version) if version else base
 
+    @staticmethod
+    def _segments_of(meta_or_entry: dict) -> list[str]:
+        """Manifest of a table meta or a history entry, tolerating the
+        pre-manifest format (one version dir) for old catalogs."""
+        segs = meta_or_entry.get("segments")
+        if segs is not None:
+            return list(segs)
+        v = meta_or_entry.get("version")
+        return [v] if v else []
+
+    def _segment_paths(self, name: str, meta: dict | None = None) -> list[str]:
+        base = os.path.join(self.warehouse, name)
+        meta = meta if meta is not None else self._meta(name)
+        return [os.path.join(base, s) for s in self._segments_of(meta)]
+
+    def _read_table(self, name: str) -> DataFrame:
+        """Current contents of a managed table: the union of its
+        manifest's segments (one multi-path parquet scan)."""
+        return self.spark.read.parquet(*self._segment_paths(name))
+
+    def _data_files(self, name: str) -> list[str]:
+        """Concrete parquet files of the current manifest (manifest
+        entries expanded: a dir entry contributes its part files, a
+        file entry contributes itself). A listing, not a scan — the
+        same driver-side metadata op a lakehouse manifest read is."""
+        files: list[str] = []
+        for path in self._segment_paths(name):
+            if os.path.isdir(path):
+                files += sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            elif os.path.isfile(path):
+                files.append(path)
+        return files
+
     def _view(self, name: str) -> DataFrame:
-        df = self.spark.read.parquet(self._table_dir(name))
+        df = self._read_table(name)
         df.createOrReplaceTempView(name)
         return df
 
@@ -250,98 +304,169 @@ class AnalyticsEngine:
     RETAIN_VERSIONS = 5
 
     def _overwrite(self, name: str, df: DataFrame) -> int:
-        """Versioned write: the new table state lands in a fresh version
-        dir, then the catalog pointer moves. Readers see the old or the
-        new version, never a mix (plain-parquet ACID without Delta).
-        Inside a transaction the superseded version is retained for
-        rollback; otherwise it joins the table's version HISTORY, kept
-        readable for time travel (`VERSION AS OF`) up to RETAIN_VERSIONS
-        back — immutable version dirs make time travel free, the same
-        economics as Delta/Iceberg snapshots."""
+        """Versioned full rewrite: the new table state lands in a fresh
+        segment dir and the manifest becomes [that segment]. Readers see
+        the old or the new version, never a mix (plain-parquet ACID
+        without Delta). Inside a transaction the superseded segments are
+        retained for rollback; otherwise the old manifest joins the
+        table's version HISTORY, kept readable for time travel
+        (`VERSION AS OF`) up to RETAIN_VERSIONS back — immutable,
+        shared segments make time travel free, the same economics as
+        Delta/Iceberg snapshots."""
         n = self._stage_version(name, df)
+        self._commit_staged(name)
+        return n
+
+    def _append(self, name: str, df: DataFrame) -> int:
+        """Versioned APPEND: write only ``df`` as a new segment and
+        commit manifest = old + [new]. O(batch) I/O regardless of table
+        size — every pre-existing file is re-referenced, not rewritten.
+        Same atomicity as ``_overwrite`` (one catalog save)."""
+        n = self._stage_version(name, df, base="current")
+        self._commit_staged(name)
+        return n
+
+    def _commit_staged(self, name: str) -> None:
+        """Advance the manifest to the staged segment and commit (one
+        catalog save); prune newly-unreferenced dirs strictly after."""
         prune = self._advance_pointer(name)
         self._save_catalog()
         for d in prune:  # only after the commit point — see _advance_pointer
             shutil.rmtree(d, ignore_errors=True)
         self._view(name)
-        return n
 
-    def _stage_version(self, name: str, df: DataFrame) -> int:
-        """Phase 1 of a versioned write: land the new table state in a
-        fresh version dir on disk. Nothing references it yet — a crash
-        here leaves only unreachable garbage (VACUUM-able), never a
-        partial table."""
+    def _stage_version(
+        self,
+        name: str,
+        df: DataFrame,
+        base: list[str] | str | None = None,
+    ) -> int:
+        """Phase 1 of a versioned write: land ``df`` in a fresh segment
+        dir on disk and record the staged manifest. Nothing references
+        the dir yet — a crash here leaves only unreachable garbage
+        (VACUUM-able), never a partial table.
+
+        ``base`` is the manifest prefix the new segment extends:
+        None → [] (full rewrite), "current" → the live manifest
+        (append), or an explicit entry list (copy-on-write DML keeps
+        the untouched files)."""
         meta = self._meta(name)
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
         df.write.mode("overwrite").parquet(new_dir)
-        meta["_staged"] = new_version
-        return self.spark.read.parquet(new_dir).count()
+        if base == "current":
+            base = self._segments_of(meta)
+        # Count BEFORE marking the stage: if this read raises, no stray
+        # '_staged' key survives in the in-memory catalog to be
+        # persisted by a later unrelated _save_catalog.
+        count = self.spark.read.parquet(new_dir).count()
+        meta["_staged"] = {
+            "version": new_version,
+            "segments": list(base or []) + [new_version],
+        }
+        return count
+
+    @staticmethod
+    def _top_dirs(entries: list[str]) -> set[str]:
+        """Top-level segment dirs referenced by manifest entries (an
+        entry is either a segment dir or a file inside one)."""
+        return {e.split("/", 1)[0] for e in entries}
 
     def _advance_pointer(self, name: str) -> list[str]:
-        """Phase 2: move the catalog pointer to the staged version
+        """Phase 2: move the catalog manifest to the staged one
         (in memory — durable only at the next ``_save_catalog``, which
-        is the commit point). Returns the beyond-retention version dirs
-        to prune; the CALLER deletes them AFTER the catalog save — a
-        destructive rmtree before the commit point would leave the
+        is the commit point). Returns the no-longer-referenced segment
+        dirs to prune; the CALLER deletes them AFTER the catalog save —
+        a destructive rmtree before the commit point would leave the
         durable (old) catalog referencing pruned dirs on crash,
         breaking VERSION AS OF and the all-or-nothing contract of
-        ``_overwrite_all``."""
+        ``_overwrite_all``. Segments are shared across versions, so
+        pruning is reference-counted: a dir dies only when the current
+        manifest and every retained history entry reference neither it
+        nor any file inside it."""
         meta = self._meta(name)
         old_version = meta.get("version")
+        old_segments = self._segments_of(meta)
         old_vnum = meta.get("vnum", 1)
-        old_dir = (
-            os.path.join(self.warehouse, name, old_version) if old_version else None
-        )
-        new_version = meta.pop("_staged")
-        new_dir = os.path.join(self.warehouse, name, new_version)
-        meta["version"] = new_version
+        staged = meta.pop("_staged")
+        new_dir = os.path.join(self.warehouse, name, staged["version"])
+        meta["version"] = staged["version"]
+        meta["segments"] = staged["segments"]
         meta["vnum"] = old_vnum + 1
         prune: list[str] = []
         if self._txn is not None:
             self._txn["created"].append(new_dir)
-            if old_dir:
-                self._txn["superseded"].append(old_dir)
-        elif old_dir:
+            # Segments dropped by this write are deletable at COMMIT
+            # only if no retained history entry still references them
+            # (rollback meanwhile restores the snapshot manifest, which
+            # does — hence deferral, not deletion).
+            referenced = self._top_dirs(staged["segments"])
+            for entry in meta.get("history", []):
+                referenced |= self._top_dirs(self._segments_of(entry))
+            for d in self._top_dirs(old_segments) - referenced:
+                self._txn["superseded"].append(
+                    os.path.join(self.warehouse, name, d)
+                )
+        elif old_version:
             history = meta.setdefault("history", [])
-            history.append({"vnum": old_vnum, "version": old_version})
-            prune = [
-                os.path.join(self.warehouse, name, entry["version"])
-                for entry in history[: -self.RETAIN_VERSIONS]
-            ]
+            history.append(
+                {
+                    "vnum": old_vnum,
+                    "version": old_version,
+                    "segments": old_segments,
+                }
+            )
+            dropped = history[: -self.RETAIN_VERSIONS]
             meta["history"] = history[-self.RETAIN_VERSIONS :]
+            referenced = self._top_dirs(staged["segments"])
+            for entry in meta["history"]:
+                referenced |= self._top_dirs(self._segments_of(entry))
+            candidates: set[str] = set()
+            for entry in dropped:
+                candidates |= self._top_dirs(self._segments_of(entry))
+            prune = [
+                os.path.join(self.warehouse, name, d)
+                for d in candidates - referenced
+            ]
         return prune
 
     def _overwrite_all(
         self,
-        updates: dict[str, DataFrame],
+        updates: dict[str, DataFrame] | None = None,
         extra_meta: dict[str, dict] | None = None,
+        appends: dict[str, DataFrame] | None = None,
     ) -> dict[str, int]:
-        """Multi-table ATOMIC overwrite: stage every table's new version
-        dir on disk, then move all catalog pointers plus any extra
+        """Multi-table ATOMIC commit: stage every table's new segment
+        on disk (full rewrites via ``updates``, O(batch) appends via
+        ``appends``), then move all catalog manifests plus any extra
         metadata keys (e.g. a streaming high-water mark) and commit them
         in ONE catalog save — ``os.replace`` of the catalog JSON is the
         single commit point, so readers (and crash recovery) see either
         none or all of the updates. This is what lets the streaming
         dedup ingest keep its clean/bands tables and batch mark in
-        lockstep (streaming/dedup_ingest.py)."""
+        lockstep (streaming/dedup_ingest.py) with per-batch I/O
+        proportional to the batch, not the accumulated history."""
+        updates = updates or {}
+        appends = appends or {}
         counts = {}
         try:
             for name, df in updates.items():
                 counts[name] = self._stage_version(name, df)
+            for name, df in appends.items():
+                counts[name] = self._stage_version(name, df, base="current")
         except Exception:
-            for name in updates:  # drop staging markers; dirs are garbage
-                self._meta(name).pop("_staged", None)
+            for name in list(updates) + list(appends):
+                self._meta(name).pop("_staged", None)  # dirs are garbage
             raise
         prune: list[str] = []
-        for name in updates:
+        for name in list(updates) + list(appends):
             prune += self._advance_pointer(name)
         for name, kv in (extra_meta or {}).items():
             self._meta(name).update(kv)
         self._save_catalog()
         for d in prune:  # destructive step strictly after the commit
             shutil.rmtree(d, ignore_errors=True)
-        for name in updates:
+        for name in list(updates) + list(appends):
             self._view(name)
         return counts
 
@@ -586,14 +711,18 @@ class AnalyticsEngine:
         )
 
     # ------------------------------------------------- time travel --
-    def _resolve_version(self, name: str, vnum: int) -> str:
-        """Directory of a table version by number (current or retained)."""
+    def _resolve_version(self, name: str, vnum: int) -> list[str]:
+        """Data paths of a table version by number (current or
+        retained): the manifest the version committed — segments are
+        immutable and shared, so a historical read is just a different
+        path list, no data copy."""
         meta = self._meta(name)
+        base = os.path.join(self.warehouse, name)
         if meta.get("vnum", 1) == vnum:
-            return self._table_dir(name)
+            return self._segment_paths(name, meta)
         for entry in meta.get("history", []):
             if entry["vnum"] == vnum:
-                return os.path.join(self.warehouse, name, entry["version"])
+                return [os.path.join(base, s) for s in self._segments_of(entry)]
         retained = [e["vnum"] for e in meta.get("history", [])] + [
             meta.get("vnum", 1)
         ]
@@ -615,20 +744,26 @@ class AnalyticsEngine:
         )
 
     def _vacuum(self, stmt: str) -> Result:
-        """VACUUM <table>: drop all retained non-current versions."""
+        """VACUUM <table>: drop all retained non-current versions.
+        Segment dirs are shared across versions, so only dirs no longer
+        referenced by the CURRENT manifest are deleted — history
+        entries themselves all go."""
         m = re.match(r"vacuum\s+(\w+)\s*$", stmt, re.I)
         if not m:
             raise EngineError(f"cannot parse VACUUM statement: {stmt}")
         name = m.group(1)
         meta = self._meta(name)
         history = meta.get("history", [])
+        referenced = self._top_dirs(self._segments_of(meta))
+        candidates: set[str] = set()
         for entry in history:
-            shutil.rmtree(
-                os.path.join(self.warehouse, name, entry["version"]),
-                ignore_errors=True,
-            )
+            candidates |= self._top_dirs(self._segments_of(entry))
         meta["history"] = []
-        self._save_catalog()
+        self._save_catalog()  # commit the emptied history FIRST
+        for d in candidates - referenced:
+            shutil.rmtree(
+                os.path.join(self.warehouse, name, d), ignore_errors=True
+            )
         return Result(effect_rows=len(history))
 
     # Target bytes per file for OPTIMIZE (the standard lakehouse 128 MB).
@@ -651,17 +786,11 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse OPTIMIZE statement: {stmt}")
         name, zcols = m.group(1), m.group(2)
-        table_dir = self._table_dir(name)
-        n_files_before = sum(
-            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
-        )
-        total_bytes = sum(
-            os.path.getsize(os.path.join(table_dir, f))
-            for f in os.listdir(table_dir)
-            if f.endswith(".parquet")
-        )
+        files = self._data_files(name)
+        n_files_before = len(files)
+        total_bytes = sum(os.path.getsize(f) for f in files)
         target = max(1, -(-total_bytes // self.OPTIMIZE_FILE_BYTES))
-        df = self.spark.read.parquet(table_dir)
+        df = self._read_table(name)
         if zcols:
             from andb_spark.operators.zorder import zorder
 
@@ -709,7 +838,7 @@ class AnalyticsEngine:
             name, vnum = m.group(1), int(m.group(2))
             view = f"{name}__v{vnum}"
             self.spark.read.parquet(
-                self._resolve_version(name, vnum)
+                *self._resolve_version(name, vnum)
             ).createOrReplaceTempView(view)
             return view
 
@@ -990,7 +1119,7 @@ class AnalyticsEngine:
         name, add_col, add_type, drop_col, ren_from, ren_to = m.groups()
         meta = self._meta(name)
         cols = meta["columns"]
-        df = self.spark.read.parquet(self._table_dir(name))
+        df = self._read_table(name)
         if add_col:
             if any(c["name"] == add_col for c in cols):
                 raise EngineError(f"column {add_col} already exists in {name}")
@@ -1111,8 +1240,9 @@ class AnalyticsEngine:
         )
         src = self._enforce_constraints(name, src)
         n = src.count()
-        existing = self.spark.read.parquet(self._table_dir(name))
-        self._overwrite(name, existing.unionByName(src))
+        # O(batch): only the inserted rows hit disk; every existing file
+        # is re-referenced by the new manifest, never rewritten.
+        self._append(name, src)
         return Result(effect_rows=n)
 
     _MERGE_RE = re.compile(
@@ -1250,7 +1380,7 @@ class AnalyticsEngine:
         )
         schema = self._schema(name)
         if direction == "to":
-            df = self.spark.read.parquet(self._table_dir(name))
+            df = self._read_table(name)
             try:
                 write_source(df, path, fmt)
             except ValueError as e:
@@ -1265,9 +1395,59 @@ class AnalyticsEngine:
         )
         src = self._enforce_constraints(name, src)
         n = src.count()
-        existing = self.spark.read.parquet(self._table_dir(name))
-        self._overwrite(name, existing.unionByName(src))
+        self._append(name, src)  # bulk import = file append, O(batch)
         return Result(effect_rows=n)
+
+    def _cow_split(
+        self, name: str, condition
+    ) -> tuple[int, list[str], list[str]]:
+        """Copy-on-write planning for targeted DML: ONE scan finds the
+        files containing rows matching ``condition`` (per-file matched
+        counts via input_file_name — the parquet footer/row-group
+        pruning Catalyst already does applies, so files the predicate
+        statically excludes are never read).
+
+        Returns (n_matched, keep_entries, affected_paths):
+        keep_entries are manifest entries re-referencing every untouched
+        file verbatim — they carry ZERO write I/O into the new version —
+        and affected_paths are the absolute paths that must rewrite.
+        At 100 TB a low-selectivity DELETE/UPDATE rewrites only the
+        files it touches, not the table."""
+        per_file = (
+            self._read_table(name)
+            .filter(condition)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        n_matched = sum(r["_n"] for r in per_file)
+        hit = {
+            urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+            for r in per_file
+        }
+        base = os.path.join(self.warehouse, name)
+        keep_entries: list[str] = []
+        affected: list[str] = []
+        for entry in self._segments_of(self._meta(name)):
+            path = os.path.join(base, entry)
+            if os.path.isdir(path):
+                part_files = sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                )
+                if not any(os.path.join(path, f) in hit for f in part_files):
+                    keep_entries.append(entry)  # whole segment untouched
+                    continue
+                for f in part_files:
+                    full = os.path.join(path, f)
+                    if full in hit:
+                        affected.append(full)
+                    else:  # surviving file of a touched segment:
+                        keep_entries.append(entry + "/" + f)
+            elif path in hit:
+                affected.append(path)
+            else:
+                keep_entries.append(entry)
+        return n_matched, keep_entries, affected
 
     def _delete(self, stmt: str) -> Result:
         m = re.match(
@@ -1277,13 +1457,19 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse DELETE: {stmt!r}")
         name, cond = m.group(1), m.group(2)
         self._writable_meta(name)
-        df = self.spark.read.parquet(self._table_dir(name))
-        before = df.count()
-        kept = (
-            df.filter(~F.coalesce(F.expr(cond), F.lit(False))) if cond else df.limit(0)
-        )
-        after = self._overwrite(name, kept)
-        return Result(effect_rows=before - after)
+        if not cond:  # truncate: full rewrite to an empty version
+            df = self._read_table(name)
+            before = df.count()
+            self._overwrite(name, df.limit(0))
+            return Result(effect_rows=before)
+        condition = F.coalesce(F.expr(cond), F.lit(False))
+        n_matched, keep, affected = self._cow_split(name, condition)
+        if n_matched == 0:
+            return Result(effect_rows=0)  # no write at all
+        kept_rows = self.spark.read.parquet(*affected).filter(~condition)
+        self._stage_version(name, kept_rows, base=keep)
+        self._commit_staged(name)
+        return Result(effect_rows=n_matched)
 
     def _update(self, stmt: str) -> Result:
         m = re.match(
@@ -1295,9 +1481,19 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse UPDATE: {stmt!r}")
         name, setlist, cond = m.groups()
         self._meta(name)
-        df = self.spark.read.parquet(self._table_dir(name))
         condition = F.expr(cond) if cond else F.lit(True)
-        n_hit = df.filter(condition).count()
+        if cond:
+            # copy-on-write: rewrite only files containing matched rows
+            n_hit, keep, affected = self._cow_split(
+                name, F.coalesce(condition, F.lit(False))
+            )
+            if n_hit == 0:
+                return Result(effect_rows=0)
+            df = self.spark.read.parquet(*affected)
+        else:
+            df = self._read_table(name)
+            n_hit = df.count()
+            keep = None  # full rewrite
         schema = self._schema(name)
         for assign in _split_top_level(setlist):
             col, _, val = assign.partition("=")
@@ -1313,7 +1509,8 @@ class AnalyticsEngine:
                 .otherwise(F.col(col)),
             )
         df = self._enforce_constraints(name, df)
-        self._overwrite(name, df)
+        self._stage_version(name, df, base=keep)
+        self._commit_staged(name)
         return Result(effect_rows=n_hit)
 
 

@@ -30,11 +30,12 @@ catalog entry and skips replayed batches. Both state tables' version
 pointers and the mark commit in ONE atomic catalog save
 (api.py::_overwrite_all) — a crash mid-batch leaves all three or none,
 so replay can never find survivors in ``clean`` whose band rows were
-lost. At 100 TB the two state
-tables are bucketed by hash / (band, band_sig) so both screens are
-shuffle-free on the history side (see SCALE.md §5); the
-read-union-overwrite used here becomes a plain append on a real table
-format.
+lost. Commits are manifest APPENDS (api.py::_overwrite_all with
+``appends``): each batch writes only its survivors' rows/bands as a
+new segment and re-references all accumulated history — per-batch
+commit I/O ∝ batch size, never ∝ history size. At 100 TB the two
+state tables are bucketed by hash / (band, band_sig) so both screens
+are shuffle-free on the history side (see SCALE.md §5).
 
 The reference has no streaming and no dedup; this is the north-star
 integration of both extension tracks.
@@ -127,8 +128,8 @@ def stream_dedup_ingest(
         meta = engine.catalog["tables"][clean_table]
         if meta.get("last_stream_batch", -1) >= batch_id:
             return  # checkpoint replay — already applied
-        clean_df = engine.spark.read.parquet(engine._table_dir(clean_table))
-        bands_df = engine.spark.read.parquet(engine._table_dir(bands_table))
+        clean_df = engine._read_table(clean_table)
+        bands_df = engine._read_table(bands_table)
         surv = _survivors_of_batch(
             batch_df, clean_df, bands_df,
             text_col, id_col, num_hashes, rows_per_band, threshold,
@@ -136,15 +137,16 @@ def stream_dedup_ingest(
         new_bands = DD.band_table(
             surv, text_col, id_col, num_hashes, rows_per_band
         ).select(*bands_df.columns)
-        # Single commit point: both tables' version pointers AND the
-        # batch high-water mark land in one atomic catalog save — a
-        # crash leaves either the whole batch applied or none of it,
-        # never survivors-in-clean with their band rows missing.
+        # Single commit point: both tables' manifests AND the batch
+        # high-water mark land in one atomic catalog save — a crash
+        # leaves either the whole batch applied or none of it, never
+        # survivors-in-clean with their band rows missing. APPENDS:
+        # only the batch's survivors and their band rows hit disk;
+        # accumulated history is re-referenced, not rewritten — commit
+        # I/O is O(batch), the property that survives 100 TB of
+        # accumulated corpus.
         engine._overwrite_all(
-            {
-                clean_table: clean_df.unionByName(surv),
-                bands_table: bands_df.unionByName(new_bands),
-            },
+            appends={clean_table: surv, bands_table: new_bands},
             extra_meta={clean_table: {"last_stream_batch": batch_id}},
         )
 
@@ -198,14 +200,16 @@ def stream_ivf_ingest(
         meta = engine.catalog["tables"][assign_table]
         if meta.get("last_stream_batch", -1) >= batch_id:
             return  # checkpoint replay — already applied
-        current = engine.spark.read.parquet(engine._table_dir(assign_table))
+        current = engine._read_table(assign_table)
         assigned = (
             ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
             .join(current.select(id_col), id_col, "left_anti")
             .select(*current.columns)
         )
+        # Append-only commit: the batch's new assignments are the only
+        # write; the accumulated assignment table is re-referenced.
         engine._overwrite_all(
-            {assign_table: current.unionByName(assigned)},
+            appends={assign_table: assigned},
             extra_meta={assign_table: {"last_stream_batch": batch_id}},
         )
 
@@ -274,14 +278,29 @@ def stream_multimodal_ingest(
             .alias("doc_id"),
             SF.col("length").alias("n_bytes"),
             SF.col("content").alias("payload"),
+            SF.col("path"),
+        )
+        # Two files in the SAME batch can extract the same doc_id
+        # (img_001.bmp vs thumb_001.bmp): dedupe within the batch
+        # BEFORE decode and the anti-join — first path in lexical order
+        # wins, matching the table's "first write per doc_id" contract.
+        from pyspark.sql import Window
+
+        one_per_id = Window.partitionBy("doc_id").orderBy("path")
+        binary_df = (
+            binary_df.withColumn("_rn", SF.row_number().over(one_per_id))
+            .filter(SF.col("_rn") == 1)
+            .drop("_rn", "path")
         )
         decoded = extract_image_meta(binary_df, fake=fake_decode)
-        current = engine.spark.read.parquet(engine._table_dir(meta_table))
+        current = engine._read_table(meta_table)
         fresh = decoded.join(
             current.select("doc_id"), "doc_id", "left_anti"
         ).select(*current.columns)
+        # Append-only commit: decode output for genuinely-new files is
+        # the only write; prior batches' metadata is re-referenced.
         engine._overwrite_all(
-            {meta_table: current.unionByName(fresh)},
+            appends={meta_table: fresh},
             extra_meta={meta_table: {"last_stream_batch": batch_id}},
         )
 

@@ -162,7 +162,7 @@ def stream_into_table(
         meta = engine.catalog["tables"][table]
         if meta.get("last_stream_batch", -1) >= batch_id:
             return  # checkpoint replay — already applied
-        current = engine.spark.read.parquet(engine._table_dir(table))
+        current = engine._read_table(table)
         kept = current.join(
             batch_df.select(*keys).distinct(), keys, "left_anti"
         )

@@ -1,0 +1,197 @@
+"""O(change) write-path tests — the manifest storage model.
+
+The scale property under test (VERDICT r2 "Next round" #1-#3): commit
+I/O must be proportional to the CHANGE, not to the table —
+- INSERT / COPY FROM append a new segment and re-reference every
+  pre-existing file verbatim;
+- streaming micro-batches append, so bytes written per batch track the
+  batch size even against a large accumulated table;
+- UPDATE / DELETE copy-on-write only the files containing matched rows,
+  leaving every untouched file byte-identical (same inode content);
+- a DML statement matching zero rows performs no write at all.
+
+These are asserted at the FILE level (paths + sizes + mtimes/bytes),
+not just semantically, because the whole point is physical I/O.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from andb_spark.api import AnalyticsEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+
+
+def _file_state(paths: list[str]) -> dict[str, tuple[int, float]]:
+    return {p: (os.path.getsize(p), os.path.getmtime(p)) for p in paths}
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_insert_appends_without_rewriting(engine):
+    e = engine.execute
+    e("create table t (a int, b text)")
+    e("insert into t select id, concat('r', id) from range(0, 5000)")
+    files_before = engine._data_files("t")
+    state_before = _file_state(files_before)
+    segs_before = engine._segments_of(engine._meta("t"))
+
+    e("insert into t values (99999, 'tail')")
+
+    # manifest = old manifest + exactly one new segment
+    segs_after = engine._segments_of(engine._meta("t"))
+    assert segs_after[: len(segs_before)] == segs_before
+    assert len(segs_after) == len(segs_before) + 1
+    # every pre-existing file survives byte-identical at the same path
+    assert _file_state(files_before) == state_before
+    # the new segment holds only the inserted row's worth of data
+    new_dir = os.path.join(engine.warehouse, "t", segs_after[-1])
+    big = _dir_bytes(os.path.join(engine.warehouse, "t", segs_before[-1]))
+    assert _dir_bytes(new_dir) < big / 10
+    # and constraints still apply to appends
+    e("create table nn (a int not null)")
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="NOT NULL"):
+        e("insert into nn values (null)")
+    # correctness of the composed manifest
+    assert e("select count(1) as n from t").rows == [(5001,)]
+
+
+def test_copy_from_appends(engine, spark, tmp_path):
+    e = engine.execute
+    e("create table c (a int, b text)")
+    e("insert into c select id, 'x' from range(0, 2000)")
+    files_before = engine._data_files("c")
+    state_before = _file_state(files_before)
+
+    ext = str(tmp_path / "ext")
+    spark.sql("select 7 as a, 'seven' as b").write.parquet(ext)
+    e(f"copy c from '{ext}' format parquet")
+
+    assert _file_state(files_before) == state_before
+    assert e("select count(1) as n from c").rows == [(2001,)]
+
+
+def test_update_rewrites_only_touched_files(engine):
+    e = engine.execute
+    e("create table u (k int, v int)")
+    # three separate inserts → three segments, each with its own files
+    for lo in (0, 1000, 2000):
+        e(f"insert into u select id, id from range({lo}, {lo + 1000})")
+    segs = engine._segments_of(engine._meta("u"))
+    assert len(segs) == 4  # create + 3 inserts
+    files_before = engine._data_files("u")
+    state_before = _file_state(files_before)
+
+    # touch only rows living in the middle insert's segment
+    e("update u set v = v + 1 where k between 1000 and 1004")
+
+    # untouched files (everything outside the hit files) byte-identical
+    files_after = set(engine._data_files("u"))
+    surviving = [p for p in files_before if p in files_after]
+    assert _file_state(surviving) == {p: state_before[p] for p in surviving}
+    # at least the other two insert segments' files all survived
+    rewritten = [p for p in files_before if p not in files_after]
+    assert rewritten, "some file must have been replaced"
+    assert all(f"/{segs[2]}/" in p for p in rewritten), rewritten
+    # semantics
+    assert e(
+        "select sum(v) as s from u where k between 1000 and 1004"
+    ).rows == [(sum(range(1000, 1005)) + 5,)]
+    assert e("select count(1) as n from u").rows == [(3000,)]
+
+
+def test_delete_cow_and_zero_match_writes_nothing(engine):
+    e = engine.execute
+    e("create table d (k int)")
+    e("insert into d select id from range(0, 1000)")
+    e("insert into d select id from range(1000, 2000)")
+    files_before = engine._data_files("d")
+    state_before = _file_state(files_before)
+    vnum_before = engine._meta("d")["vnum"]
+
+    # zero-match DELETE: no write, no version bump
+    r = e("delete from d where k < 0")
+    assert r.effect_rows == 0
+    assert engine._meta("d")["vnum"] == vnum_before
+    assert _file_state(files_before) == state_before
+
+    # targeted DELETE rewrites only the files holding matches
+    r = e("delete from d where k = 1500")
+    assert r.effect_rows == 1
+    files_after = set(engine._data_files("d"))
+    surviving = [p for p in files_before if p in files_after]
+    assert _file_state(surviving) == {p: state_before[p] for p in surviving}
+    assert e("select count(1) as n from d").rows == [(1999,)]
+    assert e("select count(1) as n from d where k = 1500").rows == [(0,)]
+
+
+def test_streaming_append_bytes_per_batch_bounded(engine, spark, tmp_path):
+    """Per-batch commit I/O must track the BATCH, not the accumulated
+    table: with a large pre-existing metadata table, ingesting a few
+    more files must write orders of magnitude less than the table."""
+    from andb_spark.streaming.dedup_ingest import stream_multimodal_ingest
+
+    e = engine.execute
+    e(
+        "create table media (doc_id bigint, n_bytes bigint,"
+        " format text, width int, height int)"
+    )
+    # large pre-existing history (fake decode metadata for 20k docs)
+    e(
+        "insert into media select id, 100, 'bmp', 4, 4"
+        " from range(0, 20000)"
+    )
+    table_bytes = sum(os.path.getsize(p) for p in engine._data_files("media"))
+    files_before = engine._data_files("media")
+    state_before = _file_state(files_before)
+
+    src = tmp_path / "files"
+    src.mkdir()
+    for i in (90001, 90002, 90003):
+        (src / f"img_{i}.bin").write_bytes(b"\x00" * 64)
+    stream_multimodal_ingest(
+        spark,
+        str(src),
+        engine,
+        "media",
+        str(tmp_path / "ckpt"),
+        fake_decode=True,
+    )
+
+    assert e("select count(1) as n from media").rows == [(20003,)]
+    # history files untouched
+    assert _file_state(files_before) == state_before
+    # the batch's segment is tiny relative to the table
+    new_files = [p for p in engine._data_files("media") if p not in state_before]
+    batch_bytes = sum(os.path.getsize(p) for p in new_files)
+    assert batch_bytes < table_bytes / 20, (batch_bytes, table_bytes)
+
+
+def test_time_travel_spans_append_versions(engine):
+    e = engine.execute
+    e("create table tt2 (a int)")
+    e("insert into tt2 values (1)")
+    e("insert into tt2 values (2)")
+    e("delete from tt2 where a = 1")
+    assert e("select a from tt2 order by a").rows == [(2,)]
+    # v3 = first insert, v4 = both rows (append share the v3 segment)
+    assert e("select a from tt2 version as of 3").rows == [(1,)]
+    assert e("select a from tt2 version as of 4 order by a").rows == [
+        (1,),
+        (2,),
+    ]

@@ -187,7 +187,7 @@ def test_stream_dedup_ingest_two_batches_idempotent(spark, tmp_path, sf_dir):
         max_files_per_trigger=1,
     )
 
-    clean = eng.spark.read.parquet(eng._table_dir("corpus_clean"))
+    clean = eng._read_table("corpus_clean")
     n_clean = clean.count()
     n_docs = docs.count()
     assert 0 < n_clean < n_docs  # fixture contains duplicates
@@ -201,7 +201,7 @@ def test_stream_dedup_ingest_two_batches_idempotent(spark, tmp_path, sf_dir):
     )
     assert pairs.count() == 0
     # the band table is exactly the bands of the clean corpus
-    bands = eng.spark.read.parquet(eng._table_dir("corpus_bands"))
+    bands = eng._read_table("corpus_bands")
     expect_bands = DD.band_table(clean, "text", "doc_id", 8, 2).select(
         "doc_id", "band", "band_sig"
     )
@@ -219,7 +219,7 @@ def test_stream_dedup_ingest_two_batches_idempotent(spark, tmp_path, sf_dir):
         max_files_per_trigger=1,
     )
     assert eng.catalog["tables"]["corpus_clean"]["vnum"] == v_clean
-    clean2 = eng.spark.read.parquet(eng._table_dir("corpus_clean"))
+    clean2 = eng._read_table("corpus_clean")
     assert clean2.count() == n_clean
 
 
@@ -253,7 +253,7 @@ def test_stream_ivf_ingest_matches_batch_assignment(spark, tmp_path, sf_dir):
     )
     got = sorted(
         tuple(r)
-        for r in eng.spark.read.parquet(eng._table_dir("ivf_assign")).collect()
+        for r in eng._read_table("ivf_assign").collect()
     )
     expect = sorted(tuple(r) for r in ivf_assign(emb, cents).collect())
     assert got == expect
@@ -291,7 +291,7 @@ def test_stream_multimodal_ingest_real_decode(spark, tmp_path):
         glob="*.bmp", max_files_per_trigger=1,
     )
     rows = {r["doc_id"]: r for r in
-            eng.spark.read.parquet(eng._table_dir("img_meta")).collect()}
+            eng._read_table("img_meta").collect()}
     assert set(rows) == {1, 2}
     assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("bmp", 3, 2)
     assert (rows[2]["width"], rows[2]["height"]) == (6, 4)
@@ -304,7 +304,7 @@ def test_stream_multimodal_ingest_real_decode(spark, tmp_path):
         glob="*.bmp", max_files_per_trigger=1,
     )
     rows = {r["doc_id"]: r for r in
-            eng.spark.read.parquet(eng._table_dir("img_meta")).collect()}
+            eng._read_table("img_meta").collect()}
     assert set(rows) == {1, 2, 3}
     assert (rows[3]["width"], rows[3]["height"]) == (2, 2)
     assert eng.catalog["tables"]["img_meta"]["vnum"] > v
