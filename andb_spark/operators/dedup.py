@@ -28,6 +28,36 @@ from pyspark.sql import functions as F
 
 from andb_spark.functions.text import tokens
 
+# Lazily-persisted intermediates created by the opt-in ``materialize`` /
+# ``checkpoint_shingles`` regimes below. The builders compose lazy
+# DataFrames, so they CANNOT unpersist before the caller's action — the
+# caller owns the cache lifetime. Long-lived sessions (bench loops, the
+# compare gate, a REPL) call ``release_caches()`` after consuming a
+# query's result; without it, corpus-sized cached blocks accumulate in
+# executor storage until LRU eviction.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() a DataFrame and register it for ``release_caches``."""
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cache created by dedup builders since the last
+    release. Returns the number of handles released. Idempotent."""
+    n = 0
+    for df in _LIVE_CACHES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _LIVE_CACHES.clear()
+    return n
+
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
@@ -276,12 +306,12 @@ def minhash_lsh_pairs(
     """
     shingle_df = None
     if checkpoint_shingles:
-        shingle_df = exploded_shingles(df, text_col, id_col).persist()
+        shingle_df = _persist_tracked(exploded_shingles(df, text_col, id_col))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_df)
     bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
     if materialize:
-        cands = cands.persist()
+        cands = _persist_tracked(cands)
         cand_ids = (
             cands.select(F.col("id_a").alias("_id"))
             .unionAll(cands.select(F.col("id_b").alias("_id")))
@@ -376,16 +406,16 @@ def incremental_minhash_pairs(
         # the cache instead of re-deriving signatures. Building the
         # DataFrame stays execution-free, so EXPLAIN / the reuse
         # advisor can invoke this builder without running jobs.
-        cands = cands.persist()
+        cands = _persist_tracked(cands)
     hist_hit = history_df.join(
         cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
     )
     verify_input = hist_hit.unionByName(new_df)
     shingle_df = None
     if materialize:
-        shingle_df = exploded_shingles(
-            verify_input, text_col, id_col
-        ).persist()
+        shingle_df = _persist_tracked(
+            exploded_shingles(verify_input, text_col, id_col)
+        )
     return jaccard_verify(
         verify_input, cands, text_col, id_col, threshold, shingle_df
     )

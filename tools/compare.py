@@ -66,9 +66,12 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
             f"SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
 
+    from andb_spark.operators.dedup import release_caches
+
     failures = []
     for name in names:
         t0 = time.time()
+        release_caches()  # previous query's opt-in caches, if any
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
