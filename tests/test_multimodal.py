@@ -168,3 +168,61 @@ def test_wav_malformed_payloads_raise_cleanly():
             + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
     with _pytest.raises(ValueError, match="sample rate"):
         decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_encode_bmp_decode_roundtrip():
+    from andb_spark.operators.multimodal import encode_bmp
+
+    rng = np.random.default_rng(7)
+    # width chosen so rows need padding (5*3=15 → stride 16)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    data = encode_bmp(px)
+    assert decode_image(data) == ("bmp", 5, 4)
+    np.testing.assert_array_equal(decode_image_pixels(data), px)
+
+
+def test_encode_wav_decode_roundtrip():
+    from andb_spark.operators.multimodal import encode_wav
+
+    samples = np.array([[0.0, 0.5], [-0.25, 1.0], [0.125, -1.0]])
+    data = encode_wav(samples, 16000)
+    codec, rate, channels, duration_ms = decode_audio(data)
+    assert (codec, rate, channels) == ("wav", 16000, 2)
+    out, rate2 = decode_audio_samples(data)
+    assert rate2 == 16000 and out.shape == (3, 2)
+    # half-up quantization: floor(x*32767 + 0.5) / 32768
+    expect = np.floor(samples * 32767 + 0.5) / 32768.0
+    np.testing.assert_allclose(out, expect.astype(np.float32))
+
+
+def test_synth_corpora_closed_forms(spark):
+    """The closed forms the oracle states must hold through the REAL
+    encode→decode round trip for a probe of ids."""
+    from andb_spark.operators.multimodal import (
+        audio_sample_stats,
+        image_pixel_stats,
+        synthesize_audio_corpus,
+        synthesize_image_corpus,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 63, 64, 199, 457)],
+                                "doc_id bigint")
+    img = {
+        r["doc_id"]: r
+        for r in image_pixel_stats(synthesize_image_corpus(ids)).collect()
+    }
+    for d in (0, 1, 63, 64, 199, 457):
+        w, h, base = 4 + d % 13, 3 + d % 11, d % 200
+        assert (img[d]["width"], img[d]["height"]) == (w, h)
+        assert img[d]["sum_px"] == 3 * (
+            h * w * base + w * (h * (h - 1) // 2) + h * (w * (w - 1) // 2)
+        )
+    aud = {
+        r["doc_id"]: r
+        for r in audio_sample_stats(synthesize_audio_corpus(ids)).collect()
+    }
+    for d in (0, 1, 63, 64, 199, 457):
+        assert aud[d]["sample_rate"] == (8000, 16000, 22050, 44100)[d % 4]
+        assert aud[d]["channels"] == 1 + d % 2
+        assert aud[d]["n_frames"] == 100 + d % 50
+        assert aud[d]["first_amp_q"] == int((d % 64) / 64.0 * 32767 + 0.5)

@@ -39,6 +39,8 @@ def test_spotlight_spans_every_family():
         "vectors": ("v_",),
         "multimodal": ("m_",),
         "streaming": ("s_",),
+        "dml_engine": ("u_",),
+        "catalog": ("c_",),
     }
     for fam, prefixes in fams.items():
         assert any(
