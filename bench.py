@@ -71,7 +71,18 @@ HEADLINE_R02 = (
     "m_image_meta",
 )
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02
+# Queries promoted into the driver spotlight in r3: real-codec decode
+# round trips, the DML write path, the system catalog — plus the LSH
+# recall audit (ADVICE r2: it had no standing execution anywhere).
+HEADLINE_R03 = (
+    "m_image_decode",
+    "m_audio_decode",
+    "u_dml_roundtrip",
+    "c_catalog_tables",
+    "d_lsh_recall_audit",
+)
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03
 
 
 def main() -> None:
@@ -98,22 +109,33 @@ def main() -> None:
             except Exception as e:  # never let warm-up kill the bench
                 print(f"# warm-up {name} failed: {e}", file=sys.stderr)
 
+    from andb_spark.operators.dedup import release_caches
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: report the steady-state time, not whichever run a
-        # GC pause / OS scheduling hiccup landed on (run-to-run spread
-        # on a shared box is ~20%; the min is the reproducible number).
-        best = None
-        for _ in range(2):
+        # best-of-n (default 3): report the steady-state time, not
+        # whichever run a GC pause / OS scheduling hiccup landed on
+        # (run-to-run spread on a shared box is ~20%; the min is the
+        # reproducible number). The max/min ratio is reported per query
+        # so drift can be told apart from noise across rounds.
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # collect() (not count()) so the measured plan includes the
             # full projection, exactly what the correctness gate executes
             n = len(df.collect())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.perf_counter() - t0)
+        release_caches()  # caches belong to one query, not the loop
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) / min(runs), 2)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, "
+            f"spread {spread[name]:.2f}x over {n_runs})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
@@ -126,6 +148,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "r01_subset_sec": r01,
+                "n_runs": n_runs,
+                "spread": spread,
             }
         )
     )
