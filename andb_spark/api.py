@@ -1265,12 +1265,15 @@ class AnalyticsEngine:
 
         Upsert — absent in the reference (whose DML stops at
         INSERT/UPDATE/DELETE, SURVEY §2.10) but table stakes for a
-        lakehouse engine. Executed as the classic two-branch rewrite
-        (the same dataflow Delta's MERGE lowers to): one left join
-        producing the updated/survived target rows, one anti join
-        producing the inserts, unioned and atomically swapped in via the
-        versioned write path. One shuffle per branch on the join keys;
-        at scale the join inherits AQE skew splitting like any other.
+        lakehouse engine. Executed as the classic two-branch dataflow
+        (the same shape Delta's MERGE lowers to) over a COPY-ON-WRITE
+        manifest commit: one semi join finds the target files
+        containing matches (only those rewrite through the left-join
+        update/delete branch), one anti join produces the inserts, and
+        every untouched file is re-referenced verbatim — an insert-only
+        MERGE is a pure append. One shuffle per branch on the join
+        keys; at scale the join inherits AQE skew splitting like any
+        other.
         ``source`` must be unique on the join key (ANSI MERGE's multiple-
         match error is not detected — documented engine caveat)."""
         m = self._MERGE_RE.match(stmt)
@@ -1312,34 +1315,49 @@ class AnalyticsEngine:
         t = self.spark.table(target).alias(target)
         s = self.spark.table(source).alias(source)
         jcond = F.expr(cond)
-        n_matched = 0
-        if update_set or matched_delete:
-            n_matched = t.join(s, jcond, "left_semi").count()
         marked = s.withColumn("__m", F.lit(1)).alias(source)
-        joined = t.join(marked, jcond, "left")
-        if matched_delete:
-            kept = joined.filter(F.col("__m").isNull()).select(
-                *[F.col(f"{target}.{c}").alias(c) for c in tcols]
+        # Copy-on-write: the matched branch rewrites only the files
+        # containing join matches; an insert-only MERGE appends and
+        # touches no existing file at all.
+        n_matched = 0
+        keep = self._segments_of(self._meta(target))
+        t_affected = None
+        if update_set or matched_delete:
+            n_matched, keep, affected = self._split_by_matches(
+                target,
+                self._tagged_table(target).alias(target).join(
+                    s, jcond, "left_semi"
+                ),
             )
-        elif update_set:
-            kept = joined.select(
-                *[
-                    F.when(
-                        F.col("__m").isNotNull(),
-                        F.expr(update_set.get(c, f"{target}.{c}")),
+            if affected:
+                t_affected = self.spark.read.parquet(*affected).alias(target)
+        parts: list[DataFrame] = []
+        if t_affected is not None:
+            joined = t_affected.join(marked, jcond, "left")
+            if matched_delete:
+                parts.append(
+                    joined.filter(F.col("__m").isNull()).select(
+                        *[F.col(f"{target}.{c}").alias(c) for c in tcols]
                     )
-                    .otherwise(F.col(f"{target}.{c}"))
-                    .cast(schema[c].dataType)
-                    .alias(c)
-                    for c in tcols
-                ]
-            )
-        else:
-            kept = t.select(*[F.col(f"{target}.{c}").alias(c) for c in tcols])
-        out = kept
+                )
+            else:
+                parts.append(
+                    joined.select(
+                        *[
+                            F.when(
+                                F.col("__m").isNotNull(),
+                                F.expr(update_set.get(c, f"{target}.{c}")),
+                            )
+                            .otherwise(F.col(f"{target}.{c}"))
+                            .cast(schema[c].dataType)
+                            .alias(c)
+                            for c in tcols
+                        ]
+                    )
+                )
         n_inserted = 0
         if insert_vals is not None:
-            anti = s.join(t, jcond, "left_anti")
+            anti = s.join(t, jcond, "left_anti")  # vs the FULL target
             n_inserted = anti.count()
             ins = anti.select(
                 *[F.expr(v).alias(c) for c, v in zip(insert_cols, insert_vals)]
@@ -1347,12 +1365,22 @@ class AnalyticsEngine:
             for f in schema.fields:
                 if f.name not in insert_cols:
                     ins = ins.withColumn(f.name, F.lit(None).cast(f.dataType))
-            ins = ins.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            parts.append(
+                ins.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
             )
-            out = out.unionByName(ins)
+        if not parts:  # no matches, no inserts: nothing to write
+            return Result(effect_rows=0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         out = self._enforce_constraints(target, out)
-        self._overwrite(target, out)
+        self._stage_version(target, out, base=keep)
+        self._commit_staged(target)
         return Result(effect_rows=n_matched + n_inserted)
 
     def _copy(self, stmt: str) -> Result:
@@ -1413,10 +1441,27 @@ class AnalyticsEngine:
         and affected_paths are the absolute paths that must rewrite.
         At 100 TB a low-selectivity DELETE/UPDATE rewrites only the
         files it touches, not the table."""
+        matched = self._tagged_table(name).filter(condition)
+        return self._split_by_matches(name, matched)
+
+    def _tagged_table(self, name: str) -> DataFrame:
+        """Current table plus a ``__file`` lineage column projected
+        directly on the scan — input_file_name cannot be evaluated
+        above a join of two file sources, so CoW planners tag the
+        target BEFORE joining anything to it."""
+        return self._read_table(name).withColumn(
+            "__file", F.input_file_name()
+        )
+
+    def _split_by_matches(
+        self, name: str, matched: DataFrame
+    ) -> tuple[int, list[str], list[str]]:
+        """Shared CoW planner: given the matched rows of a
+        ``_tagged_table`` (a filter or join), find the files they live
+        in (one scan, grouped on the lineage column) and split the
+        manifest."""
         per_file = (
-            self._read_table(name)
-            .filter(condition)
-            .groupBy(F.input_file_name().alias("_f"))
+            matched.groupBy(F.col("__file").alias("_f"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
@@ -1448,6 +1493,45 @@ class AnalyticsEngine:
             else:
                 keep_entries.append(entry)
         return n_matched, keep_entries, affected
+
+    def _upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str],
+        extra_meta: dict[str, dict] | None = None,
+    ) -> int:
+        """Key-based UPSERT through copy-on-write: rewrite only the
+        files holding rows whose key appears in ``df``, re-reference
+        every other file, and land ``df`` itself in the same new
+        segment. O(changed files + batch) — the streaming-rollup sink
+        (streaming/windows.py::stream_into_table) commits each
+        micro-batch's re-aggregated keys this way, with any extra
+        metadata (the batch high-water mark) in the SAME atomic
+        catalog save."""
+        current = self._read_table(name)
+        key_df = df.select(*keys).distinct()
+        n_hit, keep, affected = self._split_by_matches(
+            name,
+            self._tagged_table(name).join(
+                F.broadcast(key_df), keys, "left_semi"
+            ),
+        )
+        incoming = df.select(*current.columns)
+        if affected:
+            survivors = self.spark.read.parquet(*affected).join(
+                F.broadcast(key_df), keys, "left_anti"
+            )
+            incoming = survivors.unionByName(incoming)
+        n = self._stage_version(name, incoming, base=keep)
+        prune = self._advance_pointer(name)
+        for t, kv in (extra_meta or {}).items():
+            self._meta(t).update(kv)
+        self._save_catalog()
+        for d in prune:
+            shutil.rmtree(d, ignore_errors=True)
+        self._view(name)
+        return n
 
     def _delete(self, stmt: str) -> Result:
         m = re.match(

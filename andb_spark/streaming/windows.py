@@ -153,22 +153,26 @@ def stream_into_table(
       the upsert itself lands through the engine's atomic versioned
       write (readers see the pre- or post-batch table, never a mix).
 
-    The per-batch upsert is anti-join + union on ``keys`` — in `update`
-    output mode each micro-batch emits only re-aggregated keys, so the
-    work per batch is proportional to changed keys, not table size
-    (state lives in the streaming state store, bounded by the
-    watermark)."""
+    The per-batch upsert is a copy-on-write manifest commit
+    (api.py::_upsert): in `update` output mode each micro-batch emits
+    only re-aggregated keys, and only the parquet files holding those
+    keys rewrite — compute AND commit I/O per batch are proportional
+    to changed keys, never to accumulated table size (state lives in
+    the streaming state store, bounded by the watermark)."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = engine.catalog["tables"][table]
         if meta.get("last_stream_batch", -1) >= batch_id:
             return  # checkpoint replay — already applied
-        current = engine._read_table(table)
-        kept = current.join(
-            batch_df.select(*keys).distinct(), keys, "left_anti"
+        # Copy-on-write upsert: only the files holding re-aggregated
+        # keys rewrite; the rest of the rollup table is re-referenced.
+        # The batch mark commits in the same atomic catalog save as the
+        # manifest, so a crash can never persist one without the other.
+        engine._upsert(
+            table,
+            batch_df,
+            keys,
+            extra_meta={table: {"last_stream_batch": batch_id}},
         )
-        engine._overwrite(table, kept.unionByName(batch_df))
-        meta["last_stream_batch"] = batch_id
-        engine._save_catalog()
 
     q = (
         out.writeStream.outputMode("update")

@@ -195,3 +195,68 @@ def test_time_travel_spans_append_versions(engine):
         (1,),
         (2,),
     ]
+
+
+def test_merge_insert_only_is_pure_append(engine, spark):
+    e = engine.execute
+    e("create table mt (k int, v int)")
+    e("insert into mt select id, id * 10 from range(0, 1000)")
+    files_before = engine._data_files("mt")
+    state_before = _file_state(files_before)
+    spark.sql("select * from (values (5000, 1), (5001, 2)) t(k, v)") \
+        .createOrReplaceTempView("msrc")
+    e("create table msrc_t as select * from msrc")
+    r = e(
+        "merge into mt using msrc_t on mt.k = msrc_t.k"
+        " when not matched then insert values (msrc_t.k, msrc_t.v)"
+    )
+    assert r.effect_rows == 2
+    # insert-only MERGE must re-reference every pre-existing file
+    assert _file_state(files_before) == state_before
+    assert e("select count(1) as n from mt").rows == [(1002,)]
+
+
+def test_merge_matched_cow_preserves_untouched_files(engine):
+    e = engine.execute
+    e("create table mc (k int, v int)")
+    for lo in (0, 1000):
+        e(f"insert into mc select id, id from range({lo}, {lo + 1000})")
+    files_before = engine._data_files("mc")
+    state_before = _file_state(files_before)
+    e("create table mcsrc as select 1500 as k, 7 as v")
+    r = e(
+        "merge into mc using mcsrc on mc.k = mcsrc.k"
+        " when matched then update set v = mcsrc.v"
+    )
+    assert r.effect_rows == 1
+    files_after = set(engine._data_files("mc"))
+    surviving = [p for p in files_before if p in files_after]
+    # only files containing k=1500 (second insert segment) rewrite
+    assert _file_state(surviving) == {p: state_before[p] for p in surviving}
+    rewritten = [p for p in files_before if p not in files_after]
+    assert rewritten
+    assert e("select v from mc where k = 1500").rows == [(7,)]
+    assert e("select count(1) as n from mc").rows == [(2000,)]
+
+
+def test_upsert_cow_preserves_untouched_files(engine, spark):
+    e = engine.execute
+    e("create table ro (k int, total bigint)")
+    e("insert into ro select id, id from range(0, 500)")
+    e("insert into ro select id, id from range(500, 1000)")
+    files_before = engine._data_files("ro")
+    state_before = _file_state(files_before)
+    batch = spark.sql(
+        "select * from (values (750, CAST(99 AS BIGINT)),"
+        " (2000, CAST(1 AS BIGINT))) t(k, total)"
+    )
+    engine._upsert("ro", batch, ["k"], extra_meta={"ro": {"last_stream_batch": 3}})
+    files_after = set(engine._data_files("ro"))
+    surviving = [p for p in files_before if p in files_after]
+    assert _file_state(surviving) == {p: state_before[p] for p in surviving}
+    rewritten = [p for p in files_before if p not in files_after]
+    assert rewritten  # the file holding k=750
+    assert engine.catalog["tables"]["ro"]["last_stream_batch"] == 3
+    assert e("select total from ro where k = 750").rows == [(99,)]
+    assert e("select total from ro where k = 2000").rows == [(1,)]
+    assert e("select count(1) as n from ro").rows == [(1001,)]
