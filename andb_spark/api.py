@@ -788,21 +788,48 @@ class AnalyticsEngine:
         name, zcols = m.group(1), m.group(2)
         files = self._data_files(name)
         n_files_before = len(files)
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        target = max(1, -(-total_bytes // self.OPTIMIZE_FILE_BYTES))
-        df = self._read_table(name)
         if zcols:
+            # Z-ordering is a GLOBAL clustering — it must see every row,
+            # so it rewrites the whole table (that is its job).
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            target = max(1, -(-total_bytes // self.OPTIMIZE_FILE_BYTES))
             from andb_spark.operators.zorder import zorder
 
             cols = [c.strip() for c in zcols.split(",") if c.strip()]
-            df = zorder(df, cols, num_partitions=target)
-        else:
-            df = df.coalesce(target)
-        n = self._overwrite(name, df)
+            n = self._overwrite(
+                name, zorder(self._read_table(name), cols, num_partitions=target)
+            )
+            return Result(
+                columns=["files_before", "files_after", "rows"],
+                types=["bigint", "bigint", "bigint"],
+                rows=[(n_files_before, target, n)],
+                effect_rows=n,
+            )
+        # Plain compaction is INCREMENTAL (the append-heavy manifest's
+        # maintenance half): only files below the 128 MB target are
+        # bin-packed into a new segment; already-right-sized files are
+        # re-referenced verbatim — compaction I/O tracks the small-file
+        # debt, not the table.
+        small = {f for f in files if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES}
+        if len(small) <= 1:  # nothing to pack
+            n = self._read_table(name).count()
+            return Result(
+                columns=["files_before", "files_after", "rows"],
+                types=["bigint", "bigint", "bigint"],
+                rows=[(n_files_before, n_files_before, n)],
+                effect_rows=n,
+            )
+        keep, affected = self._partition_entries(name, small)
+        small_bytes = sum(os.path.getsize(f) for f in affected)
+        target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
+        packed = self.spark.read.parquet(*affected).coalesce(target)
+        self._stage_version(name, packed, base=keep)
+        self._commit_staged(name)
+        n = self._read_table(name).count()
         return Result(
             columns=["files_before", "files_after", "rows"],
             types=["bigint", "bigint", "bigint"],
-            rows=[(n_files_before, target, n)],
+            rows=[(n_files_before, n_files_before - len(affected) + target, n)],
             effect_rows=n,
         )
 
@@ -1470,6 +1497,16 @@ class AnalyticsEngine:
             urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
             for r in per_file
         }
+        keep_entries, affected = self._partition_entries(name, hit)
+        return n_matched, keep_entries, affected
+
+    def _partition_entries(
+        self, name: str, hit: set[str]
+    ) -> tuple[list[str], list[str]]:
+        """Split the current manifest around a set of hit files:
+        entries whose files are all unhit carry over verbatim; hit
+        files are returned for rewrite; unhit files of a partially-hit
+        segment are re-referenced individually."""
         base = os.path.join(self.warehouse, name)
         keep_entries: list[str] = []
         affected: list[str] = []
@@ -1492,7 +1529,7 @@ class AnalyticsEngine:
                 affected.append(path)
             else:
                 keep_entries.append(entry)
-        return n_matched, keep_entries, affected
+        return keep_entries, affected
 
     def _upsert(
         self,

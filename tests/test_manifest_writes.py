@@ -260,3 +260,29 @@ def test_upsert_cow_preserves_untouched_files(engine, spark):
     assert e("select total from ro where k = 750").rows == [(99,)]
     assert e("select total from ro where k = 2000").rows == [(1,)]
     assert e("select count(1) as n from ro").rows == [(1001,)]
+
+
+def test_optimize_compacts_only_small_files(engine, monkeypatch):
+    """Incremental compaction: with the size target lowered so the
+    first segment's files count as 'large', OPTIMIZE packs only the
+    small append segments and re-references the large files."""
+    e = engine.execute
+    e("create table oc (a int, b text)")
+    e("insert into oc select id, repeat('x', 200) from range(0, 20000)")
+    big_files = [
+        p for p in engine._data_files("oc") if os.path.getsize(p) > 4096
+    ]
+    assert big_files, "fixture needs at least one >4KB file"
+    big_state = _file_state(big_files)
+    for i in (1, 2, 3):
+        e(f"insert into oc values ({100000 + i}, 'tail')")
+
+    monkeypatch.setattr(type(engine), "OPTIMIZE_FILE_BYTES", 4096)
+    r = e("optimize oc")
+    files_before, files_after, nrows = r.rows[0]
+    assert nrows == 20003
+    assert files_after < files_before
+    # the large files survived byte-identical (never rewritten)
+    assert _file_state(big_files) == big_state
+    assert all(p in set(engine._data_files("oc")) for p in big_files)
+    assert e("select count(1) as n from oc").rows == [(20003,)]
