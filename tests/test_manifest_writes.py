@@ -286,3 +286,20 @@ def test_optimize_compacts_only_small_files(engine, monkeypatch):
     assert _file_state(big_files) == big_state
     assert all(p in set(engine._data_files("oc")) for p in big_files)
     assert e("select count(1) as n from oc").rows == [(20003,)]
+
+
+def test_chained_cow_over_file_entries(engine):
+    """CoW leaves individual-file manifest entries behind; later DML
+    must split those correctly too (entry granularity = file)."""
+    e = engine.execute
+    e("create table ch (k int, v int)")
+    e("insert into ch select id, 0 from range(0, 2000)")
+    e("update ch set v = 1 where k = 100")    # CoW #1 → file entries
+    e("update ch set v = 2 where k = 1900")   # CoW #2 over residue
+    r = e("delete from ch where k = 100")     # CoW #3
+    assert r.effect_rows == 1
+    assert e("select count(1) as n from ch").rows == [(1999,)]
+    assert e("select v from ch where k = 1900").rows == [(2,)]
+    assert e("select count(1) as n from ch where v = 1").rows == [(0,)]
+    # manifest still resolves every row exactly once
+    assert e("select count(distinct k) as n from ch").rows == [(1999,)]
