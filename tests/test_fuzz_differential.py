@@ -550,3 +550,60 @@ def test_lsh_skewed_hot_bucket_matches_exact_jaccard(
         for r in comp.filter(SF.col("node") < hot_size).collect()
     }
     assert len(hot_components) == 1
+
+
+# DML-sequence differential arm: the copy-on-write write path must be
+# indistinguishable from a row-store executing the SAME statements.
+# Each example seeds an identical table in the engine and in DuckDB,
+# applies an identical random INSERT/UPDATE/DELETE sequence (statements
+# chosen from the dialect subset both parse), and compares the full
+# final contents as multisets.
+_DML_STATEMENTS = st.one_of(
+    st.tuples(
+        st.integers(1, 9), st.integers(2, 7), st.integers(0, 6)
+    ).map(lambda t: f"update fz set v = v + {t[0]} where k % {t[1]} = {t[2] % t[1]}"),
+    st.integers(10, 190).map(
+        lambda c: f"update fz set s = concat(s, 'x') where k < {c}"
+    ),
+    st.tuples(st.integers(2, 7), st.integers(0, 6)).map(
+        lambda t: f"delete from fz where k % {t[0]} = {t[1] % t[0]}"
+    ),
+    st.integers(50, 500).map(lambda c: f"delete from fz where v > {c}"),
+    st.tuples(st.integers(1000, 9999), st.integers(0, 99)).map(
+        lambda t: f"insert into fz values ({t[0]}, {t[1]}, 'new{t[0]}')"
+    ),
+)
+
+
+@settings(max_examples=4, deadline=None)
+@seed(FUZZ_ROUND * 104729 + 7)
+@given(
+    n0=st.integers(50, 200),
+    stmts=st.lists(_DML_STATEMENTS, min_size=3, max_size=6),
+)
+def test_random_dml_sequence_agrees_with_duckdb(spark, n0, stmts):
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(tempfile.mkdtemp(prefix="fz_"), spark=spark)
+    con = duckdb.connect()
+    eng.execute("create table fz (k int, v int, s text)")
+    con.execute("create table fz (k int, v int, s text)")
+    eng.execute(
+        f"insert into fz select id, id * 2, concat('r', id)"
+        f" from range(0, {n0})"
+    )
+    con.execute(
+        f"insert into fz select range, range * 2, 'r' || range"
+        f" from range(0, {n0})"
+    )
+    for s_ in stmts:
+        r_eng = eng.execute(s_)
+        cur = con.execute(s_)
+        # effect_rows must agree with DuckDB's changed-row count
+        n_duck = cur.fetchall()[0][0]
+        assert r_eng.effect_rows == n_duck, (s_, r_eng.effect_rows, n_duck)
+    got = _rowset([tuple(r) for r in eng.execute("select * from fz").rows])
+    want = _rowset(con.execute("select * from fz").fetchall())
+    assert got == want
