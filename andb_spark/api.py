@@ -112,7 +112,11 @@ class AnalyticsEngine:
         attach_dir: str | None = None,
     ):
         self.spark = tune_for_session(spark or get_session())
-        self.warehouse = warehouse_dir
+        # Canonical absolute path: copy-on-write planning compares
+        # input_file_name() URIs (always absolute) against manifest
+        # paths built from this root — a relative warehouse would make
+        # every comparison silently miss.
+        self.warehouse = os.path.abspath(warehouse_dir)
         os.makedirs(warehouse_dir, exist_ok=True)
         self._catalog_path = os.path.join(warehouse_dir, "_catalog.json")
         self.catalog: dict = (
@@ -326,10 +330,16 @@ class AnalyticsEngine:
         self._commit_staged(name)
         return n
 
-    def _commit_staged(self, name: str) -> None:
+    def _commit_staged(
+        self, name: str, extra_meta: dict[str, dict] | None = None
+    ) -> None:
         """Advance the manifest to the staged segment and commit (one
-        catalog save); prune newly-unreferenced dirs strictly after."""
+        catalog save, with any extra metadata keys — e.g. a streaming
+        high-water mark — in the SAME save); prune newly-unreferenced
+        dirs strictly after."""
         prune = self._advance_pointer(name)
+        for t, kv in (extra_meta or {}).items():
+            self._meta(t).update(kv)
         self._save_catalog()
         for d in prune:  # only after the commit point — see _advance_pointer
             shutil.rmtree(d, ignore_errors=True)
@@ -1498,6 +1508,14 @@ class AnalyticsEngine:
             for r in per_file
         }
         keep_entries, affected = self._partition_entries(name, hit)
+        if n_matched and not affected:
+            # Matched rows MUST map to manifest files; anything else is
+            # a path-mapping bug that would otherwise surface as silent
+            # data corruption (matched branch skipped) downstream.
+            raise EngineError(
+                f"internal: {n_matched} matched rows in {name} resolved "
+                f"to no manifest file (hit paths: {sorted(hit)[:3]}...)"
+            )
         return n_matched, keep_entries, affected
 
     def _partition_entries(
@@ -1561,13 +1579,7 @@ class AnalyticsEngine:
             )
             incoming = survivors.unionByName(incoming)
         n = self._stage_version(name, incoming, base=keep)
-        prune = self._advance_pointer(name)
-        for t, kv in (extra_meta or {}).items():
-            self._meta(t).update(kv)
-        self._save_catalog()
-        for d in prune:
-            shutil.rmtree(d, ignore_errors=True)
-        self._view(name)
+        self._commit_staged(name, extra_meta=extra_meta)
         return n
 
     def _delete(self, stmt: str) -> Result:
@@ -1601,7 +1613,7 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse UPDATE: {stmt!r}")
         name, setlist, cond = m.groups()
-        self._meta(name)
+        self._writable_meta(name)  # matviews reject DML, like DELETE
         condition = F.expr(cond) if cond else F.lit(True)
         if cond:
             # copy-on-write: rewrite only files containing matched rows

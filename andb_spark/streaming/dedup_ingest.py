@@ -49,6 +49,15 @@ from pyspark.sql import functions as F
 from andb_spark.operators import dedup as DD
 
 
+def _cast_to(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Project + cast ``df`` to ``like``'s exact schema — the append
+    path's replacement for the type check a unionByName used to do."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name)
+          for f in like.schema.fields]
+    )
+
+
 def _survivors_of_batch(
     batch_df: DataFrame,
     clean_df: DataFrame,
@@ -130,13 +139,21 @@ def stream_dedup_ingest(
             return  # checkpoint replay — already applied
         clean_df = engine._read_table(clean_table)
         bands_df = engine._read_table(bands_table)
-        surv = _survivors_of_batch(
-            batch_df, clean_df, bands_df,
-            text_col, id_col, num_hashes, rows_per_band, threshold,
-        ).select(*clean_df.columns).localCheckpoint(eager=True)
-        new_bands = DD.band_table(
-            surv, text_col, id_col, num_hashes, rows_per_band
-        ).select(*bands_df.columns)
+        # Cast to the table schema, not just reorder columns: an
+        # append lands as a segment file read side-by-side with
+        # history, so a drifted source type (int vs bigint doc_id)
+        # must fail/coerce HERE, not poison later multi-path reads.
+        surv = _cast_to(
+            _survivors_of_batch(
+                batch_df, clean_df, bands_df,
+                text_col, id_col, num_hashes, rows_per_band, threshold,
+            ),
+            clean_df,
+        ).localCheckpoint(eager=True)
+        new_bands = _cast_to(
+            DD.band_table(surv, text_col, id_col, num_hashes, rows_per_band),
+            bands_df,
+        )
         # Single commit point: both tables' manifests AND the batch
         # high-water mark land in one atomic catalog save — a crash
         # leaves either the whole batch applied or none of it, never
@@ -201,10 +218,10 @@ def stream_ivf_ingest(
         if meta.get("last_stream_batch", -1) >= batch_id:
             return  # checkpoint replay — already applied
         current = engine._read_table(assign_table)
-        assigned = (
+        assigned = _cast_to(
             ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-            .join(current.select(id_col), id_col, "left_anti")
-            .select(*current.columns)
+            .join(current.select(id_col), id_col, "left_anti"),
+            current,
         )
         # Append-only commit: the batch's new assignments are the only
         # write; the accumulated assignment table is re-referenced.
@@ -294,9 +311,10 @@ def stream_multimodal_ingest(
         )
         decoded = extract_image_meta(binary_df, fake=fake_decode)
         current = engine._read_table(meta_table)
-        fresh = decoded.join(
-            current.select("doc_id"), "doc_id", "left_anti"
-        ).select(*current.columns)
+        fresh = _cast_to(
+            decoded.join(current.select("doc_id"), "doc_id", "left_anti"),
+            current,
+        )
         # Append-only commit: decode output for genuinely-new files is
         # the only write; prior batches' metadata is re-referenced.
         engine._overwrite_all(

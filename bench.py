@@ -111,6 +111,7 @@ def main() -> None:
 
     from andb_spark.operators.dedup import release_caches
 
+    release_caches()  # drop warm-up caches before the timed region
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}

@@ -303,3 +303,21 @@ def test_chained_cow_over_file_entries(engine):
     assert e("select count(1) as n from ch where v = 1").rows == [(0,)]
     # manifest still resolves every row exactly once
     assert e("select count(distinct k) as n from ch").rows == [(1999,)]
+
+
+def test_relative_warehouse_path_cow_still_matches(spark, tmp_path, monkeypatch):
+    """Regression (r3 review): input_file_name() URIs are absolute, so
+    a cwd-relative warehouse must be canonicalized or every CoW file
+    comparison silently misses (UPDATE reported success but changed
+    nothing)."""
+    monkeypatch.chdir(tmp_path)
+    eng = AnalyticsEngine("wh_rel", spark=spark)
+    e = eng.execute
+    e("create table rw (k int, v int)")
+    e("insert into rw select id, 0 from range(0, 100)")
+    r = e("update rw set v = 9 where k = 50")
+    assert r.effect_rows == 1
+    assert e("select v from rw where k = 50").rows == [(9,)]
+    r = e("delete from rw where k = 51")
+    assert r.effect_rows == 1
+    assert e("select count(1) as n from rw").rows == [(99,)]
