@@ -321,12 +321,16 @@ class AnalyticsEngine:
         self._commit_staged(name)
         return n
 
-    def _append(self, name: str, df: DataFrame) -> int:
+    def _append(
+        self, name: str, df: DataFrame, need_count: bool = False
+    ) -> int:
         """Versioned APPEND: write only ``df`` as a new segment and
         commit manifest = old + [new]. O(batch) I/O regardless of table
         size — every pre-existing file is re-referenced, not rewritten.
-        Same atomicity as ``_overwrite`` (one catalog save)."""
-        n = self._stage_version(name, df, base="current")
+        Same atomicity as ``_overwrite`` (one catalog save). The
+        read-back count is skipped by default (INSERT/COPY already
+        counted their source)."""
+        n = self._stage_version(name, df, base="current", need_count=need_count)
         self._commit_staged(name)
         return n
 
@@ -350,6 +354,7 @@ class AnalyticsEngine:
         name: str,
         df: DataFrame,
         base: list[str] | str | None = None,
+        need_count: bool = True,
     ) -> int:
         """Phase 1 of a versioned write: land ``df`` in a fresh segment
         dir on disk and record the staged manifest. Nothing references
@@ -368,8 +373,14 @@ class AnalyticsEngine:
             base = self._segments_of(meta)
         # Count BEFORE marking the stage: if this read raises, no stray
         # '_staged' key survives in the in-memory catalog to be
-        # persisted by a later unrelated _save_catalog.
-        count = self.spark.read.parquet(new_dir).count()
+        # persisted by a later unrelated _save_catalog. Callers that
+        # already know their row count (DML computed n_matched; INSERT
+        # counted its source) pass need_count=False and skip this full
+        # re-read of the segment — at scale one write, not two I/O
+        # passes per commit.
+        count = (
+            self.spark.read.parquet(new_dir).count() if need_count else -1
+        )
         meta["_staged"] = {
             "version": new_version,
             "segments": list(base or []) + [new_version],
@@ -463,7 +474,9 @@ class AnalyticsEngine:
             for name, df in updates.items():
                 counts[name] = self._stage_version(name, df)
             for name, df in appends.items():
-                counts[name] = self._stage_version(name, df, base="current")
+                counts[name] = self._stage_version(
+                    name, df, base="current", need_count=False
+                )
         except Exception:
             for name in list(updates) + list(appends):
                 self._meta(name).pop("_staged", None)  # dirs are garbage
@@ -833,7 +846,7 @@ class AnalyticsEngine:
         small_bytes = sum(os.path.getsize(f) for f in affected)
         target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
         packed = self.spark.read.parquet(*affected).coalesce(target)
-        self._stage_version(name, packed, base=keep)
+        self._stage_version(name, packed, base=keep, need_count=False)
         self._commit_staged(name)
         n = self._read_table(name).count()
         return Result(
@@ -1416,7 +1429,7 @@ class AnalyticsEngine:
         for p in parts[1:]:
             out = out.unionByName(p)
         out = self._enforce_constraints(target, out)
-        self._stage_version(target, out, base=keep)
+        self._stage_version(target, out, base=keep, need_count=False)
         self._commit_staged(target)
         return Result(effect_rows=n_matched + n_inserted)
 
@@ -1578,7 +1591,7 @@ class AnalyticsEngine:
                 F.broadcast(key_df), keys, "left_anti"
             )
             incoming = survivors.unionByName(incoming)
-        n = self._stage_version(name, incoming, base=keep)
+        n = self._stage_version(name, incoming, base=keep, need_count=False)
         self._commit_staged(name, extra_meta=extra_meta)
         return n
 
@@ -1600,7 +1613,7 @@ class AnalyticsEngine:
         if n_matched == 0:
             return Result(effect_rows=0)  # no write at all
         kept_rows = self.spark.read.parquet(*affected).filter(~condition)
-        self._stage_version(name, kept_rows, base=keep)
+        self._stage_version(name, kept_rows, base=keep, need_count=False)
         self._commit_staged(name)
         return Result(effect_rows=n_matched)
 
@@ -1642,7 +1655,7 @@ class AnalyticsEngine:
                 .otherwise(F.col(col)),
             )
         df = self._enforce_constraints(name, df)
-        self._stage_version(name, df, base=keep)
+        self._stage_version(name, df, base=keep, need_count=False)
         self._commit_staged(name)
         return Result(effect_rows=n_hit)
 
