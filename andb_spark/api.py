@@ -1491,14 +1491,28 @@ class AnalyticsEngine:
         and affected_paths are the absolute paths that must rewrite.
         At 100 TB a low-selectivity DELETE/UPDATE rewrites only the
         files it touches, not the table."""
-        matched = self._tagged_table(name).filter(condition)
-        return self._split_by_matches(name, matched)
+        return self._split_by_matches(name, self._cow_matched(name, condition))
+
+    def _cow_matched(self, name: str, condition) -> DataFrame:
+        """Matched rows tagged with their source file. The filter goes
+        BELOW the input_file_name projection: Catalyst will not push a
+        predicate through a non-deterministic projection, so tagging
+        first would force a full-table scan; filtering first keeps the
+        predicate in PushedFilters where parquet row-group min/max
+        skipping serves it (pinned by
+        test_cow_planning_scan_pushes_predicate)."""
+        return (
+            self._read_table(name)
+            .filter(condition)
+            .withColumn("__file", F.input_file_name())
+        )
 
     def _tagged_table(self, name: str) -> DataFrame:
         """Current table plus a ``__file`` lineage column projected
         directly on the scan — input_file_name cannot be evaluated
-        above a join of two file sources, so CoW planners tag the
-        target BEFORE joining anything to it."""
+        above a join of two file sources, so join-driven CoW planners
+        (upsert, MERGE) tag the target BEFORE joining anything to it.
+        Filter-driven DML uses ``_cow_matched`` instead (pushdown)."""
         return self._read_table(name).withColumn(
             "__file", F.input_file_name()
         )

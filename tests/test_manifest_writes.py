@@ -321,3 +321,21 @@ def test_relative_warehouse_path_cow_still_matches(spark, tmp_path, monkeypatch)
     r = e("delete from rw where k = 51")
     assert r.effect_rows == 1
     assert e("select count(1) as n from rw").rows == [(99,)]
+
+
+def test_cow_planning_scan_pushes_predicate(engine):
+    """The hit-file discovery scan must push the DML predicate into the
+    parquet scan (PushedFilters), so row-group min/max skipping applies
+    — at scale CoW planning reads only row groups the predicate can
+    touch, not the table."""
+    from pyspark.sql import functions as F
+
+    e = engine.execute
+    e("create table pp (k int, v int)")
+    e("insert into pp select id, id from range(0, 10000)")
+    tagged = engine._cow_matched("pp", F.col("k") == 12)
+    tagged.collect()
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "EqualTo(k,12)" in pushed or "k" in pushed, plan
