@@ -778,15 +778,15 @@ class AnalyticsEngine:
         meta = self._meta(name)
         history = meta.get("history", [])
         referenced = self._top_dirs(self._segments_of(meta))
-        candidates: set[str] = set()
-        for entry in history:
-            candidates |= self._top_dirs(self._segments_of(entry))
         meta["history"] = []
         self._save_catalog()  # commit the emptied history FIRST
-        for d in candidates - referenced:
-            shutil.rmtree(
-                os.path.join(self.warehouse, name, d), ignore_errors=True
-            )
+        # Sweep every unreferenced dir under the table root: retained
+        # history segments AND orphans from crashed staged writes.
+        base = os.path.join(self.warehouse, name)
+        for d in os.listdir(base):
+            full = os.path.join(base, d)
+            if os.path.isdir(full) and d not in referenced:
+                shutil.rmtree(full, ignore_errors=True)
         return Result(effect_rows=len(history))
 
     # Target bytes per file for OPTIMIZE (the standard lakehouse 128 MB).
@@ -1535,6 +1535,15 @@ class AnalyticsEngine:
             for r in per_file
         }
         keep_entries, affected = self._partition_entries(name, hit)
+        # Broad-change fallback: when the change touches nearly every
+        # file, file-granular bookkeeping buys nothing — the rewrite is
+        # table-sized either way, and a manifest of individual surviving
+        # files would only bloat the catalog. Route to a plain full
+        # rewrite (keep = nothing, rewrite everything).
+        if affected:
+            all_files = self._data_files(name)
+            if len(affected) >= 0.8 * len(all_files):
+                keep_entries, affected = [], all_files
         if n_matched and not affected:
             # Matched rows MUST map to manifest files; anything else is
             # a path-mapping bug that would otherwise surface as silent

@@ -339,3 +339,31 @@ def test_cow_planning_scan_pushes_predicate(engine):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
     assert "EqualTo(k,12)" in pushed or "k" in pushed, plan
+
+
+def test_broad_update_falls_back_to_full_rewrite(engine):
+    """A change touching ~every file routes to a plain full rewrite:
+    the new manifest is a single segment, not a bloat of per-file
+    entries."""
+    e = engine.execute
+    e("create table bu (k int, v int)")
+    e("insert into bu select id, 0 from range(0, 3000)")
+    r = e("update bu set v = 1 where k >= 0")  # hits every file
+    assert r.effect_rows == 3000
+    segs = engine._segments_of(engine._meta("bu"))
+    assert len(segs) == 1, segs
+    assert e("select sum(v) as s from bu").rows == [(3000,)]
+
+
+def test_vacuum_sweeps_orphan_staged_dirs(engine):
+    e = engine.execute
+    e("create table vo (a int)")
+    e("insert into vo values (1)")
+    # simulate a crashed staged write: an unreachable dir on disk
+    orphan = os.path.join(engine.warehouse, "vo", "v-deadbeef0000")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    e("vacuum vo")
+    assert not os.path.exists(orphan)
+    assert e("select a from vo").rows == [(1,)]
