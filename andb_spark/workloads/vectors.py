@@ -229,6 +229,23 @@ def v_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans(_emb(spark, sf_dir), k=8, iterations=3)
 
 
+def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN (operators/similarity.py::pq_train /
+    pq_encode / pq_rerank_topk — Jégou et al. 2011): per-subspace
+    k-means codebooks, per-row Catalyst encoding (no Python, no
+    shuffle), per-query ADC lookup-table literal, exact rerank of 100
+    candidates. Iterative k-means training makes this genuinely
+    non-SQL-expressible (same category as v_kmeans — deliberately no
+    oracle; rows-only check, recall bound unit-tested in
+    tests/test_operators.py)."""
+    emb = _emb(spark, sf_dir)
+    books = SIM.pq_train(emb, m=16, k=16)
+    q = _query_vec(emb, 0)
+    return SIM.pq_rerank_topk(
+        emb, books, q, k=10, candidates=100, exclude_id=0
+    )
+
+
 QUERIES = {
     "v_cosine_topk": v_cosine_topk,
     "v_pairwise_near_dup": v_pairwise_near_dup,
@@ -242,6 +259,7 @@ QUERIES = {
     "v_quantize": v_quantize,
     "v_cluster_near_dup": v_cluster_near_dup,
     "v_kmeans": v_kmeans,
+    "v_pq_topk": v_pq_topk,
 }
 
 # Positional array expansion shared by the oracles.
