@@ -237,7 +237,11 @@ class AnalyticsEngine:
         with open(tmp, "w") as f:
             json.dump(self.catalog, f, indent=1)
         os.replace(tmp, self._catalog_path)
-        self._refresh_system_views()
+        # System views refresh LAZILY: rebuilding three temp-view
+        # DataFrames on every commit costs more than most DML
+        # statements; execute() refreshes them just-in-time when a
+        # statement actually references an andb_* relation.
+        self._sysviews_dirty = True
 
     # System catalog relations, SQL-selectable like any table. The
     # reference exposes its catalog the same way via SystemTableScan
@@ -248,6 +252,7 @@ class AnalyticsEngine:
     # right physical form — no scan, no shuffle, broadcastable into any
     # metadata join at every scale.
     def _refresh_system_views(self) -> None:
+        self._sysviews_dirty = False
         tables_rows = [
             (
                 name,
@@ -531,10 +536,16 @@ class AnalyticsEngine:
         return df
 
     # ---------------------------------------------------------- execute --
+    _SYSVIEW_RE = re.compile(r"\bandb_(tables|columns|indexes)\b", re.I)
+
     def execute(self, sql: str) -> Result:
         """One statement in, one Result out (entrance.py:16-55 shape)."""
         t0 = time.perf_counter()
         stmt = sql.strip().rstrip(";").strip()
+        if getattr(self, "_sysviews_dirty", False) and self._SYSVIEW_RE.search(
+            stmt
+        ):
+            self._refresh_system_views()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
             if head == "CREATE" and re.match(

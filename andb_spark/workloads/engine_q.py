@@ -56,6 +56,9 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     e("create table cat_b (y double, z text not null)")
     e("create index idx_ax on cat_a (x)")
     e("insert into cat_a values (1, 'one')")
+    # The engine refreshes the system views lazily (on andb_*-touching
+    # statements); this query bypasses execute(), so refresh directly.
+    eng._refresh_system_views()
     out = spark.sql(
         """
         SELECT t.table_name, t.column_count, t.version, t.is_matview,
