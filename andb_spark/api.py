@@ -102,6 +102,91 @@ def _parse_type(name: str) -> tuple[T.DataType, int | None]:
     raise EngineError(f"unknown type: {name}")
 
 
+def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
+    """Row count + per-column [min, max] zone maps for one segment,
+    read from the parquet FOOTERS (driver-side metadata, no Spark job,
+    no data I/O — the write already paid for these stats).
+
+    Conservative by construction: only numeric columns whose every
+    row group carries exact min/max survive (string stats can be
+    writer-truncated, so they are not trusted for pruning); a column
+    missing stats in any file is dropped entirely. Dropped columns
+    simply prune nothing — never wrong, only less effective."""
+    import pyarrow.parquet as pq
+
+    count = 0
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    dead: set[str] = set()
+    for fname in sorted(os.listdir(seg_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(seg_dir, fname)).metadata
+        count += md.num_rows
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                if name in dead or "." in name:  # nested: skip
+                    continue
+                st = col.statistics
+                ok = (
+                    st is not None
+                    and st.has_min_max
+                    and isinstance(st.min, (int, float))
+                    and not isinstance(st.min, bool)
+                )
+                if not ok:
+                    dead.add(name)
+                    lo.pop(name, None)
+                    hi.pop(name, None)
+                    continue
+                lo[name] = min(lo.get(name, st.min), st.min)
+                hi[name] = max(hi.get(name, st.max), st.max)
+    return count, {c: [lo[c], hi[c]] for c in lo}
+
+
+# Conjunct shapes the zone-map pruner understands. Anything else in a
+# predicate (OR, NOT, parens, functions, non-numeric literals) makes
+# the whole predicate unprunable — correct, just less effective.
+_ZONE_CMP_RE = re.compile(
+    r"^(\w+)\s*(=|==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$"
+)
+_ZONE_BETWEEN_RE = re.compile(
+    r"(\w+)\s+between\s+(-?\d+(?:\.\d+)?)\s+and\s+(-?\d+(?:\.\d+)?)",
+    re.I,
+)
+
+
+def _zone_intervals(cond_text: str | None) -> dict[str, tuple[float, float]]:
+    """Parse a WHERE text into per-column closed [lo, hi] bounds, or {}
+    when any part of it is beyond the conservative subset."""
+    if not cond_text:
+        return {}
+    # Normalize BETWEEN before splitting so its internal AND doesn't
+    # shear the conjunct apart.
+    text = _ZONE_BETWEEN_RE.sub(r"\1 >= \2 and \1 <= \3", cond_text.strip())
+    low = f" {text.lower()} "
+    if "(" in low or " or " in low or " not " in low:
+        return {}
+    out: dict[str, tuple[float, float]] = {}
+    for part in re.split(r"\s+and\s+", text, flags=re.I):
+        m = _ZONE_CMP_RE.match(part.strip())
+        if not m:
+            return {}  # any unparsable conjunct disables pruning
+        col, op, v = m.group(1), m.group(2), float(m.group(3))
+        if op in ("=", "=="):
+            bounds = (v, v)
+        elif op in ("<", "<="):
+            bounds = (float("-inf"), v)
+        else:
+            bounds = (v, float("inf"))
+        prev = out.get(col, (float("-inf"), float("inf")))
+        out[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
+    return out
+
+
 class AnalyticsEngine:
     """A database-shaped facade over a SparkSession + warehouse dir."""
 
@@ -326,16 +411,13 @@ class AnalyticsEngine:
         self._commit_staged(name)
         return n
 
-    def _append(
-        self, name: str, df: DataFrame, need_count: bool = False
-    ) -> int:
+    def _append(self, name: str, df: DataFrame) -> int:
         """Versioned APPEND: write only ``df`` as a new segment and
         commit manifest = old + [new]. O(batch) I/O regardless of table
         size — every pre-existing file is re-referenced, not rewritten.
-        Same atomicity as ``_overwrite`` (one catalog save). The
-        read-back count is skipped by default (INSERT/COPY already
-        counted their source)."""
-        n = self._stage_version(name, df, base="current", need_count=need_count)
+        Same atomicity as ``_overwrite`` (one catalog save). The row
+        count comes free from the parquet footers."""
+        n = self._stage_version(name, df, base="current")
         self._commit_staged(name)
         return n
 
@@ -359,7 +441,6 @@ class AnalyticsEngine:
         name: str,
         df: DataFrame,
         base: list[str] | str | None = None,
-        need_count: bool = True,
     ) -> int:
         """Phase 1 of a versioned write: land ``df`` in a fresh segment
         dir on disk and record the staged manifest. Nothing references
@@ -376,19 +457,22 @@ class AnalyticsEngine:
         df.write.mode("overwrite").parquet(new_dir)
         if base == "current":
             base = self._segments_of(meta)
-        # Count BEFORE marking the stage: if this read raises, no stray
-        # '_staged' key survives in the in-memory catalog to be
-        # persisted by a later unrelated _save_catalog. Callers that
-        # already know their row count (DML computed n_matched; INSERT
-        # counted its source) pass need_count=False and skip this full
-        # re-read of the segment — at scale one write, not two I/O
-        # passes per commit.
-        count = (
-            self.spark.read.parquet(new_dir).count() if need_count else -1
-        )
+        # Harvest the segment's row count and per-column min/max ZONE
+        # MAPS straight from the parquet FOOTERS the write just
+        # produced — a driver-side metadata read (O(files), zero Spark
+        # jobs, zero data I/O). The zone maps live in the manifest and
+        # let later DML planning skip whole segments without opening
+        # them (the Iceberg manifest-stats economics) — see
+        # _zone_scan_entries. Harvest happens BEFORE marking the stage:
+        # if it raises, no stray '_staged' key survives in the
+        # in-memory catalog to be persisted by a later unrelated
+        # _save_catalog.
+        count, stats = _footer_stats(new_dir)
+        stats["__rows"] = count  # zero-row segments prune unconditionally
         meta["_staged"] = {
             "version": new_version,
             "segments": list(base or []) + [new_version],
+            "stats": stats,
         }
         return count
 
@@ -419,6 +503,10 @@ class AnalyticsEngine:
         meta["version"] = staged["version"]
         meta["segments"] = staged["segments"]
         meta["vnum"] = old_vnum + 1
+        if staged.get("stats"):
+            meta.setdefault("segment_stats", {})[staged["version"]] = staged[
+                "stats"
+            ]
         prune: list[str] = []
         if self._txn is not None:
             self._txn["created"].append(new_dir)
@@ -454,6 +542,8 @@ class AnalyticsEngine:
                 os.path.join(self.warehouse, name, d)
                 for d in candidates - referenced
             ]
+            for d in candidates - referenced:  # zone maps die with dirs
+                meta.get("segment_stats", {}).pop(d, None)
         return prune
 
     def _overwrite_all(
@@ -479,9 +569,7 @@ class AnalyticsEngine:
             for name, df in updates.items():
                 counts[name] = self._stage_version(name, df)
             for name, df in appends.items():
-                counts[name] = self._stage_version(
-                    name, df, base="current", need_count=False
-                )
+                counts[name] = self._stage_version(name, df, base="current")
         except Exception:
             for name in list(updates) + list(appends):
                 self._meta(name).pop("_staged", None)  # dirs are garbage
@@ -857,7 +945,7 @@ class AnalyticsEngine:
         small_bytes = sum(os.path.getsize(f) for f in affected)
         target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
         packed = self.spark.read.parquet(*affected).coalesce(target)
-        self._stage_version(name, packed, base=keep, need_count=False)
+        self._stage_version(name, packed, base=keep)
         self._commit_staged(name)
         n = self._read_table(name).count()
         return Result(
@@ -1440,7 +1528,7 @@ class AnalyticsEngine:
         for p in parts[1:]:
             out = out.unionByName(p)
         out = self._enforce_constraints(target, out)
-        self._stage_version(target, out, base=keep, need_count=False)
+        self._stage_version(target, out, base=keep)
         self._commit_staged(target)
         return Result(effect_rows=n_matched + n_inserted)
 
@@ -1488,7 +1576,7 @@ class AnalyticsEngine:
         return Result(effect_rows=n)
 
     def _cow_split(
-        self, name: str, condition
+        self, name: str, condition, cond_text: str | None = None
     ) -> tuple[int, list[str], list[str]]:
         """Copy-on-write planning for targeted DML: ONE scan finds the
         files containing rows matching ``condition`` (per-file matched
@@ -1501,10 +1589,50 @@ class AnalyticsEngine:
         file verbatim — they carry ZERO write I/O into the new version —
         and affected_paths are the absolute paths that must rewrite.
         At 100 TB a low-selectivity DELETE/UPDATE rewrites only the
-        files it touches, not the table."""
-        return self._split_by_matches(name, self._cow_matched(name, condition))
+        files it touches, not the table.
 
-    def _cow_matched(self, name: str, condition) -> DataFrame:
+        ``cond_text`` (the raw WHERE text, when available) enables
+        ZONE-MAP pruning: segments whose manifest [min, max] stats are
+        disjoint from the predicate's bounds are excluded from the hit
+        scan entirely — the planning scan never opens their footers. A
+        predicate statically disjoint from EVERY segment returns with
+        zero Spark jobs."""
+        scan_entries = self._zone_scan_entries(name, cond_text)
+        if not scan_entries:  # every segment zone-pruned: no matches
+            return 0, self._segments_of(self._meta(name)), []
+        return self._split_by_matches(
+            name, self._cow_matched(name, condition, scan_entries)
+        )
+
+    def _zone_scan_entries(
+        self, name: str, cond_text: str | None
+    ) -> list[str]:
+        """Manifest entries the predicate could possibly match, per the
+        per-segment zone maps harvested at write time. Entries without
+        stats (or predicates outside the conservative parser's subset)
+        always scan — pruning can only ever skip provably-disjoint
+        segments."""
+        meta = self._meta(name)
+        entries = self._segments_of(meta)
+        intervals = _zone_intervals(cond_text)
+        if not intervals:
+            return entries
+        seg_stats = meta.get("segment_stats", {})
+        scan: list[str] = []
+        for e in entries:
+            st = seg_stats.get(e.split("/", 1)[0], {})
+            disjoint = st.get("__rows") == 0 or any(
+                st.get(col) is not None
+                and (st[col][1] < lo or st[col][0] > hi)
+                for col, (lo, hi) in intervals.items()
+            )
+            if not disjoint:
+                scan.append(e)
+        return scan
+
+    def _cow_matched(
+        self, name: str, condition, entries: list[str] | None = None
+    ) -> DataFrame:
         """Matched rows tagged with their source file. The filter goes
         BELOW the input_file_name projection: Catalyst will not push a
         predicate through a non-deterministic projection, so tagging
@@ -1512,8 +1640,13 @@ class AnalyticsEngine:
         predicate in PushedFilters where parquet row-group min/max
         skipping serves it (pinned by
         test_cow_planning_scan_pushes_predicate)."""
+        if entries is None:
+            paths = self._segment_paths(name)
+        else:
+            base = os.path.join(self.warehouse, name)
+            paths = [os.path.join(base, e) for e in entries]
         return (
-            self._read_table(name)
+            self.spark.read.parquet(*paths)
             .filter(condition)
             .withColumn("__file", F.input_file_name())
         )
@@ -1625,7 +1758,7 @@ class AnalyticsEngine:
                 F.broadcast(key_df), keys, "left_anti"
             )
             incoming = survivors.unionByName(incoming)
-        n = self._stage_version(name, incoming, base=keep, need_count=False)
+        n = self._stage_version(name, incoming, base=keep)
         self._commit_staged(name, extra_meta=extra_meta)
         return n
 
@@ -1643,11 +1776,11 @@ class AnalyticsEngine:
             self._overwrite(name, df.limit(0))
             return Result(effect_rows=before)
         condition = F.coalesce(F.expr(cond), F.lit(False))
-        n_matched, keep, affected = self._cow_split(name, condition)
+        n_matched, keep, affected = self._cow_split(name, condition, cond)
         if n_matched == 0:
             return Result(effect_rows=0)  # no write at all
         kept_rows = self.spark.read.parquet(*affected).filter(~condition)
-        self._stage_version(name, kept_rows, base=keep, need_count=False)
+        self._stage_version(name, kept_rows, base=keep)
         self._commit_staged(name)
         return Result(effect_rows=n_matched)
 
@@ -1665,7 +1798,7 @@ class AnalyticsEngine:
         if cond:
             # copy-on-write: rewrite only files containing matched rows
             n_hit, keep, affected = self._cow_split(
-                name, F.coalesce(condition, F.lit(False))
+                name, F.coalesce(condition, F.lit(False)), cond
             )
             if n_hit == 0:
                 return Result(effect_rows=0)
@@ -1689,7 +1822,7 @@ class AnalyticsEngine:
                 .otherwise(F.col(col)),
             )
         df = self._enforce_constraints(name, df)
-        self._stage_version(name, df, base=keep, need_count=False)
+        self._stage_version(name, df, base=keep)
         self._commit_staged(name)
         return Result(effect_rows=n_hit)
 

@@ -367,3 +367,35 @@ def test_vacuum_sweeps_orphan_staged_dirs(engine):
     e("vacuum vo")
     assert not os.path.exists(orphan)
     assert e("select a from vo").rows == [(1,)]
+
+
+def test_zone_maps_prune_dml_planning(engine):
+    """Per-segment min/max zone maps (harvested from parquet footers at
+    write time, zero extra jobs) must let DML planning skip provably
+    disjoint segments driver-side."""
+    e = engine.execute
+    e("create table zm (k int, v int)")
+    e("insert into zm select id, id from range(0, 1000)")       # seg A: k 0..999
+    e("insert into zm select id, id from range(5000, 6000)")    # seg B: k 5000..5999
+    meta = engine._meta("zm")
+    stats = meta.get("segment_stats", {})
+    segs = engine._segments_of(meta)
+    # both insert segments carry k/v bounds
+    assert stats[segs[1]]["k"] == [0, 999]
+    assert stats[segs[2]]["k"] == [5000, 5999]
+
+    # predicate only segment B can satisfy: planning scans B alone
+    scan = engine._zone_scan_entries("zm", "k between 5100 and 5200")
+    assert segs[1] not in scan and segs[2] in scan
+    # predicate no segment can satisfy: planning scans nothing at all
+    assert engine._zone_scan_entries("zm", "k > 900000") == []
+    r = e("delete from zm where k > 900000")
+    assert r.effect_rows == 0
+    # out-of-subset predicates scan everything (conservative)
+    assert len(engine._zone_scan_entries("zm", "k % 2 = 0")) == len(segs)
+
+    # and the pruned path is still CORRECT end to end
+    r = e("update zm set v = -1 where k between 5100 and 5200")
+    assert r.effect_rows == 101
+    assert e("select count(1) as n from zm where v = -1").rows == [(101,)]
+    assert e("select count(1) as n from zm").rows == [(2000,)]

@@ -95,6 +95,7 @@ def test_every_query_has_oracle():
     # tests cover their invariants instead).
     exempt = {
         "v_kmeans",
+        "v_pq_topk",  # iterative PQ codebook training
         "q_approx_distinct",
         "q_approx_quantile",
         "q_hll_distinct",
