@@ -572,6 +572,14 @@ _DML_STATEMENTS = st.one_of(
     st.tuples(st.integers(1000, 9999), st.integers(0, 99)).map(
         lambda t: f"insert into fz values ({t[0]}, {t[1]}, 'new{t[0]}')"
     ),
+    # zone-map-prunable shapes: simple numeric ranges, including ones
+    # disjoint from every segment (must be a clean zero-row no-op)
+    st.integers(100, 400).map(lambda c: f"delete from fz where k > {c}"),
+    st.tuples(st.integers(0, 150), st.integers(0, 80)).map(
+        lambda t: f"update fz set v = 0 where k between {t[0]} and {t[0] + t[1]}"
+    ),
+    st.just("delete from fz where k > 90000000"),
+    st.just("update fz set v = 1 where k between 80000000 and 80000005"),
 )
 
 
