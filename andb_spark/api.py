@@ -278,8 +278,17 @@ class AnalyticsEngine:
 
     def _read_table(self, name: str) -> DataFrame:
         """Current contents of a managed table: the union of its
-        manifest's segments (one multi-path parquet scan)."""
-        return self.spark.read.parquet(*self._segment_paths(name))
+        manifest's segments (one multi-path parquet scan). The DECLARED
+        schema drives the read when the table has one — segments
+        written before a metadata-only ADD COLUMN lack the new field
+        and surface it as NULL; segments still physically carrying a
+        dropped column simply never materialize it (projection
+        pushdown)."""
+        meta = self._meta(name)
+        reader = self.spark.read
+        if meta.get("columns"):
+            reader = reader.schema(self._schema(name))
+        return reader.parquet(*self._segment_paths(name, meta))
 
     def _data_files(self, name: str) -> list[str]:
         """Concrete parquet files of the current manifest (manifest
@@ -507,6 +516,10 @@ class AnalyticsEngine:
             meta.setdefault("segment_stats", {})[staged["version"]] = staged[
                 "stats"
             ]
+        if staged["segments"] == [staged["version"]]:
+            # Full rewrite: every pre-existing file is now unreferenced
+            # by the current version, so dropped-column residue is gone.
+            meta.pop("dropped_columns", None)
         prune: list[str] = []
         if self._txn is not None:
             self._txn["created"].append(new_dir)
@@ -1268,28 +1281,63 @@ class AnalyticsEngine:
         name, add_col, add_type, drop_col, ren_from, ren_to = m.groups()
         meta = self._meta(name)
         cols = meta["columns"]
-        df = self._read_table(name)
         if add_col:
             if any(c["name"] == add_col for c in cols):
                 raise EngineError(f"column {add_col} already exists in {name}")
             dt, _ = _parse_type(add_type)
+            if add_col in meta.get("dropped_columns", []):
+                # Resurrection hazard: files written before the DROP
+                # still physically hold values under this name, and a
+                # schema-driven read would surface them as the "new"
+                # column's contents. Scrub by full rewrite (the one
+                # ALTER case that costs data I/O).
+                df = self._read_table(name).withColumn(
+                    add_col, F.lit(None).cast(dt)
+                )
+                cols.append(
+                    {
+                        "name": add_col,
+                        "type": add_type.strip().lower(),
+                        "notnull": False,
+                    }
+                )
+                self._save_catalog()
+                self._overwrite(name, df)
+                return Result()
+            # Metadata-only: no data file is touched — the declared
+            # schema fills the column with NULL for every existing
+            # segment (Delta/Iceberg schema-evolution economics).
             cols.append(
-                {"name": add_col, "type": add_type.strip().lower(), "notnull": False}
+                {
+                    "name": add_col,
+                    "type": add_type.strip().lower(),
+                    "notnull": False,
+                }
             )
-            df = df.withColumn(add_col, F.lit(None).cast(dt))
-        elif drop_col:
+            self._save_catalog()
+            self._view(name)
+            return Result()
+        if drop_col:
             if not any(c["name"] == drop_col for c in cols):
                 raise EngineError(f"column {drop_col} not in {name}")
+            # Metadata-only: the declared schema stops materializing
+            # the column (projection pushdown never reads its pages);
+            # record the name so a future re-ADD knows to scrub.
             meta["columns"] = [c for c in cols if c["name"] != drop_col]
-            df = df.drop(drop_col)
-        else:
-            target = next((c for c in cols if c["name"] == ren_from), None)
-            if target is None:
-                raise EngineError(f"column {ren_from} not in {name}")
-            if any(c["name"] == ren_to for c in cols):
-                raise EngineError(f"column {ren_to} already exists in {name}")
-            target["name"] = ren_to
-            df = df.withColumnRenamed(ren_from, ren_to)
+            meta.setdefault("dropped_columns", []).append(drop_col)
+            self._save_catalog()
+            self._view(name)
+            return Result()
+        # RENAME rewrites: parquet resolves columns by name, so the
+        # files must change (and the rewrite clears any dropped-column
+        # residue as a side effect — see _advance_pointer).
+        target = next((c for c in cols if c["name"] == ren_from), None)
+        if target is None:
+            raise EngineError(f"column {ren_from} not in {name}")
+        if any(c["name"] == ren_to for c in cols):
+            raise EngineError(f"column {ren_to} already exists in {name}")
+        df = self._read_table(name).withColumnRenamed(ren_from, ren_to)
+        target["name"] = ren_to
         self._save_catalog()
         self._overwrite(name, df)
         return Result()

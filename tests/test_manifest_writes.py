@@ -399,3 +399,32 @@ def test_zone_maps_prune_dml_planning(engine):
     assert r.effect_rows == 101
     assert e("select count(1) as n from zm where v = -1").rows == [(101,)]
     assert e("select count(1) as n from zm").rows == [(2000,)]
+
+
+def test_alter_add_drop_column_metadata_only(engine):
+    """ADD/DROP COLUMN must not rewrite a single data file; a re-added
+    name must NOT resurrect the dropped column's old values."""
+    e = engine.execute
+    e("create table sc (k int, v int)")
+    e("insert into sc select id, id * 10 from range(0, 500)")
+    files_before = engine._data_files("sc")
+    state_before = _file_state(files_before)
+
+    e("alter table sc add column tag text")
+    # zero data I/O, NULL-filled column
+    assert _file_state(files_before) == state_before
+    assert engine._data_files("sc") == files_before
+    assert e("select count(1) as n from sc where tag is null").rows == [(500,)]
+    # appends after the ALTER carry the new column
+    e("insert into sc values (9000, 1, 'x')")
+    assert e("select tag from sc where k = 9000").rows == [("x",)]
+
+    e("alter table sc drop column v")
+    assert _file_state(files_before) == state_before  # still untouched
+    assert "v" not in engine.spark.table("sc").columns
+
+    # re-adding 'v' must scrub: old files held v = k*10, which must NOT
+    # come back
+    e("alter table sc add column v bigint")
+    assert e("select count(1) as n from sc where v is not null").rows == [(0,)]
+    assert e("select count(1) as n from sc").rows == [(501,)]
