@@ -428,3 +428,36 @@ def test_alter_add_drop_column_metadata_only(engine):
     e("alter table sc add column v bigint")
     assert e("select count(1) as n from sc where v is not null").rows == [(0,)]
     assert e("select count(1) as n from sc").rows == [(501,)]
+
+
+def test_transaction_rollback_and_commit_over_manifest_writes(engine):
+    """BEGIN/ROLLBACK must undo appends and CoW commits (manifest
+    pointer restore + created-segment deletion); COMMIT must keep them
+    and eventually free superseded segments."""
+    e = engine.execute
+    e("create table tx (k int, v int)")
+    e("insert into tx select id, id from range(0, 100)")
+    segs_before = engine._segments_of(engine._meta("tx"))
+
+    e("begin")
+    e("insert into tx values (500, 5)")
+    e("update tx set v = -1 where k = 10")
+    dirs_before = {s.split("/", 1)[0] for s in segs_before}
+    new_dirs = {
+        s.split("/", 1)[0]
+        for s in engine._segments_of(engine._meta("tx"))
+    } - dirs_before
+    assert new_dirs  # the insert + CoW segments
+    e("rollback")
+    assert engine._segments_of(engine._meta("tx")) == segs_before
+    for d in new_dirs:  # created segments deleted on rollback
+        assert not os.path.exists(os.path.join(engine.warehouse, "tx", d))
+    assert e("select count(1) as n from tx").rows == [(100,)]
+    assert e("select v from tx where k = 10").rows == [(10,)]
+
+    e("begin")
+    e("insert into tx values (500, 5)")
+    e("update tx set v = -1 where k = 10")
+    e("commit")
+    assert e("select count(1) as n from tx").rows == [(101,)]
+    assert e("select v from tx where k = 10").rows == [(-1,)]
