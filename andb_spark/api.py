@@ -175,7 +175,12 @@ def _zone_intervals(cond_text: str | None) -> dict[str, tuple[float, float]]:
         m = _ZONE_CMP_RE.match(part.strip())
         if not m:
             return {}  # any unparsable conjunct disables pruning
-        col, op, v = m.group(1), m.group(2), float(m.group(3))
+        col, op = m.group(1), m.group(2)
+        lit = m.group(3)
+        # ints stay ints: float() would round >2^53 literals and could
+        # prune a segment that actually matches (Python compares
+        # int vs float exactly, so mixed stats are safe)
+        v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
         if op in ("=", "=="):
             bounds = (v, v)
         elif op in ("<", "<="):
@@ -289,6 +294,17 @@ class AnalyticsEngine:
         if meta.get("columns"):
             reader = reader.schema(self._schema(name))
         return reader.parquet(*self._segment_paths(name, meta))
+
+    def _read_files(self, name: str, paths: list[str]) -> DataFrame:
+        """Read a subset of a managed table's files with the DECLARED
+        schema — every rewrite path must use this, or files written
+        before a metadata-only ADD COLUMN would lose the column (and
+        files predating a DROP would resurrect it) when rewritten."""
+        meta = self._meta(name)
+        reader = self.spark.read
+        if meta.get("columns"):
+            reader = reader.schema(self._schema(name))
+        return reader.parquet(*paths)
 
     def _data_files(self, name: str) -> list[str]:
         """Concrete parquet files of the current manifest (manifest
@@ -739,12 +755,22 @@ class AnalyticsEngine:
         return Result()
 
     def _commit(self) -> Result:
-        """COMMIT: superseded versions become unreachable — delete."""
+        """COMMIT: superseded segments become unreachable — delete
+        (and drop their zone-map stats from the catalog)."""
         if self._txn is None:
             raise EngineError("no transaction in progress")
+        stats_dirty = False
         for d in self._txn["superseded"]:
             shutil.rmtree(d, ignore_errors=True)
+            tname = os.path.basename(os.path.dirname(d))
+            tmeta = self.catalog["tables"].get(tname)
+            if tmeta and tmeta.get("segment_stats", {}).pop(
+                os.path.basename(d), None
+            ) is not None:
+                stats_dirty = True
         self._txn = None
+        if stats_dirty:
+            self._save_catalog()
         return Result()
 
     def _rollback(self) -> Result:
@@ -886,6 +912,11 @@ class AnalyticsEngine:
         m = re.match(r"vacuum\s+(\w+)\s*$", stmt, re.I)
         if not m:
             raise EngineError(f"cannot parse VACUUM statement: {stmt}")
+        if self._txn is not None:
+            # superseded-by-this-txn dirs live outside history; the
+            # sweep would delete the very data ROLLBACK must restore
+            # (Postgres rejects VACUUM in a transaction block too)
+            raise EngineError("VACUUM cannot run inside a transaction")
         name = m.group(1)
         meta = self._meta(name)
         history = meta.get("history", [])
@@ -899,6 +930,8 @@ class AnalyticsEngine:
             full = os.path.join(base, d)
             if os.path.isdir(full) and d not in referenced:
                 shutil.rmtree(full, ignore_errors=True)
+                meta.get("segment_stats", {}).pop(d, None)
+        self._save_catalog()  # persist the stats cleanup
         return Result(effect_rows=len(history))
 
     # Target bytes per file for OPTIMIZE (the standard lakehouse 128 MB).
@@ -957,7 +990,7 @@ class AnalyticsEngine:
         keep, affected = self._partition_entries(name, small)
         small_bytes = sum(os.path.getsize(f) for f in affected)
         target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
-        packed = self.spark.read.parquet(*affected).coalesce(target)
+        packed = self._read_files(name, affected).coalesce(target)
         self._stage_version(name, packed, base=keep)
         self._commit_staged(name)
         n = self._read_table(name).count()
@@ -1527,7 +1560,7 @@ class AnalyticsEngine:
                 ),
             )
             if affected:
-                t_affected = self.spark.read.parquet(*affected).alias(target)
+                t_affected = self._read_files(target, affected).alias(target)
         parts: list[DataFrame] = []
         if t_affected is not None:
             joined = t_affected.join(marked, jcond, "left")
@@ -1694,7 +1727,7 @@ class AnalyticsEngine:
             base = os.path.join(self.warehouse, name)
             paths = [os.path.join(base, e) for e in entries]
         return (
-            self.spark.read.parquet(*paths)
+            self._read_files(name, paths)
             .filter(condition)
             .withColumn("__file", F.input_file_name())
         )
@@ -1802,7 +1835,7 @@ class AnalyticsEngine:
         )
         incoming = df.select(*current.columns)
         if affected:
-            survivors = self.spark.read.parquet(*affected).join(
+            survivors = self._read_files(name, affected).join(
                 F.broadcast(key_df), keys, "left_anti"
             )
             incoming = survivors.unionByName(incoming)
@@ -1827,7 +1860,7 @@ class AnalyticsEngine:
         n_matched, keep, affected = self._cow_split(name, condition, cond)
         if n_matched == 0:
             return Result(effect_rows=0)  # no write at all
-        kept_rows = self.spark.read.parquet(*affected).filter(~condition)
+        kept_rows = self._read_files(name, affected).filter(~condition)
         self._stage_version(name, kept_rows, base=keep)
         self._commit_staged(name)
         return Result(effect_rows=n_matched)
@@ -1850,7 +1883,7 @@ class AnalyticsEngine:
             )
             if n_hit == 0:
                 return Result(effect_rows=0)
-            df = self.spark.read.parquet(*affected)
+            df = self._read_files(name, affected)
         else:
             df = self._read_table(name)
             n_hit = df.count()
