@@ -32,6 +32,7 @@ half-written table.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -115,8 +116,8 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
     import pyarrow.parquet as pq
 
     count = 0
-    lo: dict[str, float] = {}
-    hi: dict[str, float] = {}
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
     dead: set[str] = set()
     for fname in sorted(os.listdir(seg_dir)):
         if not fname.endswith(".parquet"):
@@ -131,11 +132,19 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
                 if name in dead or "." in name:  # nested: skip
                     continue
                 st = col.statistics
-                ok = (
-                    st is not None
-                    and st.has_min_max
-                    and isinstance(st.min, (int, float))
-                    and not isinstance(st.min, bool)
+                # Numbers and date32 are trusted (exact footer stats);
+                # datetime.datetime is EXCLUDED (a date subclass, but
+                # timestamp pruning would need timezone care) and so
+                # are strings (writer-truncatable).
+                ok = st is not None and st.has_min_max and (
+                    (
+                        isinstance(st.min, (int, float))
+                        and not isinstance(st.min, bool)
+                    )
+                    or (
+                        isinstance(st.min, datetime.date)
+                        and not isinstance(st.min, datetime.datetime)
+                    )
                 )
                 if not ok:
                     dead.add(name)
@@ -144,24 +153,38 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
                     continue
                 lo[name] = min(lo.get(name, st.min), st.min)
                 hi[name] = max(hi.get(name, st.max), st.max)
-    return count, {c: [lo[c], hi[c]] for c in lo}
+
+    def _js(v):  # dates → ISO strings: JSON-serializable, and ISO-8601
+        return v.isoformat() if isinstance(v, datetime.date) else v
+
+    return count, {c: [_js(lo[c]), _js(hi[c])] for c in lo}
 
 
 # Conjunct shapes the zone-map pruner understands. Anything else in a
-# predicate (OR, NOT, parens, functions, non-numeric literals) makes
+# predicate (OR, NOT, parens, functions, other literal types) makes
 # the whole predicate unprunable — correct, just less effective.
+# Literals: numbers, and ISO date literals (`date '1995-01-01'` or a
+# bare '1995-01-01') — date zone maps are stored as ISO strings, whose
+# lexicographic order IS chronological order, so the same closed-
+# interval math covers both types.
+_ZONE_LIT = r"(?:-?\d+(?:\.\d+)?|(?:date\s+)?'\d{4}-\d{2}-\d{2}')"
 _ZONE_CMP_RE = re.compile(
-    r"^(\w+)\s*(=|==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)$"
+    rf"^(\w+)\s*(=|==|<=|>=|<|>)\s*({_ZONE_LIT})$", re.I
 )
 _ZONE_BETWEEN_RE = re.compile(
-    r"(\w+)\s+between\s+(-?\d+(?:\.\d+)?)\s+and\s+(-?\d+(?:\.\d+)?)",
+    rf"(\w+)\s+between\s+({_ZONE_LIT})\s+and\s+({_ZONE_LIT})",
     re.I,
 )
+_ZONE_DATE_RE = re.compile(r"^(?:date\s+)?'(\d{4}-\d{2}-\d{2})'$", re.I)
 
 
-def _zone_intervals(cond_text: str | None) -> dict[str, tuple[float, float]]:
+def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
     """Parse a WHERE text into per-column closed [lo, hi] bounds, or {}
-    when any part of it is beyond the conservative subset."""
+    when any part of it is beyond the conservative subset. Numeric
+    bounds are int/float; date bounds are ISO strings (with string
+    ±infinity sentinels). A column constrained by literals of BOTH
+    types disables pruning entirely — bound comparison must stay
+    same-typed."""
     if not cond_text:
         return {}
     # Normalize BETWEEN before splitting so its internal AND doesn't
@@ -170,25 +193,36 @@ def _zone_intervals(cond_text: str | None) -> dict[str, tuple[float, float]]:
     low = f" {text.lower()} "
     if "(" in low or " or " in low or " not " in low:
         return {}
-    out: dict[str, tuple[float, float]] = {}
+    out: dict[str, tuple] = {}
     for part in re.split(r"\s+and\s+", text, flags=re.I):
         m = _ZONE_CMP_RE.match(part.strip())
         if not m:
             return {}  # any unparsable conjunct disables pruning
         col, op = m.group(1), m.group(2)
         lit = m.group(3)
-        # ints stay ints: float() would round >2^53 literals and could
-        # prune a segment that actually matches (Python compares
-        # int vs float exactly, so mixed stats are safe)
-        v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
+        dm = _ZONE_DATE_RE.match(lit)
+        if dm:
+            v = dm.group(1)
+            # ISO strings: "" < every date < "~" (dates start with a
+            # digit, 0x30-0x39 < 0x7E)
+            neg, pos = "", "~"
+        else:
+            # ints stay ints: float() would round >2^53 literals and
+            # could prune a segment that actually matches (Python
+            # compares int vs float exactly, so mixed stats are safe)
+            v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
+            neg, pos = float("-inf"), float("inf")
         if op in ("=", "=="):
             bounds = (v, v)
         elif op in ("<", "<="):
-            bounds = (float("-inf"), v)
+            bounds = (neg, v)
         else:
-            bounds = (v, float("inf"))
-        prev = out.get(col, (float("-inf"), float("inf")))
-        out[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
+            bounds = (v, pos)
+        prev = out.get(col, (neg, pos))
+        try:
+            out[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
+        except TypeError:  # same column, mixed literal types
+            return {}
     return out
 
 
@@ -1024,6 +1058,66 @@ class AnalyticsEngine:
         re.I,
     )
 
+    # Read-side data skipping: `SELECT ... FROM <one managed table>
+    # WHERE <cond> ...` — the adjacency `from <name> where` rules out
+    # joins, aliases, and subquery sources by construction.
+    _FROM_WHERE_RE = re.compile(
+        r"^select\b.*?\bfrom\s+(\w+)\s+where\s+(.*)$", re.I | re.S
+    )
+    _TRAILING_CLAUSE_RE = re.compile(
+        r"\s+(?:group\s+by|order\s+by|having|limit|offset)\s", re.I
+    )
+
+    def _zone_prune_view(self, stmt: str) -> str | None:
+        """Zone-map data skipping for READS (the DML planner's
+        ``_zone_scan_entries`` applied to SELECT): when a single-table
+        query's WHERE fits the conservative interval parser, swap the
+        table's temp view for a scan over only the possibly-matching
+        manifest segments. At 100 TB this is the difference between
+        listing/opening every file of an append-heavy table and
+        touching just the segments whose [min, max] overlap the
+        predicate — the same manifest-stats economics Iceberg/Delta
+        readers get, without waiting for parquet footer I/O to skip
+        row groups. Returns the swapped table name (caller MUST
+        restore via ``_view`` after materializing) or None.
+
+        Every failure mode degrades to "no pruning": interval parsing
+        is conjunct-prefix-sound (shearing the WHERE text at a clause
+        keyword can only drop conjuncts, and any malformed fragment
+        disables the parse entirely), so a swap never excludes a
+        segment the real predicate could match."""
+        if self.session_vars.get("andb.zone_prune", "on").lower() in (
+            "off", "false", "0",
+        ):
+            return None
+        m = self._FROM_WHERE_RE.match(stmt)
+        if not m or m.group(1) not in self.catalog["tables"]:
+            return None
+        name = m.group(1)
+        cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
+        meta = self._meta(name)
+        if not _zone_intervals(cond_text) or not meta.get("segment_stats"):
+            return None
+        entries = self._segments_of(meta)
+        scan = self._zone_scan_entries(name, cond_text)
+        self.session_vars["andb.last_zone_prune"] = (
+            f"{name}: skipped {len(entries) - len(scan)}/{len(entries)} segments"
+        )
+        if len(scan) == len(entries):
+            return None
+        if scan:
+            base = os.path.join(self.warehouse, name)
+            pruned = self._read_files(
+                name, [os.path.join(base, e) for e in scan]
+            )
+        elif meta.get("columns"):
+            # globally disjoint: zero files referenced, zero I/O
+            pruned = self.spark.createDataFrame([], self._schema(name))
+        else:
+            pruned = self._read_table(name).limit(0)
+        pruned.createOrReplaceTempView(name)
+        return name
+
     def _select(self, stmt: str) -> Result:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
@@ -1058,9 +1152,15 @@ class AnalyticsEngine:
                 F.col(ann.group("id")),
                 (F.lit(1.0) - F.col("cos_sim")).alias(ann.group("alias")),
             )
-        else:
-            df = self.spark.sql(stmt)
-        return self._fetch(df)
+            return self._fetch(df)
+        swapped = self._zone_prune_view(stmt)
+        try:
+            # _fetch materializes fully, so restoring the view after is
+            # safe — no lazy plan escapes holding the pruned scan.
+            return self._fetch(self.spark.sql(stmt))
+        finally:
+            if swapped:
+                self._view(swapped)
 
     def _fetch(self, df: DataFrame) -> Result:
         """Materialize a SELECT for the reference-shaped Result, with a
@@ -1175,10 +1275,24 @@ class AnalyticsEngine:
             header = f"-- vector access path: {path} (andb.ann_mode={mode})\n"
         else:
             header = ""
-        df = self.spark.sql(inner)
-        qe = df._jdf.queryExecution()
-        logical = header + qe.optimizedPlan().toString()
-        physical = qe.executedPlan().toString()
+        # EXPLAIN shows the plan _select would run — including the
+        # zone-pruned scan when data skipping applies (the reference's
+        # EXPLAIN surfaces its IndexScan-vs-TableScan choice the same
+        # way).
+        swapped = self._zone_prune_view(inner)
+        try:
+            if swapped:
+                header += (
+                    f"-- zone maps: "
+                    f"{self.session_vars['andb.last_zone_prune']}\n"
+                )
+            df = self.spark.sql(inner)
+            qe = df._jdf.queryExecution()
+            logical = header + qe.optimizedPlan().toString()
+            physical = qe.executedPlan().toString()
+        finally:
+            if swapped:
+                self._view(swapped)
         # Two-column, logical + physical — the reference's EXPLAIN output
         # shape (portal.py:124-128).
         return Result(
@@ -1699,12 +1813,21 @@ class AnalyticsEngine:
         if not intervals:
             return entries
         seg_stats = meta.get("segment_stats", {})
+
+        def stat_disjoint(pair, lo, hi) -> bool:
+            try:
+                return pair[1] < lo or pair[0] > hi
+            except TypeError:
+                # stat/bound type mismatch (e.g. numeric literal against
+                # a date column): never prune on it
+                return False
+
         scan: list[str] = []
         for e in entries:
             st = seg_stats.get(e.split("/", 1)[0], {})
             disjoint = st.get("__rows") == 0 or any(
                 st.get(col) is not None
-                and (st[col][1] < lo or st[col][0] > hi)
+                and stat_disjoint(st[col], lo, hi)
                 for col, (lo, hi) in intervals.items()
             )
             if not disjoint:

@@ -615,3 +615,15 @@ def test_random_dml_sequence_agrees_with_duckdb(spark, n0, stmts):
     got = _rowset([tuple(r) for r in eng.execute("select * from fz").rows])
     want = _rowset(con.execute("select * from fz").fetchall())
     assert got == want
+    # zone-prunable SELECT probes over whatever segment layout the DML
+    # sequence left behind: the read-path data skipping (_zone_prune_view)
+    # must agree with DuckDB's full scan, including the all-segments-
+    # pruned empty case
+    for sel in (
+        "select * from fz where k between 10 and 60",
+        "select * from fz where k > 90000000",
+        f"select * from fz where k >= {n0 // 2}",
+    ):
+        got = _rowset([tuple(r) for r in eng.execute(sel).rows])
+        want = _rowset(con.execute(sel).fetchall())
+        assert got == want, sel

@@ -401,6 +401,108 @@ def test_zone_maps_prune_dml_planning(engine):
     assert e("select count(1) as n from zm").rows == [(2000,)]
 
 
+def test_zone_maps_prune_select_reads(engine):
+    """Zone maps must also serve READS: a single-table SELECT whose
+    WHERE fits the interval parser scans only the possibly-matching
+    segments (file skipping before any parquet footer is opened), and
+    the table view is restored afterwards."""
+    e = engine.execute
+    e("create table zr (k int, v int)")
+    e("insert into zr select id, id from range(0, 1000)")      # A: 0..999
+    e("insert into zr select id, id from range(5000, 6000)")   # B: 5000..5999
+    e("insert into zr select id, id from range(9000, 9100)")   # C: 9000..9099
+
+    # range hitting only segment B: correct result + 2 segments skipped
+    r = e("select count(1) as n from zr where k between 5100 and 5200")
+    assert r.rows == [(101,)]
+    # A, C, and the empty create-segment all prune away
+    assert "skipped 3/4" in engine.session_vars["andb.last_zone_prune"]
+
+    # the swap really narrows the scan to segment B's files
+    swapped = engine._zone_prune_view(
+        "select k from zr where k between 5100 and 5200"
+    )
+    assert swapped == "zr"
+    segs = engine._segments_of(engine._meta("zr"))
+    files = engine.spark.table("zr").inputFiles()
+    assert files and all(f"/{segs[2]}/" in f for f in files), files
+    engine._view("zr")  # restore, as _select's finally would
+
+    # globally disjoint predicate: zero rows, all segments skipped
+    r = e("select k from zr where k > 900000")
+    assert r.rows == []
+    assert "skipped 4/4" in engine.session_vars["andb.last_zone_prune"]
+
+    # out-of-subset predicate (OR): no pruning, still correct
+    engine.session_vars.pop("andb.last_zone_prune", None)
+    r = e("select count(1) as n from zr where k = 10 or k = 5010")
+    assert r.rows == [(2,)]
+    assert "andb.last_zone_prune" not in engine.session_vars
+
+    # view restored: a later full-table read sees everything
+    assert e("select count(1) as n from zr").rows == [(2100,)]
+
+    # EXPLAIN surfaces the data-skipping decision
+    r = e("explain select k from zr where k > 9000")
+    assert "zone maps" in r.rows[0][0], r.rows[0][0]
+
+    # session kill switch
+    e("set andb.zone_prune = off")
+    engine.session_vars.pop("andb.last_zone_prune", None)
+    r = e("select count(1) as n from zr where k between 5100 and 5200")
+    assert r.rows == [(101,)]
+    assert "andb.last_zone_prune" not in engine.session_vars
+    e("set andb.zone_prune = on")
+
+
+def test_zone_maps_prune_on_date_columns(engine):
+    """Date columns — the canonical time-series predicate — carry zone
+    maps too (date32 footer stats → ISO strings, lexicographic ==
+    chronological), for both DML planning and SELECT reads."""
+    e = engine.execute
+    e("create table zd (d date, v int)")
+    e(
+        "insert into zd select date_add(date '2024-01-01', cast(id as int)),"
+        " cast(id as int) from range(0, 90)"
+    )  # Jan 1 .. Mar 30
+    e(
+        "insert into zd select date_add(date '2024-06-01', cast(id as int)),"
+        " cast(id as int) from range(0, 90)"
+    )  # Jun 1 .. Aug 29
+    meta = engine._meta("zd")
+    segs = engine._segments_of(meta)
+    assert meta["segment_stats"][segs[1]]["d"] == ["2024-01-01", "2024-03-30"]
+
+    # only the June+ segment can hold July rows
+    scan = engine._zone_scan_entries("zd", "d >= date '2024-07-01'")
+    assert segs[1] not in scan and segs[2] in scan
+    # bare ISO string literals parse too, and BETWEEN normalizes
+    scan = engine._zone_scan_entries(
+        "zd", "d between '2024-02-01' and '2024-02-10'"
+    )
+    assert segs[1] in scan and segs[2] not in scan
+    # disjoint from everything: nothing scans
+    assert engine._zone_scan_entries("zd", "d > '2025-01-01'") == []
+    # numeric literal against the date column: type mismatch never prunes
+    assert len(engine._zone_scan_entries("zd", "d > 5")) >= 2
+
+    # SELECT read path prunes on the date predicate and stays correct
+    r = e("select count(1) as n from zd where d >= date '2024-07-01'")
+    assert r.rows == [(60,)]
+    assert "skipped 2/3" in engine.session_vars["andb.last_zone_prune"]
+    # DML on a date range rewrites only the June segment's files
+    files_before = engine._data_files("zd")
+    state_before = _file_state(files_before)
+    r = e("delete from zd where d >= date '2024-08-01'")
+    assert r.effect_rows == 29
+    files_after = set(engine._data_files("zd"))
+    surviving = [p for p in files_before if p in files_after]
+    assert _file_state(surviving) == {p: state_before[p] for p in surviving}
+    rewritten = [p for p in files_before if p not in files_after]
+    assert rewritten and all(f"/{segs[2]}/" in p for p in rewritten), rewritten
+    assert e("select count(1) as n from zd").rows == [(151,)]
+
+
 def test_alter_add_drop_column_metadata_only(engine):
     """ADD/DROP COLUMN must not rewrite a single data file; a re-added
     name must NOT resurrect the dropped column's old values."""
