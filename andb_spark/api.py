@@ -176,6 +176,33 @@ _ZONE_BETWEEN_RE = re.compile(
     re.I,
 )
 _ZONE_DATE_RE = re.compile(r"^(?:date\s+)?'(\d{4}-\d{2}-\d{2})'$", re.I)
+_ZONE_IN_RE = re.compile(
+    rf"\b(\w+)\s+in\s+\(\s*({_ZONE_LIT}(?:\s*,\s*{_ZONE_LIT})*)\s*\)", re.I
+)
+
+
+def _in_hull(m: re.Match) -> str:
+    """Rewrite `col IN (a, b, c)` to its interval HULL `col >= min AND
+    col <= max` — a relaxation (any row matching the IN matches the
+    hull), so pruning on it is sound; rows between list elements are
+    merely not pruned. Mixed literal types or a NOT IN (group(1) grabs
+    the `not`) return the text unchanged, which downstream rejection
+    (parens / ` not `) turns into "no pruning"."""
+    if m.group(1).lower() == "not":
+        return m.group(0)
+    vals: list[tuple[str, object, str]] = []
+    for lit in (s.strip() for s in m.group(2).split(",")):
+        dm = _ZONE_DATE_RE.match(lit)
+        if dm:
+            vals.append(("date", dm.group(1), f"'{dm.group(1)}'"))
+        else:
+            v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
+            vals.append(("num", v, lit))
+    if len({k for k, _, _ in vals}) != 1:
+        return m.group(0)
+    lo = min(vals, key=lambda t: t[1])
+    hi = max(vals, key=lambda t: t[1])
+    return f"{m.group(1)} >= {lo[2]} and {m.group(1)} <= {hi[2]}"
 
 
 def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
@@ -187,9 +214,10 @@ def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
     same-typed."""
     if not cond_text:
         return {}
-    # Normalize BETWEEN before splitting so its internal AND doesn't
-    # shear the conjunct apart.
+    # Normalize BETWEEN and IN-list hulls before splitting so their
+    # internal AND / parens don't shear the conjunct apart.
     text = _ZONE_BETWEEN_RE.sub(r"\1 >= \2 and \1 <= \3", cond_text.strip())
+    text = _ZONE_IN_RE.sub(_in_hull, text)
     low = f" {text.lower()} "
     if "(" in low or " or " in low or " not " in low:
         return {}
@@ -435,6 +463,46 @@ class AnalyticsEngine:
         self.spark.createDataFrame(
             cols_rows, cols_schema
         ).createOrReplaceTempView("andb_columns")
+
+        # The manifest as a relation — the lakehouse "files metadata
+        # table" (Delta DESCRIBE DETAIL / Iceberg .files analog): one
+        # row per live manifest entry with its segment's row count and
+        # zone maps. SQL over it answers "which segments would a
+        # predicate touch" without running the query.
+        seg_rows = []
+        for name, meta in sorted(self.catalog["tables"].items()):
+            seg_stats = meta.get("segment_stats", {})
+            for pos, entry in enumerate(self._segments_of(meta)):
+                st = seg_stats.get(entry.split("/", 1)[0], {})
+                seg_rows.append(
+                    (
+                        name,
+                        pos,
+                        entry,
+                        # a file entry is a CoW survivor: its parent
+                        # segment's bounds still bound it (subset), but
+                        # the row count does not transfer
+                        int(st["__rows"])
+                        if "__rows" in st and "/" not in entry
+                        else None,
+                        json.dumps(
+                            {k: v for k, v in st.items() if k != "__rows"},
+                            sort_keys=True,
+                        ),
+                    )
+                )
+        seg_schema = T.StructType(
+            [
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("position", T.IntegerType(), False),
+                T.StructField("entry", T.StringType(), False),
+                T.StructField("n_rows", T.LongType(), True),
+                T.StructField("zone_maps", T.StringType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            seg_rows, seg_schema
+        ).createOrReplaceTempView("andb_segments")
 
         idx_rows = [
             (idx, meta["table"], ",".join(meta["columns"]), meta["method"])
@@ -687,7 +755,9 @@ class AnalyticsEngine:
         return df
 
     # ---------------------------------------------------------- execute --
-    _SYSVIEW_RE = re.compile(r"\bandb_(tables|columns|indexes)\b", re.I)
+    _SYSVIEW_RE = re.compile(
+        r"\bandb_(tables|columns|indexes|segments)\b", re.I
+    )
 
     def execute(self, sql: str) -> Result:
         """One statement in, one Result out (entrance.py:16-55 shape)."""
@@ -1375,7 +1445,9 @@ class AnalyticsEngine:
     # table with one of these names would be silently shadowed at the
     # next _refresh_system_views, so creation rejects them up front
     # (the reference reserves its andb_* catalog names the same way).
-    RESERVED_NAMES = frozenset({"andb_tables", "andb_columns", "andb_indexes"})
+    RESERVED_NAMES = frozenset(
+        {"andb_tables", "andb_columns", "andb_indexes", "andb_segments"}
+    )
 
     def _check_name_free(self, name: str) -> None:
         if name.lower() in self.RESERVED_NAMES:

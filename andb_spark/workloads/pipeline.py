@@ -693,6 +693,67 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval constants (Robertson/Sparck Jones; the Okapi defaults).
+# Query terms are fixed literals so per-doc term frequencies compile to
+# Catalyst array expressions — no explode, no corpus shuffle.
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed keyword query — the lexical
+    retrieval baseline every corpus pipeline needs next to its vector
+    search (`v_cosine_topk`). Plan shape: ONE shuffle-free scan stage
+    computes per-doc length + per-term tf via array filters (the query
+    term set is tiny and known, so no inverted index, no explode); a
+    one-row corpus-stats aggregate (N, avgdl, per-term df) broadcasts
+    back; scoring is pure Catalyst math; TakeOrdered returns the top
+    20. At 100 TB: scan + 1-row broadcast + top-k — no corpus-sized
+    shuffle anywhere. The reference has no text retrieval at all
+    (its only function is cosine_distance,
+    andb/catalog/buitin_functions.py:3-12); north-star surface."""
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens(F.lower(F.col("text")))
+
+    def _tf(term: str) -> F.Column:
+        # NB: single-parameter lambda — a two-arg lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(F.col("_w"), lambda x: x == F.lit(term)))
+
+    staged = d.select("doc_id", toks.alias("_w")).select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    joined = staged.crossJoin(F.broadcast(stats))  # 1-row stats side
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * (tf * (_BM25_K1 + 1.0)) / (
+            tf
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    return (
+        joined.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def t_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length distribution in 100-char buckets with per-bucket
     mean token count — the corpus-shape triage chart. One aggregation."""
@@ -1112,6 +1173,7 @@ QUERIES = {
     "t_dup_rate_report": t_dup_rate_report,
     "t_approx_topk": t_approx_topk,
     "t_tfidf": t_tfidf,
+    "t_bm25_topk": t_bm25_topk,
     "t_length_histogram": t_length_histogram,
     "p_quality_filter": p_quality_filter,
     "p_sample_hash": p_sample_hash,
@@ -1733,6 +1795,36 @@ ORACLES = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
             FROM scored
         ) t WHERE rn <= 3 ORDER BY doc_id, rank
+    """,
+    "t_bm25_topk": f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS.format(col='lower(text)')} AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, len(w) AS dl,
+                   len(list_filter(w, x -> x = 'spark'))  AS tf0,
+                   len(list_filter(w, x -> x = 'vector')) AS tf1,
+                   len(list_filter(w, x -> x = 'stream')) AS tf2
+            FROM w
+        ),
+        s AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM tf
+        )
+        SELECT doc_id, round(
+            ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+              * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+              * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+              * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+          6) AS bm25
+        FROM tf, s
+        ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     "t_length_histogram": f"""
         SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,

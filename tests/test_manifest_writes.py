@@ -393,6 +393,12 @@ def test_zone_maps_prune_dml_planning(engine):
     assert r.effect_rows == 0
     # out-of-subset predicates scan everything (conservative)
     assert len(engine._zone_scan_entries("zm", "k % 2 = 0")) == len(segs)
+    # IN lists prune via their interval hull
+    scan = engine._zone_scan_entries("zm", "k in (5100, 5150)")
+    assert segs[1] not in scan and segs[2] in scan
+    # a hull spanning both segments scans both; NOT IN never prunes
+    assert len(engine._zone_scan_entries("zm", "k in (10, 5100)")) >= 2
+    assert len(engine._zone_scan_entries("zm", "k not in (10)")) == len(segs)
 
     # and the pruned path is still CORRECT end to end
     r = e("update zm set v = -1 where k between 5100 and 5200")
@@ -501,6 +507,32 @@ def test_zone_maps_prune_on_date_columns(engine):
     rewritten = [p for p in files_before if p not in files_after]
     assert rewritten and all(f"/{segs[2]}/" in p for p in rewritten), rewritten
     assert e("select count(1) as n from zd").rows == [(151,)]
+
+
+def test_andb_segments_view_exposes_manifest(engine):
+    """The manifest as a SQL relation (Delta DESCRIBE DETAIL / Iceberg
+    .files analog): one row per live entry with row count + zone maps."""
+    e = engine.execute
+    e("create table sg (k int)")
+    e("insert into sg select id from range(0, 100)")
+    e("insert into sg select id from range(500, 600)")
+    r = e(
+        "select table_name, position, n_rows, zone_maps from andb_segments"
+        " where table_name = 'sg' order by position"
+    )
+    assert [row[1] for row in r.rows] == [0, 1, 2]
+    assert r.rows[1][2] == 100 and '"k": [0, 99]' in r.rows[1][3]
+    assert r.rows[2][2] == 100 and '"k": [500, 599]' in r.rows[2][3]
+    # CoW leaves per-file entries: row count does not transfer to a
+    # subset file (NULL), the parent's bounds still (conservatively) do
+    e("update sg set k = -1 where k = 550")
+    r = e("select entry, n_rows from andb_segments where table_name = 'sg'")
+    assert any("/" in row[0] and row[1] is None for row in r.rows), r.rows
+    # creation under a reserved name is rejected
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="reserved"):
+        e("create table andb_segments (x int)")
 
 
 def test_alter_add_drop_column_metadata_only(engine):
