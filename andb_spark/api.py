@@ -1435,11 +1435,103 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse REFRESH: {stmt!r}")
         name = m.group(1)
-        sql = self._meta(name).get("matview_sql")
+        meta = self._meta(name)
+        sql = meta.get("matview_sql")
         if not sql:
             raise EngineError(f"{name} is not a materialized view")
-        n = self._overwrite(name, self.spark.sql(sql))
+        n = self._incremental_refresh(name, meta, sql)
+        if n is None:
+            # Full re-run — always sound; re-anchor the seen-file set so
+            # the NEXT refresh can go incremental again after a base
+            # rewrite (CoW DML, OPTIMIZE) broke file-lineage continuity.
+            src = self.spark.sql(sql)
+            n = self._stage_version(name, src)
+            self._commit_staged(
+                name, extra_meta={name: self._matview_anchor(meta, "full")}
+            )
         return Result(effect_rows=n)
+
+    def _matview_anchor(self, meta: dict, mode: str) -> dict:
+        """Metadata recorded at each REFRESH commit: the concrete base
+        files this view now reflects (the incremental-refresh
+        high-water mark) plus the mode the refresh ran in (observable
+        by tests and ``EXPLAIN``-side debugging)."""
+        extra: dict = {"matview_last_refresh": mode}
+        base = meta.get("matview_base")
+        if base and base in self.catalog["tables"]:
+            extra["matview_seen"] = [
+                os.path.relpath(f, self.warehouse)
+                for f in self._data_files(base)
+            ]
+        return extra
+
+    def _incremental_refresh(
+        self, name: str, meta: dict, sql: str
+    ) -> int | None:
+        """O(delta) REFRESH for self-maintainable aggregate views.
+
+        The manifest write path makes every base-table change visible as
+        file lineage: INSERT/COPY append segment files, copy-on-write
+        DML replaces them. If the base's current file set is a SUPERSET
+        of what this view last saw, the change is pure insertion — run
+        the defining query over only the NEW files (filters and
+        expressions are row-local, so the query is valid on any row
+        subset) and merge the partial aggregates into the current view
+        state with the aggregate's merge function (SUM/COUNT→SUM,
+        MIN→MIN, MAX→MAX). Cost: O(delta) read + O(view) rewrite — the
+        view is a rollup, orders of magnitude smaller than the base —
+        versus O(base) for the full re-run. At 100 TB with daily
+        appends this is the difference between a continuous aggregate
+        and an unusable one. Returns None when ineligible (non-SM
+        query shape, unmanaged base, or base files rewritten/removed
+        since the last anchor) — caller falls back to the full path.
+        """
+        base = meta.get("matview_base")
+        if not base or base not in self.catalog["tables"]:
+            return None
+        plan = _matview_plan(sql)
+        if plan is None or plan["base"] != base:
+            return None
+        cur_rel = [
+            os.path.relpath(f, self.warehouse)
+            for f in self._data_files(base)
+        ]
+        seen = meta.get("matview_seen")
+        if seen is None or not set(seen) <= set(cur_rel):
+            return None
+        delta = sorted(set(cur_rel) - set(seen))
+        if not delta:
+            meta["matview_last_refresh"] = "noop"
+            self._save_catalog()
+            return 0
+        # Bind the base name to ONLY the delta files and re-run the
+        # defining query verbatim (temp-view resolution happens at
+        # spark.sql analysis time, so the partial plan stays pinned to
+        # the delta after the view is restored below).
+        self._read_files(
+            base, [os.path.join(self.warehouse, r) for r in delta]
+        ).createOrReplaceTempView(base)
+        try:
+            partial = self.spark.sql(sql)
+        finally:
+            self._view(base)
+        merge = [
+            getattr(F, fn)(alias).alias(alias)
+            for alias, fn in plan["aggs"]
+        ]
+        merged = (
+            self._read_table(name)
+            .unionByName(partial)
+            .groupBy(*plan["groups"])
+            .agg(*merge)
+            .select(*plan["out_cols"])
+        )
+        n = self._stage_version(name, merged)
+        self._commit_staged(
+            name,
+            extra_meta={name: self._matview_anchor(meta, "incremental")},
+        )
+        return n
 
     # Names owned by the SQL-selectable system catalog views; a user
     # table with one of these names would be silently shadowed at the
@@ -1478,6 +1570,18 @@ class AnalyticsEngine:
         meta: dict = {"columns": columns}
         if matview_sql:
             meta["matview_sql"] = matview_sql
+            # Anchor for incremental REFRESH: if the view is a
+            # self-maintainable aggregate over one managed table,
+            # remember which base files this materialization reflects
+            # (the temp view the query reads is bound to exactly the
+            # current manifest). See _incremental_refresh.
+            plan = _matview_plan(matview_sql)
+            if plan and plan["base"] in self.catalog["tables"]:
+                meta["matview_base"] = plan["base"]
+                meta["matview_seen"] = [
+                    os.path.relpath(f, self.warehouse)
+                    for f in self._data_files(plan["base"])
+                ]
         self.catalog["tables"][name] = meta
         self._save_catalog()
         n = self._overwrite(name, src)
@@ -2101,6 +2205,80 @@ class AnalyticsEngine:
         self._stage_version(name, df, base=keep)
         self._commit_staged(name)
         return Result(effect_rows=n_hit)
+
+
+def _matview_plan(sql: str) -> dict | None:
+    """Parse a materialized-view defining query into a self-maintainable
+    aggregation plan, or ``None`` when only a full re-run is sound.
+
+    Incremental REFRESH (see ``_refresh_matview``) is valid exactly when
+    the view is a single-table GROUP BY whose aggregates are
+    *self-maintainable under insertions* (Gupta & Mumick's view-
+    maintenance taxonomy; TimescaleDB continuous aggregates and Delta
+    incremental refresh scope the same way): SUM/COUNT re-merge with
+    SUM, MIN/MAX with MIN/MAX. Joins, HAVING, DISTINCT, windows,
+    subqueries, or un-aliased aggregates fall back to full refresh —
+    correctness never depends on this parser saying yes.
+
+    Returns ``{"base", "groups", "aggs": [(alias, merge_fn)],
+    "out_cols"}``.
+    """
+    s = " ".join(sql.strip().rstrip(";").split())
+    low = s.lower()
+    if re.search(
+        r"\b(join|having|distinct|union|intersect|except|limit|over)\b"
+        r"|order\s+by",
+        low,
+    ):
+        return None
+    if low.count("select") != 1:
+        return None
+    m = re.match(
+        r"select\s+(.+?)\s+from\s+(\w+)"
+        r"(?:\s+where\s+(.+?))?"
+        r"(?:\s+group\s+by\s+(.+?))?$",
+        s,
+        re.I,
+    )
+    if not m:
+        return None
+    items_s, base, _where, group_s = m.groups()
+    group_cols = []
+    if group_s:
+        for g in _split_top_level(group_s):
+            if not re.fullmatch(r"\w+", g):
+                return None
+            group_cols.append(g)
+    out_cols: list[str] = []
+    aggs: list[tuple[str, str]] = []
+    seen_groups: set[str] = set()
+    for item in _split_top_level(items_s):
+        am = re.fullmatch(
+            r"(sum|count|min|max)\s*\((.+)\)\s+as\s+(\w+)", item, re.I
+        )
+        if am:
+            fn, inner, alias = am.groups()
+            if re.match(r"\s*distinct\b", inner, re.I):
+                return None  # COUNT(DISTINCT) is not self-maintainable
+            merge = "sum" if fn.lower() in ("sum", "count") else fn.lower()
+            aggs.append((alias, merge))
+            out_cols.append(alias)
+            continue
+        if re.fullmatch(r"\w+", item) and item in group_cols:
+            seen_groups.add(item)
+            out_cols.append(item)
+            continue
+        return None
+    # every GROUP BY key must surface in the output, else re-grouping
+    # the union by the visible keys would collapse distinct base groups
+    if set(group_cols) != seen_groups or not aggs:
+        return None
+    return {
+        "base": base,
+        "groups": group_cols,
+        "aggs": aggs,
+        "out_cols": out_cols,
+    }
 
 
 def _split_top_level(s: str) -> list[str]:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as SF
 
 from andb_spark.api import AnalyticsEngine
 
@@ -42,6 +43,53 @@ def u_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e("delete from dml_t where o_custkey % 10 = 3")
     e("insert into dml_t values (999999, 1, 123.5, 'X')")
     return spark.table("dml_t").orderBy("o_orderkey")
+
+
+def u_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, oracle-graded: CTAS a
+    base slice of ``orders``, materialize a self-maintainable rollup,
+    APPEND a second slice, REFRESH — the engine must take the O(delta)
+    incremental path (asserted, not assumed: the run fails if the full
+    fallback was used) — and return the refreshed view. The DuckDB twin
+    states the rollup over the union of both slices, so the hash compare
+    grades the merge math (SUM/COUNT→SUM, MIN/MAX→MIN/MAX), not just
+    the plumbing."""
+    eng = AnalyticsEngine(
+        tempfile.mkdtemp(prefix="andb_mv_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table mv_base as select o_custkey, o_totalprice,"
+        " o_orderstatus from orders where o_orderkey < 2000"
+    )
+    e(
+        "create materialized view mv_sales as"
+        " select o_orderstatus, count(*) as n_orders,"
+        " sum(o_totalprice) as revenue, min(o_totalprice) as smallest,"
+        " max(o_totalprice) as largest from mv_base"
+        " where o_totalprice > 1000 group by o_orderstatus"
+    )
+    e(
+        "insert into mv_base select o_custkey, o_totalprice,"
+        " o_orderstatus from orders"
+        " where o_orderkey >= 2000 and o_orderkey < 4000"
+    )
+    e("refresh materialized view mv_sales")
+    mode = eng.catalog["tables"]["mv_sales"].get("matview_last_refresh")
+    if mode != "incremental":
+        raise RuntimeError(
+            f"expected incremental matview refresh, engine took {mode!r}"
+        )
+    return spark.table("mv_sales").select(
+        "o_orderstatus",
+        "n_orders",
+        # round(·,2) convention (relational.py module docstring): the
+        # merged sum associates differently than the oracle's one-pass
+        # sum; money inputs make the true sum a multiple of 0.01
+        SF.round("revenue", 2).alias("revenue"),
+        "smallest",
+        "largest",
+    ).orderBy("o_orderstatus")
 
 
 def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +130,7 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
+    "u_matview_refresh": u_matview_refresh,
     "c_catalog_tables": c_catalog_tables,
 }
 
@@ -106,6 +155,16 @@ ORACLES = {
                    CAST(123.5 AS DOUBLE), 'X'
         )
         SELECT * FROM ins ORDER BY o_orderkey
+    """,
+    "u_matview_refresh": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               min(o_totalprice) AS smallest,
+               max(o_totalprice) AS largest
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_totalprice > 1000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "c_catalog_tables": """
         SELECT * FROM (VALUES

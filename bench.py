@@ -78,6 +78,7 @@ HEADLINE_R03 = (
     "m_image_decode",
     "m_audio_decode",
     "u_dml_roundtrip",
+    "u_matview_refresh",
     "c_catalog_tables",
     "d_lsh_recall_audit",
 )

@@ -1,0 +1,171 @@
+"""Incremental materialized-view refresh (api._incremental_refresh).
+
+The reference has no materialized views at all; ours pair the manifest
+write path's file lineage with the classic self-maintainable-aggregate
+result (SUM/COUNT/MIN/MAX under insert-only deltas) so that REFRESH
+after appends costs O(delta read) + O(view rewrite), never O(base).
+These tests pin: result parity with a full recompute, the mode actually
+taken (incremental vs full vs noop), fallback on copy-on-write base
+rewrites, and rejection of non-self-maintainable query shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from andb_spark.api import AnalyticsEngine, _matview_plan
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+
+
+MV_SQL = (
+    "select g, count(*) as n, sum(v) as total, min(v) as lo,"
+    " max(v) as hi from base where v >= 0 group by g"
+)
+
+
+def _seed(e):
+    e("create table base (g text, v int)")
+    e("insert into base values ('a', 1), ('a', 2), ('b', 3), ('b', -9)")
+    e(f"create materialized view mv as {MV_SQL}")
+
+
+def _mv_rows(e):
+    return e("select * from mv order by g").rows
+
+
+def _full_rows(e):
+    return e(f"select * from ({MV_SQL}) order by g").rows
+
+
+def test_plan_parser_accepts_self_maintainable_shape():
+    plan = _matview_plan(MV_SQL)
+    assert plan is not None
+    assert plan["base"] == "base"
+    assert plan["groups"] == ["g"]
+    assert plan["aggs"] == [
+        ("n", "sum"),
+        ("total", "sum"),
+        ("lo", "min"),
+        ("hi", "max"),
+    ]
+    assert plan["out_cols"] == ["g", "n", "total", "lo", "hi"]
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "select g, avg(v) as a from base group by g",  # AVG not SM
+        "select g, count(distinct v) as n from base group by g",
+        "select g, sum(v) as s from base group by g having sum(v) > 1",
+        "select b.g, sum(b.v) as s from base b join other o on b.g = o.g"
+        " group by b.g",
+        "select g, sum(v) as s from base group by g order by g",
+        "select sum(v) as s from base group by g",  # key not in output
+        "select g, sum(v) from base group by g",  # un-aliased aggregate
+        "select g, v from base",  # no aggregate at all
+        "select g, sum(v) as s from (select * from base) group by g",
+    ],
+)
+def test_plan_parser_rejects_non_incremental_shapes(sql):
+    assert _matview_plan(sql) is None
+
+
+def test_refresh_after_append_is_incremental_and_correct(engine):
+    e = engine.execute
+    _seed(e)
+    assert _mv_rows(e) == [("a", 2, 3, 1, 2), ("b", 1, 3, 3, 3)]
+
+    # three appends: existing group, new group, filtered-out row
+    e("insert into base values ('a', 10), ('c', 7), ('c', -1)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == _full_rows(e)
+    assert _mv_rows(e) == [
+        ("a", 3, 13, 1, 10),
+        ("b", 1, 3, 3, 3),
+        ("c", 1, 7, 7, 7),
+    ]
+
+    # refresh with no base change: noop, zero rows rewritten
+    r = e("refresh materialized view mv")
+    assert r.effect_rows == 0
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "noop"
+
+
+def test_incremental_refresh_reads_only_delta_files(engine, monkeypatch):
+    """The defining query must be re-run over ONLY the appended files —
+    observed through _read_files, which the incremental path uses to
+    bind the base name to the delta."""
+    e = engine.execute
+    _seed(e)
+    before = set(engine._data_files("base"))
+    e("insert into base values ('a', 100)")
+    delta = set(engine._data_files("base")) - before
+    assert delta  # the INSERT appended, not rewrote
+
+    seen_paths: list[list[str]] = []
+    orig = AnalyticsEngine._read_files
+
+    def spy(self, name, paths):
+        seen_paths.append(list(paths))
+        return orig(self, name, paths)
+
+    monkeypatch.setattr(AnalyticsEngine, "_read_files", spy)
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert seen_paths and set(seen_paths[0]) == delta
+
+
+def test_cow_rewrite_falls_back_to_full_then_recovers(engine):
+    e = engine.execute
+    _seed(e)
+    # UPDATE rewrites base files (copy-on-write) — lineage continuity
+    # broken, refresh must take the full path and stay correct
+    e("update base set v = 50 where g = 'a' and v = 2")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
+    assert _mv_rows(e) == _full_rows(e)
+
+    # the full refresh re-anchored the seen set: a subsequent append
+    # goes incremental again
+    e("insert into base values ('b', 8)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == _full_rows(e)
+
+
+def test_non_sm_view_always_full_refresh(engine):
+    e = engine.execute
+    e("create table base (g text, v int)")
+    e("insert into base values ('a', 1), ('b', 2)")
+    e("create materialized view mv as select g, avg(v) as a from base group by g")
+    e("insert into base values ('a', 3)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
+    assert e("select * from mv order by g").rows == [("a", 2.0), ("b", 2.0)]
+
+
+def test_global_aggregate_view_incremental(engine):
+    e = engine.execute
+    e("create table base (g text, v int)")
+    e("insert into base values ('a', 1), ('b', 2)")
+    e(
+        "create materialized view mv as"
+        " select count(*) as n, sum(v) as total, max(v) as hi from base"
+    )
+    e("insert into base values ('c', 10)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert e("select * from mv").rows == [(3, 13, 10)]
