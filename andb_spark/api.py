@@ -546,6 +546,7 @@ class AnalyticsEngine:
         count comes free from the parquet footers."""
         n = self._stage_version(name, df, base="current")
         self._commit_staged(name)
+        self._maybe_auto_compact(name)
         return n
 
     def _commit_staged(
@@ -715,6 +716,8 @@ class AnalyticsEngine:
             shutil.rmtree(d, ignore_errors=True)
         for name in list(updates) + list(appends):
             self._view(name)
+        for name in appends:  # fold small-file debt from per-batch
+            self._maybe_auto_compact(name)  # appends (streaming ingest)
         return counts
 
     def _schema(self, name: str) -> T.StructType:
@@ -913,6 +916,12 @@ class AnalyticsEngine:
 
             if value not in MODES:
                 raise EngineError(f"andb.ann_mode must be one of {MODES}")
+        if name == "andb.auto_compact":
+            if not re.fullmatch(r"\d+", value):
+                raise EngineError(
+                    "andb.auto_compact must be a non-negative integer"
+                    " (small-file count threshold; 0 disables)"
+                )
         if name == "andb.max_result_rows":
             # validate HERE: a bad value accepted at SET time would make
             # every later SELECT fail inside _fetch
@@ -1082,28 +1091,56 @@ class AnalyticsEngine:
         # bin-packed into a new segment; already-right-sized files are
         # re-referenced verbatim — compaction I/O tracks the small-file
         # debt, not the table.
-        small = {f for f in files if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES}
+        n_packed, n_new = self._compact_small(name)
+        n = self._read_table(name).count()
+        return Result(
+            columns=["files_before", "files_after", "rows"],
+            types=["bigint", "bigint", "bigint"],
+            rows=[(n_files_before, n_files_before - n_packed + n_new, n)],
+            effect_rows=n,
+        )
+
+    def _compact_small(self, name: str) -> tuple[int, int]:
+        """Bin-pack this table's sub-target files into ~128 MB segments
+        (OPTIMIZE's plain path, also the auto-compaction worker).
+        Right-sized files are re-referenced verbatim, so I/O tracks the
+        small-file debt, not the table. Returns (files_packed,
+        files_written); (0, 0) when there is nothing to pack."""
+        files = self._data_files(name)
+        small = {
+            f for f in files if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES
+        }
         if len(small) <= 1:  # nothing to pack
-            n = self._read_table(name).count()
-            return Result(
-                columns=["files_before", "files_after", "rows"],
-                types=["bigint", "bigint", "bigint"],
-                rows=[(n_files_before, n_files_before, n)],
-                effect_rows=n,
-            )
+            return (0, 0)
         keep, affected = self._partition_entries(name, small)
         small_bytes = sum(os.path.getsize(f) for f in affected)
         target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
         packed = self._read_files(name, affected).coalesce(target)
         self._stage_version(name, packed, base=keep)
         self._commit_staged(name)
-        n = self._read_table(name).count()
-        return Result(
-            columns=["files_before", "files_after", "rows"],
-            types=["bigint", "bigint", "bigint"],
-            rows=[(n_files_before, n_files_before - len(affected) + target, n)],
-            effect_rows=n,
-        )
+        return (len(affected), target)
+
+    def _maybe_auto_compact(self, name: str) -> None:
+        """LSM-style amortized maintenance for append-heavy tables:
+        when `SET andb.auto_compact = <n>` is active (n = small-file
+        threshold, 0/unset = off) and an append has pushed the table's
+        sub-128 MB file count to >= n, fold the debt into right-sized
+        segments immediately. Each row is rewritten at most
+        O(log(table/batch)) times across its lifetime — the classic
+        amortized-compaction bound — instead of the table accumulating
+        thousands of per-batch files that kill scan throughput at
+        100 TB. Off by default: explicit OPTIMIZE keeps sole control
+        unless the session opts in."""
+        thr = int(self.session_vars.get("andb.auto_compact", "0") or 0)
+        if thr <= 0:
+            return
+        small = [
+            f
+            for f in self._data_files(name)
+            if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES
+        ]
+        if len(small) >= thr:
+            self._compact_small(name)
 
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)

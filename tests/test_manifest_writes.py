@@ -595,3 +595,70 @@ def test_transaction_rollback_and_commit_over_manifest_writes(engine):
     e("commit")
     assert e("select count(1) as n from tx").rows == [(101,)]
     assert e("select v from tx where k = 10").rows == [(-1,)]
+
+
+def test_auto_compact_folds_small_file_debt(engine, monkeypatch):
+    """SET andb.auto_compact = n: once appends push the sub-target file
+    count to >= n, the append itself triggers the incremental bin-pack
+    — large files survive untouched, data is intact, and the debt
+    resets so later appends accumulate again from a clean slate."""
+    e = engine.execute
+    e("create table ac (a int, b text)")
+    e("insert into ac select id, repeat('x', 200) from range(0, 20000)")
+    big_files = [
+        p for p in engine._data_files("ac") if os.path.getsize(p) > 4096
+    ]
+    assert big_files, "fixture needs at least one >4KB file"
+    big_state = _file_state(big_files)
+    monkeypatch.setattr(type(engine), "OPTIMIZE_FILE_BYTES", 4096)
+
+    # off by default: small files pile up monotonically
+    e("insert into ac values (200001, 'tail')")
+    e("insert into ac values (200002, 'tail')")
+    small = [
+        p for p in engine._data_files("ac") if os.path.getsize(p) < 4096
+    ]
+    assert len(small) >= 2
+
+    e("set andb.auto_compact = 3")
+    e("insert into ac values (200003, 'tail')")  # crosses the threshold
+    small_after = [
+        p for p in engine._data_files("ac") if os.path.getsize(p) < 4096
+    ]
+    assert len(small_after) < len(small) + 1  # debt folded, not grown
+    assert _file_state(big_files) == big_state  # large files untouched
+    assert e("select count(1) as n from ac").rows == [(20003,)]
+    assert e(
+        "select a from ac where a > 200000 order by a"
+    ).rows == [(200001,), (200002,), (200003,)]
+
+    # below threshold again: the next append does NOT compact
+    n_files = len(engine._data_files("ac"))
+    e("insert into ac values (200004, 'tail')")
+    assert len(engine._data_files("ac")) > n_files
+
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="auto_compact"):
+        e("set andb.auto_compact = sometimes")
+
+
+def test_auto_compact_applies_to_multi_table_appends(engine, monkeypatch):
+    """The streaming-ingest commit path (_overwrite_all appends) honors
+    andb.auto_compact: repeated per-batch appends fold their small-file
+    debt once the threshold is crossed, keeping long-running ingests
+    from accumulating one file per micro-batch forever."""
+    e = engine.execute
+    e("create table st (a int)")
+    monkeypatch.setattr(type(engine), "OPTIMIZE_FILE_BYTES", 1 << 20)
+    e("set andb.auto_compact = 5")
+    spark = engine.spark
+    for i in range(8):
+        engine._overwrite_all(
+            appends={"st": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "cast(id as int) as a")}
+        )
+    # without compaction there would be >= 8 small files
+    assert len(engine._data_files("st")) < 8
+    assert e("select count(1) as n from st").rows == [(80,)]
+    assert e("select min(a) as lo, max(a) as hi from st").rows == [(0, 79)]
