@@ -169,3 +169,58 @@ def test_global_aggregate_view_incremental(engine):
         "incremental"
     )
     assert e("select * from mv").rows == [(3, 13, 10)]
+
+
+# ---------------------------------------------------------- fuzz arm --
+# Random append/update/delete/refresh interleavings: after every
+# REFRESH the view must equal the full recompute, whichever path
+# (incremental merge, full fallback, noop) the engine chose for each
+# individual refresh along the way.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=-50, max_value=50),
+)
+_OP = st.one_of(
+    st.tuples(st.just("insert"), st.lists(_ROW, min_size=1, max_size=5)),
+    st.tuples(
+        st.just("update"),
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(["a", "b", "c", "d"])),
+    st.tuples(st.just("refresh")),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=st.lists(_OP, min_size=1, max_size=5))
+def test_random_dml_refresh_interleaving_matches_full_recompute(
+    spark, tmp_path_factory, ops
+):
+    import tempfile
+
+    eng = AnalyticsEngine(
+        tempfile.mkdtemp(prefix="mvfuzz_"), spark=spark
+    )
+    e = eng.execute
+    _seed(e)
+    modes = set()
+    for op in ops:
+        if op[0] == "insert":
+            vals = ", ".join(f"('{g}', {v})" for g, v in op[1])
+            e(f"insert into base values {vals}")
+        elif op[0] == "update":
+            e(f"update base set v = {op[2]} where g = '{op[1]}'")
+        elif op[0] == "delete":
+            e(f"delete from base where g = '{op[1]}'")
+        else:
+            e("refresh materialized view mv")
+            modes.add(eng.catalog["tables"]["mv"]["matview_last_refresh"])
+            assert _mv_rows(e) == _full_rows(e)
+    e("refresh materialized view mv")
+    modes.add(eng.catalog["tables"]["mv"]["matview_last_refresh"])
+    assert _mv_rows(e) == _full_rows(e)
+    assert modes <= {"incremental", "full", "noop"}
