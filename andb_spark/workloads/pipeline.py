@@ -700,19 +700,17 @@ _BM25_TERMS = ("spark", "vector", "stream")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 documents for a fixed keyword query — the lexical
-    retrieval baseline every corpus pipeline needs next to its vector
-    search (`v_cosine_topk`). Plan shape: ONE shuffle-free scan stage
-    computes per-doc length + per-term tf via array filters (the query
-    term set is tiny and known, so no inverted index, no explode); a
-    one-row corpus-stats aggregate (N, avgdl, per-term df) broadcasts
-    back; scoring is pure Catalyst math; TakeOrdered returns the top
-    20. At 100 TB: scan + 1-row broadcast + top-k — no corpus-sized
-    shuffle anywhere. The reference has no text retrieval at all
-    (its only function is cosine_distance,
-    andb/catalog/buitin_functions.py:3-12); north-star surface."""
-    d = _docs(spark, sf_dir)
+def bm25_scores(d: DataFrame) -> DataFrame:
+    """Per-document BM25 score for the fixed ``_BM25_TERMS`` query —
+    the scoring stage shared by ``t_bm25_topk`` and the hybrid-fusion
+    retrieval (vectors.v_hybrid_rrf). Plan shape: ONE shuffle-free scan
+    stage computes per-doc length + per-term tf via array filters (the
+    query term set is tiny and known, so no inverted index, no
+    explode); a one-row corpus-stats aggregate (N, avgdl, per-term df)
+    broadcasts back; scoring is pure Catalyst math. At 100 TB: scan +
+    1-row broadcast — no corpus-sized shuffle anywhere. Returns
+    (doc_id, bm25) with bm25 rounded to 6 dp (the cross-engine
+    deterministic ordering key)."""
     toks = TX.tokens(F.lower(F.col("text")))
 
     def _tf(term: str) -> F.Column:
@@ -747,8 +745,19 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _BM25_K1
             * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
+    return joined.select("doc_id", F.round(score, 6).alias("bm25"))
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed keyword query — the lexical
+    retrieval baseline every corpus pipeline needs next to its vector
+    search (`v_cosine_topk`). Scoring plan: see ``bm25_scores``; the
+    top-k is a TakeOrdered, so the whole query is scan + 1-row
+    broadcast + top-k. The reference has no text retrieval at all (its
+    only function is cosine_distance,
+    andb/catalog/buitin_functions.py:3-12); north-star surface."""
     return (
-        joined.select("doc_id", F.round(score, 6).alias("bm25"))
+        bm25_scores(_docs(spark, sf_dir))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

@@ -246,8 +246,57 @@ def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    k=60) of the BM25 lexical ranking (pipeline.bm25_scores) and the
+    exact cosine vector ranking — the standard two-tower RAG retrieval
+    stack as one query. Plan shape: each tower is scan + 1-row
+    broadcast + TakeOrdered top-50 (the GLOBAL ranking work); the
+    unpartitioned row_number windows run over the two <= 50-row
+    candidate sets only, so the single-partition window is bounded at
+    any corpus size; fusion is a 50x50 full outer join. Ranks are
+    assigned over the 6-dp-rounded scores with id tie-breaks, making
+    the ranking — and therefore the fused order — deterministic across
+    engines. The reference's vector seed (cosine_distance,
+    buitin_functions.py:3-12) has no lexical side; north-star
+    surface."""
+    from pyspark.sql.window import Window
+
+    from andb_spark.workloads.pipeline import _docs, bm25_scores
+
+    lex50 = (
+        bm25_scores(_docs(spark, sf_dir))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+    emb = _emb(spark, sf_dir)
+    vec50 = SIM.cosine_topk(emb, _query_vec(emb, 0), k=50, exclude_id=0)
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    vecr = vec50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("r_vec"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_vec")), F.lit(0.0))
+    return (
+        lexr.join(vecr, "doc_id", "full")
+        .select("doc_id", "r_lex", "r_vec", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "v_cosine_topk": v_cosine_topk,
+    "v_hybrid_rrf": v_hybrid_rrf,
     "v_pairwise_near_dup": v_pairwise_near_dup,
     "v_semantic_dedup": v_semantic_dedup,
     "v_filtered_topk": v_filtered_topk,
@@ -268,7 +317,81 @@ _EXPAND = (
     " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
 )
 
+# BM25 scoring twin of pipeline.bm25_scores (same terms, k1=1.2,
+# b=0.75; tf*2.2 == tf*(k1+1)) — duplicated rather than imported so
+# each module's oracle block stays self-contained and readable.
+_BM25_CTE = """
+        w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, len(w) AS dl,
+                   len(list_filter(w, x -> x = 'spark'))  AS tf0,
+                   len(list_filter(w, x -> x = 'vector')) AS tf1,
+                   len(list_filter(w, x -> x = 'stream')) AS tf2
+            FROM w
+        ),
+        s AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM tf
+        ),
+        bm AS (
+            SELECT doc_id, round(
+                ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                  * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                  * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                  * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+              6) AS bm25
+            FROM tf, s
+        )
+"""
+
 ORACLES = {
+    "v_hybrid_rrf": f"""
+        WITH {_BM25_CTE},
+        lex AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS r_lex
+            FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)
+        ),
+        e AS ({_EXPAND}),
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        norms AS (
+            SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id
+        ),
+        dots AS (
+            SELECT e.vec_id, sum(e.v * q.v) AS dp
+            FROM e JOIN q USING (i) GROUP BY e.vec_id
+        ),
+        cs AS (
+            SELECT d.vec_id AS doc_id,
+                   round(d.dp / (n.nrm *
+                       (SELECT nrm FROM norms WHERE vec_id = 0)), 6)
+                       AS cos_sim
+            FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+            WHERE d.vec_id <> 0
+        ),
+        vec AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                        AS INTEGER) AS r_vec
+            FROM (SELECT * FROM cs ORDER BY cos_sim DESC, doc_id LIMIT 50)
+        )
+        SELECT doc_id, r_lex, r_vec,
+               round(coalesce(1.0 / (60.0 + r_lex), 0.0)
+                   + coalesce(1.0 / (60.0 + r_vec), 0.0), 6) AS rrf
+        FROM lex FULL JOIN vec USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
     "v_cosine_topk": f"""
         WITH e AS ({_EXPAND}),
         q AS (SELECT i, v FROM e WHERE vec_id = 0),

@@ -81,6 +81,7 @@ HEADLINE_R03 = (
     "u_matview_refresh",
     "c_catalog_tables",
     "d_lsh_recall_audit",
+    "v_hybrid_rrf",
 )
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03
