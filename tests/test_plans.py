@@ -310,3 +310,30 @@ def test_reuse_advisor_skips_streaming_and_records_errors(spark, sf_dir):
     # streaming name skipped silently (never invoked), failure recorded
     assert "s_stream_fake" not in report.errors
     assert "builder regression" in report.errors["q_bad"]
+
+
+def test_hybrid_rrf_towers_are_topk_and_windows_bounded(spark, sf_dir):
+    """v_hybrid_rrf's scale contract: the global ranking work happens
+    in TakeOrdered top-k towers; every window (rank assignment) runs
+    AFTER a limit, over <= 50-row candidate sets — there must be no
+    Window directly over the corpus-sized scan, and the 1-row BM25
+    stats side must broadcast."""
+    plan = final_plan(spark, sf_dir, "v_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # each Window sits above the 50-row candidate cut (TakeOrdered or
+    # GlobalLimit), never directly above a corpus-sized scan
+    for m in re.finditer(r"Window ", plan):
+        below = plan[m.start():]
+        lim = min(
+            x
+            for x in (
+                below.find("TakeOrderedAndProject"),
+                below.find("GlobalLimit"),
+            )
+            if x != -1
+        )
+        scan = below.find("FileScan")
+        assert scan == -1 or lim < scan, (
+            "Window not fed by a bounded candidate set:\n" + plan
+        )
