@@ -50,7 +50,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # §2.3 joins (left/right covered by full; cross by theta)
     "q_join_full",
     "q_join_semi",
-    "q_join_anti",
     # §2.5 sort / limit / top-k
     "q_sort_multi_key",
     "q_limit_offset",
@@ -60,9 +59,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_except",
     # §2.8 windows
     "q_window_funcs",
-    # §2.10 subqueries / CTE
+    # §2.10 subqueries / CTE (scalar/exists variants stay under the
+    # full local gate; q21's doubly-correlated EXISTS covers the
+    # family's hard case driver-side)
     "q_in_subquery",
-    "q_scalar_subquery",
     "q_cte",
     # TPC-H deep cuts (multi-way joins, correlated subqueries)
     "q7_volume_shipping",
@@ -87,15 +87,19 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "v_ivf_topk",
     "v_semantic_dedup",
     "v_knn_join",
+    # hybrid lexical+vector retrieval (RRF fusion of BM25 + cosine)
+    "v_hybrid_rrf",
     # multimodal: metadata plumbing (fake codec over text payloads) +
     # REAL encode→decode round trips graded pixel/sample-exact by the
     # oracle's closed forms (m_image_decode / m_audio_decode)
     "m_image_meta",
     "m_image_decode",
     "m_audio_decode",
-    # engine surface: DML write path (append + copy-on-write) and the
-    # SQL-selectable system catalog, both oracle-stated
+    # engine surface: DML write path (append + copy-on-write), the
+    # incremental matview refresh (fails unless the O(delta) path ran),
+    # and the SQL-selectable system catalog, all oracle-stated
     "u_dml_roundtrip",
+    "u_matview_refresh",
     "c_catalog_tables",
     # streaming (batch windows + real readStream)
     "s_tumbling",
