@@ -546,6 +546,10 @@ class AnalyticsEngine:
         count comes free from the parquet footers."""
         n = self._stage_version(name, df, base="current")
         self._commit_staged(name)
+        # order matters: refresh dependent matviews BEFORE compaction —
+        # compaction rewrites small files, which breaks the file-lineage
+        # continuity the incremental refresh needs
+        self._maybe_auto_refresh(name)
         self._maybe_auto_compact(name)
         return n
 
@@ -716,8 +720,9 @@ class AnalyticsEngine:
             shutil.rmtree(d, ignore_errors=True)
         for name in list(updates) + list(appends):
             self._view(name)
-        for name in appends:  # fold small-file debt from per-batch
-            self._maybe_auto_compact(name)  # appends (streaming ingest)
+        for name in appends:  # refresh-then-compact, as in _append
+            self._maybe_auto_refresh(name)
+            self._maybe_auto_compact(name)
         return counts
 
     def _schema(self, name: str) -> T.StructType:
@@ -916,6 +921,8 @@ class AnalyticsEngine:
 
             if value not in MODES:
                 raise EngineError(f"andb.ann_mode must be one of {MODES}")
+        if name == "andb.matview_autorefresh" and value not in ("on", "off"):
+            raise EngineError("andb.matview_autorefresh must be on or off")
         if name == "andb.auto_compact":
             if not re.fullmatch(r"\d+", value):
                 raise EngineError(
@@ -1476,6 +1483,9 @@ class AnalyticsEngine:
         sql = meta.get("matview_sql")
         if not sql:
             raise EngineError(f"{name} is not a materialized view")
+        return Result(effect_rows=self._do_refresh(name, meta, sql))
+
+    def _do_refresh(self, name: str, meta: dict, sql: str) -> int:
         n = self._incremental_refresh(name, meta, sql)
         if n is None:
             # Full re-run — always sound; re-anchor the seen-file set so
@@ -1486,7 +1496,25 @@ class AnalyticsEngine:
             self._commit_staged(
                 name, extra_meta={name: self._matview_anchor(meta, "full")}
             )
-        return Result(effect_rows=n)
+        return n
+
+    def _maybe_auto_refresh(self, base: str) -> None:
+        """Continuous-aggregate mode: with `SET andb.matview_autorefresh
+        = on`, an append into a base table immediately refreshes every
+        materialized view defined over it — O(delta) via
+        ``_incremental_refresh`` for self-maintainable views, so the
+        rollup tracks the table at per-batch cost (the batch-engine twin
+        of the streaming rollup's foreachBatch upsert). Skipped inside
+        an explicit transaction: the refresh would commit view state
+        derived from uncommitted base rows that ROLLBACK then revokes —
+        the post-COMMIT (or any later) REFRESH resynchronizes."""
+        if self._txn is not None:
+            return
+        if self.session_vars.get("andb.matview_autorefresh") != "on":
+            return
+        for mv, meta in list(self.catalog["tables"].items()):
+            if meta.get("matview_base") == base and meta.get("matview_sql"):
+                self._do_refresh(mv, meta, meta["matview_sql"])
 
     def _matview_anchor(self, meta: dict, mode: str) -> dict:
         """Metadata recorded at each REFRESH commit: the concrete base

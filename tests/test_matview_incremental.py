@@ -224,3 +224,37 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
     modes.add(eng.catalog["tables"]["mv"]["matview_last_refresh"])
     assert _mv_rows(e) == _full_rows(e)
     assert modes <= {"incremental", "full", "noop"}
+
+
+def test_autorefresh_tracks_appends_and_respects_transactions(engine):
+    """SET andb.matview_autorefresh = on: an INSERT into the base
+    refreshes dependent views immediately (incrementally), without an
+    explicit REFRESH; inside a transaction the refresh is deferred so
+    ROLLBACK cannot leave the view reflecting revoked rows."""
+    e = engine.execute
+    _seed(e)
+    e("set andb.matview_autorefresh = on")
+    e("insert into base values ('a', 10), ('c', 7)")
+    # no explicit REFRESH — the append did it
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == _full_rows(e)
+
+    # inside a transaction: view does NOT move until after COMMIT
+    before = _mv_rows(e)
+    e("begin")
+    e("insert into base values ('d', 99)")
+    assert _mv_rows(e) == before
+    e("rollback")
+    assert _mv_rows(e) == before
+    assert _mv_rows(e) == _full_rows(e)  # base was rolled back too
+
+    e("insert into base values ('d', 42)")
+    assert _mv_rows(e) == _full_rows(e)
+    assert any(r[0] == "d" for r in _mv_rows(e))
+
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="autorefresh"):
+        e("set andb.matview_autorefresh = maybe")
