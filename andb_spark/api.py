@@ -880,9 +880,17 @@ class AnalyticsEngine:
                 os.path.basename(d), None
             ) is not None:
                 stats_dirty = True
+        pending = list(dict.fromkeys(self._txn.get("refresh_pending", [])))
         self._txn = None
         if stats_dirty:
             self._save_catalog()
+        # Deferred autorefresh: the transaction's appends are durable
+        # now, so dependent matviews catch up (each refresh is its own
+        # committed versioned write; a crash between them leaves a view
+        # one REFRESH behind, never wrong).
+        for base in pending:
+            if base in self.catalog["tables"]:
+                self._maybe_auto_refresh(base)
         return Result()
 
     def _rollback(self) -> Result:
@@ -1107,16 +1115,23 @@ class AnalyticsEngine:
             effect_rows=n,
         )
 
-    def _compact_small(self, name: str) -> tuple[int, int]:
+    def _compact_small(
+        self, name: str, small: set[str] | None = None
+    ) -> tuple[int, int]:
         """Bin-pack this table's sub-target files into ~128 MB segments
         (OPTIMIZE's plain path, also the auto-compaction worker).
         Right-sized files are re-referenced verbatim, so I/O tracks the
-        small-file debt, not the table. Returns (files_packed,
-        files_written); (0, 0) when there is nothing to pack."""
-        files = self._data_files(name)
-        small = {
-            f for f in files if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES
-        }
+        small-file debt, not the table. ``small`` lets the caller pass
+        an already-computed sub-target set (the auto-compact threshold
+        check) so the file listing + stat pass runs once per append,
+        not twice. Returns (files_packed, files_written); (0, 0) when
+        there is nothing to pack."""
+        if small is None:
+            small = {
+                f
+                for f in self._data_files(name)
+                if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES
+            }
         if len(small) <= 1:  # nothing to pack
             return (0, 0)
         keep, affected = self._partition_entries(name, small)
@@ -1141,13 +1156,44 @@ class AnalyticsEngine:
         thr = int(self.session_vars.get("andb.auto_compact", "0") or 0)
         if thr <= 0:
             return
-        small = [
+        small = {
             f
             for f in self._data_files(name)
             if os.path.getsize(f) < self.OPTIMIZE_FILE_BYTES
-        ]
+        }
         if len(small) >= thr:
-            self._compact_small(name)
+            self._compact_small(name, small=small)
+            self._reanchor_current_matviews(name)
+
+    def _reanchor_current_matviews(self, base: str) -> None:
+        """Metadata-only repair of the compaction/matview interplay:
+        when autorefresh just brought this base's dependent views
+        current (same statement, no transaction — the exact conditions
+        under which _maybe_auto_refresh ran before this compaction),
+        the views reflect every base row and compaction changed only
+        the file layout, so repointing their seen-file anchors at the
+        post-compaction manifest is sound — and keeps the continuous
+        aggregate O(delta) across compaction events instead of forcing
+        a full O(base) refresh after each one."""
+        if (
+            self.session_vars.get("andb.matview_autorefresh") != "on"
+            or self._txn is not None
+        ):
+            return
+        cur = [
+            os.path.relpath(f, self.warehouse)
+            for f in self._data_files(base)
+        ]
+        dirty = False
+        for mv_meta in self.catalog["tables"].values():
+            if (
+                mv_meta.get("matview_base") == base
+                and "matview_seen" in mv_meta
+            ):
+                mv_meta["matview_seen"] = list(cur)
+                dirty = True
+        if dirty:
+            self._save_catalog()
 
     # ------------------------------------------------------- statements --
     _LIMIT_OFF_N = re.compile(r"\blimit\s+(\d+)\s*,\s*(\d+)\s*$", re.I)
@@ -1504,13 +1550,16 @@ class AnalyticsEngine:
         materialized view defined over it — O(delta) via
         ``_incremental_refresh`` for self-maintainable views, so the
         rollup tracks the table at per-batch cost (the batch-engine twin
-        of the streaming rollup's foreachBatch upsert). Skipped inside
-        an explicit transaction: the refresh would commit view state
-        derived from uncommitted base rows that ROLLBACK then revokes —
-        the post-COMMIT (or any later) REFRESH resynchronizes."""
-        if self._txn is not None:
-            return
+        of the streaming rollup's foreachBatch upsert). Inside an
+        explicit transaction the refresh is DEFERRED, not dropped: a
+        mid-transaction refresh would commit view state derived from
+        uncommitted base rows that ROLLBACK then revokes, so the
+        touched base is recorded and _commit replays the refresh once
+        the base rows are durable."""
         if self.session_vars.get("andb.matview_autorefresh") != "on":
+            return
+        if self._txn is not None:
+            self._txn.setdefault("refresh_pending", []).append(base)
             return
         for mv, meta in list(self.catalog["tables"].items()):
             if meta.get("matview_base") == base and meta.get("matview_sql"):
@@ -1669,6 +1718,15 @@ class AnalyticsEngine:
         name, add_col, add_type, drop_col, ren_from, ren_to = m.groups()
         meta = self._meta(name)
         cols = meta["columns"]
+        # A schema change under a dependent matview breaks the premise
+        # of lineage-based refresh ("files unchanged" no longer implies
+        # "view still correct/definable" — a metadata-only DROP COLUMN
+        # touches no file): drop the anchors so the next REFRESH takes
+        # the full path, which re-validates the defining query against
+        # the new schema (and raises if it no longer resolves).
+        for mv_meta in self.catalog["tables"].values():
+            if mv_meta.get("matview_base") == name:
+                mv_meta.pop("matview_seen", None)
         if add_col:
             if any(c["name"] == add_col for c in cols):
                 raise EngineError(f"column {add_col} already exists in {name}")
@@ -2293,6 +2351,16 @@ def _matview_plan(sql: str) -> dict | None:
     if re.search(
         r"\b(join|having|distinct|union|intersect|except|limit|over)\b"
         r"|order\s+by",
+        low,
+    ):
+        return None
+    # Time-dependent / non-deterministic expressions make "re-run the
+    # query over the delta" unsound: history rows were filtered with
+    # YESTERDAY's current_date (or one rand() draw) and would need
+    # re-evaluation, which only the full path does.
+    if re.search(
+        r"current_date|current_timestamp|\bnow\s*\(|\brand\s*\("
+        r"|\brandom\s*\(|\buuid\s*\(|unix_timestamp\s*\(\s*\)",
         low,
     ):
         return None

@@ -1206,6 +1206,44 @@ QUERIES = {
 }
 
 
+# BM25 oracle scoring as a reusable CTE bundle (w → tf → s → bm):
+# the DuckDB twin of ``bm25_scores`` (same terms, k1=1.2, b=0.75;
+# tf*2.2 == tf*(k1+1), 6-dp rounding). The ONE source of truth —
+# interpolated into the t_bm25_topk oracle here and the v_hybrid_rrf
+# oracle in vectors.py, so a formula change cannot silently diverge
+# between the lexical and hybrid retrieval rows.
+BM25_ORACLE_CTE = f"""
+        w AS (
+            SELECT doc_id, {_WORDS.format(col='lower(text)')} AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, len(w) AS dl,
+                   len(list_filter(w, x -> x = 'spark'))  AS tf0,
+                   len(list_filter(w, x -> x = 'vector')) AS tf1,
+                   len(list_filter(w, x -> x = 'stream')) AS tf2
+            FROM w
+        ),
+        s AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM tf
+        ),
+        bm AS (
+            SELECT doc_id, round(
+                ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                  * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                  * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                  * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+              6) AS bm25
+            FROM tf, s
+        )
+"""
+
 _FP = (
     "md5(array_to_string(list_sort(list_distinct("
     + _WORDS.format(col="lower(text)")
@@ -1806,33 +1844,8 @@ ORACLES = {
         ) t WHERE rn <= 3 ORDER BY doc_id, rank
     """,
     "t_bm25_topk": f"""
-        WITH w AS (
-            SELECT doc_id, {_WORDS.format(col='lower(text)')} AS w
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, len(w) AS dl,
-                   len(list_filter(w, x -> x = 'spark'))  AS tf0,
-                   len(list_filter(w, x -> x = 'vector')) AS tf1,
-                   len(list_filter(w, x -> x = 'stream')) AS tf2
-            FROM w
-        ),
-        s AS (
-            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
-                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-            FROM tf
-        )
-        SELECT doc_id, round(
-            ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
-              * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-          + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-              * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-          + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
-              * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-          6) AS bm25
-        FROM tf, s
+        WITH {BM25_ORACLE_CTE}
+        SELECT doc_id, bm25 FROM bm
         ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     "t_length_histogram": f"""

@@ -317,46 +317,14 @@ _EXPAND = (
     " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
 )
 
-# BM25 scoring twin of pipeline.bm25_scores (same terms, k1=1.2,
-# b=0.75; tf*2.2 == tf*(k1+1)) — duplicated rather than imported so
-# each module's oracle block stays self-contained and readable.
-_BM25_CTE = """
-        w AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x <> '') AS w
-            FROM documents
-        ),
-        tf AS (
-            SELECT doc_id, len(w) AS dl,
-                   len(list_filter(w, x -> x = 'spark'))  AS tf0,
-                   len(list_filter(w, x -> x = 'vector')) AS tf1,
-                   len(list_filter(w, x -> x = 'stream')) AS tf2
-            FROM w
-        ),
-        s AS (
-            SELECT count(*) AS n_docs, avg(dl) AS avgdl,
-                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-            FROM tf
-        ),
-        bm AS (
-            SELECT doc_id, round(
-                ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
-                  * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-              + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-                  * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-              + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
-                  * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-              6) AS bm25
-            FROM tf, s
-        )
-"""
+# The BM25 tower's oracle CTE is pipeline.BM25_ORACLE_CTE — one
+# source of truth shared with the t_bm25_topk oracle, so the lexical
+# and hybrid retrieval rows can never silently diverge.
+from andb_spark.workloads.pipeline import BM25_ORACLE_CTE  # noqa: E402
 
 ORACLES = {
     "v_hybrid_rrf": f"""
-        WITH {_BM25_CTE},
+        WITH {BM25_ORACLE_CTE},
         lex AS (
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)

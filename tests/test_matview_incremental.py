@@ -258,3 +258,73 @@ def test_autorefresh_tracks_appends_and_respects_transactions(engine):
 
     with pytest.raises(EngineError, match="autorefresh"):
         e("set andb.matview_autorefresh = maybe")
+
+
+def test_plan_parser_rejects_nondeterministic_expressions():
+    """Time-dependent / random expressions make delta-only re-runs
+    unsound (history rows were filtered with yesterday's current_date):
+    the parser must route them to the full path."""
+    for sql in (
+        "select g, count(*) as n from base where d >= current_date"
+        " group by g",
+        "select g, sum(v) as s from base where ts < current_timestamp"
+        " group by g",
+        "select g, count(*) as n from base where rand() < 0.5 group by g",
+        "select max(now()) as t from base",
+    ):
+        assert _matview_plan(sql) is None, sql
+
+
+def test_autorefresh_deferred_refresh_replays_at_commit(engine):
+    """An append inside BEGIN...COMMIT must refresh dependent views at
+    COMMIT time (deferred, not dropped)."""
+    e = engine.execute
+    _seed(e)
+    e("set andb.matview_autorefresh = on")
+    before = _mv_rows(e)
+    e("begin")
+    e("insert into base values ('d', 99)")
+    assert _mv_rows(e) == before  # not yet — rows are uncommitted
+    e("commit")
+    assert any(r[0] == "d" for r in _mv_rows(e))
+    assert _mv_rows(e) == _full_rows(e)
+
+
+def test_alter_base_invalidates_lineage_and_forces_full_refresh(engine):
+    """A metadata-only ALTER on the base changes no file, so the
+    lineage noop/incremental check alone would wrongly report the view
+    current; the ALTER must drop the anchor so REFRESH re-runs (and
+    re-validates) the defining query."""
+    e = engine.execute
+    _seed(e)
+    e("alter table base add column extra int")
+    assert "matview_seen" not in engine.catalog["tables"]["mv"]
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
+    assert _mv_rows(e) == _full_rows(e)
+
+    # dropping a column the view depends on: REFRESH must now raise
+    # rather than serve stale data built from the dropped column
+    e("alter table base drop column v")
+    with pytest.raises(Exception):
+        e("refresh materialized view mv")
+
+
+def test_auto_compact_reanchors_current_views(engine, monkeypatch):
+    """With autorefresh + auto_compact both on, a compaction event must
+    not demote the continuous aggregate to O(base): the post-compaction
+    re-anchor keeps the next refresh incremental."""
+    e = engine.execute
+    _seed(e)
+    monkeypatch.setattr(type(engine), "OPTIMIZE_FILE_BYTES", 4096)
+    e("set andb.matview_autorefresh = on")
+    e("set andb.auto_compact = 2")
+    for i in range(3):  # appends cross the threshold -> compaction runs
+        e(f"insert into base values ('a', {i + 20})")
+    assert _mv_rows(e) == _full_rows(e)
+    e("insert into base values ('b', 30)")
+    # the refresh after the compaction event stayed incremental
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == _full_rows(e)

@@ -326,14 +326,17 @@ def test_hybrid_rrf_towers_are_topk_and_windows_bounded(spark, sf_dir):
     for m in re.finditer(r"Window ", plan):
         below = plan[m.start():]
         lim = min(
-            x
-            for x in (
-                below.find("TakeOrderedAndProject"),
-                below.find("GlobalLimit"),
-            )
-            if x != -1
+            (
+                x
+                for x in (
+                    below.find("TakeOrderedAndProject"),
+                    below.find("GlobalLimit"),
+                )
+                if x != -1
+            ),
+            default=-1,
         )
         scan = below.find("FileScan")
-        assert scan == -1 or lim < scan, (
+        assert lim != -1 and (scan == -1 or lim < scan), (
             "Window not fed by a bounded candidate set:\n" + plan
         )
