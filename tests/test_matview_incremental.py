@@ -196,9 +196,13 @@ _OP = st.one_of(
 
 
 @settings(max_examples=8, deadline=None)
-@given(ops=st.lists(_OP, min_size=1, max_size=5))
+@given(
+    ops=st.lists(_OP, min_size=1, max_size=5),
+    autorefresh=st.booleans(),
+    compact_thr=st.sampled_from([0, 2, 4]),
+)
 def test_random_dml_refresh_interleaving_matches_full_recompute(
-    spark, tmp_path_factory, ops
+    spark, tmp_path_factory, ops, autorefresh, compact_thr
 ):
     import tempfile
 
@@ -207,6 +211,12 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
     )
     e = eng.execute
     _seed(e)
+    # random maintenance modes: the invariant must hold with eager
+    # per-append refresh and threshold compaction interleaved too
+    if autorefresh:
+        e("set andb.matview_autorefresh = on")
+    if compact_thr:
+        e(f"set andb.auto_compact = {compact_thr}")
     modes = set()
     for op in ops:
         if op[0] == "insert":
