@@ -2027,7 +2027,7 @@ class AnalyticsEngine:
         return Result(effect_rows=n_matched + n_inserted)
 
     def _copy(self, stmt: str) -> Result:
-        """COPY <table> TO|FROM '<path>' [FORMAT parquet|csv|json|orc]
+        """COPY <table> TO|FROM '<path>' [FORMAT parquet|csv|json|orc|text]
         — external export/import (Postgres COPY shape; the reference has
         no bulk I/O at all). FROM appends through the same
         cast-to-schema + constraint path as INSERT; TO exports the
@@ -2041,7 +2041,8 @@ class AnalyticsEngine:
         )
         if not m:
             raise EngineError(
-                "syntax: COPY table TO|FROM 'path' [FORMAT parquet|csv|json|orc]"
+                "syntax: COPY table TO|FROM 'path' "
+                "[FORMAT parquet|csv|json|orc|text]"
             )
         name, direction, path, fmt = (
             m.group(1),

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "csv", "json", "orc")
+FORMATS = ("parquet", "csv", "json", "orc", "text")
 
 _EXT = {
     ".parquet": "parquet",
@@ -35,6 +35,8 @@ _EXT = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".orc": "orc",
+    ".txt": "text",
+    ".text": "text",
 }
 
 
@@ -61,6 +63,8 @@ def read_source(
     fmt = (fmt or infer_format(path) or "parquet").lower()
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    if fmt == "text" and schema is not None:
+        _check_text_schema([(f.name, f.dataType) for f in schema.fields])
     reader = spark.read
     if fmt == "csv":
         reader = reader.option("header", options.pop("header", "true"))
@@ -85,12 +89,29 @@ def write_source(
     fmt = (fmt or infer_format(path) or "parquet").lower()
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; supported: {FORMATS}")
+    if fmt == "text":
+        _check_text_schema(df.dtypes)
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.format(fmt).save(path)
+
+
+def _check_text_schema(fields) -> None:
+    """The line-oriented ``text`` source carries exactly one string
+    column (one document/line per row — the rawest corpus ingest
+    format; still line-splittable, so 1000-executor parallel). Fail
+    fast with a clear message instead of Spark's late analysis error."""
+    if len(fields) != 1 or str(fields[0][1]).lower() not in (
+        "string",
+        "stringtype()",
+    ):
+        raise ValueError(
+            "text format requires exactly one string column, got "
+            + str([(n, str(t)) for n, t in fields])
+        )
 
 
 def read_binary_files(

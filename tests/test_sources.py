@@ -150,3 +150,46 @@ def test_binary_file_ingestion_feeds_multimodal(spark, tmp_path):
     }
     assert meta[42]["format"] == "bmp"
     assert (meta[42]["width"], meta[42]["height"]) == (3, 2)
+
+
+def test_text_format_round_trip(spark, tmp_path):
+    """Line-oriented text: one string column, one document per line —
+    the rawest corpus ingest format (still line-splittable)."""
+    from andb_spark.sources import read_source, write_source
+
+    df = spark.createDataFrame(
+        [("doc one",), ("doc two",), ("doc three",)], ["line"]
+    )
+    out = str(tmp_path / "corpus.txt")
+    write_source(df, out, "text")
+    back = read_source(spark, out)  # .txt extension infers text
+    assert back.columns == ["value"]
+    assert sorted(r[0] for r in back.collect()) == [
+        "doc one",
+        "doc three",
+        "doc two",
+    ]
+
+
+def test_text_format_rejects_multi_column(spark, tmp_path):
+    from andb_spark.sources import write_source
+
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    with pytest.raises(ValueError, match="one string column"):
+        write_source(df, str(tmp_path / "bad.txt"), "text")
+
+
+def test_copy_text_round_trip(spark, tmp_path):
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    e = eng.execute
+    e("create table lines (value text)")
+    e("insert into lines values ('alpha'), ('beta')")
+    out = str(tmp_path / "export.txt")
+    e(f"copy lines to '{out}' format text")
+    e("create table lines2 (value text)")
+    e(f"copy lines2 from '{out}' format text")
+    assert sorted(
+        r[0] for r in e("select value from lines2").rows
+    ) == ["alpha", "beta"]
