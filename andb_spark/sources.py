@@ -40,10 +40,25 @@ _EXT = {
 }
 
 
+# Compression suffixes Spark's text-based sources decompress
+# transparently (per-file codec from the extension). Scale note: gzip
+# is NOT splittable — a .csv.gz is one task no matter its size; zstd/
+# bzip2 likewise arrive whole-file for csv/json/text. Fine for many
+# medium ingest files, wrong for one giant archive — COPY FROM lands
+# them in managed parquet either way.
+_COMPRESSION_EXTS = (".gz", ".gzip", ".bz2", ".zst", ".zstd", ".snappy")
+
+
 def infer_format(path: str) -> str | None:
     """Format from file extension; None when unrecognized (dirs with no
-    extension default to parquet at the call site)."""
-    return _EXT.get(os.path.splitext(path.rstrip("/"))[1].lower())
+    extension default to parquet at the call site). Compression
+    suffixes are stripped first, so `corpus.jsonl.gz` infers json, not
+    nothing."""
+    base = path.rstrip("/")
+    root, ext = os.path.splitext(base)
+    if ext.lower() in _COMPRESSION_EXTS:
+        root, ext = os.path.splitext(root)
+    return _EXT.get(ext.lower())
 
 
 def read_source(

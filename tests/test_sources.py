@@ -193,3 +193,28 @@ def test_copy_text_round_trip(spark, tmp_path):
     assert sorted(
         r[0] for r in e("select value from lines2").rows
     ) == ["alpha", "beta"]
+
+
+def test_compressed_ingest_round_trip(spark, tmp_path):
+    """Spark's text-based sources decompress .gz transparently; the
+    format must be inferred from the REAL extension under the
+    compression suffix (corpus.jsonl.gz -> json). Not splittable —
+    ingest-only, as documented."""
+    import gzip
+
+    from andb_spark.sources import infer_format, read_source
+
+    assert infer_format("a/corpus.jsonl.gz") == "json"
+    assert infer_format("a/lines.txt.zst") == "text"
+    assert infer_format("a/data.csv.bz2") == "csv"
+    assert infer_format("a/plain.parquet") == "parquet"
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 1, "text": "alpha"}\n')
+        f.write('{"doc_id": 2, "text": "beta"}\n')
+    df = read_source(spark, str(p))
+    assert sorted((r["doc_id"], r["text"]) for r in df.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
