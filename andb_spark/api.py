@@ -276,6 +276,22 @@ class AnalyticsEngine:
             if os.path.exists(self._catalog_path)
             else {"tables": {}, "indexes": {}}
         )
+        # Crash recovery for transactions: BEGIN persists its catalog
+        # snapshot next to the catalog (the durable undo record). A
+        # marker still present here means the process died inside a
+        # transaction whose statements had already advanced the durable
+        # catalog — restore the snapshot (= ROLLBACK), honoring the
+        # all-or-nothing contract across crashes, not just errors.
+        # Version dirs the dead transaction wrote become unreferenced
+        # orphans; VACUUM sweeps them.
+        self._txn_snap_path = self._catalog_path + ".txn"
+        if os.path.exists(self._txn_snap_path):
+            self.catalog = json.load(open(self._txn_snap_path))
+            tmp = self._catalog_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.catalog, f, indent=1)
+            os.replace(tmp, self._catalog_path)
+            os.remove(self._txn_snap_path)
         # Active transaction state (BEGIN..COMMIT/ROLLBACK): a snapshot
         # of the catalog plus the version dirs created/superseded since
         # BEGIN. Table data is versioned directories, so rollback is a
@@ -864,6 +880,15 @@ class AnalyticsEngine:
             "created": [],      # version dirs written since BEGIN
             "superseded": [],   # version dirs replaced since BEGIN
         }
+        # Durable undo record: statements inside the transaction save
+        # the catalog as they commit (their staged writes must survive
+        # their own crash windows), so abort-on-crash needs the
+        # pre-transaction catalog ON DISK, not just in memory — see
+        # __init__'s recovery path.
+        tmp = self._txn_snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._txn["catalog"], f, indent=1)
+        os.replace(tmp, self._txn_snap_path)
         return Result()
 
     def _commit(self) -> Result:
@@ -871,8 +896,24 @@ class AnalyticsEngine:
         (and drop their zone-map stats from the catalog)."""
         if self._txn is None:
             raise EngineError("no transaction in progress")
+        # THE commit point across crashes: the durable catalog already
+        # holds every statement's state; deleting the undo record makes
+        # it final (a crash after this line replays as committed, before
+        # it as rolled back). Cleanup below is non-semantic.
+        if os.path.exists(self._txn_snap_path):
+            os.remove(self._txn_snap_path)
         stats_dirty = False
+        # DROP-then-reCREATE guard: DROP TABLE inside the txn queued the
+        # whole table base dir; if a table of that name exists again at
+        # COMMIT, its new segments live under the same dir — deleting it
+        # would destroy committed data. Skip it (the old incarnation's
+        # version dirs become VACUUM-able orphans instead).
+        live_bases = {
+            os.path.join(self.warehouse, t) for t in self.catalog["tables"]
+        }
         for d in self._txn["superseded"]:
+            if d in live_bases:
+                continue
             shutil.rmtree(d, ignore_errors=True)
             tname = os.path.basename(os.path.dirname(d))
             tmeta = self.catalog["tables"].get(tname)
@@ -916,6 +957,10 @@ class AnalyticsEngine:
             if os.path.exists(self._table_dir(name)):
                 self._view(name)
         self._txn = None
+        # undo record last: a crash mid-rollback re-runs the (idempotent)
+        # snapshot restore at next startup
+        if os.path.exists(self._txn_snap_path):
+            os.remove(self._txn_snap_path)
         return Result()
 
     # --------------------------------------------- vars / stats / ANALYZE --
@@ -1254,6 +1299,12 @@ class AnalyticsEngine:
         if not m or m.group(1) not in self.catalog["tables"]:
             return None
         name = m.group(1)
+        # The swap rebinds the table NAME for the whole statement, so
+        # any second reference (a scalar subquery in the SELECT list,
+        # a self-reference in ORDER BY) would silently read the pruned
+        # subset. Prune only when the name occurs exactly once.
+        if len(re.findall(rf"\b{re.escape(name)}\b", stmt)) != 1:
+            return None
         cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
         meta = self._meta(name)
         if not _zone_intervals(cond_text) or not meta.get("segment_stats"):
@@ -1286,7 +1337,15 @@ class AnalyticsEngine:
         def _version_view(m: re.Match) -> str:
             name, vnum = m.group(1), int(m.group(2))
             view = f"{name}__v{vnum}"
-            self.spark.read.parquet(
+            # The CURRENT declared schema drives historical reads too,
+            # exactly like _read_table: after a metadata-only DROP
+            # COLUMN, time travel to the same version number must not
+            # resurrect the dropped column's bytes.
+            reader = self.spark.read
+            meta = self.catalog["tables"].get(name)
+            if meta and meta.get("columns"):
+                reader = reader.schema(self._schema(name))
+            reader.parquet(
                 *self._resolve_version(name, vnum)
             ).createOrReplaceTempView(view)
             return view
@@ -1747,7 +1806,11 @@ class AnalyticsEngine:
                         "notnull": False,
                     }
                 )
-                self._save_catalog()
+                # No separate catalog save: the overwrite's commit
+                # persists the new column AND the scrubbed files in ONE
+                # atomic save — a crash before it leaves the old schema
+                # over the old files, never the new column over
+                # unscrubbed residue.
                 self._overwrite(name, df)
                 return Result()
             # Metadata-only: no data file is touched — the declared
@@ -1784,7 +1847,8 @@ class AnalyticsEngine:
             raise EngineError(f"column {ren_to} already exists in {name}")
         df = self._read_table(name).withColumnRenamed(ren_from, ren_to)
         target["name"] = ren_to
-        self._save_catalog()
+        # single atomic save inside the overwrite commit (see ADD-after-
+        # DROP above): renamed schema + renamed files land together
         self._overwrite(name, df)
         return Result()
 
@@ -1857,12 +1921,19 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse INSERT: {stmt!r}")
         name = m.group(1)
+        self._writable_meta(name)  # matviews reject INSERT like DELETE
         collist = (
             [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
         tail = m.group(4)
         schema = self._schema(name)
         target_cols = [f.name for f in schema.fields]
+        if collist:
+            bad = [c for c in collist if c not in target_cols]
+            if bad:  # a typo would otherwise insert an all-NULL row
+                raise EngineError(
+                    f"INSERT column(s) {bad} not in {name} ({target_cols})"
+                )
         if re.match(r"values", tail, re.I):
             values_sql = "SELECT * FROM " + tail  # VALUES (...) , (...)
             src = self.spark.sql(values_sql)
@@ -1882,10 +1953,11 @@ class AnalyticsEngine:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         src = self._enforce_constraints(name, src)
-        n = src.count()
         # O(batch): only the inserted rows hit disk; every existing file
-        # is re-referenced by the new manifest, never rewritten.
-        self._append(name, src)
+        # is re-referenced by the new manifest, never rewritten. The row
+        # count comes free from the written parquet footers — no extra
+        # execution of the source query.
+        n = self._append(name, src)
         return Result(effect_rows=n)
 
     _MERGE_RE = re.compile(
@@ -1923,6 +1995,7 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse MERGE statement: {stmt}")
         target, source = m.group("target"), m.group("source")
+        self._writable_meta(target)  # matviews reject MERGE like DELETE
         cond = m.group("cond").strip()
         schema = self._schema(target)
         tcols = [f.name for f in schema.fields]
@@ -1953,7 +2026,26 @@ class AnalyticsEngine:
                 update_set = {}
                 for part in _split_top_level(um.group(1)):
                     k, v = part.split("=", 1)
-                    update_set[k.strip().split(".")[-1]] = v.strip()
+                    k = k.strip().split(".")[-1]
+                    if k not in tcols:
+                        raise EngineError(
+                            f"MERGE SET column {k} not in {target}"
+                        )
+                    update_set[k] = v.strip()
+        if update_set and matched_delete:
+            # This engine's matched clauses are unconditional, so both
+            # together are ambiguous (which rows update vs delete?) —
+            # refuse rather than silently letting DELETE win.
+            raise EngineError(
+                "MERGE cannot combine WHEN MATCHED UPDATE and WHEN "
+                "MATCHED DELETE (matched clauses are unconditional)"
+            )
+        if insert_cols:
+            bad = [c for c in insert_cols if c not in tcols]
+            if bad:
+                raise EngineError(
+                    f"MERGE INSERT column(s) {bad} not in {target} ({tcols})"
+                )
 
         t = self.spark.table(target).alias(target)
         s = self.spark.table(source).alias(source)
@@ -2058,6 +2150,7 @@ class AnalyticsEngine:
             except ValueError as e:
                 raise EngineError(str(e)) from e
             return Result(effect_rows=df.count())
+        self._writable_meta(name)  # matviews reject COPY FROM like DELETE
         try:
             src = read_source(self.spark, path, fmt, schema=schema)
         except ValueError as e:
@@ -2066,8 +2159,8 @@ class AnalyticsEngine:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         src = self._enforce_constraints(name, src)
-        n = src.count()
-        self._append(name, src)  # bulk import = file append, O(batch)
+        # bulk import = file append, O(batch); count from the footers
+        n = self._append(name, src)
         return Result(effect_rows=n)
 
     def _cow_split(
@@ -2309,9 +2402,15 @@ class AnalyticsEngine:
             df = self._read_files(name, affected)
         else:
             df = self._read_table(name)
-            n_hit = df.count()
-            keep = None  # full rewrite
+            n_hit = None  # full rewrite touches every row; count comes
+            keep = None  # free from the rewrite's parquet footers
         schema = self._schema(name)
+        # SQL UPDATE assigns SIMULTANEOUSLY: every SET expression reads
+        # the row's OLD values (`SET a = b, b = a` swaps). One select
+        # over the original frame gives exactly that; chained
+        # withColumn calls would let later assignments see earlier
+        # assignments' new values.
+        assigned: dict[str, F.Column] = {}
         for assign in _split_top_level(setlist):
             col, _, val = assign.partition("=")
             col = col.strip()
@@ -2320,15 +2419,19 @@ class AnalyticsEngine:
             )
             if target is None:
                 raise EngineError(f"column {col} not in {name}")
-            df = df.withColumn(
-                col,
-                F.when(condition, F.expr(val.strip()).cast(target.dataType))
-                .otherwise(F.col(col)),
-            )
+            assigned[col] = F.when(
+                condition, F.expr(val.strip()).cast(target.dataType)
+            ).otherwise(F.col(col))
+        df = df.select(
+            *[
+                assigned.get(f.name, F.col(f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
         df = self._enforce_constraints(name, df)
-        self._stage_version(name, df, base=keep)
+        n = self._stage_version(name, df, base=keep)
         self._commit_staged(name)
-        return Result(effect_rows=n_hit)
+        return Result(effect_rows=n_hit if n_hit is not None else n)
 
 
 def _matview_plan(sql: str) -> dict | None:
