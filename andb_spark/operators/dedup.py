@@ -161,6 +161,18 @@ def lsh_bands(
     """Fold per-doc signatures into LSH band rows: (id, band, band_sig).
     band_sig = md5 of the band's min-hashes concatenated in h order.
     Still per-row (a small explode of num_bands elements per doc)."""
+    if not 1 <= rows_per_band <= num_hashes:
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must be in [1, num_hashes="
+            f"{num_hashes}] — larger values would yield ZERO bands and"
+            " silently report no duplicates"
+        )
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands of"
+            f" rows_per_band={rows_per_band} — a remainder would silently"
+            " discard hash slots and weaken recall"
+        )
     num_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -407,9 +419,15 @@ def incremental_minhash_pairs(
         # DataFrame stays execution-free, so EXPLAIN / the reuse
         # advisor can invoke this builder without running jobs.
         cands = _persist_tracked(cands)
+    # id is document IDENTITY: if an id somehow appears on both sides
+    # (a re-delivered doc with edited text that slipped past the exact
+    # screen), keeping both rows would merge two texts' shingles under
+    # one id and corrupt every Jaccard involving it. The NEW row
+    # represents the id in verification; self-pairs are dropped.
+    cands = cands.filter(F.col("id_a") != F.col("id_b"))
     hist_hit = history_df.join(
         cands.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
-    )
+    ).join(new_df.select(id_col), id_col, "left_anti")
     verify_input = hist_hit.unionByName(new_df)
     shingle_df = None
     if materialize:
@@ -461,7 +479,10 @@ def repeated_passages(
     the first occurrence is the min of a zero-padded sortable
     ``doc:idx`` string, a total order both engines agree on."""
     c = passage_chunks(df, text_col, id_col, k)
-    key = F.format_string("%012d:%06d", F.col(id_col), F.col("chunk_idx"))
+    # %020d covers the full bigint range (19 digits + sign headroom):
+    # multimodal ingest derives doc_ids up to ~9.2e18 from path hashes,
+    # which a 12-digit pad would order lexicographically wrong
+    key = F.format_string("%020d:%09d", F.col(id_col), F.col("chunk_idx"))
     agg = (
         c.groupBy("chunk_hash")
         .agg(
@@ -629,6 +650,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means some
+        # components are SPLIT (nodes past hop max_iter keep stale
+        # labels) — silently returning them would leave near-dups in a
+        # "deduplicated" corpus. Fail loudly; pathological long-chain
+        # graphs need a larger max_iter (cost is O(diameter) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iter for long-chain duplicate graphs"
+        )
     return labels
 
 
@@ -637,8 +669,15 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     is the sign of sum over tokens of (bit j of md5(token) ? +1 : -1).
     Uses the first `bits` bits (hex chars left-to-right, high nibble
     first); identical integer math is expressible in the DuckDB oracle.
+
+    ``bits`` caps at 60: the fingerprint fold multiplies by
+    pow(2.0, bits-1-j) cast to bigint — exact for any power of two up
+    to 2^59 (powers of two are exact doubles and fit signed 64-bit);
+    bits=64 would need 2^63, which overflows the cast (an ANSI-mode
+    runtime error), and a sign-bit fingerprint would break the
+    nonneg-division band math in ``simhash_pairs``.
     """
-    assert bits % 4 == 0 and bits <= 64
+    assert bits % 4 == 0 and bits <= 60
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("th", F.md5(F.col("tok")))
@@ -711,10 +750,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (
-                            (F.col("simhash") / F.lit(16 ** b)).cast("bigint")
-                            % 16
-                        ).alias("band_val"),
+                        # integer shift, not double division: / loses
+                        # low-order bits past 2^53 fingerprints
+                        F.shiftrightunsigned(
+                            F.col("simhash"), 4 * b
+                        ).bitwiseAND(F.lit(15)).alias("band_val"),
                     )
                     for b in range(n_bands)
                 ]

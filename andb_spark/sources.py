@@ -161,11 +161,17 @@ def read_binary_files(
     name_digits = F.regexp_extract(
         F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)", 1
     )
+    # ANSI-safe: try_cast so a digit run too long for bigint (20-digit
+    # timestamp names) falls through to the hash instead of raising;
+    # pmod (not abs) because abs(Long.MIN_VALUE) raises in ANSI mode.
+    path_hash = F.pmod(F.xxhash64(F.col("path")), F.lit(1 << 62))
     doc_id = (
-        F.when(name_digits != "", name_digits.cast("bigint"))
-        .otherwise(F.abs(F.xxhash64(F.col("path"))))
+        F.coalesce(
+            F.when(name_digits != "", name_digits.try_cast("bigint")),
+            path_hash,
+        )
         if id_from_name
-        else F.abs(F.xxhash64(F.col("path")))
+        else path_hash
     )
     return df.select(
         doc_id.alias("doc_id"),

@@ -49,6 +49,42 @@ from pyspark.sql import functions as F
 from andb_spark.operators import dedup as DD
 
 
+def _stream_sid(checkpoint_dir: str) -> str:
+    """Identity of a streaming query = its checkpoint location (the
+    thing whose batch ids are monotonic). The exactly-once mark must be
+    keyed on it: a FRESH checkpoint restarts batch ids at 0, and a bare
+    integer mark would then classify every new batch as a replay and
+    silently drop data until the old high-water mark is passed (the
+    Delta txnAppId pattern)."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
+def _already_applied(meta: dict, checkpoint_dir: str, batch_id: int) -> bool:
+    mark = meta.get("last_stream_batch")
+    if isinstance(mark, dict):
+        return (
+            mark.get("sid") == _stream_sid(checkpoint_dir)
+            and mark.get("batch", -1) >= batch_id
+        )
+    if mark is not None:  # legacy integer mark (pre-sid catalogs)
+        return mark >= batch_id
+    return False
+
+
+def _batch_mark(checkpoint_dir: str, batch_id: int) -> dict:
+    return {
+        "last_stream_batch": {
+            "sid": _stream_sid(checkpoint_dir),
+            "batch": batch_id,
+        }
+    }
+
+
 def _cast_to(df: DataFrame, like: DataFrame) -> DataFrame:
     """Project + cast ``df`` to ``like``'s exact schema — the append
     path's replacement for the type check a unionByName used to do."""
@@ -69,7 +105,13 @@ def _survivors_of_batch(
     threshold: float,
 ) -> DataFrame:
     """The batch's accepted documents, with a ``text_hash`` column."""
-    hashed = batch_df.withColumn("text_hash", F.md5(F.col(text_col)))
+    # 0. physical-row dedup: at-least-once upstream delivery can put
+    # the SAME row (same id, same text) in one trigger twice; the
+    # min-id semi join below keeps both copies of an identical row, so
+    # collapse per-id first (one row per doc identity, first wins).
+    hashed = batch_df.dropDuplicates([id_col]).withColumn(
+        "text_hash", F.md5(F.col(text_col))
+    )
 
     # 1. in-batch exact dedup: min id per content hash.
     keep = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
@@ -90,6 +132,10 @@ def _survivors_of_batch(
         rows_per_band=rows_per_band,
         threshold=threshold,
         history_bands=bands_df,
+        # cap corpus passes: lazily composed, the verify stage would
+        # re-scan the growing bands/clean tables several times PER
+        # BATCH — the sink releases the caches after each commit
+        materialize=True,
     ).select(F.col("id_b").alias(id_col)).distinct()
     batch_u = batch_u.join(near_hist, id_col, "left_anti")
 
@@ -97,7 +143,7 @@ def _survivors_of_batch(
     pairs = DD.minhash_lsh_pairs(
         batch_u, text_col, id_col,
         num_hashes=num_hashes, rows_per_band=rows_per_band,
-        threshold=threshold,
+        threshold=threshold, materialize=True,
     )
     removed = (
         DD.connected_components(pairs.select("id_a", "id_b"))
@@ -135,7 +181,7 @@ def stream_dedup_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = engine.catalog["tables"][clean_table]
-        if meta.get("last_stream_batch", -1) >= batch_id:
+        if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
         clean_df = engine._read_table(clean_table)
         bands_df = engine._read_table(bands_table)
@@ -164,8 +210,11 @@ def stream_dedup_ingest(
         # accumulated corpus.
         engine._overwrite_all(
             appends={clean_table: surv, bands_table: new_bands},
-            extra_meta={clean_table: {"last_stream_batch": batch_id}},
+            extra_meta={clean_table: _batch_mark(checkpoint_dir, batch_id)},
         )
+        # this batch's materialize=True caches are consumed — release
+        # before the next batch re-persists against the grown history
+        DD.release_caches()
 
     q = (
         stream.writeStream.outputMode("append")
@@ -215,7 +264,7 @@ def stream_ivf_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = engine.catalog["tables"][assign_table]
-        if meta.get("last_stream_batch", -1) >= batch_id:
+        if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
         current = engine._read_table(assign_table)
         assigned = _cast_to(
@@ -227,7 +276,7 @@ def stream_ivf_ingest(
         # write; the accumulated assignment table is re-referenced.
         engine._overwrite_all(
             appends={assign_table: assigned},
-            extra_meta={assign_table: {"last_stream_batch": batch_id}},
+            extra_meta={assign_table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
     q = (
@@ -268,7 +317,6 @@ def stream_multimodal_ingest(
     k-bytes of decoded metadata do (the binaryFile reader prunes the
     content column for downstream metadata-only readers)."""
     from andb_spark.operators.multimodal import extract_image_meta
-    from andb_spark.sources import read_binary_files
 
     # Schema must be fixed for readStream: take it from a batch read of
     # the same source (cheap — listing + footer only).
@@ -282,17 +330,21 @@ def stream_multimodal_ingest(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = engine.catalog["tables"][meta_table]
-        if meta.get("last_stream_batch", -1) >= batch_id:
+        if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
         from pyspark.sql import functions as SF
 
         name_digits = SF.regexp_extract(
             SF.element_at(SF.split(SF.col("path"), "/"), -1), r"(\d+)", 1
         )
+        # ANSI-safe id derivation: try_cast (a 20-digit timestamp name
+        # must fall through to the hash, not throw and kill the query)
+        # and pmod instead of abs (abs(Long.MIN_VALUE) raises in ANSI).
         binary_df = batch_df.select(
-            SF.when(name_digits != "", name_digits.cast("bigint"))
-            .otherwise(SF.abs(SF.xxhash64(SF.col("path"))))
-            .alias("doc_id"),
+            SF.coalesce(
+                SF.when(name_digits != "", name_digits.try_cast("bigint")),
+                SF.pmod(SF.xxhash64(SF.col("path")), SF.lit(1 << 62)),
+            ).alias("doc_id"),
             SF.col("length").alias("n_bytes"),
             SF.col("content").alias("payload"),
             SF.col("path"),
@@ -319,7 +371,7 @@ def stream_multimodal_ingest(
         # the only write; prior batches' metadata is re-referenced.
         engine._overwrite_all(
             appends={meta_table: fresh},
-            extra_meta={meta_table: {"last_stream_batch": batch_id}},
+            extra_meta={meta_table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
     q = (

@@ -1716,9 +1716,9 @@ ORACLES = {
         SELECT chunk_hash,
                count(DISTINCT doc_id) AS n_docs,
                count(*) AS n_occurrences,
-               CAST(split_part(min(printf('%012d:%06d', doc_id, chunk_idx)),
+               CAST(split_part(min(printf('%020d:%09d', doc_id, chunk_idx)),
                                ':', 1) AS BIGINT) AS first_doc,
-               CAST(split_part(min(printf('%012d:%06d', doc_id, chunk_idx)),
+               CAST(split_part(min(printf('%020d:%09d', doc_id, chunk_idx)),
                                ':', 2) AS INT) AS first_idx
         FROM c GROUP BY chunk_hash HAVING count(*) >= 2
         ORDER BY chunk_hash

@@ -817,3 +817,56 @@ def test_pq_codes_and_recall(spark, sf_dir):
     exact = {r["vec_id"] for r in SIM.cosine_topk(
         emb, q, k=10, exclude_id=0).collect()}
     assert len(got & exact) / 10 >= 0.7, (got, exact)
+
+
+def test_lsh_bands_rejects_degenerate_band_shapes(spark):
+    from andb_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="ZERO bands"):
+        DD.minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=8, rows_per_band=16
+        )
+    with pytest.raises(ValueError, match="discard hash slots"):
+        DD.minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=8, rows_per_band=3
+        )
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A 12-node chain has diameter 11; max_iter=3 cannot converge and
+    must FAIL rather than silently return split components."""
+    from andb_spark.operators import dedup as DD
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(edges, max_iter=3)
+    # with enough rounds the same chain resolves to one component
+    labels = DD.connected_components(edges, max_iter=15)
+    assert {r["component_id"] for r in labels.collect()} == {0}
+
+
+def test_simhash_large_bit_fingerprints_are_exact(spark):
+    """bits=56 fingerprints exceed double's 2^53 mantissa: the band
+    extraction must be integer-exact (a near-identical pair is found;
+    identical docs band together in every band)."""
+    from andb_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = DD.simhash_pairs(
+        df, "text", "doc_id", bits=56, max_hamming=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (1, 2, 0)
+    ]
+    with pytest.raises(AssertionError):
+        DD.simhash(df, "text", "doc_id", bits=64)  # > 60 unsupported

@@ -308,3 +308,25 @@ def test_stream_multimodal_ingest_real_decode(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert (rows[3]["width"], rows[3]["height"]) == (2, 2)
     assert eng.catalog["tables"]["img_meta"]["vnum"] > v
+
+
+def test_stream_mark_is_keyed_on_checkpoint_identity():
+    """A FRESH checkpoint restarts batch ids at 0; the exactly-once
+    mark must not classify those as replays (that would silently drop
+    every new batch until the old high-water mark was passed)."""
+    from andb_spark.streaming.dedup_ingest import (
+        _already_applied,
+        _batch_mark,
+    )
+
+    mark = _batch_mark("/tmp/ckpt_a", 41)["last_stream_batch"]
+    meta = {"last_stream_batch": mark}
+    assert _already_applied(meta, "/tmp/ckpt_a", 41)       # replay
+    assert _already_applied(meta, "/tmp/ckpt_a", 40)       # older replay
+    assert not _already_applied(meta, "/tmp/ckpt_a", 42)   # new batch
+    # different checkpoint = different stream identity: batch 0 is NEW
+    assert not _already_applied(meta, "/tmp/ckpt_b", 0)
+    # legacy integer marks (pre-sid catalogs) keep their old meaning
+    assert _already_applied({"last_stream_batch": 5}, "/tmp/x", 3)
+    assert not _already_applied({"last_stream_batch": 5}, "/tmp/x", 6)
+    assert not _already_applied({}, "/tmp/x", 0)
