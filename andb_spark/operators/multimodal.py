@@ -226,8 +226,13 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         samples = samples.reshape(-1, 1)
     channels = samples.shape[1]
     if samples.dtype != np.int16:
-        samples = np.floor(
-            samples.astype(np.float64) * 32767 + 0.5
+        # clip BEFORE the cast: an out-of-range float (un-normalized
+        # gain) must saturate like every real PCM encoder, not wrap a
+        # loud positive peak into a large negative sample
+        samples = np.clip(
+            np.floor(samples.astype(np.float64) * 32767 + 0.5),
+            -32768,
+            32767,
         ).astype(np.int16)
     data = samples.tobytes()
     block_align = channels * 2
@@ -325,6 +330,21 @@ def decode_audio(data: bytes, fake: bool = False) -> tuple[str, int, int, int]:
     return "wav", sample_rate, channels, n_frames * 1000 // sample_rate
 
 
+def wav_frame_count(data: bytes) -> int:
+    """Exact PCM frame count of a WAV payload (data bytes / frame
+    stride). The metadata stage needs this DIRECTLY: reconstructing it
+    as duration_ms * rate // 1000 double-truncates (duration_ms is
+    already floored) and undercounts — 100 frames @ 44100 Hz would
+    report 88."""
+    chunks = _wav_chunks(data)
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("WAV missing fmt/data chunks")
+    off, _ = chunks[b"fmt "]
+    _, _, _, _, block_align, _ = struct.unpack_from("<HHIIHH", data, off)
+    _, dsize = chunks[b"data"]
+    return dsize // block_align if block_align else 0
+
+
 def decode_audio_samples(data: bytes) -> tuple[np.ndarray, int]:
     """Full sample decode → (float32 array of shape (frames, channels)
     scaled to [-1, 1], sample_rate). REAL for PCM 8/16-bit WAV."""
@@ -361,6 +381,14 @@ def extract_audio_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
             metas = [decode_audio(b, fake=fake) for b in pdf["payload"]]
             duration = [m[3] for m in metas]
             rate = [m[1] for m in metas]
+            # fake payloads only HAVE a duration (derive samples from
+            # it, matching the oracle's closed form); real WAVs count
+            # frames exactly — duration_ms*rate//1000 double-truncates
+            n_samples = (
+                [dm * r // 1000 for dm, r in zip(duration, rate)]
+                if fake
+                else [wav_frame_count(b) for b in pdf["payload"]]
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -369,9 +397,7 @@ def extract_audio_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
                     "sample_rate": rate,
                     "channels": [m[2] for m in metas],
                     "duration_ms": duration,
-                    "n_samples": [
-                        dm * r // 1000 for dm, r in zip(duration, rate)
-                    ],
+                    "n_samples": n_samples,
                 }
             )
 
@@ -393,9 +419,15 @@ def resize_images(meta_df: DataFrame, max_side: int = 256) -> DataFrame:
             long_side = pdf[["width", "height"]].max(axis=1)
             scale = (max_side / long_side).clip(upper=1.0)
             out = pdf.copy()
-            # floor via int-cast, matching the oracle's integer math
-            out["new_width"] = (pdf["width"] * scale).astype(int)
-            out["new_height"] = (pdf["height"] * scale).astype(int)
+            # floor via int-cast, matching the oracle's integer math;
+            # clamp to >= 1 like resize_pixels — an extreme aspect
+            # ratio (1000x1 banner) must not round a side to zero
+            out["new_width"] = (
+                (pdf["width"] * scale).astype(int).clip(lower=1)
+            )
+            out["new_height"] = (
+                (pdf["height"] * scale).astype(int).clip(lower=1)
+            )
             yield out
 
     return meta_df.mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -44,8 +44,12 @@ def sample_digest(key: Column | str, salt: str) -> Column:
 
 def fraction_threshold(fraction: float) -> str:
     """Hex threshold such that P[digest < threshold] == fraction (to
-    1/65536 granularity)."""
+    1/65536 granularity). fraction >= 1.0 returns a sentinel above
+    every hex digest ("g" sorts after "f"): clamping to 0xffff would
+    silently drop the ~1/65536 rows whose digest IS "ffff"."""
     assert 0.0 <= fraction <= 1.0
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * 65536), 65535), "04x")
 
 
@@ -83,6 +87,16 @@ def prefix_sum(
     staged = df.repartitionByRange(partitions, key).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # The staged plan is evaluated by TWO jobs (subtotals, then the
+    # output join) and RangePartitioner samples its input to pick the
+    # range boundaries — persist so both jobs see ONE set of
+    # boundaries; unpinned, a non-deterministic upstream could shift a
+    # boundary row's _pid between jobs and misapply every offset after
+    # it. Lazy persist via the shared cache registry: building the
+    # DataFrame stays execution-free and release_caches() frees it.
+    from andb_spark.operators.dedup import _persist_tracked
+
+    staged = _persist_tracked(staged)
     totals = staged.groupBy("_pid").agg(F.sum(w).alias("_psum"))
     # Prefix offsets: window over the per-partition subtotal table —
     # `partitions` rows, so the unavoidable single-partition window is
@@ -98,8 +112,18 @@ def prefix_sum(
             F.lit(0).cast("bigint"),
         ),
     ).select("_pid", "_off")
+    # ROWS frame, not the default RANGE frame: with duplicate keys,
+    # RANGE gives every peer row the same cumulative value, which
+    # breaks the running-sum invariant pack_shards /
+    # weighted_systematic_sample depend on (callers should pass a
+    # unique key for full determinism among ties).
     cum = (
-        F.sum(w).over(Window.partitionBy("_pid").orderBy(key)) + F.col("_off")
+        F.sum(w).over(
+            Window.partitionBy("_pid")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + F.col("_off")
     )
     out = staged.join(F.broadcast(offsets), "_pid")
     if include_total:

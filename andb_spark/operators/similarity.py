@@ -151,7 +151,14 @@ def kmeans(
     never collected; this is exactly MLlib's KMeans dataflow shape.
 
     Returns (cluster_id, n_members, avg_sim): per-cluster size and mean
-    cosine similarity to the final centroid, rounded for stability."""
+    cosine similarity to the final centroid, rounded for stability.
+
+    Empty-cluster behavior: a cluster that attracts no members during
+    an iteration (possible when seed vectors are duplicates — ties go
+    to the lower id) is DROPPED, so the output can have fewer than k
+    rows. This is standard Lloyd's behavior without re-seeding; pass
+    distinct seeds (dedup the corpus first) when exactly k clusters
+    matter."""
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r[0]])
         for i, r in enumerate(
@@ -295,13 +302,20 @@ def near_dup_pairs(
             "exact",
         )
     k = n_centroids or max(16, min(4096, int((rows or exact_row_cap) ** 0.5)))
+    # Centroid ids are SEQUENTIAL (row_number over the k-row seed set,
+    # a bounded window), not the seed vectors' own ids: casting a
+    # snowflake-style bigint vec_id to int would wrap past 2^31 and
+    # silently merge two centroids into one bucket.
+    from pyspark.sql.window import Window
+
     centroids = (
         embeddings.orderBy(id_col)
         .limit(k)
-        .select(
-            F.col(id_col).cast("int").alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+        .withColumn(
+            "centroid_id",
+            F.row_number().over(Window.orderBy(id_col)).cast("int"),
         )
+        .select("centroid_id", F.col(vec_col).alias("centroid_vec"))
     )
     return (
         bucketed_near_dup(
@@ -348,6 +362,11 @@ def signlsh_topk(
     The candidate predicate is a plain scan filter (no centroid table,
     no join, no shuffle); with a bucket-partitioned layout it becomes
     partition pruning and the scan touches bits+1 of 2^bits buckets."""
+    if len(query_vec) < bits:
+        raise ValueError(
+            f"query_vec has {len(query_vec)} components < bits={bits}"
+            " — the sign bucket needs one hyperplane sign per bit"
+        )
     qb = "".join("1" if float(v) >= 0.0 else "0" for v in query_vec[:bits])
     b = sign_bucket(F.col(vec_col), bits)
     hamming = None
@@ -378,10 +397,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the nprobe centroids nearest the query,
     then exact-rank within those clusters. Approximate by construction
-    (recall < 1 when the true neighbor lives in an unprobed cluster)."""
+    (recall < 1 when the true neighbor lives in an unprobed cluster).
+
+    ``assigned``: pass the precomputed (id, centroid_id) assignment
+    table (the IVF index build step — ``ivf_assign`` once, or the
+    streaming-maintained table from stream_ivf_ingest) to amortize it:
+    without it every call re-scores the whole corpus against every
+    centroid, which is index CONSTRUCTION cost paid per query."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     probe_ids = [
         r[0]
@@ -393,9 +419,11 @@ def ivf_topk(
         .limit(nprobe)
         .collect()
     ]
-    assigned = ivf_assign(
-        embeddings, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
-    )
+    if assigned is None:
+        assigned = ivf_assign(
+            embeddings, centroids, id_col, vec_col, centroid_id_col,
+            centroid_vec_col,
+        )
     probed = embeddings.join(
         assigned.filter(F.col(centroid_id_col).isin(probe_ids)).select(id_col),
         id_col,

@@ -2127,9 +2127,11 @@ ORACLES = {
             FROM h
         )
         SELECT doc_id, width, height,
-               CAST(floor(width * least(256.0 / greatest(width, height), 1.0))
+               CAST(greatest(1, floor(width *
+                    least(256.0 / greatest(width, height), 1.0)))
                     AS INT) AS new_width,
-               CAST(floor(height * least(256.0 / greatest(width, height), 1.0))
+               CAST(greatest(1, floor(height *
+                    least(256.0 / greatest(width, height), 1.0)))
                     AS INT) AS new_height
         FROM dims ORDER BY doc_id
     """,

@@ -226,3 +226,35 @@ def test_synth_corpora_closed_forms(spark):
         assert aud[d]["channels"] == 1 + d % 2
         assert aud[d]["n_frames"] == 100 + d % 50
         assert aud[d]["first_amp_q"] == int((d % 64) / 64.0 * 32767 + 0.5)
+
+
+def test_wav_frame_count_is_exact_not_reconstructed():
+    """100 frames @ 44100 Hz: duration_ms*rate//1000 would report 88;
+    the frame count must come straight from the data chunk."""
+    import numpy as np
+
+    from andb_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        wav_frame_count,
+    )
+
+    wav = encode_wav(np.zeros((100, 1), np.float64), 44100)
+    assert wav_frame_count(wav) == 100
+    _, rate, _, duration_ms = decode_audio(wav)
+    assert duration_ms * rate // 1000 == 88  # the bug this guards
+
+
+def test_encode_wav_clips_out_of_range_samples():
+    import numpy as np
+
+    from andb_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.array([[1.5], [-1.5], [0.5]], np.float64), 8000)
+    samples, _ = decode_audio_samples(wav)
+    raw = np.floor(samples * 32768.0 + 0.5).astype(int).ravel()
+    # saturated, not wrapped: 1.5 -> 32767, -1.5 -> -32768
+    assert raw[0] == 32767 and raw[1] == -32768

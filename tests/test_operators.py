@@ -870,3 +870,43 @@ def test_simhash_large_bit_fingerprints_are_exact(spark):
     ]
     with pytest.raises(AssertionError):
         DD.simhash(df, "text", "doc_id", bits=64)  # > 60 unsupported
+
+
+def test_fraction_one_keeps_every_row(spark):
+    """fraction=1.0 must keep ALL rows — clamping to 0xffff would drop
+    the ~1/65536 whose digest is exactly 'ffff'."""
+    from andb_spark.operators.sampling import (
+        fraction_threshold,
+        hash_sample,
+    )
+
+    assert fraction_threshold(1.0) == "g"  # sorts after every hex char
+    df = spark.range(0, 200000).withColumnRenamed("id", "doc_id")
+    assert hash_sample(df, "doc_id", 1.0).count() == 200000
+
+
+def test_prefix_sum_rows_frame_with_duplicate_keys(spark):
+    """Duplicate keys must each advance the running sum (ROWS frame);
+    the default RANGE frame would give peers one shared cumulative
+    value and corrupt shard assignment."""
+    from pyspark.sql import functions as SF
+
+    from andb_spark.operators.sampling import prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 600), (1, 600), (2, 600)], ["k", "w"]
+    )
+    cums = sorted(
+        r["_cum"] for r in prefix_sum(df, "w", "k", partitions=2).collect()
+    )
+    assert cums == [600, 1200, 1800]
+
+
+def test_signlsh_rejects_short_query_vector(spark):
+    from andb_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="components"):
+        SIM.signlsh_topk(df, [0.1, 0.2], k=1, bits=8)
