@@ -94,10 +94,15 @@ def lang_id(text: Column | str) -> Column:
 def bigrams(toks: Column) -> Column:
     """Adjacent-token bigram array: [t1 t2, t2 t3, ...] (empty for
     single-token input). Pure higher-order-function math — stays inside
-    whole-stage codegen, no explode, no shuffle."""
-    return F.transform(
-        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    whole-stage codegen, no explode, no shuffle. zip_with over two
+    shifted slices, the formulation operators/dedup.py::shingles
+    benched ~9x faster than indexed element_at-per-element (which is
+    O(tokens²) per document)."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n),
+        F.slice(toks, F.lit(2), n),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
 
 

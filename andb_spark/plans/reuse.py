@@ -30,7 +30,9 @@ own setup work.
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import re
 from collections import defaultdict
 from dataclasses import dataclass, field
 
@@ -46,6 +48,10 @@ class ScanSignature:
     table: str
     columns: tuple[str, ...]  # ReadSchema — what actually leaves the scan
     filters: tuple[str, ...]  # PushedFilters — parquet-level pruning
+    # digest of ALL root paths for multi-segment (managed-table) scans:
+    # two scans of the same table differing only in later segment roots
+    # must not share a fingerprint ("" for plain single-root scans)
+    version: str = ""
 
 
 @dataclass
@@ -72,8 +78,24 @@ def scan_signatures(df: DataFrame) -> list[ScanSignature]:
         leaf = leaves.apply(i)
         if not leaf.getClass().getName().endswith("FileSourceScanExec"):
             continue
-        path = leaf.relation().location().rootPaths().apply(0).toString()
-        table = path.rstrip("/").split("/")[-1].removesuffix(".parquet")
+        roots = leaf.relation().location().rootPaths()
+        paths = sorted(
+            roots.apply(j).toString() for j in range(roots.size())
+        )
+        # Table identity from the path: a managed-table scan's roots
+        # are version-segment dirs ("v-<hex>", api._stage_version)
+        # under the TABLE dir — name the table by the parent in that
+        # case; the version digest keeps scans of different manifests
+        # from falsely sharing a fingerprint.
+        parts = paths[0].rstrip("/").split("/")
+        base = parts[-1].removesuffix(".parquet")
+        managed = re.fullmatch(r"v-[0-9a-f]{12}", base) and len(parts) >= 2
+        table = parts[-2] if managed else base
+        version = (
+            hashlib.md5("|".join(paths).encode()).hexdigest()[:8]
+            if managed or len(paths) > 1
+            else ""
+        )
         cols = tuple(sorted(leaf.requiredSchema().fieldNames()))
         opt = leaf.metadata().get("PushedFilters")
         raw = opt.get() if opt.isDefined() else "[]"
@@ -85,7 +107,7 @@ def scan_signatures(df: DataFrame) -> list[ScanSignature]:
                 if f.strip()
             )
         )
-        out.append(ScanSignature(table, cols, flt))
+        out.append(ScanSignature(table, cols, flt, version))
     return out
 
 

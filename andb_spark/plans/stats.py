@@ -52,7 +52,9 @@ def collect_stats(df: DataFrame) -> dict:
     for f in df.schema.fields:
         c = f.name
         col_stats = {
-            "nulls": row[f"__nulls_{c}"],
+            # sum over zero rows is NULL, not 0 — coalesce so ANALYZE
+            # of an empty table stores arithmetic-safe counts
+            "nulls": row[f"__nulls_{c}"] or 0,
             "ndv": row[f"__ndv_{c}"],
         }
         if c in set(ordered_cols):

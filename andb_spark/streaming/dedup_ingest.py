@@ -105,22 +105,37 @@ def _survivors_of_batch(
     threshold: float,
 ) -> DataFrame:
     """The batch's accepted documents, with a ``text_hash`` column."""
-    # 0. physical-row dedup: at-least-once upstream delivery can put
-    # the SAME row (same id, same text) in one trigger twice; the
-    # min-id semi join below keeps both copies of an identical row, so
-    # collapse per-id first (one row per doc identity, first wins).
-    hashed = batch_df.dropDuplicates([id_col]).withColumn(
-        "text_hash", F.md5(F.col(text_col))
+    from pyspark.sql import Window
+
+    # 0a. NULL-text rows carry no content to dedup or accept —
+    # EXPLICITLY rejected here (md5(NULL) is NULL and a null join key
+    # would otherwise make them vanish silently inside the semi join).
+    # 0b. physical-row / same-id dedup: at-least-once delivery can put
+    # the same row (or the same id with drifted text) in one trigger
+    # twice; keep ONE row per doc identity, deterministically (min
+    # text as the tie-break — same policy on every run/replay).
+    one_per_id = Window.partitionBy(id_col).orderBy(text_col)
+    hashed = (
+        batch_df.filter(F.col(text_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(one_per_id))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("text_hash", F.md5(F.col(text_col)))
     )
 
     # 1. in-batch exact dedup: min id per content hash.
     keep = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
     batch_u = hashed.join(keep, [id_col, "text_hash"], "left_semi")
 
-    # 2. exact screen vs history (stored hashes — no history text read).
+    # 2. exact screen vs history (stored hashes — no history text
+    # read), plus an ID screen: doc_id is document identity, so a
+    # re-delivered id with EDITED text must not append a second row
+    # under the same id ("first write per doc_id wins", like the
+    # multimodal sink) — a duplicate id in clean would merge two texts'
+    # shingles in every later verification involving it.
     batch_u = batch_u.join(
         clean_df.select("text_hash"), "text_hash", "left_anti"
-    )
+    ).join(clean_df.select(id_col), id_col, "left_anti")
 
     # 3. near-dup screen vs history via the maintained band table.
     near_hist = DD.incremental_minhash_pairs(
@@ -185,36 +200,43 @@ def stream_dedup_ingest(
             return  # checkpoint replay — already applied
         clean_df = engine._read_table(clean_table)
         bands_df = engine._read_table(bands_table)
-        # Cast to the table schema, not just reorder columns: an
-        # append lands as a segment file read side-by-side with
-        # history, so a drifted source type (int vs bigint doc_id)
-        # must fail/coerce HERE, not poison later multi-path reads.
-        surv = _cast_to(
-            _survivors_of_batch(
-                batch_df, clean_df, bands_df,
-                text_col, id_col, num_hashes, rows_per_band, threshold,
-            ),
-            clean_df,
-        ).localCheckpoint(eager=True)
-        new_bands = _cast_to(
-            DD.band_table(surv, text_col, id_col, num_hashes, rows_per_band),
-            bands_df,
-        )
-        # Single commit point: both tables' manifests AND the batch
-        # high-water mark land in one atomic catalog save — a crash
-        # leaves either the whole batch applied or none of it, never
-        # survivors-in-clean with their band rows missing. APPENDS:
-        # only the batch's survivors and their band rows hit disk;
-        # accumulated history is re-referenced, not rewritten — commit
-        # I/O is O(batch), the property that survives 100 TB of
-        # accumulated corpus.
-        engine._overwrite_all(
-            appends={clean_table: surv, bands_table: new_bands},
-            extra_meta={clean_table: _batch_mark(checkpoint_dir, batch_id)},
-        )
-        # this batch's materialize=True caches are consumed — release
-        # before the next batch re-persists against the grown history
-        DD.release_caches()
+        try:
+            # Cast to the table schema, not just reorder columns: an
+            # append lands as a segment file read side-by-side with
+            # history, so a drifted source type (int vs bigint doc_id)
+            # must fail/coerce HERE, not poison later multi-path reads.
+            surv = _cast_to(
+                _survivors_of_batch(
+                    batch_df, clean_df, bands_df,
+                    text_col, id_col, num_hashes, rows_per_band, threshold,
+                ),
+                clean_df,
+            ).localCheckpoint(eager=True)
+            new_bands = _cast_to(
+                DD.band_table(
+                    surv, text_col, id_col, num_hashes, rows_per_band
+                ),
+                bands_df,
+            )
+            # Single commit point: both tables' manifests AND the batch
+            # high-water mark land in one atomic catalog save — a crash
+            # leaves either the whole batch applied or none of it, never
+            # survivors-in-clean with their band rows missing. APPENDS:
+            # only the batch's survivors and their band rows hit disk;
+            # accumulated history is re-referenced, not rewritten —
+            # commit I/O is O(batch), the property that survives 100 TB
+            # of accumulated corpus.
+            engine._overwrite_all(
+                appends={clean_table: surv, bands_table: new_bands},
+                extra_meta={
+                    clean_table: _batch_mark(checkpoint_dir, batch_id)
+                },
+            )
+        finally:
+            # this batch's materialize=True caches are consumed (or the
+            # batch failed mid-compute) — release either way, before
+            # the next batch re-persists against the grown history
+            DD.release_caches()
 
     q = (
         stream.writeStream.outputMode("append")

@@ -159,9 +159,17 @@ def stream_into_table(
     keys rewrite — compute AND commit I/O per batch are proportional
     to changed keys, never to accumulated table size (state lives in
     the streaming state store, bounded by the watermark)."""
+    # Shared sid-keyed replay guard (dedup_ingest): the mark must be
+    # keyed on the checkpoint identity or a fresh checkpoint (batch ids
+    # restarting at 0) silently discards every new batch.
+    from andb_spark.streaming.dedup_ingest import (
+        _already_applied,
+        _batch_mark,
+    )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = engine.catalog["tables"][table]
-        if meta.get("last_stream_batch", -1) >= batch_id:
+        if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
         # Copy-on-write upsert: only the files holding re-aggregated
         # keys rewrite; the rest of the rollup table is re-referenced.
@@ -171,7 +179,7 @@ def stream_into_table(
             table,
             batch_df,
             keys,
-            extra_meta={table: {"last_stream_batch": batch_id}},
+            extra_meta={table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
     q = (
