@@ -55,7 +55,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
+        # ONLY the nanosecond-timestamp refusal earns the legacy-conf
+        # retry: flipping nanosAsLong on an unrelated failure (missing
+        # path, corrupt file) would permanently change how every later
+        # read in the session types nano-timestamps.
+        msg = str(e).upper()
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "NANOS" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     from pyspark.sql import functions as F

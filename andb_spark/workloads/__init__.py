@@ -126,5 +126,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
+        overlap = out.keys() & m.ORACLES.keys()
+        if overlap:  # same contract as all_queries — a silent overwrite
+            # would hash-compare queries against the wrong oracle
+            raise ValueError(f"duplicate oracle names: {overlap}")
         out.update(m.ORACLES)
     return out

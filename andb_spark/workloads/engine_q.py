@@ -15,6 +15,8 @@ here it is a first-class oracle-checked workload row.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,13 +25,24 @@ from pyspark.sql import functions as SF
 from andb_spark.api import AnalyticsEngine
 
 
+def _scratch(prefix: str) -> str:
+    """A throwaway warehouse dir, removed at interpreter exit — bench
+    and compare invoke these builders repeatedly (warm-up + n timed
+    runs) and would otherwise accumulate CTAS'd parquet in /tmp across
+    rounds. Deletion must be deferred: the returned DataFrame reads
+    the warehouse lazily AFTER the builder returns."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def u_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTAS a slice of ``orders``, UPDATE one status class, DELETE a
     customer residue class, INSERT one row, SELECT the survivors.
     Runs through the manifest write path: the INSERT is an O(batch)
     file append and the UPDATE/DELETE are file-level copy-on-write."""
     eng = AnalyticsEngine(
-        tempfile.mkdtemp(prefix="andb_dml_"), spark=spark, attach_dir=sf_dir
+        _scratch("andb_dml_"), spark=spark, attach_dir=sf_dir
     )
     e = eng.execute
     e(
@@ -55,7 +68,7 @@ def u_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades the merge math (SUM/COUNT→SUM, MIN/MAX→MIN/MAX), not just
     the plumbing."""
     eng = AnalyticsEngine(
-        tempfile.mkdtemp(prefix="andb_mv_"), spark=spark, attach_dir=sf_dir
+        _scratch("andb_mv_"), spark=spark, attach_dir=sf_dir
     )
     e = eng.execute
     e(
@@ -98,7 +111,7 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three catalog views — table metadata, NOT NULL column counts,
     index counts. The oracle states the expected catalog rows as
     literals, pinning the schema contract of all three views."""
-    eng = AnalyticsEngine(tempfile.mkdtemp(prefix="andb_cat_"), spark=spark)
+    eng = AnalyticsEngine(_scratch("andb_cat_"), spark=spark)
     e = eng.execute
     e("create table cat_a (x int not null, name varchar(10))")
     e("create table cat_b (y double, z text not null)")

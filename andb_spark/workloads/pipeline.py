@@ -235,15 +235,21 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit, at any corpus scale. recall is NULL (not a crash) if the
     sampled ground truth is ever empty."""
     d_all = _docs(spark, sf_dir)
-    d = (
+    # lazily persist the sampled subset AND the exact ground truth:
+    # exact feeds both n_exact and the hit semi-join, and d feeds both
+    # the exact and the band pipelines — unpinned, the three count
+    # branches re-derive the shingle-filtered subset repeatedly
+    d = DD._persist_tracked(
         d_all.withColumn(
             "_mh", F.array_min(F.transform(DD.shingles("text"), F.md5))
         )
         .filter(F.col("_mh") < "0100")
         .select("doc_id", "text")
     )
-    exact = DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
-        "id_a", "id_b"
+    exact = DD._persist_tracked(
+        DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
+            "id_a", "id_b"
+        )
     )
     bands = DD.lsh_bands(
         DD.minhash_signatures(d, "text", "doc_id", num_hashes=8),

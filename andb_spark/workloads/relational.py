@@ -796,14 +796,19 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     user count surviving each stage. Each stage is a time-conditional
     semi-join on the previous stage's frontier timestamp — the classic
     sequence-analytics shape (three shuffles on user_id, each input
-    pre-filtered by event type)."""
+    pre-filtered by event type). The s1/s2 frontiers are lazily
+    persisted (shared cache registry): the three crossJoined count
+    branches would otherwise re-evaluate s1 three times and s2 twice —
+    ~6 corpus scans for three scalar counts."""
+    from andb_spark.operators.dedup import _persist_tracked
+
     ev = _t(spark, sf_dir, "events")
-    s1 = (
+    s1 = _persist_tracked(
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    s2 = (
+    s2 = _persist_tracked(
         ev.filter(F.col("event_type") == "view")
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))

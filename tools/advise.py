@@ -42,6 +42,13 @@ def main() -> None:
     n_sigs = len(report.scans)
     n_queries = len({q for qs in report.scans.values() for q in qs})
     print(f"fingerprinted {n_sigs} scan signatures across {n_queries} queries")
+    if report.errors:
+        # surface builder failures in the CLI output — the whole point
+        # of recording them (plans/reuse.py) is that a silent skip
+        # would hide genuine regressions
+        print(f"{len(report.errors)} query builder(s) FAILED:")
+        for name, err in sorted(report.errors.items()):
+            print(f"    {name}: {err}")
     for rec in recommendations(report, min_queries=min_queries):
         cols = ", ".join(rec["columns"])
         print(

@@ -18,9 +18,11 @@ import traceback
 from datetime import date, datetime
 from decimal import Decimal
 
+import os
+
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from andb_spark.catalog import TABLES, table_path  # noqa: E402
 from andb_spark.session import build_session  # noqa: E402
@@ -61,9 +63,12 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
     spark = build_session("andb_compare")
     con = duckdb.connect()
     for t in TABLES:
+        path = table_path(sf_dir, t)
+        if not os.path.exists(path):
+            continue  # partial fixture dirs stay usable (catalog.register_tables skips the same way)
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
 
     from andb_spark.operators.dedup import release_caches

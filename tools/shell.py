@@ -35,6 +35,10 @@ def _fmt(result) -> str:
         )
     lines.append(sep)
     lines.append(f"({len(result.rows)} rows, {result.elapsed:.3f}s)")
+    if getattr(result, "warning", None):
+        # e.g. the andb.max_result_rows truncation notice — a user must
+        # never mistake a capped result for a complete one
+        lines.append(f"WARNING: {result.warning}")
     return "\n".join(lines)
 
 
@@ -47,7 +51,11 @@ def main() -> None:
 
     engine = AnalyticsEngine(args.warehouse, attach_dir=args.attach)
     if args.command:
-        print(_fmt(engine.execute(args.command)))
+        try:
+            print(_fmt(engine.execute(args.command)))
+        except EngineError as e:
+            print(f"ERROR: {e}")
+            raise SystemExit(1)
         return
 
     print("andb_spark shell — ;-terminated statements, \\q to quit")
