@@ -809,6 +809,10 @@ class AnalyticsEngine:
                 r = self._drop_table(
                     re.sub(r"materialized\s+view", "table", stmt, flags=re.I)
                 )
+            elif head == "CREATE" and re.match(
+                r"create\s+table\s+\w+\s+clone\s+\w+", stmt, re.I
+            ):
+                r = self._clone_table(stmt)
             elif head == "CREATE" and re.match(r"create\s+table", stmt, re.I):
                 r = self._create_table(stmt)
             elif head == "ALTER":
@@ -1545,6 +1549,52 @@ class AnalyticsEngine:
         empty = self.spark.createDataFrame([], self._schema(name))
         self._overwrite(name, empty)
         return Result()
+
+    def _clone_table(self, stmt: str) -> Result:
+        """CREATE TABLE <new> CLONE <src> — zero-copy snapshot clone
+        (Delta SHALLOW CLONE economics made deletion-safe): every data
+        file of the source's CURRENT version is HARDLINKED into one new
+        segment dir, so cloning a 100 TB table costs O(files) driver
+        metadata and zero data bytes. Unlink semantics make the clone
+        independent: the source's copy-on-write DML, OPTIMIZE, VACUUM
+        or DROP remove only its own directory entries — the clone's
+        links keep the shared inodes alive (and vice versa), so no
+        cross-table reference counting is ever needed. Falls back to a
+        file copy across filesystems. Cloning a materialized view
+        yields a plain table of its current contents (the defining
+        query is not carried over). The clone starts its own version
+        history at v1."""
+        m = re.match(
+            r"create\s+table\s+(\w+)\s+clone\s+(\w+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise EngineError(f"cannot parse CLONE: {stmt!r}")
+        name, src = m.groups()
+        self._check_name_free(name)
+        src_meta = self._meta(src)
+        files = self._data_files(src)
+        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self.warehouse, name, new_version)
+        os.makedirs(new_dir)
+        for i, f in enumerate(files):
+            dst = os.path.join(new_dir, f"part-{i:05d}.parquet")
+            try:
+                os.link(f, dst)
+            except OSError:  # cross-device (EXDEV) or FS without links
+                shutil.copy2(f, dst)
+        count, stats = _footer_stats(new_dir)
+        stats["__rows"] = count
+        meta: dict = {
+            "columns": json.loads(json.dumps(src_meta.get("columns", [])))
+        }
+        self.catalog["tables"][name] = meta
+        meta["_staged"] = {
+            "version": new_version,
+            "segments": [new_version],
+            "stats": stats,
+        }
+        self._commit_staged(name)  # one atomic catalog save, as always
+        return Result(effect_rows=count)
 
     def _create_table_as(self, stmt: str) -> Result:
         """CTAS — schema inferred from the SELECT (an extension; the

@@ -662,3 +662,45 @@ def test_auto_compact_applies_to_multi_table_appends(engine, monkeypatch):
     assert len(engine._data_files("st")) < 8
     assert e("select count(1) as n from st").rows == [(80,)]
     assert e("select min(a) as lo, max(a) as hi from st").rows == [(0, 79)]
+
+
+def test_clone_is_zero_copy_and_independent(engine):
+    """CREATE TABLE new CLONE src: hardlinked snapshot — no data bytes
+    copied (shared inodes), and each side's DML/DROP leaves the other
+    byte-identical."""
+    e = engine.execute
+    e("create table src (a int, b text)")
+    e("insert into src select id, concat('r', id) from range(0, 5000)")
+    e("insert into src values (9999, 'tail')")
+    r = e("create table dup clone src")
+    assert r.effect_rows == 5001
+    assert e("select count(1) as n from dup").rows == [(5001,)]
+
+    # zero-copy: every clone file shares an inode with a source file
+    src_inodes = {os.stat(f).st_ino for f in engine._data_files("src")}
+    dup_files = engine._data_files("dup")
+    assert dup_files and all(
+        os.stat(f).st_ino in src_inodes for f in dup_files
+    )
+
+    # independence: mutate the source, clone unchanged
+    e("update src set b = 'X' where a < 100")
+    e("delete from src where a >= 4000")
+    assert e("select count(1) as n from dup").rows == [(5001,)]
+    assert e(
+        "select b from dup where a = 5 order by b"
+    ).rows == [("r5",)]
+    # and dropping the source leaves the clone fully readable
+    e("drop table src")
+    assert e("select count(1) as n from dup").rows == [(5001,)]
+    assert e("select b from dup where a = 9999").rows == [("tail",)]
+
+    # the clone is a first-class table: DML and time travel work
+    e("insert into dup values (10000, 'post-clone')")
+    assert e("select count(1) as n from dup").rows == [(5002,)]
+
+    from andb_spark.api import EngineError
+
+    e("create table other (a int)")
+    with pytest.raises(EngineError, match="already exists"):
+        e("create table other clone dup")
