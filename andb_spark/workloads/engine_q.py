@@ -105,6 +105,27 @@ def u_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def u_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE as an oracle row: CTAS a slice, CLONE it, then
+    mutate the SOURCE (update + delete + insert) — the clone must
+    still read the pre-mutation snapshot byte-for-byte, which the
+    DuckDB twin states as the unmutated slice. Grades the hardlink
+    snapshot's independence end to end."""
+    eng = AnalyticsEngine(
+        _scratch("andb_clone_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table cl_src as select o_orderkey, o_totalprice,"
+        " o_orderstatus from orders where o_orderkey < 3000"
+    )
+    e("create table cl_snap clone cl_src")
+    e("update cl_src set o_totalprice = 0 where o_orderstatus = 'F'")
+    e("delete from cl_src where o_orderkey % 7 = 0")
+    e("insert into cl_src values (777777, 1.0, 'X')")
+    return spark.table("cl_snap").orderBy("o_orderkey")
+
+
 def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """System catalog as a relation (reference SystemTableScan parity,
     select.py:407-417): build a deterministic managed layout, then join
@@ -144,6 +165,7 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_matview_refresh": u_matview_refresh,
+    "u_clone_snapshot": u_clone_snapshot,
     "c_catalog_tables": c_catalog_tables,
 }
 
@@ -178,6 +200,11 @@ ORACLES = {
         WHERE o_orderkey < 4000 AND o_totalprice > 1000
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+    """,
+    "u_clone_snapshot": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey
     """,
     "c_catalog_tables": """
         SELECT * FROM (VALUES
