@@ -79,6 +79,7 @@ HEADLINE_R03 = (
     "m_audio_decode",
     "u_dml_roundtrip",
     "u_matview_refresh",
+    "u_clone_snapshot",
     "c_catalog_tables",
     "d_lsh_recall_audit",
     "v_hybrid_rrf",

@@ -191,6 +191,8 @@ _OP = st.one_of(
         st.integers(min_value=-50, max_value=50),
     ),
     st.tuples(st.just("delete"), st.sampled_from(["a", "b", "c", "d"])),
+    st.tuples(st.just("optimize")),  # compaction breaks file lineage
+    st.tuples(st.just("alter_add")),  # metadata-only schema change
     st.tuples(st.just("refresh")),
 )
 
@@ -218,12 +220,18 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
     if compact_thr:
         e(f"set andb.auto_compact = {compact_thr}")
     modes = set()
+    n_alters = 0
     for op in ops:
         if op[0] == "insert":
             vals = ", ".join(f"('{g}', {v})" for g, v in op[1])
             e(f"insert into base values {vals}")
         elif op[0] == "update":
             e(f"update base set v = {op[2]} where g = '{op[1]}'")
+        elif op[0] == "optimize":
+            e("optimize base")
+        elif op[0] == "alter_add":
+            n_alters += 1
+            e(f"alter table base add column extra{n_alters} int")
         elif op[0] == "delete":
             e(f"delete from base where g = '{op[1]}'")
         else:
