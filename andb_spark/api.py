@@ -850,6 +850,10 @@ class AnalyticsEngine:
                 r"show\s+history\s+for\s+\w+", stmt, re.I
             ):
                 r = self._show_history(stmt)
+            elif head == "SHOW" and re.match(r"show\s+tables\s*$", stmt, re.I):
+                r = self._show_tables()
+            elif head == "DESCRIBE" or head == "DESC":
+                r = self._describe(stmt)
             elif head == "VACUUM":
                 r = self._vacuum(stmt)
             elif head == "OPTIMIZE":
@@ -1044,6 +1048,54 @@ class AnalyticsEngine:
         return Result(
             columns=["column", "table_rows", "nulls", "ndv", "min", "max"],
             types=["string", "bigint", "bigint", "bigint", "string", "string"],
+            rows=rows,
+            effect_rows=len(rows),
+        )
+
+    def _show_tables(self) -> Result:
+        """SHOW TABLES — the managed catalog as a result set (sugar over
+        the andb_tables system view for shell users)."""
+        rows = [
+            (
+                name,
+                len(meta.get("columns", [])),
+                meta.get("vnum", 1),
+                bool(meta.get("matview_sql")),
+            )
+            for name, meta in sorted(self.catalog["tables"].items())
+        ]
+        return Result(
+            columns=["table_name", "n_columns", "version", "is_matview"],
+            types=["string", "int", "int", "boolean"],
+            rows=rows,
+            effect_rows=len(rows),
+        )
+
+    def _describe(self, stmt: str) -> Result:
+        """DESCRIBE/DESC <table> — declared schema of a managed table,
+        or the inferred Spark schema of an attached fixture view."""
+        m = re.match(r"desc(?:ribe)?\s+(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse DESCRIBE: {stmt!r}")
+        name = m.group(1)
+        meta = self.catalog["tables"].get(name)
+        if meta and meta.get("columns"):
+            rows = [
+                (c["name"], c["type"], not c.get("notnull"))
+                for c in meta["columns"]
+            ]
+        else:
+            try:
+                schema = self.spark.table(name).schema
+            except Exception:
+                raise EngineError(f"table {name} does not exist") from None
+            rows = [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in schema.fields
+            ]
+        return Result(
+            columns=["column_name", "type", "nullable"],
+            types=["string", "string", "boolean"],
             rows=rows,
             effect_rows=len(rows),
         )

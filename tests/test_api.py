@@ -514,3 +514,18 @@ def test_reserved_catalog_names_and_set_validation(engine):
         e("set andb.max_result_rows = abc")
     e("set andb.max_result_rows = 500")  # valid value still accepted
     e("set andb.max_result_rows = 1000000")
+
+
+def test_show_tables_and_describe(engine):
+    e = engine.execute
+    e("create table st_a (x int not null, name varchar(10))")
+    e("create materialized view st_mv as select count(*) as n from st_a")
+    r = e("show tables")
+    assert r.columns == ["table_name", "n_columns", "version", "is_matview"]
+    by_name = {row[0]: row for row in r.rows}
+    assert by_name["st_a"][3] is False and by_name["st_mv"][3] is True
+    r = e("describe st_a")
+    assert r.rows == [("x", "int", False), ("name", "varchar(10)", True)]
+    assert e("desc st_mv").rows == [("n", "bigint", True)]
+    with pytest.raises(EngineError, match="does not exist"):
+        e("describe nope")
