@@ -30,7 +30,9 @@ _SQL_FUNCTION_DEFS = {
     ),
     "cosine_similarity": (
         "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
-        "vec_dot(a, b) / (vec_norm(a) * vec_norm(b))",
+        # try_divide: NULL (not an ANSI DIVIDE_BY_ZERO abort) for a
+        # zero-norm vector — mirrors functions/vector.py
+        "try_divide(vec_dot(a, b), vec_norm(a) * vec_norm(b))",
     ),
     "cosine_distance": (
         "a ARRAY<FLOAT>, b ARRAY<FLOAT>",

@@ -38,9 +38,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """cos(a, b) = dot / (|a| * |b|)."""
+    """cos(a, b) = dot / (|a| * |b|); NULL when either vector has zero
+    norm (an all-zero embedding — padding rows, empty docs — is
+    similarity-undefined). try_divide, because a plain `/` under Spark
+    4's default ANSI mode would abort the whole query with
+    DIVIDE_BY_ZERO on the first zero vector anywhere in the data."""
     a, b = _to_col(a), _to_col(b)
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:

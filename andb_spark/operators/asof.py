@@ -52,20 +52,35 @@ def asof_join(
     left_type = left.select(left_struct.alias("s")).schema["s"].dataType
     payload_type = right.select(payload_struct.alias("s")).schema["s"].dataType
 
+    # tiebreak keeps ITS OWN type: casting to bigint would error on
+    # string tiebreaks (ANSI) and truncate fractional sequence numbers
+    # back into the very ties the parameter exists to break
+    seq_type = (
+        right.schema[right_tiebreak].dataType.simpleString()
+        if right_tiebreak is not None
+        else "bigint"
+    )
     l_aligned = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_probe"),
-        F.lit(None).cast("bigint").alias("_seq"),
+        F.lit(None).cast(seq_type).alias("_seq"),
         left_struct.alias("_left"),
         F.lit(None).cast(payload_type).alias("_payload"),
     )
     r_seq = (
-        F.col(right_tiebreak).cast("bigint")
+        F.col(right_tiebreak)
         if right_tiebreak is not None
         else F.lit(0).cast("bigint")
     )
-    r_aligned = right.select(
+    # SQL equi-join semantics: a NULL-key or NULL-time reference row
+    # matches NOTHING. Unfiltered, NULL keys would group together in
+    # partitionBy (matching each other) and a NULL time would sort
+    # nulls-first and be carried into every probe as the "earliest"
+    # reference.
+    r_aligned = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_time).isNotNull()
+    ).select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_probe"),

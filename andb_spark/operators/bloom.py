@@ -89,16 +89,21 @@ def build_bloom(
     filter size the caller chose to afford, never by the corpus."""
     n = num_items if num_items is not None else df.count()
     num_bits, num_hashes = optimal_params(n, fpp)
-    pos_rows = (
+    # Arrow transfer (toPandas), NOT collect(): the distinct position
+    # set approaches the bitset's bit count, and Python Row objects
+    # cost ~50-100x the 8 bytes/position Arrow moves — at a 1e9-bit
+    # filter that is the difference between ~8 GB of Rows and a
+    # ~120 MB int64 column on the driver.
+    pos = (
         df.select(
             F.explode(_probe_positions(col, num_bits, num_hashes)).alias("pos")
         )
         .distinct()
-        .collect()
+        .toPandas()["pos"]
+        .to_numpy(dtype=np.int64)
     )
     bitset = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
-    if pos_rows:
-        pos = np.fromiter((r[0] for r in pos_rows), dtype=np.int64)
+    if pos.size:
         np.bitwise_or.at(
             bitset, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
         )

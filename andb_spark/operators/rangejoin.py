@@ -40,7 +40,19 @@ def bucketed_interval_join(
     Bucketing uses second-truncated epochs, which is sound: truncation
     is monotone, so a point inside [start, end] always lands in one of
     the interval's exploded buckets.
+
+    Only ``how='inner'`` is supported: the range predicate is applied
+    as a post-join filter, which would silently drop an outer join's
+    NULL-extended rows (degrading it to inner) and emit unmatched
+    exploded interval replicas — wrap with an explicit anti-join for
+    outer semantics rather than getting wrong answers here.
     """
+    if how != "inner":
+        raise ValueError(
+            "bucketed_interval_join supports how='inner' only; outer"
+            " variants need the range predicate inside the join"
+            f" condition (got how={how!r})"
+        )
     bucket_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
     p = points.withColumn("_bucket", bucket_of(point_ts))
     i = (

@@ -68,7 +68,15 @@ def salted_join(
 ) -> DataFrame:
     """Skew-proof equi-join: fact rows are salted, the dim side is
     exploded ``n_salts`` ways, and the shuffle key becomes (key, salt) —
-    a hot fact key now spreads across ``n_salts`` reducers."""
+    a hot fact key now spreads across ``n_salts`` reducers.
+
+    ``how`` is limited to inner/left (fact-preserving): right/full
+    would emit each unmatched dim row once PER SALT REPLICA."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got {how!r}"
+            " (right/full would duplicate unmatched dim rows n_salts times)"
+        )
     fact_salt_cols = list(fact_salt_cols or fact.columns)
     f_salted = fact.withColumn("_salt", _stable_salt(fact_salt_cols, n_salts))
     d_exploded = dim.withColumn(

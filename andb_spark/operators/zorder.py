@@ -41,14 +41,47 @@ def zvalue(
         raise ValueError("zvalue needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds BIGINT")
+    # Numeric projection per clustered column: numbers pass through,
+    # DATE becomes epoch days and TIMESTAMP epoch seconds (ANSI forbids
+    # a straight double cast of either), anything else — strings have
+    # no meaningful linear min/max scaling — is a clear error instead
+    # of a runtime CAST failure deep in the rewrite job.
+    num_exprs: dict[str, Column] = {}
+    for f_ in df.schema.fields:
+        if f_.name not in cols:
+            continue
+        t = f_.dataType.simpleString()
+        if t in ("date",):
+            num_exprs[f_.name] = F.unix_date(F.col(f_.name)).cast("double")
+        elif t.startswith("timestamp"):
+            num_exprs[f_.name] = F.unix_timestamp(F.col(f_.name)).cast(
+                "double"
+            )
+        elif t in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        ) or t.startswith("decimal"):
+            num_exprs[f_.name] = F.col(f_.name).cast("double")
+        else:
+            raise ValueError(
+                f"cannot ZORDER BY {f_.name}: type {t} has no linear"
+                " numeric ordering (numeric/date/timestamp supported)"
+            )
+    missing = [c for c in cols if c not in num_exprs]
+    if missing:
+        raise ValueError(f"ZORDER column(s) not in the table: {missing}")
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
+        *[F.min(num_exprs[c]).alias(f"_min_{c}") for c in cols],
+        *[F.max(num_exprs[c]).alias(f"_max_{c}") for c in cols],
     ).first()
 
     top = (1 << bits) - 1
     scaled: list[Column] = []
     for c in cols:
+        if stats[f"_min_{c}"] is None:
+            raise ValueError(
+                f"cannot ZORDER BY {c}: no non-NULL values to scale"
+                " (empty table or all-NULL column)"
+            )
         lo = float(stats[f"_min_{c}"])
         hi = float(stats[f"_max_{c}"])
         span = (hi - lo) or 1.0
@@ -57,7 +90,7 @@ def zvalue(
             F.greatest(
                 F.lit(0),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(lo))
+                    (num_exprs[c] - F.lit(lo))
                     / F.lit(span)
                     * F.lit(float(top + 1))
                 ).cast("bigint"),

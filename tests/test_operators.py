@@ -910,3 +910,93 @@ def test_signlsh_rejects_short_query_vector(spark):
     )
     with pytest.raises(ValueError, match="components"):
         SIM.signlsh_topk(df, [0.1, 0.2], k=1, bits=8)
+
+
+def test_cosine_similarity_null_on_zero_vector(spark):
+    """A zero-norm embedding yields NULL similarity (try_divide), not
+    an ANSI DIVIDE_BY_ZERO abort of the whole query — both the Column
+    API and the SQL-registered function."""
+    from andb_spark.functions.vector import cosine_similarity
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        ["id", "a", "b"],
+    ).select(
+        "id",
+        SF.col("a").cast("array<float>").alias("a"),
+        SF.col("b").cast("array<float>").alias("b"),
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", cosine_similarity("a", "b").alias("s")
+        ).collect()
+    }
+    assert rows[1] is None and abs(rows[2] - 1.0) < 1e-9
+    from andb_spark.functions.register import register_all
+
+    register_all(spark)
+    df.createOrReplaceTempView("zv")
+    sql_rows = {
+        r["id"]: r["s"]
+        for r in spark.sql(
+            "select id, cosine_similarity(a, b) as s from zv"
+        ).collect()
+    }
+    assert sql_rows[1] is None and abs(sql_rows[2] - 1.0) < 1e-9
+
+
+def test_asof_join_excludes_null_reference_rows(spark):
+    """NULL-key and NULL-time reference rows must match nothing; a
+    NULL-key probe gets NULL payload (SQL equi-join semantics)."""
+    import datetime as dt
+
+    from andb_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2020, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10)), (None, t(10))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999), (None, t(5), 777), (1, t(5), 42)],
+        ["k", "rt", "payload"],
+    )
+    out = {
+        r["k"]: r["payload"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "rt", ["payload"]
+        ).collect()
+    }
+    assert out[1] == 42      # the NULL-time row (999) never matches
+    assert out[None] is None  # NULL keys do not match each other
+
+
+def test_range_and_salted_join_guard_unsupported_how(spark):
+    from andb_spark.operators.rangejoin import bucketed_interval_join
+    from andb_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_interval_join(df, df, "a", "a", "a", how="left")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(df, df, "a", how="full")
+
+
+def test_zorder_supports_dates_and_rejects_strings(spark):
+    import datetime as dt
+
+    from andb_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2020, 1, 1), "x"), (2, dt.date(2021, 6, 1), "y")],
+        ["n", "d", "s"],
+    )
+    # date column participates via epoch days — no ANSI cast error
+    zs = df.select(zvalue(df, ["n", "d"]).alias("z")).collect()
+    assert len({r["z"] for r in zs}) == 2
+    with pytest.raises(ValueError, match="no linear numeric ordering"):
+        df.select(zvalue(df, ["s"]))
+    empty = spark.createDataFrame([], "n int")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        empty.select(zvalue(empty, ["n"]))
