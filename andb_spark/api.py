@@ -1615,16 +1615,36 @@ class AnalyticsEngine:
         file copy across filesystems. Cloning a materialized view
         yields a plain table of its current contents (the defining
         query is not carried over). The clone starts its own version
-        history at v1."""
+        history at v1.
+
+        `CREATE TABLE new CLONE src VERSION AS OF n` clones a RETAINED
+        historical version instead of the current one — snapshot
+        restore as a new table, still zero-copy (history segments are
+        immutable and shared, so their files hardlink the same way)."""
         m = re.match(
-            r"create\s+table\s+(\w+)\s+clone\s+(\w+)\s*$", stmt, re.I
+            r"create\s+table\s+(\w+)\s+clone\s+(\w+)"
+            r"(?:\s+version\s+as\s+of\s+(\d+))?\s*$",
+            stmt,
+            re.I,
         )
         if not m:
             raise EngineError(f"cannot parse CLONE: {stmt!r}")
-        name, src = m.groups()
+        name, src, vnum = m.groups()
         self._check_name_free(name)
         src_meta = self._meta(src)
-        files = self._data_files(src)
+        if vnum is not None:
+            files = []
+            for path in self._resolve_version(src, int(vnum)):
+                if os.path.isdir(path):
+                    files += sorted(
+                        os.path.join(path, f)
+                        for f in os.listdir(path)
+                        if f.endswith(".parquet")
+                    )
+                elif os.path.isfile(path):
+                    files.append(path)
+        else:
+            files = self._data_files(src)
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
         os.makedirs(new_dir)

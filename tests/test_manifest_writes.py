@@ -704,3 +704,21 @@ def test_clone_is_zero_copy_and_independent(engine):
     e("create table other (a int)")
     with pytest.raises(EngineError, match="already exists"):
         e("create table other clone dup")
+
+
+def test_clone_version_as_of_restores_historical_snapshot(engine):
+    """CLONE src VERSION AS OF n: zero-copy snapshot restore of a
+    retained version as a new first-class table."""
+    e = engine.execute
+    e("create table vsrc (a int)")
+    e("insert into vsrc values (1), (2)")
+    v_before = engine._meta("vsrc")["vnum"]
+    e("delete from vsrc where a = 1")
+    e("insert into vsrc values (3)")
+    e(f"create table restored clone vsrc version as of {v_before}")
+    assert sorted(e("select a from restored").rows) == [(1,), (2,)]
+    assert sorted(e("select a from vsrc").rows) == [(2,), (3,)]
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="not retained"):
+        e("create table nope clone vsrc version as of 999")
