@@ -823,6 +823,12 @@ class AnalyticsEngine:
                 r = self._drop_table(stmt)
             elif head == "DROP" and re.match(r"drop\s+index", stmt, re.I):
                 r = self._drop_index(stmt)
+            elif head == "TRUNCATE":
+                r = self._truncate(stmt)
+            elif head == "INSERT" and re.match(
+                r"insert\s+overwrite\s+", stmt, re.I
+            ):
+                r = self._insert_overwrite(stmt)
             elif head == "INSERT":
                 r = self._insert(stmt)
             elif head == "MERGE":
@@ -2080,6 +2086,58 @@ class AnalyticsEngine:
         # count comes free from the written parquet footers — no extra
         # execution of the source query.
         n = self._append(name, src)
+        return Result(effect_rows=n)
+
+    def _truncate(self, stmt: str) -> Result:
+        """TRUNCATE TABLE <t>: drop all rows WITHOUT reading or
+        rewriting any of them — commit one empty segment as the new
+        version (DELETE without WHERE reads + rewrites the table;
+        TRUNCATE's cost is one empty write at any table size). The
+        previous version joins history like any other commit, so
+        TRUNCATE is time-travel-reversible (`CLONE ... VERSION AS OF`
+        restores it as a table)."""
+        m = re.match(r"truncate\s+(?:table\s+)?(\w+)\s*$", stmt, re.I)
+        if not m:
+            raise EngineError(f"cannot parse TRUNCATE: {stmt!r}")
+        name = m.group(1)
+        self._writable_meta(name)
+        empty = self.spark.createDataFrame([], self._schema(name))
+        self._overwrite(name, empty)
+        return Result(effect_rows=0)
+
+    def _insert_overwrite(self, stmt: str) -> Result:
+        """INSERT OVERWRITE <t> SELECT ...: atomically replace the
+        table's contents with the query result (the Spark/Hive
+        statement batch pipelines rebuild partitions with). Constraints
+        and the declared schema apply exactly as INSERT's do; readers
+        see the old or new version, never a mix."""
+        m = re.match(
+            r"insert\s+overwrite\s+(?:table\s+)?(\w+)\s+(select\s+.*|values\s*.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse INSERT OVERWRITE: {stmt!r}")
+        name, tail = m.groups()
+        self._writable_meta(name)
+        schema = self._schema(name)
+        if re.match(r"values", tail, re.I):
+            src = self.spark.sql("SELECT * FROM " + tail)
+        else:
+            src = self.spark.sql(tail)
+        if len(src.columns) != len(schema.fields):
+            raise EngineError(
+                f"INSERT OVERWRITE column count mismatch: "
+                f"{len(src.columns)} vs {len(schema.fields)}"
+            )
+        src = src.toDF(*[f.name for f in schema.fields]).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        src = self._enforce_constraints(name, src)
+        n = self._overwrite(name, src)
         return Result(effect_rows=n)
 
     _MERGE_RE = re.compile(

@@ -529,3 +529,32 @@ def test_show_tables_and_describe(engine):
     assert e("desc st_mv").rows == [("n", "bigint", True)]
     with pytest.raises(EngineError, match="does not exist"):
         e("describe nope")
+
+
+def test_truncate_and_insert_overwrite(engine):
+    e = engine.execute
+    e("create table tio (a int not null, b text)")
+    e("insert into tio values (1, 'x'), (2, 'y')")
+    v_before = engine._meta("tio")["vnum"]
+    e("truncate table tio")
+    assert e("select count(1) as n from tio").rows == [(0,)]
+    # time-travel-reversible: the pre-truncate version is retained
+    assert sorted(
+        e(f"select a from tio version as of {v_before}").rows
+    ) == [(1,), (2,)]
+
+    e("insert overwrite tio values (9, 'z'), (10, 'w')")
+    assert sorted(e("select a, b from tio").rows) == [(9, "z"), (10, "w")]
+    e("insert overwrite tio select a + 100, b from tio")
+    assert sorted(e("select a from tio").rows) == [(109,), (110,)]
+    # constraints still enforced on the overwrite path
+    with pytest.raises(EngineError, match="NOT NULL"):
+        e("insert overwrite tio values (null, 'bad')")
+    # and the failed overwrite left the table untouched
+    assert sorted(e("select a from tio").rows) == [(109,), (110,)]
+    # matviews reject both
+    e("create materialized view tio_mv as select count(*) as n from tio")
+    with pytest.raises(EngineError, match="materialized view"):
+        e("truncate table tio_mv")
+    with pytest.raises(EngineError, match="materialized view"):
+        e("insert overwrite tio_mv values (1)")
