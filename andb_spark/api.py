@@ -825,6 +825,8 @@ class AnalyticsEngine:
                 r = self._drop_index(stmt)
             elif head == "TRUNCATE":
                 r = self._truncate(stmt)
+            elif head == "RESTORE":
+                r = self._restore(stmt)
             elif head == "INSERT" and re.match(
                 r"insert\s+overwrite\s+", stmt, re.I
             ):
@@ -2103,6 +2105,66 @@ class AnalyticsEngine:
         self._writable_meta(name)
         empty = self.spark.createDataFrame([], self._schema(name))
         self._overwrite(name, empty)
+        return Result(effect_rows=0)
+
+    def _restore(self, stmt: str) -> Result:
+        """RESTORE TABLE <t> VERSION AS OF <n>: in-place rollback to a
+        retained version — a pure manifest pointer move (Delta RESTORE
+        economics). Zero data I/O: the historical segments are still on
+        disk (immutable, shared), so restoring 100 TB costs one catalog
+        save. The pre-restore version joins history like any commit, so
+        a RESTORE is itself reversible. Disallowed inside an explicit
+        transaction: the txn's created-dir rollback tracking assumes
+        new version dirs are NEW, and a restore re-points at existing
+        ones."""
+        m = re.match(
+            r"restore\s+(?:table\s+)?(\w+)\s+version\s+as\s+of\s+(\d+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse RESTORE: {stmt!r}")
+        if self._txn is not None:
+            raise EngineError("RESTORE is not allowed inside a transaction")
+        name, vnum = m.group(1), int(m.group(2))
+        self._writable_meta(name)
+        meta = self._meta(name)
+        if meta.get("vnum", 1) == vnum:
+            return Result(effect_rows=0)  # already there
+        target = next(
+            (
+                e
+                for e in meta.get("history", [])
+                if e["vnum"] == vnum
+            ),
+            None,
+        )
+        if target is None:
+            retained = [e["vnum"] for e in meta.get("history", [])] + [
+                meta.get("vnum", 1)
+            ]
+            raise EngineError(
+                f"version {vnum} of {name} is not retained"
+                f" (available: {retained})"
+            )
+        # current manifest -> history; target manifest -> current. The
+        # target STAYS in history too (it keeps its own vnum; the
+        # restore gets a new one) — segments are refcounted, so nothing
+        # is pruned while either references it.
+        history = meta.setdefault("history", [])
+        history.append(
+            {
+                "vnum": meta.get("vnum", 1),
+                "version": meta.get("version"),
+                "segments": self._segments_of(meta),
+            }
+        )
+        meta["history"] = history[-self.RETAIN_VERSIONS:]
+        meta["version"] = target["version"]
+        meta["segments"] = list(target["segments"])
+        meta["vnum"] = meta.get("vnum", 1) + 1
+        self._save_catalog()
+        self._view(name)
         return Result(effect_rows=0)
 
     def _insert_overwrite(self, stmt: str) -> Result:

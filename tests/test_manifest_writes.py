@@ -722,3 +722,30 @@ def test_clone_version_as_of_restores_historical_snapshot(engine):
 
     with pytest.raises(EngineError, match="not retained"):
         e("create table nope clone vsrc version as of 999")
+
+
+def test_restore_is_metadata_only_rollback(engine):
+    """RESTORE TABLE t VERSION AS OF n: in-place rollback, zero data
+    I/O — the restored manifest points at the SAME historical files."""
+    e = engine.execute
+    e("create table rs (a int)")
+    e("insert into rs values (1), (2)")
+    v_good = engine._meta("rs")["vnum"]
+    good_files = set(engine._data_files("rs"))
+    e("update rs set a = 0")   # bad mutation (full rewrite)
+    e("insert into rs values (99)")
+    e(f"restore table rs version as of {v_good}")
+    assert sorted(e("select a from rs").rows) == [(1,), (2,)]
+    # pointer move, not rewrite: the exact historical files are current
+    assert set(engine._data_files("rs")) == good_files
+    # the restore is itself a version: the pre-restore state is retained
+    hist = [row[0] for row in e("show history for rs").rows]
+    assert len(hist) >= 2
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="not retained"):
+        e("restore table rs version as of 999")
+    e("begin")
+    with pytest.raises(EngineError, match="transaction"):
+        e(f"restore table rs version as of {v_good}")
+    e("rollback")

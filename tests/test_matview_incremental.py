@@ -224,7 +224,9 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
     for op in ops:
         if op[0] == "insert":
             vals = ", ".join(f"('{g}', {v})" for g, v in op[1])
-            e(f"insert into base values {vals}")
+            # explicit column list: alter_add may have widened the
+            # schema (added columns fill with NULL)
+            e(f"insert into base (g, v) values {vals}")
         elif op[0] == "update":
             e(f"update base set v = {op[2]} where g = '{op[1]}'")
         elif op[0] == "optimize":
