@@ -860,7 +860,12 @@ class AnalyticsEngine:
                 r = self._show_history(stmt)
             elif head == "SHOW" and re.match(r"show\s+tables\s*$", stmt, re.I):
                 r = self._show_tables()
-            elif head == "DESCRIBE" or head == "DESC":
+            elif head in ("DESCRIBE", "DESC") and re.match(
+                r"desc(?:ribe)?\s+\w+\s*$", stmt, re.I
+            ):
+                # bare DESCRIBE <name> only; multi-word Spark variants
+                # (DESCRIBE EXTENDED/QUERY/FUNCTION) fall through to
+                # spark.sql below
                 r = self._describe(stmt)
             elif head == "VACUUM":
                 r = self._vacuum(stmt)
@@ -1366,8 +1371,9 @@ class AnalyticsEngine:
         # The swap rebinds the table NAME for the whole statement, so
         # any second reference (a scalar subquery in the SELECT list,
         # a self-reference in ORDER BY) would silently read the pruned
-        # subset. Prune only when the name occurs exactly once.
-        if len(re.findall(rf"\b{re.escape(name)}\b", stmt)) != 1:
+        # subset. Prune only when the name occurs exactly once —
+        # case-insensitively, since Spark resolves identifiers that way.
+        if len(re.findall(rf"\b{re.escape(name)}\b", stmt, re.I)) != 1:
             return None
         cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
         meta = self._meta(name)
@@ -1401,17 +1407,31 @@ class AnalyticsEngine:
         def _version_view(m: re.Match) -> str:
             name, vnum = m.group(1), int(m.group(2))
             view = f"{name}__v{vnum}"
-            # The CURRENT declared schema drives historical reads too,
-            # exactly like _read_table: after a metadata-only DROP
-            # COLUMN, time travel to the same version number must not
-            # resurrect the dropped column's bytes.
+            paths = self._resolve_version(name, vnum)
+            # The CURRENT declared schema drives historical reads (so a
+            # metadata-only DROP COLUMN cannot resurrect through time
+            # travel) — but ONLY when every declared column physically
+            # exists in the version's files. A RENAME rewrote the
+            # current files under new names; forcing those names onto
+            # pre-rename history would silently NULL the column, so
+            # such versions fall back to their files' own (historical)
+            # schema. Subset check = one footer-schema inference, no
+            # data I/O.
             reader = self.spark.read
             meta = self.catalog["tables"].get(name)
             if meta and meta.get("columns"):
-                reader = reader.schema(self._schema(name))
-            reader.parquet(
-                *self._resolve_version(name, vnum)
-            ).createOrReplaceTempView(view)
+                declared = self._schema(name)
+                if meta.get("vnum", 1) == vnum:
+                    # current version: exact _read_table parity
+                    # (metadata-only ADD surfaces its NULL column here)
+                    reader = reader.schema(declared)
+                else:
+                    inferred = self.spark.read.parquet(*paths)
+                    if {f.name.lower() for f in declared.fields} <= {
+                        c.lower() for c in inferred.columns
+                    }:
+                        reader = reader.schema(declared)
+            reader.parquet(*paths).createOrReplaceTempView(view)
             return view
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
@@ -1664,9 +1684,17 @@ class AnalyticsEngine:
                 shutil.copy2(f, dst)
         count, stats = _footer_stats(new_dir)
         stats["__rows"] = count
-        meta: dict = {
-            "columns": json.loads(json.dumps(src_meta.get("columns", [])))
-        }
+        columns = json.loads(json.dumps(src_meta.get("columns", [])))
+        if vnum is not None and columns:
+            # historical clone: the current declared schema only
+            # applies if every declared column physically exists in
+            # the cloned files (a later RENAME rewrote names) — else
+            # the clone declares the files' own historical schema
+            inferred = self.spark.read.parquet(new_dir).schema
+            file_cols = {f.name.lower() for f in inferred.fields}
+            if not {c["name"].lower() for c in columns} <= file_cols:
+                columns = _columns_from_schema(inferred)
+        meta: dict = {"columns": columns}
         self.catalog["tables"][name] = meta
         meta["_staged"] = {
             "version": new_version,
@@ -1855,21 +1883,7 @@ class AnalyticsEngine:
     ) -> Result:
         self._check_name_free(name)
         src = self.spark.sql(query)
-        type_names = {
-            "int": "int", "bigint": "bigint", "float": "real",
-            "double": "double", "boolean": "boolean", "string": "text",
-            "timestamp": "timestamp", "date": "date",
-            "array<float>": "vector",
-        }
-        columns = []
-        for f_ in src.schema.fields:
-            tname = type_names.get(f_.dataType.simpleString())
-            if tname is None:
-                raise EngineError(
-                    f"CTAS column {f_.name} has unsupported type "
-                    f"{f_.dataType.simpleString()}"
-                )
-            columns.append({"name": f_.name, "type": tname, "notnull": False})
+        columns = _columns_from_schema(src.schema)
         meta: dict = {"columns": columns}
         if matview_sql:
             meta["matview_sql"] = matview_sql
@@ -2059,11 +2073,16 @@ class AnalyticsEngine:
         schema = self._schema(name)
         target_cols = [f.name for f in schema.fields]
         if collist:
-            bad = [c for c in collist if c not in target_cols]
+            # case-insensitive, like Spark's own identifier resolution;
+            # normalize to the declared casing so downstream toDF/select
+            # line up exactly
+            by_lower = {c.lower(): c for c in target_cols}
+            bad = [c for c in collist if c.lower() not in by_lower]
             if bad:  # a typo would otherwise insert an all-NULL row
                 raise EngineError(
                     f"INSERT column(s) {bad} not in {name} ({target_cols})"
                 )
+            collist = [by_lower[c.lower()] for c in collist]
         if re.match(r"values", tail, re.I):
             values_sql = "SELECT * FROM " + tail  # VALUES (...) , (...)
             src = self.spark.sql(values_sql)
@@ -2159,11 +2178,26 @@ class AnalyticsEngine:
                 "segments": self._segments_of(meta),
             }
         )
+        dropped = history[: -self.RETAIN_VERSIONS]
         meta["history"] = history[-self.RETAIN_VERSIONS:]
         meta["version"] = target["version"]
         meta["segments"] = list(target["segments"])
         meta["vnum"] = meta.get("vnum", 1) + 1
+        # Reference-counted pruning of retention-expired versions, the
+        # same contract as _advance_pointer: a dir dies (and its zone
+        # maps leave the catalog) only when neither the new current
+        # manifest nor any retained history entry references it.
+        referenced = self._top_dirs(meta["segments"])
+        for entry in meta["history"]:
+            referenced |= self._top_dirs(self._segments_of(entry))
+        prune = []
+        for entry in dropped:
+            for d in self._top_dirs(self._segments_of(entry)) - referenced:
+                prune.append(os.path.join(self.warehouse, name, d))
+                meta.get("segment_stats", {}).pop(d, None)
         self._save_catalog()
+        for d in prune:  # strictly after the commit point
+            shutil.rmtree(d, ignore_errors=True)
         self._view(name)
         return Result(effect_rows=0)
 
@@ -2269,11 +2303,12 @@ class AnalyticsEngine:
                 for part in _split_top_level(um.group(1)):
                     k, v = part.split("=", 1)
                     k = k.strip().split(".")[-1]
-                    if k not in tcols:
+                    kl = {c.lower(): c for c in tcols}.get(k.lower())
+                    if kl is None:
                         raise EngineError(
                             f"MERGE SET column {k} not in {target}"
                         )
-                    update_set[k] = v.strip()
+                    update_set[kl] = v.strip()
         if update_set and matched_delete:
             # This engine's matched clauses are unconditional, so both
             # together are ambiguous (which rows update vs delete?) —
@@ -2283,11 +2318,13 @@ class AnalyticsEngine:
                 "MATCHED DELETE (matched clauses are unconditional)"
             )
         if insert_cols:
-            bad = [c for c in insert_cols if c not in tcols]
+            by_lower = {c.lower(): c for c in tcols}
+            bad = [c for c in insert_cols if c.lower() not in by_lower]
             if bad:
                 raise EngineError(
                     f"MERGE INSERT column(s) {bad} not in {target} ({tcols})"
                 )
+            insert_cols = [by_lower[c.lower()] for c in insert_cols]
 
         t = self.spark.table(target).alias(target)
         s = self.spark.table(source).alias(source)
@@ -2674,6 +2711,27 @@ class AnalyticsEngine:
         n = self._stage_version(name, df, base=keep)
         self._commit_staged(name)
         return Result(effect_rows=n_hit if n_hit is not None else n)
+
+
+def _columns_from_schema(schema: T.StructType) -> list[dict]:
+    """Spark schema → declared-column dicts (the CTAS / historical-clone
+    type mapping, SURVEY §1.2)."""
+    type_names = {
+        "int": "int", "bigint": "bigint", "float": "real",
+        "double": "double", "boolean": "boolean", "string": "text",
+        "timestamp": "timestamp", "date": "date",
+        "array<float>": "vector",
+    }
+    columns = []
+    for f_ in schema.fields:
+        tname = type_names.get(f_.dataType.simpleString())
+        if tname is None:
+            raise EngineError(
+                f"column {f_.name} has unsupported type "
+                f"{f_.dataType.simpleString()}"
+            )
+        columns.append({"name": f_.name, "type": tname, "notnull": False})
+    return columns
 
 
 def _matview_plan(sql: str) -> dict | None:

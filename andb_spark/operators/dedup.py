@@ -620,6 +620,7 @@ def connected_components(
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     und = und.localCheckpoint(eager=True)
+    changed = 0  # defined even if max_iter <= 0 (for-else still fires)
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()

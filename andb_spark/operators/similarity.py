@@ -93,7 +93,17 @@ def pairwise_near_dup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            # try_divide: 0/0 double division yields NaN, and Spark
+            # orders NaN ABOVE every number — a zero-norm vector would
+            # pass `>= threshold` as a spurious near-dup of everything.
+            # NULL instead, which the threshold filter drops.
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -253,7 +263,17 @@ def bucketed_near_dup(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            # try_divide: 0/0 double division yields NaN, and Spark
+            # orders NaN ABOVE every number — a zero-norm vector would
+            # pass `>= threshold` as a spurious near-dup of everything.
+            # NULL instead, which the threshold filter drops.
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
+            ),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

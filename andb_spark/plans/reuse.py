@@ -89,8 +89,17 @@ def scan_signatures(df: DataFrame) -> list[ScanSignature]:
         # from falsely sharing a fingerprint.
         parts = paths[0].rstrip("/").split("/")
         base = parts[-1].removesuffix(".parquet")
-        managed = re.fullmatch(r"v-[0-9a-f]{12}", base) and len(parts) >= 2
-        table = parts[-2] if managed else base
+        # a managed scan's roots are v-<hex> segment DIRS, or (after
+        # copy-on-write) individual part FILES inside one — in the
+        # file case the v-dir sits one level up
+        if re.fullmatch(r"v-[0-9a-f]{12}", base) and len(parts) >= 2:
+            managed, table = True, parts[-2]
+        elif len(parts) >= 3 and re.fullmatch(
+            r"v-[0-9a-f]{12}", parts[-2]
+        ):
+            managed, table = True, parts[-3]
+        else:
+            managed, table = False, base
         version = (
             hashlib.md5("|".join(paths).encode()).hexdigest()[:8]
             if managed or len(paths) > 1

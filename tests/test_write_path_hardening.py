@@ -157,3 +157,46 @@ def test_alter_scrub_commits_schema_and_files_atomically(engine):
     e("alter table t drop column b")
     e("alter table t add column b int")
     assert e("select a, b from t").rows == [(1, None)]  # scrubbed
+
+
+def test_version_read_falls_back_to_historical_schema_after_rename(engine):
+    """RENAME rewrites current files under the new name; forcing that
+    name onto pre-rename history would NULL the column. Time travel
+    (and CLONE VERSION AS OF) must serve such versions under their own
+    historical schema."""
+    e = engine.execute
+    e("create table rn (a int)")
+    e("insert into rn values (1), (2)")
+    v_old = engine._meta("rn")["vnum"]
+    e("alter table rn rename column a to b")
+    r = e(f"select * from rn version as of {v_old}")
+    assert r.columns == ["a"]  # historical name, historical values
+    assert sorted(r.rows) == [(1,), (2,)]
+    e(f"create table rn_clone clone rn version as of {v_old}")
+    assert sorted(e("select a from rn_clone").rows) == [(1,), (2,)]
+
+
+def test_zone_prune_guard_is_case_insensitive(engine):
+    e = engine.execute
+    e("create table czp (a int)")
+    e("insert into czp select id from range(1, 11)")
+    e("insert into czp select id from range(100, 201)")
+    r = e(
+        "select a, (select count(*) from CZP) as total from czp"
+        " where a > 150 order by a"
+    )
+    assert all(row[1] == 111 for row in r.rows)
+
+
+def test_insert_and_merge_columns_case_insensitive(engine):
+    e = engine.execute
+    e("create table ci (id int, price int)")
+    e("insert into ci (ID, Price) values (1, 10)")
+    assert e("select id, price from ci").rows == [(1, 10)]
+    e("create table ci_src (id int, price int)")
+    e("insert into ci_src values (1, 99)")
+    e(
+        "merge into ci using ci_src on ci.id = ci_src.id"
+        " when matched then update set Price = ci_src.price"
+    )
+    assert e("select price from ci").rows == [(99,)]
