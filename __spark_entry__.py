@@ -40,6 +40,6 @@ def oracle_sql() -> dict[str, str]:
     the driver's rows-only check — deliberately so for the sketch and
     iterative ops whose results are engine-specific (q_approx_distinct,
     q_approx_quantile, q_hll_distinct, t_approx_topk, d_bloom_dedup,
-    v_kmeans), each of which has an accuracy/invariant unit test
-    instead (tests/test_operators.py)."""
+    v_kmeans, v_pq_topk), each of which has an accuracy/invariant unit
+    test instead (tests/test_operators.py)."""
     return all_oracles()
