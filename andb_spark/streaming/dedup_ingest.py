@@ -85,6 +85,30 @@ def _batch_mark(checkpoint_dir: str, batch_id: int) -> dict:
     }
 
 
+def run_foreach_batch(
+    stream: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    query_name: str,
+    output_mode: str = "append",
+) -> None:
+    """Shared run harness for every foreachBatch ingest in the engine:
+    start the query, drain the (finite) source, always stop. One copy —
+    the replay-guard fix history shows what per-sink copies cost in
+    drift."""
+    q = (
+        stream.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def _cast_to(df: DataFrame, like: DataFrame) -> DataFrame:
     """Project + cast ``df`` to ``like``'s exact schema — the append
     path's replacement for the type check a unionByName used to do."""
@@ -238,17 +262,7 @@ def stream_dedup_ingest(
             # the next batch re-persists against the grown history
             DD.release_caches()
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_foreach_batch(stream, _sink, checkpoint_dir, query_name)
 
 
 def stream_ivf_ingest(
@@ -301,17 +315,7 @@ def stream_ivf_ingest(
             extra_meta={assign_table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_foreach_batch(stream, _sink, checkpoint_dir, query_name)
 
 
 def stream_multimodal_ingest(
@@ -396,14 +400,4 @@ def stream_multimodal_ingest(
             extra_meta={meta_table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    run_foreach_batch(stream, _sink, checkpoint_dir, query_name)

@@ -182,17 +182,11 @@ def stream_into_table(
             extra_meta={table: _batch_mark(checkpoint_dir, batch_id)},
         )
 
-    q = (
-        out.writeStream.outputMode("update")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
+    from andb_spark.streaming.dedup_ingest import run_foreach_batch
+
+    run_foreach_batch(
+        out, _sink, checkpoint_dir, query_name, output_mode="update"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
 
 
 def stream_events(
