@@ -675,8 +675,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     pow(2.0, bits-1-j) cast to bigint — exact for any power of two up
     to 2^59 (powers of two are exact doubles and fit signed 64-bit);
     bits=64 would need 2^63, which overflows the cast (an ANSI-mode
-    runtime error), and a sign-bit fingerprint would break the
-    nonneg-division band math in ``simhash_pairs``.
+    runtime error). The cap also keeps fingerprints non-negative,
+    which the DuckDB oracle's division-based band twin relies on
+    (the Spark side's shiftrightunsigned would handle a sign bit).
     """
     assert bits % 4 == 0 and bits <= 60
     toks = df.select(
