@@ -1352,8 +1352,12 @@ class AnalyticsEngine:
         touching just the segments whose [min, max] overlap the
         predicate — the same manifest-stats economics Iceberg/Delta
         readers get, without waiting for parquet footer I/O to skip
-        row groups. Returns the swapped table name (caller MUST
-        restore via ``_view`` after materializing) or None.
+        row groups. Returns ``(rewritten_stmt, tmp_view)`` — the
+        statement with its table token swapped for a UNIQUE temp view
+        bound to the surviving segments (caller drops the view after
+        materializing) — or None. The session-global view of the
+        table is never rebound, so a concurrent SELECT on the same
+        SparkSession can never observe the pruned binding.
 
         Every failure mode degrades to "no pruning": interval parsing
         is conjunct-prefix-sound (shearing the WHERE text at a clause
@@ -1368,11 +1372,12 @@ class AnalyticsEngine:
         if not m or m.group(1) not in self.catalog["tables"]:
             return None
         name = m.group(1)
-        # The swap rebinds the table NAME for the whole statement, so
-        # any second reference (a scalar subquery in the SELECT list,
-        # a self-reference in ORDER BY) would silently read the pruned
-        # subset. Prune only when the name occurs exactly once —
-        # case-insensitively, since Spark resolves identifiers that way.
+        # The rewrite swaps the table TOKEN; with multiple occurrences
+        # (a scalar subquery, a self-join, or the name inside a string
+        # literal) a single-token substitution is ambiguous. Prune only
+        # when the name occurs exactly once — case-insensitively, since
+        # Spark resolves identifiers that way — so the one occurrence
+        # is provably the FROM clause the regex matched.
         if len(re.findall(rf"\b{re.escape(name)}\b", stmt, re.I)) != 1:
             return None
         cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
@@ -1396,8 +1401,12 @@ class AnalyticsEngine:
             pruned = self.spark.createDataFrame([], self._schema(name))
         else:
             pruned = self._read_table(name).limit(0)
-        pruned.createOrReplaceTempView(name)
-        return name
+        tmp = f"{name}__zp_{uuid.uuid4().hex[:8]}"
+        pruned.createOrReplaceTempView(tmp)
+        return (
+            re.sub(rf"\b{re.escape(name)}\b", tmp, stmt, count=1, flags=re.I),
+            tmp,
+        )
 
     def _select(self, stmt: str) -> Result:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
@@ -1406,7 +1415,10 @@ class AnalyticsEngine:
 
         def _version_view(m: re.Match) -> str:
             name, vnum = m.group(1), int(m.group(2))
-            view = f"{name}__v{vnum}"
+            # unique per statement: a concurrent statement resolving
+            # the "same" (name, vnum) — e.g. across a RESTORE that
+            # renumbered history — can never race on a shared binding
+            view = f"{name}__v{vnum}_{uuid.uuid4().hex[:8]}"
             paths = self._resolve_version(name, vnum)
             # The CURRENT declared schema drives historical reads (so a
             # metadata-only DROP COLUMN cannot resurrect through time
@@ -1456,14 +1468,15 @@ class AnalyticsEngine:
                 (F.lit(1.0) - F.col("cos_sim")).alias(ann.group("alias")),
             )
             return self._fetch(df)
-        swapped = self._zone_prune_view(stmt)
+        pruned = self._zone_prune_view(stmt)
+        run_stmt, tmp = pruned if pruned else (stmt, None)
         try:
-            # _fetch materializes fully, so restoring the view after is
-            # safe — no lazy plan escapes holding the pruned scan.
-            return self._fetch(self.spark.sql(stmt))
+            # _fetch materializes fully, so dropping the unique pruned
+            # view after is safe — no lazy plan escapes holding it.
+            return self._fetch(self.spark.sql(run_stmt))
         finally:
-            if swapped:
-                self._view(swapped)
+            if tmp:
+                self.spark.catalog.dropTempView(tmp)
 
     def _fetch(self, df: DataFrame) -> Result:
         """Materialize a SELECT for the reference-shaped Result, with a
@@ -1582,20 +1595,21 @@ class AnalyticsEngine:
         # zone-pruned scan when data skipping applies (the reference's
         # EXPLAIN surfaces its IndexScan-vs-TableScan choice the same
         # way).
-        swapped = self._zone_prune_view(inner)
+        pruned = self._zone_prune_view(inner)
+        run_inner, tmp = pruned if pruned else (inner, None)
         try:
-            if swapped:
+            if tmp:
                 header += (
                     f"-- zone maps: "
                     f"{self.session_vars['andb.last_zone_prune']}\n"
                 )
-            df = self.spark.sql(inner)
+            df = self.spark.sql(run_inner)
             qe = df._jdf.queryExecution()
             logical = header + qe.optimizedPlan().toString()
             physical = qe.executedPlan().toString()
         finally:
-            if swapped:
-                self._view(swapped)
+            if tmp:
+                self.spark.catalog.dropTempView(tmp)
         # Two-column, logical + physical — the reference's EXPLAIN output
         # shape (portal.py:124-128).
         return Result(
@@ -1754,7 +1768,7 @@ class AnalyticsEngine:
             # Full re-run — always sound; re-anchor the seen-file set so
             # the NEXT refresh can go incremental again after a base
             # rewrite (CoW DML, OPTIMIZE) broke file-lineage continuity.
-            src = self.spark.sql(sql)
+            src = self._matview_source(sql, _matview_plan(sql))
             n = self._stage_version(name, src)
             self._commit_staged(
                 name, extra_meta={name: self._matview_anchor(meta, "full")}
@@ -1835,27 +1849,48 @@ class AnalyticsEngine:
             meta["matview_last_refresh"] = "noop"
             self._save_catalog()
             return 0
-        # Bind the base name to ONLY the delta files and re-run the
-        # defining query verbatim (temp-view resolution happens at
-        # spark.sql analysis time, so the partial plan stays pinned to
-        # the delta after the view is restored below).
+        # Bind ONLY the delta files to a UNIQUE temp view and rewrite
+        # the defining query's FROM token to it — never rebinding the
+        # base's session-global view, so a concurrent SELECT on the
+        # same SparkSession can never observe the delta-only binding
+        # (temp-view resolution happens at spark.sql analysis time, so
+        # the partial plan stays pinned after the view is dropped).
+        delta_view = f"{base}__mvdelta_{uuid.uuid4().hex[:8]}"
         self._read_files(
             base, [os.path.join(self.warehouse, r) for r in delta]
-        ).createOrReplaceTempView(base)
+        ).createOrReplaceTempView(delta_view)
         try:
-            partial = self.spark.sql(sql)
+            partial = self.spark.sql(
+                re.sub(
+                    rf"(\bfrom\s+){re.escape(base)}\b",
+                    rf"\g<1>{delta_view}",
+                    plan["state_sql"],
+                    count=1,
+                    flags=re.I,
+                )
+            )
         finally:
-            self._view(base)
+            self.spark.catalog.dropTempView(delta_view)
         merge = [
             getattr(F, fn)(alias).alias(alias)
             for alias, fn in plan["aggs"]
         ]
+        if plan["hidden"]:
+            # AVG state lives in hidden columns the declared schema
+            # hides from SELECTs — the merge must read the raw files.
+            partial = _derive_visible(partial, plan)
+            state = self.spark.read.parquet(*self._segment_paths(name))
+        else:
+            state = self._read_table(name)
         merged = (
-            self._read_table(name)
-            .unionByName(partial)
+            state.unionByName(partial)
             .groupBy(*plan["groups"])
             .agg(*merge)
-            .select(*plan["out_cols"])
+        )
+        merged = (
+            _derive_visible(merged, plan)
+            if plan["hidden"]
+            else merged.select(*plan["out_cols"])
         )
         n = self._stage_version(name, merged)
         self._commit_staged(
@@ -1878,12 +1913,29 @@ class AnalyticsEngine:
         if name in self.catalog["tables"]:
             raise EngineError(f"table {name} already exists")
 
+    def _matview_source(self, sql: str, plan: dict | None) -> DataFrame:
+        """The frame a full (re)materialization stores: the defining
+        query's result, plus each AVG's hidden SUM+COUNT state pair
+        when the view is self-maintainable (so the NEXT refresh can go
+        incremental). Hidden columns are never in the declared schema,
+        so SELECTs on the view never surface them."""
+        if plan and plan["hidden"]:
+            return _derive_visible(self.spark.sql(plan["state_sql"]), plan)
+        return self.spark.sql(sql)
+
     def _materialize_select(
         self, name: str, query: str, matview_sql: str | None = None
     ) -> Result:
         self._check_name_free(name)
-        src = self.spark.sql(query)
-        columns = _columns_from_schema(src.schema)
+        plan = _matview_plan(matview_sql) if matview_sql else None
+        if matview_sql:
+            src = self._matview_source(matview_sql, plan)
+            columns = _columns_from_schema(
+                src.select(*plan["out_cols"]).schema if plan else src.schema
+            )
+        else:
+            src = self.spark.sql(query)
+            columns = _columns_from_schema(src.schema)
         meta: dict = {"columns": columns}
         if matview_sql:
             meta["matview_sql"] = matview_sql
@@ -1892,7 +1944,6 @@ class AnalyticsEngine:
             # remember which base files this materialization reflects
             # (the temp view the query reads is bound to exactly the
             # current manifest). See _incremental_refresh.
-            plan = _matview_plan(matview_sql)
             if plan and plan["base"] in self.catalog["tables"]:
                 meta["matview_base"] = plan["base"]
                 meta["matview_seen"] = [
@@ -2265,8 +2316,12 @@ class AnalyticsEngine:
         MERGE is a pure append. One shuffle per branch on the join
         keys; at scale the join inherits AQE skew splitting like any
         other.
-        ``source`` must be unique on the join key (ANSI MERGE's multiple-
-        match error is not detected — documented engine caveat)."""
+        ANSI MERGE's multiple-match error is fully detected: a cheap
+        source-side duplicate-key probe for equi-join conditions (one
+        O(source) aggregate + limit(1), with the offending key in the
+        error), plus an exact per-target-row match-count backstop over
+        the affected files for every other ON shape. Both fire before
+        any staging, so a failed MERGE mutates nothing."""
         m = self._MERGE_RE.match(stmt)
         if not m:
             raise EngineError(f"cannot parse MERGE statement: {stmt}")
@@ -2329,6 +2384,30 @@ class AnalyticsEngine:
         t = self.spark.table(target).alias(target)
         s = self.spark.table(source).alias(source)
         jcond = F.expr(cond)
+        if update_set or matched_delete:
+            # ANSI multiple-match guard: with a matched clause, a
+            # source duplicated on its equi-join key would silently
+            # double-apply the update (or race update-vs-delete).
+            # Probe BEFORE any staging so a failed MERGE mutates
+            # nothing. O(source) aggregate, one limit(1) collect.
+            skeys = _source_equi_keys(cond, source)
+            if skeys:
+                dup = (
+                    s.groupBy(*[F.col(k) for k in skeys])
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .filter(F.col("__cnt") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    keyvals = ", ".join(
+                        f"{k}={dup[0][k]!r}" for k in skeys
+                    )
+                    raise EngineError(
+                        "MERGE source has multiple rows for join key "
+                        f"({keyvals}); ANSI MERGE forbids a target row "
+                        "matching more than one source row"
+                    )
         marked = s.withColumn("__m", F.lit(1)).alias(source)
         # Copy-on-write: the matched branch rewrites only the files
         # containing join matches; an insert-only MERGE appends and
@@ -2347,6 +2426,32 @@ class AnalyticsEngine:
                 t_affected = self._read_files(target, affected).alias(target)
         parts: list[DataFrame] = []
         if t_affected is not None:
+            # Exact ANSI multiple-match backstop for conditions the
+            # cheap source-key probe can't parse (non-equi ON): count
+            # source matches per affected-target row. Without this the
+            # left-join update branch would DUPLICATE multi-matched
+            # target rows, not just pick an arbitrary source value.
+            # Scope: only the affected files x source — the same join
+            # the rewrite below performs anyway. __tid is assigned and
+            # consumed within one materialization, so its per-run
+            # nondeterminism across plans is irrelevant.
+            multi = (
+                t_affected.withColumn(
+                    "__tid", F.monotonically_increasing_id()
+                )
+                .alias(target)
+                .join(s, jcond, "inner")
+                .groupBy("__tid")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") > 1)
+                .limit(1)
+                .count()
+            )
+            if multi:
+                raise EngineError(
+                    "MERGE target row matches more than one source row; "
+                    "ANSI MERGE forbids multiple matches"
+                )
             joined = t_affected.join(marked, jcond, "left")
             if matched_delete:
                 parts.append(
@@ -2743,12 +2848,17 @@ def _matview_plan(sql: str) -> dict | None:
     *self-maintainable under insertions* (Gupta & Mumick's view-
     maintenance taxonomy; TimescaleDB continuous aggregates and Delta
     incremental refresh scope the same way): SUM/COUNT re-merge with
-    SUM, MIN/MAX with MIN/MAX. Joins, HAVING, DISTINCT, windows,
-    subqueries, or un-aliased aggregates fall back to full refresh —
-    correctness never depends on this parser saying yes.
+    SUM, MIN/MAX with MIN/MAX, and AVG decomposes into a hidden
+    SUM+COUNT state pair (stored in the view's parquet but NOT in its
+    declared schema, so SELECTs never see it) re-derived on merge.
+    Joins, HAVING, DISTINCT, windows, subqueries, or un-aliased
+    aggregates fall back to full refresh — correctness never depends
+    on this parser saying yes.
 
     Returns ``{"base", "groups", "aggs": [(alias, merge_fn)],
-    "out_cols"}``.
+    "out_cols", "derive": [(alias, sum_col, cnt_col)], "hidden",
+    "state_sql"}`` — ``state_sql`` is the defining query with each AVG
+    rewritten to its state pair (identical to the input when no AVG).
     """
     s = " ".join(sql.strip().rstrip(";").split())
     low = s.lower()
@@ -2788,34 +2898,126 @@ def _matview_plan(sql: str) -> dict | None:
             group_cols.append(g)
     out_cols: list[str] = []
     aggs: list[tuple[str, str]] = []
+    derive: list[tuple[str, str, str]] = []
+    hidden: list[str] = []
+    state_items: list[str] = []
     seen_groups: set[str] = set()
     for item in _split_top_level(items_s):
         am = re.fullmatch(
-            r"(sum|count|min|max)\s*\((.+)\)\s+as\s+(\w+)", item, re.I
+            r"(sum|count|min|max|avg)\s*\((.+)\)\s+as\s+(\w+)", item, re.I
         )
         if am:
             fn, inner, alias = am.groups()
+            # `(.+)` is greedy: a compound item like `sum(a)/count(*)
+            # as r` fullmatches with inner = `a)/count(*` — merging
+            # such a value with SUM would silently corrupt the view.
+            # Only a parenthesis-BALANCED inner is a single aggregate
+            # call; anything else falls back to full refresh.
+            if not _paren_balanced(inner):
+                return None
             if re.match(r"\s*distinct\b", inner, re.I):
                 return None  # COUNT(DISTINCT) is not self-maintainable
-            merge = "sum" if fn.lower() in ("sum", "count") else fn.lower()
-            aggs.append((alias, merge))
+            if alias.startswith("__mv_"):
+                return None  # reserved for the hidden AVG state pair
+            if fn.lower() == "avg":
+                s_col, c_col = f"__mv_s__{alias}", f"__mv_c__{alias}"
+                aggs += [(s_col, "sum"), (c_col, "sum")]
+                derive.append((alias, s_col, c_col))
+                hidden += [s_col, c_col]
+                state_items += [
+                    f"sum({inner}) as {s_col}",
+                    f"count({inner}) as {c_col}",
+                ]
+            else:
+                merge = (
+                    "sum" if fn.lower() in ("sum", "count") else fn.lower()
+                )
+                aggs.append((alias, merge))
+                state_items.append(item)
             out_cols.append(alias)
             continue
         if re.fullmatch(r"\w+", item) and item in group_cols:
             seen_groups.add(item)
             out_cols.append(item)
+            state_items.append(item)
             continue
         return None
     # every GROUP BY key must surface in the output, else re-grouping
     # the union by the visible keys would collapse distinct base groups
     if set(group_cols) != seen_groups or not aggs:
         return None
+    state_sql = "select " + ", ".join(state_items) + f" from {base}"
+    if _where:
+        state_sql += f" where {_where}"
+    if group_s:
+        state_sql += f" group by {group_s}"
     return {
         "base": base,
         "groups": group_cols,
         "aggs": aggs,
         "out_cols": out_cols,
+        "derive": derive,
+        "hidden": hidden,
+        "state_sql": state_sql,
     }
+
+
+def _source_equi_keys(cond: str, source: str) -> list[str]:
+    """Source-side join-key columns of a MERGE ON clause, when — and
+    only when — the clause is a pure conjunction of QUALIFIED
+    equalities with exactly one side on the source alias
+    (``t.a = s.b AND t.c = s.d``). Any other shape (non-equi terms,
+    unqualified columns that Spark could resolve to either side,
+    OR-trees) returns [] and the caller skips the duplicate-key guard:
+    a false-positive guard would reject legal MERGEs, so the parse is
+    strictly conservative."""
+    keys: list[str] = []
+    for conj in re.split(r"\band\b", cond, flags=re.I):
+        m = re.fullmatch(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj)
+        if not m:
+            return []
+        a1, c1, a2, c2 = m.groups()
+        if a1.lower() == source.lower() and a2.lower() != source.lower():
+            keys.append(c1)
+        elif a2.lower() == source.lower() and a1.lower() != source.lower():
+            keys.append(c2)
+        else:
+            return []
+    return keys
+
+
+def _paren_balanced(s: str) -> bool:
+    """True iff parentheses in ``s`` nest properly (depth never goes
+    negative and ends at 0) — quote-aware so `')'` literals don't
+    break the scan."""
+    depth, quote = 0, None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _derive_visible(df: DataFrame, plan: dict) -> DataFrame:
+    """Re-derive each AVG's visible column from its hidden SUM+COUNT
+    state pair (NULL when the group has no non-null inputs — exactly
+    Spark's and ANSI's avg-of-empty), then order columns as
+    out_cols + hidden for storage/union stability."""
+    for alias, s_col, c_col in plan["derive"]:
+        df = df.withColumn(
+            alias,
+            F.when(F.col(c_col) > 0, F.col(s_col) / F.col(c_col)),
+        )
+    return df.select(*plan["out_cols"], *plan["hidden"])
 
 
 def _split_top_level(s: str) -> list[str]:

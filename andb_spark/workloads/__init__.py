@@ -33,78 +33,89 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # DuckDB oracle (a ``no_oracle`` entry can never turn green and would
 # burn a slot — the sketch queries live past position 50 on purpose).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
+    # Round-4 rotation (VERDICT r3 #2): slots whose family already
+    # carried several green rows across r1–r3 (q3/q5/q18, date funcs,
+    # having/pivot, in-subquery, semi join, q7/q9, limit/offset,
+    # union, incremental-minhash, chunking, semantic-dedup, tumbling)
+    # made way for 16 never-driver-graded names, keeping at least one
+    # driver-green representative per family. r1–r3 evidence for the
+    # rotated-out names stays on record in CORRECTNESS_r0{1,2,3}.json.
     # §2.2/§2.4 core relational: scans, predicates, expressions, aggs
     "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "q18_large_orders",
     "q_predicates",
     "q_case_cast_concat",
     "q_string_funcs",
-    "q_date_funcs",
-    "q_having",
     "q_count_distinct",
     "q_grouping_sets",
-    "q_pivot",
     "q_json_extract",
-    # §2.3 joins (left/right covered by full; cross by theta)
+    # §2.3 joins (left/right covered by full; semi/anti graded r1-r3)
     "q_join_full",
-    "q_join_semi",
     # §2.5 sort / limit / top-k
     "q_sort_multi_key",
-    "q_limit_offset",
     "q_topk_per_group",
     # §2.6 set ops
-    "q_union_all",
     "q_except",
     # §2.8 windows
     "q_window_funcs",
-    # §2.10 subqueries / CTE (scalar/exists variants stay under the
-    # full local gate; q21's doubly-correlated EXISTS covers the
-    # family's hard case driver-side)
-    "q_in_subquery",
+    # §2.10 subqueries / CTE (IN/scalar graded r1-r3; EXISTS and
+    # NOT-EXISTS now carried driver-side by q4/q22/q21)
     "q_cte",
-    # TPC-H deep cuts (multi-way joins, correlated subqueries)
-    "q7_volume_shipping",
-    "q9_product_profit",
+    # TPC-H deep cuts — first-time driver evidence: correlated EXISTS
+    # (q4), outer-join distribution (q13), OR-of-ANDs predicate pushdown
+    # (q19), scalar-subquery + anti-join (q22); q21 keeps the doubly-
+    # correlated EXISTS/NOT-EXISTS hard case pinned
+    "q4_priority_exists",
+    "q13_customer_distribution",
+    "q19_or_of_ands",
     "q21_waiting_suppliers",
+    "q22_idle_customers",
     # as-of / range join extensions
     "a_asof_join",
     "a_range_join",
-    # dedup family
+    # dedup family (+ first-time: simhash banded pairs, passage-level
+    # scrub, the LSH recall self-audit)
     "d_exact_dedup",
     "d_minhash_lsh",
-    "d_incremental_minhash",
     "d_dup_components",
-    # text analysis
+    "d_simhash_pairs",
+    "d_passage_scrub",
+    "d_lsh_recall_audit",
+    # text analysis (+ first-time: BM25 lexical retrieval, TF-IDF,
+    # PII scrubbing)
     "t_lang_quality",
-    "t_chunking",
-    # pipeline (sampling / split / end-to-end)
+    "t_bm25_topk",
+    "t_tfidf",
+    "t_pii_scrub",
+    # pipeline (sampling / split / end-to-end + weighted sampling)
     "p_split",
     "p_pipeline_e2e",
-    # vectors / ANN
+    "p_sample_weighted",
+    # vectors / ANN (+ first-time: LSH-bucketed top-k, two-stage rerank)
     "v_cosine_topk",
     "v_ivf_topk",
-    "v_semantic_dedup",
     "v_knn_join",
+    "v_lsh_topk",
+    "v_rerank_topk",
     # hybrid lexical+vector retrieval (RRF fusion of BM25 + cosine)
     "v_hybrid_rrf",
-    # multimodal: metadata plumbing (fake codec over text payloads) +
-    # REAL encode→decode round trips graded pixel/sample-exact by the
-    # oracle's closed forms (m_image_decode / m_audio_decode)
+    # multimodal — ALL real codecs now: header-parse metadata over
+    # synthesized BMP/WAV corpora (m_image_meta / m_audio_meta,
+    # fake=False) + full decode round trips graded pixel/sample-exact
     "m_image_meta",
+    "m_audio_meta",
     "m_image_decode",
     "m_audio_decode",
     # engine surface: DML write path (append + copy-on-write), the
     # incremental matview refresh (fails unless the O(delta) path ran),
-    # and the SQL-selectable system catalog, all oracle-stated
+    # zero-copy CLONE, and the SQL-selectable system catalog
     "u_dml_roundtrip",
     "u_matview_refresh",
+    "u_clone_snapshot",
     "c_catalog_tables",
-    # streaming (batch windows + real readStream)
-    "s_tumbling",
+    # streaming (batch session twin + real readStream tumbling/session)
     "s_session",
     "s_stream_tumbling",
+    "s_stream_session",
 )
 
 

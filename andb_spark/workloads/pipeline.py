@@ -1086,12 +1086,17 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction with the deterministic fake
-    decoder (real codecs stubbed — operators/multimodal.py)."""
-    d = _docs(spark, sf_dir)
-    return extract_image_meta(binarize(d, "text", "doc_id"), fake=True).orderBy(
-        "doc_id"
-    )
+    """REAL header parse over real payloads: synthesize one true 24-bit
+    BMP per doc (operators/multimodal.py::synthesize_image_corpus),
+    then run the real mapInPandas metadata stage (fake=False). The
+    oracle restates the BMP layout in closed form — n_bytes = 54-byte
+    header + height x 4-aligned stride — so a header-parse bug cannot
+    pass. Bounded slice (doc_id < 400) keeps the per-row Python
+    synthesis off the corpus hot path, as in m_image_decode."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return extract_image_meta(
+        synthesize_image_corpus(d), fake=False
+    ).orderBy("doc_id")
 
 
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1105,13 +1110,15 @@ def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-modality twin of m_image_meta: mapInPandas feature
-    extraction with the deterministic fake codec, plus the derived
-    per-payload sample count."""
-    d = _docs(spark, sf_dir)
-    return extract_audio_meta(binarize(d, "text", "doc_id"), fake=True).orderBy(
-        "doc_id"
-    )
+    """Audio-modality twin of m_image_meta, on the REAL RIFF/WAVE
+    parse: one true PCM-16 WAV per doc, metadata extracted by the real
+    chunk walk (fake=False). n_bytes/duration_ms/n_samples all have
+    closed forms in doc_id the oracle states without touching a byte
+    (44-byte canonical header + frames x channels x 2)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return extract_audio_meta(
+        synthesize_audio_corpus(d), fake=False
+    ).orderBy("doc_id")
 
 
 def m_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2038,50 +2045,42 @@ ORACLES = {
                lower(hex(encode(substr(text, 1, 4)))) AS head_hex
         FROM documents ORDER BY doc_id
     """,
-    "m_image_meta": f"""
-        WITH h AS (
+    # Real-codec metadata: the oracle restates the container layouts
+    # in closed form (BMP: 54-byte header + height x 4-aligned stride;
+    # WAV: 44-byte canonical header + frames x channels x 2) — the
+    # Spark side must reproduce them through the REAL header parse.
+    "m_image_meta": """
+        WITH g AS (
             SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS hh
-            FROM documents
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 11 AS h
+            FROM documents WHERE doc_id < 400
         )
-        SELECT doc_id, n_bytes,
-               ['png', 'jpeg', 'webp'][
-                   CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
-                        + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1)
-                        AS INT) % 3 + 1] AS format,
-               CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
-               CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
-        FROM h ORDER BY doc_id
+        SELECT doc_id,
+               CAST(54 + h * ((w * 3 + 3) - ((w * 3 + 3) % 4))
+                    AS BIGINT) AS n_bytes,
+               'bmp' AS format,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height
+        FROM g ORDER BY doc_id
     """,
-    "m_audio_meta": f"""
-        WITH h AS (
+    "m_audio_meta": """
+        WITH g AS (
             SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS hh
-            FROM documents
-        ),
-        b AS (
-            SELECT doc_id, n_bytes,
-                   (strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) AS b0,
-                   (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) AS b1,
-                   (strpos('0123456789abcdef', substr(hh, 5, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(hh, 6, 1)) - 1) AS b2,
-                   {_HEX2INT.format(h='hh', off='6')} AS w16
-            FROM h
+                   [8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INT) + 1]
+                       AS rate,
+                   1 + doc_id % 2 AS ch,
+                   100 + doc_id % 50 AS frames
+            FROM documents WHERE doc_id < 400
         )
-        SELECT doc_id, n_bytes,
-               ['wav', 'mp3', 'flac'][CAST(b0 AS INT) % 3 + 1] AS codec,
-               CAST([8000, 16000, 22050, 44100, 48000][CAST(b1 AS INT) % 5 + 1]
-                    AS INT) AS sample_rate,
-               CAST(1 + b2 % 2 AS INT) AS channels,
-               CAST(500 + w16 % 60000 AS INT) AS duration_ms,
-               CAST((CAST(500 + w16 % 60000 AS BIGINT)
-                     * [8000, 16000, 22050, 44100, 48000][CAST(b1 AS INT) % 5 + 1])
-                    // 1000 AS BIGINT) AS n_samples
-        FROM b ORDER BY doc_id
+        SELECT doc_id,
+               CAST(44 + frames * ch * 2 AS BIGINT) AS n_bytes,
+               'wav' AS codec,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(ch AS INT) AS channels,
+               CAST(frames * 1000 // rate AS INT) AS duration_ms,
+               CAST(frames AS BIGINT) AS n_samples
+        FROM g ORDER BY doc_id
     """,
     # Real-codec round trips: the oracle never decodes a byte — it
     # restates the closed forms the synthetic corpus was built from

@@ -85,7 +85,26 @@ HEADLINE_R03 = (
     "v_hybrid_rrf",
 )
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03
+# Queries rotated into the driver spotlight in r4 (first-time driver
+# evidence — VERDICT r3 #2). Streaming readStream queries stay out, as
+# before.
+HEADLINE_R04 = (
+    "q4_priority_exists",
+    "q13_customer_distribution",
+    "q19_or_of_ands",
+    "q22_idle_customers",
+    "d_simhash_pairs",
+    "d_passage_scrub",
+    "t_bm25_topk",
+    "t_tfidf",
+    "t_pii_scrub",
+    "p_sample_weighted",
+    "v_lsh_topk",
+    "v_rerank_topk",
+    "m_audio_meta",
+)
+
+HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
 
 def main() -> None:
@@ -143,6 +162,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
+    # The per-query max/min spread map goes on its OWN stdout line,
+    # BEFORE the headline: r3's single line carrying both outgrew the
+    # driver's tail capture and arrived truncated mid-JSON
+    # (BENCH_r03.json "parsed": null). The LAST line is the compact
+    # machine-readable record and must stay short enough to survive
+    # any tail window.
+    print(json.dumps({"metric": "spread_max_over_min", "spread": spread}))
     print(
         json.dumps(
             {
@@ -153,7 +179,6 @@ def main() -> None:
                 "sf": sf,
                 "r01_subset_sec": r01,
                 "n_runs": n_runs,
-                "spread": spread,
             }
         )
     )

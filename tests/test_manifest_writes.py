@@ -424,15 +424,21 @@ def test_zone_maps_prune_select_reads(engine):
     # A, C, and the empty create-segment all prune away
     assert "skipped 3/4" in engine.session_vars["andb.last_zone_prune"]
 
-    # the swap really narrows the scan to segment B's files
-    swapped = engine._zone_prune_view(
-        "select k from zr where k between 5100 and 5200"
-    )
-    assert swapped == "zr"
+    # the rewrite narrows the scan to segment B's files via a UNIQUE
+    # temp view — the table's own session view is never touched, so a
+    # concurrent reader of `zr` always sees the full table
+    stmt = "select k from zr where k between 5100 and 5200"
+    rewritten, tmp = engine._zone_prune_view(stmt)
+    assert tmp.startswith("zr__zp_") and tmp in rewritten
     segs = engine._segments_of(engine._meta("zr"))
-    files = engine.spark.table("zr").inputFiles()
+    files = engine.spark.table(tmp).inputFiles()
     assert files and all(f"/{segs[2]}/" in f for f in files), files
-    engine._view("zr")  # restore, as _select's finally would
+    full_files = engine.spark.table("zr").inputFiles()
+    assert len(full_files) > len(files)  # global view untouched mid-swap
+    # a second statement issued while the swap is live still reads the
+    # WHOLE table (the round-3 rebind-restore pattern failed this)
+    assert e("select count(1) as n from zr").rows == [(2100,)]
+    engine.spark.catalog.dropTempView(tmp)  # as _select's finally does
 
     # globally disjoint predicate: zero rows, all segments skipped
     r = e("select k from zr where k > 900000")

@@ -23,7 +23,7 @@ def engine(spark, tmp_path):
 
 MV_SQL = (
     "select g, count(*) as n, sum(v) as total, min(v) as lo,"
-    " max(v) as hi from base where v >= 0 group by g"
+    " max(v) as hi, avg(v) as mean from base where v >= 0 group by g"
 )
 
 
@@ -51,14 +51,32 @@ def test_plan_parser_accepts_self_maintainable_shape():
         ("total", "sum"),
         ("lo", "min"),
         ("hi", "max"),
+        ("__mv_s__mean", "sum"),
+        ("__mv_c__mean", "sum"),
     ]
-    assert plan["out_cols"] == ["g", "n", "total", "lo", "hi"]
+    assert plan["out_cols"] == ["g", "n", "total", "lo", "hi", "mean"]
+    # AVG decomposes into a hidden SUM+COUNT state pair the state
+    # query computes in place of the avg item
+    assert plan["derive"] == [("mean", "__mv_s__mean", "__mv_c__mean")]
+    assert plan["hidden"] == ["__mv_s__mean", "__mv_c__mean"]
+    assert "avg(" not in plan["state_sql"]
+    assert "sum(v) as __mv_s__mean" in plan["state_sql"]
+    assert "count(v) as __mv_c__mean" in plan["state_sql"]
 
 
 @pytest.mark.parametrize(
     "sql",
     [
-        "select g, avg(v) as a from base group by g",  # AVG not SM
+        # compound expressions that the greedy agg regex USED to
+        # fullmatch (inner capture `a)/count(*` etc.) — merging those
+        # with SUM/MIN silently corrupts the view, so the balanced-
+        # paren guard must route them to full refresh
+        "select g, sum(v)/count(*) as avg_v from base group by g",
+        "select g, sum(a)/sum(b) as ratio from base group by g",
+        "select g, min(a)*max(b) as x from base group by g",
+        "select g, avg(distinct v) as a from base group by g",
+        # aliases colliding with the reserved hidden-state prefix
+        "select g, sum(v) as __mv_s__x from base group by g",
         "select g, count(distinct v) as n from base group by g",
         "select g, sum(v) as s from base group by g having sum(v) > 1",
         "select b.g, sum(b.v) as s from base b join other o on b.g = o.g"
@@ -77,7 +95,14 @@ def test_plan_parser_rejects_non_incremental_shapes(sql):
 def test_refresh_after_append_is_incremental_and_correct(engine):
     e = engine.execute
     _seed(e)
-    assert _mv_rows(e) == [("a", 2, 3, 1, 2), ("b", 1, 3, 3, 3)]
+    assert _mv_rows(e) == [
+        ("a", 2, 3, 1, 2, 1.5),
+        ("b", 1, 3, 3, 3, 3.0),
+    ]
+    # the hidden AVG state pair never surfaces through SELECT
+    assert e("select * from mv").columns == [
+        "g", "n", "total", "lo", "hi", "mean",
+    ]
 
     # three appends: existing group, new group, filtered-out row
     e("insert into base values ('a', 10), ('c', 7), ('c', -1)")
@@ -87,9 +112,9 @@ def test_refresh_after_append_is_incremental_and_correct(engine):
     )
     assert _mv_rows(e) == _full_rows(e)
     assert _mv_rows(e) == [
-        ("a", 3, 13, 1, 10),
-        ("b", 1, 3, 3, 3),
-        ("c", 1, 7, 7, 7),
+        ("a", 3, 13, 1, 10, 13 / 3),
+        ("b", 1, 3, 3, 3, 3.0),
+        ("c", 1, 7, 7, 7, 7.0),
     ]
 
     # refresh with no base change: noop, zero rows rewritten
@@ -145,14 +170,46 @@ def test_cow_rewrite_falls_back_to_full_then_recovers(engine):
 
 
 def test_non_sm_view_always_full_refresh(engine):
+    """A compound aggregate expression (the exact shape the greedy
+    regex used to mis-parse as SUM-mergeable) must take the full path
+    every time — and stay correct."""
     e = engine.execute
     e("create table base (g text, v int)")
     e("insert into base values ('a', 1), ('b', 2)")
-    e("create materialized view mv as select g, avg(v) as a from base group by g")
+    e(
+        "create materialized view mv as"
+        " select g, sum(v)/count(*) as a from base group by g"
+    )
     e("insert into base values ('a', 3)")
     e("refresh materialized view mv")
     assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
     assert e("select * from mv order by g").rows == [("a", 2.0), ("b", 2.0)]
+
+
+def test_avg_view_incremental_refresh(engine):
+    """AVG alone: hidden-state decomposition end-to-end — refresh after
+    append goes incremental, values equal the full recompute, the
+    stored hidden columns never leak into SELECT results."""
+    e = engine.execute
+    e("create table base (g text, v int)")
+    e("insert into base values ('a', 1), ('a', 2), ('b', 7), ('b', null)")
+    e(
+        "create materialized view mv as"
+        " select g, avg(v) as mean from base group by g"
+    )
+    assert e("select * from mv order by g").rows == [("a", 1.5), ("b", 7.0)]
+    e("insert into base values ('a', 6), ('c', null)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    r = e("select * from mv order by g")
+    assert r.columns == ["g", "mean"]
+    # avg ignores NULL inputs; an all-NULL group averages to NULL
+    assert r.rows == [("a", 3.0), ("b", 7.0), ("c", None)]
+    assert r.rows == e(
+        "select g, avg(v) as mean from base group by g order by g"
+    ).rows
 
 
 def test_global_aggregate_view_incremental(engine):
@@ -347,4 +404,31 @@ def test_auto_compact_reanchors_current_views(engine, monkeypatch):
     assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
         "incremental"
     )
+    assert _mv_rows(e) == _full_rows(e)
+
+
+def test_concurrent_select_during_incremental_refresh(engine, monkeypatch):
+    """The delta partial is bound to a UNIQUE temp view, never the
+    base's session-global one — a SELECT issued while the incremental
+    refresh is materializing must see the FULL base table (the round-3
+    rebind-restore pattern exposed the delta-only binding here)."""
+    e = engine.execute
+    _seed(e)
+    e("insert into base values ('a', 10), ('c', 7)")
+    full_n = e("select count(1) as n from base").rows[0][0]
+
+    observed = []
+    orig = AnalyticsEngine._stage_version
+
+    def spy(self, name, df, base=None):
+        if name == "mv":  # mid-refresh: the delta view is live now
+            observed.append(e("select count(1) as n from base").rows[0][0])
+        return orig(self, name, df, base=base)
+
+    monkeypatch.setattr(AnalyticsEngine, "_stage_version", spy)
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert observed == [full_n]
     assert _mv_rows(e) == _full_rows(e)

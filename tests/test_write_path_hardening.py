@@ -200,3 +200,80 @@ def test_insert_and_merge_columns_case_insensitive(engine):
         " when matched then update set Price = ci_src.price"
     )
     assert e("select price from ci").rows == [(99,)]
+
+
+def test_merge_duplicate_source_keys_raise_without_mutation(engine):
+    """ANSI multiple-match detection (VERDICT r3 #4): a source with
+    duplicate equi-join keys plus a matched clause raises BEFORE any
+    staging — the target is byte-identical after the failed MERGE.
+    Insert-only MERGEs (no matched clause) are exempt. Non-equi ON
+    clauses skip the cheap probe but hit the exact per-target-row
+    backstop in the rewrite branch."""
+    e = engine.execute
+    e("create table mm (k int, v int)")
+    e("insert into mm values (1, 10), (2, 20)")
+    e("create table mmsrc (k int, v int)")
+    e("insert into mmsrc values (1, 11), (1, 12), (3, 30)")
+
+    files_before = engine._data_files("mm")
+    with pytest.raises(EngineError, match="multiple rows"):
+        e(
+            "merge into mm using mmsrc on mm.k = mmsrc.k"
+            " when matched then update set v = mmsrc.v"
+        )
+    assert engine._data_files("mm") == files_before  # nothing mutated
+    assert e("select * from mm order by k").rows == [(1, 10), (2, 20)]
+
+    with pytest.raises(EngineError, match="multiple rows"):
+        e(
+            "merge into mm using mmsrc on mm.k = mmsrc.k"
+            " when matched then delete"
+        )
+
+    # no matched clause: duplicate source keys are legal (each
+    # unmatched source row inserts), per ANSI
+    r = e(
+        "merge into mm using mmsrc on mm.k = mmsrc.k"
+        " when not matched then insert values (mmsrc.k, mmsrc.v)"
+    )
+    assert r.effect_rows == 1  # only k=3 was unmatched
+    assert e("select * from mm order by k, v").rows == [
+        (1, 10), (2, 20), (3, 30),
+    ]
+
+    # non-equi ON, one target row matching SEVERAL source rows: the
+    # cheap probe can't parse it, but the exact backstop must fire —
+    # round-3's code silently emitted one updated row PER match here
+    e("create table mm2 (k int, v int)")
+    e("insert into mm2 values (5, 0)")
+    with pytest.raises(EngineError, match="more than one source row"):
+        e(
+            "merge into mm2 using mmsrc on mm2.k > mmsrc.k"
+            " when matched then update set v = 1"
+        )
+    assert e("select * from mm2").rows == [(5, 0)]  # untouched
+
+    # ON clause the cheap probe can't parse (arithmetic), but at most
+    # one source row matches each target row: legal, backstop passes —
+    # no false-positive rejection
+    e("create table mm3 (k int, v int)")
+    e("insert into mm3 values (2, 0), (10, 0)")
+    e(
+        "merge into mm3 using mmsrc on mm3.k = mmsrc.k + 7"
+        " when matched then update set v = 1"
+    )  # k=10 matches only source k=3; the duplicate k=1 rows miss
+    assert e("select * from mm3 order by k").rows == [(2, 0), (10, 1)]
+
+
+def test_merge_source_equi_key_parser():
+    from andb_spark.api import _source_equi_keys
+
+    assert _source_equi_keys("t.a = s.b", "s") == ["b"]
+    assert _source_equi_keys("s.a = t.b and t.c = s.d", "s") == ["a", "d"]
+    assert _source_equi_keys("T.a = S.b", "s") == ["b"]  # case-insensitive
+    # conservative refusals: non-equi, unqualified, OR, same-side
+    assert _source_equi_keys("t.a > s.b", "s") == []
+    assert _source_equi_keys("a = s.b", "s") == []
+    assert _source_equi_keys("t.a = s.b or t.c = s.d", "s") == []
+    assert _source_equi_keys("s.a = s.b", "s") == []
+    assert _source_equi_keys("t.a = t.b", "s") == []
