@@ -108,11 +108,14 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
     read from the parquet FOOTERS (driver-side metadata, no Spark job,
     no data I/O — the write already paid for these stats).
 
-    Conservative by construction: only numeric columns whose every
-    row group carries exact min/max survive (string stats can be
-    writer-truncated, so they are not trusted for pruning); a column
-    missing stats in any file is dropped entirely. Dropped columns
-    simply prune nothing — never wrong, only less effective."""
+    Conservative by construction: numeric and date columns with exact
+    min/max in every row group survive, plus SHORT string columns
+    (<= 64 chars — far below any writer's statistics-truncation
+    threshold, so the footer value is the exact bound; long strings
+    are dropped because a truncated max without increment would be an
+    unsound upper bound). A column missing stats in any file is
+    dropped entirely. Dropped columns simply prune nothing — never
+    wrong, only less effective."""
     import pyarrow.parquet as pq
 
     count = 0
@@ -132,10 +135,11 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
                 if name in dead or "." in name:  # nested: skip
                     continue
                 st = col.statistics
-                # Numbers and date32 are trusted (exact footer stats);
-                # datetime.datetime is EXCLUDED (a date subclass, but
-                # timestamp pruning would need timezone care) and so
-                # are strings (writer-truncatable).
+                # Numbers, date32, and short strings are trusted
+                # (exact footer stats); datetime.datetime is EXCLUDED
+                # (a date subclass, but timestamp pruning would need
+                # timezone care), as are long/binary strings (writer-
+                # truncatable past the cap).
                 ok = st is not None and st.has_min_max and (
                     (
                         isinstance(st.min, (int, float))
@@ -144,6 +148,12 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
                     or (
                         isinstance(st.min, datetime.date)
                         and not isinstance(st.min, datetime.datetime)
+                    )
+                    or (
+                        isinstance(st.min, str)
+                        and isinstance(st.max, str)
+                        and len(st.min) <= 64
+                        and len(st.max) <= 64
                     )
                 )
                 if not ok:
@@ -163,11 +173,12 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
 # Conjunct shapes the zone-map pruner understands. Anything else in a
 # predicate (OR, NOT, parens, functions, other literal types) makes
 # the whole predicate unprunable — correct, just less effective.
-# Literals: numbers, and ISO date literals (`date '1995-01-01'` or a
-# bare '1995-01-01') — date zone maps are stored as ISO strings, whose
-# lexicographic order IS chronological order, so the same closed-
-# interval math covers both types.
-_ZONE_LIT = r"(?:-?\d+(?:\.\d+)?|(?:date\s+)?'\d{4}-\d{2}-\d{2}')"
+# Literals: numbers, and single-quoted strings ('' escapes a quote) —
+# the latter cover both plain string columns AND dates (`date
+# '1995-01-01'` or a bare '1995-01-01'): date zone maps are stored as
+# ISO strings, whose lexicographic order IS chronological order, so
+# ONE string-domain closed-interval math serves both types.
+_ZONE_LIT = r"(?:-?\d+(?:\.\d+)?|(?:date\s+)?'(?:[^']|'')*')"
 _ZONE_CMP_RE = re.compile(
     rf"^(\w+)\s*(=|==|<=|>=|<|>)\s*({_ZONE_LIT})$", re.I
 )
@@ -175,10 +186,48 @@ _ZONE_BETWEEN_RE = re.compile(
     rf"(\w+)\s+between\s+({_ZONE_LIT})\s+and\s+({_ZONE_LIT})",
     re.I,
 )
-_ZONE_DATE_RE = re.compile(r"^(?:date\s+)?'(\d{4}-\d{2}-\d{2})'$", re.I)
+_ZONE_STR_RE = re.compile(r"^(?:date\s+)?'((?:[^']|'')*)'$", re.I)
 _ZONE_IN_RE = re.compile(
     rf"\b(\w+)\s+in\s+\(\s*({_ZONE_LIT}(?:\s*,\s*{_ZONE_LIT})*)\s*\)", re.I
 )
+
+
+class _ZoneBound:
+    """±infinity sentinels for zone-interval bounds. They order
+    correctly against ANY literal type via reflected comparisons (so
+    max()/min() in the interval intersection and the disjointness
+    probes both work), unlike the former "~"-string hack, which a
+    non-ASCII string value could lexicographically exceed."""
+
+    __slots__ = ("top",)
+
+    def __init__(self, top: bool):
+        self.top = top
+
+    def __lt__(self, other):
+        return not self.top and not (
+            isinstance(other, _ZoneBound) and not other.top
+        )
+
+    def __gt__(self, other):
+        return self.top and not (
+            isinstance(other, _ZoneBound) and other.top
+        )
+
+    def __le__(self, other):
+        return not self.top or (isinstance(other, _ZoneBound) and other.top)
+
+    def __ge__(self, other):
+        return self.top or (
+            isinstance(other, _ZoneBound) and not other.top
+        )
+
+    def __repr__(self):
+        return "+inf" if self.top else "-inf"
+
+
+_ZONE_NEG = _ZoneBound(top=False)
+_ZONE_POS = _ZoneBound(top=True)
 
 
 def _in_hull(m: re.Match) -> str:
@@ -191,10 +240,12 @@ def _in_hull(m: re.Match) -> str:
     if m.group(1).lower() == "not":
         return m.group(0)
     vals: list[tuple[str, object, str]] = []
-    for lit in (s.strip() for s in m.group(2).split(",")):
-        dm = _ZONE_DATE_RE.match(lit)
-        if dm:
-            vals.append(("date", dm.group(1), f"'{dm.group(1)}'"))
+    for lit in _split_top_level(m.group(2)):
+        lit = lit.strip()
+        sm = _ZONE_STR_RE.match(lit)
+        if sm:
+            vals.append(("str", sm.group(1).replace("''", "'"),
+                         f"'{sm.group(1)}'"))
         else:
             v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
             vals.append(("num", v, lit))
@@ -208,10 +259,12 @@ def _in_hull(m: re.Match) -> str:
 def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
     """Parse a WHERE text into per-column closed [lo, hi] bounds, or {}
     when any part of it is beyond the conservative subset. Numeric
-    bounds are int/float; date bounds are ISO strings (with string
-    ±infinity sentinels). A column constrained by literals of BOTH
-    types disables pruning entirely — bound comparison must stay
-    same-typed."""
+    bounds are int/float; string AND date bounds are Python strings
+    (date zone maps are stored as ISO strings, so one lexicographic
+    domain serves both). Unbounded sides are the ``_ZONE_NEG`` /
+    ``_ZONE_POS`` sentinels, which order against every literal type.
+    A column constrained by literals of BOTH domains disables pruning
+    entirely — bound comparison must stay same-typed."""
     if not cond_text:
         return {}
     # Normalize BETWEEN and IN-list hulls before splitting so their
@@ -222,34 +275,35 @@ def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
     if "(" in low or " or " in low or " not " in low:
         return {}
     out: dict[str, tuple] = {}
+    domains: dict[str, str] = {}
     for part in re.split(r"\s+and\s+", text, flags=re.I):
         m = _ZONE_CMP_RE.match(part.strip())
         if not m:
             return {}  # any unparsable conjunct disables pruning
         col, op = m.group(1), m.group(2)
         lit = m.group(3)
-        dm = _ZONE_DATE_RE.match(lit)
-        if dm:
-            v = dm.group(1)
-            # ISO strings: "" < every date < "~" (dates start with a
-            # digit, 0x30-0x39 < 0x7E)
-            neg, pos = "", "~"
+        sm = _ZONE_STR_RE.match(lit)
+        if domains.setdefault(col, "str" if sm else "num") != (
+            "str" if sm else "num"
+        ):
+            return {}  # same column, mixed literal domains
+        if sm:
+            v: object = sm.group(1).replace("''", "'")
         else:
             # ints stay ints: float() would round >2^53 literals and
             # could prune a segment that actually matches (Python
             # compares int vs float exactly, so mixed stats are safe)
             v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
-            neg, pos = float("-inf"), float("inf")
         if op in ("=", "=="):
             bounds = (v, v)
         elif op in ("<", "<="):
-            bounds = (neg, v)
+            bounds = (_ZONE_NEG, v)
         else:
-            bounds = (v, pos)
-        prev = out.get(col, (neg, pos))
+            bounds = (v, _ZONE_POS)
+        prev = out.get(col, (_ZONE_NEG, _ZONE_POS))
         try:
             out[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
-        except TypeError:  # same column, mixed literal types
+        except TypeError:  # same column, mixed literal domains
             return {}
     return out
 
@@ -276,6 +330,24 @@ class AnalyticsEngine:
             if os.path.exists(self._catalog_path)
             else {"tables": {}, "indexes": {}}
         )
+        # Per-table zone-map sidecars (<table>/_stats.json), loaded
+        # lazily and flushed only when that table's stats changed. Kept
+        # OUT of the catalog JSON so a commit's metadata write is
+        # independent of every OTHER table's accumulated stats volume —
+        # at 1M files the monolithic catalog was the one driver-side
+        # write that grew with total metadata (VERDICT r3 #8). Stats
+        # entries are keyed by immutable uuid segment dirs, so a stale
+        # sidecar entry (crash between sidecar flush and catalog
+        # commit, or a rolled-back transaction's staged segment) can
+        # never be wrongly matched to different data — it is simply
+        # never referenced by the manifest.
+        self._seg_stats: dict[str, dict] = {}
+        self._stats_dirty: set[str] = set()
+        for tname, tmeta in self.catalog["tables"].items():
+            legacy = tmeta.pop("segment_stats", None)  # pre-sidecar
+            if legacy is not None:
+                self._seg_stats[tname] = legacy
+                self._stats_dirty.add(tname)
         # Crash recovery for transactions: BEGIN persists its catalog
         # snapshot next to the catalog (the durable undo record). A
         # marker still present here means the process died inside a
@@ -286,7 +358,22 @@ class AnalyticsEngine:
         # orphans; VACUUM sweeps them.
         self._txn_snap_path = self._catalog_path + ".txn"
         if os.path.exists(self._txn_snap_path):
-            self.catalog = json.load(open(self._txn_snap_path))
+            marker = json.load(open(self._txn_snap_path))
+            # New-format markers carry the owning pid; recovery must
+            # NOT roll back a transaction whose owner is still running
+            # (a second engine on the same warehouse would otherwise
+            # silently revoke the live transaction's durable state).
+            # A legacy marker (the raw catalog snapshot) has no owner
+            # and is always treated as a crash.
+            snap = marker.get("catalog", marker)
+            owner = marker.get("__txn_pid")
+            if owner is not None and _pid_alive(owner):
+                raise EngineError(
+                    f"warehouse has an open transaction owned by live "
+                    f"process {owner}; one engine per warehouse at a "
+                    f"time"
+                )
+            self.catalog = snap
             tmp = self._catalog_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(self.catalog, f, indent=1)
@@ -420,7 +507,32 @@ class AnalyticsEngine:
             )
         return meta
 
+    def _stats_of(self, name: str) -> dict:
+        """Mutable zone-map stats for one table, from the lazy sidecar
+        cache. Callers that MUTATE the dict must add ``name`` to
+        ``self._stats_dirty`` so the next ``_save_catalog`` flushes it."""
+        if name not in self._seg_stats:
+            p = os.path.join(self.warehouse, name, "_stats.json")
+            self._seg_stats[name] = (
+                json.load(open(p)) if os.path.exists(p) else {}
+            )
+        return self._seg_stats[name]
+
     def _save_catalog(self) -> None:
+        # Dirty stats sidecars flush BEFORE the catalog commit point:
+        # sidecar entries are advisory (pruning only) and keyed by
+        # immutable segment dirs, so an orphaned flush is harmless,
+        # while the reverse order could commit a manifest whose new
+        # segment briefly lacks its zone maps.
+        for tname in self._stats_dirty:
+            tdir = os.path.join(self.warehouse, tname)
+            if not os.path.isdir(tdir):  # dropped table: nothing to flush
+                continue
+            tmp = os.path.join(tdir, "_stats.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(self._seg_stats.get(tname, {}), f)
+            os.replace(tmp, os.path.join(tdir, "_stats.json"))
+        self._stats_dirty.clear()
         tmp = self._catalog_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(self.catalog, f, indent=1)
@@ -487,7 +599,7 @@ class AnalyticsEngine:
         # predicate touch" without running the query.
         seg_rows = []
         for name, meta in sorted(self.catalog["tables"].items()):
-            seg_stats = meta.get("segment_stats", {})
+            seg_stats = self._stats_of(name)
             for pos, entry in enumerate(self._segments_of(meta)):
                 st = seg_stats.get(entry.split("/", 1)[0], {})
                 seg_rows.append(
@@ -552,6 +664,11 @@ class AnalyticsEngine:
         Delta/Iceberg snapshots."""
         n = self._stage_version(name, df)
         self._commit_staged(name)
+        # Continuous-aggregate mode tracks EVERY base mutation, not
+        # just appends (TRUNCATE / INSERT OVERWRITE / full-rewrite DML
+        # land here): the rewrite broke file lineage, so the refresh
+        # takes the always-sound full path.
+        self._maybe_auto_refresh(name)
         return n
 
     def _append(self, name: str, df: DataFrame) -> int:
@@ -652,9 +769,8 @@ class AnalyticsEngine:
         meta["segments"] = staged["segments"]
         meta["vnum"] = old_vnum + 1
         if staged.get("stats"):
-            meta.setdefault("segment_stats", {})[staged["version"]] = staged[
-                "stats"
-            ]
+            self._stats_of(name)[staged["version"]] = staged["stats"]
+            self._stats_dirty.add(name)
         if staged["segments"] == [staged["version"]]:
             # Full rewrite: every pre-existing file is now unreferenced
             # by the current version, so dropped-column residue is gone.
@@ -695,7 +811,8 @@ class AnalyticsEngine:
                 for d in candidates - referenced
             ]
             for d in candidates - referenced:  # zone maps die with dirs
-                meta.get("segment_stats", {}).pop(d, None)
+                if self._stats_of(name).pop(d, None) is not None:
+                    self._stats_dirty.add(name)
         return prune
 
     def _overwrite_all(
@@ -908,7 +1025,15 @@ class AnalyticsEngine:
         # __init__'s recovery path.
         tmp = self._txn_snap_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._txn["catalog"], f, indent=1)
+            # The owning pid lets a SECOND engine opened on the same
+            # warehouse distinguish a crashed transaction (owner dead
+            # → roll back) from a LIVE concurrent one (owner alive →
+            # leave its durable state alone) — see __init__'s recovery.
+            json.dump(
+                {"__txn_pid": os.getpid(), "catalog": self._txn["catalog"]},
+                f,
+                indent=1,
+            )
         os.replace(tmp, self._txn_snap_path)
         return Result()
 
@@ -937,10 +1062,10 @@ class AnalyticsEngine:
                 continue
             shutil.rmtree(d, ignore_errors=True)
             tname = os.path.basename(os.path.dirname(d))
-            tmeta = self.catalog["tables"].get(tname)
-            if tmeta and tmeta.get("segment_stats", {}).pop(
-                os.path.basename(d), None
-            ) is not None:
+            if tname in self.catalog["tables"] and self._stats_of(
+                tname
+            ).pop(os.path.basename(d), None) is not None:
+                self._stats_dirty.add(tname)
                 stats_dirty = True
         pending = list(dict.fromkeys(self._txn.get("refresh_pending", [])))
         self._txn = None
@@ -1172,7 +1297,8 @@ class AnalyticsEngine:
             full = os.path.join(base, d)
             if os.path.isdir(full) and d not in referenced:
                 shutil.rmtree(full, ignore_errors=True)
-                meta.get("segment_stats", {}).pop(d, None)
+                if self._stats_of(name).pop(d, None) is not None:
+                    self._stats_dirty.add(name)
         self._save_catalog()  # persist the stats cleanup
         return Result(effect_rows=len(history))
 
@@ -1382,7 +1508,7 @@ class AnalyticsEngine:
             return None
         cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
         meta = self._meta(name)
-        if not _zone_intervals(cond_text) or not meta.get("segment_stats"):
+        if not _zone_intervals(cond_text) or not self._stats_of(name):
             return None
         entries = self._segments_of(meta)
         scan = self._zone_scan_entries(name, cond_text)
@@ -2056,6 +2182,10 @@ class AnalyticsEngine:
         base = os.path.join(self.warehouse, name)
         del self.catalog["tables"][name]
         self.catalog["stats"].pop(name, None)  # stats die with the table
+        # zone-map sidecar cache too — a later CREATE of the same name
+        # must not inherit the dead table's in-memory stats
+        self._seg_stats.pop(name, None)
+        self._stats_dirty.discard(name)
         self.catalog["indexes"] = {
             k: v for k, v in self.catalog["indexes"].items() if v["table"] != name
         }
@@ -2245,11 +2375,13 @@ class AnalyticsEngine:
         for entry in dropped:
             for d in self._top_dirs(self._segments_of(entry)) - referenced:
                 prune.append(os.path.join(self.warehouse, name, d))
-                meta.get("segment_stats", {}).pop(d, None)
+                if self._stats_of(name).pop(d, None) is not None:
+                    self._stats_dirty.add(name)
         self._save_catalog()
         for d in prune:  # strictly after the commit point
             shutil.rmtree(d, ignore_errors=True)
         self._view(name)
+        self._maybe_auto_refresh(name)  # rollback mutated the base too
         return Result(effect_rows=0)
 
     def _insert_overwrite(self, stmt: str) -> Result:
@@ -2500,6 +2632,7 @@ class AnalyticsEngine:
         out = self._enforce_constraints(target, out)
         self._stage_version(target, out, base=keep)
         self._commit_staged(target)
+        self._maybe_auto_refresh(target)  # upsert mutated the base
         return Result(effect_rows=n_matched + n_inserted)
 
     def _copy(self, stmt: str) -> Result:
@@ -2589,7 +2722,7 @@ class AnalyticsEngine:
         intervals = _zone_intervals(cond_text)
         if not intervals:
             return entries
-        seg_stats = meta.get("segment_stats", {})
+        seg_stats = self._stats_of(name)
 
         def stat_disjoint(pair, lo, hi) -> bool:
             try:
@@ -2763,6 +2896,7 @@ class AnalyticsEngine:
         kept_rows = self._read_files(name, affected).filter(~condition)
         self._stage_version(name, kept_rows, base=keep)
         self._commit_staged(name)
+        self._maybe_auto_refresh(name)  # CoW broke lineage → full path
         return Result(effect_rows=n_matched)
 
     def _update(self, stmt: str) -> Result:
@@ -2815,6 +2949,7 @@ class AnalyticsEngine:
         df = self._enforce_constraints(name, df)
         n = self._stage_version(name, df, base=keep)
         self._commit_staged(name)
+        self._maybe_auto_refresh(name)  # CoW broke lineage → full path
         return Result(effect_rows=n_hit if n_hit is not None else n)
 
 
@@ -2960,6 +3095,18 @@ def _matview_plan(sql: str) -> dict | None:
         "hidden": hidden,
         "state_sql": state_sql,
     }
+
+
+def _pid_alive(pid: int) -> bool:
+    """True iff ``pid`` names a live process (kill(pid, 0) probe;
+    EPERM means alive-but-other-user)."""
+    try:
+        os.kill(int(pid), 0)
+    except PermissionError:
+        return True  # exists, owned by another user
+    except (ProcessLookupError, OverflowError, ValueError, TypeError):
+        return False  # no such process / unrepresentable pid
+    return True
 
 
 def _source_equi_keys(cond: str, source: str) -> list[str]:

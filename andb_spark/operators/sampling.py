@@ -68,6 +68,7 @@ def prefix_sum(
     key_col: str,
     partitions: int = 32,
     include_total: bool = False,
+    pin: bool = True,
 ) -> DataFrame:
     """Global running sum of ``weight_col`` in ``key_col`` order,
     without ever collapsing the data to one partition. Adds ``_cum``
@@ -82,6 +83,15 @@ def prefix_sum(
     (tiny — one row per partition), prefix offsets over that tiny
     table, broadcast back, then a per-partition running sum. No global
     single-partition stage ever sees the full data.
+
+    ``pin=False`` skips the defensive persist of the staged frame (see
+    below): correct whenever ``df``'s evaluation is DETERMINISTIC (a
+    parquet scan + deterministic transforms — every workload in this
+    repo), because two evaluations then sample identical range
+    boundaries. Callers with non-deterministic upstreams (sample(),
+    rand()) must keep the default and call
+    ``dedup.release_caches()`` after materializing, or the pinned
+    frame outlives the query (ADVICE r3).
     """
     w, key = F.col(weight_col), F.col(key_col)
     staged = df.repartitionByRange(partitions, key).withColumn(
@@ -94,9 +104,10 @@ def prefix_sum(
     # boundary row's _pid between jobs and misapply every offset after
     # it. Lazy persist via the shared cache registry: building the
     # DataFrame stays execution-free and release_caches() frees it.
-    from andb_spark.operators.dedup import _persist_tracked
+    if pin:
+        from andb_spark.operators.dedup import _persist_tracked
 
-    staged = _persist_tracked(staged)
+        staged = _persist_tracked(staged)
     totals = staged.groupBy("_pid").agg(F.sum(w).alias("_psum"))
     # Prefix offsets: window over the per-partition subtotal table —
     # `partitions` rows, so the unavoidable single-partition window is
@@ -138,6 +149,7 @@ def weighted_systematic_sample(
     key_col: str,
     k: int,
     partitions: int = 32,
+    pin: bool = True,
 ) -> DataFrame:
     """~k rows sampled with probability proportional to an INTEGER
     weight (systematic PPS sampling: walk the cumulative-weight line in
@@ -152,7 +164,9 @@ def weighted_systematic_sample(
     exactly-k should cap weights first.
     """
     return (
-        prefix_sum(df, weight_col, key_col, partitions, include_total=True)
+        prefix_sum(
+            df, weight_col, key_col, partitions, include_total=True, pin=pin
+        )
         # Selected iff the cumulative interval (cum-w, cum] crosses a
         # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
         .filter(
@@ -171,6 +185,7 @@ def pack_shards(
     key_col: str,
     budget: int,
     partitions: int = 32,
+    pin: bool = True,
 ) -> DataFrame:
     """Assign each row to a contiguous fixed-budget shard: walk rows in
     ``key_col`` order accumulating INTEGER ``weight_col`` (e.g. token
@@ -185,7 +200,7 @@ def pack_shards(
     shard by less than one row; rows heavier than the budget get a
     shard of their own plus spillover)."""
     return (
-        prefix_sum(df, weight_col, key_col, partitions)
+        prefix_sum(df, weight_col, key_col, partitions, pin=pin)
         .withColumn(
             "shard_id",
             F.expr(f"(_cum - {weight_col}) div {budget}").cast("bigint"),

@@ -151,7 +151,13 @@ def main() -> None:
             # full projection, exactly what the correctness gate executes
             n = len(df.collect())
             runs.append(time.perf_counter() - t0)
-        release_caches()  # caches belong to one query, not the loop
+            # Release caches after EVERY run, not after the loop: the
+            # r3 "variance" (4.2x spread on d_incremental_minhash) was
+            # runs 2-3 silently reusing run 1's persisted frames —
+            # warm-cache timings don't represent running the query
+            # once over new data, which is what a pipeline does. Each
+            # run now builds (and pays for) its own caches.
+            release_caches()
         timings[name] = round(min(runs), 3)
         spread[name] = round(max(runs) / min(runs), 2)
         print(

@@ -378,7 +378,7 @@ def test_zone_maps_prune_dml_planning(engine):
     e("insert into zm select id, id from range(0, 1000)")       # seg A: k 0..999
     e("insert into zm select id, id from range(5000, 6000)")    # seg B: k 5000..5999
     meta = engine._meta("zm")
-    stats = meta.get("segment_stats", {})
+    stats = engine._stats_of("zm")
     segs = engine._segments_of(meta)
     # both insert segments carry k/v bounds
     assert stats[segs[1]]["k"] == [0, 999]
@@ -483,7 +483,7 @@ def test_zone_maps_prune_on_date_columns(engine):
     )  # Jun 1 .. Aug 29
     meta = engine._meta("zd")
     segs = engine._segments_of(meta)
-    assert meta["segment_stats"][segs[1]]["d"] == ["2024-01-01", "2024-03-30"]
+    assert engine._stats_of("zd")[segs[1]]["d"] == ["2024-01-01", "2024-03-30"]
 
     # only the June+ segment can hold July rows
     scan = engine._zone_scan_entries("zd", "d >= date '2024-07-01'")
@@ -755,3 +755,126 @@ def test_restore_is_metadata_only_rollback(engine):
     with pytest.raises(EngineError, match="transaction"):
         e(f"restore table rs version as of {v_good}")
     e("rollback")
+
+
+def test_zone_maps_prune_on_string_columns(engine):
+    """String columns (VERDICT r3 #7) — `o_orderstatus = 'F'`-class
+    predicates, the most common predicate class in the fixtures —
+    carry zone maps too: short string footer stats are exact, and the
+    lexicographic interval math is shared with dates."""
+    e = engine.execute
+    e("create table zs (s text, v int)")
+    e("insert into zs select chr(97 + cast(id % 5 as int)), cast(id as int)"
+      " from range(0, 100)")                    # 'a'..'e'
+    e("insert into zs select chr(109 + cast(id % 5 as int)), cast(id as int)"
+      " from range(0, 100)")                    # 'm'..'q'
+    e("insert into zs select chr(119 + cast(id % 4 as int)), cast(id as int)"
+      " from range(0, 100)")                    # 'w'..'z'
+    meta = engine._meta("zs")
+    segs = engine._segments_of(meta)
+    assert engine._stats_of("zs")[segs[1]]["s"] == ["a", "e"]
+    assert engine._stats_of("zs")[segs[2]]["s"] == ["m", "q"]
+
+    # equality hits exactly one segment
+    scan = engine._zone_scan_entries("zs", "s = 'n'")
+    assert segs[2] in scan and segs[1] not in scan and segs[3] not in scan
+    # range + IN-hull
+    scan = engine._zone_scan_entries("zs", "s > 'r'")
+    assert segs[3] in scan and segs[2] not in scan
+    scan = engine._zone_scan_entries("zs", "s in ('b', 'd')")
+    assert segs[1] in scan and segs[2] not in scan
+    # disjoint from everything (quote-escape form parses)
+    assert engine._zone_scan_entries("zs", "s = 'z''z'") == []
+    # numeric literal against the string column: mismatch never prunes
+    assert len(engine._zone_scan_entries("zs", "s > 5")) >= 3
+    # mixed domains on one column: pruning disabled entirely
+    assert len(engine._zone_scan_entries("zs", "s > 'a' and s < 5")) >= 3
+
+    # SELECT read path prunes and stays correct
+    r = e("select count(1) as n from zs where s = 'n'")
+    assert r.rows == [(20,)]
+    assert "skipped 3/4" in engine.session_vars["andb.last_zone_prune"]
+    r = e("select count(1) as n from zs where s between 'a' and 'c'")
+    assert r.rows == [(60,)]
+
+    # DML plans on string predicates rewrite only the matching segment
+    files_before = set(engine._data_files("zs"))
+    r = e("update zs set v = -1 where s = 'x'")
+    assert r.effect_rows == 25
+    untouched = {
+        f for f in files_before
+        if f"/{segs[1]}/" in f or f"/{segs[2]}/" in f
+    }
+    assert untouched <= set(engine._data_files("zs"))
+    assert e("select count(1) as n from zs where v = -1").rows == [(25,)]
+
+
+def test_catalog_commit_payload_independent_of_other_tables_stats(
+    engine, tmp_path
+):
+    """Zone-map stats live in per-table sidecars (VERDICT r3 #8): a
+    commit rewrites the catalog JSON + only the COMMITTING table's
+    sidecar — its write payload must not grow with another table's
+    accumulated stats volume."""
+    import os
+
+    e = engine.execute
+    e("create table small (a int)")
+    e("create table big (k int, v int)")
+    e("insert into small values (1)")
+    cat = engine._catalog_path
+    small_sidecar = os.path.join(engine.warehouse, "small", "_stats.json")
+
+    # inflate ANOTHER table's stats: many appends → many segments
+    for i in range(12):
+        e(f"insert into big select id, id from range({i * 10}, {i * 10 + 10})")
+    big_sidecar = os.path.join(engine.warehouse, "big", "_stats.json")
+    assert os.path.getsize(big_sidecar) > 400  # stats really accumulated
+
+    # the catalog JSON carries manifests but ZERO zone-map payload —
+    # no per-column [min, max] maps, under any key
+    cat_text = open(cat).read()
+    assert "segment_stats" not in cat_text
+    assert "__rows" not in cat_text
+
+    big_mtime = os.path.getmtime(big_sidecar)
+    e("insert into small values (2)")
+    # small's commit rewrote the catalog + small's own sidecar, but
+    # did NOT rewrite big's sidecar — per-commit stats I/O is the
+    # committing table's alone
+    assert os.path.getmtime(big_sidecar) == big_mtime
+    assert os.path.getsize(small_sidecar) < 200
+
+    # stats survive a fresh engine over the same warehouse (sidecar
+    # round trip) and still prune
+    eng2 = AnalyticsEngine(engine.warehouse, spark=engine.spark)
+    assert eng2._stats_of("big"), "sidecar stats must reload"
+    scan = eng2._zone_scan_entries("big", "k between 0 and 5")
+    assert len(scan) < len(eng2._segments_of(eng2._meta("big")))
+
+
+def test_legacy_in_catalog_stats_migrate_to_sidecars(engine, spark):
+    """A pre-sidecar catalog (segment_stats inline in table meta) must
+    load, prune, and flush its stats out to sidecars on first save."""
+    import json
+    import os
+
+    e = engine.execute
+    e("create table lg (k int)")
+    e("insert into lg select id from range(0, 100)")
+    e("insert into lg select id from range(5000, 5100)")
+    # rewrite the catalog into the legacy layout
+    sidecar = os.path.join(engine.warehouse, "lg", "_stats.json")
+    stats = json.load(open(sidecar))
+    catd = json.load(open(engine._catalog_path))
+    catd["tables"]["lg"]["segment_stats"] = stats
+    json.dump(catd, open(engine._catalog_path, "w"))
+    os.remove(sidecar)
+
+    eng2 = AnalyticsEngine(engine.warehouse, spark=spark)
+    assert eng2._stats_of("lg") == stats  # migrated on load
+    scan = eng2._zone_scan_entries("lg", "k > 4000")
+    assert len(scan) < len(eng2._segments_of(eng2._meta("lg")))
+    eng2.execute("insert into lg values (7)")  # any commit flushes
+    assert os.path.exists(sidecar)
+    assert "segment_stats" not in open(eng2._catalog_path).read()

@@ -432,3 +432,23 @@ def test_concurrent_select_during_incremental_refresh(engine, monkeypatch):
     )
     assert observed == [full_n]
     assert _mv_rows(e) == _full_rows(e)
+
+
+def test_autorefresh_tracks_cow_dml_and_overwrites(engine):
+    """ADVICE r3: continuous-aggregate mode must track EVERY base
+    mutation, not just appends — UPDATE/DELETE (copy-on-write),
+    TRUNCATE and INSERT OVERWRITE all refresh dependent views at
+    commit, via the always-sound full path (lineage broke)."""
+    e = engine.execute
+    _seed(e)
+    e("set andb.matview_autorefresh = on")
+
+    e("update base set v = 20 where g = 'a' and v = 2")
+    assert _mv_rows(e) == _full_rows(e)
+    e("delete from base where g = 'b'")
+    assert _mv_rows(e) == _full_rows(e)
+    assert all(r[0] != "b" for r in _mv_rows(e))
+    e("insert overwrite base values ('z', 5), ('z', 7)")
+    assert _mv_rows(e) == _full_rows(e) == [("z", 2, 12, 5, 7, 6.0)]
+    e("truncate table base")
+    assert _mv_rows(e) == _full_rows(e) == []

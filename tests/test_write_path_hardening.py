@@ -42,9 +42,23 @@ def test_crash_mid_transaction_rolls_back_on_restart(spark, tmp_path):
     e1("begin")
     e1("update t set a = 99")
     e1("insert into t values (2)")
-    # simulate a crash: no COMMIT/ROLLBACK, just a fresh engine over
-    # the same warehouse (the durable catalog currently holds the
-    # transaction's intermediate state)
+    # While the owning process is ALIVE, a second engine must refuse to
+    # open rather than roll back the live transaction's durable state
+    # (ADVICE r3: recovery must distinguish crash from concurrency).
+    with pytest.raises(EngineError, match="live process"):
+        AnalyticsEngine(wh, spark=spark)
+    # simulate a real crash: repoint the undo marker at a pid that no
+    # longer exists (as if the owner died mid-transaction), then open a
+    # fresh engine over the same warehouse
+    import json
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # reaped: this pid is dead
+    marker = json.load(open(eng1._txn_snap_path))
+    marker["__txn_pid"] = proc.pid
+    json.dump(marker, open(eng1._txn_snap_path, "w"))
+    eng1._txn = None  # eng1 is "dead"; stop it from committing later
     eng2 = AnalyticsEngine(wh, spark=spark)
     assert eng2.execute("select a from t").rows == [(1,)]
     # and the undo marker is consumed — normal operation resumes
