@@ -741,6 +741,34 @@ class AnalyticsEngine:
         }
         return count
 
+    def _stage_empty(self, name: str) -> int:
+        """Stage an EMPTY segment without running a Spark job: CREATE
+        TABLE / TRUNCATE / unfiltered DELETE only need a schema-bearing
+        zero-row parquet file, which pyarrow writes driver-side in
+        microseconds (the Spark path costs a full job submit + task
+        round trip — pure constant overhead on every DDL statement).
+        Same staging contract as ``_stage_version`` (commit via
+        ``_commit_staged``)."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        meta = self._meta(name)
+        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self.warehouse, name, new_version)
+        os.makedirs(new_dir, exist_ok=True)
+        pq.write_table(
+            to_arrow_schema(self._schema(name)).empty_table(),
+            os.path.join(new_dir, "part-00000.parquet"),
+        )
+        meta["_staged"] = {
+            "version": new_version,
+            "segments": [new_version],
+            # zero-row segments prune unconditionally — no footer read
+            "stats": {"__rows": 0},
+        }
+        return 0
+
     @staticmethod
     def _top_dirs(entries: list[str]) -> set[str]:
         """Top-level segment dirs referenced by manifest entries (an
@@ -1766,8 +1794,8 @@ class AnalyticsEngine:
             columns.append({"name": cname, "type": tname, "notnull": notnull})
         self.catalog["tables"][name] = {"columns": columns}
         self._save_catalog()
-        empty = self.spark.createDataFrame([], self._schema(name))
-        self._overwrite(name, empty)
+        self._stage_empty(name)  # driver-side: no Spark job for DDL
+        self._commit_staged(name)
         return Result()
 
     def _clone_table(self, stmt: str) -> Result:
@@ -2303,8 +2331,9 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse TRUNCATE: {stmt!r}")
         name = m.group(1)
         self._writable_meta(name)
-        empty = self.spark.createDataFrame([], self._schema(name))
-        self._overwrite(name, empty)
+        self._stage_empty(name)  # driver-side: no Spark job, any size
+        self._commit_staged(name)
+        self._maybe_auto_refresh(name)
         return Result(effect_rows=0)
 
     def _restore(self, stmt: str) -> Result:
@@ -2884,10 +2913,11 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse DELETE: {stmt!r}")
         name, cond = m.group(1), m.group(2)
         self._writable_meta(name)
-        if not cond:  # truncate: full rewrite to an empty version
-            df = self._read_table(name)
-            before = df.count()
-            self._overwrite(name, df.limit(0))
+        if not cond:  # truncate-shaped: count, then one empty commit
+            before = self._read_table(name).count()
+            self._stage_empty(name)
+            self._commit_staged(name)
+            self._maybe_auto_refresh(name)
             return Result(effect_rows=before)
         condition = F.coalesce(F.expr(cond), F.lit(False))
         n_matched, keep, affected = self._cow_split(name, condition, cond)

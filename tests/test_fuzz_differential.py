@@ -580,6 +580,15 @@ _DML_STATEMENTS = st.one_of(
     ),
     st.just("delete from fz where k > 90000000"),
     st.just("update fz set v = 1 where k between 80000000 and 80000005"),
+    # string-predicate shapes — zone-prunable since r4 (short string
+    # footer stats): point deletes, lexicographic ranges, and globally
+    # disjoint probes that must prune to a clean zero-row no-op
+    st.integers(0, 199).map(lambda c: f"delete from fz where s = 'r{c}'"),
+    st.integers(0, 150).map(
+        lambda c: f"update fz set v = -5 where s between 'r{c}' and 'r{c}9'"
+    ),
+    st.just("update fz set v = 2 where s > 'zzz'"),
+    st.just("delete from fz where s = 'absent'"),
 )
 
 
@@ -623,6 +632,11 @@ def test_random_dml_sequence_agrees_with_duckdb(spark, n0, stmts):
         "select * from fz where k between 10 and 60",
         "select * from fz where k > 90000000",
         f"select * from fz where k >= {n0 // 2}",
+        # string zone maps (r4): equality, range, IN-hull, disjoint
+        f"select * from fz where s = 'r{n0 // 3}'",
+        "select * from fz where s between 'r1' and 'r2'",
+        "select * from fz where s in ('r7', 'r11', 'r13')",
+        "select * from fz where s > 'zzz'",
     ):
         got = _rowset([tuple(r) for r in eng.execute(sel).rows])
         want = _rowset(con.execute(sel).fetchall())
