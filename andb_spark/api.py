@@ -741,6 +741,125 @@ class AnalyticsEngine:
         }
         return count
 
+    # Literal tokens the driver-side INSERT fast path understands.
+    _LIT_ROW_RE = re.compile(r"^\((.*)\)$", re.S)
+
+    @staticmethod
+    def _parse_literal_rows(values_text: str) -> list[list[tuple]] | None:
+        """Parse a VALUES tail into tagged literals, or None when any
+        scalar is not a plain literal (expressions, typed literals like
+        `date '...'`, arrays — those need Spark's evaluator)."""
+        rows: list[list[tuple]] = []
+        for part in _split_top_level(values_text):
+            rm = AnalyticsEngine._LIT_ROW_RE.match(part.strip())
+            if not rm:
+                return None
+            vals: list[tuple] = []
+            for lit in _split_top_level(rm.group(1)):
+                lit = lit.strip()
+                if re.fullmatch(r"null", lit, re.I):
+                    vals.append(("n", None))
+                elif re.fullmatch(r"true", lit, re.I):
+                    vals.append(("b", True))
+                elif re.fullmatch(r"false", lit, re.I):
+                    vals.append(("b", False))
+                elif re.fullmatch(r"'(?:[^']|'')*'", lit, re.S):
+                    vals.append(("s", lit[1:-1].replace("''", "'")))
+                elif re.fullmatch(r"-?\d+", lit):
+                    vals.append(("i", int(lit)))
+                elif re.fullmatch(r"-?\d+\.\d+", lit):
+                    vals.append(("f", float(lit)))
+                else:
+                    return None
+            rows.append(vals)
+        return rows if rows else None
+
+    # literal tag → declared types it converts to EXACTLY (anything
+    # else — e.g. a string into an int column, a float into an int —
+    # falls back to Spark so cast semantics stay Spark's, bit for bit)
+    _LIT_COMPAT = {
+        "i": {"int", "bigint", "real", "double"},
+        "f": {"real", "double"},
+        "s": {"text"},  # varchar handled separately (truncation)
+        "b": {"boolean"},
+    }
+
+    def _try_literal_append(
+        self, name: str, schema: T.StructType, cols: list[str], vtext: str
+    ) -> int | None:
+        """Driver-side INSERT VALUES: returns the inserted row count,
+        or None to fall back to the Spark path. Only takes the append
+        when every literal's conversion to its declared column type is
+        provably identical to Spark's cast — wrong-arity rows, range
+        overflows, date/timestamp/vector targets, and non-literal
+        scalars all fall back."""
+        rows = self._parse_literal_rows(vtext)
+        if rows is None or any(len(r) != len(cols) for r in rows):
+            return None
+        meta = self._meta(name)
+        coltypes = {c["name"]: c["type"].strip().lower()
+                    for c in meta["columns"]}
+        notnull = {c["name"] for c in meta["columns"] if c["notnull"]}
+        by_col: dict[str, list] = {c: [] for c in cols}
+        for r in rows:
+            for c, (tag, v) in zip(cols, r):
+                declared = coltypes[c]
+                vm = _VARCHAR_RE.match(declared)
+                if tag == "n":
+                    pass  # NULL fits any type; NOT NULL checked below
+                elif vm:
+                    if tag != "s":
+                        return None
+                    v = v[: int(vm.group(1))]  # varchar(n) truncation
+                elif declared not in self._LIT_COMPAT.get(tag, ()):
+                    return None
+                if tag == "i" and declared == "int" and not (
+                    -(2**31) <= v < 2**31
+                ):
+                    return None  # overflow: Spark's cast wraps — defer
+                if v is None and c in notnull:
+                    raise EngineError(
+                        f"column {c} of {name} violates NOT NULL"
+                    )
+                by_col[c].append(v)
+        for f_ in schema.fields:
+            if f_.name not in by_col and f_.name in notnull:
+                raise EngineError(
+                    f"column {f_.name} of {name} violates NOT NULL"
+                )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = to_arrow_schema(schema)
+        n = len(rows)
+        try:
+            table = pa.Table.from_pydict(
+                {
+                    f_.name: by_col.get(f_.name, [None] * n)
+                    for f_ in schema.fields
+                },
+                schema=arrow_schema,
+            )
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            return None  # any conversion doubt → Spark decides
+        new_version = "v-" + uuid.uuid4().hex[:12]
+        new_dir = os.path.join(self.warehouse, name, new_version)
+        os.makedirs(new_dir, exist_ok=True)
+        pq.write_table(table, os.path.join(new_dir, "part-00000.parquet"))
+        count, stats = _footer_stats(new_dir)  # zone maps, as always
+        stats["__rows"] = count
+        meta["_staged"] = {
+            "version": new_version,
+            "segments": self._segments_of(meta) + [new_version],
+            "stats": stats,
+        }
+        self._commit_staged(name)
+        self._maybe_auto_refresh(name)  # same ordering as _append
+        self._maybe_auto_compact(name)
+        return count
+
     def _stage_empty(self, name: str) -> int:
         """Stage an EMPTY segment without running a Spark job: CREATE
         TABLE / TRUNCATE / unfiltered DELETE only need a schema-bearing
@@ -2293,6 +2412,18 @@ class AnalyticsEngine:
                 )
             collist = [by_lower[c.lower()] for c in collist]
         if re.match(r"values", tail, re.I):
+            # Fast path: a VALUES list of plain literals needs no Spark
+            # job at all — parse driver-side, type-check against the
+            # declared schema, and append one pyarrow-written segment
+            # (the same _stage_empty economics; a small INSERT was
+            # paying a full job submit + task round trip). Any
+            # expression, type coercion, or constraint the fast path
+            # cannot prove EXACTLY equivalent falls through to Spark.
+            n = self._try_literal_append(
+                name, schema, collist or target_cols, m.group(5)
+            )
+            if n is not None:
+                return Result(effect_rows=n)
             values_sql = "SELECT * FROM " + tail  # VALUES (...) , (...)
             src = self.spark.sql(values_sql)
         else:
