@@ -878,3 +878,49 @@ def test_legacy_in_catalog_stats_migrate_to_sidecars(engine, spark):
     eng2.execute("insert into lg values (7)")  # any commit flushes
     assert os.path.exists(sidecar)
     assert "segment_stats" not in open(eng2._catalog_path).read()
+
+
+def test_literal_insert_values_runs_no_spark_job(engine, monkeypatch):
+    """Plain-literal INSERT VALUES appends a pyarrow-written segment
+    entirely driver-side; expressions / typed literals / overflow fall
+    back to the Spark path. Proven by making the Spark staging path
+    explode: literal inserts must succeed anyway."""
+    e = engine.execute
+    e("create table li (a int, b text, c double, d boolean)")
+
+    def boom(self, name, df, base=None):
+        raise AssertionError("Spark staging used for a literal INSERT")
+
+    monkeypatch.setattr(AnalyticsEngine, "_stage_version", boom)
+    e("insert into li values (1, 'x', 2.5, true),"
+      " (2, 'O''Brien', -0.5, false), (null, null, null, null)")
+    monkeypatch.undo()
+    assert e("select * from li order by a nulls last").rows == [
+        (1, "x", 2.5, True),
+        (2, "O'Brien", -0.5, False),
+        (None, None, None, None),
+    ]
+    # fast-path appends carry zone maps like any other segment
+    segs = engine._segments_of(engine._meta("li"))
+    assert engine._stats_of("li")[segs[-1]]["a"] == [1, 2]
+    scan = engine._zone_scan_entries("li", "a = 99")
+    assert segs[-1] not in scan
+
+    # expression VALUES falls back to Spark (and still works)
+    e("insert into li values (1 + 2, upper('y'), 0.5, true)")
+    assert e("select b from li where a = 3").rows == [("Y",)]
+
+    # ANSI parity: int-range overflow defers to Spark, which raises
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError, match="OVERFLOW"):
+        e("insert into li values (999999999999, 'z', 0.0, false)")
+
+    # NOT NULL + varchar(n) behave identically on the fast path
+    e("create table lnn (a int not null, s varchar(3))")
+    with pytest.raises(EngineError, match="NOT NULL"):
+        e("insert into lnn values (null, 'ab')")
+    with pytest.raises(EngineError, match="NOT NULL"):
+        e("insert into lnn (s) values ('ab')")
+    e("insert into lnn values (1, 'abcdef')")
+    assert e("select s from lnn").rows == [("abc",)]
