@@ -340,3 +340,40 @@ def test_hybrid_rrf_towers_are_topk_and_windows_bounded(spark, sf_dir):
         assert lim != -1 and (scan == -1 or lim < scan), (
             "Window not fed by a bounded candidate set:\n" + plan
         )
+
+
+def test_lsh_and_rerank_topk_are_shuffle_free(spark, sf_dir):
+    """The LSH-bucketed and two-stage-rerank ANN towers must answer
+    from scan + filter + TakeOrdered — no hash/range exchange of the
+    embedding table (the whole point of the bucket/candidate
+    pre-filter at corpus scale)."""
+    for name in ("v_lsh_topk", "v_rerank_topk"):
+        plan = final_plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, (name, plan)
+        assert "Exchange rangepartitioning" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_bm25_broadcasts_corpus_stats(spark, sf_dir):
+    """BM25 joins each document row against 1-row corpus stats and the
+    per-term document frequencies — both broadcast; the corpus itself
+    is never hash-exchanged."""
+    plan = final_plan(spark, sf_dir, "t_bm25_topk")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q19_broadcasts_part_and_pushes_filters(spark, sf_dir):
+    """The OR-of-ANDs join must broadcast the filtered part side and
+    push the lineitem base predicates into the parquet scan."""
+    plan = final_plan(spark, sf_dir, "q19_or_of_ands")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]", plan), plan
+
+
+def test_simhash_pairs_is_equality_join(spark, sf_dir):
+    """SimHash banded candidate pairing must be an equality join on
+    (band, key) — never an all-pairs comparison."""
+    plan = final_plan(spark, sf_dir, "d_simhash_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
