@@ -1068,7 +1068,7 @@ class AnalyticsEngine:
             elif head == "REFRESH":
                 r = self._refresh_matview(stmt)
             elif head == "DROP" and re.match(
-                r"drop\s+materialized\s+view\s+(\w+)", stmt, re.I
+                r"drop\s+materialized\s+view\s+", stmt, re.I
             ):
                 r = self._drop_table(
                     re.sub(r"materialized\s+view", "table", stmt, flags=re.I)
@@ -1894,11 +1894,15 @@ class AnalyticsEngine:
 
     def _create_table(self, stmt: str) -> Result:
         m = re.match(
-            r"create\s+table\s+(\w+)\s*\((.*)\)\s*$", stmt, re.I | re.S
+            r"create\s+table\s+(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)\s*$",
+            stmt,
+            re.I | re.S,
         )
         if not m:
             raise EngineError(f"cannot parse CREATE TABLE: {stmt!r}")
-        name, body = m.group(1), m.group(2)
+        ine, name, body = m.group(1), m.group(2), m.group(3)
+        if ine and name in self.catalog["tables"]:
+            return Result(warning=f"table {name} already exists, skipped")
         self._check_name_free(name)
         columns = []
         for coldef in _split_top_level(body):
@@ -2321,10 +2325,14 @@ class AnalyticsEngine:
         return Result()
 
     def _drop_table(self, stmt: str) -> Result:
-        m = re.match(r"drop\s+table\s+(\w+)\s*$", stmt, re.I)
+        m = re.match(
+            r"drop\s+table\s+(if\s+exists\s+)?(\w+)\s*$", stmt, re.I
+        )
         if not m:
             raise EngineError(f"cannot parse DROP TABLE: {stmt!r}")
-        name = m.group(1)
+        name = m.group(2)
+        if m.group(1) and name not in self.catalog["tables"]:
+            return Result(warning=f"table {name} does not exist, skipped")
         self._meta(name)
         base = os.path.join(self.warehouse, name)
         del self.catalog["tables"][name]
@@ -2374,11 +2382,15 @@ class AnalyticsEngine:
         return Result()
 
     def _drop_index(self, stmt: str) -> Result:
-        m = re.match(r"drop\s+index\s+(\w+)\s*$", stmt, re.I)
+        m = re.match(
+            r"drop\s+index\s+(if\s+exists\s+)?(\w+)\s*$", stmt, re.I
+        )
         if not m:
             raise EngineError(f"cannot parse DROP INDEX: {stmt!r}")
-        idx = m.group(1)
+        idx = m.group(2)
         if idx not in self.catalog["indexes"]:
+            if m.group(1):
+                return Result(warning=f"index {idx} does not exist, skipped")
             raise EngineError(f"index {idx} does not exist")
         del self.catalog["indexes"][idx]
         self._save_catalog()

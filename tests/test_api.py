@@ -558,3 +558,41 @@ def test_truncate_and_insert_overwrite(engine):
         e("truncate table tio_mv")
     with pytest.raises(EngineError, match="materialized view"):
         e("insert overwrite tio_mv values (1)")
+
+
+def test_ddl_if_exists_variants(engine):
+    """CREATE TABLE IF NOT EXISTS / DROP TABLE|INDEX|MATERIALIZED VIEW
+    IF EXISTS: idempotent DDL, warning instead of error."""
+    e = engine.execute
+    e("create table ie (a int)")
+    r = e("create table if not exists ie (a int, b text)")
+    assert r.warning and "exists" in r.warning
+    # the original schema survives (the second create was a no-op)
+    assert [c["name"] for c in engine._meta("ie")["columns"]] == ["a"]
+    e("create table if not exists ie2 (x int)")
+    assert "ie2" in engine.catalog["tables"]
+
+    r = e("drop table if exists nope")
+    assert r.warning and "not exist" in r.warning
+    e("drop table if exists ie2")
+    assert "ie2" not in engine.catalog["tables"]
+    r = e("drop index if exists no_idx")
+    assert r.warning
+    e("create index ie_a on ie (a)")
+    e("drop index if exists ie_a")
+    assert "ie_a" not in engine.catalog["indexes"]
+
+    e("insert into ie values (1)")
+    e("create materialized view iem as select count(*) as n from ie")
+    e("drop materialized view if exists iem")
+    assert "iem" not in engine.catalog["tables"]
+    r = e("drop materialized view if exists iem")
+    assert r.warning
+
+    # plain forms still error
+    from andb_spark.api import EngineError
+
+    with pytest.raises(EngineError):
+        e("create table ie (a int)")
+    with pytest.raises(EngineError):
+        e("drop table nope")
