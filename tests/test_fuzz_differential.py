@@ -25,7 +25,7 @@ from hypothesis import given, seed, settings, strategies as st
 # Rotated once per build round (driver round number): @seed makes each
 # round's exploration reproducible while successive rounds walk fresh
 # regions of the query space instead of re-testing the same examples.
-FUZZ_ROUND = 3
+FUZZ_ROUND = 4
 
 from andb_spark.catalog import table_path
 
@@ -641,3 +641,104 @@ def test_random_dml_sequence_agrees_with_duckdb(spark, n0, stmts):
         got = _rowset([tuple(r) for r in eng.execute(sel).rows])
         want = _rowset(con.execute(sel).fetchall())
         assert got == want, sel
+
+
+# ------------------------------------------------- INSERT fast path --
+# The driver-side literal INSERT re-implements literal→column-type
+# conversion (api._try_literal_append). Differential arm: the same
+# VALUES statement inserted through the fast path and through the
+# forced-Spark path must produce identical tables.
+
+_INS_COLTYPES = ["int", "bigint", "real", "double", "boolean", "text",
+                 "varchar(3)"]
+
+
+def _ins_value(typ):
+    if typ == "int":
+        return st.one_of(
+            st.integers(-(2**31), 2**31 - 1), st.none()
+        )
+    if typ == "bigint":
+        return st.one_of(
+            st.integers(-(2**63) + 1, 2**63 - 1), st.none()
+        )
+    if typ in ("real", "double"):
+        return st.one_of(
+            st.integers(-10**6, 10**6).map(lambda i: i / 1000.0), st.none()
+        )
+    if typ == "boolean":
+        return st.one_of(st.booleans(), st.none())
+    return st.one_of(  # text / varchar
+        st.text(
+            alphabet="ab'(),;% éß0",
+            max_size=8,
+        ),
+        st.none(),
+    )
+
+
+@st.composite
+def _ins_case(draw):
+    types = draw(
+        st.lists(st.sampled_from(_INS_COLTYPES), min_size=1, max_size=4)
+    )
+    rows = draw(
+        st.lists(
+            st.tuples(*[_ins_value(t) for t in types]),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    return types, rows
+
+
+def _ins_literal(typ, v):
+    if v is None:
+        return "null"
+    if typ == "boolean":
+        return "true" if v else "false"
+    if typ in ("real", "double"):
+        return f"{v:.3f}"  # matches the fast path's -?\d+\.\d+ shape
+    if typ in ("int", "bigint"):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+@settings(max_examples=12, deadline=None)
+@seed(FUZZ_ROUND * 104729 + 11)
+@given(case=_ins_case())
+def test_literal_insert_fast_path_matches_spark_path(spark, case):
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine
+
+    types, rows = case
+    cols = ", ".join(f"c{i} {t}" for i, t in enumerate(types))
+    values = ", ".join(
+        "(" + ", ".join(_ins_literal(t, v) for t, v in zip(types, r)) + ")"
+        for r in rows
+    )
+    results = []
+    for force_spark in (False, True):
+        eng = AnalyticsEngine(tempfile.mkdtemp(prefix="insfz_"), spark=spark)
+        if force_spark:
+            eng._try_literal_append = lambda *a, **k: None
+        eng.execute(f"create table fi ({cols})")
+        r = eng.execute(f"insert into fi values {values}")
+        assert r.effect_rows == len(rows)
+        results.append(
+            sorted(
+                eng.execute("select * from fi").rows,
+                key=lambda t: tuple((x is None, str(x)) for x in t),
+            )
+        )
+    fast, via_spark = results
+    assert len(fast) == len(via_spark)
+    for ra, rb in zip(fast, via_spark):
+        for t, a, b in zip(types, ra, rb):
+            if t in ("real", "double") and a is not None:
+                assert b is not None and math.isclose(
+                    a, b, rel_tol=1e-6, abs_tol=1e-9
+                ), (t, a, b)
+            else:
+                assert a == b, (t, a, b)
