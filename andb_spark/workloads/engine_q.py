@@ -126,6 +126,33 @@ def u_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("cl_snap").orderBy("o_orderkey")
 
 
+def u_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE + INSERT OVERWRITE + RESTORE as one oracle row: CTAS a
+    slice, wipe it (TRUNCATE), replace it with a different slice
+    (INSERT OVERWRITE), then RESTORE VERSION AS OF back to the
+    original — a pure manifest pointer move over retained immutable
+    segments. The DuckDB twin states the ORIGINAL slice: the row only
+    hashes green if all three statements left history intact and the
+    restore re-pointed exactly."""
+    eng = AnalyticsEngine(
+        _scratch("andb_rst_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table rt as select o_orderkey, o_totalprice,"
+        " o_orderstatus from orders where o_orderkey < 2000"
+    )
+    v0 = eng._meta("rt")["vnum"]
+    e("truncate table rt")
+    e(
+        "insert overwrite rt select o_orderkey, o_totalprice,"
+        " o_orderstatus from orders"
+        " where o_orderkey >= 5000 and o_orderkey < 6000"
+    )
+    e(f"restore table rt version as of {v0}")
+    return spark.table("rt").orderBy("o_orderkey")
+
+
 def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """System catalog as a relation (reference SystemTableScan parity,
     select.py:407-417): build a deterministic managed layout, then join
@@ -164,12 +191,18 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
+    "u_restore_timetravel": u_restore_timetravel,
     "u_matview_refresh": u_matview_refresh,
     "u_clone_snapshot": u_clone_snapshot,
     "c_catalog_tables": c_catalog_tables,
 }
 
 ORACLES = {
+    "u_restore_timetravel": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+    """,
     "u_dml_roundtrip": """
         WITH base AS (
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
