@@ -153,6 +153,56 @@ def u_restore_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("rt").orderBy("o_orderkey")
 
 
+def u_txn_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction abort semantics as an oracle row (the reference's
+    core xact surface, tests/unit/test_execution.py:64-130): CTAS a
+    slice, run UPDATE + DELETE + INSERT inside BEGIN..ROLLBACK, then a
+    second transaction that COMMITs one update. The DuckDB twin states
+    base-with-only-the-committed-update: rolled-back statements must
+    leave zero trace, committed ones exactly one."""
+    eng = AnalyticsEngine(
+        _scratch("andb_txn_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table tx as select o_orderkey, o_totalprice,"
+        " o_orderstatus from orders where o_orderkey < 1500"
+    )
+    e("begin")
+    e("update tx set o_totalprice = 0 where o_orderstatus = 'O'")
+    e("delete from tx where o_orderkey % 3 = 0")
+    e("insert into tx values (888888, 9.5, 'Z')")
+    e("rollback")
+    e("begin")
+    e(
+        "update tx set o_totalprice = o_totalprice + 1"
+        " where o_orderstatus = 'F'"
+    )
+    e("commit")
+    return spark.table("tx").orderBy("o_orderkey")
+
+
+def u_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution as an oracle row: CTAS, ALTER ADD
+    COLUMN (no rewrite — old files surface the column as NULL), append
+    rows that fill it, ALTER DROP another column (projection never
+    materializes it again). The DuckDB twin states the same evolution
+    declaratively, so the hash compare grades the declared-schema read
+    path over mixed-schema segments."""
+    eng = AnalyticsEngine(
+        _scratch("andb_alt_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table alt as select o_orderkey, o_custkey, o_totalprice"
+        " from orders where o_orderkey < 1200"
+    )
+    e("alter table alt add column note text")
+    e("insert into alt values (900001, 7, 10.5, 'tagged')")
+    e("alter table alt drop column o_custkey")
+    return spark.table("alt").orderBy("o_orderkey")
+
+
 def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """System catalog as a relation (reference SystemTableScan parity,
     select.py:407-417): build a deterministic managed layout, then join
@@ -192,12 +242,29 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
+    "u_txn_rollback": u_txn_rollback,
+    "u_alter_schema": u_alter_schema,
     "u_matview_refresh": u_matview_refresh,
     "u_clone_snapshot": u_clone_snapshot,
     "c_catalog_tables": c_catalog_tables,
 }
 
 ORACLES = {
+    "u_txn_rollback": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey < 1500
+        ORDER BY o_orderkey
+    """,
+    "u_alter_schema": """
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS note
+        FROM orders WHERE o_orderkey < 1200
+        UNION ALL
+        SELECT CAST(900001 AS BIGINT), CAST(10.5 AS DOUBLE), 'tagged'
+        ORDER BY o_orderkey
+    """,
     "u_restore_timetravel": """
         SELECT o_orderkey, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey < 2000
