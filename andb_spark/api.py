@@ -1915,10 +1915,16 @@ class AnalyticsEngine:
             tname = re.sub(r"not\s+null\s*$", "", rest, flags=re.I).strip()
             _parse_type(tname)  # validate against the type table
             columns.append({"name": cname, "type": tname, "notnull": notnull})
+        # In-memory entry only — the SINGLE durable commit is the
+        # catalog save inside _commit_staged, so a crash anywhere in
+        # between leaves no half-created shell (test_crash_consistency)
         self.catalog["tables"][name] = {"columns": columns}
-        self._save_catalog()
-        self._stage_empty(name)  # driver-side: no Spark job for DDL
-        self._commit_staged(name)
+        try:
+            self._stage_empty(name)  # driver-side: no Spark job for DDL
+            self._commit_staged(name)
+        except BaseException:
+            self.catalog["tables"].pop(name, None)
+            raise
         return Result()
 
     def _clone_table(self, stmt: str) -> Result:
@@ -2227,9 +2233,16 @@ class AnalyticsEngine:
                     os.path.relpath(f, self.warehouse)
                     for f in self._data_files(plan["base"])
                 ]
+        # In-memory entry only until the data is staged: the catalog
+        # save inside _overwrite's commit is the SINGLE durable point,
+        # so a crash mid-CTAS/mid-materialization leaves no empty
+        # table shell behind (test_crash_consistency).
         self.catalog["tables"][name] = meta
-        self._save_catalog()
-        n = self._overwrite(name, src)
+        try:
+            n = self._overwrite(name, src)
+        except BaseException:
+            self.catalog["tables"].pop(name, None)
+            raise
         return Result(effect_rows=n)
 
     def _alter_table(self, stmt: str) -> Result:
