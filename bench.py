@@ -102,6 +102,12 @@ HEADLINE_R04 = (
     "v_lsh_topk",
     "v_rerank_topk",
     "m_audio_meta",
+    # engine-surface rows added mid-r4 (oracle-checked statement
+    # lifecycles: TRUNCATE+INSERT OVERWRITE+RESTORE, BEGIN..ROLLBACK/
+    # COMMIT, metadata-only ALTER)
+    "u_restore_timetravel",
+    "u_txn_rollback",
+    "u_alter_schema",
 )
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
