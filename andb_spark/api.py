@@ -230,81 +230,117 @@ _ZONE_NEG = _ZoneBound(top=False)
 _ZONE_POS = _ZoneBound(top=True)
 
 
-def _in_hull(m: re.Match) -> str:
-    """Rewrite `col IN (a, b, c)` to its interval HULL `col >= min AND
-    col <= max` — a relaxation (any row matching the IN matches the
-    hull), so pruning on it is sound; rows between list elements are
-    merely not pruned. Mixed literal types or a NOT IN (group(1) grabs
-    the `not`) return the text unchanged, which downstream rejection
-    (parens / ` not `) turns into "no pruning"."""
-    if m.group(1).lower() == "not":
-        return m.group(0)
-    vals: list[tuple[str, object, str]] = []
-    for lit in _split_top_level(m.group(2)):
-        lit = lit.strip()
-        sm = _ZONE_STR_RE.match(lit)
-        if sm:
-            vals.append(("str", sm.group(1).replace("''", "'"),
-                         f"'{sm.group(1)}'"))
-        else:
-            v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
-            vals.append(("num", v, lit))
-    if len({k for k, _, _ in vals}) != 1:
-        return m.group(0)
-    lo = min(vals, key=lambda t: t[1])
-    hi = max(vals, key=lambda t: t[1])
-    return f"{m.group(1)} >= {lo[2]} and {m.group(1)} <= {hi[2]}"
+# Disjuncts a DNF predicate may expand to before pruning is abandoned
+# (an IN over many values x an OR chain could otherwise explode the
+# per-segment disjointness check).
+_ZONE_DNF_CAP = 16
 
 
-def _zone_intervals(cond_text: str | None) -> dict[str, tuple]:
-    """Parse a WHERE text into per-column closed [lo, hi] bounds, or {}
-    when any part of it is beyond the conservative subset. Numeric
-    bounds are int/float; string AND date bounds are Python strings
-    (date zone maps are stored as ISO strings, so one lexicographic
-    domain serves both). Unbounded sides are the ``_ZONE_NEG`` /
-    ``_ZONE_POS`` sentinels, which order against every literal type.
-    A column constrained by literals of BOTH domains disables pruning
-    entirely — bound comparison must stay same-typed."""
+def _parse_zone_literal(lit: str) -> tuple[str, object] | None:
+    """One literal → (domain, python value). Strings and ISO dates
+    share the "str" lexicographic domain (date zone maps are stored as
+    ISO strings). Ints stay ints: float() would round >2^53 literals
+    and could prune a segment that actually matches (Python compares
+    int vs float exactly, so mixed stats are safe)."""
+    sm = _ZONE_STR_RE.match(lit)
+    if sm:
+        return "str", sm.group(1).replace("''", "'")
+    if re.fullmatch(r"-?\d+", lit):
+        return "num", int(lit)
+    if re.fullmatch(r"-?\d+\.\d+", lit):
+        return "num", float(lit)
+    return None
+
+
+def _zone_dnf(cond_text: str | None) -> list[dict[str, tuple]] | None:
+    """Parse a WHERE text into a bounded DISJUNCTION of per-column
+    closed-interval maps, or None when any part of it is beyond the
+    conservative subset (pruning then disabled). A segment may be
+    skipped iff it is provably disjoint from EVERY disjunct.
+
+    Handled shapes: conjunctions of `col op literal` / BETWEEN, joined
+    by top-level OR, with IN lists expanded EXACTLY (one disjunct per
+    value — `k in (10, 5100)` skips segments strictly between the
+    values, which the old interval-hull relaxation could not).
+    Unbounded sides are the ``_ZONE_NEG``/``_ZONE_POS`` sentinels,
+    which order against every literal type. NOT anywhere, leftover
+    parens, mixed literal domains on one column, or a blown
+    ``_ZONE_DNF_CAP`` all disable pruning — and any literal containing
+    ' and '/' or ' merely mis-splits into an unparsable fragment,
+    which also lands on "no pruning", never on a wrong skip."""
     if not cond_text:
-        return {}
-    # Normalize BETWEEN and IN-list hulls before splitting so their
-    # internal AND / parens don't shear the conjunct apart.
-    text = _ZONE_BETWEEN_RE.sub(r"\1 >= \2 and \1 <= \3", cond_text.strip())
-    text = _ZONE_IN_RE.sub(_in_hull, text)
-    low = f" {text.lower()} "
-    if "(" in low or " or " in low or " not " in low:
-        return {}
-    out: dict[str, tuple] = {}
+        return None
+    text = _ZONE_BETWEEN_RE.sub(
+        r"\1 >= \2 and \1 <= \3", cond_text.strip()
+    )
+    if re.search(r"\bnot\b", text, re.I):
+        return None
+    maps: list[dict[str, tuple]] = []
+    for dj in re.split(r"\s+or\s+", text, flags=re.I):
+        dj_maps = _conjunct_maps(dj.strip())
+        if dj_maps is None:
+            return None
+        maps.extend(dj_maps)
+        if len(maps) > _ZONE_DNF_CAP:
+            return None
+    return maps or None
+
+
+def _conjunct_maps(dj: str) -> list[dict[str, tuple]] | None:
+    """One AND-conjunct → interval maps (several when IN lists expand
+    to their value alternatives), or None when unparsable."""
+    ins: list[tuple[str, list]] = []
+    base: dict[str, tuple] = {}
     domains: dict[str, str] = {}
-    for part in re.split(r"\s+and\s+", text, flags=re.I):
-        m = _ZONE_CMP_RE.match(part.strip())
+    for part in re.split(r"\s+and\s+", dj, flags=re.I):
+        part = part.strip()
+        im = _ZONE_IN_RE.fullmatch(part)
+        if im:
+            col, dom, vals = im.group(1), None, []
+            for lit in _split_top_level(im.group(2)):
+                parsed = _parse_zone_literal(lit.strip())
+                if parsed is None:
+                    return None
+                d, v = parsed
+                if dom is None:
+                    dom = d
+                elif d != dom:
+                    return None  # mixed literal domains in one IN
+                vals.append(v)
+            if domains.setdefault(col, dom) != dom:
+                return None
+            ins.append((col, vals))
+            continue
+        m = _ZONE_CMP_RE.match(part)
         if not m:
-            return {}  # any unparsable conjunct disables pruning
-        col, op = m.group(1), m.group(2)
-        lit = m.group(3)
-        sm = _ZONE_STR_RE.match(lit)
-        if domains.setdefault(col, "str" if sm else "num") != (
-            "str" if sm else "num"
-        ):
-            return {}  # same column, mixed literal domains
-        if sm:
-            v: object = sm.group(1).replace("''", "'")
-        else:
-            # ints stay ints: float() would round >2^53 literals and
-            # could prune a segment that actually matches (Python
-            # compares int vs float exactly, so mixed stats are safe)
-            v = int(lit) if re.fullmatch(r"-?\d+", lit) else float(lit)
+            return None  # any unparsable conjunct disables pruning
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        parsed = _parse_zone_literal(lit)
+        if parsed is None:
+            return None
+        d, v = parsed
+        if domains.setdefault(col, d) != d:
+            return None  # same column, mixed literal domains
         if op in ("=", "=="):
             bounds = (v, v)
         elif op in ("<", "<="):
             bounds = (_ZONE_NEG, v)
         else:
             bounds = (v, _ZONE_POS)
-        prev = out.get(col, (_ZONE_NEG, _ZONE_POS))
-        try:
-            out[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
-        except TypeError:  # same column, mixed literal domains
-            return {}
+        prev = base.get(col, (_ZONE_NEG, _ZONE_POS))
+        base[col] = (max(prev[0], bounds[0]), min(prev[1], bounds[1]))
+    out = [base]
+    for col, vals in ins:
+        nxt = []
+        for m_ in out:
+            prev = m_.get(col, (_ZONE_NEG, _ZONE_POS))
+            for v in vals:
+                nxt.append(
+                    {**m_, col: (max(prev[0], v), min(prev[1], v))}
+                )
+        out = nxt
+        if len(out) > _ZONE_DNF_CAP:
+            return None
     return out
 
 
@@ -1655,7 +1691,7 @@ class AnalyticsEngine:
             return None
         cond_text = self._TRAILING_CLAUSE_RE.split(m.group(2))[0]
         meta = self._meta(name)
-        if not _zone_intervals(cond_text) or not self._stats_of(name):
+        if not _zone_dnf(cond_text) or not self._stats_of(name):
             return None
         entries = self._segments_of(meta)
         scan = self._zone_scan_entries(name, cond_text)
@@ -2904,8 +2940,8 @@ class AnalyticsEngine:
         segments."""
         meta = self._meta(name)
         entries = self._segments_of(meta)
-        intervals = _zone_intervals(cond_text)
-        if not intervals:
+        dnf = _zone_dnf(cond_text)
+        if not dnf:
             return entries
         seg_stats = self._stats_of(name)
 
@@ -2920,10 +2956,15 @@ class AnalyticsEngine:
         scan: list[str] = []
         for e in entries:
             st = seg_stats.get(e.split("/", 1)[0], {})
-            disjoint = st.get("__rows") == 0 or any(
-                st.get(col) is not None
-                and stat_disjoint(st[col], lo, hi)
-                for col, (lo, hi) in intervals.items()
+            # skippable iff EVERY disjunct is provably disjoint (some
+            # column interval of that disjunct misses the segment)
+            disjoint = st.get("__rows") == 0 or all(
+                any(
+                    st.get(col) is not None
+                    and stat_disjoint(st[col], lo, hi)
+                    for col, (lo, hi) in m.items()
+                )
+                for m in dnf
             )
             if not disjoint:
                 scan.append(e)

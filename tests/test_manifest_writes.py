@@ -445,10 +445,17 @@ def test_zone_maps_prune_select_reads(engine):
     assert r.rows == []
     assert "skipped 4/4" in engine.session_vars["andb.last_zone_prune"]
 
-    # out-of-subset predicate (OR): no pruning, still correct
+    # top-level OR prunes per-disjunct since r4 (DNF zone maps): only
+    # the two segments containing a hit value scan
     engine.session_vars.pop("andb.last_zone_prune", None)
     r = e("select count(1) as n from zr where k = 10 or k = 5010")
     assert r.rows == [(2,)]
+    assert "skipped 2/4" in engine.session_vars["andb.last_zone_prune"]
+
+    # genuinely out-of-subset predicate (function call): no pruning
+    engine.session_vars.pop("andb.last_zone_prune", None)
+    r = e("select count(1) as n from zr where abs(k) = 10")
+    assert r.rows == [(1,)]
     assert "andb.last_zone_prune" not in engine.session_vars
 
     # view restored: a later full-table read sees everything
@@ -924,3 +931,52 @@ def test_literal_insert_values_runs_no_spark_job(engine, monkeypatch):
         e("insert into lnn (s) values ('ab')")
     e("insert into lnn values (1, 'abcdef')")
     assert e("select s from lnn").rows == [("abc",)]
+
+
+def test_zone_maps_dnf_or_and_exact_in(engine):
+    """r4 DNF pruning: top-level OR prunes per-disjunct, IN lists
+    expand exactly (segments strictly BETWEEN two IN values skip —
+    the old interval hull had to scan them), the expansion cap and
+    NOT both fall back to full scans."""
+    e = engine.execute
+    e("create table zo (k int, s text)")
+    e("insert into zo select id, concat('a', id) from range(0, 100)")
+    e("insert into zo select id, concat('b', id) from range(5000, 5100)")
+    e("insert into zo select id, concat('c', id) from range(9000, 9100)")
+    segs = engine._segments_of(engine._meta("zo"))
+    a, b, c = segs[1], segs[2], segs[3]
+
+    # OR of two point lookups: middle segment skips
+    scan = engine._zone_scan_entries("zo", "k = 10 or k = 9010")
+    assert a in scan and c in scan and b not in scan
+    # exact IN: the hull would scan B (5000..5100 lies inside [10,9010])
+    scan = engine._zone_scan_entries("zo", "k in (10, 9010)")
+    assert a in scan and c in scan and b not in scan
+    # OR mixing columns: each disjunct prunes on its own column
+    scan = engine._zone_scan_entries("zo", "k < 50 or s >= 'c'")
+    assert a in scan and c in scan and b not in scan
+    # OR with a conjunct inside one disjunct
+    scan = engine._zone_scan_entries(
+        "zo", "k >= 5000 and k < 5050 or k > 99999"
+    )
+    assert b in scan and a not in scan and c not in scan
+    # correctness end to end through the pruned SELECT path
+    assert e(
+        "select count(1) as n from zo where k = 10 or k = 9010"
+    ).rows == [(2,)]
+    assert e(
+        "select count(1) as n from zo where k in (10, 9010, 5050)"
+    ).rows == [(3,)]
+
+    # NOT anywhere: no pruning
+    assert len(
+        engine._zone_scan_entries("zo", "not k = 10")
+    ) == len(segs)
+    assert len(
+        engine._zone_scan_entries("zo", "k not in (10)")
+    ) == len(segs)
+    # cap: an expansion past _ZONE_DNF_CAP disables pruning
+    many = ", ".join(str(i) for i in range(20))
+    assert len(
+        engine._zone_scan_entries("zo", f"k in ({many})")
+    ) == len(segs)
