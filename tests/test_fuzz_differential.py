@@ -589,6 +589,19 @@ _DML_STATEMENTS = st.one_of(
     ),
     st.just("update fz set v = 2 where s > 'zzz'"),
     st.just("delete from fz where s = 'absent'"),
+    # DNF shapes — r4 zone maps prune per-disjunct and expand IN
+    # lists exactly; the differential check catches any wrong skip
+    st.tuples(st.integers(0, 199), st.integers(0, 199)).map(
+        lambda t: f"delete from fz where k = {t[0]} or k = {t[1]}"
+    ),
+    st.lists(st.integers(0, 250), min_size=1, max_size=5).map(
+        lambda vs: f"update fz set v = -9 where k in"
+        f" ({', '.join(map(str, vs))})"
+    ),
+    st.tuples(st.integers(0, 80), st.integers(120, 250)).map(
+        lambda t: f"delete from fz where k < {t[0]} and v > 10"
+        f" or k > {t[1]}"
+    ),
 )
 
 
@@ -637,6 +650,9 @@ def test_random_dml_sequence_agrees_with_duckdb(spark, n0, stmts):
         "select * from fz where s between 'r1' and 'r2'",
         "select * from fz where s in ('r7', 'r11', 'r13')",
         "select * from fz where s > 'zzz'",
+        # DNF read probes (r4): OR of points, OR across columns
+        f"select * from fz where k = 7 or k = {n0 + 900}",
+        "select * from fz where s = 'r1' or k > 190",
     ):
         got = _rowset([tuple(r) for r in eng.execute(sel).rows])
         want = _rowset(con.execute(sel).fetchall())
