@@ -403,11 +403,21 @@ class AnalyticsEngine:
             # and is always treated as a crash.
             snap = marker.get("catalog", marker)
             owner = marker.get("__txn_pid")
-            if owner is not None and _pid_alive(owner):
+            # ANDB_FORCE_RECOVERY unbricks the pid-recycling case: the
+            # owner died long ago but the OS reassigned its pid to an
+            # unrelated long-lived process, so the liveness probe can
+            # never clear on its own.
+            if (
+                owner is not None
+                and _pid_alive(owner)
+                and not os.environ.get("ANDB_FORCE_RECOVERY")
+            ):
                 raise EngineError(
                     f"warehouse has an open transaction owned by live "
                     f"process {owner}; one engine per warehouse at a "
-                    f"time"
+                    f"time (if that pid belongs to an unrelated process "
+                    f"after a restart, set ANDB_FORCE_RECOVERY=1 to "
+                    f"roll the transaction back)"
                 )
             self.catalog = snap
             tmp = self._catalog_path + ".tmp"
@@ -866,7 +876,6 @@ class AnalyticsEngine:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         arrow_schema = to_arrow_schema(schema)
         n = len(rows)
@@ -880,49 +889,52 @@ class AnalyticsEngine:
             )
         except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
             return None  # any conversion doubt → Spark decides
-        new_version = "v-" + uuid.uuid4().hex[:12]
-        new_dir = os.path.join(self.warehouse, name, new_version)
-        os.makedirs(new_dir, exist_ok=True)
-        pq.write_table(table, os.path.join(new_dir, "part-00000.parquet"))
-        count, stats = _footer_stats(new_dir)  # zone maps, as always
-        stats["__rows"] = count
-        meta["_staged"] = {
-            "version": new_version,
-            "segments": self._segments_of(meta) + [new_version],
-            "stats": stats,
-        }
+        count = self._stage_arrow(
+            name, table, base=self._segments_of(meta)
+        )
         self._commit_staged(name)
         self._maybe_auto_refresh(name)  # same ordering as _append
         self._maybe_auto_compact(name)
         return count
 
-    def _stage_empty(self, name: str) -> int:
-        """Stage an EMPTY segment without running a Spark job: CREATE
-        TABLE / TRUNCATE / unfiltered DELETE only need a schema-bearing
-        zero-row parquet file, which pyarrow writes driver-side in
-        microseconds (the Spark path costs a full job submit + task
-        round trip — pure constant overhead on every DDL statement).
-        Same staging contract as ``_stage_version`` (commit via
-        ``_commit_staged``)."""
-        from pyspark.sql.pandas.types import to_arrow_schema
-
+    def _stage_arrow(self, name: str, table, base: list[str] | None) -> int:
+        """Stage a driver-side pyarrow table as one new segment — the
+        pyarrow twin of ``_stage_version``'s phase 1, producing the
+        SAME ``_staged`` contract (commit via ``_commit_staged``).
+        Used where the payload is literal or empty and a Spark job
+        submit would be pure constant overhead."""
         import pyarrow.parquet as pq
 
         meta = self._meta(name)
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
         os.makedirs(new_dir, exist_ok=True)
-        pq.write_table(
-            to_arrow_schema(self._schema(name)).empty_table(),
-            os.path.join(new_dir, "part-00000.parquet"),
-        )
+        pq.write_table(table, os.path.join(new_dir, "part-00000.parquet"))
+        if table.num_rows:
+            count, stats = _footer_stats(new_dir)  # zone maps, as always
+        else:
+            # zero-row segments prune unconditionally — no footer read
+            count, stats = 0, {}
+        stats["__rows"] = count
         meta["_staged"] = {
             "version": new_version,
-            "segments": [new_version],
-            # zero-row segments prune unconditionally — no footer read
-            "stats": {"__rows": 0},
+            "segments": list(base or []) + [new_version],
+            "stats": stats,
         }
-        return 0
+        return count
+
+    def _stage_empty(self, name: str) -> int:
+        """Stage an EMPTY segment without running a Spark job: CREATE
+        TABLE / TRUNCATE / unfiltered DELETE only need a schema-bearing
+        zero-row parquet file, which pyarrow writes driver-side in
+        microseconds."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return self._stage_arrow(
+            name,
+            to_arrow_schema(self._schema(name)).empty_table(),
+            base=None,
+        )
 
     @staticmethod
     def _top_dirs(entries: list[str]) -> set[str]:
@@ -1721,6 +1733,7 @@ class AnalyticsEngine:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
         stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
+        version_views: list[str] = []  # dropped after materialization
 
         def _version_view(m: re.Match) -> str:
             name, vnum = m.group(1), int(m.group(2))
@@ -1728,6 +1741,7 @@ class AnalyticsEngine:
             # the "same" (name, vnum) — e.g. across a RESTORE that
             # renumbered history — can never race on a shared binding
             view = f"{name}__v{vnum}_{uuid.uuid4().hex[:8]}"
+            version_views.append(view)
             paths = self._resolve_version(name, vnum)
             # The CURRENT declared schema drives historical reads (so a
             # metadata-only DROP COLUMN cannot resurrect through time
@@ -1756,6 +1770,16 @@ class AnalyticsEngine:
             return view
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
+        try:
+            return self._select_resolved(stmt)
+        finally:
+            for v in version_views:  # bounded: no per-query leak
+                self.spark.catalog.dropTempView(v)
+
+    def _select_resolved(self, stmt: str) -> Result:
+        """SELECT body after dialect/version rewriting (split out so
+        the per-statement version views can be dropped in one place
+        after materialization)."""
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(stmt) if mode != "exact" else None
         if ann:
@@ -2174,6 +2198,14 @@ class AnalyticsEngine:
         # same SparkSession can never observe the delta-only binding
         # (temp-view resolution happens at spark.sql analysis time, so
         # the partial plan stays pinned after the view is dropped).
+        # The token rewrite targets THE table reference; if the
+        # `from <base>` pattern appears more than once (e.g. a column
+        # named like the base inside `extract(epoch from ts)`),
+        # substitution is ambiguous — fall back to the full path
+        # rather than risk rewriting the wrong occurrence.
+        from_pat = rf"(\bfrom\s+){re.escape(base)}\b"
+        if len(re.findall(from_pat, plan["state_sql"], re.I)) != 1:
+            return None
         delta_view = f"{base}__mvdelta_{uuid.uuid4().hex[:8]}"
         self._read_files(
             base, [os.path.join(self.warehouse, r) for r in delta]
@@ -2181,7 +2213,7 @@ class AnalyticsEngine:
         try:
             partial = self.spark.sql(
                 re.sub(
-                    rf"(\bfrom\s+){re.escape(base)}\b",
+                    from_pat,
                     rf"\g<1>{delta_view}",
                     plan["state_sql"],
                     count=1,
@@ -2199,6 +2231,11 @@ class AnalyticsEngine:
             # hides from SELECTs — the merge must read the raw files.
             partial = _derive_visible(partial, plan)
             state = self.spark.read.parquet(*self._segment_paths(name))
+            if not set(plan["hidden"]) <= set(state.columns):
+                # a declared-schema rewrite of the view itself
+                # (OPTIMIZE [ZORDER]) stripped the hidden state — the
+                # full path below recomputes and restores it
+                return None
         else:
             state = self._read_table(name)
         merged = (
@@ -2669,12 +2706,13 @@ class AnalyticsEngine:
         MERGE is a pure append. One shuffle per branch on the join
         keys; at scale the join inherits AQE skew splitting like any
         other.
-        ANSI MERGE's multiple-match error is fully detected: a cheap
-        source-side duplicate-key probe for equi-join conditions (one
-        O(source) aggregate + limit(1), with the offending key in the
-        error), plus an exact per-target-row match-count backstop over
-        the affected files for every other ON shape. Both fire before
-        any staging, so a failed MERGE mutates nothing."""
+        ANSI MERGE's multiple-match error is detected exactly: a
+        per-target-row match count over the affected files (the same
+        join the rewrite performs), fired before any staging, so a
+        failed MERGE mutates nothing. Duplicate source keys that match
+        no target row are legal (they are ordinary not-matched
+        inserts) — a source-side duplicate probe would over-reject
+        them, so none is used."""
         m = self._MERGE_RE.match(stmt)
         if not m:
             raise EngineError(f"cannot parse MERGE statement: {stmt}")
@@ -2737,30 +2775,6 @@ class AnalyticsEngine:
         t = self.spark.table(target).alias(target)
         s = self.spark.table(source).alias(source)
         jcond = F.expr(cond)
-        if update_set or matched_delete:
-            # ANSI multiple-match guard: with a matched clause, a
-            # source duplicated on its equi-join key would silently
-            # double-apply the update (or race update-vs-delete).
-            # Probe BEFORE any staging so a failed MERGE mutates
-            # nothing. O(source) aggregate, one limit(1) collect.
-            skeys = _source_equi_keys(cond, source)
-            if skeys:
-                dup = (
-                    s.groupBy(*[F.col(k) for k in skeys])
-                    .agg(F.count(F.lit(1)).alias("__cnt"))
-                    .filter(F.col("__cnt") > 1)
-                    .limit(1)
-                    .collect()
-                )
-                if dup:
-                    keyvals = ", ".join(
-                        f"{k}={dup[0][k]!r}" for k in skeys
-                    )
-                    raise EngineError(
-                        "MERGE source has multiple rows for join key "
-                        f"({keyvals}); ANSI MERGE forbids a target row "
-                        "matching more than one source row"
-                    )
         marked = s.withColumn("__m", F.lit(1)).alias(source)
         # Copy-on-write: the matched branch rewrites only the files
         # containing join matches; an insert-only MERGE appends and
@@ -2779,15 +2793,17 @@ class AnalyticsEngine:
                 t_affected = self._read_files(target, affected).alias(target)
         parts: list[DataFrame] = []
         if t_affected is not None:
-            # Exact ANSI multiple-match backstop for conditions the
-            # cheap source-key probe can't parse (non-equi ON): count
-            # source matches per affected-target row. Without this the
-            # left-join update branch would DUPLICATE multi-matched
-            # target rows, not just pick an arbitrary source value.
-            # Scope: only the affected files x source — the same join
-            # the rewrite below performs anyway. __tid is assigned and
-            # consumed within one materialization, so its per-run
-            # nondeterminism across plans is irrelevant.
+            # Exact ANSI multiple-match guard: count source matches per
+            # affected-TARGET row (ANSI forbids a target row matching
+            # more than one source row — duplicate source keys that
+            # match NO target row are legal not-matched inserts, so a
+            # source-side duplicate probe would over-reject). Without
+            # this the left-join update branch would DUPLICATE
+            # multi-matched target rows, not just pick an arbitrary
+            # source value. Scope: only the affected files x source —
+            # the same join the rewrite below performs anyway. __tid is
+            # assigned and consumed within one materialization, so its
+            # per-run nondeterminism across plans is irrelevant.
             multi = (
                 t_affected.withColumn(
                     "__tid", F.monotonically_increasing_id()
@@ -3334,30 +3350,6 @@ def _pid_alive(pid: int) -> bool:
     except (ProcessLookupError, OverflowError, ValueError, TypeError):
         return False  # no such process / unrepresentable pid
     return True
-
-
-def _source_equi_keys(cond: str, source: str) -> list[str]:
-    """Source-side join-key columns of a MERGE ON clause, when — and
-    only when — the clause is a pure conjunction of QUALIFIED
-    equalities with exactly one side on the source alias
-    (``t.a = s.b AND t.c = s.d``). Any other shape (non-equi terms,
-    unqualified columns that Spark could resolve to either side,
-    OR-trees) returns [] and the caller skips the duplicate-key guard:
-    a false-positive guard would reject legal MERGEs, so the parse is
-    strictly conservative."""
-    keys: list[str] = []
-    for conj in re.split(r"\band\b", cond, flags=re.I):
-        m = re.fullmatch(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", conj)
-        if not m:
-            return []
-        a1, c1, a2, c2 = m.groups()
-        if a1.lower() == source.lower() and a2.lower() != source.lower():
-            keys.append(c1)
-        elif a2.lower() == source.lower() and a1.lower() != source.lower():
-            keys.append(c2)
-        else:
-            return []
-    return keys
 
 
 def _paren_balanced(s: str) -> bool:

@@ -84,26 +84,24 @@ def prefix_sum(
     table, broadcast back, then a per-partition running sum. No global
     single-partition stage ever sees the full data.
 
-    ``pin=False`` skips the defensive persist of the staged frame (see
-    below): correct whenever ``df``'s evaluation is DETERMINISTIC (a
-    parquet scan + deterministic transforms — every workload in this
-    repo), because two evaluations then sample identical range
-    boundaries. Callers with non-deterministic upstreams (sample(),
-    rand()) must keep the default and call
-    ``dedup.release_caches()`` after materializing, or the pinned
-    frame outlives the query (ADVICE r3).
+    ``pin`` (default True) persists the staged frame because TWO jobs
+    evaluate it and RangePartitioner's boundary sampling is seeded per
+    RDD INSTANTIATION — even a fully deterministic input can land a
+    boundary row in different _pid buckets across two separate
+    evaluations of the exchange, silently misapplying every offset
+    after it. Only pass pin=False when the caller GUARANTEES a single
+    materialization consumes the result with exchange reuse intact;
+    pinned callers should run ``dedup.release_caches()`` after
+    materializing so the frame does not outlive the query (ADVICE
+    r3).
     """
     w, key = F.col(weight_col), F.col(key_col)
     staged = df.repartitionByRange(partitions, key).withColumn(
         "_pid", F.spark_partition_id()
     )
     # The staged plan is evaluated by TWO jobs (subtotals, then the
-    # output join) and RangePartitioner samples its input to pick the
-    # range boundaries — persist so both jobs see ONE set of
-    # boundaries; unpinned, a non-deterministic upstream could shift a
-    # boundary row's _pid between jobs and misapply every offset after
-    # it. Lazy persist via the shared cache registry: building the
-    # DataFrame stays execution-free and release_caches() frees it.
+    # output join); the persist pins ONE set of range boundaries across
+    # both — see the ``pin`` note above.
     if pin:
         from andb_spark.operators.dedup import _persist_tracked
 

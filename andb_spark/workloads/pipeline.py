@@ -862,7 +862,7 @@ def p_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return (
-        weighted_systematic_sample(d, "n_chars", "doc_id", k=64, pin=False)
+        weighted_systematic_sample(d, "n_chars", "doc_id", k=64)
         .select("doc_id", F.col("n_chars").alias("weight"))
         .orderBy("doc_id")
     )
@@ -968,7 +968,7 @@ def p_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return (
-        pack_shards(d, "n_chars", "doc_id", budget=25000, pin=False)
+        pack_shards(d, "n_chars", "doc_id", budget=25000)
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1001,7 +1001,7 @@ def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = hash_split(
         clean, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     ).filter(F.col("split") == "train")
-    shards = pack_shards(train, "_nt", "doc_id", budget=2000, pin=False)
+    shards = pack_shards(train, "_nt", "doc_id", budget=2000)
     return (
         shards.groupBy("shard_id")
         .agg(

@@ -452,3 +452,56 @@ def test_autorefresh_tracks_cow_dml_and_overwrites(engine):
     assert _mv_rows(e) == _full_rows(e) == [("z", 2, 12, 5, 7, 6.0)]
     e("truncate table base")
     assert _mv_rows(e) == _full_rows(e) == []
+
+
+def test_optimize_on_avg_view_forces_one_full_refresh_then_recovers(
+    engine,
+):
+    """OPTIMIZE rewrites the view's parquet with the DECLARED schema,
+    stripping the hidden AVG state pair. The next incremental attempt
+    must detect the missing columns and fall back to the full path
+    (which restores the state), not crash — and the refresh after that
+    goes incremental again."""
+    e = engine.execute
+    e("create table base (g int, v int)")
+    e("insert into base values (1, 1), (1, 3), (2, 8)")
+    e(
+        "create materialized view mv as"
+        " select g, avg(v) as mean from base group by g"
+    )
+    e("optimize mv zorder by (g)")  # declared-schema FULL rewrite:
+    # the hidden state pair is gone from storage after this
+    e("insert into base values (1, 5)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
+    assert _mv_rows(e) == [(1, 3.0), (2, 8.0)]
+    e("insert into base values (2, 2)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == [(1, 3.0), (2, 5.0)]
+
+
+def test_column_named_like_base_table_falls_back_to_full(engine):
+    """`extract(minute from ts)` over a base table ALSO named ts: the
+    FROM-token rewrite would be ambiguous, so the refresh must take
+    the full path and stay correct (round-4 review finding)."""
+    e = engine.execute
+    e("create table ts (ts timestamp, v int)")
+    e(
+        "insert into ts values (timestamp '2024-01-01 00:00:10', 1),"
+        " (timestamp '2024-01-01 00:00:20', 2)"
+    )
+    e(
+        "create materialized view mvx as"
+        " select sum(extract(minute from ts)) as total_minute from ts"
+    )
+    before = e("select * from mvx").rows
+    assert before and before[0][0] is not None
+    e("insert into ts values (timestamp '2024-01-01 00:01:00', 3)")
+    e("refresh materialized view mvx")
+    assert engine.catalog["tables"]["mvx"]["matview_last_refresh"] == "full"
+    assert e("select * from mvx").rows == e(
+        "select sum(extract(minute from ts)) as total_minute from ts"
+    ).rows

@@ -217,12 +217,11 @@ def test_insert_and_merge_columns_case_insensitive(engine):
 
 
 def test_merge_duplicate_source_keys_raise_without_mutation(engine):
-    """ANSI multiple-match detection (VERDICT r3 #4): a source with
-    duplicate equi-join keys plus a matched clause raises BEFORE any
-    staging — the target is byte-identical after the failed MERGE.
-    Insert-only MERGEs (no matched clause) are exempt. Non-equi ON
-    clauses skip the cheap probe but hit the exact per-target-row
-    backstop in the rewrite branch."""
+    """ANSI multiple-match detection, exact semantics: a TARGET row
+    matching two source rows raises BEFORE any staging — the target is
+    byte-identical after the failed MERGE. Duplicate source keys that
+    match NO target row are legal (ordinary not-matched inserts), as
+    are insert-only MERGEs."""
     e = engine.execute
     e("create table mm (k int, v int)")
     e("insert into mm values (1, 10), (2, 20)")
@@ -230,7 +229,7 @@ def test_merge_duplicate_source_keys_raise_without_mutation(engine):
     e("insert into mmsrc values (1, 11), (1, 12), (3, 30)")
 
     files_before = engine._data_files("mm")
-    with pytest.raises(EngineError, match="multiple rows"):
+    with pytest.raises(EngineError, match="more than one source row"):
         e(
             "merge into mm using mmsrc on mm.k = mmsrc.k"
             " when matched then update set v = mmsrc.v"
@@ -238,7 +237,7 @@ def test_merge_duplicate_source_keys_raise_without_mutation(engine):
     assert engine._data_files("mm") == files_before  # nothing mutated
     assert e("select * from mm order by k").rows == [(1, 10), (2, 20)]
 
-    with pytest.raises(EngineError, match="multiple rows"):
+    with pytest.raises(EngineError, match="more than one source row"):
         e(
             "merge into mm using mmsrc on mm.k = mmsrc.k"
             " when matched then delete"
@@ -253,6 +252,22 @@ def test_merge_duplicate_source_keys_raise_without_mutation(engine):
     assert r.effect_rows == 1  # only k=3 was unmatched
     assert e("select * from mm order by k, v").rows == [
         (1, 10), (2, 20), (3, 30),
+    ]
+
+    # duplicate source keys matching NO target row, WITH a matched
+    # clause: ANSI-legal — both rows are not-matched inserts (a
+    # source-side duplicate probe would wrongly reject this)
+    e("create table mmok (k int, v int)")
+    e("insert into mmok values (50, 0)")
+    e("create table mmoksrc (k int, v int)")
+    e("insert into mmoksrc values (7, 1), (7, 2), (50, 5)")
+    e(
+        "merge into mmok using mmoksrc on mmok.k = mmoksrc.k"
+        " when matched then update set v = mmoksrc.v"
+        " when not matched then insert values (mmoksrc.k, mmoksrc.v)"
+    )
+    assert e("select * from mmok order by k, v").rows == [
+        (7, 1), (7, 2), (50, 5),
     ]
 
     # non-equi ON, one target row matching SEVERAL source rows: the
@@ -277,17 +292,3 @@ def test_merge_duplicate_source_keys_raise_without_mutation(engine):
         " when matched then update set v = 1"
     )  # k=10 matches only source k=3; the duplicate k=1 rows miss
     assert e("select * from mm3 order by k").rows == [(2, 0), (10, 1)]
-
-
-def test_merge_source_equi_key_parser():
-    from andb_spark.api import _source_equi_keys
-
-    assert _source_equi_keys("t.a = s.b", "s") == ["b"]
-    assert _source_equi_keys("s.a = t.b and t.c = s.d", "s") == ["a", "d"]
-    assert _source_equi_keys("T.a = S.b", "s") == ["b"]  # case-insensitive
-    # conservative refusals: non-equi, unqualified, OR, same-side
-    assert _source_equi_keys("t.a > s.b", "s") == []
-    assert _source_equi_keys("a = s.b", "s") == []
-    assert _source_equi_keys("t.a = s.b or t.c = s.d", "s") == []
-    assert _source_equi_keys("s.a = s.b", "s") == []
-    assert _source_equi_keys("t.a = t.b", "s") == []
