@@ -250,6 +250,13 @@ _OP = st.one_of(
     st.tuples(st.just("delete"), st.sampled_from(["a", "b", "c", "d"])),
     st.tuples(st.just("optimize")),  # compaction breaks file lineage
     st.tuples(st.just("alter_add")),  # metadata-only schema change
+    # r4 autorefresh now fires on these too (CoW upsert / full rewrite)
+    st.tuples(
+        st.just("merge"),
+        st.sampled_from(["a", "b", "e"]),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    st.tuples(st.just("overwrite"), st.lists(_ROW, min_size=1, max_size=3)),
     st.tuples(st.just("refresh")),
 )
 
@@ -278,6 +285,7 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
         e(f"set andb.auto_compact = {compact_thr}")
     modes = set()
     n_alters = 0
+    n_merges = 0
     for op in ops:
         if op[0] == "insert":
             vals = ", ".join(f"('{g}', {v})" for g, v in op[1])
@@ -293,6 +301,27 @@ def test_random_dml_refresh_interleaving_matches_full_recompute(
             e(f"alter table base add column extra{n_alters} int")
         elif op[0] == "delete":
             e(f"delete from base where g = '{op[1]}'")
+        elif op[0] == "merge":
+            n_merges += 1
+            src = f"msrc{n_merges}"
+            e(f"create table {src} (g text, v int)")
+            e(f"insert into {src} values ('{op[1]}', {op[2]})")
+            # one source row: a target row can never multi-match
+            e(
+                f"merge into base using {src} on base.g = {src}.g"
+                f" when matched then update set v = {src}.v"
+                f" when not matched then insert (g, v)"
+                f" values ({src}.g, {src}.v)"
+            )
+        elif op[0] == "overwrite":
+            ncols = len(eng.catalog["tables"]["base"]["columns"])
+            rows = ", ".join(
+                "("
+                + ", ".join([f"'{g}'", str(v)] + ["null"] * (ncols - 2))
+                + ")"
+                for g, v in op[1]
+            )
+            e(f"insert overwrite base values {rows}")
         else:
             e("refresh materialized view mv")
             modes.add(eng.catalog["tables"]["mv"]["matview_last_refresh"])
