@@ -167,7 +167,22 @@ def _footer_stats(seg_dir: str) -> tuple[int, dict[str, list]]:
     def _js(v):  # dates → ISO strings: JSON-serializable, and ISO-8601
         return v.isoformat() if isinstance(v, datetime.date) else v
 
-    return count, {c: [_js(lo[c]), _js(hi[c])] for c in lo}
+    out = {c: [_js(lo[c]), _js(hi[c])] for c in lo}
+    # Which surviving columns are DATE-typed: their stats are ISO
+    # strings, but a predicate literal like '1995-6-1' (which Spark
+    # casts to a date) does NOT compare lexicographically — the pruner
+    # must canonicalize literals for exactly these columns, and must
+    # NOT canonicalize them for true string columns. "__v" marks the
+    # marker's presence; legacy stats without it never prune on
+    # string-domain bounds.
+    date_cols = sorted(
+        c for c in lo
+        if isinstance(lo[c], datetime.date)
+    )
+    if date_cols:
+        out["__date"] = date_cols
+    out["__v"] = 2
+    return count, out
 
 
 # Conjunct shapes the zone-map pruner understands. Anything else in a
@@ -228,6 +243,37 @@ class _ZoneBound:
 
 _ZONE_NEG = _ZoneBound(top=False)
 _ZONE_POS = _ZoneBound(top=True)
+
+
+def _files_have_columns(paths: list[str], cols: list[str]) -> bool:
+    """True iff EVERY parquet file physically carries all of ``cols``
+    (footer schema reads — driver-side metadata, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    want = {c.lower() for c in cols}
+    for p in paths:
+        names = {n.lower() for n in pq.ParquetFile(p).schema_arrow.names}
+        if not want <= names:
+            return False
+    return True
+
+
+_DATE_CANON_RE = re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2})")
+
+
+def _canon_date(s: str) -> str | None:
+    """Zero-padded ISO form of a date-like literal (Spark's cast
+    accepts '1995-6-1'; lexicographic pruning needs '1995-06-01'), or
+    None when the literal is not a valid date — the caller then skips
+    pruning on that bound."""
+    m = _DATE_CANON_RE.fullmatch(s.strip())
+    if not m:
+        return None
+    y, mo, d = (int(g) for g in m.groups())
+    try:
+        return datetime.date(y, mo, d).isoformat()
+    except ValueError:
+        return None
 
 
 # Disjuncts a DNF predicate may expand to before pruning is abandoned
@@ -660,7 +706,11 @@ class AnalyticsEngine:
                         if "__rows" in st and "/" not in entry
                         else None,
                         json.dumps(
-                            {k: v for k, v in st.items() if k != "__rows"},
+                            {
+                                k: v
+                                for k, v in st.items()
+                                if not k.startswith("__")
+                            },
                             sort_keys=True,
                         ),
                     )
@@ -766,6 +816,10 @@ class AnalyticsEngine:
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
         df.write.mode("overwrite").parquet(new_dir)
+        # NOT NULL enforcement reads the STAGED footers (one source
+        # execution total — see _check_staged_notnull); a violation
+        # removes the dir and raises before anything references it
+        self._check_staged_notnull(name, new_dir)
         if base == "current":
             base = self._segments_of(meta)
         # Harvest the segment's row count and per-column min/max ZONE
@@ -841,6 +895,11 @@ class AnalyticsEngine:
         scalars all fall back."""
         rows = self._parse_literal_rows(vtext)
         if rows is None or any(len(r) != len(cols) for r in rows):
+            return None
+        if len({c.lower() for c in cols}) != len(cols):
+            # duplicated column list: by_col would silently interleave
+            # both values into one column — defer to the Spark path,
+            # which raises its ambiguous-column error
             return None
         meta = self._meta(name)
         coltypes = {c["name"]: c["type"].strip().lower()
@@ -1062,25 +1121,14 @@ class AnalyticsEngine:
         return T.StructType(fields)
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
-        """NOT NULL rejection + varchar(n) truncation, mirroring the
-        reference's insert path (relation.py:122-130). All NOT NULL
-        columns are checked in ONE pass (a single any-null filter +
-        limit(1)) rather than one Spark job per column — at scale an
-        N-column insert costs one scan, not N."""
+        """varchar(n) truncation, mirroring the reference's insert path
+        (relation.py:122-130). NOT NULL is enforced POST-STAGE from the
+        written files' footer null counts (``_stage_version``): a
+        pre-write probe would execute the source plan a second time —
+        one wasted scan per INSERT...SELECT, and a nondeterministic
+        source (rand()) could pass the probe yet write NULLs in the
+        actual write."""
         meta = self._meta(name)
-        nn_cols = [c["name"] for c in meta["columns"] if c["notnull"]]
-        if nn_cols:
-            any_null = None
-            for c in nn_cols:
-                cond = F.col(c).isNull()
-                any_null = cond if any_null is None else (any_null | cond)
-            bad = df.filter(any_null).select(*nn_cols).limit(1).collect()
-            if bad:
-                row = bad[0]
-                culprit = next(c for c in nn_cols if row[c] is None)
-                raise EngineError(
-                    f"column {culprit} of {name} violates NOT NULL"
-                )
         for col in meta["columns"]:
             m = _VARCHAR_RE.match(col["type"])
             if m:
@@ -1089,6 +1137,59 @@ class AnalyticsEngine:
                     F.substring(F.col(col["name"]), 1, int(m.group(1))),
                 )
         return df
+
+    def _check_staged_notnull(self, name: str, new_dir: str) -> None:
+        """Reject a staged segment violating NOT NULL, from the parquet
+        footers the write just produced (driver-side metadata; null
+        counts are written by default). Files whose footer lacks a null
+        count fall back to ONE bounded Spark probe over the staged
+        segment only — never a re-execution of the source plan. Raises
+        after removing the staged dir, so a failed statement leaves no
+        trace (same external contract as the old pre-write probe)."""
+        meta = self._meta(name)
+        nn_cols = [
+            c["name"] for c in meta.get("columns", []) if c.get("notnull")
+        ]
+        if not nn_cols:
+            return
+        import pyarrow.parquet as pq
+
+        culprit: str | None = None
+        unknown: set[str] = set()
+        for fname in sorted(os.listdir(new_dir)):
+            if not fname.endswith(".parquet") or culprit:
+                continue
+            md = pq.ParquetFile(os.path.join(new_dir, fname)).metadata
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    if col.path_in_schema not in nn_cols:
+                        continue
+                    st = col.statistics
+                    if st is None or st.null_count is None:
+                        unknown.add(col.path_in_schema)
+                    elif st.null_count > 0:
+                        culprit = col.path_in_schema
+        if culprit is None and unknown:
+            probe = self.spark.read.parquet(new_dir)
+            any_null = None
+            for c in sorted(unknown):
+                cond = F.col(c).isNull()
+                any_null = cond if any_null is None else (any_null | cond)
+            bad = probe.filter(any_null).select(*sorted(unknown)).limit(
+                1
+            ).collect()
+            if bad:
+                culprit = next(
+                    c for c in sorted(unknown) if bad[0][c] is None
+                )
+        if culprit:
+            self._meta(name).pop("_staged", None)
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise EngineError(
+                f"column {culprit} of {name} violates NOT NULL"
+            )
 
     # ---------------------------------------------------------- execute --
     _SYSVIEW_RE = re.compile(
@@ -1189,7 +1290,10 @@ class AnalyticsEngine:
                 r = self._commit()
             elif head in ("ROLLBACK", "ABORT"):
                 r = self._rollback()
-            elif head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE"):
+            elif head in (
+                "SELECT", "WITH", "VALUES", "TABLE", "SHOW",
+                "DESCRIBE", "DESC",
+            ):
                 r = self._select(stmt)
             else:
                 raise EngineError(f"unsupported statement: {head or '<empty>'}")
@@ -1287,6 +1391,16 @@ class AnalyticsEngine:
         created = self._txn["created"]
         current_tables = set(self.catalog["tables"])
         self.catalog = snapshot
+        # zone-map entries harvested for the transaction's version dirs
+        # die with those dirs, or the sidecar accumulates one orphan
+        # per rolled-back statement forever (the dirs are gone, so a
+        # later VACUUM could never find them to clean)
+        for d in created:
+            tname = os.path.basename(os.path.dirname(d))
+            if tname in self.catalog["tables"] and self._stats_of(
+                tname
+            ).pop(os.path.basename(d), None) is not None:
+                self._stats_dirty.add(tname)
         self._save_catalog()
         for d in created:
             shutil.rmtree(d, ignore_errors=True)
@@ -1494,6 +1608,15 @@ class AnalyticsEngine:
                 shutil.rmtree(full, ignore_errors=True)
                 if self._stats_of(name).pop(d, None) is not None:
                     self._stats_dirty.add(name)
+        # also drop sidecar entries whose dirs are ALREADY gone (e.g.
+        # recovered crashes that rmtree'd before any stats cleanup) —
+        # VACUUM is the designated sweeper for all stats debris
+        for d in list(self._stats_of(name)):
+            if d not in referenced and not os.path.isdir(
+                os.path.join(base, d)
+            ):
+                self._stats_of(name).pop(d, None)
+                self._stats_dirty.add(name)
         self._save_catalog()  # persist the stats cleanup
         return Result(effect_rows=len(history))
 
@@ -1527,8 +1650,17 @@ class AnalyticsEngine:
             from andb_spark.operators.zorder import zorder
 
             cols = [c.strip() for c in zcols.split(",") if c.strip()]
+            src = (
+                # preserve the hidden AVG state through the rewrite
+                # (see _compact_small) — it rides along unclustered
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *self._segment_paths(name)
+                )
+                if self._matview_hidden(self._meta(name))
+                else self._read_table(name)
+            )
             n = self._overwrite(
-                name, zorder(self._read_table(name), cols, num_partitions=target)
+                name, zorder(src, cols, num_partitions=target)
             )
             return Result(
                 columns=["files_before", "files_after", "rows"],
@@ -1542,13 +1674,43 @@ class AnalyticsEngine:
         # re-referenced verbatim — compaction I/O tracks the small-file
         # debt, not the table.
         n_packed, n_new = self._compact_small(name)
-        n = self._read_table(name).count()
+        # rows from driver-side metadata (manifest __rows + parquet
+        # footers) — a full-table count() scan just for display would
+        # contradict the maintenance path's O(debt) economics
+        n = self._manifest_row_count(name)
         return Result(
             columns=["files_before", "files_after", "rows"],
             types=["bigint", "bigint", "bigint"],
             rows=[(n_files_before, n_files_before - n_packed + n_new, n)],
             effect_rows=n,
         )
+
+    def _manifest_row_count(self, name: str) -> int:
+        """Current row count from driver-side metadata only: zone-map
+        ``__rows`` for full segment entries, parquet footer num_rows
+        for copy-on-write file entries. O(files), no Spark job."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        stats = self._stats_of(name)
+        for entry in self._segments_of(self._meta(name)):
+            st = stats.get(entry.split("/", 1)[0])
+            if "/" not in entry and st and "__rows" in st:
+                total += int(st["__rows"])
+                continue
+            path = os.path.join(self.warehouse, name, entry)
+            files = (
+                [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                total += pq.ParquetFile(f).metadata.num_rows
+        return total
 
     def _compact_small(
         self, name: str, small: set[str] | None = None
@@ -1572,10 +1734,31 @@ class AnalyticsEngine:
         keep, affected = self._partition_entries(name, small)
         small_bytes = sum(os.path.getsize(f) for f in affected)
         target = max(1, -(-small_bytes // self.OPTIMIZE_FILE_BYTES))
-        packed = self._read_files(name, affected).coalesce(target)
+        if self._matview_hidden(self._meta(name)):
+            # An AVG matview stores hidden state OUTSIDE its declared
+            # schema; a declared-schema rewrite would strip it from the
+            # packed files while untouched files keep it — a mixed
+            # manifest whose NULL state silently corrupts the next
+            # incremental merge. Pack with the files' own full schema.
+            packed = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*affected)
+                .coalesce(target)
+            )
+        else:
+            packed = self._read_files(name, affected).coalesce(target)
         self._stage_version(name, packed, base=keep)
         self._commit_staged(name)
         return (len(affected), target)
+
+    def _matview_hidden(self, meta: dict) -> list[str]:
+        """Hidden AVG-state column names of a materialized view's plan
+        ([] for non-matviews and non-self-maintainable views)."""
+        sql = meta.get("matview_sql")
+        if not sql:
+            return []
+        plan = _matview_plan(sql)
+        return plan["hidden"] if plan else []
 
     def _maybe_auto_compact(self, name: str) -> None:
         """LSM-style amortized maintenance for append-heavy tables:
@@ -2229,13 +2412,19 @@ class AnalyticsEngine:
         if plan["hidden"]:
             # AVG state lives in hidden columns the declared schema
             # hides from SELECTs — the merge must read the raw files.
+            # EVERY file must carry the state: with a mixed manifest
+            # (one rewritten file missing it), schema inference from a
+            # complete file would surface NULL state for the stripped
+            # rows and F.sum would silently drop them from the merge.
+            # Per-file footer check = driver-side metadata over a
+            # rollup-sized view; any gap falls back to the full path,
+            # which recomputes and restores the state.
             partial = _derive_visible(partial, plan)
-            state = self.spark.read.parquet(*self._segment_paths(name))
-            if not set(plan["hidden"]) <= set(state.columns):
-                # a declared-schema rewrite of the view itself
-                # (OPTIMIZE [ZORDER]) stripped the hidden state — the
-                # full path below recomputes and restores it
+            if not _files_have_columns(
+                self._data_files(name), plan["hidden"]
+            ):
                 return None
+            state = self.spark.read.parquet(*self._segment_paths(name))
         else:
             state = self._read_table(name)
         merged = (
@@ -2345,10 +2534,17 @@ class AnalyticsEngine:
             if mv_meta.get("matview_base") == name:
                 mv_meta.pop("matview_seen", None)
         if add_col:
-            if any(c["name"] == add_col for c in cols):
+            # Case-INSENSITIVE checks throughout: Spark resolves parquet
+            # fields case-insensitively, so `ADD COLUMN secret` next to
+            # a dropped `Secret` would resurrect the dropped data (and
+            # `ADD COLUMN ID` next to `id` would create a duplicate the
+            # reader can't disambiguate).
+            if any(c["name"].lower() == add_col.lower() for c in cols):
                 raise EngineError(f"column {add_col} already exists in {name}")
             dt, _ = _parse_type(add_type)
-            if add_col in meta.get("dropped_columns", []):
+            if add_col.lower() in (
+                d.lower() for d in meta.get("dropped_columns", [])
+            ):
                 # Resurrection hazard: files written before the DROP
                 # still physically hold values under this name, and a
                 # schema-driven read would surface them as the "new"
@@ -2385,23 +2581,30 @@ class AnalyticsEngine:
             self._view(name)
             return Result()
         if drop_col:
-            if not any(c["name"] == drop_col for c in cols):
+            hit = next(
+                (c for c in cols if c["name"].lower() == drop_col.lower()),
+                None,
+            )
+            if hit is None:
                 raise EngineError(f"column {drop_col} not in {name}")
             # Metadata-only: the declared schema stops materializing
             # the column (projection pushdown never reads its pages);
-            # record the name so a future re-ADD knows to scrub.
-            meta["columns"] = [c for c in cols if c["name"] != drop_col]
-            meta.setdefault("dropped_columns", []).append(drop_col)
+            # record the DECLARED name so a future re-ADD (any case)
+            # knows to scrub.
+            meta["columns"] = [c for c in cols if c is not hit]
+            meta.setdefault("dropped_columns", []).append(hit["name"])
             self._save_catalog()
             self._view(name)
             return Result()
         # RENAME rewrites: parquet resolves columns by name, so the
         # files must change (and the rewrite clears any dropped-column
         # residue as a side effect — see _advance_pointer).
-        target = next((c for c in cols if c["name"] == ren_from), None)
+        target = next(
+            (c for c in cols if c["name"].lower() == ren_from.lower()), None
+        )
         if target is None:
             raise EngineError(f"column {ren_from} not in {name}")
-        if any(c["name"] == ren_to for c in cols):
+        if any(c["name"].lower() == ren_to.lower() for c in cols):
             raise EngineError(f"column {ren_to} already exists in {name}")
         df = self._read_table(name).withColumnRenamed(ren_from, ren_to)
         target["name"] = ren_to
@@ -2844,8 +3047,15 @@ class AnalyticsEngine:
                     )
                 )
         n_inserted = 0
+        anti = None
         if insert_vals is not None:
             anti = s.join(t, jcond, "left_anti")  # vs the FULL target
+            # persist before counting: the count AND the staged write
+            # then consume ONE evaluation — without it a
+            # nondeterministic source view could insert rows the count
+            # never saw (and every insert-bearing MERGE paid a second
+            # scan+join purely for effect_rows)
+            anti = anti.persist()
             n_inserted = anti.count()
             ins = anti.select(
                 *[F.expr(v).alias(c) for c, v in zip(insert_cols, insert_vals)]
@@ -2867,7 +3077,11 @@ class AnalyticsEngine:
         for p in parts[1:]:
             out = out.unionByName(p)
         out = self._enforce_constraints(target, out)
-        self._stage_version(target, out, base=keep)
+        try:
+            self._stage_version(target, out, base=keep)
+        finally:
+            if anti is not None:
+                anti.unpersist()
         self._commit_staged(target)
         self._maybe_auto_refresh(target)  # upsert mutated the base
         return Result(effect_rows=n_matched + n_inserted)
@@ -2961,7 +3175,26 @@ class AnalyticsEngine:
             return entries
         seg_stats = self._stats_of(name)
 
-        def stat_disjoint(pair, lo, hi) -> bool:
+        def stat_disjoint(st, col, lo, hi) -> bool:
+            pair = st.get(col)
+            if pair is None or col.startswith("__"):
+                return False
+            if isinstance(lo, str) or isinstance(hi, str):
+                # String-domain bound: sound only when the stats say
+                # which domain the COLUMN is. Legacy stats (no "__v")
+                # cannot — never prune on them. For date columns the
+                # literal canonicalizes to zero-padded ISO ('1995-6-1'
+                # → '1995-06-01'); a non-date literal against a date
+                # column never prunes.
+                if st.get("__v", 1) < 2:
+                    return False
+                if col in st.get("__date", ()):
+                    if isinstance(lo, str):
+                        lo = _canon_date(lo)
+                    if isinstance(hi, str):
+                        hi = _canon_date(hi)
+                    if lo is None or hi is None:
+                        return False
             try:
                 return pair[1] < lo or pair[0] > hi
             except TypeError:
@@ -2976,8 +3209,7 @@ class AnalyticsEngine:
             # column interval of that disjunct misses the segment)
             disjoint = st.get("__rows") == 0 or all(
                 any(
-                    st.get(col) is not None
-                    and stat_disjoint(st[col], lo, hi)
+                    stat_disjoint(st, col, lo, hi)
                     for col, (lo, hi) in m.items()
                 )
                 for m in dnf
@@ -3175,14 +3407,19 @@ class AnalyticsEngine:
         for assign in _split_top_level(setlist):
             col, _, val = assign.partition("=")
             col = col.strip()
+            # case-insensitive, matching INSERT/MERGE column resolution
             target = next(
-                (f for f in schema.fields if f.name == col), None
+                (
+                    f for f in schema.fields
+                    if f.name.lower() == col.lower()
+                ),
+                None,
             )
             if target is None:
                 raise EngineError(f"column {col} not in {name}")
-            assigned[col] = F.when(
+            assigned[target.name] = F.when(
                 condition, F.expr(val.strip()).cast(target.dataType)
-            ).otherwise(F.col(col))
+            ).otherwise(F.col(target.name))
         df = df.select(
             *[
                 assigned.get(f.name, F.col(f.name)).alias(f.name)

@@ -980,3 +980,54 @@ def test_zone_maps_dnf_or_and_exact_in(engine):
     assert len(
         engine._zone_scan_entries("zo", f"k in ({many})")
     ) == len(segs)
+
+
+def test_zone_maps_canonicalize_noncanonical_date_literals(engine):
+    """Spark casts '1995-6-1' to a date, but lexicographic pruning
+    against ISO stats would mis-order it ('0' < '6' at position 5) and
+    wrongly skip a matching segment. The stats' date-column marker
+    canonicalizes such literals — and refuses to canonicalize literals
+    aimed at TRUE string columns, where '1995-6-1' must compare raw."""
+    e = engine.execute
+    e("create table zdt (d date, s text, v int)")
+    e(
+        "insert into zdt select date_add(date '1995-06-01',"
+        " cast(id as int)), concat('1995-6-', cast(1 + id as int)),"
+        " cast(id as int) from range(0, 28)"
+    )  # d: Jun 1..28; s: literal strings '1995-6-1'..'1995-6-28'
+    e(
+        "insert into zdt select date_add(date '1995-09-01',"
+        " cast(id as int)), concat('x', cast(id as int)),"
+        " cast(id as int) from range(0, 28)"
+    )  # d: Sep 1..28
+    segs = engine._segments_of(engine._meta("zdt"))
+    st = engine._stats_of("zdt")
+    assert st[segs[1]].get("__date") == ["d"]
+
+    # non-canonical date literal: the June segment MUST scan
+    scan = engine._zone_scan_entries("zdt", "d = '1995-6-1'")
+    assert segs[1] in scan and segs[2] not in scan
+    r = e("select count(1) as n from zdt where d = '1995-6-1'")
+    assert r.rows == [(1,)]
+    # explicit date keyword form too
+    scan = engine._zone_scan_entries("zdt", "d >= date '1995-9-2'")
+    assert segs[2] in scan and segs[1] not in scan
+    # invalid date against a date column: never prunes (cast -> null)
+    assert len(engine._zone_scan_entries("zdt", "d = '1995-13-99'")) >= 2
+    # the SAME literal against a true STRING column compares RAW:
+    # the June segment holds the literal string '1995-6-1'
+    scan = engine._zone_scan_entries("zdt", "s = '1995-6-1'")
+    assert segs[1] in scan
+    assert e("select count(1) as n from zdt where s = '1995-6-1'").rows == [
+        (1,)
+    ]
+
+    # legacy stats (no __v marker) never prune on string-domain bounds
+    for seg in (segs[1], segs[2]):
+        engine._stats_of("zdt")[seg].pop("__v", None)
+        engine._stats_of("zdt")[seg].pop("__date", None)
+    scan = engine._zone_scan_entries("zdt", "d = '1995-06-01'")
+    assert segs[1] in scan and segs[2] in scan  # nothing string-pruned
+    # numeric pruning on legacy stats still works
+    scan = engine._zone_scan_entries("zdt", "v > 1000")
+    assert segs[1] not in scan and segs[2] not in scan

@@ -483,14 +483,15 @@ def test_autorefresh_tracks_cow_dml_and_overwrites(engine):
     assert _mv_rows(e) == _full_rows(e) == []
 
 
-def test_optimize_on_avg_view_forces_one_full_refresh_then_recovers(
+def test_optimize_preserves_avg_state_and_stripped_state_falls_back(
     engine,
 ):
-    """OPTIMIZE rewrites the view's parquet with the DECLARED schema,
-    stripping the hidden AVG state pair. The next incremental attempt
-    must detect the missing columns and fall back to the full path
-    (which restores the state), not crash — and the refresh after that
-    goes incremental again."""
+    """OPTIMIZE [ZORDER] of an AVG view must PRESERVE the hidden state
+    pair (it reads the files' own schema, not the declared one), so
+    refresh stays incremental. And if the state ever IS stripped (a
+    declared-schema rewrite forced through engine internals here), the
+    per-file guard must route the next refresh to the full path —
+    never a silent NULL-state merge — and the one after recovers."""
     e = engine.execute
     e("create table base (g int, v int)")
     e("insert into base values (1, 1), (1, 3), (2, 8)")
@@ -498,18 +499,34 @@ def test_optimize_on_avg_view_forces_one_full_refresh_then_recovers(
         "create materialized view mv as"
         " select g, avg(v) as mean from base group by g"
     )
-    e("optimize mv zorder by (g)")  # declared-schema FULL rewrite:
-    # the hidden state pair is gone from storage after this
+    e("optimize mv zorder by (g)")  # full rewrite, hidden state rides
+    import pyarrow.parquet as pq
+
+    assert all(
+        "__mv_s__mean" in pq.ParquetFile(p).schema_arrow.names
+        for p in engine._data_files("mv")
+    )
     e("insert into base values (1, 5)")
-    e("refresh materialized view mv")
-    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
-    assert _mv_rows(e) == [(1, 3.0), (2, 8.0)]
-    e("insert into base values (2, 2)")
     e("refresh materialized view mv")
     assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
         "incremental"
     )
+    assert _mv_rows(e) == [(1, 3.0), (2, 8.0)]
+
+    # force-strip the state (declared-schema rewrite through internals
+    # — the exact shape the review's corruption scenario needs)
+    engine._stage_version("mv", engine._read_table("mv"))
+    engine._commit_staged("mv")
+    e("insert into base values (2, 2)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == "full"
     assert _mv_rows(e) == [(1, 3.0), (2, 5.0)]
+    e("insert into base values (1, 11)")
+    e("refresh materialized view mv")
+    assert engine.catalog["tables"]["mv"]["matview_last_refresh"] == (
+        "incremental"
+    )
+    assert _mv_rows(e) == [(1, 5.0), (2, 5.0)]
 
 
 def test_column_named_like_base_table_falls_back_to_full(engine):

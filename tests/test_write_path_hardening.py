@@ -292,3 +292,39 @@ def test_merge_duplicate_source_keys_raise_without_mutation(engine):
         " when matched then update set v = 1"
     )  # k=10 matches only source k=3; the duplicate k=1 rows miss
     assert e("select * from mm3 order by k").rows == [(2, 0), (10, 1)]
+
+
+def test_alter_case_insensitive_resurrection_guard(engine):
+    """`ADD COLUMN secret` after `DROP COLUMN Secret` must take the
+    scrub path (Spark resolves parquet fields case-insensitively — a
+    metadata-only re-ADD would resurrect the dropped values), and
+    case-variant duplicates are rejected."""
+    e = engine.execute
+    e("create table cs (id int, Secret int)")
+    e("insert into cs values (1, 777)")
+    e("alter table cs drop column secret")  # case-variant drop works
+    with pytest.raises(EngineError, match="already exists"):
+        e("alter table cs add column ID int")
+    e("alter table cs add column secret int")
+    # scrubbed: the old 777 must NOT resurface under the new column
+    assert e("select id, secret from cs").rows == [(1, None)]
+
+
+def test_update_set_resolves_columns_case_insensitively(engine):
+    e = engine.execute
+    e("create table uc (price int)")
+    e("insert into uc values (1)")
+    e("update uc set Price = 5")
+    assert e("select price from uc").rows == [(5,)]
+
+
+def test_desc_shorthand_and_duplicate_insert_columns(engine):
+    e = engine.execute
+    e("create table dd (a int, b text)")
+    e("insert into dd values (1, 'x')")
+    assert e("desc dd").rows  # bare shorthand
+    assert e("desc extended dd").rows  # multi-word falls through
+    # duplicated column list: error (Spark's ambiguity), never two rows
+    with pytest.raises(EngineError):
+        e("insert into dd (a, a) values (1, 2)")
+    assert e("select count(1) as n from dd").rows == [(1,)]
