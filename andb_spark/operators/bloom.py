@@ -131,9 +131,14 @@ def with_might_contain(
 
     The probe positions are computed JVM-side; only the final bit test
     crosses into Python, as an Arrow-batched pandas UDF over the
-    broadcast bitset (one copy per executor, not per task)."""
+    broadcast bitset (one copy per executor, not per task). The
+    broadcast registers with the shared cache registry so
+    ``release_caches()`` frees it — a loop probing a 1e9-bit filter
+    (~120 MB) would otherwise leak one immortal copy per call."""
+    from andb_spark.caching import track_broadcast
+
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(bloom.bitset)
+    bc = track_broadcast(sc.broadcast(bloom.bitset))
 
     @F.pandas_udf("boolean")
     def _check(pos_lists: pd.Series) -> pd.Series:

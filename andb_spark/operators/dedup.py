@@ -28,35 +28,15 @@ from pyspark.sql import functions as F
 
 from andb_spark.functions.text import tokens
 
-# Lazily-persisted intermediates created by the opt-in ``materialize`` /
-# ``checkpoint_shingles`` regimes below. The builders compose lazy
-# DataFrames, so they CANNOT unpersist before the caller's action — the
-# caller owns the cache lifetime. Long-lived sessions (bench loops, the
-# compare gate, a REPL) call ``release_caches()`` after consuming a
-# query's result; without it, corpus-sized cached blocks accumulate in
-# executor storage until LRU eviction.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    """persist() a DataFrame and register it for ``release_caches``."""
-    df = df.persist()
-    _LIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every cache created by dedup builders since the last
-    release. Returns the number of handles released. Idempotent."""
-    n = 0
-    for df in _LIVE_CACHES:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _LIVE_CACHES.clear()
-    return n
+# The shared session-level cache registry lives in andb_spark.caching
+# (dedup, sampling, bloom and the workloads all register there). These
+# aliases keep the long-standing import sites working: bench.py,
+# tools/compare.py and several workloads call
+# ``dedup.release_caches()`` / ``dedup._persist_tracked``.
+from andb_spark.caching import (  # noqa: F401  (re-export)
+    persist_tracked as _persist_tracked,
+    release_caches,
+)
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -257,27 +237,43 @@ def jaccard_verify(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
+    return _score_jaccard(inter, sizes, threshold)
+
+
+def _score_jaccard(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of every exact-Jaccard scorer: join per-side sizes
+    onto (id_a, id_b, n_inter) counts, derive round(|∩|/|∪|, 6), and
+    threshold-filter. ONE copy of the rounding convention the DuckDB
+    oracles restate — jaccard_verify and ngram_jaccard_pairs must
+    never drift apart on it."""
+    return (
         inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a")),
+            sizes.select(
+                F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a")
+            ),
             "id_a",
         )
         .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b")),
+            sizes.select(
+                F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b")
+            ),
             "id_b",
         )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ).cast("double"),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_lsh_pairs(
@@ -479,10 +475,25 @@ def repeated_passages(
     the first occurrence is the min of a zero-padded sortable
     ``doc:idx`` string, a total order both engines agree on."""
     c = passage_chunks(df, text_col, id_col, k)
-    # %020d covers the full bigint range (19 digits + sign headroom):
-    # multimodal ingest derives doc_ids up to ~9.2e18 from path hashes,
-    # which a 12-digit pad would order lexicographically wrong
-    key = F.format_string("%020d:%09d", F.col(id_col), F.col("chunk_idx"))
+    # Bias ids by 2^63 (decimal math: bigint would overflow) before
+    # zero-padding: a plain %020d mis-orders NEGATIVE ids ('-…05' sorts
+    # before '-…10' lexicographically, inverting their numeric order),
+    # silently reporting the wrong first occurrence for any caller with
+    # signed-hash ids. Biased, every id is a non-negative 20-digit
+    # string whose lexicographic order IS numeric order over the full
+    # bigint range (multimodal ingest derives doc_ids up to ~9.2e18).
+    key = F.concat(
+        F.lpad(
+            (
+                F.col(id_col).cast("decimal(20,0)")
+                + F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+            ).cast("string"),
+            20,
+            "0",
+        ),
+        F.lit(":"),
+        F.format_string("%09d", F.col("chunk_idx")),
+    )
     agg = (
         c.groupBy("chunk_hash")
         .agg(
@@ -496,7 +507,11 @@ def repeated_passages(
         "chunk_hash",
         "n_docs",
         "n_occurrences",
-        F.split("_first", ":")[0].cast("bigint").alias("first_doc"),
+        # un-bias: the packed key added 2^63 for sortability
+        (
+            F.split("_first", ":")[0].cast("decimal(20,0)")
+            - F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+        ).cast("bigint").alias("first_doc"),
         F.split("_first", ":")[1].cast("int").alias("first_idx"),
     )
 
@@ -567,26 +582,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
-        pairs.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("n_shingles").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("_id").alias("id_b"), F.col("n_shingles").alias("n_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _score_jaccard(pairs, sizes, threshold)
 
 
 def connected_components(
@@ -742,8 +738,20 @@ def simhash_pairs(
     — which is why corpus pipelines keep both: SimHash for cheap
     near-exact dedup, MinHash for tunable Jaccard thresholds."""
     assert bits % 4 == 0
-    sh = simhash(df, text_col, id_col, bits)
     n_bands = bits // 4
+    if max_hamming >= n_bands:
+        # Pigeonhole recall guarantee: B 4-bit bands catch every pair
+        # within Hamming distance B-1 (the differing bits cannot touch
+        # all bands). With max_hamming >= B the banding would SILENTLY
+        # miss qualifying pairs (e.g. bits=8 → 2 bands misses
+        # hamming=2 pairs that differ once per band) — the loud guard
+        # mirrors lsh_bands' contract for MinHash.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"the pigeonhole guarantee; bits={bits} gives only {n_bands}"
+            f" — raise bits to at least {4 * (max_hamming + 1)}"
+        )
+    sh = simhash(df, text_col, id_col, bits)
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

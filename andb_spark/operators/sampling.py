@@ -103,9 +103,9 @@ def prefix_sum(
     # output join); the persist pins ONE set of range boundaries across
     # both — see the ``pin`` note above.
     if pin:
-        from andb_spark.operators.dedup import _persist_tracked
+        from andb_spark.caching import persist_tracked
 
-        staged = _persist_tracked(staged)
+        staged = persist_tracked(staged)
     totals = staged.groupBy("_pid").agg(F.sum(w).alias("_psum"))
     # Prefix offsets: window over the per-partition subtotal table —
     # `partitions` rows, so the unavoidable single-partition window is

@@ -54,6 +54,33 @@ def cosine_topk(
 EXACT_PAIRS_ROW_CAP = 20_000
 
 
+def _score_cosine_pairs(joined: DataFrame, threshold: float) -> DataFrame:
+    """Shared tail of both near-dup scorers: given (id_a, va, na,
+    id_b, vb, nb) candidate rows, keep ordered pairs with
+    round(cos, 6) >= threshold. ONE copy of the similarity convention
+    (rounding digits, NaN policy) for exact and bucketed plans.
+
+    try_divide: 0/0 double division yields NaN, and Spark orders NaN
+    ABOVE every number — a zero-norm vector would pass `>= threshold`
+    as a spurious near-dup of everything. NULL instead, which the
+    threshold filter drops."""
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def pairwise_near_dup(
     embeddings: DataFrame,
     threshold: float,
@@ -88,26 +115,7 @@ def pairwise_near_dup(
         F.col(vec_col).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            # try_divide: 0/0 double division yields NaN, and Spark
-            # orders NaN ABOVE every number — a zero-norm vector would
-            # pass `>= threshold` as a spurious near-dup of everything.
-            # NULL instead, which the threshold filter drops.
-            F.round(
-                F.try_divide(
-                    dot(F.col("va"), F.col("vb")),
-                    F.col("na") * F.col("nb"),
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _score_cosine_pairs(a.crossJoin(b), threshold)
 
 
 def ivf_assign(
@@ -258,26 +266,7 @@ def bucketed_near_dup(
         F.col(vec_col).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
-    return (
-        a.join(b, centroid_id_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            # try_divide: 0/0 double division yields NaN, and Spark
-            # orders NaN ABOVE every number — a zero-norm vector would
-            # pass `>= threshold` as a spurious near-dup of everything.
-            # NULL instead, which the threshold filter drops.
-            F.round(
-                F.try_divide(
-                    dot(F.col("va"), F.col("vb")),
-                    F.col("na") * F.col("nb"),
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _score_cosine_pairs(a.join(b, centroid_id_col), threshold)
 
 
 def near_dup_pairs(
@@ -314,6 +303,11 @@ def near_dup_pairs(
             # in-cluster blowup). A real count is one metadata-only job
             # on parquet (footer row counts, no data read).
             rows = embeddings.count()
+    elif mode == "bucketed" and rows is None and n_centroids is None:
+        # explicit bucketed mode without stats or an explicit k needs
+        # the same real count — falling back to sqrt(cap) centroids
+        # would re-create the quadratic in-cluster blowup above
+        rows = embeddings.count()
     if mode == "exact" or (mode == "auto" and rows <= exact_row_cap):
         return (
             pairwise_near_dup(
@@ -355,9 +349,15 @@ def sign_bucket(vec: Column | str, bits: int = 4) -> Column:
     by this column so a probe reads only the matching buckets
     (layout-as-index, the same design as SCALE.md §3.1)."""
     v = F.col(vec) if isinstance(vec, str) else vec
+    # try_element_at, not element_at: the vector type is variable-
+    # length (reference catalog/type.py:237-280), and under ANSI a
+    # corpus vector shorter than ``bits`` would abort the whole query
+    # instead of degrading that row to the '0' branch
     return F.concat(
         *[
-            F.when(F.element_at(v, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(
+                F.try_element_at(v, F.lit(i)) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
             for i in range(1, bits + 1)
         ]
     )

@@ -57,8 +57,18 @@ def zvalue(
             num_exprs[f_.name] = F.unix_timestamp(F.col(f_.name)).cast(
                 "double"
             )
+        elif t in ("float", "double"):
+            # NaN would poison the max aggregate (Spark sorts NaN
+            # greatest), making span NaN and every scaled value NaN —
+            # whose bigint cast aborts the rewrite under ANSI. Map NaN
+            # to NULL: the row clusters into the null bucket instead
+            # (clustering quality only, never a failed job).
+            num_exprs[f_.name] = F.nanvl(
+                F.col(f_.name).cast("double"),
+                F.lit(None).cast("double"),
+            )
         elif t in (
-            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "tinyint", "smallint", "int", "bigint",
         ) or t.startswith("decimal"):
             num_exprs[f_.name] = F.col(f_.name).cast("double")
         else:

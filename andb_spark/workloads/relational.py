@@ -800,7 +800,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted (shared cache registry): the three crossJoined count
     branches would otherwise re-evaluate s1 three times and s2 twice —
     ~6 corpus scans for three scalar counts."""
-    from andb_spark.operators.dedup import _persist_tracked
+    from andb_spark.caching import persist_tracked as _persist_tracked
 
     ev = _t(spark, sf_dir, "events")
     s1 = _persist_tracked(
