@@ -158,20 +158,10 @@ def read_binary_files(
     df = reader.load(path)
     from pyspark.sql import functions as F
 
-    name_digits = F.regexp_extract(
-        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)", 1
-    )
-    # ANSI-safe: try_cast so a digit run too long for bigint (20-digit
-    # timestamp names) falls through to the hash instead of raising;
-    # pmod (not abs) because abs(Long.MIN_VALUE) raises in ANSI mode.
-    path_hash = F.pmod(F.xxhash64(F.col("path")), F.lit(1 << 62))
     doc_id = (
-        F.coalesce(
-            F.when(name_digits != "", name_digits.try_cast("bigint")),
-            path_hash,
-        )
+        doc_id_from_path(F.col("path"))
         if id_from_name
-        else path_hash
+        else F.pmod(F.xxhash64(F.col("path")), F.lit(1 << 62))
     )
     return df.select(
         doc_id.alias("doc_id"),
@@ -179,4 +169,24 @@ def read_binary_files(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("mod_time"),
         F.col("content").alias("payload"),
+    )
+
+
+def doc_id_from_path(path_col):
+    """Deterministic doc_id for a file path: the first digit run of the
+    file name when it fits a bigint, else pmod(xxhash64(path), 2^62).
+    ONE copy shared by the batch binary reader and the streaming
+    multimodal ingest — the two paths MUST derive identical ids for
+    the same file or cross-path dedup on doc_id silently breaks.
+    ANSI-safe: try_cast (a 20-digit timestamp name falls through to
+    the hash instead of raising) and pmod, not abs (abs(Long.MIN_VALUE)
+    raises under ANSI)."""
+    from pyspark.sql import functions as F
+
+    name_digits = F.regexp_extract(
+        F.element_at(F.split(path_col, "/"), -1), r"(\d+)", 1
+    )
+    return F.coalesce(
+        F.when(name_digits != "", name_digits.try_cast("bigint")),
+        F.pmod(F.xxhash64(path_col), F.lit(1 << 62)),
     )

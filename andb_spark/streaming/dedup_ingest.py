@@ -111,7 +111,10 @@ def run_foreach_batch(
 
 def _cast_to(df: DataFrame, like: DataFrame) -> DataFrame:
     """Project + cast ``df`` to ``like``'s exact schema — the append
-    path's replacement for the type check a unionByName used to do."""
+    path's replacement for the type check a unionByName used to do.
+    Loudness depends on ANSI mode (the Spark 4 default, asserted by
+    the engine's test suite): a drifted source type fails the cast
+    with CAST_INVALID_INPUT instead of landing NULLs."""
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name)
           for f in like.schema.fields]
@@ -147,19 +150,22 @@ def _survivors_of_batch(
         .withColumn("text_hash", F.md5(F.col(text_col)))
     )
 
-    # 1. in-batch exact dedup: min id per content hash.
-    keep = hashed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
-    batch_u = hashed.join(keep, [id_col, "text_hash"], "left_semi")
+    # 1. HISTORY screens first — id, then stored hash. The id screen
+    # ("first write per doc_id wins": a re-delivered id with edited
+    # text must not append a second row, which would merge two texts'
+    # shingles in later verifications) must run BEFORE the in-batch
+    # min-id selection: a novel text delivered under both a taken id
+    # and a fresh id must survive via the fresh id — selecting min-id
+    # first would crown the taken id as the hash's only candidate and
+    # then discard it, silently losing the text (r4 review finding).
+    batch_u = hashed.join(
+        clean_df.select(id_col), id_col, "left_anti"
+    ).join(clean_df.select("text_hash"), "text_hash", "left_anti")
 
-    # 2. exact screen vs history (stored hashes — no history text
-    # read), plus an ID screen: doc_id is document identity, so a
-    # re-delivered id with EDITED text must not append a second row
-    # under the same id ("first write per doc_id wins", like the
-    # multimodal sink) — a duplicate id in clean would merge two texts'
-    # shingles in every later verification involving it.
-    batch_u = batch_u.join(
-        clean_df.select("text_hash"), "text_hash", "left_anti"
-    ).join(clean_df.select(id_col), id_col, "left_anti")
+    # 2. in-batch exact dedup among the remaining candidates: min id
+    # per content hash.
+    keep = batch_u.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    batch_u = batch_u.join(keep, [id_col, "text_hash"], "left_semi")
 
     # 3. near-dup screen vs history via the maintained band table.
     near_hist = DD.incremental_minhash_pairs(
@@ -303,8 +309,22 @@ def stream_ivf_ingest(
         if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
         current = engine._read_table(assign_table)
+        # Within-batch first-write-wins (mirrors the dedup/multimodal
+        # sinks): at-least-once delivery can put the same vec_id with
+        # DRIFTED embeddings in one trigger, and ivf_assign's
+        # per-id max would blend both vectors' scores into an
+        # assignment corresponding to no single delivered vector.
+        # Deterministic pick: min vector (arrays order lexicographically).
+        from pyspark.sql import Window
+
+        one_per_id = Window.partitionBy(id_col).orderBy(F.col(vec_col))
+        batch_one = (
+            batch_df.withColumn("_rn", F.row_number().over(one_per_id))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         assigned = _cast_to(
-            ivf_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+            ivf_assign(batch_one, centroids, id_col=id_col, vec_col=vec_col)
             .join(current.select(id_col), id_col, "left_anti"),
             current,
         )
@@ -358,22 +378,13 @@ def stream_multimodal_ingest(
         meta = engine.catalog["tables"][meta_table]
         if _already_applied(meta, checkpoint_dir, batch_id):
             return  # checkpoint replay — already applied
-        from pyspark.sql import functions as SF
+        from andb_spark.sources import doc_id_from_path
 
-        name_digits = SF.regexp_extract(
-            SF.element_at(SF.split(SF.col("path"), "/"), -1), r"(\d+)", 1
-        )
-        # ANSI-safe id derivation: try_cast (a 20-digit timestamp name
-        # must fall through to the hash, not throw and kill the query)
-        # and pmod instead of abs (abs(Long.MIN_VALUE) raises in ANSI).
         binary_df = batch_df.select(
-            SF.coalesce(
-                SF.when(name_digits != "", name_digits.try_cast("bigint")),
-                SF.pmod(SF.xxhash64(SF.col("path")), SF.lit(1 << 62)),
-            ).alias("doc_id"),
-            SF.col("length").alias("n_bytes"),
-            SF.col("content").alias("payload"),
-            SF.col("path"),
+            doc_id_from_path(F.col("path")).alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.col("content").alias("payload"),
+            F.col("path"),
         )
         # Two files in the SAME batch can extract the same doc_id
         # (img_001.bmp vs thumb_001.bmp): dedupe within the batch
@@ -383,15 +394,20 @@ def stream_multimodal_ingest(
 
         one_per_id = Window.partitionBy("doc_id").orderBy("path")
         binary_df = (
-            binary_df.withColumn("_rn", SF.row_number().over(one_per_id))
-            .filter(SF.col("_rn") == 1)
+            binary_df.withColumn("_rn", F.row_number().over(one_per_id))
+            .filter(F.col("_rn") == 1)
             .drop("_rn", "path")
         )
-        decoded = extract_image_meta(binary_df, fake=fake_decode)
+        # Anti-join BEFORE the decode stage: Spark cannot push the
+        # join below mapInPandas, so decoding first would run the real
+        # codec on every re-delivered file only to discard the row —
+        # per-batch decode work must track genuinely-NEW files.
         current = engine._read_table(meta_table)
+        binary_df = binary_df.join(
+            current.select("doc_id"), "doc_id", "left_anti"
+        )
         fresh = _cast_to(
-            decoded.join(current.select("doc_id"), "doc_id", "left_anti"),
-            current,
+            extract_image_meta(binary_df, fake=fake_decode), current
         )
         # Append-only commit: decode output for genuinely-new files is
         # the only write; prior batches' metadata is re-referenced.

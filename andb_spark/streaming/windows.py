@@ -89,15 +89,26 @@ def stream_source(
     Streaming's unified batch/stream API."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    # The file-stream source wants a directory; point it at the parent
-    # with a glob filter selecting just the events file.
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", file_name)
-        .load(base_dir)
-    )
+    if os.path.isdir(events_path):
+        # directory-style parquet dataset: stream the directory itself.
+        # (A pathGlobFilter built from the DIRECTORY name would match
+        # no leaf part-file and silently produce an EMPTY stream.)
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(events_path)
+        )
+    else:
+        # single-file fixture: the file-stream source wants a
+        # directory, so point it at the parent with a glob filter
+        # selecting just the events file.
+        base_dir, file_name = os.path.split(events_path)
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", file_name)
+            .load(base_dir)
+        )
     # The fixture stores ts as raw nanos (see catalog.load_table) —
     # integer-divide to micros before watermarking.
     if isinstance(schema["ts"].dataType, T.LongType):

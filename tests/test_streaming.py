@@ -330,3 +330,45 @@ def test_stream_mark_is_keyed_on_checkpoint_identity():
     assert _already_applied({"last_stream_batch": 5}, "/tmp/x", 3)
     assert not _already_applied({"last_stream_batch": 5}, "/tmp/x", 6)
     assert not _already_applied({}, "/tmp/x", 0)
+
+
+def test_dedup_ingest_novel_text_survives_taken_id_duplicate(
+    spark, tmp_path
+):
+    """r4 review finding: a novel text delivered in one batch under
+    BOTH a taken id and a fresh id must survive via the fresh id. The
+    old order picked min-id per hash first, crowned the taken id as
+    the hash's only candidate, then the id screen discarded it —
+    silently losing a first-seen document."""
+    from andb_spark.api import AnalyticsEngine
+    from andb_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    eng.execute(
+        "create table cc (doc_id bigint, text text, text_hash text)"
+    )
+    eng.execute("create table cb (doc_id bigint, band int, band_sig text)")
+    src = str(tmp_path / "src")
+    # batch 1: id 5 with some old text
+    spark.createDataFrame(
+        [(5, "completely different ancient words " * 6)],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: novel text 'a...' under taken id 5 AND fresh id 7
+    novel = "a brand new never seen before sentence " * 6
+    spark.createDataFrame(
+        [(5, novel), (7, novel)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream_dedup_ingest(
+        spark, src, eng, "cc", "cb", str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    )
+    rows = {
+        (r["doc_id"], r["text"])
+        for r in eng._read_table("cc").collect()
+    }
+    ids = {i for i, _ in rows}
+    assert 5 in ids          # first write for id 5 kept
+    assert 7 in ids, rows    # the novel text survived via the fresh id
+    assert (5, novel) not in rows  # id 5's text was NOT overwritten
