@@ -439,7 +439,7 @@ def passage_chunks(
     df: DataFrame, text_col: str, id_col: str, k: int = 16
 ) -> DataFrame:
     """Non-overlapping k-token passages of every document:
-    (id, chunk_idx, chunk_text, chunk_hash). The unit of passage-level
+    (id, chunk_idx, n_tokens, chunk_text, chunk_hash). The unit of passage-level
     dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better" — exact substring dedup at passage granularity):
     exact-dup screening below document scope catches boilerplate and
@@ -458,9 +458,13 @@ def passage_chunks(
         .select(
             id_col,
             F.col("_i").cast("int").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(F.col("_w"), F.col("_i") * k + 1, k)
-            ).alias("chunk_text"),
+            F.slice(F.col("_w"), F.col("_i") * k + 1, k).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
         )
         .withColumn("chunk_hash", F.md5(F.col("chunk_text")))
     )

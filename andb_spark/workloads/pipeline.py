@@ -583,30 +583,16 @@ def t_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     not engine-side array representations. Empty documents produce zero
     chunks (the sequence is guarded: Spark's sequence(0, -1) would count
     DOWN, not produce an empty array)."""
+    # ONE copy of the chunk-identity convention (slice bounds,
+    # empty-doc guard, md5-over-joined-slice hash): the same
+    # passage_chunks machinery that d_repeated_passages /
+    # d_passage_scrub and their oracles depend on.
     d = _docs(spark, sf_dir)
-    t = d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-    chunks = (
-        t.withColumn("n_chunks", F.ceil(F.size("w") / F.lit(64.0)))
-        .filter(F.col("n_chunks") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1)
-            ).alias("chunk_idx"),
-            "w",
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.slice(F.col("w"), F.col("chunk_idx") * 64 + 1, 64).alias("chunk"),
-        )
+    return (
+        DD.passage_chunks(d, "text", "doc_id", k=64)
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_hash")
+        .orderBy("doc_id", "chunk_idx")
     )
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.size("chunk").cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
-    ).orderBy("doc_id", "chunk_idx")
 
 
 def t_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,14 +658,25 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf",
-        F.col("tf")
-        * (
-            F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double"))
-            + F.lit(1.0)
-        ),
+    # corpus size as a 1-row broadcast INSIDE the plan (the bm25_scores
+    # shape) — an eager d.count() here would run a full extra Spark job
+    # at every query BUILD (bench warm-ups, plan inspection) and freeze
+    # the count into the plan as a literal
+    stats = d.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("_n") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
     )
     from pyspark.sql import Window
 
@@ -2042,7 +2039,7 @@ ORACLES = {
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS checksum,
-               lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+               lower(substring(hex(encode(text)), 1, 8)) AS head_hex
         FROM documents ORDER BY doc_id
     """,
     # Real-codec metadata: the oracle restates the container layouts

@@ -289,7 +289,11 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_avg = (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        # round(·,6) on BOTH sides before the comparison (module
+        # determinism rule): an unrounded double average could land on
+        # opposite sides of the '>' for the two engines' summation
+        # orders when a supplier balance sits within an ulp of it
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
     )
     return (
         s.join(
@@ -1528,7 +1532,7 @@ ORACLES = {
     "q_join_theta": """
         SELECT s_suppkey, s_name
         FROM supplier JOIN (
-            SELECT c_nationkey, avg(c_acctbal) AS avg_bal
+            SELECT c_nationkey, round(avg(c_acctbal), 6) AS avg_bal
             FROM customer GROUP BY c_nationkey
         ) n ON s_nationkey = c_nationkey AND s_acctbal > avg_bal
         ORDER BY s_suppkey

@@ -336,8 +336,9 @@ ORACLES = {
         FROM events v
         JOIN events p
           ON v.user_id = p.user_id
-         AND p.ts >= v.ts
-         AND p.ts <= v.ts + INTERVAL '30 minutes'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP)
+             <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
         WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         ORDER BY user_id, view_ts, purchase_ts
     """,
