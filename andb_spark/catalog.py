@@ -60,8 +60,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # retry: flipping nanosAsLong on an unrelated failure (missing
         # path, corrupt file) would permanently change how every later
         # read in the session types nano-timestamps.
+        # Anchor on ERROR CLASS substrings, never a bare "NANOS": the
+        # exception message embeds the file path, so a missing table
+        # merely NAMED "nanos_archive" would otherwise trip the flip.
         msg = str(e).upper()
-        if "PARQUET_TYPE_ILLEGAL" not in msg and "NANOS" not in msg:
+        if (
+            "PARQUET_TYPE_ILLEGAL" not in msg
+            and "ILLEGAL_PARQUET_TYPE" not in msg
+            and "TIMESTAMP(NANOS" not in msg
+        ):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -84,8 +91,11 @@ def register_tables(
     """Register each fixture table as a temp view (for the SQL entry
     point) and return the DataFrames keyed by name."""
     out: dict[str, DataFrame] = {}
+    local = "://" not in sf_dir  # os.path.exists is meaningless for
+    # hdfs://-s3a://-style dirs — there, attempt every table and let a
+    # missing one fail LOUDLY rather than silently registering nothing
     for name in tables:
-        if not os.path.exists(table_path(sf_dir, name)):
+        if local and not os.path.exists(table_path(sf_dir, name)):
             continue
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)

@@ -40,14 +40,18 @@ def stopword_ratio(text: Column | str) -> Column:
     """Fraction of tokens that are in STOPWORDS (double)."""
     toks = tokens(F.lower(_to_col(text)))
     hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    return hits.cast("double") / F.size(toks).cast("double")
+    # try_divide: a zero-token (empty/whitespace) document must yield
+    # NULL, not abort the whole corpus job under ANSI DIVIDE_BY_ZERO
+    return F.try_divide(hits.cast("double"), F.size(toks).cast("double"))
 
 
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not [a-zA-Z0-9 ] (double)."""
     t = _to_col(text)
     stripped = F.regexp_replace(t, "[a-zA-Z0-9 ]", "")
-    return F.length(stripped).cast("double") / F.length(t).cast("double")
+    return F.try_divide(
+        F.length(stripped).cast("double"), F.length(t).cast("double")
+    )
 
 
 def avg_token_length(text: Column | str) -> Column:
@@ -55,7 +59,7 @@ def avg_token_length(text: Column | str) -> Column:
     total = F.aggregate(
         toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
     )
-    return total / F.size(toks).cast("double")
+    return F.try_divide(total, F.size(toks).cast("double"))
 
 
 def quality_from_measures(sw: Column, pr: Column, awl: Column) -> Column:
@@ -134,7 +138,7 @@ def ngram_density(text: Column | str) -> Column:
     for g in NGRAMS:
         occ = (F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))) / 2
         total = occ if total is None else total + occ
-    return total.cast("double") / F.length(t).cast("double")
+    return F.try_divide(total.cast("double"), F.length(t).cast("double"))
 
 
 def lang_id_ngram(text: Column | str, threshold: float = 0.08) -> Column:

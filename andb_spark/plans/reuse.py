@@ -170,6 +170,7 @@ def analyze_workload(
 
     report = ReuseReport()
     grouped: dict[ScanSignature, list[str]] = defaultdict(list)
+    probed: set[str] = set()  # tables whose TRUE schema width was read
     for name in names if names is not None else sorted(queries):
         if name.startswith("s_stream_") or name in EXECUTING_BUILDERS:
             continue  # builder executes a streaming job; not advisable
@@ -183,14 +184,27 @@ def analyze_workload(
             grouped[sig].append(name)
             if sig.table not in report.table_width:
                 # true schema width, so the projection heuristic compares
-                # read columns against the FULL table, not other readers
+                # read columns against the FULL table, not other readers.
+                # Managed tables' data lives under <warehouse>/<t>/v-*/
+                # (never {sf_dir}/{t}.parquet), so the probe fails for
+                # them — fall back to the widest OBSERVED signature,
+                # maintained below, rather than freezing the first one
+                # (which would make every projection ratio >= 1 and
+                # suppress all narrow-slice recommendations).
                 try:
                     full = spark.read.parquet(
                         f"{sf_dir}/{sig.table}.parquet"
                     )
                     report.table_width[sig.table] = len(full.columns)
+                    probed.add(sig.table)
                 except Exception:
                     report.table_width[sig.table] = len(sig.columns)
+            elif sig.table not in probed:
+                # width came from a fallback: keep it at the max
+                # observed signature width across all queries
+                report.table_width[sig.table] = max(
+                    report.table_width[sig.table], len(sig.columns)
+                )
     report.scans = dict(grouped)
     return report
 

@@ -67,7 +67,13 @@ def collect_stats(df: DataFrame) -> dict:
 def _jsonable(v):
     """min/max values must survive a JSON round-trip (catalog storage)."""
     import datetime
+    import decimal
 
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # DecimalType is in _ORDERED, so its min/max land here; a raw
+        # Decimal would make json.dump raise AFTER the in-memory
+        # catalog was already mutated, wedging every later save
+        return float(v)
     return v

@@ -161,7 +161,7 @@ def read_binary_files(
     doc_id = (
         doc_id_from_path(F.col("path"))
         if id_from_name
-        else F.pmod(F.xxhash64(F.col("path")), F.lit(1 << 62))
+        else path_hash_id(F.col("path"))
     )
     return df.select(
         doc_id.alias("doc_id"),
@@ -170,6 +170,18 @@ def read_binary_files(
         F.col("modificationTime").alias("mod_time"),
         F.col("content").alias("payload"),
     )
+
+
+def path_hash_id(path_col):
+    """Hash-derived doc_id for a file path — the ONE copy of the id
+    scheme's fallback (pmod, not abs: abs(Long.MIN_VALUE) raises under
+    ANSI). Both doc_id_from_path and the id_from_name=False batch
+    reader must use it, or the same file could carry different ids on
+    different ingest paths and cross-path dedup on doc_id silently
+    breaks."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(path_col), F.lit(1 << 62))
 
 
 def doc_id_from_path(path_col):
@@ -188,5 +200,5 @@ def doc_id_from_path(path_col):
     )
     return F.coalesce(
         F.when(name_digits != "", name_digits.try_cast("bigint")),
-        F.pmod(F.xxhash64(path_col), F.lit(1 << 62)),
+        path_hash_id(path_col),
     )

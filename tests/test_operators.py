@@ -1000,3 +1000,30 @@ def test_zorder_supports_dates_and_rejects_strings(spark):
     empty = spark.createDataFrame([], "n int")
     with pytest.raises(ValueError, match="no non-NULL"):
         empty.select(zvalue(empty, ["n"]))
+
+
+def test_text_measures_null_on_blank_documents(spark):
+    """r4 review finding: under Spark 4's default ANSI mode, the ratio
+    measures divided by zero on empty/whitespace-only documents and
+    aborted the whole corpus job. They must yield NULL instead (one
+    blank line in a text-format ingest is routine, not fatal)."""
+    from andb_spark.functions.text import (
+        avg_token_length,
+        ngram_density,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("the cat sat on the mat",)], ["t"]
+    )
+    rows = df.select(
+        stopword_ratio("t").alias("sw"),
+        punct_ratio("t").alias("pr"),
+        avg_token_length("t").alias("al"),
+        ngram_density("t").alias("nd"),
+        quality_score("t").alias("q"),
+    ).collect()
+    assert rows[0]["sw"] is None and rows[0]["al"] is None
+    assert rows[2]["sw"] is not None and rows[2]["q"] is not None
