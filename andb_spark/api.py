@@ -876,10 +876,15 @@ class AnalyticsEngine:
 
     # literal tag → declared types it converts to EXACTLY (anything
     # else — e.g. a string into an int column, a float into an int —
-    # falls back to Spark so cast semantics stay Spark's, bit for bit)
+    # falls back to Spark so cast semantics stay Spark's, bit for bit).
+    # 'real' (float32) is deliberately absent: the driver path would
+    # convert literal → Python double → float32 (double rounding) while
+    # Spark casts the decimal literal to float32 in one correctly-
+    # rounded step, so boundary literals could differ by one ulp
+    # (ADVICE r4) — float32 targets always take the Spark path.
     _LIT_COMPAT = {
-        "i": {"int", "bigint", "real", "double"},
-        "f": {"real", "double"},
+        "i": {"int", "bigint", "double"},
+        "f": {"double"},
         "s": {"text"},  # varchar handled separately (truncation)
         "b": {"boolean"},
     }

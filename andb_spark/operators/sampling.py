@@ -168,16 +168,22 @@ def weighted_systematic_sample(
     # targets), which under ANSI aborts the job. Route by runtime
     # magnitude: the exact bigint math whenever total·k provably fits
     # (every oracle fixture and any realistic corpus), else a
-    # decimal(38) fallback — same floor-of-ratio, with a documented
-    # half-up edge at the 38th digit no oracle run can reach.
+    # decimal(38) fallback. The fallback avoids decimal DIVISION
+    # entirely (Spark's precision-loss division rounds HALF_UP at scale
+    # 6, so a ratio within ~5e-7 of an integer could flip floor —
+    # ADVICE r4): for positive T, floor(a/T) < floor(b/T) iff
+    # a - a mod T < b - b mod T, and multiply/subtract/pmod at
+    # DECIMAL(38,0) are all exact, so the fallback is bit-exact too.
     lim = (2**63 - 1) // max(k, 1)
     bigint_sel = (
         f"((_cum - {weight_col}) * {k}) div _total"
         f" < (_cum * {k}) div _total"
     )
+    dec_a = f"(CAST(_cum - {weight_col} AS DECIMAL(38,0)) * {k})"
+    dec_b = f"(CAST(_cum AS DECIMAL(38,0)) * {k})"
     decimal_sel = (
-        f"floor(CAST(_cum - {weight_col} AS DECIMAL(38,0)) * {k} / _total)"
-        f" < floor(CAST(_cum AS DECIMAL(38,0)) * {k} / _total)"
+        f"({dec_a} - pmod({dec_a}, _total))"
+        f" < ({dec_b} - pmod({dec_b}, _total))"
     )
     return (
         prefix_sum(

@@ -112,6 +112,12 @@ HEADLINE_R04 = (
 
 HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
+# Below this per-query floor a max/min ratio measures GC pauses, not
+# the query (a 200 ms stall at 0.28 s reads as 1.7x): such queries are
+# excluded from the spread map and report absolute max−min seconds in
+# sub_floor_jitter_abs_sec instead (VERDICT r4 #3 / SCALE.md §7).
+SPREAD_FLOOR_SEC = 0.5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +149,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    jitter_abs: dict[str, float] = {}
     for name in HEADLINE:
         # best-of-n (default 3): report the steady-state time, not
         # whichever run a GC pause / OS scheduling hiccup landed on
@@ -165,10 +172,18 @@ def main() -> None:
             # run now builds (and pays for) its own caches.
             release_caches()
         timings[name] = round(min(runs), 3)
-        spread[name] = round(max(runs) / min(runs), 2)
+        # Spread (max/min) is only meaningful once the query is long
+        # enough to dominate a single GC pause / scheduling hiccup: at
+        # ~0.3 s a 200 ms stall reads as 1.7x "drift" (VERDICT r4 #3's
+        # q19/q22 false alarm). Queries under the floor report absolute
+        # jitter (max−min seconds) instead of a ratio.
+        if min(runs) >= SPREAD_FLOOR_SEC:
+            spread[name] = round(max(runs) / min(runs), 2)
+        else:
+            jitter_abs[name] = round(max(runs) - min(runs), 3)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows, "
-            f"spread {spread[name]:.2f}x over {n_runs})",
+            f"spread {round(max(runs) / min(runs), 2):.2f}x over {n_runs})",
             file=sys.stderr,
         )
 
@@ -180,7 +195,16 @@ def main() -> None:
     # (BENCH_r03.json "parsed": null). The LAST line is the compact
     # machine-readable record and must stay short enough to survive
     # any tail window.
-    print(json.dumps({"metric": "spread_max_over_min", "spread": spread}))
+    print(
+        json.dumps(
+            {
+                "metric": "spread_max_over_min",
+                "spread_floor_sec": SPREAD_FLOOR_SEC,
+                "spread": spread,
+                "sub_floor_jitter_abs_sec": jitter_abs,
+            }
+        )
+    )
     print(
         json.dumps(
             {

@@ -274,6 +274,45 @@ def test_weighted_systematic_sample_invariants(spark):
     assert mean_picked > mean_all * 1.2
 
 
+def test_weighted_sample_decimal_fallback_is_exact(spark):
+    """In the overflow regime (total·k > 2^63) the decimal fallback
+    must agree with exact integer math even when a stride ratio sits
+    within 1/total of an integer — the case Spark's HALF_UP scale-6
+    decimal division would flip (ADVICE r4). The fixture puts row 1's
+    upper edge at ratio 1 − 1/T: exact floor 0 (not selected), rounded
+    floor 1 (wrongly selected)."""
+    from andb_spark.operators.sampling import weighted_systematic_sample
+
+    k = 2
+    t_total = 5 * 10**18 + 1  # > (2**63 - 1) // k → decimal branch
+    rows = [(1, 2_500_000_000_000_000_000), (2, t_total - 2_500_000_000_000_000_000)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    got = {r["k"] for r in weighted_systematic_sample(df, "w", "k", k=k).collect()}
+    cum, expected = 0, set()
+    for key, w in rows:
+        cum += w
+        if ((cum - w) * k) // t_total < (cum * k) // t_total:
+            expected.add(key)
+    assert expected == {2}  # fixture sanity: the adversarial edge holds
+    assert got == expected
+
+    # And a broader huge-weight sweep against the same integer oracle.
+    rows = [(i, 3 * 10**17 + i * 10**15) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    for kk in (3, 7):
+        got = {
+            r["k"]
+            for r in weighted_systematic_sample(df, "w", "k", k=kk).collect()
+        }
+        total = sum(w for _, w in rows)
+        cum, expected = 0, set()
+        for key, w in rows:
+            cum += w
+            if ((cum - w) * kk) // total < (cum * kk) // total:
+                expected.add(key)
+        assert got == expected
+
+
 def test_pack_shards_budget_and_partition_invariance(spark):
     from andb_spark.operators.sampling import pack_shards
 
