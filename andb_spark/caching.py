@@ -44,19 +44,38 @@ def release_caches() -> int:
     """Unpersist every registered cache and destroy every registered
     broadcast since the last release. Returns the number of handles
     released. Idempotent."""
+    return release_caches_since((0, 0))
+
+
+def cache_mark() -> tuple[int, int]:
+    """Registry high-water mark, for scoped release: callers that own a
+    bounded unit of work (one engine statement, one REPL loop turn)
+    snapshot the mark on entry and release only what the unit itself
+    registered — a global ``release_caches()`` there would yank frames
+    a LONGER-lived caller (a streaming sink's pinned batch state, an
+    outer operator composition) is still counting on."""
+    return (len(_LIVE_CACHES), len(_LIVE_BROADCASTS))
+
+
+def release_caches_since(mark: tuple[int, int]) -> int:
+    """Release registry entries added after ``mark`` (see
+    ``cache_mark``). Nest-safe: inner scopes release their own suffix,
+    leaving outer scopes' entries in place. Returns handles released.
+    Idempotent."""
+    nc, nb = mark
     n = 0
-    for df in _LIVE_CACHES:
+    for df in _LIVE_CACHES[nc:]:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    _LIVE_CACHES.clear()
-    for bc in _LIVE_BROADCASTS:
+    del _LIVE_CACHES[nc:]
+    for bc in _LIVE_BROADCASTS[nb:]:
         try:
             bc.destroy()
             n += 1
         except Exception:
             pass
-    _LIVE_BROADCASTS.clear()
+    del _LIVE_BROADCASTS[nb:]
     return n

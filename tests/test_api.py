@@ -596,3 +596,41 @@ def test_ddl_if_exists_variants(engine):
         e("create table ie (a int)")
     with pytest.raises(EngineError):
         e("drop table nope")
+
+
+def test_execute_releases_statement_scoped_caches(engine, spark):
+    """Statement boundary = cache boundary (ADVICE r4): frames/
+    broadcasts registered with the caching registry DURING an execute()
+    are released before it returns (a REPL session must not accumulate
+    pinned executor memory), while entries registered BEFORE the
+    statement — a longer-lived caller's state — survive untouched."""
+    from andb_spark import caching
+
+    pre = caching.persist_tracked(spark.range(5))
+    try:
+        orig = engine._select
+
+        def pinning_select(stmt):
+            caching.persist_tracked(spark.range(10).selectExpr("id * 2 AS x"))
+            return orig(stmt)
+
+        engine._select = pinning_select
+        try:
+            r = engine.execute("select 1 as x")
+            assert r.rows == [(1,)]
+        finally:
+            engine._select = orig
+        # the statement's pin is gone; the pre-existing one survives
+        assert caching._LIVE_CACHES == [pre]
+        assert pre.storageLevel.useMemory  # still actually persisted
+        # errors release too
+        engine._select = pinning_select
+        try:
+            with pytest.raises(EngineError):
+                engine.execute("select * from no_such_table_xyz")
+        finally:
+            engine._select = orig
+        assert caching._LIVE_CACHES == [pre]
+    finally:
+        caching.release_caches()
+    assert caching._LIVE_CACHES == []
