@@ -24,7 +24,7 @@ from andb_spark.operators.multimodal import (
     extract_audio_meta,
     extract_image_meta,
     image_pixel_stats,
-    resize_images,
+    resize_payloads,
     sample_frames,
     synthesize_audio_corpus,
     synthesize_image_corpus,
@@ -1097,13 +1097,23 @@ def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained mapInPandas stages: decode → resize (both stub-backed,
-    both real Arrow plumbing)."""
-    d = _docs(spark, sf_dir)
-    meta = extract_image_meta(binarize(d, "text", "doc_id"), fake=True)
-    return resize_images(meta, max_side=256).select(
-        "doc_id", "width", "height", "new_width", "new_height"
-    ).orderBy("doc_id")
+    """REAL resize round trip, oracle-graded end-to-end (VERDICT r4
+    #2 — the last fake=True registry row made real): synthesize one
+    true 24-bit BMP per doc, run the real decode→nearest-neighbor-
+    downscale→PPM re-encode stage (operators/multimodal.py::
+    resize_payloads), then REAL-decode the resized payloads back to
+    pixel sums. max_side=8 sits inside the synthesized 4–16 px
+    dimension range so both branches execute (downscale AND the
+    small-image pass-through). The oracle restates the whole chain in
+    closed form — geometry via the same IEEE least/floor arithmetic,
+    sum_px via the nearest-neighbor index sums — so a stride, row
+    order, index-gather, or re-encode bug cannot pass. Bounded slice
+    (doc_id < 400) as in m_image_decode."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    resized = resize_payloads(synthesize_image_corpus(d), max_side=8)
+    return image_pixel_stats(resized.select("doc_id", "payload")).orderBy(
+        "doc_id"
+    )
 
 
 def m_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2120,22 +2130,42 @@ ORACLES = {
                amp_q AS first_amp_q
         FROM g ORDER BY doc_id
     """,
-    "m_resize": f"""
-        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
-        dims AS (
-            SELECT doc_id,
-                   CAST(64 + {_HEX2INT.format(h='hh', off='2')} % 1024 AS INT) AS width,
-                   CAST(64 + {_HEX2INT.format(h='hh', off='6')} % 1024 AS INT) AS height
-            FROM h
-        )
-        SELECT doc_id, width, height,
-               CAST(greatest(1, floor(width *
-                    least(256.0 / greatest(width, height), 1.0)))
-                    AS INT) AS new_width,
-               CAST(greatest(1, floor(height *
-                    least(256.0 / greatest(width, height), 1.0)))
-                    AS INT) AS new_height
-        FROM dims ORDER BY doc_id
+    # The real resize chain in closed form. Geometry replicates
+    # resize_pixels' float math exactly (IEEE divide/multiply are
+    # correctly rounded in both engines, floor(double) = Python's
+    # int() for positives); the pixel sum uses the nearest-neighbor
+    # gather identity: resized(i,j) = base + R_i + C_j with
+    # R_i = floor(i*h/nh), C_j = floor(j*w/nw), summed over 3
+    # channels. range(0,16) covers every possible side (h <= 13,
+    # w <= 16). Validated element-for-element against the Python
+    # resize for all 400 ids.
+    "m_resize": """
+        WITH g AS (
+            SELECT doc_id, doc_id % 200 AS base,
+                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+            FROM documents WHERE doc_id < 400),
+        geo AS (
+            SELECT doc_id, base, w, h,
+                   greatest(1, CAST(floor(w * least(1.0,
+                       8.0 / greatest(w, h))) AS INT)) AS nw,
+                   greatest(1, CAST(floor(h * least(1.0,
+                       8.0 / greatest(w, h))) AS INT)) AS nh
+            FROM g),
+        idx AS (
+            SELECT geo.doc_id,
+                   SUM(CASE WHEN s.i < nh THEN CAST(floor(
+                       s.i * (CAST(h AS DOUBLE) / nh)) AS BIGINT)
+                       ELSE 0 END) AS sum_r,
+                   SUM(CASE WHEN s.i < nw THEN CAST(floor(
+                       s.i * (CAST(w AS DOUBLE) / nw)) AS BIGINT)
+                       ELSE 0 END) AS sum_c
+            FROM geo, range(0, 16) s(i)
+            GROUP BY geo.doc_id)
+        SELECT geo.doc_id, 'ppm' AS format,
+               nw AS width, nh AS height,
+               3 * (nh * nw * base + nw * sum_r + nh * sum_c) AS sum_px
+        FROM geo JOIN idx USING (doc_id)
+        ORDER BY doc_id
     """,
     "m_image_embed": f"""
         WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
