@@ -634,3 +634,49 @@ def test_execute_releases_statement_scoped_caches(engine, spark):
     finally:
         caching.release_caches()
     assert caching._LIVE_CACHES == []
+
+
+def test_warehouse_lock_single_writer(spark, tmp_path, monkeypatch):
+    """The advisory per-warehouse lock makes one-process-per-warehouse
+    mechanical (VERDICT r4 #5): a second PROCESS fails fast naming the
+    owner pid; a dead owner's lock is taken over silently; close()
+    releases; ANDB_FORCE_RECOVERY overrides pid recycling."""
+    import json as _json
+    import os as _os
+    import subprocess
+
+    wh = str(tmp_path / "whlock")
+    eng = AnalyticsEngine(wh, spark=spark)
+    lock = eng._lock_path
+    assert _json.load(open(lock))["pid"] == _os.getpid()
+
+    # same process: re-entrant (the restart-simulation pattern)
+    eng_b = AnalyticsEngine(wh, spark=spark)
+    assert _json.load(open(lock))["pid"] == _os.getpid()
+
+    # live foreign owner: refuse, naming the pid (pid 1 is always live)
+    _json.dump({"pid": 1}, open(lock, "w"))
+    with pytest.raises(EngineError, match="locked by live process 1"):
+        AnalyticsEngine(wh, spark=spark)
+
+    # ...unless the escape hatch says the pid is recycled
+    monkeypatch.setenv("ANDB_FORCE_RECOVERY", "1")
+    AnalyticsEngine(wh, spark=spark)
+    assert _json.load(open(lock))["pid"] == _os.getpid()
+    monkeypatch.delenv("ANDB_FORCE_RECOVERY")
+
+    # dead owner: silent takeover (crash = release)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    _json.dump({"pid": proc.pid}, open(lock, "w"))
+    eng_c = AnalyticsEngine(wh, spark=spark)
+    assert _json.load(open(lock))["pid"] == _os.getpid()
+    eng_c.execute("create table lk (a int)")  # still fully usable
+
+    # close() releases; a "foreign-process" lock is left alone
+    eng_c.close()
+    assert not _os.path.exists(lock)
+    _json.dump({"pid": 1}, open(lock, "w"))
+    eng_b.close()  # not ours anymore — must not remove, must not raise
+    assert _os.path.exists(lock)
+    _os.remove(lock)
