@@ -9,7 +9,9 @@ window "last known value" technique:
 2. One window pass per key ordered by (time, tag) carries the last
    non-null reference payload forward (``F.last(ignorenulls=True)``).
 3. Keep probe rows; each now holds the latest reference row with
-   ref_time <= probe_time.
+   ref_time <= probe_time (backward), or — walking time descending —
+   the earliest with ref_time >= probe_time (forward). An optional
+   tolerance masks matches whose gap exceeds it (merge_asof parity).
 
 Cost: ONE shuffle of (left ∪ right) on the key — strictly better at
 scale than the join+filter+argmax formulation (which shuffles the same
@@ -35,16 +37,27 @@ def asof_join(
     payload_cols: list[str],
     direction: str = "backward",
     right_tiebreak: str | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach `payload_cols` from the right row with
-    the greatest right_time <= left_time (direction='backward') sharing
-    the join key. Unmatched left rows keep NULL payloads.
+    the greatest right_time <= left_time (direction='backward') or the
+    smallest right_time >= left_time (direction='forward') sharing the
+    join key. Unmatched left rows keep NULL payloads. Both directions
+    are the same one-shuffle union+window plan — forward just walks
+    time descending (pandas merge_asof parity).
 
     `right_tiebreak`: column ordering reference rows with equal
     right_time (the row with the greatest tiebreak wins) — required for
-    a deterministic result when right times can collide."""
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    a deterministic result when right times can collide.
+
+    `tolerance`: optional maximum time gap — a carried reference whose
+    |right_time − left_time| exceeds it is masked back to NULL (the
+    merge_asof tolerance semantics). Expressed as a literal compatible
+    with plain subtraction on the time columns, so numeric/epoch time
+    columns take a number; date/timestamp callers should cast upstream."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
 
     lcols = left.columns
     left_struct = F.struct(*[F.col(c) for c in lcols])
@@ -92,12 +105,15 @@ def asof_join(
     unioned = l_aligned.unionByName(r_aligned)
     # Reference rows sort before probe rows at equal time (_is_probe
     # ascending), so an exactly-simultaneous reference row is visible to
-    # the probe (<= semantics). Among equal-time reference rows the
-    # greatest _seq sorts last and therefore wins the carry-forward.
+    # the probe (<=/>= inclusive semantics). Among equal-time reference
+    # rows the greatest _seq sorts last and therefore wins the
+    # carry-forward. Forward direction is the time-mirrored walk: _t
+    # descending, so "last non-null payload" is the nearest reference
+    # at-or-after the probe.
     w = (
         Window.partitionBy("_k")
         .orderBy(
-            F.col("_t").asc(),
+            F.col("_t").asc() if backward else F.col("_t").desc(),
             F.col("_is_probe").asc(),
             F.col("_seq").asc_nulls_last(),
         )
@@ -106,6 +122,26 @@ def asof_join(
     carried = unioned.withColumn(
         "_ref", F.last("_payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        # the time OF the carried payload row: _payload and _t are
+        # non-null on exactly the same (reference) rows, so the last
+        # non-null of each over one window come from the same row
+        carried = carried.withColumn(
+            "_ref_t",
+            F.last(
+                F.when(F.col("_is_probe") == 0, F.col("_t")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        gap = (
+            (F.col("_t") - F.col("_ref_t"))
+            if backward
+            else (F.col("_ref_t") - F.col("_t"))
+        )
+        carried = carried.withColumn(
+            "_ref",
+            F.when(gap <= F.lit(tolerance), F.col("_ref")),
+        )
     probes = carried.filter(F.col("_is_probe") == 1)
     out_cols = [F.col(f"_left.{c}").alias(c) for c in lcols] + [
         F.col(f"_ref.{c}").alias(c) for c in payload_cols

@@ -239,6 +239,38 @@ def c_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
+def c_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column catalog + manifest-as-relation parity (reference
+    andb_attribute, andb/catalog/attribute.py:6-27): per-column
+    ordinal/type/notnull AFTER a metadata-only ALTER ADD + DROP
+    (ordinals renumber, schema history invisible), joined with the
+    andb_segments manifest view's segment count and row totals. The
+    oracle pins the exact post-ALTER catalog rows as literals."""
+    eng = AnalyticsEngine(_scratch("andb_catc_"), spark=spark)
+    e = eng.execute
+    e("create table cc (a int not null, b varchar(8), c double)")
+    e("insert into cc values (1, 'x', 0.5), (2, 'y', 1.5)")
+    e("alter table cc add column d text")
+    e("alter table cc drop column b")
+    e("insert into cc values (3, 2.5, 'tag')")
+    eng._refresh_system_views()
+    out = spark.sql(
+        """
+        SELECT c.table_name, c.column_name, c.ordinal, c.type_name,
+               c.notnull, s.n_segments, s.total_rows
+        FROM andb_columns c
+        JOIN (SELECT table_name, count(*) AS n_segments,
+                     sum(n_rows) AS total_rows
+              FROM andb_segments GROUP BY table_name) s
+          USING (table_name)
+        ORDER BY c.table_name, c.ordinal
+        """
+    )
+    # Same pinning rationale as c_catalog_tables: session-global temp
+    # views would be redefined under this lazy plan by the next engine.
+    return out.localCheckpoint(eager=True)
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -247,6 +279,7 @@ QUERIES = {
     "u_matview_refresh": u_matview_refresh,
     "u_clone_snapshot": u_clone_snapshot,
     "c_catalog_tables": c_catalog_tables,
+    "c_catalog_columns": c_catalog_columns,
 }
 
 ORACLES = {
@@ -313,5 +346,17 @@ ORACLES = {
         ) AS t(table_name, column_count, version, is_matview,
                notnull_cols, n_indexes)
         ORDER BY table_name
+    """,
+    "c_catalog_columns": """
+        SELECT * FROM (VALUES
+            ('cc', 'a', 1, 'int', true,
+             CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+            ('cc', 'c', 2, 'double', false,
+             CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+            ('cc', 'd', 3, 'text', false,
+             CAST(3 AS BIGINT), CAST(3 AS BIGINT))
+        ) AS t(table_name, column_name, ordinal, type_name, "notnull",
+               n_segments, total_rows)
+        ORDER BY ordinal
     """,
 }

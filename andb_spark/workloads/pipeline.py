@@ -622,6 +622,51 @@ def t_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_approx_topk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of t_approx_topk (VERDICT r4 #6): the sketch
+    items themselves are engine-specific, but the correctness
+    INVARIANTS are exact booleans — (a) every reported count equals
+    the exact count (maxItemsTracked=100000 far exceeds this corpus
+    vocabulary, so the frequent-items sketch operates in its exact
+    regime), (b) every reported item belongs to the top tier (count ≥
+    the 20th-largest exact count — set equality modulo ties at the
+    boundary), (c) exactly k items are reported. The exact side is
+    computed in Spark over the SAME tokenization, so the oracle is
+    pure literals."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    sk = (
+        toks.agg(F.expr("approx_top_k(token, 20, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").alias("n_sketch"),
+        )
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    kth = (
+        exact.orderBy(F.col("n_exact").desc())
+        .limit(20)
+        .agg(F.min("n_exact").alias("kth"))
+    )
+    return (
+        sk.join(exact, "token", "left")
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            (
+                F.count(F.when(F.col("n_sketch") != F.col("n_exact"), 1))
+                == 0
+            ).alias("counts_exact"),
+            (
+                F.count(F.when(F.col("n_sketch") < F.col("kth"), 1)) == 0
+            ).alias("covers_top_tier"),
+            (F.count(F.lit(1)) == 20).alias("k_items"),
+        )
+    )
+
+
 def t_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health dashboard: per source, document count, how many
     documents are copies of an earlier one (exact content hash), and
@@ -1068,6 +1113,32 @@ def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def a_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event joined to the user's NEXT order at or
+    after the event time (operators/asof.py direction='forward' — the
+    time-mirrored one-shuffle union+window walk; was a
+    NotImplementedError through r4). The attribution-style question
+    'which order did this session lead to'."""
+    tune_for_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        right_tiebreak="o_orderkey",
+    )
+    # No trailing global sort (same rationale as a_asof_join).
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 # ----------------------------------------------------------- multimodal --
 def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column plumbing: byte length + checksum + head
@@ -1201,6 +1272,7 @@ QUERIES = {
     "t_chunking": t_chunking,
     "t_dup_rate_report": t_dup_rate_report,
     "t_approx_topk": t_approx_topk,
+    "t_approx_topk_bound": t_approx_topk_bound,
     "t_tfidf": t_tfidf,
     "t_bm25_topk": t_bm25_topk,
     "t_length_histogram": t_length_histogram,
@@ -1214,6 +1286,7 @@ QUERIES = {
     "p_pack_shards": p_pack_shards,
     "p_pipeline_e2e": p_pipeline_e2e,
     "a_asof_join": a_asof_join,
+    "a_asof_forward": a_asof_forward,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
@@ -1292,6 +1365,13 @@ _HEX2INT = (
 )
 
 ORACLES = {
+    # Sketch invariant wrapper: the Spark side computes exact booleans
+    # (counts exact, top-tier membership, k items) over its own
+    # tokenization; the oracle pins the expected all-TRUE row.
+    "t_approx_topk_bound": """
+        SELECT TRUE AS counts_exact, TRUE AS covers_top_tier,
+               TRUE AS k_items
+    """,
     "d_exact_dup_groups": """
         SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
@@ -2023,6 +2103,16 @@ ORACLES = {
             SELECT o_orderkey, o_totalprice FROM orders o
             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
             ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) ref ON TRUE
+        ORDER BY e.event_id
+    """,
+    "a_asof_forward": """
+        SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice
+        FROM events e LEFT JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate >= CAST(e.ts AS TIMESTAMP)
+            ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 1
         ) ref ON TRUE
         ORDER BY e.event_id
     """,

@@ -1084,6 +1084,27 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of q_approx_distinct (VERDICT r4 #6): the
+    HLL++ estimate can't match DuckDB's sketch, but the bounded-error
+    INVARIANT can — per group, |approx − exact| ≤ 5% · exact (2.5× the
+    rsd=0.02 standard error; Spark's HLL++ is deterministic for fixed
+    data, so the boolean is reproducible, and the oracle states the
+    expected TRUE per group as a literal). Grades the sketch against
+    the exact count at whatever SF the driver runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        F.countDistinct("l_partkey").alias("x"),
+    )
+    return g.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("a") - F.col("x")) <= F.col("x") * F.lit(0.05)
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch quantiles: approx_percentile (Greenwald-Khanna sketch,
     accuracy 1/10000) per return flag — the one-pass constant-memory
@@ -1138,6 +1159,7 @@ QUERIES = {
     "q_select_no_from": q_select_no_from,
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_distinct_bound": q_approx_distinct_bound,
     "q_approx_quantile": q_approx_quantile,
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
@@ -1192,6 +1214,15 @@ QUERIES = {
 
 
 ORACLES = {
+    # The sketch invariant's expected value is a literal: the oracle's
+    # job here is to pin WHICH groups exist and that the bounded-error
+    # check holds for every one (the Spark side computes
+    # |approx − exact| ≤ 5%·exact; a sketch regression flips a boolean
+    # and hash-mismatches).
+    "q_approx_distinct_bound": """
+        SELECT l_returnflag, TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "q_function_scan": """
         SELECT doc_id,
                CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,

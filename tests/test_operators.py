@@ -463,6 +463,47 @@ def test_asof_join_equal_time_visible_and_tiebreak(spark):
     assert out[0]["payload"] == "b"
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction: smallest ref_time >= probe_time wins;
+    equal-time refs visible (>=), greatest tiebreak wins among ties.
+    Tolerance masks matches whose gap exceeds it, both directions."""
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 12), (3, 100, 99), (4, 200, 5)],
+        ["event_id", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(100, 11, 1, "at11"), (100, 12, 1, "at12a"), (100, 12, 2, "at12b"),
+         (100, 20, 1, "at20"), (200, 3, 1, "past")],
+        ["rk", "rt", "seq", "payload"],
+    )
+
+    def run(**kw):
+        return {
+            r["event_id"]: r["payload"]
+            for r in asof_join(
+                left, right, "k", "rk", "t", "rt", ["payload"],
+                right_tiebreak="seq", **kw
+            ).collect()
+        }
+
+    fwd = run(direction="forward")
+    assert fwd[1] == "at11"     # nearest at-or-after 10
+    assert fwd[2] == "at12b"    # equal time visible, greatest seq wins
+    assert fwd[3] is None       # nothing at-or-after 99
+    assert fwd[4] is None       # key 200's only ref is in the past
+
+    # tolerance masks the far match but keeps the near one
+    assert run(direction="forward", tolerance=1) == {
+        1: "at11", 2: "at12b", 3: None, 4: None,
+    }
+    bwd = run(tolerance=2)
+    assert bwd == {1: None, 2: "at12b", 3: None, 4: "past"}
+    assert run(tolerance=1) == {1: None, 2: "at12b", 3: None, 4: None}
+
+    with pytest.raises(ValueError, match="backward|forward"):
+        run(direction="nearest")
+
+
 def test_multimodal_stub_and_fake_decode(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
