@@ -33,89 +33,93 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # DuckDB oracle (a ``no_oracle`` entry can never turn green and would
 # burn a slot — the sketch queries live past position 50 on purpose).
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-4 rotation (VERDICT r3 #2): slots whose family already
-    # carried several green rows across r1–r3 (q3/q5/q18, date funcs,
-    # having/pivot, in-subquery, semi join, q7/q9, limit/offset,
-    # union, incremental-minhash, chunking, semantic-dedup, tumbling)
-    # made way for 16 never-driver-graded names, keeping at least one
-    # driver-green representative per family. r1–r3 evidence for the
-    # rotated-out names stays on record in CORRECTNESS_r0{1,2,3}.json.
-    # §2.2/§2.4 core relational: scans, predicates, expressions, aggs
-    "q1_pricing_summary",
-    "q_predicates",
-    "q_case_cast_concat",
-    "q_string_funcs",
-    "q_count_distinct",
-    "q_grouping_sets",
-    "q_json_extract",
-    # §2.3 joins (left/right covered by full; semi/anti graded r1-r3)
-    "q_join_full",
-    # §2.5 sort / limit / top-k
-    "q_sort_multi_key",
-    "q_topk_per_group",
-    # §2.6 set ops
-    "q_except",
-    # §2.8 windows
-    "q_window_funcs",
-    # §2.10 subqueries / CTE (IN/scalar graded r1-r3; EXISTS and
-    # NOT-EXISTS now carried driver-side by q4/q22/q21)
-    "q_cte",
-    # TPC-H deep cuts — first-time driver evidence: correlated EXISTS
-    # (q4), outer-join distribution (q13), OR-of-ANDs predicate pushdown
-    # (q19), scalar-subquery + anti-join (q22); q21 keeps the doubly-
-    # correlated EXISTS/NOT-EXISTS hard case pinned
-    "q4_priority_exists",
-    "q13_customer_distribution",
-    "q19_or_of_ands",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # as-of / range join extensions
-    "a_asof_join",
-    "a_range_join",
-    # dedup family (+ first-time: simhash banded pairs, passage-level
-    # scrub, the LSH recall self-audit)
-    "d_exact_dedup",
-    "d_minhash_lsh",
-    "d_dup_components",
-    "d_simhash_pairs",
-    "d_passage_scrub",
-    "d_lsh_recall_audit",
-    # text analysis (+ first-time: BM25 lexical retrieval, TF-IDF,
-    # PII scrubbing)
-    "t_lang_quality",
-    "t_bm25_topk",
-    "t_tfidf",
-    "t_pii_scrub",
-    # pipeline (sampling / split / end-to-end + weighted sampling)
-    "p_split",
-    "p_pipeline_e2e",
-    "p_sample_weighted",
-    # vectors / ANN (+ first-time: LSH-bucketed top-k, two-stage rerank)
-    "v_cosine_topk",
-    "v_ivf_topk",
-    "v_knn_join",
-    "v_lsh_topk",
-    "v_rerank_topk",
-    # hybrid lexical+vector retrieval (RRF fusion of BM25 + cosine)
-    "v_hybrid_rrf",
-    # multimodal — ALL real codecs now: header-parse metadata over
-    # synthesized BMP/WAV corpora (m_image_meta / m_audio_meta,
-    # fake=False) + full decode round trips graded pixel/sample-exact
-    "m_image_meta",
-    "m_audio_meta",
-    "m_image_decode",
-    "m_audio_decode",
-    # engine surface: DML write path (append + copy-on-write), the
-    # incremental matview refresh (fails unless the O(delta) path ran),
-    # zero-copy CLONE, and the SQL-selectable system catalog
-    "u_dml_roundtrip",
-    "u_matview_refresh",
-    "u_clone_snapshot",
-    "c_catalog_tables",
-    # streaming (batch session twin + real readStream tumbling/session)
-    "s_session",
-    "s_stream_tumbling",
-    "s_stream_session",
+    # Round-5 rotation (VERDICT r4 #1): after four rounds, 99 distinct
+    # names carry driver-green evidence (each in its most recent
+    # appearance) while ~55 oracle-backed names had never been graded.
+    # This rotation spends ALL 50 slots on first-timers — prior
+    # evidence stays on record in CORRECTNESS_r0{1..4}.json — leaving
+    # only 7 never-graded names for r6 (t_source_stats,
+    # t_length_histogram, t_dup_rate_report, t_rolling_fingerprint,
+    # d_repeated_passages, p_sample_hash, v_quantize), chosen as the
+    # most family-redundant. Every name below passes the full local
+    # compare gate at sf0.01, the identical check the driver runs.
+    # sketch-invariant wrapper (bounded-error HLL++ boolean, new r5)
+    "q_approx_distinct_bound",
+    # TPC-H deep cuts — the aggregate-subquery / double-join shapes:
+    # correlated scalar-min (q2), group-HAVING vs scalar subquery
+    # (q11), two-table agg CASE (q12), view-max (q15), NOT-IN +
+    # count-distinct (q16), per-part AVG correlation (q17),
+    # nested-subquery semi-join (q20)
+    "q2_min_ship_supplier",
+    "q11_important_suppliers",
+    "q12_priority_class",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q20_excess_suppliers",
+    # forward as-of join (new r5 surface — direction='forward')
+    "a_asof_forward",
+    # dedup family: grouping/survivor/fingerprint variants, n-gram
+    # jaccard, raw simhash distances, decontamination, cross-source,
+    # incremental vs a stored band table
+    "d_exact_dup_groups",
+    "d_fingerprint_dup_groups",
+    "d_ngram_jaccard",
+    "d_dedup_survivors",
+    "d_simhash",
+    "d_decontaminate",
+    "d_cross_source_dups",
+    "d_incremental_dedup",
+    # text analysis: token stats, fingerprints, language n-grams,
+    # repetition/boilerplate/entropy screens, BPE-ish tokens, exact
+    # heavy hitters + the sketch-invariant wrapper (new r5)
+    "t_token_stats",
+    "t_fingerprint",
+    "t_lang_ngram",
+    "t_repetition",
+    "t_boilerplate",
+    "t_entropy",
+    "t_bpe_tokens",
+    "t_heavy_hitters",
+    "t_approx_topk_bound",
+    # pipeline: quality filter, stratified sampling, per-source caps,
+    # mixture planning, shard packing (two-phase prefix sum)
+    "p_quality_filter",
+    "p_sample_stratified",
+    "p_source_cap",
+    "p_mixture_plan",
+    "p_pack_shards",
+    # vectors: threshold near-dup pairs, metadata-filtered top-k, IVF
+    # assignment, cluster-scoped near-dup
+    "v_pairwise_near_dup",
+    "v_filtered_topk",
+    "v_ivf_assign",
+    "v_cluster_near_dup",
+    # multimodal: binary plumbing, the REAL resize round trip (new r5,
+    # no fake= anywhere), embedding bridge, 1→N frame sampling
+    "m_binary_meta",
+    "m_resize",
+    "m_image_embed",
+    "m_frame_sample",
+    # streaming: batch rollup/sliding twins, stateful per-user
+    # sessions, and the four real readStream stateful queries that had
+    # ZERO driver evidence (dedup, stream-stream join, enrich,
+    # distinct) — §2.9's reference-parity claim gets driver proof
+    "s_daily_rollup",
+    "s_sliding",
+    "s_stateful_user",
+    "s_stream_dedup",
+    "s_stream_join",
+    "s_stream_enrich",
+    "s_stream_distinct",
+    # engine surface: TRUNCATE+OVERWRITE+RESTORE lifecycle, BEGIN..
+    # ROLLBACK/COMMIT abort semantics, metadata-only ALTER
+    "u_restore_timetravel",
+    "u_txn_rollback",
+    "u_alter_schema",
+    # system catalog: per-column view after ALTER + manifest-as-
+    # relation join (new r5)
+    "c_catalog_columns",
 )
 
 
