@@ -20,7 +20,7 @@ from andb_spark.operators.asof import asof_join
 from andb_spark.operators.multimodal import (
     audio_sample_stats,
     binarize,
-    embed_image,
+    embed_image_pixels,
     extract_audio_meta,
     extract_image_meta,
     image_pixel_stats,
@@ -1200,12 +1200,20 @@ def m_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal → vector bridge: the (stubbed) embedding stage whose
-    output schema feeds the ANN / near-dup / clustering operators
-    directly (operators/multimodal.py::embed_image)."""
-    d = _docs(spark, sf_dir)
-    return embed_image(binarize(d, "text", "doc_id"))
-    # No trailing sort: corpus-sized per-doc output.
+    """Multimodal → vector bridge on REAL pixels: synthesize one true
+    24-bit BMP per doc, run the real decode → integer-pixel-moment
+    feature extractor (operators/multimodal.py::embed_image_pixels).
+    The moments are the embedding (pixel_embedding_expr turns them
+    into the array<double> the ANN operators consume, Catalyst-side);
+    the graded output stays all-scalar int64 — the r5 lesson: an
+    array-typed column crashes the driver's pandas canonicalizer, so
+    no oracle row may emit array/map/struct (enforced by the
+    complex-type lint in tools/compare.py). The oracle restates each
+    moment in closed form from the corpus construction — a stride,
+    row-order, swizzle, or overflow bug in the real decode cannot
+    pass."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return embed_image_pixels(synthesize_image_corpus(d)).orderBy("doc_id")
 
 
 def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,12 +1364,6 @@ _RH = (
 _NGRAM_TERMS = " + ".join(
     f"(length(t) - length(replace(t, '{g}', ''))) / 2"
     for g in ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
-)
-
-_HEX2INT = (
-    "list_sum(list_transform([1, 2, 3, 4], i -> "
-    "(strpos('0123456789abcdef', substr({h}, {off} + i, 1)) - 1)"
-    " * CAST(pow(16, 4 - i) AS BIGINT)))"
 )
 
 ORACLES = {
@@ -2253,16 +2255,50 @@ ORACLES = {
             GROUP BY geo.doc_id)
         SELECT geo.doc_id, 'ppm' AS format,
                nw AS width, nh AS height,
-               3 * (nh * nw * base + nw * sum_r + nh * sum_c) AS sum_px
+               -- CAST: sum_r/sum_c are SUM(BIGINT) = HUGEINT in DuckDB;
+               -- uncast, the driver's pandas canonicalization turns the
+               -- column into float64 and every row hash-mismatches the
+               -- Spark bigint (CORRECTNESS_r05 red). Same pattern as
+               -- m_image_decode's sum_px above.
+               CAST(3 * (nh * nw * base + nw * sum_r + nh * sum_c)
+                    AS BIGINT) AS sum_px
         FROM geo JOIN idx USING (doc_id)
         ORDER BY doc_id
     """,
-    "m_image_embed": f"""
-        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+    # Pixel-moment embedding in closed form. pixel(r,c,ch) = b + r + c
+    # (synthesize_image_corpus), so with Sh = sum(r), Qh = sum(r^2),
+    # Sw/Qw likewise over columns:
+    #   sum_px   = 3(hwb + w*Sh + h*Sw)
+    #   sumsq_px = 3(hw b^2 + w*Qh + h*Qw + 2bw*Sh + 2bh*Sw + 2*Sh*Sw)
+    #   row_mom  = 3(wb*Sh + w*Qh + Sh*Sw)   col_mom symmetric
+    # All-integer: zero float drift, and every column CAST so DuckDB's
+    # HUGEINT promotion can't leak into the driver's pandas canon
+    # (the r5 m_resize lesson).
+    "m_image_embed": """
+        WITH g AS (
+            SELECT doc_id, doc_id % 200 AS b,
+                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+            FROM documents WHERE doc_id < 400),
+        s AS (
+            SELECT *,
+                   (h * (h - 1)) // 2 AS sh,
+                   ((h - 1) * h * (2 * h - 1)) // 6 AS qh,
+                   (w * (w - 1)) // 2 AS sw,
+                   ((w - 1) * w * (2 * w - 1)) // 6 AS qw
+            FROM g)
         SELECT doc_id,
-               [{", ".join(_HEX2INT.format(h='hh', off=str(4 * i)) + " / 65535.0"
-                           for i in range(8))}] AS embedding
-        FROM h
+               CAST(3 * (h * w * b + w * sh + h * sw) AS BIGINT) AS sum_px,
+               CAST(3 * (h * w * b * b + w * qh + h * qw
+                         + 2 * b * w * sh + 2 * b * h * sw
+                         + 2 * sh * sw) AS BIGINT) AS sumsq_px,
+               CAST(3 * (w * b * sh + w * qh + sh * sw) AS BIGINT)
+                   AS row_mom,
+               CAST(3 * (h * b * sw + h * qw + sh * sw) AS BIGINT)
+                   AS col_mom,
+               CAST(b AS INT) AS min_px,
+               CAST(b + h - 1 + w - 1 AS INT) AS max_px,
+               CAST(b + (h - 1) // 2 + (w - 1) // 2 AS INT) AS center_px
+        FROM s ORDER BY doc_id
     """,
     "m_frame_sample": """
         WITH h AS (

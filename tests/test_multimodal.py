@@ -258,3 +258,39 @@ def test_encode_wav_clips_out_of_range_samples():
     raw = np.floor(samples * 32768.0 + 0.5).astype(int).ravel()
     # saturated, not wrapped: 1.5 -> 32767, -1.5 -> -32768
     assert raw[0] == 32767 and raw[1] == -32768
+
+
+def test_embed_image_pixels_moments_brute_force(spark):
+    """The REAL feature extractor's integer moments must equal a
+    brute-force numpy recomputation over an independently-serialized
+    BMP (make_bmp, not the engine's encoder)."""
+    from andb_spark.operators.multimodal import (
+        embed_image_pixels,
+        pixel_embedding_expr,
+    )
+
+    payload = make_bmp(PX)
+    df = spark.createDataFrame([(7, bytearray(payload))],
+                               "doc_id bigint, payload binary")
+    row = embed_image_pixels(df).collect()[0]
+    px = PX.astype(np.int64)
+    h, w = px.shape[:2]
+    assert row["sum_px"] == px.sum()
+    assert row["sumsq_px"] == (px * px).sum()
+    assert row["row_mom"] == sum(
+        r * px[r].sum() for r in range(h)
+    )
+    assert row["col_mom"] == sum(
+        c * px[:, c].sum() for c in range(w)
+    )
+    assert (row["min_px"], row["max_px"]) == (px.min(), px.max())
+    assert row["center_px"] == px[(h - 1) // 2, (w - 1) // 2, 0]
+    # The Catalyst-side bridge: moments → array<double> embedding the
+    # ANN operators consume, no second Python pass.
+    emb = (
+        embed_image_pixels(df)
+        .select(pixel_embedding_expr().alias("embedding"))
+        .collect()[0]["embedding"]
+    )
+    assert len(emb) == 8 and all(isinstance(x, float) for x in emb)
+    assert emb[3] == px.min() / 255.0 and emb[4] == px.max() / 255.0
