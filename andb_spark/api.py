@@ -537,45 +537,61 @@ class AnalyticsEngine:
     def _acquire_warehouse_lock(self) -> None:
         """Take the per-warehouse advisory lock or fail fast.
 
-        O_CREAT|O_EXCL makes first acquisition atomic; on conflict the
-        owner pid decides: our own pid → re-entrant (another engine
-        object in this process — same writer), dead pid → stale lock
-        from a crashed owner, taken over via os.replace (atomic, so two
-        concurrent claimants race down to one winner file — both then
-        hold "the" lock only if their pids are both live, which the
-        live-owner check already rejected), live foreign pid → refuse.
-        ANDB_FORCE_RECOVERY=1 overrides for the pid-recycling case,
-        same escape as transaction recovery."""
+        The lock is a pid file; every read-check-claim of it runs under
+        an fcntl.flock-ed guard file, so the whole protocol is one
+        critical section — no TOCTOU between observing a stale owner
+        and claiming (the two prior designs both had one: tmp-file +
+        os.replace let the replace loser keep running, and rename-claim
+        let a slow claimant steal a winner's fresh live lock between
+        its create and the claimant's rename). The guard needs no
+        staleness handling of its own: the kernel drops flocks when
+        their holder dies, and the guard is held only for the few
+        microseconds of the claim protocol, never for the engine's
+        lifetime (so same-process re-entrancy — where flocks on two
+        fds of one file CONFLICT — just briefly blocks, then sees its
+        own pid and returns).
+
+        Owner-pid decision under the guard: our own pid → re-entrant
+        (another engine object in this process — same writer), absent /
+        torn / dead pid → claim, live foreign pid → refuse naming the
+        owner. ANDB_FORCE_RECOVERY=1 overrides the live-owner check for
+        the pid-recycling case, same escape as transaction recovery.
+        One engine process per warehouse; liveness rather than fencing
+        — advisory for cooperating engines, not a defense against
+        kill -9 followed by pid reuse (documented boundary)."""
+        import fcntl
+
         me = os.getpid()
-        payload = json.dumps({"pid": me})
+        gfd = os.open(self._lock_path + ".guard", os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            return
-        except FileExistsError:
-            pass
-        try:
-            owner = json.load(open(self._lock_path)).get("pid")
-        except (OSError, ValueError):
-            owner = None  # vanished or torn — treat as stale
-        if (
-            owner is not None
-            and owner != me
-            and _pid_alive(owner)
-            and not os.environ.get("ANDB_FORCE_RECOVERY")
-        ):
-            raise EngineError(
-                f"warehouse {self.warehouse} is locked by live process "
-                f"{owner}; one engine process per warehouse at a time "
-                f"(close() the other engine, or if that pid belongs to "
-                f"an unrelated process after a restart, set "
-                f"ANDB_FORCE_RECOVERY=1 to take the lock over)"
-            )
-        tmp = self._lock_path + f".tmp.{me}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, self._lock_path)
+            fcntl.flock(gfd, fcntl.LOCK_EX)
+            try:
+                owner = json.load(open(self._lock_path)).get("pid")
+            except (OSError, ValueError):
+                owner = None  # absent or torn — claimable
+            if owner == me:
+                return  # re-entrant within this process
+            if (
+                owner is not None
+                and _pid_alive(owner)
+                and not os.environ.get("ANDB_FORCE_RECOVERY")
+            ):
+                raise EngineError(
+                    f"warehouse {self.warehouse} is locked by live process "
+                    f"{owner}; one engine process per warehouse at a time "
+                    f"(close() the other engine, or if that pid belongs to "
+                    f"an unrelated process after a restart, set "
+                    f"ANDB_FORCE_RECOVERY=1 to take the lock over)"
+                )
+            # Claim: write-then-replace so the lock file is never
+            # observable without its pid, even by readers that do not
+            # take the guard.
+            tmp = self._lock_path + f".tmp.{me}"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"pid": me}))
+            os.replace(tmp, self._lock_path)
+        finally:
+            os.close(gfd)  # releases the flock
 
     def close(self) -> None:
         """Release the warehouse lock (if this process holds it) and
@@ -583,9 +599,16 @@ class AnalyticsEngine:
         afterwards for writes from another process until re-opened.
         Idempotent; never raises on a missing/foreign lock."""
         try:
-            owner = json.load(open(self._lock_path)).get("pid")
-            if owner == os.getpid():
-                os.remove(self._lock_path)
+            import fcntl
+
+            gfd = os.open(self._lock_path + ".guard", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(gfd, fcntl.LOCK_EX)  # same critical section
+                owner = json.load(open(self._lock_path)).get("pid")
+                if owner == os.getpid():
+                    os.remove(self._lock_path)
+            finally:
+                os.close(gfd)
         except (OSError, ValueError):
             pass
         from andb_spark.caching import release_caches

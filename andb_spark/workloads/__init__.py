@@ -32,94 +32,100 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # plus the LLM-pipeline extension families; every name here MUST have a
 # DuckDB oracle (a ``no_oracle`` entry can never turn green and would
 # burn a slot — the sketch queries live past position 50 on purpose).
+# ROTATION POLICY (standing invariant, VERDICT r5 #8): each round's 50
+# slots are filled in priority order —
+#   (a) every oracle-backed name NEVER driver-graded in any
+#       CORRECTNESS_r*.json,
+#   (b) every name whose query/oracle CHANGED since the last graded
+#       round (stale green evidence is no evidence),
+#   (c) the OLDEST-evidence remainder: names whose most recent green
+#       row is the most rounds old, so regressions can't hide in
+#       rotated-out rows indefinitely.
+# tests/test_registry.py enforces (a)+(c)'s freshness ledger below and
+# that every slot has an oracle; (b) is the builder's per-round diff
+# responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-5 rotation (VERDICT r4 #1): after four rounds, 99 distinct
-    # names carry driver-green evidence (each in its most recent
-    # appearance) while ~55 oracle-backed names had never been graded.
-    # This rotation spends ALL 50 slots on first-timers — prior
-    # evidence stays on record in CORRECTNESS_r0{1..4}.json — leaving
-    # only 7 never-graded names for r6 (t_source_stats,
-    # t_length_histogram, t_dup_rate_report, t_rolling_fingerprint,
-    # d_repeated_passages, p_sample_hash, v_quantize), chosen as the
-    # most family-redundant. Every name below passes the full local
-    # compare gate at sf0.01, the identical check the driver runs.
-    # sketch-invariant wrapper (bounded-error HLL++ boolean, new r5)
-    "q_approx_distinct_bound",
-    # TPC-H deep cuts — the aggregate-subquery / double-join shapes:
-    # correlated scalar-min (q2), group-HAVING vs scalar subquery
-    # (q11), two-table agg CASE (q12), view-max (q15), NOT-IN +
-    # count-distinct (q16), per-part AVG correlation (q17),
-    # nested-subquery semi-join (q20)
-    "q2_min_ship_supplier",
-    "q11_important_suppliers",
-    "q12_priority_class",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q20_excess_suppliers",
-    # forward as-of join (new r5 surface — direction='forward')
-    "a_asof_forward",
-    # dedup family: grouping/survivor/fingerprint variants, n-gram
-    # jaccard, raw simhash distances, decontamination, cross-source,
-    # incremental vs a stored band table
-    "d_exact_dup_groups",
-    "d_fingerprint_dup_groups",
-    "d_ngram_jaccard",
-    "d_dedup_survivors",
-    "d_simhash",
-    "d_decontaminate",
-    "d_cross_source_dups",
-    "d_incremental_dedup",
-    # text analysis: token stats, fingerprints, language n-grams,
-    # repetition/boilerplate/entropy screens, BPE-ish tokens, exact
-    # heavy hitters + the sketch-invariant wrapper (new r5)
-    "t_token_stats",
-    "t_fingerprint",
-    "t_lang_ngram",
-    "t_repetition",
-    "t_boilerplate",
-    "t_entropy",
-    "t_bpe_tokens",
-    "t_heavy_hitters",
-    "t_approx_topk_bound",
-    # pipeline: quality filter, stratified sampling, per-source caps,
-    # mixture planning, shard packing (two-phase prefix sum)
-    "p_quality_filter",
-    "p_sample_stratified",
-    "p_source_cap",
-    "p_mixture_plan",
-    "p_pack_shards",
-    # vectors: threshold near-dup pairs, metadata-filtered top-k, IVF
-    # assignment, cluster-scoped near-dup
-    "v_pairwise_near_dup",
-    "v_filtered_topk",
-    "v_ivf_assign",
-    "v_cluster_near_dup",
-    # multimodal: binary plumbing, the REAL resize round trip (new r5,
-    # no fake= anywhere), embedding bridge, 1→N frame sampling
-    "m_binary_meta",
+    # Round-6 rotation: r5 finished first-timer coverage except 7
+    # names; this round (a) grades those 7, (b) re-grades the three
+    # rows changed since r5 grading (m_resize oracle CAST fix,
+    # m_image_embed real pixel-moment rebuild, a_asof_tolerance new),
+    # and (c) spends the remaining 40 slots on the OLDEST evidence:
+    # all 24 oracle-backed r1-graded names, all 6 r2 names, 8 of the
+    # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
+    # the oldest of their families, pulled forward so the every-family-
+    # every-round cross-section holds; no u_/c_ name is older). The 6
+    # r3 names deferred to head r7's oldest list: q_having,
+    # q_in_subquery, q_join_semi, q_limit_offset, q_pivot, q_union_all
+    # (plus q_date_funcs, t_chunking which yielded slots below). After
+    # this round every oracle-backed name has been graded at least
+    # once. Every name below passes the full local compare gate
+    # at sf0.01 (the identical check the driver runs) including the
+    # driver-faithful pandas canon added in tools/compare.py.
+    #
+    # (a) the last 7 never-graded names
+    "d_repeated_passages",
+    "t_rolling_fingerprint",
+    "t_source_stats",
+    "t_dup_rate_report",
+    "t_length_histogram",
+    "p_sample_hash",
+    "v_quantize",
+    # (b) changed since their r5 grading / new this round
     "m_resize",
     "m_image_embed",
-    "m_frame_sample",
-    # streaming: batch rollup/sliding twins, stateful per-user
-    # sessions, and the four real readStream stateful queries that had
-    # ZERO driver evidence (dedup, stream-stream join, enrich,
-    # distinct) — §2.9's reference-parity claim gets driver proof
-    "s_daily_rollup",
-    "s_sliding",
-    "s_stateful_user",
-    "s_stream_dedup",
-    "s_stream_join",
-    "s_stream_enrich",
-    "s_stream_distinct",
-    # engine surface: TRUNCATE+OVERWRITE+RESTORE lifecycle, BEGIN..
-    # ROLLBACK/COMMIT abort semantics, metadata-only ALTER
-    "u_restore_timetravel",
-    "u_txn_rollback",
-    "u_alter_schema",
-    # system catalog: per-column view after ALTER + manifest-as-
-    # relation join (new r5)
-    "c_catalog_columns",
+    "a_asof_tolerance",
+    # (c) oldest evidence — r1-graded (4 rounds stale): TPC-H q6/q10/
+    # q14, anomaly screens, grouping cube/rollup, set ops, cross/outer
+    # joins, math/percentile/stats libraries, funnels/cohorts/gap-fill,
+    # skew-salted agg, window frames
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q14_type_revenue_ratio",
+    "q_anomaly_zscore",
+    "q_cube",
+    "q_distinct",
+    "q_function_scan",
+    "q_funnel",
+    "q_gapfill",
+    "q_global_agg",
+    "q_intersect",
+    "q_join_cross",
+    "q_join_left",
+    "q_join_right",
+    "q_math_funcs",
+    "q_percentiles",
+    "q_retention_cohorts",
+    "q_rollup",
+    "q_select_no_from",
+    "q_sessionize",
+    "q_skew_salted_agg",
+    "q_stats_agg",
+    "q_union_distinct",
+    "q_window_frames",
+    # (c) r2-graded (3 rounds stale): market share, subquery shapes,
+    # anti/theta joins, window navigation
+    "q8_market_share",
+    "q_exists_subquery",
+    "q_join_anti",
+    "q_join_theta",
+    "q_scalar_subquery",
+    "q_window_navigation",
+    # (c) r3-graded (2 rounds stale), incl. the bench-drift watch item
+    # d_incremental_minhash (VERDICT r5 #5)
+    "d_incremental_minhash",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q18_large_orders",
+    "s_tumbling",
+    "v_semantic_dedup",
+    # (c) r4-graded — the oldest engine/catalog names, keeping the
+    # every-family-every-round cross-section (q_date_funcs and
+    # t_chunking, r3, yield their slots; both families are covered
+    # above and they head r7's oldest list)
+    "u_dml_roundtrip",
+    "c_catalog_tables",
 )
 
 

@@ -1139,6 +1139,48 @@ def a_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def a_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of WITH tolerance (operators/asof.py:125-146, the
+    merge_asof `tolerance=` semantics): each purchase event joined to
+    the same user's most recent click, but only if it happened within
+    the trailing hour — older matches are masked back to NULL rather
+    than dropped (attribution with a freshness cutoff). Times go
+    through the epoch-seconds floor on BOTH sides (timestamp→long cast
+    here, date_diff('second') in the oracle) so the gap comparison is
+    exact integer arithmetic, not float. Same one-shuffle union+window
+    plan as the untolerated join — the mask is a window-local column,
+    no extra exchange."""
+    tune_for_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_s")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("long").alias("click_ts_s"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts_s",
+        right_time="click_ts_s",
+        payload_cols=["click_id", "click_ts_s"],
+        direction="backward",
+        right_tiebreak="click_id",
+        tolerance=3600,
+    )
+    # No trailing global sort (same rationale as a_asof_join).
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        (F.col("ts_s") - F.col("click_ts_s")).alias("gap_s"),
+    )
+
+
 # ----------------------------------------------------------- multimodal --
 def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column plumbing: byte length + checksum + head
@@ -1295,6 +1337,7 @@ QUERIES = {
     "p_pipeline_e2e": p_pipeline_e2e,
     "a_asof_join": a_asof_join,
     "a_asof_forward": a_asof_forward,
+    "a_asof_tolerance": a_asof_tolerance,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
     "m_image_meta": m_image_meta,
@@ -2117,6 +2160,20 @@ ORACLES = {
             ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 1
         ) ref ON TRUE
         ORDER BY e.event_id
+    """,
+    "a_asof_tolerance": """
+        SELECT p.event_id, p.user_id, ref.click_id,
+               CAST(date_diff('second', ref.cts, p.ts) AS BIGINT) AS gap_s
+        FROM events p LEFT JOIN LATERAL (
+            SELECT c.event_id AS click_id, c.ts AS cts
+            FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND date_diff('second', c.ts, p.ts) BETWEEN 0 AND 3600
+            ORDER BY date_diff('second', c.ts, p.ts) ASC,
+                     c.event_id DESC LIMIT 1
+        ) ref ON TRUE
+        WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id
     """,
     "a_range_join": """
         WITH p AS (

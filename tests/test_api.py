@@ -680,3 +680,49 @@ def test_warehouse_lock_single_writer(spark, tmp_path, monkeypatch):
     eng_b.close()  # not ours anymore — must not remove, must not raise
     assert _os.path.exists(lock)
     _os.remove(lock)
+
+
+def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
+    """ADVICE r5: N processes that all observe the SAME dead owner must
+    race down to exactly ONE live writer. The old tmp-file+os.replace
+    takeover let the replace loser keep running; the rename-claim
+    takeover serializes — losers re-loop, find the winner's live lock,
+    and refuse. Four concurrent claimants, exactly one WIN."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+    import textwrap
+
+    wh = str(tmp_path / "whrace")
+    _os.makedirs(wh, exist_ok=True)
+    lock = _os.path.join(wh, "_lock.json")
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    _json.dump({"pid": dead.pid}, open(lock, "w"))
+
+    script = textwrap.dedent(
+        """
+        import sys, time, types
+        sys.path.insert(0, sys.argv[3])
+        from andb_spark.api import AnalyticsEngine, EngineError
+        obj = types.SimpleNamespace(warehouse=sys.argv[1], _lock_path=sys.argv[2])
+        try:
+            AnalyticsEngine._acquire_warehouse_lock(obj)
+            print("WIN", flush=True)
+            time.sleep(10)  # hold the lock while slower-importing siblings race
+        except EngineError:
+            print("LOSE", flush=True)
+        """
+    )
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, wh, lock, repo],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(4)
+    ]
+    outcomes = [p.communicate(timeout=120)[0].strip() for p in procs]
+    assert sorted(outcomes) == ["LOSE", "LOSE", "LOSE", "WIN"], outcomes

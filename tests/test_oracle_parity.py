@@ -119,7 +119,7 @@ def test_coverage_doc_cites_only_real_queries():
         c
         for c in re.findall(r"`([a-z][a-z0-9_]*)`", text)
         # full query names: registry prefixes + an underscore payload
-        if re.match(r"^(q\d*_|[dtvmasp]_)", c)
+        if re.match(r"^(q\d*_|[dtvmaspuc]_)", c)
     }
     assert cited <= qs, f"stale COVERAGE.md citations: {sorted(cited - qs)}"
     # and the doc should mention the overwhelming majority of the registry

@@ -4,12 +4,33 @@ The driver grades exactly the first 50 entries of ``queries()`` in
 iteration order (proven in round 1: CORRECTNESS_r01's keys were
 ``list(all_queries())[:50]``). These tests pin the curated prefix so a
 refactor can't silently shuffle driver-invisible queries back into —
-or oracle-less queries into — the graded window.
+or oracle-less queries into — the graded window, and enforce the
+standing rotation policy documented at workloads/__init__.py
+(never-graded first, changed rows re-graded, oldest evidence next).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
+from andb_spark import workloads
 from andb_spark.workloads import DRIVER_SPOTLIGHT, all_oracles, all_queries
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _graded_history() -> dict[str, int]:
+    """name -> most recent round number with a driver CORRECTNESS row."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)
+        rnd = int(stem[len("CORRECTNESS_r"):].split(".")[0])
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def test_spotlight_is_exactly_50():
@@ -29,23 +50,86 @@ def test_every_spotlight_query_has_an_oracle():
 
 
 def test_spotlight_spans_every_family():
-    fams = {
-        "relational": ("q1_", "q_"),
-        "tpch_extra": ("q4_", "q13_", "q19_", "q21_", "q22_"),
-        "asof_range": ("a_",),
-        "dedup": ("d_",),
-        "text": ("t_",),
-        "pipeline": ("p_",),
-        "vectors": ("v_",),
-        "multimodal": ("m_",),
-        "streaming": ("s_",),
-        "dml_engine": ("u_",),
-        "catalog": ("c_",),
-    }
-    for fam, prefixes in fams.items():
-        assert any(
-            n.startswith(p) for n in DRIVER_SPOTLIGHT for p in prefixes
-        ), f"no {fam} query in the driver spotlight"
+    """Every name-prefix family in the registry appears in the graded
+    window, so each round's driver evidence is a cross-section of the
+    whole engine surface. Families are DERIVED from the registered
+    names (prefix before the first underscore: q/a/d/t/p/v/m/s/u/c),
+    not hardcoded per rotation — the r5 suite broke on exactly that
+    (VERDICT r5 "What's wrong" #3a: a stale q4_/q13_/... prefix list
+    outlived its rotation)."""
+    import re
+
+    # leading alphabetic run: q1_pricing_summary and q_cube are both
+    # family "q"; d_/t_/p_/v_/m_/s_/u_/c_ as themselves
+    fam = lambda n: re.match(r"[a-z]+", n).group(0)
+    registry_fams = {fam(n) for n in all_oracles()}
+    spotlight_fams = {fam(n) for n in DRIVER_SPOTLIGHT}
+    assert registry_fams <= spotlight_fams, (
+        f"families with no spotlight slot: {registry_fams - spotlight_fams}"
+    )
+
+
+def test_spotlight_grades_every_never_graded_oracle():
+    """Rotation policy (a): an oracle-backed query that has never
+    earned a driver CORRECTNESS row must be in the next graded window —
+    evidence debt is paid before anything else."""
+    last = _graded_history()
+    if not last:  # fresh clone without driver artifacts
+        return
+    never = [n for n in all_oracles() if n not in last]
+    missing = [n for n in never if n not in DRIVER_SPOTLIGHT]
+    assert missing == [], (
+        f"never-driver-graded oracle queries left out of the spotlight: "
+        f"{missing}"
+    )
+
+
+def test_spotlight_prefers_stale_evidence():
+    """Rotation policy (c): slots not spent on never-graded names go to
+    the oldest evidence. Mechanically: at most 5 slots may hold names
+    already graded in the MOST RECENT round — those are reserved for
+    policy (b) rows whose query/oracle changed since that grading."""
+    last = _graded_history()
+    if not last:
+        return
+    newest = max(last.values())
+    fresh = [n for n in DRIVER_SPOTLIGHT if last.get(n) == newest]
+    assert len(fresh) <= 5, (
+        f"{len(fresh)} spotlight slots re-grade round-{newest} names "
+        f"({fresh}); only changed rows (policy b) may do that"
+    )
+
+
+def test_no_complex_typed_oracle_output():
+    """No oracle-graded query may emit an array/map/struct column: the
+    driver's pandas canonicalizer crashes factorizing unhashable cells
+    (the r5 m_image_embed red row). This lints the DuckDB side of every
+    oracle via DESCRIBE (bind only, no execution); the Spark side of
+    the same lint runs in tools/compare.py over the built DataFrames."""
+    import duckdb
+
+    from conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    sf = SF_SMOKE
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{path}')"
+            )
+    bad = {}
+    for name, sql in all_oracles().items():
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        complex_cols = [
+            c[0] for c in cols
+            if any(k in c[1].upper() for k in ("[]", "STRUCT", "MAP", "LIST"))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert bad == {}, f"complex-typed oracle outputs: {bad}"
 
 
 def test_registry_is_complete():
