@@ -84,10 +84,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism before a
+    CPU-bound per-row stage.
+
+    The signature stage costs dozens of md5s per shingle, but it runs
+    at the SCAN's parallelism — and a small corpus is often one parquet
+    row group, so the whole stage lands on ONE core while the rest
+    idle (stage-level profile, SCALE.md §7 "Minhash drift, root-caused":
+    1-task 1.1–1.5 s stages under d_minhash_lsh at sf0.1). When the scan has fewer partitions
+    than default parallelism, pay one cheap shuffle of the raw rows to
+    spread the compute; at 100 TB the scan already carries thousands
+    of splits and this returns the frame untouched — no shuffle added.
+    The explicit repartition(N) is exempt from AQE coalescing, so the
+    fan-out survives the small-data estimate that caused it."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exploded_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, shingle) rows — the shared input of the signature and
-    verification stages."""
-    return df.select(
+    verification stages. Input is spread to full parallelism first
+    (the downstream per-shingle hashing dominates; see
+    spread_small_input)."""
+    return spread_small_input(df).select(
         F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
     )
 

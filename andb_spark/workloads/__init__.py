@@ -46,11 +46,12 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7, (b) re-grades the three
-    # rows changed since r5 grading (m_resize oracle CAST fix,
-    # m_image_embed real pixel-moment rebuild, a_asof_tolerance new),
-    # and (c) spends the remaining 40 slots on the OLDEST evidence:
-    # all 24 oracle-backed r1-graded names, all 6 r2 names, 8 of the
+    # names; this round (a) grades those 7, (b) re-grades the six
+    # rows changed since their last grading (m_resize oracle CAST fix,
+    # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
+    # plus the spread_small_input plan-changed trio), and (c) spends
+    # the remaining 37 slots on the OLDEST evidence: 21 of the 24
+    # oracle-backed r1-graded names, all 6 r2 names, 8 of the
     # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
     # the oldest of their families, pulled forward so the every-family-
     # every-round cross-section holds; no u_/c_ name is older). The 6
@@ -70,11 +71,24 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "t_length_histogram",
     "p_sample_hash",
     "v_quantize",
-    # (b) changed since their r5 grading / new this round
+    # (b) changed since their last grading / new this round. The
+    # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
+    # "Minhash drift, root-caused") re-plans every query that
+    # transitively calls exploded_shingles — d_minhash_lsh,
+    # d_lsh_recall_audit, d_dup_components (d_incremental_minhash
+    # already holds a (c) slot below). Semantics-preserving by
+    # construction (a repartition), and re-verified by the local
+    # gate, but policy (b) wants driver evidence for changed plans.
     "m_resize",
     "m_image_embed",
     "a_asof_tolerance",
-    # (c) oldest evidence — r1-graded (4 rounds stale): TPC-H q6/q10/
+    "d_minhash_lsh",
+    "d_lsh_recall_audit",
+    "d_dup_components",
+    # (c) oldest evidence — r1-graded (4 rounds stale; q_distinct,
+    # q_global_agg, q_select_no_from yielded their slots to the (b)
+    # plan-changed trio — their surfaces are pinned by local tests
+    # and they head r7's oldest list): TPC-H q6/q10/
     # q14, anomaly screens, grouping cube/rollup, set ops, cross/outer
     # joins, math/percentile/stats libraries, funnels/cohorts/gap-fill,
     # skew-salted agg, window frames
@@ -83,11 +97,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q14_type_revenue_ratio",
     "q_anomaly_zscore",
     "q_cube",
-    "q_distinct",
     "q_function_scan",
     "q_funnel",
     "q_gapfill",
-    "q_global_agg",
     "q_intersect",
     "q_join_cross",
     "q_join_left",
@@ -96,7 +108,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_percentiles",
     "q_retention_cohorts",
     "q_rollup",
-    "q_select_no_from",
     "q_sessionize",
     "q_skew_salted_agg",
     "q_stats_agg",

@@ -110,7 +110,32 @@ HEADLINE_R04 = (
     "u_alter_schema",
 )
 
-HEADLINE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
+# Queries rotated into the driver spotlight in r5/r6 that carry no
+# wall-time history yet — one representative per new surface (the rest
+# of those rotations are variants of already-tracked plans). Timed and
+# reported in the per-query map like everything else, but kept OUT of
+# headline_total_sec / the spread-vs-previous-rounds comparison: the
+# cross-round total must sum the SAME query set or every extension
+# reads as a regression. Their subtotal is r06_extension_sec.
+HEADLINE_R06 = (
+    "q2_min_ship_supplier",     # correlated scalar-min join-back
+    "q20_excess_suppliers",     # nested-subquery semi-join
+    "a_asof_forward",           # forward as-of walk
+    "a_asof_tolerance",         # tolerance-masked as-of
+    "d_ngram_jaccard",          # inverted-index exact Jaccard
+    "d_dedup_survivors",        # pairs -> components -> anti-join
+    "v_pairwise_near_dup",      # threshold near-dup pairs
+    "v_filtered_topk",          # metadata-filtered ANN
+    "m_resize",                 # real decode->resize->re-encode chain
+    "m_image_embed",            # real pixel-moment embedding
+    "p_pack_shards",            # two-phase prefix-sum shard packing
+    "t_heavy_hitters",          # exact heavy hitters
+)
+
+HEADLINE = (
+    HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04 + HEADLINE_R06
+)
+COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
 # Below this per-query floor a max/min ratio measures GC pauses, not
 # the query (a 200 ms stall at 0.28 s reads as 1.7x): such queries are
@@ -187,8 +212,11 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    total = round(sum(timings.values()), 3)
+    # headline_total_sec sums the r1-r4 set only (cross-round
+    # comparable); the r6 extension reports its own subtotal.
+    total = round(sum(timings[n] for n in COMPARABLE), 3)
     r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
+    r06_ext = round(sum(timings[n] for n in HEADLINE_R06), 3)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
     # driver's tail capture and arrived truncated mid-JSON
@@ -214,6 +242,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "r01_subset_sec": r01,
+                "r06_extension_sec": r06_ext,
                 "n_runs": n_runs,
             }
         )
