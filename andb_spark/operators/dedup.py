@@ -654,10 +654,16 @@ def connected_components(
         nbr_min = und.join(labels, und.v == labels.node).groupBy("u").agg(
             F.min("component_id").alias("nbr_label")
         )
+        # Carry the previous label through the checkpoint so the
+        # convergence check is a filter-count over already-materialized
+        # rows — NOT a fresh old-vs-new shuffle join (which cost a
+        # whole extra job per iteration; the count now reuses the
+        # checkpoint the propagation step paid for anyway).
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
+                F.col("component_id").alias("_prev"),
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_label"), F.col("component_id")),
@@ -665,13 +671,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component_id") != F.col("_prev")
+        ).count()
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     else:
