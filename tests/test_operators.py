@@ -504,6 +504,90 @@ def test_asof_join_forward_and_tolerance(spark):
         run(direction="nearest")
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property-based differential: asof_join agrees with
+    pandas.merge_asof on randomized inputs across both directions and
+    tolerance settings. Right-side (key, time) pairs are unique so tie
+    semantics stay out of scope (pandas breaks ties by input order,
+    ours by right_tiebreak — the deterministic tests above pin OUR tie
+    rule); everything else — match selection, inclusive bounds,
+    tolerance masking, unmatched-NULL — must agree exactly."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @st.composite
+    def case(draw):
+        left = draw(
+            st.lists(
+                st.tuples(st.sampled_from([1, 2]), st.integers(0, 30)),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        right = draw(
+            st.lists(
+                st.tuples(st.sampled_from([1, 2]), st.integers(0, 30)),
+                min_size=0,
+                max_size=12,
+                unique=True,
+            )
+        )
+        direction = draw(st.sampled_from(["backward", "forward"]))
+        tol = draw(st.sampled_from([None, 0, 3, 100]))
+        return left, right, direction, tol
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(case())
+    def check(c):
+        lrows, rrows, direction, tol = c
+        lpdf = pd.DataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lrows)],
+            columns=["lid", "k", "t"],
+        )
+        rpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(rrows)],
+            columns=["rk", "rt", "rid"],
+        ).astype("int64")  # an empty frame defaults to object dtype,
+        # which merge_asof rejects against int64
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf)
+                if len(rpdf)
+                else spark.createDataFrame([], "rk int, rt int, rid int"),
+                "k",
+                "rk",
+                "t",
+                "rt",
+                ["rid"],
+                direction=direction,
+                tolerance=tol,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpdf.sort_values("t", kind="stable"),
+            rpdf.sort_values("rt", kind="stable"),
+            left_on="t",
+            right_on="rt",
+            left_by="k",
+            right_by="rk",
+            direction=direction,
+            tolerance=tol,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in want_df.itertuples()
+        }
+        assert got == want, (lrows, rrows, direction, tol)
+
+    check()
+
+
 def test_multimodal_stub_and_fake_decode(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes")
