@@ -24,6 +24,7 @@ from andb_spark.operators.multimodal import (
     extract_audio_meta,
     extract_image_meta,
     image_pixel_stats,
+    pixel_embedding_expr,
     resize_payloads,
     sample_frames,
     synthesize_audio_corpus,
@@ -1258,6 +1259,52 @@ def m_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_image_pixels(synthesize_image_corpus(d)).orderBy("doc_id")
 
 
+def m_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → ANN end-to-end: real BMP decode → pixel-moment
+    embedding (pixel_embedding_expr's array<double>) → cosine top-5
+    per probe image. The whole bridge graded in one row: a bug in the
+    decode, the moment math, the Catalyst normalization, or the
+    cosine ranking breaks it. Probes are O(1) and broadcast; the
+    candidate side is one scan — the filtered-brute-force shape.
+    (At corpus scale the ranking tail swaps to the TakeOrdered tower
+    of v_knn_join; the decode→embed stages are unchanged.) Scores
+    round to 6 dp with doc_id tiebreak, the registry-wide float
+    convention. The oracle recomputes the embedding from the corpus'
+    closed-form integer moments and states the same left-associative
+    dot/norm arithmetic, so both engines run identical IEEE ops."""
+    from pyspark.sql import Window
+
+    from andb_spark.functions.vector import cosine_similarity
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    emb = embed_image_pixels(synthesize_image_corpus(d)).select(
+        "doc_id", pixel_embedding_expr().alias("emb")
+    )
+    probes = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    scored = (
+        emb.filter(F.col("doc_id") >= 3)
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.round(
+                cosine_similarity(F.col("emb"), F.col("probe_emb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "rnk", "doc_id", "cos_sim")
+        .orderBy("probe_id", "rnk")
+    )
+
+
 def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-graded: synthesize one true 24-bit BMP
     per doc (dimensions + pixels closed-form in doc_id —
@@ -1346,6 +1393,7 @@ QUERIES = {
     "m_audio_decode": m_audio_decode,
     "m_resize": m_resize,
     "m_image_embed": m_image_embed,
+    "m_embed_topk": m_embed_topk,
     "m_frame_sample": m_frame_sample,
 }
 
@@ -2356,6 +2404,67 @@ ORACLES = {
                CAST(b + h - 1 + w - 1 AS INT) AS max_px,
                CAST(b + (h - 1) // 2 + (w - 1) // 2 AS INT) AS center_px
         FROM s ORDER BY doc_id
+    """,
+    "m_embed_topk": """
+        WITH g AS (
+            SELECT doc_id, doc_id % 200 AS b,
+                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+            FROM documents WHERE doc_id < 400),
+        s AS (
+            SELECT *,
+                   (h * (h - 1)) // 2 AS sh,
+                   ((h - 1) * h * (2 * h - 1)) // 6 AS qh,
+                   (w * (w - 1)) // 2 AS sw,
+                   ((w - 1) * w * (2 * w - 1)) // 6 AS qw
+            FROM g),
+        m AS (
+            SELECT doc_id,
+                   3 * (h * w * b + w * sh + h * sw) AS sum_px,
+                   3 * (h * w * b * b + w * qh + h * qw
+                        + 2 * b * w * sh + 2 * b * h * sw
+                        + 2 * sh * sw) AS sumsq_px,
+                   3 * (w * b * sh + w * qh + sh * sw) AS row_mom,
+                   3 * (h * b * sw + h * qw + sh * sw) AS col_mom,
+                   b AS min_px,
+                   b + h - 1 + w - 1 AS max_px,
+                   b + (h - 1) // 2 + (w - 1) // 2 AS center_px
+            FROM s),
+        e AS (
+            SELECT doc_id,
+                   sum_px / (sumsq_px + 1.0) AS e1,
+                   row_mom / (sum_px + 1.0) AS e2,
+                   col_mom / (sum_px + 1.0) AS e3,
+                   min_px / 255.0 AS e4,
+                   max_px / 255.0 AS e5,
+                   center_px / 255.0 AS e6,
+                   (max_px - min_px) / 255.0 AS e7,
+                   sum_px / (1.0 + max_px) AS e8
+            FROM m),
+        p AS (
+            SELECT doc_id AS probe_id, e1 AS p1, e2 AS p2, e3 AS p3,
+                   e4 AS p4, e5 AS p5, e6 AS p6, e7 AS p7, e8 AS p8
+            FROM e WHERE doc_id < 3),
+        sc AS (
+            SELECT p.probe_id, c.doc_id,
+                   round((0.0 + c.e1 * p.p1 + c.e2 * p.p2 + c.e3 * p.p3
+                          + c.e4 * p.p4 + c.e5 * p.p5 + c.e6 * p.p6
+                          + c.e7 * p.p7 + c.e8 * p.p8)
+                         / (sqrt(0.0 + c.e1 * c.e1 + c.e2 * c.e2
+                                 + c.e3 * c.e3 + c.e4 * c.e4 + c.e5 * c.e5
+                                 + c.e6 * c.e6 + c.e7 * c.e7 + c.e8 * c.e8)
+                            * sqrt(0.0 + p.p1 * p.p1 + p.p2 * p.p2
+                                   + p.p3 * p.p3 + p.p4 * p.p4
+                                   + p.p5 * p.p5 + p.p6 * p.p6
+                                   + p.p7 * p.p7 + p.p8 * p.p8)),
+                         6) AS cos_sim
+            FROM e c CROSS JOIN p WHERE c.doc_id >= 3),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, doc_id
+            ) AS rnk
+            FROM sc)
+        SELECT probe_id, CAST(rnk AS INT) AS rnk, doc_id, cos_sim
+        FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk
     """,
     "m_frame_sample": """
         WITH h AS (
