@@ -1277,8 +1277,13 @@ def m_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from andb_spark.functions.vector import cosine_similarity
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
-    emb = embed_image_pixels(synthesize_image_corpus(d)).select(
-        "doc_id", pixel_embedding_expr().alias("emb")
+    # persist: probes and candidates branch from the same lineage, and
+    # the doc_id<3 probe filter cannot push through mapInPandas — an
+    # uncached split would run the Python decode+embed stage twice
+    emb = DD._persist_tracked(
+        embed_image_pixels(synthesize_image_corpus(d)).select(
+            "doc_id", pixel_embedding_expr().alias("emb")
+        )
     )
     probes = emb.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("probe_id"), F.col("emb").alias("probe_emb")
@@ -1456,6 +1461,38 @@ _NGRAM_TERMS = " + ".join(
     f"(length(t) - length(replace(t, '{g}', ''))) / 2"
     for g in ("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd")
 )
+# Shared closed-form pixel-moment prefix for the synthesized BMP corpus
+# (operators/multimodal.py::synthesize_image_corpus): geometry g,
+# partial sums s, and the seven integer moments m. BOTH multimodal
+# embedding oracles (m_image_embed, m_embed_topk) build on this one
+# definition — the r5 m_resize lesson: duplicated oracle arithmetic
+# means a fix lands in one copy and the other row silently grades
+# against a stale oracle.
+PIXEL_MOMENTS_CTE = """
+        WITH g AS (
+            SELECT doc_id, doc_id % 200 AS b,
+                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+            FROM documents WHERE doc_id < 400),
+        s AS (
+            SELECT *,
+                   (h * (h - 1)) // 2 AS sh,
+                   ((h - 1) * h * (2 * h - 1)) // 6 AS qh,
+                   (w * (w - 1)) // 2 AS sw,
+                   ((w - 1) * w * (2 * w - 1)) // 6 AS qw
+            FROM g),
+        m AS (
+            SELECT doc_id,
+                   3 * (h * w * b + w * sh + h * sw) AS sum_px,
+                   3 * (h * w * b * b + w * qh + h * qw
+                        + 2 * b * w * sh + 2 * b * h * sw
+                        + 2 * sh * sw) AS sumsq_px,
+                   3 * (w * b * sh + w * qh + sh * sw) AS row_mom,
+                   3 * (h * b * sw + h * qw + sh * sw) AS col_mom,
+                   b AS min_px,
+                   b + h - 1 + w - 1 AS max_px,
+                   b + (h - 1) // 2 + (w - 1) // 2 AS center_px
+            FROM s)"""
+
 
 ORACLES = {
     # Sketch invariant wrapper: the Spark side computes exact booleans
@@ -2379,56 +2416,18 @@ ORACLES = {
     # All-integer: zero float drift, and every column CAST so DuckDB's
     # HUGEINT promotion can't leak into the driver's pandas canon
     # (the r5 m_resize lesson).
-    "m_image_embed": """
-        WITH g AS (
-            SELECT doc_id, doc_id % 200 AS b,
-                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
-            FROM documents WHERE doc_id < 400),
-        s AS (
-            SELECT *,
-                   (h * (h - 1)) // 2 AS sh,
-                   ((h - 1) * h * (2 * h - 1)) // 6 AS qh,
-                   (w * (w - 1)) // 2 AS sw,
-                   ((w - 1) * w * (2 * w - 1)) // 6 AS qw
-            FROM g)
+    "m_image_embed": f"""{PIXEL_MOMENTS_CTE}
         SELECT doc_id,
-               CAST(3 * (h * w * b + w * sh + h * sw) AS BIGINT) AS sum_px,
-               CAST(3 * (h * w * b * b + w * qh + h * qw
-                         + 2 * b * w * sh + 2 * b * h * sw
-                         + 2 * sh * sw) AS BIGINT) AS sumsq_px,
-               CAST(3 * (w * b * sh + w * qh + sh * sw) AS BIGINT)
-                   AS row_mom,
-               CAST(3 * (h * b * sw + h * qw + sh * sw) AS BIGINT)
-                   AS col_mom,
-               CAST(b AS INT) AS min_px,
-               CAST(b + h - 1 + w - 1 AS INT) AS max_px,
-               CAST(b + (h - 1) // 2 + (w - 1) // 2 AS INT) AS center_px
-        FROM s ORDER BY doc_id
+               CAST(sum_px AS BIGINT) AS sum_px,
+               CAST(sumsq_px AS BIGINT) AS sumsq_px,
+               CAST(row_mom AS BIGINT) AS row_mom,
+               CAST(col_mom AS BIGINT) AS col_mom,
+               CAST(min_px AS INT) AS min_px,
+               CAST(max_px AS INT) AS max_px,
+               CAST(center_px AS INT) AS center_px
+        FROM m ORDER BY doc_id
     """,
-    "m_embed_topk": """
-        WITH g AS (
-            SELECT doc_id, doc_id % 200 AS b,
-                   4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
-            FROM documents WHERE doc_id < 400),
-        s AS (
-            SELECT *,
-                   (h * (h - 1)) // 2 AS sh,
-                   ((h - 1) * h * (2 * h - 1)) // 6 AS qh,
-                   (w * (w - 1)) // 2 AS sw,
-                   ((w - 1) * w * (2 * w - 1)) // 6 AS qw
-            FROM g),
-        m AS (
-            SELECT doc_id,
-                   3 * (h * w * b + w * sh + h * sw) AS sum_px,
-                   3 * (h * w * b * b + w * qh + h * qw
-                        + 2 * b * w * sh + 2 * b * h * sw
-                        + 2 * sh * sw) AS sumsq_px,
-                   3 * (w * b * sh + w * qh + sh * sw) AS row_mom,
-                   3 * (h * b * sw + h * qw + sh * sw) AS col_mom,
-                   b AS min_px,
-                   b + h - 1 + w - 1 AS max_px,
-                   b + (h - 1) // 2 + (w - 1) // 2 AS center_px
-            FROM s),
+    "m_embed_topk": f"""{PIXEL_MOMENTS_CTE},
         e AS (
             SELECT doc_id,
                    sum_px / (sumsq_px + 1.0) AS e1,

@@ -128,6 +128,7 @@ HEADLINE_R06 = (
     "v_filtered_topk",          # metadata-filtered ANN
     "m_resize",                 # real decode->resize->re-encode chain
     "m_image_embed",            # real pixel-moment embedding
+    "m_embed_topk",             # decode->embed->cosine-topk bridge
     "p_pack_shards",            # two-phase prefix-sum shard packing
     "t_heavy_hitters",          # exact heavy hitters
 )
