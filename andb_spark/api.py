@@ -2025,6 +2025,22 @@ class AnalyticsEngine:
         re.I,
     )
 
+    # AS-OF JOIN SQL surface (DuckDB-compatible subset):
+    #   FROM <lt> [<la>] ASOF [LEFT] JOIN <rt> [<ra>]
+    #     ON [<eq> AND ...] <la>.<t> >= <ra>.<t2>   (backward)
+    #                       <la>.<t> <= <ra>.<t2>   (forward)
+    # Spark has no ASOF JOIN; the clause is rewritten onto the
+    # union+window operator (operators/asof.py) materialized as a
+    # per-statement temp view — the same pattern as VERSION AS OF.
+    _ASOF_RE = re.compile(
+        r"\bfrom\s+(?P<lt>\w+)(?:\s+(?!asof\b)(?P<la>\w+))?"
+        r"\s+asof\s+(?P<left>left\s+)?join\s+"
+        r"(?P<rt>\w+)(?:\s+(?!on\b)(?P<ra>\w+))?"
+        r"\s+on\s+(?P<conds>.+?)"
+        r"(?=\s+(?:where|group|order|limit)\b|\s*$)",
+        re.I | re.S,
+    )
+
     # Read-side data skipping: `SELECT ... FROM <one managed table>
     # WHERE <cond> ...` — the adjacency `from <name> where` rules out
     # joins, aliases, and subquery sources by construction.
@@ -2101,6 +2117,119 @@ class AnalyticsEngine:
             tmp,
         )
 
+    def _rewrite_asof(self, stmt: str) -> tuple[str, list[str]]:
+        """Materialize every ASOF JOIN clause into a temp view and
+        substitute it into the statement (view columns = left columns +
+        non-colliding right columns, unqualified — alias qualifiers in
+        the rest of the statement are stripped). Inner ASOF drops
+        unmatched probes (DuckDB semantics); ASOF LEFT keeps them with
+        NULLs. Right rows must be unique per (keys, time) for a
+        deterministic result, as in DuckDB. Returns the rewritten
+        statement and the views to drop after materialization."""
+        from andb_spark.operators.asof import asof_join
+
+        views: list[str] = []
+
+        def _sub(m: re.Match) -> str:
+            lt, rt = m.group("lt"), m.group("rt")
+            la = m.group("la") or lt
+            ra = m.group("ra") or rt
+            eqs: list[tuple[str, str]] = []
+            ineq: tuple[str, str, str] | None = None
+            flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}
+            for cond in re.split(r"\s+and\s+", m.group("conds").strip(),
+                                 flags=re.I):
+                cm = re.match(
+                    r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*"
+                    r"(\w+)\.(\w+)\s*$",
+                    cond,
+                )
+                if not cm:
+                    raise EngineError(
+                        f"ASOF JOIN: unsupported ON condition {cond!r} "
+                        f"(need alias.col <op> alias.col)"
+                    )
+                a_al, a_col, op, b_al, b_col = cm.groups()
+                if (a_al, b_al) == (la, ra):
+                    lcol, rcol, o = a_col, b_col, op
+                elif (a_al, b_al) == (ra, la):
+                    lcol, rcol, o = b_col, a_col, flip[op]
+                else:
+                    raise EngineError(
+                        f"ASOF JOIN: condition {cond!r} must relate "
+                        f"{la!r} to {ra!r}"
+                    )
+                if o == "=":
+                    eqs.append((lcol, rcol))
+                elif o in (">=", "<="):
+                    if ineq is not None:
+                        raise EngineError(
+                            "ASOF JOIN: more than one time inequality"
+                        )
+                    ineq = (lcol, rcol,
+                            "backward" if o == ">=" else "forward")
+                else:
+                    raise EngineError(
+                        "ASOF JOIN: the time condition must be inclusive"
+                        " (>= or <=) — strict bounds are not supported"
+                    )
+            if ineq is None:
+                raise EngineError("ASOF JOIN: no time inequality in ON")
+            ltime, rtime, direction = ineq
+
+            left_df, right_df = self.spark.table(lt), self.spark.table(rt)
+            key = "_asof_k"
+            if eqs:
+                left_df = left_df.withColumn(
+                    key, F.struct(*[F.col(c) for c, _ in eqs])
+                )
+                # right NULL key fields match nothing (SQL equi
+                # semantics — struct equality would otherwise pair
+                # NULL with NULL); left NULLs stay and match nothing.
+                right_df = right_df
+                for _, c in eqs:
+                    right_df = right_df.filter(F.col(c).isNotNull())
+                right_df = right_df.withColumn(
+                    key, F.struct(*[F.col(c) for _, c in eqs])
+                )
+            else:  # pure time as-of, one global sequence
+                left_df = left_df.withColumn(key, F.lit(1))
+                right_df = right_df.withColumn(key, F.lit(1))
+            marker = "_asof_m"
+            right_df = right_df.withColumn(marker, F.lit(1))
+            taken = set(left_df.columns)
+            payload = [
+                c for c in right_df.columns
+                if c not in taken and c != key
+            ]
+            out = asof_join(
+                left_df, right_df, key, key, ltime, rtime, payload,
+                direction=direction,
+            ).drop(key)
+            if not m.group("left"):
+                # inner ASOF: drop unmatched probes via the carried
+                # marker (payload values may be legitimately NULL)
+                out = out.filter(F.col(marker).isNotNull())
+            out = out.drop(marker)
+            view = f"_asof_{uuid.uuid4().hex[:8]}"
+            out.createOrReplaceTempView(view)
+            views.append(view)
+            return f"from {view}"
+
+        new_stmt = self._ASOF_RE.sub(_sub, stmt)
+        if views:
+            # view columns are unqualified: strip the join aliases
+            # (and base-table qualifiers) from the remaining statement
+            m0 = self._ASOF_RE.search(stmt)
+            quals = {m0.group("lt"), m0.group("rt"),
+                     m0.group("la") or m0.group("lt"),
+                     m0.group("ra") or m0.group("rt")}
+            for q in quals:
+                new_stmt = re.sub(
+                    rf"\b{re.escape(q)}\.", "", new_stmt, flags=re.I
+                )
+        return new_stmt, views
+
     def _select(self, stmt: str) -> Result:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
@@ -2142,10 +2271,11 @@ class AnalyticsEngine:
             return view
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
+        stmt, asof_views = self._rewrite_asof(stmt)
         try:
             return self._select_resolved(stmt)
         finally:
-            for v in version_views:  # bounded: no per-query leak
+            for v in version_views + asof_views:  # bounded: no per-query leak
                 self.spark.catalog.dropTempView(v)
 
     def _select_resolved(self, stmt: str) -> Result:
@@ -2258,7 +2388,8 @@ class AnalyticsEngine:
             # table — the Spark analog of the reference portal's
             # per-operator actual_rows/elapsed instrumentation
             # (portal.py:93-118, physical/base.py:22-24).
-            df = self.spark.sql(ana.group(1))
+            run_sql, asof_views = self._rewrite_asof(ana.group(1))
+            df = self.spark.sql(run_sql)
             t0 = time.perf_counter()
             # Execute THIS queryExecution's physical plan without
             # materializing rows on the driver: toRdd() runs the same
@@ -2270,6 +2401,8 @@ class AnalyticsEngine:
             n = df._jdf.queryExecution().toRdd().count()
             dt = time.perf_counter() - t0
             jplan = df._jdf.queryExecution().executedPlan()
+            for v in asof_views:
+                self.spark.catalog.dropTempView(v)
             return Result(
                 columns=[
                     "Physical Plan", "rows", "elapsed_sec", "Operator Metrics"
@@ -2282,6 +2415,7 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
+        inner, asof_views = self._rewrite_asof(inner)
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:
@@ -2315,6 +2449,8 @@ class AnalyticsEngine:
         finally:
             if tmp:
                 self.spark.catalog.dropTempView(tmp)
+            for v in asof_views:
+                self.spark.catalog.dropTempView(v)
         # Two-column, logical + physical — the reference's EXPLAIN output
         # shape (portal.py:124-128).
         return Result(

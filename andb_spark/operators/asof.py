@@ -143,7 +143,14 @@ def asof_join(
             F.when(gap <= F.lit(tolerance), F.col("_ref")),
         )
     probes = carried.filter(F.col("_is_probe") == 1)
+    # SQL comparison semantics: a NULL probe time satisfies neither
+    # t >= ref_t nor t <= ref_t, so such probes match NOTHING. Without
+    # the mask the forward walk would hand them a carry: desc ordering
+    # sorts null times LAST, after every reference row. (Backward asc
+    # sorts them first, before any carry exists — safe by accident,
+    # masked anyway for symmetry.)
+    ref_ok = F.col("_t").isNotNull()
     out_cols = [F.col(f"_left.{c}").alias(c) for c in lcols] + [
-        F.col(f"_ref.{c}").alias(c) for c in payload_cols
+        F.when(ref_ok, F.col(f"_ref.{c}")).alias(c) for c in payload_cols
     ]
     return probes.select(*out_cols)

@@ -271,6 +271,39 @@ def c_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
+
+def u_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ASOF JOIN SQL surface (api.py::_rewrite_asof —
+    DuckDB-compatible subset rewritten onto the union+window operator),
+    graded against DuckDB's NATIVE ASOF JOIN: CTAS a purchases slice
+    and a clicks slice of ``events`` with microsecond epochs (unique
+    per (user, us) in the corpus — deterministic without a tiebreak),
+    then each purchase takes the user's most recent click at-or-before
+    it. Inner ASOF semantics: purchases with no prior click drop."""
+    eng = AnalyticsEngine(
+        _scratch("andb_asof_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table asof_p as select event_id, user_id,"
+        " unix_micros(ts) as t_us from events"
+        " where event_type = 'purchase'"
+    )
+    e(
+        "create table asof_c as select event_id as click_id, user_id,"
+        " unix_micros(ts) as c_us from events where event_type = 'click'"
+    )
+    r = e(
+        "select event_id, p.user_id, click_id, c_us from asof_p p"
+        " asof join asof_c c on p.user_id = c.user_id"
+        " and p.t_us >= c.c_us order by event_id"
+    )
+    return spark.createDataFrame(
+        r.rows, "event_id bigint, user_id bigint, click_id bigint,"
+        " c_us bigint"
+    )
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -280,9 +313,24 @@ QUERIES = {
     "u_clone_snapshot": u_clone_snapshot,
     "c_catalog_tables": c_catalog_tables,
     "c_catalog_columns": c_catalog_columns,
+    "u_asof_sql": u_asof_sql,
 }
 
 ORACLES = {
+    "u_asof_sql": """
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, c.click_id, c.c_us
+        FROM p ASOF JOIN c
+          ON p.user_id = c.user_id AND p.t_us >= c.c_us
+        ORDER BY p.event_id
+    """,
     "u_txn_rollback": """
         SELECT o_orderkey,
                CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1

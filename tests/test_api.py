@@ -682,6 +682,83 @@ def test_warehouse_lock_single_writer(spark, tmp_path, monkeypatch):
     _os.remove(lock)
 
 
+def test_asof_join_sql_surface(spark, tmp_path):
+    """ASOF JOIN SQL (api.py::_rewrite_asof, DuckDB-compatible subset):
+    backward (t >= t2) and forward (t <= t2) directions, inner drops
+    unmatched probes while LEFT keeps them with NULLs, equality keys
+    compose, EXPLAIN shows the union+window plan, and malformed ON
+    clauses fail loudly. Expected rows verified against DuckDB's
+    native ASOF JOIN (the oracle row u_asof_sql grades the same
+    surface at corpus scale)."""
+    eng = AnalyticsEngine(str(tmp_path / "whasof"), spark=spark)
+    e = eng.execute
+    e("create table trades (tid int, sym varchar(8), t int)")
+    e(
+        "insert into trades values (1,'A',3),(2,'A',7),(3,'B',5),"
+        "(4,'B',1),(5,'C',9)"
+    )
+    e("create table quotes (sym varchar(8), qt int, px double)")
+    e("insert into quotes values ('A',2,1.5),('A',6,1.7),('B',4,2.0),('B',8,2.2)")
+
+    inner = e(
+        "select tid, qt, px from trades tr asof join quotes q"
+        " on tr.sym = q.sym and tr.t >= q.qt order by tid"
+    )
+    assert inner.rows == [(1, 2, 1.5), (2, 6, 1.7), (3, 4, 2.0)]
+
+    left = e(
+        "select tid, qt, px from trades tr asof left join quotes q"
+        " on tr.sym = q.sym and tr.t >= q.qt order by tid"
+    )
+    assert left.rows == [
+        (1, 2, 1.5), (2, 6, 1.7), (3, 4, 2.0),
+        (4, None, None), (5, None, None),
+    ]
+
+    fwd = e(
+        "select tid, qt, px from trades tr asof join quotes q"
+        " on tr.sym = q.sym and tr.t <= q.qt order by tid"
+    )
+    assert fwd.rows == [(1, 6, 1.7), (3, 8, 2.2), (4, 4, 2.0)]
+
+    # flipped operand order normalizes (q.qt <= tr.t == tr.t >= q.qt)
+    flipped = e(
+        "select tid, qt, px from trades tr asof join quotes q"
+        " on q.sym = tr.sym and q.qt <= tr.t order by tid"
+    )
+    assert flipped.rows == inner.rows
+
+    # EXPLAIN goes through the same rewrite: union+window plan, no error
+    ex = e(
+        "explain select tid, px from trades tr asof join quotes q"
+        " on tr.sym = q.sym and tr.t >= q.qt"
+    )
+    assert "Window" in ex.rows[0][1]
+
+    # the per-statement temp views are dropped (bounded, no leak)
+    leftovers = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("_asof_")
+    ]
+    assert leftovers == []
+
+    with pytest.raises(EngineError, match="inclusive"):
+        e(
+            "select tid from trades tr asof join quotes q"
+            " on tr.sym = q.sym and tr.t > q.qt"
+        )
+    with pytest.raises(EngineError, match="no time inequality"):
+        e(
+            "select tid from trades tr asof join quotes q"
+            " on tr.sym = q.sym"
+        )
+    with pytest.raises(EngineError, match="more than one"):
+        e(
+            "select tid from trades tr asof join quotes q"
+            " on tr.t >= q.qt and tr.tid >= q.px"
+        )
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace

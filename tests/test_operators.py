@@ -504,6 +504,31 @@ def test_asof_join_forward_and_tolerance(spark):
         run(direction="nearest")
 
 
+def test_asof_join_null_probe_time_matches_nothing(spark):
+    """SQL comparison semantics: NULL probe time satisfies neither
+    t >= ref_t nor t <= ref_t — payload must be NULL in BOTH walk
+    directions (the forward desc walk sorts null times last and would
+    hand them a carry without the output mask)."""
+    left = spark.createDataFrame(
+        [(1, 7, None), (2, 7, 50)], "event_id int, k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(7, 10, "early")], "rk int, rt int, payload string"
+    )
+
+    def run(direction):
+        return {
+            r["event_id"]: r["payload"]
+            for r in asof_join(
+                left, right, "k", "rk", "t", "rt", ["payload"],
+                direction=direction,
+            ).collect()
+        }
+
+    assert run("backward") == {1: None, 2: "early"}
+    assert run("forward") == {1: None, 2: None}
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Property-based differential: asof_join agrees with
     pandas.merge_asof on randomized inputs across both directions and
