@@ -2041,6 +2041,23 @@ class AnalyticsEngine:
         re.I | re.S,
     )
 
+    # Transparent range-join optimization: a plain INNER JOIN whose ON
+    # clause is equalities + ONE cross-table BETWEEN (point-in-interval)
+    # plans as a broadcast nested loop in Spark — quadratic. The engine
+    # recognizes the shape and substitutes the bucketed decomposition
+    # (operators/rangejoin.py) — identical inner-join semantics, work
+    # O(points + intervals x buckets + matches). Width via
+    # `SET andb.range_bucket_seconds` (default 1800). Non-matching ON
+    # shapes and outer/semi/anti joins pass through untouched.
+    _RANGE_RE = re.compile(
+        r"\bfrom\s+(?P<pt>\w+)(?:\s+(?!inner\b|join\b|asof\b)(?P<pa>\w+))?"
+        r"\s+(?:inner\s+)?join\s+"
+        r"(?P<it>\w+)(?:\s+(?!on\b)(?P<ia>\w+))?"
+        r"\s+on\s+(?P<conds>[^;]+?between[^;]+?)"
+        r"(?=\s+(?:where|group|order|limit)\b|\s*$)",
+        re.I | re.S,
+    )
+
     # Read-side data skipping: `SELECT ... FROM <one managed table>
     # WHERE <cond> ...` — the adjacency `from <name> where` rules out
     # joins, aliases, and subquery sources by construction.
@@ -2116,6 +2133,94 @@ class AnalyticsEngine:
             re.sub(rf"\b{re.escape(name)}\b", tmp, stmt, count=1, flags=re.I),
             tmp,
         )
+
+    def _rewrite_range_join(self, stmt: str) -> tuple[str, list[str]]:
+        """Substitute the bucketed interval-join plan for a plain inner
+        point-in-interval join (same result set — inner join + exact
+        range filter — different asymptotics). Fires ONLY on the exact
+        shape `FROM p [pa] [INNER] JOIN i [ia] ON <eq AND>*
+        pa.ts BETWEEN ia.lo AND ia.hi`; anything else is returned
+        unchanged for Spark to plan. The statement's alias qualifiers
+        are stripped after substitution (view columns are unqualified),
+        exactly as in _rewrite_asof."""
+        from andb_spark.operators.rangejoin import bucketed_interval_join
+
+        views: list[str] = []
+        quals: set[str] = set()
+
+        def _sub(m: re.Match) -> str:
+            pt, it = m.group("pt"), m.group("it")
+            pa = m.group("pa") or pt
+            ia = m.group("ia") or it
+            eqs: list[tuple[str, str]] = []
+            rng: tuple[str, str, str] | None = None
+            for cond in re.split(r"\s+and\s+(?![^()]*\))",
+                                 m.group("conds").strip(), flags=re.I):
+                bm = re.match(
+                    r"^\s*(\w+)\.(\w+)\s+between\s+(\w+)\.(\w+)"
+                    r"\s+and\s+(\w+)\.(\w+)\s*$",
+                    cond, re.I,
+                )
+                if bm:
+                    p_al, p_col, lo_al, lo_col, hi_al, hi_col = bm.groups()
+                    if (
+                        rng is not None
+                        or p_al != pa
+                        or lo_al != ia
+                        or hi_al != ia
+                    ):
+                        return m.group(0)  # not the supported shape
+                    rng = (p_col, lo_col, hi_col)
+                    continue
+                em = re.match(
+                    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", cond
+                )
+                if not em:
+                    return m.group(0)
+                a_al, a_col, b_al, b_col = em.groups()
+                if (a_al, b_al) == (pa, ia):
+                    eqs.append((a_col, b_col))
+                elif (a_al, b_al) == (ia, pa):
+                    eqs.append((b_col, a_col))
+                else:
+                    return m.group(0)
+            if rng is None:
+                return m.group(0)
+            p_col, lo_col, hi_col = rng
+
+            points = self.spark.table(pt)
+            intervals = self.spark.table(it)
+            keys = []
+            for n, (pc, ic) in enumerate(eqs):
+                k = f"_rj_k{n}"
+                points = points.withColumn(k, F.col(pc))
+                intervals = intervals.withColumn(k, F.col(ic))
+                keys.append(k)
+            bucket_s = int(
+                self.session_vars.get("andb.range_bucket_seconds", 1800)
+            )
+            # drop colliding interval columns (the view namespace is
+            # flat); join keys stay available under their point names
+            taken = set(points.columns)
+            intervals = intervals.drop(
+                *[c for c in intervals.columns
+                  if c in taken and c not in keys]
+            )
+            out = bucketed_interval_join(
+                points, intervals, p_col, lo_col, hi_col,
+                keys=keys, bucket_seconds=bucket_s,
+            ).drop(*keys)
+            view = f"_rj_{uuid.uuid4().hex[:8]}"
+            out.createOrReplaceTempView(view)
+            views.append(view)
+            quals.update({pt, it, pa, ia})
+            return f"from {view}"
+
+        new_stmt = self._RANGE_RE.sub(_sub, stmt)
+        for q in quals:
+            new_stmt = re.sub(rf"\b{re.escape(q)}\.", "", new_stmt,
+                              flags=re.I)
+        return new_stmt, views
 
     def _rewrite_asof(self, stmt: str) -> tuple[str, list[str]]:
         """Materialize every ASOF JOIN clause into a temp view and
@@ -2272,10 +2377,12 @@ class AnalyticsEngine:
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
         stmt, asof_views = self._rewrite_asof(stmt)
+        stmt, range_views = self._rewrite_range_join(stmt)
         try:
             return self._select_resolved(stmt)
         finally:
-            for v in version_views + asof_views:  # bounded: no per-query leak
+            # bounded: no per-query leak
+            for v in version_views + asof_views + range_views:
                 self.spark.catalog.dropTempView(v)
 
     def _select_resolved(self, stmt: str) -> Result:
@@ -2389,6 +2496,8 @@ class AnalyticsEngine:
             # per-operator actual_rows/elapsed instrumentation
             # (portal.py:93-118, physical/base.py:22-24).
             run_sql, asof_views = self._rewrite_asof(ana.group(1))
+            run_sql, range_views = self._rewrite_range_join(run_sql)
+            asof_views += range_views
             df = self.spark.sql(run_sql)
             t0 = time.perf_counter()
             # Execute THIS queryExecution's physical plan without
@@ -2416,6 +2525,8 @@ class AnalyticsEngine:
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
         inner, asof_views = self._rewrite_asof(inner)
+        inner, range_views = self._rewrite_range_join(inner)
+        asof_views += range_views
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

@@ -53,7 +53,15 @@ def bucketed_interval_join(
             " variants need the range predicate inside the join"
             f" condition (got how={how!r})"
         )
-    bucket_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+    # timestamp/date columns bucket on epoch seconds; numeric time
+    # columns (already epochs or plain ordinates) bucket directly —
+    # both are monotone, which is all the decomposition needs
+    types = dict(points.dtypes) | dict(intervals.dtypes)
+
+    def bucket_of(c: str):
+        if types.get(c) in ("timestamp", "timestamp_ntz", "date"):
+            return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
+        return F.floor(F.col(c) / bucket_seconds)
     p = points.withColumn("_bucket", bucket_of(point_ts))
     i = (
         intervals.withColumn(

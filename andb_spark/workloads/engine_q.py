@@ -304,6 +304,44 @@ def u_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transparent range-join optimization through PLAIN SQL
+    (api.py::_rewrite_range_join): CTAS click points and purchase
+    attribution windows from ``events``, join with an ordinary
+    `BETWEEN` ON clause — the engine substitutes the bucketed
+    equi-join plan (a Spark-default nested loop never runs) — and
+    aggregate matches per window. The oracle is the IDENTICAL SQL in
+    DuckDB (plain inner-join semantics; DuckDB plans it with its
+    native IEJoin), so the rewrite's semantics-transparency is exactly
+    what the hash compare grades."""
+    eng = AnalyticsEngine(
+        _scratch("andb_rj_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table rj_clicks as select event_id as click_id,"
+        " user_id, unix_micros(ts) as t_us from events"
+        " where event_type = 'click'"
+    )
+    e(
+        "create table rj_windows as select event_id as purchase_id,"
+        " user_id as w_user, unix_micros(ts) - 1800000000 as lo_us,"
+        " unix_micros(ts) as hi_us from events"
+        " where event_type = 'purchase'"
+    )
+    r = e(
+        "select purchase_id, count(1) as n_clicks,"
+        " min(click_id) as first_click from rj_clicks c"
+        " join rj_windows w on c.user_id = w.w_user"
+        " and c.t_us between w.lo_us and w.hi_us"
+        " group by purchase_id order by purchase_id"
+    )
+    return spark.createDataFrame(
+        r.rows, "purchase_id bigint, n_clicks bigint, first_click bigint"
+    )
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -314,9 +352,27 @@ QUERIES = {
     "c_catalog_tables": c_catalog_tables,
     "c_catalog_columns": c_catalog_columns,
     "u_asof_sql": u_asof_sql,
+    "u_range_sql": u_range_sql,
 }
 
 ORACLES = {
+    "u_range_sql": """
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_us
+            FROM events WHERE event_type = 'click'
+        ),
+        w AS (
+            SELECT event_id AS purchase_id, user_id AS w_user,
+                   epoch_us(ts) - 1800000000 AS lo_us,
+                   epoch_us(ts) AS hi_us
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT purchase_id, count(1) AS n_clicks,
+               min(click_id) AS first_click
+        FROM c JOIN w ON c.user_id = w.w_user
+                     AND c.t_us BETWEEN w.lo_us AND w.hi_us
+        GROUP BY purchase_id ORDER BY purchase_id
+    """,
     "u_asof_sql": """
         WITH p AS (
             SELECT event_id, user_id, epoch_us(ts) AS t_us

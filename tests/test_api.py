@@ -759,6 +759,55 @@ def test_asof_join_sql_surface(spark, tmp_path):
     eng.close()
 
 
+def test_range_join_rewrite_is_transparent(spark, tmp_path):
+    """The transparent point-in-interval optimization (api.py::
+    _rewrite_range_join): a plain inner JOIN with equalities + one
+    cross-table BETWEEN substitutes the bucketed equi-join plan —
+    same rows, no nested loop — while every other shape (pure equi,
+    outer joins, non-conforming ON) passes through to Spark
+    untouched."""
+    eng = AnalyticsEngine(str(tmp_path / "whrj"), spark=spark)
+    e = eng.execute
+    e("create table pts (pid int, u int, t int)")
+    e("insert into pts values (1,1,5),(2,1,50),(3,2,7),(4,2,100)")
+    e("create table iv (iid int, u int, lo int, hi int)")
+    e("insert into iv values (10,1,0,10),(11,1,40,60),(12,2,6,8),(13,3,0,999)")
+
+    r = e(
+        "select pid, iid from pts p join iv i on p.u = i.u"
+        " and p.t between i.lo and i.hi order by pid, iid"
+    )
+    assert r.rows == [(1, 10), (2, 11), (3, 12)]
+
+    # the substituted plan is an equi-join, not a nested loop
+    ex = e(
+        "explain select pid, iid from pts p join iv i on p.u = i.u"
+        " and p.t between i.lo and i.hi"
+    )
+    phys = ex.rows[0][1]
+    assert "NestedLoop" not in phys and "Cartesian" not in phys, phys
+
+    # pure equi join: untouched (no _rj_ view, ordinary plan)
+    assert e(
+        "select count(1) as n from pts p join iv i on p.u = i.u"
+    ).rows == [(6,)]
+
+    # LEFT join with BETWEEN: not the supported shape — Spark plans it,
+    # semantics preserved (unmatched point kept)
+    r = e(
+        "select pid, iid from pts p left join iv i on p.u = i.u"
+        " and p.t between i.lo and i.hi order by pid, iid"
+    )
+    assert r.rows == [(1, 10), (2, 11), (3, 12), (4, None)]
+
+    # per-statement views dropped
+    leftovers = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("_rj_")
+    ]
+    assert leftovers == []
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace
