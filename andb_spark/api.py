@@ -2134,6 +2134,62 @@ class AnalyticsEngine:
             tmp,
         )
 
+    def _rewrite_qualify(self, stmt: str) -> tuple[str, list[str]]:
+        """QUALIFY clause (DuckDB/Snowflake semantics — filter on
+        window-function results after they are computed; Spark has no
+        QUALIFY). Rewrite: inject the predicate into the select list as
+        a boolean column, materialize filter+drop as a temp view, and
+        re-attach any trailing ORDER BY / LIMIT onto a select from the
+        view. Window expressions in the predicate evaluate over the
+        same rows as the statement's own window functions, which is
+        the defined QUALIFY evaluation order."""
+        qm = re.search(r"\bqualify\b", stmt, re.I)
+        if not qm:
+            return stmt, []
+        head = stmt[: qm.start()].rstrip()
+        tail = stmt[qm.end():].strip()
+        # split predicate from trailing ORDER BY / LIMIT at paren depth 0
+        trailing_at = None
+        depth = 0
+        low = tail.lower()
+        i = 0
+        while i < len(low):
+            c = low[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and low.startswith(("order by", "limit"), i):
+                trailing_at = i
+                break
+            i += 1
+        pred = tail[:trailing_at].strip() if trailing_at else tail
+        trailing = tail[trailing_at:] if trailing_at else ""
+        if not pred:
+            raise EngineError("QUALIFY: empty predicate")
+        # top-level FROM of the head (paren-depth 0 — subqueries in the
+        # select list keep their own FROMs)
+        depth = 0
+        from_at = None
+        hlow = head.lower()
+        for j, c in enumerate(hlow):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and hlow.startswith("from", j) and (
+                j + 4 == len(hlow) or not hlow[j + 4].isalnum()
+            ):
+                from_at = j
+                break
+        if from_at is None:
+            raise EngineError("QUALIFY: no FROM clause to attach to")
+        inner = f"{head[:from_at].rstrip()}, ({pred}) as _qual {head[from_at:]}"
+        df = self.spark.sql(inner).filter(F.col("_qual")).drop("_qual")
+        view = f"_qualify_{uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        return f"select * from {view} {trailing}".rstrip(), [view]
+
     def _rewrite_range_join(self, stmt: str) -> tuple[str, list[str]]:
         """Substitute the bucketed interval-join plan for a plain inner
         point-in-interval join (same result set — inner join + exact
@@ -2378,11 +2434,12 @@ class AnalyticsEngine:
         stmt = self._VERSION_RE.sub(_version_view, stmt)
         stmt, asof_views = self._rewrite_asof(stmt)
         stmt, range_views = self._rewrite_range_join(stmt)
+        stmt, qual_views = self._rewrite_qualify(stmt)
         try:
             return self._select_resolved(stmt)
         finally:
             # bounded: no per-query leak
-            for v in version_views + asof_views + range_views:
+            for v in version_views + asof_views + range_views + qual_views:
                 self.spark.catalog.dropTempView(v)
 
     def _select_resolved(self, stmt: str) -> Result:
@@ -2497,7 +2554,8 @@ class AnalyticsEngine:
             # (portal.py:93-118, physical/base.py:22-24).
             run_sql, asof_views = self._rewrite_asof(ana.group(1))
             run_sql, range_views = self._rewrite_range_join(run_sql)
-            asof_views += range_views
+            run_sql, qual_views = self._rewrite_qualify(run_sql)
+            asof_views += range_views + qual_views
             df = self.spark.sql(run_sql)
             t0 = time.perf_counter()
             # Execute THIS queryExecution's physical plan without
@@ -2526,7 +2584,8 @@ class AnalyticsEngine:
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
         inner, asof_views = self._rewrite_asof(inner)
         inner, range_views = self._rewrite_range_join(inner)
-        asof_views += range_views
+        inner, qual_views = self._rewrite_qualify(inner)
+        asof_views += range_views + qual_views
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

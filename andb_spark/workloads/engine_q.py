@@ -342,6 +342,30 @@ def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def u_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUALIFY clause through the engine (api.py::_rewrite_qualify)
+    vs DuckDB's NATIVE QUALIFY: latest event per user — the canonical
+    window-filter idiom QUALIFY exists for. Tie-free ordering via the
+    (ts, event_id) compound sort."""
+    eng = AnalyticsEngine(
+        _scratch("andb_qual_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table qual_ev as select event_id, user_id,"
+        " unix_micros(ts) as t_us, event_type from events"
+    )
+    r = e(
+        "select user_id, event_id, event_type from qual_ev"
+        " qualify row_number() over (partition by user_id"
+        " order by t_us desc, event_id desc) = 1 order by user_id"
+    )
+    return spark.createDataFrame(
+        r.rows, "user_id bigint, event_id bigint, event_type string"
+    )
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -353,9 +377,20 @@ QUERIES = {
     "c_catalog_columns": c_catalog_columns,
     "u_asof_sql": u_asof_sql,
     "u_range_sql": u_range_sql,
+    "u_qualify_sql": u_qualify_sql,
 }
 
 ORACLES = {
+    "u_qualify_sql": """
+        WITH qual_ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+            FROM events
+        )
+        SELECT user_id, event_id, event_type FROM qual_ev
+        QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY t_us DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """,
     "u_range_sql": """
         WITH c AS (
             SELECT event_id AS click_id, user_id, epoch_us(ts) AS t_us

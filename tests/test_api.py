@@ -808,6 +808,50 @@ def test_range_join_rewrite_is_transparent(spark, tmp_path):
     eng.close()
 
 
+def test_qualify_clause(spark, tmp_path):
+    """QUALIFY (api.py::_rewrite_qualify — DuckDB/Snowflake window
+    filter, absent from Spark SQL): predicate over inline window
+    functions, over select-list aliases (lateral alias resolution),
+    and composed with trailing ORDER BY/LIMIT. Expected rows verified
+    against DuckDB's native QUALIFY."""
+    eng = AnalyticsEngine(str(tmp_path / "whq"), spark=spark)
+    e = eng.execute
+    e("create table sales (region varchar(8), rep varchar(8), amt int)")
+    e(
+        "insert into sales values ('E','a',10),('E','b',30),('E','c',20),"
+        "('W','d',5),('W','e',50)"
+    )
+    top1 = e(
+        "select region, rep, amt from sales qualify row_number() over"
+        " (partition by region order by amt desc, rep) = 1 order by region"
+    )
+    assert top1.rows == [("E", "b", 30), ("W", "e", 50)]
+
+    via_alias = e(
+        "select region, rep, amt, rank() over (partition by region"
+        " order by amt desc) as rk from sales qualify rk <= 2"
+        " order by region, rk"
+    )
+    assert via_alias.rows == [
+        ("E", "b", 30, 1), ("E", "c", 20, 2),
+        ("W", "e", 50, 1), ("W", "d", 5, 2),
+    ]
+
+    limited = e(
+        "select region, rep, amt from sales qualify row_number() over"
+        " (partition by region order by amt desc, rep) <= 2"
+        " order by amt desc limit 2"
+    )
+    assert limited.rows == [("W", "e", 50), ("E", "b", 30)]
+
+    # per-statement views dropped
+    assert [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("_qualify_")
+    ] == []
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace
