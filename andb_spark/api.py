@@ -2134,6 +2134,69 @@ class AnalyticsEngine:
             tmp,
         )
 
+    def _rewrite_distinct_on(self, stmt: str) -> str:
+        """DISTINCT ON (Postgres/DuckDB): keep the first row per key
+        group under the statement's ORDER BY. Pure text rewrite into
+        QUALIFY row_number() = 1 (handled downstream by
+        _rewrite_qualify), preserving the outer ordering. Postgres'
+        contract is enforced: ORDER BY must lead with the DISTINCT ON
+        keys, and at least one tiebreak column must follow — without
+        one the surviving row per group is arbitrary, which an engine
+        should refuse rather than return unstably."""
+        m = re.match(
+            r"^\s*select\s+distinct\s+on\s*\(([^)]+)\)\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            return stmt
+        keys = [k.strip() for k in m.group(1).split(",")]
+        rest = m.group(2)
+        # top-level ORDER BY (paren depth 0)
+        depth = 0
+        low = rest.lower()
+        ob_at = None
+        for i, c in enumerate(low):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and low.startswith("order by", i):
+                ob_at = i
+                break
+        if ob_at is None:
+            raise EngineError(
+                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
+                " for a deterministic result"
+            )
+        body = rest[:ob_at].rstrip()
+        order = rest[ob_at + len("order by"):].strip()
+        # LIMIT after ORDER BY stays outer
+        lm = re.search(r"\blimit\b", order, re.I)
+        limit = ""
+        if lm:
+            limit = " " + order[lm.start():].strip()
+            order = order[: lm.start()].strip().rstrip(",")
+        items = [o.strip() for o in order.split(",")]
+        norm = lambda x: re.sub(r"\s+", " ", x.strip().lower())
+        lead = [re.sub(r"\s+(asc|desc)\s*$", "", norm(i)) for i in items]
+        if [norm(k) for k in keys] != lead[: len(keys)]:
+            raise EngineError(
+                "DISTINCT ON: ORDER BY must start with the DISTINCT ON"
+                f" expressions {keys}"
+            )
+        tail = items[len(keys):]
+        if not tail:
+            raise EngineError(
+                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
+                " for a deterministic result"
+            )
+        return (
+            f"select {body} qualify row_number() over"
+            f" (partition by {', '.join(keys)}"
+            f" order by {', '.join(tail)}) = 1"
+            f" order by {order}{limit}"
+        )
+
     def _rewrite_qualify(self, stmt: str) -> tuple[str, list[str]]:
         """QUALIFY clause (DuckDB/Snowflake semantics — filter on
         window-function results after they are computed; Spark has no
@@ -2432,6 +2495,7 @@ class AnalyticsEngine:
             return view
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
+        stmt = self._rewrite_distinct_on(stmt)
         stmt, asof_views = self._rewrite_asof(stmt)
         stmt, range_views = self._rewrite_range_join(stmt)
         stmt, qual_views = self._rewrite_qualify(stmt)
@@ -2552,7 +2616,8 @@ class AnalyticsEngine:
             # table — the Spark analog of the reference portal's
             # per-operator actual_rows/elapsed instrumentation
             # (portal.py:93-118, physical/base.py:22-24).
-            run_sql, asof_views = self._rewrite_asof(ana.group(1))
+            run_sql = self._rewrite_distinct_on(ana.group(1))
+            run_sql, asof_views = self._rewrite_asof(run_sql)
             run_sql, range_views = self._rewrite_range_join(run_sql)
             run_sql, qual_views = self._rewrite_qualify(run_sql)
             asof_views += range_views + qual_views
@@ -2582,6 +2647,7 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
+        inner = self._rewrite_distinct_on(inner)
         inner, asof_views = self._rewrite_asof(inner)
         inner, range_views = self._rewrite_range_join(inner)
         inner, qual_views = self._rewrite_qualify(inner)

@@ -46,13 +46,13 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7 plus the four new-surface
+    # names; this round (a) grades those 7 plus the five new-surface
     # names,
     # (b) re-grades the six
     # rows changed since their last grading (m_resize oracle CAST fix,
     # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
     # plus the spread_small_input plan-changed trio), and (c) spends
-    # the remaining 33 slots on the OLDEST evidence: 17 of the 24
+    # the remaining 32 slots on the OLDEST evidence: 16 of the 24
     # oracle-backed r1-graded names, all 6 r2 names, 8 of the
     # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
     # the oldest of their families, pulled forward so the every-family-
@@ -69,7 +69,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # surfaces (m_embed_topk: multimodal->ANN bridge end-to-end;
     # u_asof_sql: ASOF JOIN SQL vs DuckDB's native one; u_range_sql:
     # the transparent range-join rewrite vs the identical plain SQL
-    # in DuckDB; u_qualify_sql: QUALIFY vs DuckDB's native QUALIFY)
+    # in DuckDB; u_qualify_sql: QUALIFY vs DuckDB's native QUALIFY;
+    # u_distinct_on_sql: DISTINCT ON vs DuckDB's native one)
     "d_repeated_passages",
     "t_rolling_fingerprint",
     "t_source_stats",
@@ -81,6 +82,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "u_asof_sql",
     "u_range_sql",
     "u_qualify_sql",
+    "u_distinct_on_sql",
     # (b) changed since their last grading / new this round. The
     # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
     # "Minhash drift, root-caused") re-plans every query that
@@ -98,7 +100,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) oldest evidence — r1-graded (4 rounds stale; q_distinct,
     # q_global_agg, q_select_no_from yielded their slots to the (b)
     # plan-changed trio; q_math_funcs, q_join_right, q_join_cross,
-    # q_rollup to the four new-surface names — their
+    # q_rollup, q_cube to the five new-surface names (grouping-sets
+    # coverage continues in the fuzz arm and q_grouping_sets) — their
     # surfaces are pinned by local tests and they head r7's oldest
     # list): TPC-H q6/q10/
     # q14, anomaly screens, grouping cube/rollup, set ops, cross/outer
@@ -108,7 +111,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q10_returned_revenue",
     "q14_type_revenue_ratio",
     "q_anomaly_zscore",
-    "q_cube",
     "q_function_scan",
     "q_funnel",
     "q_gapfill",

@@ -366,6 +366,25 @@ def u_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def u_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON through the engine (api.py::_rewrite_distinct_on —
+    Postgres/DuckDB idiom rewritten into QUALIFY row_number()=1) vs
+    DuckDB's NATIVE DISTINCT ON: each customer's most expensive order,
+    o_orderkey tiebreak."""
+    eng = AnalyticsEngine(
+        _scratch("andb_don_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select distinct on (o_custkey) o_custkey, o_orderkey,"
+        " o_totalprice from orders"
+        " order by o_custkey, o_totalprice desc, o_orderkey"
+    )
+    return spark.createDataFrame(
+        r.rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
+    )
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -378,9 +397,16 @@ QUERIES = {
     "u_asof_sql": u_asof_sql,
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
+    "u_distinct_on_sql": u_distinct_on_sql,
 }
 
 ORACLES = {
+    "u_distinct_on_sql": """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+               o_totalprice
+        FROM orders
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
     "u_qualify_sql": """
         WITH qual_ev AS (
             SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type

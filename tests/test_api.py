@@ -852,6 +852,32 @@ def test_qualify_clause(spark, tmp_path):
     eng.close()
 
 
+def test_distinct_on_clause(spark, tmp_path):
+    """DISTINCT ON (api.py::_rewrite_distinct_on): first row per key
+    group under the statement's ORDER BY, rewritten through QUALIFY.
+    Enforces the Postgres contract — ORDER BY must lead with the ON
+    keys and carry a tiebreak. Expected rows verified against DuckDB's
+    native DISTINCT ON."""
+    eng = AnalyticsEngine(str(tmp_path / "whdon"), spark=spark)
+    e = eng.execute
+    e("create table logs (u int, ts int, msg varchar(8))")
+    e("insert into logs values (1,5,'a'),(1,9,'b'),(2,3,'c'),(2,1,'d')")
+    r = e(
+        "select distinct on (u) u, ts, msg from logs order by u, ts desc"
+    )
+    assert r.rows == [(1, 9, "b"), (2, 3, "c")]
+    r = e(
+        "select distinct on (u) u, ts, msg from logs"
+        " order by u, ts desc limit 1"
+    )
+    assert r.rows == [(1, 9, "b")]
+    with pytest.raises(EngineError, match="tiebreak"):
+        e("select distinct on (u) u, ts from logs order by u")
+    with pytest.raises(EngineError, match="must start with"):
+        e("select distinct on (u) u, ts from logs order by ts desc, u")
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace
