@@ -3246,7 +3246,100 @@ class AnalyticsEngine:
         self._save_catalog()
         return Result()
 
+    _ON_CONFLICT_RE = re.compile(
+        r"^(?P<ins>insert\s+into\s+(?P<t>\w+)\s*(?:\((?P<cols>[^)]*)\))?"
+        r"\s*(?P<src>values\s*.*?|select\s+.*?))"
+        r"\s+on\s+conflict\s*\((?P<keys>[^)]*)\)\s*do\s+"
+        r"(?P<act>nothing|update\s+set\s+(?P<set>.*))$",
+        re.I | re.S,
+    )
+
+    def _insert_on_conflict(self, m: re.Match) -> Result:
+        """INSERT ... ON CONFLICT (Postgres/DuckDB upsert syntax),
+        lowered onto the engine's MERGE path. Parity details honored:
+        `excluded.col` refers to the proposed row; DO UPDATE raises if
+        one command would update the same target row twice (including
+        duplicate keys WITHIN the source — Postgres' "cannot affect
+        row a second time"); DO NOTHING keeps the FIRST source row per
+        key and skips the rest, exactly Postgres' arrival-order
+        semantics over a VALUES list."""
+        target = m.group("t")
+        self._writable_meta(target)
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        collist = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else [f.name for f in self._schema(target).fields]
+        )
+        bad = [k for k in keys if k.lower() not in
+               {c.lower() for c in collist}]
+        if bad:
+            raise EngineError(
+                f"ON CONFLICT key(s) {bad} not in the insert column list"
+            )
+        src_sql = m.group("src").strip()
+        if src_sql.lower().startswith("values"):
+            src_sql = (
+                f"select * from ({src_sql}) as _v({', '.join(collist)})"
+            )
+        src_df = self.spark.sql(src_sql).toDF(*collist)
+        do_update = m.group("act").lower() != "nothing"
+        if do_update:
+            dup = (
+                src_df.groupBy(*keys).count().filter(F.col("count") > 1)
+            )
+            if dup.limit(1).count():
+                raise EngineError(
+                    "ON CONFLICT DO UPDATE command cannot affect row a"
+                    " second time: duplicate conflict keys in the"
+                    " source rows"
+                )
+        else:
+            # keep the first arriving row per key (VALUES order /
+            # source order), drop the rest — they would conflict with
+            # the first row's insert
+            from pyspark.sql import Window as _W
+
+            src_df = (
+                src_df.withColumn("_ord", F.monotonically_increasing_id())
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        _W.partitionBy(*keys).orderBy("_ord")
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_ord", "_rn")
+            )
+        view = f"_upsert_{uuid.uuid4().hex[:8]}"
+        src_df.createOrReplaceTempView(view)
+        try:
+            cond = " and ".join(
+                f"{target}.{k} = {view}.{k}" for k in keys
+            )
+            ins_vals = ", ".join(f"{view}.{c}" for c in collist)
+            clauses = (
+                f" when not matched then insert"
+                f" ({', '.join(collist)}) values ({ins_vals})"
+            )
+            if do_update:
+                set_sql = re.sub(
+                    r"\bexcluded\.", f"{view}.", m.group("set").strip(),
+                    flags=re.I,
+                )
+                clauses = (
+                    f" when matched then update set {set_sql}" + clauses
+                )
+            return self._merge(
+                f"merge into {target} using {view} on {cond}{clauses}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
     def _insert(self, stmt: str) -> Result:
+        oc = self._ON_CONFLICT_RE.match(stmt)
+        if oc:
+            return self._insert_on_conflict(oc)
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(values\s*(.*)|select\s+.*)$",
             stmt,

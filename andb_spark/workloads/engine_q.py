@@ -385,6 +385,31 @@ def u_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
+    Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
+    slice of ``orders``, upsert an overlapping doubled-price slice —
+    conflicts update, new keys insert. The oracle restates the upsert
+    declaratively (full outer join, source value wins), the same
+    mutate-then-select grading as u_dml_roundtrip."""
+    eng = AnalyticsEngine(
+        _scratch("andb_up_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table up_t as select o_orderkey as k,"
+        " o_totalprice as v from orders where o_orderkey < 500"
+    )
+    e(
+        "insert into up_t select o_orderkey, o_totalprice * 2"
+        " from orders where o_orderkey >= 250 and o_orderkey < 750"
+        " on conflict (k) do update set v = excluded.v"
+    )
+    r = e("select k, v from up_t order by k")
+    return spark.createDataFrame(r.rows, "k bigint, v double")
+
+
 QUERIES = {
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
@@ -398,9 +423,23 @@ QUERIES = {
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
+    "u_upsert_sql": u_upsert_sql,
 }
 
 ORACLES = {
+    "u_upsert_sql": """
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS v
+            FROM orders WHERE o_orderkey < 500
+        ),
+        src AS (
+            SELECT o_orderkey AS k, o_totalprice * 2 AS v
+            FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 750
+        )
+        SELECT COALESCE(b.k, s.k) AS k, COALESCE(s.v, b.v) AS v
+        FROM base b FULL JOIN src s ON b.k = s.k
+        ORDER BY k
+    """,
     "u_distinct_on_sql": """
         SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
                o_totalprice

@@ -878,6 +878,47 @@ def test_distinct_on_clause(spark, tmp_path):
     eng.close()
 
 
+def test_insert_on_conflict(spark, tmp_path):
+    """INSERT .. ON CONFLICT (api.py::_insert_on_conflict): DO UPDATE
+    with excluded references, DO NOTHING keep-first over duplicate
+    source keys, and the Postgres cannot-affect-row-twice error for
+    DO UPDATE with intra-source duplicate keys."""
+    eng = AnalyticsEngine(str(tmp_path / "whoc"), spark=spark)
+    e = eng.execute
+    e("create table kv (k int not null, v varchar(8))")
+    e("insert into kv values (1,'a'),(2,'b')")
+
+    r = e(
+        "insert into kv values (2,'B2'),(3,'c')"
+        " on conflict (k) do update set v = excluded.v"
+    )
+    assert r.effect_rows == 2  # 1 update + 1 insert (MERGE accounting)
+    assert e("select k, v from kv order by k").rows == [
+        (1, "a"), (2, "B2"), (3, "c"),
+    ]
+
+    # DO NOTHING: existing key untouched, first new dup wins, rest skip
+    e(
+        "insert into kv values (3,'zzz'),(4,'d'),(4,'dup')"
+        " on conflict (k) do nothing"
+    )
+    assert e("select k, v from kv order by k").rows == [
+        (1, "a"), (2, "B2"), (3, "c"), (4, "d"),
+    ]
+
+    with pytest.raises(EngineError, match="second time"):
+        e(
+            "insert into kv values (9,'x'),(9,'y')"
+            " on conflict (k) do update set v = excluded.v"
+        )
+    # failed upsert mutated nothing
+    assert e("select count(1) as n from kv").rows == [(4,)]
+
+    with pytest.raises(EngineError, match="not in the insert column"):
+        e("insert into kv values (5,'e') on conflict (nope) do nothing")
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace
