@@ -46,13 +46,13 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7 plus the six new-surface
+    # names; this round (a) grades those 7 plus the eight new-surface
     # names,
     # (b) re-grades the six
     # rows changed since their last grading (m_resize oracle CAST fix,
     # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
     # plus the spread_small_input plan-changed trio), and (c) spends
-    # the remaining 31 slots on the OLDEST evidence: 15 of the 24
+    # the remaining 29 slots on the OLDEST evidence: 13 of the 24
     # oracle-backed r1-graded names, all 6 r2 names, 8 of the
     # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
     # the oldest of their families, pulled forward so the every-family-
@@ -71,7 +71,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # the transparent range-join rewrite vs the identical plain SQL
     # in DuckDB; u_qualify_sql: QUALIFY vs DuckDB's native QUALIFY;
     # u_distinct_on_sql: DISTINCT ON vs DuckDB's native one;
-    # u_upsert_sql: INSERT..ON CONFLICT lowered onto MERGE)
+    # u_upsert_sql: INSERT..ON CONFLICT lowered onto MERGE;
+    # q_listagg / q_recursive_cte: Spark-4 listagg + WITH RECURSIVE
+    # vs DuckDB string_agg / native recursion)
     "d_repeated_passages",
     "t_rolling_fingerprint",
     "t_source_stats",
@@ -85,6 +87,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "u_qualify_sql",
     "u_distinct_on_sql",
     "u_upsert_sql",
+    "q_listagg",
+    "q_recursive_cte",
     # (b) changed since their last grading / new this round. The
     # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
     # "Minhash drift, root-caused") re-plans every query that
@@ -102,7 +106,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) oldest evidence — r1-graded (4 rounds stale; q_distinct,
     # q_global_agg, q_select_no_from yielded their slots to the (b)
     # plan-changed trio; q_math_funcs, q_join_right, q_join_cross,
-    # q_rollup, q_cube, q_intersect to the six new-surface names
+    # q_rollup, q_cube, q_intersect, q_function_scan, q_gapfill (its
+    # recursive twin q_recursive_cte now grades gap-fill) to the eight
+    # new-surface names
     # (grouping-sets/set-op coverage continues in the fuzz arms,
     # q_grouping_sets, q_union_distinct) — their
     # surfaces are pinned by local tests and they head r7's oldest
@@ -114,9 +120,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q10_returned_revenue",
     "q14_type_revenue_ratio",
     "q_anomaly_zscore",
-    "q_function_scan",
     "q_funnel",
-    "q_gapfill",
     "q_join_left",
     "q_percentiles",
     "q_retention_cohorts",

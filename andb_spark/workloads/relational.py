@@ -900,6 +900,53 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (ANSI listagg, new in Spark 4): the nations
+    of each region as one ordered comma-joined string — deterministic
+    via WITHIN GROUP (ORDER BY). The oracle is DuckDB's native
+    string_agg with its ORDER BY clause; both engines must produce the
+    identical joined string, so separator and ordering semantics are
+    externally checked."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    )
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4; the reference's planner rejects
+    ANY subquery — transformations.py:278-279 — so recursion is a
+    strict superset of its declared surface): a recursively generated
+    daily date spine left-joined to orders, the gap-filling-by-
+    recursion twin of q_gapfill's sequence() formulation. Oracle is
+    the identical recursive SQL in DuckDB."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(dt) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT dt + INTERVAL '1' DAY FROM d
+            WHERE dt < DATE '1995-02-28'
+        )
+        SELECT d.dt, count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        FROM d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.dt
+        GROUP BY d.dt ORDER BY d.dt
+        """
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill — the reference's roadmap
     'time-series module' (README.md:5) realized: build the complete
@@ -1209,6 +1256,8 @@ QUERIES = {
     "q_in_subquery": q_in_subquery,
     "q_scalar_subquery": q_scalar_subquery,
     "q_cte": q_cte,
+    "q_listagg": q_listagg,
+    "q_recursive_cte": q_recursive_cte,
     "q_exists_subquery": q_exists_subquery,
 }
 
@@ -1682,6 +1731,25 @@ ORACLES = {
         FROM lineitem
         WHERE l_extendedprice > (SELECT avg(l_extendedprice) * 1.9 FROM lineitem)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "q_listagg": """
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "q_recursive_cte": """
+        WITH RECURSIVE d(dt) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT dt + INTERVAL 1 DAY FROM d
+            WHERE dt < DATE '1995-02-28'
+        )
+        SELECT d.dt, count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        FROM d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.dt
+        GROUP BY d.dt ORDER BY d.dt
     """,
     "q_cte": """
         WITH spend AS (
