@@ -2272,25 +2272,24 @@ class AnalyticsEngine:
             pa = m.group("pa") or pt
             ia = m.group("ia") or it
             eqs: list[tuple[str, str]] = []
-            rng: tuple[str, str, str] | None = None
-            for cond in re.split(r"\s+and\s+(?![^()]*\))",
-                                 m.group("conds").strip(), flags=re.I):
-                bm = re.match(
-                    r"^\s*(\w+)\.(\w+)\s+between\s+(\w+)\.(\w+)"
-                    r"\s+and\s+(\w+)\.(\w+)\s*$",
-                    cond, re.I,
-                )
-                if bm:
-                    p_al, p_col, lo_al, lo_col, hi_al, hi_col = bm.groups()
-                    if (
-                        rng is not None
-                        or p_al != pa
-                        or lo_al != ia
-                        or hi_al != ia
-                    ):
-                        return m.group(0)  # not the supported shape
-                    rng = (p_col, lo_col, hi_col)
-                    continue
+            conds_str = m.group("conds").strip()
+            # Extract the BETWEEN condition FIRST: its own "AND"
+            # (between lo AND hi) must not feed the conjunct split.
+            bm = re.search(
+                r"(\w+)\.(\w+)\s+between\s+(\w+)\.(\w+)"
+                r"\s+and\s+(\w+)\.(\w+)",
+                conds_str, re.I,
+            )
+            if not bm:
+                return m.group(0)
+            p_al, p_col, lo_al, lo_col, hi_al, hi_col = bm.groups()
+            if p_al != pa or lo_al != ia or hi_al != ia:
+                return m.group(0)  # not the supported shape
+            rng = (p_col, lo_col, hi_col)
+            remainder = conds_str[: bm.start()] + conds_str[bm.end():]
+            for cond in re.split(r"\s+and\s+", remainder, flags=re.I):
+                if not cond.strip():
+                    continue  # remnant of the excised BETWEEN
                 em = re.match(
                     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", cond
                 )
@@ -2303,8 +2302,6 @@ class AnalyticsEngine:
                     eqs.append((b_col, a_col))
                 else:
                     return m.group(0)
-            if rng is None:
-                return m.group(0)
             p_col, lo_col, hi_col = rng
 
             points = self.spark.table(pt)
@@ -2647,10 +2644,26 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
-        inner = self._rewrite_distinct_on(inner)
+        had_don = inner != (inner := self._rewrite_distinct_on(inner))
         inner, asof_views = self._rewrite_asof(inner)
         inner, range_views = self._rewrite_range_join(inner)
         inner, qual_views = self._rewrite_qualify(inner)
+        # Surface each SQL-surface rewrite the way zone maps / the ANN
+        # access path are surfaced — the reference's EXPLAIN shows its
+        # plan choices in the same header position (portal.py:124-128).
+        rewrites = ""
+        if had_don:
+            rewrites += "-- distinct on: rewritten onto QUALIFY row_number()=1\n"
+        if asof_views:
+            rewrites += "-- asof join: rewritten onto union+window (one shuffle)\n"
+        if range_views:
+            rewrites += (
+                "-- range join: bucketed equi-join (andb."
+                f"range_bucket_seconds="
+                f"{self.session_vars.get('andb.range_bucket_seconds', 1800)})\n"
+            )
+        if qual_views:
+            rewrites += "-- qualify: window filter via per-statement view\n"
         asof_views += range_views + qual_views
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
@@ -2663,9 +2676,12 @@ class AnalyticsEngine:
             path = choose_topk_path(
                 mode, self.catalog["stats"].get(ann.group("table"))
             )
-            header = f"-- vector access path: {path} (andb.ann_mode={mode})\n"
+            header = (
+                rewrites
+                + f"-- vector access path: {path} (andb.ann_mode={mode})\n"
+            )
         else:
-            header = ""
+            header = rewrites
         # EXPLAIN shows the plan _select would run — including the
         # zone-pruned scan when data skipping applies (the reference's
         # EXPLAIN surfaces its IndexScan-vs-TableScan choice the same

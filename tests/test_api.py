@@ -779,13 +779,35 @@ def test_range_join_rewrite_is_transparent(spark, tmp_path):
     )
     assert r.rows == [(1, 10), (2, 11), (3, 12)]
 
-    # the substituted plan is an equi-join, not a nested loop
+    # the substituted plan is an equi-join, not a nested loop, and
+    # EXPLAIN says the rewrite fired (a keyed BETWEEN would otherwise
+    # silently fall back to Spark's SMJ-with-filter, which also has no
+    # NestedLoop — the header is the real rewrite-fired signal)
     ex = e(
         "explain select pid, iid from pts p join iv i on p.u = i.u"
         " and p.t between i.lo and i.hi"
     )
     phys = ex.rows[0][1]
     assert "NestedLoop" not in phys and "Cartesian" not in phys, phys
+    assert "range join: bucketed" in ex.rows[0][0]
+
+    # PURE point-in-interval (no equi key) — the shape Spark itself
+    # can only nested-loop. The rewrite makes it a bucket equi-join.
+    pure = e(
+        "select pid, iid from pts p join iv i"
+        " on p.t between i.lo and i.hi order by pid, iid"
+    )
+    assert pure.rows == [
+        (1, 10), (1, 13), (2, 11), (2, 13),
+        (3, 10), (3, 12), (3, 13), (4, 13),
+    ]
+    ex = e(
+        "explain select pid, iid from pts p join iv i"
+        " on p.t between i.lo and i.hi"
+    )
+    phys = ex.rows[0][1]
+    assert "NestedLoop" not in phys and "Cartesian" not in phys, phys
+    assert "range join: bucketed" in ex.rows[0][0]
 
     # pure equi join: untouched (no _rj_ view, ordinary plan)
     assert e(
