@@ -2047,7 +2047,9 @@ class AnalyticsEngine:
     # recognizes the shape and substitutes the bucketed decomposition
     # (operators/rangejoin.py) — identical inner-join semantics, work
     # O(points + intervals x buckets + matches). Width via
-    # `SET andb.range_bucket_seconds` (default 1800). Non-matching ON
+    # `SET andb.range_bucket_seconds` (default 1800) — SECONDS for
+    # timestamp/date time columns, NATIVE UNITS for numeric ones
+    # (microsecond epochs need a microsecond-scale width). Non-matching ON
     # shapes and outer/semi/anti joins pass through untouched.
     _RANGE_RE = re.compile(
         r"\bfrom\s+(?P<pt>\w+)(?:\s+(?!inner\b|join\b|asof\b)(?P<pa>\w+))?"
@@ -2134,6 +2136,221 @@ class AnalyticsEngine:
             tmp,
         )
 
+    @staticmethod
+    def _find_top_level_keyword(text: str, keywords: tuple[str, ...],
+                                start: int = 0) -> tuple[int, str] | None:
+        """Position of the first occurrence of any keyword at paren
+        depth 0, outside single-quoted string literals, and on WORD
+        boundaries (neither neighbor is alnum/underscore — ``blimit``
+        and ``price_from`` must not match ``limit``/``from``).
+        Multi-word keywords use single spaces. Returns (index, kw)."""
+        low = text.lower()
+        depth = 0
+        in_str = False
+        i = start
+        n = len(low)
+        while i < n:
+            c = low[i]
+            if in_str:
+                if c == "'":
+                    in_str = False
+                i += 1
+                continue
+            if c == "'":
+                in_str = True
+                i += 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                for kw in keywords:
+                    if low.startswith(kw, i):
+                        before_ok = i == 0 or not (
+                            low[i - 1].isalnum() or low[i - 1] == "_"
+                        )
+                        j = i + len(kw)
+                        after_ok = j >= n or not (
+                            low[j].isalnum() or low[j] == "_"
+                        )
+                        if before_ok and after_ok:
+                            return i, kw
+            i += 1
+        return None
+
+    @staticmethod
+    def _split_top_level(text: str, sep: str = ",") -> list[str]:
+        """Split on ``sep`` at paren depth 0 / outside string literals
+        — commas inside function calls like coalesce(a,b) don't split."""
+        parts: list[str] = []
+        depth = 0
+        in_str = False
+        cur = []
+        for c in text:
+            if in_str:
+                cur.append(c)
+                if c == "'":
+                    in_str = False
+                continue
+            if c == "'":
+                in_str = True
+                cur.append(c)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == sep and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+        parts.append("".join(cur))
+        return parts
+
+    def _rewrite_distinct_on(self, stmt: str) -> str:
+        """DISTINCT ON (Postgres/DuckDB): keep the first row per key
+        group under the statement's ORDER BY. Pure text rewrite into
+        QUALIFY row_number() = 1 (handled downstream by
+        _rewrite_qualify), preserving the outer ordering. Postgres'
+        contract is enforced: ORDER BY must lead with the DISTINCT ON
+        keys, and at least one tiebreak column must follow — without
+        one the surviving row per group is arbitrary, which an engine
+        should refuse rather than return unstably. Keys and ORDER BY
+        items split paren-aware, so function expressions like
+        date_trunc('day', ts) work as keys and tiebreaks."""
+        m = re.match(r"^\s*select\s+distinct\s+on\s*\(", stmt, re.I)
+        if not m:
+            return stmt
+        # scan to the matching close paren (keys may hold nested calls)
+        depth = 1
+        i = m.end()
+        in_str = False
+        while i < len(stmt) and depth:
+            c = stmt[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise EngineError("DISTINCT ON: unbalanced parentheses")
+        keys = [k.strip() for k in
+                self._split_top_level(stmt[m.end(): i - 1])]
+        rest = stmt[i:]
+        ob = self._find_top_level_keyword(rest, ("order by",))
+        if ob is None:
+            raise EngineError(
+                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
+                " for a deterministic result"
+            )
+        body = rest[: ob[0]].rstrip()
+        order = rest[ob[0] + len("order by"):].strip()
+        # LIMIT after ORDER BY stays outer
+        lm = self._find_top_level_keyword(order, ("limit",))
+        limit = ""
+        if lm:
+            limit = " " + order[lm[0]:].strip()
+            order = order[: lm[0]].strip().rstrip(",")
+        items = [o.strip() for o in self._split_top_level(order)]
+        norm = lambda x: re.sub(r"\s+", " ", x.strip().lower())
+        lead = [re.sub(r"\s+(asc|desc)\s*$", "", norm(i)) for i in items]
+        if [norm(k) for k in keys] != lead[: len(keys)]:
+            raise EngineError(
+                "DISTINCT ON: ORDER BY must start with the DISTINCT ON"
+                f" expressions {keys}"
+            )
+        tail = items[len(keys):]
+        if not tail:
+            raise EngineError(
+                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
+                " for a deterministic result"
+            )
+        return (
+            f"select {body} qualify row_number() over"
+            f" (partition by {', '.join(keys)}"
+            f" order by {', '.join(tail)}) = 1"
+            f" order by {order}{limit}"
+        )
+
+    @staticmethod
+    def _find_top_level_keyword(text: str, keywords: tuple[str, ...],
+                                start: int = 0) -> tuple[int, str] | None:
+        """Position of the first occurrence of any keyword at paren
+        depth 0, outside single-quoted string literals, and on WORD
+        boundaries (neither neighbor is alnum/underscore — ``blimit``
+        and ``price_from`` must not match ``limit``/``from``).
+        Multi-word keywords use single spaces. Returns (index, kw)."""
+        low = text.lower()
+        depth = 0
+        in_str = False
+        i = start
+        n = len(low)
+        while i < n:
+            c = low[i]
+            if in_str:
+                if c == "'":
+                    in_str = False
+                i += 1
+                continue
+            if c == "'":
+                in_str = True
+                i += 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                for kw in keywords:
+                    if low.startswith(kw, i):
+                        before_ok = i == 0 or not (
+                            low[i - 1].isalnum() or low[i - 1] == "_"
+                        )
+                        j = i + len(kw)
+                        after_ok = j >= n or not (
+                            low[j].isalnum() or low[j] == "_"
+                        )
+                        if before_ok and after_ok:
+                            return i, kw
+            i += 1
+        return None
+
+    @staticmethod
+    def _split_top_level(text: str, sep: str = ",") -> list[str]:
+        """Split on ``sep`` at paren depth 0 / outside string literals
+        — commas inside function calls like coalesce(a,b) don't split."""
+        parts: list[str] = []
+        depth = 0
+        in_str = False
+        cur = []
+        for c in text:
+            if in_str:
+                cur.append(c)
+                if c == "'":
+                    in_str = False
+                continue
+            if c == "'":
+                in_str = True
+                cur.append(c)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == sep and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+        parts.append("".join(cur))
+        return parts
+
     def _rewrite_distinct_on(self, stmt: str) -> str:
         """DISTINCT ON (Postgres/DuckDB): keep the first row per key
         group under the statement's ORDER BY. Pure text rewrite into
@@ -2205,53 +2422,41 @@ class AnalyticsEngine:
         re-attach any trailing ORDER BY / LIMIT onto a select from the
         view. Window expressions in the predicate evaluate over the
         same rows as the statement's own window functions, which is
-        the defined QUALIFY evaluation order."""
-        qm = re.search(r"\bqualify\b", stmt, re.I)
-        if not qm:
+        the defined QUALIFY evaluation order. SELECT DISTINCT composes
+        correctly (QUALIFY filters FIRST, then DISTINCT — Snowflake's
+        order): distinct is stripped from the inner statement and
+        re-applied over the filtered view. The QUALIFY keyword is only
+        recognized at paren depth 0 outside string literals — a column
+        or literal containing the word is left alone."""
+        found = self._find_top_level_keyword(stmt, ("qualify",))
+        if found is None:
             return stmt, []
-        head = stmt[: qm.start()].rstrip()
-        tail = stmt[qm.end():].strip()
-        # split predicate from trailing ORDER BY / LIMIT at paren depth 0
-        trailing_at = None
-        depth = 0
-        low = tail.lower()
-        i = 0
-        while i < len(low):
-            c = low[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and low.startswith(("order by", "limit"), i):
-                trailing_at = i
-                break
-            i += 1
-        pred = tail[:trailing_at].strip() if trailing_at else tail
-        trailing = tail[trailing_at:] if trailing_at else ""
+        q_at, _ = found
+        head = stmt[:q_at].rstrip()
+        tail = stmt[q_at + len("qualify"):].strip()
+        t = self._find_top_level_keyword(tail, ("order by", "limit"))
+        pred = tail[: t[0]].strip() if t else tail
+        trailing = tail[t[0]:] if t else ""
         if not pred:
             raise EngineError("QUALIFY: empty predicate")
-        # top-level FROM of the head (paren-depth 0 — subqueries in the
-        # select list keep their own FROMs)
-        depth = 0
-        from_at = None
-        hlow = head.lower()
-        for j, c in enumerate(hlow):
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and hlow.startswith("from", j) and (
-                j + 4 == len(hlow) or not hlow[j + 4].isalnum()
-            ):
-                from_at = j
-                break
-        if from_at is None:
+        # QUALIFY-then-DISTINCT (Snowflake evaluation order): pull the
+        # DISTINCT out of the inner statement — leaving it in would
+        # dedup over (select-list, _qual) and let duplicate rows with
+        # different window values survive the filter
+        outer_sel = "select *"
+        dm = re.match(r"^\s*select\s+distinct\b(?!\s+on\b)", head, re.I)
+        if dm:
+            head = "select " + head[dm.end():].lstrip()
+            outer_sel = "select distinct *"
+        f = self._find_top_level_keyword(head, ("from",))
+        if f is None:
             raise EngineError("QUALIFY: no FROM clause to attach to")
+        from_at = f[0]
         inner = f"{head[:from_at].rstrip()}, ({pred}) as _qual {head[from_at:]}"
         df = self.spark.sql(inner).filter(F.col("_qual")).drop("_qual")
         view = f"_qualify_{uuid.uuid4().hex[:8]}"
         df.createOrReplaceTempView(view)
-        return f"select * from {view} {trailing}".rstrip(), [view]
+        return f"{outer_sel} from {view} {trailing}".rstrip(), [view]
 
     def _rewrite_range_join(self, stmt: str) -> tuple[str, list[str]]:
         """Substitute the bucketed interval-join plan for a plain inner
@@ -2266,6 +2471,7 @@ class AnalyticsEngine:
 
         views: list[str] = []
         quals: set[str] = set()
+        shadowed: list[tuple[set[str], set[str]]] = []
 
         def _sub(m: re.Match) -> str:
             pt, it = m.group("pt"), m.group("it")
@@ -2318,6 +2524,17 @@ class AnalyticsEngine:
             # drop colliding interval columns (the view namespace is
             # flat); join keys stay available under their point names
             taken = set(points.columns)
+            # equality-joined interval columns are value-identical to
+            # their point twins on every (inner-join) output row, so a
+            # reference through the interval alias safely resolves to
+            # the point column after stripping; only OTHER collisions
+            # are genuine shadowing and must error
+            eq_icols = {ic.lower() for _, ic in eqs}
+            dropped_cols = {
+                c.lower() for c in intervals.columns
+                if c in taken and c not in keys
+                and c.lower() not in eq_icols
+            }
             intervals = intervals.drop(
                 *[c for c in intervals.columns
                   if c in taken and c not in keys]
@@ -2330,9 +2547,27 @@ class AnalyticsEngine:
             out.createOrReplaceTempView(view)
             views.append(view)
             quals.update({pt, it, pa, ia})
+            shadowed.append(({ia.lower(), it.lower()}, dropped_cols))
             return f"from {view}"
 
-        new_stmt = self._RANGE_RE.sub(_sub, stmt)
+        try:
+            new_stmt = self._RANGE_RE.sub(_sub, stmt)
+            for aliases, dropped in shadowed:
+                for qm in re.finditer(r"\b(\w+)\.(\w+)", new_stmt):
+                    if (
+                        qm.group(1).lower() in aliases
+                        and qm.group(2).lower() in dropped
+                    ):
+                        raise EngineError(
+                            f"range join: column {qm.group(0)} is"
+                            " shadowed by a same-named point-side"
+                            " column and is not exposed — alias it"
+                            " before the join"
+                        )
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
         for q in quals:
             new_stmt = re.sub(rf"\b{re.escape(q)}\.", "", new_stmt,
                               flags=re.I)
@@ -2350,6 +2585,8 @@ class AnalyticsEngine:
         from andb_spark.operators.asof import asof_join
 
         views: list[str] = []
+        quals: set[str] = set()
+        shadowed: list[tuple[set[str], set[str]]] = []
 
         def _sub(m: re.Match) -> str:
             lt, rt = m.group("lt"), m.group("rt")
@@ -2435,20 +2672,44 @@ class AnalyticsEngine:
             view = f"_asof_{uuid.uuid4().hex[:8]}"
             out.createOrReplaceTempView(view)
             views.append(view)
+            # right columns NOT exposed (name collision with the left
+            # side): a statement that still references them through the
+            # right alias must fail loudly, not silently resolve to the
+            # LEFT side's same-named column after qualifier stripping
+            dropped = {
+                c.lower() for c in right_df.columns
+                if c in taken or c in (key, marker)
+            }
+            shadowed.append(({ra.lower(), rt.lower()}, dropped))
+            quals.update({lt, rt, la, ra})
             return f"from {view}"
 
-        new_stmt = self._ASOF_RE.sub(_sub, stmt)
-        if views:
-            # view columns are unqualified: strip the join aliases
-            # (and base-table qualifiers) from the remaining statement
-            m0 = self._ASOF_RE.search(stmt)
-            quals = {m0.group("lt"), m0.group("rt"),
-                     m0.group("la") or m0.group("lt"),
-                     m0.group("ra") or m0.group("rt")}
-            for q in quals:
-                new_stmt = re.sub(
-                    rf"\b{re.escape(q)}\.", "", new_stmt, flags=re.I
-                )
+        try:
+            new_stmt = self._ASOF_RE.sub(_sub, stmt)
+            for aliases, dropped in shadowed:
+                for qm in re.finditer(r"\b(\w+)\.(\w+)", new_stmt):
+                    if (
+                        qm.group(1).lower() in aliases
+                        and qm.group(2).lower() in dropped
+                    ):
+                        raise EngineError(
+                            f"ASOF JOIN: column {qm.group(0)} is"
+                            " shadowed by a same-named left-side column"
+                            " and is not exposed — alias it on the"
+                            " right side before the join"
+                        )
+        except BaseException:
+            # a raise after view creation must not leak the views —
+            # the caller only learns of them through the return value
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        # view columns are unqualified: strip the join aliases
+        # (and base-table qualifiers) from the remaining statement
+        for q in quals:
+            new_stmt = re.sub(
+                rf"\b{re.escape(q)}\.", "", new_stmt, flags=re.I
+            )
         return new_stmt, views
 
     def _select(self, stmt: str) -> Result:
@@ -2492,15 +2753,21 @@ class AnalyticsEngine:
             return view
 
         stmt = self._VERSION_RE.sub(_version_view, stmt)
-        stmt = self._rewrite_distinct_on(stmt)
-        stmt, asof_views = self._rewrite_asof(stmt)
-        stmt, range_views = self._rewrite_range_join(stmt)
-        stmt, qual_views = self._rewrite_qualify(stmt)
+        # every rewrite that can raise runs INSIDE the try: a failing
+        # later rewrite must not leak the views an earlier one created
+        rewrite_views: list[str] = []
         try:
+            stmt = self._rewrite_distinct_on(stmt)
+            stmt, v = self._rewrite_asof(stmt)
+            rewrite_views += v
+            stmt, v = self._rewrite_range_join(stmt)
+            rewrite_views += v
+            stmt, v = self._rewrite_qualify(stmt)
+            rewrite_views += v
             return self._select_resolved(stmt)
         finally:
             # bounded: no per-query leak
-            for v in version_views + asof_views + range_views + qual_views:
+            for v in version_views + rewrite_views:
                 self.spark.catalog.dropTempView(v)
 
     def _select_resolved(self, stmt: str) -> Result:
@@ -2613,25 +2880,30 @@ class AnalyticsEngine:
             # table — the Spark analog of the reference portal's
             # per-operator actual_rows/elapsed instrumentation
             # (portal.py:93-118, physical/base.py:22-24).
-            run_sql = self._rewrite_distinct_on(ana.group(1))
-            run_sql, asof_views = self._rewrite_asof(run_sql)
-            run_sql, range_views = self._rewrite_range_join(run_sql)
-            run_sql, qual_views = self._rewrite_qualify(run_sql)
-            asof_views += range_views + qual_views
-            df = self.spark.sql(run_sql)
-            t0 = time.perf_counter()
-            # Execute THIS queryExecution's physical plan without
-            # materializing rows on the driver: toRdd() runs the same
-            # executedPlan (populating its SQLMetrics) and the JVM-side
-            # count() only ships per-partition counts back. A plain
-            # df.count() would instead execute a rewritten Aggregate
-            # plan, and df.collect() would hold the full result set
-            # driver-side — unbounded at scale.
-            n = df._jdf.queryExecution().toRdd().count()
-            dt = time.perf_counter() - t0
-            jplan = df._jdf.queryExecution().executedPlan()
-            for v in asof_views:
-                self.spark.catalog.dropTempView(v)
+            asof_views = []
+            try:
+                run_sql = self._rewrite_distinct_on(ana.group(1))
+                run_sql, v = self._rewrite_asof(run_sql)
+                asof_views += v
+                run_sql, v = self._rewrite_range_join(run_sql)
+                asof_views += v
+                run_sql, v = self._rewrite_qualify(run_sql)
+                asof_views += v
+                df = self.spark.sql(run_sql)
+                t0 = time.perf_counter()
+                # Execute THIS queryExecution's physical plan without
+                # materializing rows on the driver: toRdd() runs the
+                # same executedPlan (populating its SQLMetrics) and the
+                # JVM-side count() only ships per-partition counts
+                # back. A plain df.count() would instead execute a
+                # rewritten Aggregate plan, and df.collect() would hold
+                # the full result set driver-side — unbounded at scale.
+                n = df._jdf.queryExecution().toRdd().count()
+                dt = time.perf_counter() - t0
+                jplan = df._jdf.queryExecution().executedPlan()
+            finally:
+                for v in asof_views:
+                    self.spark.catalog.dropTempView(v)
             return Result(
                 columns=[
                     "Physical Plan", "rows", "elapsed_sec", "Operator Metrics"
@@ -2644,10 +2916,18 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
-        had_don = inner != (inner := self._rewrite_distinct_on(inner))
-        inner, asof_views = self._rewrite_asof(inner)
-        inner, range_views = self._rewrite_range_join(inner)
-        inner, qual_views = self._rewrite_qualify(inner)
+        asof_views: list[str] = []
+        range_views: list[str] = []
+        qual_views: list[str] = []
+        try:
+            had_don = inner != (inner := self._rewrite_distinct_on(inner))
+            inner, asof_views = self._rewrite_asof(inner)
+            inner, range_views = self._rewrite_range_join(inner)
+            inner, qual_views = self._rewrite_qualify(inner)
+        except BaseException:
+            for v in asof_views + range_views + qual_views:
+                self.spark.catalog.dropTempView(v)
+            raise
         # Surface each SQL-surface rewrite the way zone maps / the ANN
         # access path are surfaced — the reference's EXPLAIN shows its
         # plan choices in the same header position (portal.py:124-128).

@@ -54,19 +54,24 @@ def bucketed_interval_join(
             f" condition (got how={how!r})"
         )
     # timestamp/date columns bucket on epoch seconds; numeric time
-    # columns (already epochs or plain ordinates) bucket directly —
-    # both are monotone, which is all the decomposition needs
-    types = dict(points.dtypes) | dict(intervals.dtypes)
+    # columns (already epochs or plain ordinates) bucket directly in
+    # their NATIVE units (``bucket_seconds`` is then a native-unit
+    # width — microsecond epochs need a microsecond-scale width) —
+    # both are monotone, which is all the decomposition needs. Dtype
+    # is resolved PER SIDE: a point column and an interval column may
+    # share a name with different types.
+    p_types, i_types = dict(points.dtypes), dict(intervals.dtypes)
 
-    def bucket_of(c: str):
+    def bucket_of(c: str, types: dict):
         if types.get(c) in ("timestamp", "timestamp_ntz", "date"):
             return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
         return F.floor(F.col(c) / bucket_seconds)
-    p = points.withColumn("_bucket", bucket_of(point_ts))
+    p = points.withColumn("_bucket", bucket_of(point_ts, p_types))
     i = (
         intervals.withColumn(
             "_bucket",
-            F.explode(F.sequence(bucket_of(start_col), bucket_of(end_col))),
+            F.explode(F.sequence(bucket_of(start_col, i_types),
+                                 bucket_of(end_col, i_types))),
         )
     )
     return (

@@ -65,7 +65,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # at sf0.01 (the identical check the driver runs) including the
     # driver-faithful pandas canon added in tools/compare.py.
     #
-    # (a) never-graded: the 7 left over from r5, plus the four new
+    # (a) never-graded: the 7 left over from r5, plus the eight new
     # surfaces (m_embed_topk: multimodal->ANN bridge end-to-end;
     # u_asof_sql: ASOF JOIN SQL vs DuckDB's native one; u_range_sql:
     # the transparent range-join rewrite vs the identical plain SQL

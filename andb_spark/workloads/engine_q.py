@@ -319,6 +319,11 @@ def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch("andb_rj_"), spark=spark, attach_dir=sf_dir
     )
     e = eng.execute
+    # bucket width is in the time column's NATIVE units (these are
+    # MICROSECOND epochs): one bucket per 30-minute window, so each
+    # interval explodes to ~2 bucket rows — the default 1800 would be
+    # 1800 MICROSECONDS and explode every window to 10^6 rows
+    e("set andb.range_bucket_seconds = 1800000000")
     e(
         "create table rj_clicks as select event_id as click_id,"
         " user_id, unix_micros(ts) as t_us from events"

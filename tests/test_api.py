@@ -941,6 +941,76 @@ def test_insert_on_conflict(spark, tmp_path):
     eng.close()
 
 
+def test_sql_rewrite_robustness(spark, tmp_path):
+    """Hardening cases from the r6 review of the SQL-surface rewrite
+    layer: keyword detection must respect string literals and
+    identifier boundaries, shadowed columns must error rather than
+    silently resolve to the other table, QUALIFY must compose with
+    SELECT DISTINCT in Snowflake's filter-then-distinct order, and
+    DISTINCT ON must accept function expressions in keys/tiebreaks."""
+    eng = AnalyticsEngine(str(tmp_path / "whrob"), spark=spark)
+    e = eng.execute
+
+    # 'qualify' inside a string literal is data, not a clause
+    e("create table notes (k int, note varchar(32))")
+    e("insert into notes values (1, 'does not qualify'), (2, 'ok')")
+    r = e("select k from notes where note = 'does not qualify'")
+    assert r.rows == [(1,)]
+
+    # identifier containing an embedded keyword ('price_from' holds
+    # 'from'; 'blimit' holds 'limit') must not confuse QUALIFY parsing
+    e("create table px (grp int, price_from int, blimit int)")
+    e("insert into px values (1, 10, 5), (1, 20, 6), (2, 30, 7)")
+    r = e(
+        "select grp, price_from, blimit from px qualify row_number()"
+        " over (partition by grp order by price_from desc, blimit) = 1"
+        " order by grp"
+    )
+    assert r.rows == [(1, 20, 6), (2, 30, 7)]
+
+    # QUALIFY + SELECT DISTINCT: filter FIRST, then distinct
+    e("create table dupes (region varchar(4), amt int)")
+    e(
+        "insert into dupes values ('E', 1), ('E', 1), ('E', 9),"
+        " ('W', 2), ('W', 2)"
+    )
+    r = e(
+        "select distinct region from dupes qualify"
+        " rank() over (partition by region order by amt) = 1"
+        " order by region"
+    )
+    assert r.rows == [("E",), ("W",)]
+
+    # ASOF: referencing a right column shadowed by a same-named left
+    # column errors loudly (never silently returns the left's values)
+    e("create table tr2 (tid int, sym varchar(4), t int)")
+    e("insert into tr2 values (1, 'A', 5)")
+    e("create table qu2 (sym varchar(4), qt int)")
+    e("insert into qu2 values ('A', 3)")
+    with pytest.raises(EngineError, match="shadowed"):
+        e(
+            "select tid, q.sym from tr2 tr asof left join qu2 q"
+            " on tr.sym = q.sym and tr.t >= q.qt"
+        )
+
+    # ...and a failed rewrite leaks no per-statement views
+    assert [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith(("_asof_", "_rj_", "_qualify_"))
+    ] == []
+
+    # DISTINCT ON with a function expression key and a function
+    # tiebreak (paren-aware splitting)
+    e("create table ev2 (u int, ts int)")
+    e("insert into ev2 values (1, 5), (2, 9), (3, 2), (4, 7)")
+    r = e(
+        "select distinct on (u % 2) u % 2 as par, u, ts from ev2"
+        " order by u % 2, coalesce(ts, u) desc, u"
+    )
+    assert r.rows == [(0, 2, 9), (1, 1, 5)]
+    eng.close()
+
+
 def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     """ADVICE r5: N processes that all observe the SAME dead owner must
     race down to exactly ONE live writer. The old tmp-file+os.replace
