@@ -244,6 +244,58 @@ def s_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def s_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment: each streaming event joined to the
+    user's most recent STATIC order as of the event time. Window
+    functions are disallowed inside a streaming query, so the as-of
+    runs per micro-batch through ``foreachBatch`` — each batch is a
+    plain DataFrame, and because the match depends only on the batch
+    row and the static side, the union of per-batch results is
+    IDENTICAL to the batch answer under any batching whatsoever. The
+    oracle is therefore the same LATERAL SQL that grades the batch
+    twin ``a_asof_join`` — the streaming execution path earns the full
+    hash compare, not a rows-only waiver. Per-batch output lands in an
+    append-only parquet spool (at scale: a Delta/manifest table, same
+    pattern as streaming/dedup_ingest.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from andb_spark.operators.asof import asof_join
+
+    tune_for_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    spool = tempfile.mkdtemp(prefix="andb_stream_asof_")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+
+    def enrich(batch_df: DataFrame, _bid: int) -> None:
+        out = asof_join(
+            batch_df.select("event_id", "user_id", "ts"),
+            orders,
+            left_on="user_id",
+            right_on="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            payload_cols=["o_orderkey", "o_totalprice"],
+            right_tiebreak="o_orderkey",
+        ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        out.write.mode("append").parquet(spool)
+
+    src = stream_source(spark, table_path(sf_dir, "events"), watermark=None)
+    q = (
+        src.writeStream.foreachBatch(enrich)
+        .queryName("andb_stream_asof")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(spool)
+
+
 QUERIES = {
     "s_tumbling": s_tumbling,
     "s_daily_rollup": s_daily_rollup,
@@ -255,6 +307,7 @@ QUERIES = {
     "s_stream_dedup": s_stream_dedup,
     "s_stream_join": s_stream_join,
     "s_stream_enrich": s_stream_enrich,
+    "s_stream_asof": s_stream_asof,
     "s_stream_distinct": s_stream_distinct,
 }
 
@@ -271,6 +324,7 @@ EXECUTING_BUILDERS = frozenset(
         "s_stream_dedup",
         "s_stream_join",
         "s_stream_enrich",
+        "s_stream_asof",
         "s_stream_distinct",
     }
 )
@@ -303,6 +357,16 @@ _SESSION_SQL = """
     """
 
 ORACLES = {
+    "s_stream_asof": """
+        SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice
+        FROM events e LEFT JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+            ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) ref ON TRUE
+        ORDER BY e.event_id
+    """,
     "s_daily_rollup": """
         WITH hourly AS (
             SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
