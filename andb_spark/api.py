@@ -2638,17 +2638,29 @@ class AnalyticsEngine:
             left_df, right_df = self.spark.table(lt), self.spark.table(rt)
             key = "_asof_k"
             if eqs:
+                # struct fields are aliased POSITIONALLY: left and
+                # right equality columns usually have different names
+                # (k vs rk), and two structs with different field names
+                # are different types — the operator's unionByName
+                # would fail (caught by the DuckDB-native differential)
                 left_df = left_df.withColumn(
-                    key, F.struct(*[F.col(c) for c, _ in eqs])
+                    key,
+                    F.struct(*[
+                        F.col(c).alias(f"_k{i}")
+                        for i, (c, _) in enumerate(eqs)
+                    ]),
                 )
                 # right NULL key fields match nothing (SQL equi
                 # semantics — struct equality would otherwise pair
                 # NULL with NULL); left NULLs stay and match nothing.
-                right_df = right_df
                 for _, c in eqs:
                     right_df = right_df.filter(F.col(c).isNotNull())
                 right_df = right_df.withColumn(
-                    key, F.struct(*[F.col(c) for _, c in eqs])
+                    key,
+                    F.struct(*[
+                        F.col(c).alias(f"_k{i}")
+                        for i, (_, c) in enumerate(eqs)
+                    ]),
                 )
             else:  # pure time as-of, one global sequence
                 left_df = left_df.withColumn(key, F.lit(1))
