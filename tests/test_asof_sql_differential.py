@@ -1,5 +1,7 @@
-"""Differential test of the ENGINE's ASOF JOIN SQL surface against
-DuckDB's NATIVE ASOF JOIN on seeded random data.
+"""Differential tests of the ENGINE's SQL surfaces against DuckDB's
+NATIVE implementations on seeded random data: ASOF JOIN, the
+transparent range-join rewrite (identical plain SQL), QUALIFY and
+DISTINCT ON.
 
 The operator already has a pandas merge_asof property test
 (test_operators.py) and the driver row u_asof_sql grades one corpus
@@ -113,3 +115,102 @@ def test_asof_sql_matches_duckdb_native(asof_engines, label, sql):
     ours = eng.execute(sql).rows
     duck = con.execute(sql).fetchall()
     assert ours == duck, (label, sql)
+
+
+@pytest.fixture(scope="module")
+def range_engines(spark, tmp_path_factory):
+    """Points and intervals with negative times, empty intervals
+    (lo > hi), boundary-equal matches, and a cross-bucket spread."""
+    rng = random.Random(_SEED + 1)
+    pts = [
+        (i, rng.randint(1, 4), rng.randint(-5000, 5000)) for i in range(150)
+    ]
+    ivs = []
+    for i in range(60):
+        lo = rng.randint(-5000, 5000)
+        # ~1/6 empty (hi < lo), rest spans up to ~2.5 buckets wide
+        hi = lo + rng.randint(-500, 4500)
+        ivs.append((i, rng.randint(1, 5), lo, hi))
+    # guaranteed boundary-equality cases
+    ivs.append((60, 1, pts[0][2], pts[0][2]))
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whrjdiff")), spark=spark
+    )
+    e = eng.execute
+    e("create table rpts (pid int, u int, t int)")
+    e(
+        "insert into rpts values "
+        + ", ".join(f"({p}, {u}, {t})" for p, u, t in pts)
+    )
+    e("create table rivs (iid int, iu int, lo int, hi int)")
+    e(
+        "insert into rivs values "
+        + ", ".join(f"({i}, {u}, {lo}, {hi})" for i, u, lo, hi in ivs)
+    )
+    con = duckdb.connect()
+    con.execute("create table rpts (pid int, u int, t int)")
+    con.executemany("insert into rpts values (?, ?, ?)", pts)
+    con.execute("create table rivs (iid int, iu int, lo int, hi int)")
+    con.executemany("insert into rivs values (?, ?, ?, ?)", ivs)
+    yield eng, con
+    eng.close()
+
+
+_RANGE_SHAPES = [
+    (
+        "keyed",
+        "select pid, iid from rpts p join rivs i"
+        " on p.u = i.iu and p.t between i.lo and i.hi order by pid, iid",
+    ),
+    (
+        "keyless",
+        "select count(1) as n, min(pid) as mn, max(iid) as mx from rpts p"
+        " join rivs i on p.t between i.lo and i.hi",
+    ),
+    (
+        "aggregated",
+        "select pid, count(1) as n from rpts p join rivs i"
+        " on p.u = i.iu and p.t between i.lo and i.hi"
+        " group by pid order by pid",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "label,sql", _RANGE_SHAPES, ids=[s[0] for s in _RANGE_SHAPES]
+)
+def test_range_join_sql_matches_duckdb(range_engines, label, sql):
+    """Identical plain SQL through the engine (bucketed rewrite, width
+    1800 native units over a ±5000 domain — intervals span multiple
+    buckets) and DuckDB (native IEJoin)."""
+    eng, con = range_engines
+    assert eng.execute(sql).rows == con.execute(sql).fetchall(), label
+
+
+_WINDOW_SHAPES = [
+    (
+        "qualify_topk",
+        "select pid, k, t from probes qualify row_number() over"
+        " (partition by k order by t desc, pid) <= 3 order by k, t desc, pid",
+    ),
+    (
+        "qualify_rank_alias",
+        "select pid, k, rank() over (partition by k order by t, pid)"
+        " as rk from probes qualify rk = 1 order by k",
+    ),
+    (
+        "distinct_on",
+        "select distinct on (k) k, pid, t from probes"
+        " order by k, t desc, pid",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "label,sql", _WINDOW_SHAPES, ids=[s[0] for s in _WINDOW_SHAPES]
+)
+def test_window_filter_sql_matches_duckdb(asof_engines, label, sql):
+    """QUALIFY / DISTINCT ON through the engine's rewrites vs DuckDB's
+    native clauses, identical SQL text."""
+    eng, con = asof_engines
+    assert eng.execute(sql).rows == con.execute(sql).fetchall(), label
