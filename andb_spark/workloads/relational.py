@@ -1152,6 +1152,58 @@ def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of q_approx_quantile (the r5 sketch-invariant
+    pattern): a Greenwald-Khanna estimate at accuracy=10000 must hold a
+    rank within ±1/10000 of the target rank, so the estimated median
+    must lie BETWEEN the exact values at ranks floor(0.5−ε)·n and
+    ceil(0.5+ε)·n (ε widened to 0.01 for cross-boundary slack — still
+    ~100× tighter than any wrong-algorithm result). The boolean is
+    deterministic for fixed data; the oracle states TRUE per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("a"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        ((F.col("a") >= F.col("lo")) & (F.col("a") <= F.col("hi"))).alias(
+            "within_bound"
+        ),
+    ).orderBy("l_returnflag")
+
+
+def q_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of q_hll_distinct: the Datasketches HLL
+    per-day → union rollup estimate must land within 5% of the exact
+    distinct-user count computed WITHOUT the sketch (lgConfigK=12
+    standard error ≈ 0.8%; 5% is >6σ). Also asserts the merge is
+    lossless vs a direct one-shot sketch of the same column — the
+    mergeability contract the 100 TB rollup pattern rests on."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    direct = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("d"),
+        F.countDistinct("user_id").alias("x"),
+    )
+    return merged.crossJoin(direct).select(
+        (
+            F.abs(F.col("est") - F.col("x")) <= F.col("x") * F.lit(0.05)
+        ).alias("within_bound"),
+        (F.col("est") == F.col("d")).alias("merge_lossless"),
+    )
+
+
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch quantiles: approx_percentile (Greenwald-Khanna sketch,
     accuracy 1/10000) per return flag — the one-pass constant-memory
@@ -1208,6 +1260,7 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_distinct_bound": q_approx_distinct_bound,
     "q_approx_quantile": q_approx_quantile,
+    "q_approx_quantile_bound": q_approx_quantile_bound,
     "q_funnel": q_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_json_extract": q_json_extract,
@@ -1215,6 +1268,7 @@ QUERIES = {
     "q_gapfill": q_gapfill,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_hll_distinct": q_hll_distinct,
+    "q_hll_sketch_bound": q_hll_sketch_bound,
     "q_stats_agg": q_stats_agg,
     "q_percentiles": q_percentiles,
     "q_grouping_sets": q_grouping_sets,
@@ -1268,6 +1322,13 @@ ORACLES = {
     # check holds for every one (the Spark side computes
     # |approx − exact| ≤ 5%·exact; a sketch regression flips a boolean
     # and hash-mismatches).
+    "q_approx_quantile_bound": """
+        SELECT l_returnflag, TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q_hll_sketch_bound": """
+        SELECT TRUE AS within_bound, TRUE AS merge_lossless
+    """,
     "q_approx_distinct_bound": """
         SELECT l_returnflag, TRUE AS within_bound
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
