@@ -46,13 +46,13 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7 plus the eleven new-surface
+    # names; this round (a) grades those 7 plus the twelve new-surface
     # names,
     # (b) re-grades the six
     # rows changed since their last grading (m_resize oracle CAST fix,
     # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
     # plus the spread_small_input plan-changed trio), and (c) spends
-    # the remaining 26 slots on the OLDEST evidence: 10 of the 24
+    # the remaining 25 slots on the OLDEST evidence: 9 of the 24
     # oracle-backed r1-graded names, all 6 r2 names, 8 of the
     # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
     # the oldest of their families, pulled forward so the every-family-
@@ -65,7 +65,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # at sf0.01 (the identical check the driver runs) including the
     # driver-faithful pandas canon added in tools/compare.py.
     #
-    # (a) never-graded: the 7 left over from r5, plus the eleven new
+    # (a) never-graded: the 7 left over from r5, plus the twelve new
     # surfaces (m_embed_topk: multimodal->ANN bridge end-to-end;
     # u_asof_sql: ASOF JOIN SQL vs DuckDB's native one; u_range_sql:
     # the transparent range-join rewrite vs the identical plain SQL
@@ -76,7 +76,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # q_listagg / q_recursive_cte: Spark-4 listagg + WITH RECURSIVE
     # vs DuckDB string_agg / native recursion; q_approx_quantile_bound
     # / q_hll_sketch_bound: two more sketch-invariant rows — GK rank
-    # bound, HLL union accuracy + mergeability)
+    # bound, HLL union accuracy + mergeability; d_bloom_bound: the
+    # Bloom screen's no-false-negative contract with exact counts)
     "d_repeated_passages",
     "t_rolling_fingerprint",
     "t_source_stats",
@@ -94,6 +95,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_recursive_cte",
     "q_approx_quantile_bound",
     "q_hll_sketch_bound",
+    "d_bloom_bound",
     "s_stream_asof",
     # (b) changed since their last grading / new this round. The
     # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
@@ -115,10 +117,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # q_rollup, q_cube, q_intersect, q_function_scan, q_gapfill (its
     # recursive twin q_recursive_cte now grades gap-fill), q_join_left
     # (left-outer stays graded via q13's r4 row + the join fuzz arm),
-    # q14 (conditional-ratio shape stays graded via q8), q_percentiles
+    # q14 (conditional-ratio shape stays graded via q8), q_sessionize
+    # (gap-sessionization stays graded via s_session's r4 row and the
+    # s_stateful_user r5 row), q_percentiles
     # (the exact-percentile surface is exercised INSIDE
     # q_approx_quantile_bound's rank-window arithmetic)
-    # to the eleven new-surface names
+    # to the twelve new-surface names
     # (grouping-sets/set-op coverage continues in the fuzz arms,
     # q_grouping_sets, q_union_distinct) — their
     # surfaces are pinned by local tests and they head r7's oldest
@@ -131,7 +135,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_anomaly_zscore",
     "q_funnel",
     "q_retention_cohorts",
-    "q_sessionize",
     "q_skew_salted_agg",
     "q_stats_agg",
     "q_union_distinct",

@@ -176,6 +176,42 @@ def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BL.bloom_new_items(inc, "h", bf).select("doc_id").orderBy("doc_id")
 
 
+def d_bloom_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of d_bloom_dedup (the sketch-invariant
+    pattern): the Bloom screen may drop a ~fpp fraction of genuinely
+    new docs, but it must NEVER pass a true duplicate — every
+    increment doc whose content exists in history must be screened
+    out. n_true_dups is an exact number the oracle recomputes
+    independently; n_missed_dups (true dups surviving the screen) must
+    be 0; n_kept <= n_new states the one-sided-error direction. All
+    three are deterministic (fixed xxhash64 lanes)."""
+    d = _docs(spark, sf_dir)
+    hist = d.filter(F.col("doc_id") < 400).select(
+        F.md5(F.col("text")).alias("h")
+    )
+    inc = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    bf = BL.build_bloom(hist, "h", fpp=0.01)
+    kept = BL.bloom_new_items(inc, "h", bf).select("doc_id", "h")
+    true_dups = inc.join(hist.distinct(), "h", "left_semi")
+    missed = kept.join(hist.distinct(), "h", "left_semi")
+    return (
+        true_dups.agg(F.count(F.lit(1)).alias("n_true_dups"))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("n_missed_dups")))
+        .crossJoin(
+            kept.agg(F.count(F.lit(1)).alias("nk"))
+            .crossJoin(inc.agg(F.count(F.lit(1)).alias("nn")))
+            .select((F.col("nk") <= F.col("nn")).alias("one_sided"))
+        )
+        .select(
+            F.col("n_true_dups").cast("bigint").alias("n_true_dups"),
+            F.col("n_missed_dups").cast("bigint").alias("n_missed_dups"),
+            "one_sided",
+        )
+    )
+
+
 def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup (not just exact) incremental dedup: the ingest increment
     (docs 400+) LSH-joined against the historical corpus's maintained
@@ -1355,6 +1391,7 @@ QUERIES = {
     "d_cross_source_dups": d_cross_source_dups,
     "d_incremental_dedup": d_incremental_dedup,
     "d_bloom_dedup": d_bloom_dedup,
+    "d_bloom_bound": d_bloom_bound,
     "d_incremental_minhash": d_incremental_minhash,
     "d_repeated_passages": d_repeated_passages,
     "d_passage_scrub": d_passage_scrub,
@@ -2245,6 +2282,19 @@ ORACLES = {
             ORDER BY o_orderdate ASC, o_orderkey DESC LIMIT 1
         ) ref ON TRUE
         ORDER BY e.event_id
+    """,
+    "d_bloom_bound": """
+        WITH hist AS (
+            SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400
+        ),
+        inc AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+        )
+        SELECT CAST((SELECT count(*) FROM inc
+                     WHERE h IN (SELECT h FROM hist)) AS BIGINT)
+                   AS n_true_dups,
+               CAST(0 AS BIGINT) AS n_missed_dups,
+               TRUE AS one_sided
     """,
     "a_asof_tolerance": """
         SELECT p.event_id, p.user_id, ref.click_id,
