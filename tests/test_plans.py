@@ -84,7 +84,7 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
 
     allowed_pandas = {
         "m_image_meta", "m_audio_meta", "m_resize", "m_frame_sample",
-        "m_image_embed", "m_embed_topk", "d_bloom_dedup",
+        "m_image_embed", "m_embed_topk", "d_bloom_dedup", "d_bloom_bound",
         # real-codec round trips: Arrow mapInPandas IS the design for
         # byte-level decode (bounded 400-doc slice, never the hot path)
         "m_image_decode", "m_audio_decode",
