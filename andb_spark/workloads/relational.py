@@ -1177,12 +1177,16 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-gradable twin of q_hll_distinct: the Datasketches HLL
-    per-day → union rollup estimate must land within 5% of the exact
-    distinct-user count computed WITHOUT the sketch (lgConfigK=12
-    standard error ≈ 0.8%; 5% is >6σ). Also asserts the merge is
-    lossless vs a direct one-shot sketch of the same column — the
-    mergeability contract the 100 TB rollup pattern rests on."""
+    """Hash-gradable twin of q_hll_distinct: BOTH distinct-count paths
+    — the one-shot sketch AND the per-day → hll_union_agg rollup —
+    must land within 5% of the exact count computed without any sketch
+    (lgConfigK=12 standard error ≈ 1.6%; 5% is ~3σ on each).
+    Deliberately NOT asserted: estimate equality between the two paths
+    — the union is a register-wise max, but the sparse→dense mode
+    transition makes the two ESTIMATES differ slightly once the
+    cardinality outgrows sparse mode (first seen at sf0.1: 1488 vs
+    1494 on 1500 exact — both in bound, not bit-identical; the sf0.01
+    gate alone never leaves sparse mode and would have hidden it)."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
@@ -1196,11 +1200,10 @@ def q_hll_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("d"),
         F.countDistinct("user_id").alias("x"),
     )
+    bound = lambda c: F.abs(F.col(c) - F.col("x")) <= F.col("x") * F.lit(0.05)
     return merged.crossJoin(direct).select(
-        (
-            F.abs(F.col("est") - F.col("x")) <= F.col("x") * F.lit(0.05)
-        ).alias("within_bound"),
-        (F.col("est") == F.col("d")).alias("merge_lossless"),
+        bound("d").alias("direct_within_bound"),
+        bound("est").alias("union_within_bound"),
     )
 
 
@@ -1327,7 +1330,7 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "q_hll_sketch_bound": """
-        SELECT TRUE AS within_bound, TRUE AS merge_lossless
+        SELECT TRUE AS direct_within_bound, TRUE AS union_within_bound
     """,
     "q_approx_distinct_bound": """
         SELECT l_returnflag, TRUE AS within_bound
