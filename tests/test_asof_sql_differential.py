@@ -214,3 +214,34 @@ def test_window_filter_sql_matches_duckdb(asof_engines, label, sql):
     native clauses, identical SQL text."""
     eng, con = asof_engines
     assert eng.execute(sql).rows == con.execute(sql).fetchall(), label
+
+
+@pytest.mark.parametrize("trial", [0, 1, 2])
+def test_on_conflict_matches_duckdb_native(spark, tmp_path, trial):
+    """INSERT..ON CONFLICT through the engine vs DuckDB's NATIVE upsert
+    (primary-key table): seeded random sequences of DO NOTHING /
+    DO UPDATE (excluded.- and target-referencing SET forms) over
+    unique-keyed statements must leave both engines' tables
+    identical."""
+    rng = random.Random(3000 + trial)
+    eng = AnalyticsEngine(str(tmp_path / "whoc"), spark=spark)
+    e = eng.execute
+    e("create table okv (k int not null, v int)")
+    con = duckdb.connect()
+    con.execute("create table okv (k int primary key, v int)")
+    for _ in range(6):
+        ks = rng.sample(range(1, 10), rng.randint(1, 5))
+        vals = ", ".join(f"({k},{rng.randint(0, 99)})" for k in ks)
+        act = rng.choice([
+            "do nothing",
+            "do update set v = excluded.v",
+            "do update set v = okv.v + excluded.v",
+        ])
+        sql = f"insert into okv values {vals} on conflict (k) {act}"
+        e(sql)
+        con.execute(sql)
+    assert (
+        e("select k, v from okv order by k").rows
+        == con.execute("select k, v from okv order by k").fetchall()
+    )
+    eng.close()
