@@ -46,13 +46,13 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7 plus the twelve new-surface
-    # names,
+    # names; this round (a) grades those 7 plus the fourteen
+    # new-surface names,
     # (b) re-grades the six
     # rows changed since their last grading (m_resize oracle CAST fix,
     # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
     # plus the spread_small_input plan-changed trio), and (c) spends
-    # the remaining 25 slots on the OLDEST evidence: 9 of the 24
+    # the remaining 23 slots on the OLDEST evidence: 9 of the 24
     # oracle-backed r1-graded names, all 6 r2 names, 8 of the
     # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
     # the oldest of their families, pulled forward so the every-family-
@@ -65,7 +65,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # at sf0.01 (the identical check the driver runs) including the
     # driver-faithful pandas canon added in tools/compare.py.
     #
-    # (a) never-graded: the 7 left over from r5, plus the twelve new
+    # (a) never-graded: the 7 left over from r5, plus the fourteen new
     # surfaces (m_embed_topk: multimodal->ANN bridge end-to-end;
     # u_asof_sql: ASOF JOIN SQL vs DuckDB's native one; u_range_sql:
     # the transparent range-join rewrite vs the identical plain SQL
@@ -77,7 +77,9 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # vs DuckDB string_agg / native recursion; q_approx_quantile_bound
     # / q_hll_sketch_bound: two more sketch-invariant rows — GK rank
     # bound, HLL union accuracy + mergeability; d_bloom_bound: the
-    # Bloom screen's no-false-negative contract with exact counts)
+    # Bloom screen's no-false-negative contract with exact counts;
+    # v_pq_bound / v_kmeans_bound: invariant twins for the iterative
+    # category — every formerly rows-only query now has one)
     "d_repeated_passages",
     "t_rolling_fingerprint",
     "t_source_stats",
@@ -96,6 +98,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_approx_quantile_bound",
     "q_hll_sketch_bound",
     "d_bloom_bound",
+    "v_pq_bound",
+    "v_kmeans_bound",
     "s_stream_asof",
     # (b) changed since their last grading / new this round. The
     # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
@@ -148,15 +152,16 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_scalar_subquery",
     "q_window_navigation",
     # (c) r3-graded (2 rounds stale), incl. the bench-drift watch item
-    # d_incremental_minhash (VERDICT r5 #5)
+    # d_incremental_minhash (VERDICT r5 #5); s_tumbling and
+    # v_semantic_dedup yielded their slots to the iterative-category
+    # bound rows (both families stay covered: s_stream_asof,
+    # v_quantize/v_pq_bound/v_kmeans_bound)
     "d_incremental_minhash",
     "q3_top_revenue",
     "q5_region_revenue",
     "q7_volume_shipping",
     "q9_product_profit",
     "q18_large_orders",
-    "s_tumbling",
-    "v_semantic_dedup",
     # (c) r4-graded — the oldest engine/catalog names, keeping the
     # every-family-every-round cross-section (q_date_funcs and
     # t_chunking, r3, yield their slots; both families are covered

@@ -246,6 +246,50 @@ def v_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v_pq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of v_pq_topk (the sketch-invariant pattern,
+    completing it for the iterative-algorithm category): PQ's ADC
+    candidates + exact rerank must recover at least 7 of the exact
+    top-10 by cosine (recall@10 ≥ 0.7 — measured 1.0 at m=16/k=16/
+    cand=100 in tests/test_operators.py; 0.7 leaves slack for any
+    k-means convergence outcome while any wrong-math result lands far
+    below). The boolean is robust to training nondeterminism, which is
+    exactly why the raw ranking stays rows-only while the INVARIANT
+    can be driver-graded."""
+    emb = _emb(spark, sf_dir)
+    books = SIM.pq_train(emb, m=16, k=16)
+    q = _query_vec(emb, 0)
+    pq = SIM.pq_rerank_topk(
+        emb, books, q, k=10, candidates=100, exclude_id=0
+    ).select("vec_id")
+    exact = SIM.cosine_topk(emb, q, k=10, exclude_id=0).select("vec_id")
+    hits = pq.join(exact, "vec_id", "left_semi")
+    return hits.agg(
+        (F.count(F.lit(1)) >= F.lit(7)).alias("recall_at_10_ok")
+    )
+
+
+def v_kmeans_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gradable twin of v_kmeans: Lloyd's invariants that hold
+    for ANY convergence outcome of the per-cluster summary the
+    operator returns — memberships partition the corpus exactly
+    (sum(n_members) == corpus size, an exact number the oracle's TRUE
+    presupposes at whatever SF the driver runs), between 1 and k
+    non-empty clusters survive, and every cluster's mean cosine to its
+    own centroid is a valid similarity (within [-1, 1])."""
+    emb = _emb(spark, sf_dir)
+    clusters = SIM.kmeans(emb, k=8, iterations=3)
+    total = emb.count()
+    return clusters.agg(
+        (F.sum("n_members") == F.lit(total)).alias("partitions_corpus"),
+        F.count(F.lit(1)).between(1, 8).alias("k_bounded"),
+        (
+            (F.min("avg_sim") >= F.lit(-1.0))
+            & (F.max("avg_sim") <= F.lit(1.0))
+        ).alias("sims_valid"),
+    )
+
+
 def v_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     k=60) of the BM25 lexical ranking (pipeline.bm25_scores) and the
@@ -309,6 +353,8 @@ QUERIES = {
     "v_cluster_near_dup": v_cluster_near_dup,
     "v_kmeans": v_kmeans,
     "v_pq_topk": v_pq_topk,
+    "v_pq_bound": v_pq_bound,
+    "v_kmeans_bound": v_kmeans_bound,
 }
 
 # Positional array expansion shared by the oracles.
@@ -323,6 +369,13 @@ _EXPAND = (
 from andb_spark.workloads.pipeline import BM25_ORACLE_CTE  # noqa: E402
 
 ORACLES = {
+    "v_pq_bound": """
+        SELECT TRUE AS recall_at_10_ok
+    """,
+    "v_kmeans_bound": """
+        SELECT TRUE AS partitions_corpus, TRUE AS k_bounded,
+               TRUE AS sims_valid
+    """,
     "v_hybrid_rrf": f"""
         WITH {BM25_ORACLE_CTE},
         lex AS (
