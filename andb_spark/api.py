@@ -2209,20 +2209,28 @@ class AnalyticsEngine:
         parts.append("".join(cur))
         return parts
 
-    def _rewrite_distinct_on(self, stmt: str) -> str:
+    def _rewrite_distinct_on(self, stmt: str) -> tuple[str, list[str]]:
         """DISTINCT ON (Postgres/DuckDB): keep the first row per key
-        group under the statement's ORDER BY. Pure text rewrite into
-        QUALIFY row_number() = 1 (handled downstream by
-        _rewrite_qualify), preserving the outer ordering. Postgres'
-        contract is enforced: ORDER BY must lead with the DISTINCT ON
-        keys, and at least one tiebreak column must follow — without
-        one the surviving row per group is arbitrary, which an engine
-        should refuse rather than return unstably. Keys and ORDER BY
-        items split paren-aware, so function expressions like
-        date_trunc('day', ts) work as keys and tiebreaks."""
+        group under the statement's ORDER BY. Postgres' contract is
+        enforced: ORDER BY must lead with the DISTINCT ON keys, and at
+        least one tiebreak column must follow — without one the
+        surviving row per group is arbitrary, which an engine should
+        refuse rather than return unstably. Keys and ORDER BY items
+        split paren-aware, so function expressions like
+        date_trunc('day', ts) work as keys and tiebreaks.
+
+        Rewrite: inject row_number() over (keys, tiebreaks) plus one
+        helper column per ORDER BY item into the select list, filter
+        rn=1 and sort DataFrame-side, materialize as a per-statement
+        temp view, and hand ``select * from <view> [limit]`` back. The
+        helper columns matter because Postgres sorts BEFORE projection
+        — ``SELECT DISTINCT ON (k) a, b .. ORDER BY k, ts DESC`` is
+        legal even when k/ts are unprojected expressions, so the
+        ordering cannot be re-attached to the post-projection view by
+        name. Returns (statement, views-to-drop)."""
         m = re.match(r"^\s*select\s+distinct\s+on\s*\(", stmt, re.I)
         if not m:
-            return stmt
+            return stmt, []
         # scan to the matching close paren (keys may hold nested calls)
         depth = 1
         i = m.end()
@@ -2258,8 +2266,25 @@ class AnalyticsEngine:
             limit = " " + order[lm[0]:].strip()
             order = order[: lm[0]].strip().rstrip(",")
         items = [o.strip() for o in self._split_top_level(order)]
+
+        def _parse_item(item: str) -> tuple[str, str, str]:
+            """(expr, asc|desc, ''|first|last) — direction tokens only
+            strip at the item's end, outside parens/literals by
+            construction (items are top-level splits)."""
+            expr, nulls, direction = item, "", "asc"
+            nm = re.search(r"\s+nulls\s+(first|last)\s*$", expr, re.I)
+            if nm:
+                nulls = nm.group(1).lower()
+                expr = expr[: nm.start()]
+            dm = re.search(r"\s+(asc|desc)\s*$", expr, re.I)
+            if dm:
+                direction = dm.group(1).lower()
+                expr = expr[: dm.start()]
+            return expr.strip(), direction, nulls
+
+        parsed = [_parse_item(o) for o in items]
         norm = lambda x: re.sub(r"\s+", " ", x.strip().lower())
-        lead = [re.sub(r"\s+(asc|desc)\s*$", "", norm(i)) for i in items]
+        lead = [norm(p[0]) for p in parsed]
         if [norm(k) for k in keys] != lead[: len(keys)]:
             raise EngineError(
                 "DISTINCT ON: ORDER BY must start with the DISTINCT ON"
@@ -2271,148 +2296,36 @@ class AnalyticsEngine:
                 "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
                 " for a deterministic result"
             )
-        return (
-            f"select {body} qualify row_number() over"
+        f = self._find_top_level_keyword(body, ("from",))
+        if f is None:
+            raise EngineError("DISTINCT ON: no FROM clause to attach to")
+        sel, src = body[: f[0]].rstrip(), body[f[0]:]
+        helpers = ", ".join(
+            f"{p[0]} as _don_o{n}" for n, p in enumerate(parsed)
+        )
+        inner = (
+            f"select {sel}, row_number() over"
             f" (partition by {', '.join(keys)}"
-            f" order by {', '.join(tail)}) = 1"
-            f" order by {order}{limit}"
+            f" order by {', '.join(tail)}) as _don_rn, {helpers} {src}"
         )
-
-    @staticmethod
-    def _find_top_level_keyword(text: str, keywords: tuple[str, ...],
-                                start: int = 0) -> tuple[int, str] | None:
-        """Position of the first occurrence of any keyword at paren
-        depth 0, outside single-quoted string literals, and on WORD
-        boundaries (neither neighbor is alnum/underscore — ``blimit``
-        and ``price_from`` must not match ``limit``/``from``).
-        Multi-word keywords use single spaces. Returns (index, kw)."""
-        low = text.lower()
-        depth = 0
-        in_str = False
-        i = start
-        n = len(low)
-        while i < n:
-            c = low[i]
-            if in_str:
-                if c == "'":
-                    in_str = False
-                i += 1
-                continue
-            if c == "'":
-                in_str = True
-                i += 1
-                continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0:
-                for kw in keywords:
-                    if low.startswith(kw, i):
-                        before_ok = i == 0 or not (
-                            low[i - 1].isalnum() or low[i - 1] == "_"
-                        )
-                        j = i + len(kw)
-                        after_ok = j >= n or not (
-                            low[j].isalnum() or low[j] == "_"
-                        )
-                        if before_ok and after_ok:
-                            return i, kw
-            i += 1
-        return None
-
-    @staticmethod
-    def _split_top_level(text: str, sep: str = ",") -> list[str]:
-        """Split on ``sep`` at paren depth 0 / outside string literals
-        — commas inside function calls like coalesce(a,b) don't split."""
-        parts: list[str] = []
-        depth = 0
-        in_str = False
-        cur = []
-        for c in text:
-            if in_str:
-                cur.append(c)
-                if c == "'":
-                    in_str = False
-                continue
-            if c == "'":
-                in_str = True
-                cur.append(c)
-                continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            if c == sep and depth == 0:
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(c)
-        parts.append("".join(cur))
-        return parts
-
-    def _rewrite_distinct_on(self, stmt: str) -> str:
-        """DISTINCT ON (Postgres/DuckDB): keep the first row per key
-        group under the statement's ORDER BY. Pure text rewrite into
-        QUALIFY row_number() = 1 (handled downstream by
-        _rewrite_qualify), preserving the outer ordering. Postgres'
-        contract is enforced: ORDER BY must lead with the DISTINCT ON
-        keys, and at least one tiebreak column must follow — without
-        one the surviving row per group is arbitrary, which an engine
-        should refuse rather than return unstably."""
-        m = re.match(
-            r"^\s*select\s+distinct\s+on\s*\(([^)]+)\)\s+(.*)$",
-            stmt, re.I | re.S,
+        df = self.spark.sql(inner).filter(F.col("_don_rn") == 1)
+        sort_cols = []
+        for n, (_expr, direction, nulls) in enumerate(parsed):
+            c = F.col(f"_don_o{n}")
+            key = direction if not nulls else f"{direction}_nulls_{nulls}"
+            sort_cols.append({
+                "asc": c.asc(), "desc": c.desc(),
+                "asc_nulls_first": c.asc_nulls_first(),
+                "asc_nulls_last": c.asc_nulls_last(),
+                "desc_nulls_first": c.desc_nulls_first(),
+                "desc_nulls_last": c.desc_nulls_last(),
+            }[key])
+        df = df.orderBy(*sort_cols).drop(
+            "_don_rn", *[f"_don_o{n}" for n in range(len(parsed))]
         )
-        if not m:
-            return stmt
-        keys = [k.strip() for k in m.group(1).split(",")]
-        rest = m.group(2)
-        # top-level ORDER BY (paren depth 0)
-        depth = 0
-        low = rest.lower()
-        ob_at = None
-        for i, c in enumerate(low):
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and low.startswith("order by", i):
-                ob_at = i
-                break
-        if ob_at is None:
-            raise EngineError(
-                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
-                " for a deterministic result"
-            )
-        body = rest[:ob_at].rstrip()
-        order = rest[ob_at + len("order by"):].strip()
-        # LIMIT after ORDER BY stays outer
-        lm = re.search(r"\blimit\b", order, re.I)
-        limit = ""
-        if lm:
-            limit = " " + order[lm.start():].strip()
-            order = order[: lm.start()].strip().rstrip(",")
-        items = [o.strip() for o in order.split(",")]
-        norm = lambda x: re.sub(r"\s+", " ", x.strip().lower())
-        lead = [re.sub(r"\s+(asc|desc)\s*$", "", norm(i)) for i in items]
-        if [norm(k) for k in keys] != lead[: len(keys)]:
-            raise EngineError(
-                "DISTINCT ON: ORDER BY must start with the DISTINCT ON"
-                f" expressions {keys}"
-            )
-        tail = items[len(keys):]
-        if not tail:
-            raise EngineError(
-                "DISTINCT ON requires ORDER BY <keys>, <tiebreak...>"
-                " for a deterministic result"
-            )
-        return (
-            f"select {body} qualify row_number() over"
-            f" (partition by {', '.join(keys)}"
-            f" order by {', '.join(tail)}) = 1"
-            f" order by {order}{limit}"
-        )
+        view = f"_don_{uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        return f"select * from {view}{limit}", [view]
 
     def _rewrite_qualify(self, stmt: str) -> tuple[str, list[str]]:
         """QUALIFY clause (DuckDB/Snowflake semantics — filter on
@@ -2769,7 +2682,8 @@ class AnalyticsEngine:
         # later rewrite must not leak the views an earlier one created
         rewrite_views: list[str] = []
         try:
-            stmt = self._rewrite_distinct_on(stmt)
+            stmt, v = self._rewrite_distinct_on(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_asof(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_range_join(stmt)
@@ -2894,7 +2808,8 @@ class AnalyticsEngine:
             # (portal.py:93-118, physical/base.py:22-24).
             asof_views = []
             try:
-                run_sql = self._rewrite_distinct_on(ana.group(1))
+                run_sql, v = self._rewrite_distinct_on(ana.group(1))
+                asof_views += v
                 run_sql, v = self._rewrite_asof(run_sql)
                 asof_views += v
                 run_sql, v = self._rewrite_range_join(run_sql)
@@ -2928,24 +2843,28 @@ class AnalyticsEngine:
                 effect_rows=1,
             )
         inner = re.sub(r"^explain\s+", "", stmt, flags=re.I)
+        don_views: list[str] = []
         asof_views: list[str] = []
         range_views: list[str] = []
         qual_views: list[str] = []
         try:
-            had_don = inner != (inner := self._rewrite_distinct_on(inner))
+            inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
             inner, qual_views = self._rewrite_qualify(inner)
         except BaseException:
-            for v in asof_views + range_views + qual_views:
+            for v in don_views + asof_views + range_views + qual_views:
                 self.spark.catalog.dropTempView(v)
             raise
         # Surface each SQL-surface rewrite the way zone maps / the ANN
         # access path are surfaced — the reference's EXPLAIN shows its
         # plan choices in the same header position (portal.py:124-128).
         rewrites = ""
-        if had_don:
-            rewrites += "-- distinct on: rewritten onto QUALIFY row_number()=1\n"
+        if don_views:
+            rewrites += (
+                "-- distinct on: rewritten onto row_number()=1"
+                " + pre-projection sort view\n"
+            )
         if asof_views:
             rewrites += "-- asof join: rewritten onto union+window (one shuffle)\n"
         if range_views:
@@ -2956,7 +2875,7 @@ class AnalyticsEngine:
             )
         if qual_views:
             rewrites += "-- qualify: window filter via per-statement view\n"
-        asof_views += range_views + qual_views
+        asof_views += don_views + range_views + qual_views
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

