@@ -2180,6 +2180,40 @@ class AnalyticsEngine:
         return None
 
     @staticmethod
+    def _sub_outside_literals(text: str, old: str, new: str) -> str:
+        """Replace ``old`` (case-insensitive, word-boundary on the
+        left) with ``new`` everywhere OUTSIDE single-quoted string
+        literals — a blind re.sub would rewrite occurrences inside
+        values like 'contact excluded.support' (ADVICE r6)."""
+        low = text.lower()
+        old = old.lower()
+        out: list[str] = []
+        i, n = 0, len(text)
+        in_str = False
+        while i < n:
+            c = text[i]
+            if in_str:
+                out.append(c)
+                if c == "'":
+                    in_str = False
+                i += 1
+                continue
+            if c == "'":
+                in_str = True
+                out.append(c)
+                i += 1
+                continue
+            if low.startswith(old, i) and (
+                i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")
+            ):
+                out.append(new)
+                i += len(old)
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    @staticmethod
     def _split_top_level(text: str, sep: str = ",") -> list[str]:
         """Split on ``sep`` at paren depth 0 / outside string literals
         — commas inside function calls like coalesce(a,b) don't split."""
@@ -2435,8 +2469,14 @@ class AnalyticsEngine:
                 self.session_vars.get("andb.range_bucket_seconds", 1800)
             )
             # drop colliding interval columns (the view namespace is
-            # flat); join keys stay available under their point names
-            taken = set(points.columns)
+            # flat); join keys stay available under their point names.
+            # Collision checks compare LOWER-CASED names: Spark
+            # resolution is case-insensitive by default, so an interval
+            # 'TS' does collide with a point 'ts' (ADVICE r6 — the
+            # case-sensitive check neither dropped it nor recorded it,
+            # and the view raised an ambiguous-column error instead).
+            taken = {c.lower() for c in points.columns}
+            keys_l = {k.lower() for k in keys}
             # equality-joined interval columns are value-identical to
             # their point twins on every (inner-join) output row, so a
             # reference through the interval alias safely resolves to
@@ -2445,12 +2485,12 @@ class AnalyticsEngine:
             eq_icols = {ic.lower() for _, ic in eqs}
             dropped_cols = {
                 c.lower() for c in intervals.columns
-                if c in taken and c not in keys
+                if c.lower() in taken and c.lower() not in keys_l
                 and c.lower() not in eq_icols
             }
             intervals = intervals.drop(
                 *[c for c in intervals.columns
-                  if c in taken and c not in keys]
+                  if c.lower() in taken and c.lower() not in keys_l]
             )
             out = bucketed_interval_join(
                 points, intervals, p_col, lo_col, hi_col,
@@ -3550,9 +3590,18 @@ class AnalyticsEngine:
                 f" ({', '.join(collist)}) values ({ins_vals})"
             )
             if do_update:
-                set_sql = re.sub(
-                    r"\bexcluded\.", f"{view}.", m.group("set").strip(),
-                    flags=re.I,
+                set_sql = m.group("set").strip()
+                # the greedy (?P<set>.*) swallows a Postgres-legal
+                # trailing "DO UPDATE SET ... WHERE pred" into the SET
+                # expression, which would fail deep inside MERGE with
+                # a confusing parse error — refuse it by name instead
+                if self._find_top_level_keyword(set_sql, ("where",)):
+                    raise EngineError(
+                        "ON CONFLICT DO UPDATE ... WHERE is not"
+                        " supported; filter the source SELECT instead"
+                    )
+                set_sql = self._sub_outside_literals(
+                    set_sql, "excluded.", f"{view}."
                 )
                 clauses = (
                     f" when matched then update set {set_sql}" + clauses

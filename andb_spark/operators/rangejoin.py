@@ -63,9 +63,30 @@ def bucketed_interval_join(
     p_types, i_types = dict(points.dtypes), dict(intervals.dtypes)
 
     def bucket_of(c: str, types: dict):
-        if types.get(c) in ("timestamp", "timestamp_ntz", "date"):
-            return F.floor(F.unix_timestamp(F.col(c)) / bucket_seconds)
-        return F.floor(F.col(c) / bucket_seconds)
+        t = types.get(c)
+        w = int(bucket_seconds)
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            ep = f"unix_timestamp(`{c}`)"
+        elif t in ("bigint", "int", "smallint", "tinyint"):
+            ep = f"CAST(`{c}` AS BIGINT)"
+        else:
+            # fractional ordinates: double floor-div is fine (the
+            # 2^53 hazard below is about INTEGRAL epochs)
+            return F.floor(F.col(c) / bucket_seconds)
+        # Integral epochs use pure integer arithmetic. FLOOR(c / w)
+        # goes through double division, which above 2^53 (nanosecond
+        # epochs ~1.7e18 — which the native-units contract invites)
+        # assigns boundary-adjacent values to the neighboring bucket.
+        # That never DROPS a match — long→double, correctly-rounded
+        # division, and floor are each monotone, so an in-interval
+        # point's bucket always stays inside the interval's exploded
+        # bucket range — but it makes ids inexact (spurious extra
+        # explode buckets, ids that disagree with any exact-arithmetic
+        # consumer). (c - pmod(c, w)) DIV w is exact floor division
+        # for negative epochs too (pmod is non-negative; bare DIV
+        # truncates toward zero, which would merge the two buckets
+        # around zero).
+        return F.expr(f"(({ep}) - pmod(({ep}), {w}L)) DIV {w}L")
     p = points.withColumn("_bucket", bucket_of(point_ts, p_types))
     i = (
         intervals.withColumn(

@@ -282,6 +282,17 @@ def s_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
         out.write.mode("append").parquet(spool)
 
+    # Seed the spool with a zero-row frame of the output schema: if
+    # the availableNow stream yields no batches (empty events slice at
+    # a tiny SF) no parquet files would exist and the final read would
+    # die with 'Unable to infer schema' instead of returning an empty
+    # frame (ADVICE r6).
+    empty = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint,"
+            " o_orderkey bigint, o_totalprice double"
+    )
+    empty.write.mode("append").parquet(spool)
+
     src = stream_source(spark, table_path(sf_dir, "events"), watermark=None)
     q = (
         src.writeStream.foreachBatch(enrich)

@@ -1010,6 +1010,26 @@ def test_insert_on_conflict(spark, tmp_path):
 
     with pytest.raises(EngineError, match="not in the insert column"):
         e("insert into kv values (5,'e') on conflict (nope) do nothing")
+
+    # ADVICE r6: a trailing DO UPDATE ... WHERE is Postgres-legal but
+    # unsupported here — refuse by name, don't let the greedy SET
+    # group feed it to MERGE as a confusing parse error
+    with pytest.raises(EngineError, match="WHERE is not supported"):
+        e(
+            "insert into kv values (1,'w') on conflict (k)"
+            " do update set v = excluded.v where kv.v <> 'a'"
+        )
+    # ADVICE r6: 'excluded.' inside a string literal is data; only
+    # real references rewrite to the source view
+    e("create table kw (k int not null, v varchar(32))")
+    e("insert into kw values (1,'a')")
+    e(
+        "insert into kw values (1,'lit') on conflict (k)"
+        " do update set v = 'contact excluded.support'"
+    )
+    assert e("select v from kw where k = 1").rows == [
+        ("contact excluded.support",)
+    ]
     eng.close()
 
 

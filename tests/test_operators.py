@@ -703,6 +703,53 @@ def test_bucketed_interval_join_matches_theta_join(spark):
     assert got == want and len(got) > 0
 
 
+def test_bucketed_interval_join_exact_above_2_53(spark):
+    """ADVICE r6: integral epochs bucket with pure integer arithmetic.
+    Differential vs the exact theta join on nanosecond epochs far
+    above 2^53 (where double division misassigns boundary-adjacent
+    bucket ids — monotone, so never match-dropping, but inexact) and
+    on negative epochs straddling zero (where truncate-toward-zero
+    DIV would merge the two buckets around the origin). Exact bucket
+    ids also pin the explode width to the true bucket count."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.operators.rangejoin import bucketed_interval_join
+
+    w = 1_800_000_000_000  # 30 min in ns
+    # ~2023 in ns epoch, > 2^53, and a multiple of w: the ±1ns points
+    # below then straddle true bucket boundaries. Verified to misbucket
+    # under the old double path: floor(double(base-1)/double(w)) =
+    # base//w, one bucket too high.
+    base = 944_444 * w  # 1699999200000000000
+    # points at bucket boundaries and ±1ns around them, plus a
+    # negative-epoch cluster straddling zero
+    ns = [base + k * w + d for k in range(4) for d in (-1, 0, 1)]
+    ns += [-w - 1, -w, -1, 0, 1, w - 1, w]
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ns)], "pid int, ts bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + w + 1) for j, lo in enumerate(
+            [base - 1, base + w, base + 2 * w - 1, -w, -1, 0]
+        )],
+        "iid int, lo bigint, hi bigint",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_interval_join(
+            points, intervals, "ts", "lo", "hi", bucket_seconds=w
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            F.col("ts").between(F.col("lo"), F.col("hi")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_kmeans_invariants(spark, sf_dir):
     from andb_spark.catalog import load_table
     from andb_spark.operators.similarity import kmeans
