@@ -2533,8 +2533,20 @@ class AnalyticsEngine:
         the rest of the statement are stripped). Inner ASOF drops
         unmatched probes (DuckDB semantics); ASOF LEFT keeps them with
         NULLs. Right rows must be unique per (keys, time) for a
-        deterministic result, as in DuckDB. Returns the rewritten
-        statement and the views to drop after materialization."""
+        deterministic result, as in DuckDB.
+
+        Tolerance spelling (r6 verdict #6): an extra ON conjunct
+        bounding the match gap — backward ``p.t - r.rt <= N``, forward
+        ``r.rt - p.t <= N`` — limits how far the as-of lookup reaches,
+        exactly the conjunct DuckDB's binder accepts on its native
+        ASOF JOIN. Inner semantics agree with DuckDB (out-of-tolerance
+        probes drop). ASOF LEFT diverges deliberately: this engine
+        keeps the probe with NULL payload (pandas merge_asof
+        semantics — tolerance masks the MATCH, it doesn't filter the
+        row), where DuckDB 1.0 post-filters the NULL-extended row out,
+        making LEFT behave like inner; the differential suite pins
+        both behaviors side by side. Returns the rewritten statement
+        and the views to drop after materialization."""
         from andb_spark.operators.asof import asof_join
 
         views: list[str] = []
@@ -2547,9 +2559,33 @@ class AnalyticsEngine:
             ra = m.group("ra") or rt
             eqs: list[tuple[str, str]] = []
             ineq: tuple[str, str, str] | None = None
+            # ((minuend alias, col), (subtrahend alias, col), literal)
+            tol: tuple[tuple[str, str], tuple[str, str], str] | None = None
             flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}
             for cond in re.split(r"\s+and\s+", m.group("conds").strip(),
                                  flags=re.I):
+                # tolerance conjunct (DuckDB-compatible spelling):
+                # backward `p.t - r.rt <= N`, forward `r.rt - p.t <= N`
+                # — validated against the time inequality after the
+                # loop once the direction is known
+                tm = re.match(
+                    r"^\s*(\w+)\.(\w+)\s*-\s*(\w+)\.(\w+)\s*(<=|<)\s*"
+                    r"(\d+(?:\.\d+)?)\s*$",
+                    cond,
+                )
+                if tm:
+                    if tm.group(5) == "<":
+                        raise EngineError(
+                            "ASOF JOIN: tolerance must be inclusive"
+                            " (<=) — strict bounds are not supported"
+                        )
+                    if tol is not None:
+                        raise EngineError(
+                            "ASOF JOIN: more than one tolerance bound"
+                        )
+                    tol = ((tm.group(1), tm.group(2)),
+                           (tm.group(3), tm.group(4)), tm.group(6))
+                    continue
                 cm = re.match(
                     r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*"
                     r"(\w+)\.(\w+)\s*$",
@@ -2587,6 +2623,24 @@ class AnalyticsEngine:
             if ineq is None:
                 raise EngineError("ASOF JOIN: no time inequality in ON")
             ltime, rtime, direction = ineq
+            tolerance = None
+            if tol is not None:
+                (x_al, x_col), (y_al, y_col), tol_lit = tol
+                # the minuend must be the later side of the inequality:
+                # backward matches take right_time <= left_time, so the
+                # gap is left - right; forward is right - left
+                lhs, rhs = ((la, ltime), (ra, rtime))
+                want = (lhs, rhs) if direction == "backward" else (rhs, lhs)
+                if ((x_al, x_col), (y_al, y_col)) != want:
+                    raise EngineError(
+                        "ASOF JOIN: tolerance must bound the match gap"
+                        f" ({want[0][0]}.{want[0][1]} -"
+                        f" {want[1][0]}.{want[1][1]} <= N for this"
+                        f" {direction} join)"
+                    )
+                tolerance = (
+                    float(tol_lit) if "." in tol_lit else int(tol_lit)
+                )
 
             left_df, right_df = self.spark.table(lt), self.spark.table(rt)
             key = "_asof_k"
@@ -2627,7 +2681,7 @@ class AnalyticsEngine:
             ]
             out = asof_join(
                 left_df, right_df, key, key, ltime, rtime, payload,
-                direction=direction,
+                direction=direction, tolerance=tolerance,
             ).drop(key)
             if not m.group("left"):
                 # inner ASOF: drop unmatched probes via the carried
@@ -2651,6 +2705,19 @@ class AnalyticsEngine:
 
         try:
             new_stmt = self._ASOF_RE.sub(_sub, stmt)
+            # catch-all for unmatched ASOF shapes: Spark has no ASOF
+            # JOIN syntax, so anything the rewrite didn't consume —
+            # e.g. a parenthesized subquery source — would otherwise
+            # surface as Spark's raw parse error. Refuse by name with
+            # the working alternative (r6 verdict #4). String literals
+            # are blanked first so data can't false-positive.
+            blanked = re.sub(r"'[^']*'", "''", new_stmt)
+            if re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I):
+                raise EngineError(
+                    "ASOF JOIN requires plain table/view/CTE names on"
+                    " both sides (subquery sources are not supported"
+                    " — lift the subquery into a WITH clause)"
+                )
             for aliases, dropped in shadowed:
                 for qm in re.finditer(r"\b(\w+)\.(\w+)", new_stmt):
                     if (
@@ -2676,6 +2743,131 @@ class AnalyticsEngine:
                 rf"\b{re.escape(q)}\.", "", new_stmt, flags=re.I
             )
         return new_stmt, views
+
+    @staticmethod
+    def _sub_ident(text: str, name: str, repl: str) -> str:
+        """Replace whole-identifier occurrences of ``name`` (case-
+        insensitive, outside string literals) with ``repl``. Skips
+        qualified column positions (``x.name`` — preceded by a dot)
+        but rewrites qualifier positions (``name.col``), so a CTE
+        alias used as a column qualifier follows its view binding."""
+        low = text.lower()
+        name = name.lower()
+        out: list[str] = []
+        i, n = 0, len(text)
+        in_str = False
+        while i < n:
+            c = text[i]
+            if in_str:
+                out.append(c)
+                if c == "'":
+                    in_str = False
+                i += 1
+                continue
+            if c == "'":
+                in_str = True
+                out.append(c)
+                i += 1
+                continue
+            j = i + len(name)
+            if (
+                low.startswith(name, i)
+                and (i == 0 or not (low[i - 1].isalnum()
+                                    or low[i - 1] in "._"))
+                and (j >= n or not (low[j].isalnum() or low[j] == "_"))
+            ):
+                out.append(repl)
+                i = j
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _bind_ctes_for_surfaces(self, stmt: str) -> tuple[str, list[str]]:
+        """Bind WITH-clause CTEs to per-statement temp views when —
+        and only when — the main body uses an engine SQL surface that
+        resolves sources via ``spark.table()`` (ASOF JOIN, the
+        transparent range-join rewrite). Those rewrites fire before
+        Spark ever parses the statement, so a CTE alias used as a join
+        side would otherwise die in ``spark.table()`` with a raw
+        AnalysisException (r6 verdict #4: real users compose).
+
+        Each CTE body is executed with the EARLIER CTE names already
+        substituted (WITH scoping), materialized under a unique view
+        name, and every reference in later bodies and the main
+        statement is token-substituted. Plain CTE statements — no ASOF
+        JOIN, no keyed-BETWEEN join — pass through untouched for Spark
+        to plan natively (including WITH RECURSIVE, which Spark 4
+        handles and this binder must never unroll). Returns the
+        unwrapped main statement and the views to drop."""
+        if not re.match(r"^\s*with\b", stmt, re.I):
+            return stmt, []
+        if re.match(r"^\s*with\s+recursive\b", stmt, re.I):
+            return stmt, []
+        blanked = re.sub(r"'[^']*'", "''", stmt)
+        if not (
+            re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I)
+            or self._RANGE_RE.search(stmt)
+        ):
+            return stmt, []
+        # parse: with name as ( body ) [, name2 as ( body2 )]* main
+        pos = re.match(r"^\s*with\s+", stmt, re.I).end()
+        ctes: list[tuple[str, str]] = []
+        while True:
+            hm = re.match(r"(\w+)\s+as\s*\(", stmt[pos:], re.I)
+            if not hm:
+                # unparseable CTE head (e.g. column-aliased
+                # `name(a,b) as (...)`): leave the statement alone —
+                # the surface's own catch-all raises the named error
+                return stmt, []
+            name = hm.group(1)
+            i = pos + hm.end()
+            depth, in_str = 1, False
+            while i < len(stmt) and depth:
+                c = stmt[i]
+                if in_str:
+                    in_str = c != "'"
+                elif c == "'":
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise EngineError("WITH: unbalanced parentheses")
+            ctes.append((name, stmt[pos + hm.end(): i - 1]))
+            tm = re.match(r"\s*,\s*", stmt[i:])
+            if tm:
+                pos = i + tm.end()
+                continue
+            main = stmt[i:].strip()
+            break
+        views: list[str] = []
+        bound: list[tuple[str, str]] = []  # (cte name, view name)
+        try:
+            for name, body in ctes:
+                for cname, vname in bound:
+                    body = self._sub_ident(body, cname, vname)
+                # a CTE body may itself use the surfaces (an asof
+                # enrichment defined once, joined downstream) — its
+                # helper views live until the caller's post-fetch
+                # cleanup, exactly like main-body rewrite views
+                body, v = self._rewrite_asof(body)
+                views += v
+                body, v = self._rewrite_range_join(body)
+                views += v
+                view = f"_cte_{uuid.uuid4().hex[:8]}"
+                self.spark.sql(body).createOrReplaceTempView(view)
+                views.append(view)
+                bound.append((name, view))
+            for cname, vname in bound:
+                main = self._sub_ident(main, cname, vname)
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return main, views
 
     def _select(self, stmt: str) -> Result:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
@@ -2722,6 +2914,8 @@ class AnalyticsEngine:
         # later rewrite must not leak the views an earlier one created
         rewrite_views: list[str] = []
         try:
+            stmt, v = self._bind_ctes_for_surfaces(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_distinct_on(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_asof(stmt)
@@ -2848,7 +3042,9 @@ class AnalyticsEngine:
             # (portal.py:93-118, physical/base.py:22-24).
             asof_views = []
             try:
-                run_sql, v = self._rewrite_distinct_on(ana.group(1))
+                run_sql, v = self._bind_ctes_for_surfaces(ana.group(1))
+                asof_views += v
+                run_sql, v = self._rewrite_distinct_on(run_sql)
                 asof_views += v
                 run_sql, v = self._rewrite_asof(run_sql)
                 asof_views += v
@@ -2887,13 +3083,16 @@ class AnalyticsEngine:
         asof_views: list[str] = []
         range_views: list[str] = []
         qual_views: list[str] = []
+        cte_views: list[str] = []
         try:
+            inner, cte_views = self._bind_ctes_for_surfaces(inner)
             inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
             inner, qual_views = self._rewrite_qualify(inner)
         except BaseException:
-            for v in don_views + asof_views + range_views + qual_views:
+            for v in (cte_views + don_views + asof_views
+                      + range_views + qual_views):
                 self.spark.catalog.dropTempView(v)
             raise
         # Surface each SQL-surface rewrite the way zone maps / the ANN
@@ -2915,7 +3114,7 @@ class AnalyticsEngine:
             )
         if qual_views:
             rewrites += "-- qualify: window filter via per-statement view\n"
-        asof_views += don_views + range_views + qual_views
+        asof_views += cte_views + don_views + range_views + qual_views
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

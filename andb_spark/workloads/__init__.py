@@ -45,129 +45,83 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-6 rotation: r5 finished first-timer coverage except 7
-    # names; this round (a) grades those 7 plus the fourteen
-    # new-surface names,
-    # (b) re-grades the six
-    # rows changed since their last grading (m_resize oracle CAST fix,
-    # m_image_embed real pixel-moment rebuild, a_asof_tolerance new,
-    # plus the spread_small_input plan-changed trio), and (c) spends
-    # the remaining 23 slots on the OLDEST evidence: 9 of the 24
-    # oracle-backed r1-graded names, all 6 r2 names, 8 of the
-    # 16 r3 names, and 2 r4 names (u_dml_roundtrip, c_catalog_tables —
-    # the oldest of their families, pulled forward so the every-family-
-    # every-round cross-section holds; no u_/c_ name is older). The 6
-    # r3 names deferred to head r7's oldest list: q_having,
-    # q_in_subquery, q_join_semi, q_limit_offset, q_pivot, q_union_all
-    # (plus q_date_funcs, t_chunking which yielded slots below). After
-    # this round every oracle-backed name has been graded at least
-    # once. Every name below passes the full local compare gate
-    # at sf0.01 (the identical check the driver runs) including the
-    # driver-faithful pandas canon added in tools/compare.py.
+    # Round-7 rotation. Zero never-graded names remained after r6
+    # (first all-green round), so policy (c) owns most slots.
     #
-    # (a) never-graded: the 7 left over from r5, plus the fourteen new
-    # surfaces (m_embed_topk: multimodal->ANN bridge end-to-end;
-    # u_asof_sql: ASOF JOIN SQL vs DuckDB's native one; u_range_sql:
-    # the transparent range-join rewrite vs the identical plain SQL
-    # in DuckDB; u_qualify_sql: QUALIFY vs DuckDB's native QUALIFY;
-    # u_distinct_on_sql: DISTINCT ON vs DuckDB's native one;
-    # s_stream_asof: per-micro-batch as-of enrich, full-hash graded;
-    # u_upsert_sql: INSERT..ON CONFLICT lowered onto MERGE;
-    # q_listagg / q_recursive_cte: Spark-4 listagg + WITH RECURSIVE
-    # vs DuckDB string_agg / native recursion; q_approx_quantile_bound
-    # / q_hll_sketch_bound: two more sketch-invariant rows — GK rank
-    # bound, HLL union accuracy + mergeability; d_bloom_bound: the
-    # Bloom screen's no-false-negative contract with exact counts;
-    # v_pq_bound / v_kmeans_bound: invariant twins for the iterative
-    # category — every formerly rows-only query now has one)
-    "d_repeated_passages",
-    "t_rolling_fingerprint",
-    "t_source_stats",
-    "t_dup_rate_report",
-    "t_length_histogram",
-    "p_sample_hash",
-    "v_quantize",
-    "m_embed_topk",
+    # (a) new this round: the ASOF tolerance SQL spelling (r6 verdict
+    # #6), graded against DuckDB's native ASOF LEFT with a CASE gap
+    # mask (merge_asof mask-vs-filter divergence documented in
+    # api.py::_rewrite_asof).
+    "u_asof_tolerance_sql",
+    # (b) changed since their r6 grading (max 5 by the freshness
+    # test): u_distinct_on_sql (the rewrite was rebuilt — stale
+    # shadowing duplicate deleted, sort-before-projection view),
+    # u_asof_sql (tolerance conjunct + unmatched-shape catch-all in
+    # the same parse path), u_range_sql (integer bucket arithmetic +
+    # case-insensitive collisions), u_upsert_sql (literal-safe
+    # excluded. substitution + WHERE refusal), s_stream_asof (spool
+    # seeded with the output schema). a_range_join shares
+    # u_range_sql's operator change and d_lsh_recall_audit's fan-out
+    # is plan-only; both are covered by the full local gate and
+    # yield their (b) slots to stay within the 5-slot budget.
+    "u_distinct_on_sql",
     "u_asof_sql",
     "u_range_sql",
-    "u_qualify_sql",
-    "u_distinct_on_sql",
     "u_upsert_sql",
-    "q_listagg",
-    "q_recursive_cte",
-    "q_approx_quantile_bound",
-    "q_hll_sketch_bound",
-    "d_bloom_bound",
-    "v_pq_bound",
-    "v_kmeans_bound",
     "s_stream_asof",
-    # (b) changed since their last grading / new this round. The
-    # spread_small_input fan-out (operators/dedup.py, SCALE.md §7
-    # "Minhash drift, root-caused") re-plans every query that
-    # transitively calls exploded_shingles — d_minhash_lsh,
-    # d_lsh_recall_audit, d_dup_components (d_incremental_minhash
-    # already holds a (c) slot below). Semantics-preserving by
-    # construction (a repartition), and re-verified by the local
-    # gate, but policy (b) wants driver evidence for changed plans.
-    "m_resize",
-    "m_image_embed",
-    "a_asof_tolerance",
-    "d_minhash_lsh",
-    "d_lsh_recall_audit",
-    "d_dup_components",
-    # (c) oldest evidence — r1-graded (4 rounds stale; q_distinct,
-    # q_global_agg, q_select_no_from yielded their slots to the (b)
-    # plan-changed trio; q_math_funcs, q_join_right, q_join_cross,
-    # q_rollup, q_cube, q_intersect, q_function_scan, q_gapfill (its
-    # recursive twin q_recursive_cte now grades gap-fill), q_join_left
-    # (left-outer stays graded via q13's r4 row + the join fuzz arm),
-    # q14 (conditional-ratio shape stays graded via q8), q_sessionize
-    # (gap-sessionization stays graded via s_session's r4 row and the
-    # s_stateful_user r5 row), q_percentiles
-    # (the exact-percentile surface is exercised INSIDE
-    # q_approx_quantile_bound's rank-window arithmetic)
-    # to the twelve new-surface names
-    # (grouping-sets/set-op coverage continues in the fuzz arms,
-    # q_grouping_sets, q_union_distinct) — their
-    # surfaces are pinned by local tests and they head r7's oldest
-    # list): TPC-H q6/q10/
-    # q14, anomaly screens, grouping cube/rollup, set ops, cross/outer
-    # joins, math/percentile/stats libraries, funnels/cohorts/gap-fill,
-    # skew-salted agg, window frames
-    "q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q_anomaly_zscore",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_skew_salted_agg",
-    "q_stats_agg",
-    "q_union_distinct",
-    "q_window_frames",
-    # (c) r2-graded (3 rounds stale): market share, subquery shapes,
-    # anti/theta joins, window navigation
-    "q8_market_share",
-    "q_exists_subquery",
-    "q_join_anti",
-    "q_join_theta",
-    "q_scalar_subquery",
-    "q_window_navigation",
-    # (c) r3-graded (2 rounds stale), incl. the bench-drift watch item
-    # d_incremental_minhash (VERDICT r5 #5); s_tumbling and
-    # v_semantic_dedup yielded their slots to the iterative-category
-    # bound rows (both families stay covered: s_stream_asof,
-    # v_quantize/v_pq_bound/v_kmeans_bound)
-    "d_incremental_minhash",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q18_large_orders",
-    # (c) r4-graded — the oldest engine/catalog names, keeping the
-    # every-family-every-round cross-section (q_date_funcs and
-    # t_chunking, r3, yield their slots; both families are covered
-    # above and they head r7's oldest list)
-    "u_dml_roundtrip",
-    "c_catalog_tables",
+    # (c) oldest evidence — ALL 15 remaining r1-graded names (5-6
+    # rounds stale, the oldest evidence in the ledger):
+    "q14_type_revenue_ratio",
+    "q_cube",
+    "q_distinct",
+    "q_function_scan",
+    "q_gapfill",
+    "q_global_agg",
+    "q_intersect",
+    "q_join_cross",
+    "q_join_left",
+    "q_join_right",
+    "q_math_funcs",
+    "q_percentiles",
+    "q_rollup",
+    "q_select_no_from",
+    "q_sessionize",
+    # (c) ALL 10 remaining r3-graded names (4 rounds stale):
+    "q_date_funcs",
+    "q_having",
+    "q_in_subquery",
+    "q_join_semi",
+    "q_limit_offset",
+    "q_pivot",
+    "q_union_all",
+    "s_tumbling",
+    "t_chunking",
+    "v_semantic_dedup",
+    # (c) 18 of the 45 r4-graded names (3 rounds stale), chosen for
+    # family breadth — both as-of operator rows, the dedup/multimodal/
+    # pipeline staples, and the TPC-H shapes not already regraded in
+    # r5/r6; the remaining 27 r4 names head r8's oldest list:
+    "a_asof_join",
+    "a_range_join",
+    "d_exact_dedup",
+    "d_passage_scrub",
+    "d_simhash_pairs",
+    "m_audio_decode",
+    "m_audio_meta",
+    "m_image_decode",
+    "m_image_meta",
+    "p_pipeline_e2e",
+    "p_sample_weighted",
+    "p_split",
+    "q1_pricing_summary",
+    "q4_priority_exists",
+    "q13_customer_distribution",
+    "q19_or_of_ands",
+    "t_bm25_topk",
+    "v_cosine_topk",
+    # (c) the oldest c-family name (r5) — keeps the every-family-
+    # every-round cross-section (no c_ name is r4 or older):
+    "c_catalog_columns",
 )
 
 

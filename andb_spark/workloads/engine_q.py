@@ -304,6 +304,40 @@ def u_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_asof_tolerance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASOF LEFT JOIN tolerance spelling (api.py::_rewrite_asof,
+    r6 verdict #6): the extra ON conjunct ``p.t_us - c.c_us <= N``
+    bounds how far back the as-of lookup reaches — the same gap-bound
+    conjunct DuckDB's binder accepts on its native ASOF JOIN. LEFT +
+    tolerance uses pandas merge_asof semantics (out-of-tolerance
+    probes KEEP their row, the match masks to NULL); DuckDB 1.0
+    post-filters those rows instead, so the oracle compensates with a
+    CASE mask over DuckDB's plain ASOF LEFT — identical rows, matches
+    masked. Tolerance = 1 hour in native microsecond units."""
+    eng = AnalyticsEngine(
+        _scratch("andb_asoft_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table asoft_p as select event_id, user_id,"
+        " unix_micros(ts) as t_us from events"
+        " where event_type = 'purchase'"
+    )
+    e(
+        "create table asoft_c as select event_id as click_id, user_id,"
+        " unix_micros(ts) as c_us from events where event_type = 'click'"
+    )
+    r = e(
+        "select event_id, p.user_id, click_id from asoft_p p"
+        " asof left join asoft_c c on p.user_id = c.user_id"
+        " and p.t_us >= c.c_us and p.t_us - c.c_us <= 3600000000"
+        " order by event_id"
+    )
+    return spark.createDataFrame(
+        r.rows, "event_id bigint, user_id bigint, click_id bigint"
+    )
+
+
 
 def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transparent range-join optimization through PLAIN SQL
@@ -425,6 +459,7 @@ QUERIES = {
     "c_catalog_tables": c_catalog_tables,
     "c_catalog_columns": c_catalog_columns,
     "u_asof_sql": u_asof_sql,
+    "u_asof_tolerance_sql": u_asof_tolerance_sql,
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
@@ -489,6 +524,22 @@ ORACLES = {
         )
         SELECT p.event_id, p.user_id, c.click_id, c.c_us
         FROM p ASOF JOIN c
+          ON p.user_id = c.user_id AND p.t_us >= c.c_us
+        ORDER BY p.event_id
+    """,
+    "u_asof_tolerance_sql": """
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               CASE WHEN p.t_us - c.c_us <= 3600000000
+                    THEN c.click_id END AS click_id
+        FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.t_us >= c.c_us
         ORDER BY p.event_id
     """,
