@@ -100,7 +100,11 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) 18 of the 45 r4-graded names (3 rounds stale), chosen for
     # family breadth — both as-of operator rows, the dedup/multimodal/
     # pipeline staples, and the TPC-H shapes not already regraded in
-    # r5/r6; the remaining 27 r4 names head r8's oldest list:
+    # r5/r6; the remaining 27 r4 names head r8's oldest list.
+    # t_lang_quality holds a slot as a policy-(b) changed row too (the
+    # r7 fan-out audit re-planned it — spread_small_input kept after
+    # the measured −28%); it was r4-graded so it doesn't count against
+    # the 5-slot newest-round budget:
     "a_asof_join",
     "a_range_join",
     "d_exact_dedup",
@@ -117,7 +121,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q4_priority_exists",
     "q13_customer_distribution",
     "q19_or_of_ands",
-    "t_bm25_topk",
+    "t_lang_quality",
     "v_cosine_topk",
     # (c) the oldest c-family name (r5) — keeps the every-family-
     # every-round cross-section (no c_ name is r4 or older):

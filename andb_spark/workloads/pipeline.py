@@ -164,7 +164,10 @@ def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs (deterministically — fixed xxhash64 lanes); never passes a true
     duplicate. No DuckDB oracle (the verdict depends on the filter's
     internal hashing); tests/test_operators.py pins the no-false-
-    negative invariant and the false-positive budget."""
+    negative invariant and the false-positive budget. NOT spread
+    (r7 fan-out audit, SCALE.md §7): the md5+bitset probe is ~one
+    hash per doc — measured 0.75→0.97 s WITH the fan-out shuffle at
+    sf0.1; the raw-text exchange costs more than the CPU it spreads."""
     d = _docs(spark, sf_dir)
     hist = d.filter(F.col("doc_id") < 400).select(
         F.md5(F.col("text")).alias("h")
@@ -294,7 +297,10 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
         rows_per_band=2,
     )
-    cand = DD.lsh_candidate_pairs(bands, "doc_id")
+    # persisted: cand feeds BOTH the n_cand count and the hit
+    # semi-join — unpinned, the second branch re-runs the whole
+    # signature+banding pipeline (measured in the r7 stage profile)
+    cand = DD._persist_tracked(DD.lsh_candidate_pairs(bands, "doc_id"))
     hit = exact.join(cand, ["id_a", "id_b"], "left_semi")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
@@ -387,8 +393,11 @@ def t_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the three tokenizing measures in one projection, then derive
     # lang/quality from the staged columns. Without staging, the four
     # output columns each inline the tokenize+filter lambdas (~5 regex
-    # splits per document); with it, each measure runs once.
-    d = _docs(spark, sf_dir)
+    # splits per document); with it, each measure runs once. The scan
+    # is spread first: the regex-split stage is CPU-bound and a small
+    # corpus arrives as one parquet row group (SCALE.md §7 fan-out
+    # family — no-op at real corpus scale).
+    d = DD.spread_small_input(_docs(spark, sf_dir))
     staged = d.select(
         "doc_id",
         TX.stopword_ratio("text").alias("_sw"),
@@ -623,7 +632,9 @@ def t_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE copy of the chunk-identity convention (slice bounds,
     # empty-doc guard, md5-over-joined-slice hash): the same
     # passage_chunks machinery that d_repeated_passages /
-    # d_passage_scrub and their oracles depend on.
+    # d_passage_scrub and their oracles depend on. NOT spread (r7
+    # fan-out audit, SCALE.md §7): one tokenize + one md5 per chunk —
+    # measured 0.57→0.70 s WITH the fan-out shuffle at sf0.1.
     d = _docs(spark, sf_dir)
     return (
         DD.passage_chunks(d, "text", "doc_id", k=64)
@@ -1069,6 +1080,10 @@ def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded row per shard."""
     from andb_spark.operators.sampling import hash_split, pack_shards
 
+    # NOT spread (r7 fan-out audit, SCALE.md §7): the tokenize output
+    # feeds the dedup groupBy's own exchange anyway; adding a raw-text
+    # repartition ahead of it measured ambiguous-to-worse
+    # (0.98→1.26 s best-of-5 at sf0.1)
     d = _docs(spark, sf_dir)
     staged = d.withColumn("_nt", TX.token_count("text")).filter(
         F.col("_nt") >= 20
