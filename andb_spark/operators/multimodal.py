@@ -4,15 +4,18 @@ North-star surface (build brief): binary payload columns with typed
 metadata, plus decode / feature-extract / resize / frame-sample stages
 as Arrow-batched pandas UDFs over ``mapInPandas``.
 
-Decode is REAL for the byte-level formats a pure numpy + stdlib parser
-can handle — BMP (uncompressed 24/32-bit) and PPM (P6/P3) to full pixel
-arrays, PNG/JPEG/GIF to header metadata, WAV (PCM 8/16-bit) to full
-sample arrays — no codec library needed. Compressed-bitstream formats
-(JPEG pixels, MP3/FLAC samples) would need libs absent from this
-container; those payloads raise ``NotImplementedError`` on the pixel
-path. The md5-seeded deterministic fake decoder remains for the
-synthetic text-payload fixtures (``fake=True``), so the distributed
-plumbing stays benchmarkable on data that isn't really images.
+Decode is REAL for every format a pure numpy + stdlib parser can
+handle — BMP (uncompressed 24/32-bit), PPM (P6/P3), and PNG (DEFLATE
+via stdlib ``zlib`` + numpy scanline unfiltering — a genuine
+compressed-bitstream codec) to full pixel arrays; PNG/JPEG/GIF to
+header metadata; WAV (PCM 8/16-bit) to full sample arrays. The
+remaining compressed formats (JPEG DCT, GIF LZW, MP3/FLAC) need codec
+libraries absent from this container — that boundary is DECLARED
+FINAL (README "Multimodal codec boundary"); their payloads raise
+``NotImplementedError`` naming the policy. The md5-seeded
+deterministic fake decoder remains for the synthetic text-payload
+fixtures (``fake=True``), so the distributed plumbing stays
+benchmarkable on data that isn't really images.
 """
 
 from __future__ import annotations
@@ -136,14 +139,135 @@ def decode_image(data: bytes, fake: bool = False) -> tuple[str, int, int]:
     return meta
 
 
+def _png_unfilter(raw: np.ndarray, h: int, w: int, nch: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+    Each scanline is 1 filter byte + w*nch sample bytes; Sub/Average/
+    Paeth reference the RECONSTRUCTED left neighbor, so those rows
+    decode with a per-pixel walk — bounded per payload (decode runs
+    inside an Arrow batch on one executor; images, not tables)."""
+    stride = w * nch + 1
+    out = np.zeros((h, w * nch), np.uint8)
+    prev = np.zeros(w * nch, np.uint16)
+    for y in range(h):
+        ftype = raw[y * stride]
+        line = raw[y * stride + 1: (y + 1) * stride].astype(np.uint16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: + recon left — per-lane cumsum mod 256
+            rec = np.cumsum(
+                line.reshape(-1, nch).astype(np.uint32), axis=0
+            ).reshape(-1) % 256
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: left-recursive
+            rec = np.zeros_like(line)
+            for x in range(len(line)):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    rec[x] = (line[x] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png_pixels(data: bytes) -> np.ndarray:
+    """REAL compressed-bitstream decode: PNG → uint8 (h, w, 3).
+
+    The one compressed codec expressible with the container's stdlib —
+    DEFLATE is ``zlib`` and unfiltering is numpy — so no codec-library
+    boundary applies. Supports the non-interlaced 8-bit-depth color
+    types (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA; alpha dropped, gray
+    replicated to RGB). Interlaced (Adam7) and 16-bit payloads raise
+    NotImplementedError under the declared codec policy (README
+    "Multimodal codec boundary")."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG not supported (codec policy: README"
+            " 'Multimodal codec boundary')"
+        )
+    if depth != 8 or ctype not in (0, 2, 4, 6) or comp or filt:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype} not supported"
+            " (codec policy: README 'Multimodal codec boundary')"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (w * nch + 1):
+        raise ValueError("PNG raster size mismatch")
+    px = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Serialize an RGB pixel array as an 8-bit non-interlaced PNG
+    (filter 0 scanlines, one zlib IDAT) — the round-trip source for
+    the compressed-codec decode path."""
+    import zlib
+
+    h, w = px.shape[:2]
+    raster = np.zeros((h, w * 3 + 1), np.uint8)
+    raster[:, 1:] = px[:, :, :3].reshape(h, w * 3)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raster.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_pixels(data: bytes) -> np.ndarray:
     """Full pixel decode → uint8 array of shape (height, width, 3).
 
-    REAL for the uncompressed formats: BMP (24/32-bit BI_RGB, including
-    bottom-up row order and 4-byte row padding) and PPM (P6 binary and
-    P3 ascii). Compressed bitstreams (PNG deflate, JPEG DCT) need codec
-    libraries absent from this container and raise NotImplementedError.
+    REAL for BMP (24/32-bit BI_RGB, including bottom-up row order and
+    4-byte row padding), PPM (P6 binary and P3 ascii), and PNG —
+    DEFLATE via stdlib zlib + numpy unfiltering, no codec library
+    (``decode_png_pixels``). The remaining compressed bitstreams
+    (JPEG DCT, GIF LZW) fall under the declared codec policy (README
+    "Multimodal codec boundary") and raise NotImplementedError.
     """
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
     if data[:2] == b"BM":
         off = struct.unpack_from("<I", data, 10)[0]
         w, h = struct.unpack_from("<ii", data, 18)
@@ -172,7 +296,9 @@ def decode_image_pixels(data: bytes) -> np.ndarray:
             px = np.array(data[off - 1:].split(), np.uint8)[: w * h * 3]
         return px.reshape(h, w, 3)
     raise NotImplementedError(
-        "pixel decode supports uncompressed BMP and PPM payloads"
+        "pixel decode supports BMP, PPM, and PNG payloads; JPEG/GIF"
+        " pixels need codec libraries absent from this container"
+        " (declared final: README 'Multimodal codec boundary')"
     )
 
 
@@ -583,15 +709,27 @@ def pixel_embedding_expr():
 SYNTH_IMAGE_SCHEMA = "doc_id bigint, n_bytes bigint, payload binary"
 
 
-def synthesize_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One real 24-bit BMP per input id. Closed forms (d = doc_id):
-    width = 4 + d % 13, height = 3 + d % 11, pixel(r, c) = all three
-    channels = (d % 200) + r + c  (max 199 + 10 + 15 < 256 — never
-    wraps, so pixel sums stay polynomial in d)."""
+def synthesize_image_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    formats: tuple[str, ...] = ("bmp", "ppm", "png"),
+) -> DataFrame:
+    """One real image per input id, rotating through ``formats`` by
+    d % len(formats) — the default covers all three real codecs
+    including PNG, the compressed DEFLATE path, so a decode query
+    proves every container format. Closed forms (d = doc_id): width =
+    4 + d % 13, height = 3 + d % 11, pixel(r, c) = all three channels
+    = (d % 200) + r + c  (max 199 + 10 + 15 < 256 — never wraps, so
+    pixel sums stay polynomial in d regardless of codec). Pass
+    ``formats=("bmp",)`` when the oracle must state n_bytes in closed
+    form — a zlib-compressed PNG's size is deterministic but not
+    SQL-expressible."""
 
     def _gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        all_enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+        encoders = tuple(all_enc[f] for f in formats)
         for pdf in batches:
             payloads = []
             for d in pdf[id_col]:
@@ -602,7 +740,9 @@ def synthesize_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 px = np.broadcast_to(
                     (d % 200 + r + c).astype(np.uint8), (h, w, 3)
                 )
-                payloads.append(encode_bmp(px))
+                payloads.append(
+                    encoders[d % len(encoders)](np.ascontiguousarray(px))
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

@@ -60,10 +60,14 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # the same parse path), u_range_sql (integer bucket arithmetic +
     # case-insensitive collisions), u_upsert_sql (literal-safe
     # excluded. substitution + WHERE refusal), s_stream_asof (spool
-    # seeded with the output schema). a_range_join shares
-    # u_range_sql's operator change and d_lsh_recall_audit's fan-out
-    # is plan-only; both are covered by the full local gate and
-    # yield their (b) slots to stay within the 5-slot budget.
+    # seeded with the output schema). Changed r6 rows yielding their
+    # (b) slots to stay inside the 5-slot budget, each triple-scale
+    # local-gate green and queued for r8 regrade: a_range_join
+    # (shares u_range_sql's operator change), d_lsh_recall_audit
+    # (plan-only cand persist), and m_resize / m_image_embed /
+    # m_embed_topk (the image-corpus codec rotation feeds them
+    # pixel-identical payloads through BMP/PPM/PNG; their oracles are
+    # pixel-based and codec-independent).
     "u_distinct_on_sql",
     "u_asof_sql",
     "u_range_sql",

@@ -1253,11 +1253,15 @@ def m_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     then run the real mapInPandas metadata stage (fake=False). The
     oracle restates the BMP layout in closed form — n_bytes = 54-byte
     header + height x 4-aligned stride — so a header-parse bug cannot
-    pass. Bounded slice (doc_id < 400) keeps the per-row Python
-    synthesis off the corpus hot path, as in m_image_decode."""
+    pass. BMP-only synthesis on purpose: a zlib-compressed PNG's
+    n_bytes is deterministic but not SQL-expressible, so the codec
+    rotation lives in m_image_decode (whose oracle states pixel sums,
+    codec-independent) and this row keeps the byte-exact layout check.
+    Bounded slice (doc_id < 400) keeps the per-row Python synthesis
+    off the corpus hot path, as in m_image_decode."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return extract_image_meta(
-        synthesize_image_corpus(d), fake=False
+        synthesize_image_corpus(d, formats=("bmp",)), fake=False
     ).orderBy("doc_id")
 
 
@@ -1362,15 +1366,17 @@ def m_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, oracle-graded: synthesize one true 24-bit BMP
-    per doc (dimensions + pixels closed-form in doc_id —
-    operators/multimodal.py::synthesize_image_corpus), then run the
-    real header parse AND full pixel-raster decode (encode_bmp →
-    decode_image_pixels round trip through stride padding, bottom-up
-    rows, BGR swizzle). The oracle states width/height/sum_px from the
-    closed forms without touching a byte — a decoder bug cannot pass.
+    """REAL image decode, oracle-graded: synthesize one true image per
+    doc rotating ALL THREE real codecs — BMP (stride padding,
+    bottom-up rows, BGR swizzle), PPM, and PNG, the compressed DEFLATE
+    path (stdlib zlib + numpy unfiltering; README 'Multimodal codec
+    boundary') — with dimensions + pixels closed-form in doc_id
+    (operators/multimodal.py::synthesize_image_corpus), then run the
+    real header parse AND full pixel-raster decode. The oracle states
+    format/width/height/sum_px from the closed forms without touching
+    a byte — a decoder bug in any of the three codecs cannot pass.
     Bounded slice: payload synthesis is per-row Python; 400 docs prove
-    the codec while keeping the Python stage off the corpus hot path."""
+    the codecs while keeping the Python stage off the corpus hot path."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return image_pixel_stats(synthesize_image_corpus(d)).orderBy("doc_id")
 
@@ -2401,7 +2407,7 @@ ORACLES = {
             FROM documents WHERE doc_id < 400
         )
         SELECT doc_id,
-               'bmp' AS format,
+               ['bmp', 'ppm', 'png'][CAST(doc_id % 3 AS INT) + 1] AS format,
                CAST(w AS INT) AS width,
                CAST(h AS INT) AS height,
                CAST(3 * (h * w * base
