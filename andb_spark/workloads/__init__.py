@@ -51,8 +51,15 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (a) new this round: the ASOF tolerance SQL spelling (r6 verdict
     # #6), graded against DuckDB's native ASOF LEFT with a CASE gap
     # mask (merge_asof mask-vs-filter divergence documented in
-    # api.py::_rewrite_asof).
+    # api.py::_rewrite_asof); and three identical-SQL-both-engines
+    # parser surfaces — GROUP BY ALL / ORDER BY ALL, LATERAL
+    # correlated subquery join, SQL-standard PIVOT (all native in
+    # Spark 4.1 AND DuckDB, so each oracle is the same text and the
+    # two engines' inference/decorrelation rules check each other).
     "u_asof_tolerance_sql",
+    "q_group_by_all",
+    "q_lateral_join",
+    "q_pivot_sql",
     # (b) changed since their r6 grading (max 5 by the freshness
     # test): u_distinct_on_sql (the rewrite was rebuilt — stale
     # shadowing duplicate deleted, sort-before-projection view),
@@ -101,10 +108,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "s_tumbling",
     "t_chunking",
     "v_semantic_dedup",
-    # (c) 18 of the 45 r4-graded names (3 rounds stale), chosen for
+    # (c) 15 of the 45 r4-graded names (3 rounds stale), chosen for
     # family breadth — both as-of operator rows, the dedup/multimodal/
     # pipeline staples, and the TPC-H shapes not already regraded in
-    # r5/r6; the remaining 27 r4 names head r8's oldest list.
+    # r5/r6; the remaining 30 r4 names (d_simhash_pairs, m_audio_meta,
+    # p_sample_weighted yielded their slots to the three new parser
+    # surfaces) head r8's oldest list.
     # t_lang_quality holds a slot as a policy-(b) changed row too (the
     # r7 fan-out audit re-planned it — spread_small_input kept after
     # the measured −28%); it was r4-graded so it doesn't count against
@@ -113,13 +122,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "a_range_join",
     "d_exact_dedup",
     "d_passage_scrub",
-    "d_simhash_pairs",
     "m_audio_decode",
-    "m_audio_meta",
     "m_image_decode",
     "m_image_meta",
     "p_pipeline_e2e",
-    "p_sample_weighted",
     "p_split",
     "q1_pricing_summary",
     "q4_priority_exists",

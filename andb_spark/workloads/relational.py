@@ -947,6 +947,84 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (native in Spark 4.1 AND DuckDB —
+    the grouping keys are inferred as every non-aggregate select item,
+    the ordering as every select item left-to-right): the q1-shaped
+    pricing rollup spelled with both inference clauses. The oracle is
+    the IDENTICAL SQL in DuckDB, so the two engines' inference rules
+    are checked against each other, not just our reading of the docs.
+    Same plan as an explicit GROUP BY — one partial+final agg shuffle."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_quantity < 24
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join (native in Spark 4 AND DuckDB;
+    the reference's planner rejects ANY subquery —
+    transformations.py:278-279): per-customer order statistics via a
+    correlated aggregate in the FROM clause. Spark decorrelates the
+    lateral into an aggregate + equi-join (no per-row re-execution —
+    the plan a 100 TB run needs); DuckDB runs its native lateral.
+    Identical SQL both engines."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, l.n_orders, l.top_price
+        FROM customer c, LATERAL (
+            SELECT count(o_orderkey) AS n_orders,
+                   max(o_totalprice) AS top_price
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+        ) l
+        WHERE l.n_orders >= 5
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PIVOT syntax (Spark's relation-pivot clause; DuckDB
+    accepts the same spelling alongside its own PIVOT..USING dialect):
+    order revenue per priority pivoted across the three order states.
+    Complements q_pivot, which grades the same reshaping through the
+    DataFrame groupBy().pivot() API — this row grades the PARSER
+    surface with identical SQL in both engines. The aggregate stays
+    bare sum() inside PIVOT (DuckDB rejects wrapped aggregates there);
+    rounding happens outside."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(coalesce(open_rev, 0.0), 2) AS open_rev,
+               round(coalesce(done_rev, 0.0), 2) AS done_rev,
+               round(coalesce(part_rev, 0.0), 2) AS part_rev
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM orders
+        ) PIVOT (
+            sum(o_totalprice)
+            FOR o_orderstatus IN ('O' AS open_rev, 'F' AS done_rev,
+                                  'P' AS part_rev)
+        )
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill — the reference's roadmap
     'time-series module' (README.md:5) realized: build the complete
@@ -1315,6 +1393,9 @@ QUERIES = {
     "q_cte": q_cte,
     "q_listagg": q_listagg,
     "q_recursive_cte": q_recursive_cte,
+    "q_group_by_all": q_group_by_all,
+    "q_lateral_join": q_lateral_join,
+    "q_pivot_sql": q_pivot_sql,
     "q_exists_subquery": q_exists_subquery,
 }
 
@@ -1814,6 +1895,40 @@ ORACLES = {
                round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
         FROM d LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d.dt
         GROUP BY d.dt ORDER BY d.dt
+    """,
+    "q_group_by_all": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_quantity < 24
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    "q_lateral_join": """
+        SELECT c_custkey, c_name, l.n_orders, l.top_price
+        FROM customer c, LATERAL (
+            SELECT count(o_orderkey) AS n_orders,
+                   max(o_totalprice) AS top_price
+            FROM orders o WHERE o.o_custkey = c.c_custkey
+        ) l
+        WHERE l.n_orders >= 5
+        ORDER BY c_custkey
+    """,
+    "q_pivot_sql": """
+        SELECT o_orderpriority,
+               round(coalesce(open_rev, 0.0), 2) AS open_rev,
+               round(coalesce(done_rev, 0.0), 2) AS done_rev,
+               round(coalesce(part_rev, 0.0), 2) AS part_rev
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice
+            FROM orders
+        ) PIVOT (
+            sum(o_totalprice)
+            FOR o_orderstatus IN ('O' AS open_rev, 'F' AS done_rev,
+                                  'P' AS part_rev)
+        )
+        ORDER BY o_orderpriority
     """,
     "q_cte": """
         WITH spend AS (
