@@ -3099,6 +3099,11 @@ class AnalyticsEngine:
         # access path are surfaced — the reference's EXPLAIN shows its
         # plan choices in the same header position (portal.py:124-128).
         rewrites = ""
+        if cte_views:
+            rewrites += (
+                f"-- with: {len(cte_views)} CTE view(s) bound for the"
+                " asof/range surfaces\n"
+            )
         if don_views:
             rewrites += (
                 "-- distinct on: rewritten onto row_number()=1"

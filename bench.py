@@ -133,8 +133,20 @@ HEADLINE_R06 = (
     "t_heavy_hitters",          # exact heavy hitters
 )
 
+# r7 additions (same rule as HEADLINE_R06: timed and reported, OUT of
+# the cross-round comparable total; subtotal r07_extension_sec): the
+# ASOF tolerance SQL spelling and the three identical-SQL parser
+# surfaces (GROUP BY ALL, LATERAL, standard PIVOT).
+HEADLINE_R07 = (
+    "u_asof_tolerance_sql",
+    "q_group_by_all",
+    "q_lateral_join",
+    "q_pivot_sql",
+)
+
 HEADLINE = (
-    HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04 + HEADLINE_R06
+    HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
+    + HEADLINE_R06 + HEADLINE_R07
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -218,6 +230,7 @@ def main() -> None:
     total = round(sum(timings[n] for n in COMPARABLE), 3)
     r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
     r06_ext = round(sum(timings[n] for n in HEADLINE_R06), 3)
+    r07_ext = round(sum(timings[n] for n in HEADLINE_R07), 3)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
     # driver's tail capture and arrived truncated mid-JSON
@@ -244,6 +257,7 @@ def main() -> None:
                 "sf": sf,
                 "r01_subset_sec": r01,
                 "r06_extension_sec": r06_ext,
+                "r07_extension_sec": r07_ext,
                 "n_runs": n_runs,
             }
         )
