@@ -61,6 +61,16 @@ def bucketed_interval_join(
     # is resolved PER SIDE: a point column and an interval column may
     # share a name with different types.
     p_types, i_types = dict(points.dtypes), dict(intervals.dtypes)
+    if not bucket_seconds > 0:
+        raise ValueError(
+            f"bucket_seconds must be positive (got {bucket_seconds!r})"
+        )
+    # A fractional width (0 < w < 1 included) can't use the exact
+    # integer path below — int() truncation would turn 0.5 into
+    # w=0 and pmod(ep, 0) (r7 ADVICE #3). Fractional widths take the
+    # double floor-division path on every dtype instead: floor(c/w)
+    # is monotone, which is all the decomposition needs.
+    fractional = float(bucket_seconds) != float(int(bucket_seconds))
 
     def bucket_of(c: str, types: dict):
         t = types.get(c)
@@ -73,6 +83,8 @@ def bucketed_interval_join(
             # fractional ordinates: double floor-div is fine (the
             # 2^53 hazard below is about INTEGRAL epochs)
             return F.floor(F.col(c) / bucket_seconds)
+        if fractional:
+            return F.floor(F.expr(ep) / bucket_seconds)
         # Integral epochs use pure integer arithmetic. FLOOR(c / w)
         # goes through double division, which above 2^53 (nanosecond
         # epochs ~1.7e18 — which the native-units contract invites)

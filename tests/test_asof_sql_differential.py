@@ -130,6 +130,59 @@ _SHAPES = [
         " select pid, rid from enriched where val is null or val >= 0"
         " order by pid",
     ),
+    # r8 (ADVICE #2): DISTINCT ON composes over an ASOF JOIN source —
+    # the DISTINCT ON rewrite runs the asof/range rewrites on its
+    # inner statement before planning it (previously a raw Spark
+    # ParseException). Identical SQL in DuckDB (native both clauses).
+    (
+        "distinct_on_over_asof",
+        "select distinct on (k) k, pid, rid from probes p"
+        " asof join refs r on p.k = r.rk and p.t >= r.rt"
+        " order by k, pid",
+    ),
+    # r8 (ADVICE #4): engine-only surfaces INSIDE a CTE body of a
+    # bound statement — the binder passes each body through the
+    # QUALIFY / DISTINCT ON rewrites too (previously raw parse error).
+    (
+        "qualify_inside_cte_body",
+        "with tops as (select pid, k, t from probes qualify"
+        " row_number() over (partition by k order by t desc, pid) <= 2)"
+        " select pid, rid from tops asof join refs r"
+        " on tops.k = r.rk and tops.t >= r.rt order by pid",
+    ),
+    (
+        "distinct_on_inside_cte_body",
+        "with latest as (select distinct on (k) k, pid, t from probes"
+        " order by k, t desc, pid)"
+        " select latest.pid, rid from latest asof left join refs r"
+        " on latest.k = r.rk and latest.t >= r.rt order by latest.pid",
+    ),
+    # body-only surfaces: no ASOF/range anywhere — the binder must
+    # still fire because Spark cannot parse QUALIFY / DISTINCT ON at
+    # paren depth > 0 where the depth-0 rewrites never reach
+    (
+        "qualify_in_cte_body_only",
+        "with tops as (select pid, k, t from probes qualify"
+        " row_number() over (partition by k order by t desc, pid) <= 2)"
+        " select k, count(1) as n from tops group by k order by k",
+    ),
+    (
+        "distinct_on_in_cte_body_only",
+        "with latest as (select distinct on (k) k, pid, t from probes"
+        " order by k, t desc, pid)"
+        " select k, pid, t from latest order by k",
+    ),
+    # r8 (ADVICE #1): an output alias that merely shares a CTE's name
+    # must NOT be rewritten to the temp-view name — substitution is
+    # restricted to table-reference positions. DuckDB: identical SQL.
+    (
+        "cte_name_reused_as_alias",
+        "with clicks as (select pid, k, t from probes where t >= 10)"
+        " select clicks.k as k, sum(clicks.t) as clicks"
+        " from clicks asof join refs r"
+        " on clicks.k = r.rk and clicks.t >= r.rt"
+        " group by clicks.k order by k",
+    ),
     # r7 (verdict #6): tolerance conjunct, identical SQL both engines.
     # INNER semantics agree — DuckDB accepts the same gap-bound
     # conjunct on its native ASOF JOIN and drops out-of-tolerance
@@ -217,6 +270,82 @@ def test_asof_over_subquery_raises_named_error(asof_engines):
         if v.name.startswith(("_cte_", "_asof_"))
     ]
     assert leaks == []
+
+
+def test_asof_mixed_case_collision_drops_and_warns(asof_engines):
+    """r7 verdict #1: Spark resolution is case-insensitive by default,
+    so a right-side 'T' collides with the left's 't'. The payload /
+    shadow bookkeeping compares lower-cased names (as the range-join
+    twin has since r6): the colliding column is dropped in favor of
+    the left side, recorded, and a projection that asks for it through
+    the right alias raises the loud shadow error instead of Spark's
+    ambiguous-column failure."""
+    from andb_spark.api import EngineError
+
+    eng, con = asof_engines
+    for e in (eng.execute, con.execute):
+        e("create table refs_mc (rid int, rk int, rt int, T int)")
+        e(
+            "insert into refs_mc select rid, rk, rt,"
+            " cast(val * 10 as int) from refs"
+        )
+    sql = (
+        "select pid, rid, p.t from probes p asof left join refs_mc r"
+        " on p.k = r.rk and p.t >= r.rt order by pid"
+    )
+    ours = eng.execute(sql).rows
+    duck = con.execute(sql).fetchall()
+    assert ours == duck
+    # drop semantics: the engine resolves an UNQUALIFIED t to the
+    # surviving left column (DuckDB instead raises ambiguity here,
+    # so this half is engine-only)
+    assert (
+        eng.execute(
+            "select pid, rid, t from probes p asof left join refs_mc r"
+            " on p.k = r.rk and p.t >= r.rt order by pid"
+        ).rows
+        == ours
+    )
+    with pytest.raises(EngineError, match="shadowed"):
+        eng.execute(
+            "select pid, r.T from probes p asof left join refs_mc r"
+            " on p.k = r.rk and p.t >= r.rt"
+        )
+
+
+def test_escaped_quote_literal_does_not_trigger_binding(asof_engines):
+    """r7 verdict #3: '' is an escaped quote INSIDE a literal — the
+    old '[^']*' blanking split 'it''s asof join' into two literals
+    with live text between them, so keyword detection fired inside a
+    string. The statement must pass through UNBOUND (no _cte_ views)
+    and match DuckDB on identical SQL."""
+    eng, con = asof_engines
+    sql = (
+        "with noted as (select pid, k, 'it''s asof join' as note"
+        " from probes where pid < 20)"
+        " select pid, note from noted order by pid"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("_cte_")
+    ]
+    assert leaks == []
+
+
+def test_cte_alias_column_name_preserved(asof_engines):
+    """r7 ADVICE #1, the column-NAME half: `sum(x) AS clicks` where
+    `clicks` is also a CTE name must keep the output column named
+    `clicks`, not the generated temp-view name."""
+    eng, _con = asof_engines
+    res = eng.execute(
+        "with clicks as (select pid, k, t from probes)"
+        " select clicks.k as k, sum(clicks.t) as clicks"
+        " from clicks asof join refs r"
+        " on clicks.k = r.rk and clicks.t >= r.rt"
+        " group by clicks.k order by k"
+    )
+    assert res.columns == ["k", "clicks"]
 
 
 @pytest.fixture(scope="module")

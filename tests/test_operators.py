@@ -1212,6 +1212,48 @@ def test_asof_join_excludes_null_reference_rows(spark):
     assert out[None] is None  # NULL keys do not match each other
 
 
+def test_bucketed_interval_join_fractional_width(spark):
+    """r7 ADVICE #3: a fractional bucket width on INTEGRAL ordinates
+    must not truncate to w=0 (pmod(ep, 0) → NULL buckets); fractional
+    widths take the double floor-division path, which is monotone —
+    all the decomposition needs. Differential vs the exact theta
+    join; non-positive widths are refused up front."""
+    from pyspark.sql import functions as F
+
+    from andb_spark.operators.rangejoin import bucketed_interval_join
+
+    points = spark.createDataFrame(
+        [(i, i % 3, i) for i in range(60)], "pid int, uid int, t bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(j, j % 3, 4 * j, 4 * j + 2) for j in range(15)],
+        "iid int, uid int, lo bigint, hi bigint",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_interval_join(
+            points, intervals, "t", "lo", "hi",
+            keys=("uid",), bucket_seconds=0.5,
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.uid") == F.col("i.uid"))
+            & F.col("p.t").between(F.col("i.lo"), F.col("i.hi")),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    for bad in (0, -1, -0.5):
+        with pytest.raises(ValueError, match="positive"):
+            bucketed_interval_join(
+                points, intervals, "t", "lo", "hi", bucket_seconds=bad
+            )
+
+
 def test_range_and_salted_join_guard_unsupported_how(spark):
     from andb_spark.operators.rangejoin import bucketed_interval_join
     from andb_spark.operators.skew import salted_join
