@@ -2543,6 +2543,134 @@ class AnalyticsEngine:
                               flags=re.I)
         return new_stmt, views
 
+    @staticmethod
+    def _match_paren(text: str, openpos: int) -> int:
+        """Index of the ')' balancing ``text[openpos] == '('``,
+        skipping string literals (''-escape-aware: a doubled quote
+        inside a literal is an escaped quote, not a close+open —
+        parens between the doubled quotes stay dead)."""
+        depth, i, n = 0, openpos, len(text)
+        while i < n:
+            c = text[i]
+            if c == "'":
+                i += 1
+                while i < n:
+                    if text[i] == "'":
+                        if i + 1 < n and text[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        raise EngineError("unbalanced parentheses")
+
+    def _lift_asof_subquery_sources(self, stmt: str) -> tuple[str, list[str]]:
+        """Bind parenthesized subquery sources that DIRECTLY
+        participate in an ASOF JOIN to per-statement temp views, so
+        the asof rewrite can resolve them via ``spark.table()`` (r7
+        verdict #7 — CTE sides landed in r7; this is the same lazy
+        move for ``ASOF JOIN (SELECT ...) x``). Temp views are named
+        logical plans — nothing materializes here, so lifting costs
+        no execution at any scale. Any OTHER derived table in the
+        statement is left for Spark to plan natively (it could be
+        correlated — e.g. LATERAL — where a standalone view would not
+        resolve). Subquery bodies pass through the full engine
+        rewrite pipeline, so nested ASOF / QUALIFY / DISTINCT ON
+        inside the source compose."""
+
+        def _blank(s: str) -> str:
+            # same-length blanking: offsets into the blank map 1:1
+            return re.sub(
+                r"'(?:[^']|'')*'",
+                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+                s,
+            )
+
+        views: list[str] = []
+
+        def _bind_body(body: str) -> str:
+            b, v = self._rewrite_distinct_on(body)
+            views.extend(v)
+            b, v = self._rewrite_asof(b)
+            views.extend(v)
+            b, v = self._rewrite_range_join(b)
+            views.extend(v)
+            b, v = self._rewrite_qualify(b)
+            views.extend(v)
+            view = f"_sq_{uuid.uuid4().hex[:8]}"
+            self.spark.sql(b).createOrReplaceTempView(view)
+            views.append(view)
+            return view
+
+        try:
+            changed = True
+            while changed:
+                changed = False
+                b = _blank(stmt)
+                if not re.search(
+                    r"\basof\s+(?:left\s+)?join\b", b, re.I
+                ):
+                    break
+                # right side: ASOF [LEFT] JOIN ( SELECT ... ) alias
+                for m in re.finditer(
+                    r"\basof\s+(?:left\s+)?join\s*\(", b, re.I
+                ):
+                    op = m.end() - 1
+                    cp = self._match_paren(stmt, op)
+                    inner = stmt[op + 1: cp]
+                    if not re.match(r"\s*select\b", inner, re.I):
+                        continue
+                    am = re.match(
+                        r"\s*(?:as\s+)?(\w+)", stmt[cp + 1:], re.I
+                    )
+                    if not am or am.group(1).lower() == "on":
+                        raise EngineError(
+                            "ASOF JOIN: a subquery source needs an"
+                            " alias (asof join (select ...) x on ...)"
+                        )
+                    view = _bind_body(inner)
+                    stmt = (
+                        stmt[: op]
+                        + f"{view} {am.group(1)}"
+                        + stmt[cp + 1 + am.end():]
+                    )
+                    changed = True
+                    break
+                if changed:
+                    continue
+                # left side: FROM ( SELECT ... ) alias ASOF [LEFT] JOIN
+                for m in re.finditer(r"\bfrom\s*\(", b, re.I):
+                    op = m.end() - 1
+                    cp = self._match_paren(stmt, op)
+                    inner = stmt[op + 1: cp]
+                    if not re.match(r"\s*select\b", inner, re.I):
+                        continue
+                    am = re.match(
+                        r"\s*(?:as\s+)?(\w+)(\s+asof\s+(?:left\s+)?join\b)",
+                        b[cp + 1:], re.I,
+                    )
+                    if not am:
+                        continue
+                    view = _bind_body(inner)
+                    stmt = (
+                        stmt[: op]
+                        + f"{view} {am.group(1)}"
+                        + stmt[cp + 1 + am.end(1):]
+                    )
+                    changed = True
+                    break
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return stmt, views
+
     def _rewrite_asof(self, stmt: str) -> tuple[str, list[str]]:
         """Materialize every ASOF JOIN clause into a temp view and
         substitute it into the statement (view columns = left columns +
@@ -2566,7 +2694,10 @@ class AnalyticsEngine:
         and the views to drop after materialization."""
         from andb_spark.operators.asof import asof_join
 
-        views: list[str] = []
+        # parenthesized subquery sources become lazy temp views first
+        # (every _rewrite_asof call site gets the composition for
+        # free); a later failure below must drop these too
+        stmt, views = self._lift_asof_subquery_sources(stmt)
         quals: set[str] = set()
         shadowed: list[tuple[set[str], set[str]]] = []
 

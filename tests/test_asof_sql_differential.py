@@ -183,6 +183,34 @@ _SHAPES = [
         " on clicks.k = r.rk and clicks.t >= r.rt"
         " group by clicks.k order by k",
     ),
+    # r8 (verdict #7): parenthesized subquery sources, both sides —
+    # bound to lazy temp views before the asof rewrite resolves them.
+    # Identical SQL in DuckDB (native derived-table ASOF).
+    (
+        "subquery_right_side",
+        "select pid, rid from probes p asof left join"
+        " (select rid, rk, rt from refs where rt < 90) r"
+        " on p.k = r.rk and p.t >= r.rt order by pid",
+    ),
+    (
+        "subquery_left_side",
+        "select pid, rid from (select pid, k, t from probes"
+        " where t >= 10) p asof join refs r"
+        " on p.k = r.rk and p.t >= r.rt order by pid",
+    ),
+    (
+        "subquery_both_sides_as_alias",
+        "select pid, rid from (select pid, k, t from probes) as p"
+        " asof left join (select rid, rk, rt from refs) as r"
+        " on p.k = r.rk and p.t >= r.rt order by pid",
+    ),
+    (
+        "subquery_mixed_with_cte",
+        "with rr as (select rid, rk, rt from refs where rt < 95)"
+        " select pid, rid from (select pid, k, t from probes"
+        " where pid < 100) p asof join rr"
+        " on p.k = rr.rk and p.t >= rr.rt order by pid",
+    ),
     # r7 (verdict #6): tolerance conjunct, identical SQL both engines.
     # INNER semantics agree — DuckDB accepts the same gap-bound
     # conjunct on its native ASOF JOIN and drops out-of-tolerance
@@ -251,23 +279,22 @@ def test_asof_tolerance_rejects_malformed_bounds(asof_engines):
         )
 
 
-def test_asof_over_subquery_raises_named_error(asof_engines):
-    """A parenthesized subquery source is a named limitation, not a
-    raw Spark parse error (Spark has no ASOF syntax). The message
-    carries the working alternative — lift it into a WITH clause
-    (covered green in _SHAPES cte_* cases)."""
+def test_asof_subquery_without_alias_raises_named_error(asof_engines):
+    """Subquery sources are bound since r8 — but one WITHOUT an alias
+    has nothing the ON clause could reference, and must be refused by
+    name (not Spark's raw parse error), leaking no per-statement
+    views."""
     from andb_spark.api import EngineError
 
     eng, _con = asof_engines
-    with pytest.raises(EngineError, match="WITH clause"):
+    with pytest.raises(EngineError, match="alias"):
         eng.execute(
-            "select pid, rid from (select * from probes) p"
-            " asof join refs r on p.k = r.rk and p.t >= r.rt"
+            "select pid, rid from probes p"
+            " asof join (select * from refs) on p.t >= rt"
         )
-    # no leaked per-statement views after the refusal
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
-        if v.name.startswith(("_cte_", "_asof_"))
+        if v.name.startswith(("_cte_", "_asof_", "_sq_"))
     ]
     assert leaks == []
 
