@@ -36,10 +36,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins. Keys absent here fall back to
-    the driver's rows-only check — deliberately so for the sketch and
-    iterative ops whose results are engine-specific (q_approx_distinct,
-    q_approx_quantile, q_hll_distinct, t_approx_topk, d_bloom_dedup,
-    v_kmeans, v_pq_topk), each of which has an accuracy/invariant unit
-    test instead (tests/test_operators.py)."""
+    """DuckDB-runnable ANSI SQL twins — one per ``queries()`` entry.
+    Every exported name is oracle-gradeable: the seven ops whose
+    results are engine-specific by nature (sketch estimates, Bloom
+    screens, iterative training — q_approx_distinct, q_approx_quantile,
+    q_hll_distinct, t_approx_topk, d_bloom_dedup, v_kmeans, v_pq_topk)
+    live in the workloads LIBRARY instead (r7 verdict #4 registry
+    hygiene: `workloads.LIBRARY_ONLY`), graded through their
+    deterministic oracle-backed invariant-bound twins here plus
+    accuracy unit tests (tests/test_operators.py); bench.py still
+    times them via ``workloads.library_queries()``."""
     return all_oracles()

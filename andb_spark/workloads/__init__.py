@@ -45,101 +45,109 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-7 rotation. Zero never-graded names remained after r6
-    # (first all-green round), so policy (c) owns most slots.
+    # Round-8 rotation.
     #
-    # (a) new this round: the ASOF tolerance SQL spelling (r6 verdict
-    # #6), graded against DuckDB's native ASOF LEFT with a CASE gap
-    # mask (merge_asof mask-vs-filter divergence documented in
-    # api.py::_rewrite_asof); and three identical-SQL-both-engines
-    # parser surfaces — GROUP BY ALL / ORDER BY ALL, LATERAL
-    # correlated subquery join, SQL-standard PIVOT (all native in
-    # Spark 4.1 AND DuckDB, so each oracle is the same text and the
-    # two engines' inference/decorrelation rules check each other).
-    "u_asof_tolerance_sql",
-    "q_group_by_all",
-    "q_lateral_join",
-    "q_pivot_sql",
-    # (b) changed since their r6 grading (max 5 by the freshness
-    # test): u_distinct_on_sql (the rewrite was rebuilt — stale
-    # shadowing duplicate deleted, sort-before-projection view),
-    # u_asof_sql (tolerance conjunct + unmatched-shape catch-all in
-    # the same parse path), u_range_sql (integer bucket arithmetic +
-    # case-insensitive collisions), u_upsert_sql (literal-safe
-    # excluded. substitution + WHERE refusal), s_stream_asof (spool
-    # seeded with the output schema). Changed r6 rows yielding their
-    # (b) slots to stay inside the 5-slot budget, each triple-scale
-    # local-gate green and queued for r8 regrade: a_range_join
-    # (shares u_range_sql's operator change), d_lsh_recall_audit
-    # (plan-only cand persist), and m_resize / m_image_embed /
-    # m_embed_topk (the image-corpus codec rotation feeds them
-    # pixel-identical payloads through BMP/PPM/PNG; their oracles are
-    # pixel-based and codec-independent).
-    "u_distinct_on_sql",
+    # (a) never-graded: the one new oracle-backed surface this round —
+    # ASOF JOIN over parenthesized subquery sources (r7 verdict #7),
+    # graded against DuckDB's native derived-table ASOF on identical
+    # SQL semantics.
+    "u_asof_subquery_sql",
+    # (b) changed since their r7 grading (max 5 by the freshness
+    # test): u_asof_sql (the asof rewrite gained the subquery-source
+    # lift pre-pass and lower-cased payload/shadow bookkeeping),
+    # u_distinct_on_sql (the inner statement now runs the asof/range
+    # rewrites before planning), u_range_sql + a_range_join (the
+    # bucketed operator gained the fractional-width guard and the
+    # double floor path for non-integer widths).
     "u_asof_sql",
+    "u_distinct_on_sql",
     "u_range_sql",
-    "u_upsert_sql",
-    "s_stream_asof",
-    # (c) oldest evidence — ALL 15 remaining r1-graded names (5-6
-    # rounds stale, the oldest evidence in the ledger):
-    "q14_type_revenue_ratio",
-    "q_cube",
-    "q_distinct",
-    "q_function_scan",
-    "q_gapfill",
-    "q_global_agg",
-    "q_intersect",
-    "q_join_cross",
-    "q_join_left",
-    "q_join_right",
-    "q_math_funcs",
-    "q_percentiles",
-    "q_rollup",
-    "q_select_no_from",
-    "q_sessionize",
-    # (c) ALL 10 remaining r3-graded names (4 rounds stale):
-    "q_date_funcs",
-    "q_having",
-    "q_in_subquery",
-    "q_join_semi",
-    "q_limit_offset",
-    "q_pivot",
-    "q_union_all",
-    "s_tumbling",
-    "t_chunking",
-    "v_semantic_dedup",
-    # (c) 15 of the 45 r4-graded names (3 rounds stale), chosen for
-    # family breadth — both as-of operator rows, the dedup/multimodal/
-    # pipeline staples, and the TPC-H shapes not already regraded in
-    # r5/r6; the remaining 30 r4 names (d_simhash_pairs, m_audio_meta,
-    # p_sample_weighted yielded their slots to the three new parser
-    # surfaces) head r8's oldest list.
-    # t_lang_quality holds a slot as a policy-(b) changed row too (the
-    # r7 fan-out audit re-planned it — spread_small_input kept after
-    # the measured −28%); it was r4-graded so it doesn't count against
-    # the 5-slot newest-round budget:
-    "a_asof_join",
     "a_range_join",
-    "d_exact_dedup",
-    "d_passage_scrub",
-    "m_audio_decode",
-    "m_image_decode",
-    "m_image_meta",
-    "p_pipeline_e2e",
-    "p_split",
-    "q1_pricing_summary",
-    "q4_priority_exists",
-    "q13_customer_distribution",
-    "q19_or_of_ands",
-    "t_lang_quality",
-    "v_cosine_topk",
-    # (c) the oldest c-family name (r5) — keeps the every-family-
-    # every-round cross-section (no c_ name is r4 or older):
-    "c_catalog_columns",
+    # (c) oldest evidence — ALL 30 remaining r4-graded names (4 rounds
+    # stale, the oldest evidence in the ledger after the r7 rotation
+    # cleared the r1/r3 cohorts):
+    "d_simhash_pairs",
+    "m_audio_meta",
+    "p_sample_weighted",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q_case_cast_concat",
+    "q_count_distinct",
+    "q_cte",
+    "q_except",
+    "q_grouping_sets",
+    "q_join_full",
+    "q_json_extract",
+    "q_predicates",
+    "q_sort_multi_key",
+    "q_string_funcs",
+    "q_topk_per_group",
+    "q_window_funcs",
+    "s_session",
+    "s_stream_session",
+    "s_stream_tumbling",
+    "t_bm25_topk",
+    "t_pii_scrub",
+    "t_tfidf",
+    "u_clone_snapshot",
+    "u_matview_refresh",
+    "v_hybrid_rrf",
+    "v_ivf_topk",
+    "v_knn_join",
+    "v_lsh_topk",
+    "v_rerank_topk",
+    # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
+    # keeps the every-family-every-round cross-section.
+    "c_catalog_tables",
+    # (c) 14 of the 47 r5-graded names (3 rounds stale), chosen for
+    # family breadth — the forward as-of operator row, dedup/pipeline/
+    # text/vector staples, both streaming kinds, and u_txn_rollback
+    # (r7 verdict #6 flagged its +17% wall-time drift; regrading pairs
+    # the profile note with fresh driver timing). The remaining 33 r5
+    # names head r9's oldest list.
+    "a_asof_forward",
+    "d_cross_source_dups",
+    "d_decontaminate",
+    "m_binary_meta",
+    "m_frame_sample",
+    "p_mixture_plan",
+    "p_pack_shards",
+    "q2_min_ship_supplier",
+    "s_daily_rollup",
+    "s_stream_dedup",
+    "t_boilerplate",
+    "t_bpe_tokens",
+    "u_txn_rollback",
+    "v_cluster_near_dup",
 )
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# Library-only queries (r7 verdict #4, registry hygiene): results are
+# engine-specific by nature — sketch ESTIMATES (HLL++/GK/frequent-
+# items), a Bloom screen's probabilistic keep-set, iterative training
+# outcomes (k-means, PQ codebooks) — so no DuckDB oracle can exist and
+# a driver row for them is forever `err: no_oracle`. They stay first-
+# class operators: importable callables timed by bench.py (via
+# ``library_queries``) and exercised by accuracy/invariant unit tests
+# (tests/test_operators.py), while the driver contract grades their
+# deterministic oracle-backed INVARIANT-BOUND twins (q_*_bound,
+# t_approx_topk_bound, d_bloom_bound, v_kmeans_bound, v_pq_bound) —
+# every name ``queries()`` exports can therefore hold a green row.
+LIBRARY_ONLY: tuple[str, ...] = (
+    "q_approx_distinct",
+    "q_approx_quantile",
+    "q_hll_distinct",
+    "t_approx_topk",
+    "d_bloom_dedup",
+    "v_kmeans",
+    "v_pq_topk",
+)
+
+
+def library_queries() -> dict[
+    str, Callable[[SparkSession, str], DataFrame]
+]:
+    """The FULL registry, library-only names included (bench/tests)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
@@ -149,9 +157,20 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     missing = [n for n in DRIVER_SPOTLIGHT if n not in out]
     if missing:
         raise ValueError(f"DRIVER_SPOTLIGHT names not registered: {missing}")
+    missing = [n for n in LIBRARY_ONLY if n not in out]
+    if missing:
+        raise ValueError(f"LIBRARY_ONLY names not registered: {missing}")
     ordered = {n: out[n] for n in DRIVER_SPOTLIGHT}
     ordered.update((n, f) for n, f in out.items() if n not in ordered)
     return ordered
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver contract: oracle-gradeable names only."""
+    return {
+        n: f for n, f in library_queries().items()
+        if n not in LIBRARY_ONLY
+    }
 
 
 def all_oracles() -> dict[str, str]:

@@ -338,6 +338,31 @@ def u_asof_tolerance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_asof_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN over PARENTHESIZED SUBQUERY sources (r7 verdict #7,
+    api.py::_lift_asof_subquery_sources): both sides are derived
+    tables bound to lazy temp views before the asof rewrite resolves
+    them — no CTAS, no WITH clause, the spelling a user reaches for
+    first. Graded against DuckDB's native derived-table ASOF JOIN on
+    identical semantics (inner, backward, keyed)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_asofsq_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select event_id, p.user_id, click_id from"
+        " (select event_id, user_id, unix_micros(ts) as t_us"
+        "  from events where event_type = 'purchase') p"
+        " asof join"
+        " (select event_id as click_id, user_id,"
+        "  unix_micros(ts) as c_us"
+        "  from events where event_type = 'click') c"
+        " on p.user_id = c.user_id and p.t_us >= c.c_us"
+        " order by event_id"
+    )
+    return spark.createDataFrame(
+        r.rows, "event_id bigint, user_id bigint, click_id bigint"
+    )
+
 
 def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transparent range-join optimization through PLAIN SQL
@@ -460,6 +485,7 @@ QUERIES = {
     "c_catalog_columns": c_catalog_columns,
     "u_asof_sql": u_asof_sql,
     "u_asof_tolerance_sql": u_asof_tolerance_sql,
+    "u_asof_subquery_sql": u_asof_subquery_sql,
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
@@ -524,6 +550,16 @@ ORACLES = {
         )
         SELECT p.event_id, p.user_id, c.click_id, c.c_us
         FROM p ASOF JOIN c
+          ON p.user_id = c.user_id AND p.t_us >= c.c_us
+        ORDER BY p.event_id
+    """,
+    "u_asof_subquery_sql": """
+        SELECT p.event_id, p.user_id, c.click_id
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT event_id AS click_id, user_id,
+                          epoch_us(ts) AS c_us
+                   FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.t_us >= c.c_us
         ORDER BY p.event_id
     """,

@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from andb_spark.session import build_session  # noqa: E402
-from andb_spark.workloads import all_queries  # noqa: E402
+from andb_spark.workloads import library_queries  # noqa: E402
 
 # The r1 headline set (BENCH_r01 baseline: 13.915 s total at sf0.1).
 # Kept intact so the 2x BASELINE.md rule compares like for like — the
@@ -163,7 +163,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = build_session("andb_bench")
-    qs = all_queries()
+    qs = library_queries()  # incl. library-only sketch ops
 
     # Warm-up: touch the fact table (JVM + scan paths), then run each
     # headline query once at the smallest scale factor so plan analysis
