@@ -50,8 +50,17 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (a) never-graded: the one new oracle-backed surface this round —
     # ASOF JOIN over parenthesized subquery sources (r7 verdict #7),
     # graded against DuckDB's native derived-table ASOF on identical
-    # SQL semantics.
+    # SQL semantics — plus four parser surfaces landed with the
+    # differential-vs-native pattern (r7 verdict #8): inline VALUES
+    # relations, GROUPING() over ROLLUP (identical SQL both engines),
+    # star-projection EXCEPT/EXCLUDE (same result, per-dialect
+    # spelling), and the TABLESAMPLE invariant-bound row (binomial
+    # cardinality window + subset property — partition-layout-proof).
     "u_asof_subquery_sql",
+    "q_values_list",
+    "q_grouping_id",
+    "q_select_except",
+    "q_tablesample_bound",
     # (b) changed since their r7 grading (max 5 by the freshness
     # test): u_asof_sql (the asof rewrite gained the subquery-source
     # lift pre-pass and lower-cased payload/shadow bookkeeping),
@@ -99,21 +108,17 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
     # keeps the every-family-every-round cross-section.
     "c_catalog_tables",
-    # (c) 14 of the 47 r5-graded names (3 rounds stale), chosen for
+    # (c) 10 of the 47 r5-graded names (3 rounds stale), chosen for
     # family breadth — the forward as-of operator row, dedup/pipeline/
-    # text/vector staples, both streaming kinds, and u_txn_rollback
-    # (r7 verdict #6 flagged its +17% wall-time drift; regrading pairs
-    # the profile note with fresh driver timing). The remaining 33 r5
+    # text/vector staples, streaming dedup, and u_txn_rollback (r7
+    # verdict #6 flagged its +17% wall-time drift; regrading pairs the
+    # profile note with fresh driver timing). The remaining 37 r5
     # names head r9's oldest list.
     "a_asof_forward",
     "d_cross_source_dups",
-    "d_decontaminate",
     "m_binary_meta",
-    "m_frame_sample",
-    "p_mixture_plan",
     "p_pack_shards",
     "q2_min_ship_supplier",
-    "s_daily_rollup",
     "s_stream_dedup",
     "t_boilerplate",
     "t_bpe_tokens",

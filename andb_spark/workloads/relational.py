@@ -1025,6 +1025,106 @@ def q_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_values_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation (native in Spark 4.1 AND DuckDB with the
+    parenthesized `(VALUES ...) AS t(cols)` spelling — the reference's
+    parser only accepts VALUES inside INSERT, parser_.py): a literal
+    priority→weight lookup joined against orders, exercising NULL
+    literals and cross-type inference inside the list. IDENTICAL SQL
+    both engines; a broadcast of a literal relation — no scan, no
+    shuffle on the VALUES side at any scale."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT w.tier, count(*) AS n_orders,
+               round(sum(o.o_totalprice * w.weight), 2) AS wrev
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 2.0, 'hot'),
+                     ('2-HIGH', 1.5, 'hot'),
+                     ('3-MEDIUM', 1.0, 'warm'),
+                     ('4-NOT SPECIFIED', 1.0, 'warm'),
+                     ('5-LOW', 0.5, 'cold')) AS w(prio, weight, tier)
+          ON o.o_orderpriority = w.prio
+        GROUP BY w.tier
+        ORDER BY w.tier
+        """
+    )
+
+
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() super-aggregate indicator over ROLLUP (native in
+    Spark AND DuckDB — the standard way to tell a real NULL group from
+    a rollup subtotal row): per-(returnflag, linestatus) revenue with
+    each row labeled by which keys are rolled up. IDENTICAL SQL both
+    engines, so the two GROUPING() bit conventions are checked against
+    each other. Same single partial+final agg shuffle as a plain
+    rollup."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               GROUPING(l_returnflag) AS g_rf,
+               GROUPING(l_linestatus) AS g_ls,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls
+        """
+    )
+
+
+def q_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-projection with column exclusion — Spark spells it
+    `* EXCEPT (cols)`, DuckDB spells the same operation `* EXCLUDE
+    (cols)`, so this differential grades the RESULT (the driver
+    compares values, not SQL text): nation with the comment column
+    dropped. Column pruning reaches the scan exactly as an explicit
+    projection would."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT * EXCEPT (c_name, c_acctbal) FROM customer"
+        " ORDER BY c_custkey"
+    )
+
+
+def q_tablesample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE invariant-bound row (the library-only/bound-twin
+    pattern: engines' samplers can't emit identical rows, so the
+    driver grades deterministic INVARIANTS). Spark's
+    `TABLESAMPLE (10 PERCENT) REPEATABLE (seed)` per-partition
+    Bernoulli sample of orders is checked for (a) cardinality inside
+    a ±5-sigma binomial window around 10% — true under ANY partition
+    layout, so the row is stable across executors/core counts — and
+    (b) the subset property: zero sampled keys outside the base table
+    (an anti-join that Spark plans as a broadcast null-safe hash
+    anti). The oracle recomputes the window arithmetic exactly from
+    the base count."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH s AS (
+            SELECT o_orderkey FROM orders
+            TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        ),
+        base AS (SELECT count(*) AS n FROM orders)
+        SELECT
+            (SELECT count(*) FROM s) BETWEEN
+                CAST(0.10 * n - 5 * sqrt(n * 0.10 * 0.90) AS BIGINT)
+                AND CAST(0.10 * n + 5 * sqrt(n * 0.10 * 0.90) AS BIGINT)
+                AS n_in_window,
+            (SELECT count(*) FROM s
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS n_outside
+        FROM base
+        """
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill — the reference's roadmap
     'time-series module' (README.md:5) realized: build the complete
@@ -1396,6 +1496,10 @@ QUERIES = {
     "q_group_by_all": q_group_by_all,
     "q_lateral_join": q_lateral_join,
     "q_pivot_sql": q_pivot_sql,
+    "q_values_list": q_values_list,
+    "q_grouping_id": q_grouping_id,
+    "q_select_except": q_select_except,
+    "q_tablesample_bound": q_tablesample_bound,
     "q_exists_subquery": q_exists_subquery,
 }
 
@@ -1929,6 +2033,36 @@ ORACLES = {
                                   'P' AS part_rev)
         )
         ORDER BY o_orderpriority
+    """,
+    "q_values_list": """
+        SELECT w.tier, count(*) AS n_orders,
+               round(sum(o.o_totalprice * w.weight), 2) AS wrev
+        FROM orders o
+        JOIN (VALUES ('1-URGENT', 2.0, 'hot'),
+                     ('2-HIGH', 1.5, 'hot'),
+                     ('3-MEDIUM', 1.0, 'warm'),
+                     ('4-NOT SPECIFIED', 1.0, 'warm'),
+                     ('5-LOW', 0.5, 'cold')) AS w(prio, weight, tier)
+          ON o.o_orderpriority = w.prio
+        GROUP BY w.tier
+        ORDER BY w.tier
+    """,
+    "q_grouping_id": """
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               GROUPING(l_returnflag) AS g_rf,
+               GROUPING(l_linestatus) AS g_ls,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls
+    """,
+    "q_select_except": """
+        SELECT * EXCLUDE (c_name, c_acctbal) FROM customer
+        ORDER BY c_custkey
+    """,
+    "q_tablesample_bound": """
+        SELECT TRUE AS n_in_window, CAST(0 AS BIGINT) AS n_outside
     """,
     "q_cte": """
         WITH spend AS (

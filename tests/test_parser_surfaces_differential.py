@@ -124,6 +124,60 @@ _SHAPES = [
         " pivot (count(*) for st in ('O' as o_n, 'X' as x_n))"
         " order by grp",
     ),
+    # r8 (verdict #8): inline VALUES relations — identical spelling
+    # `(VALUES ...) AS t(cols)` in both engines.
+    (
+        "values_standalone",
+        "select id, name from (values (1, 'a'), (2, 'b'), (3, null))"
+        " as t(id, name) order by id",
+    ),
+    (
+        "values_joined_lookup",
+        "select w.tier, count(*) as n from fact f join"
+        " (values (1, 'lo'), (2, 'lo'), (3, 'hi'), (4, 'hi'),"
+        " (5, 'hi'), (6, 'hi')) as w(grp, tier) on f.grp = w.grp"
+        " group by w.tier order by w.tier",
+    ),
+    (
+        "values_type_inference_mixed",
+        # int + double in one column: both engines widen to double
+        "select x, y from (values (1, 1.5), (2, 2)) as t(x, y)"
+        " order by x",
+    ),
+    # r8 (verdict #8): GROUPING() over rollup/cube/grouping sets —
+    # identical SQL; the two bit conventions check each other.
+    (
+        "grouping_rollup",
+        "select coalesce(st, '(all)') as st, grouping(st) as g,"
+        " round(sum(amt), 2) as rev from fact group by rollup(st)"
+        " order by st",
+    ),
+    (
+        "grouping_cube_two_keys",
+        "select coalesce(st, '-') as st,"
+        " coalesce(cast(grp as string), '-') as grp,"
+        " grouping(st) as g_st, grouping(grp) as g_grp, count(*) as n"
+        " from fact group by cube(st, grp) order by st, grp",
+    ),
+    (
+        "grouping_filter_portable",
+        # subtotal-row filtering, spelled portably: project GROUPING()
+        # and filter in an outer query — identical SQL both engines.
+        # (The HAVING spelling diverges: see
+        # test_grouping_in_having_divergence below.)
+        "select st_lbl, n from (select coalesce(st, '(all)') as"
+        " st_lbl, grouping(st) as g, count(*) as n from fact"
+        " group by rollup(st)) where g = 1 order by st_lbl",
+    ),
+    (
+        "grouping_sets_explicit",
+        "select coalesce(st, '-') as st,"
+        " coalesce(cast(grp as string), '-') as grp,"
+        " grouping(st) as g_st, grouping(grp) as g_grp,"
+        " round(sum(amt), 2) as rev from fact"
+        " group by grouping sets ((st), (grp), ())"
+        " order by st, grp",
+    ),
 ]
 
 
@@ -131,6 +185,86 @@ _SHAPES = [
 def test_parser_surface_matches_duckdb(surf_engines, label, sql):
     eng, con = surf_engines
     assert eng.execute(sql).rows == con.execute(sql).fetchall(), (label, sql)
+
+
+# star-projection column exclusion: the OPERATION is identical, the
+# spelling is per-dialect (Spark `* EXCEPT (...)`, DuckDB
+# `* EXCLUDE (...)`) — the differential grades the RESULT.
+_EXCEPT_SHAPES = [
+    (
+        "single_column",
+        "select * except (amt) from fact order by fid limit 20",
+        "select * exclude (amt) from fact order by fid limit 20",
+    ),
+    (
+        "multi_column",
+        "select * except (st, amt) from fact order by fid limit 20",
+        "select * exclude (st, amt) from fact order by fid limit 20",
+    ),
+    (
+        "qualified_star",
+        "select f.* except (amt) from fact f order by fid limit 20",
+        "select f.* exclude (amt) from fact f order by fid limit 20",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "label,spark_sql,duck_sql",
+    _EXCEPT_SHAPES,
+    ids=[s[0] for s in _EXCEPT_SHAPES],
+)
+def test_select_except_matches_duckdb_exclude(
+    surf_engines, label, spark_sql, duck_sql
+):
+    eng, con = surf_engines
+    assert (
+        eng.execute(spark_sql).rows == con.execute(duck_sql).fetchall()
+    ), label
+
+
+@pytest.mark.parametrize("pct", [10, 50])
+def test_tablesample_invariants(surf_engines, pct):
+    """TABLESAMPLE (engine side only — samplers can't emit identical
+    rows across engines): per-partition Bernoulli sampling must (a)
+    land inside a ±5-sigma binomial window around the requested
+    fraction under ANY partition layout, (b) be a strict subset of the
+    base table, and (c) be deterministic for a fixed REPEATABLE
+    seed."""
+    eng, _con = surf_engines
+    n = eng.execute("select count(*) from fact").rows[0][0]
+    q = (
+        "select fid from fact"
+        f" tablesample ({pct} percent) repeatable (7) order by fid"
+    )
+    got = [r[0] for r in eng.execute(q).rows]
+    mu, sd = n * pct / 100.0, (n * (pct / 100.0) * (1 - pct / 100.0)) ** 0.5
+    assert mu - 5 * sd <= len(got) <= mu + 5 * sd
+    base = {r[0] for r in eng.execute("select fid from fact").rows}
+    assert set(got) <= base
+    assert got == [r[0] for r in eng.execute(q).rows]
+
+
+def test_grouping_in_having_divergence(surf_engines):
+    """Documented engine divergence found by this grid: DuckDB
+    resolves GROUPING(col) inside HAVING against the input grouping
+    columns; Spark's UnresolvedHaving resolves against the OUTPUT
+    scope and cannot see the grouping column (UNRESOLVED_COLUMN, or
+    GROUPING_COLUMN_MISMATCH when an output alias shadows the name).
+    Pinned so a Spark behavior change surfaces here; the portable
+    spelling (project GROUPING(), filter outer) is graded green in
+    _SHAPES grouping_filter_portable."""
+    from andb_spark.api import EngineError
+
+    eng, con = surf_engines
+    sql = (
+        "select coalesce(st, '(all)') as st_lbl, count(*) as n"
+        " from fact group by rollup(st)"
+        " having grouping(st) = 1 order by st_lbl"
+    )
+    assert len(con.execute(sql).fetchall()) == 1  # DuckDB: fine
+    with pytest.raises(EngineError):
+        eng.execute(sql)  # Spark: unresolvable — documented
 
 
 def test_pivot_empty_bucket_count_divergence(surf_engines):

@@ -25,7 +25,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from andb_spark.session import build_session  # noqa: E402
-from andb_spark.workloads import all_queries  # noqa: E402
+from andb_spark.workloads import library_queries as all_queries  # noqa: E402
 from andb_spark.caching import release_caches  # noqa: E402
 
 

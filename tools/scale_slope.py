@@ -1,0 +1,241 @@
+"""Empirical time-vs-rows scale slope (VERDICT r7 #2).
+
+Generates a deterministic ~10x corpus (documents/embeddings/events at
+~sf1-equivalent row counts) under ``.scale10x/`` next to the repo root
+— throwaway, gitignored, never touching /root/testdata — then times
+the headline scale-sensitive queries at sf0.1 and at 10x and prints a
+per-query slope table:
+
+    slope = (t_10x / t_1x) / (rows_10x / rows_1x)
+
+slope ~ 0.1..1.0 = at-or-better-than-linear in data volume (values
+well under 1 mean fixed per-query overhead still dominates at sf1);
+slope >> 1 = superlinear — a scale-killer to root-cause.
+
+Replication preserves the statistical shape instead of multiplying it:
+
+- documents: 10 copies; copy i>0 suffixes EVERY token with ``x{i}``,
+  so within-copy near-dup structure (shingle overlap) is preserved
+  exactly while cross-copy Jaccard collapses to ~0 — the DUP RATE
+  stays constant as rows grow 10x. Naive replication would instead
+  put every doc in a 10-member cross-copy dup group and measure a
+  quadratic pair explosion that says nothing about scaling.
+- embeddings: 10 copies; copy i applies a seeded random PERMUTATION
+  of the vector dimensions — within-copy cosine similarities are
+  preserved EXACTLY (permutation is orthogonal), cross-copy
+  similarity decorrelates. Near-dup rate constant, 10x rows.
+- events: 10 copies; user_id/event_id offset per copy — per-user
+  event counts (the as-of join's group sizes) are identical, 10x
+  users. Timestamps untouched.
+
+Row groups are written at the ORIGINAL file's granularity (one group
+per source-file's row count), so the 10x files expose 10 row groups —
+the same split-parallelism shape a real 10x ingest would give Spark.
+
+    python tools/scale_slope.py [--runs=3] [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SF1 = "/root/testdata/sf0.1"
+_OUT = os.path.join(_REPO, ".scale10x")
+_COPIES = 10
+_SEED = 42
+
+QUERIES = (
+    "d_minhash_lsh",
+    "d_incremental_minhash",
+    "d_passage_scrub",
+    "v_ivf_topk",
+    "a_asof_join",
+    "u_range_sql",
+)
+
+
+def _gen_documents() -> None:
+    t = pq.read_table(os.path.join(_SF1, "documents.parquet"))
+    doc_id = t.column("doc_id").to_pylist()
+    text = t.column("text").to_pylist()
+    lang = t.column("lang").to_pylist()
+    source = t.column("source").to_pylist()
+    n = len(doc_id)
+    ids, txts, langs, srcs, chars = [], [], [], [], []
+    for i in range(_COPIES):
+        off = i * 10_000_000
+        if i == 0:
+            new_txt = text
+        else:
+            suf = f"x{i}"
+            new_txt = [
+                " ".join(w + suf for w in s.split()) if s else s
+                for s in text
+            ]
+        ids.extend(d + off for d in doc_id)
+        txts.extend(new_txt)
+        langs.extend(lang)
+        srcs.extend(source)
+        chars.extend(len(s) if s is not None else 0 for s in new_txt)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(txts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+    pq.write_table(
+        out, os.path.join(_OUT, "documents.parquet"), row_group_size=n
+    )
+
+
+def _gen_embeddings() -> None:
+    t = pq.read_table(os.path.join(_SF1, "embeddings.parquet"))
+    vec_id = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
+    label = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
+    n, dim = emb.shape
+    rng = np.random.default_rng(_SEED)
+    ids, vecs, labels = [], [], []
+    for i in range(_COPIES):
+        perm = np.arange(dim) if i == 0 else rng.permutation(dim)
+        ids.append(vec_id + i * 10_000_000)
+        vecs.append(emb[:, perm])
+        labels.append(label)
+    out = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate(vecs)), pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate(labels), pa.int32()),
+        }
+    )
+    pq.write_table(
+        out, os.path.join(_OUT, "embeddings.parquet"), row_group_size=n
+    )
+
+
+def _gen_events() -> None:
+    t = pq.read_table(os.path.join(_SF1, "events.parquet"))
+    n = t.num_rows
+    parts = []
+    for i in range(_COPIES):
+        c = t
+        if i:
+            c = c.set_column(
+                0, "event_id",
+                pa.compute.add(c.column("event_id"), i * 100_000_000),
+            )
+            c = c.set_column(
+                2, "user_id",
+                pa.compute.add(c.column("user_id"), i * 10_000_000),
+            )
+        parts.append(c)
+    out = pa.concat_tables(parts)
+    pq.write_table(
+        out, os.path.join(_OUT, "events.parquet"), row_group_size=n
+    )
+
+
+def ensure_corpus(regen: bool = False) -> None:
+    os.makedirs(_OUT, exist_ok=True)
+    for name, gen in (
+        ("documents", _gen_documents),
+        ("embeddings", _gen_embeddings),
+        ("events", _gen_events),
+    ):
+        path = os.path.join(_OUT, f"{name}.parquet")
+        if regen or not os.path.exists(path):
+            t0 = time.perf_counter()
+            gen()
+            print(
+                f"# generated {name}.parquet"
+                f" ({time.perf_counter() - t0:.1f}s)",
+                file=sys.stderr,
+            )
+    # the engine attach path expects the full star schema in the dir;
+    # the non-scaled tables are symlinked 1x (their size is irrelevant
+    # to the measured queries)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        dst = os.path.join(_OUT, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(_SF1, f"{t}.parquet"), dst)
+
+
+def main() -> None:
+    runs = int(
+        next(
+            (a.split("=", 1)[1] for a in sys.argv[1:]
+             if a.startswith("--runs=")),
+            "3",
+        )
+    )
+    ensure_corpus(regen="--regen" in sys.argv)
+
+    from andb_spark.session import build_session
+    from andb_spark.workloads import library_queries
+    from andb_spark.operators.dedup import release_caches
+
+    spark = build_session("andb_scale_slope")
+    qs = library_queries()
+    rows = {
+        "documents": (5_000, 5_000 * _COPIES),
+        "embeddings": (2_000, 2_000 * _COPIES),
+        "events": (100_000, 100_000 * _COPIES),
+    }
+    table_of = {
+        "d_minhash_lsh": "documents",
+        "d_incremental_minhash": "documents",
+        "d_passage_scrub": "documents",
+        "v_ivf_topk": "embeddings",
+        "a_asof_join": "events",
+        "u_range_sql": "events",
+    }
+    # warm-up at the smallest SF: JIT/codegen/plan caches out of the
+    # timed region, exactly like bench.py
+    warm = "/root/testdata/sf0.001"
+    for name in QUERIES:
+        qs[name](spark, warm).collect()
+    release_caches()
+
+    report = {}
+    for name in QUERIES:
+        times = {}
+        for label, d in (("1x", _SF1), ("10x", _OUT)):
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qs[name](spark, d).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                release_caches()
+            times[label] = round(best, 3)
+        r1, r10 = rows[table_of[name]]
+        slope = (times["10x"] / times["1x"]) / (r10 / r1)
+        report[name] = {
+            "t_1x_sec": times["1x"],
+            "t_10x_sec": times["10x"],
+            "rows_ratio": round(r10 / r1, 1),
+            "time_ratio": round(times["10x"] / times["1x"], 2),
+            "slope": round(slope, 3),
+        }
+        print(f"# {name}: {report[name]}", file=sys.stderr)
+    print(json.dumps({"metric": "scale_slope_10x", "queries": report}))
+
+
+if __name__ == "__main__":
+    main()
