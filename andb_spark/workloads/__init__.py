@@ -61,6 +61,14 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_grouping_id",
     "q_select_except",
     "q_tablesample_bound",
+    # ...and four more identical-SQL-both-engines surfaces: the SQL
+    # UNPIVOT clause, the named WINDOW clause (one spec shared by
+    # several functions — one WindowExec), IS [NOT] DISTINCT FROM
+    # null-safe comparison, and TRY_CAST null-on-failure conversion.
+    "q_unpivot_sql",
+    "q_named_window",
+    "q_is_distinct",
+    "q_try_cast",
     # (b) changed since their r7 grading (max 5 by the freshness
     # test): u_asof_sql (the asof rewrite gained the subquery-source
     # lift pre-pass and lower-cased payload/shadow bookkeeping),
@@ -108,19 +116,15 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
     # keeps the every-family-every-round cross-section.
     "c_catalog_tables",
-    # (c) 10 of the 47 r5-graded names (3 rounds stale), chosen for
-    # family breadth — the forward as-of operator row, dedup/pipeline/
-    # text/vector staples, streaming dedup, and u_txn_rollback (r7
-    # verdict #6 flagged its +17% wall-time drift; regrading pairs the
-    # profile note with fresh driver timing). The remaining 37 r5
-    # names head r9's oldest list.
+    # (c) 6 of the 47 r5-graded names (3 rounds stale), chosen for
+    # family breadth — the forward as-of operator row, pipeline/text/
+    # vector staples, streaming dedup, and u_txn_rollback (r7 verdict
+    # #6 flagged its +17% wall-time drift; regrading pairs the profile
+    # note with fresh driver timing). The remaining 41 r5 names head
+    # r9's oldest list.
     "a_asof_forward",
-    "d_cross_source_dups",
-    "m_binary_meta",
     "p_pack_shards",
-    "q2_min_ship_supplier",
     "s_stream_dedup",
-    "t_boilerplate",
     "t_bpe_tokens",
     "u_txn_rollback",
     "v_cluster_near_dup",

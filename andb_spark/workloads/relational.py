@@ -1125,6 +1125,99 @@ def q_tablesample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard UNPIVOT clause (native in Spark 4.1 AND DuckDB
+    with the same `UNPIVOT (val FOR name IN (cols))` spelling):
+    lineitem's per-line charge components melted into (component,
+    amount) rows and aggregated. IDENTICAL SQL both engines. UNPIVOT
+    is a generate/expand — no shuffle beyond the final aggregation."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT component, round(sum(amount), 2) AS total,
+               count(*) AS n
+        FROM (
+            SELECT l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey < 2000
+        ) UNPIVOT (amount FOR component IN
+                   (l_extendedprice, l_discount, l_tax))
+        GROUP BY component
+        ORDER BY component
+        """
+    )
+
+
+def q_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (native both engines — one window spec
+    shared by several functions instead of repeating the OVER body):
+    per-priority revenue rank and running share over the same spec.
+    Spark plans ONE WindowExec for all functions sharing the named
+    spec — the reuse is physical, not just syntactic."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               rank() OVER w AS rk,
+               round(sum(o_totalprice) OVER w, 2) AS run_rev
+        FROM orders
+        WHERE o_orderkey < 1000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderpriority, rk
+        """
+    )
+
+
+def q_is_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe comparison predicates `IS [NOT] DISTINCT FROM`
+    (native both engines; the reference's 3VL `=` can never match
+    NULLs): events bucketed by whether json-extracted props values
+    null-safely equal a probe — counts differ from `=` exactly on the
+    NULL rows, which is the semantic under test."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT
+            count(*) AS n_total,
+            sum(CASE WHEN nullif(event_type, 'click')
+                     IS DISTINCT FROM 'purchase' THEN 1 ELSE 0 END)
+                AS n_distinct_from_purchase,
+            sum(CASE WHEN nullif(event_type, 'click')
+                     IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS n_null_safe_null,
+            sum(CASE WHEN nullif(event_type, 'click') = 'purchase'
+                     THEN 1 ELSE 0 END) AS n_eq_purchase
+        FROM events
+        WHERE event_id < 20000
+        """
+    )
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST (native both engines — NULL on conversion failure
+    instead of a runtime error; the ANSI-safe ingestion idiom for
+    dirty columns): parse the numeric k out of the props JSON string
+    with a regexp, TRY_CAST both it and a deliberately unparseable
+    slice, and aggregate. IDENTICAL SQL both engines."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT
+            count(TRY_CAST(regexp_extract(props, '[0-9]+', 0)
+                           AS BIGINT)) AS n_parsed,
+            count(TRY_CAST(event_type AS BIGINT)) AS n_unparseable,
+            sum(TRY_CAST(regexp_extract(props, '[0-9]+', 0)
+                         AS BIGINT)) AS k_sum
+        FROM events
+        WHERE event_id < 20000
+        """
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill — the reference's roadmap
     'time-series module' (README.md:5) realized: build the complete
@@ -1500,6 +1593,10 @@ QUERIES = {
     "q_grouping_id": q_grouping_id,
     "q_select_except": q_select_except,
     "q_tablesample_bound": q_tablesample_bound,
+    "q_unpivot_sql": q_unpivot_sql,
+    "q_named_window": q_named_window,
+    "q_is_distinct": q_is_distinct,
+    "q_try_cast": q_try_cast,
     "q_exists_subquery": q_exists_subquery,
 }
 
@@ -2063,6 +2160,51 @@ ORACLES = {
     """,
     "q_tablesample_bound": """
         SELECT TRUE AS n_in_window, CAST(0 AS BIGINT) AS n_outside
+    """,
+    "q_unpivot_sql": """
+        SELECT component, round(sum(amount), 2) AS total,
+               count(*) AS n
+        FROM (
+            SELECT l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey < 2000
+        ) UNPIVOT (amount FOR component IN
+                   (l_extendedprice, l_discount, l_tax))
+        GROUP BY component
+        ORDER BY component
+    """,
+    "q_named_window": """
+        SELECT o_orderkey, o_orderpriority,
+               rank() OVER w AS rk,
+               round(sum(o_totalprice) OVER w, 2) AS run_rev
+        FROM orders
+        WHERE o_orderkey < 1000
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderpriority, rk
+    """,
+    "q_is_distinct": """
+        SELECT
+            count(*) AS n_total,
+            CAST(sum(CASE WHEN nullif(event_type, 'click')
+                     IS DISTINCT FROM 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_distinct_from_purchase,
+            CAST(sum(CASE WHEN nullif(event_type, 'click')
+                     IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_safe_null,
+            CAST(sum(CASE WHEN nullif(event_type, 'click') = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_purchase
+        FROM events
+        WHERE event_id < 20000
+    """,
+    "q_try_cast": """
+        SELECT
+            count(TRY_CAST(regexp_extract(props, '[0-9]+', 0)
+                           AS BIGINT)) AS n_parsed,
+            count(TRY_CAST(event_type AS BIGINT)) AS n_unparseable,
+            CAST(sum(TRY_CAST(regexp_extract(props, '[0-9]+', 0)
+                         AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        WHERE event_id < 20000
     """,
     "q_cte": """
         WITH spend AS (

@@ -178,6 +178,64 @@ _SHAPES = [
         " group by grouping sets ((st), (grp), ())"
         " order by st, grp",
     ),
+    # r8: SQL UNPIVOT — identical spelling both engines
+    (
+        "unpivot_two_measures",
+        "select fid, measure, round(v, 2) as v from"
+        " (select fid, amt, amt * 2 as amt2 from fact where fid < 10)"
+        " unpivot (v for measure in (amt, amt2))"
+        " order by fid, measure",
+    ),
+    (
+        "unpivot_aggregated",
+        "select measure, count(*) as n, round(sum(v), 2) as total"
+        " from (select amt, amt * 0.1 as fee from fact)"
+        " unpivot (v for measure in (amt, fee))"
+        " group by measure order by measure",
+    ),
+    # r8: named WINDOW clause — one spec, several functions
+    (
+        "named_window_shared_spec",
+        "select fid, rank() over w as rk,"
+        " round(sum(amt) over w, 2) as run from fact where fid < 30"
+        " window w as (partition by grp order by amt desc, fid)"
+        " order by grp, rk, fid",
+    ),
+    (
+        "named_window_two_names",
+        "select fid, row_number() over wa as ra,"
+        " row_number() over wb as rb from fact where fid < 15"
+        " window wa as (order by amt desc, fid),"
+        " wb as (order by fid) order by fid",
+    ),
+    # r8: IS [NOT] DISTINCT FROM — null-safe comparison
+    (
+        "is_distinct_from_nulls",
+        "select fid, nullif(st, 'O') is distinct from 'F' as d,"
+        " nullif(st, 'O') is not distinct from null as nd"
+        " from fact where fid < 20 order by fid",
+    ),
+    (
+        "is_distinct_in_join_condition",
+        # null-safe equi-join: NULL keys MATCH each other
+        "select a.fid, b.fid from"
+        " (select fid, nullif(grp, 3) as k from fact where fid < 12) a"
+        " join (select fid, nullif(grp, 3) as k from fact"
+        "       where fid >= 12 and fid < 24) b"
+        " on a.k is not distinct from b.k order by a.fid, b.fid",
+    ),
+    # r8: TRY_CAST — NULL on conversion failure, identical both engines
+    (
+        "try_cast_failures_null",
+        "select try_cast(st as int) as a, try_cast(fid as smallint) as b"
+        " from fact where fid < 5 order by fid",
+    ),
+    (
+        "try_cast_aggregated",
+        "select count(try_cast(st as int)) as n_bad,"
+        " count(try_cast(cast(fid as string) as int)) as n_ok"
+        " from fact",
+    ),
 ]
 
 
