@@ -2422,6 +2422,172 @@ class AnalyticsEngine:
         df.createOrReplaceTempView(view)
         return f"{outer_sel} from {view} {trailing}".rstrip(), [view]
 
+    # quantified comparison: `lhs <op> ANY|SOME|ALL ( select ... )`.
+    # lhs restricted to a bare/qualified identifier or numeric token —
+    # anything else is refused by the catch-all below, never handed to
+    # Spark's parser (which has no quantified comparisons at all).
+    _QUANT_RE = re.compile(
+        r"(?P<lhs>\w+(?:\.\w+)?)\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
+        r"(?P<q>any|some|all)\s*\(",
+        re.I,
+    )
+
+    def _rewrite_quantified(self, stmt: str) -> tuple[str, list[str]]:
+        """SQL quantified comparisons — ``x <op> ANY (subquery)`` /
+        ``ALL`` / ``SOME`` (ANSI; native in DuckDB/Postgres, absent
+        from Spark SQL). Rewritten onto Spark-native constructs with
+        exact three-valued-logic semantics:
+
+        - ``= ANY`` -> ``IN (subquery)``; ``<> ALL`` -> ``NOT IN``
+          (Spark's IN already implements the standard's 3VL, incl.
+          NULL probes and NULL elements).
+        - every other (op, quantifier) -> a CASE over scalar
+          aggregates of the subquery bound to a LAZY temp view:
+          count(*) / count(col) decide the empty-set result (FALSE
+          for ANY, TRUE for ALL) and the has-NULL-element UNKNOWN;
+          min/max carry the comparison (``x > ANY S`` is ``x >
+          min(S)``; ``x > ALL S`` is NOT ``x <= max(S)``); for
+          (in)equality against ANY/ALL, count(distinct col)
+          distinguishes the one-distinct-value case. Each aggregate
+          is an uncorrelated scalar subquery — Spark computes it once
+          and broadcasts the literal, so the rewrite adds one tiny
+          aggregation per quantifier, never a per-row join.
+
+        Correlated subqueries are refused by name (the view binding
+        cannot see outer columns). The differential grid
+        (test_parser_surfaces_differential.py) pins every (op,
+        quantifier) against DuckDB's native implementation, including
+        empty / all-NULL / some-NULL sets and NULL probes."""
+        views: list[str] = []
+        NULLB = "cast(null as boolean)"
+
+        def _blank(s: str) -> str:
+            return re.sub(
+                r"'(?:[^']|'')*'",
+                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+                s,
+            )
+
+        try:
+            while True:
+                blanked = _blank(stmt)
+                hit = None
+                for cand in self._QUANT_RE.finditer(blanked):
+                    op_pos = cand.end() - 1
+                    cp = self._match_paren(stmt, op_pos)
+                    inner = stmt[cand.end(): cp]
+                    # `any(boolcol)` is Spark's bool_or aggregate —
+                    # only a SELECT body is a quantified subquery
+                    if not re.match(r"\s*select\b", inner, re.I):
+                        continue
+                    hit = (cand, cp, inner)
+                    break
+                if hit is None:
+                    break
+                cand, cp, inner = hit
+                lhs = cand.group("lhs")
+                op = {"!=": "<>"}.get(cand.group("op"), cand.group("op"))
+                quant = cand.group("q").lower()
+                if quant == "some":
+                    quant = "any"
+                try:
+                    df = self.spark.sql(inner)
+                    cols = df.columns
+                except Exception as e:
+                    raise EngineError(
+                        "ANY/ALL: the subquery must be a standalone"
+                        " (uncorrelated) SELECT — it is planned"
+                        f" independently of the outer query ({e})"
+                    ) from e
+                if len(cols) != 1:
+                    raise EngineError(
+                        "ANY/ALL subquery must select exactly one"
+                        f" column (got {len(cols)})"
+                    )
+                view = f"_quant_{uuid.uuid4().hex[:8]}"
+                df.createOrReplaceTempView(view)
+                views.append(view)
+                c = f"`{cols[0]}`"
+                cnt = f"(select count(*) from {view})"
+                nn = f"(select count({c}) from {view})"
+                mn = f"(select min({c}) from {view})"
+                mx = f"(select max({c}) from {view})"
+                nd = f"(select count(distinct {c}) from {view})"
+                if (quant, op) in (("any", "="), ("all", "<>")):
+                    # Spark's IN-subquery in a projection is NOT
+                    # null-aware (NULL probe -> FALSE, and a non-match
+                    # against a set containing NULL -> FALSE, where the
+                    # standard and DuckDB say UNKNOWN). Its TRUE branch
+                    # IS trustworthy, so: order the CASE to trust only
+                    # the hit, route the NULL probe and the
+                    # missed-with-NULL-elements cases (nn < cnt)
+                    # explicitly. `<> ALL` is the exact negation.
+                    hit = "true" if quant == "any" else "false"
+                    miss = "false" if quant == "any" else "true"
+                    repl = (
+                        f"(case when {cnt} = 0 then {miss}"
+                        f" when {lhs} is null then {NULLB}"
+                        f" when {lhs} in (select {c} from {view})"
+                        f" then {hit}"
+                        f" when {nn} < {cnt} then {NULLB}"
+                        f" else {miss} end)"
+                    )
+                elif op == "<>":  # any
+                    repl = (
+                        f"(case when {cnt} = 0 then false"
+                        f" when {lhs} is null then {NULLB}"
+                        f" when {nd} >= 2 then true"
+                        f" when {lhs} <> {mn} then true"
+                        f" when {nn} < {cnt} then {NULLB}"
+                        f" else false end)"
+                    )
+                elif op == "=":  # all
+                    repl = (
+                        f"(case when {cnt} = 0 then true"
+                        f" when {lhs} is null then {NULLB}"
+                        f" when {nd} >= 2 then false"
+                        f" when {lhs} <> {mn} then false"
+                        f" when {nn} < {cnt} then {NULLB}"
+                        f" else true end)"
+                    )
+                elif quant == "any":
+                    ext = mn if op in (">", ">=") else mx
+                    repl = (
+                        f"(case when {cnt} = 0 then false"
+                        f" when {lhs} {op} {ext} then true"
+                        f" when {lhs} is null then {NULLB}"
+                        f" when {nn} < {cnt} then {NULLB}"
+                        f" else false end)"
+                    )
+                else:  # all, inequality: NOT (lhs neg-op ANY)
+                    ext = mx if op in (">", ">=") else mn
+                    neg = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}[op]
+                    repl = (
+                        f"(case when {cnt} = 0 then true"
+                        f" when {lhs} {neg} {ext} then false"
+                        f" when {lhs} is null then {NULLB}"
+                        f" when {nn} < {cnt} then {NULLB}"
+                        f" else true end)"
+                    )
+                stmt = stmt[: cand.start()] + repl + stmt[cp + 1:]
+            # catch-all: a quantified spelling the regex could not
+            # consume (complex lhs expression) must fail by name, not
+            # as Spark's raw parse error
+            if re.search(
+                r"(>=|<=|<>|!=|=|>|<)\s*(any|some|all)\s*\(\s*select\b",
+                _blank(stmt), re.I,
+            ):
+                raise EngineError(
+                    "ANY/ALL: the left-hand side must be a plain"
+                    " (optionally qualified) column or literal —"
+                    " alias complex expressions in a subquery first"
+                )
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return stmt, views
+
     def _rewrite_range_join(self, stmt: str) -> tuple[str, list[str]]:
         """Substitute the bucketed interval-join plan for a plain inner
         point-in-interval join (same result set — inner join + exact
@@ -3168,6 +3334,8 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_qualify(stmt)
             rewrite_views += v
+            stmt, v = self._rewrite_quantified(stmt)
+            rewrite_views += v
             return self._select_resolved(stmt)
         finally:
             # bounded: no per-query leak
@@ -3296,6 +3464,8 @@ class AnalyticsEngine:
                 asof_views += v
                 run_sql, v = self._rewrite_qualify(run_sql)
                 asof_views += v
+                run_sql, v = self._rewrite_quantified(run_sql)
+                asof_views += v
                 df = self.spark.sql(run_sql)
                 t0 = time.perf_counter()
                 # Execute THIS queryExecution's physical plan without
@@ -3327,6 +3497,7 @@ class AnalyticsEngine:
         asof_views: list[str] = []
         range_views: list[str] = []
         qual_views: list[str] = []
+        quant_views: list[str] = []
         cte_views: list[str] = []
         try:
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
@@ -3334,9 +3505,10 @@ class AnalyticsEngine:
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
             inner, qual_views = self._rewrite_qualify(inner)
+            inner, quant_views = self._rewrite_quantified(inner)
         except BaseException:
             for v in (cte_views + don_views + asof_views
-                      + range_views + qual_views):
+                      + range_views + qual_views + quant_views):
                 self.spark.catalog.dropTempView(v)
             raise
         # Surface each SQL-surface rewrite the way zone maps / the ANN
@@ -3363,7 +3535,13 @@ class AnalyticsEngine:
             )
         if qual_views:
             rewrites += "-- qualify: window filter via per-statement view\n"
-        asof_views += cte_views + don_views + range_views + qual_views
+        if quant_views:
+            rewrites += (
+                "-- any/all: quantified comparison via scalar"
+                " aggregates of a per-statement view\n"
+            )
+        asof_views += (cte_views + don_views + range_views + qual_views
+                       + quant_views)
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

@@ -1218,6 +1218,37 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantified_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI quantified comparisons — ``ANY`` / ``ALL`` / ``SOME``
+    subqueries (native in DuckDB/Postgres, absent from Spark SQL;
+    engine rewrite api.py::_rewrite_quantified with exact 3VL,
+    differential-pinned per (op, quantifier, set-shape) in
+    test_parser_surfaces_differential.py): orders strictly above ALL
+    the large-quantity line prices, and at-or-below ANY small-part
+    retail price. Each quantifier costs one scalar aggregation of its
+    subquery (broadcast literal), never a per-row join. This goes
+    through the ENGINE's SQL path; the oracle is the identical SQL on
+    DuckDB's native implementation."""
+    from andb_spark.api import AnalyticsEngine
+    from andb_spark.workloads.engine_q import _scratch
+
+    eng = AnalyticsEngine(
+        _scratch("andb_quant_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select count(*) as n_above_all,"
+        " sum(case when o_totalprice <= any"
+        "  (select p_retailprice from part where p_size <= 2)"
+        "  then 1 else 0 end) as n_below_any_small"
+        " from orders"
+        " where o_totalprice > all"
+        "  (select l_extendedprice from lineitem where l_quantity >= 49)"
+    )
+    return spark.createDataFrame(
+        r.rows, "n_above_all bigint, n_below_any_small bigint"
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill — the reference's roadmap
     'time-series module' (README.md:5) realized: build the complete
@@ -1594,6 +1625,7 @@ QUERIES = {
     "q_select_except": q_select_except,
     "q_tablesample_bound": q_tablesample_bound,
     "q_unpivot_sql": q_unpivot_sql,
+    "q_quantified_subquery": q_quantified_subquery,
     "q_named_window": q_named_window,
     "q_is_distinct": q_is_distinct,
     "q_try_cast": q_try_cast,
@@ -2160,6 +2192,15 @@ ORACLES = {
     """,
     "q_tablesample_bound": """
         SELECT TRUE AS n_in_window, CAST(0 AS BIGINT) AS n_outside
+    """,
+    "q_quantified_subquery": """
+        SELECT count(*) AS n_above_all,
+               CAST(sum(CASE WHEN o_totalprice <= ANY
+                 (SELECT p_retailprice FROM part WHERE p_size <= 2)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_any_small
+        FROM orders
+        WHERE o_totalprice > ALL
+          (SELECT l_extendedprice FROM lineitem WHERE l_quantity >= 49)
     """,
     "q_unpivot_sql": """
         SELECT component, round(sum(amount), 2) AS total,

@@ -144,9 +144,26 @@ HEADLINE_R07 = (
     "q_pivot_sql",
 )
 
+# r8 additions (same rule: timed and reported, OUT of the cross-round
+# comparable total; subtotal r08_extension_sec): the subquery-source
+# ASOF spelling and the eight parser surfaces landed with native
+# differentials this round.
+HEADLINE_R08 = (
+    "u_asof_subquery_sql",
+    "q_values_list",
+    "q_grouping_id",
+    "q_select_except",
+    "q_tablesample_bound",
+    "q_unpivot_sql",
+    "q_named_window",
+    "q_is_distinct",
+    "q_try_cast",
+    "q_quantified_subquery",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
-    + HEADLINE_R06 + HEADLINE_R07
+    + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -231,6 +248,7 @@ def main() -> None:
     r01 = round(sum(timings[n] for n in HEADLINE_R01), 3)
     r06_ext = round(sum(timings[n] for n in HEADLINE_R06), 3)
     r07_ext = round(sum(timings[n] for n in HEADLINE_R07), 3)
+    r08_ext = round(sum(timings[n] for n in HEADLINE_R08), 3)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
     # driver's tail capture and arrived truncated mid-JSON
@@ -258,6 +276,7 @@ def main() -> None:
                 "r01_subset_sec": r01,
                 "r06_extension_sec": r06_ext,
                 "r07_extension_sec": r07_ext,
+                "r08_extension_sec": r08_ext,
                 "n_runs": n_runs,
             }
         )

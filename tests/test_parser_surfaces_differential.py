@@ -341,3 +341,97 @@ def test_pivot_empty_bucket_count_divergence(surf_engines):
     duck = con.execute(sql).fetchall()
     assert all(x is None for _, x in ours)
     assert all(x == 0 for _, x in duck)
+
+
+@pytest.fixture(scope="module")
+def quant_engines(spark, tmp_path_factory):
+    """Probe values (incl. NULL) x subquery sets (plain / with-NULL /
+    all-NULL / empty) — the full 3VL surface of quantified
+    comparisons."""
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whquant")), spark=spark
+    )
+    e = eng.execute
+    e("create table probe (x int)")
+    e("insert into probe values (1), (3), (5), (null)")
+    e("create table v_plain (v int)")
+    e("insert into v_plain values (2), (4), (4)")
+    e("create table v_nulls (v int)")
+    e("insert into v_nulls values (3), (null)")
+    e("create table v_one (v int)")
+    e("insert into v_one values (3)")
+    e("create table v_allnull (v int)")
+    e("insert into v_allnull values (null), (null)")
+    e("create table v_empty (v int)")
+    con = duckdb.connect()
+    con.execute("create table probe (x int)")
+    con.execute("insert into probe values (1), (3), (5), (null)")
+    con.execute("create table v_plain (v int)")
+    con.execute("insert into v_plain values (2), (4), (4)")
+    con.execute("create table v_nulls (v int)")
+    con.execute("insert into v_nulls values (3), (null)")
+    con.execute("create table v_one (v int)")
+    con.execute("insert into v_one values (3)")
+    con.execute("create table v_allnull (v int)")
+    con.execute("insert into v_allnull values (null), (null)")
+    con.execute("create table v_empty (v int)")
+    yield eng, con
+    eng.close()
+
+
+_OPS = ("=", "<>", ">", ">=", "<", "<=")
+_SETS = ("v_plain", "v_nulls", "v_one", "v_allnull", "v_empty")
+
+
+@pytest.mark.parametrize("tbl", _SETS)
+@pytest.mark.parametrize("quant", ("any", "all", "some"))
+def test_quantified_comparison_matches_duckdb(quant_engines, quant, tbl):
+    """Every comparison operator against one quantifier and one set
+    shape, all six as columns of a single identical-SQL statement —
+    NULL probes, NULL elements, single-distinct-value and empty sets
+    included. DuckDB's native quantified comparisons are the oracle
+    for the engine's 3VL rewrite (api.py::_rewrite_quantified)."""
+    eng, con = quant_engines
+    cols = ", ".join(
+        f"x {op} {quant} (select v from {tbl}) as c{i}"
+        for i, op in enumerate(_OPS)
+    )
+    sql = f"select x, {cols} from probe order by x nulls last"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+
+
+def test_quantified_in_where_clause(quant_engines):
+    eng, con = quant_engines
+    sql = (
+        "select x from probe where x > any (select v from v_plain)"
+        " order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # NOT pushes UNKNOWN vs FALSE apart — the 3VL acid test
+    sql = (
+        "select x from probe where not (x >= all (select v from"
+        " v_nulls)) order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
+def test_quantified_refusals(quant_engines):
+    from andb_spark.api import EngineError
+
+    eng, _con = quant_engines
+    # complex lhs: refused by name, not a raw Spark parse error
+    with pytest.raises(EngineError, match="left-hand side"):
+        eng.execute(
+            "select (x + 1) > any (select v from v_plain) from probe"
+        )
+    # two-column subquery
+    with pytest.raises(EngineError, match="exactly one"):
+        eng.execute(
+            "select x = any (select v, v from v_plain) from probe"
+        )
+    # no leaked views after refusals
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("_quant_")
+    ]
+    assert leaks == []

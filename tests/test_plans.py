@@ -95,9 +95,15 @@ def test_no_python_row_udfs_in_hot_paths(spark, sf_dir):
         + list(pipeline.QUERIES)
         + list(vectors.QUERIES)
     )
+    # library-only sketch/iterative ops live outside the driver
+    # registry but are still hot-path queries — look them up in the
+    # full library so this lint keeps covering them
+    from andb_spark.workloads import library_queries
+
+    lib = library_queries()
     offenders = []
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        df = lib[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
@@ -377,3 +383,47 @@ def test_simhash_pairs_is_equality_join(spark, sf_dir):
     plan = final_plan(spark, sf_dir, "d_simhash_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_values_list_broadcasts_literal_relation(spark, sf_dir):
+    """The inline VALUES lookup must broadcast the literal relation
+    onto the orders scan — a 5-row LocalTableScan must never put the
+    fact side through a shuffle to meet it."""
+    plan = final_plan(spark, sf_dir, "q_values_list")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LocalTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_select_except_prunes_scan(spark, sf_dir):
+    """`* EXCEPT (c_name, c_acctbal)` must reach the parquet scan as a
+    projection — the excluded columns are never read."""
+    plan = final_plan(spark, sf_dir, "q_select_except")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan}"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"c_custkey", "c_nationkey", "c_mktsegment"}, (
+        read_cols
+    )
+
+
+def test_named_window_plans_single_window_exec(spark, sf_dir):
+    """Two functions over one named WINDOW spec must share ONE
+    WindowExec (and therefore one sort) — the reuse is physical."""
+    plan = final_plan(spark, sf_dir, "q_named_window")
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("Window [") == 1, final
+    # both functions live in that one node…
+    wline = next(l for l in final.splitlines() if "Window [" in l)
+    assert "rank(" in wline and "sum(" in wline, wline
+    # …fed by one partition-key exchange (the other exchange is the
+    # final ORDER BY's range partitioning)
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_unpivot_is_expand_no_join(spark, sf_dir):
+    """UNPIVOT must plan as a generate/expand over the scan — never a
+    self-join or cartesian against a names table."""
+    plan = final_plan(spark, sf_dir, "q_unpivot_sql")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
