@@ -3090,10 +3090,15 @@ class AnalyticsEngine:
         in_str = False
         prev_tok = ""          # last significant token, lowered
         from_stack = [False]   # in-FROM-list flag per paren depth
+        # "on"/"using" deliberately do NOT end the FROM list: a comma
+        # cross-join can legally follow a join condition (`from a
+        # join b on c1 = c2, cte`) and the cte after that comma is a
+        # table position. Commas INSIDE the ON expression (function
+        # args, IN lists) sit at paren depth > 0 where the pushed
+        # False flag already rules them out.
         _FROM_ENDERS = {
             "where", "group", "having", "order", "limit", "window",
             "qualify", "union", "intersect", "except", "select",
-            "on", "using",
         }
         while i < n:
             c = text[i]

@@ -1218,6 +1218,30 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clause (ANSI; native in Spark 4.1
+    AND DuckDB): conditional aggregation without CASE scaffolding —
+    per-priority order counts split by status in ONE grouped pass
+    (each FILTER is a predicate on the aggregate's input, not an extra
+    scan or join). IDENTICAL SQL both engines."""
+    spark = tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+               round(sum(o_totalprice)
+                     FILTER (WHERE o_totalprice > 100000), 2)
+                   AS rev_large
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def q_quantified_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI quantified comparisons — ``ANY`` / ``ALL`` / ``SOME``
     subqueries (native in DuckDB/Postgres, absent from Spark SQL;
@@ -1625,6 +1649,7 @@ QUERIES = {
     "q_select_except": q_select_except,
     "q_tablesample_bound": q_tablesample_bound,
     "q_unpivot_sql": q_unpivot_sql,
+    "q_agg_filter": q_agg_filter,
     "q_quantified_subquery": q_quantified_subquery,
     "q_named_window": q_named_window,
     "q_is_distinct": q_is_distinct,
@@ -2192,6 +2217,18 @@ ORACLES = {
     """,
     "q_tablesample_bound": """
         SELECT TRUE AS n_in_window, CAST(0 AS BIGINT) AS n_outside
+    """,
+    "q_agg_filter": """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+               round(sum(o_totalprice)
+                     FILTER (WHERE o_totalprice > 100000), 2)
+                   AS rev_large
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "q_quantified_subquery": """
         SELECT count(*) AS n_above_all,

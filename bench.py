@@ -159,6 +159,7 @@ HEADLINE_R08 = (
     "q_is_distinct",
     "q_try_cast",
     "q_quantified_subquery",
+    "q_agg_filter",
 )
 
 HEADLINE = (

@@ -1193,3 +1193,38 @@ def test_warehouse_lock_stale_takeover_is_serialized(tmp_path):
     ]
     outcomes = [p.communicate(timeout=120)[0].strip() for p in procs]
     assert sorted(outcomes) == ["LOSE", "LOSE", "LOSE", "WIN"], outcomes
+
+
+def test_sub_ident_table_positions_only():
+    """r7 ADVICE #1: CTE substitution rewrites TABLE REFERENCES only —
+    FROM/JOIN operands, comma cross-join items (including after a JOIN
+    ... ON condition), and column-qualifier positions. A select alias,
+    a bare column, or a function name that merely shares the CTE's
+    name stays untouched."""
+    from andb_spark.api import AnalyticsEngine
+
+    sub = AnalyticsEngine._sub_ident
+    # table positions rewrite
+    assert sub("select * from c", "c", "V") == "select * from V"
+    assert sub("select * from a join c on a.x = c.y", "c", "V") == (
+        "select * from a join V on a.x = V.y"
+    )
+    # comma cross-join AFTER an ON condition is still a table position
+    assert sub(
+        "select * from a join b on a.x = b.y, c where c.z = 1",
+        "c", "V",
+    ) == "select * from a join b on a.x = b.y, V where V.z = 1"
+    # alias/bare-column/function positions do NOT rewrite
+    assert sub("select sum(x) as c from t", "c", "V") == (
+        "select sum(x) as c from t"
+    )
+    assert sub("select c from t", "c", "V") == "select c from t"
+    assert sub("select c(x) from t", "c", "V") == "select c(x) from t"
+    # an IN-list comma is not a table position
+    assert sub("select * from t where x in (c, 2)", "c", "V") == (
+        "select * from t where x in (c, 2)"
+    )
+    # string literals are never touched
+    assert sub("select 'from c' from c", "c", "V") == (
+        "select 'from c' from V"
+    )
