@@ -2508,11 +2508,32 @@ class AnalyticsEngine:
                 df.createOrReplaceTempView(view)
                 views.append(view)
                 c = f"`{cols[0]}`"
-                cnt = f"(select count(*) from {view})"
-                nn = f"(select count({c}) from {view})"
-                mn = f"(select min({c}) from {view})"
-                mx = f"(select max({c}) from {view})"
-                nd = f"(select count(distinct {c}) from {view})"
+                # aggregate the set ONCE, eagerly, into a 1-row
+                # LOCAL relation: each scalar subquery below would
+                # otherwise re-execute the whole subquery (up to four
+                # scans of its source — a scale-killer when the set is
+                # a filtered slice of the fact table). One small job
+                # at rewrite time; the CASE's scalar subqueries then
+                # read an in-memory row. Only the IN membership branch
+                # still scans the source (it needs the values), once.
+                col0 = df.columns[0]
+                stats_df = df.agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.count(F.col(col0)).alias("nn"),
+                    F.min(F.col(col0)).alias("mn"),
+                    F.max(F.col(col0)).alias("mx"),
+                    F.countDistinct(F.col(col0)).alias("nd"),
+                )
+                stats = f"_quantstats_{uuid.uuid4().hex[:8]}"
+                self.spark.createDataFrame(
+                    stats_df.collect(), stats_df.schema
+                ).createOrReplaceTempView(stats)
+                views.append(stats)
+                cnt = f"(select cnt from {stats})"
+                nn = f"(select nn from {stats})"
+                mn = f"(select mn from {stats})"
+                mx = f"(select mx from {stats})"
+                nd = f"(select nd from {stats})"
                 if (quant, op) in (("any", "="), ("all", "<>")):
                     # Spark's IN-subquery in a projection is NOT
                     # null-aware (NULL probe -> FALSE, and a non-match
