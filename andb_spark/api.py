@@ -2353,6 +2353,8 @@ class AnalyticsEngine:
             views += v
             inner, v = self._rewrite_range_join(inner)
             views += v
+            inner, v = self._rewrite_quantified(inner)
+            views += v
             df = self.spark.sql(inner).filter(F.col("_don_rn") == 1)
             sort_cols = []
             for n, (_expr, direction, nulls) in enumerate(parsed):

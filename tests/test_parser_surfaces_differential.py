@@ -435,3 +435,15 @@ def test_quantified_refusals(quant_engines):
         if v.name.startswith("_quant_")
     ]
     assert leaks == []
+
+
+def test_distinct_on_over_quantified(quant_engines):
+    """DISTINCT ON composes over a quantified predicate (the inner
+    statement runs the quantified rewrite before planning — same
+    composition class as DISTINCT ON over ASOF, r7 ADVICE #2)."""
+    eng, con = quant_engines
+    sql = (
+        "select distinct on (x) x, x * 2 as dbl from probe"
+        " where x > any (select v from v_plain) order by x, x * 2"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()

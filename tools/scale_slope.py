@@ -61,6 +61,11 @@ QUERIES = (
     "v_ivf_topk",
     "a_asof_join",
     "u_range_sql",
+    # relational fact-table rows (lineitem/orders scaled 10x with
+    # consistent orderkey offsets — join structure preserved, per-dim
+    # fan-in grows 10x, the shape of a real ingest decade)
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
 )
 
 
@@ -150,14 +155,44 @@ def _gen_events() -> None:
     )
 
 
+def _gen_fact(table: str, key_cols: tuple[str, ...]) -> None:
+    """lineitem/orders scaled 10x: each copy offsets the ORDER KEY
+    columns by the same constant, so the lineitem-orders join
+    structure (lines per order) is preserved exactly while dimension
+    references (supplier/part/customer keys) stay 1x — per-dimension
+    fan-in grows 10x, which is what a real 10x fact ingest does."""
+    t = pq.read_table(os.path.join(_SF1, f"{table}.parquet"))
+    parts = []
+    names = t.schema.names
+    for i in range(_COPIES):
+        c = t
+        if i:
+            for col in key_cols:
+                idx = names.index(col)
+                c = c.set_column(
+                    idx, col,
+                    pa.compute.add(c.column(col), i * 10_000_000),
+                )
+        parts.append(c)
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(_OUT, f"{table}.parquet"),
+        row_group_size=t.num_rows,
+    )
+
+
 def ensure_corpus(regen: bool = False) -> None:
     os.makedirs(_OUT, exist_ok=True)
     for name, gen in (
         ("documents", _gen_documents),
         ("embeddings", _gen_embeddings),
         ("events", _gen_events),
+        ("lineitem", lambda: _gen_fact("lineitem", ("l_orderkey",))),
+        ("orders", lambda: _gen_fact("orders", ("o_orderkey",))),
     ):
         path = os.path.join(_OUT, f"{name}.parquet")
+        if os.path.islink(path):  # pre-fact-scaling layout symlinked these
+            os.unlink(path)
         if regen or not os.path.exists(path):
             t0 = time.perf_counter()
             gen()
@@ -167,10 +202,9 @@ def ensure_corpus(regen: bool = False) -> None:
                 file=sys.stderr,
             )
     # the engine attach path expects the full star schema in the dir;
-    # the non-scaled tables are symlinked 1x (their size is irrelevant
-    # to the measured queries)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    # the non-scaled dimensions are symlinked 1x (their size is
+    # irrelevant to the measured queries)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(_OUT, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(_SF1, f"{t}.parquet"), dst)
@@ -192,10 +226,13 @@ def main() -> None:
 
     spark = build_session("andb_scale_slope")
     qs = library_queries()
+    n_li = pq.ParquetFile(
+        os.path.join(_SF1, "lineitem.parquet")).metadata.num_rows
     rows = {
         "documents": (5_000, 5_000 * _COPIES),
         "embeddings": (2_000, 2_000 * _COPIES),
         "events": (100_000, 100_000 * _COPIES),
+        "lineitem": (n_li, n_li * _COPIES),
     }
     table_of = {
         "d_minhash_lsh": "documents",
@@ -204,6 +241,8 @@ def main() -> None:
         "v_ivf_topk": "embeddings",
         "a_asof_join": "events",
         "u_range_sql": "events",
+        "q1_pricing_summary": "lineitem",
+        "q21_waiting_suppliers": "lineitem",
     }
     # warm-up at the smallest SF: JIT/codegen/plan caches out of the
     # timed region, exactly like bench.py
