@@ -2419,10 +2419,22 @@ class AnalyticsEngine:
             raise EngineError("QUALIFY: no FROM clause to attach to")
         from_at = f[0]
         inner = f"{head[:from_at].rstrip()}, ({pred}) as _qual {head[from_at:]}"
-        df = self.spark.sql(inner).filter(F.col("_qual")).drop("_qual")
-        view = f"_qualify_{uuid.uuid4().hex[:8]}"
-        df.createOrReplaceTempView(view)
-        return f"{outer_sel} from {view} {trailing}".rstrip(), [view]
+        # a quantified comparison in the statement's WHERE (or in the
+        # QUALIFY predicate itself) is an engine surface Spark can't
+        # parse — rewrite it on the inner statement BEFORE planning
+        # (same composition class as DISTINCT ON over ASOF, r7 #2)
+        views: list[str] = []
+        try:
+            inner, views = self._rewrite_quantified(inner)
+            df = self.spark.sql(inner).filter(F.col("_qual")).drop("_qual")
+            view = f"_qualify_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            views.append(view)
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return f"{outer_sel} from {view} {trailing}".rstrip(), views
 
     # quantified comparison: `lhs <op> ANY|SOME|ALL ( select ... )`.
     # lhs restricted to a bare/qualified identifier or numeric token —

@@ -447,3 +447,17 @@ def test_distinct_on_over_quantified(quant_engines):
         " where x > any (select v from v_plain) order by x, x * 2"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
+def test_qualify_over_quantified(quant_engines):
+    """QUALIFY composes with a quantified WHERE predicate (the
+    qualify rewrite runs the quantified rewrite on its inner
+    statement before planning). DuckDB runs the identical SQL
+    natively."""
+    eng, con = quant_engines
+    sql = (
+        "select x, row_number() over (order by x) as rn from probe"
+        " where x >= any (select v from v_plain)"
+        " qualify rn <= 2 order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
