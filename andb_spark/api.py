@@ -2440,8 +2440,12 @@ class AnalyticsEngine:
     # lhs restricted to a bare/qualified identifier or numeric token —
     # anything else is refused by the catch-all below, never handed to
     # Spark's parser (which has no quantified comparisons at all).
+    # lhs: bare/qualified identifier, numeric token, or a simple
+    # one-argument aggregate/function call (count(*), sum(x), f(a.b))
+    # — the HAVING spelling. Anything more complex is refused by name.
     _QUANT_RE = re.compile(
-        r"(?P<lhs>\w+(?:\.\w+)?)\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
+        r"(?P<lhs>\w+(?:\.\w+)?(?:\(\s*(?:\*|\w+(?:\.\w+)?)?\s*\))?)"
+        r"\s*(?P<op>>=|<=|<>|!=|=|>|<)\s*"
         r"(?P<q>any|some|all)\s*\(",
         re.I,
     )
@@ -3306,6 +3310,8 @@ class AnalyticsEngine:
                 body, v = self._rewrite_range_join(body)
                 views += v
                 body, v = self._rewrite_qualify(body)
+                views += v
+                body, v = self._rewrite_quantified(body)
                 views += v
                 view = f"_cte_{uuid.uuid4().hex[:8]}"
                 self.spark.sql(body).createOrReplaceTempView(view)

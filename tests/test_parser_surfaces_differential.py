@@ -461,3 +461,25 @@ def test_qualify_over_quantified(quant_engines):
         " qualify rn <= 2 order by x"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
+def test_quantified_in_having_and_cte_body(quant_engines):
+    """Aggregate LHS in HAVING (`count(*) > any (...)`) and a
+    quantified predicate inside a bound CTE body both compose.
+    Identical SQL runs natively in DuckDB."""
+    eng, con = quant_engines
+    sql = (
+        "select x, count(*) as n from probe where x is not null"
+        " group by x having count(*) <= all (select v from v_plain)"
+        " order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # quantified inside a CTE body that the binder materializes
+    # (QUALIFY in the same body forces binding)
+    sql = (
+        "with big as (select x from probe"
+        "  where x >= any (select v from v_plain)"
+        "  qualify row_number() over (order by x) <= 2)"
+        " select x from big order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
