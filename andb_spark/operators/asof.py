@@ -13,6 +13,11 @@ window "last known value" technique:
    the earliest with ref_time >= probe_time (forward). An optional
    tolerance masks matches whose gap exceeds it (merge_asof parity).
 
+direction='nearest' runs BOTH walks over the SAME key partitioning —
+one Exchange, two WindowExec sorts — and picks per probe whichever
+side has the smaller |gap| (ties go backward, pandas merge_asof
+parity). Still strictly one shuffle of (left ∪ right).
+
 Cost: ONE shuffle of (left ∪ right) on the key — strictly better at
 scale than the join+filter+argmax formulation (which shuffles the same
 data AND materializes every (probe, candidate) pair before pruning).
@@ -40,11 +45,13 @@ def asof_join(
     tolerance=None,
 ) -> DataFrame:
     """For each left row, attach `payload_cols` from the right row with
-    the greatest right_time <= left_time (direction='backward') or the
-    smallest right_time >= left_time (direction='forward') sharing the
-    join key. Unmatched left rows keep NULL payloads. Both directions
-    are the same one-shuffle union+window plan — forward just walks
-    time descending (pandas merge_asof parity).
+    the greatest right_time <= left_time (direction='backward'), the
+    smallest right_time >= left_time (direction='forward'), or the
+    smallest |right_time - left_time| (direction='nearest'; equal-gap
+    ties go to the backward side, pandas merge_asof parity) sharing the
+    join key. Unmatched left rows keep NULL payloads. All directions
+    share the one-shuffle union+window plan — nearest adds a second
+    window SORT over the same exchange, not a second shuffle.
 
     `right_tiebreak`: column ordering reference rows with equal
     right_time (the row with the greatest tiebreak wins) — required for
@@ -52,12 +59,14 @@ def asof_join(
 
     `tolerance`: optional maximum time gap — a carried reference whose
     |right_time − left_time| exceeds it is masked back to NULL (the
-    merge_asof tolerance semantics). Expressed as a literal compatible
-    with plain subtraction on the time columns, so numeric/epoch time
-    columns take a number; date/timestamp callers should cast upstream."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
-    backward = direction == "backward"
+    merge_asof tolerance semantics; for 'nearest' each side is masked
+    before the choice). Expressed as a literal compatible with plain
+    subtraction on the time columns, so numeric/epoch time columns take
+    a number; date/timestamp callers should cast upstream."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
 
     lcols = left.columns
     left_struct = F.struct(*[F.col(c) for c in lcols])
@@ -103,6 +112,7 @@ def asof_join(
     )
 
     unioned = l_aligned.unionByName(r_aligned)
+
     # Reference rows sort before probe rows at equal time (_is_probe
     # ascending), so an exactly-simultaneous reference row is visible to
     # the probe (<=/>= inclusive semantics). Among equal-time reference
@@ -110,38 +120,64 @@ def asof_join(
     # carry-forward. Forward direction is the time-mirrored walk: _t
     # descending, so "last non-null payload" is the nearest reference
     # at-or-after the probe.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(
-            F.col("_t").asc() if backward else F.col("_t").desc(),
-            F.col("_is_probe").asc(),
-            F.col("_seq").asc_nulls_last(),
+    def _window(backward: bool):
+        return (
+            Window.partitionBy("_k")
+            .orderBy(
+                F.col("_t").asc() if backward else F.col("_t").desc(),
+                F.col("_is_probe").asc(),
+                F.col("_seq").asc_nulls_last(),
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.withColumn(
-        "_ref", F.last("_payload", ignorenulls=True).over(w)
-    )
-    if tolerance is not None:
+
+    def _carry(df: DataFrame, backward: bool, suffix: str) -> DataFrame:
+        w = _window(backward)
+        df = df.withColumn(
+            f"_ref{suffix}", F.last("_payload", ignorenulls=True).over(w)
+        )
         # the time OF the carried payload row: _payload and _t are
         # non-null on exactly the same (reference) rows, so the last
         # non-null of each over one window come from the same row
-        carried = carried.withColumn(
-            "_ref_t",
+        df = df.withColumn(
+            f"_ref_t{suffix}",
             F.last(
                 F.when(F.col("_is_probe") == 0, F.col("_t")),
                 ignorenulls=True,
             ).over(w),
         )
         gap = (
-            (F.col("_t") - F.col("_ref_t"))
+            (F.col("_t") - F.col(f"_ref_t{suffix}"))
             if backward
-            else (F.col("_ref_t") - F.col("_t"))
+            else (F.col(f"_ref_t{suffix}") - F.col("_t"))
+        )
+        if tolerance is not None:
+            df = df.withColumn(
+                f"_ref{suffix}",
+                F.when(gap <= F.lit(tolerance), F.col(f"_ref{suffix}")),
+            )
+        return df
+
+    if direction == "nearest":
+        # both walks over the SAME partitionBy("_k") — Catalyst plans
+        # one Exchange and two WindowExec sorts. Per probe, take the
+        # side with the smaller gap; equal gaps go backward.
+        carried = _carry(_carry(unioned, True, "_b"), False, "_f")
+        gap_b = F.when(
+            F.col("_ref_b").isNotNull(), F.col("_t") - F.col("_ref_t_b")
+        )
+        gap_f = F.when(
+            F.col("_ref_f").isNotNull(), F.col("_ref_t_f") - F.col("_t")
         )
         carried = carried.withColumn(
             "_ref",
-            F.when(gap <= F.lit(tolerance), F.col("_ref")),
+            F.when(gap_b.isNull(), F.col("_ref_f"))
+            .when(gap_f.isNull(), F.col("_ref_b"))
+            .when(gap_b <= gap_f, F.col("_ref_b"))
+            .otherwise(F.col("_ref_f")),
         )
+    else:
+        carried = _carry(unioned, direction == "backward", "")
     probes = carried.filter(F.col("_is_probe") == 1)
     # SQL comparison semantics: a NULL probe time satisfies neither
     # t >= ref_t nor t <= ref_t, so such probes match NOTHING. Without

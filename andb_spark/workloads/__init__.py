@@ -73,8 +73,11 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # from Spark SQL; exact 3VL via scalar aggregates of a lazy view,
     # differential-pinned per (op, quantifier, set shape)).
     "q_quantified_subquery",
-    # ...and the aggregate FILTER (WHERE) clause (native both engines).
+    # ...and the aggregate FILTER (WHERE) clause (native both engines)
+    # and the nearest-direction as-of operator row (merge_asof parity,
+    # both walks over one key exchange).
     "q_agg_filter",
+    "a_asof_nearest",
     # (b) changed since their r7 grading (max 5 by the freshness
     # test): u_asof_sql (the asof rewrite gained the subquery-source
     # lift pre-pass and lower-cased payload/shadow bookkeeping),
@@ -122,15 +125,13 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
     # keeps the every-family-every-round cross-section.
     "c_catalog_tables",
-    # (c) 4 of the 47 r5-graded names (3 rounds stale), chosen for
-    # family breadth — the forward as-of operator row, a pipeline
-    # staple, streaming dedup, and u_txn_rollback (r7 verdict #6
-    # flagged its +17% wall-time drift; regrading pairs the profile
-    # note with fresh driver timing). The v/t families are covered by
-    # the r4 cohort's rows. The remaining 43 r5 names head r9's
-    # oldest list.
+    # (c) 3 of the 47 r5-graded names (3 rounds stale), chosen for
+    # family breadth — the forward as-of operator row, streaming
+    # dedup, and u_txn_rollback (r7 verdict #6 flagged its +17%
+    # wall-time drift; regrading pairs the profile note with fresh
+    # driver timing). The v/t/p families are covered by the r4
+    # cohort's rows. The remaining 44 r5 names head r9's oldest list.
     "a_asof_forward",
-    "p_pack_shards",
     "s_stream_dedup",
     "u_txn_rollback",
 )

@@ -1165,6 +1165,39 @@ def a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+def a_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (operators/asof.py direction='nearest' — both
+    time walks over ONE key exchange, per-probe choice by smaller
+    |gap|, equal-gap ties to the backward side = pandas merge_asof
+    parity): each purchase joined to the user's click closest in time,
+    before OR after. The sensor-alignment/attribution question a
+    backward-only as-of answers wrong when the nearest signal is just
+    ahead. Oracle: DuckDB LATERAL argmin over |gap| with the same
+    backward tie preference."""
+    tune_for_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="t_us",
+        right_time="c_us",
+        payload_cols=["click_id"],
+        direction="nearest",
+        right_tiebreak="click_id",
+    )
+    return out.select("event_id", "user_id", "click_id")
+
+
 def a_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each event joined to the user's NEXT order at or
     after the event time (operators/asof.py direction='forward' — the
@@ -1447,6 +1480,7 @@ QUERIES = {
     "p_pipeline_e2e": p_pipeline_e2e,
     "a_asof_join": a_asof_join,
     "a_asof_forward": a_asof_forward,
+    "a_asof_nearest": a_asof_nearest,
     "a_asof_tolerance": a_asof_tolerance,
     "a_range_join": a_range_join,
     "m_binary_meta": m_binary_meta,
@@ -2293,6 +2327,22 @@ ORACLES = {
             ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
         ) ref ON TRUE
         ORDER BY e.event_id
+    """,
+    "a_asof_nearest": """
+        SELECT p.event_id, p.user_id, ref.click_id
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS t_us
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+            SELECT c.click_id
+            FROM (SELECT event_id AS click_id, user_id,
+                         epoch_us(ts) AS c_us
+                  FROM events WHERE event_type = 'click') c
+            WHERE c.user_id = p.user_id
+            ORDER BY abs(c.c_us - p.t_us) ASC,
+                     CASE WHEN c.c_us <= p.t_us THEN 0 ELSE 1 END ASC
+            LIMIT 1
+        ) ref ON TRUE
+        ORDER BY p.event_id
     """,
     "a_asof_forward": """
         SELECT e.event_id, e.user_id, ref.o_orderkey, ref.o_totalprice

@@ -160,6 +160,7 @@ HEADLINE_R08 = (
     "q_try_cast",
     "q_quantified_subquery",
     "q_agg_filter",
+    "a_asof_nearest",
 )
 
 HEADLINE = (

@@ -531,8 +531,9 @@ def test_asof_join_null_probe_time_matches_nothing(spark):
 
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Property-based differential: asof_join agrees with
-    pandas.merge_asof on randomized inputs across both directions and
-    tolerance settings. Right-side (key, time) pairs are unique so tie
+    pandas.merge_asof on randomized inputs across all THREE directions
+    (backward / forward / nearest — nearest's equal-gap tie goes to the
+    backward side in both implementations) and tolerance settings. Right-side (key, time) pairs are unique so tie
     semantics stay out of scope (pandas breaks ties by input order,
     ours by right_tiebreak — the deterministic tests above pin OUR tie
     rule); everything else — match selection, inclusive bounds,
@@ -557,7 +558,9 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 unique=True,
             )
         )
-        direction = draw(st.sampled_from(["backward", "forward"]))
+        direction = draw(
+            st.sampled_from(["backward", "forward", "nearest"])
+        )
         tol = draw(st.sampled_from([None, 0, 3, 100]))
         return left, right, direction, tol
 
@@ -565,7 +568,7 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     # checkouts with no .hypothesis example database (the repo's fuzz
     # convention — tests/test_fuzz_differential.py FUZZ_ROUND)
     @settings(
-        max_examples=8,
+        max_examples=12,
         deadline=None,
         suppress_health_check=list(HealthCheck),
     )
