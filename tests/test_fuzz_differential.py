@@ -25,7 +25,7 @@ from hypothesis import given, seed, settings, strategies as st
 # Rotated once per build round (driver round number): @seed makes each
 # round's exploration reproducible while successive rounds walk fresh
 # regions of the query space instead of re-testing the same examples.
-FUZZ_ROUND = 4
+FUZZ_ROUND = 8
 
 from andb_spark.catalog import table_path
 
@@ -822,3 +822,57 @@ def test_literal_insert_fast_path_matches_spark_path(spark, case):
                 ), (t, a, b)
             else:
                 assert a == b, (t, a, b)
+
+
+# Quantified-comparison fuzz arm (r8): the ANY/ALL/SOME rewrite
+# (api.py::_rewrite_quantified) vs DuckDB's NATIVE quantifiers on
+# randomized probe values and randomized subquery sets — sizes 0..6,
+# NULL elements, duplicates, negatives. The named grid
+# (test_parser_surfaces_differential.py) pins the 3VL corner cases;
+# this walks the value space. Identical SQL text through both engines;
+# sets are inline VALUES subqueries so each example is self-contained.
+@pytest.fixture(scope="module")
+def quant_fuzz_engine(spark, tmp_path_factory):
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whquantfuzz")), spark=spark
+    )
+    eng.execute("create table qprobe (x int)")
+    eng.execute(
+        "insert into qprobe values (-3), (0), (2), (2), (7), (null)"
+    )
+    con = duckdb.connect()
+    con.execute("create table qprobe (x int)")
+    con.execute(
+        "insert into qprobe values (-3), (0), (2), (2), (7), (null)"
+    )
+    yield eng, con
+    eng.close()
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=30, deadline=None)
+@given(
+    op=st.sampled_from(["=", "<>", ">", ">=", "<", "<="]),
+    quant=st.sampled_from(["any", "all", "some"]),
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-5, 9)), min_size=0, max_size=6
+    ),
+)
+def test_random_quantified_agrees_with_duckdb(
+    quant_fuzz_engine, op, quant, vals
+):
+    eng, con = quant_fuzz_engine
+    if vals:
+        rows = ", ".join(
+            f"({'null' if v is None else v})" for v in vals
+        )
+        subq = f"select v from (values {rows}) as t(v)"
+    else:
+        subq = "select v from (values (1)) as t(v) where false"
+    sql = (
+        f"select x, x {op} {quant} ({subq}) as r from qprobe"
+        " order by x nulls last"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
