@@ -427,3 +427,15 @@ def test_unpivot_is_expand_no_join(spark, sf_dir):
     plan = final_plan(spark, sf_dir, "q_unpivot_sql")
     assert "CartesianProduct" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_nearest_one_shuffle_two_sorts(spark, sf_dir):
+    """direction='nearest' runs both time walks over the SAME key
+    exchange: exactly one hash shuffle and two sorts — never a second
+    exchange and never a join."""
+    plan = final_plan(spark, sf_dir, "a_asof_nearest")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert final.count("Sort [") == 2, final
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
