@@ -500,8 +500,16 @@ def test_asof_join_forward_and_tolerance(spark):
     assert bwd == {1: None, 2: "at12b", 3: None, 4: "past"}
     assert run(tolerance=1) == {1: None, 2: "at12b", 3: None, 4: None}
 
-    with pytest.raises(ValueError, match="backward|forward"):
-        run(direction="nearest")
+    # nearest: smaller |gap| side wins; equal-gap ties (probe 2's
+    # gap-0 both ways) resolve backward — pandas merge_asof parity
+    near = run(direction="nearest")
+    assert near == {1: "at11", 2: "at12b", 3: "at20", 4: "past"}
+    assert run(direction="nearest", tolerance=1) == {
+        1: "at11", 2: "at12b", 3: None, 4: None,
+    }
+
+    with pytest.raises(ValueError, match="backward|forward|nearest"):
+        run(direction="sideways")
 
 
 def test_asof_join_null_probe_time_matches_nothing(spark):
