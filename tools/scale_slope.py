@@ -50,8 +50,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SF1 = "/root/testdata/sf0.1"
-_OUT = os.path.join(_REPO, ".scale10x")
-_COPIES = 10
+# --copies=N picks the replication factor (default 10); each factor
+# gets its own corpus dir, so a 3x midpoint can sit next to the 10x
+# endpoint and expose curvature two points cannot.
+_COPIES = int(
+    next((a.split("=", 1)[1] for a in sys.argv[1:]
+          if a.startswith("--copies=")), "10")
+)
+_OUT = os.path.join(_REPO, f".scale{_COPIES}x")
 _SEED = 42
 
 QUERIES = (
