@@ -2285,6 +2285,17 @@ class AnalyticsEngine:
         keys = [k.strip() for k in
                 self._split_top_level(stmt[m.end(): i - 1])]
         rest = stmt[i:]
+        # DISTINCT ON + QUALIFY in ONE statement: the row_number()
+        # injected here would count PRE-qualify rows while DuckDB
+        # filters first — silently-wrong survivors. Refuse by name
+        # with the working spelling (qualify inside a CTE/subquery,
+        # DISTINCT ON outside).
+        if self._find_top_level_keyword(rest, ("qualify",)) is not None:
+            raise EngineError(
+                "DISTINCT ON cannot be combined with QUALIFY in one"
+                " statement — put the QUALIFY query in a WITH clause"
+                " and apply DISTINCT ON over it"
+            )
         ob = self._find_top_level_keyword(rest, ("order by",))
         if ob is None:
             raise EngineError(
@@ -2450,7 +2461,9 @@ class AnalyticsEngine:
         re.I,
     )
 
-    def _rewrite_quantified(self, stmt: str) -> tuple[str, list[str]]:
+    def _rewrite_quantified(
+        self, stmt: str, plan_only: bool = False
+    ) -> tuple[str, list[str]]:
         """SQL quantified comparisons — ``x <op> ANY (subquery)`` /
         ``ALL`` / ``SOME`` (ANSI; native in DuckDB/Postgres, absent
         from Spark SQL). Rewritten onto Spark-native constructs with
@@ -2470,6 +2483,16 @@ class AnalyticsEngine:
           is an uncorrelated scalar subquery — Spark computes it once
           and broadcasts the literal, so the rewrite adds one tiny
           aggregation per quantifier, never a per-row join.
+
+        ``plan_only=True`` (the plain-EXPLAIN path) keeps the stats as
+        scalar subqueries over the LAZY set view instead of eagerly
+        aggregating — EXPLAIN must never execute a job; the executed
+        paths keep the one-scan eager aggregation.
+
+        The LHS must stand alone: a match whose lhs token is really
+        the tail of a larger expression (``x + 1 > any (...)`` — the
+        regex would grab ``1`` and splice with wrong precedence) is
+        left unconsumed so the catch-all refuses it by name.
 
         Correlated subqueries are refused by name (the view binding
         cannot see outer columns). The differential grid
@@ -2498,6 +2521,29 @@ class AnalyticsEngine:
                     # only a SELECT body is a quantified subquery
                     if not re.match(r"\s*select\b", inner, re.I):
                         continue
+                    # the lhs must STAND ALONE: preceded by nothing,
+                    # an opening paren, a comma, or a keyword/boolean
+                    # boundary. An arithmetic/concat operator or a
+                    # dot before it means the regex grabbed the TAIL
+                    # of a larger expression (`x + 1 > any(...)`) —
+                    # splicing there would bind with wrong precedence,
+                    # so leave it for the catch-all's named refusal.
+                    j = cand.start() - 1
+                    while j >= 0 and blanked[j] in " \t\r\n":
+                        j -= 1
+                    if j >= 0 and (
+                        blanked[j] in "+-*/%|&^.<>=!~"
+                        or blanked[j].isalnum()
+                        or blanked[j] == "_"
+                    ):
+                        prevtok = re.search(
+                            r"(\w+)\s*$", blanked[: j + 1]
+                        )
+                        if not (prevtok and prevtok.group(1).lower() in (
+                            "and", "or", "not", "where", "when", "then",
+                            "else", "on", "having", "select", "by",
+                        )):
+                            continue
                     hit = (cand, cp, inner)
                     break
                 if hit is None:
@@ -2543,9 +2589,15 @@ class AnalyticsEngine:
                     F.countDistinct(F.col(col0)).alias("nd"),
                 )
                 stats = f"_quantstats_{uuid.uuid4().hex[:8]}"
-                self.spark.createDataFrame(
-                    stats_df.collect(), stats_df.schema
-                ).createOrReplaceTempView(stats)
+                if plan_only:
+                    # plain EXPLAIN must not execute jobs: keep the
+                    # stats as a lazy 1-row view (scalar subqueries
+                    # re-derive it in the plan — fine, nothing runs)
+                    stats_df.createOrReplaceTempView(stats)
+                else:
+                    self.spark.createDataFrame(
+                        stats_df.collect(), stats_df.schema
+                    ).createOrReplaceTempView(stats)
                 views.append(stats)
                 cnt = f"(select cnt from {stats})"
                 nn = f"(select nn from {stats})"
@@ -2807,6 +2859,8 @@ class AnalyticsEngine:
             b, v = self._rewrite_range_join(b)
             views.extend(v)
             b, v = self._rewrite_qualify(b)
+            views.extend(v)
+            b, v = self._rewrite_quantified(b)
             views.extend(v)
             view = f"_sq_{uuid.uuid4().hex[:8]}"
             self.spark.sql(b).createOrReplaceTempView(view)
@@ -3077,9 +3131,11 @@ class AnalyticsEngine:
             blanked = re.sub(r"'(?:[^']|'')*'", "''", new_stmt)
             if re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I):
                 raise EngineError(
-                    "ASOF JOIN requires plain table/view/CTE names on"
-                    " both sides (subquery sources are not supported"
-                    " — lift the subquery into a WITH clause)"
+                    "ASOF JOIN: unsupported source shape — sides must"
+                    " be plain table/view/CTE names or aliased"
+                    " (SELECT ...) subqueries; lift anything else"
+                    " (VALUES lists, unaliased subqueries, comma"
+                    " joins) into a WITH clause first"
                 )
             for aliases, dropped in shadowed:
                 for qm in re.finditer(r"\b(\w+)\.(\w+)", new_stmt):
@@ -3112,16 +3168,25 @@ class AnalyticsEngine:
         """Replace occurrences of ``name`` used as a TABLE REFERENCE
         (case-insensitive, outside string literals) with ``repl``.
 
-        Positions that rewrite: immediately after FROM or JOIN, after
-        a comma inside a FROM list (comma cross-join), and column-
-        qualifier positions (``name.col``), so a CTE alias used as a
-        qualifier follows its view binding. Every other occurrence —
-        a SELECT alias (``sum(x) AS clicks``), a bare column that
-        merely shares the CTE's name, a function name — is left
-        alone (r7 ADVICE #1: the old token-anywhere substitution
-        silently renamed output columns). FROM-list context is
-        tracked per paren depth, so a comma in a SELECT list or an
-        IN-list never counts as a table position."""
+        Positions that rewrite: immediately after a TABLE-position
+        FROM or a JOIN, after a comma inside a FROM list (comma
+        cross-join), and column-qualifier positions (``name.col``), so
+        a CTE alias used as a qualifier follows its view binding.
+        Every other occurrence — a SELECT alias (``sum(x) AS
+        clicks``), a bare column that merely shares the CTE's name, a
+        function name — is left alone (r7 ADVICE #1: the old
+        token-anywhere substitution silently renamed output columns).
+
+        FROM is only a table position when the enclosing paren group
+        is SELECT-rooted (the statement itself, or a ``(select ...)``
+        subquery) and the preceding token is not DISTINCT: the FROM
+        inside ``extract(year FROM c)`` / ``trim(... FROM c)`` /
+        ``substring(... FROM n)`` and the one in ``IS [NOT] DISTINCT
+        FROM c`` are expression syntax, not sources. FROM-list context
+        is tracked per paren depth, so a comma in a SELECT list or an
+        IN-list never counts as a table position. Backtick-quoted
+        identifiers participate (``from \`c\``` rewrites; a quoted
+        ``\`from\``` is an identifier, never a keyword)."""
         low = text.lower()
         name_l = name.lower()
         out: list[str] = []
@@ -3129,6 +3194,9 @@ class AnalyticsEngine:
         in_str = False
         prev_tok = ""          # last significant token, lowered
         from_stack = [False]   # in-FROM-list flag per paren depth
+        # is the paren group SELECT-rooted? None = first token not
+        # seen yet; depth 0 (the statement) counts as select-rooted
+        sel_stack: list[bool | None] = [True]
         # "on"/"using" deliberately do NOT end the FROM list: a comma
         # cross-join can legally follow a join condition (`from a
         # join b on c1 = c2, cte`) and the cte after that comma is a
@@ -3139,6 +3207,32 @@ class AnalyticsEngine:
             "where", "group", "having", "order", "limit", "window",
             "qualify", "union", "intersect", "except", "select",
         }
+
+        def _classify(tok: str) -> None:
+            # keyword effects of an UNQUOTED token
+            if sel_stack[-1] is None:
+                sel_stack[-1] = tok == "select"
+            nonlocal prev_tok
+            if tok == "from":
+                if sel_stack[-1] and prev_tok != "distinct":
+                    from_stack[-1] = True
+                    prev_tok = "from"
+                else:
+                    prev_tok = "from#expr"  # extract/trim/IS DISTINCT
+                return
+            if tok == "join":
+                from_stack[-1] = True
+            elif tok in _FROM_ENDERS:
+                from_stack[-1] = False
+            prev_tok = tok
+
+        def _is_table_pos(next_is_dot: bool) -> bool:
+            return (
+                next_is_dot
+                or prev_tok in ("from", "join")
+                or (prev_tok == "," and from_stack[-1])
+            )
+
         while i < n:
             c = text[i]
             if in_str:
@@ -3152,8 +3246,27 @@ class AnalyticsEngine:
                 out.append(c)
                 i += 1
                 continue
+            if c == "`":
+                j = text.find("`", i + 1)
+                if j < 0:
+                    out.append(text[i:])
+                    break
+                tok = low[i + 1: j]
+                k = j + 1
+                while k < n and text[k] in " \t\r\n":
+                    k += 1
+                if tok == name_l and _is_table_pos(
+                    k < n and text[k] == "."
+                ):
+                    out.append(repl)
+                else:
+                    out.append(text[i: j + 1])
+                prev_tok = tok  # an identifier, never a keyword
+                i = j + 1
+                continue
             if c == "(":
                 from_stack.append(False)
+                sel_stack.append(None)
                 out.append(c)
                 prev_tok = "("
                 i += 1
@@ -3161,6 +3274,7 @@ class AnalyticsEngine:
             if c == ")":
                 if len(from_stack) > 1:
                     from_stack.pop()
+                    sel_stack.pop()
                 out.append(c)
                 prev_tok = ")"
                 i += 1
@@ -3170,25 +3284,19 @@ class AnalyticsEngine:
                 while j < n and (text[j].isalnum() or text[j] == "_"):
                     j += 1
                 tok = low[i:j]
-                if tok in ("from", "join"):
-                    from_stack[-1] = True
-                elif tok in _FROM_ENDERS:
-                    from_stack[-1] = False
                 if tok == name_l and (i == 0 or low[i - 1] != "."):
                     k = j
                     while k < n and text[k] in " \t\r\n":
                         k += 1
-                    if (
-                        (k < n and text[k] == ".")  # qualifier
-                        or prev_tok in ("from", "join")
-                        or (prev_tok == "," and from_stack[-1])
-                    ):
+                    if _is_table_pos(k < n and text[k] == "."):
+                        if sel_stack[-1] is None:
+                            sel_stack[-1] = False
                         out.append(repl)
                         prev_tok = tok
                         i = j
                         continue
+                _classify(tok)
                 out.append(text[i:j])
-                prev_tok = tok
                 i = j
                 continue
             if not c.isspace():
@@ -3234,6 +3342,10 @@ class AnalyticsEngine:
             or self._RANGE_RE.search(stmt)
             or re.search(r"\bqualify\b", blanked, re.I)
             or re.search(r"\bselect\s+distinct\s+on\s*\(", blanked, re.I)
+            or re.search(
+                r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
+                blanked, re.I,
+            )
         ):
             return stmt, []
         # parse: with name as ( body ) [, name2 as ( body2 )]* main
@@ -3275,9 +3387,16 @@ class AnalyticsEngine:
         # binding would eagerly materialize CTEs Spark plans lazily
         # today. ASOF/range force binding wherever they appear (their
         # rewrites resolve sources via spark.table()).
+        # quantified comparisons bind like ASOF wherever they appear:
+        # their rewrite spark.sql's the subquery text standalone, so a
+        # CTE referenced inside it must already be a view
         if not (
             re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I)
             or self._RANGE_RE.search(stmt)
+            or re.search(
+                r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
+                blanked, re.I,
+            )
             or any(
                 re.search(r"\bqualify\b", bb, re.I)
                 or re.search(r"\bselect\s+distinct\s+on\s*\(", bb, re.I)
@@ -3551,7 +3670,9 @@ class AnalyticsEngine:
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
             inner, qual_views = self._rewrite_qualify(inner)
-            inner, quant_views = self._rewrite_quantified(inner)
+            inner, quant_views = self._rewrite_quantified(
+                inner, plan_only=True
+            )
         except BaseException:
             for v in (cte_views + don_views + asof_views
                       + range_views + qual_views + quant_views):

@@ -2339,7 +2339,8 @@ ORACLES = {
                   FROM events WHERE event_type = 'click') c
             WHERE c.user_id = p.user_id
             ORDER BY abs(c.c_us - p.t_us) ASC,
-                     CASE WHEN c.c_us <= p.t_us THEN 0 ELSE 1 END ASC
+                     CASE WHEN c.c_us <= p.t_us THEN 0 ELSE 1 END ASC,
+                     c.click_id DESC
             LIMIT 1
         ) ref ON TRUE
         ORDER BY p.event_id

@@ -1228,3 +1228,27 @@ def test_sub_ident_table_positions_only():
     assert sub("select 'from c' from c", "c", "V") == (
         "select 'from c' from V"
     )
+    # expression-syntax FROM is NOT a table position (r8 review):
+    # IS [NOT] DISTINCT FROM, extract/trim/substring
+    assert sub(
+        "select * from t where a is distinct from c", "c", "V"
+    ) == "select * from t where a is distinct from c"
+    assert sub(
+        "select * from t where a is not distinct from c", "c", "V"
+    ) == "select * from t where a is not distinct from c"
+    assert sub("select extract(year from c) from t", "c", "V") == (
+        "select extract(year from c) from t"
+    )
+    assert sub(
+        "select trim(leading 'x' from c) from t", "c", "V"
+    ) == "select trim(leading 'x' from c) from t"
+    # ...but a subquery's FROM is: the paren group is select-rooted
+    assert sub(
+        "select * from t where x in (select y from c)", "c", "V"
+    ) == "select * from t where x in (select y from V)"
+    # backtick-quoted table references rewrite; quoted non-table
+    # positions don't
+    assert sub("select * from `c` join d on 1=1", "c", "V") == (
+        "select * from V join d on 1=1"
+    )
+    assert sub("select `c` from t", "c", "V") == "select `c` from t"

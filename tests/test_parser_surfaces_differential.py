@@ -483,3 +483,66 @@ def test_quantified_in_having_and_cte_body(quant_engines):
         " select x from big order by x"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
+def test_quantified_review_fixes(quant_engines):
+    """r8 code-review closures, each pinned:
+
+    1. a partial-LHS match (`x + 1 > any (...)` — the regex would
+       grab `1` and splice with wrong precedence) is refused by name;
+    2. a quantified subquery referencing a same-statement CTE binds
+       (the CTE binder now triggers on quantified spellings);
+    3. a quantified predicate inside an ASOF subquery source
+       composes (the lift's body pipeline runs the rewrite);
+    4. DISTINCT ON + QUALIFY in one statement is refused by name
+       (the injected row_number would count pre-QUALIFY rows —
+       silently wrong survivors)."""
+    from andb_spark.api import EngineError
+
+    eng, con = quant_engines
+    with pytest.raises(EngineError, match="left-hand side"):
+        eng.execute(
+            "select x from probe"
+            " where x + 1 > any (select v from v_plain)"
+        )
+    sql = (
+        "with small as (select v from v_plain where v <= 4)"
+        " select x from probe where x > any (select v from small)"
+        " order by x"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # quantified inside an asof subquery source (engine-only SQL;
+    # result checked against the equivalent pre-filtered oracle)
+    eng.execute("create table qp (pid int, k int, t int)")
+    eng.execute("insert into qp values (1, 1, 10), (2, 1, 20)")
+    eng.execute("create table qr (rid int, rk int, rt int)")
+    eng.execute(
+        "insert into qr values (7, 1, 9), (8, 1, 15), (9, 1, 2)"
+    )
+    got = eng.execute(
+        "select pid, rid from qp p asof join"
+        " (select rid, rk, rt from qr"
+        "  where rt > any (select v from v_plain)) r"
+        " on p.k = r.rk and p.t >= r.rt order by pid"
+    ).rows
+    # v_plain min is 2 → rt > 2 keeps rids 7 (rt 9) and 8 (rt 15)
+    assert got == [(1, 7), (2, 8)]
+    with pytest.raises(EngineError, match="QUALIFY"):
+        eng.execute(
+            "select distinct on (x) x, x * 2 from probe"
+            " qualify row_number() over (order by x) <= 2"
+            " order by x, x * 2"
+        )
+
+
+def test_explain_quantified_is_plan_only(quant_engines):
+    """Plain EXPLAIN of a quantified statement must not execute the
+    eager stats aggregation — the rewrite takes the lazy plan-only
+    path and the EXPLAIN header surfaces the rewrite."""
+    eng, _con = quant_engines
+    r = eng.execute(
+        "explain select x from probe"
+        " where x > any (select v from v_plain)"
+    )
+    logical = r.rows[0][0]
+    assert "any/all" in logical

@@ -25,7 +25,7 @@ def main() -> None:
 
     from andb_spark.plans.reuse import analyze_workload, recommendations
     from andb_spark.session import tune_for_session
-    from andb_spark.workloads import all_queries
+    from andb_spark.workloads import library_queries as all_queries
 
     spark = (
         SparkSession.builder.master("local[4]")
