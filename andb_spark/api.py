@@ -4410,18 +4410,20 @@ class AnalyticsEngine:
         if oc:
             return self._insert_on_conflict(oc)
         m = re.match(
-            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*(values\s*(.*)|select\s+.*)$",
+            r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*"
+            r"(by\s+name\s+)?(values\s*(.*)|select\s+.*)$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise EngineError(f"cannot parse INSERT: {stmt!r}")
         name = m.group(1)
+        by_name = bool(m.group(4))
         self._writable_meta(name)  # matviews reject INSERT like DELETE
         collist = (
             [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
-        tail = m.group(4)
+        tail = m.group(5)
         schema = self._schema(name)
         target_cols = [f.name for f in schema.fields]
         if collist:
@@ -4443,8 +4445,13 @@ class AnalyticsEngine:
             # paying a full job submit + task round trip). Any
             # expression, type coercion, or constraint the fast path
             # cannot prove EXACTLY equivalent falls through to Spark.
+            if by_name:
+                raise EngineError(
+                    "INSERT BY NAME requires a SELECT source (a bare"
+                    " VALUES list has no column names to match)"
+                )
             n = self._try_literal_append(
-                name, schema, collist or target_cols, m.group(5)
+                name, schema, collist or target_cols, m.group(6)
             )
             if n is not None:
                 return Result(effect_rows=n)
@@ -4452,12 +4459,40 @@ class AnalyticsEngine:
             src = self.spark.sql(values_sql)
         else:
             src = self.spark.sql(tail)  # INSERT ... SELECT
-        cols = collist or target_cols
-        if len(src.columns) != len(cols):
-            raise EngineError(
-                f"INSERT column count mismatch: {len(src.columns)} vs {len(cols)}"
-            )
-        src = src.toDF(*cols)
+        if by_name:
+            # BY NAME (DuckDB/Spark 3.5 spelling): source columns map
+            # to target columns by NAME, any order; missing targets
+            # fill NULL below; unknown or duplicate source names are
+            # errors (silently dropping data is worse than refusing)
+            if collist:
+                raise EngineError(
+                    "INSERT BY NAME cannot also take a column list —"
+                    " the source's own names are the mapping"
+                )
+            by_lower = {c.lower(): c for c in target_cols}
+            unknown = [
+                c for c in src.columns if c.lower() not in by_lower
+            ]
+            if unknown:
+                raise EngineError(
+                    f"INSERT BY NAME: source column(s) {unknown} not"
+                    f" in {name} ({target_cols})"
+                )
+            lowers = [c.lower() for c in src.columns]
+            if len(set(lowers)) != len(lowers):
+                raise EngineError(
+                    "INSERT BY NAME: duplicate source column names"
+                )
+            cols = [by_lower[c.lower()] for c in src.columns]
+            src = src.toDF(*cols)
+        else:
+            cols = collist or target_cols
+            if len(src.columns) != len(cols):
+                raise EngineError(
+                    f"INSERT column count mismatch:"
+                    f" {len(src.columns)} vs {len(cols)}"
+                )
+            src = src.toDF(*cols)
         # missing columns → NULL, then order + cast to the table schema
         for f in schema.fields:
             if f.name not in cols:

@@ -78,6 +78,8 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # both walks over one key exchange).
     "q_agg_filter",
     "a_asof_nearest",
+    # ...and INSERT BY NAME (DuckDB's column-mapped append).
+    "u_insert_by_name",
     # (b) changed since their r7 grading (max 5 by the freshness
     # test): u_asof_sql (the asof rewrite gained the subquery-source
     # lift pre-pass and lower-cased payload/shadow bookkeeping),
@@ -125,14 +127,14 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
     # keeps the every-family-every-round cross-section.
     "c_catalog_tables",
-    # (c) 3 of the 47 r5-graded names (3 rounds stale), chosen for
-    # family breadth — the forward as-of operator row, streaming
-    # dedup, and u_txn_rollback (r7 verdict #6 flagged its +17%
-    # wall-time drift; regrading pairs the profile note with fresh
-    # driver timing). The v/t/p families are covered by the r4
-    # cohort's rows. The remaining 44 r5 names head r9's oldest list.
+    # (c) 2 of the 47 r5-graded names (3 rounds stale): the forward
+    # as-of operator row and u_txn_rollback (r7 verdict #6 flagged its
+    # +17% wall-time drift; regrading pairs the profile note with
+    # fresh driver timing). The v/t/p/s families are covered by the
+    # r4 cohort's rows (s_session, s_stream_session,
+    # s_stream_tumbling). The remaining 45 r5 names head r9's oldest
+    # list.
     "a_asof_forward",
-    "s_stream_dedup",
     "u_txn_rollback",
 )
 

@@ -364,6 +364,37 @@ def u_asof_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... BY NAME (DuckDB's column-mapped append; Spark
+    3.5 spells it identically for its own tables): source columns bind
+    to target columns by NAME in any order, unnamed targets fill NULL,
+    unknown/duplicate source names are errors (api.py::_insert).
+    Lifecycle: CTAS a 3-column target, append one reordered full-width
+    slice and one partial-width slice, select everything. The oracle
+    restates the same end state as a UNION of the two mapped
+    selects."""
+    eng = AnalyticsEngine(
+        _scratch("andb_bn_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table bn_t as select o_orderkey, o_orderstatus,"
+        " o_totalprice from orders where o_orderkey < 400"
+    )
+    # reordered full-width append
+    e(
+        "insert into bn_t by name select o_totalprice, o_orderkey,"
+        " o_orderstatus from orders"
+        " where o_orderkey >= 400 and o_orderkey < 700"
+    )
+    # partial-width append: o_orderstatus fills NULL
+    e(
+        "insert into bn_t by name select o_totalprice, o_orderkey"
+        " from orders where o_orderkey >= 700 and o_orderkey < 900"
+    )
+    return spark.table("bn_t").orderBy("o_orderkey")
+
+
 def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transparent range-join optimization through PLAIN SQL
     (api.py::_rewrite_range_join): CTAS click points and purchase
@@ -486,6 +517,7 @@ QUERIES = {
     "u_asof_sql": u_asof_sql,
     "u_asof_tolerance_sql": u_asof_tolerance_sql,
     "u_asof_subquery_sql": u_asof_subquery_sql,
+    "u_insert_by_name": u_insert_by_name,
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
@@ -552,6 +584,15 @@ ORACLES = {
         FROM p ASOF JOIN c
           ON p.user_id = c.user_id AND p.t_us >= c.c_us
         ORDER BY p.event_id
+    """,
+    "u_insert_by_name": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey < 700
+        UNION ALL
+        SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey >= 700 AND o_orderkey < 900
+        ORDER BY o_orderkey
     """,
     "u_asof_subquery_sql": """
         SELECT p.event_id, p.user_id, c.click_id

@@ -161,6 +161,7 @@ HEADLINE_R08 = (
     "q_quantified_subquery",
     "q_agg_filter",
     "a_asof_nearest",
+    "u_insert_by_name",
 )
 
 HEADLINE = (

@@ -546,3 +546,28 @@ def test_explain_quantified_is_plan_only(quant_engines):
     )
     logical = r.rows[0][0]
     assert "any/all" in logical
+
+
+def test_insert_by_name_matches_duckdb(spark, tmp_path):
+    """INSERT INTO ... BY NAME: identical DDL + BY NAME appends in
+    both engines must leave identical tables — reordered full-width,
+    partial-width (missing target fills NULL), and the two refusal
+    modes (unknown source column; BY NAME with a column list)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whbn"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table bnt (a int, b varchar(8), c double)")
+        run("insert into bnt by name select 2.5 as c, 7 as a")
+        run(
+            "insert into bnt by name"
+            " select 'hi' as b, 1 as a, 0.5 as c"
+        )
+    sql = "select a, b, c from bnt order by a"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    with pytest.raises(EngineError, match="not in"):
+        eng.execute("insert into bnt by name select 1 as nope")
+    with pytest.raises(EngineError, match="column list"):
+        eng.execute("insert into bnt (a) by name select 1 as a")
+    eng.close()
