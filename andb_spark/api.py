@@ -5120,6 +5120,27 @@ class AnalyticsEngine:
         return n
 
     def _delete(self, stmt: str) -> Result:
+        # DELETE FROM t USING s WHERE cond (Postgres/DuckDB join
+        # delete): translated onto the MERGE machinery — same
+        # join-driven copy-on-write plan (semi join finds affected
+        # files, untouched files re-reference verbatim), and MERGE's
+        # exact multiple-match detection comes free. The WHERE is the
+        # join condition; it is required (an unconditional join
+        # delete is a cross join — surely a mistake).
+        um = re.match(
+            r"delete\s+from\s+(\w+)\s+using\s+(\w+)\s+where\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if um:
+            return self._merge(
+                f"merge into {um.group(1)} using {um.group(2)}"
+                f" on {um.group(3)} when matched then delete"
+            )
+        if re.match(r"delete\s+from\s+\w+\s+using\b", stmt, re.I):
+            raise EngineError(
+                "DELETE ... USING requires a single table/view source"
+                " and a WHERE join condition"
+            )
         m = re.match(
             r"delete\s+from\s+(\w+)(?:\s+where\s+(.*))?$", stmt, re.I | re.S
         )
@@ -5144,6 +5165,41 @@ class AnalyticsEngine:
         return Result(effect_rows=n_matched)
 
     def _update(self, stmt: str) -> Result:
+        # UPDATE t SET ... FROM s WHERE cond (Postgres/DuckDB join
+        # update): translated onto MERGE's join-driven copy-on-write
+        # plan. SET expressions may reference source columns
+        # (qualified) — exactly MERGE's matched-update. The FROM is
+        # located paren-aware at depth 0 and must not be the FROM of
+        # an `IS [NOT] DISTINCT FROM` predicate in a SET value.
+        hm = re.match(r"update\s+(\w+)\s+set\s+(.*)$", stmt, re.I | re.S)
+        if hm:
+            body = hm.group(2)
+            pos = 0
+            while True:
+                found = self._find_top_level_keyword(
+                    body[pos:], ("from",)
+                )
+                if found is None:
+                    break
+                at = pos + found[0]
+                if re.search(r"distinct\s*$", body[:at], re.I):
+                    pos = at + 4  # the FROM of IS DISTINCT FROM
+                    continue
+                head = body[:at].rstrip()
+                tail = body[at + 4:]
+                sm = re.match(
+                    r"\s*(\w+)\s+where\s+(.*)$", tail, re.I | re.S
+                )
+                if not sm:
+                    raise EngineError(
+                        "UPDATE ... FROM requires a single table/view"
+                        " source and a WHERE join condition"
+                    )
+                return self._merge(
+                    f"merge into {hm.group(1)} using {sm.group(1)}"
+                    f" on {sm.group(2)}"
+                    f" when matched then update set {head}"
+                )
         m = re.match(
             r"update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
             stmt,

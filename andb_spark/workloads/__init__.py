@@ -78,8 +78,11 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # both walks over one key exchange).
     "q_agg_filter",
     "a_asof_nearest",
-    # ...and INSERT BY NAME (DuckDB's column-mapped append).
+    # ...and INSERT BY NAME (DuckDB's column-mapped append) and the
+    # join-DML pair UPDATE...FROM / DELETE...USING (translated onto
+    # MERGE's join-driven copy-on-write plan).
     "u_insert_by_name",
+    "u_update_from",
     # (b) changed since their r7 grading (max 5 by the freshness
     # test): u_asof_sql (the asof rewrite gained the subquery-source
     # lift pre-pass and lower-cased payload/shadow bookkeeping),
@@ -127,14 +130,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
     # keeps the every-family-every-round cross-section.
     "c_catalog_tables",
-    # (c) 2 of the 47 r5-graded names (3 rounds stale): the forward
-    # as-of operator row and u_txn_rollback (r7 verdict #6 flagged its
-    # +17% wall-time drift; regrading pairs the profile note with
-    # fresh driver timing). The v/t/p/s families are covered by the
-    # r4 cohort's rows (s_session, s_stream_session,
-    # s_stream_tumbling). The remaining 45 r5 names head r9's oldest
-    # list.
-    "a_asof_forward",
+    # (c) 1 of the 47 r5-graded names (3 rounds stale):
+    # u_txn_rollback (r7 verdict #6 flagged its +17% wall-time drift;
+    # regrading pairs the profile note with fresh driver timing). The
+    # a/v/t/p/s families are covered by the r4 cohort's rows and the
+    # (a)-slot a_asof_nearest. The remaining 46 r5 names head r9's
+    # oldest list.
     "u_txn_rollback",
 )
 

@@ -364,6 +364,39 @@ def u_asof_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-DML — UPDATE ... FROM and DELETE ... USING (Postgres/
+    DuckDB spellings; api.py translates both onto the MERGE machinery,
+    inheriting its join-driven copy-on-write plan and exact
+    multiple-match detection): scale order totals by a per-customer
+    factor table, then delete the factor-1 class. The oracle restates
+    the end state declaratively (UPDATE ≡ CASE over a join, DELETE ≡
+    anti-filter)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_jdml_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table ju_t as select o_orderkey, o_custkey,"
+        " o_totalprice from orders where o_orderkey < 1200"
+    )
+    e(
+        "create table ju_s as select distinct o_custkey as k,"
+        " cast(o_custkey % 5 + 1 as double) as f from orders"
+        " where o_orderkey < 1200"
+    )
+    e(
+        "update ju_t set o_totalprice ="
+        " round(ju_t.o_totalprice * ju_s.f, 2) from ju_s"
+        " where ju_t.o_custkey = ju_s.k and ju_s.f > 2"
+    )
+    e(
+        "delete from ju_t using ju_s"
+        " where ju_t.o_custkey = ju_s.k and ju_s.f = 1"
+    )
+    return spark.table("ju_t").orderBy("o_orderkey")
+
+
 def u_insert_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT INTO ... BY NAME (DuckDB's column-mapped append; Spark
     3.5 spells it identically for its own tables): source columns bind
@@ -518,6 +551,7 @@ QUERIES = {
     "u_asof_tolerance_sql": u_asof_tolerance_sql,
     "u_asof_subquery_sql": u_asof_subquery_sql,
     "u_insert_by_name": u_insert_by_name,
+    "u_update_from": u_update_from,
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
@@ -584,6 +618,22 @@ ORACLES = {
         FROM p ASOF JOIN c
           ON p.user_id = c.user_id AND p.t_us >= c.c_us
         ORDER BY p.event_id
+    """,
+    "u_update_from": """
+        WITH s AS (
+            SELECT DISTINCT o_custkey AS k,
+                   CAST(o_custkey % 5 + 1 AS DOUBLE) AS f
+            FROM orders WHERE o_orderkey < 1200
+        )
+        SELECT t.o_orderkey, t.o_custkey,
+               CASE WHEN s.f > 2
+                    THEN round(t.o_totalprice * s.f, 2)
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders WHERE o_orderkey < 1200) t
+        JOIN s ON t.o_custkey = s.k
+        WHERE s.f <> 1
+        ORDER BY t.o_orderkey
     """,
     "u_insert_by_name": """
         SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -162,6 +162,7 @@ HEADLINE_R08 = (
     "q_agg_filter",
     "a_asof_nearest",
     "u_insert_by_name",
+    "u_update_from",
 )
 
 HEADLINE = (

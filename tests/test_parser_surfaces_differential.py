@@ -571,3 +571,38 @@ def test_insert_by_name_matches_duckdb(spark, tmp_path):
     with pytest.raises(EngineError, match="column list"):
         eng.execute("insert into bnt (a) by name select 1 as a")
     eng.close()
+
+
+def test_join_dml_matches_duckdb(spark, tmp_path):
+    """UPDATE ... FROM / DELETE ... USING: identical DDL + join-DML in
+    both engines leaves identical tables. Multiple source matches per
+    target row raise (ANSI MERGE semantics — stricter than Postgres'
+    arbitrary pick, pinned here); a SET value containing IS DISTINCT
+    FROM must not trip the FROM detector."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whjd"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table jt (k int, v int)")
+        run("insert into jt values (1, 10), (2, 20), (3, 30), (4, 40)")
+        run("create table js (k int, nv int)")
+        run("insert into js values (1, 111), (3, 333), (9, 999)")
+        run("update jt set v = js.nv from js where jt.k = js.k")
+        run(
+            "delete from jt using js"
+            " where jt.k = js.k and js.nv > 200"
+        )
+    sql = "select k, v from jt order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # multi-match: engine refuses loudly (DuckDB also errors here)
+    eng.execute("insert into js values (1, 112)")
+    with pytest.raises(EngineError, match="match"):
+        eng.execute("update jt set v = js.nv from js where jt.k = js.k")
+    # IS DISTINCT FROM inside SET is not a join-DML FROM
+    eng.execute(
+        "update jt set v = case when v is distinct from 111"
+        " then v + 1 else v end where k <= 2"
+    )
+    assert eng.execute("select v from jt where k = 1").rows == [(111,)]
+    eng.close()
