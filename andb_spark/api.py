@@ -520,6 +520,13 @@ class AnalyticsEngine:
         # vector access-path rewrite in _select (plans/ann.py): approximate
         # answers are strictly opt-in.
         self.session_vars: dict[str, str] = {"andb.ann_mode": "exact"}
+        # True only while plain EXPLAIN rewrites its statement: every
+        # _rewrite_quantified call at ANY composition depth (CTE body,
+        # DISTINCT ON / QUALIFY inner statement, ASOF subquery source)
+        # must then take the lazy stats-view path — EXPLAIN must never
+        # execute a job (r8 ADVICE #2; the old plan_only parameter only
+        # reached the depth-0 call).
+        self._planning = False
         self.catalog.setdefault("stats", {})
         register_all(self.spark)
         # re-register managed tables from a previous session (durability
@@ -2285,16 +2292,27 @@ class AnalyticsEngine:
         keys = [k.strip() for k in
                 self._split_top_level(stmt[m.end(): i - 1])]
         rest = stmt[i:]
-        # DISTINCT ON + QUALIFY in ONE statement: the row_number()
-        # injected here would count PRE-qualify rows while DuckDB
-        # filters first — silently-wrong survivors. Refuse by name
-        # with the working spelling (qualify inside a CTE/subquery,
-        # DISTINCT ON outside).
-        if self._find_top_level_keyword(rest, ("qualify",)) is not None:
-            raise EngineError(
-                "DISTINCT ON cannot be combined with QUALIFY in one"
-                " statement — put the QUALIFY query in a WITH clause"
-                " and apply DISTINCT ON over it"
+        # DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5):
+        # DuckDB's evaluation order is QUALIFY FIRST (window functions
+        # computed over the pre-DISTINCT-ON rows, then filtered), and
+        # DISTINCT ON picks survivors from what remains — verified by
+        # probe against DuckDB 1.0. So the single row_number() this
+        # rewrite injects cannot serve both: the QUALIFY predicate is
+        # extracted here and evaluated in a FIRST stage (select-list
+        # boolean + filter, same move as _rewrite_qualify), and the
+        # DISTINCT ON row_number() runs in a SECOND stage over the
+        # filtered view. Helper columns carry the (possibly
+        # unprojected) ORDER BY expressions across the stage boundary.
+        qualify_pred = None
+        qf = self._find_top_level_keyword(rest, ("qualify",))
+        if qf is not None:
+            q_tail = rest[qf[0] + len("qualify"):]
+            t = self._find_top_level_keyword(q_tail, ("order by", "limit"))
+            qualify_pred = (q_tail[: t[0]] if t else q_tail).strip()
+            if not qualify_pred:
+                raise EngineError("QUALIFY: empty predicate")
+            rest = rest[: qf[0]].rstrip() + (
+                " " + q_tail[t[0]:].lstrip() if t else ""
             )
         ob = self._find_top_level_keyword(rest, ("order by",))
         if ob is None:
@@ -2348,11 +2366,34 @@ class AnalyticsEngine:
         helpers = ", ".join(
             f"{p[0]} as _don_o{n}" for n, p in enumerate(parsed)
         )
-        inner = (
-            f"select {sel}, row_number() over"
-            f" (partition by {', '.join(keys)}"
-            f" order by {', '.join(tail)}) as _don_rn, {helpers} {src}"
-        )
+
+        def _spec(n: int, direction: str, nulls: str):
+            c = F.col(f"_don_o{n}")
+            key = direction if not nulls else f"{direction}_nulls_{nulls}"
+            return {
+                "asc": c.asc(), "desc": c.desc(),
+                "asc_nulls_first": c.asc_nulls_first(),
+                "asc_nulls_last": c.asc_nulls_last(),
+                "desc_nulls_first": c.desc_nulls_first(),
+                "desc_nulls_last": c.desc_nulls_last(),
+            }[key]
+
+        sort_cols = [
+            _spec(n, d, nl) for n, (_e, d, nl) in enumerate(parsed)
+        ]
+        if qualify_pred is not None:
+            # stage 1: QUALIFY first — window functions in the
+            # predicate see every pre-DISTINCT-ON row; the DISTINCT ON
+            # row_number() is applied in stage 2 over the FILTERED
+            # rows so it counts post-QUALIFY survivors (the single
+            # reason the old code refused this composition)
+            inner = f"select {sel}, ({qualify_pred}) as _qual, {helpers} {src}"
+        else:
+            inner = (
+                f"select {sel}, row_number() over"
+                f" (partition by {', '.join(keys)}"
+                f" order by {', '.join(tail)}) as _don_rn, {helpers} {src}"
+            )
         # the source may itself be an engine surface (ASOF JOIN /
         # keyed-BETWEEN range join) that Spark can't parse — run those
         # rewrites on the inner statement BEFORE planning it (r7
@@ -2366,19 +2407,26 @@ class AnalyticsEngine:
             views += v
             inner, v = self._rewrite_quantified(inner)
             views += v
-            df = self.spark.sql(inner).filter(F.col("_don_rn") == 1)
-            sort_cols = []
-            for n, (_expr, direction, nulls) in enumerate(parsed):
-                c = F.col(f"_don_o{n}")
-                key = (direction if not nulls
-                       else f"{direction}_nulls_{nulls}")
-                sort_cols.append({
-                    "asc": c.asc(), "desc": c.desc(),
-                    "asc_nulls_first": c.asc_nulls_first(),
-                    "asc_nulls_last": c.asc_nulls_last(),
-                    "desc_nulls_first": c.desc_nulls_first(),
-                    "desc_nulls_last": c.desc_nulls_last(),
-                }[key])
+            if qualify_pred is not None:
+                from pyspark.sql import Window as _W
+
+                # stage 2: DISTINCT ON over the QUALIFY survivors.
+                # ORDER BY must lead with the keys (enforced above),
+                # so the first len(keys) helper columns ARE the keys
+                # and the remainder carries the tiebreak order with
+                # its per-item direction/nulls placement.
+                w = _W.partitionBy(
+                    *[F.col(f"_don_o{n}") for n in range(len(keys))]
+                ).orderBy(*sort_cols[len(keys):])
+                df = (
+                    self.spark.sql(inner)
+                    .filter(F.col("_qual"))
+                    .drop("_qual")
+                    .withColumn("_don_rn", F.row_number().over(w))
+                    .filter(F.col("_don_rn") == 1)
+                )
+            else:
+                df = self.spark.sql(inner).filter(F.col("_don_rn") == 1)
             df = df.orderBy(*sort_cols).drop(
                 "_don_rn", *[f"_don_o{n}" for n in range(len(parsed))]
             )
@@ -2499,6 +2547,7 @@ class AnalyticsEngine:
         (test_parser_surfaces_differential.py) pins every (op,
         quantifier) against DuckDB's native implementation, including
         empty / all-NULL / some-NULL sets and NULL probes."""
+        plan_only = plan_only or self._planning
         views: list[str] = []
         NULLB = "cast(null as boolean)"
 
@@ -2894,9 +2943,12 @@ class AnalyticsEngine:
                             " alias (asof join (select ...) x on ...)"
                         )
                     view = _bind_body(inner)
+                    # leading space: a zero-space spelling like
+                    # `asof join(select...)` would otherwise glue the
+                    # view onto the keyword (r8 ADVICE #4)
                     stmt = (
                         stmt[: op]
-                        + f"{view} {am.group(1)}"
+                        + f" {view} {am.group(1)}"
                         + stmt[cp + 1 + am.end():]
                     )
                     changed = True
@@ -2919,7 +2971,7 @@ class AnalyticsEngine:
                     view = _bind_body(inner)
                     stmt = (
                         stmt[: op]
-                        + f"{view} {am.group(1)}"
+                        + f" {view} {am.group(1)}"
                         + stmt[cp + 1 + am.end(1):]
                     )
                     changed = True
@@ -3165,7 +3217,7 @@ class AnalyticsEngine:
 
     @staticmethod
     def _sub_ident(text: str, name: str, repl: str) -> str:
-        """Replace occurrences of ``name`` used as a TABLE REFERENCE
+        r"""Replace occurrences of ``name`` used as a TABLE REFERENCE
         (case-insensitive, outside string literals) with ``repl``.
 
         Positions that rewrite: immediately after a TABLE-position
@@ -3664,6 +3716,11 @@ class AnalyticsEngine:
         qual_views: list[str] = []
         quant_views: list[str] = []
         cte_views: list[str] = []
+        # _planning routes EVERY nested _rewrite_quantified (inside
+        # CTE bodies, DISTINCT ON / QUALIFY inner statements, ASOF
+        # subquery sources) onto the lazy stats-view path, not just
+        # the depth-0 call below (r8 ADVICE #2).
+        self._planning = True
         try:
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
             inner, don_views = self._rewrite_distinct_on(inner)
@@ -3678,6 +3735,8 @@ class AnalyticsEngine:
                       + range_views + qual_views + quant_views):
                 self.spark.catalog.dropTempView(v)
             raise
+        finally:
+            self._planning = False
         # Surface each SQL-surface rewrite the way zone maps / the ANN
         # access path are surfaced — the reference's EXPLAIN shows its
         # plan choices in the same header position (portal.py:124-128).
@@ -4651,7 +4710,7 @@ class AnalyticsEngine:
         re.I | re.S,
     )
 
-    def _merge(self, stmt: str) -> Result:
+    def _merge(self, stmt: str, delete_translation: bool = False) -> Result:
         """MERGE INTO target USING source ON cond
         [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
@@ -4673,7 +4732,15 @@ class AnalyticsEngine:
         failed MERGE mutates nothing. Duplicate source keys that match
         no target row are legal (they are ordinary not-matched
         inserts) — a source-side duplicate probe would over-reject
-        them, so none is used."""
+        them, so none is used.
+
+        ``delete_translation=True`` marks a MERGE synthesized from
+        ``DELETE ... USING`` (r8 verdict #2): a pure delete's outcome
+        is identical whether a target row matches one source row or
+        five, so ANSI's cardinality concern does not apply and the
+        multiple-match guard is skipped — matching Postgres and
+        DuckDB, which both accept duplicate-match join deletes. A
+        user-written delete-only MERGE keeps the strict ANSI guard."""
         m = self._MERGE_RE.match(stmt)
         if not m:
             raise EngineError(f"cannot parse MERGE statement: {stmt}")
@@ -4763,6 +4830,10 @@ class AnalyticsEngine:
             self.session_vars.get("andb.merge_dup_check", "on").lower()
             not in ("off", "false", "0")
         )
+        if delete_translation and matched_delete and update_set is None:
+            # DELETE ... USING: delete-on-any-match (Postgres/DuckDB) —
+            # multiplicity cannot change the outcome, skip the guard
+            dup_check = False
         if t_affected is not None and dup_check:
             # Exact ANSI multiple-match guard: count source matches per
             # affected-TARGET row (ANSI forbids a target row matching
@@ -5123,10 +5194,13 @@ class AnalyticsEngine:
         # DELETE FROM t USING s WHERE cond (Postgres/DuckDB join
         # delete): translated onto the MERGE machinery — same
         # join-driven copy-on-write plan (semi join finds affected
-        # files, untouched files re-reference verbatim), and MERGE's
-        # exact multiple-match detection comes free. The WHERE is the
-        # join condition; it is required (an unconditional join
-        # delete is a cross join — surely a mistake).
+        # files, untouched files re-reference verbatim). MERGE's
+        # multiple-match guard is SKIPPED for this translation (r8
+        # verdict #2): deleting a row is idempotent in match count,
+        # so Postgres and DuckDB both accept duplicate-match join
+        # deletes, and so does this path. The WHERE is the join
+        # condition; it is required (an unconditional join delete is
+        # a cross join — surely a mistake).
         um = re.match(
             r"delete\s+from\s+(\w+)\s+using\s+(\w+)\s+where\s+(.*)$",
             stmt, re.I | re.S,
@@ -5134,7 +5208,8 @@ class AnalyticsEngine:
         if um:
             return self._merge(
                 f"merge into {um.group(1)} using {um.group(2)}"
-                f" on {um.group(3)} when matched then delete"
+                f" on {um.group(3)} when matched then delete",
+                delete_translation=True,
             )
         if re.match(r"delete\s+from\s+\w+\s+using\b", stmt, re.I):
             raise EngineError(
@@ -5182,8 +5257,14 @@ class AnalyticsEngine:
                 if found is None:
                     break
                 at = pos + found[0]
-                if re.search(r"distinct\s*$", body[:at], re.I):
-                    pos = at + 4  # the FROM of IS DISTINCT FROM
+                if re.search(
+                    r"\bis\s+(?:not\s+)?distinct\s*$", body[:at], re.I
+                ):
+                    # only a real IS [NOT] DISTINCT FROM suppresses the
+                    # join-FROM detection — a SET expression merely
+                    # ENDING in an identifier like n_distinct must not
+                    # (r8 ADVICE #3)
+                    pos = at + 4
                     continue
                 head = body[:at].rstrip()
                 tail = body[at + 4:]

@@ -45,98 +45,78 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-8 rotation.
+    # Round-9 rotation (r8 verdict #1: spotlight = the r5 cohort).
     #
     # (a) never-graded: the one new oracle-backed surface this round —
-    # ASOF JOIN over parenthesized subquery sources (r7 verdict #7),
-    # graded against DuckDB's native derived-table ASOF on identical
-    # SQL semantics — plus four parser surfaces landed with the
-    # differential-vs-native pattern (r7 verdict #8): inline VALUES
-    # relations, GROUPING() over ROLLUP (identical SQL both engines),
-    # star-projection EXCEPT/EXCLUDE (same result, per-dialect
-    # spelling), and the TABLESAMPLE invariant-bound row (binomial
-    # cardinality window + subset property — partition-layout-proof).
-    "u_asof_subquery_sql",
-    "q_values_list",
-    "q_grouping_id",
-    "q_select_except",
-    "q_tablesample_bound",
-    # ...and four more identical-SQL-both-engines surfaces: the SQL
-    # UNPIVOT clause, the named WINDOW clause (one spec shared by
-    # several functions — one WindowExec), IS [NOT] DISTINCT FROM
-    # null-safe comparison, and TRY_CAST null-on-failure conversion.
-    "q_unpivot_sql",
-    "q_named_window",
-    "q_is_distinct",
-    "q_try_cast",
-    # ...and the ANY/ALL/SOME quantified-comparison rewrite (absent
-    # from Spark SQL; exact 3VL via scalar aggregates of a lazy view,
-    # differential-pinned per (op, quantifier, set shape)).
-    "q_quantified_subquery",
-    # ...and the aggregate FILTER (WHERE) clause (native both engines)
-    # and the nearest-direction as-of operator row (merge_asof parity,
-    # both walks over one key exchange).
-    "q_agg_filter",
-    "a_asof_nearest",
-    # ...and INSERT BY NAME (DuckDB's column-mapped append) and the
-    # join-DML pair UPDATE...FROM / DELETE...USING (translated onto
-    # MERGE's join-driven copy-on-write plan).
-    "u_insert_by_name",
+    # DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5; the old
+    # named refusal replaced by the two-stage QUALIFY-first rewrite,
+    # graded against DuckDB running the identical SQL natively).
+    "u_distinct_on_qualify",
+    # (b) changed since their r8 grading (max 5 by the freshness
+    # test): u_update_from (DELETE ... USING no longer inherits
+    # MERGE's multiple-match guard — delete-on-any-match, r8 verdict
+    # #2 — and the join-FROM detector's IS DISTINCT FROM skip is now
+    # keyword-anchored, r8 ADVICE #3), u_asof_subquery_sql (the
+    # subquery-source lift now splices with a separating space so
+    # zero-space spellings parse, r8 ADVICE #4). q_quantified_subquery
+    # is NOT re-graded: its r9 diff (`plan_only or self._planning`)
+    # is EXPLAIN-path-only — self._planning is False on every
+    # executed statement, so the graded behavior is bit-identical.
     "u_update_from",
-    # (b) changed since their r7 grading (max 5 by the freshness
-    # test): u_asof_sql (the asof rewrite gained the subquery-source
-    # lift pre-pass and lower-cased payload/shadow bookkeeping),
-    # u_distinct_on_sql (the inner statement now runs the asof/range
-    # rewrites before planning), u_range_sql + a_range_join (the
-    # bucketed operator gained the fractional-width guard and the
-    # double floor path for non-integer widths).
-    "u_asof_sql",
-    "u_distinct_on_sql",
-    "u_range_sql",
-    "a_range_join",
-    # (c) oldest evidence — ALL 30 remaining r4-graded names (4 rounds
-    # stale, the oldest evidence in the ledger after the r7 rotation
-    # cleared the r1/r3 cohorts):
-    "d_simhash_pairs",
-    "m_audio_meta",
-    "p_sample_weighted",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q_case_cast_concat",
-    "q_count_distinct",
-    "q_cte",
-    "q_except",
-    "q_grouping_sets",
-    "q_join_full",
-    "q_json_extract",
-    "q_predicates",
-    "q_sort_multi_key",
-    "q_string_funcs",
-    "q_topk_per_group",
-    "q_window_funcs",
-    "s_session",
-    "s_stream_session",
-    "s_stream_tumbling",
-    "t_bm25_topk",
-    "t_pii_scrub",
-    "t_tfidf",
-    "u_clone_snapshot",
-    "u_matview_refresh",
-    "v_hybrid_rrf",
-    "v_ivf_topk",
-    "v_knn_join",
-    "v_lsh_topk",
-    "v_rerank_topk",
-    # (c) the oldest c-family name (r6 — no c_ name is r5 or older):
-    # keeps the every-family-every-round cross-section.
-    "c_catalog_tables",
-    # (c) 1 of the 47 r5-graded names (3 rounds stale):
-    # u_txn_rollback (r7 verdict #6 flagged its +17% wall-time drift;
-    # regrading pairs the profile note with fresh driver timing). The
-    # a/v/t/p/s families are covered by the r4 cohort's rows and the
-    # (a)-slot a_asof_nearest. The remaining 46 r5 names head r9's
-    # oldest list.
-    "u_txn_rollback",
+    "u_asof_subquery_sql",
+    # (c) oldest evidence — ALL 46 remaining r5-graded names (4 rounds
+    # stale, the oldest evidence in the ledger after the r8 rotation
+    # cleared the r4 cohort):
+    "a_asof_forward",
+    "d_cross_source_dups",
+    "d_decontaminate",
+    "d_dedup_survivors",
+    "d_exact_dup_groups",
+    "d_fingerprint_dup_groups",
+    "d_incremental_dedup",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "m_binary_meta",
+    "m_frame_sample",
+    "p_mixture_plan",
+    "p_pack_shards",
+    "p_quality_filter",
+    "p_sample_stratified",
+    "p_source_cap",
+    "q11_important_suppliers",
+    "q12_priority_class",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q20_excess_suppliers",
+    "q2_min_ship_supplier",
+    "q_approx_distinct_bound",
+    "s_daily_rollup",
+    "s_sliding",
+    "s_stateful_user",
+    "s_stream_dedup",
+    "s_stream_distinct",
+    "s_stream_enrich",
+    "s_stream_join",
+    "t_approx_topk_bound",
+    "t_boilerplate",
+    "t_bpe_tokens",
+    "t_entropy",
+    "t_fingerprint",
+    "t_heavy_hitters",
+    "t_lang_ngram",
+    "t_repetition",
+    "t_token_stats",
+    "u_alter_schema",
+    "u_restore_timetravel",
+    "v_cluster_near_dup",
+    "v_filtered_topk",
+    "v_ivf_assign",
+    "v_pairwise_near_dup",
+    # (family cross-section: the c_ family's oldest name — last
+    # graded r7, vs c_catalog_tables' r8; every other family already
+    # appears in the 46-name cohort above.)
+    "c_catalog_columns",
 )
 
 

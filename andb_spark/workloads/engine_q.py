@@ -514,6 +514,30 @@ def u_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def u_distinct_on_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5;
+    api.py::_rewrite_distinct_on's two-stage path — QUALIFY filters
+    FIRST over the pre-DISTINCT-ON rows, then DISTINCT ON picks from
+    the survivors, DuckDB's evaluation order) vs DuckDB running the
+    IDENTICAL SQL natively: among each customer's five EARLIEST
+    orders, the most expensive one. QUALIFY-first is load-bearing —
+    picking first and qualifying after would return each customer's
+    most expensive order overall."""
+    eng = AnalyticsEngine(
+        _scratch("andb_donq_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select distinct on (o_custkey) o_custkey, o_orderkey,"
+        " o_totalprice from orders"
+        " qualify row_number() over (partition by o_custkey"
+        "  order by o_orderdate, o_orderkey) <= 5"
+        " order by o_custkey, o_totalprice desc, o_orderkey"
+    )
+    return spark.createDataFrame(
+        r.rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -555,6 +579,7 @@ QUERIES = {
     "u_range_sql": u_range_sql,
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
+    "u_distinct_on_qualify": u_distinct_on_qualify,
     "u_upsert_sql": u_upsert_sql,
 }
 
@@ -576,6 +601,14 @@ ORACLES = {
         SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
                o_totalprice
         FROM orders
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    "u_distinct_on_qualify": """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+               o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) <= 5
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey
     """,
     "u_qualify_sql": """

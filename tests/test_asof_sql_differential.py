@@ -204,6 +204,21 @@ _SHAPES = [
         " asof left join (select rid, rk, rt from refs) as r"
         " on p.k = r.rk and p.t >= r.rt order by pid",
     ),
+    # r8 ADVICE #4: zero-space spellings — `join(select` / `from(select`
+    # — must splice with a separating space, not glue the bound view
+    # onto the keyword
+    (
+        "subquery_right_side_zero_space",
+        "select pid, rid from probes p asof join(select rid, rk, rt"
+        " from refs where rt < 90) r"
+        " on p.k = r.rk and p.t >= r.rt order by pid",
+    ),
+    (
+        "subquery_left_side_zero_space",
+        "select pid, rid from(select pid, k, t from probes"
+        " where t >= 10) p asof join refs r"
+        " on p.k = r.rk and p.t >= r.rt order by pid",
+    ),
     (
         "subquery_mixed_with_cte",
         "with rr as (select rid, rk, rt from refs where rt < 95)"

@@ -494,9 +494,9 @@ def test_quantified_review_fixes(quant_engines):
        (the CTE binder now triggers on quantified spellings);
     3. a quantified predicate inside an ASOF subquery source
        composes (the lift's body pipeline runs the rewrite);
-    4. DISTINCT ON + QUALIFY in one statement is refused by name
-       (the injected row_number would count pre-QUALIFY rows —
-       silently wrong survivors)."""
+    4. DISTINCT ON + QUALIFY in one statement composes since r9
+       (QUALIFY filters first, then DISTINCT ON — DuckDB's order;
+       full grid in test_distinct_on_qualify_matches_duckdb)."""
     from andb_spark.api import EngineError
 
     eng, con = quant_engines
@@ -527,12 +527,88 @@ def test_quantified_review_fixes(quant_engines):
     ).rows
     # v_plain min is 2 → rt > 2 keeps rids 7 (rt 9) and 8 (rt 15)
     assert got == [(1, 7), (2, 8)]
-    with pytest.raises(EngineError, match="QUALIFY"):
-        eng.execute(
-            "select distinct on (x) x, x * 2 from probe"
-            " qualify row_number() over (order by x) <= 2"
-            " order by x, x * 2"
+    # (ordered by `x nulls last`: Spark's ASC default is NULLS FIRST
+    # where DuckDB's is NULLS LAST — a window-ORDER dialect default,
+    # orthogonal to the composition under test)
+    sql = (
+        "select distinct on (x) x, x * 2 as dbl from probe"
+        " qualify row_number() over (order by x nulls last) <= 2"
+        " order by x, x * 2"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
+_DON_QUALIFY_SHAPES = (
+    # QUALIFY must filter BEFORE the DISTINCT ON pick (DuckDB order,
+    # probed on 1.0): a global row_number cap drops high-v rows first
+    (
+        "global_rn_cap",
+        "select distinct on (k) k, v from donq"
+        " qualify row_number() over (order by v) <= 4"
+        " order by k, v desc",
+    ),
+    # per-key window in the predicate (partitioned rank)
+    (
+        "partitioned_rank",
+        "select distinct on (k) k, v from donq"
+        " qualify row_number() over (partition by k order by v desc) >= 2"
+        " order by k, v desc",
+    ),
+    # two DISTINCT ON keys + WHERE + LIMIT around the composition
+    (
+        "two_keys_where_limit",
+        "select distinct on (k, g) k, g, v from donq where v <> 1"
+        " qualify row_number() over (partition by g order by v) <= 3"
+        " order by k, g, v desc limit 3",
+    ),
+    # the surviving row ordered by an UNPROJECTED expression (helper
+    # columns must carry it across the qualify stage boundary)
+    (
+        "unprojected_tiebreak",
+        "select distinct on (k) tag from donq"
+        " qualify row_number() over (partition by k order by v) >= 1"
+        " order by k, v desc",
+    ),
+    # window aggregate (not a ranker) in the predicate
+    (
+        "window_aggregate_pred",
+        "select distinct on (k) k, v from donq"
+        " qualify v < avg(v) over (partition by k)"
+        " order by k, v desc",
+    ),
+)
+
+
+@pytest.mark.parametrize(
+    "label,sql", _DON_QUALIFY_SHAPES, ids=[s[0] for s in _DON_QUALIFY_SHAPES]
+)
+def test_distinct_on_qualify_matches_duckdb(spark, tmp_path, label, sql):
+    """DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5):
+    identical SQL runs natively in DuckDB, whose evaluation order —
+    QUALIFY filters first (windows over pre-DISTINCT-ON rows),
+    DISTINCT ON picks afterwards — this engine now implements as a
+    two-stage rewrite. The old named refusal is gone."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whdq"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table donq (k int, g int, v int, tag varchar(8))")
+        run(
+            "insert into donq values"
+            " (1, 1, 1, 'a'), (1, 1, 2, 'b'), (1, 2, 3, 'c'),"
+            " (2, 1, 4, 'd'), (2, 2, 5, 'e'), (2, 2, 6, 'f')"
         )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall(), (
+        label, sql
+    )
+    # no leaked per-statement views
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_don_", "_qualify_"))
+    ]
+    assert leaks == []
+    eng.close()
 
 
 def test_explain_quantified_is_plan_only(quant_engines):
@@ -546,6 +622,49 @@ def test_explain_quantified_is_plan_only(quant_engines):
     )
     logical = r.rows[0][0]
     assert "any/all" in logical
+
+
+def test_explain_quantified_is_plan_only_at_depth(quant_engines):
+    """The EXPLAIN-must-not-execute invariant holds at COMPOSITION
+    depth, not just depth 0 (r8 ADVICE #2): a quantified comparison
+    inside a CTE body or under QUALIFY is rewritten by nested
+    _rewrite_quantified calls, which must also take the lazy
+    stats-view path under plain EXPLAIN. Canary: a Python UDF that
+    raises on EXECUTION — if any nested rewrite eagerly collect()s
+    its stats aggregation during planning, the canary fires."""
+    eng, _con = quant_engines
+
+    def _boom():
+        raise RuntimeError("executed during EXPLAIN")
+
+    eng.spark.udf.register("andb_test_boom", _boom, "int")
+    eng.spark.sql(
+        "select andb_test_boom() as v"
+    ).createOrReplaceTempView("poison")
+    try:
+        # quantified inside a CTE body
+        r = eng.execute(
+            "explain with c as (select x from probe"
+            " where x > any (select v from poison))"
+            " select * from c"
+        )
+        assert "Plan" in r.columns[0]
+        # quantified under QUALIFY (the predicate's inner statement)
+        r = eng.execute(
+            "explain select x from probe"
+            " where x > any (select v from poison)"
+            " qualify row_number() over (order by x) <= 2"
+        )
+        assert "Plan" in r.columns[0]
+        # and the EXECUTED spelling still fires the canary — proving
+        # the canary actually detects execution
+        with pytest.raises(Exception, match="executed during EXPLAIN"):
+            eng.execute(
+                "select x from probe"
+                " where x > any (select v from poison)"
+            )
+    finally:
+        eng.spark.catalog.dropTempView("poison")
 
 
 def test_insert_by_name_matches_duckdb(spark, tmp_path):
@@ -575,10 +694,15 @@ def test_insert_by_name_matches_duckdb(spark, tmp_path):
 
 def test_join_dml_matches_duckdb(spark, tmp_path):
     """UPDATE ... FROM / DELETE ... USING: identical DDL + join-DML in
-    both engines leaves identical tables. Multiple source matches per
-    target row raise (ANSI MERGE semantics — stricter than Postgres'
-    arbitrary pick, pinned here); a SET value containing IS DISTINCT
-    FROM must not trip the FROM detector."""
+    both engines leaves identical tables. Multi-match UPDATE raises
+    here (ANSI MERGE semantics — a PINNED divergence: DuckDB and
+    Postgres pick/apply arbitrarily, verified below by running the
+    same statement on the DuckDB connection); multi-match DELETE
+    succeeds in BOTH engines (r8 verdict #2 — delete-on-any-match is
+    idempotent in match count, so no cardinality guard applies). A SET
+    value containing IS DISTINCT FROM must not trip the FROM detector,
+    and a SET expression merely ENDING in an identifier like
+    n_distinct must not suppress it (r8 ADVICE #3)."""
     from andb_spark.api import AnalyticsEngine, EngineError
 
     eng = AnalyticsEngine(str(tmp_path / "whjd"), spark=spark)
@@ -595,14 +719,36 @@ def test_join_dml_matches_duckdb(spark, tmp_path):
         )
     sql = "select k, v from jt order by k"
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
-    # multi-match: engine refuses loudly (DuckDB also errors here)
-    eng.execute("insert into js values (1, 112)")
+    # multi-match UPDATE: engine refuses loudly (ANSI MERGE), DuckDB
+    # succeeds with an arbitrary pick — a deliberate, pinned
+    # strictness divergence (silent nondeterminism vs loud error)
+    for run in (eng.execute, con.execute):
+        run("insert into js values (1, 112)")
+    con.execute("update jt set v = js.nv from js where jt.k = js.k")
     with pytest.raises(EngineError, match="match"):
         eng.execute("update jt set v = js.nv from js where jt.k = js.k")
+    # multi-match DELETE: both engines succeed and agree — deleting a
+    # row that matches two source rows deletes it once
+    for run in (eng.execute, con.execute):
+        run("delete from jt using js where jt.k = js.k")
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    assert eng.execute("select k from jt order by k").rows == [(2,), (4,)]
     # IS DISTINCT FROM inside SET is not a join-DML FROM
+    eng.execute("update jt set v = 111 where k = 2")
     eng.execute(
         "update jt set v = case when v is distinct from 111"
         " then v + 1 else v end where k <= 2"
     )
-    assert eng.execute("select v from jt where k = 1").rows == [(111,)]
+    assert eng.execute("select v from jt where k = 2").rows == [(111,)]
+    # ...but a SET expression ENDING in `...distinct` before a real
+    # join FROM is still a join-DML (the old unanchored regex
+    # mis-skipped it and fell through to the single-table path)
+    eng.execute("create table jd (k int, n_distinct int)")
+    eng.execute("insert into jd values (2, 7), (4, 9)")
+    eng.execute(
+        "update jt set v = jd.n_distinct from jd where jt.k = jd.k"
+    )
+    assert eng.execute("select k, v from jt order by k").rows == [
+        (2, 7), (4, 9)
+    ]
     eng.close()
