@@ -165,9 +165,17 @@ HEADLINE_R08 = (
     "u_update_from",
 )
 
+# r9 additions (same rule: timed and reported, OUT of the cross-round
+# comparable total; subtotal r09_extension_sec): DISTINCT ON + QUALIFY
+# composed in one statement (the r8 named refusal, now a two-stage
+# QUALIFY-first rewrite).
+HEADLINE_R09 = (
+    "u_distinct_on_qualify",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
-    + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08
+    + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08 + HEADLINE_R09
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -176,6 +184,63 @@ COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 # excluded from the spread map and report absolute max−min seconds in
 # sub_floor_jitter_abs_sec instead (VERDICT r4 #3 / SCALE.md §7).
 SPREAD_FLOOR_SEC = 0.5
+
+
+def _calibration_probes(spark) -> dict[str, float]:
+    """Fixed-cost box-drift probes (VERDICT r8 #4): every snapshot
+    records the same three SF-independent measurements, so cross-round
+    per-query ratios can be divided by the probe median to separate
+    code drift from shared-box drift (r7→r8 moved ~+20% uniformly on
+    UNTOUCHED code). Probes, best-of-5 each:
+
+    - ``cpu_sum_100m``: sum over spark.range(1e8) — pure JVM
+      whole-stage-codegen arithmetic, no I/O, no shuffle; tracks raw
+      CPU/JIT speed of the box.
+    - ``shuffle_fixed_2m``: a 1000-key groupBy over spark.range(2e6)
+      — exercises the shuffle write/read machinery at a fixed size.
+    - ``engine_lifecycle``: AnalyticsEngine open/close on an empty
+      scratch warehouse — the fixed per-statement engine overhead
+      (catalog read, lock acquire/release) that pads every u_* row.
+    """
+    import shutil
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine
+
+    def _best(fn, n=5):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    probes = {
+        "cpu_sum_100m": _best(
+            lambda: spark.range(100_000_000)
+            .selectExpr("sum(id)").collect()
+        ),
+        "shuffle_fixed_2m": _best(
+            lambda: spark.range(2_000_000)
+            .selectExpr("id % 1000 as k", "id as v")
+            .groupBy("k").sum("v").collect()
+        ),
+    }
+
+    def _lifecycle():
+        wh = tempfile.mkdtemp(prefix="andb_probe_")
+        try:
+            eng = AnalyticsEngine(wh, spark=spark)
+            eng.execute("select 1 as one")
+            eng.close()
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    probes["engine_lifecycle"] = _best(_lifecycle)
+    vals = sorted(probes.values())
+    probes["median"] = vals[len(vals) // 2]
+    return probes
 
 
 def main() -> None:
@@ -205,6 +270,8 @@ def main() -> None:
     from andb_spark.operators.dedup import release_caches
 
     release_caches()  # drop warm-up caches before the timed region
+    calibration = _calibration_probes(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -253,6 +320,7 @@ def main() -> None:
     r06_ext = round(sum(timings[n] for n in HEADLINE_R06), 3)
     r07_ext = round(sum(timings[n] for n in HEADLINE_R07), 3)
     r08_ext = round(sum(timings[n] for n in HEADLINE_R08), 3)
+    r09_ext = round(sum(timings[n] for n in HEADLINE_R09), 3)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
     # driver's tail capture and arrived truncated mid-JSON
@@ -281,7 +349,12 @@ def main() -> None:
                 "r06_extension_sec": r06_ext,
                 "r07_extension_sec": r07_ext,
                 "r08_extension_sec": r08_ext,
+                "r09_extension_sec": r09_ext,
                 "n_runs": n_runs,
+                # fixed-cost box-drift probes: divide cross-round
+                # per-query ratios by the probe-median ratio before
+                # reading them as code drift (VERDICT r8 #4)
+                "calibration": calibration,
             }
         )
     )

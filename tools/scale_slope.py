@@ -74,6 +74,17 @@ QUERIES = (
     "q21_waiting_suppliers",
 )
 
+# Write-path rows (VERDICT r8 #3: the slope table was read-only; the
+# CoW/manifest machinery's scale claims deserve the same measurement).
+# Each op is timed over a FRESH warehouse per run with setup (engine
+# init, CTAS, source tables) outside the timed region. The CTAS uses a
+# REPARTITION_BY_RANGE hint sized to the corpus (8 files per 1x) so
+# the scaled table holds proportionally MORE files of the SAME size —
+# the layout a real bounded-file-size ingest produces — instead of the
+# local session's fixed-32-partition layout, whose constant file count
+# would smear every touched-band measurement with 10x-bigger files.
+WRITE_OPS = ("w_ctas_ingest", "w_update_band", "w_delete_nomatch")
+
 
 def _gen_documents() -> None:
     t = pq.read_table(os.path.join(_SF1, "documents.parquet"))
@@ -216,6 +227,71 @@ def ensure_corpus(regen: bool = False) -> None:
             os.symlink(os.path.join(_SF1, f"{t}.parquet"), dst)
 
 
+def _time_write_op(spark, sf_dir: str, op: str, copies: int) -> float:
+    """One write-path measurement: seconds spent in the TIMED DML
+    statement alone (engine init / CTAS / source setup excluded).
+
+    - ``w_ctas_ingest``: full-table CTAS from ``orders`` — the
+      data-proportional baseline every write ultimately pays.
+    - ``w_update_band``: UPDATE ... FROM over a CONSTANT-size key band
+      (the 1x key range; scaled copies sit at offset keys) against a
+      key-range-clustered table — the join-CoW plan must rewrite only
+      the files containing matches, so the cost should track touched
+      files, not table size.
+    - ``w_delete_nomatch``: DELETE ... USING whose source matches
+      nothing — the CoW split must detect zero affected files and
+      write NOTHING; cost = one semi-join probe, no staging, no
+      commit.
+    """
+    import shutil
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine
+
+    wh = tempfile.mkdtemp(prefix="andb_slope_w_")
+    eng = AnalyticsEngine(wh, spark=spark, attach_dir=sf_dir)
+    try:
+        e = eng.execute
+        n_files = 8 * copies
+        ctas = (
+            f"create table wt as select"
+            f" /*+ REPARTITION_BY_RANGE({n_files}, o_orderkey) */"
+            f" o_orderkey, o_custkey, o_totalprice from orders"
+        )
+        if op == "w_ctas_ingest":
+            t0 = time.perf_counter()
+            e(ctas)
+            return time.perf_counter() - t0
+        e(ctas)
+        if op == "w_update_band":
+            # constant-size band: the ORIGINAL key range (copy 0);
+            # scaled copies live at +10M offsets, so the touched rows
+            # and files are identical at every corpus size
+            e(
+                "create table ws as select o_orderkey as k,"
+                " cast(1.1 as double) as f"
+                " from orders where o_orderkey < 1500"
+            )
+            t0 = time.perf_counter()
+            e(
+                "update wt set o_totalprice ="
+                " round(wt.o_totalprice * ws.f, 2) from ws"
+                " where wt.o_orderkey = ws.k"
+            )
+            return time.perf_counter() - t0
+        # w_delete_nomatch: keys far outside every file's zone range
+        e(
+            "create table wn as select o_orderkey + 900000000 as k"
+            " from orders where o_orderkey < 1500"
+        )
+        t0 = time.perf_counter()
+        e("delete from wt using wn where wt.o_orderkey = wn.k")
+        return time.perf_counter() - t0
+    finally:
+        eng.close()
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     runs = int(
         next(
@@ -250,15 +326,19 @@ def main() -> None:
         "q1_pricing_summary": "lineitem",
         "q21_waiting_suppliers": "lineitem",
     }
+    # --write-only: measure just the WRITE_OPS rows (the read-side
+    # slopes are re-measured only when their code changes)
+    read_queries = () if "--write-only" in sys.argv else QUERIES
+
     # warm-up at the smallest SF: JIT/codegen/plan caches out of the
     # timed region, exactly like bench.py
     warm = "/root/testdata/sf0.001"
-    for name in QUERIES:
+    for name in read_queries:
         qs[name](spark, warm).collect()
     release_caches()
 
     report = {}
-    for name in QUERIES:
+    for name in read_queries:
         times = {}
         for label, d in (("1x", _SF1), ("10x", _OUT)):
             best = None
@@ -275,6 +355,28 @@ def main() -> None:
             "t_1x_sec": times["1x"],
             "t_10x_sec": times["10x"],
             "rows_ratio": round(r10 / r1, 1),
+            "time_ratio": round(times["10x"] / times["1x"], 2),
+            "slope": round(slope, 3),
+        }
+        print(f"# {name}: {report[name]}", file=sys.stderr)
+
+    # write-path rows (r8 verdict #3): same best-of-N protocol, fresh
+    # warehouse per run, setup outside the timed region; the row basis
+    # is `orders`, which scales exactly by _COPIES by construction
+    for name in WRITE_OPS:
+        _time_write_op(spark, "/root/testdata/sf0.001", name, 1)  # warm
+        times = {}
+        for label, d, copies in (("1x", _SF1, 1), ("10x", _OUT, _COPIES)):
+            best = None
+            for _ in range(runs):
+                dt = _time_write_op(spark, d, name, copies)
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 3)
+        slope = (times["10x"] / times["1x"]) / _COPIES
+        report[name] = {
+            "t_1x_sec": times["1x"],
+            "t_10x_sec": times["10x"],
+            "rows_ratio": float(_COPIES),
             "time_ratio": round(times["10x"] / times["1x"], 2),
             "slope": round(slope, 3),
         }
