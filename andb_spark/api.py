@@ -2728,6 +2728,186 @@ class AnalyticsEngine:
             raise
         return stmt, views
 
+    def _rewrite_union_by_name(self, stmt: str) -> tuple[str, list[str]]:
+        """``<q> UNION [ALL] BY NAME <q> [...]`` (DuckDB; Spark SQL
+        has no BY NAME union). Columns bind by NAME, not position; a
+        column present on only one side fills NULL on the other; the
+        result's column order is the left query's columns followed by
+        each right query's new columns — exactly Spark's
+        ``unionByName(allowMissingColumns=True)``, which this rewrite
+        lowers onto (set-operation type widening included, via the
+        analyzer's normal union rules). UNION BY NAME (no ALL)
+        deduplicates the COMBINED rows after each fold step, DuckDB's
+        left-associative semantics. The fold is lazy — one temp view
+        over the union plan, no materialization here.
+
+        Branches are full engine statements: each runs the nested
+        surface rewrites (DISTINCT ON / ASOF / range / QUALIFY /
+        quantified) before planning, so engine-only SQL composes on
+        either side. A branch after the first separator that itself
+        contains a top-level plain UNION/INTERSECT/EXCEPT is refused
+        by name: DuckDB binds those left-associatively across the BY
+        NAME boundary, which a branch-local Spark plan would silently
+        mis-associate — parenthesize to disambiguate."""
+
+        def _blank(s: str) -> str:
+            return re.sub(
+                r"'(?:[^']|'')*'",
+                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+                s,
+            )
+
+        blanked = _blank(stmt)
+        seps: list[tuple[int, int, bool]] = []  # (start, end, is_all)
+        depth = 0
+        for m in re.finditer(
+            r"[()]|\bunion\s+(all\s+)?by\s+name\b", blanked, re.I
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                seps.append((m.start(), m.end(), bool(m.group(1))))
+        if not seps:
+            # catch-all: the spelling at paren depth > 0 (a FROM
+            # subquery) is unsupported — fail by name, not as Spark's
+            # raw parse error. CTE bodies don't hit this: the binder
+            # runs this rewrite on each body standalone (depth 0).
+            if re.search(r"\bunion\s+(?:all\s+)?by\s+name\b", blanked, re.I):
+                raise EngineError(
+                    "UNION BY NAME inside a subquery is not supported"
+                    " — lift the union into a WITH clause"
+                )
+            return stmt, []
+        pieces: list[str] = []
+        pos = 0
+        for s, e, _a in seps:
+            pieces.append(stmt[pos:s])
+            pos = e
+        pieces.append(stmt[pos:])
+        # trailing ORDER BY / LIMIT at the top level of the LAST piece
+        # belongs to the whole compound statement (standard SQL)
+        trailing = ""
+        t = self._find_top_level_keyword(pieces[-1], ("order by", "limit"))
+        if t is not None:
+            trailing = " " + pieces[-1][t[0]:].strip()
+            pieces[-1] = pieces[-1][: t[0]]
+        for p in pieces[1:]:
+            if self._find_top_level_keyword(
+                p, ("union", "intersect", "except")
+            ) is not None:
+                raise EngineError(
+                    "UNION BY NAME: a plain UNION/INTERSECT/EXCEPT in"
+                    " a later branch is ambiguous across the BY NAME"
+                    " boundary — parenthesize the sub-union"
+                )
+        views: list[str] = []
+        try:
+            dfs: list[DataFrame] = []
+            for p in pieces:
+                p = p.strip()
+                # a fully parenthesized operand: strip the outer parens
+                if p.startswith("(") and self._match_paren(p, 0) == len(p) - 1:
+                    p = p[1:-1].strip()
+                for rw in (
+                    self._rewrite_distinct_on,
+                    self._rewrite_asof,
+                    self._rewrite_range_join,
+                    self._rewrite_select_replace,
+                    self._rewrite_qualify,
+                    self._rewrite_quantified,
+                ):
+                    p, v = rw(p)
+                    views += v
+                dfs.append(self.spark.sql(p))
+            acc = dfs[0]
+            for df, (_s, _e, is_all) in zip(dfs[1:], seps):
+                acc = acc.unionByName(df, allowMissingColumns=True)
+                if not is_all:
+                    acc = acc.dropDuplicates()
+            view = f"_ubn_{uuid.uuid4().hex[:8]}"
+            acc.createOrReplaceTempView(view)
+            views.append(view)
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return f"select * from {view}{trailing}", views
+
+    def _rewrite_select_replace(self, stmt: str) -> tuple[str, list[str]]:
+        """``SELECT [DISTINCT] * REPLACE (expr AS col [, ...]) FROM
+        ...`` (DuckDB star-REPLACE; Spark has EXCEPT but no REPLACE).
+        Expanded textually: the FROM list (everything from the
+        top-level FROM up to the first top-level
+        WHERE/GROUP/HAVING/QUALIFY/WINDOW/ORDER/LIMIT) is planned once
+        as ``select * from <sources>`` — lazy, schema only — and the
+        star is replaced by the full column list with each REPLACE
+        target substituted IN PLACE (DuckDB keeps the column's
+        original position and name). The rest of the statement passes
+        through untouched, so WHERE/QUALIFY/ORDER compose downstream.
+        Runs after the ASOF/range source rewrites in the pipeline, so
+        engine-only sources are already plain views here. A REPLACE
+        target not in the source's columns is refused by name (DuckDB
+        errors too)."""
+        m = re.match(
+            r"^\s*select\s+(distinct\s+)?\*\s+replace\s*\(", stmt, re.I
+        )
+        if not m:
+            # catch-all: star-REPLACE anywhere else (subquery, after
+            # DISTINCT ON, qualified `t.*`) is unsupported — fail by
+            # name, not as Spark's raw parse error. Anchored to a
+            # select-list star (after SELECT or a comma) so a
+            # multiplication by the replace() string function —
+            # `a * replace(b, 'x', 'y')` — can never false-match.
+            if re.search(
+                r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
+                r"\*\s+replace\s*\(",
+                re.sub(r"'(?:[^']|'')*'", "''", stmt), re.I,
+            ):
+                raise EngineError(
+                    "SELECT * REPLACE is only supported as the"
+                    " statement's own select list — rewrite nested"
+                    " uses as an outer query over a subquery"
+                )
+            return stmt, []
+        cp = self._match_paren(stmt, m.end() - 1)
+        items = self._split_top_level(stmt[m.end(): cp])
+        rest = stmt[cp + 1:]
+        repl: dict[str, str] = {}
+        for it in items:
+            im = re.match(r"^(.*\S)\s+as\s+(\w+)\s*$", it.strip(),
+                          re.I | re.S)
+            if not im:
+                raise EngineError(
+                    "SELECT * REPLACE expects `expr AS column` items"
+                )
+            repl[im.group(2).lower()] = im.group(1)
+        f = self._find_top_level_keyword(rest, ("from",))
+        if f is None:
+            raise EngineError("SELECT * REPLACE: no FROM clause")
+        tail = rest[f[0] + 4:]
+        t = self._find_top_level_keyword(
+            tail, ("where", "group by", "having", "qualify",
+                   "window", "order by", "limit"),
+        )
+        sources = tail[: t[0]] if t else tail
+        cols = self.spark.sql(f"select * from {sources}").columns
+        missing = [c for c in repl if c not in {x.lower() for x in cols}]
+        if missing:
+            raise EngineError(
+                f"SELECT * REPLACE: column(s) {missing} not in the"
+                f" FROM source ({cols})"
+            )
+        sel = ", ".join(
+            f"({repl[c.lower()]}) AS `{c}`" if c.lower() in repl
+            else f"`{c}`"
+            for c in cols
+        )
+        distinct = m.group(1) or ""
+        return f"select {distinct}{sel} {rest.lstrip()}", []
+
     def _rewrite_range_join(self, stmt: str) -> tuple[str, list[str]]:
         """Substitute the bucketed interval-join plan for a plain inner
         point-in-interval join (same result set — inner join + exact
@@ -3398,6 +3578,11 @@ class AnalyticsEngine:
                 r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
                 blanked, re.I,
             )
+            or re.search(r"\bunion\s+(all\s+)?by\s+name\b", blanked, re.I)
+            or re.search(
+                r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
+                r"\*\s+replace\s*\(", blanked, re.I,
+            )
         ):
             return stmt, []
         # parse: with name as ( body ) [, name2 as ( body2 )]* main
@@ -3449,6 +3634,15 @@ class AnalyticsEngine:
                 r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
                 blanked, re.I,
             )
+            # UNION BY NAME and star-REPLACE bind like ASOF wherever
+            # they appear: both rewrites plan statement text
+            # standalone (branch queries / the FROM list), so a CTE
+            # referenced there must already be a view
+            or re.search(r"\bunion\s+(all\s+)?by\s+name\b", blanked, re.I)
+            or re.search(
+                r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
+                r"\*\s+replace\s*\(", blanked, re.I,
+            )
             or any(
                 re.search(r"\bqualify\b", bb, re.I)
                 or re.search(r"\bselect\s+distinct\s+on\s*\(", bb, re.I)
@@ -3474,11 +3668,15 @@ class AnalyticsEngine:
                 # the engine-only QUALIFY / DISTINCT ON surfaces sits
                 # at paren depth > 0 where the depth-0 rewrites never
                 # reach, and died as a raw Spark parse error).
+                body, v = self._rewrite_union_by_name(body)
+                views += v
                 body, v = self._rewrite_distinct_on(body)
                 views += v
                 body, v = self._rewrite_asof(body)
                 views += v
                 body, v = self._rewrite_range_join(body)
+                views += v
+                body, v = self._rewrite_select_replace(body)
                 views += v
                 body, v = self._rewrite_qualify(body)
                 views += v
@@ -3543,11 +3741,18 @@ class AnalyticsEngine:
         try:
             stmt, v = self._bind_ctes_for_surfaces(stmt)
             rewrite_views += v
+            stmt, v = self._rewrite_union_by_name(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_distinct_on(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_asof(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_range_join(stmt)
+            rewrite_views += v
+            # after the source rewrites: star-REPLACE plans its FROM
+            # list to enumerate columns, so engine-only sources must
+            # already be plain views here
+            stmt, v = self._rewrite_select_replace(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_qualify(stmt)
             rewrite_views += v
@@ -3721,17 +3926,20 @@ class AnalyticsEngine:
         # subquery sources) onto the lazy stats-view path, not just
         # the depth-0 call below (r8 ADVICE #2).
         self._planning = True
+        ubn_views: list[str] = []
         try:
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
+            inner, ubn_views = self._rewrite_union_by_name(inner)
             inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
+            inner, _nv = self._rewrite_select_replace(inner)
             inner, qual_views = self._rewrite_qualify(inner)
             inner, quant_views = self._rewrite_quantified(
                 inner, plan_only=True
             )
         except BaseException:
-            for v in (cte_views + don_views + asof_views
+            for v in (cte_views + ubn_views + don_views + asof_views
                       + range_views + qual_views + quant_views):
                 self.spark.catalog.dropTempView(v)
             raise
@@ -3766,8 +3974,13 @@ class AnalyticsEngine:
                 "-- any/all: quantified comparison via scalar"
                 " aggregates of a per-statement view\n"
             )
-        asof_views += (cte_views + don_views + range_views + qual_views
-                       + quant_views)
+        if ubn_views:
+            rewrites += (
+                "-- union by name: lowered onto"
+                " unionByName(allowMissingColumns=true)\n"
+            )
+        asof_views += (cte_views + ubn_views + don_views + range_views
+                       + qual_views + quant_views)
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

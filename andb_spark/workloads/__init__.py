@@ -47,23 +47,30 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # Round-9 rotation (r8 verdict #1: spotlight = the r5 cohort).
     #
-    # (a) never-graded: the one new oracle-backed surface this round —
+    # (a) never-graded: the three new oracle-backed surfaces this
+    # round, each landed with a native-DuckDB differential grid —
     # DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5; the old
-    # named refusal replaced by the two-stage QUALIFY-first rewrite,
-    # graded against DuckDB running the identical SQL natively).
+    # named refusal replaced by the two-stage QUALIFY-first rewrite),
+    # UNION [ALL] BY NAME (lowered onto
+    # unionByName(allowMissingColumns=True)), and SELECT * REPLACE
+    # (star expanded from the FROM list's schema, targets substituted
+    # in place).
     "u_distinct_on_qualify",
-    # (b) changed since their r8 grading (max 5 by the freshness
-    # test): u_update_from (DELETE ... USING no longer inherits
-    # MERGE's multiple-match guard — delete-on-any-match, r8 verdict
-    # #2 — and the join-FROM detector's IS DISTINCT FROM skip is now
-    # keyword-anchored, r8 ADVICE #3), u_asof_subquery_sql (the
-    # subquery-source lift now splices with a separating space so
-    # zero-space spellings parse, r8 ADVICE #4). q_quantified_subquery
-    # is NOT re-graded: its r9 diff (`plan_only or self._planning`)
-    # is EXPLAIN-path-only — self._planning is False on every
-    # executed statement, so the graded behavior is bit-identical.
-    "u_update_from",
-    "u_asof_subquery_sql",
+    "u_union_by_name",
+    "u_select_replace",
+    # (b) changed since their r8 grading: NONE re-graded this round —
+    # the three names whose engine paths changed are all
+    # result-identical on their graded statements and the changed
+    # paths are differential-pinned instead: u_update_from's DELETE
+    # ... USING guard skip (r8 verdict #2) only fires on
+    # duplicate-match sources (its graded source is key-distinct;
+    # test_join_dml_matches_duckdb pins the divergent shape),
+    # u_asof_subquery_sql's splice fix (r8 ADVICE #4) only fires on
+    # zero-space spellings (its graded SQL has spaces; the zero-space
+    # shapes are in the ASOF differential grid), and
+    # q_quantified_subquery's `plan_only or self._planning` is
+    # EXPLAIN-path-only (self._planning is False on every executed
+    # statement). The (a) debt above takes their slots.
     # (c) oldest evidence — ALL 46 remaining r5-graded names (4 rounds
     # stale, the oldest evidence in the ledger after the r8 rotation
     # cleared the r4 cohort):

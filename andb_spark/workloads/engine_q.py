@@ -538,6 +538,54 @@ def u_distinct_on_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL BY NAME (DuckDB; Spark SQL has no BY NAME union —
+    api.py::_rewrite_union_by_name lowers it onto
+    unionByName(allowMissingColumns=True)) vs DuckDB running the
+    IDENTICAL SQL natively: order headers and line items merged by
+    column NAME — `status` exists only on the left, `qty` only on the
+    right, each fills NULL on the other side; result column order is
+    left-then-new (both engines)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ubn_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderkey as k, o_totalprice as price,"
+        " o_orderstatus as status from orders where o_orderkey < 1000"
+        " union all by name"
+        " select l_orderkey as k, l_extendedprice as price,"
+        " l_quantity as qty from lineitem where l_orderkey < 1000"
+        " order by k, price"
+    )
+    return spark.createDataFrame(
+        r.rows, "k bigint, price double, status string, qty double"
+    )
+
+
+def u_select_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * REPLACE (DuckDB star-REPLACE; Spark has star-EXCEPT
+    but no REPLACE — api.py::_rewrite_select_replace expands the star
+    from the FROM list's schema with each target substituted IN PLACE,
+    position and name preserved) vs DuckDB running the IDENTICAL SQL
+    natively. The source is a derived table so the replaced columns
+    sit mid-schema."""
+    eng = AnalyticsEngine(
+        _scratch("andb_srep_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select * replace (o_totalprice * 2 as o_totalprice,"
+        " lower(o_orderstatus) as o_orderstatus)"
+        " from (select o_orderkey, o_orderstatus, o_totalprice,"
+        " o_custkey from orders where o_orderkey < 2000) o"
+        " order by o_orderkey"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "o_orderkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_custkey bigint",
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -580,6 +628,8 @@ QUERIES = {
     "u_qualify_sql": u_qualify_sql,
     "u_distinct_on_sql": u_distinct_on_sql,
     "u_distinct_on_qualify": u_distinct_on_qualify,
+    "u_union_by_name": u_union_by_name,
+    "u_select_replace": u_select_replace,
     "u_upsert_sql": u_upsert_sql,
 }
 
@@ -610,6 +660,24 @@ ORACLES = {
         QUALIFY row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey) <= 5
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    "u_union_by_name": """
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey < 1000
+        UNION ALL BY NAME
+        SELECT l_orderkey AS k, l_extendedprice AS price,
+               l_quantity AS qty
+        FROM lineitem WHERE l_orderkey < 1000
+        ORDER BY k, price
+    """,
+    "u_select_replace": """
+        SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                          lower(o_orderstatus) AS o_orderstatus)
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     o_custkey
+              FROM orders WHERE o_orderkey < 2000) o
+        ORDER BY o_orderkey
     """,
     "u_qualify_sql": """
         WITH qual_ev AS (

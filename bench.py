@@ -171,6 +171,8 @@ HEADLINE_R08 = (
 # QUALIFY-first rewrite).
 HEADLINE_R09 = (
     "u_distinct_on_qualify",
+    "u_union_by_name",
+    "u_select_replace",
 )
 
 HEADLINE = (

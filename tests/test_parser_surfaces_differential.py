@@ -611,6 +611,168 @@ def test_distinct_on_qualify_matches_duckdb(spark, tmp_path, label, sql):
     eng.close()
 
 
+@pytest.fixture(scope="module")
+def ubn_engines(spark, tmp_path_factory):
+    """Two tables with overlapping-but-different schemas — the
+    UNION BY NAME / star-REPLACE surface."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whubn")), spark=spark
+    )
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table ua (k int, a varchar(4), b int)")
+        run("insert into ua values (1,'x',10), (2,'y',20), (2,'y',20)")
+        run("create table ub (b bigint, k int, c double)")
+        run("insert into ub values (30,3,0.5), (10,1,0.25), (10,1,0.25)")
+    yield eng, con
+    eng.close()
+
+
+_UBN_SHAPES = (
+    # columns bind by NAME (b/k swapped on the right); missing columns
+    # (a left-only, c right-only) fill NULL; result order = left
+    # columns then new right columns; b widens int->bigint
+    # (explicit `nulls last` tiebreak: the row order must be fully
+    # deterministic, and Spark's ASC default is NULLS FIRST where
+    # DuckDB's is NULLS LAST)
+    (
+        "all_by_name_missing_fill",
+        "select k, a, b from ua union all by name"
+        " select b, k, c from ub order by k, b, a nulls last",
+    ),
+    # UNION BY NAME (no ALL) dedups the COMBINED rows — both sides
+    # carry duplicates that must collapse
+    (
+        "distinct_by_name",
+        "select k, b from ua union by name"
+        " select b, k from ub order by k, b",
+    ),
+    # left-associative 3-chain with mixed ALL / distinct folds
+    (
+        "three_chain_mixed",
+        "select k from ua union all by name select k from ub"
+        " union by name select k from ua order by k",
+    ),
+    # trailing LIMIT belongs to the whole compound statement
+    (
+        "trailing_limit",
+        "select k, b from ua union all by name"
+        " select b, k from ub order by k, b limit 3",
+    ),
+    # WITH clause over the compound statement (the CTE binder strips
+    # the prefix so each branch plans standalone)
+    (
+        "with_prefix",
+        "with top_ua as (select k, b from ua where b >= 20)"
+        " select k, b from top_ua union all by name"
+        " select b, k, c from ub order by k, b",
+    ),
+)
+
+
+@pytest.mark.parametrize(
+    "label,sql", _UBN_SHAPES, ids=[s[0] for s in _UBN_SHAPES]
+)
+def test_union_by_name_matches_duckdb(ubn_engines, label, sql):
+    """UNION [ALL] BY NAME (absent from Spark SQL; lowered onto
+    unionByName(allowMissingColumns=True)) vs DuckDB's NATIVE BY NAME
+    union on identical SQL — values, column NAMES, and column ORDER
+    all compared."""
+    eng, con = ubn_engines
+    ours = eng.execute(sql)
+    duck = con.execute(sql)
+    drows = duck.fetchall()
+    assert ours.rows == drows, (label, sql)
+    assert ours.columns == [d[0] for d in duck.description], label
+
+
+def test_union_by_name_refusals(ubn_engines):
+    """Named refusals, never raw Spark parse errors: BY NAME inside a
+    FROM subquery, and a plain UNION in a later branch (ambiguous
+    associativity across the BY NAME boundary). No leaked views."""
+    from andb_spark.api import EngineError
+
+    eng, _con = ubn_engines
+    with pytest.raises(EngineError, match="WITH clause"):
+        eng.execute(
+            "select * from (select k from ua union all by name"
+            " select k from ub) t"
+        )
+    with pytest.raises(EngineError, match="parenthesize"):
+        eng.execute(
+            "select k from ua union all by name"
+            " select k from ub union all select k from ua"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_ubn_", "_cte_"))
+    ]
+    assert leaks == []
+
+
+_SREP_SHAPES = (
+    ("single", "select * replace (b * 2 as b) from ua order by k, b"),
+    (
+        "multi_and_position",
+        "select * replace (upper(a) as a, b + k as b) from ua"
+        " order by k, b",
+    ),
+    (
+        "distinct_replace",
+        "select distinct * replace (k % 2 as k) from ua order by k, a",
+    ),
+    (
+        "where_and_downstream",
+        "select * replace (b - 1 as b) from ua where k >= 1"
+        " order by k desc, b limit 2",
+    ),
+    (
+        "with_cte_source",
+        "with w as (select k, b from ua)"
+        " select * replace (b * 10 as b) from w order by k, b",
+    ),
+)
+
+
+@pytest.mark.parametrize(
+    "label,sql", _SREP_SHAPES, ids=[s[0] for s in _SREP_SHAPES]
+)
+def test_select_replace_matches_duckdb(ubn_engines, label, sql):
+    """SELECT * REPLACE (DuckDB star-REPLACE, absent from Spark) vs
+    DuckDB native on identical SQL — the replaced column keeps its
+    position and name."""
+    eng, con = ubn_engines
+    ours = eng.execute(sql)
+    duck = con.execute(sql)
+    drows = duck.fetchall()
+    assert ours.rows == drows, (label, sql)
+    assert ours.columns == [d[0] for d in duck.description], label
+
+
+def test_select_replace_edges(ubn_engines):
+    """Unknown target and nested star-REPLACE are refused by name; a
+    multiplication by the replace() STRING FUNCTION must never trip
+    the surface detector."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    with pytest.raises(EngineError, match="not in the"):
+        eng.execute("select * replace (1 as nope) from ua")
+    with pytest.raises(EngineError, match="outer query"):
+        eng.execute(
+            "select * from"
+            " (select * replace (b * 2 as b) from ua) t"
+        )
+    # `b * replace(a, 'x', 'z')` is arithmetic, not star-REPLACE
+    sql = (
+        "select k, b * length(replace(a, 'x', 'zz')) as v from ua"
+        " order by k, v"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+
+
 def test_explain_quantified_is_plan_only(quant_engines):
     """Plain EXPLAIN of a quantified statement must not execute the
     eager stats aggregation — the rewrite takes the lazy plan-only
