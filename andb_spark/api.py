@@ -3764,6 +3764,36 @@ class AnalyticsEngine:
             for v in version_views + rewrite_views:
                 self.spark.catalog.dropTempView(v)
 
+    def _plan_engine_select(self, query: str) -> tuple[DataFrame, list[str]]:
+        """Plan a SELECT through the FULL engine surface pipeline —
+        the same rewrites `_select` applies — returning the (lazy)
+        DataFrame and the per-statement views to drop AFTER the caller
+        materializes it. This is what lets CTAS and INSERT ... SELECT
+        compose with engine-only SQL (ASOF / range joins, QUALIFY,
+        DISTINCT ON, quantified comparisons, UNION BY NAME,
+        star-REPLACE): before r9 both planned their query with a bare
+        ``spark.sql`` and died on a raw ParseException for statements
+        the engine itself executes."""
+        views: list[str] = []
+        try:
+            for rw in (
+                self._bind_ctes_for_surfaces,
+                self._rewrite_union_by_name,
+                self._rewrite_distinct_on,
+                self._rewrite_asof,
+                self._rewrite_range_join,
+                self._rewrite_select_replace,
+                self._rewrite_qualify,
+                self._rewrite_quantified,
+            ):
+                query, v = rw(query)
+                views += v
+            return self.spark.sql(query), views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+
     def _select_resolved(self, stmt: str) -> Result:
         """SELECT body after dialect/version rewriting (split out so
         the per-statement version views can be dropped in one place
@@ -4366,13 +4396,20 @@ class AnalyticsEngine:
     ) -> Result:
         self._check_name_free(name)
         plan = _matview_plan(matview_sql) if matview_sql else None
+        surface_views: list[str] = []
         if matview_sql:
+            # matviews keep the bare-Spark-SQL contract: the remembered
+            # SQL re-plans on every REFRESH (and incrementally via
+            # _matview_plan's parse), which per-statement surface views
+            # could not survive
             src = self._matview_source(matview_sql, plan)
             columns = _columns_from_schema(
                 src.select(*plan["out_cols"]).schema if plan else src.schema
             )
         else:
-            src = self.spark.sql(query)
+            # CTAS composes with the engine-only SQL surfaces (r9):
+            # the views drop after _overwrite materializes the source
+            src, surface_views = self._plan_engine_select(query)
             columns = _columns_from_schema(src.schema)
         meta: dict = {"columns": columns}
         if matview_sql:
@@ -4398,6 +4435,9 @@ class AnalyticsEngine:
         except BaseException:
             self.catalog["tables"].pop(name, None)
             raise
+        finally:
+            for v in surface_views:
+                self.spark.catalog.dropTempView(v)
         return Result(effect_rows=n)
 
     def _alter_table(self, stmt: str) -> Result:
@@ -4729,8 +4769,28 @@ class AnalyticsEngine:
                 return Result(effect_rows=n)
             values_sql = "SELECT * FROM " + tail  # VALUES (...) , (...)
             src = self.spark.sql(values_sql)
+            surface_views: list[str] = []
         else:
-            src = self.spark.sql(tail)  # INSERT ... SELECT
+            # INSERT ... SELECT composes with the engine-only SQL
+            # surfaces (r9) — views drop after _append materializes
+            src, surface_views = self._plan_engine_select(tail)
+        try:
+            return self._insert_from_df(
+                name, schema, target_cols, collist, by_name, src
+            )
+        finally:
+            for v in surface_views:
+                self.spark.catalog.dropTempView(v)
+
+    def _insert_from_df(
+        self,
+        name: str,
+        schema,
+        target_cols: list[str],
+        collist: list[str] | None,
+        by_name: bool,
+        src: DataFrame,
+    ) -> Result:
         if by_name:
             # BY NAME (DuckDB/Spark 3.5 spelling): source columns map
             # to target columns by NAME, any order; missing targets

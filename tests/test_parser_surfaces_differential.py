@@ -773,6 +773,49 @@ def test_select_replace_edges(ubn_engines):
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
 
 
+def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
+    """CTAS and INSERT ... SELECT plan their query through the FULL
+    engine surface pipeline (r9 — before, both used bare spark.sql and
+    died on a raw ParseException for statements the engine itself
+    executes): DISTINCT ON, UNION BY NAME, and QUALIFY sources land in
+    managed tables identical to DuckDB's, and no per-statement views
+    leak past materialization."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whcs"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table ua (k int, a varchar(4), b int)")
+        run("insert into ua values (1,'x',10), (1,'z',15), (2,'y',20)")
+        run(
+            "create table top1 as select distinct on (k) k, a, b"
+            " from ua order by k, b desc"
+        )
+        run(
+            "create table ubig as select k, b from ua"
+            " union all by name select b, k from ua"
+        )
+        run("create table picks (k int, b int)")
+        run(
+            "insert into picks select k, b from ua qualify"
+            " row_number() over (partition by k order by b) = 1"
+        )
+    for sql in (
+        "select k, a, b from top1 order by k",
+        "select k, b from ubig order by k, b",
+        "select k, b from picks order by k",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(
+            ("_ubn_", "_cte_", "_qualify_", "_don_", "_quant_", "_sq_")
+        )
+    ]
+    assert leaks == []
+    eng.close()
+
+
 def test_explain_quantified_is_plan_only(quant_engines):
     """Plain EXPLAIN of a quantified statement must not execute the
     eager stats aggregation — the rewrite takes the lazy plan-only
