@@ -2363,6 +2363,29 @@ class AnalyticsEngine:
         if f is None:
             raise EngineError("DISTINCT ON: no FROM clause to attach to")
         sel, src = body[: f[0]].rstrip(), body[f[0]:]
+        pre_views: list[str] = []
+        if re.match(r"^\s*\*\s+replace\s*\(", sel, re.I):
+            # DISTINCT ON + star-REPLACE: DuckDB resolves the ORDER BY
+            # (and any QUALIFY) against the REPLACED columns — probed
+            # on 1.0: `order by v` under `* replace (0 - v as v)`
+            # sorts by the negated value. So stage the replaced
+            # projection as its own lazy view FIRST and run DISTINCT
+            # ON over it; injecting helper columns next to the raw
+            # `* replace` select list would bind them to the SOURCE
+            # columns instead (sibling aliases are not visible).
+            inner_sql, v0 = self._rewrite_select_replace(
+                f"select {sel} {src}"
+            )
+            pre_views += v0
+            rview = f"_donrep_{uuid.uuid4().hex[:8]}"
+            try:
+                self.spark.sql(inner_sql).createOrReplaceTempView(rview)
+            except BaseException:
+                for v in pre_views:
+                    self.spark.catalog.dropTempView(v)
+                raise
+            pre_views.append(rview)
+            sel, src = "*", f"from {rview}"
         helpers = ", ".join(
             f"{p[0]} as _don_o{n}" for n, p in enumerate(parsed)
         )
@@ -2399,7 +2422,7 @@ class AnalyticsEngine:
         # rewrites on the inner statement BEFORE planning it (r7
         # ADVICE #2: the old code spark.sql'd first and died with a
         # raw ParseException on a composition that used to work)
-        views: list[str] = []
+        views: list[str] = pre_views
         try:
             inner, v = self._rewrite_asof(inner)
             views += v
@@ -2795,9 +2818,20 @@ class AnalyticsEngine:
             trailing = " " + pieces[-1][t[0]:].strip()
             pieces[-1] = pieces[-1][: t[0]]
         for p in pieces[1:]:
-            if self._find_top_level_keyword(
+            found = self._find_top_level_keyword(
                 p, ("union", "intersect", "except")
-            ) is not None:
+            )
+            # `select * except (cols)` is star-projection EXCEPT (the
+            # engine's supported q_select_except surface), not a set
+            # operation — only a non-star-adjacent keyword is a set op
+            while found is not None and re.search(
+                r"\*\s*$", _blank(p)[: found[0]]
+            ):
+                found = self._find_top_level_keyword(
+                    p, ("union", "intersect", "except"),
+                    start=found[0] + len(found[1]),
+                )
+            if found is not None:
                 raise EngineError(
                     "UNION BY NAME: a plain UNION/INTERSECT/EXCEPT in"
                     " a later branch is ambiguous across the BY NAME"
@@ -2812,6 +2846,9 @@ class AnalyticsEngine:
                 if p.startswith("(") and self._match_paren(p, 0) == len(p) - 1:
                     p = p[1:-1].strip()
                 for rw in (
+                    # a parenthesized BY NAME sub-union re-enters this
+                    # rewrite at depth 0 after the paren strip above
+                    self._rewrite_union_by_name,
                     self._rewrite_distinct_on,
                     self._rewrite_asof,
                     self._rewrite_range_join,
@@ -2883,7 +2920,13 @@ class AnalyticsEngine:
                 raise EngineError(
                     "SELECT * REPLACE expects `expr AS column` items"
                 )
-            repl[im.group(2).lower()] = im.group(1)
+            key = im.group(2).lower()
+            if key in repl:  # DuckDB raises too — silent last-wins
+                raise EngineError(
+                    f"SELECT * REPLACE: duplicate entry"
+                    f" {im.group(2)!r} in the REPLACE list"
+                )
+            repl[key] = im.group(1)
         f = self._find_top_level_keyword(rest, ("from",))
         if f is None:
             raise EngineError("SELECT * REPLACE: no FROM clause")
@@ -2893,7 +2936,14 @@ class AnalyticsEngine:
                    "window", "order by", "limit"),
         )
         sources = tail[: t[0]] if t else tail
-        cols = self.spark.sql(f"select * from {sources}").columns
+        try:
+            cols = self.spark.sql(f"select * from {sources}").columns
+        except Exception as e:
+            raise EngineError(
+                "SELECT * REPLACE: could not resolve the FROM"
+                " source's columns — move engine-only sources (ASOF,"
+                f" range joins) into a WITH clause first ({e})"
+            ) from e
         missing = [c for c in repl if c not in {x.lower() for x in cols}]
         if missing:
             raise EngineError(
@@ -4410,7 +4460,14 @@ class AnalyticsEngine:
             # CTAS composes with the engine-only SQL surfaces (r9):
             # the views drop after _overwrite materializes the source
             src, surface_views = self._plan_engine_select(query)
-            columns = _columns_from_schema(src.schema)
+            try:
+                columns = _columns_from_schema(src.schema)
+            except BaseException:
+                # e.g. an unsupported column type — don't leak the
+                # per-statement surface views past the refusal
+                for v in surface_views:
+                    self.spark.catalog.dropTempView(v)
+                raise
         meta: dict = {"columns": columns}
         if matview_sql:
             meta["matview_sql"] = matview_sql

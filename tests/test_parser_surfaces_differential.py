@@ -773,6 +773,95 @@ def test_select_replace_edges(ubn_engines):
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
 
 
+def test_union_by_name_review_fixes(ubn_engines):
+    """r9 code-review closures over the new surfaces, each pinned:
+
+    1. a PARENTHESIZED BY NAME sub-union composes (the branch
+       pipeline re-enters the union rewrite after the paren strip) —
+       exactly the spelling the mixed-chain refusal message suggests;
+    2. star-projection EXCEPT in a later branch is NOT a set
+       operation and must not trip the mixed-chain guard (per-dialect
+       star spelling: ours EXCEPT, DuckDB EXCLUDE);
+    3. duplicate targets in a REPLACE list are refused by name
+       (DuckDB raises a parser error; silent last-wins would diverge
+       on identical SQL)."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    sql = (
+        "select k from ua union all by name"
+        " (select k from ub union by name select k from ua)"
+        " order by k"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    ours = eng.execute(
+        "select k, b from ua union all by name"
+        " select * except (c) from ub order by k, b"
+    ).rows
+    duck = con.execute(
+        "select k, b from ua union all by name"
+        " select * exclude (c) from ub order by k, b"
+    ).fetchall()
+    assert ours == duck
+    with pytest.raises(EngineError, match="duplicate entry"):
+        eng.execute(
+            "select * replace (b * 2 as b, b * 3 as b) from ua"
+        )
+
+
+def test_distinct_on_star_replace_matches_duckdb(spark, tmp_path):
+    """DISTINCT ON + SELECT * REPLACE in one statement: DuckDB
+    resolves the ORDER BY against the REPLACED columns (probed: a
+    negating replace flips the pick), so the engine stages the
+    replaced projection first and applies DISTINCT ON over it. The
+    non-monotonic replace is the load-bearing shape — helper columns
+    bound to the SOURCE column would pick the other row."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whdr"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table dr (k int, v int)")
+        run("insert into dr values (1,1),(1,5),(2,2),(2,9)")
+    for sql in (
+        "select distinct on (k) * replace (0 - v as v) from dr"
+        " order by k, v",
+        "select distinct on (k) * replace (0 - v as v) from dr"
+        " order by k, v desc",
+        "select distinct on (k) * replace (v + 100 as v) from dr"
+        " where v <> 2 order by k, v desc limit 1",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_don", "_qualify_"))
+    ]
+    assert leaks == []
+    eng.close()
+
+
+def test_ctas_surface_view_cleanup_on_refusal(spark, tmp_path):
+    """A CTAS whose planned source succeeds but whose schema is
+    refused (unsupported column type) must drop the per-statement
+    surface views created by the engine pipeline — no session leak."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whlk"), spark=spark)
+    eng.execute("create table lk (k int, b int)")
+    eng.execute("insert into lk values (1, 2)")
+    with pytest.raises(EngineError, match="unsupported type"):
+        eng.execute(
+            "create table bad as select cast(1 as decimal(10,2)) as d,"
+            " k from lk qualify row_number() over (order by k) = 1"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_qualify_", "_ubn_", "_don", "_quant_"))
+    ]
+    assert leaks == []
+    eng.close()
+
+
 def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
     """CTAS and INSERT ... SELECT plan their query through the FULL
     engine surface pipeline (r9 — before, both used bare spark.sql and
