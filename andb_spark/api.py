@@ -2751,6 +2751,53 @@ class AnalyticsEngine:
             raise
         return stmt, views
 
+    def _rewrite_fetch_first(self, stmt: str) -> tuple[str, list[str]]:
+        """ANSI result-limiting dialect: ``OFFSET n ROW[S] [FETCH
+        {FIRST|NEXT} m ROW[S] ONLY]`` and bare ``FETCH FIRST m ROWS
+        ONLY`` (standard SQL, native in DuckDB/Postgres; Spark speaks
+        only LIMIT/OFFSET) → the equivalent ``LIMIT m OFFSET n``. A
+        pure text rewrite — same plan, CollectLimit/GlobalLimit
+        economics unchanged. Matching runs on a same-length
+        literal-blanked copy so a string containing the words can
+        never rewrite. ``WITH TIES`` is refused by name (its
+        semantics need the ORDER BY keys — not a spelling swap)."""
+
+        blanked = re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+            stmt,
+        )
+        if re.search(
+            r"\bfetch\s+(?:first|next)\s+\d+\s+rows?\s+with\s+ties\b",
+            blanked, re.I,
+        ):
+            raise EngineError(
+                "FETCH ... WITH TIES is not supported — spell the tie"
+                " window explicitly (rank() <= n via QUALIFY)"
+            )
+        pat = re.compile(
+            r"\boffset\s+(\d+)\s+rows?\b"
+            r"(\s+fetch\s+(?:first|next)\s+(\d+)\s+rows?\s+only\b)?"
+            r"|\bfetch\s+(?:first|next)\s+(\d+)\s+rows?\s+only\b",
+            re.I,
+        )
+        out: list[str] = []
+        pos = 0
+        for m in pat.finditer(blanked):
+            if m.group(4):
+                repl = f"limit {m.group(4)}"
+            elif m.group(3):
+                repl = f"limit {m.group(3)} offset {m.group(1)}"
+            else:
+                repl = f"offset {m.group(1)}"
+            out.append(stmt[pos: m.start()])
+            out.append(repl)
+            pos = m.end()
+        if not out:
+            return stmt, []
+        out.append(stmt[pos:])
+        return "".join(out), []
+
     def _rewrite_union_by_name(self, stmt: str) -> tuple[str, list[str]]:
         """``<q> UNION [ALL] BY NAME <q> [...]`` (DuckDB; Spark SQL
         has no BY NAME union). Columns bind by NAME, not position; a
@@ -3748,6 +3795,9 @@ class AnalyticsEngine:
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
         stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
+        # ANSI OFFSET n ROWS / FETCH FIRST m ROWS ONLY → LIMIT/OFFSET
+        # (global text rewrite — covers subqueries and CTE bodies too)
+        stmt, _ = self._rewrite_fetch_first(stmt)
         version_views: list[str] = []  # dropped after materialization
 
         def _version_view(m: re.Match) -> str:
@@ -3827,6 +3877,7 @@ class AnalyticsEngine:
         views: list[str] = []
         try:
             for rw in (
+                self._rewrite_fetch_first,
                 self._bind_ctes_for_surfaces,
                 self._rewrite_union_by_name,
                 self._rewrite_distinct_on,
@@ -4008,6 +4059,7 @@ class AnalyticsEngine:
         self._planning = True
         ubn_views: list[str] = []
         try:
+            inner, _ = self._rewrite_fetch_first(inner)
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
             inner, ubn_views = self._rewrite_union_by_name(inner)
             inner, don_views = self._rewrite_distinct_on(inner)
@@ -5559,15 +5611,26 @@ class AnalyticsEngine:
             self._commit_staged(name)
             self._maybe_auto_refresh(name)
             return Result(effect_rows=before)
-        condition = F.coalesce(F.expr(cond), F.lit(False))
-        n_matched, keep, affected = self._cow_split(name, condition, cond)
-        if n_matched == 0:
-            return Result(effect_rows=0)  # no write at all
-        kept_rows = self._read_files(name, affected).filter(~condition)
-        self._stage_version(name, kept_rows, base=keep)
-        self._commit_staged(name)
-        self._maybe_auto_refresh(name)  # CoW broke lineage → full path
-        return Result(effect_rows=n_matched)
+        # quantified comparisons in the WHERE (ANSI; DuckDB/Postgres
+        # accept them in DML) rewrite exactly as in SELECT — the CASE
+        # over scalar aggregates is a plain expression F.expr can plan
+        qviews: list[str] = []
+        try:
+            cond, qviews = self._rewrite_quantified(cond)
+            condition = F.coalesce(F.expr(cond), F.lit(False))
+            n_matched, keep, affected = self._cow_split(
+                name, condition, cond
+            )
+            if n_matched == 0:
+                return Result(effect_rows=0)  # no write at all
+            kept_rows = self._read_files(name, affected).filter(~condition)
+            self._stage_version(name, kept_rows, base=keep)
+            self._commit_staged(name)
+            self._maybe_auto_refresh(name)  # CoW broke lineage → full
+            return Result(effect_rows=n_matched)
+        finally:
+            for v in qviews:
+                self.spark.catalog.dropTempView(v)
 
     def _update(self, stmt: str) -> Result:
         # UPDATE t SET ... FROM s WHERE cond (Postgres/DuckDB join
@@ -5620,6 +5683,20 @@ class AnalyticsEngine:
             raise EngineError(f"cannot parse UPDATE: {stmt!r}")
         name, setlist, cond = m.groups()
         self._writable_meta(name)  # matviews reject DML, like DELETE
+        # quantified comparisons in the WHERE rewrite as in SELECT/
+        # DELETE; views drop after the staged write below materializes
+        qviews: list[str] = []
+        if cond:
+            cond, qviews = self._rewrite_quantified(cond)
+        try:
+            return self._update_resolved(name, setlist, cond)
+        finally:
+            for v in qviews:
+                self.spark.catalog.dropTempView(v)
+
+    def _update_resolved(
+        self, name: str, setlist: str, cond: str | None
+    ) -> Result:
         condition = F.expr(cond) if cond else F.lit(True)
         if cond:
             # copy-on-write: rewrite only files containing matched rows

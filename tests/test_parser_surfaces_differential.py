@@ -862,6 +862,71 @@ def test_ctas_surface_view_cleanup_on_refusal(spark, tmp_path):
     eng.close()
 
 
+def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
+    """Quantified comparisons in DML WHERE clauses (ANSI; DuckDB and
+    Postgres accept them) — DELETE and UPDATE conditions run the same
+    _rewrite_quantified as SELECT, with per-statement views dropped
+    after the write. Identical statements on both engines leave
+    identical tables; IN-subqueries (Spark-native in F.expr) keep
+    working alongside."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whdq2"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table dt (k int, v int)")
+        run("insert into dt values (1,10),(2,20),(3,30),(4,40)")
+        run("create table ds (b int)")
+        run("insert into ds values (15), (25)")
+        run("update dt set v = v + 1 where v > all (select b from ds)")
+        run("delete from dt where v <= any (select b from ds)")
+        run("delete from dt where k in (select b - 11 from ds)")
+    sql = "select k, v from dt order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_quant", "_quantstats"))
+    ]
+    assert leaks == []
+    eng.close()
+
+
+def test_fetch_first_matches_duckdb(ubn_engines):
+    """ANSI OFFSET n ROWS / FETCH {FIRST|NEXT} m ROW[S] ONLY (native
+    DuckDB/Postgres; Spark speaks only LIMIT/OFFSET — rewritten by
+    api.py::_rewrite_fetch_first): identical SQL both engines across
+    the spelling grid, in subqueries, and composed with QUALIFY; a
+    string literal containing the words never rewrites; WITH TIES is
+    a named refusal."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    for sql in (
+        "select k, b from ua order by b offset 1 row"
+        " fetch first 2 rows only",
+        "select k, b from ua order by b fetch next 1 row only",
+        "select k, b from ua order by b offset 2 rows",
+        # inside a FROM subquery (the rewrite is statement-global)
+        "select max(b) as mb from (select b from ua order by b"
+        " fetch first 2 rows only) t",
+        # composed with an engine surface downstream of the rewrite
+        "select k, b from ua qualify"
+        " row_number() over (order by b) >= 1"
+        " order by b offset 1 row fetch next 2 rows only",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # literal safety: the words inside a string are data, not syntax
+    sql = (
+        "select 'offset 1 row fetch first 2 rows only' as s, k"
+        " from ua order by k fetch first 1 row only"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    with pytest.raises(EngineError, match="WITH TIES"):
+        eng.execute(
+            "select k from ua order by k fetch first 2 rows with ties"
+        )
+
+
 def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
     """CTAS and INSERT ... SELECT plan their query through the FULL
     engine surface pipeline (r9 — before, both used bare spark.sql and

@@ -439,3 +439,55 @@ def test_asof_nearest_one_shuffle_two_sorts(spark, sf_dir):
     assert final.count("Sort [") == 2, final
     assert "SortMergeJoin" not in final, final
     assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_union_by_name_all_adds_no_shuffle(spark, tmp_path):
+    """UNION ALL BY NAME lowers onto a plain Union over the branch
+    plans — concatenation, no exchange, no join. (The no-ALL spelling
+    legitimately shuffles for its dedup; ALL must not.)"""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whpln"), spark=spark)
+    eng.execute("create table pa (k int, a varchar(4))")
+    eng.execute("insert into pa values (1,'x'), (2,'y')")
+    eng.execute("create table pb (b double, k int)")
+    eng.execute("insert into pb values (0.5, 3)")
+    stmt, views = eng._rewrite_union_by_name(
+        "select k, a from pa union all by name select b, k from pb"
+    )
+    try:
+        df = eng.spark.sql(stmt)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Union" in final, final
+        assert "Exchange" not in final, final
+        assert "Join" not in final, final
+    finally:
+        for v in views:
+            eng.spark.catalog.dropTempView(v)
+    eng.close()
+
+
+def test_select_replace_is_pure_projection(spark, tmp_path):
+    """Star-REPLACE expands to an explicit projection: the executed
+    plan is project-over-scan inside one WholeStageCodegen span — no
+    exchange, no join, nothing the textual expansion could have
+    added."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whplr"), spark=spark)
+    eng.execute("create table pr (k int, v int, w int)")
+    eng.execute("insert into pr values (1, 2, 3)")
+    stmt, views = eng._rewrite_select_replace(
+        "select * replace (v * 2 as v) from pr"
+    )
+    assert views == []  # textual expansion binds no views
+    df = eng.spark.sql(stmt)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # `*(1)` = whole-stage-codegen stage 1: project + scan fused
+    assert "*(1) Project" in plan, plan
+    eng.close()
