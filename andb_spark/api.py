@@ -5084,6 +5084,52 @@ class AnalyticsEngine:
         r"on\s+(?P<cond>.*?)\s+(?P<clauses>when\s+.*)$",
         re.I | re.S,
     )
+
+    def _bind_inline_source(
+        self, stmt: str, open_at: int
+    ) -> tuple[str, str, list[str]]:
+        """Bind a parenthesized subquery SOURCE — ``USING (SELECT ...)
+        alias`` / ``FROM (SELECT ...) alias`` in MERGE and join-DML —
+        to a session temp view NAMED AS THE ALIAS, so the statement's
+        alias-qualified references (``s.k``) resolve unchanged when the
+        downstream MERGE machinery looks the source up via
+        ``spark.table``. The subquery plans through the FULL engine
+        pipeline (lazy — nothing materializes here), so engine-only
+        SQL composes inside the source. Because the view lives at
+        session scope for the statement's span, an alias that would
+        shadow an existing table/view is refused (the target itself,
+        most dangerously). Returns (rest-after-alias, alias,
+        views-to-drop). ``open_at`` is the index of the ``(``."""
+        cp = self._match_paren(stmt, open_at)
+        inner = stmt[open_at + 1: cp]
+        if not re.match(r"\s*select\b", inner, re.I):
+            raise EngineError(
+                "a parenthesized DML source must be a SELECT subquery"
+            )
+        am = re.match(r"\s*(?:as\s+)?(\w+)\b", stmt[cp + 1:], re.I)
+        if not am or am.group(1).lower() in ("on", "where"):
+            raise EngineError(
+                "a subquery DML source needs an alias"
+                " (using (select ...) s ...)"
+            )
+        alias = am.group(1)
+        existing = {
+            t.name.lower() for t in self.spark.catalog.listTables()
+        }
+        if alias.lower() in existing:
+            raise EngineError(
+                f"subquery source alias {alias!r} collides with an"
+                " existing table/view — pick another alias"
+            )
+        df, views = self._plan_engine_select(inner)
+        try:
+            df.createOrReplaceTempView(alias)
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        views.append(alias)
+        return stmt[cp + 1 + am.end():], alias, views
     _MERGE_CLAUSE_RE = re.compile(
         r"when\s+(?P<not>not\s+)?matched\s+then\s+"
         r"(?P<action>update\s+set\s+.*?|delete"
@@ -5093,6 +5139,25 @@ class AnalyticsEngine:
     )
 
     def _merge(self, stmt: str, delete_translation: bool = False) -> Result:
+        """Thin wrapper: bind a parenthesized ``USING (SELECT ...)
+        alias`` source to a per-statement view first (engine pipeline,
+        lazy), then run the table-sourced MERGE below."""
+        views: list[str] = []
+        um = re.match(r"^(merge\s+into\s+\w+\s+using)\s*\(", stmt, re.I)
+        if um:
+            rest, alias, views = self._bind_inline_source(
+                stmt, um.end() - 1
+            )
+            stmt = f"{um.group(1)} {alias} {rest.lstrip()}"
+        try:
+            return self._merge_resolved(stmt, delete_translation)
+        finally:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+
+    def _merge_resolved(
+        self, stmt: str, delete_translation: bool = False
+    ) -> Result:
         """MERGE INTO target USING source ON cond
         [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs)]
@@ -5583,6 +5648,19 @@ class AnalyticsEngine:
         # deletes, and so does this path. The WHERE is the join
         # condition; it is required (an unconditional join delete is
         # a cross join — surely a mistake).
+        dm = re.match(r"^(delete\s+from\s+\w+\s+using)\s*\(", stmt, re.I)
+        if dm:
+            # USING (SELECT ...) alias: bind the subquery source to a
+            # view named as the alias, rebuild, recurse once into the
+            # table-sourced path below
+            rest, alias, dviews = self._bind_inline_source(
+                stmt, dm.end() - 1
+            )
+            try:
+                return self._delete(f"{dm.group(1)} {alias} {rest.lstrip()}")
+            finally:
+                for v in dviews:
+                    self.spark.catalog.dropTempView(v)
         um = re.match(
             r"delete\s+from\s+(\w+)\s+using\s+(\w+)\s+where\s+(.*)$",
             stmt, re.I | re.S,
@@ -5661,19 +5739,33 @@ class AnalyticsEngine:
                     continue
                 head = body[:at].rstrip()
                 tail = body[at + 4:]
-                sm = re.match(
-                    r"\s*(\w+)\s+where\s+(.*)$", tail, re.I | re.S
-                )
-                if not sm:
-                    raise EngineError(
-                        "UPDATE ... FROM requires a single table/view"
-                        " source and a WHERE join condition"
+                uviews: list[str] = []
+                tm = re.match(r"\s*\(", tail)
+                if tm:
+                    # FROM (SELECT ...) alias: bind the subquery
+                    # source to a view named as the alias
+                    rest, alias, uviews = self._bind_inline_source(
+                        tail, tm.end() - 1
                     )
-                return self._merge(
-                    f"merge into {hm.group(1)} using {sm.group(1)}"
-                    f" on {sm.group(2)}"
-                    f" when matched then update set {head}"
-                )
+                    tail = f"{alias} {rest.lstrip()}"
+                try:
+                    sm = re.match(
+                        r"\s*(\w+)\s+where\s+(.*)$", tail, re.I | re.S
+                    )
+                    if not sm:
+                        raise EngineError(
+                            "UPDATE ... FROM requires a single"
+                            " table/view source and a WHERE join"
+                            " condition"
+                        )
+                    return self._merge(
+                        f"merge into {hm.group(1)} using {sm.group(1)}"
+                        f" on {sm.group(2)}"
+                        f" when matched then update set {head}"
+                    )
+                finally:
+                    for v in uviews:
+                        self.spark.catalog.dropTempView(v)
         m = re.match(
             r"update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
             stmt,

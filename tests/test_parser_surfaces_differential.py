@@ -862,6 +862,57 @@ def test_ctas_surface_view_cleanup_on_refusal(spark, tmp_path):
     eng.close()
 
 
+def test_join_dml_subquery_sources_match_duckdb(spark, tmp_path):
+    """Parenthesized subquery SOURCES in join-DML and MERGE (r9 —
+    `UPDATE ... FROM (SELECT ...) s`, `DELETE ... USING (SELECT ...)
+    d`, `MERGE ... USING (SELECT ...) m`): the source binds to a
+    per-statement view NAMED AS THE ALIAS so alias-qualified
+    references resolve unchanged. Join-DML compared against DuckDB
+    native; MERGE engine-side (DuckDB 1.0 has no MERGE). An aggregated
+    subquery source also shows the idiomatic multi-match ESCAPE HATCH:
+    dedup the source in SQL, keep ANSI strictness. Alias collisions
+    with existing tables are refused (the view would shadow them)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whil"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table jt (k int, v int)")
+        run("insert into jt values (1,10),(2,20),(3,30),(4,40)")
+        run("create table js (k int, nv int)")
+        run("insert into js values (1,111),(1,112),(3,333)")
+        run(
+            "update jt set v = s.mx from"
+            " (select k, max(nv) as mx from js group by k) s"
+            " where jt.k = s.k"
+        )
+        run(
+            "delete from jt using (select k from js where nv > 200) d"
+            " where jt.k = d.k"
+        )
+    sql = "select k, v from jt order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    eng.execute(
+        "merge into jt using (select 2 as k, 999 as nv) m"
+        " on jt.k = m.k when matched then update set v = m.nv"
+        " when not matched then insert values (m.k, m.nv)"
+    )
+    assert eng.execute(sql).rows == [(1, 112), (2, 999), (4, 40)]
+    with pytest.raises(EngineError, match="collides"):
+        eng.execute(
+            "merge into jt using (select 1 as k) jt on jt.k = jt.k"
+            " when matched then delete"
+        )
+    # no leaked alias views or pipeline views
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name in ("s", "d", "m")
+        or v.name.startswith(("_cte_", "_ubn_", "_qualify_", "_quant"))
+    ]
+    assert leaks == []
+    eng.close()
+
+
 def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
     """Quantified comparisons in DML WHERE clauses (ANSI; DuckDB and
     Postgres accept them) — DELETE and UPDATE conditions run the same
