@@ -876,3 +876,69 @@ def test_random_quantified_agrees_with_duckdb(
         " order by x nulls last"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+
+
+# UNION BY NAME fuzz arm (r9 surface): random column subsets in random
+# orders on each side — overlapping names line up, one-sided names
+# fill NULL — times random ALL/no-ALL folds and per-side predicates,
+# vs DuckDB's native BY NAME union. Discrete columns only (strings /
+# small ints), so the multiset compare is exact; column NAMES and
+# ORDER are asserted too (left-then-new is part of the contract).
+@pytest.fixture(scope="module")
+def ubn_fuzz_engine(spark, tmp_path_factory):
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whubnfuzz")), spark=spark
+    )
+    eng.execute("create table ufz (r varchar(4), n int, k int, s int)")
+    rows = [
+        ("'A'", 1, 0, 3), ("'A'", 2, 1, 5), ("'B'", 1, 2, 3),
+        ("'B'", 3, 0, 7), ("'C'", 2, 1, 3), ("'C'", 2, 2, 5),
+        ("NULL", 1, 0, 3),
+    ]
+    vals = ", ".join(f"({r}, {n}, {k}, {s})" for r, n, k, s in rows)
+    eng.execute(f"insert into ufz values {vals}")
+    con = duckdb.connect()
+    con.execute("create table ufz (r varchar(4), n int, k int, s int)")
+    con.execute(f"insert into ufz values {vals}")
+    yield eng, con
+    eng.close()
+
+
+_UBN_SIDE = st.sampled_from(
+    [
+        "r, n",
+        "n, r",
+        "r, n, k",
+        "k, s",
+        "s, r",
+        "n AS n, s AS s, r AS r",
+        "k, r, n, s",
+    ]
+)
+_UBN_OP = st.sampled_from(["UNION ALL BY NAME", "UNION BY NAME"])
+_UBN_PRED = st.sampled_from(
+    ["n >= 1", "k <> 1", "s > 3", "r IS NOT NULL", "n + k > 2"]
+)
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=25, deadline=None)
+@given(
+    lc=_UBN_SIDE, rc=_UBN_SIDE, op=_UBN_OP, pa=_UBN_PRED, pb=_UBN_PRED
+)
+def test_random_union_by_name_agrees_with_duckdb(
+    ubn_fuzz_engine, lc, rc, op, pa, pb
+):
+    eng, con = ubn_fuzz_engine
+    sql = (
+        f"SELECT {lc} FROM ufz WHERE {pa}"
+        f" {op} "
+        f"SELECT {rc} FROM ufz WHERE {pb}"
+    )
+    ours = eng.execute(sql)
+    duck = con.execute(sql)
+    drows = duck.fetchall()
+    assert _rowset(ours.rows) == _rowset(drows), sql
+    assert ours.columns == [d[0] for d in duck.description], sql
