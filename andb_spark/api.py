@@ -1390,7 +1390,34 @@ class AnalyticsEngine:
             self._refresh_system_views()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
-            if head == "CREATE" and re.match(
+            orm = re.match(
+                r"create\s+or\s+replace\s+table\s+(\w+)\b"
+                r"(\s+as\s+select\b)?",
+                stmt, re.I,
+            )
+            if orm:
+                # CREATE OR REPLACE TABLE (DuckDB/Spark spelling).
+                # The AS SELECT form over an EXISTING table is an
+                # atomic versioned swap (one commit; the old manifest
+                # stays live while the new segment writes, so a
+                # self-referencing source reads the pre-replace state,
+                # exactly DuckDB's behavior). The column-list / CLONE
+                # forms drop-then-create: two versioned commits —
+                # inside an explicit transaction both roll back
+                # together.
+                exists = orm.group(1) in self.catalog["tables"]
+                if not (exists and orm.group(2)):
+                    if exists:
+                        self._drop_table(f"drop table {orm.group(1)}")
+                    stmt = re.sub(
+                        r"^create\s+or\s+replace\s+table", "create table",
+                        stmt, flags=re.I,
+                    )
+            if orm and orm.group(2) and orm.group(1) in self.catalog["tables"]:
+                r = self._replace_table_as(
+                    orm.group(1), "select" + stmt[orm.end(2):]
+                )
+            elif head == "CREATE" and re.match(
                 r"create\s+table\s+\w+\s+as\s+select", stmt, re.I
             ):
                 r = self._create_table_as(stmt)
@@ -4492,6 +4519,36 @@ class AnalyticsEngine:
         if plan and plan["hidden"]:
             return _derive_visible(self.spark.sql(plan["state_sql"]), plan)
         return self.spark.sql(sql)
+
+    def _replace_table_as(self, name: str, query: str) -> Result:
+        """CREATE OR REPLACE TABLE ... AS SELECT over an EXISTING
+        table: an atomic versioned swap, not drop+create. The old
+        manifest stays live while the new segment writes, so a
+        self-referencing source (``... as select ... from <name>``)
+        reads the pre-replace state — DuckDB parity — the swap is ONE
+        commit, and the replaced version joins time-travel history
+        like any other. The declared schema swaps to the SELECT's
+        schema in the same commit (restored if anything fails before
+        the commit point)."""
+        self._writable_meta(name)
+        src, views = self._plan_engine_select(query)
+        try:
+            columns = _columns_from_schema(src.schema)
+            meta = self._meta(name)
+            old_cols = meta["columns"]
+            meta["columns"] = columns
+            try:
+                n = self._stage_version(name, src)
+                self._commit_staged(name)
+            except BaseException:
+                meta["columns"] = old_cols
+                meta.pop("_staged", None)
+                raise
+            self._maybe_auto_refresh(name)
+            return Result(effect_rows=n)
+        finally:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
 
     def _materialize_select(
         self, name: str, query: str, matview_sql: str | None = None

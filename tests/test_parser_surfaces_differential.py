@@ -913,6 +913,35 @@ def test_join_dml_subquery_sources_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_create_or_replace_table_matches_duckdb(spark, tmp_path):
+    """CREATE OR REPLACE TABLE (DuckDB/Spark spelling): replaces an
+    existing table — new schema, new contents — and plain-creates when
+    absent; the column-list, AS SELECT, and engine-surface AS SELECT
+    forms all route through the normalized CREATE path."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whcor"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create or replace table ct (a int)")  # absent → create
+        run("insert into ct values (1), (2)")
+        run("create or replace table ct (k int, v varchar(4))")
+        run("insert into ct values (7, 'x')")
+        run(
+            "create or replace table ct as"
+            " select k * 2 as k2, v from ct"
+        )
+    sql = "select k2, v from ct order by k2"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # composes with an engine surface in the AS SELECT body
+    eng.execute(
+        "create or replace table ct as select distinct on (v) v, k2"
+        " from ct order by v, k2 desc"
+    )
+    assert eng.execute("select v, k2 from ct").rows == [("x", 14)]
+    eng.close()
+
+
 def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
     """Quantified comparisons in DML WHERE clauses (ANSI; DuckDB and
     Postgres accept them) — DELETE and UPDATE conditions run the same
