@@ -5438,6 +5438,31 @@ class AnalyticsEngine:
         current table version."""
         from andb_spark.sources import read_source, write_source
 
+        cm = re.match(r"copy\s*\(", stmt, re.I)
+        if cm:
+            # COPY (SELECT ...) TO 'path' (DuckDB query export): the
+            # query plans through the full engine pipeline, so
+            # engine-only SQL exports too
+            cp = self._match_paren(stmt, cm.end() - 1)
+            inner = stmt[cm.end(): cp]
+            tm = re.match(
+                r"\s*to\s+'([^']+)'(?:\s+format\s+(\w+))?\s*$",
+                stmt[cp + 1:], re.I,
+            )
+            if not tm or not re.match(r"\s*select\b", inner, re.I):
+                raise EngineError(
+                    "syntax: COPY (select ...) TO 'path'"
+                    " [FORMAT parquet|csv|json|orc|text]"
+                )
+            df, views = self._plan_engine_select(inner)
+            try:
+                write_source(df, tm.group(1), tm.group(2))
+                return Result(effect_rows=df.count())
+            except ValueError as e:
+                raise EngineError(str(e)) from e
+            finally:
+                for v in views:
+                    self.spark.catalog.dropTempView(v)
         m = re.match(
             r"copy\s+(\w+)\s+(to|from)\s+'([^']+)'(?:\s+format\s+(\w+))?\s*$",
             stmt,

@@ -913,6 +913,29 @@ def test_join_dml_subquery_sources_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_copy_query_to_matches_duckdb(spark, tmp_path):
+    """COPY (SELECT ...) TO 'path' (DuckDB query export): the engine
+    exports the query result — including an engine-only DISTINCT ON
+    body — and the file round-trips to exactly the rows DuckDB
+    returns for the same SELECT."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whcp"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table ce (k int, v int)")
+        run("insert into ce values (1,5),(1,9),(2,3),(2,8)")
+    out = str(tmp_path / "export_dir")
+    sel = "select distinct on (k) k, v from ce order by k, v desc"
+    r = eng.execute(f"copy ({sel}) to '{out}' format parquet")
+    assert r.effect_rows == 2
+    back = sorted(
+        tuple(x) for x in spark.read.parquet(out).collect()
+    )
+    assert back == con.execute(sel).fetchall()
+    eng.close()
+
+
 def test_create_or_replace_table_matches_duckdb(spark, tmp_path):
     """CREATE OR REPLACE TABLE (DuckDB/Spark spelling): replaces an
     existing table — new schema, new contents — and plain-creates when
