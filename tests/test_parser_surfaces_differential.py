@@ -882,20 +882,20 @@ def test_join_dml_subquery_sources_match_duckdb(spark, tmp_path):
         run("create table js (k int, nv int)")
         run("insert into js values (1,111),(1,112),(3,333)")
         run(
-            "update jt set v = s.mx from"
-            " (select k, max(nv) as mx from js group by k) s"
-            " where jt.k = s.k"
+            "update jt set v = jsrc.mx from"
+            " (select k, max(nv) as mx from js group by k) jsrc"
+            " where jt.k = jsrc.k"
         )
         run(
-            "delete from jt using (select k from js where nv > 200) d"
-            " where jt.k = d.k"
+            "delete from jt using (select k from js where nv > 200) jdel"
+            " where jt.k = jdel.k"
         )
     sql = "select k, v from jt order by k"
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
     eng.execute(
-        "merge into jt using (select 2 as k, 999 as nv) m"
-        " on jt.k = m.k when matched then update set v = m.nv"
-        " when not matched then insert values (m.k, m.nv)"
+        "merge into jt using (select 2 as k, 999 as nv) jmrg"
+        " on jt.k = jmrg.k when matched then update set v = jmrg.nv"
+        " when not matched then insert values (jmrg.k, jmrg.nv)"
     )
     assert eng.execute(sql).rows == [(1, 112), (2, 999), (4, 40)]
     with pytest.raises(EngineError, match="collides"):
@@ -903,10 +903,13 @@ def test_join_dml_subquery_sources_match_duckdb(spark, tmp_path):
             "merge into jt using (select 1 as k) jt on jt.k = jt.k"
             " when matched then delete"
         )
-    # no leaked alias views or pipeline views
+    # no leaked alias views or pipeline views. (Aliases here are
+    # deliberately collision-free: the refusal above is exactly what a
+    # short alias like `d` gets when ANOTHER session view owns the
+    # name — the engine must never silently destroy it.)
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
-        if v.name in ("s", "d", "m")
+        if v.name in ("jsrc", "jdel", "jmrg")
         or v.name.startswith(("_cte_", "_ubn_", "_qualify_", "_quant"))
     ]
     assert leaks == []
