@@ -4887,6 +4887,12 @@ class AnalyticsEngine:
         oc = self._ON_CONFLICT_RE.match(stmt)
         if oc:
             return self._insert_on_conflict(oc)
+        # BY POSITION is the explicit spelling of the positional
+        # default (DuckDB accepts both) — normalize it away
+        stmt = re.sub(
+            r"^(insert\s+into\s+\w+\s*(?:\([^)]*\))?\s*)by\s+position\s+",
+            r"\1", stmt, flags=re.I,
+        )
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*"
             r"(by\s+name\s+)?(values\s*(.*)|select\s+.*)$",

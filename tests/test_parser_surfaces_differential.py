@@ -1154,6 +1154,11 @@ def test_insert_by_name_matches_duckdb(spark, tmp_path):
         eng.execute("insert into bnt by name select 1 as nope")
     with pytest.raises(EngineError, match="column list"):
         eng.execute("insert into bnt (a) by name select 1 as a")
+    # BY POSITION (the explicit positional-default spelling) is
+    # accepted and positional in both engines
+    for run in (eng.execute, con.execute):
+        run("insert into bnt by position select 9, 'bp', 1.5")
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
     eng.close()
 
 
