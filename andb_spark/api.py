@@ -1391,31 +1391,60 @@ class AnalyticsEngine:
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
             orm = re.match(
-                r"create\s+or\s+replace\s+table\s+(\w+)\b"
-                r"(\s+as\s+select\b)?",
+                r"create\s+or\s+replace\s+table\s+(\w+)\b(\s+as\b)?",
                 stmt, re.I,
             )
+            replace_as = False
             if orm:
                 # CREATE OR REPLACE TABLE (DuckDB/Spark spelling).
-                # The AS SELECT form over an EXISTING table is an
+                # The AS <query> form over an EXISTING table is an
                 # atomic versioned swap (one commit; the old manifest
                 # stays live while the new segment writes, so a
                 # self-referencing source reads the pre-replace state,
-                # exactly DuckDB's behavior). The column-list / CLONE
-                # forms drop-then-create: two versioned commits —
-                # inside an explicit transaction both roll back
-                # together.
+                # exactly DuckDB's behavior — _replace_table_as also
+                # validates the query BEFORE any mutation). The
+                # column-list / CLONE forms VALIDATE the replacement
+                # first (r9 review #1: a bad column type or missing
+                # clone source must not destroy the table), then
+                # drop-then-create: two versioned commits — inside an
+                # explicit transaction both roll back together.
                 exists = orm.group(1) in self.catalog["tables"]
-                if not (exists and orm.group(2)):
-                    if exists:
-                        self._drop_table(f"drop table {orm.group(1)}")
-                    stmt = re.sub(
+                replace_as = bool(exists and orm.group(2))
+                if not replace_as:
+                    plain = re.sub(
                         r"^create\s+or\s+replace\s+table", "create table",
                         stmt, flags=re.I,
                     )
-            if orm and orm.group(2) and orm.group(1) in self.catalog["tables"]:
+                    if exists:
+                        cl = re.match(
+                            r"create\s+table\s+\w+\s+clone\s+(\w+)",
+                            plain, re.I,
+                        )
+                        colm = re.match(
+                            r"create\s+table\s+\w+\s*\((.*)\)\s*$",
+                            plain, re.I | re.S,
+                        )
+                        if cl:
+                            if cl.group(1) not in self.catalog["tables"]:
+                                raise EngineError(
+                                    f"CLONE source {cl.group(1)} does"
+                                    " not exist"
+                                )
+                        elif colm:
+                            self._parse_column_defs(colm.group(1))
+                        elif not re.match(
+                            r"create\s+table\s+\w+\s+as\s+select\b",
+                            plain, re.I,
+                        ):
+                            raise EngineError(
+                                "cannot parse CREATE OR REPLACE TABLE:"
+                                f" {stmt!r}"
+                            )
+                        self._drop_table(f"drop table {orm.group(1)}")
+                    stmt = plain
+            if replace_as:
                 r = self._replace_table_as(
-                    orm.group(1), "select" + stmt[orm.end(2):]
+                    orm.group(1), stmt[orm.end(2):]
                 )
             elif head == "CREATE" and re.match(
                 r"create\s+table\s+\w+\s+as\s+select", stmt, re.I
@@ -2600,13 +2629,7 @@ class AnalyticsEngine:
         plan_only = plan_only or self._planning
         views: list[str] = []
         NULLB = "cast(null as boolean)"
-
-        def _blank(s: str) -> str:
-            return re.sub(
-                r"'(?:[^']|'')*'",
-                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-                s,
-            )
+        _blank = _blank_literals
 
         try:
             while True:
@@ -2789,13 +2812,9 @@ class AnalyticsEngine:
         never rewrite. ``WITH TIES`` is refused by name (its
         semantics need the ORDER BY keys — not a spelling swap)."""
 
-        blanked = re.sub(
-            r"'(?:[^']|'')*'",
-            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-            stmt,
-        )
+        blanked = _blank_literals(stmt)
         if re.search(
-            r"\bfetch\s+(?:first|next)\s+\d+\s+rows?\s+with\s+ties\b",
+            r"\bfetch\s+(?:first|next)\s+(?:\d+\s+)?rows?\s+with\s+ties\b",
             blanked, re.I,
         ):
             raise EngineError(
@@ -2804,18 +2823,20 @@ class AnalyticsEngine:
             )
         pat = re.compile(
             r"\boffset\s+(\d+)\s+rows?\b"
-            r"(\s+fetch\s+(?:first|next)\s+(\d+)\s+rows?\s+only\b)?"
-            r"|\bfetch\s+(?:first|next)\s+(\d+)\s+rows?\s+only\b",
+            r"(\s+fetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?\s+only\b)?"
+            r"|\bfetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?\s+only\b",
             re.I,
         )
         out: list[str] = []
         pos = 0
         for m in pat.finditer(blanked):
-            if m.group(4):
-                repl = f"limit {m.group(4)}"
-            elif m.group(3):
-                repl = f"limit {m.group(3)} offset {m.group(1)}"
-            else:
+            # ANSI: the count is optional and defaults to 1
+            # (`FETCH FIRST ROW ONLY`)
+            if m.group(1) is None:  # bare FETCH alternative matched
+                repl = f"limit {m.group(4) or 1}"
+            elif m.group(2):  # OFFSET ... FETCH
+                repl = f"limit {m.group(3) or 1} offset {m.group(1)}"
+            else:  # OFFSET only
                 repl = f"offset {m.group(1)}"
             out.append(stmt[pos: m.start()])
             out.append(repl)
@@ -2846,14 +2867,7 @@ class AnalyticsEngine:
         by name: DuckDB binds those left-associatively across the BY
         NAME boundary, which a branch-local Spark plan would silently
         mis-associate — parenthesize to disambiguate."""
-
-        def _blank(s: str) -> str:
-            return re.sub(
-                r"'(?:[^']|'')*'",
-                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-                s,
-            )
-
+        _blank = _blank_literals
         blanked = _blank(stmt)
         seps: list[tuple[int, int, bool]] = []  # (start, end, is_all)
         depth = 0
@@ -3193,15 +3207,7 @@ class AnalyticsEngine:
         resolve). Subquery bodies pass through the full engine
         rewrite pipeline, so nested ASOF / QUALIFY / DISTINCT ON
         inside the source compose."""
-
-        def _blank(s: str) -> str:
-            # same-length blanking: offsets into the blank map 1:1
-            return re.sub(
-                r"'(?:[^']|'')*'",
-                lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
-                s,
-            )
-
+        _blank = _blank_literals
         views: list[str] = []
 
         def _bind_body(body: str) -> str:
@@ -4187,6 +4193,27 @@ class AnalyticsEngine:
             effect_rows=1,
         )
 
+    @staticmethod
+    def _parse_column_defs(body: str) -> list[dict]:
+        """Parse a CREATE TABLE column-definition list, validating
+        every type against the type table. Pure — CREATE OR REPLACE
+        validates the replacement with it BEFORE dropping anything
+        (r9 review #1)."""
+        columns = []
+        for coldef in _split_top_level(body):
+            parts = coldef.strip().split()
+            if len(parts) < 2:
+                raise EngineError(f"bad column definition: {coldef!r}")
+            cname = parts[0]
+            rest = " ".join(parts[1:])
+            notnull = bool(re.search(r"not\s+null\s*$", rest, re.I))
+            tname = re.sub(r"not\s+null\s*$", "", rest, flags=re.I).strip()
+            _parse_type(tname)  # validate against the type table
+            columns.append(
+                {"name": cname, "type": tname, "notnull": notnull}
+            )
+        return columns
+
     def _create_table(self, stmt: str) -> Result:
         m = re.match(
             r"create\s+table\s+(if\s+not\s+exists\s+)?(\w+)\s*\((.*)\)\s*$",
@@ -4199,17 +4226,7 @@ class AnalyticsEngine:
         if ine and name in self.catalog["tables"]:
             return Result(warning=f"table {name} already exists, skipped")
         self._check_name_free(name)
-        columns = []
-        for coldef in _split_top_level(body):
-            parts = coldef.strip().split()
-            if len(parts) < 2:
-                raise EngineError(f"bad column definition: {coldef!r}")
-            cname = parts[0]
-            rest = " ".join(parts[1:])
-            notnull = bool(re.search(r"not\s+null\s*$", rest, re.I))
-            tname = re.sub(r"not\s+null\s*$", "", rest, flags=re.I).strip()
-            _parse_type(tname)  # validate against the type table
-            columns.append({"name": cname, "type": tname, "notnull": notnull})
+        columns = self._parse_column_defs(body)
         # In-memory entry only — the SINGLE durable commit is the
         # catalog save inside _commit_staged, so a crash anywhere in
         # between leaves no half-created shell (test_crash_consistency)
@@ -4531,17 +4548,42 @@ class AnalyticsEngine:
         schema in the same commit (restored if anything fails before
         the commit point)."""
         self._writable_meta(name)
+        query = query.strip()
+        # DuckDB also accepts a fully parenthesized AS body
+        if query.startswith("(") and self._match_paren(
+            query, 0
+        ) == len(query) - 1:
+            query = query[1:-1].strip()
+        if not re.match(r"(select|with|values|table)\b", query, re.I):
+            raise EngineError(
+                "CREATE OR REPLACE TABLE ... AS expects a SELECT query"
+            )
         src, views = self._plan_engine_select(query)
         try:
             columns = _columns_from_schema(src.schema)
             meta = self._meta(name)
             old_cols = meta["columns"]
+            old_stats = self.catalog["stats"].get(name)
+            old_idx = {
+                k: v for k, v in self.catalog["indexes"].items()
+                if v["table"] == name
+            }
             meta["columns"] = columns
+            # dependents die with the replaced contents, exactly as in
+            # the drop-then-create spelling (r9 review #6): the ANN
+            # stats describe the OLD rows and the indexes may name
+            # columns the new schema lacks. Cleared in the SAME commit.
+            self.catalog["stats"].pop(name, None)
+            for k in old_idx:
+                del self.catalog["indexes"][k]
             try:
                 n = self._stage_version(name, src)
                 self._commit_staged(name)
             except BaseException:
                 meta["columns"] = old_cols
+                if old_stats is not None:
+                    self.catalog["stats"][name] = old_stats
+                self.catalog["indexes"].update(old_idx)
                 meta.pop("_staged", None)
                 raise
             self._maybe_auto_refresh(name)
@@ -4884,15 +4926,17 @@ class AnalyticsEngine:
             self.spark.catalog.dropTempView(view)
 
     def _insert(self, stmt: str) -> Result:
-        oc = self._ON_CONFLICT_RE.match(stmt)
-        if oc:
-            return self._insert_on_conflict(oc)
         # BY POSITION is the explicit spelling of the positional
-        # default (DuckDB accepts both) — normalize it away
+        # default (DuckDB accepts both) — normalize it away BEFORE the
+        # ON CONFLICT match, whose source group only admits
+        # values|select (r9 review #5)
         stmt = re.sub(
             r"^(insert\s+into\s+\w+\s*(?:\([^)]*\))?\s*)by\s+position\s+",
             r"\1", stmt, flags=re.I,
         )
+        oc = self._ON_CONFLICT_RE.match(stmt)
+        if oc:
+            return self._insert_on_conflict(oc)
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*"
             r"(by\s+name\s+)?(values\s*(.*)|select\s+.*)$",
@@ -5142,9 +5186,12 @@ class AnalyticsEngine:
         n = self._overwrite(name, src)
         return Result(effect_rows=n)
 
+    # clauses anchor on `when [not] matched`, NOT bare `when`: the ON
+    # condition may legally contain CASE WHEN arms (e.g. the quantified
+    # rewrite's 3VL CASE), whose inner `when x` must not end the cond
     _MERGE_RE = re.compile(
         r"^merge\s+into\s+(?P<target>\w+)\s+using\s+(?P<source>\w+)\s+"
-        r"on\s+(?P<cond>.*?)\s+(?P<clauses>when\s+.*)$",
+        r"on\s+(?P<cond>.*?)\s+(?P<clauses>when\s+(?:not\s+)?matched\b.*)$",
         re.I | re.S,
     )
 
@@ -5204,7 +5251,10 @@ class AnalyticsEngine:
     def _merge(self, stmt: str, delete_translation: bool = False) -> Result:
         """Thin wrapper: bind a parenthesized ``USING (SELECT ...)
         alias`` source to a per-statement view first (engine pipeline,
-        lazy), then run the table-sourced MERGE below."""
+        lazy), rewrite any quantified comparison in the ON condition /
+        clauses (same move as DML WHERE — the translated UPDATE...FROM
+        and DELETE...USING conditions land here, r9 review #4), then
+        run the table-sourced MERGE below."""
         views: list[str] = []
         um = re.match(r"^(merge\s+into\s+\w+\s+using)\s*\(", stmt, re.I)
         if um:
@@ -5213,6 +5263,8 @@ class AnalyticsEngine:
             )
             stmt = f"{um.group(1)} {alias} {rest.lstrip()}"
         try:
+            stmt, qv = self._rewrite_quantified(stmt)
+            views += qv
             return self._merge_resolved(stmt, delete_translation)
         finally:
             for v in views:
@@ -5462,11 +5514,18 @@ class AnalyticsEngine:
                 )
             df, views = self._plan_engine_select(inner)
             try:
+                # persist: the write and the effect_rows count consume
+                # ONE evaluation (r9 review #3 — an unpersisted df
+                # would re-execute the whole query for the count, and
+                # a nondeterministic query could report a count that
+                # disagrees with the exported file)
+                df = df.persist()
                 write_source(df, tm.group(1), tm.group(2))
                 return Result(effect_rows=df.count())
             except ValueError as e:
                 raise EngineError(str(e)) from e
             finally:
+                df.unpersist()
                 for v in views:
                     self.spark.catalog.dropTempView(v)
         m = re.match(
@@ -6114,6 +6173,19 @@ def _derive_visible(df: DataFrame, plan: dict) -> DataFrame:
             F.when(F.col(c_col) > 0, F.col(s_col) / F.col(c_col)),
         )
     return df.select(*plan["out_cols"], *plan["hidden"])
+
+
+def _blank_literals(s: str) -> str:
+    """Same-length blanking of single-quoted string literals
+    (''-escape-aware): keyword/offset scans run on the blank while
+    splices index into the original — one shared copy of the idiom
+    every rewrite uses (r9 review #7: three hand-rolled twins had to
+    be kept in sync)."""
+    return re.sub(
+        r"'(?:[^']|'')*'",
+        lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+        s,
+    )
 
 
 def _split_top_level(s: str) -> list[str]:

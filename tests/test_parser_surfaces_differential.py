@@ -965,6 +965,44 @@ def test_create_or_replace_table_matches_duckdb(spark, tmp_path):
         " from ct order by v, k2 desc"
     )
     assert eng.execute("select v, k2 from ct").rows == [("x", 14)]
+    # parenthesized AS body (DuckDB-valid) takes the same atomic swap
+    eng.execute(
+        "create or replace table ct as (select v, k2 + 1 as k2 from ct)"
+    )
+    assert eng.execute("select v, k2 from ct").rows == [("x", 15)]
+    eng.close()
+
+
+def test_create_or_replace_never_destroys_on_failure(spark, tmp_path):
+    """A CREATE OR REPLACE whose replacement is INVALID must leave the
+    existing table fully intact (r9 review #1: the old code dropped
+    first and validated after — a typo'd type or missing CLONE source
+    permanently destroyed the table). Also: the atomic AS-swap clears
+    dependent indexes and stats in the same commit (review #6)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whcf"), spark=spark)
+    eng.execute("create table keep (k int, v int)")
+    eng.execute("insert into keep values (1, 2)")
+    for bad in (
+        "create or replace table keep (k badtype)",       # bad type
+        "create or replace table keep clone missing_src",  # no source
+        "create or replace table keep garbage here",       # unparseable
+        "create or replace table keep as delete from keep",  # not a query
+        "create or replace table keep as select nope from keep",  # bad col
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(bad)
+        assert eng.execute("select k, v from keep").rows == [(1, 2)], bad
+    # dependent index + ANN stats die with the replaced contents
+    eng.execute("create index ik on keep (v)")
+    eng.execute("create or replace table keep as select k from keep")
+    assert eng.execute("select k from keep").rows == [(1,)]
+    idx = eng.execute(
+        "select index_name from andb_indexes where table_name = 'keep'"
+    ).rows
+    assert idx == []
+    eng.execute("create index ik on keep (k)")  # name is free again
     eng.close()
 
 
@@ -987,6 +1025,14 @@ def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
         run("update dt set v = v + 1 where v > all (select b from ds)")
         run("delete from dt where v <= any (select b from ds)")
         run("delete from dt where k in (select b - 11 from ds)")
+        # quantified inside a JOIN-DML condition (translated onto
+        # MERGE's ON — r9 review #4: the wrapper rewrites it too)
+        run("create table dj (k int)")
+        run("insert into dj values (3), (4)")
+        run(
+            "update dt set v = v * 10 from dj where dt.k = dj.k"
+            " and dt.v >= all (select b from ds)"
+        )
     sql = "select k, v from dt order by k"
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
     leaks = [
@@ -1019,6 +1065,10 @@ def test_fetch_first_matches_duckdb(ubn_engines):
         "select k, b from ua qualify"
         " row_number() over (order by b) >= 1"
         " order by b offset 1 row fetch next 2 rows only",
+        # ANSI count-omitted spelling: defaults to 1 (r9 review #2)
+        "select k, b from ua order by b fetch first row only",
+        "select k, b from ua order by b offset 1 row"
+        " fetch next row only",
     ):
         assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
     # literal safety: the words inside a string are data, not syntax
@@ -1030,6 +1080,10 @@ def test_fetch_first_matches_duckdb(ubn_engines):
     with pytest.raises(EngineError, match="WITH TIES"):
         eng.execute(
             "select k from ua order by k fetch first 2 rows with ties"
+        )
+    with pytest.raises(EngineError, match="WITH TIES"):
+        eng.execute(
+            "select k from ua order by k fetch first row with ties"
         )
 
 
@@ -1159,6 +1213,17 @@ def test_insert_by_name_matches_duckdb(spark, tmp_path):
     for run in (eng.execute, con.execute):
         run("insert into bnt by position select 9, 'bp', 1.5")
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # ...and composes with ON CONFLICT (r9 review #5: the strip must
+    # run before the upsert match)
+    eng.execute("create table bpo (k int, v int)")
+    eng.execute("insert into bpo values (1, 10)")
+    eng.execute(
+        "insert into bpo by position values (1, 11), (2, 20)"
+        " on conflict (k) do update set v = excluded.v"
+    )
+    assert eng.execute("select k, v from bpo order by k").rows == [
+        (1, 11), (2, 20)
+    ]
     eng.close()
 
 
