@@ -689,17 +689,12 @@ def test_union_by_name_matches_duckdb(ubn_engines, label, sql):
 
 
 def test_union_by_name_refusals(ubn_engines):
-    """Named refusals, never raw Spark parse errors: BY NAME inside a
-    FROM subquery, and a plain UNION in a later branch (ambiguous
-    associativity across the BY NAME boundary). No leaked views."""
+    """Named refusals, never raw Spark parse errors: a plain UNION in
+    a later branch (ambiguous associativity across the BY NAME
+    boundary). No leaked views."""
     from andb_spark.api import EngineError
 
     eng, _con = ubn_engines
-    with pytest.raises(EngineError, match="WITH clause"):
-        eng.execute(
-            "select * from (select k from ua union all by name"
-            " select k from ub) t"
-        )
     with pytest.raises(EngineError, match="parenthesize"):
         eng.execute(
             "select k from ua union all by name"
@@ -708,6 +703,203 @@ def test_union_by_name_refusals(ubn_engines):
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
         if v.name.startswith(("_ubn_", "_cte_"))
+    ]
+    assert leaks == []
+
+
+def test_union_by_name_subquery_lift_matches_duckdb(ubn_engines):
+    """UNION BY NAME inside a FROM / IN / derived-table subquery (the
+    r9 named refusal, lifted per r9 verdict #5: the parenthesized
+    group recurses through the rewrite and splices to a view): DuckDB
+    executes the identical SQL inline. Aggregations, joins, and nested
+    parens over the lifted union all compose; a correlated body is
+    refused by name; no leaked views."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    for sql in (
+        # FROM subquery + outer ORDER BY (set-level determinism)
+        "select t.k, t.b from (select k, b from ua union all by name"
+        " select b, k from ub) t order by t.k, t.b",
+        # outer aggregation over the lifted union
+        "select max(t.k) as mk, count(*) as n from"
+        " (select k from ua union all by name select k from ub) t",
+        # doubly parenthesized group (the lift recurses)
+        "select t.k from ((select k from ua union by name"
+        " select k from ub)) t order by t.k",
+        # IN-subquery body
+        "select k, b from ua where k in"
+        " (select k from ub union all by name select k from ua)"
+        " order by k, b",
+        # lifted subquery joined to a plain table
+        "select t.k, u.a from (select k from ua union by name"
+        " select k from ub) t join ua u on u.k = t.k"
+        " order by t.k, u.a",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        assert ours.rows == duck.fetchall(), sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    # correlated body: the branches must plan standalone
+    with pytest.raises(EngineError, match="uncorrelated"):
+        eng.execute(
+            "select k, (select max(x.b) from (select b from ua where"
+            " ua2.k = k union all by name select b from ub) x) as mb"
+            " from ua ua2"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_ubn_", "_cte_"))
+    ]
+    assert leaks == []
+
+
+def test_trailing_offset_binds_to_compound(ubn_engines):
+    """r9 verdict #1 (the round's one silent wrong answer): a bare
+    trailing OFFSET on a BY NAME union must bind to the COMPOUND
+    statement, not the last branch. Without ORDER BY the surviving
+    rows are arbitrary in BOTH engines, so the pinned facts are the
+    set-level row COUNT (the old code returned the whole first branch
+    — count 3 — where set-level binding leaves 1), the empty
+    over-offset, and full row equality once ORDER BY joins the tail.
+    Both OFFSET spellings covered (`offset n` and ANSI
+    `offset n rows`)."""
+    eng, con = ubn_engines
+    # ua has 3 rows, ub has 3 rows -> 6 total
+    for tail in ("offset 5", "offset 5 rows"):
+        sql = (
+            "select k from ua union all by name"
+            f" select k from ub {tail}"
+        )
+        assert len(eng.execute(sql).rows) == 1, tail
+        assert len(con.execute(sql).fetchall()) == 1, tail
+    for tail in ("offset 99", "offset 99 rows"):
+        sql = (
+            "select k from ua union all by name"
+            f" select k from ub {tail}"
+        )
+        assert eng.execute(sql).rows == [], tail
+        assert con.execute(sql).fetchall() == [], tail
+    for sql in (
+        "select k, b from ua union all by name select b, k from ub"
+        " order by k, b offset 2",
+        "select k, b from ua union all by name select b, k from ub"
+        " order by k, b offset 2 rows",
+        "select k, b from ua union all by name select b, k from ub"
+        " order by k, b limit 3 offset 1",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+
+
+_TAIL_SURFACES = (
+    (
+        "distinct_on",
+        "select distinct on (k) k, b from ua order by k, b desc",
+    ),
+    (
+        "qualify",
+        "select k, b from ua qualify"
+        " row_number() over (partition by k order by b) = 1"
+        " order by k, b",
+    ),
+    (
+        "union_by_name",
+        "select k, b from ua union all by name select b, k, c from ub"
+        " order by k, b, c nulls last",
+    ),
+    (
+        "star_replace",
+        "select * replace (b + 100 as b) from ua order by k, b",
+    ),
+)
+
+_TAILS = (
+    "",
+    " limit 2",
+    " offset 1",
+    " limit 2 offset 1",
+    " offset 1 rows",
+    " offset 1 rows fetch next 2 rows only",
+    " fetch first 2 rows only",
+)
+
+
+@pytest.mark.parametrize(
+    "label,base", _TAIL_SURFACES, ids=[s[0] for s in _TAIL_SURFACES]
+)
+def test_clause_tail_grid_matches_duckdb(ubn_engines, label, base):
+    """Clause-tail fuzz over every rewrite surface (r9 verdict #8: the
+    OFFSET gap lived in the clause TAIL, not the rewrites' own syntax)
+    — {DISTINCT ON, QUALIFY, UNION BY NAME, star-REPLACE} × every
+    LIMIT/OFFSET/FETCH tail spelling, identical SQL both engines.
+    Every base ends in a total ORDER BY, so row-level equality is
+    well-defined under every tail."""
+    eng, con = ubn_engines
+    for tail in _TAILS:
+        sql = base + tail
+        ours = eng.execute(sql)
+        assert ours.rows == con.execute(sql).fetchall(), (label, tail)
+
+
+def test_fetch_with_ties_matches_postgres_semantics(ubn_engines):
+    """FETCH FIRST n ROWS WITH TIES (Postgres semantics — every row
+    tying with the n-th row's sort key survives; this DuckDB build
+    has no WITH TIES parser support, so the oracle is the equivalent
+    rank()-bounded DuckDB SQL; api.py::_fetch_with_ties). Grid: ties
+    at the boundary, ties absent, multi-key ORDER BY, OFFSET
+    composition, count-omitted spelling, whole-set ties, and the two
+    named refusals (no ORDER BY; unprojected sort key)."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    cases = (
+        # ua.k = 1,2,2 -> ties at the boundary: first 1 under k asc
+        # still returns one row; first 2 pulls the k=2 tie pair -> 3
+        (
+            "select k, b from ua order by k fetch first 2 rows with ties",
+            "select k, b from (select k, b, rank() over (order by k)"
+            " rk from ua) t where rk <= 2 order by k",
+        ),
+        # ties absent under the compound (k, b) key
+        (
+            "select k, b from ua order by k, b"
+            " fetch first 2 rows with ties",
+            "select k, b from (select k, b, rank() over (order by k, b)"
+            " rk from ua) t where rk <= 2 order by k, b",
+        ),
+        # OFFSET before FETCH: skip 1, take 1 + its ties
+        (
+            "select k, b from ua order by k offset 1 rows"
+            " fetch next 1 rows with ties",
+            "select k, b from (select k, b, rank() over (order by k)"
+            " rk from ua) t where rk <= 2 order by k offset 1",
+        ),
+        # count omitted -> 1 (ANSI); desc direction
+        (
+            "select k, b from ua order by k desc fetch first row with ties",
+            "select k, b from (select k, b, rank() over (order by k desc)"
+            " rk from ua) t where rk <= 1 order by k desc",
+        ),
+        # every row ties (constant key): the whole set survives
+        (
+            "select k, b from ua order by k % 1 fetch first 1 rows"
+            " with ties",
+            "select k, b from ua order by k % 1",
+        ),
+    )
+    for ours_sql, duck_sql in cases:
+        ours = eng.execute(ours_sql)
+        duck = sorted(con.execute(duck_sql).fetchall())
+        assert sorted(ours.rows) == duck, ours_sql
+    with pytest.raises(EngineError, match="requires ORDER BY"):
+        eng.execute("select k from ua fetch first 2 rows with ties")
+    with pytest.raises(EngineError, match="projects"):
+        eng.execute(
+            "select k from ua order by c fetch first 2 rows with ties"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("_ft_")
     ]
     assert leaks == []
 
@@ -1006,6 +1198,44 @@ def test_create_or_replace_never_destroys_on_failure(spark, tmp_path):
     eng.close()
 
 
+def test_ctas_body_forms_match_duckdb(spark, tmp_path):
+    """CREATE [OR REPLACE] TABLE ... AS with a parenthesized / WITH /
+    VALUES / TABLE body parses the SAME whether or not the target
+    exists (r9 ADVICE #2: these DuckDB-valid spellings used to parse
+    only via the replace path, so the identical statement failed on a
+    fresh name). Differential: the same statements on both engines
+    leave identical tables."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whcb"), spark=spark)
+    con = duckdb.connect()
+    stmts = (
+        # every target below is a FRESH name at statement time
+        "create table b1 as (select 1 as k, 'a' as v)",
+        "create or replace table b2 as (select 2 as k)",
+        "create table b3 as with w as (select 3 as k) select k from w",
+        "create or replace table b4 as values (4), (5)",
+        "create table b5 as table b1",
+        "create or replace table b6 as (with w as (select 6 as k)"
+        " select k + 1 as k from w)",
+    )
+    for s in stmts:
+        eng.execute(s)
+        con.execute(s)
+    for t, cols in (
+        ("b1", "k, v"), ("b2", "k"), ("b3", "k"),
+        ("b5", "k, v"), ("b6", "k"),
+    ):
+        sql = f"select {cols} from {t}"
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), t
+    # VALUES body: engine names columns col1.., DuckDB col0.. — values
+    # compared positionally
+    assert sorted(
+        eng.execute("select * from b4").rows
+    ) == sorted(con.execute("select * from b4").fetchall())
+    eng.close()
+
+
 def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
     """Quantified comparisons in DML WHERE clauses (ANSI; DuckDB and
     Postgres accept them) — DELETE and UPDATE conditions run the same
@@ -1077,14 +1307,14 @@ def test_fetch_first_matches_duckdb(ubn_engines):
         " from ua order by k fetch first 1 row only"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
-    with pytest.raises(EngineError, match="WITH TIES"):
+    # an expression count is refused by name (r9 ADVICE #3; DuckDB's
+    # parser rejects it too), never surfaced as Spark's raw error
+    with pytest.raises(EngineError, match="literal integer"):
         eng.execute(
-            "select k from ua order by k fetch first 2 rows with ties"
+            "select k from ua order by k fetch first 1+1 rows only"
         )
-    with pytest.raises(EngineError, match="WITH TIES"):
-        eng.execute(
-            "select k from ua order by k fetch first row with ties"
-        )
+    with pytest.raises(EngineError, match="literal integer"):
+        eng.execute("select k from ua order by k offset k rows")
 
 
 def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):

@@ -116,6 +116,31 @@ def test_copy_syntax_error(engine):
         engine.execute("copy nowhere sideways 'x'")
 
 
+def test_copy_table_to_evaluates_once(engine, tmp_path, monkeypatch):
+    """Plain ``COPY <table> TO`` must not re-scan the table for its
+    row count (r9 verdict #3): the count comes from manifest metadata
+    (zone-map ``__rows`` / parquet footers). Pinned by poisoning
+    DataFrame.count for the duration of the statement — the export
+    succeeds and still reports the exact count."""
+    from pyspark.sql import DataFrame
+
+    e = engine.execute
+    e("create table once_t (a int, b text)")
+    e("insert into once_t values (1,'x'), (2,'y'), (3,'z')")
+
+    def _bomb(self):
+        raise AssertionError("COPY TO must not call DataFrame.count")
+
+    path = str(tmp_path / "once_dump")
+    monkeypatch.setattr(DataFrame, "count", _bomb)
+    assert e(f"copy once_t to '{path}' format csv").effect_rows == 3
+    monkeypatch.undo()
+    from andb_spark.sources import read_source
+
+    back = read_source(engine.spark, path, "csv")
+    assert sorted(r.a for r in back.collect()) == [1, 2, 3]
+
+
 def test_binary_file_ingestion_feeds_multimodal(spark, tmp_path):
     """binaryFile source → multimodal decode end-to-end: real BMP files
     on disk ingest into (doc_id, payload) rows, decode to exact pixels,
