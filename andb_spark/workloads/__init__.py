@@ -45,85 +45,88 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-9 rotation (r8 verdict #1: spotlight = the r5 cohort).
+    # Round-10 rotation (r9 verdict #2/#3: never-graded surfaces
+    # first, then the r6 cohort — the oldest evidence in the ledger
+    # after the r9 rotation cleared the r5 cohort).
     #
-    # (a) never-graded: the three new oracle-backed surfaces this
-    # round, each landed with a native-DuckDB differential grid —
-    # DISTINCT ON + QUALIFY in ONE statement (r8 verdict #5; the old
-    # named refusal replaced by the two-stage QUALIFY-first rewrite),
-    # UNION [ALL] BY NAME (lowered onto
-    # unionByName(allowMissingColumns=True)), and SELECT * REPLACE
-    # (star expanded from the FROM list's schema, targets substituted
-    # in place).
-    "u_distinct_on_qualify",
-    "u_union_by_name",
-    "u_select_replace",
-    # (b) changed since their r8 grading: NONE re-graded this round —
-    # the three names whose engine paths changed are all
-    # result-identical on their graded statements and the changed
-    # paths are differential-pinned instead: u_update_from's DELETE
-    # ... USING guard skip (r8 verdict #2) only fires on
-    # duplicate-match sources (its graded source is key-distinct;
-    # test_join_dml_matches_duckdb pins the divergent shape),
-    # u_asof_subquery_sql's splice fix (r8 ADVICE #4) only fires on
-    # zero-space spellings (its graded SQL has spaces; the zero-space
-    # shapes are in the ASOF differential grid), and
-    # q_quantified_subquery's `plan_only or self._planning` is
-    # EXPLAIN-path-only (self._planning is False on every executed
-    # statement). The (a) debt above takes their slots.
-    # (c) oldest evidence — ALL 46 remaining r5-graded names (4 rounds
-    # stale, the oldest evidence in the ledger after the r8 rotation
-    # cleared the r4 cohort):
-    "a_asof_forward",
-    "d_cross_source_dups",
-    "d_decontaminate",
-    "d_dedup_survivors",
-    "d_exact_dup_groups",
-    "d_fingerprint_dup_groups",
-    "d_incremental_dedup",
-    "d_ngram_jaccard",
-    "d_simhash",
-    "m_binary_meta",
-    "m_frame_sample",
-    "p_mixture_plan",
-    "p_pack_shards",
-    "p_quality_filter",
-    "p_sample_stratified",
-    "p_source_cap",
-    "q11_important_suppliers",
-    "q12_priority_class",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q20_excess_suppliers",
-    "q2_min_ship_supplier",
-    "q_approx_distinct_bound",
-    "s_daily_rollup",
-    "s_sliding",
-    "s_stateful_user",
-    "s_stream_dedup",
-    "s_stream_distinct",
-    "s_stream_enrich",
-    "s_stream_join",
-    "t_approx_topk_bound",
-    "t_boilerplate",
-    "t_bpe_tokens",
-    "t_entropy",
-    "t_fingerprint",
-    "t_heavy_hitters",
-    "t_lang_ngram",
-    "t_repetition",
-    "t_token_stats",
-    "u_alter_schema",
-    "u_restore_timetravel",
-    "v_cluster_near_dup",
-    "v_filtered_topk",
-    "v_ivf_assign",
-    "v_pairwise_near_dup",
-    # (family cross-section: the c_ family's oldest name — last
-    # graded r7, vs c_catalog_tables' r8; every other family already
-    # appears in the 46-name cohort above.)
-    "c_catalog_columns",
+    # (a) never-graded: the five r9 surfaces that shipped
+    # differential-pytest-only (ANSI OFFSET/FETCH FIRST, CREATE OR
+    # REPLACE TABLE, COPY (SELECT) TO, INSERT BY POSITION, join-DML
+    # subquery sources) plus the two r10 surfaces (FETCH FIRST ...
+    # WITH TIES — the r9 named refusal, implemented; and the
+    # set-level trailing-OFFSET + subquery-lifted UNION BY NAME shape
+    # that lifts the r9 `weak` grade with driver evidence).
+    "q_fetch_first",
+    "u_fetch_with_ties",
+    "u_union_offset",
+    "u_create_or_replace",
+    "u_copy_export",
+    "u_insert_by_position",
+    "u_update_from_subquery",
+    # (b) changed since their r9 grading: NONE re-graded — the r10
+    # engine changes (trailing-OFFSET capture, WITH TIES, subquery
+    # lift, CTAS body normalization, COPY count-from-manifest) are
+    # all new-shape-only on the r9-graded statements: every r9 graded
+    # SQL parses through the identical code path it was graded on
+    # (none carries a bare trailing OFFSET, WITH TIES, a BY NAME
+    # subquery, or a non-`as select` CTAS body), and the changed
+    # shapes are differential-pinned in
+    # test_parser_surfaces_differential.py (clause-tail grid,
+    # subquery-lift grid, CTAS body forms, COPY single-eval pin).
+    # (c) oldest evidence — 41 of the 44 r6-graded names. Three defer
+    # to r11 for the two family-coverage slots below + the 7-name (a)
+    # debt: q_union_distinct (UNION dedup re-evidenced by the set-op
+    # fuzz arm + q_union_all r7 + the no-ALL BY NAME folds graded
+    # r9), q_exists_subquery (EXISTS re-evidenced by q4_priority_
+    # exists r7 and q_in_subquery r7), q_scalar_subquery (scalar-agg
+    # subqueries are the exact machinery q_quantified_subquery r8
+    # grades). Every other r6 name below:
+    "a_asof_tolerance",
+    "d_bloom_bound",
+    "d_dup_components",
+    "d_incremental_minhash",
+    "d_lsh_recall_audit",
+    "d_minhash_lsh",
+    "d_repeated_passages",
+    "m_embed_topk",
+    "m_image_embed",
+    "m_resize",
+    "p_sample_hash",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_anomaly_zscore",
+    "q_approx_quantile_bound",
+    "q_funnel",
+    "q_hll_sketch_bound",
+    "q_join_anti",
+    "q_join_theta",
+    "q_listagg",
+    "q_recursive_cte",
+    "q_retention_cohorts",
+    "q_skew_salted_agg",
+    "q_stats_agg",
+    "q_window_frames",
+    "q_window_navigation",
+    "t_dup_rate_report",
+    "t_length_histogram",
+    "t_rolling_fingerprint",
+    "t_source_stats",
+    "u_dml_roundtrip",
+    "u_qualify_sql",
+    "v_kmeans_bound",
+    "v_pq_bound",
+    "v_quantize",
+    # (family cross-section: the r6 cohort has no s_ or c_ name, so
+    # the graded window takes each family's OLDEST-evidence member —
+    # s_stream_asof last graded r7, c_catalog_tables r8.)
+    "s_stream_asof",
+    "c_catalog_tables",
 )
 
 

@@ -586,6 +586,177 @@ def u_select_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fetch_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI result-limiting dialect through the engine
+    (api.py::_rewrite_fetch_first — ``OFFSET n ROWS FETCH NEXT m ROWS
+    ONLY`` → LIMIT/OFFSET, a pure text rewrite) vs DuckDB running the
+    IDENTICAL ANSI SQL natively. Total (price, key) order makes the
+    paginated window fully deterministic."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ff_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderkey, o_custkey, o_totalprice from orders"
+        " order by o_totalprice desc, o_orderkey"
+        " offset 10 rows fetch next 25 rows only"
+    )
+    return spark.createDataFrame(
+        r.rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    )
+
+
+def u_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST n ROWS WITH TIES (Postgres semantics; DuckDB's
+    parser lacks WITH TIES, so the oracle is the equivalent
+    rank()-bounded SQL — api.py::_fetch_with_ties, the TakeOrdered +
+    boundary-probe plan, never a global-order window). Ordering by
+    the 3-value o_orderstatus guarantees a massive tie group at the
+    boundary at EVERY scale factor, and makes the result SET
+    deterministic (every row whose status sorts <= the 40th row's)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ft_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderkey, o_custkey, o_orderstatus from orders"
+        " where o_orderkey < 8000"
+        " order by o_orderstatus fetch first 40 rows with ties"
+    )
+    return spark.createDataFrame(
+        r.rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    ).orderBy("o_orderkey")
+
+
+def u_union_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 weak-grade surface as a driver row: a bare trailing
+    OFFSET on a BY NAME union binds to the COMPOUND statement (r9
+    verdict #1 — the old detector left it on the last branch), and
+    the union itself sits inside a FROM subquery (the r9 named
+    refusal, lifted). The over-offset drains the whole union, so the
+    aggregate is (0, -1) exactly when the offset was applied
+    set-level; branch-level binding would have left every left-branch
+    row and a nonzero count. Deterministic at every scale factor."""
+    eng = AnalyticsEngine(
+        _scratch("andb_uo_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select count(*) as n, coalesce(max(k), -1) as mk from"
+        " (select o_orderkey as k, o_orderstatus as status from orders"
+        " where o_orderkey < 200"
+        " union all by name"
+        " select l_orderkey as k, l_quantity as qty from lineitem"
+        " where l_orderkey < 200"
+        " offset 100000000) t"
+    )
+    return spark.createDataFrame(r.rows, "n bigint, mk bigint")
+
+
+def u_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE lifecycle: the AS-SELECT form over an
+    EXISTING table is an atomic versioned swap whose self-referencing
+    source reads the PRE-replace state (api.py::_replace_table_as),
+    and the parenthesized AS body on a FRESH name parses identically
+    (r9 ADVICE #2). The oracle restates both results declaratively."""
+    eng = AnalyticsEngine(
+        _scratch("andb_cor_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table cor_t as select o_orderkey as k,"
+        " o_totalprice as v, o_orderstatus as s from orders"
+        " where o_orderkey < 2000"
+    )
+    # self-referencing atomic swap: reads pre-replace cor_t
+    e(
+        "create or replace table cor_t as select k,"
+        " round(v * 2, 2) as v from cor_t where s = 'F'"
+    )
+    # fresh name + parenthesized body: the same acceptance as replace
+    e("create or replace table cor_u as (select count(*) as n from cor_t)")
+    r = e(
+        "select t.k, t.v, u.n from cor_t t cross join cor_u u"
+        " order by t.k"
+    )
+    return spark.createDataFrame(r.rows, "k bigint, v double, n bigint")
+
+
+def u_copy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY (SELECT ...) TO round trip: the query-export form plans
+    through the FULL engine pipeline (here: QUALIFY over a grouped
+    aggregate — SQL Spark alone cannot parse), writes parquet, and
+    the exported file is read straight back as the graded result. The
+    oracle restates the top-50-customers aggregate declaratively."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ce_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table ce_t as select o_orderkey as k, o_custkey as c,"
+        " o_totalprice as v from orders where o_orderkey < 3000"
+    )
+    path = _scratch("andb_ce_out_") + "/export"
+    e(
+        "copy (select c, round(sum(v), 2) as total, count(*) as n"
+        " from ce_t group by c"
+        " qualify row_number() over (order by round(sum(v), 2) desc, c)"
+        " <= 50)"
+        f" to '{path}' format parquet"
+    )
+    return spark.read.parquet(path).orderBy("c")
+
+
+def u_insert_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... BY POSITION (DuckDB's explicit spelling of the
+    default positional binding; api.py normalizes it to the plain
+    INSERT path BEFORE the ON CONFLICT match): a full-width SELECT
+    append and a VALUES append, then select everything."""
+    eng = AnalyticsEngine(
+        _scratch("andb_bp_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table bp_t as select o_orderkey, o_orderstatus,"
+        " o_totalprice from orders where o_orderkey < 400"
+    )
+    e(
+        "insert into bp_t by position select o_orderkey,"
+        " o_orderstatus, o_totalprice from orders"
+        " where o_orderkey >= 400 and o_orderkey < 700"
+    )
+    e("insert into bp_t by position values (999991, 'Z', 1.25)")
+    return spark.table("bp_t").orderBy("o_orderkey")
+
+
+def u_update_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-DML with SUBQUERY sources (r9: api.py::_bind_inline_source
+    binds ``FROM (SELECT ...) alias`` / ``USING (SELECT ...) alias``
+    to a per-statement view named as the alias): UPDATE ... FROM a
+    derived per-customer factor table, then DELETE ... USING a derived
+    key set. The oracle restates the end state declaratively."""
+    eng = AnalyticsEngine(
+        _scratch("andb_jqs_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table jq_t as select o_orderkey, o_custkey,"
+        " o_totalprice from orders where o_orderkey < 1500"
+    )
+    e(
+        "update jq_t set o_totalprice ="
+        " round(jq_t.o_totalprice * s.f, 2) from"
+        " (select distinct o_custkey as k,"
+        " cast(o_custkey % 4 + 1 as double) as f from orders"
+        " where o_orderkey < 1500) s"
+        " where jq_t.o_custkey = s.k and s.f >= 3"
+    )
+    e(
+        "delete from jq_t using"
+        " (select distinct o_custkey as k from orders"
+        " where o_orderkey < 1500 and o_custkey % 4 = 0) d"
+        " where jq_t.o_custkey = d.k"
+    )
+    return spark.table("jq_t").orderBy("o_orderkey")
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -631,9 +802,85 @@ QUERIES = {
     "u_union_by_name": u_union_by_name,
     "u_select_replace": u_select_replace,
     "u_upsert_sql": u_upsert_sql,
+    "q_fetch_first": q_fetch_first,
+    "u_fetch_with_ties": u_fetch_with_ties,
+    "u_union_offset": u_union_offset,
+    "u_create_or_replace": u_create_or_replace,
+    "u_copy_export": u_copy_export,
+    "u_insert_by_position": u_insert_by_position,
+    "u_update_from_subquery": u_update_from_subquery,
 }
 
 ORACLES = {
+    "q_fetch_first": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        OFFSET 10 ROWS FETCH NEXT 25 ROWS ONLY
+    """,
+    "u_fetch_with_ties": """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     rank() OVER (ORDER BY o_orderstatus) AS rk
+              FROM orders WHERE o_orderkey < 8000) t
+        WHERE rk <= 40
+        ORDER BY o_orderkey
+    """,
+    "u_union_offset": """
+        SELECT count(*) AS n, coalesce(max(k), -1) AS mk FROM
+        (SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+         WHERE o_orderkey < 200
+         UNION ALL BY NAME
+         SELECT l_orderkey AS k, l_quantity AS qty FROM lineitem
+         WHERE l_orderkey < 200
+         OFFSET 100000000) t
+    """,
+    "u_create_or_replace": """
+        WITH repl AS (
+            SELECT o_orderkey AS k, round(o_totalprice * 2, 2) AS v
+            FROM orders
+            WHERE o_orderkey < 2000 AND o_orderstatus = 'F'
+        )
+        SELECT t.k, t.v, (SELECT count(*) FROM repl) AS n
+        FROM repl t ORDER BY t.k
+    """,
+    "u_copy_export": """
+        WITH g AS (
+            SELECT o_custkey AS c, round(sum(o_totalprice), 2) AS total,
+                   count(*) AS n,
+                   row_number() OVER (
+                       ORDER BY round(sum(o_totalprice), 2) DESC,
+                                o_custkey) AS rn
+            FROM orders WHERE o_orderkey < 3000
+            GROUP BY o_custkey
+        )
+        SELECT c, total, n FROM g WHERE rn <= 50 ORDER BY c
+    """,
+    "u_insert_by_position": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey < 700
+        UNION ALL
+        SELECT CAST(999991 AS BIGINT), 'Z', CAST(1.25 AS DOUBLE)
+        ORDER BY o_orderkey
+    """,
+    "u_update_from_subquery": """
+        WITH t AS (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey < 1500
+        ),
+        s AS (
+            SELECT DISTINCT o_custkey AS k,
+                   CAST(o_custkey % 4 + 1 AS DOUBLE) AS f
+            FROM orders WHERE o_orderkey < 1500
+        )
+        SELECT t.o_orderkey, t.o_custkey,
+               CASE WHEN s.f >= 3
+                    THEN round(t.o_totalprice * s.f, 2)
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM t JOIN s ON t.o_custkey = s.k
+        WHERE t.o_custkey % 4 <> 0
+        ORDER BY t.o_orderkey
+    """,
     "u_upsert_sql": """
         WITH base AS (
             SELECT o_orderkey AS k, o_totalprice AS v
