@@ -175,9 +175,24 @@ HEADLINE_R09 = (
     "u_select_replace",
 )
 
+# r10 additions (same rule: timed and reported, OUT of the cross-round
+# comparable total; subtotal r10_extension_sec): the five r9 surfaces
+# promoted to driver rows plus the two r10 surfaces (WITH TIES, the
+# set-level-OFFSET subquery-lifted BY NAME union).
+HEADLINE_R10 = (
+    "q_fetch_first",
+    "u_fetch_with_ties",
+    "u_union_offset",
+    "u_create_or_replace",
+    "u_copy_export",
+    "u_insert_by_position",
+    "u_update_from_subquery",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
     + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08 + HEADLINE_R09
+    + HEADLINE_R10
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -243,6 +258,92 @@ def _calibration_probes(spark) -> dict[str, float]:
     vals = sorted(probes.values())
     probes["median"] = vals[len(vals) // 2]
     return probes
+
+
+def _probe_normalized_vs_prev(
+    calibration: dict[str, float], timings: dict[str, float]
+) -> dict | None:
+    """Cross-round comparison normalized by the fixed-cost probes
+    (VERDICT r9 #6 — first round with a prior snapshot carrying a
+    calibration block): per-probe ratio this-round/previous, and the
+    common-query wall-time ratio both RAW and divided by the probe
+    median ratio. A normalized ratio near 1.0 with a raw ratio far
+    from 1.0 is shared-box drift, not code drift."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev, prev_round = None, -1
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        parsed = data.get("parsed", data)
+        if not isinstance(parsed, dict) or not parsed.get("calibration"):
+            # the driver's 2000-char tail window truncates the full
+            # per-query line (r09: parsed=null) — recover the
+            # calibration block and whatever query pairs survive in
+            # the tail text
+            tail = data.get("tail") or ""
+            cm = re.search(r'"calibration":\s*(\{[^}]*\})', tail)
+            if not cm:
+                continue
+            sfm = re.search(r'"sf":\s*([0-9.]+)', tail)
+            parsed = {
+                "calibration": json.loads(cm.group(1)),
+                "sf": float(sfm.group(1)) if sfm else None,
+                "queries": {
+                    k: float(v)
+                    for k, v in re.findall(
+                        r'"([a-z]\w+)":\s*([0-9.]+)', tail[: cm.start()]
+                    )
+                    if k
+                    not in (
+                        "sf", "value", "n_runs", "spread_floor_sec",
+                        "r01_subset_sec",
+                    )
+                    and not k.endswith("_extension_sec")
+                },
+            }
+        if parsed.get("queries"):
+            rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            if rnd > prev_round:
+                prev_round, prev = rnd, parsed
+    if prev is None:
+        return None
+    probe_ratios = {
+        k: round(calibration[k] / prev["calibration"][k], 3)
+        for k in ("cpu_sum_100m", "shuffle_fixed_2m", "engine_lifecycle")
+        if prev["calibration"].get(k)
+    }
+    probe_median = sorted(probe_ratios.values())[len(probe_ratios) // 2]
+    common = [
+        n for n in timings
+        if isinstance(prev["queries"].get(n), (int, float))
+        and prev["queries"][n] > 0
+    ]
+    raw = (
+        round(
+            sum(timings[n] for n in common)
+            / sum(prev["queries"][n] for n in common), 3
+        )
+        if common else None
+    )
+    return {
+        "prev_round": prev_round,
+        # ratios are only like-for-like when the scale factor matches
+        # the previous snapshot's (the driver always runs sf0.1)
+        "prev_sf": prev.get("sf"),
+        "probe_ratios": probe_ratios,
+        "probe_median_ratio": probe_median,
+        "common_n": len(common),
+        "common_total_ratio_raw": raw,
+        "common_total_ratio_probe_normalized": (
+            round(raw / probe_median, 3)
+            if raw is not None and probe_median else None
+        ),
+    }
 
 
 def main() -> None:
@@ -323,6 +424,8 @@ def main() -> None:
     r07_ext = round(sum(timings[n] for n in HEADLINE_R07), 3)
     r08_ext = round(sum(timings[n] for n in HEADLINE_R08), 3)
     r09_ext = round(sum(timings[n] for n in HEADLINE_R09), 3)
+    r10_ext = round(sum(timings[n] for n in HEADLINE_R10), 3)
+    vs_prev = _probe_normalized_vs_prev(calibration, timings)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
     # driver's tail capture and arrived truncated mid-JSON
@@ -339,6 +442,42 @@ def main() -> None:
             }
         )
     )
+    full_record = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sub_floor_jitter_abs_sec": jitter_abs,
+        "sf": sf,
+        "n_runs": n_runs,
+        "calibration": calibration,
+        "vs_prev": vs_prev,
+    }
+    subtotals = {
+        "r01_subset_sec": r01,
+        "r06_extension_sec": r06_ext,
+        "r07_extension_sec": r07_ext,
+        "r08_extension_sec": r08_ext,
+        "r09_extension_sec": r09_ext,
+        "r10_extension_sec": r10_ext,
+    }
+    full_record.update(subtotals)
+    # Durable full record: the driver's 2000-char stdout tail cannot
+    # truncate a file — per-query cross-round history reads from here
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_LAST_FULL.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(full_record, f, indent=1)
+    except OSError as e:
+        print(f"# full-record dump failed: {e}", file=sys.stderr)
+    # Full per-query record on its own line (the driver's tail window
+    # keeps the END of stdout, so most of this survives verbatim) ...
     print(
         json.dumps(
             {
@@ -347,17 +486,38 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "r01_subset_sec": r01,
-                "r06_extension_sec": r06_ext,
-                "r07_extension_sec": r07_ext,
-                "r08_extension_sec": r08_ext,
-                "r09_extension_sec": r09_ext,
+                **subtotals,
                 "n_runs": n_runs,
-                # fixed-cost box-drift probes: divide cross-round
-                # per-query ratios by the probe-median ratio before
-                # reading them as code drift (VERDICT r8 #4)
-                "calibration": calibration,
             }
+        )
+    )
+    # ... and the LAST line stays under the driver's 2000-char tail
+    # window so it parses whole (r04–r09: the ~100-query line overgrew
+    # the window and every snapshot landed with parsed=null). It keeps
+    # the contract shape with the 10 slowest queries inline; the full
+    # map is the line above.
+    slow10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": slow10,
+                "queries_note": "10 slowest; full map on previous line",
+                "sf": sf,
+                **subtotals,
+                "n_runs": n_runs,
+                # cross-round ratio vs the newest committed snapshot,
+                # raw AND divided by the probe-median ratio (r9 #6):
+                # read the normalized number as code drift
+                "vs_prev": vs_prev,
+                # fixed-cost box-drift probes (VERDICT r8 #4)
+                "calibration": calibration,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -1360,6 +1360,50 @@ def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
     eng.close()
 
 
+def test_explain_with_ties_is_plan_only(ubn_engines):
+    """EXPLAIN of a WITH TIES statement must not launch the boundary
+    probe jobs (TakeOrdered + reversed-order collect): under
+    ``self._planning`` the rewrite emits the rank()-window plan shape
+    instead. Canary: a poison UDF view that raises on execution —
+    EXPLAIN must plan over it without firing."""
+    eng, _con = ubn_engines
+
+    def _boom2():
+        raise RuntimeError("executed during EXPLAIN")
+
+    eng.spark.udf.register("andb_test_boom2", _boom2, "int")
+    eng.spark.sql(
+        "select andb_test_boom2() as pv"
+    ).createOrReplaceTempView("poison_ft")
+    try:
+        r = eng.execute(
+            "explain select pv from poison_ft order by pv"
+            " fetch first 2 rows with ties"
+        )
+        assert "Plan" in r.columns[0]
+        assert "fetch with ties" in r.rows[0][0]
+    finally:
+        eng.spark.catalog.dropTempView("poison_ft")
+    # the EXECUTED spelling fires the canary — proving it detects
+    # execution (same proof obligation as the quantified canary)
+    eng.spark.sql(
+        "select andb_test_boom2() as pv"
+    ).createOrReplaceTempView("poison_ft2")
+    try:
+        with pytest.raises(Exception, match="executed during EXPLAIN"):
+            eng.execute(
+                "select pv from poison_ft2 order by pv"
+                " fetch first 2 rows with ties"
+            )
+    finally:
+        eng.spark.catalog.dropTempView("poison_ft2")
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("_ft_")
+    ]
+    assert leaks == []
+
+
 def test_explain_quantified_is_plan_only(quant_engines):
     """Plain EXPLAIN of a quantified statement must not execute the
     eager stats aggregation — the rewrite takes the lazy plan-only
