@@ -2902,18 +2902,22 @@ class AnalyticsEngine:
 
         Plan (scale-first — NO global-order window, which would sort
         the whole input into one task): (1) TakeOrdered o+n rows with
-        the order expressions carried as helper columns; (2) probe the
-        boundary = the LAST of those rows, via the REVERSED order +
-        LIMIT 1 (one row to the driver, never o+n); (3) result = the
-        top rows that don't tie with the boundary (a local filter)
-        UNION the full input filtered to boundary-tied rows — a
-        predicate scan, null-safe-equal on every sort key. Two scans
-        of the source at any scale instead of one total sort. When the
-        input has fewer than o+n rows there is no boundary and the
-        top set IS the result. The ORDER BY must reference columns the
-        statement projects (refused by name otherwise — project the
-        ordering expression first; Postgres resolves against the
-        source scope instead, a documented boundary).
+        the order expressions carried as helper columns; (2) the
+        boundary = the LAST of those rows under the order; (3) result
+        = the top rows that don't tie with the boundary UNION the full
+        input filtered to boundary-tied rows — a predicate scan,
+        null-safe-equal on every sort key. Two bounded scans of the
+        source at any scale instead of one total sort. For the common
+        small page (o+n <= 8192) the top set collects in ONE job and
+        becomes a local relation, so the tie scan is the only cluster
+        work; a larger o+n keeps the set distributed (persist) and
+        probes the boundary via the REVERSED order + LIMIT 1 — one
+        row to the driver, never o+n. When the input has fewer than
+        o+n rows there is no boundary and the top set IS the result.
+        The ORDER BY must reference columns the statement projects
+        (refused by name otherwise — project the ordering expression
+        first; Postgres resolves against the source scope instead, a
+        documented boundary).
 
         EXPLAIN (``self._planning``) must not launch the probe job:
         the plan-only path emits the equivalent rank()-window SQL over
@@ -2962,37 +2966,59 @@ class AnalyticsEngine:
                     + (f" offset {off}" if off else ""), views
                 )
             top = df.orderBy(*sort_cols).limit(off + n)
-            top = top.persist()
-            try:
-                rev = [
-                    self._order_spec(F.col(h), d, nl, reverse=True)
-                    for h, (_e, d, nl) in zip(helpers, items)
-                ]
-                last = top.orderBy(*rev).limit(1).collect()
-                if len(last) == 1 and top.count() == off + n:
-                    b = last[0]
-                    tie = None
-                    for h in helpers:
-                        c = F.col(h).eqNullSafe(
-                            F.lit(b[h]).cast(top.schema[h].dataType)
-                        )
-                        tie = c if tie is None else (tie & c)
-                    final = top.filter(~tie).unionByName(
+
+            def _tie_pred(boundary):
+                tie = None
+                for h in helpers:
+                    c = F.col(h).eqNullSafe(
+                        F.lit(boundary[h]).cast(top.schema[h].dataType)
+                    )
+                    tie = c if tie is None else (tie & c)
+                return tie
+
+            if off + n <= 8192:
+                # small page: ONE bounded job; the collected top set
+                # becomes a local relation, and the boundary is its
+                # last row (collect() of orderBy().limit() preserves
+                # the sort). Filtering the LOCAL relation with the
+                # same eqNullSafe predicate keeps SQL tie semantics
+                # (NULL/NaN handling) identical to the cluster side.
+                rows = top.collect()
+                topdf = self.spark.createDataFrame(rows, top.schema)
+                if len(rows) < off + n:
+                    final = topdf  # the top set is complete
+                else:
+                    tie = _tie_pred(rows[-1])
+                    final = topdf.filter(~tie).unionByName(
                         df.filter(tie)
                     )
-                else:  # fewer than o+n rows: the top set is complete
-                    final = top
-                # materialize NOW (one job, bounded by the result
-                # size) so `top` can unpersist before returning — a
-                # lazy view over the persisted frame would recompute
-                # the TakeOrdered after the unpersist below
-                rows = final.drop(*helpers).collect()
-                self.spark.createDataFrame(
-                    rows, final.drop(*helpers).schema
-                ).createOrReplaceTempView(view)
+                final.drop(*helpers).createOrReplaceTempView(view)
                 views.append(view)
-            finally:
-                top.unpersist()
+            else:
+                top = top.persist()
+                try:
+                    rev = [
+                        self._order_spec(F.col(h), d, nl, reverse=True)
+                        for h, (_e, d, nl) in zip(helpers, items)
+                    ]
+                    last = top.orderBy(*rev).limit(1).collect()
+                    if len(last) == 1 and top.count() == off + n:
+                        final = top.filter(
+                            ~_tie_pred(last[0])
+                        ).unionByName(df.filter(_tie_pred(last[0])))
+                    else:  # fewer than o+n rows: top set is complete
+                        final = top
+                    # materialize NOW (one job, bounded by the result
+                    # size) so `top` can unpersist before returning —
+                    # a lazy view over the persisted frame would
+                    # recompute the TakeOrdered after the unpersist
+                    rows = final.drop(*helpers).collect()
+                    self.spark.createDataFrame(
+                        rows, final.drop(*helpers).schema
+                    ).createOrReplaceTempView(view)
+                    views.append(view)
+                finally:
+                    top.unpersist()
             return (
                 f"select * from {view} order by {order_text}"
                 + (f" offset {off}" if off else ""), views
