@@ -2854,6 +2854,28 @@ class AnalyticsEngine:
                 " statement's own final clause — rewrite nested uses"
                 " as rank() <= n via QUALIFY"
             )
+        # LIMIT p% / LIMIT p PERCENT (DuckDB percent limit), with an
+        # OFFSET on either side — statement-final, top level only
+        lp = re.search(
+            r"(?:\boffset\s+(\d+)\s+(?:rows?\s+)?)?"
+            r"\blimit\s+(\d+(?:\.\d+)?)\s*(?:%|percent\b)"
+            r"(?:\s+offset\s+(\d+))?\s*$",
+            blanked, re.I,
+        )
+        if lp is not None and not _paren_depth_at(blanked, lp.start()):
+            return self._limit_percent(
+                stmt[: lp.start()].rstrip(),
+                float(lp.group(2)),
+                int(lp.group(1) or lp.group(3) or 0),
+            )
+        if re.search(
+            r"\blimit\s+[\d.]+\s*(?:%|percent\b)", blanked, re.I
+        ):
+            raise EngineError(
+                "LIMIT n% is only supported as the statement's own"
+                " final clause — rewrite nested uses with an explicit"
+                " row count"
+            )
         pat = re.compile(
             r"\boffset\s+(\d+)\s+rows?\b"
             r"(\s+fetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?\s+only\b)?"
@@ -2890,6 +2912,40 @@ class AnalyticsEngine:
                 " integer count"
             )
         return stmt, []
+
+    def _limit_percent(
+        self, head: str, pct: float, off: int
+    ) -> tuple[str, list[str]]:
+        """``LIMIT p% [OFFSET m]`` (DuckDB percent limit; either
+        clause order): the row budget is floor(p/100 x the statement's
+        TOTAL row count, before OFFSET) — probed on this DuckDB build
+        (15% of 10 -> 1; ``limit 50% offset 2`` on 10 rows -> 5 rows
+        starting at the 3rd). Out-of-range percentages error exactly
+        like DuckDB. Two bounded passes: one count scan (Catalyst's
+        EliminateSorts drops any ORDER BY under the count) and the
+        LIMIT-pushdown scan of the final statement — the same
+        cardinality probe any engine needs for a percent limit.
+        EXPLAIN must not run the count: the plan-only path emits the
+        unlimited statement over the lazy view."""
+        if not 0 <= pct <= 100:
+            raise EngineError(
+                "LIMIT percent out of range, should be between 0%"
+                " and 100%"
+            )
+        df, views = self._plan_engine_select(head)
+        try:
+            view = f"_lp_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            views.append(view)
+            if self._planning:
+                return f"select * from {view}", views
+            k = int(df.count() * pct / 100.0)
+            tail = f" limit {k}" + (f" offset {off}" if off else "")
+            return f"select * from {view}{tail}", views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
 
     def _fetch_with_ties(
         self, head: str, off: int, n: int

@@ -1360,6 +1360,44 @@ def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
     eng.close()
 
 
+def test_limit_percent_matches_duckdb(ubn_engines):
+    """``LIMIT p%`` / ``LIMIT p PERCENT`` (DuckDB percent limit;
+    api.py::_limit_percent — floor of p/100 x the pre-OFFSET total,
+    one count scan + the limited scan): identical SQL both engines
+    across fractional percentages, both spellings, OFFSET on either
+    side, 0%/100% boundaries; out-of-range and nested spellings are
+    named refusals (DuckDB errors on out-of-range too)."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    for sql in (
+        "select k, b from ua order by k, b limit 50%",
+        "select k, b from ua order by k, b limit 34 percent",
+        "select k, b from ua order by k, b limit 0%",
+        "select k, b from ua order by k, b limit 100%",
+        "select k, b from ua order by k, b limit 99.9%",
+        "select k, b from ua order by k, b limit 67% offset 1",
+        "select k, b from ua order by k, b offset 1 limit 67%",
+        # over an engine surface (the head plans through the full
+        # pipeline)
+        "select k, b from ua union all by name select b, k, c from ub"
+        " order by k, b, c nulls last limit 50%",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    with pytest.raises(EngineError, match="out of range"):
+        eng.execute("select k from ua limit 150%")
+    with pytest.raises(EngineError, match="final clause"):
+        eng.execute(
+            "select max(x.k) as mk from"
+            " (select k from ua order by k limit 50%) x"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith("_lp_")
+    ]
+    assert leaks == []
+
+
 def test_explain_with_ties_is_plan_only(ubn_engines):
     """EXPLAIN of a WITH TIES statement must not launch the boundary
     probe jobs (TakeOrdered + reversed-order collect): under
