@@ -2837,7 +2837,7 @@ class AnalyticsEngine:
 
         blanked = _blank_literals(stmt)
         wt = re.search(
-            r"(?:\boffset\s+(\d+)\s+rows?\s+)?"
+            r"(?:\boffset\s+(\d+)\s+(?:rows?\s+)?)?"
             r"\bfetch\s+(?:first|next)\s+(?:(\d+)\s+)?rows?"
             r"\s+with\s+ties\s*$",
             blanked, re.I,
@@ -2848,7 +2848,13 @@ class AnalyticsEngine:
                 int(wt.group(1) or 0),
                 int(wt.group(2) or 1),
             )
-        if re.search(r"\bwith\s+ties\b", blanked, re.I):
+        # nested / non-final FULL spelling only — a CTE or column
+        # merely NAMED "ties" must not trip this (review r10 #2)
+        if re.search(
+            r"\bfetch\s+(?:first|next)\s+(?:\d+\s+)?rows?"
+            r"\s+with\s+ties\b",
+            blanked, re.I,
+        ):
             raise EngineError(
                 "FETCH ... WITH TIES is only supported as the"
                 " statement's own final clause — rewrite nested uses"
@@ -2863,6 +2869,9 @@ class AnalyticsEngine:
             blanked, re.I,
         )
         if lp is not None and not _paren_depth_at(blanked, lp.start()):
+            if lp.group(1) and lp.group(3):
+                # DuckDB rejects a doubled OFFSET too
+                raise EngineError("OFFSET specified more than once")
             return self._limit_percent(
                 stmt[: lp.start()].rstrip(),
                 float(lp.group(2)),
@@ -2899,13 +2908,14 @@ class AnalyticsEngine:
         if out:
             out.append(stmt[pos:])
             stmt = "".join(out)
+            blanked = _blank_literals(stmt)  # re-blank: text changed
         # residual catch-all (r9 ADVICE #3): an ANSI FETCH/OFFSET-ROWS
         # spelling the literal-only pattern could not consume (an
         # expression or parameter count — DuckDB refuses those too)
         # must fail by name, not as Spark's raw parse error
         if re.search(
             r"\bfetch\s+(?:first|next)\b|\boffset\s+\S+\s+rows?\b",
-            _blank_literals(stmt), re.I,
+            blanked, re.I,
         ):
             raise EngineError(
                 "FETCH FIRST / OFFSET ... ROWS requires a literal"
@@ -2993,6 +3003,21 @@ class AnalyticsEngine:
         ]
         df, views = self._plan_engine_select(head[: ob[0]].rstrip())
         try:
+            # ordinal ORDER BY (`order by 1`): a bare integer is a
+            # select-list POSITION everywhere else in the engine
+            # (Spark orderByOrdinal) — F.expr would build a constant
+            # sort key and every row would tie (review r10 #1)
+            resolved = []
+            for e, d, nl in items:
+                if e.isdigit():
+                    if not 1 <= int(e) <= len(df.columns):
+                        raise EngineError(
+                            f"ORDER BY position {e} is not in the"
+                            " select list"
+                        )
+                    e = df.columns[int(e) - 1]
+                resolved.append((e, d, nl))
+            items = resolved
             helpers = [f"_ft_o{i}" for i in range(len(items))]
             try:
                 for h, (e, _d, _nl) in zip(helpers, items):
@@ -3041,8 +3066,11 @@ class AnalyticsEngine:
                 # (NULL/NaN handling) identical to the cluster side.
                 rows = top.collect()
                 topdf = self.spark.createDataFrame(rows, top.schema)
-                if len(rows) < off + n:
-                    final = topdf  # the top set is complete
+                if len(rows) < off + n or not rows:
+                    # top set complete — or an empty page (FETCH
+                    # FIRST 0 ROWS: Postgres returns nothing; there
+                    # is no boundary row to tie with, review r10 #4)
+                    final = topdf
                 else:
                     tie = _tie_pred(rows[-1])
                     final = topdf.filter(~tie).unionByName(
@@ -3064,14 +3092,16 @@ class AnalyticsEngine:
                         ).unionByName(df.filter(_tie_pred(last[0])))
                     else:  # fewer than o+n rows: top set is complete
                         final = top
-                    # materialize NOW (one job, bounded by the result
-                    # size) so `top` can unpersist before returning —
-                    # a lazy view over the persisted frame would
-                    # recompute the TakeOrdered after the unpersist
-                    rows = final.drop(*helpers).collect()
-                    self.spark.createDataFrame(
-                        rows, final.drop(*helpers).schema
-                    ).createOrReplaceTempView(view)
+                    # materialize NOW — but on the EXECUTORS, never
+                    # the driver (review r10 #6: a collect() here
+                    # would pull o+n+ties rows through the driver for
+                    # a result a CTAS/INSERT consumer keeps
+                    # distributed). localCheckpoint cuts the lineage,
+                    # so `top` can unpersist before returning.
+                    final = final.drop(*helpers).localCheckpoint(
+                        eager=True
+                    )
+                    final.createOrReplaceTempView(view)
                     views.append(view)
                 finally:
                     top.unpersist()

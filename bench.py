@@ -317,6 +317,8 @@ def _probe_normalized_vs_prev(
         for k in ("cpu_sum_100m", "shuffle_fixed_2m", "engine_lifecycle")
         if prev["calibration"].get(k)
     }
+    if not probe_ratios:  # unrecognizable calibration block: no basis
+        return None
     probe_median = sorted(probe_ratios.values())[len(probe_ratios) // 2]
     common = [
         n for n in timings

@@ -904,6 +904,56 @@ def test_fetch_with_ties_matches_postgres_semantics(ubn_engines):
     assert leaks == []
 
 
+def test_fetch_with_ties_review_fixes(ubn_engines):
+    """r10 review findings pinned: (1) ordinal ORDER BY is a
+    select-list POSITION, not a constant (a constant helper would
+    make every row tie); out-of-range ordinals refuse by name;
+    (2) a CTE merely NAMED `ties` is not a WITH TIES spelling;
+    (3) bare `OFFSET o` (no ROWS) before the fetch clause is the
+    same composition as `OFFSET o ROWS`; (4) FETCH FIRST 0 ROWS
+    WITH TIES returns zero rows (Postgres), not an IndexError;
+    (5) LIMIT p% with OFFSET on both sides is a named refusal
+    (DuckDB rejects the doubled OFFSET too)."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    # (1) ordinal: order by 2 = column b; ua.b = 10,20,20 so FIRST 2
+    # pulls the b=20 tie pair -> 3 rows; a constant key would return
+    # ALL rows of ua+... (here: same 3, so use FIRST 1: b=10 -> 1 row;
+    # constant key would return all 3)
+    r = eng.execute(
+        "select k, b from ua order by 2 fetch first 1 rows with ties"
+    )
+    assert sorted(r.rows) == [(1, 10)]
+    with pytest.raises(EngineError, match="position 9"):
+        eng.execute(
+            "select k, b from ua order by 9 fetch first 1 rows with ties"
+        )
+    # (2) a CTE named ties executes
+    sql = "with ties as (select k from ua) select k from ties order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # (3) bare OFFSET composes like OFFSET ... ROWS
+    a = eng.execute(
+        "select k, b from ua order by k offset 1"
+        " fetch next 1 rows with ties"
+    )
+    b = eng.execute(
+        "select k, b from ua order by k offset 1 rows"
+        " fetch next 1 rows with ties"
+    )
+    assert sorted(a.rows) == sorted(b.rows) == [(2, 20), (2, 20)]
+    # (4) zero-row page
+    r = eng.execute(
+        "select k from ua order by k fetch first 0 rows with ties"
+    )
+    assert r.rows == []
+    # (5) doubled OFFSET around a percent limit
+    with pytest.raises(EngineError, match="more than once"):
+        eng.execute(
+            "select k from ua order by k offset 1 limit 50% offset 2"
+        )
+
+
 _SREP_SHAPES = (
     ("single", "select * replace (b * 2 as b) from ua order by k, b"),
     (
