@@ -2363,6 +2363,21 @@ class AnalyticsEngine:
         name. Returns (statement, views-to-drop)."""
         m = re.match(r"^\s*select\s+distinct\s+on\s*\(", stmt, re.I)
         if not m:
+            # catch-all: the spelling anywhere the anchored rewrite
+            # can't reach (a FROM subquery; a WITH RECURSIVE prefix —
+            # plain WITH prefixes are unwrapped by the CTE binder
+            # before this runs) must fail by name with a working
+            # workaround, not as Spark's cryptic UNRESOLVED_ROUTINE
+            # `on` parse error (r10 probe)
+            if re.search(
+                r"\bselect\s+distinct\s+on\s*\(",
+                _blank_literals(stmt), re.I,
+            ):
+                raise EngineError(
+                    "DISTINCT ON here is not supported — lift it into"
+                    " a WITH clause body or make it the statement's"
+                    " own select list"
+                )
             return stmt, []
         # scan to the matching close paren (keys may hold nested calls)
         depth = 1
@@ -4077,12 +4092,15 @@ class AnalyticsEngine:
                 continue
             main = stmt[i:].strip()
             break
-        # QUALIFY / DISTINCT ON only force binding when they sit in a
-        # CTE BODY: at the main statement they're handled natively by
-        # the depth-0 rewrites over the whole WITH statement, and
-        # binding would eagerly materialize CTEs Spark plans lazily
-        # today. ASOF/range force binding wherever they appear (their
-        # rewrites resolve sources via spark.table()).
+        # QUALIFY only forces binding when it sits in a CTE BODY: at
+        # the main statement its keyword-scan rewrite handles the
+        # whole WITH statement natively. DISTINCT ON also binds when
+        # the MAIN statement IS a distinct-on select (r10 probe: its
+        # rewrite is anchored at ^SELECT, so a WITH prefix slipped
+        # through to Spark's parser as a raw UNRESOLVED_ROUTINE `on`
+        # error where DuckDB executes). ASOF/range force binding
+        # wherever they appear (their rewrites resolve sources via
+        # spark.table()).
         # quantified comparisons bind like ASOF wherever they appear:
         # their rewrite spark.sql's the subquery text standalone, so a
         # CTE referenced inside it must already be a view
@@ -4101,6 +4119,10 @@ class AnalyticsEngine:
             or re.search(
                 r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
                 r"\*\s+replace\s*\(", blanked, re.I,
+            )
+            or re.match(
+                r"^\s*select\s+distinct\s+on\s*\(",
+                re.sub(r"'(?:[^']|'')*'", "''", main), re.I,
             )
             or any(
                 re.search(r"\bqualify\b", bb, re.I)

@@ -1378,20 +1378,24 @@ def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
 
     eng = AnalyticsEngine(str(tmp_path / "whcs"), spark=spark)
     con = duckdb.connect()
+    # table name deliberately NOT `ua`: managed tables bind
+    # session-global temp views, so reusing the ubn_engines fixture's
+    # name here would clobber its binding for every later test in the
+    # module (r10: exactly that ordering trap)
     for run in (eng.execute, con.execute):
-        run("create table ua (k int, a varchar(4), b int)")
-        run("insert into ua values (1,'x',10), (1,'z',15), (2,'y',20)")
+        run("create table cs_src (k int, a varchar(4), b int)")
+        run("insert into cs_src values (1,'x',10), (1,'z',15), (2,'y',20)")
         run(
             "create table top1 as select distinct on (k) k, a, b"
-            " from ua order by k, b desc"
+            " from cs_src order by k, b desc"
         )
         run(
-            "create table ubig as select k, b from ua"
-            " union all by name select b, k from ua"
+            "create table ubig as select k, b from cs_src"
+            " union all by name select b, k from cs_src"
         )
         run("create table picks (k int, b int)")
         run(
-            "insert into picks select k, b from ua qualify"
+            "insert into picks select k, b from cs_src qualify"
             " row_number() over (partition by k order by b) = 1"
         )
     for sql in (
@@ -1408,6 +1412,45 @@ def test_ctas_and_insert_select_compose_with_surfaces(spark, tmp_path):
     ]
     assert leaks == []
     eng.close()
+
+
+def test_distinct_on_with_cte_prefix_matches_duckdb(ubn_engines):
+    """DISTINCT ON as the MAIN statement of a WITH clause (r10 probe:
+    the rewrite is anchored at ^SELECT, so the WITH prefix slipped
+    through to Spark's parser as a raw UNRESOLVED_ROUTINE error where
+    DuckDB executes; the CTE binder now unwraps when the main IS a
+    distinct-on select). Subquery spellings are a NAMED refusal with
+    the WITH-clause workaround spelled out."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    for sql in (
+        "with w as (select k, b from ua)"
+        " select distinct on (k) k, b from w order by k, b desc",
+        "with w as (select k, b from ua where b >= 10)"
+        " select distinct on (k) k, b from w"
+        " order by k, b desc limit 2",
+        # two CTEs, the main distinct-on over their join
+        "with w as (select k, b from ua), v as (select k, a from ua)"
+        " select distinct on (w.k) w.k, w.b, v.a from w"
+        " join v on v.k = w.k order by w.k, w.b desc, v.a",
+        # distinct-on in a BODY and in the main, together
+        "with w as (select distinct on (k) k, b from ua"
+        " order by k, b desc)"
+        " select distinct on (b) b, k from w order by b, k",
+    ):
+        ours = eng.execute(sql)
+        assert ours.rows == con.execute(sql).fetchall(), sql
+    with pytest.raises(EngineError, match="WITH clause"):
+        eng.execute(
+            "select * from (select distinct on (k) k, b from ua"
+            " order by k, b) t"
+        )
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_cte_", "_don_"))
+    ]
+    assert leaks == []
 
 
 def test_limit_percent_matches_duckdb(ubn_engines):
