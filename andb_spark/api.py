@@ -3016,7 +3016,11 @@ class AnalyticsEngine:
             self._parse_order_item(o)
             for o in self._split_top_level(order_text)
         ]
-        df, views = self._plan_engine_select(head[: ob[0]].rstrip())
+        # plan the FULL head, ORDER BY included: a DISTINCT ON head
+        # NEEDS its ORDER BY (r10 probe — stripping it here made the
+        # composition refuse), and the redundant inner sort under the
+        # TakeOrdered below is removed by Catalyst's EliminateSorts
+        df, views = self._plan_engine_select(head)
         try:
             # ordinal ORDER BY (`order by 1`): a bare integer is a
             # select-list POSITION everywhere else in the engine

@@ -886,6 +886,25 @@ def test_fetch_with_ties_matches_postgres_semantics(ubn_engines):
             " with ties",
             "select k, b from ua order by k % 1",
         ),
+        # over a DISTINCT ON head (r10 probe: the head keeps its
+        # ORDER BY — stripping it broke the composition)
+        (
+            "select distinct on (k) k, b from ua order by k, b desc"
+            " fetch first 2 rows with ties",
+            "select k, b from (select k, b, rank() over (order by k)"
+            " rk from (select distinct on (k) k, b from ua"
+            " order by k, b desc) d) t where rk <= 2 order by k",
+        ),
+        # under a WITH prefix
+        (
+            "with w as (select k, b from ua where b >= 10)"
+            " select k, b from w order by b, k"
+            " fetch first 2 rows with ties",
+            "with w as (select k, b from ua where b >= 10)"
+            " select k, b from (select k, b, rank() over"
+            " (order by b, k) rk from w) t where rk <= 2"
+            " order by b, k",
+        ),
     )
     for ours_sql, duck_sql in cases:
         ours = eng.execute(ours_sql)
@@ -893,9 +912,13 @@ def test_fetch_with_ties_matches_postgres_semantics(ubn_engines):
         assert sorted(ours.rows) == duck, ours_sql
     with pytest.raises(EngineError, match="requires ORDER BY"):
         eng.execute("select k from ua fetch first 2 rows with ties")
+    # b exists in the SOURCE but not the projection: Spark resolves
+    # the bare ORDER BY natively, so the head plans — the tie helper
+    # is what refuses, by name (a nonexistent column errors earlier,
+    # with Spark's UNRESOLVED_COLUMN diagnostics)
     with pytest.raises(EngineError, match="projects"):
         eng.execute(
-            "select k from ua order by c fetch first 2 rows with ties"
+            "select k from ua order by b fetch first 2 rows with ties"
         )
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
