@@ -3256,6 +3256,71 @@ class AnalyticsEngine:
             raise
         return f"select * from {view}{trailing}", views
 
+    def _lift_engine_subqueries(self, stmt: str) -> tuple[str, list[str]]:
+        """Generic subquery lift for the select-anchored engine-only
+        surfaces (r10 — closes the composability class the BY NAME
+        lift opened): a parenthesized subquery whose content carries a
+        top-level QUALIFY, a leading DISTINCT ON, or a leading
+        star-REPLACE cannot reach the depth-0 rewrites and previously
+        died as a raw Spark parse error (QUALIFY) or a named refusal
+        (the others) where DuckDB executes inline. Each such group
+        plans through the FULL engine pipeline standalone
+        (``_plan_engine_select`` — which re-enters this lift, so
+        nesting composes) and splices to a select over the bound lazy
+        view. Purely structural: views are named logical plans, the
+        outer statement's own plan is unchanged. Correlated bodies
+        cannot bind standalone and are refused by name. Groups with
+        none of the spellings pass through untouched — Spark plans
+        them natively (LATERAL correlation intact)."""
+        blanked = _blank_literals(stmt)
+        out: list[str] = []
+        views: list[str] = []
+        i = 0
+        changed = False
+        try:
+            while i < len(stmt):
+                if blanked[i] == "(":
+                    cp = self._match_paren(stmt, i)
+                    inner = stmt[i + 1: cp].strip()
+                    ib = _blank_literals(inner)
+                    needs = bool(re.match(r"^\s*select\b", ib, re.I)) and (
+                        self._find_top_level_keyword(ib, ("qualify",))
+                        is not None
+                        or re.match(
+                            r"^\s*select\s+distinct\s+on\s*\(", ib, re.I
+                        )
+                        or re.match(
+                            r"^\s*select\s+(distinct\s+)?\*\s+replace"
+                            r"\s*\(", ib, re.I,
+                        )
+                    )
+                    if needs:
+                        try:
+                            df, v = self._plan_engine_select(inner)
+                        except EngineError:
+                            raise
+                        except Exception as e:
+                            raise EngineError(
+                                "QUALIFY / DISTINCT ON / * REPLACE in"
+                                " a subquery must be uncorrelated"
+                                f" (the body plans standalone): {e}"
+                            ) from e
+                        views += v
+                        view = f"_esq_{uuid.uuid4().hex[:8]}"
+                        df.createOrReplaceTempView(view)
+                        views.append(view)
+                        out.append(f"(select * from {view})")
+                        changed = True
+                        i = cp + 1
+                        continue
+                out.append(stmt[i])
+                i += 1
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+        return ("".join(out) if changed else stmt), views
+
     def _lift_union_by_name_subqueries(
         self, stmt: str, blanked: str
     ) -> tuple[str, list[str]]:
@@ -4128,6 +4193,20 @@ class AnalyticsEngine:
                 r"^\s*select\s+distinct\s+on\s*\(",
                 re.sub(r"'(?:[^']|'')*'", "''", main), re.I,
             )
+            # QUALIFY / DISTINCT ON nested inside a MAIN-statement
+            # subquery (r10): the generic subquery lift runs after
+            # this binder and plans the group standalone, so any CTE
+            # it references must already be a view
+            or (
+                (mb := re.sub(r"'(?:[^']|'')*'", "''", main))
+                and re.search(r"\bqualify\b", mb, re.I)
+                and self._find_top_level_keyword(mb, ("qualify",))
+                is None
+            )
+            or re.search(
+                r"\(\s*select\s+distinct\s+on\s*\(",
+                re.sub(r"'(?:[^']|'')*'", "''", main), re.I,
+            )
             or any(
                 re.search(r"\bqualify\b", bb, re.I)
                 or re.search(r"\bselect\s+distinct\s+on\s*\(", bb, re.I)
@@ -4232,6 +4311,8 @@ class AnalyticsEngine:
         try:
             stmt, v = self._bind_ctes_for_surfaces(stmt)
             rewrite_views += v
+            stmt, v = self._lift_engine_subqueries(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_union_by_name(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_distinct_on(stmt)
@@ -4270,6 +4351,7 @@ class AnalyticsEngine:
             for rw in (
                 self._rewrite_fetch_first,
                 self._bind_ctes_for_surfaces,
+                self._lift_engine_subqueries,
                 self._rewrite_union_by_name,
                 self._rewrite_distinct_on,
                 self._rewrite_asof,
@@ -4453,6 +4535,8 @@ class AnalyticsEngine:
         try:
             inner, ft_views = self._rewrite_fetch_first(inner)
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
+            inner, v = self._lift_engine_subqueries(inner)
+            cte_views += v
             inner, ubn_views = self._rewrite_union_by_name(inner)
             inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)

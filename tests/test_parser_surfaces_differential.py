@@ -1017,19 +1017,22 @@ def test_select_replace_matches_duckdb(ubn_engines, label, sql):
 
 
 def test_select_replace_edges(ubn_engines):
-    """Unknown target and nested star-REPLACE are refused by name; a
-    multiplication by the replace() STRING FUNCTION must never trip
-    the surface detector."""
+    """Unknown target and mid-select-list star-REPLACE are refused by
+    name — a FROM-subquery star-REPLACE now LIFTS and executes (r10
+    generic subquery lift) — and a multiplication by the replace()
+    STRING FUNCTION must never trip the surface detector."""
     from andb_spark.api import EngineError
 
     eng, con = ubn_engines
     with pytest.raises(EngineError, match="not in the"):
         eng.execute("select * replace (1 as nope) from ua")
+    sql = (
+        "select * from"
+        " (select * replace (b * 2 as b) from ua) t order by k, b"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
     with pytest.raises(EngineError, match="outer query"):
-        eng.execute(
-            "select * from"
-            " (select * replace (b * 2 as b) from ua) t"
-        )
+        eng.execute("select k, * replace (b * 2 as b) from ua")
     # `b * replace(a, 'x', 'z')` is arithmetic, not star-REPLACE
     sql = (
         "select k, b * length(replace(a, 'x', 'zz')) as v from ua"
@@ -1464,14 +1467,70 @@ def test_distinct_on_with_cte_prefix_matches_duckdb(ubn_engines):
     ):
         ours = eng.execute(sql)
         assert ours.rows == con.execute(sql).fetchall(), sql
-    with pytest.raises(EngineError, match="WITH clause"):
+    # a FROM-subquery DISTINCT ON now LIFTS and executes (r10 generic
+    # subquery lift)
+    sql = (
+        "select * from (select distinct on (k) k, b from ua"
+        " order by k, b) t order by k"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_cte_", "_don_", "_esq_"))
+    ]
+    assert leaks == []
+
+
+def test_engine_subquery_lift_matches_duckdb(ubn_engines):
+    """The generic engine-subquery lift (r10): QUALIFY / DISTINCT ON /
+    star-REPLACE inside FROM / IN / scalar subqueries plan through the
+    full pipeline standalone and splice to lazy views — DuckDB
+    executes the identical SQL inline. Correlated bodies are refused
+    by name; plain subqueries (incl. LATERAL correlation) pass
+    through untouched."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    for sql in (
+        # QUALIFY in a FROM subquery
+        "select t.k, t.b from (select k, b from ua qualify"
+        " row_number() over (partition by k order by b desc) = 1) t"
+        " order by t.k",
+        # QUALIFY in a scalar subquery
+        "select k, b, (select max(x.b) from (select b from ua"
+        " qualify row_number() over (order by b) <= 2) x) as m2"
+        " from ua order by k, b",
+        # DISTINCT ON subquery joined to a plain table
+        "select d.k, d.b, u.a from (select distinct on (k) k, b"
+        " from ua order by k, b desc) d join ua u on u.k = d.k"
+        " and u.b = d.b order by d.k",
+        # star-REPLACE subquery under an aggregate
+        "select sum(t.b) as sb from"
+        " (select * replace (b * 2 as b) from ua) t",
+        # WITH prefix + QUALIFY subquery in the main statement (the
+        # binder must bind the CTE first so the lift can plan it)
+        "with w as (select k, b from ua where b >= 10)"
+        " select t.k, t.b from (select k, b from w qualify"
+        " row_number() over (order by b desc, k) <= 2) t"
+        " order by t.k, t.b",
+        # nested: DISTINCT ON subquery inside a QUALIFY subquery
+        "select t.k, t.b from (select k, b from"
+        " (select distinct on (k) k, b from ua order by k, b desc) d"
+        " qualify row_number() over (order by b desc, k) <= 2) t"
+        " order by t.k, t.b",
+    ):
+        ours = eng.execute(sql)
+        assert ours.rows == con.execute(sql).fetchall(), sql
+    # correlated QUALIFY subquery: named refusal, not a raw error
+    with pytest.raises(EngineError, match="uncorrelated"):
         eng.execute(
-            "select * from (select distinct on (k) k, b from ua"
-            " order by k, b) t"
+            "select k, (select max(x.b) from (select b from ua u2"
+            " where u2.k = ua.k qualify row_number() over"
+            " (order by b) = 1) x) as m from ua"
         )
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
-        if v.name.startswith(("_cte_", "_don_"))
+        if v.name.startswith(("_esq_", "_qualify_", "_don_", "_cte_"))
     ]
     assert leaks == []
 
