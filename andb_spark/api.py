@@ -3293,6 +3293,16 @@ class AnalyticsEngine:
                             r"^\s*select\s+(distinct\s+)?\*\s+replace"
                             r"\s*\(", ib, re.I,
                         )
+                        # an ASOF JOIN at the content's own top level:
+                        # the depth-0 asof rewrite's ON-parser cannot
+                        # scope inside a subquery (r10 probe — it ran
+                        # past the closing paren)
+                        or any(
+                            _paren_depth_at(ib, am.start()) == 0
+                            for am in re.finditer(
+                                r"\basof\s+(?:left\s+)?join\b", ib, re.I
+                            )
+                        )
                     )
                     if needs:
                         try:

@@ -1521,6 +1521,20 @@ def test_engine_subquery_lift_matches_duckdb(ubn_engines):
     ):
         ours = eng.execute(sql)
         assert ours.rows == con.execute(sql).fetchall(), sql
+    # an ASOF JOIN inside a FROM subquery lifts too (the depth-0 asof
+    # rewrite's ON-parser ran past the subquery's closing paren)
+    for run in (eng.execute, con.execute):
+        run("create table lev (u int, t bigint, v int)")
+        run("insert into lev values (1,100,7),(1,200,8),(2,150,9)")
+        run("create table lpx (u int, t bigint)")
+        run("insert into lpx values (1,250),(2,160),(3,50)")
+    for sql in (
+        "select s.u, s.t, s.v from (select p.u, p.t, e.v from lpx p"
+        " asof join lev e on p.u = e.u and p.t >= e.t) s order by s.u",
+        "select count(*) as n, max(s.v) as mv from (select p.u, e.v"
+        " from lpx p asof join lev e on p.u = e.u and p.t >= e.t) s",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
     # correlated QUALIFY subquery: named refusal, not a raw error
     with pytest.raises(EngineError, match="uncorrelated"):
         eng.execute(
