@@ -6312,10 +6312,15 @@ class AnalyticsEngine:
             return Result(effect_rows=before)
         # quantified comparisons in the WHERE (ANSI; DuckDB/Postgres
         # accept them in DML) rewrite exactly as in SELECT — the CASE
-        # over scalar aggregates is a plain expression F.expr can plan
+        # over scalar aggregates is a plain expression F.expr can plan.
+        # Engine-only subqueries in the condition (IN (... QUALIFY /
+        # DISTINCT ON ...)) lift to views first (r10) — F.expr can't
+        # parse them, DuckDB executes them.
         qviews: list[str] = []
         try:
-            cond, qviews = self._rewrite_quantified(cond)
+            cond, qviews = self._lift_engine_subqueries(cond)
+            cond, v = self._rewrite_quantified(cond)
+            qviews += v
             condition = F.coalesce(F.expr(cond), F.lit(False))
             n_matched, keep, affected = self._cow_split(
                 name, condition, cond
@@ -6397,10 +6402,13 @@ class AnalyticsEngine:
         name, setlist, cond = m.groups()
         self._writable_meta(name)  # matviews reject DML, like DELETE
         # quantified comparisons in the WHERE rewrite as in SELECT/
-        # DELETE; views drop after the staged write below materializes
+        # DELETE; engine-only subqueries in the condition lift to
+        # views first (r10); views drop after the staged write below
         qviews: list[str] = []
         if cond:
-            cond, qviews = self._rewrite_quantified(cond)
+            cond, qviews = self._lift_engine_subqueries(cond)
+            cond, v = self._rewrite_quantified(cond)
+            qviews += v
         try:
             return self._update_resolved(name, setlist, cond)
         finally:

@@ -1339,8 +1339,24 @@ def test_dml_where_quantified_matches_duckdb(spark, tmp_path):
             "update dt set v = v * 10 from dj where dt.k = dj.k"
             " and dt.v >= all (select b from ds)"
         )
+        # engine-only subqueries in DML WHERE lift to views (r10):
+        # F.expr can't parse QUALIFY / DISTINCT ON, DuckDB executes
+        run(
+            "delete from dt where k in (select b - 11 + 1 from ds"
+            " qualify row_number() over (order by b desc) <= 1)"
+        )
+        run(
+            "update dt set v = v + 3 where k in"
+            " (select distinct on (b % 2) b - 11 from ds"
+            " order by b % 2, b desc)"
+        )
     sql = "select k, v from dt order by k"
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_esq_", "_qualify_", "_don_"))
+    ]
+    assert leaks == []
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
         if v.name.startswith(("_quant", "_quantstats"))
