@@ -63,6 +63,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "u_copy_export",
     "u_insert_by_position",
     "u_update_from_subquery",
+    "u_limit_percent",
     # (b) changed since their r9 grading: NONE re-graded — the r10
     # engine changes (trailing-OFFSET capture, WITH TIES, subquery
     # lift, CTAS body normalization, COPY count-from-manifest) are
@@ -80,7 +81,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # r9), q_exists_subquery (EXISTS re-evidenced by q4_priority_
     # exists r7 and q_in_subquery r7), q_scalar_subquery (scalar-agg
     # subqueries are the exact machinery q_quantified_subquery r8
-    # grades). Every other r6 name below:
+    # grades), q_window_navigation (first/last/nth_value — the window
+    # fuzz arm + q_window_frames below + q_window_funcs r8 keep the
+    # family covered; its slot funds the late-r10 u_limit_percent
+    # surface). Every other r6 name below:
     "a_asof_tolerance",
     "d_bloom_bound",
     "d_dup_components",
@@ -112,7 +116,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_skew_salted_agg",
     "q_stats_agg",
     "q_window_frames",
-    "q_window_navigation",
     "t_dup_rate_report",
     "t_length_histogram",
     "t_rolling_fingerprint",

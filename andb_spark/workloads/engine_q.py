@@ -726,6 +726,25 @@ def u_insert_by_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bp_t").orderBy("o_orderkey")
 
 
+def u_limit_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT p%`` (DuckDB percent limit; api.py::_limit_percent —
+    row budget = floor(p/100 x the total count), one count scan plus
+    the LIMIT-pushdown scan) vs DuckDB running the IDENTICAL SQL
+    natively. Total (price, key) order keeps the kept-rows set fully
+    deterministic at every scale factor."""
+    eng = AnalyticsEngine(
+        _scratch("andb_lpct_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderkey, o_totalprice from orders"
+        " where o_orderkey < 4000"
+        " order by o_totalprice desc, o_orderkey limit 25%"
+    )
+    return spark.createDataFrame(
+        r.rows, "o_orderkey bigint, o_totalprice double"
+    )
+
+
 def u_update_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-DML with SUBQUERY sources (r9: api.py::_bind_inline_source
     binds ``FROM (SELECT ...) alias`` / ``USING (SELECT ...) alias``
@@ -809,6 +828,7 @@ QUERIES = {
     "u_copy_export": u_copy_export,
     "u_insert_by_position": u_insert_by_position,
     "u_update_from_subquery": u_update_from_subquery,
+    "u_limit_percent": u_limit_percent,
 }
 
 ORACLES = {
@@ -862,6 +882,11 @@ ORACLES = {
         UNION ALL
         SELECT CAST(999991 AS BIGINT), 'Z', CAST(1.25 AS DOUBLE)
         ORDER BY o_orderkey
+    """,
+    "u_limit_percent": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey < 4000
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25%
     """,
     "u_update_from_subquery": """
         WITH t AS (

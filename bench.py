@@ -187,6 +187,7 @@ HEADLINE_R10 = (
     "u_copy_export",
     "u_insert_by_position",
     "u_update_from_subquery",
+    "u_limit_percent",
 )
 
 HEADLINE = (
