@@ -2892,8 +2892,13 @@ class AnalyticsEngine:
                 float(lp.group(2)),
                 int(lp.group(1) or lp.group(3) or 0),
             )
+        # nested percent limits refuse by name — but `%` followed by
+        # an operand is MODULO arithmetic in a limit expression
+        # (`limit 25 % 7` is legal foldable Spark SQL), not a percent
+        # spelling (r10 review #5)
         if re.search(
-            r"\blimit\s+[\d.]+\s*(?:%|percent\b)", blanked, re.I
+            r"\blimit\s+[\d.]+\s*(?:%|percent\b)(?!\s*[\w('])",
+            blanked, re.I,
         ):
             raise EngineError(
                 "LIMIT n% is only supported as the statement's own"
@@ -3282,7 +3287,11 @@ class AnalyticsEngine:
                 if blanked[i] == "(":
                     cp = self._match_paren(stmt, i)
                     inner = stmt[i + 1: cp].strip()
-                    ib = _blank_literals(inner)
+                    # slice of the ONE whole-statement blank — same
+                    # length as stmt, so no per-group re-blanking
+                    # (r10 review #7: O(n x parens) on IN-list-heavy
+                    # statements)
+                    ib = blanked[i + 1: cp].strip()
                     needs = bool(re.match(r"^\s*select\b", ib, re.I)) and (
                         self._find_top_level_keyword(ib, ("qualify",))
                         is not None
@@ -4199,23 +4208,29 @@ class AnalyticsEngine:
                 r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
                 r"\*\s+replace\s*\(", blanked, re.I,
             )
-            or re.match(
-                r"^\s*select\s+distinct\s+on\s*\(",
-                re.sub(r"'(?:[^']|'')*'", "''", main), re.I,
-            )
-            # QUALIFY / DISTINCT ON nested inside a MAIN-statement
-            # subquery (r10): the generic subquery lift runs after
-            # this binder and plans the group standalone, so any CTE
-            # it references must already be a view
+            # main-statement spellings handled AFTER this binder by
+            # the ^SELECT-anchored rewrites or the generic subquery
+            # lift (r10): an anchored DISTINCT ON main, or QUALIFY /
+            # DISTINCT ON nested at paren depth > 0 anywhere in main
+            # (the lift plans those groups standalone, so any CTE
+            # they reference must already be a view — depth-aware so
+            # a top-level QUALIFY alongside a nested one still binds,
+            # r10 review #3). One blank of main shared by all three
+            # (the r9 review-#7 no-hand-rolled-twins rule).
             or (
-                (mb := re.sub(r"'(?:[^']|'')*'", "''", main))
-                and re.search(r"\bqualify\b", mb, re.I)
-                and self._find_top_level_keyword(mb, ("qualify",))
-                is None
-            )
-            or re.search(
-                r"\(\s*select\s+distinct\s+on\s*\(",
-                re.sub(r"'(?:[^']|'')*'", "''", main), re.I,
+                (mb := _blank_literals(main))
+                and (
+                    re.match(
+                        r"^\s*select\s+distinct\s+on\s*\(", mb, re.I
+                    )
+                    or any(
+                        _paren_depth_at(mb, qm.start()) > 0
+                        for qm in re.finditer(r"\bqualify\b", mb, re.I)
+                    )
+                    or re.search(
+                        r"\(\s*select\s+distinct\s+on\s*\(", mb, re.I
+                    )
+                )
             )
             or any(
                 re.search(r"\bqualify\b", bb, re.I)
@@ -4242,6 +4257,8 @@ class AnalyticsEngine:
                 # the engine-only QUALIFY / DISTINCT ON surfaces sits
                 # at paren depth > 0 where the depth-0 rewrites never
                 # reach, and died as a raw Spark parse error).
+                body, v = self._lift_engine_subqueries(body)
+                views += v
                 body, v = self._rewrite_union_by_name(body)
                 views += v
                 body, v = self._rewrite_distinct_on(body)
@@ -4490,19 +4507,11 @@ class AnalyticsEngine:
             # (portal.py:93-118, physical/base.py:22-24).
             asof_views = []
             try:
-                run_sql, v = self._bind_ctes_for_surfaces(ana.group(1))
-                asof_views += v
-                run_sql, v = self._rewrite_distinct_on(run_sql)
-                asof_views += v
-                run_sql, v = self._rewrite_asof(run_sql)
-                asof_views += v
-                run_sql, v = self._rewrite_range_join(run_sql)
-                asof_views += v
-                run_sql, v = self._rewrite_qualify(run_sql)
-                asof_views += v
-                run_sql, v = self._rewrite_quantified(run_sql)
-                asof_views += v
-                df = self.spark.sql(run_sql)
+                # the FULL pipeline (r10 review #4: this hand-rolled
+                # chain lacked fetch-first, the subquery lift, UNION
+                # BY NAME and star-REPLACE — EXPLAIN ANALYZE refused
+                # statements the engine executes)
+                df, asof_views = self._plan_engine_select(ana.group(1))
                 t0 = time.perf_counter()
                 # Execute THIS queryExecution's physical plan without
                 # materializing rows on the driver: toRdd() runs the
@@ -5733,6 +5742,10 @@ class AnalyticsEngine:
             )
             stmt = f"{um.group(1)} {alias} {rest.lstrip()}"
         try:
+            # engine-only subqueries in ON / WHEN conditions lift to
+            # views first (r10 — same move as plain DML WHERE)
+            stmt, lv = self._lift_engine_subqueries(stmt)
+            views += lv
             stmt, qv = self._rewrite_quantified(stmt)
             views += qv
             return self._merge_resolved(stmt, delete_translation)
@@ -6403,13 +6416,16 @@ class AnalyticsEngine:
         self._writable_meta(name)  # matviews reject DML, like DELETE
         # quantified comparisons in the WHERE rewrite as in SELECT/
         # DELETE; engine-only subqueries in the condition lift to
-        # views first (r10); views drop after the staged write below
+        # views first (r10); views drop after the staged write below.
+        # BOTH rewrites run inside the try: a quantified refusal after
+        # a successful lift must not leak the lift's views (r10
+        # review #1)
         qviews: list[str] = []
-        if cond:
-            cond, qviews = self._lift_engine_subqueries(cond)
-            cond, v = self._rewrite_quantified(cond)
-            qviews += v
         try:
+            if cond:
+                cond, qviews = self._lift_engine_subqueries(cond)
+                cond, v = self._rewrite_quantified(cond)
+                qviews += v
             return self._update_resolved(name, setlist, cond)
         finally:
             for v in qviews:

@@ -1603,6 +1603,77 @@ def test_limit_percent_matches_duckdb(ubn_engines):
     assert leaks == []
 
 
+def test_engine_subquery_lift_review_fixes(ubn_engines):
+    """r10 second review pass, each pinned: (1) an UPDATE whose lift
+    succeeds but whose quantified rewrite refuses must not leak the
+    lift's views; (2) engine-only subqueries inside a CTE BODY lift
+    (the body pipeline runs the lift too); (3) a top-level QUALIFY
+    alongside a NESTED one still binds the CTE (the gate is
+    depth-aware); (4) EXPLAIN ANALYZE runs the full pipeline;
+    (5) `limit 25 % 7` is modulo arithmetic, not a percent limit;
+    (6) MERGE-translated join-DML conditions lift engine-only
+    subqueries."""
+    from andb_spark.api import EngineError
+
+    eng, con = ubn_engines
+    spark = eng.spark
+    # (2) subquery QUALIFY inside a CTE body
+    sql = (
+        "with c as (select s.k, s.b from (select k, b from ua qualify"
+        " row_number() over (partition by k order by b desc) = 1) s)"
+        " select k, b from c order by k"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # (3) top-level QUALIFY + nested QUALIFY, CTE-sourced
+    # (trailing ORDER BY is unqualified: QUALIFY's rewrite re-attaches
+    # it to the post-filter view, where source aliases are gone — a
+    # pre-existing, alias-only boundary)
+    sql = (
+        "with w as (select k, b from ua)"
+        " select t.k, t.b from (select k, b from w qualify"
+        " row_number() over (partition by k order by b desc) = 1) t"
+        " qualify row_number() over (order by t.b desc, t.k) <= 2"
+        " order by k"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # (4) EXPLAIN ANALYZE over a lifted subquery + a BY NAME union
+    r = eng.execute(
+        "explain analyze select count(*) as n from"
+        " (select k from ua qualify row_number() over (order by b)"
+        " >= 1 union all by name select k from ub) t"
+    )
+    assert "Physical Plan" in r.columns[0]
+    # (5) modulo in a LIMIT expression still executes
+    r = eng.execute("select k from ua order by k limit 25 % 7")
+    assert len(r.rows) == 3  # 25 % 7 = 4, ua has 3 rows
+    # (6) join-DML condition with an engine-only subquery
+    for run in (eng.execute, con.execute):
+        run("create table rj_t (k int, v int)")
+        run("insert into rj_t values (1,10),(2,20),(3,30)")
+        run("create table rj_s (k int, b int)")
+        run("insert into rj_s values (1,5),(2,6),(3,7)")
+        run(
+            "update rj_t set v = v + 100 from rj_s"
+            " where rj_t.k = rj_s.k and rj_t.k in"
+            " (select k from rj_s qualify"
+            " row_number() over (order by b desc) <= 2)"
+        )
+    sql = "select k, v from rj_t order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # (1) lift succeeds, quantified refuses -> no leaked views
+    with pytest.raises(EngineError, match="left-hand side"):
+        eng.execute(
+            "update rj_t set v = 0 where k in (select k from rj_s"
+            " qualify row_number() over (order by b) = 1)"
+            " and (v + k) > all (select b from rj_s)"
+        )
+    leaks = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith(("_esq_", "_qualify_", "_quant_", "_don_"))
+    ]
+    assert leaks == []
+
+
 def test_explain_with_ties_is_plan_only(ubn_engines):
     """EXPLAIN of a WITH TIES statement must not launch the boundary
     probe jobs (TakeOrdered + reversed-order collect): under
