@@ -3240,6 +3240,7 @@ class AnalyticsEngine:
                     self._rewrite_distinct_on,
                     self._rewrite_asof,
                     self._rewrite_range_join,
+                    self._rewrite_columns_projection,
                     self._rewrite_select_replace,
                     self._rewrite_qualify,
                     self._rewrite_quantified,
@@ -3301,6 +3302,15 @@ class AnalyticsEngine:
                         or re.match(
                             r"^\s*select\s+(distinct\s+)?\*\s+replace"
                             r"\s*\(", ib, re.I,
+                        )
+                        # a COLUMNS() projection at the content's
+                        # own top level (recursion resolves deeper
+                        # nesting)
+                        or any(
+                            _paren_depth_at(ib, cm.start()) == 0
+                            for cm in re.finditer(
+                                r"\bcolumns\s*\(", ib, re.I
+                            )
                         )
                         # an ASOF JOIN at the content's own top level:
                         # the depth-0 asof rewrite's ON-parser cannot
@@ -3392,6 +3402,102 @@ class AnalyticsEngine:
                 self.spark.catalog.dropTempView(v)
             raise
         return "".join(out), views
+
+    # one select-list item of the COLUMNS() surface: an optional
+    # single-argument function wrapper around columns('regex'|*)
+    _COLUMNS_ITEM_RE = re.compile(
+        r"^(?:(\w+)\s*\(\s*)?columns\s*\(\s*(\*|'(?:[^']|'')*')\s*\)"
+        r"(\s*\))?\s*$",
+        re.I,
+    )
+
+    def _rewrite_columns_projection(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` dynamic
+        projection (absent from Spark SQL): a select-list item
+        ``columns('re')`` expands to every FROM-list column whose NAME
+        matches the regex (full-match, DuckDB semantics), keeping the
+        source order and names; ``f(columns(...))`` expands to one
+        ``f(col) AS col`` per match — DuckDB's per-column aggregate
+        fan-out (probed: result names stay the plain column names).
+        Pure textual expansion against the FROM list's schema, exactly
+        the star-REPLACE move, so the result plans as an ordinary
+        projection/aggregate. Items beyond the simple ``[f(]columns(
+        're'|*)[)]`` shape are refused by name; zero matches refuse
+        too (DuckDB errors on an empty expansion)."""
+        blanked = _blank_literals(stmt)
+        m = re.match(r"^\s*select\s+(distinct\s+)?", stmt, re.I)
+        if not m or not re.search(r"\bcolumns\s*\(", blanked, re.I):
+            return stmt, []
+        f = self._find_top_level_keyword(stmt, ("from",))
+        if f is None or not re.search(
+            r"\bcolumns\s*\(", blanked[: f[0]], re.I
+        ):
+            # the spelling outside this statement's own select list
+            # (subqueries re-enter via the lift/pipeline; anything
+            # else is out of scope and would die downstream with
+            # Spark's unresolved-function error, so refuse by name)
+            if re.search(r"\bcolumns\s*\(", blanked, re.I):
+                raise EngineError(
+                    "COLUMNS(...) is only supported in a statement's"
+                    " own select list"
+                )
+            return stmt, []
+        sel = stmt[m.end(): f[0]]
+        tail = stmt[f[0] + 4:]
+        t = self._find_top_level_keyword(
+            tail, ("where", "group by", "having", "qualify",
+                   "window", "order by", "limit", "offset"),
+        )
+        sources = tail[: t[0]] if t else tail
+        try:
+            cols = self.spark.sql(f"select * from {sources}").columns
+        except Exception as e:
+            raise EngineError(
+                "COLUMNS(...): could not resolve the FROM source's"
+                f" columns ({e})"
+            ) from e
+        out_items: list[str] = []
+        for item in self._split_top_level(sel):
+            im = self._COLUMNS_ITEM_RE.match(item.strip())
+            if not im:
+                if re.search(
+                    r"\bcolumns\s*\(", _blank_literals(item), re.I
+                ):
+                    raise EngineError(
+                        "COLUMNS(...) supports plain `columns('re')`"
+                        " / `f(columns(*))` select items — alias"
+                        " other compositions column by column"
+                    )
+                out_items.append(item.strip())
+                continue
+            fn, arg, close = im.group(1), im.group(2), im.group(3)
+            if bool(fn) != bool(close):
+                raise EngineError(f"COLUMNS(...): unbalanced item {item!r}")
+            if arg == "*":
+                matched = list(cols)
+            else:
+                pat = arg[1:-1].replace("''", "'")
+                try:
+                    crex = re.compile(pat)
+                except re.error as e:
+                    raise EngineError(
+                        f"COLUMNS(...): bad regex {pat!r} ({e})"
+                    ) from e
+                matched = [c for c in cols if crex.fullmatch(c)]
+            if not matched:
+                raise EngineError(
+                    f"COLUMNS(...) matched no columns of {cols}"
+                )
+            for c in matched:
+                out_items.append(
+                    f"{fn}({c}) as {c}" if fn else c
+                )
+        new_sel = ", ".join(out_items)
+        return (
+            stmt[: m.end()] + new_sel + " " + stmt[f[0]:], []
+        )
 
     def _rewrite_select_replace(self, stmt: str) -> tuple[str, list[str]]:
         """``SELECT [DISTINCT] * REPLACE (expr AS col [, ...]) FROM
@@ -4135,6 +4241,7 @@ class AnalyticsEngine:
             re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I)
             or self._RANGE_RE.search(stmt)
             or re.search(r"\bqualify\b", blanked, re.I)
+            or re.search(r"\bcolumns\s*\(", blanked, re.I)
             or re.search(r"\bselect\s+distinct\s+on\s*\(", blanked, re.I)
             or re.search(
                 r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
@@ -4208,6 +4315,10 @@ class AnalyticsEngine:
                 r"(?:\bselect\s+(?:distinct\s+)?|,\s*)(?:\w+\s*\.\s*)?"
                 r"\*\s+replace\s*\(", blanked, re.I,
             )
+            # COLUMNS() binds like ASOF wherever it appears: its
+            # rewrite (and the subquery lift) resolves the FROM list
+            # standalone, so a CTE referenced there must be a view
+            or re.search(r"\bcolumns\s*\(", blanked, re.I)
             # main-statement spellings handled AFTER this binder by
             # the ^SELECT-anchored rewrites or the generic subquery
             # lift (r10): an anchored DISTINCT ON main, or QUALIFY /
@@ -4266,6 +4377,8 @@ class AnalyticsEngine:
                 body, v = self._rewrite_asof(body)
                 views += v
                 body, v = self._rewrite_range_join(body)
+                views += v
+                body, v = self._rewrite_columns_projection(body)
                 views += v
                 body, v = self._rewrite_select_replace(body)
                 views += v
@@ -4348,9 +4461,11 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_range_join(stmt)
             rewrite_views += v
-            # after the source rewrites: star-REPLACE plans its FROM
-            # list to enumerate columns, so engine-only sources must
-            # already be plain views here
+            # after the source rewrites: COLUMNS() and star-REPLACE
+            # plan their FROM list to enumerate columns, so
+            # engine-only sources must already be plain views here
+            stmt, v = self._rewrite_columns_projection(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_select_replace(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_qualify(stmt)
@@ -4383,6 +4498,7 @@ class AnalyticsEngine:
                 self._rewrite_distinct_on,
                 self._rewrite_asof,
                 self._rewrite_range_join,
+                self._rewrite_columns_projection,
                 self._rewrite_select_replace,
                 self._rewrite_qualify,
                 self._rewrite_quantified,
@@ -4560,6 +4676,7 @@ class AnalyticsEngine:
             inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
+            inner, _cv = self._rewrite_columns_projection(inner)
             inner, _nv = self._rewrite_select_replace(inner)
             inner, qual_views = self._rewrite_qualify(inner)
             inner, quant_views = self._rewrite_quantified(

@@ -1603,6 +1603,49 @@ def test_limit_percent_matches_duckdb(ubn_engines):
     assert leaks == []
 
 
+def test_columns_projection_matches_duckdb(spark, tmp_path):
+    """DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` dynamic projection
+    (absent from Spark SQL; api.py::_rewrite_columns_projection —
+    textual expansion against the FROM list's schema, full-match
+    regex, per-column aggregate fan-out keeping plain column names):
+    identical SQL both engines across plain/mixed/aggregate items,
+    subquery + CTE compositions, and the named refusals (composed
+    expressions; zero matches; non-select-list positions)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whcol"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table ct (ab int, ac int, bd int, k int)")
+        run("insert into ct values (1,2,3,1),(4,5,6,2),(7,8,9,2)")
+    for sql in (
+        "select columns('a.*') from ct order by ab",
+        "select k, columns('a.*') from ct order by k, ab",
+        "select min(columns(*)) from ct",
+        "select sum(columns('.*b.*')) from ct",
+        "select max(columns('a.*')), count(columns('k')) from ct",
+        "select s.ab from (select columns('a.*') from ct) s"
+        " order by s.ab",
+        "with a as (select ab, ac, k from ct),"
+        " b as (select columns('a.*') from a)"
+        " select ab, ac from b order by ab",
+        "select columns('a.*') from ct where k = 2 order by ab",
+        "select avg(columns('a.*')) from ct group by k order by 1",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert ours.rows == drows, sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    with pytest.raises(EngineError, match="alias other compositions"):
+        eng.execute("select columns('a.*') + 1 from ct")
+    with pytest.raises(EngineError, match="matched no columns"):
+        eng.execute("select columns('zzz') from ct")
+    with pytest.raises(EngineError, match="select list"):
+        eng.execute("select k from ct where columns('a.*') > 1")
+    eng.close()
+
+
 def test_engine_subquery_lift_review_fixes(ubn_engines):
     """r10 second review pass, each pinned: (1) an UPDATE whose lift
     succeeds but whose quantified rewrite refuses must not leak the
