@@ -64,6 +64,7 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "u_insert_by_position",
     "u_update_from_subquery",
     "u_limit_percent",
+    "u_columns",
     # (b) changed since their r9 grading: NONE re-graded — the r10
     # engine changes (trailing-OFFSET capture, WITH TIES, subquery
     # lift, CTAS body normalization, COPY count-from-manifest) are
@@ -84,7 +85,10 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # grades), q_window_navigation (first/last/nth_value — the window
     # fuzz arm + q_window_frames below + q_window_funcs r8 keep the
     # family covered; its slot funds the late-r10 u_limit_percent
-    # surface). Every other r6 name below:
+    # surface), t_dup_rate_report (a reporting join over dedup
+    # outputs whose operators earned fresh r9 evidence via
+    # d_exact_dup_groups / d_ngram_jaccard; its slot funds the
+    # late-r10 u_columns surface). Every other r6 name below:
     "a_asof_tolerance",
     "d_bloom_bound",
     "d_dup_components",
@@ -116,7 +120,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_skew_salted_agg",
     "q_stats_agg",
     "q_window_frames",
-    "t_dup_rate_report",
     "t_length_histogram",
     "t_rolling_fingerprint",
     "t_source_stats",

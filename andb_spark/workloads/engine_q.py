@@ -745,6 +745,26 @@ def u_limit_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``COLUMNS('regex')`` dynamic projection with aggregate
+    fan-out (api.py::_rewrite_columns_projection — textual expansion
+    against the FROM list's schema; ``f(COLUMNS(...))`` becomes one
+    ``f(col) AS col`` per match, plain names, DuckDB-probed) vs DuckDB
+    running the IDENTICAL SQL natively, under GROUP BY."""
+    eng = AnalyticsEngine(
+        _scratch("andb_cols_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderstatus, min(columns('o_total.*')),"
+        " count(columns('o_orderkey')) from orders"
+        " group by o_orderstatus order by o_orderstatus"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "o_orderstatus string, o_totalprice double, o_orderkey bigint",
+    )
+
+
 def u_update_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-DML with SUBQUERY sources (r9: api.py::_bind_inline_source
     binds ``FROM (SELECT ...) alias`` / ``USING (SELECT ...) alias``
@@ -829,6 +849,7 @@ QUERIES = {
     "u_insert_by_position": u_insert_by_position,
     "u_update_from_subquery": u_update_from_subquery,
     "u_limit_percent": u_limit_percent,
+    "u_columns": u_columns,
 }
 
 ORACLES = {
@@ -882,6 +903,11 @@ ORACLES = {
         UNION ALL
         SELECT CAST(999991 AS BIGINT), 'Z', CAST(1.25 AS DOUBLE)
         ORDER BY o_orderkey
+    """,
+    "u_columns": """
+        SELECT o_orderstatus, min(COLUMNS('o_total.*')),
+               count(COLUMNS('o_orderkey'))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "u_limit_percent": """
         SELECT o_orderkey, o_totalprice

@@ -188,6 +188,7 @@ HEADLINE_R10 = (
     "u_insert_by_position",
     "u_update_from_subquery",
     "u_limit_percent",
+    "u_columns",
 )
 
 HEADLINE = (
