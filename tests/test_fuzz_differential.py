@@ -942,3 +942,54 @@ def test_random_union_by_name_agrees_with_duckdb(
     drows = duck.fetchall()
     assert _rowset(ours.rows) == _rowset(drows), sql
     assert ours.columns == [d[0] for d in duck.description], sql
+
+
+# Clause-tail fuzz arm (r9 verdict #8: the trailing-OFFSET gap lived
+# in the clause TAIL, not any rewrite's own syntax — fuzz the tail on
+# every rewrite surface). Every base ends in a TOTAL order, so row
+# equality is well-defined under every randomized tail; counts and
+# offsets randomize where the deterministic grid
+# (test_clause_tail_grid_matches_duckdb) enumerates fixed spellings.
+_TAIL_BASES = st.sampled_from(
+    [
+        "select distinct on (k) k, n, s from ufz"
+        " order by k, n desc, s desc",
+        "select r, n, k from ufz qualify row_number() over"
+        " (order by n, k, s, r nulls last) <= 5"
+        " order by n, k, r nulls last",
+        "select k, n from ufz where s >= 3 union all by name"
+        " select s, k from ufz"
+        " order by k, n nulls last, s nulls last",
+        "select * replace (n + 100 as n) from ufz"
+        " order by n, k, s, r nulls last",
+    ]
+)
+_TAIL_TEMPLATES = st.sampled_from(
+    [
+        "",
+        " limit {n}",
+        " offset {m}",
+        " limit {n} offset {m}",
+        " offset {m} rows",
+        " offset {m} rows fetch next {n} rows only",
+        " fetch first {n} rows only",
+    ]
+)
+
+
+@seed(FUZZ_ROUND * 31 + 7)
+@settings(max_examples=25, deadline=None)
+@given(
+    base=_TAIL_BASES,
+    tail=_TAIL_TEMPLATES,
+    n=st.integers(0, 9),
+    m=st.integers(0, 6),
+)
+def test_random_clause_tail_agrees_with_duckdb(
+    ubn_fuzz_engine, base, tail, n, m
+):
+    eng, con = ubn_fuzz_engine
+    sql = base + tail.format(n=n, m=m)
+    ours = eng.execute(sql)
+    drows = con.execute(sql).fetchall()
+    assert ours.rows == drows, sql

@@ -491,3 +491,39 @@ def test_select_replace_is_pure_projection(spark, tmp_path):
     # `*(1)` = whole-stage-codegen stage 1: project + scan fused
     assert "*(1) Project" in plan, plan
     eng.close()
+
+
+def test_columns_projection_is_pure_projection(spark, tmp_path):
+    """COLUMNS('regex') expands to an explicit projection exactly like
+    star-REPLACE: project-over-scan in one WholeStageCodegen span, no
+    exchange/join added by the textual expansion; the aggregate
+    fan-out form plans as an ordinary partial/final aggregate."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whplc"), spark=spark)
+    eng.execute("create table pc (ab int, ac int, bd int)")
+    eng.execute("insert into pc values (1, 2, 3)")
+    stmt, views = eng._rewrite_columns_projection(
+        "select columns('a.*') from pc"
+    )
+    assert views == []  # textual expansion binds no views
+    df = eng.spark.sql(stmt)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # the expansion collapses into the scan itself: column pruning
+    # reaches the parquet reader (only the matched columns read) —
+    # or, at worst, a single codegen projection
+    assert (
+        "ReadSchema: struct<ab:int,ac:int>" in plan
+        or "*(1) Project" in plan
+    ), plan
+    # aggregate fan-out: partial+final HashAggregate, nothing more
+    stmt, views = eng._rewrite_columns_projection(
+        "select min(columns(*)) from pc"
+    )
+    assert views == []
+    plan = eng.spark.sql(stmt)._jdf.queryExecution().executedPlan()
+    assert plan.toString().count("HashAggregate") >= 2, plan.toString()
+    eng.close()
