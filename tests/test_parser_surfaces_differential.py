@@ -1631,6 +1631,8 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         " select ab, ac from b order by ab",
         "select columns('a.*') from ct where k = 2 order by ab",
         "select avg(columns('a.*')) from ct group by k order by 1",
+        "select distinct columns('a.*') from ct order by ab",
+        "select columns('ab|bd') from ct order by ab",
     ):
         ours = eng.execute(sql)
         duck = con.execute(sql)
