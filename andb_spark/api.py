@@ -1516,11 +1516,14 @@ class AnalyticsEngine:
             elif head == "SHOW" and re.match(r"show\s+tables\s*$", stmt, re.I):
                 r = self._show_tables()
             elif head in ("DESCRIBE", "DESC") and re.match(
-                r"desc(?:ribe)?\s+\w+\s*$", stmt, re.I
+                r"desc(?:ribe)?\s+(?:\w+\s*$|(?:select|with|values)\b)",
+                stmt, re.I | re.S,
             ):
-                # bare DESCRIBE <name> only; multi-word Spark variants
-                # (DESCRIBE EXTENDED/QUERY/FUNCTION) fall through to
-                # spark.sql below
+                # bare DESCRIBE <name>, plus DESCRIBE <query> (DuckDB
+                # — the body plans through the FULL engine pipeline,
+                # so engine-only SQL describes too); other multi-word
+                # Spark variants (DESCRIBE EXTENDED/FUNCTION) fall
+                # through to spark.sql below
                 r = self._describe(stmt)
             elif head == "VACUUM":
                 r = self._vacuum(stmt)
@@ -1764,7 +1767,37 @@ class AnalyticsEngine:
 
     def _describe(self, stmt: str) -> Result:
         """DESCRIBE/DESC <table> — declared schema of a managed table,
-        or the inferred Spark schema of an attached fixture view."""
+        or the inferred Spark schema of an attached fixture view.
+        DESCRIBE <query> (DuckDB): the analyzed schema of any
+        statement the engine executes — planned through the full
+        pipeline (ANALYSIS only; describing never runs a job), so
+        QUALIFY / DISTINCT ON / BY NAME unions / COLUMNS() describe
+        like plain SQL."""
+        qm = re.match(
+            r"desc(?:ribe)?\s+((?:select|with|values)\b.*)$",
+            stmt, re.I | re.S,
+        )
+        if qm:
+            was_planning = self._planning
+            self._planning = True  # job-free: schema only
+            try:
+                df, views = self._plan_engine_select(qm.group(1))
+            finally:
+                self._planning = was_planning
+            try:
+                rows = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in df.schema.fields
+                ]
+            finally:
+                for v in views:
+                    self.spark.catalog.dropTempView(v)
+            return Result(
+                columns=["column_name", "type", "nullable"],
+                types=["string", "string", "boolean"],
+                rows=rows,
+                effect_rows=len(rows),
+            )
         m = re.match(r"desc(?:ribe)?\s+(\w+)\s*$", stmt, re.I)
         if not m:
             raise EngineError(f"cannot parse DESCRIBE: {stmt!r}")

@@ -1603,6 +1603,52 @@ def test_limit_percent_matches_duckdb(ubn_engines):
     assert leaks == []
 
 
+def test_describe_query_matches_duckdb_names(spark, tmp_path):
+    """DESCRIBE <query> (DuckDB): the analyzed schema of any engine
+    statement, planned job-free through the full pipeline. Column
+    NAMES and order must match DuckDB's DESCRIBE of the identical
+    query (type spellings are engine-specific, so only names
+    compare); engine-only SQL (QUALIFY, BY NAME union, COLUMNS)
+    describes too; a poison view pins that describing never
+    executes."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whdq"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table dqt (ab int, ac int, k int)")
+        run("insert into dqt values (1,2,3)")
+    for sql in (
+        "describe select ab as x, ac + k as y from dqt",
+        "describe select k, count(*) as n from dqt group by k",
+        "describe select columns('a.*') from dqt",
+        "describe select ab from dqt qualify"
+        " row_number() over (order by ab) = 1",
+        "describe select ab, k from dqt union all by name"
+        " select k, ac from dqt",
+    ):
+        ours = [r[0] for r in eng.execute(sql).rows]
+        duck = [r[0] for r in con.execute(sql).fetchall()]
+        assert ours == duck, (sql, ours, duck)
+    # describing is analysis-only: a poison UDF view must not fire
+    def _dboom():
+        raise RuntimeError("executed during DESCRIBE")
+
+    eng.spark.udf.register("andb_test_dboom", _dboom, "int")
+    eng.spark.sql(
+        "select andb_test_dboom() as pv"
+    ).createOrReplaceTempView("poison_d")
+    try:
+        r = eng.execute(
+            "describe select pv from poison_d order by pv"
+            " fetch first 1 rows with ties"
+        )
+        assert [row[0] for row in r.rows] == ["pv"]
+    finally:
+        eng.spark.catalog.dropTempView("poison_d")
+    eng.close()
+
+
 def test_columns_projection_matches_duckdb(spark, tmp_path):
     """DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` dynamic projection
     (absent from Spark SQL; api.py::_rewrite_columns_projection —
