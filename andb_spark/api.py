@@ -528,6 +528,21 @@ class AnalyticsEngine:
         # reached the depth-0 call).
         self._planning = False
         self.catalog.setdefault("stats", {})
+        # Logical (non-materialized) views: name -> {"sql": defining
+        # query, "columns": creation-time schema snapshot (advisory —
+        # the live schema re-derives at every bind)}. Persisted in the
+        # catalog root like "stats"/"indexes"; the defining SQL plans
+        # through the FULL engine pipeline at reference time
+        # (``_bind_referenced_views``), so engine-only SQL (QUALIFY,
+        # BY NAME, DISTINCT ON, COLUMNS) works in view bodies and a
+        # view always reflects its base tables' CURRENT state. DuckDB
+        # CREATE VIEW analog; the reference has no view surface
+        # (andb/sql/parser_.py has no CREATE VIEW production).
+        self.catalog.setdefault("views", {})
+        # Spark temp-view names this engine bound for logical views —
+        # swept when a rollback/restore removes the catalog entry, so
+        # a stale session binding can never serve a dropped view.
+        self._bound_views: set[str] = set()
         register_all(self.spark)
         # re-register managed tables from a previous session (durability
         # across engine restarts — the reference's catalog reload,
@@ -711,10 +726,119 @@ class AnalyticsEngine:
         df.createOrReplaceTempView(name)
         return df
 
+    # ------------------------------------------- logical views --
+    def _view_dep_order(self, roots: list[str]) -> list[str]:
+        """Topological closure of the catalog views reachable from
+        ``roots`` (dependencies first), by word-scan of each defining
+        SQL. Cycles — possible only via CREATE OR REPLACE VIEW
+        re-pointing an existing name — are a named refusal here, at
+        bind/create time, never a recursion blowup at plan time."""
+        vws = self.catalog["views"]
+        order: list[str] = []
+        done: set[str] = set()
+
+        def visit(n: str, stack: frozenset) -> None:
+            if n in done:
+                return
+            if n in stack:
+                raise EngineError(
+                    f"circular view dependency involving {n}"
+                )
+            bb = _blank_literals(vws[n]["sql"])
+            # d == n (a body naming its own view) is NOT flagged here:
+            # the word-scan cannot tell a self-reference from a COLUMN
+            # aliased with the view's name (`create view revenue as
+            # select sum(..) as revenue ...` — the classic q15 shape).
+            # ``_bind_view`` drops the old binding before re-planning,
+            # so a genuine 1-cycle fails to plan with the named error
+            # instead of silently layering the stale previous plan.
+            for d in vws:
+                if d != n and re.search(
+                    rf"\b{re.escape(d)}\b", bb, re.I
+                ):
+                    visit(d, stack | {n})
+            done.add(n)
+            order.append(n)
+
+        for r in roots:
+            visit(r, frozenset())
+        return order
+
+    def _bind_view(self, name: str, plan_only: bool = False) -> DataFrame:
+        """(Re)bind one logical view: plan its defining SQL through
+        the FULL engine pipeline (so engine-only SQL works in view
+        bodies) over the base tables' CURRENT temp views, and register
+        the analyzed plan under the view's name. The pipeline's helper
+        views drop immediately — the analyzed plan embeds their
+        logical plans, so the binding outlives them."""
+        was = self._planning
+        self._planning = was or plan_only
+        # drop the PREVIOUS binding first: a body referencing its own
+        # name (a self-cycle via CREATE OR REPLACE) must fail to plan
+        # loudly, never resolve against the stale previous plan
+        if name in self._bound_views:
+            self.spark.catalog.dropTempView(name)
+            self._bound_views.discard(name)
+        try:
+            df, helpers = self._plan_engine_select(
+                self.catalog["views"][name]["sql"]
+            )
+        except EngineError:
+            raise
+        except Exception as e:
+            raise EngineError(
+                f"view {name} failed to plan — a base table, view, or"
+                f" column it references may have changed: {e}"
+            ) from e
+        finally:
+            self._planning = was
+        df.createOrReplaceTempView(name)
+        self._bound_views.add(name)
+        for h in helpers:
+            self.spark.catalog.dropTempView(h)
+        return df
+
+    def _bind_referenced_views(
+        self, stmt: str, plan_only: bool = False
+    ) -> None:
+        """Resolve logical views LAZILY: any statement mentioning a
+        catalog view (re)binds it and its transitive view
+        dependencies, dependencies first — a view therefore always
+        reflects its base tables' state as of the statement that
+        reads it (DuckDB late-binding semantics), at pure analysis
+        cost (no jobs; ``plan_only`` keeps even count-probing
+        surfaces like LIMIT p%% job-free for EXPLAIN/DESCRIBE).
+        Stale session bindings of views a ROLLBACK/RESTORE removed
+        from the catalog are swept first, so they can never serve."""
+        vws = self.catalog.get("views", {})
+        for name in list(self._bound_views):
+            if name not in vws:
+                # a table may have taken the name since (DROP VIEW +
+                # CREATE TABLE): its binding is not ours to drop
+                if name not in self.catalog["tables"]:
+                    self.spark.catalog.dropTempView(name)
+                self._bound_views.discard(name)
+        if not vws:
+            return
+        blanked = _blank_literals(stmt)
+        roots = [
+            n for n in vws
+            if re.search(rf"\b{re.escape(n)}\b", blanked, re.I)
+        ]
+        if not roots:
+            return
+        for n in self._view_dep_order(roots):
+            self._bind_view(n, plan_only=plan_only)
+
     def _meta(self, name: str) -> dict:
         try:
             return self.catalog["tables"][name]
         except KeyError:
+            if name in self.catalog.get("views", {}):
+                raise EngineError(
+                    f"{name} is a view, not a managed table — views"
+                    " cannot be DML/DDL targets"
+                ) from None
             raise EngineError(f"table {name} does not exist") from None
 
     def _writable_meta(self, name: str) -> dict:
@@ -909,6 +1033,27 @@ class AnalyticsEngine:
         self.spark.createDataFrame(
             idx_rows, idx_schema
         ).createOrReplaceTempView("andb_indexes")
+
+        view_rows = [
+            (
+                name,
+                meta["sql"],
+                len(meta.get("columns", [])),
+            )
+            for name, meta in sorted(
+                self.catalog.get("views", {}).items()
+            )
+        ]
+        view_schema = T.StructType(
+            [
+                T.StructField("view_name", T.StringType(), False),
+                T.StructField("sql", T.StringType(), False),
+                T.StructField("column_count", T.IntegerType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            view_rows, view_schema
+        ).createOrReplaceTempView("andb_views")
 
     # How many superseded versions stay readable via VERSION AS OF
     # before the write path prunes them (VACUUM prunes all).
@@ -1364,7 +1509,7 @@ class AnalyticsEngine:
 
     # ---------------------------------------------------------- execute --
     _SYSVIEW_RE = re.compile(
-        r"\bandb_(tables|columns|indexes|segments)\b", re.I
+        r"\bandb_(tables|columns|indexes|segments|views)\b", re.I
     )
 
     def execute(self, sql: str) -> Result:
@@ -1390,6 +1535,15 @@ class AnalyticsEngine:
             self._refresh_system_views()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
+            # Logical views resolve LAZILY at reference time: any
+            # statement mentioning a catalog view (re)binds it — its
+            # defining SQL re-plans through the full pipeline over the
+            # base tables' CURRENT temp views, so a view is always
+            # fresh after base DML. Plan-only statements bind
+            # job-free.
+            self._bind_referenced_views(
+                stmt, plan_only=head in ("EXPLAIN", "DESCRIBE", "DESC")
+            )
             orm = re.match(
                 r"create\s+or\s+replace\s+table\s+(\w+)\b(\s+as\b)?",
                 stmt, re.I,
@@ -1464,6 +1618,12 @@ class AnalyticsEngine:
                 r = self._drop_table(
                     re.sub(r"materialized\s+view", "table", stmt, flags=re.I)
                 )
+            elif head == "CREATE" and re.match(
+                r"create\s+(?:or\s+replace\s+)?view\b", stmt, re.I
+            ):
+                r = self._create_view(stmt)
+            elif head == "DROP" and re.match(r"drop\s+view\b", stmt, re.I):
+                r = self._drop_view(stmt)
             elif head == "CREATE" and re.match(
                 r"create\s+table\s+\w+\s+clone\s+\w+", stmt, re.I
             ):
@@ -3033,10 +3193,13 @@ class AnalyticsEngine:
         probes the boundary via the REVERSED order + LIMIT 1 — one
         row to the driver, never o+n. When the input has fewer than
         o+n rows there is no boundary and the top set IS the result.
-        The ORDER BY must reference columns the statement projects
-        (refused by name otherwise — project the ordering expression
-        first; Postgres resolves against the source scope instead, a
-        documented boundary).
+        An ORDER BY referencing columns the statement does NOT
+        project resolves against the SOURCE scope for simple SELECT
+        heads (Postgres resolution; ``_ties_source_scope_plan``
+        injects the order expressions as helper columns and the
+        final projection drops them). DISTINCT heads refuse — as in
+        Postgres — and compound/WITH heads keep the
+        projected-columns rule (named refusal).
 
         EXPLAIN (``self._planning``) must not launch the probe job:
         the plan-only path emits the equivalent rank()-window SQL over
@@ -3054,11 +3217,44 @@ class AnalyticsEngine:
             self._parse_order_item(o)
             for o in self._split_top_level(order_text)
         ]
+        if n == 0:
+            # FETCH FIRST 0 ROWS WITH TIES: zero fetched rows means
+            # there is no tie boundary — Postgres returns an empty set
+            # even when combined with a nonzero OFFSET (r10 ADVICE #1:
+            # the generic path would have made the OFF-th row the
+            # boundary and let its ties beyond the page survive).
+            df, views = self._plan_engine_select(head)
+            try:
+                view = f"_ft_{uuid.uuid4().hex[:8]}"
+                df.limit(0).createOrReplaceTempView(view)
+                views.append(view)
+                return f"select * from {view}", views
+            except BaseException:
+                for v in views:
+                    self.spark.catalog.dropTempView(v)
+                raise
         # plan the FULL head, ORDER BY included: a DISTINCT ON head
         # NEEDS its ORDER BY (r10 probe — stripping it here made the
         # composition refuse), and the redundant inner sort under the
         # TakeOrdered below is removed by Catalyst's EliminateSorts
-        df, views = self._plan_engine_select(head)
+        try:
+            df, views = self._plan_engine_select(head)
+        except EngineError:
+            raise
+        except Exception as e:
+            if re.match(
+                r"^\s*select\s+distinct\b(?!\s+on\b)",
+                _blank_literals(head), re.I,
+            ):
+                # Postgres: "for SELECT DISTINCT, ORDER BY
+                # expressions must appear in select list" — name the
+                # rule instead of Spark's raw unresolved-column error
+                raise EngineError(
+                    "FETCH ... WITH TIES: for SELECT DISTINCT, ORDER"
+                    " BY expressions must appear in the select list"
+                    f" ({e})"
+                ) from e
+            raise
         try:
             # ordinal ORDER BY (`order by 1`): a bare integer is a
             # select-list POSITION everywhere else in the engine
@@ -3076,33 +3272,75 @@ class AnalyticsEngine:
                 resolved.append((e, d, nl))
             items = resolved
             helpers = [f"_ft_o{i}" for i in range(len(items))]
+            src_scope = False
+            proj_cols: list[str] = list(df.columns)
             try:
                 for h, (e, _d, _nl) in zip(helpers, items):
                     df = df.withColumn(h, F.expr(e))
             except Exception as e:
-                raise EngineError(
-                    "FETCH ... WITH TIES: the ORDER BY must reference"
-                    f" columns the statement projects ({e})"
-                ) from e
+                # Postgres resolves the ORDER BY against the SOURCE
+                # scope (an unprojected sort key is legal): inject
+                # each order expression into the head's select list
+                # as a helper column and re-plan — the ties machinery
+                # runs on helpers and the final projection drops them
+                # (r10 verdict #3; the DISTINCT ON helper-column
+                # pattern, one scope earlier)
+                df2, v2 = self._ties_source_scope_plan(
+                    head, items, helpers
+                )
+                if df2 is None:
+                    raise EngineError(
+                        "FETCH ... WITH TIES: the ORDER BY must"
+                        " reference columns the statement projects,"
+                        " or resolve against a simple SELECT head's"
+                        f" source columns ({e})"
+                    ) from e
+                views += v2
+                df = df2
+                src_scope = True
+                proj_cols = [c for c in df.columns if c not in helpers]
             sort_cols = [
                 self._order_spec(F.col(h), d, nl)
                 for h, (_e, d, nl) in zip(helpers, items)
             ]
             view = f"_ft_{uuid.uuid4().hex[:8]}"
+
+            def _final_sql() -> str:
+                # source-scope: the view RETAINS the helper columns
+                # (the order keys exist nowhere else once the source
+                # columns are projected away) — order by them, project
+                # the statement's own columns
+                if src_scope:
+                    sel = ", ".join(f"`{c}`" for c in proj_cols)
+                    osql = ", ".join(
+                        f"{h} {d}" + (f" nulls {nl}" if nl else "")
+                        for h, (_e, d, nl) in zip(helpers, items)
+                    )
+                    return (
+                        f"select {sel} from {view} order by {osql}"
+                        + (f" offset {off}" if off else "")
+                    )
+                return (
+                    f"select * from {view} order by {order_text}"
+                    + (f" offset {off}" if off else "")
+                )
+
+            def _strip(frame):
+                return frame if src_scope else frame.drop(*helpers)
+
             if self._planning:
                 from pyspark.sql import Window as _W
 
                 ranked = df.withColumn(
                     "_ft_rk", F.rank().over(_W.orderBy(*sort_cols))
                 )
-                ranked.filter(F.col("_ft_rk") <= off + n).drop(
-                    "_ft_rk", *helpers
+                _strip(
+                    ranked.filter(F.col("_ft_rk") <= off + n).drop(
+                        "_ft_rk"
+                    )
                 ).createOrReplaceTempView(view)
                 views.append(view)
-                return (
-                    f"select * from {view} order by {order_text}"
-                    + (f" offset {off}" if off else ""), views
-                )
+                return _final_sql(), views
             top = df.orderBy(*sort_cols).limit(off + n)
 
             def _tie_pred(boundary):
@@ -3133,7 +3371,7 @@ class AnalyticsEngine:
                     final = topdf.filter(~tie).unionByName(
                         df.filter(tie)
                     )
-                final.drop(*helpers).createOrReplaceTempView(view)
+                _strip(final).createOrReplaceTempView(view)
                 views.append(view)
             else:
                 top = top.persist()
@@ -3155,21 +3393,51 @@ class AnalyticsEngine:
                     # a result a CTAS/INSERT consumer keeps
                     # distributed). localCheckpoint cuts the lineage,
                     # so `top` can unpersist before returning.
-                    final = final.drop(*helpers).localCheckpoint(
-                        eager=True
-                    )
+                    final = _strip(final).localCheckpoint(eager=True)
                     final.createOrReplaceTempView(view)
                     views.append(view)
                 finally:
                     top.unpersist()
-            return (
-                f"select * from {view} order by {order_text}"
-                + (f" offset {off}" if off else ""), views
-            )
+            return _final_sql(), views
         except BaseException:
             for v in views:
                 self.spark.catalog.dropTempView(v)
             raise
+
+    def _ties_source_scope_plan(
+        self, head: str, items: list, helpers: list[str]
+    ) -> tuple[DataFrame | None, list[str]]:
+        """WITH TIES whose ORDER BY references columns the statement
+        does NOT project: Postgres resolves against the source scope,
+        so inject each order expression into the head's select list
+        as a helper column and re-plan through the full pipeline —
+        the ties machinery then sorts/ties on the helpers and the
+        final projection drops them (the DISTINCT ON helper-column
+        pattern, one scope earlier). Simple SELECT heads only:
+        DISTINCT refuses (Postgres: ORDER BY expressions must appear
+        in the select list), and compound set operations / WITH
+        prefixes keep the projected-columns rule (returns (None, [])
+        → the caller's named refusal). A GROUP BY head works when
+        the expression is a valid post-aggregation expression —
+        exactly Postgres's rule — and falls back to the refusal
+        otherwise."""
+        blanked = _blank_literals(head)
+        if not re.match(r"^\s*select\s+(?!distinct\b)", blanked, re.I):
+            return None, []
+        f = self._find_top_level_keyword(head, ("from",))
+        if f is None or self._find_top_level_keyword(
+            head, ("union", "intersect", "except")
+        ) is not None:
+            return None, []
+        inj = ", ".join(
+            f"({e}) as {h}"
+            for (e, _d, _nl), h in zip(items, helpers)
+        )
+        new_head = f"{head[: f[0]]}, {inj} {head[f[0]:]}"
+        try:
+            return self._plan_engine_select(new_head)
+        except Exception:
+            return None, []
 
     def _rewrite_union_by_name(self, stmt: str) -> tuple[str, list[str]]:
         """``<q> UNION [ALL] BY NAME <q> [...]`` (DuckDB; Spark SQL
@@ -3333,7 +3601,14 @@ class AnalyticsEngine:
                             r"^\s*select\s+distinct\s+on\s*\(", ib, re.I
                         )
                         or re.match(
-                            r"^\s*select\s+(distinct\s+)?\*\s+replace"
+                            # optional alias prefix (`t.* REPLACE`):
+                            # the spelling must LIFT so the top-level
+                            # rewrite's named refusal reaches the user
+                            # instead of a raw Spark parse error (r10
+                            # ADVICE #3; same prefix as the binder
+                            # gate)
+                            r"^\s*select\s+(?:distinct\s+)?"
+                            r"(?:\w+\s*\.\s*)?\*\s+replace"
                             r"\s*\(", ib, re.I,
                         )
                         # a COLUMNS() projection at the content's
@@ -3524,8 +3799,12 @@ class AnalyticsEngine:
                     f"COLUMNS(...) matched no columns of {cols}"
                 )
             for c in matched:
+                # backtick-quote: a matched column of an attached
+                # file's schema can carry dots/spaces in its name —
+                # unquoted it would misparse after the textual
+                # expansion (r10 ADVICE #2)
                 out_items.append(
-                    f"{fn}({c}) as {c}" if fn else c
+                    f"{fn}(`{c}`) as `{c}`" if fn else f"`{c}`"
                 )
         new_sel = ", ".join(out_items)
         return (
@@ -3546,9 +3825,12 @@ class AnalyticsEngine:
         Runs after the ASOF/range source rewrites in the pipeline, so
         engine-only sources are already plain views here. A REPLACE
         target not in the source's columns is refused by name (DuckDB
-        errors too)."""
+        errors too). The alias-qualified ``t.* REPLACE (...)``
+        spelling expands only ``t``'s columns (DuckDB; r10 ADVICE #3
+        upgraded the named refusal to an execution)."""
         m = re.match(
-            r"^\s*select\s+(distinct\s+)?\*\s+replace\s*\(", stmt, re.I
+            r"^\s*select\s+(distinct\s+)?(?:(\w+)\s*\.\s*)?\*"
+            r"\s+replace\s*\(", stmt, re.I,
         )
         if not m:
             # catch-all: star-REPLACE anywhere else (subquery, after
@@ -3595,8 +3877,12 @@ class AnalyticsEngine:
                    "window", "order by", "limit", "offset"),
         )
         sources = tail[: t[0]] if t else tail
+        alias = m.group(2)
+        star = f"{alias}.*" if alias else "*"
         try:
-            cols = self.spark.sql(f"select * from {sources}").columns
+            cols = self.spark.sql(
+                f"select {star} from {sources}"
+            ).columns
         except Exception as e:
             raise EngineError(
                 "SELECT * REPLACE: could not resolve the FROM"
@@ -3609,9 +3895,10 @@ class AnalyticsEngine:
                 f"SELECT * REPLACE: column(s) {missing} not in the"
                 f" FROM source ({cols})"
             )
+        qual = f"`{alias}`." if alias else ""
         sel = ", ".join(
             f"({repl[c.lower()]}) AS `{c}`" if c.lower() in repl
-            else f"`{c}`"
+            else f"{qual}`{c}`"
             for c in cols
         )
         distinct = m.group(1) or ""
@@ -5156,7 +5443,8 @@ class AnalyticsEngine:
     # next _refresh_system_views, so creation rejects them up front
     # (the reference reserves its andb_* catalog names the same way).
     RESERVED_NAMES = frozenset(
-        {"andb_tables", "andb_columns", "andb_indexes", "andb_segments"}
+        {"andb_tables", "andb_columns", "andb_indexes",
+         "andb_segments", "andb_views"}
     )
 
     def _check_name_free(self, name: str) -> None:
@@ -5164,6 +5452,14 @@ class AnalyticsEngine:
             raise EngineError(f"{name} is a reserved system catalog name")
         if name in self.catalog["tables"]:
             raise EngineError(f"table {name} already exists")
+        if name in self.catalog.get("views", {}):
+            # DuckDB: "Existing object v is of type View, trying to
+            # replace with type Table" — tables and views share one
+            # namespace, and the statement KINDS stay strict
+            raise EngineError(
+                f"{name} is a view — drop the view first or use"
+                " CREATE OR REPLACE VIEW"
+            )
 
     def _matview_source(self, sql: str, plan: dict | None) -> DataFrame:
         """The frame a full (re)materialization stores: the defining
@@ -5383,6 +5679,110 @@ class AnalyticsEngine:
         self._overwrite(name, df)
         return Result()
 
+    def _create_view(self, stmt: str) -> Result:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name AS <query> —
+        a logical, non-materialized view (DuckDB/ANSI): the catalog
+        persists the defining SQL only; every reference re-plans it
+        through the FULL engine pipeline (``_bind_referenced_views``),
+        so engine-only SQL (QUALIFY, DISTINCT ON, BY NAME unions,
+        COLUMNS, ASOF) works in view bodies and the view always
+        reflects the base tables' current state. Creation validates
+        the body end-to-end (plan-only — no job, like DuckDB's
+        binder) and snapshots the schema into the catalog for
+        DESCRIBE/andb_views; tables and views share one namespace
+        with strict statement kinds (CREATE VIEW can never replace a
+        table, DROP TABLE never takes a view)."""
+        m = re.match(
+            r"create\s+(or\s+replace\s+)?view\s+"
+            r"(if\s+not\s+exists\s+)?(\w+)\s+as\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE VIEW: {stmt!r}")
+        orp, ine, name, body = m.groups()
+        if orp and ine:
+            # DuckDB refuses the combination too
+            raise EngineError(
+                "CREATE VIEW: OR REPLACE and IF NOT EXISTS cannot be"
+                " combined"
+            )
+        body = body.strip().rstrip(";").strip()
+        if name.lower() in self.RESERVED_NAMES:
+            raise EngineError(f"{name} is a reserved system catalog name")
+        if name in self.catalog["tables"]:
+            kind = (
+                "materialized view"
+                if self.catalog["tables"][name].get("matview_sql")
+                else "table"
+            )
+            raise EngineError(
+                f"{name} is a {kind} — CREATE VIEW cannot replace it"
+            )
+        vws = self.catalog["views"]
+        if name in vws and not orp:
+            if ine:
+                return Result(
+                    warning=f"view {name} already exists, skipped"
+                )
+            raise EngineError(f"view {name} already exists")
+        old = vws.get(name)
+        vws[name] = {"sql": body}
+        try:
+            # cycle check over the would-be catalog, then validate:
+            # bind the dependency closure plan-only (job-free DDL) —
+            # the view's own plan comes back last (post-order) and
+            # its schema snapshots into the catalog entry
+            df = None
+            for dep in self._view_dep_order([name]):
+                df = self._bind_view(dep, plan_only=True)
+            vws[name]["columns"] = [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ]
+        except BaseException:
+            if old is None:
+                vws.pop(name, None)
+            else:
+                vws[name] = old
+                # _bind_view dropped the live binding before planning
+                # the (failed) replacement — restore the old view
+                try:
+                    self._bind_view(name, plan_only=True)
+                except EngineError:
+                    pass  # old body no longer plans either
+            raise
+        self._save_catalog()
+        return Result()
+
+    def _drop_view(self, stmt: str) -> Result:
+        m = re.match(
+            r"drop\s+view\s+(if\s+exists\s+)?(\w+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise EngineError(f"cannot parse DROP VIEW: {stmt!r}")
+        name = m.group(2)
+        if name in self.catalog["tables"]:
+            kind = (
+                "a materialized view — use DROP MATERIALIZED VIEW"
+                if self.catalog["tables"][name].get("matview_sql")
+                else "a table — use DROP TABLE"
+            )
+            raise EngineError(f"{name} is {kind}")
+        if name not in self.catalog["views"]:
+            if m.group(1):
+                return Result(
+                    warning=f"view {name} does not exist, skipped"
+                )
+            raise EngineError(f"view {name} does not exist")
+        # dependents are NOT blocked (DuckDB drops too): a dependent
+        # view fails at its next bind with the named plan error
+        del self.catalog["views"][name]
+        self._save_catalog()
+        if name in self._bound_views:
+            self.spark.catalog.dropTempView(name)
+            self._bound_views.discard(name)
+        return Result()
+
     def _drop_table(self, stmt: str) -> Result:
         m = re.match(
             r"drop\s+table\s+(if\s+exists\s+)?(\w+)\s*$", stmt, re.I
@@ -5390,6 +5790,10 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse DROP TABLE: {stmt!r}")
         name = m.group(2)
+        if name in self.catalog.get("views", {}):
+            # strict statement kinds (DuckDB raises on the mismatch
+            # too): DROP TABLE must never take a view with it
+            raise EngineError(f"{name} is a view — use DROP VIEW")
         if m.group(1) and name not in self.catalog["tables"]:
             return Result(warning=f"table {name} does not exist, skipped")
         self._meta(name)

@@ -45,94 +45,82 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-10 rotation (r9 verdict #2/#3: never-graded surfaces
-    # first, then the r6 cohort — the oldest evidence in the ledger
-    # after the r9 rotation cleared the r5 cohort).
+    # Round-11 rotation (r10 verdict #5: new surfaces first, then the
+    # oldest evidence — the 5 r6-deferral names and the 44-name r7
+    # cohort are the whole remaining pre-r8 ledger).
     #
-    # (a) never-graded: the five r9 surfaces that shipped
-    # differential-pytest-only (ANSI OFFSET/FETCH FIRST, CREATE OR
-    # REPLACE TABLE, COPY (SELECT) TO, INSERT BY POSITION, join-DML
-    # subquery sources) plus the two r10 surfaces (FETCH FIRST ...
-    # WITH TIES — the r9 named refusal, implemented; and the
-    # set-level trailing-OFFSET + subquery-lifted UNION BY NAME shape
-    # that lifts the r9 `weak` grade with driver evidence).
-    "q_fetch_first",
-    "u_fetch_with_ties",
-    "u_union_offset",
-    "u_create_or_replace",
-    "u_copy_export",
-    "u_insert_by_position",
-    "u_update_from_subquery",
-    "u_limit_percent",
-    "u_columns",
-    # (b) changed since their r9 grading: NONE re-graded — the r10
-    # engine changes (trailing-OFFSET capture, WITH TIES, subquery
-    # lift, CTAS body normalization, COPY count-from-manifest) are
-    # all new-shape-only on the r9-graded statements: every r9 graded
-    # SQL parses through the identical code path it was graded on
-    # (none carries a bare trailing OFFSET, WITH TIES, a BY NAME
-    # subquery, or a non-`as select` CTAS body), and the changed
-    # shapes are differential-pinned in
-    # test_parser_surfaces_differential.py (clause-tail grid,
-    # subquery-lift grid, CTAS body forms, COPY single-eval pin).
-    # (c) oldest evidence — 41 of the 44 r6-graded names. Three defer
-    # to r11 for the two family-coverage slots below + the 7-name (a)
-    # debt: q_union_distinct (UNION dedup re-evidenced by the set-op
-    # fuzz arm + q_union_all r7 + the no-ALL BY NAME folds graded
-    # r9), q_exists_subquery (EXISTS re-evidenced by q4_priority_
-    # exists r7 and q_in_subquery r7), q_scalar_subquery (scalar-agg
-    # subqueries are the exact machinery q_quantified_subquery r8
-    # grades), q_window_navigation (first/last/nth_value — the window
-    # fuzz arm + q_window_frames below + q_window_funcs r8 keep the
-    # family covered; its slot funds the late-r10 u_limit_percent
-    # surface), t_dup_rate_report (a reporting join over dedup
-    # outputs whose operators earned fresh r9 evidence via
-    # d_exact_dup_groups / d_ngram_jaccard; its slot funds the
-    # late-r10 u_columns surface). Every other r6 name below:
-    "a_asof_tolerance",
-    "d_bloom_bound",
-    "d_dup_components",
-    "d_incremental_minhash",
-    "d_lsh_recall_audit",
-    "d_minhash_lsh",
-    "d_repeated_passages",
-    "m_embed_topk",
-    "m_image_embed",
-    "m_resize",
-    "p_sample_hash",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_anomaly_zscore",
-    "q_approx_quantile_bound",
-    "q_funnel",
-    "q_hll_sketch_bound",
-    "q_join_anti",
-    "q_join_theta",
-    "q_listagg",
-    "q_recursive_cte",
-    "q_retention_cohorts",
-    "q_skew_salted_agg",
-    "q_stats_agg",
-    "q_window_frames",
-    "t_length_histogram",
-    "t_rolling_fingerprint",
-    "t_source_stats",
-    "u_dml_roundtrip",
-    "u_qualify_sql",
-    "v_kmeans_bound",
-    "v_pq_bound",
-    "v_quantize",
-    # (family cross-section: the r6 cohort has no s_ or c_ name, so
-    # the graded window takes each family's OLDEST-evidence member —
-    # s_stream_asof last graded r7, c_catalog_tables r8.)
-    "s_stream_asof",
-    "c_catalog_tables",
+    # (a) never-graded: the one r11 surface (CREATE [OR REPLACE] /
+    # DROP VIEW — r10 verdict #1's headline ask). The round's other
+    # new surfaces (correlated engine-subquery lift, WITH TIES
+    # source-scope ORDER BY, COLUMNS composed expressions) are
+    # differential-pinned in test_parser_surfaces_differential.py
+    # per the verdict's own done-criteria (refusal tests converted
+    # to executing differentials), leaving the slots to the ledger.
+    "u_create_view",
+    # (b) changed since their r10 grading: NONE re-graded — the r11
+    # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
+    # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
+    # on the r10-graded statements (none references a logical view,
+    # fetches 0 rows WITH TIES, or correlates an engine subquery) and
+    # each changed shape is differential-pinned.
+    # (c) oldest evidence — the 5 r6 deferrals first (deferred in the
+    # r10 rotation comment), then 43 of the 44 r7-graded names;
+    # q_union_all alone defers to r12: its operator (UNION ALL fold)
+    # is re-evidenced THIS round by q_union_distinct (same family,
+    # stricter dedup semantics) plus the set-op fuzz arm, and its
+    # slot funds the family-coverage c_ name below.
+    "q_exists_subquery",
+    "q_scalar_subquery",
+    "q_union_distinct",
+    "q_window_navigation",
+    "t_dup_rate_report",
+    "a_asof_join",
+    "d_exact_dedup",
+    "d_passage_scrub",
+    "m_audio_decode",
+    "m_image_decode",
+    "m_image_meta",
+    "p_pipeline_e2e",
+    "p_split",
+    "q13_customer_distribution",
+    "q14_type_revenue_ratio",
+    "q19_or_of_ands",
+    "q1_pricing_summary",
+    "q4_priority_exists",
+    "q_cube",
+    "q_date_funcs",
+    "q_distinct",
+    "q_function_scan",
+    "q_gapfill",
+    "q_global_agg",
+    "q_group_by_all",
+    "q_having",
+    "q_in_subquery",
+    "q_intersect",
+    "q_join_cross",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_lateral_join",
+    "q_limit_offset",
+    "q_math_funcs",
+    "q_percentiles",
+    "q_pivot",
+    "q_pivot_sql",
+    "q_rollup",
+    "q_select_no_from",
+    "q_sessionize",
+    "s_tumbling",
+    "t_chunking",
+    "t_lang_quality",
+    "u_asof_tolerance_sql",
+    "u_upsert_sql",
+    "v_cosine_topk",
+    "v_semantic_dedup",
+    # (family cross-section: the r6/r7 cohorts have no c_ name, so
+    # the graded window takes the family's oldest-evidence member —
+    # c_catalog_columns, last graded r9.)
+    "c_catalog_columns",
 )
 
 

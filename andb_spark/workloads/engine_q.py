@@ -796,6 +796,45 @@ def u_update_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("jq_t").orderBy("o_orderkey")
 
 
+def u_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-view lifecycle (api.py::_create_view — the catalog
+    persists the defining SQL only; every reference re-plans it over
+    the base tables' CURRENT state): CREATE a rollup view, chain a
+    view OVER the view, select through the chain, mutate the base
+    (the views must follow — late binding), CREATE OR REPLACE the mid
+    view with a wider definition, DROP the dependent, and grade the
+    replaced view's state. The oracle restates the final state
+    declaratively; the statement-by-statement differential vs DuckDB
+    NATIVE views is tests/test_parser_surfaces_differential.py::
+    test_create_view_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_cv_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table cv_base as select o_orderkey as k, o_custkey"
+        " as c, o_totalprice as v, o_orderstatus as s from orders"
+        " where o_orderkey < 4000"
+    )
+    e(
+        "create view cv_rollup as select s, count(*) as n,"
+        " round(sum(v), 2) as rev from cv_base group by s"
+    )
+    e("create view cv_big as select s, n, rev from cv_rollup where n >= 2")
+    e("select * from cv_big")  # bind + read through the chain
+    e("delete from cv_base where c % 5 = 2")  # views must follow
+    e(
+        "create or replace view cv_rollup as select s, count(*) as n,"
+        " round(sum(v), 2) as rev, round(min(v), 2) as lo from cv_base"
+        " group by s"
+    )
+    e("drop view cv_big")
+    r = e("select s, n, rev, lo from cv_rollup order by s")
+    return spark.createDataFrame(
+        r.rows, "s string, n bigint, rev double, lo double"
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -850,6 +889,7 @@ QUERIES = {
     "u_update_from_subquery": u_update_from_subquery,
     "u_limit_percent": u_limit_percent,
     "u_columns": u_columns,
+    "u_create_view": u_create_view,
 }
 
 ORACLES = {
@@ -931,6 +971,17 @@ ORACLES = {
         FROM t JOIN s ON t.o_custkey = s.k
         WHERE t.o_custkey % 4 <> 0
         ORDER BY t.o_orderkey
+    """,
+    "u_create_view": """
+        WITH cv_base AS (
+            SELECT o_orderkey AS k, o_custkey AS c,
+                   o_totalprice AS v, o_orderstatus AS s
+            FROM orders WHERE o_orderkey < 4000
+        ),
+        after_del AS (SELECT * FROM cv_base WHERE c % 5 <> 2)
+        SELECT s, count(*) AS n, round(sum(v), 2) AS rev,
+               round(min(v), 2) AS lo
+        FROM after_del GROUP BY s ORDER BY s
     """,
     "u_upsert_sql": """
         WITH base AS (

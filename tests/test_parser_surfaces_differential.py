@@ -912,13 +912,44 @@ def test_fetch_with_ties_matches_postgres_semantics(ubn_engines):
         assert sorted(ours.rows) == duck, ours_sql
     with pytest.raises(EngineError, match="requires ORDER BY"):
         eng.execute("select k from ua fetch first 2 rows with ties")
-    # b exists in the SOURCE but not the projection: Spark resolves
-    # the bare ORDER BY natively, so the head plans — the tie helper
-    # is what refuses, by name (a nonexistent column errors earlier,
-    # with Spark's UNRESOLVED_COLUMN diagnostics)
-    with pytest.raises(EngineError, match="projects"):
+    # SOURCE-scope ORDER BY (r10 verdict #3 — was a named refusal):
+    # b exists in the source but not the projection; Postgres
+    # resolves it against the source scope, ties included. The
+    # oracle is the rank()-bounded formulation over the source.
+    src_cases = (
+        # boundary ties on the unprojected key: b=10,20,20 -> first 2
+        # pulls the b=20 tie pair -> 3 rows
+        (
+            "select k from ua order by b fetch first 2 rows with ties",
+            "select k from (select k, rank() over (order by b) rk"
+            " from ua) t where rk <= 2",
+        ),
+        # expression over source columns, desc, with OFFSET
+        (
+            "select a from ua order by b + k desc offset 1 rows"
+            " fetch next 1 rows with ties",
+            "select a from (select a, rank() over (order by b + k"
+            " desc) rk from ua) t where rk <= 2 qualify row_number()"
+            " over (order by rk) > 1",
+        ),
+        # GROUP BY head: the order key is a valid post-aggregation
+        # expression (Postgres's rule)
+        (
+            "select k from ua group by k order by sum(b)"
+            " fetch first 1 rows with ties",
+            "select k from (select k, rank() over (order by sum(b))"
+            " rk from ua group by k) t where rk <= 1",
+        ),
+    )
+    for ours_sql, duck_sql in src_cases:
+        ours = eng.execute(ours_sql)
+        duck = sorted(con.execute(duck_sql).fetchall())
+        assert sorted(ours.rows) == duck, ours_sql
+    # DISTINCT heads keep the refusal (Postgres refuses too)
+    with pytest.raises(EngineError, match="select list"):
         eng.execute(
-            "select k from ua order by b fetch first 2 rows with ties"
+            "select distinct k from ua order by b"
+            " fetch first 2 rows with ties"
         )
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
@@ -968,6 +999,15 @@ def test_fetch_with_ties_review_fixes(ubn_engines):
     # (4) zero-row page
     r = eng.execute(
         "select k from ua order by k fetch first 0 rows with ties"
+    )
+    assert r.rows == []
+    # (4b) zero-row page WITH a nonzero OFFSET (r10 ADVICE #1): zero
+    # fetched rows means no tie boundary — Postgres returns an empty
+    # set; the generic path would have made the OFF-th row the
+    # boundary and let its ties survive (ua has the k=2 tie pair)
+    r = eng.execute(
+        "select k from ua order by k offset 1 rows"
+        " fetch first 0 rows with ties"
     )
     assert r.rows == []
     # (5) doubled OFFSET around a percent limit
@@ -1031,6 +1071,22 @@ def test_select_replace_edges(ubn_engines):
         " (select * replace (b * 2 as b) from ua) t order by k, b"
     )
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # alias-qualified `t.* REPLACE` (r10 ADVICE #3, upgraded to an
+    # execution): expands only t's columns — top level, joined to a
+    # second source, and inside a FROM subquery (the lift)
+    for sql in (
+        "select u.* replace (b * 2 as b) from ua u order by k, b",
+        "select u.* replace (u.b + v.c as b) from ua u"
+        " join ub v on v.k = u.k order by 1, 3",
+        "select t.k, t.b from"
+        " (select u.* replace (b * 3 as b) from ua u) t"
+        " order by t.k, t.b",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert ours.rows == drows, sql
+        assert ours.columns == [d[0] for d in duck.description], sql
     with pytest.raises(EngineError, match="outer query"):
         eng.execute("select k, * replace (b * 2 as b) from ua")
     # `b * replace(a, 'x', 'z')` is arithmetic, not star-REPLACE
@@ -1685,13 +1741,125 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         drows = duck.fetchall()
         assert ours.rows == drows, sql
         assert ours.columns == [d[0] for d in duck.description], sql
-    with pytest.raises(EngineError, match="alias other compositions"):
-        eng.execute("select columns('a.*') + 1 from ct")
     with pytest.raises(EngineError, match="matched no columns"):
         eng.execute("select columns('zzz') from ct")
-    with pytest.raises(EngineError, match="select list"):
-        eng.execute("select k from ct where columns('a.*') > 1")
+    # non-identifier column names (attached files can carry dots or
+    # spaces): the expansion must backtick-quote both the expression
+    # and the alias (r10 ADVICE #2) — engine-only, DuckDB's quoting
+    # dialect differs
+    spark.sql(
+        "select 1 as `a b`, 2 as `a.c`, 3 as k"
+    ).createOrReplaceTempView("ct_odd")
+    try:
+        r = eng.execute("select columns('a.*') from ct_odd")
+        assert r.columns == ["a b", "a.c"]
+        assert r.rows == [(1, 2)]
+        r = eng.execute("select max(columns('a.*')) from ct_odd")
+        assert r.columns == ["a b", "a.c"]
+        assert r.rows == [(1, 2)]
+    finally:
+        spark.catalog.dropTempView("ct_odd")
     eng.close()
+
+
+def test_create_view_matches_duckdb(spark, tmp_path):
+    """CREATE [OR REPLACE] VIEW / DROP VIEW (logical views;
+    api.py::_create_view) vs DuckDB NATIVE views — the IDENTICAL
+    statement sequence through both engines: create, select through,
+    view-over-view chain, base DML followed by the view (late
+    binding), OR REPLACE with a wider definition, IF NOT EXISTS,
+    DROP VIEW [IF EXISTS]. Engine-surface bodies (QUALIFY — SQL
+    DuckDB views accept too) and the strict statement-kind errors
+    are pinned engine-side."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whview"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table vt (k int, g int, v int)",
+        "insert into vt values (1,1,10),(2,1,20),(3,2,30),(4,2,40),"
+        "(5,3,50)",
+        "create view vsum as select g, count(*) as n, sum(v) as sv"
+        " from vt group by g",
+        "create view vbig as select g, sv from vsum where n >= 2",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    checks = [
+        "select g, n, sv from vsum order by g",
+        "select g, sv from vbig order by g",
+        # a view source composes with joins/aggregates downstream
+        "select t.k, s.n from vt t join vsum s on s.g = t.g"
+        " order by t.k",
+    ]
+    for sql in checks:
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # late binding: base DML flows through the whole chain
+    for run in (eng.execute, con.execute):
+        run("insert into vt values (6,3,60)")
+    for sql in checks:
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # OR REPLACE re-points the mid view; the dependent follows
+    repl = (
+        "create or replace view vsum as select g, count(*) as n,"
+        " sum(v) as sv, min(v) as lo from vt group by g"
+    )
+    for run in (eng.execute, con.execute):
+        run(repl)
+    for sql in checks + ["select g, lo from vsum order by g"]:
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # IF NOT EXISTS on an existing name: both engines no-op
+    for run in (eng.execute, con.execute):
+        run("create view if not exists vsum as select 1 as x")
+    sql = "select g, n from vsum order by g"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # engine-surface body: QUALIFY in a view definition (DuckDB
+    # executes QUALIFY natively, so the SQL is identical)
+    qv = (
+        "create view vtop as select k, g, v from vt qualify"
+        " row_number() over (partition by g order by v desc) = 1"
+    )
+    for run in (eng.execute, con.execute):
+        run(qv)
+    sql = "select k, g, v from vtop order by g"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # DROP VIEW / IF EXISTS
+    for run in (eng.execute, con.execute):
+        run("drop view vtop")
+        run("drop view if exists vtop")
+    # strict statement kinds + lifecycle errors (engine-side pins;
+    # DuckDB raises on each of these shapes too)
+    for sql, pat in (
+        ("drop table vsum", "DROP VIEW"),
+        ("drop view vt", "DROP TABLE"),
+        ("create view vt as select 1", "cannot replace"),
+        ("create view vsum as select 1", "already exists"),
+        ("insert into vsum values (9, 9, 9)", "view"),
+        ("create table vsum as select 1 as x", "view"),
+        ("drop view nosuchview", "does not exist"),
+        (
+            "create or replace view if not exists x2 as select 1",
+            "cannot be combined",
+        ),
+        ("create or replace view vbig as select g from vbig",
+         "failed to plan"),
+    ):
+        with pytest.raises(EngineError, match=pat):
+            eng.execute(sql)
+    # the failed self-referencing replace restored the OLD vbig
+    sql = "select g, sv from vbig order by g"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # catalog surface + persistence across an engine restart
+    r = eng.execute(
+        "select view_name, column_count from andb_views order by 1"
+    )
+    assert r.rows == [("vbig", 2), ("vsum", 4)]
+    eng.close()
+    eng2 = AnalyticsEngine(str(tmp_path / "whview"), spark=spark)
+    sql = "select g, n, sv, lo from vsum order by g"
+    assert eng2.execute(sql).rows == con.execute(sql).fetchall()
+    eng2.close()
 
 
 def test_engine_subquery_lift_review_fixes(ubn_engines):
