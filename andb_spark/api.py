@@ -792,6 +792,29 @@ class AnalyticsEngine:
             ) from e
         finally:
             self._planning = was
+        aliases = self.catalog["views"][name].get("aliases")
+        if aliases:
+            # CREATE VIEW v (x, y) AS ... column aliases (DuckDB
+            # semantics, probed: a PARTIAL list renames a prefix and
+            # the rest keep their own names; duplicate aliases dedup
+            # with _N suffixes; more aliases than columns errors)
+            cur = df.columns
+            if len(aliases) > len(cur):
+                raise EngineError(
+                    f"view {name}: more VIEW aliases than columns"
+                    " in the defining query's result"
+                )
+            renamed = list(aliases) + cur[len(aliases):]
+            seen: dict[str, int] = {}
+            out = []
+            for c in renamed:
+                if c in seen:
+                    seen[c] += 1
+                    out.append(f"{c}_{seen[c]}")
+                else:
+                    seen[c] = 0
+                    out.append(c)
+            df = df.toDF(*out)
         df.createOrReplaceTempView(name)
         self._bound_views.add(name)
         for h in helpers:
@@ -3611,11 +3634,14 @@ class AnalyticsEngine:
                             r"(?:\w+\s*\.\s*)?\*\s+replace"
                             r"\s*\(", ib, re.I,
                         )
-                        # a COLUMNS() projection at the content's
-                        # own top level (recursion resolves deeper
-                        # nesting)
+                        # a COLUMNS() call belonging to the content's
+                        # OWN scope — possibly inside function parens
+                        # like sum(columns(..)), but not a deeper
+                        # subquery's (recursion resolves those)
                         or any(
-                            _paren_depth_at(ib, cm.start()) == 0
+                            not self._inside_nested_select(
+                                ib, cm.start()
+                            )
                             for cm in re.finditer(
                                 r"\bcolumns\s*\(", ib, re.I
                             )
@@ -3637,11 +3663,25 @@ class AnalyticsEngine:
                         except EngineError:
                             raise
                         except Exception as e:
-                            raise EngineError(
-                                "QUALIFY / DISTINCT ON / * REPLACE in"
-                                " a subquery must be uncorrelated"
-                                f" (the body plans standalone): {e}"
-                            ) from e
+                            # equi-correlated bodies decorrelate
+                            # (r10 verdict #2) before refusing
+                            deco = self._decorrelate_engine_subquery(
+                                inner
+                            )
+                            if deco is None:
+                                raise EngineError(
+                                    "QUALIFY / DISTINCT ON / *"
+                                    " REPLACE in a subquery must be"
+                                    " uncorrelated or equi-correlated"
+                                    " (the body plans standalone):"
+                                    f" {e}"
+                                ) from e
+                            spliced, v = deco
+                            views += v
+                            out.append(f"({spliced})")
+                            changed = True
+                            i = cp + 1
+                            continue
                         views += v
                         view = f"_esq_{uuid.uuid4().hex[:8]}"
                         df.createOrReplaceTempView(view)
@@ -3657,6 +3697,215 @@ class AnalyticsEngine:
                 self.spark.catalog.dropTempView(v)
             raise
         return ("".join(out) if changed else stmt), views
+
+    def _decorrelate_engine_subquery(
+        self, body: str
+    ) -> tuple[str, list[str]] | None:
+        """Equi-correlated engine-only subquery bodies (DuckDB
+        executes QUALIFY inline under correlation; before r11 these
+        were a named refusal): a body whose top-level WHERE carries
+        ``<inner expr> = <outer expr>`` conjuncts decorrelates with
+        the classic rewrite — drop each correlation conjunct, project
+        its inner side as a helper column, PARTITION every top-level
+        window by the helpers (DuckDB's per-outer-row evaluation IS
+        per-correlation-group evaluation), extend any explicit GROUP
+        BY with them, plan the rebuilt body standalone through the
+        full pipeline, and splice a correlated equality filter over
+        the bound view — a plain correlated predicate Spark plans
+        natively (same shape as any uncorrelated-engine + correlated-
+        plain subquery).
+
+        Classification is PLAN-BASED, not syntactic: a conjunct is
+        'plain' iff it resolves against the body's own FROM sources,
+        'correlation' iff exactly one side does — a column that only
+        LOOKS outer can never misroute, and a conjunct that resolves
+        on neither side returns None (out of class → the caller's
+        named refusal). Also out of class: DISTINCT [ON] bodies
+        (per-group semantics the partition injection cannot express),
+        named WINDOW clauses (``over w`` is out of the injection's
+        reach), non-equality correlation.
+
+        Scale: the spliced view is ONE windowed scan of the body's
+        sources partitioned by the correlation key — never a
+        per-outer-row re-execution; the outer statement's own plan
+        (the correlated IN/EXISTS/scalar machinery) is Spark's."""
+        blanked = _blank_literals(body)
+        if not re.match(r"^\s*select\b", blanked, re.I):
+            return None
+        # DISTINCT ON decorrelates (the correlation keys become
+        # LEADING on-keys + leading ORDER BY items: the per-outer-row
+        # first-pick becomes the per-correlation-group first-pick);
+        # plain SELECT DISTINCT does not (its dedup would span
+        # correlation groups)
+        don_m = re.match(
+            r"^\s*select\s+distinct\s+on\s*\(", blanked, re.I
+        )
+        if not don_m and re.match(
+            r"^\s*select\s+distinct\b", blanked, re.I
+        ):
+            return None
+        if self._find_top_level_keyword(body, ("window",)):
+            return None
+        if self._find_top_level_keyword(body, ("limit", "offset")):
+            # a LIMIT/OFFSET in a correlated body applies PER OUTER
+            # ROW (DuckDB evaluates the body per correlation value);
+            # the global rewrite would apply it once across all
+            # groups — out of class
+            return None
+        f = self._find_top_level_keyword(body, ("from",))
+        w = self._find_top_level_keyword(body, ("where",))
+        if f is None or w is None or w[0] < f[0]:
+            return None
+        tail_kw = self._find_top_level_keyword(
+            body,
+            ("group by", "having", "qualify", "order by", "limit",
+             "offset"),
+            start=w[0] + 5,
+        )
+        wend = tail_kw[0] if tail_kw else len(body)
+        where_text = body[w[0] + 5: wend]
+        sources = body[f[0] + 4: w[0]]
+
+        def _resolves(expr: str) -> bool:
+            try:
+                self.spark.sql(f"select ({expr}) as p from {sources}")
+                return True
+            except Exception:
+                return False
+
+        plain: list[str] = []
+        corr: list[tuple[str, str]] = []  # (inner side, outer side)
+        for c in self._split_conjuncts(where_text):
+            if _resolves(c):
+                plain.append(c)
+                continue
+            sides = self._split_top_level(c, "=")
+            if len(sides) != 2:
+                return None
+            lhs, rhs = sides[0].strip(), sides[1].strip()
+            # a bare '=' only: reject halves the '=' split carved out
+            # of >=, <=, <>, !=, == comparators
+            if (
+                not lhs or not rhs
+                or lhs[-1] in "<>!=" or rhs[0] in "="
+            ):
+                return None
+            li, ri = _resolves(lhs), _resolves(rhs)
+            if li == ri:
+                return None
+            corr.append((lhs, rhs) if li else (rhs, lhs))
+        if not corr:
+            return None  # body failed to plan for another reason
+        helpers = [f"_corr{i}" for i in range(len(corr))]
+        inj = ", ".join(
+            f"({inner}) as {h}"
+            for (inner, _o), h in zip(corr, helpers)
+        )
+        part = ", ".join(inner for inner, _o in corr)
+        head_txt = body[: f[0]].rstrip()
+        if don_m:
+            op = don_m.end() - 1  # the '(' of the ON list
+            head_txt = (
+                body[: op + 1] + part + ", "
+                + body[op + 1: f[0]].rstrip()
+            )
+        tail = body[wend:] if tail_kw else ""
+        if tail_kw and tail_kw[1] == "group by":
+            # extend the explicit group list with the correlation
+            # keys (GROUP BY ALL picks the injected helpers up by
+            # itself); the list ends at the next top-level clause
+            gend = self._find_top_level_keyword(
+                tail,
+                ("having", "qualify", "order by", "limit", "offset"),
+                start=len("group by"),
+            )
+            ge = gend[0] if gend else len(tail)
+            tail = f"{tail[:ge].rstrip()}, {part} {tail[ge:]}"
+        if don_m:
+            # the DISTINCT ON rewrite's Postgres contract: ORDER BY
+            # leads with the ON keys — the correlation keys go first
+            ob = self._find_top_level_keyword(tail, ("order by",))
+            if ob is None:
+                return None  # the rewrite requires an ORDER BY
+            cut = ob[0] + len("order by")
+            tail = f"{tail[:cut]} {part}, {tail[cut:].lstrip()}"
+        rebuilt = (
+            head_txt + ", " + inj + " from " + sources
+            + (" where " + " and ".join(plain) if plain else " ")
+            + " " + tail
+        )
+        rebuilt = self._inject_partition_keys(rebuilt, part)
+        try:
+            df, views = self._plan_engine_select(rebuilt)
+        except Exception:
+            return None
+        try:
+            view = f"_esq_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(view)
+            views.append(view)
+            proj = df.columns[: -len(helpers)]
+            sel = ", ".join(f"`{c}`" for c in proj)
+            pred = " and ".join(
+                f"{h} = ({outer})"
+                for h, (_i, outer) in zip(helpers, corr)
+            )
+            return f"select {sel} from {view} where {pred}", views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+
+    def _split_conjuncts(self, text: str) -> list[str]:
+        """Split a predicate on top-level AND (paren/literal-aware,
+        via the same keyword scanner every clause split uses)."""
+        parts: list[str] = []
+        pos = 0
+        while True:
+            hit = self._find_top_level_keyword(text, ("and",), pos)
+            if hit is None:
+                parts.append(text[pos:].strip())
+                return parts
+            parts.append(text[pos: hit[0]].strip())
+            pos = hit[0] + 3
+
+    def _inject_partition_keys(self, text: str, keys: str) -> str:
+        """Prepend ``partition by <keys>`` to every top-level
+        ``OVER (...)`` clause (merging with an existing PARTITION BY)
+        — windows inside nested subqueries (paren depth > 0) are
+        their own scope and stay untouched."""
+        blanked = _blank_literals(text)
+        out: list[str] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            m = re.match(r"over\s*\(", blanked[i:], re.I)
+            if (
+                m
+                and _paren_depth_at(blanked, i) == 0
+                and (
+                    i == 0
+                    or not (
+                        blanked[i - 1].isalnum()
+                        or blanked[i - 1] == "_"
+                    )
+                )
+            ):
+                j = i + m.end()  # right after the '('
+                pm = re.match(
+                    r"\s*partition\s+by\b", blanked[j:], re.I
+                )
+                if pm:
+                    out.append(
+                        text[i:j] + f"partition by {keys},"
+                    )
+                    j += pm.end()
+                else:
+                    out.append(text[i:j] + f"partition by {keys} ")
+                i = j
+                continue
+            out.append(text[i])
+            i += 1
+        return "".join(out)
 
     def _lift_union_by_name_subqueries(
         self, stmt: str, blanked: str
@@ -3711,53 +3960,80 @@ class AnalyticsEngine:
             raise
         return "".join(out), views
 
-    # one select-list item of the COLUMNS() surface: an optional
-    # single-argument function wrapper around columns('regex'|*)
-    _COLUMNS_ITEM_RE = re.compile(
-        r"^(?:(\w+)\s*\(\s*)?columns\s*\(\s*(\*|'(?:[^']|'')*')\s*\)"
-        r"(\s*\))?\s*$",
-        re.I,
+    # one COLUMNS('regex'|*) call — the template expansion substitutes
+    # every top-level occurrence per matched column
+    _COLUMNS_CALL_RE = re.compile(
+        r"\bcolumns\s*\(\s*(\*|'(?:[^']|'')*')\s*\)", re.I
     )
+
+    @staticmethod
+    def _inside_nested_select(blank: str, idx: int) -> bool:
+        """True when position ``idx`` sits inside a parenthesized
+        SELECT (a subquery — another statement's scope); false for
+        positions inside plain function/grouping parens. The COLUMNS
+        machinery expands only its own statement's calls — subquery
+        calls belong to the lift."""
+        stack: list[int] = []
+        for i in range(idx):
+            c = blank[i]
+            if c == "(":
+                stack.append(i)
+            elif c == ")" and stack:
+                stack.pop()
+        return any(
+            re.match(r"\s*select\b", blank[op + 1: op + 12], re.I)
+            for op in stack
+        )
 
     def _rewrite_columns_projection(
         self, stmt: str
     ) -> tuple[str, list[str]]:
         """DuckDB ``COLUMNS('regex')`` / ``COLUMNS(*)`` dynamic
-        projection (absent from Spark SQL): a select-list item
-        ``columns('re')`` expands to every FROM-list column whose NAME
-        matches the regex (full-match, DuckDB semantics), keeping the
-        source order and names; ``f(columns(...))`` expands to one
-        ``f(col) AS col`` per match — DuckDB's per-column aggregate
-        fan-out (probed: result names stay the plain column names).
-        Pure textual expansion against the FROM list's schema, exactly
-        the star-REPLACE move, so the result plans as an ordinary
-        projection/aggregate. Items beyond the simple ``[f(]columns(
-        're'|*)[)]`` shape are refused by name; zero matches refuse
-        too (DuckDB errors on an empty expansion)."""
+        projection (absent from Spark SQL): every expression
+        containing a top-level COLUMNS call is a TEMPLATE that
+        expands once per FROM-list column whose NAME matches the
+        regex (full-match), with the call replaced by the quoted
+        column name. DuckDB-probed semantics: a select item keeps
+        the PLAIN column name (``sum(columns('a.*')*2)`` → one
+        ``sum(`c`*2) AS `c``` per match) unless it carries its own
+        alias; a WHERE template AND-folds across matches (the whole
+        predicate expands per column); GROUP BY and ORDER BY items
+        fan out into per-column keys; two DIFFERENT COLUMNS
+        arguments inside one expression refuse by name (DuckDB:
+        "Multiple different STAR/COLUMNS in the same expression"),
+        the same call repeated substitutes the same column. Pure
+        textual expansion against the FROM list's schema — exactly
+        the star-REPLACE move — so the result plans as an ordinary
+        projection/aggregate; names backtick-quote (r10 ADVICE #2).
+        Zero matches refuse (DuckDB errors on empty expansions);
+        HAVING/QUALIFY/WINDOW positions refuse by name; calls at
+        paren depth > 0 belong to subqueries and are the lift's."""
         blanked = _blank_literals(stmt)
         m = re.match(r"^\s*select\s+(distinct\s+)?", stmt, re.I)
         if not m or not re.search(r"\bcolumns\s*\(", blanked, re.I):
             return stmt, []
-        f = self._find_top_level_keyword(stmt, ("from",))
-        if f is None or not re.search(
-            r"\bcolumns\s*\(", blanked[: f[0]], re.I
-        ):
-            # the spelling outside this statement's own select list
-            # (subqueries re-enter via the lift/pipeline; anything
-            # else is out of scope and would die downstream with
-            # Spark's unresolved-function error, so refuse by name)
-            if re.search(r"\bcolumns\s*\(", blanked, re.I):
-                raise EngineError(
-                    "COLUMNS(...) is only supported in a statement's"
-                    " own select list"
+
+        def _calls_in(seg: str, seg_blank: str) -> list[re.Match]:
+            return [
+                cm
+                for cm in self._COLUMNS_CALL_RE.finditer(seg_blank)
+                if not self._inside_nested_select(
+                    seg_blank, cm.start()
                 )
-            return stmt, []
+            ]
+
+        if not _calls_in(stmt, blanked):
+            return stmt, []  # nested only: the subquery lift owns those
+        f = self._find_top_level_keyword(stmt, ("from",))
+        if f is None:
+            raise EngineError("COLUMNS(...) requires a FROM source")
         sel = stmt[m.end(): f[0]]
         tail = stmt[f[0] + 4:]
-        t = self._find_top_level_keyword(
-            tail, ("where", "group by", "having", "qualify",
-                   "window", "order by", "limit", "offset"),
+        clause_kws = (
+            "where", "group by", "having", "qualify", "window",
+            "order by", "limit", "offset",
         )
+        t = self._find_top_level_keyword(tail, clause_kws)
         sources = tail[: t[0]] if t else tail
         try:
             cols = self.spark.sql(f"select * from {sources}").columns
@@ -3766,49 +4042,99 @@ class AnalyticsEngine:
                 "COLUMNS(...): could not resolve the FROM source's"
                 f" columns ({e})"
             ) from e
-        out_items: list[str] = []
-        for item in self._split_top_level(sel):
-            im = self._COLUMNS_ITEM_RE.match(item.strip())
-            if not im:
-                if re.search(
-                    r"\bcolumns\s*\(", _blank_literals(item), re.I
-                ):
-                    raise EngineError(
-                        "COLUMNS(...) supports plain `columns('re')`"
-                        " / `f(columns(*))` select items — alias"
-                        " other compositions column by column"
-                    )
-                out_items.append(item.strip())
-                continue
-            fn, arg, close = im.group(1), im.group(2), im.group(3)
-            if bool(fn) != bool(close):
-                raise EngineError(f"COLUMNS(...): unbalanced item {item!r}")
+
+        def _matched(arg: str) -> list[str]:
             if arg == "*":
-                matched = list(cols)
-            else:
-                pat = arg[1:-1].replace("''", "'")
-                try:
-                    crex = re.compile(pat)
-                except re.error as e:
-                    raise EngineError(
-                        f"COLUMNS(...): bad regex {pat!r} ({e})"
-                    ) from e
-                matched = [c for c in cols if crex.fullmatch(c)]
+                return list(cols)
+            pat = arg[1:-1].replace("''", "'")
+            try:
+                crex = re.compile(pat)
+            except re.error as e:
+                raise EngineError(
+                    f"COLUMNS(...): bad regex {pat!r} ({e})"
+                ) from e
+            matched = [c for c in cols if crex.fullmatch(c)]
             if not matched:
                 raise EngineError(
                     f"COLUMNS(...) matched no columns of {cols}"
                 )
-            for c in matched:
-                # backtick-quote: a matched column of an attached
-                # file's schema can carry dots/spaces in its name —
-                # unquoted it would misparse after the textual
-                # expansion (r10 ADVICE #2)
-                out_items.append(
-                    f"{fn}(`{c}`) as `{c}`" if fn else f"`{c}`"
+            return matched
+
+        def _expand(seg: str, alias: bool) -> list[str]:
+            """One expression segment → its per-column copies."""
+            sb = _blank_literals(seg)
+            calls = _calls_in(seg, sb)
+            raw_args = {seg[c.start(1): c.end(1)] for c in calls}
+            if len(raw_args) > 1:
+                raise EngineError(
+                    "multiple different COLUMNS(...) arguments in"
+                    " the same expression are not supported"
                 )
+            out: list[str] = []
+            for col in _matched(raw_args.pop()):
+                pieces: list[str] = []
+                pos = 0
+                for c in calls:
+                    pieces.append(seg[pos: c.start()])
+                    pieces.append(f"`{col}`")
+                    pos = c.end()
+                pieces.append(seg[pos:])
+                body = "".join(pieces).strip()
+                out.append(f"{body} as `{col}`" if alias else body)
+            return out
+
+        out_items: list[str] = []
+        for item in self._split_top_level(sel):
+            ib = _blank_literals(item)
+            if not _calls_in(item, ib):
+                out_items.append(item.strip())
+                continue
+            # an explicit alias applies to EVERY expansion (DuckDB:
+            # duplicate output names) — only implicit items take the
+            # plain column name
+            has_alias = bool(
+                re.search(r"\s+as\s+\w+\s*$", ib, re.I)
+            )
+            out_items.extend(_expand(item, alias=not has_alias))
         new_sel = ", ".join(out_items)
+        # tail clauses: WHERE AND-folds, GROUP BY / ORDER BY items
+        # fan out, the rest refuse by name
+        rebuilt_tail: list[str] = [sources]
+        pos = t[0] if t else None
+        while pos is not None:
+            kw = self._find_top_level_keyword(tail, clause_kws, pos)
+            seg_start = kw[0] + len(kw[1])
+            nxt = self._find_top_level_keyword(
+                tail, clause_kws, seg_start
+            )
+            seg = tail[seg_start: nxt[0] if nxt else len(tail)]
+            sb = _blank_literals(seg)
+            if not _calls_in(seg, sb):
+                rebuilt_tail.append(kw[1] + seg)
+            elif kw[1] == "where":
+                folded = " and ".join(
+                    f"({x})" for x in _expand(seg, alias=False)
+                )
+                rebuilt_tail.append(f"where {folded} ")
+            elif kw[1] in ("group by", "order by"):
+                items: list[str] = []
+                for it in self._split_top_level(seg):
+                    if _calls_in(it, _blank_literals(it)):
+                        items.extend(_expand(it, alias=False))
+                    else:
+                        items.append(it.strip())
+                rebuilt_tail.append(f"{kw[1]} {', '.join(items)} ")
+            else:
+                raise EngineError(
+                    "COLUMNS(...) is supported in the select list,"
+                    " WHERE, GROUP BY, and ORDER BY — not in"
+                    f" {kw[1].upper()}"
+                )
+            pos = nxt[0] if nxt else None
         return (
-            stmt[: m.end()] + new_sel + " " + stmt[f[0]:], []
+            stmt[: m.end()] + new_sel + " from "
+            + "".join(rebuilt_tail),
+            [],
         )
 
     def _rewrite_select_replace(self, stmt: str) -> tuple[str, list[str]]:
@@ -5694,12 +6020,17 @@ class AnalyticsEngine:
         table, DROP TABLE never takes a view)."""
         m = re.match(
             r"create\s+(or\s+replace\s+)?view\s+"
-            r"(if\s+not\s+exists\s+)?(\w+)\s+as\s+(.*)$",
+            r"(if\s+not\s+exists\s+)?(\w+)\s*"
+            r"(?:\(([\w\s,]*)\)\s*)?as\s+(.*)$",
             stmt, re.I | re.S,
         )
         if not m:
             raise EngineError(f"cannot parse CREATE VIEW: {stmt!r}")
-        orp, ine, name, body = m.groups()
+        orp, ine, name, alias_list, body = m.groups()
+        aliases = (
+            [a.strip() for a in alias_list.split(",") if a.strip()]
+            if alias_list else None
+        )
         if orp and ine:
             # DuckDB refuses the combination too
             raise EngineError(
@@ -5727,6 +6058,8 @@ class AnalyticsEngine:
             raise EngineError(f"view {name} already exists")
         old = vws.get(name)
         vws[name] = {"sql": body}
+        if aliases:
+            vws[name]["aliases"] = aliases
         try:
             # cycle check over the would-be catalog, then validate:
             # bind the dependency closure plan-only (job-free DDL) —

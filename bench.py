@@ -191,10 +191,16 @@ HEADLINE_R10 = (
     "u_columns",
 )
 
+# r11 additions (same rule: timed and reported, OUT of the cross-round
+# comparable total; subtotal r11_extension_sec): logical views.
+HEADLINE_R11 = (
+    "u_create_view",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
     + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08 + HEADLINE_R09
-    + HEADLINE_R10
+    + HEADLINE_R10 + HEADLINE_R11
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -429,6 +435,24 @@ def main() -> None:
     r08_ext = round(sum(timings[n] for n in HEADLINE_R08), 3)
     r09_ext = round(sum(timings[n] for n in HEADLINE_R09), 3)
     r10_ext = round(sum(timings[n] for n in HEADLINE_R10), 3)
+    r11_ext = round(sum(timings[n] for n in HEADLINE_R11), 3)
+    # Lifecycle-subtracted twin for the engine-booting rows (VERDICT
+    # r10 #7): every engine_q workload boots a fresh scratch
+    # AnalyticsEngine INSIDE its timed region (isolation is the
+    # point — each run must pay for its own warehouse), so its raw
+    # number conflates the fixed open/lock/catalog cost with plan
+    # cost and reads as a regression on any slower box. The twin
+    # subtracts the measured engine_lifecycle probe, leaving the
+    # plan+data cost; both numbers are reported, raw stays primary
+    # for cross-round comparability.
+    from andb_spark.workloads import engine_q
+
+    _lc = calibration["engine_lifecycle"]
+    lifecycle_adj = {
+        n: round(max(0.0, timings[n] - _lc), 3)
+        for n in timings
+        if n in engine_q.QUERIES
+    }
     vs_prev = _probe_normalized_vs_prev(calibration, timings)
     # The per-query max/min spread map goes on its OWN stdout line,
     # BEFORE the headline: r3's single line carrying both outgrew the
@@ -457,6 +481,7 @@ def main() -> None:
         "n_runs": n_runs,
         "calibration": calibration,
         "vs_prev": vs_prev,
+        "queries_lifecycle_adj": lifecycle_adj,
     }
     subtotals = {
         "r01_subset_sec": r01,
@@ -465,6 +490,7 @@ def main() -> None:
         "r08_extension_sec": r08_ext,
         "r09_extension_sec": r09_ext,
         "r10_extension_sec": r10_ext,
+        "r11_extension_sec": r11_ext,
     }
     full_record.update(subtotals)
     # Durable full record: the driver's 2000-char stdout tail cannot

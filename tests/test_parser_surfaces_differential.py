@@ -1607,12 +1607,52 @@ def test_engine_subquery_lift_matches_duckdb(ubn_engines):
         " from lpx p asof join lev e on p.u = e.u and p.t >= e.t) s",
     ):
         assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
-    # correlated QUALIFY subquery: named refusal, not a raw error
-    with pytest.raises(EngineError, match="uncorrelated"):
+    # EQUI-correlated QUALIFY subqueries now DECORRELATE and execute
+    # (r10 verdict #2; api.py::_decorrelate_engine_subquery — drop
+    # the correlation conjunct, partition every window by its inner
+    # side, splice a plain correlated filter over the bound view):
+    # DuckDB executes the identical SQL inline
+    for sql in (
+        # correlated EXISTS + QUALIFY
+        "select k from ua where exists (select 1 from ub where"
+        " ub.k = ua.k qualify row_number() over (order by b) = 1)"
+        " order by k",
+        # correlated IN + QUALIFY with an extra plain conjunct
+        "select k, b from ua where b in (select u2.b from ua u2"
+        " where u2.k = ua.k and u2.b > 0 qualify rank() over"
+        " (order by u2.b desc) <= 1) order by k, b",
+        # correlated scalar + QUALIFY through a nested FROM subquery
+        # (the correlation reaches TWO scopes up)
+        "select k, (select max(x.b) from (select b from ua u2"
+        " where u2.k = ua.k qualify row_number() over"
+        " (order by b) = 1) x) as m from ua order by k, m",
+        # window already partitioned: the correlation key merges in
+        # (partition (k, a) holds only duplicate rows, so the scalar
+        # subquery stays single-valued)
+        "select k, (select max(u2.b) from ua u2 where u2.k = ua.k"
+        " and exists (select 1 from ua u3 where u3.k = u2.k qualify"
+        " row_number() over (partition by u3.a order by u3.b) = 1))"
+        " as m from ua order by k, m",
+        # correlated DISTINCT ON: the correlation keys become leading
+        # on-keys + leading ORDER BY items
+        "select k, (select x.b from (select distinct on (k) k, b"
+        " from ua u2 where u2.k = ua.k order by k, b desc) x) as m"
+        " from ua order by k, m",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # NON-equi correlation stays a named refusal, not a raw error —
+    # and so does a correlated body with a per-outer-row LIMIT
+    with pytest.raises(EngineError, match="correlated"):
         eng.execute(
             "select k, (select max(x.b) from (select b from ua u2"
-            " where u2.k = ua.k qualify row_number() over"
+            " where u2.k > ua.k qualify row_number() over"
             " (order by b) = 1) x) as m from ua"
+        )
+    with pytest.raises(EngineError, match="correlated"):
+        eng.execute(
+            "select k, (select u2.b from ua u2 where u2.k = ua.k"
+            " qualify row_number() over (order by u2.b desc) = 1"
+            " limit 1) as m from ua"
         )
     leaks = [
         v.name for v in eng.spark.catalog.listTables()
@@ -1741,8 +1781,55 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         drows = duck.fetchall()
         assert ours.rows == drows, sql
         assert ours.columns == [d[0] for d in duck.description], sql
+    # composed expression templates + WHERE fold + ORDER BY fan-out
+    # (r10 verdict #4 — were named refusals): DuckDB executes the
+    # identical SQL natively
+    for sql in (
+        "select columns('a.*') + 1 from ct order by ab",
+        "select columns('a.*') + k from ct order by ab",
+        "select sum(columns('a.*') * 2) from ct",
+        "select round(columns('a.*') / 2.0, 1) from ct order by ab",
+        # same call twice substitutes the same column
+        "select columns('a.*') + columns('a.*') from ct order by ab",
+        # WHERE: the whole predicate AND-folds across matches,
+        # including OR-composed shapes (probed: (p(ax)) and (p(ay)))
+        "select k from ct where columns('a.*') > 1 order by k",
+        "select k from ct where columns('a.*') > 4 or bd = 3"
+        " order by k",
+        "select k from ct where (columns('a.*') % 2) = 0 order by k",
+        # ORDER BY fan-out
+        "select ab, ac from ct order by columns('a.*')",
+        # explicit alias applies to every expansion (duplicate names)
+        "select columns('a.*') as foo from ct order by 1, 2",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert ours.rows == drows, sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    # GROUP BY fan-out: this DuckDB build has no GROUP BY COLUMNS
+    # parser support, so the oracle is the expanded formulation
+    ours = eng.execute(
+        "select ab, count(*) as n from ct group by columns('ab')"
+        " order by ab"
+    )
+    duck = con.execute(
+        "select ab, count(*) as n from ct group by ab order by ab"
+    ).fetchall()
+    assert ours.rows == duck
+    # two DIFFERENT arguments in one expression: named refusal
+    # (DuckDB refuses the same shape)
+    with pytest.raises(EngineError, match="different COLUMNS"):
+        eng.execute("select columns('ab') + columns('ac') from ct")
+    with pytest.raises(EngineError, match="not in"):
+        eng.execute(
+            "select k, max(ab) as m from ct group by k"
+            " having max(columns('a.*')) > 0"
+        )
     with pytest.raises(EngineError, match="matched no columns"):
         eng.execute("select columns('zzz') from ct")
+    with pytest.raises(EngineError, match="matched no columns"):
+        eng.execute("select k from ct where columns('zzz') > 1")
     # non-identifier column names (attached files can carry dots or
     # spaces): the expansion must backtick-quote both the expression
     # and the alias (r10 ADVICE #2) — engine-only, DuckDB's quoting
@@ -1824,6 +1911,24 @@ def test_create_view_matches_duckdb(spark, tmp_path):
         run(qv)
     sql = "select k, g, v from vtop order by g"
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # column aliases: full, partial (rest keep their names), and the
+    # too-many refusal (all DuckDB-probed semantics)
+    for run in (eng.execute, con.execute):
+        run("create view val (gx, nx) as select g, count(*) as n"
+            " from vt group by g")
+        run("create view valp (gx) as select g, count(*) as n"
+            " from vt group by g")
+    for sql in (
+        "select gx, nx from val order by gx",
+        "select gx, n from valp order by gx",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert ours.rows == drows, sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    with pytest.raises(EngineError, match="more VIEW aliases"):
+        eng.execute("create view valx (a, b, c) as select g from vt")
     # DROP VIEW / IF EXISTS
     for run in (eng.execute, con.execute):
         run("drop view vtop")
@@ -1854,7 +1959,9 @@ def test_create_view_matches_duckdb(spark, tmp_path):
     r = eng.execute(
         "select view_name, column_count from andb_views order by 1"
     )
-    assert r.rows == [("vbig", 2), ("vsum", 4)]
+    assert r.rows == [
+        ("val", 2), ("valp", 2), ("vbig", 2), ("vsum", 4)
+    ]
     eng.close()
     eng2 = AnalyticsEngine(str(tmp_path / "whview"), spark=spark)
     sql = "select g, n, sv, lo from vsum order by g"

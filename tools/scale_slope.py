@@ -85,6 +85,66 @@ QUERIES = (
 # would smear every touched-band measurement with 10x-bigger files.
 WRITE_OPS = ("w_ctas_ingest", "w_update_band", "w_delete_nomatch")
 
+# Engine-surface SQL rows (VERDICT r10 #6: the r10/r11 rewrite
+# surfaces lacked a measured slope). Statements run over the scaled
+# ``orders`` (row basis scales exactly by _COPIES); engine init +
+# attach sit OUTSIDE the timed region (the u_* bench harness nit the
+# lifecycle-adjusted twin addresses — here the statement is timed
+# alone from the start).
+#
+# - ``e_limit_percent``: LIMIT 1% — one count scan + the
+#   limit-pushdown scan; expect ~linear (two bounded passes).
+# - ``e_columns_fanout``: COLUMNS() aggregate fan-out — the textual
+#   expansion plans as an ordinary grouped agg; expect ~linear.
+# - ``e_subquery_lift``: uncorrelated QUALIFY subquery through the
+#   generic lift — one windowed scan partitioned by o_custkey.
+# - ``e_corr_qualify``: r11 correlated-QUALIFY decorrelation — must
+#   stay ONE windowed scan partitioned by the correlation key, never
+#   a per-outer-row re-execution; superlinearity here would mean the
+#   rewrite lost the partition.
+ENGINE_SQL_OPS = {
+    "e_limit_percent": (
+        "select o_orderkey, o_totalprice from orders"
+        " order by o_totalprice desc, o_orderkey limit 1%"
+    ),
+    "e_columns_fanout": (
+        "select o_orderstatus, min(columns('o_total.*')),"
+        " max(columns('o_total.*')), count(columns('o_orderkey'))"
+        " from orders group by o_orderstatus"
+    ),
+    "e_subquery_lift": (
+        "select count(*) as n from (select o_custkey from orders"
+        " qualify row_number() over (partition by o_custkey"
+        " order by o_totalprice desc, o_orderkey) <= 2) t"
+    ),
+    "e_corr_qualify": (
+        "select count(*) as n from customer where c_custkey in"
+        " (select o_custkey from orders where o_custkey = c_custkey"
+        " qualify row_number() over (order by o_totalprice desc,"
+        " o_orderkey) = 1)"
+    ),
+}
+
+
+def _time_engine_sql(spark, sf_dir: str, sql: str) -> float:
+    """Seconds spent in ONE engine statement over an attached corpus
+    — engine open/attach/close excluded (a fresh engine per run keeps
+    statement caches from compounding across runs)."""
+    import shutil
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine
+
+    wh = tempfile.mkdtemp(prefix="andb_slope_e_")
+    eng = AnalyticsEngine(wh, spark=spark, attach_dir=sf_dir)
+    try:
+        t0 = time.perf_counter()
+        eng.execute(sql)
+        return time.perf_counter() - t0
+    finally:
+        eng.close()
+        shutil.rmtree(wh, ignore_errors=True)
+
 
 def _gen_documents() -> None:
     t = pq.read_table(os.path.join(_SF1, "documents.parquet"))
@@ -326,9 +386,13 @@ def main() -> None:
         "q1_pricing_summary": "lineitem",
         "q21_waiting_suppliers": "lineitem",
     }
-    # --write-only: measure just the WRITE_OPS rows (the read-side
-    # slopes are re-measured only when their code changes)
-    read_queries = () if "--write-only" in sys.argv else QUERIES
+    # --write-only / --engine-only: measure just that family (the
+    # other slopes are re-measured only when their code changes)
+    only_w = "--write-only" in sys.argv
+    only_e = "--engine-only" in sys.argv
+    read_queries = () if (only_w or only_e) else QUERIES
+    write_ops = () if only_e else WRITE_OPS
+    engine_ops = () if only_w else tuple(ENGINE_SQL_OPS)
 
     # warm-up at the smallest SF: JIT/codegen/plan caches out of the
     # timed region, exactly like bench.py
@@ -363,13 +427,35 @@ def main() -> None:
     # write-path rows (r8 verdict #3): same best-of-N protocol, fresh
     # warehouse per run, setup outside the timed region; the row basis
     # is `orders`, which scales exactly by _COPIES by construction
-    for name in WRITE_OPS:
+    for name in write_ops:
         _time_write_op(spark, "/root/testdata/sf0.001", name, 1)  # warm
         times = {}
         for label, d, copies in (("1x", _SF1, 1), ("10x", _OUT, _COPIES)):
             best = None
             for _ in range(runs):
                 dt = _time_write_op(spark, d, name, copies)
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 3)
+        slope = (times["10x"] / times["1x"]) / _COPIES
+        report[name] = {
+            "t_1x_sec": times["1x"],
+            "t_10x_sec": times["10x"],
+            "rows_ratio": float(_COPIES),
+            "time_ratio": round(times["10x"] / times["1x"], 2),
+            "slope": round(slope, 3),
+        }
+        print(f"# {name}: {report[name]}", file=sys.stderr)
+
+    # engine-surface SQL rows (r10 verdict #6): same best-of-N
+    # protocol; `orders` scales exactly by _COPIES by construction
+    for name in engine_ops:
+        sql = ENGINE_SQL_OPS[name]
+        _time_engine_sql(spark, "/root/testdata/sf0.001", sql)  # warm
+        times = {}
+        for label, d in (("1x", _SF1), ("10x", _OUT)):
+            best = None
+            for _ in range(runs):
+                dt = _time_engine_sql(spark, d, sql)
                 best = dt if best is None else min(best, dt)
             times[label] = round(best, 3)
         slope = (times["10x"] / times["1x"]) / _COPIES
