@@ -792,37 +792,45 @@ class AnalyticsEngine:
             ) from e
         finally:
             self._planning = was
-        aliases = self.catalog["views"][name].get("aliases")
-        if aliases:
-            # CREATE VIEW v (x, y) AS ... column aliases (DuckDB
-            # semantics, probed: a PARTIAL list renames a prefix and
-            # the rest keep their own names; duplicate aliases dedup
-            # with _N suffixes; more aliases than columns errors)
-            cur = df.columns
-            if len(aliases) > len(cur):
-                raise EngineError(
-                    f"view {name}: more VIEW aliases than columns"
-                    " in the defining query's result"
-                )
-            renamed = list(aliases) + cur[len(aliases):]
-            seen: dict[str, int] = {}
-            out = []
-            for c in renamed:
-                if c in seen:
-                    seen[c] += 1
-                    out.append(f"{c}_{seen[c]}")
-                else:
-                    seen[c] = 0
-                    out.append(c)
-            df = df.toDF(*out)
-        df.createOrReplaceTempView(name)
-        self._bound_views.add(name)
-        for h in helpers:
-            self.spark.catalog.dropTempView(h)
+        try:
+            aliases = self.catalog["views"][name].get("aliases")
+            if aliases:
+                # CREATE VIEW v (x, y) AS ... column aliases (DuckDB
+                # semantics, probed: a PARTIAL list renames a prefix,
+                # the rest keep their own names; duplicate aliases
+                # dedup with _N suffixes — collision-aware against
+                # the whole final set (review r11 #6); more aliases
+                # than columns errors)
+                cur = df.columns
+                if len(aliases) > len(cur):
+                    raise EngineError(
+                        f"view {name}: more VIEW aliases than columns"
+                        " in the defining query's result"
+                    )
+                renamed = list(aliases) + cur[len(aliases):]
+                used: set[str] = set()
+                out = []
+                for c in renamed:
+                    cand, i = c, 0
+                    while cand in used:
+                        i += 1
+                        cand = f"{c}_{i}"
+                    used.add(cand)
+                    out.append(cand)
+                df = df.toDF(*out)
+            df.createOrReplaceTempView(name)
+            self._bound_views.add(name)
+        finally:
+            # the analyzed plan embeds the helpers' logical plans —
+            # drop them on success AND on any post-plan failure
+            # (review r11 #5: the alias-count error leaked them)
+            for h in helpers:
+                self.spark.catalog.dropTempView(h)
         return df
 
     def _bind_referenced_views(
-        self, stmt: str, plan_only: bool = False
+        self, stmt: str, plan_only: bool = False,
+        tolerant: bool = False,
     ) -> None:
         """Resolve logical views LAZILY: any statement mentioning a
         catalog view (re)binds it and its transitive view
@@ -850,8 +858,21 @@ class AnalyticsEngine:
         ]
         if not roots:
             return
-        for n in self._view_dep_order(roots):
-            self._bind_view(n, plan_only=plan_only)
+        try:
+            order = self._view_dep_order(roots)
+        except EngineError:
+            if not tolerant:
+                raise
+            return
+        for n in order:
+            try:
+                self._bind_view(n, plan_only=plan_only)
+            except EngineError:
+                if not tolerant:
+                    raise
+                # view DDL: a broken view (base table dropped) must
+                # stay droppable / replaceable — the DDL's own
+                # validation raises where it matters
 
     def _meta(self, name: str) -> dict:
         try:
@@ -1563,9 +1584,17 @@ class AnalyticsEngine:
             # defining SQL re-plans through the full pipeline over the
             # base tables' CURRENT temp views, so a view is always
             # fresh after base DML. Plan-only statements bind
-            # job-free.
+            # job-free. View DDL binds TOLERANTLY (review r11 #1): a
+            # view broken by a base-table drop must stay droppable
+            # and OR-REPLACE-able — the DDL paths do their own
+            # validation — where a read statement must raise.
             self._bind_referenced_views(
-                stmt, plan_only=head in ("EXPLAIN", "DESCRIBE", "DESC")
+                stmt,
+                plan_only=head in ("EXPLAIN", "DESCRIBE", "DESC"),
+                tolerant=bool(re.match(
+                    r"(?:create\s+(?:or\s+replace\s+)?|drop\s+)view\b",
+                    stmt, re.I,
+                )),
             )
             orm = re.match(
                 r"create\s+or\s+replace\s+table\s+(\w+)\b(\s+as\b)?",
@@ -3646,14 +3675,15 @@ class AnalyticsEngine:
                                 r"\bcolumns\s*\(", ib, re.I
                             )
                         )
-                        # an ASOF JOIN at the content's own top level:
-                        # the depth-0 asof rewrite's ON-parser cannot
-                        # scope inside a subquery (r10 probe — it ran
-                        # past the closing paren)
+                        # an ASOF / POSITIONAL JOIN at the content's
+                        # own top level: the depth-0 rewrites cannot
+                        # scope inside a subquery (r10 probe — the
+                        # asof ON-parser ran past the closing paren)
                         or any(
                             _paren_depth_at(ib, am.start()) == 0
                             for am in re.finditer(
-                                r"\basof\s+(?:left\s+)?join\b", ib, re.I
+                                r"\b(?:asof\s+(?:left\s+)?"
+                                r"|positional\s+)join\b", ib, re.I
                             )
                         )
                     )
@@ -3812,15 +3842,19 @@ class AnalyticsEngine:
         tail = body[wend:] if tail_kw else ""
         if tail_kw and tail_kw[1] == "group by":
             # extend the explicit group list with the correlation
-            # keys (GROUP BY ALL picks the injected helpers up by
-            # itself); the list ends at the next top-level clause
+            # keys; the list ends at the next top-level clause.
+            # GROUP BY ALL stays untouched (review r11 #4: it groups
+            # by every non-aggregate select item, which now includes
+            # the injected helpers — appending to it would turn ALL
+            # into a column identifier)
             gend = self._find_top_level_keyword(
                 tail,
                 ("having", "qualify", "order by", "limit", "offset"),
                 start=len("group by"),
             )
             ge = gend[0] if gend else len(tail)
-            tail = f"{tail[:ge].rstrip()}, {part} {tail[ge:]}"
+            if tail[len("group by"): ge].strip().lower() != "all":
+                tail = f"{tail[:ge].rstrip()}, {part} {tail[ge:]}"
         if don_m:
             # the DISTINCT ON rewrite's Postgres contract: ORDER BY
             # leads with the ON keys — the correlation keys go first
@@ -3869,10 +3903,14 @@ class AnalyticsEngine:
             pos = hit[0] + 3
 
     def _inject_partition_keys(self, text: str, keys: str) -> str:
-        """Prepend ``partition by <keys>`` to every top-level
-        ``OVER (...)`` clause (merging with an existing PARTITION BY)
-        — windows inside nested subqueries (paren depth > 0) are
-        their own scope and stay untouched."""
+        """Prepend ``partition by <keys>`` to every OVER (...) clause
+        of the statement's OWN scope (merging with an existing
+        PARTITION BY) — including windows wrapped in function calls
+        like ``coalesce(row_number() over (...), 1)`` (review r11
+        #2: a paren-depth check skipped those, leaving the window
+        globally partitioned — silently wrong per-group results);
+        windows inside nested subqueries are their own scope and
+        stay untouched."""
         blanked = _blank_literals(text)
         out: list[str] = []
         i = 0
@@ -3881,7 +3919,7 @@ class AnalyticsEngine:
             m = re.match(r"over\s*\(", blanked[i:], re.I)
             if (
                 m
-                and _paren_depth_at(blanked, i) == 0
+                and not self._inside_nested_select(blanked, i)
                 and (
                     i == 0
                     or not (
@@ -3960,10 +3998,19 @@ class AnalyticsEngine:
             raise
         return "".join(out), views
 
-    # one COLUMNS('regex'|*) call — the template expansion substitutes
-    # every top-level occurrence per matched column
+    # one COLUMNS(...) call — the template expansion substitutes every
+    # own-scope occurrence per matched column. Argument forms (all
+    # DuckDB-probed): '*', '* EXCLUDE (names)', a 'regex' literal, and
+    # a name-predicate lambda `ident -> <pred>` (one paren nesting
+    # level inside the predicate; string literals are blanked before
+    # this regex runs, so parens in them never count)
     _COLUMNS_CALL_RE = re.compile(
-        r"\bcolumns\s*\(\s*(\*|'(?:[^']|'')*')\s*\)", re.I
+        r"\bcolumns\s*\(\s*("
+        r"\*\s*(?:exclude\s*\([^()]*\))?"
+        r"|'(?:[^']|'')*'"
+        r"|\w+\s*->[^()]*(?:\([^()]*\)[^()]*)*"
+        r")\s*\)",
+        re.I,
     )
 
     @staticmethod
@@ -3971,8 +4018,9 @@ class AnalyticsEngine:
         """True when position ``idx`` sits inside a parenthesized
         SELECT (a subquery — another statement's scope); false for
         positions inside plain function/grouping parens. The COLUMNS
-        machinery expands only its own statement's calls — subquery
-        calls belong to the lift."""
+        machinery and the decorrelation window injection operate only
+        on their own statement's scope — subquery content belongs to
+        the recursing lift."""
         stack: list[int] = []
         for i in range(idx):
             c = blank[i]
@@ -3980,10 +4028,20 @@ class AnalyticsEngine:
                 stack.append(i)
             elif c == ")" and stack:
                 stack.pop()
-        return any(
-            re.match(r"\s*select\b", blank[op + 1: op + 12], re.I)
-            for op in stack
-        )
+        for op in stack:
+            # skip ALL whitespace after the paren (a multi-line
+            # subquery can indent SELECT past any fixed window —
+            # review r11 #3), then check the word
+            j = op + 1
+            n = len(blank)
+            while j < n and blank[j].isspace():
+                j += 1
+            if blank[j: j + 6].lower() == "select" and (
+                j + 6 >= n
+                or not (blank[j + 6].isalnum() or blank[j + 6] == "_")
+            ):
+                return True
+        return False
 
     def _rewrite_columns_projection(
         self, stmt: str
@@ -4044,16 +4102,65 @@ class AnalyticsEngine:
             ) from e
 
         def _matched(arg: str) -> list[str]:
-            if arg == "*":
+            a = arg.strip()
+            if a == "*":
                 return list(cols)
-            pat = arg[1:-1].replace("''", "'")
-            try:
-                crex = re.compile(pat)
-            except re.error as e:
-                raise EngineError(
-                    f"COLUMNS(...): bad regex {pat!r} ({e})"
-                ) from e
-            matched = [c for c in cols if crex.fullmatch(c)]
+            if a.startswith("*"):
+                # * EXCLUDE (names) — unknown names error (DuckDB:
+                # "Column ... in EXCLUDE list not found")
+                exm = re.match(
+                    r"^\*\s*exclude\s*\(([^()]*)\)$", a, re.I
+                )
+                excl = {
+                    x.strip().strip('`"').lower()
+                    for x in exm.group(1).split(",")
+                    if x.strip()
+                }
+                unknown = excl - {c.lower() for c in cols}
+                if unknown:
+                    raise EngineError(
+                        f"COLUMNS(...): column(s) {sorted(unknown)}"
+                        " in EXCLUDE list not found in FROM clause"
+                    )
+                matched = [c for c in cols if c.lower() not in excl]
+            elif a.startswith("'"):
+                pat = a[1:-1].replace("''", "'")
+                try:
+                    crex = re.compile(pat)
+                except re.error as e:
+                    raise EngineError(
+                        f"COLUMNS(...): bad regex {pat!r} ({e})"
+                    ) from e
+                matched = [c for c in cols if crex.fullmatch(c)]
+            else:
+                # name-predicate lambda `ident -> <pred>`: evaluate
+                # the predicate over the column NAMES as one local
+                # VALUES relation (LocalTableScan — driver-side, no
+                # data I/O, EXPLAIN-safe), the names column bound AS
+                # the lambda identifier so the predicate text runs
+                # verbatim
+                lm = re.match(r"^(\w+)\s*->\s*(.+)$", a, re.S)
+                if not lm:
+                    raise EngineError(
+                        f"COLUMNS(...): unsupported argument {a!r}"
+                    )
+                ident, pred = lm.group(1), lm.group(2).strip()
+                vals = ", ".join(
+                    "('" + c.replace("'", "''") + "')" for c in cols
+                )
+                try:
+                    keep = {
+                        r[0]
+                        for r in self.spark.sql(
+                            f"select {ident} from (values {vals})"
+                            f" as _cl({ident}) where {pred}"
+                        ).collect()
+                    }
+                except Exception as e:
+                    raise EngineError(
+                        f"COLUMNS(...): lambda predicate failed ({e})"
+                    ) from e
+                matched = [c for c in cols if c in keep]
             if not matched:
                 raise EngineError(
                     f"COLUMNS(...) matched no columns of {cols}"
@@ -4089,12 +4196,31 @@ class AnalyticsEngine:
             if not _calls_in(item, ib):
                 out_items.append(item.strip())
                 continue
-            # an explicit alias applies to EVERY expansion (DuckDB:
-            # duplicate output names) — only implicit items take the
-            # plain column name
+            # an alias applies to EVERY expansion (DuckDB: duplicate
+            # output names) — only unaliased items take the plain
+            # column name. Recognized spellings (review r11 #7): AS
+            # with a bare or backtick-quoted name, and the IMPLICIT
+            # trailing-identifier alias (`f(x) foo`) when the token
+            # before it ends an operand (wordchar/paren/backtick/
+            # quote), not an operator.
             has_alias = bool(
-                re.search(r"\s+as\s+\w+\s*$", ib, re.I)
+                re.search(r"\s+as\s+(`[^`]*`|\w+)\s*$", ib, re.I)
             )
+            if not has_alias:
+                im = re.match(
+                    r"^(.*?)\s+(`[^`]*`|[A-Za-z_]\w*)\s*$",
+                    ib.strip(), re.S,
+                )
+                if im and im.group(2).lower() not in (
+                    "null", "true", "false", "unknown", "asc", "desc",
+                ):
+                    prev = im.group(1).rstrip()
+                    if prev and (
+                        prev[-1] in ")`'*"
+                        or prev[-1].isalnum()
+                        or prev[-1] == "_"
+                    ):
+                        has_alias = True
             out_items.extend(_expand(item, alias=not has_alias))
         new_sel = ", ".join(out_items)
         # tail clauses: WHERE AND-folds, GROUP BY / ORDER BY items
@@ -4475,6 +4601,211 @@ class AnalyticsEngine:
                 self.spark.catalog.dropTempView(v)
             raise
         return stmt, views
+
+    _POSJOIN_RE = re.compile(
+        r"\bfrom\s+(?P<lt>\w+)"
+        r"(?:\s+(?:as\s+)?(?!positional\b)(?P<la>\w+))?"
+        r"\s+positional\s+join\s+"
+        r"(?P<rt>\w+)(?:\s+(?:as\s+)?(?P<ra>\w+))?"
+        r"(?=\s+(?:where|group|having|qualify|window|order|limit"
+        r"|offset|positional)\b|\s*$|\s*\))",
+        re.I | re.S,
+    )
+
+    def _zip_index(self, df: DataFrame, idx_name: str) -> DataFrame:
+        """Attach a 0-based positional row index, DISTRIBUTED: a
+        per-partition row_number plus the broadcast cumulative
+        partition offsets (the zipWithIndex construction in DataFrame
+        ops — two passes, no global single-task window). The side is
+        localCheckpoint-ed first so the partition counts and the
+        later join read the SAME snapshot — a sorted side's range
+        partitioner re-samples boundaries per evaluation, and
+        offsets computed under one partitioning applied to another
+        would misnumber rows. EXPLAIN (``self._planning``) takes a
+        job-free global-window plan shape instead."""
+        from pyspark.sql import Window as W
+
+        d = df.withColumn(
+            "_pjp", F.spark_partition_id()
+        ).withColumn("_pjm", F.monotonically_increasing_id())
+        if self._planning:
+            return d.withColumn(
+                idx_name,
+                F.row_number().over(W.orderBy("_pjm")).cast("long"),
+            ).drop("_pjp", "_pjm")
+        d = d.localCheckpoint(eager=True)
+        counts = d.groupBy("_pjp").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()  # bounded: one row per partition
+        offs: dict[int, int] = {}
+        acc = 0
+        for r in sorted(counts, key=lambda r: r["_pjp"]):
+            offs[r["_pjp"]] = acc
+            acc += r["c"]
+        if len(offs) > 1:
+            mapping = F.create_map(
+                *[F.lit(v) for kv in sorted(offs.items()) for v in kv]
+            )
+            off_expr = F.coalesce(mapping[F.col("_pjp")], F.lit(0))
+        else:
+            off_expr = F.lit(0)
+        w = W.partitionBy("_pjp").orderBy("_pjm")
+        return d.withColumn(
+            idx_name,
+            (off_expr + F.row_number().over(w)).cast("long"),
+        ).drop("_pjp", "_pjm")
+
+    def _rewrite_positional_join(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """``<l> POSITIONAL JOIN <r>`` (DuckDB): zip the two sides
+        row-by-row in their natural order; the shorter side pads
+        NULL (probed: a FULL pairing on row position, left columns
+        then right columns, duplicate names kept). Lowered onto the
+        distributed zipWithIndex construction (``_zip_index``) + a
+        full outer equi-join on the index — shuffle on a unique
+        dense key, never a cartesian. Row order is well-defined for
+        sides with their own ORDER BY (a sorted side's range
+        partitions enumerate in order) and for single-split scans;
+        like DuckDB, zipping two arbitrary unsorted scans follows
+        scan order. Chains left-associatively; subquery sides lift
+        to views first (full pipeline, so engine-only SQL composes
+        inside them)."""
+        blanked = _blank_literals(stmt)
+        if not re.search(r"\bpositional\s+join\b", blanked, re.I):
+            return stmt, []
+        views: list[str] = []
+        try:
+            stmt, v = self._lift_positional_subquery_sources(stmt)
+            views += v
+            while True:
+                m = self._POSJOIN_RE.search(stmt)
+                if not m:
+                    if re.search(
+                        r"\bpositional\s+join\b",
+                        _blank_literals(stmt), re.I,
+                    ):
+                        raise EngineError(
+                            "POSITIONAL JOIN: unsupported source"
+                            " shape — need `FROM <table|(subquery)"
+                            " alias> POSITIONAL JOIN <table|"
+                            "(subquery) alias>`"
+                        )
+                    break
+                lt, la = m.group("lt"), m.group("la") or m.group("lt")
+                rt, ra = m.group("rt"), m.group("ra") or m.group("rt")
+                try:
+                    left = self.spark.table(lt)
+                    right = self.spark.table(rt)
+                except Exception as e:
+                    raise EngineError(
+                        f"POSITIONAL JOIN: cannot resolve sources: {e}"
+                    ) from e
+                zl = self._zip_index(left, "_pj_li")
+                zr = self._zip_index(right, "_pj_ri")
+                joined = zl.join(
+                    zr, zl["_pj_li"] == zr["_pj_ri"], "full_outer"
+                )
+                out = joined.select(
+                    *[zl[c] for c in left.columns],
+                    *[zr[c] for c in right.columns],
+                ).sortWithinPartitions(
+                    F.coalesce(zl["_pj_li"], zr["_pj_ri"])
+                )
+                view = f"_pj_{uuid.uuid4().hex[:8]}"
+                out.createOrReplaceTempView(view)
+                views.append(view)
+                stmt = stmt[: m.start()] + f"from {view}" + stmt[m.end():]
+                for al in {la, ra}:
+                    stmt = self._sub_outside_literals(
+                        stmt, f"{al}.", ""
+                    )
+            return stmt, views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+
+    def _lift_positional_subquery_sources(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """Bind parenthesized subquery sides of a POSITIONAL JOIN to
+        per-statement views named AS their alias (the same lazy move
+        as ASOF's subquery sides) — bodies plan through the full
+        pipeline, so ORDER BY / engine-only SQL inside them compose."""
+        views: list[str] = []
+
+        def _bind(op: int) -> tuple[str, int] | None:
+            """Bind the subquery opening at ``op`` to a view named as
+            its trailing alias; returns (alias, end-of-alias index in
+            stmt) or None when the group is not a SELECT."""
+            cp = self._match_paren(stmt, op)
+            if not re.match(r"\s*select\b", stmt[op + 1: cp], re.I):
+                return None
+            am = re.match(r"\s*(?:as\s+)?(\w+)\b", stmt[cp + 1:], re.I)
+            if not am or am.group(1).lower() == "positional":
+                raise EngineError(
+                    "POSITIONAL JOIN: a subquery source needs an alias"
+                )
+            alias = am.group(1)
+            if alias.lower() in {
+                t.name.lower() for t in self.spark.catalog.listTables()
+            }:
+                raise EngineError(
+                    f"POSITIONAL JOIN: subquery alias {alias!r}"
+                    " collides with an existing table/view"
+                )
+            df, v = self._plan_engine_select(stmt[op + 1: cp])
+            views.extend(v)
+            df.createOrReplaceTempView(alias)
+            views.append(alias)
+            return alias, cp + 1 + am.end()
+
+        try:
+            changed = True
+            while changed:
+                changed = False
+                b = _blank_literals(stmt)
+                # right side: POSITIONAL JOIN ( SELECT ... ) alias
+                for m in re.finditer(
+                    r"\bpositional\s+join\s*\(", b, re.I
+                ):
+                    bound = _bind(m.end() - 1)
+                    if bound is None:
+                        continue
+                    alias, end = bound
+                    stmt = (
+                        stmt[: m.start()]
+                        + f"positional join {alias} " + stmt[end:]
+                    )
+                    changed = True
+                    break
+                if changed:
+                    continue
+                # left side: FROM ( SELECT ... ) alias POSITIONAL JOIN
+                for m in re.finditer(r"\bfrom\s*\(", b, re.I):
+                    op = m.end() - 1
+                    cp = self._match_paren(stmt, op)
+                    if not re.match(
+                        r"\s*(?:as\s+)?\w+\s+positional\s+join\b",
+                        b[cp + 1:], re.I,
+                    ):
+                        continue
+                    bound = _bind(op)
+                    if bound is None:
+                        continue
+                    alias, end = bound
+                    stmt = (
+                        stmt[: m.start()] + f"from {alias} "
+                        + stmt[end:]
+                    )
+                    changed = True
+                    break
+            return stmt, views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
 
     def _rewrite_asof(self, stmt: str) -> tuple[str, list[str]]:
         """Materialize every ASOF JOIN clause into a temp view and
@@ -4884,7 +5215,10 @@ class AnalyticsEngine:
         # `distinct on` is only a surface when select-adjacent —
         # a bare column named distinct_on can't match (\b excludes _).
         if not (
-            re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I)
+            re.search(
+                r"\basof\s+(left\s+)?join\b|\bpositional\s+join\b",
+                blanked, re.I,
+            )
             or self._RANGE_RE.search(stmt)
             or re.search(r"\bqualify\b", blanked, re.I)
             or re.search(r"\bcolumns\s*\(", blanked, re.I)
@@ -4946,7 +5280,10 @@ class AnalyticsEngine:
         # their rewrite spark.sql's the subquery text standalone, so a
         # CTE referenced inside it must already be a view
         if not (
-            re.search(r"\basof\s+(left\s+)?join\b", blanked, re.I)
+            re.search(
+                r"\basof\s+(left\s+)?join\b|\bpositional\s+join\b",
+                blanked, re.I,
+            )
             or self._RANGE_RE.search(stmt)
             or re.search(
                 r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
@@ -5023,6 +5360,8 @@ class AnalyticsEngine:
                 body, v = self._rewrite_asof(body)
                 views += v
                 body, v = self._rewrite_range_join(body)
+                views += v
+                body, v = self._rewrite_positional_join(body)
                 views += v
                 body, v = self._rewrite_columns_projection(body)
                 views += v
@@ -5107,6 +5446,8 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_range_join(stmt)
             rewrite_views += v
+            stmt, v = self._rewrite_positional_join(stmt)
+            rewrite_views += v
             # after the source rewrites: COLUMNS() and star-REPLACE
             # plan their FROM list to enumerate columns, so
             # engine-only sources must already be plain views here
@@ -5144,6 +5485,7 @@ class AnalyticsEngine:
                 self._rewrite_distinct_on,
                 self._rewrite_asof,
                 self._rewrite_range_join,
+                self._rewrite_positional_join,
                 self._rewrite_columns_projection,
                 self._rewrite_select_replace,
                 self._rewrite_qualify,

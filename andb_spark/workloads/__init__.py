@@ -49,14 +49,17 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # oldest evidence — the 5 r6-deferral names and the 44-name r7
     # cohort are the whole remaining pre-r8 ledger).
     #
-    # (a) never-graded: the one r11 surface (CREATE [OR REPLACE] /
-    # DROP VIEW — r10 verdict #1's headline ask). The round's other
-    # new surfaces (correlated engine-subquery lift, WITH TIES
-    # source-scope ORDER BY, COLUMNS composed expressions) are
-    # differential-pinned in test_parser_surfaces_differential.py
-    # per the verdict's own done-criteria (refusal tests converted
-    # to executing differentials), leaving the slots to the ledger.
+    # (a) never-graded: the two r11 driver-row surfaces — CREATE
+    # [OR REPLACE] / DROP VIEW (r10 verdict #1's headline ask) and
+    # POSITIONAL JOIN (DuckDB; the r10-probed candidate). The
+    # round's other new surfaces (correlated engine-subquery
+    # decorrelation, WITH TIES source-scope ORDER BY, COLUMNS
+    # composed expressions) are differential-pinned in
+    # test_parser_surfaces_differential.py per the verdict's own
+    # done-criteria (refusal tests converted to executing
+    # differentials), leaving the slots to the ledger.
     "u_create_view",
+    "u_positional_join",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -64,11 +67,14 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # fetches 0 rows WITH TIES, or correlates an engine subquery) and
     # each changed shape is differential-pinned.
     # (c) oldest evidence — the 5 r6 deferrals first (deferred in the
-    # r10 rotation comment), then 43 of the 44 r7-graded names;
-    # q_union_all alone defers to r12: its operator (UNION ALL fold)
-    # is re-evidenced THIS round by q_union_distinct (same family,
-    # stricter dedup semantics) plus the set-op fuzz arm, and its
-    # slot funds the family-coverage c_ name below.
+    # r10 rotation comment), then 42 of the 44 r7-graded names; two
+    # defer to r12 with their operators re-evidenced THIS round by
+    # same-machinery twins in the window: q_union_all (UNION ALL
+    # fold — q_union_distinct, same family with stricter dedup, plus
+    # the set-op fuzz arm; its slot funds the family-coverage c_
+    # name below) and q_pivot (DataFrame pivot — q_pivot_sql, the
+    # same operator through the SQL clause, stays in; its slot funds
+    # the new u_positional_join surface).
     "q_exists_subquery",
     "q_scalar_subquery",
     "q_union_distinct",
@@ -105,7 +111,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_limit_offset",
     "q_math_funcs",
     "q_percentiles",
-    "q_pivot",
     "q_pivot_sql",
     "q_rollup",
     "q_select_no_from",

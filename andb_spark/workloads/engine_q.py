@@ -835,6 +835,29 @@ def u_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL JOIN (DuckDB; api.py::_rewrite_positional_join):
+    zip two ORDERED subquery sides row-by-row — the shorter side pads
+    NULL. Ordered sides make the pairing deterministic at every scale
+    factor (a sorted side's range partitions enumerate in order, so
+    the distributed zipWithIndex numbers rows in the total order);
+    the oracle runs the IDENTICAL SQL on DuckDB's native positional
+    join."""
+    eng = AnalyticsEngine(
+        _scratch("andb_pj_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select x.k, x.v, y.c from"
+        " (select o_orderkey as k, o_totalprice as v from orders"
+        " where o_orderkey < 2000"
+        " order by o_totalprice desc, o_orderkey) x"
+        " positional join"
+        " (select c_custkey as c from customer order by c_custkey desc) y"
+        " order by k nulls last, c nulls last"
+    )
+    return spark.createDataFrame(r.rows, "k bigint, v double, c bigint")
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -890,6 +913,7 @@ QUERIES = {
     "u_limit_percent": u_limit_percent,
     "u_columns": u_columns,
     "u_create_view": u_create_view,
+    "u_positional_join": u_positional_join,
 }
 
 ORACLES = {
@@ -982,6 +1006,15 @@ ORACLES = {
         SELECT s, count(*) AS n, round(sum(v), 2) AS rev,
                round(min(v), 2) AS lo
         FROM after_del GROUP BY s ORDER BY s
+    """,
+    "u_positional_join": """
+        SELECT x.k, x.v, y.c FROM
+        (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+         WHERE o_orderkey < 2000
+         ORDER BY o_totalprice DESC, o_orderkey) x
+        POSITIONAL JOIN
+        (SELECT c_custkey AS c FROM customer ORDER BY c_custkey DESC) y
+        ORDER BY k NULLS LAST, c NULLS LAST
     """,
     "u_upsert_sql": """
         WITH base AS (

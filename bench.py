@@ -192,9 +192,11 @@ HEADLINE_R10 = (
 )
 
 # r11 additions (same rule: timed and reported, OUT of the cross-round
-# comparable total; subtotal r11_extension_sec): logical views.
+# comparable total; subtotal r11_extension_sec): logical views and
+# the positional-join zip.
 HEADLINE_R11 = (
     "u_create_view",
+    "u_positional_join",
 )
 
 HEADLINE = (

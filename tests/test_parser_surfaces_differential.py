@@ -1801,6 +1801,11 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         "select ab, ac from ct order by columns('a.*')",
         # explicit alias applies to every expansion (duplicate names)
         "select columns('a.*') as foo from ct order by 1, 2",
+        # * EXCLUDE (names) + lambda name predicates (r11)
+        "select columns(* exclude (bd, k)) from ct order by ab",
+        "select min(columns(* exclude (ab))) from ct",
+        "select columns(c -> c like 'a%') from ct order by ab",
+        "select sum(columns(c -> length(c) = 2)) from ct",
     ):
         ours = eng.execute(sql)
         duck = con.execute(sql)
@@ -1830,6 +1835,11 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         eng.execute("select columns('zzz') from ct")
     with pytest.raises(EngineError, match="matched no columns"):
         eng.execute("select k from ct where columns('zzz') > 1")
+    # unknown EXCLUDE names error (DuckDB raises too)
+    with pytest.raises(EngineError, match="EXCLUDE"):
+        eng.execute("select columns(* exclude (nope)) from ct")
+    with pytest.raises(EngineError, match="matched no columns"):
+        eng.execute("select columns(c -> c like 'zz%') from ct")
     # non-identifier column names (attached files can carry dots or
     # spaces): the expansion must backtick-quote both the expression
     # and the alias (r10 ADVICE #2) — engine-only, DuckDB's quoting
@@ -1967,6 +1977,140 @@ def test_create_view_matches_duckdb(spark, tmp_path):
     sql = "select g, n, sv, lo from vsum order by g"
     assert eng2.execute(sql).rows == con.execute(sql).fetchall()
     eng2.close()
+
+
+def test_positional_join_matches_duckdb(spark, tmp_path):
+    """POSITIONAL JOIN (DuckDB; api.py::_rewrite_positional_join —
+    distributed zipWithIndex via per-partition offsets over a
+    checkpointed snapshot + full-outer equi-join on the index, never
+    a global single-task window): identical SQL both engines across
+    padding, filters, ordered subquery sides, aggregation over the
+    zip, left-associative chains, CTE composition, and duplicate
+    column names. Compared order-insensitively — the PAIRING is the
+    semantics under test; deterministic pairing needs sides with
+    their own total order (ordered subqueries) or single-split
+    scans, which these fixtures are."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whpj"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table pl (a int, b int)")
+        run("insert into pl values (1,10),(2,20),(3,30)")
+        run("create table pr (c int)")
+        run("insert into pr values (7),(8)")
+        run("create table pr3 (a int)")
+        run("insert into pr3 values (5)")
+    for sql in (
+        "select * from pl positional join pr order by a nulls last",
+        "select a, c from pl positional join pr where c is not null"
+        " order by a",
+        "select x.a, y.c from (select a, b from pl order by b desc) x"
+        " positional join (select c from pr order by c) y"
+        " order by 1 nulls last",
+        "select count(*) as n, sum(a + coalesce(c, 0)) as s"
+        " from pl positional join pr",
+        "select * from pl positional join pr positional join pr3"
+        " order by b nulls last",
+        "with z as (select a, c from pl positional join pr)"
+        " select a, c from z order by a nulls last",
+    ):
+        ours = eng.execute(sql)
+        drows = con.execute(sql).fetchall()
+        assert sorted(map(str, ours.rows)) == sorted(map(str, drows)), sql
+    # duplicate column names survive like DuckDB's
+    ours = eng.execute("select * from pl positional join pr3")
+    duck = con.execute("select * from pl positional join pr3")
+    assert ours.columns == [d[0] for d in duck.description]
+    # alias collision on a subquery side refuses by name
+    with pytest.raises(EngineError, match="collides"):
+        eng.execute(
+            "select * from pl positional join (select c from pr) pl"
+        )
+    leaks = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("_pj_")
+    ]
+    assert leaks == []
+    eng.close()
+
+
+def test_r11_review_fixes(ubn_engines, spark, tmp_path):
+    """r11 code-review findings, each pinned:
+
+    (1) a view broken by a base-table DROP stays droppable and
+        OR-REPLACE-able (view DDL binds tolerantly);
+    (2) decorrelation injects the partition key into windows WRAPPED
+        IN FUNCTION CALLS (coalesce(row_number() over ...)) — a
+        depth-0 check skipped them, silently global-partitioning;
+    (3) a deeply-indented nested SELECT is still recognized as a
+        subquery scope by the COLUMNS/lift gates;
+    (4) GROUP BY ALL in a correlated body stays ALL (appending the
+        correlation key would turn it into a column identifier);
+    (5) a failed view-alias arity check leaks no pipeline helper
+        views;
+    (6) duplicate view aliases dedup collision-aware against the
+        whole final column set;
+    (7) implicit and backtick-quoted aliases on COLUMNS items apply
+        to every expansion instead of mis-emitting a second alias."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng, con = ubn_engines
+    # (2) window inside a function call, decorrelated
+    sql = (
+        "select k from ua where exists (select 1 from ua u2 where"
+        " u2.k = ua.k qualify coalesce(row_number() over"
+        " (order by u2.b), 1) = 1) order by k"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # (4) engine-side pin: DuckDB refuses QUALIFY + GROUP BY ALL
+    r = eng.execute(
+        "select k, (select max(n) from (select u2.a, count(*) as n"
+        " from ua u2 where u2.k = ua.k group by all qualify"
+        " row_number() over (order by count(*) desc) = 1) z) as m"
+        " from ua order by k, m"
+    )
+    assert r.rows == [(1, 1), (2, 2), (2, 2)]
+    # (7) implicit + backtick alias fan-out (duplicate names, DuckDB
+    # convention)
+    for run in (eng.execute, con.execute):
+        run("create table rf_ct (ab int, ac int, k int)")
+        run("insert into rf_ct values (1,2,1),(4,5,2)")
+    sql = "select columns('a.*') foo from rf_ct order by 1, 2"
+    ours = eng.execute(sql)
+    duck = con.execute(sql)
+    assert ours.rows == duck.fetchall()
+    assert ours.columns == [d[0] for d in duck.description]
+    # (1)/(5)/(6) need their own engine (view catalog lifecycle)
+    e2 = AnalyticsEngine(str(tmp_path / "whrf"), spark=spark)
+    e = e2.execute
+    e("create table bt (x int)")
+    e("insert into bt values (1)")
+    e("create view bv as select x from bt")
+    e("create view bv2 as select x + 1 as y from bt")
+    e("drop table bt")
+    with pytest.raises(EngineError):
+        e("select * from bv")  # broken view: reads still raise
+    e("create table bt2 (y int)")
+    e("insert into bt2 values (5)")
+    e("create or replace view bv as select y from bt2")  # replaceable
+    assert e("select * from bv").rows == [(5,)]
+    e("drop view bv2")  # droppable while broken
+    # (5) failed arity check: no leaked helpers
+    with pytest.raises(EngineError, match="more VIEW aliases"):
+        e(
+            "create view valx (p, q, r) as select y from (select y"
+            " from bt2 qualify row_number() over (order by y) = 1) s"
+        )
+    leaks = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith(("_esq_", "_qualify_", "_don_"))
+    ]
+    assert leaks == []
+    # (6) collision-aware alias dedup
+    e("create view vdup (x, x) as select 1 as a, 2 as b, 3 as x_1")
+    assert len(set(e("select * from vdup").columns)) == 3
+    e2.close()
 
 
 def test_engine_subquery_lift_review_fixes(ubn_engines):
