@@ -3998,21 +3998,6 @@ class AnalyticsEngine:
             raise
         return "".join(out), views
 
-    # one COLUMNS(...) call — the template expansion substitutes every
-    # own-scope occurrence per matched column. Argument forms (all
-    # DuckDB-probed): '*', '* EXCLUDE (names)', a 'regex' literal, and
-    # a name-predicate lambda `ident -> <pred>` (one paren nesting
-    # level inside the predicate; string literals are blanked before
-    # this regex runs, so parens in them never count)
-    _COLUMNS_CALL_RE = re.compile(
-        r"\bcolumns\s*\(\s*("
-        r"\*\s*(?:exclude\s*\([^()]*\))?"
-        r"|'(?:[^']|'')*'"
-        r"|\w+\s*->[^()]*(?:\([^()]*\)[^()]*)*"
-        r")\s*\)",
-        re.I,
-    )
-
     @staticmethod
     def _inside_nested_select(blank: str, idx: int) -> bool:
         """True when position ``idx`` sits inside a parenthesized
@@ -4071,14 +4056,25 @@ class AnalyticsEngine:
         if not m or not re.search(r"\bcolumns\s*\(", blanked, re.I):
             return stmt, []
 
-        def _calls_in(seg: str, seg_blank: str) -> list[re.Match]:
-            return [
-                cm
-                for cm in self._COLUMNS_CALL_RE.finditer(seg_blank)
-                if not self._inside_nested_select(
-                    seg_blank, cm.start()
-                )
-            ]
+        def _calls_in(
+            seg: str, seg_blank: str
+        ) -> list[tuple[int, int, int, int]]:
+            """Own-scope COLUMNS calls as (start, end, arg_start,
+            arg_end) — paren-matched, so lambda predicates nest
+            arbitrarily (review r11 #5: the old regex allowed one
+            level and deeper predicates fell through to a raw Spark
+            error)."""
+            calls: list[tuple[int, int, int, int]] = []
+            last_end = -1
+            for cm in re.finditer(r"\bcolumns\s*\(", seg_blank, re.I):
+                if cm.start() < last_end:
+                    continue  # inside a previous call's argument
+                if self._inside_nested_select(seg_blank, cm.start()):
+                    continue
+                cp = self._match_paren(seg, cm.end() - 1)
+                calls.append((cm.start(), cp + 1, cm.end(), cp))
+                last_end = cp + 1
+            return calls
 
         if not _calls_in(stmt, blanked):
             return stmt, []  # nested only: the subquery lift owns those
@@ -4171,7 +4167,7 @@ class AnalyticsEngine:
             """One expression segment → its per-column copies."""
             sb = _blank_literals(seg)
             calls = _calls_in(seg, sb)
-            raw_args = {seg[c.start(1): c.end(1)] for c in calls}
+            raw_args = {seg[a0:a1].strip() for _s, _e, a0, a1 in calls}
             if len(raw_args) > 1:
                 raise EngineError(
                     "multiple different COLUMNS(...) arguments in"
@@ -4181,10 +4177,10 @@ class AnalyticsEngine:
             for col in _matched(raw_args.pop()):
                 pieces: list[str] = []
                 pos = 0
-                for c in calls:
-                    pieces.append(seg[pos: c.start()])
+                for s, e, _a0, _a1 in calls:
+                    pieces.append(seg[pos:s])
                     pieces.append(f"`{col}`")
-                    pos = c.end()
+                    pos = e
                 pieces.append(seg[pos:])
                 body = "".join(pieces).strip()
                 out.append(f"{body} as `{col}`" if alias else body)
@@ -4212,7 +4208,14 @@ class AnalyticsEngine:
                     ib.strip(), re.S,
                 )
                 if im and im.group(2).lower() not in (
+                    # trailing keywords that END an expression, never
+                    # name it: CASE's END and interval unit words
+                    # (review r11 #7)
                     "null", "true", "false", "unknown", "asc", "desc",
+                    "end", "day", "days", "month", "months", "year",
+                    "years", "hour", "hours", "minute", "minutes",
+                    "second", "seconds", "week", "weeks", "quarter",
+                    "quarters",
                 ):
                     prev = im.group(1).rstrip()
                     if prev and (
@@ -4608,7 +4611,7 @@ class AnalyticsEngine:
         r"\s+positional\s+join\s+"
         r"(?P<rt>\w+)(?:\s+(?:as\s+)?(?P<ra>\w+))?"
         r"(?=\s+(?:where|group|having|qualify|window|order|limit"
-        r"|offset|positional)\b|\s*$|\s*\))",
+        r"|offset|positional|union|intersect|except)\b|\s*$|\s*\))",
         re.I | re.S,
     )
 
@@ -4679,7 +4682,10 @@ class AnalyticsEngine:
             stmt, v = self._lift_positional_subquery_sources(stmt)
             views += v
             while True:
-                m = self._POSJOIN_RE.search(stmt)
+                # match on the literal-blanked copy (same length):
+                # the keyword inside a string must never rewrite
+                # (review r11 #2)
+                m = self._POSJOIN_RE.search(_blank_literals(stmt))
                 if not m:
                     if re.search(
                         r"\bpositional\s+join\b",
@@ -4701,16 +4707,50 @@ class AnalyticsEngine:
                     raise EngineError(
                         f"POSITIONAL JOIN: cannot resolve sources: {e}"
                     ) from e
-                zl = self._zip_index(left, "_pj_li")
-                zr = self._zip_index(right, "_pj_ri")
+                # alias-qualified references to DUP-NAMED columns
+                # cannot survive the single-view splice (the
+                # qualifier strip below would leave them ambiguous —
+                # review r11 #3): refuse by name
+                dups = {
+                    c.lower() for c in left.columns
+                } & {c.lower() for c in right.columns}
+                if dups:
+                    rest_b = _blank_literals(stmt)
+                    for al in {la.lower(), ra.lower()}:
+                        for d in dups:
+                            if re.search(
+                                rf"\b{re.escape(al)}\s*\.\s*"
+                                rf"{re.escape(d)}\b", rest_b, re.I,
+                            ):
+                                raise EngineError(
+                                    "POSITIONAL JOIN: qualified"
+                                    f" reference {al}.{d} to a"
+                                    " column present on BOTH sides"
+                                    " — rename it inside a subquery"
+                                    " side first"
+                                )
+                # positional rename around the join: an intermediate
+                # zip view of a CHAIN can itself carry duplicate
+                # names, which name-based selection cannot address
+                # (review r11 #4)
+                nl, nr = len(left.columns), len(right.columns)
+                zl = self._zip_index(left, "_pj_li").toDF(
+                    *[f"_pjl{i}" for i in range(nl)], "_pj_li"
+                )
+                zr = self._zip_index(right, "_pj_ri").toDF(
+                    *[f"_pjr{i}" for i in range(nr)], "_pj_ri"
+                )
                 joined = zl.join(
                     zr, zl["_pj_li"] == zr["_pj_ri"], "full_outer"
                 )
                 out = joined.select(
-                    *[zl[c] for c in left.columns],
-                    *[zr[c] for c in right.columns],
-                ).sortWithinPartitions(
-                    F.coalesce(zl["_pj_li"], zr["_pj_ri"])
+                    *[f"_pjl{i}" for i in range(nl)],
+                    *[f"_pjr{i}" for i in range(nr)],
+                    F.coalesce(
+                        zl["_pj_li"], zr["_pj_ri"]
+                    ).alias("_pj_ord"),
+                ).sortWithinPartitions("_pj_ord").drop("_pj_ord").toDF(
+                    *left.columns, *right.columns
                 )
                 view = f"_pj_{uuid.uuid4().hex[:8]}"
                 out.createOrReplaceTempView(view)
@@ -4743,7 +4783,14 @@ class AnalyticsEngine:
             if not re.match(r"\s*select\b", stmt[op + 1: cp], re.I):
                 return None
             am = re.match(r"\s*(?:as\s+)?(\w+)\b", stmt[cp + 1:], re.I)
-            if not am or am.group(1).lower() == "positional":
+            if not am or am.group(1).lower() in (
+                # a following clause keyword is NOT an alias (review
+                # r11 #6: DuckDB allows unaliased subquery sides; we
+                # require the alias, and the refusal must say so)
+                "positional", "where", "group", "having", "qualify",
+                "window", "order", "limit", "offset", "union",
+                "intersect", "except", "on",
+            ):
                 raise EngineError(
                     "POSITIONAL JOIN: a subquery source needs an alias"
                 )
@@ -5655,6 +5702,7 @@ class AnalyticsEngine:
         self._planning = True
         ubn_views: list[str] = []
         ft_views: list[str] = []
+        pj_views: list[str] = []
         try:
             inner, ft_views = self._rewrite_fetch_first(inner)
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
@@ -5664,6 +5712,10 @@ class AnalyticsEngine:
             inner, don_views = self._rewrite_distinct_on(inner)
             inner, asof_views = self._rewrite_asof(inner)
             inner, range_views = self._rewrite_range_join(inner)
+            # positional join (r11 review #1: omitting it here made
+            # EXPLAIN silently explain a DIFFERENT query — Spark
+            # parses `l positional join r` as an alias + bare join)
+            inner, pj_views = self._rewrite_positional_join(inner)
             inner, _cv = self._rewrite_columns_projection(inner)
             inner, _nv = self._rewrite_select_replace(inner)
             inner, qual_views = self._rewrite_qualify(inner)
@@ -5673,7 +5725,7 @@ class AnalyticsEngine:
         except BaseException:
             for v in (cte_views + ubn_views + don_views + asof_views
                       + range_views + qual_views + quant_views
-                      + ft_views):
+                      + ft_views + pj_views):
                 self.spark.catalog.dropTempView(v)
             raise
         finally:
@@ -5716,8 +5768,14 @@ class AnalyticsEngine:
             rewrites += (
                 "-- fetch with ties: rank()-bounded boundary plan\n"
             )
+        if pj_views:
+            rewrites += (
+                "-- positional join: distributed zipWithIndex +"
+                " full-outer index equi-join\n"
+            )
         asof_views += (cte_views + ubn_views + don_views + range_views
-                       + qual_views + quant_views + ft_views)
+                       + qual_views + quant_views + ft_views
+                       + pj_views)
         mode = self.session_vars.get("andb.ann_mode", "exact")
         ann = self._ANN_RE.match(inner) if mode != "exact" else None
         if ann:

@@ -2035,6 +2035,75 @@ def test_positional_join_matches_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_r11_review_fixes_round2(spark, tmp_path):
+    """Second r11 review pass (positional join + COLUMNS widening),
+    each pinned: (1) plain EXPLAIN runs the positional rewrite (the
+    raw text parses as an aliased bare join — a DIFFERENT query);
+    (2) the keyword inside a string literal never rewrites;
+    (3) alias-qualified references to dup-named columns refuse by
+    name (the qualifier strip would leave them ambiguous);
+    (4) chains whose intermediate zip carries duplicate names work
+    (positional rename, not name-based selection); (5) lambda
+    predicates nest parens arbitrarily; (6) an unaliased subquery
+    side gets the purpose-built refusal; (7) CASE..END with COLUMNS
+    keeps DuckDB's plain-name aliases; (8) set operations may follow
+    the join."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whr2"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table pl (a int, b int)")
+        run("insert into pl values (1,10),(2,20),(3,30)")
+        run("create table pr (c int)")
+        run("insert into pr values (7),(8)")
+        run("create table pr3 (a int)")
+        run("insert into pr3 values (5)")
+        run("create table ct (ab int, ac int, bd int, k int)")
+        run("insert into ct values (1,2,3,1),(4,5,6,2),(7,8,9,2)")
+    r = eng.execute("explain select * from pl positional join pr")
+    assert "positional join" in r.rows[0][0]
+    assert "Join Inner" not in r.rows[0][1]
+    for sql in (
+        # (2) literal safety
+        "select a, c from pl positional join pr where"
+        " 'from t positional join u where' <> 'x'"
+        " order by a nulls last",
+        # (4) chain with a dup-named intermediate
+        "select * from pl positional join pr3 positional join pr"
+        " order by b nulls last",
+        # (5) nested-paren lambda
+        "select columns(c -> length(trim(c)) = 2) from ct"
+        " order by ab",
+        # (7) CASE..END keeps plain-name aliases
+        "select case when columns('a.*') > 3 then 1 else 0 end"
+        " from ct order by ab",
+        # (8) set-op tail
+        "select a, c from pl positional join pr union all"
+        " select 9, 9 order by 1 nulls last, 2",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert sorted(map(str, ours.rows)) == sorted(
+            map(str, drows)
+        ), sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    with pytest.raises(EngineError, match="BOTH sides"):
+        eng.execute("select x.a, y.a from pl x positional join pr3 y")
+    with pytest.raises(EngineError, match="needs an alias"):
+        eng.execute(
+            "select a, c from pl positional join (select c from pr)"
+            " where c is not null"
+        )
+    leaks = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("_pj_")
+    ]
+    assert leaks == []
+    eng.close()
+
+
 def test_r11_review_fixes(ubn_engines, spark, tmp_path):
     """r11 code-review findings, each pinned:
 
