@@ -1728,7 +1728,8 @@ class AnalyticsEngine:
             elif head == "SHOW" and re.match(r"show\s+tables\s*$", stmt, re.I):
                 r = self._show_tables()
             elif head in ("DESCRIBE", "DESC") and re.match(
-                r"desc(?:ribe)?\s+(?:\w+\s*$|(?:select|with|values)\b)",
+                r"desc(?:ribe)?\s+"
+                r"(?:\w+\s*$|(?:select|with|values|from)\b)",
                 stmt, re.I | re.S,
             ):
                 # bare DESCRIBE <name>, plus DESCRIBE <query> (DuckDB
@@ -1749,7 +1750,7 @@ class AnalyticsEngine:
                 r = self._rollback()
             elif head in (
                 "SELECT", "WITH", "VALUES", "TABLE", "SHOW",
-                "DESCRIBE", "DESC",
+                "DESCRIBE", "DESC", "FROM",
             ):
                 r = self._select(stmt)
             else:
@@ -1986,7 +1987,7 @@ class AnalyticsEngine:
         QUALIFY / DISTINCT ON / BY NAME unions / COLUMNS() describe
         like plain SQL."""
         qm = re.match(
-            r"desc(?:ribe)?\s+((?:select|with|values)\b.*)$",
+            r"desc(?:ribe)?\s+((?:select|with|values|from)\b.*)$",
             stmt, re.I | re.S,
         )
         if qm:
@@ -3078,6 +3079,96 @@ class AnalyticsEngine:
             raise
         return stmt, views
 
+    _FF_TAIL_KWS = (
+        "where", "group by", "having", "qualify", "window",
+        "order by", "limit", "offset", "union", "intersect", "except",
+    )
+
+    def _first_clause_kw(
+        self, text: str, kws: tuple[str, ...], start: int = 0
+    ) -> tuple[int, str] | None:
+        """_find_top_level_keyword that skips star-projection EXCEPT
+        (`* except (...)` — a select-list spelling, not a set op)."""
+        pos = start
+        while True:
+            hit = self._find_top_level_keyword(text, kws, pos)
+            if hit is None:
+                return None
+            if hit[1] == "except" and re.search(
+                r"\*\s*$", text[: hit[0]]
+            ):
+                pos = hit[0] + len("except")
+                continue
+            return hit
+
+    def _rewrite_from_first(self, stmt: str) -> str:
+        """DuckDB FROM-first syntax: ``FROM <sources> [SELECT
+        <items>] <tail>`` ≡ ``SELECT <items|*> FROM <sources>
+        <tail>`` (probed: the SELECT section precedes the tail
+        clauses; bare FROM projects *; set-operation branches may
+        themselves be FROM-first). Pure text reorder — the result
+        plans through the ordinary pipeline, so every engine surface
+        composes downstream."""
+        if not re.match(r"^\s*from\b", _blank_literals(stmt), re.I):
+            return stmt
+        sel = self._find_top_level_keyword(stmt, ("select",))
+        setop = self._first_clause_kw(
+            stmt, ("union", "intersect", "except")
+        )
+        if sel is not None and (setop is None or sel[0] < setop[0]):
+            sources = stmt[: sel[0]]
+            rest = stmt[sel[0] + len("select"):]
+            tk = self._first_clause_kw(rest, self._FF_TAIL_KWS)
+            items = rest[: tk[0]] if tk else rest
+            tail = rest[tk[0]:] if tk else ""
+        else:
+            tk = self._first_clause_kw(stmt, self._FF_TAIL_KWS)
+            sources = stmt[: tk[0]] if tk else stmt
+            items = "*"
+            tail = stmt[tk[0]:] if tk else ""
+        if tail:
+            so = self._first_clause_kw(
+                tail, ("union", "intersect", "except")
+            )
+            if so is not None:
+                km = re.match(
+                    r"(union(?:\s+all)?(?:\s+by\s+name)?"
+                    r"|intersect(?:\s+all)?|except(?:\s+all)?)\s+",
+                    tail[so[0]:], re.I,
+                )
+                if km:
+                    cut = so[0] + km.end()
+                    tail = tail[:cut] + self._rewrite_from_first(
+                        tail[cut:]
+                    )
+        return (
+            f"select {items.strip()} {sources.strip()} {tail.strip()}"
+            .strip()
+        )
+
+    def _rewrite_star_exclude(self, stmt: str) -> tuple[str, list[str]]:
+        """DuckDB star-projection spelling ``* EXCLUDE (cols)`` →
+        Spark's native ``* EXCEPT (cols)`` (same semantics, probed).
+        Token swap on the literal-blanked copy; an EXCLUDE inside a
+        ``COLUMNS(* EXCLUDE ...)`` argument belongs to the COLUMNS
+        machinery and stays."""
+        blanked = _blank_literals(stmt)
+        out: list[str] = []
+        pos = 0
+        for m in re.finditer(
+            r"\*\s+(exclude)\s*\(", blanked, re.I
+        ):
+            before = blanked[: m.start()].rstrip()
+            if re.search(r"\bcolumns\s*\(\s*$", before, re.I):
+                continue
+            out.append(stmt[pos: m.start(1)])
+            out.append("except")
+            pos = m.end(1)
+        if not out:
+            return stmt, []
+        out.append(stmt[pos:])
+        return "".join(out), []
+
     def _rewrite_fetch_first(self, stmt: str) -> tuple[str, list[str]]:
         """ANSI result-limiting dialect: ``OFFSET n ROW[S] [FETCH
         {FIRST|NEXT} m ROW[S] ONLY]`` and bare ``FETCH FIRST m ROWS
@@ -3646,6 +3737,26 @@ class AnalyticsEngine:
                     # (r10 review #7: O(n x parens) on IN-list-heavy
                     # statements)
                     ib = blanked[i + 1: cp].strip()
+                    # FROM-first subquery groups always lift: the
+                    # standalone plan normalizes them (Spark cannot
+                    # parse the spelling)
+                    if re.match(r"^\s*from\b", ib, re.I):
+                        try:
+                            df, v = self._plan_engine_select(inner)
+                        except EngineError:
+                            raise
+                        except Exception as e:
+                            raise EngineError(
+                                f"FROM-first subquery failed: {e}"
+                            ) from e
+                        views += v
+                        view = f"_esq_{uuid.uuid4().hex[:8]}"
+                        df.createOrReplaceTempView(view)
+                        views.append(view)
+                        out.append(f"(select * from {view})")
+                        changed = True
+                        i = cp + 1
+                        continue
                     needs = bool(re.match(r"^\s*select\b", ib, re.I)) and (
                         self._find_top_level_keyword(ib, ("qualify",))
                         is not None
@@ -5266,6 +5377,10 @@ class AnalyticsEngine:
                 r"\basof\s+(left\s+)?join\b|\bpositional\s+join\b",
                 blanked, re.I,
             )
+            # a FROM-first CTE body / subquery (`( from ...`): Spark
+            # cannot parse the spelling, so the body must bind and
+            # normalize through the pipeline
+            or re.search(r"\(\s*from\b", blanked, re.I)
             or self._RANGE_RE.search(stmt)
             or re.search(r"\bqualify\b", blanked, re.I)
             or re.search(r"\bcolumns\s*\(", blanked, re.I)
@@ -5331,6 +5446,10 @@ class AnalyticsEngine:
                 r"\basof\s+(left\s+)?join\b|\bpositional\s+join\b",
                 blanked, re.I,
             )
+            # a FROM-first CTE body / subquery (`( from ...`): Spark
+            # cannot parse the spelling, so the body must bind and
+            # normalize through the pipeline
+            or re.search(r"\(\s*from\b", blanked, re.I)
             or self._RANGE_RE.search(stmt)
             or re.search(
                 r"(?:>=|<=|<>|!=|=|>|<)\s*(?:any|some|all)\s*\(\s*select\b",
@@ -5364,6 +5483,9 @@ class AnalyticsEngine:
                     re.match(
                         r"^\s*select\s+distinct\s+on\s*\(", mb, re.I
                     )
+                    # FROM-first main: bind, unwrap, and let the
+                    # caller's post-binder rewrite normalize it
+                    or re.match(r"^\s*from\b", mb, re.I)
                     or any(
                         _paren_depth_at(mb, qm.start()) > 0
                         for qm in re.finditer(r"\bqualify\b", mb, re.I)
@@ -5398,6 +5520,9 @@ class AnalyticsEngine:
                 # the engine-only QUALIFY / DISTINCT ON surfaces sits
                 # at paren depth > 0 where the depth-0 rewrites never
                 # reach, and died as a raw Spark parse error).
+                body = self._rewrite_from_first(body)
+                body, v = self._rewrite_star_exclude(body)
+                views += v
                 body, v = self._lift_engine_subqueries(body)
                 views += v
                 body, v = self._rewrite_union_by_name(body)
@@ -5431,6 +5556,10 @@ class AnalyticsEngine:
         return main, views
 
     def _select(self, stmt: str) -> Result:
+        # FROM-first syntax and the star-EXCLUDE spelling normalize
+        # FIRST, so every later rewrite sees ordinary select-first SQL
+        stmt = self._rewrite_from_first(stmt)
+        stmt, _ = self._rewrite_star_exclude(stmt)
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
         # 138-148) → standard `LIMIT n OFFSET off`.
         stmt = self._LIMIT_OFF_N.sub(r"LIMIT \2 OFFSET \1", stmt)
@@ -5483,6 +5612,9 @@ class AnalyticsEngine:
         try:
             stmt, v = self._bind_ctes_for_surfaces(stmt)
             rewrite_views += v
+            # a WITH statement's unwrapped main may itself be
+            # FROM-first
+            stmt = self._rewrite_from_first(stmt)
             stmt, v = self._lift_engine_subqueries(stmt)
             rewrite_views += v
             stmt, v = self._rewrite_union_by_name(stmt)
@@ -5522,11 +5654,15 @@ class AnalyticsEngine:
         star-REPLACE): before r9 both planned their query with a bare
         ``spark.sql`` and died on a raw ParseException for statements
         the engine itself executes."""
+        query = self._rewrite_from_first(query)
         views: list[str] = []
         try:
             for rw in (
+                self._rewrite_star_exclude,
                 self._rewrite_fetch_first,
                 self._bind_ctes_for_surfaces,
+                # the unwrapped WITH main may itself be FROM-first
+                lambda q: (self._rewrite_from_first(q), []),
                 self._lift_engine_subqueries,
                 self._rewrite_union_by_name,
                 self._rewrite_distinct_on,
@@ -5704,8 +5840,11 @@ class AnalyticsEngine:
         ft_views: list[str] = []
         pj_views: list[str] = []
         try:
+            inner = self._rewrite_from_first(inner)
+            inner, _xv = self._rewrite_star_exclude(inner)
             inner, ft_views = self._rewrite_fetch_first(inner)
             inner, cte_views = self._bind_ctes_for_surfaces(inner)
+            inner = self._rewrite_from_first(inner)
             inner, v = self._lift_engine_subqueries(inner)
             cte_views += v
             inner, ubn_views = self._rewrite_union_by_name(inner)

@@ -1979,6 +1979,59 @@ def test_create_view_matches_duckdb(spark, tmp_path):
     eng2.close()
 
 
+def test_from_first_and_star_exclude_matches_duckdb(spark, tmp_path):
+    """FROM-first syntax (DuckDB: `FROM <sources> [SELECT <items>]
+    <tail>`; api.py::_rewrite_from_first — pure text reorder, so
+    every surface composes downstream) and the `* EXCLUDE (cols)`
+    star spelling (normalized onto Spark's native star-EXCEPT):
+    identical SQL both engines across bare FROM, projections, WHERE/
+    GROUP BY/ORDER BY tails, set-operation branches that are
+    themselves FROM-first, WITH mains and CTE bodies, FROM-first
+    subqueries (the lift), engine surfaces (QUALIFY) in FROM-first
+    statements, DESCRIBE, and the COLUMNS(* EXCLUDE ...) coexistence
+    (that EXCLUDE belongs to the COLUMNS machinery and must not
+    rewrite)."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whff"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table ft (a int, b int)")
+        run("insert into ft values (1,2),(3,4),(5,6)")
+        run("create table fct (ab int, ac int, k int)")
+        run("insert into fct values (1,2,1),(4,5,2)")
+    for sql in (
+        "from ft",
+        "from ft select a + b as s order by s",
+        "from ft select b where a > 1 order by b",
+        "from ft order by a limit 1",
+        "from ft select a union all from ft select b order by 1",
+        "with w as (from ft select a) from w select a as x"
+        " order by x",
+        "from ft select sum(a) as sa group by b order by sa",
+        "select * exclude (b) from ft order by a",
+        "from ft select * exclude (a) order by b desc limit 1",
+        "select s.x from (from ft select a as x) s order by s.x",
+        "select columns(* exclude (ab)) from fct order by ac",
+        "from ft select a, b qualify row_number() over"
+        " (order by b desc) = 1",
+    ):
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        drows = duck.fetchall()
+        assert sorted(map(str, ours.rows)) == sorted(
+            map(str, drows)
+        ), sql
+        assert ours.columns == [d[0] for d in duck.description], sql
+    ours = [r[0] for r in eng.execute("describe from ft").rows]
+    duck = [r[0] for r in con.execute("describe from ft").fetchall()]
+    assert ours == duck
+    # a string literal containing the words never reorders
+    sql = "select a, 'from x select y' as lit from ft order by a"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    eng.close()
+
+
 def test_positional_join_matches_duckdb(spark, tmp_path):
     """POSITIONAL JOIN (DuckDB; api.py::_rewrite_positional_join —
     distributed zipWithIndex via per-partition offsets over a

@@ -123,6 +123,17 @@ ENGINE_SQL_OPS = {
         " qualify row_number() over (order by o_totalprice desc,"
         " o_orderkey) = 1)"
     ),
+    # r11 positional join: sorted-side zip of the full orders table
+    # against itself — checkpoint + per-partition numbering + one
+    # index SMJ; must stay ~linear (a single-task global window or a
+    # per-row driver loop would blow past 1.0)
+    "e_positional_zip": (
+        "select count(*) as n from"
+        " (select o_orderkey as k from orders order by o_orderkey) a"
+        " positional join"
+        " (select o_custkey as c from orders order by o_custkey desc)"
+        " b"
+    ),
 }
 
 
