@@ -744,7 +744,19 @@ class AnalyticsEngine:
                 raise EngineError(
                     f"circular view dependency involving {n}"
                 )
-            bb = _blank_literals(vws[n]["sql"])
+            body_sql = vws[n]["sql"]
+            if self.catalog.get("macros") or self.catalog.get(
+                "table_macros"
+            ):
+                # a view reference hidden inside a MACRO body must
+                # still count as a dependency — scan the expanded
+                # text (arg errors surface at the view's own plan,
+                # not here)
+                try:
+                    body_sql = self._expand_macros(body_sql)
+                except EngineError:
+                    pass
+            bb = _blank_literals(body_sql)
             # d == n (a body naming its own view) is NOT flagged here:
             # the word-scan cannot tell a self-reference from a COLUMN
             # aliased with the view's name (`create view revenue as
@@ -1098,6 +1110,33 @@ class AnalyticsEngine:
         self.spark.createDataFrame(
             view_rows, view_schema
         ).createOrReplaceTempView("andb_views")
+        macro_rows = [
+            (
+                meta.get("name", key),
+                kind,
+                ", ".join(
+                    p + (f" := {d}" if d is not None else "")
+                    for p, d in meta["params"]
+                ),
+                meta["body"],
+            )
+            for kind, reg in (
+                ("scalar", self.catalog.get("macros") or {}),
+                ("table", self.catalog.get("table_macros") or {}),
+            )
+            for key, meta in sorted(reg.items())
+        ]
+        macro_schema = T.StructType(
+            [
+                T.StructField("macro_name", T.StringType(), False),
+                T.StructField("kind", T.StringType(), False),
+                T.StructField("params", T.StringType(), False),
+                T.StructField("body", T.StringType(), False),
+            ]
+        )
+        self.spark.createDataFrame(
+            macro_rows, macro_schema
+        ).createOrReplaceTempView("andb_macros")
 
     # How many superseded versions stay readable via VERSION AS OF
     # before the write path prunes them (VACUUM prunes all).
@@ -1553,7 +1592,7 @@ class AnalyticsEngine:
 
     # ---------------------------------------------------------- execute --
     _SYSVIEW_RE = re.compile(
-        r"\bandb_(tables|columns|indexes|segments|views)\b", re.I
+        r"\bandb_(tables|columns|indexes|segments|views|macros)\b", re.I
     )
 
     def execute(self, sql: str) -> Result:
@@ -1579,6 +1618,29 @@ class AnalyticsEngine:
             self._refresh_system_views()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
+            if (
+                self.catalog.get("macros")
+                or self.catalog.get("table_macros")
+            ) and (
+                head in (
+                    "SELECT", "WITH", "VALUES", "TABLE", "FROM",
+                    "INSERT", "UPDATE", "DELETE", "MERGE", "COPY",
+                    "EXPLAIN", "DESCRIBE", "DESC", "SHOW",
+                )
+                or (head == "CREATE" and re.match(
+                    r"create\s+(?:or\s+replace\s+)?table\b", stmt, re.I
+                ))
+            ):
+                # Macro calls expand textually BEFORE view binding and
+                # dispatch, so scalar macros work in ANY expression
+                # position (DML SET/WHERE, VALUES rows, COPY sources)
+                # and table macros in any FROM list — and a view named
+                # only inside a macro body still binds below. CREATE
+                # VIEW / CREATE MATERIALIZED VIEW / CREATE MACRO
+                # definitions do NOT expand here: their stored SQL
+                # stays pristine so macro redefinitions LATE-BIND
+                # (their replan paths expand at reference time).
+                stmt = self._expand_macros(stmt)
             # Logical views resolve LAZILY at reference time: any
             # statement mentioning a catalog view (re)binds it — its
             # defining SQL re-plans through the full pipeline over the
@@ -1676,6 +1738,12 @@ class AnalyticsEngine:
                 r = self._create_view(stmt)
             elif head == "DROP" and re.match(r"drop\s+view\b", stmt, re.I):
                 r = self._drop_view(stmt)
+            elif head == "CREATE" and re.match(
+                r"create\s+(?:or\s+replace\s+)?macro\b", stmt, re.I
+            ):
+                r = self._create_macro(stmt)
+            elif head == "DROP" and re.match(r"drop\s+macro\b", stmt, re.I):
+                r = self._drop_macro(stmt)
             elif head == "CREATE" and re.match(
                 r"create\s+table\s+\w+\s+clone\s+\w+", stmt, re.I
             ):
@@ -2958,11 +3026,26 @@ class AnalyticsEngine:
                     df = self.spark.sql(inner)
                     cols = df.columns
                 except Exception as e:
-                    raise EngineError(
-                        "ANY/ALL: the subquery must be a standalone"
-                        " (uncorrelated) SELECT — it is planned"
-                        f" independently of the outer query ({e})"
-                    ) from e
+                    # EQUI-CORRELATED subqueries (r11, was a named
+                    # refusal): rewrite onto per-key grouped stats +
+                    # correlated scalar-subquery probes — see
+                    # _quantified_correlated_repl
+                    corr = self._quantified_correlated_repl(
+                        inner, lhs, op, quant, plan_only
+                    )
+                    if corr is None:
+                        raise EngineError(
+                            "ANY/ALL: the subquery must be a"
+                            " standalone (uncorrelated) SELECT, or a"
+                            " simple equi-correlated `SELECT <expr>"
+                            " FROM <src> WHERE ...` body (no GROUP"
+                            " BY/LIMIT/set ops; correlation as plain"
+                            f" `=` conjuncts) ({e})"
+                        ) from e
+                    repl, corr_views = corr
+                    views += corr_views
+                    stmt = stmt[: cand.start()] + repl + stmt[cp + 1:]
+                    continue
                 if len(cols) != 1:
                     raise EngineError(
                         "ANY/ALL subquery must select exactly one"
@@ -3078,6 +3161,185 @@ class AnalyticsEngine:
                 self.spark.catalog.dropTempView(v)
             raise
         return stmt, views
+
+    def _quantified_correlated_repl(
+        self, inner: str, lhs: str, op: str, quant: str,
+        plan_only: bool,
+    ) -> tuple[str, list[str]] | None:
+        """Correlated quantified comparison — ``x <op> ANY|ALL
+        (SELECT v FROM t2 WHERE t2.k = t1.k ...)`` (DuckDB/Postgres
+        execute these natively; r11, was a named refusal). The class:
+        a simple body (single select item, FROM + WHERE only — no
+        GROUP BY/LIMIT/set ops) whose WHERE carries plain ``=``
+        correlation conjuncts, classified PLAN-BASED exactly like
+        `_decorrelate_engine_subquery` (a side is 'inner' iff it
+        resolves against the body's own FROM; both-or-neither → out
+        of class → the caller's named refusal).
+
+        Rewrite: ONE per-correlation-key aggregation of the body
+        (`GROUP BY` keys → hasnull/min/max/count-distinct — rows
+        exist ONLY for non-empty groups, so the EMPTY-set branch is
+        simply 'the correlated probe found no row'), bound lazily and
+        statement-scope PERSISTED so the CASE's 3-4 correlated scalar
+        probes share one computation instead of re-aggregating the
+        source per probe; each probe decorrelates in Catalyst to a
+        LeftSingle hash join on the key (verified on the physical
+        plan — never a per-outer-row nested loop). The CASE templates
+        are the uncorrelated branches' exact 3VL twins with `cnt = 0`
+        → 'no stats row' and `nn < cnt` → the precomputed `hasnull`;
+        the `= ANY` / `<> ALL` membership probe becomes a correlated
+        EXISTS (a plain semi join on key+value). At 100× data every
+        piece is a key-partitioned aggregate or hash join — the
+        shape DuckDB's own subquery decorrelation produces."""
+        from andb_spark.caching import persist_tracked
+
+        if self._first_clause_kw(
+            inner,
+            ("group by", "having", "qualify", "window", "order by",
+             "limit", "offset", "union", "intersect", "except"),
+        ):
+            return None
+        f = self._find_top_level_keyword(inner, ("from",))
+        w = self._find_top_level_keyword(inner, ("where",))
+        if f is None or w is None or w[0] < f[0]:
+            return None
+        sm = re.match(r"\s*select\s+(?:distinct\s+)?", inner, re.I)
+        if not sm:
+            return None
+        # DISTINCT is stripped above: duplicates change no quantifier
+        # verdict (min/max/has-null/membership are all set-level)
+        item = inner[sm.end(): f[0]].strip()
+        if len(self._split_top_level(item)) != 1 or item == "*":
+            return None
+        item = re.sub(r"\s+as\s+\w+\s*$", "", item, flags=re.I)
+        sources = inner[f[0] + 4: w[0]]
+        where_text = inner[w[0] + 5:]
+
+        def _resolves(expr: str) -> bool:
+            try:
+                self.spark.sql(f"select ({expr}) as p from {sources}")
+                return True
+            except Exception:
+                return False
+
+        plain: list[str] = []
+        corr: list[tuple[str, str]] = []  # (inner side, outer side)
+        for cpred in self._split_conjuncts(where_text):
+            if _resolves(cpred):
+                plain.append(cpred)
+                continue
+            sides = self._split_top_level(cpred, "=")
+            if len(sides) != 2:
+                return None
+            lft, rgt = sides[0].strip(), sides[1].strip()
+            # reject halves carved out of >=, <=, <>, != comparators
+            if (
+                not lft or not rgt
+                or lft[-1] in "<>!=" or rgt[0] in "="
+            ):
+                return None
+            li, ri = _resolves(lft), _resolves(rgt)
+            if li == ri:
+                return None
+            corr.append((lft, rgt) if li else (rgt, lft))
+        if not corr or not _resolves(item):
+            return None
+        keysel = ", ".join(
+            f"({ik}) as __qk{i}" for i, (ik, _o) in enumerate(corr)
+        )
+        wsql = (" where " + " and ".join(plain)) if plain else ""
+        wrap = f"select {keysel}, ({item}) as __qv from {sources}{wsql}"
+        keys = ", ".join(f"__qk{i}" for i in range(len(corr)))
+        stats_sql = (
+            f"select {keys}, count(__qv) < count(*) as hasnull,"
+            f" min(__qv) as mn, max(__qv) as mx,"
+            f" count(distinct __qv) as nd"
+            f" from ({wrap}) __qsrc group by {keys}"
+        )
+        views: list[str] = []
+        try:
+            stats_df = self.spark.sql(stats_sql)
+            if not plan_only:
+                # one computation shared by every probe; execute()'s
+                # statement-scoped cache release reclaims it
+                stats_df = persist_tracked(stats_df)
+            stats = f"_quantcorr_{uuid.uuid4().hex[:8]}"
+            stats_df.createOrReplaceTempView(stats)
+            views.append(stats)
+            keycond = " and ".join(
+                f"__qk{i} = ({outer})"
+                for i, (_ik, outer) in enumerate(corr)
+            )
+
+            def s(col: str) -> str:
+                return f"(select {col} from {stats} where {keycond})"
+
+            hn, mn, mx, nd = s("hasnull"), s("mn"), s("mx"), s("nd")
+            empty = f"{hn} is null"
+            NULLB = "cast(null as boolean)"
+            if (quant, op) in (("any", "="), ("all", "<>")):
+                vals = f"_quantvals_{uuid.uuid4().hex[:8]}"
+                self.spark.sql(wrap).createOrReplaceTempView(vals)
+                views.append(vals)
+                hit = "true" if quant == "any" else "false"
+                miss = "false" if quant == "any" else "true"
+                member = (
+                    f"exists (select 1 from {vals} where "
+                    + " and ".join(
+                        f"__qk{i} = ({o})"
+                        for i, (_ik, o) in enumerate(corr)
+                    )
+                    + f" and __qv = {lhs})"
+                )
+                repl = (
+                    f"(case when {empty} then {miss}"
+                    f" when {lhs} is null then {NULLB}"
+                    f" when {member} then {hit}"
+                    f" when {hn} then {NULLB}"
+                    f" else {miss} end)"
+                )
+            elif op == "<>":  # any
+                repl = (
+                    f"(case when {empty} then false"
+                    f" when {lhs} is null then {NULLB}"
+                    f" when {nd} >= 2 then true"
+                    f" when {lhs} <> {mn} then true"
+                    f" when {hn} then {NULLB}"
+                    f" else false end)"
+                )
+            elif op == "=":  # all
+                repl = (
+                    f"(case when {empty} then true"
+                    f" when {lhs} is null then {NULLB}"
+                    f" when {nd} >= 2 then false"
+                    f" when {lhs} <> {mn} then false"
+                    f" when {hn} then {NULLB}"
+                    f" else true end)"
+                )
+            elif quant == "any":
+                ext = mn if op in (">", ">=") else mx
+                repl = (
+                    f"(case when {empty} then false"
+                    f" when {lhs} {op} {ext} then true"
+                    f" when {lhs} is null then {NULLB}"
+                    f" when {hn} then {NULLB}"
+                    f" else false end)"
+                )
+            else:  # all, inequality: NOT (lhs neg-op ANY)
+                ext = mx if op in (">", ">=") else mn
+                neg = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}[op]
+                repl = (
+                    f"(case when {empty} then true"
+                    f" when {lhs} {neg} {ext} then false"
+                    f" when {lhs} is null then {NULLB}"
+                    f" when {hn} then {NULLB}"
+                    f" else true end)"
+                )
+            return repl, views
+        except BaseException:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
 
     _FF_TAIL_KWS = (
         "where", "group by", "having", "qualify", "window",
@@ -5556,8 +5818,12 @@ class AnalyticsEngine:
         return main, views
 
     def _select(self, stmt: str) -> Result:
-        # FROM-first syntax and the star-EXCLUDE spelling normalize
-        # FIRST, so every later rewrite sees ordinary select-first SQL
+        # macros expand FIRST (idempotent re-run for execute()-routed
+        # statements; the live entry for view/matview replans and
+        # library callers), then FROM-first syntax and the
+        # star-EXCLUDE spelling normalize, so every later rewrite
+        # sees ordinary select-first SQL
+        stmt = self._expand_macros(stmt)
         stmt = self._rewrite_from_first(stmt)
         stmt, _ = self._rewrite_star_exclude(stmt)
         # AnDB-dialect compat: `LIMIT off,n` (MySQL-style, parser_.py:
@@ -5654,6 +5920,7 @@ class AnalyticsEngine:
         star-REPLACE): before r9 both planned their query with a bare
         ``spark.sql`` and died on a raw ParseException for statements
         the engine itself executes."""
+        query = self._expand_macros(query)
         query = self._rewrite_from_first(query)
         views: list[str] = []
         try:
@@ -5840,6 +6107,7 @@ class AnalyticsEngine:
         ft_views: list[str] = []
         pj_views: list[str] = []
         try:
+            inner = self._expand_macros(inner)
             inner = self._rewrite_from_first(inner)
             inner, _xv = self._rewrite_star_exclude(inner)
             inner, ft_views = self._rewrite_fetch_first(inner)
@@ -6309,7 +6577,7 @@ class AnalyticsEngine:
     # (the reference reserves its andb_* catalog names the same way).
     RESERVED_NAMES = frozenset(
         {"andb_tables", "andb_columns", "andb_indexes",
-         "andb_segments", "andb_views"}
+         "andb_segments", "andb_views", "andb_macros"}
     )
 
     def _check_name_free(self, name: str) -> None:
@@ -6654,6 +6922,408 @@ class AnalyticsEngine:
             self.spark.catalog.dropTempView(name)
             self._bound_views.discard(name)
         return Result()
+
+    # ------------------------------------------------------------ macros --
+    # DuckDB's binder recursion cap (probed: "Maximum recursion depth
+    # exceeded (Maximum: 128)") — a self-recursive macro errors at
+    # CALL time, like DuckDB's, never loops.
+    _MACRO_DEPTH = 128
+
+    def _create_macro(self, stmt: str) -> Result:
+        """CREATE [OR REPLACE] MACRO [IF NOT EXISTS] name(params) AS
+        <expr> | AS TABLE <query> — DuckDB macros as textual templates
+        the engine expands at statement-plan time (the reference has
+        no macro facility; this is the DuckDB dialect surface, probed
+        on 1.0). Semantics replicated from the probes:
+
+        - SCALAR and TABLE macros live in SEPARATE namespaces (a
+          scalar ``tm1`` coexists with a table macro ``tm1``; the
+          call position disambiguates).
+        - A scalar body must be a CLOSED expression over its
+          parameters (plus literals, functions, and subqueries):
+          creation validates it plan-only with parameters bound NULL,
+          so a stray column reference fails AT CREATE like DuckDB's
+          binder. Table macro bodies are NOT validated at create
+          (probed: ``AS TABLE SELECT * FROM no_such`` creates fine
+          and fails at call).
+        - Macros LATE-BIND: bodies are stored as text and expand at
+          every reference, so CREATE OR REPLACE of an inner macro is
+          visible through an outer one, and a macro over a dropped
+          table fails at call, not at drop.
+        - Default parameters (``b := 10``) bind by NAME ONLY at the
+          call site; required parameters are positional-only.
+        - OR REPLACE + IF NOT EXISTS cannot combine (DuckDB parser
+          refuses); OR REPLACE may swap a macro's kind.
+        - Builtin-name shadowing is allowed (probed: a macro named
+          ``abs`` wins over the builtin) — expansion is name-driven,
+          so the macro captures the call before Spark ever sees it.
+        """
+        m = re.match(
+            r"create\s+(or\s+replace\s+)?macro\s+"
+            r"(if\s+not\s+exists\s+)?(\w+)\s*\(",
+            stmt, re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE MACRO: {stmt!r}")
+        orp, ine, name = m.group(1), m.group(2), m.group(3)
+        if orp and ine:
+            # DuckDB's parser refuses the combination too
+            raise EngineError(
+                "CREATE MACRO: OR REPLACE and IF NOT EXISTS cannot"
+                " be combined"
+            )
+        op = m.end() - 1
+        cp = self._match_paren(stmt, op)
+        bm = re.match(
+            r"\s+as\s+(table\s+)?(.+)$", stmt[cp + 1:], re.I | re.S
+        )
+        if not bm:
+            raise EngineError(f"cannot parse CREATE MACRO: {stmt!r}")
+        kind = "table" if bm.group(1) else "scalar"
+        body = bm.group(2).strip().rstrip(";").strip()
+        params: list[tuple[str, str | None]] = []
+        if stmt[op + 1:cp].strip():
+            for p in self._split_top_level(stmt[op + 1:cp]):
+                pm = re.match(
+                    r"\s*([A-Za-z_]\w*)\s*(?::=\s*(.+))?\s*$", p, re.S
+                )
+                if not pm:
+                    raise EngineError(
+                        f"CREATE MACRO {name}: cannot parse"
+                        f" parameter {p.strip()!r}"
+                    )
+                pname = pm.group(1).lower()
+                if any(pname == q for q, _ in params):
+                    raise EngineError(
+                        f"CREATE MACRO {name}: duplicate parameter"
+                        f" {pname}"
+                    )
+                default = pm.group(2).strip() if pm.group(2) else None
+                if default is None and any(
+                    d is not None for _, d in params
+                ):
+                    raise EngineError(
+                        f"CREATE MACRO {name}: positional parameter"
+                        f" {pname} cannot follow a default parameter"
+                    )
+                params.append((pname, default))
+        reg = self.catalog.setdefault(
+            "table_macros" if kind == "table" else "macros", {}
+        )
+        key = name.lower()
+        if key in reg and not orp:
+            if ine:
+                return Result(
+                    warning=f"macro {name} already exists, skipped"
+                )
+            raise EngineError(
+                f"{'table ' if kind == 'table' else ''}macro {name}"
+                " already exists"
+            )
+        if kind == "scalar":
+            # plan-only validation with params bound NULL — inner
+            # macro calls expand against the CURRENT registry, so a
+            # self-referencing OR REPLACE validates against the OLD
+            # definition exactly like DuckDB (probed), and a brand-new
+            # self-reference fails as an unknown function
+            probe = self._substitute_macro_params(
+                body, {p: "NULL" for p, _ in params}
+            )
+            was = self._planning
+            self._planning = True
+            helpers: list[str] = []
+            try:
+                probe = self._expand_macros(probe)
+                sel = f"select ({probe}) as __macro_probe"
+                self._bind_referenced_views(sel, plan_only=True)
+                _df, helpers = self._plan_engine_select(sel)
+            except EngineError:
+                raise
+            except Exception as e:
+                raise EngineError(
+                    f"CREATE MACRO {name}: body does not bind: {e}"
+                ) from e
+            finally:
+                self._planning = was
+                for h in helpers:
+                    self.spark.catalog.dropTempView(h)
+        reg[key] = {
+            "name": name,
+            "params": [[p, d] for p, d in params],
+            "body": body,
+        }
+        self._save_catalog()
+        return Result()
+
+    def _drop_macro(self, stmt: str) -> Result:
+        """DROP MACRO [IF EXISTS] name (scalar) / DROP MACRO TABLE
+        [IF EXISTS] name — the kinds are separate catalogs (DuckDB,
+        probed: DROP MACRO on a table macro reports does-not-exist)."""
+        m = re.match(
+            r"drop\s+macro\s+(table\s+)?(if\s+exists\s+)?(\w+)\s*$",
+            stmt, re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse DROP MACRO: {stmt!r}")
+        kind = "table" if m.group(1) else "scalar"
+        reg = self.catalog.get(
+            "table_macros" if kind == "table" else "macros"
+        ) or {}
+        key = m.group(3).lower()
+        if key not in reg:
+            if m.group(2):
+                return Result(
+                    warning=f"macro {m.group(3)} does not exist, skipped"
+                )
+            other = self.catalog.get(
+                "macros" if kind == "table" else "table_macros"
+            ) or {}
+            hint = ""
+            if key in other:
+                hint = (
+                    " (it is a table macro — use DROP MACRO TABLE)"
+                    if kind == "scalar"
+                    else " (it is a scalar macro — use DROP MACRO)"
+                )
+            raise EngineError(
+                f"{'table ' if kind == 'table' else ''}macro"
+                f" {m.group(3)} does not exist{hint}"
+            )
+        del reg[key]
+        self._save_catalog()
+        return Result()
+
+    @staticmethod
+    def _substitute_macro_params(
+        body: str, mapping: dict[str, str]
+    ) -> str:
+        """Token-boundary substitution of macro parameters into the
+        body text: only UNQUALIFIED bare identifiers substitute (a
+        qualified ``t.param`` stays the table's column — DuckDB,
+        probed), string literals never do (match positions come from
+        the literal-blanked twin), an explicit ``AS param`` alias is
+        left alone (it names an output column, not a reference), and
+        every argument splices in PARENTHESIZED so caller-side
+        precedence can't leak into the body expression."""
+        if not mapping:
+            return body
+        blanked = _blank_literals(body)
+        pat = re.compile(
+            r"(?<![\w.$`\"])("
+            + "|".join(re.escape(p) for p in mapping)
+            + r")(?![\w$])",
+            re.I,
+        )
+        out: list[str] = []
+        last = 0
+        for mm in pat.finditer(blanked):
+            if re.search(r"\bas\s+$", blanked[:mm.start()], re.I):
+                continue  # explicit output alias, not a reference
+            out.append(body[last:mm.start()])
+            out.append("(" + mapping[mm.group(1).lower()] + ")")
+            last = mm.end()
+        out.append(body[last:])
+        return "".join(out)
+
+    def _expand_macros(self, text: str) -> str:
+        """Expand every registered macro call in ``text`` to its
+        (argument-substituted, parenthesized) body — the engine's
+        whole macro runtime. Purely textual and DRIVER-SIDE: by the
+        time Spark sees the statement the macros are gone, so Catalyst
+        optimizes the expanded expression exactly as if the user had
+        inlined it (a scalar macro in a WHERE clause still reaches
+        parquet as a pushed filter; a table macro is an ordinary
+        derived table for the join planner). Fixpoint passes bound by
+        the nesting depth — each pass expands all non-overlapping
+        calls — with DuckDB's 128 recursion cap as the runaway stop
+        for self-recursive definitions."""
+        if not (
+            self.catalog.get("macros") or self.catalog.get("table_macros")
+        ):
+            return text
+        for _ in range(self._MACRO_DEPTH):
+            new = self._expand_macros_once(text)
+            if new is None:
+                return text
+            text = new
+        raise EngineError(
+            "maximum macro recursion depth exceeded"
+            f" ({self._MACRO_DEPTH}) while expanding macros —"
+            " recursive macro definition?"
+        )
+
+    def _expand_macros_once(self, text: str) -> str | None:
+        """One expansion pass: every registered-name call not nested
+        inside another expansion this pass splices its substituted
+        body in (right-to-left, offsets stay valid). Returns None when
+        no call was found (the fixpoint)."""
+        scal = self.catalog.get("macros") or {}
+        tab = self.catalog.get("table_macros") or {}
+        blanked = _blank_literals(text)
+        edits: list[tuple[int, int, str]] = []
+        taken_until = -1
+        for mm in re.finditer(
+            r"(?<![\w.$`\"])([A-Za-z_]\w*)\s*\(", blanked
+        ):
+            if mm.start() <= taken_until:
+                continue  # inside an outer call expanded this pass
+            key = mm.group(1).lower()
+            in_s, in_t = key in scal, key in tab
+            if not (in_s or in_t):
+                continue
+            op = mm.end() - 1
+            cp = self._match_paren(text, op)
+            from_pos = self._macro_from_position(blanked, mm.start())
+            if from_pos and not in_t:
+                # DuckDB: "Table Function with name X does not exist"
+                raise EngineError(
+                    f"table function {mm.group(1)} does not exist —"
+                    f" {mm.group(1)} is a scalar macro"
+                )
+            if not from_pos and not in_s:
+                # DuckDB: "is a table function but it was used as a
+                # scalar function"
+                raise EngineError(
+                    f"{mm.group(1)} is a table macro but was used as"
+                    " a scalar function — call it in a FROM clause"
+                )
+            meta = tab[key] if from_pos else scal[key]
+            mapping = self._bind_macro_args(
+                mm.group(1), meta, text[op + 1:cp]
+            )
+            sub = self._substitute_macro_params(meta["body"], mapping)
+            edits.append((mm.start(), cp + 1, "(" + sub + ")"))
+            taken_until = cp
+        if not edits:
+            return None
+        out: list[str] = []
+        last = 0
+        for s, e, r in edits:
+            out.append(text[last:s])
+            out.append(r)
+            last = e
+        out.append(text[last:])
+        return "".join(out)
+
+    def _bind_macro_args(
+        self, name: str, meta: dict, argtext: str
+    ) -> dict[str, str]:
+        """Bind a call's argument list to the macro's parameters:
+        positional args fill the required (non-default) parameters in
+        order, ``k := expr`` args fill defaults BY NAME ONLY (DuckDB,
+        probed: a positional arg for a default parameter refuses, as
+        does naming a required one)."""
+        params = [(p, d) for p, d in meta["params"]]
+        args = (
+            self._split_top_level(argtext) if argtext.strip() else []
+        )
+        pos: list[str] = []
+        named: dict[str, str] = {}
+        defaults = {p: d for p, d in params if d is not None}
+        for a in args:
+            nm = re.match(r"\s*([A-Za-z_]\w*)\s*:=\s*", _blank_literals(a))
+            if nm:
+                k = nm.group(1).lower()
+                if k not in defaults:
+                    raise EngineError(
+                        f"macro {name} does not have default"
+                        f" parameter {k}"
+                    )
+                if k in named:
+                    raise EngineError(
+                        f"macro {name}: duplicate named argument {k}"
+                    )
+                named[k] = a[nm.end():].strip()
+            else:
+                if named:
+                    raise EngineError(
+                        f"macro {name}: positional argument after a"
+                        " named argument"
+                    )
+                pos.append(a.strip())
+        required = [p for p, d in params if d is None]
+        if len(pos) != len(required):
+            sig = ", ".join(required)
+            raise EngineError(
+                f"macro function '{name}({sig})' requires"
+                f" {len(required)} positional argument(s), but"
+                f" {len(pos)} were provided"
+            )
+        mapping = dict(defaults)
+        mapping.update(named)
+        mapping.update(zip(required, pos))
+        return mapping
+
+    @staticmethod
+    def _macro_from_position(blanked: str, pos: int) -> bool:
+        """True when the call starting at ``pos`` sits in a FROM list
+        (→ table-macro position). Direct predecessors FROM/JOIN decide
+        immediately; a comma walks backwards depth-aware to the
+        nearest clause keyword of the SAME scope (so ``from t1, m(1)``
+        is a FROM-list comma while ``select a, m(1)`` is not; exiting
+        an unmatched '(' keeps scanning the parent text, which governs
+        a comma between parenthesized FROM sources). Boundary: a
+        table-macro call wrapped in bare parens ``FROM (tm(1))``
+        misreads as scalar position and refuses loudly — spell it
+        unwrapped or aliased."""
+        m2 = re.search(r"([A-Za-z_]\w*|\S)\s*$", blanked[:pos])
+        if not m2:
+            return False
+        token = m2.group(1).lower()
+        if token in ("from", "join"):
+            return True
+        if token != ",":
+            return False
+        def _word_before(idx: int) -> tuple[str, int]:
+            # (lowercased word ending at idx inclusive, start index)
+            k = idx
+            while k >= 0 and (blanked[k].isalnum() or blanked[k] == "_"):
+                k -= 1
+            return blanked[k + 1:idx + 1].lower(), k
+
+        depth = 0
+        j = m2.start(1) - 1
+        while j >= 0:
+            c = blanked[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth > 0:
+                    # matched: a whole skipped group closes here — the
+                    # word immediately before it is the group's caller
+                    # (a function name, a derived table's FROM/JOIN, a
+                    # join's USING): FROM/JOIN decide, USING and
+                    # function names are part of the group — skip them
+                    depth -= 1
+                    k = j - 1
+                    while k >= 0 and blanked[k].isspace():
+                        k -= 1
+                    if k >= 0 and (blanked[k].isalnum() or blanked[k] == "_"):
+                        word, ws = _word_before(k)
+                        if word in ("from", "join"):
+                            return True
+                        if word in (
+                            "select", "where", "having", "qualify",
+                            "on", "when", "set", "limit", "by",
+                            "values", "in", "exists",
+                        ):
+                            return False
+                        j = ws + 1  # skip the caller word too
+                # unmatched open: left our group — the parent scope's
+                # clause keywords still govern this comma
+            elif depth == 0 and (c.isalnum() or c == "_"):
+                word, k = _word_before(j)
+                if word in (
+                    "select", "where", "having", "qualify", "on",
+                    "when", "set", "limit", "by", "values", "using",
+                ):
+                    return False
+                if word in ("from", "join"):
+                    return True
+                j = k
+                continue
+            j -= 1
+        return False
 
     def _drop_table(self, stmt: str) -> Result:
         m = re.match(

@@ -60,6 +60,14 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # differentials), leaving the slots to the ledger.
     "u_create_view",
     "u_positional_join",
+    # (a, late-r11) CREATE MACRO / DROP MACRO [TABLE] — the DuckDB
+    # macro surface (scalar + table macros, late binding, defaults),
+    # never driver-graded. Its slot comes from q_join_right, which
+    # defers to r12 with the operator re-evidenced this round by its
+    # mirror-machinery twin q_join_left (both are Spark-native join
+    # types through the same untouched pass-through path) plus
+    # q_join_semi/q_join_cross in this same window.
+    "u_create_macro",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -105,7 +113,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_intersect",
     "q_join_cross",
     "q_join_left",
-    "q_join_right",
     "q_join_semi",
     "q_lateral_join",
     "q_limit_offset",

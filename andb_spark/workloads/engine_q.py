@@ -858,6 +858,44 @@ def u_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(r.rows, "k bigint, v double, c bigint")
 
 
+def u_create_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro lifecycle (api.py::_create_macro / _expand_macros — the
+    DuckDB CREATE MACRO surface as textual templates the engine
+    expands at plan time, so Catalyst sees plain inlined SQL and a
+    macro in a WHERE clause still reaches the parquet scan as a
+    pushed filter): CREATE a scalar macro, a parameterized TABLE
+    macro, a NESTED macro with a default `:=` parameter, then CREATE
+    OR REPLACE the inner macro (late binding — the outer macro and
+    the final query must see the NEW definition), and read through
+    all three. The oracle restates the final expansion declaratively;
+    the statement-by-statement differential vs DuckDB NATIVE macros
+    is tests/test_parser_surfaces_differential.py::
+    test_create_macro_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_cm_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e("create macro bump(p) as round(p * 1.1, 2)")
+    e(
+        "create macro keyed(lo, hi) as table"
+        " select o_orderkey as k, o_totalprice as v from orders"
+        " where o_orderkey >= lo and o_orderkey < hi"
+    )
+    e(
+        "create macro bump2(p, f := 2.0) as round(bump(p) * f, 2)"
+    )
+    # late binding: bump2 and the query below see the NEW bump
+    e("create or replace macro bump(p) as round(p * 1.2, 2)")
+    r = e(
+        "select k, bump(v) as bv, bump2(v) as b2,"
+        " bump2(v, f := 3.0) as b3 from keyed(100, 2000)"
+        " where bump(k) >= 150 order by k"
+    )
+    return spark.createDataFrame(
+        r.rows, "k bigint, bv double, b2 double, b3 double"
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -914,6 +952,7 @@ QUERIES = {
     "u_columns": u_columns,
     "u_create_view": u_create_view,
     "u_positional_join": u_positional_join,
+    "u_create_macro": u_create_macro,
 }
 
 ORACLES = {
@@ -995,6 +1034,16 @@ ORACLES = {
         FROM t JOIN s ON t.o_custkey = s.k
         WHERE t.o_custkey % 4 <> 0
         ORDER BY t.o_orderkey
+    """,
+    "u_create_macro": """
+        SELECT o_orderkey AS k,
+               round(o_totalprice * 1.2, 2) AS bv,
+               round(round(o_totalprice * 1.2, 2) * 2.0, 2) AS b2,
+               round(round(o_totalprice * 1.2, 2) * 3.0, 2) AS b3
+        FROM orders
+        WHERE o_orderkey >= 100 AND o_orderkey < 2000
+          AND round(o_orderkey * 1.2, 2) >= 150
+        ORDER BY k
     """,
     "u_create_view": """
         WITH cv_base AS (

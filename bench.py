@@ -192,11 +192,12 @@ HEADLINE_R10 = (
 )
 
 # r11 additions (same rule: timed and reported, OUT of the cross-round
-# comparable total; subtotal r11_extension_sec): logical views and
-# the positional-join zip.
+# comparable total; subtotal r11_extension_sec): logical views, the
+# positional-join zip, and the macro lifecycle.
 HEADLINE_R11 = (
     "u_create_view",
     "u_positional_join",
+    "u_create_macro",
 )
 
 HEADLINE = (

@@ -463,6 +463,77 @@ def test_qualify_over_quantified(quant_engines):
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
 
 
+def test_quantified_correlated_matches_duckdb(spark, tmp_path):
+    """EQUI-CORRELATED quantified comparisons (r11 — was a named
+    refusal; api.py::_quantified_correlated_repl): ``x <op> ANY|ALL
+    (SELECT v FROM t2 WHERE t2.k = t1.k)`` across every (operator,
+    quantifier) pair, NOT-wrapped (the 3VL acid test), with residual
+    inner conjuncts, expression values, reversed correlation sides,
+    DISTINCT bodies, and OR-composed outer predicates — identical SQL
+    through DuckDB's NATIVE correlated quantifiers. The key shapes:
+    k=4 has NO inner rows (empty set per key), k=3 has only NULL
+    (all-NULL set), so the per-key grouped-stats rewrite's empty/
+    has-null branches are all load-bearing."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whqc"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table qt1 (k int, x int)",
+        "insert into qt1 values (1,5),(2,100),(3,0),(4,null),(5,7)",
+        "create table qt2 (k int, v int)",
+        "insert into qt2 values (1,1),(1,9),(2,50),(2,60),(3,null),"
+        "(5,7)",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    qs = []
+    for op in ("=", "<>", ">", ">=", "<", "<="):
+        for q in ("any", "all"):
+            qs.append(
+                f"select k from qt1 where x {op} {q} (select v from"
+                f" qt2 where qt2.k = qt1.k) order by k"
+            )
+            qs.append(
+                f"select k from qt1 where not (x {op} {q} (select v"
+                f" from qt2 where qt2.k = qt1.k)) order by k"
+            )
+    qs += [
+        # residual plain conjunct + expression value + reversed sides
+        "select k from qt1 where x > all (select v + 1 from qt2"
+        " where qt1.k = qt2.k and v is not null) order by k",
+        # DISTINCT body (set-level quantifiers: dedup is a no-op)
+        "select k from qt1 where x >= any (select distinct v from"
+        " qt2 where qt2.k = qt1.k) order by k",
+        # OR-composed outer predicate around the quantifier
+        "select k, x from qt1 where x = any (select v from qt2"
+        " where qt2.k = qt1.k) or x = 0 order by k",
+        # two-key correlation
+        "select k from qt1 where x <> all (select v from qt2"
+        " where qt2.k = qt1.k and qt2.k = qt1.k) order by k",
+    ]
+    for sql in qs:
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # out of class stays a NAMED refusal (DuckDB executes these; the
+    # boundary is documented): non-equi correlation, grouped bodies
+    for sql in (
+        "select k from qt1 where x > all (select v from qt2"
+        " where qt2.k < qt1.k)",
+        "select k from qt1 where x > all (select max(v) from qt2"
+        " where qt2.k = qt1.k group by qt2.k)",
+    ):
+        with pytest.raises(EngineError, match="equi-correlated"):
+            eng.execute(sql)
+    # no leaked helper views after executions or refusals
+    leaks = [
+        v.name for v in eng.spark.catalog.listTables()
+        if v.name.startswith(("_quantcorr_", "_quantvals_"))
+    ]
+    assert leaks == []
+    eng.close()
+
+
 def test_quantified_in_having_and_cte_body(quant_engines):
     """Aggregate LHS in HAVING (`count(*) > any (...)`) and a
     quantified predicate inside a bound CTE body both compose.
@@ -2507,3 +2578,165 @@ def test_join_dml_matches_duckdb(spark, tmp_path):
         (2, 7), (4, 9)
     ]
     eng.close()
+
+
+def float_norm(x):
+    """Engine/DuckDB numeric-kind normalizer: Spark and DuckDB pick
+    DECIMAL vs DOUBLE differently for literal arithmetic — compare
+    the VALUES, 9-place rounded, not the Python wrapper types."""
+    import decimal
+
+    if isinstance(x, (float, decimal.Decimal)):
+        return round(float(x), 9)
+    return x
+
+
+def test_create_macro_matches_duckdb(spark, tmp_path):
+    """CREATE [OR REPLACE] MACRO / DROP MACRO [TABLE] (DuckDB macros;
+    api.py::_create_macro / _expand_macros — textual templates the
+    engine expands at plan time) vs DuckDB NATIVE macros: the
+    IDENTICAL statement sequence through both engines across scalar
+    macros in every expression position, default `:=` parameters,
+    nested macros with LATE binding through OR REPLACE, table macros
+    (parameterized, joined, 0-arg, FROM-list comma), and the probed
+    refusal grid (table-in-scalar position, scalar-in-FROM, arg
+    counts, positional-for-default, recursion depth)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whmac"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table mt (k int, g int, v double)",
+        "insert into mt values (1,1,10.5),(2,1,20.25),(3,2,30.0),"
+        "(4,2,40.75),(5,3,50.5),(6,3,60.25)",
+        "create macro add1(a) as a + 1",
+        "create macro taxed(p, rate := 0.1) as round(p * (1 + rate), 2)",
+        "create macro add2(a) as add1(a) + 1",
+        "create macro topv(n) as table"
+        " select k, g, v from mt order by v desc, k limit n",
+        "create macro allg() as table select distinct g from mt",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    checks = [
+        # scalar: select list / WHERE / GROUP BY key / ORDER BY
+        "select k, add1(v) as w from mt order by k",
+        "select count(*) as n from mt where add1(k) <= 4",
+        "select add1(g) as gg, count(*) as n from mt group by add1(g)"
+        " order by gg",
+        "select k from mt order by add1(v) desc, k",
+        # defaults: omitted and named
+        "select taxed(100) as a, taxed(100, rate := 0.2) as b",
+        # nested macro + expression arguments + param shadowing a
+        # column name (`a` substitutes, never binds mt.v)
+        "select add2(v * 2 + g) as x from mt order by k",
+        # literal safety: a macro-call-shaped string stays a string
+        "select 'add1(9)' as t, add1(1) as v",
+        # table macros: parameterized, aliased, joined, comma-list
+        "select * from topv(3) order by k",
+        "select x.k, y.g from topv(4) x join allg() y on x.g = y.g"
+        " order by x.k, y.g",
+        "select count(*) as n from topv(5) a, allg() b",
+        # table macro in a CTE body and a subquery
+        "with t as (select * from topv(2)) select k from t order by k",
+        "select k from (select * from topv(3)) s order by k",
+    ]
+    for sql in checks:
+        ours = eng.execute(sql)
+        duck = con.execute(sql)
+        assert [tuple(map(float_norm, r)) for r in ours.rows] == [
+            tuple(map(float_norm, r)) for r in duck.fetchall()
+        ], sql
+    # LATE binding: OR REPLACE of the inner macro is visible through
+    # the outer one (probed: DuckDB stores the body unexpanded)
+    for run in (eng.execute, con.execute):
+        run("create or replace macro add1(a) as a + 5")
+    sql = "select add2(1) as x"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # ... and a table macro follows base DML
+    for run in (eng.execute, con.execute):
+        run("delete from mt where k = 6")
+    sql = "select count(*) as n from allg()"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # IF NOT EXISTS no-op keeps the existing definition (both engines)
+    for run in (eng.execute, con.execute):
+        run("create macro if not exists add1(a) as a + 99")
+    sql = "select add1(1) as v"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # scalar and TABLE macros are separate namespaces (probed): a
+    # scalar named like the table macro coexists, position decides
+    for run in (eng.execute, con.execute):
+        run("create macro allg(a) as a * 10")
+    sql = (
+        "select allg(mt.g) as s, count(*) as n from allg() g2"
+        " join mt on mt.g = g2.g group by allg(mt.g) order by s"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # macro in DML positions (engine executes; DuckDB same statements)
+    for run in (eng.execute, con.execute):
+        run("update mt set v = add1(v) where add1(k) = 6")
+        run("insert into mt values (7, 4, 0.5)")
+    sql = "select k, v from mt order by k"
+    assert [tuple(map(float_norm, r)) for r in eng.execute(sql).rows] == [
+        tuple(map(float_norm, r)) for r in con.execute(sql).fetchall()
+    ]
+    # refusal grid — every shape DuckDB refuses too (probed messages)
+    for sql, pat in (
+        ("select topv(3)", "table macro.*scalar function"),
+        ("select * from add1(1)", "table function add1 does not exist"),
+        ("select add1(1, 2)", "requires 1 positional"),
+        ("select add1()", "requires 1 positional"),
+        ("select taxed(100, 0.2)", "requires 1 positional"),
+        ("select add1(b := 1)", "does not have default parameter"),
+        ("create macro add1(x) as x", "already exists"),
+        ("create or replace macro if not exists z(a) as a",
+         "cannot be combined"),
+        ("create macro badbody(a) as a + nosuchcol", "does not bind"),
+        ("drop macro topv", "use DROP MACRO TABLE"),
+        ("drop macro table add2", "use DROP MACRO"),
+        ("drop macro nosuchmacro", "does not exist"),
+    ):
+        with pytest.raises(EngineError, match=pat):
+            eng.execute(sql)
+        with pytest.raises(Exception):
+            con.execute(sql)
+    # recursion: a self-recursive OR REPLACE creates fine (binds the
+    # OLD definition — probed) and errors at CALL with the depth cap
+    for run in (eng.execute, con.execute):
+        run("create or replace macro add1(a) as add1(a) + 1")
+    with pytest.raises(EngineError, match="recursion depth"):
+        eng.execute("select add1(1)")
+    with pytest.raises(Exception, match="recursion"):
+        con.execute("select add1(1)")
+    # DROP MACRO IF EXISTS no-ops; DROP removes exactly one kind
+    for run in (eng.execute, con.execute):
+        run("drop macro if exists nosuch")
+        run("drop macro allg")         # the scalar
+        run("drop macro table allg")   # the table macro
+    with pytest.raises(EngineError):
+        eng.execute("select count(*) from allg()")
+    # catalog surface + txn rollback + restart persistence
+    r = eng.execute(
+        "select macro_name, kind from andb_macros order by kind, 1"
+    )
+    assert r.rows == [
+        ("add1", "scalar"), ("add2", "scalar"), ("taxed", "scalar"),
+        ("topv", "table"),
+    ]
+    eng.execute("begin")
+    eng.execute("create macro txm(a) as a * 2")
+    eng.execute("rollback")
+    with pytest.raises(EngineError):
+        eng.execute("select txm(1)")
+    # un-recurse add1 (both engines) before the restart check
+    for run in (eng.execute, con.execute):
+        run("create or replace macro add1(a) as a + 5")
+    eng.close()
+    eng2 = AnalyticsEngine(str(tmp_path / "whmac"), spark=spark)
+    sql = "select add2(1) as x"
+    assert eng2.execute(sql).rows == con.execute(sql).fetchall()
+    assert eng2.execute(
+        "select count(*) as n from topv(3)"
+    ).rows == [(3,)]
+    eng2.close()
