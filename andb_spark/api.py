@@ -1216,6 +1216,7 @@ class AnalyticsEngine:
         self._check_staged_notnull(name, new_dir)
         if base == "current":
             base = self._segments_of(meta)
+        self._check_staged_pk(name, new_dir, base)
         # Harvest the segment's row count and per-column min/max ZONE
         # MAPS straight from the parquet FOOTERS the write just
         # produced — a driver-side metadata read (O(files), zero Spark
@@ -1301,6 +1302,11 @@ class AnalyticsEngine:
             # which raises its ambiguous-column error
             return None
         meta = self._meta(name)
+        if any(c.get("pk") for c in meta["columns"]):
+            # PRIMARY KEY enforcement lives at _stage_version's choke
+            # point (_check_staged_pk); the pyarrow stage would skip
+            # it — defer PK tables to the Spark path
+            return None
         coltypes = {c["name"]: c["type"].strip().lower()
                     for c in meta["columns"]}
         notnull = {c["name"] for c in meta["columns"] if c["notnull"]}
@@ -1589,6 +1595,55 @@ class AnalyticsEngine:
             raise EngineError(
                 f"column {culprit} of {name} violates NOT NULL"
             )
+
+    def _check_staged_pk(
+        self, name: str, new_dir: str, base: list[str] | str | None
+    ) -> None:
+        """PRIMARY KEY enforcement at the versioned-write choke point
+        (every INSERT/UPDATE/MERGE/COPY lands through _stage_version):
+        (1) the staged segment must hold no duplicate key, (2) no
+        staged key may already exist in the manifest prefix the
+        segment EXTENDS — for appends that is the live table, for
+        copy-on-write DML the untouched files (the rewritten rows left
+        that set, so an UPDATE that moves a key onto an existing row
+        is caught, while rewriting a row in place is not a
+        collision). Both checks are bounded early-exit probes
+        (groupBy(pk) + limit 1, left-semi join + limit 1) over the
+        staged files — never a re-execution of the source plan — the
+        batch-oriented analog of DuckDB's per-row ART-index probe
+        (Constraint Error parity). NULL keys are the NOT NULL check's
+        job (PRIMARY KEY implies NOT NULL at parse). A violation
+        removes the staged dir and raises before anything references
+        it, the same crash contract as _check_staged_notnull."""
+        meta = self._meta(name)
+        pk = [
+            c["name"] for c in meta.get("columns", []) if c.get("pk")
+        ]
+        if not pk:
+            return
+        staged = self.spark.read.parquet(new_dir).select(*pk)
+        violation = None
+        if staged.groupBy(*pk).count().filter(
+            F.col("count") > 1
+        ).limit(1).collect():
+            violation = (
+                f"PRIMARY KEY constraint violated on {name}:"
+                f" duplicate key ({', '.join(pk)}) in the written rows"
+            )
+        elif base:
+            paths = [
+                os.path.join(self.warehouse, name, seg) for seg in base
+            ]
+            existing = self.spark.read.parquet(*paths).select(*pk)
+            if staged.join(existing, pk, "left_semi").limit(1).collect():
+                violation = (
+                    f"duplicate key violates primary key constraint"
+                    f" on {name} ({', '.join(pk)})"
+                )
+        if violation:
+            meta.pop("_staged", None)
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise EngineError(violation)
 
     # ---------------------------------------------------------- execute --
     _SYSVIEW_RE = re.compile(
@@ -6235,20 +6290,62 @@ class AnalyticsEngine:
         """Parse a CREATE TABLE column-definition list, validating
         every type against the type table. Pure — CREATE OR REPLACE
         validates the replacement with it BEFORE dropping anything
-        (r9 review #1)."""
-        columns = []
+        (r9 review #1). Constraints: trailing NOT NULL and PRIMARY
+        KEY per column (any order), plus a table-level
+        ``PRIMARY KEY (a, b)`` entry for composite keys; PRIMARY KEY
+        implies NOT NULL (DuckDB), and a second key declaration
+        refuses like DuckDB's parser."""
+        columns: list[dict] = []
+        table_pk: list[str] | None = None
         for coldef in _split_top_level(body):
-            parts = coldef.strip().split()
+            cd = coldef.strip()
+            tm = re.match(r"primary\s+key\s*\((.*)\)\s*$", cd, re.I | re.S)
+            if tm:
+                if table_pk is not None or any(
+                    c.get("pk") for c in columns
+                ):
+                    raise EngineError(
+                        "table has more than one primary key"
+                    )
+                table_pk = [
+                    c.strip() for c in tm.group(1).split(",") if c.strip()
+                ]
+                continue
+            parts = cd.split()
             if len(parts) < 2:
                 raise EngineError(f"bad column definition: {coldef!r}")
             cname = parts[0]
             rest = " ".join(parts[1:])
-            notnull = bool(re.search(r"not\s+null\s*$", rest, re.I))
-            tname = re.sub(r"not\s+null\s*$", "", rest, flags=re.I).strip()
-            _parse_type(tname)  # validate against the type table
-            columns.append(
-                {"name": cname, "type": tname, "notnull": notnull}
-            )
+            notnull = pk = False
+            while True:
+                m2 = re.search(
+                    r"(not\s+null|primary\s+key)\s*$", rest, re.I
+                )
+                if not m2:
+                    break
+                if m2.group(1).lower().startswith("not"):
+                    notnull = True
+                else:
+                    pk = True
+                rest = rest[: m2.start()].strip()
+            _parse_type(rest)  # validate against the type table
+            col = {"name": cname, "type": rest, "notnull": notnull or pk}
+            if pk:
+                if any(c.get("pk") for c in columns):
+                    raise EngineError(
+                        "table has more than one primary key"
+                    )
+                col["pk"] = True
+            columns.append(col)
+        if table_pk:
+            byname = {c["name"].lower(): c for c in columns}
+            for k in table_pk:
+                if k.lower() not in byname:
+                    raise EngineError(
+                        f"PRIMARY KEY column {k} does not exist"
+                    )
+                byname[k.lower()]["pk"] = True
+                byname[k.lower()]["notnull"] = True
         return columns
 
     def _create_table(self, stmt: str) -> Result:
@@ -6786,6 +6883,13 @@ class AnalyticsEngine:
             )
             if hit is None:
                 raise EngineError(f"column {drop_col} not in {name}")
+            if hit.get("pk"):
+                # DuckDB refuses too ("Cannot drop column ... UNIQUE
+                # constraint depends on it")
+                raise EngineError(
+                    f"cannot drop column {drop_col}: the PRIMARY KEY"
+                    f" of {name} depends on it"
+                )
             # Metadata-only: the declared schema stops materializing
             # the column (projection pushdown never reads its pages);
             # record the DECLARED name so a future re-ADD (any case)
@@ -7500,7 +7604,88 @@ class AnalyticsEngine:
         finally:
             self.spark.catalog.dropTempView(view)
 
+    def _insert_or_action(self, m: re.Match) -> Result:
+        """INSERT OR REPLACE / OR IGNORE INTO (DuckDB's implicit-key
+        upsert spellings), lowered onto the ON CONFLICT machinery with
+        the table's PRIMARY KEY as the conflict target. DuckDB-probed
+        parity: no PRIMARY KEY → binder-style refusal ("ON CONFLICT
+        is a no-op without one"); duplicate keys WITHIN the source
+        batch error for BOTH spellings (unlike Postgres DO NOTHING's
+        keep-first — OR IGNORE pre-checks here); OR REPLACE with a
+        PARTIAL column list updates only the listed non-key columns
+        (unlisted columns keep their old values — probed)."""
+        action, target = m.group(1).lower(), m.group(2)
+        meta = self._meta(target)
+        pk = [c["name"] for c in meta.get("columns", []) if c.get("pk")]
+        if not pk:
+            raise EngineError(
+                f"INSERT OR {action.upper()}: there is no PRIMARY KEY"
+                f" on {target} — ON CONFLICT is a no-op without one"
+            )
+        if m.group(5):
+            raise EngineError(
+                f"INSERT OR {action.upper()} ... BY NAME is not"
+                " supported; use an explicit column list"
+            )
+        collist = (
+            [c.strip() for c in m.group(4).split(",")]
+            if m.group(4)
+            else [f.name for f in self._schema(target).fields]
+        )
+        missing = [
+            k for k in pk
+            if k.lower() not in {c.lower() for c in collist}
+        ]
+        if missing:
+            raise EngineError(
+                f"INSERT OR {action.upper()}: PRIMARY KEY column(s)"
+                f" {missing} missing from the insert column list"
+            )
+        nonpk = [
+            c for c in collist
+            if c.lower() not in {k.lower() for k in pk}
+        ]
+        if action == "replace" and nonpk:
+            tail = "do update set " + ", ".join(
+                f"{c} = excluded.{c}" for c in nonpk
+            )
+        else:
+            # OR IGNORE, or an all-key column list (nothing to
+            # update). The DO NOTHING path keeps the FIRST source row
+            # per key (Postgres order), but DuckDB errors on
+            # in-batch duplicates for these spellings — pre-check.
+            src_sql = m.group(6).strip()
+            if src_sql.lower().startswith("values"):
+                src_sql = (
+                    f"select * from ({src_sql}) as"
+                    f" _v({', '.join(collist)})"
+                )
+            src_df = self.spark.sql(src_sql).toDF(*collist)
+            if src_df.groupBy(*pk).count().filter(
+                F.col("count") > 1
+            ).limit(1).collect():
+                raise EngineError(
+                    "PRIMARY KEY constraint violated: duplicate key"
+                    f" in the INSERT OR {action.upper()} source rows"
+                )
+            tail = "do nothing"
+        cols_sql = f" ({', '.join(collist)})" if m.group(4) else ""
+        return self._insert(
+            f"insert into {target}{cols_sql} {m.group(6)}"
+            f" on conflict ({', '.join(pk)}) {tail}"
+        )
+
     def _insert(self, stmt: str) -> Result:
+        # INSERT OR REPLACE / OR IGNORE (DuckDB spellings) lower onto
+        # the ON CONFLICT machinery with the PRIMARY KEY as the target
+        orr = re.match(
+            r"insert\s+or\s+(replace|ignore)\s+into\s+(\w+)\s*"
+            r"(\(([^)]*)\))?\s*(by\s+name\s+)?"
+            r"(values\s*.*|select\s+.*)$",
+            stmt, re.I | re.S,
+        )
+        if orr:
+            return self._insert_or_action(orr)
         # BY POSITION is the explicit spelling of the positional
         # default (DuckDB accepts both) — normalize it away BEFORE the
         # ON CONFLICT match, whose source group only admits

@@ -68,6 +68,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # types through the same untouched pass-through path) plus
     # q_join_semi/q_join_cross in this same window.
     "u_create_macro",
+    # (a, late-r11) PRIMARY KEY constraints + INSERT OR REPLACE /
+    # OR IGNORE (DuckDB implicit-key upserts), never driver-graded.
+    # Its slot comes from q_join_cross, deferring to r12 with the
+    # join family's pass-through machinery re-evidenced this round
+    # by q_join_left + q_join_semi in this same window.
+    "u_insert_or_replace",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -111,7 +117,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_having",
     "q_in_subquery",
     "q_intersect",
-    "q_join_cross",
     "q_join_left",
     "q_join_semi",
     "q_lateral_join",

@@ -896,6 +896,40 @@ def u_create_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY KEY + INSERT OR REPLACE / OR IGNORE (DuckDB's
+    implicit-key upsert spellings; api.py::_insert_or_action lowers
+    them onto ON CONFLICT with the table's key, api.py::
+    _check_staged_pk enforces the key at the versioned-write choke
+    point): CTAS-like keyed build via explicit PK DDL, OR REPLACE an
+    overlapping doubled-price slice (conflicts update, new keys
+    insert), then OR IGNORE a slice that half-overlaps (conflicts
+    skip). The oracle restates both steps declaratively; the
+    statement-by-statement differential vs DuckDB NATIVE constraints
+    is tests/test_parser_surfaces_differential.py::
+    test_primary_key_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ior_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e("create table ior_t (k bigint primary key, v double)")
+    e(
+        "insert into ior_t select o_orderkey, o_totalprice"
+        " from orders where o_orderkey < 500"
+    )
+    e(
+        "insert or replace into ior_t select o_orderkey,"
+        " round(o_totalprice * 2, 2) from orders"
+        " where o_orderkey >= 250 and o_orderkey < 750"
+    )
+    e(
+        "insert or ignore into ior_t select o_orderkey,"
+        " round(o_totalprice * 3, 2) from orders"
+        " where o_orderkey >= 600 and o_orderkey < 900"
+    )
+    return spark.table("ior_t").orderBy("k")
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -953,6 +987,7 @@ QUERIES = {
     "u_create_view": u_create_view,
     "u_positional_join": u_positional_join,
     "u_create_macro": u_create_macro,
+    "u_insert_or_replace": u_insert_or_replace,
 }
 
 ORACLES = {
@@ -1034,6 +1069,29 @@ ORACLES = {
         FROM t JOIN s ON t.o_custkey = s.k
         WHERE t.o_custkey % 4 <> 0
         ORDER BY t.o_orderkey
+    """,
+    "u_insert_or_replace": """
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+            WHERE o_orderkey < 500
+        ),
+        repl AS (
+            SELECT o_orderkey AS k, round(o_totalprice * 2, 2) AS v
+            FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 750
+        ),
+        after_replace AS (
+            SELECT coalesce(r.k, b.k) AS k, coalesce(r.v, b.v) AS v
+            FROM base b FULL OUTER JOIN repl r ON b.k = r.k
+        ),
+        ign AS (
+            SELECT o_orderkey AS k, round(o_totalprice * 3, 2) AS v
+            FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 900
+        )
+        SELECT k, v FROM after_replace
+        UNION ALL
+        SELECT k, v FROM ign
+        WHERE k NOT IN (SELECT k FROM after_replace)
+        ORDER BY k
     """,
     "u_create_macro": """
         SELECT o_orderkey AS k,

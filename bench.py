@@ -198,6 +198,7 @@ HEADLINE_R11 = (
     "u_create_view",
     "u_positional_join",
     "u_create_macro",
+    "u_insert_or_replace",
 )
 
 HEADLINE = (

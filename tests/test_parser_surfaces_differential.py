@@ -2740,3 +2740,92 @@ def test_create_macro_matches_duckdb(spark, tmp_path):
         "select count(*) as n from topv(3)"
     ).rows == [(3,)]
     eng2.close()
+
+
+def test_primary_key_matches_duckdb(spark, tmp_path):
+    """PRIMARY KEY constraints (api.py::_parse_column_defs pk parse +
+    _check_staged_pk — enforcement at the versioned-write choke
+    point, as bounded early-exit probes over the staged files) and
+    the INSERT OR REPLACE / OR IGNORE upsert spellings
+    (api.py::_insert_or_action, lowered onto ON CONFLICT with the
+    table's key): the IDENTICAL statement sequence through both
+    engines; every violation shape raises on BOTH sides (DuckDB's
+    ART-index Constraint Error ≙ the engine's staged-probe
+    EngineError)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whpk"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table pk1 (k int primary key, v int)",
+        "insert into pk1 values (1, 10), (2, 20)",
+        "create table pk2 (a int, b int, v int, primary key (a, b))",
+        "insert into pk2 values (1,1,5),(2,2,8)",
+        "create table pk4 (k int primary key, v int, w int)",
+        "insert into pk4 values (1, 10, 100)",
+        "create table pk3 (k int, v int)",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    # every violation raises on BOTH engines, state stays intact
+    for sql in (
+        "insert into pk1 values (5,1),(5,2)",       # dup in batch
+        "insert into pk1 values (1, 99)",            # dup vs existing
+        "insert into pk1 values (null, 1)",          # NULL key
+        "insert into pk1 select k, v from pk1",      # dup via SELECT
+        "insert into pk2 values (1,1,6)",            # composite dup
+        "insert or replace into pk3 values (1,1)",   # no PRIMARY KEY
+        # in-batch dup keys error for BOTH upsert spellings (probed)
+        "insert or replace into pk2 values (9,9,1),(9,9,2)",
+        "insert or ignore into pk2 values (8,8,1),(8,8,2)",
+        "create table pk5 (a int primary key, b int primary key)",
+        "alter table pk4 drop column k",             # key dependency
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+        with pytest.raises(Exception):
+            con.execute(sql)
+    # upsert spellings: replace, ignore, partial column list (probed:
+    # unlisted columns KEEP their old values), SELECT sources
+    steps = (
+        "insert or replace into pk2 values (1,1,7),(3,3,9)",
+        "insert or ignore into pk2 values (1,1,999),(4,4,10)",
+        "insert or replace into pk4 (k, v) values (1, 11)",
+        "insert or replace into pk2 select a, b, v * 10 from pk2"
+        " where a = 1",
+    )
+    for s in steps:
+        for run in (eng.execute, con.execute):
+            run(s)
+    for sql in (
+        "select * from pk1 order by k",
+        "select * from pk2 order by a, b",
+        "select * from pk4 order by k",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # UPDATE: moving a key onto an existing row errors on both; a
+    # non-key update is fine. (NOT differential: DuckDB's delete+
+    # insert index artifact also rejects SAME-key updates — the
+    # engine enforces post-state uniqueness instead, the saner rule.)
+    with pytest.raises(EngineError):
+        eng.execute("update pk1 set k = 1 where k = 2")
+    with pytest.raises(Exception):
+        con.execute("update pk1 set k = 1 where k = 2")
+    for run in (eng.execute, con.execute):
+        run("update pk1 set v = 21 where k = 2")
+    sql = "select * from pk1 order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # engine-side pins: NOT NULL + PRIMARY KEY combined spelling,
+    # restart persistence of the key metadata
+    eng.execute("create table pk6 (k int not null primary key, v int)")
+    eng.execute("insert into pk6 values (1, 1)")
+    eng.close()
+    eng2 = AnalyticsEngine(str(tmp_path / "whpk"), spark=spark)
+    with pytest.raises(EngineError):
+        eng2.execute("insert into pk6 values (1, 2)")
+    eng2.execute("insert or ignore into pk6 values (1, 2), (2, 2)")
+    assert eng2.execute(
+        "select * from pk6 order by k"
+    ).rows == [(1, 1), (2, 2)]
+    eng2.close()
