@@ -68,6 +68,7 @@ _TYPE_MAP = {
     "timestamp": T.TimestampType(),
     "date": T.DateType(),
     "string": T.StringType(),
+    "varchar": T.StringType(),  # bare, unbounded (DuckDB's default)
 }
 
 _VARCHAR_RE = re.compile(r"^varchar\s*\(?\s*(\d+)\s*\)?$", re.IGNORECASE)
@@ -684,25 +685,69 @@ class AnalyticsEngine:
         manifest's segments (one multi-path parquet scan). The DECLARED
         schema drives the read when the table has one — segments
         written before a metadata-only ADD COLUMN lack the new field
-        and surface it as NULL; segments still physically carrying a
-        dropped column simply never materialize it (projection
-        pushdown)."""
+        and surface it as NULL (or the column's recorded BACKFILL
+        value when the ADD carried a DEFAULT); segments still
+        physically carrying a dropped column simply never materialize
+        it (projection pushdown)."""
         meta = self._meta(name)
-        reader = self.spark.read
-        if meta.get("columns"):
-            reader = reader.schema(self._schema(name))
-        return reader.parquet(*self._segment_paths(name, meta))
+        return self._read_files(name, self._segment_paths(name, meta))
 
     def _read_files(self, name: str, paths: list[str]) -> DataFrame:
         """Read a subset of a managed table's files with the DECLARED
         schema — every rewrite path must use this, or files written
         before a metadata-only ADD COLUMN would lose the column (and
-        files predating a DROP would resurrect it) when rewritten."""
+        files predating a DROP would resurrect it) when rewritten.
+
+        ALTER ADD COLUMN ... DEFAULT backfill (Iceberg v3
+        initial-default economics — metadata-only at ANY table size):
+        the alter recorded the folded default and the segments that
+        predate the column. Those segments read with the constant
+        substituted in; everything else reads untouched. Grouping is
+        by needed-fill set, so the common case (no backfill anywhere)
+        stays the ONE multi-path scan with zero plan change, and a
+        backfilled table costs one scan per distinct fill-set (≤
+        alters+1), no shuffle. CoW rewrites read through here, so a
+        rewritten file materializes the backfill and drops out of the
+        fill set by construction."""
         meta = self._meta(name)
         reader = self.spark.read
-        if meta.get("columns"):
-            reader = reader.schema(self._schema(name))
-        return reader.parquet(*paths)
+        if not meta.get("columns"):
+            return reader.parquet(*paths)
+        schema = self._schema(name)
+        bf = [
+            c for c in meta["columns"]
+            if isinstance(c.get("backfill"), dict)
+        ]
+        if not bf:
+            return reader.schema(schema).parquet(*paths)
+        root = os.path.join(self.warehouse, name)
+
+        def _segdir(p: str) -> str:
+            return os.path.relpath(p, root).split(os.sep, 1)[0]
+
+        groups: dict[frozenset, list[str]] = {}
+        for p in paths:
+            need = frozenset(
+                c["name"] for c in bf
+                if _segdir(p) in c["backfill"]["segments"]
+            )
+            groups.setdefault(need, []).append(p)
+        parts = []
+        for need, ps in groups.items():
+            df = self.spark.read.schema(schema).parquet(*ps)
+            for c in bf:
+                if c["name"] in need:
+                    df = df.withColumn(
+                        c["name"],
+                        F.expr(c["backfill"]["value_sql"]).cast(
+                            _parse_type(c["type"])[0]
+                        ),
+                    )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*[f.name for f in schema.fields])
 
     def _data_files(self, name: str) -> list[str]:
         """Concrete parquet files of the current manifest (manifest
@@ -1217,6 +1262,8 @@ class AnalyticsEngine:
         if base == "current":
             base = self._segments_of(meta)
         self._check_staged_pk(name, new_dir, base)
+        self._check_staged_unique(name, new_dir, base)
+        self._check_staged_checks(name, new_dir)
         # Harvest the segment's row count and per-column min/max ZONE
         # MAPS straight from the parquet FOOTERS the write just
         # produced — a driver-side metadata read (O(files), zero Spark
@@ -1302,10 +1349,16 @@ class AnalyticsEngine:
             # which raises its ambiguous-column error
             return None
         meta = self._meta(name)
-        if any(c.get("pk") for c in meta["columns"]):
-            # PRIMARY KEY enforcement lives at _stage_version's choke
-            # point (_check_staged_pk); the pyarrow stage would skip
-            # it — defer PK tables to the Spark path
+        if (
+            any(c.get("pk") or c.get("default") for c in meta["columns"])
+            or meta.get("uniques")
+            or meta.get("checks")
+        ):
+            # PRIMARY KEY / UNIQUE / CHECK enforcement lives at
+            # _stage_version's choke point, which the pyarrow stage
+            # skips; DEFAULT columns need the Spark path's expression
+            # fill (a default is an arbitrary expression, not a
+            # literal) — defer all constrained tables to Spark
             return None
         coltypes = {c["name"]: c["type"].strip().lower()
                     for c in meta["columns"]}
@@ -1525,6 +1578,99 @@ class AnalyticsEngine:
             fields.append(T.StructField(col["name"], dt, not col["notnull"]))
         return T.StructType(fields)
 
+    def _fold_constant(self, expr: str, dt) -> str:
+        """Fold a row-independent expression to ONE SQL literal, for
+        ALTER ADD COLUMN ... DEFAULT backfill (DuckDB evaluates the
+        default once at alter time for existing rows). A one-row
+        local-relation plan — no table data, no shuffle. Per-row
+        nondeterministic expressions (rand/uuid/...) cannot fold to a
+        single honest value and refuse by name; current_date/
+        current_timestamp are query-constant and fold fine."""
+        if re.search(
+            r"\b(rand|randn|random|uuid|shuffle|"
+            r"monotonically_increasing_id)\s*\(",
+            _blank_literals(expr), re.I,
+        ):
+            raise EngineError(
+                "ALTER TABLE ADD COLUMN DEFAULT must be"
+                f" deterministic to backfill existing rows: {expr!r}"
+            )
+        try:
+            row = self.spark.sql(f"select ({expr}) as v").collect()[0]
+        except Exception as e:
+            raise EngineError(
+                f"cannot evaluate DEFAULT expression {expr!r}: {e}"
+            ) from e
+        v = row["v"]
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        # date/timestamp/decimal render through their string forms;
+        # the read-path cast restores the declared type
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _column_defaults(self, name: str) -> dict[str, F.Column]:
+        """Declared DEFAULT expressions by lowercase column name, as
+        unevaluated Columns — a default is an arbitrary (usually
+        constant-folded) expression, applied wherever a statement
+        omits the column (DuckDB semantics: column-list INSERT, BY
+        NAME INSERT, the DEFAULT keyword in VALUES / SET, DEFAULT
+        VALUES)."""
+        meta = self._meta(name)
+        return {
+            c["name"].lower(): F.expr(c["default"])
+            for c in meta.get("columns", [])
+            if c.get("default") is not None
+        }
+
+    def _sub_default_keyword(
+        self, name: str, collist: list[str], vtext: str
+    ) -> str:
+        """Substitute bare ``DEFAULT`` items inside a VALUES list with
+        the positional column's declared default expression (NULL for
+        a column without one — DuckDB-probed). Pure text: the result
+        re-enters the normal VALUES planning, so expression defaults
+        fold like any projected expression. Skips entirely (zero
+        cost) when the blanked text carries no DEFAULT token."""
+        if not re.search(
+            r"\bdefault\b", _blank_literals(vtext), re.I
+        ):
+            return vtext
+        meta = self._meta(name)
+        dflt = {
+            c["name"].lower(): c["default"]
+            for c in meta.get("columns", [])
+            if c.get("default") is not None
+        }
+        body = vtext.strip()
+        if not re.match(r"values\b", body, re.I):
+            return vtext
+        rows_text = body[6:].strip()
+        out_rows = []
+        for row in _split_top_level(rows_text):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                return vtext  # malformed — let the normal path error
+            items = _split_top_level(row[1:-1])
+            subbed = []
+            for i, item in enumerate(items):
+                if re.fullmatch(r"default", item.strip(), re.I):
+                    col = (
+                        collist[i].lower() if i < len(collist) else ""
+                    )
+                    subbed.append(
+                        f"({dflt[col]})" if col in dflt else "null"
+                    )
+                else:
+                    subbed.append(item)
+            out_rows.append("(" + ", ".join(subbed) + ")")
+        return "values " + ", ".join(out_rows)
+
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
         """varchar(n) truncation, mirroring the reference's insert path
         (relation.py:122-130). NOT NULL is enforced POST-STAGE from the
@@ -1644,6 +1790,77 @@ class AnalyticsEngine:
             meta.pop("_staged", None)
             shutil.rmtree(new_dir, ignore_errors=True)
             raise EngineError(violation)
+
+    def _check_staged_unique(
+        self, name: str, new_dir: str, base: list[str] | str | None
+    ) -> None:
+        """UNIQUE constraint enforcement at the same versioned-write
+        choke point as ``_check_staged_pk``, with the one semantic
+        difference SQL gives UNIQUE over PRIMARY KEY: a row whose key
+        contains ANY NULL component is exempt (DuckDB-probed — two
+        ``(1, NULL)`` rows coexist under ``UNIQUE (a, b)``). Bounded
+        early-exit probes over the staged files only, one pair per
+        declared unique set."""
+        meta = self._meta(name)
+        uniques = meta.get("uniques") or []
+        if not uniques:
+            return
+        staged_all = self.spark.read.parquet(new_dir)
+        violation = None
+        for uq in uniques:
+            if violation:
+                break
+            keyed = staged_all.select(*uq)
+            for k in uq:
+                keyed = keyed.filter(F.col(k).isNotNull())
+            if keyed.groupBy(*uq).count().filter(
+                F.col("count") > 1
+            ).limit(1).collect():
+                violation = (
+                    f"duplicate key violates unique constraint on"
+                    f" {name} ({', '.join(uq)}) in the written rows"
+                )
+            elif base:
+                paths = [
+                    os.path.join(self.warehouse, name, seg)
+                    for seg in base
+                ]
+                existing = self.spark.read.parquet(*paths).select(*uq)
+                for k in uq:
+                    existing = existing.filter(F.col(k).isNotNull())
+                if keyed.join(
+                    existing, uq, "left_semi"
+                ).limit(1).collect():
+                    violation = (
+                        f"duplicate key violates unique constraint"
+                        f" on {name} ({', '.join(uq)})"
+                    )
+        if violation:
+            meta.pop("_staged", None)
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise EngineError(violation)
+
+    def _check_staged_checks(self, name: str, new_dir: str) -> None:
+        """CHECK constraint enforcement at the versioned-write choke
+        point: only rows the write actually produced are probed (a
+        CoW UPDATE's untouched files were valid before and stay
+        untouched), in ONE bounded early-exit scan — all declared
+        checks fold into a single OR so a 100-TB append pays one
+        staged-files pass regardless of how many checks exist. SQL
+        semantics: a check evaluating to NULL passes; only FALSE
+        violates (DuckDB-probed)."""
+        meta = self._meta(name)
+        checks = meta.get("checks") or []
+        if not checks:
+            return
+        bad = " or ".join(
+            f"not coalesce(({c}), true)" for c in checks
+        )
+        staged = self.spark.read.parquet(new_dir)
+        if staged.filter(F.expr(bad)).limit(1).collect():
+            meta.pop("_staged", None)
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise EngineError(f"CHECK constraint failed: {name}")
 
     # ---------------------------------------------------------- execute --
     _SYSVIEW_RE = re.compile(
@@ -6285,18 +6502,33 @@ class AnalyticsEngine:
             effect_rows=1,
         )
 
-    @staticmethod
-    def _parse_column_defs(body: str) -> list[dict]:
+    # Constraint keywords that may trail a column's type, any order
+    # (DuckDB's grammar). DEFAULT consumes an expression (until the
+    # next top-level constraint keyword), CHECK a parenthesized one.
+    _COL_CONSTRAINT_RE = re.compile(
+        r"\b(not\s+null|primary\s+key|unique|default|check)\b", re.I
+    )
+
+    @classmethod
+    def _parse_column_defs(cls, body: str) -> tuple[list[dict], dict]:
         """Parse a CREATE TABLE column-definition list, validating
         every type against the type table. Pure — CREATE OR REPLACE
         validates the replacement with it BEFORE dropping anything
-        (r9 review #1). Constraints: trailing NOT NULL and PRIMARY
-        KEY per column (any order), plus a table-level
-        ``PRIMARY KEY (a, b)`` entry for composite keys; PRIMARY KEY
-        implies NOT NULL (DuckDB), and a second key declaration
-        refuses like DuckDB's parser."""
+        (r9 review #1). Constraints (DuckDB-probed semantics
+        throughout): per column, trailing NOT NULL / PRIMARY KEY /
+        UNIQUE / DEFAULT <expr> / CHECK (<expr>) in any order; plus
+        table-level ``PRIMARY KEY (a, b)`` / ``UNIQUE (a, b)`` /
+        ``CHECK (<expr>)`` entries. PRIMARY KEY implies NOT NULL and
+        a second key declaration refuses, like DuckDB's parser.
+        Returns (columns, constraints) where constraints carries the
+        normalized table-level lists: ``checks`` (SQL texts — a
+        per-column CHECK may reference OTHER columns in DuckDB, so
+        all checks enforce table-level) and ``uniques`` (column-name
+        lists; a per-column UNIQUE is a 1-list)."""
         columns: list[dict] = []
         table_pk: list[str] | None = None
+        checks: list[str] = []
+        uniques: list[list[str]] = []
         for coldef in _split_top_level(body):
             cd = coldef.strip()
             tm = re.match(r"primary\s+key\s*\((.*)\)\s*$", cd, re.I | re.S)
@@ -6311,23 +6543,79 @@ class AnalyticsEngine:
                     c.strip() for c in tm.group(1).split(",") if c.strip()
                 ]
                 continue
-            parts = cd.split()
+            tm = re.match(r"unique\s*\((.*)\)\s*$", cd, re.I | re.S)
+            if tm:
+                uniques.append(
+                    [c.strip() for c in tm.group(1).split(",") if c.strip()]
+                )
+                continue
+            tm = re.match(r"check\s*\((.*)\)\s*$", cd, re.I | re.S)
+            if tm:
+                checks.append(tm.group(1).strip())
+                continue
+            parts = cd.split(None, 1)
             if len(parts) < 2:
                 raise EngineError(f"bad column definition: {coldef!r}")
             cname = parts[0]
-            rest = " ".join(parts[1:])
-            notnull = pk = False
-            while True:
-                m2 = re.search(
-                    r"(not\s+null|primary\s+key)\s*$", rest, re.I
-                )
-                if not m2:
+            rest = parts[1].strip()
+            # split the type from the constraint tail: the FIRST
+            # top-level constraint keyword ends the type (types carry
+            # parens — varchar(10), decimal(10,2) — never these words)
+            blank = _blank_literals(rest)
+            cut = None
+            for cm in cls._COL_CONSTRAINT_RE.finditer(blank):
+                if _paren_depth_at(blank, cm.start()) == 0:
+                    cut = cm.start()
                     break
-                if m2.group(1).lower().startswith("not"):
+            ctail = ""
+            if cut is not None:
+                ctail, rest = rest[cut:].strip(), rest[:cut].strip()
+            if not rest:
+                raise EngineError(f"bad column definition: {coldef!r}")
+            notnull = pk = uniq = False
+            default: str | None = None
+            while ctail:
+                cm = cls._COL_CONSTRAINT_RE.match(ctail)
+                if not cm:
+                    raise EngineError(
+                        f"cannot parse column constraint: {ctail!r}"
+                        f" (column {cname})"
+                    )
+                kw = re.sub(r"\s+", " ", cm.group(1).lower())
+                ctail = ctail[cm.end():].strip()
+                if kw == "not null":
                     notnull = True
-                else:
+                elif kw == "primary key":
                     pk = True
-                rest = rest[: m2.start()].strip()
+                elif kw == "unique":
+                    uniq = True
+                elif kw == "check":
+                    if not ctail.startswith("("):
+                        raise EngineError(
+                            f"CHECK on column {cname} needs a"
+                            " parenthesized expression"
+                        )
+                    end = cls._match_paren(ctail, 0)
+                    checks.append(ctail[1:end].strip())
+                    ctail = ctail[end + 1:].strip()
+                elif kw == "default":
+                    # the expression runs to the next TOP-LEVEL
+                    # constraint keyword (or the end) — literals are
+                    # blanked so 'not null' inside a string default
+                    # never terminates it
+                    tb = _blank_literals(ctail)
+                    dend = len(ctail)
+                    for dm in cls._COL_CONSTRAINT_RE.finditer(tb):
+                        if _paren_depth_at(tb, dm.start()) == 0:
+                            dend = dm.start()
+                            break
+                    default = ctail[:dend].strip()
+                    if not default:
+                        raise EngineError(
+                            f"DEFAULT on column {cname} needs an"
+                            " expression"
+                        )
+                    ctail = ctail[dend:].strip()
             _parse_type(rest)  # validate against the type table
             col = {"name": cname, "type": rest, "notnull": notnull or pk}
             if pk:
@@ -6336,6 +6624,10 @@ class AnalyticsEngine:
                         "table has more than one primary key"
                     )
                 col["pk"] = True
+            if default is not None:
+                col["default"] = default
+            if uniq:
+                uniques.append([cname])
             columns.append(col)
         if table_pk:
             byname = {c["name"].lower(): c for c in columns}
@@ -6346,7 +6638,19 @@ class AnalyticsEngine:
                     )
                 byname[k.lower()]["pk"] = True
                 byname[k.lower()]["notnull"] = True
-        return columns
+        lower = {c["name"].lower() for c in columns}
+        for uq in uniques:
+            missing = [k for k in uq if k.lower() not in lower]
+            if missing:
+                raise EngineError(
+                    f"UNIQUE column(s) {missing} do not exist"
+                )
+        constraints: dict = {}
+        if checks:
+            constraints["checks"] = checks
+        if uniques:
+            constraints["uniques"] = uniques
+        return columns, constraints
 
     def _create_table(self, stmt: str) -> Result:
         m = re.match(
@@ -6360,11 +6664,11 @@ class AnalyticsEngine:
         if ine and name in self.catalog["tables"]:
             return Result(warning=f"table {name} already exists, skipped")
         self._check_name_free(name)
-        columns = self._parse_column_defs(body)
+        columns, constraints = self._parse_column_defs(body)
         # In-memory entry only — the SINGLE durable commit is the
         # catalog save inside _commit_staged, so a crash anywhere in
         # between leaves no half-created shell (test_crash_consistency)
-        self.catalog["tables"][name] = {"columns": columns}
+        self.catalog["tables"][name] = {"columns": columns, **constraints}
         try:
             self._stage_empty(name)  # driver-side: no Spark job for DDL
             self._commit_staged(name)
@@ -6416,6 +6720,34 @@ class AnalyticsEngine:
                     files.append(path)
         else:
             files = self._data_files(src)
+        if any(
+            c.get("backfill") for c in src_meta.get("columns", [])
+        ):
+            # A backfill record is keyed by the SOURCE's segment dirs;
+            # the hardlink below renames every file into one new dir,
+            # which would orphan it. Materialize instead: read through
+            # the fill (per-segment, so history files resolve too) and
+            # write the clone with the defaults physical. The one case
+            # where CLONE pays data I/O — like the re-ADD scrub, it
+            # trades a rare alter-shaped edge for zero read-path debt.
+            df = self._read_files(src, files)
+            columns = json.loads(
+                json.dumps(src_meta.get("columns", []))
+            )
+            for c in columns:
+                c.pop("backfill", None)
+            meta = {"columns": columns}
+            for key in ("checks", "uniques"):
+                if src_meta.get(key):
+                    meta[key] = json.loads(json.dumps(src_meta[key]))
+            self.catalog["tables"][name] = meta
+            try:
+                n = self._stage_version(name, df, base=None)
+                self._commit_staged(name)
+            except BaseException:
+                self.catalog["tables"].pop(name, None)
+                raise
+            return Result(effect_rows=n)
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
         os.makedirs(new_dir)
@@ -6438,6 +6770,17 @@ class AnalyticsEngine:
             if not {c["name"].lower() for c in columns} <= file_cols:
                 columns = _columns_from_schema(inferred)
         meta: dict = {"columns": columns}
+        # constraint metadata travels with the clone (Delta SHALLOW
+        # CLONE semantics) — the cloned data already satisfied it.
+        # Skipped when a historical clone fell back to the files' own
+        # inferred schema: the constraints' column names belong to the
+        # CURRENT declared schema, not that one.
+        if columns and columns == json.loads(
+            json.dumps(src_meta.get("columns", []))
+        ):
+            for key in ("checks", "uniques"):
+                if src_meta.get(key):
+                    meta[key] = json.loads(json.dumps(src_meta[key]))
         self.catalog["tables"][name] = meta
         meta["_staged"] = {
             "version": new_version,
@@ -6807,17 +7150,41 @@ class AnalyticsEngine:
         """ALTER TABLE — parsed-only in the reference (parser_.py:98-101,
         no transformation). Supports ADD COLUMN, DROP COLUMN, RENAME
         COLUMN over the managed parquet (schema change = rewrite)."""
-        m = re.match(
-            r"alter\s+table\s+(\w+)\s+"
-            r"(?:add\s+column\s+(\w+)\s+([\w() ]+?)"
-            r"|drop\s+column\s+(\w+)"
-            r"|rename\s+column\s+(\w+)\s+to\s+(\w+))\s*$",
+        add_default: str | None = None
+        am = re.match(
+            r"alter\s+table\s+(\w+)\s+add\s+column\s+(\w+)\s+(.+?)"
+            r"(?:\s+default\s+(.+?))?\s*$",
             stmt,
-            re.I,
+            re.I | re.S,
         )
-        if not m:
-            raise EngineError(f"cannot parse ALTER TABLE: {stmt!r}")
-        name, add_col, add_type, drop_col, ren_from, ren_to = m.groups()
+        if am and self._COL_CONSTRAINT_RE.search(
+            _blank_literals(am.group(3) + " " + (am.group(4) or ""))
+        ):
+            # DuckDB's own rule: "Adding columns with constraints not
+            # yet supported" — only a DEFAULT may trail the type (the
+            # lookahead above split it off already; anything left is
+            # NOT NULL / UNIQUE / CHECK / a second DEFAULT)
+            raise EngineError(
+                "ALTER TABLE ADD COLUMN with constraints is not"
+                " supported (DEFAULT only)"
+            )
+        if am:
+            m = am
+            name, add_col, add_type = am.group(1), am.group(2), am.group(3)
+            add_default = am.group(4)
+            drop_col = ren_from = ren_to = None
+        else:
+            m = re.match(
+                r"alter\s+table\s+(\w+)\s+"
+                r"(?:drop\s+column\s+(\w+)"
+                r"|rename\s+column\s+(\w+)\s+to\s+(\w+))\s*$",
+                stmt,
+                re.I,
+            )
+            if not m:
+                raise EngineError(f"cannot parse ALTER TABLE: {stmt!r}")
+            name, drop_col, ren_from, ren_to = m.groups()
+            add_col = add_type = None
         meta = self._meta(name)
         cols = meta["columns"]
         # A schema change under a dependent matview breaks the premise
@@ -6837,7 +7204,24 @@ class AnalyticsEngine:
             # reader can't disambiguate).
             if any(c["name"].lower() == add_col.lower() for c in cols):
                 raise EngineError(f"column {add_col} already exists in {name}")
+            add_type = add_type.strip()
             dt, _ = _parse_type(add_type)
+            newcol: dict = {
+                "name": add_col,
+                "type": add_type.lower(),
+                "notnull": False,
+            }
+            fill = F.lit(None).cast(dt)
+            if add_default is not None:
+                # DuckDB backfills EXISTING rows with the default.
+                # Fold it to one constant NOW (a local one-row plan —
+                # no table data touched) so the metadata-only path
+                # below can record it per segment; per-row
+                # nondeterministic defaults can't backfill lazily and
+                # refuse by name.
+                newcol["default"] = add_default.strip()
+                folded = self._fold_constant(newcol["default"], dt)
+                fill = F.expr(folded).cast(dt)
             if add_col.lower() in (
                 d.lower() for d in meta.get("dropped_columns", [])
             ):
@@ -6845,17 +7229,10 @@ class AnalyticsEngine:
                 # still physically hold values under this name, and a
                 # schema-driven read would surface them as the "new"
                 # column's contents. Scrub by full rewrite (the one
-                # ALTER case that costs data I/O).
-                df = self._read_table(name).withColumn(
-                    add_col, F.lit(None).cast(dt)
-                )
-                cols.append(
-                    {
-                        "name": add_col,
-                        "type": add_type.strip().lower(),
-                        "notnull": False,
-                    }
-                )
+                # ALTER case that costs data I/O) — the rewrite
+                # materializes the default, so no backfill record.
+                df = self._read_table(name).withColumn(add_col, fill)
+                cols.append(newcol)
                 # No separate catalog save: the overwrite's commit
                 # persists the new column AND the scrubbed files in ONE
                 # atomic save — a crash before it leaves the old schema
@@ -6864,15 +7241,25 @@ class AnalyticsEngine:
                 self._overwrite(name, df)
                 return Result()
             # Metadata-only: no data file is touched — the declared
-            # schema fills the column with NULL for every existing
-            # segment (Delta/Iceberg schema-evolution economics).
-            cols.append(
-                {
-                    "name": add_col,
-                    "type": add_type.strip().lower(),
-                    "notnull": False,
+            # schema fills the column for every existing segment with
+            # NULL, or with the folded DEFAULT via the backfill record
+            # (Delta/Iceberg schema-evolution economics; Iceberg v3
+            # initial-default semantics for the DEFAULT case). The
+            # record lists EVERY segment dir present on disk —
+            # retained history included — so time-travel reads that
+            # force the current schema see the backfill too; segments
+            # written from here on materialize the column physically
+            # and never join the set.
+            if add_default is not None:
+                tdir = os.path.join(self.warehouse, name)
+                newcol["backfill"] = {
+                    "value_sql": folded,
+                    "segments": sorted(
+                        d for d in os.listdir(tdir)
+                        if os.path.isdir(os.path.join(tdir, d))
+                    ) if os.path.isdir(tdir) else [],
                 }
-            )
+            cols.append(newcol)
             self._save_catalog()
             self._view(name)
             return Result()
@@ -6889,6 +7276,25 @@ class AnalyticsEngine:
                 raise EngineError(
                     f"cannot drop column {drop_col}: the PRIMARY KEY"
                     f" of {name} depends on it"
+                )
+            if any(
+                hit["name"].lower() in (k.lower() for k in uq)
+                for uq in meta.get("uniques", [])
+            ):
+                raise EngineError(
+                    f"cannot drop column {drop_col}: a UNIQUE"
+                    f" constraint of {name} depends on it"
+                )
+            if any(
+                re.search(
+                    rf"\b{re.escape(hit['name'])}\b",
+                    _blank_literals(c), re.I,
+                )
+                for c in meta.get("checks", [])
+            ):
+                raise EngineError(
+                    f"cannot drop column {drop_col}: a CHECK"
+                    f" constraint of {name} depends on it"
                 )
             # Metadata-only: the declared schema stops materializing
             # the column (projection pushdown never reads its pages);
@@ -6909,8 +7315,26 @@ class AnalyticsEngine:
             raise EngineError(f"column {ren_from} not in {name}")
         if any(c["name"].lower() == ren_to.lower() for c in cols):
             raise EngineError(f"column {ren_to} already exists in {name}")
+        if any(
+            re.search(
+                rf"\b{re.escape(target['name'])}\b",
+                _blank_literals(c), re.I,
+            )
+            for c in meta.get("checks", [])
+        ):
+            # a CHECK's expression text would go stale — refuse by
+            # name rather than silently breaking future enforcement
+            raise EngineError(
+                f"cannot rename column {ren_from}: a CHECK"
+                f" constraint of {name} references it"
+            )
         df = self._read_table(name).withColumnRenamed(ren_from, ren_to)
         target["name"] = ren_to
+        # UNIQUE sets follow the rename (they reference by name)
+        for uq in meta.get("uniques", []):
+            for i, k in enumerate(uq):
+                if k.lower() == ren_from.lower():
+                    uq[i] = ren_to
         # single atomic save inside the overwrite commit (see ADD-after-
         # DROP above): renamed schema + renamed files land together
         self._overwrite(name, df)
@@ -7543,9 +7967,17 @@ class AnalyticsEngine:
             )
         src_df = self.spark.sql(src_sql).toDF(*collist)
         do_update = m.group("act").lower() != "nothing"
+        # A row whose conflict key carries ANY NULL component can
+        # never conflict (Postgres/DuckDB-probed: two (NULL, x) rows
+        # both insert) — exempt such rows from the in-batch duplicate
+        # machinery on both action paths
+        keyed_nn = F.lit(True)
+        for k in keys:
+            keyed_nn = keyed_nn & F.col(k).isNotNull()
         if do_update:
             dup = (
-                src_df.groupBy(*keys).count().filter(F.col("count") > 1)
+                src_df.filter(keyed_nn)
+                .groupBy(*keys).count().filter(F.col("count") > 1)
             )
             if dup.limit(1).count():
                 raise EngineError(
@@ -7556,16 +7988,19 @@ class AnalyticsEngine:
         else:
             # keep the first arriving row per key (VALUES order /
             # source order), drop the rest — they would conflict with
-            # the first row's insert
+            # the first row's insert; NULL-keyed rows all pass
             from pyspark.sql import Window as _W
 
             src_df = (
                 src_df.withColumn("_ord", F.monotonically_increasing_id())
                 .withColumn(
                     "_rn",
-                    F.row_number().over(
-                        _W.partitionBy(*keys).orderBy("_ord")
-                    ),
+                    F.when(
+                        keyed_nn,
+                        F.row_number().over(
+                            _W.partitionBy(*keys).orderBy("_ord")
+                        ),
+                    ).otherwise(F.lit(1)),
                 )
                 .filter(F.col("_rn") == 1)
                 .drop("_ord", "_rn")
@@ -7617,37 +8052,59 @@ class AnalyticsEngine:
         action, target = m.group(1).lower(), m.group(2)
         meta = self._meta(target)
         pk = [c["name"] for c in meta.get("columns", []) if c.get("pk")]
-        if not pk:
+        uniques = [list(u) for u in (meta.get("uniques") or [])]
+        keysets = ([pk] if pk else []) + uniques
+        if not keysets:
             raise EngineError(
-                f"INSERT OR {action.upper()}: there is no PRIMARY KEY"
-                f" on {target} — ON CONFLICT is a no-op without one"
+                f"INSERT OR {action.upper()}: there are no"
+                f" UNIQUE/PRIMARY KEY constraints on {target} —"
+                " ON CONFLICT is a no-op without one"
             )
         if m.group(5):
             raise EngineError(
                 f"INSERT OR {action.upper()} ... BY NAME is not"
                 " supported; use an explicit column list"
             )
+        if action == "replace" and len(keysets) > 1:
+            # DuckDB's binder error, verbatim semantics: DO UPDATE
+            # needs ONE unambiguous key; DO NOTHING (OR IGNORE below)
+            # skips on ANY constraint and stays legal
+            raise EngineError(
+                "INSERT OR REPLACE: conflict target has to be"
+                " provided when the table has multiple"
+                " UNIQUE/PRIMARY KEY constraints — use INSERT ..."
+                " ON CONFLICT (cols) DO UPDATE"
+            )
         collist = (
             [c.strip() for c in m.group(4).split(",")]
             if m.group(4)
             else [f.name for f in self._schema(target).fields]
         )
-        missing = [
-            k for k in pk
-            if k.lower() not in {c.lower() for c in collist}
-        ]
-        if missing:
-            raise EngineError(
-                f"INSERT OR {action.upper()}: PRIMARY KEY column(s)"
-                f" {missing} missing from the insert column list"
+        cl_lower = {c.lower() for c in collist}
+        for ks in keysets:
+            missing = [k for k in ks if k.lower() not in cl_lower]
+            if missing:
+                raise EngineError(
+                    f"INSERT OR {action.upper()}: key column(s)"
+                    f" {missing} missing from the insert column list"
+                )
+        if action == "ignore" and len(keysets) > 1:
+            return self._insert_ignore_multi(
+                target, collist, keysets, bool(pk), m.group(6)
             )
-        nonpk = [
+        key = keysets[0]
+        # UNIQUE (unlike PRIMARY KEY) admits NULL key components, and
+        # a NULL-keyed row never conflicts — the MERGE join below
+        # already gives inserts that semantic; the in-batch duplicate
+        # pre-checks exempt those rows the same way
+        null_exempt = not pk
+        nonkey = [
             c for c in collist
-            if c.lower() not in {k.lower() for k in pk}
+            if c.lower() not in {k.lower() for k in key}
         ]
-        if action == "replace" and nonpk:
+        if action == "replace" and nonkey:
             tail = "do update set " + ", ".join(
-                f"{c} = excluded.{c}" for c in nonpk
+                f"{c} = excluded.{c}" for c in nonkey
             )
         else:
             # OR IGNORE, or an all-key column list (nothing to
@@ -7661,18 +8118,79 @@ class AnalyticsEngine:
                     f" _v({', '.join(collist)})"
                 )
             src_df = self.spark.sql(src_sql).toDF(*collist)
-            if src_df.groupBy(*pk).count().filter(
+            keyed = src_df
+            if null_exempt:
+                for k in key:
+                    keyed = keyed.filter(F.col(k).isNotNull())
+            if keyed.groupBy(*key).count().filter(
                 F.col("count") > 1
             ).limit(1).collect():
                 raise EngineError(
-                    "PRIMARY KEY constraint violated: duplicate key"
-                    f" in the INSERT OR {action.upper()} source rows"
+                    "PRIMARY KEY or UNIQUE constraint violated:"
+                    " duplicate key in the INSERT OR"
+                    f" {action.upper()} source rows"
                 )
             tail = "do nothing"
         cols_sql = f" ({', '.join(collist)})" if m.group(4) else ""
         return self._insert(
             f"insert into {target}{cols_sql} {m.group(6)}"
-            f" on conflict ({', '.join(pk)}) {tail}"
+            f" on conflict ({', '.join(key)}) {tail}"
+        )
+
+    def _insert_ignore_multi(
+        self,
+        target: str,
+        collist: list[str],
+        keysets: list[list[str]],
+        has_pk: bool,
+        src_text: str,
+    ) -> Result:
+        """INSERT OR IGNORE when the table carries SEVERAL unique/
+        primary keys (DuckDB-probed: legal — a row skips on ANY
+        conflict, while OR REPLACE refuses at bind). Plan: in-batch
+        non-NULL duplicates on any keyset raise (DuckDB parity);
+        rows conflicting with EXISTING rows drop via one broadcast-
+        friendly left-anti join per keyset (each NULL-exempt, since a
+        NULL-keyed row can never conflict); survivors append through
+        the ordinary insert path."""
+        src_sql = src_text.strip()
+        if src_sql.lower().startswith("values"):
+            src_sql = self._sub_default_keyword(
+                target, collist, src_sql
+            )
+            src_sql = (
+                f"select * from ({src_sql}) as"
+                f" _v({', '.join(collist)})"
+            )
+        src = self.spark.sql(src_sql).toDF(*collist)
+        existing = self._view(target)
+        for i, ks in enumerate(keysets):
+            nn = src
+            # PK components are NOT NULL by declaration; uniques
+            # exempt NULL-keyed rows
+            if not (has_pk and i == 0):
+                for k in ks:
+                    nn = nn.filter(F.col(k).isNotNull())
+            if nn.groupBy(*ks).count().filter(
+                F.col("count") > 1
+            ).limit(1).collect():
+                raise EngineError(
+                    "PRIMARY KEY or UNIQUE constraint violated:"
+                    " duplicate key in the INSERT OR IGNORE"
+                    " source rows"
+                )
+            # anti join drops only NON-NULL-keyed conflicts: the join
+            # condition is null-rejecting, so NULL-keyed rows survive
+            src = src.join(
+                existing.select(*ks).dropDuplicates(ks), ks, "left_anti"
+            )
+        # a name-keyed join moves its key columns to the front — the
+        # positional insert below needs the declared list order back
+        src = src.select(*collist)
+        schema = self._schema(target)
+        return self._insert_from_df(
+            target, schema, [f.name for f in schema.fields],
+            collist, False, src,
         )
 
     def _insert(self, stmt: str) -> Result:
@@ -7697,6 +8215,18 @@ class AnalyticsEngine:
         oc = self._ON_CONFLICT_RE.match(stmt)
         if oc:
             return self._insert_on_conflict(oc)
+        # INSERT INTO t DEFAULT VALUES (DuckDB/Postgres): one row of
+        # nothing-but-defaults — rewrite onto the ordinary VALUES path
+        # with every column's DEFAULT keyword, substituted below
+        dv = re.match(
+            r"insert\s+into\s+(\w+)\s+default\s+values\s*$", stmt, re.I
+        )
+        if dv:
+            ncols = len(self._schema(dv.group(1)).fields)
+            stmt = (
+                f"insert into {dv.group(1)} values"
+                f" ({', '.join(['default'] * ncols)})"
+            )
         m = re.match(
             r"insert\s+into\s+(\w+)\s*(\(([^)]*)\))?\s*"
             r"(by\s+name\s+)?(values\s*(.*)|select\s+.*)$",
@@ -7738,8 +8268,14 @@ class AnalyticsEngine:
                     "INSERT BY NAME requires a SELECT source (a bare"
                     " VALUES list has no column names to match)"
                 )
+            # bare DEFAULT items substitute to the declared default
+            # expression before any planning (DuckDB VALUES grammar)
+            tail = self._sub_default_keyword(
+                name, collist or target_cols, tail
+            )
             n = self._try_literal_append(
-                name, schema, collist or target_cols, m.group(6)
+                name, schema, collist or target_cols,
+                re.sub(r"^values\s*", "", tail, count=1, flags=re.I),
             )
             if n is not None:
                 return Result(effect_rows=n)
@@ -7801,10 +8337,15 @@ class AnalyticsEngine:
                     f" {len(src.columns)} vs {len(cols)}"
                 )
             src = src.toDF(*cols)
-        # missing columns → NULL, then order + cast to the table schema
+        # missing columns → their declared DEFAULT (NULL without one),
+        # then order + cast to the table schema
+        defaults = self._column_defaults(name)
         for f in schema.fields:
             if f.name not in cols:
-                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+                src = src.withColumn(
+                    f.name, defaults.get(f.name.lower(),
+                                         F.lit(None)).cast(f.dataType)
+                )
         src = src.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -8226,9 +8767,18 @@ class AnalyticsEngine:
             ins = anti.select(
                 *[F.expr(v).alias(c) for c, v in zip(insert_cols, insert_vals)]
             )
+            # unlisted columns take their declared DEFAULT (NULL
+            # without one) — the same fill as plain INSERT, so an
+            # ON CONFLICT upsert lowered onto MERGE keeps default
+            # parity for freshly inserted keys
+            _dflt = self._column_defaults(target)
             for f in schema.fields:
                 if f.name not in insert_cols:
-                    ins = ins.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    ins = ins.withColumn(
+                        f.name,
+                        _dflt.get(f.name.lower(),
+                                  F.lit(None)).cast(f.dataType),
+                    )
             parts.append(
                 ins.select(
                     *[
@@ -8748,8 +9298,17 @@ class AnalyticsEngine:
             )
             if target is None:
                 raise EngineError(f"column {col} not in {name}")
+            value = val.strip()
+            if re.fullmatch(r"default", value, re.I):
+                # SET col = DEFAULT (DuckDB/Postgres): the declared
+                # default expression, NULL without one
+                new_val = self._column_defaults(name).get(
+                    target.name.lower(), F.lit(None)
+                )
+            else:
+                new_val = F.expr(value)
             assigned[target.name] = F.when(
-                condition, F.expr(val.strip()).cast(target.dataType)
+                condition, new_val.cast(target.dataType)
             ).otherwise(F.col(target.name))
         df = df.select(
             *[

@@ -74,6 +74,13 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # join family's pass-through machinery re-evidenced this round
     # by q_join_left + q_join_semi in this same window.
     "u_insert_or_replace",
+    # (a, late-r11) DEFAULT / CHECK constraint lifecycle incl. the
+    # metadata-only ALTER ADD COLUMN ... DEFAULT backfill, never
+    # driver-graded. Its slot comes from q_math_funcs, deferring to
+    # r12 with the scalar-function-library passthrough machinery
+    # re-evidenced this round by q_date_funcs (same untouched
+    # passthrough path, relational.py:349-380) in this same window.
+    "u_constraints",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -121,7 +128,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q_join_semi",
     "q_lateral_join",
     "q_limit_offset",
-    "q_math_funcs",
     "q_percentiles",
     "q_pivot_sql",
     "q_rollup",

@@ -930,6 +930,52 @@ def u_insert_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("ior_t").orderBy("k")
 
 
+def u_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT / CHECK / PRIMARY KEY constraint lifecycle
+    (api.py::_parse_column_defs constraint-tail parse;
+    _check_staged_checks / _check_staged_pk enforcement at the
+    versioned-write choke point; _column_defaults applied wherever a
+    statement omits a column; ALTER ADD COLUMN ... DEFAULT records a
+    metadata-only BACKFILL — zero data I/O at any table size, Iceberg
+    v3 initial-default economics — substituted at read): keyed build
+    where ``tag``/``bonus`` fill from defaults, OR IGNORE a
+    half-overlapping slice (conflicts skip), ALTER-add a defaulted
+    column (existing rows backfill), insert the DEFAULT keyword
+    explicitly, then UPDATE SET tag = DEFAULT. The oracle restates
+    every step declaratively; the statement-by-statement differential
+    vs DuckDB NATIVE constraints is
+    tests/test_parser_surfaces_differential.py::
+    test_default_check_unique_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ct_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table ctr_t (k bigint primary key,"
+        " v double check (v >= 0), tag text default 'ba' || 'se',"
+        " bonus double default 1.5)"
+    )
+    e(
+        "insert into ctr_t (k, v) select o_orderkey, o_totalprice"
+        " from orders where o_orderkey < 400"
+    )
+    e(
+        "insert or ignore into ctr_t (k, v, tag) select o_orderkey,"
+        " o_totalprice, 'x' from orders"
+        " where o_orderkey >= 200 and o_orderkey < 600"
+    )
+    e("alter table ctr_t add column extra double default 2.25")
+    e(
+        "insert into ctr_t values"
+        " (2000001, 10.5, default, default, 9.0)"
+    )
+    e(
+        "update ctr_t set tag = default, bonus = bonus * 2"
+        " where k < 100"
+    )
+    return spark.table("ctr_t").orderBy("k")
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -988,6 +1034,7 @@ QUERIES = {
     "u_positional_join": u_positional_join,
     "u_create_macro": u_create_macro,
     "u_insert_or_replace": u_insert_or_replace,
+    "u_constraints": u_constraints,
 }
 
 ORACLES = {
@@ -1092,6 +1139,28 @@ ORACLES = {
         SELECT k, v FROM ign
         WHERE k NOT IN (SELECT k FROM after_replace)
         ORDER BY k
+    """,
+    "u_constraints": """
+        WITH ins1 AS (
+            SELECT o_orderkey AS k, o_totalprice AS v, 'base' AS tag
+            FROM orders WHERE o_orderkey < 400
+        ),
+        ins2 AS (
+            SELECT o_orderkey AS k, o_totalprice AS v, 'x' AS tag
+            FROM orders
+            WHERE o_orderkey >= 400 AND o_orderkey < 600
+        ),
+        allr AS (
+            SELECT k, v, tag, 1.5 AS bonus, 2.25 AS extra
+            FROM (SELECT * FROM ins1 UNION ALL SELECT * FROM ins2)
+            UNION ALL
+            SELECT 2000001, 10.5, 'base', 1.5, 9.0
+        )
+        SELECT k, v,
+               CASE WHEN k < 100 THEN 'base' ELSE tag END AS tag,
+               CASE WHEN k < 100 THEN 3.0 ELSE bonus END AS bonus,
+               extra
+        FROM allr ORDER BY k
     """,
     "u_create_macro": """
         SELECT o_orderkey AS k,

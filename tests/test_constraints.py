@@ -1,0 +1,154 @@
+"""Engine-side pins for the constraint family (DEFAULT / CHECK /
+UNIQUE / PRIMARY KEY) beyond the DuckDB differential
+(test_parser_surfaces_differential.py::
+test_default_check_unique_matches_duckdb): the SCALE contracts — an
+ALTER ADD COLUMN ... DEFAULT must stay metadata-only (zero data I/O
+at any table size, the Iceberg v3 initial-default economics), CHECK
+enforcement must stay one bounded staged scan, and the backfill
+record must interact correctly with CoW rewrites, OPTIMIZE and
+CLONE."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from andb_spark.api import AnalyticsEngine, EngineError
+
+
+def _data_file_set(eng: AnalyticsEngine, name: str) -> set[str]:
+    return set(eng._data_files(name))
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = AnalyticsEngine(str(tmp_path / "whcon"), spark=spark)
+    yield e
+    e.close()
+
+
+def test_alter_add_default_is_metadata_only(eng):
+    """The whole point of the backfill record: adding a defaulted
+    column to a (conceptually 100 TB) table touches NO data file —
+    the read path substitutes the folded constant for pre-alter
+    segments instead."""
+    eng.execute("create table big (a int)")
+    eng.execute("insert into big values (1), (2), (3)")
+    before = _data_file_set(eng, "big")
+    mtimes = {f: os.path.getmtime(f) for f in before}
+    eng.execute("alter table big add column b int default 7")
+    after = _data_file_set(eng, "big")
+    assert after == before  # no rewrite, no new segment
+    assert all(os.path.getmtime(f) == mtimes[f] for f in before)
+    assert eng.execute("select * from big order by a").rows == [
+        (1, 7), (2, 7), (3, 7),
+    ]
+    # the record is on the column, listing the pre-alter segments
+    col = next(
+        c for c in eng._meta("big")["columns"] if c["name"] == "b"
+    )
+    assert col["backfill"]["value_sql"] == "7"
+    assert col["backfill"]["segments"]
+
+
+def test_backfill_survives_cow_and_optimize(eng):
+    """A CoW rewrite materializes the backfill into its new files
+    (they drop out of the fill set by construction); OPTIMIZE
+    compaction reads through the fill too, so a compacted table keeps
+    the defaults physically."""
+    eng.execute("create table t (a int)")
+    eng.execute("insert into t values (1), (2)")
+    eng.execute("alter table t add column b int default 9")
+    eng.execute("insert into t values (3, 30)")
+    # CoW UPDATE touches only the file containing a=1's segment; its
+    # rewrite must carry b=9 forward for the untouched row in the
+    # same file
+    eng.execute("update t set a = 10 where a = 1")
+    assert eng.execute("select * from t order by a").rows == [
+        (2, 9), (3, 30), (10, 9),
+    ]
+    eng.execute("optimize t")
+    assert eng.execute("select * from t order by a").rows == [
+        (2, 9), (3, 30), (10, 9),
+    ]
+    # post-compaction files physically carry the column: a fresh
+    # engine (same catalog) still reads the same values
+    eng.execute("checkpoint")
+    assert eng.execute(
+        "select count(*) as n from t where b = 9"
+    ).rows == [(2,)]
+
+
+def test_backfill_clone_materializes(eng):
+    """CREATE TABLE ... CLONE renames files into one new segment, so
+    a backfilled source cannot carry its segment-keyed record across
+    — the clone must still read the right values."""
+    eng.execute("create table src (a int)")
+    eng.execute("insert into src values (1), (2)")
+    eng.execute("alter table src add column b int default 5")
+    eng.execute("create table dst clone src")
+    assert eng.execute("select * from dst order by a").rows == [
+        (1, 5), (2, 5),
+    ]
+
+
+def test_check_constraint_single_probe_and_state_intact(eng):
+    """All checks fold into ONE staged probe; a violation removes the
+    staged segment and leaves the table exactly as before."""
+    eng.execute(
+        "create table c (a int check (a > 0), b int,"
+        " check (b < 100), check (a <> 13))"
+    )
+    eng.execute("insert into c values (1, 1)")
+    files = _data_file_set(eng, "c")
+    for bad in ("(0, 1)", "(1, 200)", "(13, 1)"):
+        with pytest.raises(EngineError, match="CHECK constraint"):
+            eng.execute(f"insert into c values {bad}")
+        assert _data_file_set(eng, "c") == files  # no residue
+    assert eng.execute("select * from c").rows == [(1, 1)]
+
+
+def test_default_values_fast_path_bails_to_spark(eng):
+    """A defaulted table defers the pyarrow literal fast path to the
+    Spark path (expressions need evaluation), and DEFAULT VALUES /
+    bare DEFAULT items land the declared expressions."""
+    eng.execute(
+        "create table d (a int default 1 + 1, b text default lower('Q'))"
+    )
+    eng.execute("insert into d default values")
+    eng.execute("insert into d values (default, default)")
+    eng.execute("insert into d (b) values (default)")
+    assert eng.execute("select * from d").rows == [
+        (2, "q"), (2, "q"), (2, "q"),
+    ]
+
+
+def test_unique_backed_upsert_partial_collist_default(eng):
+    """INSERT OR REPLACE with a partial column list: a NEW key's
+    unlisted columns take their DEFAULT (the MERGE insert branch
+    fills defaults, not NULL)."""
+    eng.execute(
+        "create table u (k int primary key, v int, w int default 77)"
+    )
+    eng.execute("insert into u values (1, 10, 100)")
+    eng.execute("insert or replace into u (k, v) values (1, 11), (2, 22)")
+    assert eng.execute("select * from u order by k").rows == [
+        (1, 11, 100),  # conflict: unlisted w keeps its old value
+        (2, 22, 77),   # new key: unlisted w takes the default
+    ]
+
+
+def test_alter_add_default_after_dropped_column_scrubs(eng):
+    """Re-ADD of a previously dropped name takes the scrub-rewrite
+    path — the default must materialize there too (no backfill
+    record, the files physically carry it)."""
+    eng.execute("create table r (a int, junk int)")
+    eng.execute("insert into r values (1, 111)")
+    eng.execute("alter table r drop column junk")
+    eng.execute("alter table r add column junk int default 4")
+    assert eng.execute("select * from r").rows == [(1, 4)]
+    col = next(
+        c for c in eng._meta("r")["columns"] if c["name"] == "junk"
+    )
+    assert "backfill" not in col  # rewrite materialized it

@@ -2829,3 +2829,152 @@ def test_primary_key_matches_duckdb(spark, tmp_path):
         "select * from pk6 order by k"
     ).rows == [(1, 1), (2, 2)]
     eng2.close()
+
+
+def test_default_check_unique_matches_duckdb(spark, tmp_path):
+    """DEFAULT / CHECK / UNIQUE constraints (api.py::_parse_column_defs
+    constraint-tail parse; enforcement at the versioned-write choke
+    point — _check_staged_unique with SQL's NULL-key exemption,
+    _check_staged_checks folding every check into ONE bounded staged
+    scan; defaults applied wherever a statement omits the column:
+    column-list INSERT, BY NAME, the DEFAULT keyword in VALUES / SET,
+    DEFAULT VALUES, and ALTER ADD COLUMN ... DEFAULT backfill): the
+    IDENTICAL statement sequence through both engines; every
+    violation raises on BOTH sides and leaves state intact."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whdcu"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table d1 (k int primary key, v int default 42,"
+        " s varchar default 'x' || 'y')",
+        "insert into d1 (k) values (1)",
+        "insert into d1 values (2, DEFAULT, DEFAULT)",
+        "insert into d1 (k, v) values (3, DEFAULT)",
+        "insert into d1 by name select 4 as k",
+        "update d1 set v = DEFAULT where k = 2",
+        "create table d2 (a int default 7, b int)",
+        "insert into d2 default values",
+        "insert into d2 values (DEFAULT, DEFAULT)",
+        # CHECK: per-column (may reference OTHER columns), table-level
+        "create table c1 (k int, v int check (v > 0), check (k < 100))",
+        "insert into c1 values (1, 5)",
+        "insert into c1 values (2, null)",  # NULL check passes
+        "create table c2 (a int, b int check (a < b))",
+        "insert into c2 values (1, 2)",
+        # UNIQUE: per-column + composite; NULL keys exempt
+        "create table u1 (k int unique, v int)",
+        "insert into u1 values (1, 1), (2, 2)",
+        "insert into u1 values (null, 4)",
+        "insert into u1 values (null, 5)",
+        "create table u2 (a int, b int, unique (a, b))",
+        "insert into u2 values (1,1),(1,2)",
+        "insert into u2 values (1,null)",
+        "insert into u2 values (1,null)",
+        # upsert spellings against a UNIQUE (non-PK) key
+        "create table m2 (k int unique, v int)",
+        "insert into m2 values (1, 1)",
+        "insert into m2 values (1, 2) on conflict (k) do update"
+        " set v = excluded.v",
+        "insert or replace into m2 values (1, 3)",
+        "insert or ignore into m2 values (1, 9), (5, 5)",
+        "insert or replace into m2 values (null, 7), (null, 8)",
+        # defaults + ALTER backfill (DuckDB fills existing rows)
+        "create table a1 (a int)",
+        "insert into a1 values (1), (2)",
+        "alter table a1 add column b int default 9",
+        "insert into a1 (a) values (3)",
+        "insert into a1 values (4, null)",
+        "update a1 set b = 100 where a = 1",
+        "delete from a1 where b = 9 and a = 2",
+        "alter table a1 add column c varchar default upper('z')",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    for sql in (
+        "select * from d1 order by k",
+        "select * from d2 order by a",
+        "select * from c1 order by k",
+        "select * from u1 order by k nulls first, v",
+        "select * from u2 order by a, b nulls first",
+        "select * from m2 order by k nulls first, v",
+        "select * from a1 order by a",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # every violation raises on BOTH engines, state stays intact
+    for sql in (
+        "insert into c1 values (1, -5)",             # column check
+        "insert into c1 values (200, 5)",            # table check
+        "update c1 set v = -1 where k = 1",          # check via UPDATE
+        "insert into c2 values (3, 2)",              # cross-column
+        "insert into u1 values (1, 3)",              # unique dup
+        "insert into u2 values (1, 1)",              # composite dup
+        "update u1 set k = 2 where k = 1",           # unique via UPDATE
+        "insert or replace into m2 values (2, 1), (2, 2)",  # in-batch
+        "alter table a1 add column e int not null",  # constraint add
+        "alter table u1 drop column k",              # unique dependency
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+        with pytest.raises(Exception):
+            con.execute(sql)
+    for sql in (
+        "select * from c1 order by k",
+        "select * from u1 order by k nulls first, v",
+        "select * from m2 order by k nulls first, v",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # multiple keys: OR REPLACE refuses on both, OR IGNORE skips on ANY
+    for run in (eng.execute, con.execute):
+        run("create table m1 (k int primary key, u int unique, v int)")
+        run("insert into m1 values (1, 10, 100), (2, 20, 200)")
+    with pytest.raises(EngineError):
+        eng.execute("insert or replace into m1 values (1, 11, 101)")
+    with pytest.raises(Exception):
+        con.execute("insert or replace into m1 values (1, 11, 101)")
+    for run in (eng.execute, con.execute):
+        # (3,10,·) hits row 1 via the unique, (2,99,·) hits row 2 via
+        # the pk, (9,90,·) inserts clean
+        run(
+            "insert or ignore into m1 values"
+            " (3, 10, 300), (2, 99, 301), (9, 90, 900)"
+        )
+    sql = "select * from m1 order by k"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # Declared divergence (pinned, not differential): two source rows
+    # conflicting with the SAME existing row through DIFFERENT keys —
+    # DuckDB's row-at-a-time executor raises its "can not update the
+    # same row twice" artifact even for DO NOTHING; the engine's
+    # set-oriented anti-join skips both, the saner bulk semantic.
+    with pytest.raises(Exception):
+        con.execute(
+            "insert or ignore into m1 values (4, 10, 1), (1, 44, 2)"
+        )
+    eng.execute(
+        "insert or ignore into m1 values (4, 10, 1), (1, 44, 2)"
+    )
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # engine-side pins: restart persistence of defaults, checks,
+    # uniques and the ALTER backfill record
+    eng.close()
+    eng2 = AnalyticsEngine(str(tmp_path / "whdcu"), spark=spark)
+    with pytest.raises(EngineError):
+        eng2.execute("insert into u1 values (1, 99)")
+    with pytest.raises(EngineError):
+        eng2.execute("insert into c1 values (1, -1)")
+    eng2.execute("insert into d1 (k) values (9)")
+    assert eng2.execute(
+        "select v, s from d1 where k = 9"
+    ).rows == [(42, "xy")]
+    assert eng2.execute(
+        "select * from a1 order by a"
+    ).rows == con.execute("select * from a1 order by a").fetchall()
+    # clone carries constraint metadata; rename follows unique sets
+    eng2.execute("create table u1c clone u1")
+    with pytest.raises(EngineError):
+        eng2.execute("insert into u1c values (1, 99)")
+    eng2.execute("alter table u2 rename column b to b2")
+    with pytest.raises(EngineError):
+        eng2.execute("insert into u2 values (1, 1)")
+    eng2.close()
