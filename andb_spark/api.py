@@ -1988,7 +1988,8 @@ class AnalyticsEngine:
                 )
             elif head == "CREATE" and re.match(
                 r"create\s+table\s+\w+\s+as\b\s*"
-                r"(?:\(|select\b|with\b|values\b|table\b)",
+                r"(?:\(|select\b|with\b|values\b|table\b"
+                r"|pivot\b|unpivot\b)",
                 stmt, re.I,
             ):
                 r = self._create_table_as(stmt)
@@ -2069,7 +2070,8 @@ class AnalyticsEngine:
                 r = self._show_tables()
             elif head in ("DESCRIBE", "DESC") and re.match(
                 r"desc(?:ribe)?\s+"
-                r"(?:\w+\s*$|(?:select|with|values|from)\b)",
+                r"(?:\w+\s*$"
+                r"|(?:select|with|values|from|pivot|unpivot)\b)",
                 stmt, re.I | re.S,
             ):
                 # bare DESCRIBE <name>, plus DESCRIBE <query> (DuckDB
@@ -2090,7 +2092,7 @@ class AnalyticsEngine:
                 r = self._rollback()
             elif head in (
                 "SELECT", "WITH", "VALUES", "TABLE", "SHOW",
-                "DESCRIBE", "DESC", "FROM",
+                "DESCRIBE", "DESC", "FROM", "PIVOT", "UNPIVOT",
             ):
                 r = self._select(stmt)
             else:
@@ -2327,7 +2329,8 @@ class AnalyticsEngine:
         QUALIFY / DISTINCT ON / BY NAME unions / COLUMNS() describe
         like plain SQL."""
         qm = re.match(
-            r"desc(?:ribe)?\s+((?:select|with|values|from)\b.*)$",
+            r"desc(?:ribe)?\s+"
+            r"((?:select|with|values|from|pivot|unpivot)\b.*)$",
             stmt, re.I | re.S,
         )
         if qm:
@@ -4271,10 +4274,11 @@ class AnalyticsEngine:
                     # (r10 review #7: O(n x parens) on IN-list-heavy
                     # statements)
                     ib = blanked[i + 1: cp].strip()
-                    # FROM-first subquery groups always lift: the
-                    # standalone plan normalizes them (Spark cannot
-                    # parse the spelling)
-                    if re.match(r"^\s*from\b", ib, re.I):
+                    # FROM-first and PIVOT/UNPIVOT-statement subquery
+                    # groups always lift: the standalone plan
+                    # normalizes them (Spark cannot parse the
+                    # spellings)
+                    if re.match(r"^\s*(?:from|pivot|unpivot)\b", ib, re.I):
                         try:
                             df, v = self._plan_engine_select(inner)
                         except EngineError:
@@ -5303,6 +5307,263 @@ class AnalyticsEngine:
             (off_expr + F.row_number().over(w)).cast("long"),
         ).drop("_pjp", "_pjm")
 
+    # Pivot value discovery cap: the driver collects the distinct ON
+    # values, exactly like DuckDB's binder does — a million-column
+    # result set is a modeling error at any scale, so the cap is a
+    # loud refusal, not a silent truncation.
+    _PIVOT_VALUE_CAP = 10_000
+
+    def _rewrite_pivot_statement(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """DuckDB's simplified PIVOT / UNPIVOT STATEMENT forms (the
+        dynamic spellings; the SQL-standard PIVOT/UNPIVOT clauses are
+        native Spark and pass through untouched):
+
+          PIVOT <tbl> ON <col> [IN (v, ...)] [USING agg [AS a], ...]
+                [GROUP BY cols] [ORDER BY ... / LIMIT ...]
+          UNPIVOT <tbl> ON c1, c2, ... [INTO NAME n VALUE v]
+                [ORDER BY ... / LIMIT ...]
+
+        DuckDB-probed semantics honored: without IN, the pivot
+        columns are the DISTINCT non-NULL ON values, sorted ascending
+        (one bounded distinct scan — the same scan DuckDB's binder
+        runs; > _PIVOT_VALUE_CAP distinct values refuses loudly);
+        without GROUP BY, the grouping keys are every column not
+        pivoted on and not referenced by a USING aggregate; without
+        USING, the aggregate is count(*) with absent combinations
+        filled 0 (count aggregates coalesce to 0 — sum/min/... stay
+        NULL, Spark's fill); multiple USING aggregates name columns
+        ``<value>_<alias>``, matching Spark's own pivot naming;
+        UNPIVOT drops NULL-valued rows and defaults its columns to
+        ``name``/``value``. Lowered onto DataFrame groupBy().pivot()/
+        unpivot() — one shuffle, partial aggregation — registered as
+        a statement view so trailing clauses and outer statements
+        compose. Multiple ON columns, expression ON targets, IN-list
+        aliases, and grouped UNPIVOT (multiple VALUE columns) refuse
+        by name."""
+        s = stmt.strip()
+        if re.match(r"^pivot\b", s, re.I):
+            return self._pivot_stmt_df(s)
+        if re.match(r"^unpivot\b", s, re.I):
+            return self._unpivot_stmt_df(s)
+        return stmt, []
+
+    @staticmethod
+    def _safe_col(c: str) -> F.Column:
+        return F.col(c) if re.fullmatch(r"\w+", c) else F.col(f"`{c}`")
+
+    def _pivot_stmt_target(
+        self, s: str, kw: str
+    ) -> tuple[DataFrame, str, list[str]]:
+        """Resolve a PIVOT/UNPIVOT statement's target: a plain
+        table/view name, or a parenthesized subquery planned through
+        the full pipeline (so `UNPIVOT (PIVOT ...) ON ...` round
+        trips compose). Returns (df, rest-of-statement, views)."""
+        m = re.match(rf"^{kw}\s+(\w+)\s+on\s+(.*)$", s, re.I | re.S)
+        if m:
+            return self.spark.table(m.group(1)), m.group(2), []
+        pm = re.match(rf"^{kw}\s*\(", s, re.I)
+        if pm:
+            cp = self._match_paren(s, pm.end() - 1)
+            inner = s[pm.end(): cp].strip()
+            rm = re.match(r"^\s*on\s+(.*)$", s[cp + 1:], re.I | re.S)
+            if rm:
+                df, views = self._plan_engine_select(inner)
+                return df, rm.group(1), views
+        raise EngineError(
+            f"cannot parse {kw.upper()} statement: {s!r}"
+        )
+
+    def _pivot_stmt_df(self, s: str) -> tuple[str, list[str]]:
+        df, rest, tviews = self._pivot_stmt_target(s, "pivot")
+        u = self._find_top_level_keyword(rest, ("using",))
+        g = self._find_top_level_keyword(rest, ("group by",))
+        t = self._find_top_level_keyword(rest, ("order by", "limit"))
+        marks = [x for x in (u, g, t) if x is not None]
+        if [x[0] for x in marks] != sorted(x[0] for x in marks):
+            raise EngineError(
+                "PIVOT clauses must appear in USING, GROUP BY,"
+                " ORDER BY/LIMIT order"
+            )
+        on_end = min((x[0] for x in marks), default=len(rest))
+        on_text = rest[:on_end].strip()
+        using_end = g[0] if g else (t[0] if t else len(rest))
+        using_text = (
+            rest[u[0] + len("using"): using_end].strip() if u else None
+        )
+        group_end = t[0] if t else len(rest)
+        group_text = (
+            rest[g[0] + len("group by"): group_end].strip() if g else None
+        )
+        tail = rest[t[0]:].strip() if t else ""
+        if len(_split_top_level(on_text)) != 1:
+            raise EngineError(
+                "PIVOT ON multiple columns is not supported —"
+                " pivot one column per statement"
+            )
+        om = re.match(
+            r"^(\w+)(?:\s+in\s*\((.*)\))?\s*$", on_text, re.I | re.S
+        )
+        if not om:
+            raise EngineError(
+                f"PIVOT ON expects a column name [IN (...)]:"
+                f" {on_text!r}"
+            )
+        by_lower = {c.lower(): c for c in df.columns}
+        pcol = by_lower.get(om.group(1).lower())
+        if pcol is None:
+            raise EngineError(
+                f"PIVOT column {om.group(1)} not in the source"
+            )
+        if om.group(2) is not None:
+            values = [
+                self._pivot_literal(x)
+                for x in _split_top_level(om.group(2))
+            ]
+        else:
+            rows = (
+                df.select(pcol).dropna().distinct()
+                .orderBy(pcol).limit(self._PIVOT_VALUE_CAP + 1)
+                .collect()
+            )
+            if len(rows) > self._PIVOT_VALUE_CAP:
+                raise EngineError(
+                    f"PIVOT on {pcol}: more than"
+                    f" {self._PIVOT_VALUE_CAP} distinct values —"
+                    " give an explicit IN (...) list"
+                )
+            values = [r[0] for r in rows]
+        aggs: list[tuple[str, str | None]] = []
+        if using_text:
+            for it in _split_top_level(using_text):
+                am = self._find_top_level_keyword(it, ("as",))
+                if am:
+                    aggs.append(
+                        (it[:am[0]].strip(), it[am[0] + 2:].strip())
+                    )
+                else:
+                    aggs.append((it.strip(), None))
+        else:
+            aggs = [("count(*)", None)]
+        if len(aggs) > 1 and any(a is None for _, a in aggs):
+            raise EngineError(
+                "PIVOT with several USING aggregates needs an AS"
+                " alias on each (they name the output columns)"
+            )
+        if group_text is not None:
+            gcols = []
+            for c in _split_top_level(group_text):
+                rc = by_lower.get(c.strip().lower())
+                if rc is None:
+                    raise EngineError(
+                        f"PIVOT GROUP BY column {c.strip()} not in"
+                        f" {target}"
+                    )
+                gcols.append(rc)
+        else:
+            # DuckDB's implicit grouping: every column neither
+            # pivoted on nor referenced by a USING aggregate
+            referenced = {
+                w.lower()
+                for e, _ in aggs
+                for w in re.findall(r"\w+", _blank_literals(e))
+            }
+            gcols = [
+                c for c in df.columns
+                if c != pcol and c.lower() not in referenced
+            ]
+        agg_cols = [
+            F.expr(e).alias(a) if a else F.expr(e) for e, a in aggs
+        ]
+        res = df.groupBy(*[self._safe_col(c) for c in gcols]).pivot(
+            pcol, values
+        ).agg(*agg_cols)
+        # count() over an absent combination is 0, not NULL (DuckDB
+        # count semantics; Spark's pivot leaves the gap NULL)
+        for e, a in aggs:
+            if not re.match(r"^\s*count\s*\(", e, re.I):
+                continue
+            for v in values:
+                c = str(v) if len(aggs) == 1 and a is None else (
+                    f"{v}_{a}"
+                )
+                res = res.withColumn(
+                    c, F.coalesce(self._safe_col(c), F.lit(0))
+                )
+        view = f"_pv_{uuid.uuid4().hex[:8]}"
+        res.createOrReplaceTempView(view)
+        return (
+            f"select * from {view}" + (f" {tail}" if tail else ""),
+            tviews + [view],
+        )
+
+    @staticmethod
+    def _pivot_literal(x: str):
+        x = x.strip()
+        if re.fullmatch(r"'(?:[^']|'')*'", x):
+            return x[1:-1].replace("''", "'")
+        if re.fullmatch(r"-?\d+", x):
+            return int(x)
+        if re.fullmatch(r"-?\d*\.\d+", x):
+            return float(x)
+        raise EngineError(
+            f"PIVOT IN list expects plain literals, got {x!r}"
+        )
+
+    def _unpivot_stmt_df(self, s: str) -> tuple[str, list[str]]:
+        df, rest, tviews = self._pivot_stmt_target(s, "unpivot")
+        into = self._find_top_level_keyword(rest, ("into",))
+        t = self._find_top_level_keyword(rest, ("order by", "limit"))
+        on_end = min(
+            (x[0] for x in (into, t) if x is not None),
+            default=len(rest),
+        )
+        on_text = rest[:on_end].strip()
+        tail = rest[t[0]:].strip() if t else ""
+        name_col, value_col = "name", "value"
+        if into:
+            into_end = t[0] if t else len(rest)
+            im = re.match(
+                r"^name\s+(\w+)\s+value\s+(.+)$",
+                rest[into[0] + len("into"): into_end].strip(),
+                re.I | re.S,
+            )
+            if not im:
+                raise EngineError(
+                    "UNPIVOT INTO expects NAME <col> VALUE <col>"
+                )
+            name_col = im.group(1)
+            vparts = _split_top_level(im.group(2))
+            if len(vparts) != 1:
+                raise EngineError(
+                    "grouped UNPIVOT (several VALUE columns) is not"
+                    " supported — unpivot one value per statement"
+                )
+            value_col = vparts[0].strip()
+        by_lower = {c.lower(): c for c in df.columns}
+        vcols = []
+        for c in _split_top_level(on_text):
+            rc = by_lower.get(c.strip().lower())
+            if rc is None:
+                raise EngineError(
+                    f"UNPIVOT column {c.strip()} not in the source"
+                )
+            vcols.append(rc)
+        ids = [c for c in df.columns if c not in vcols]
+        res = df.unpivot(
+            [self._safe_col(c) for c in ids],
+            [self._safe_col(c) for c in vcols],
+            name_col,
+            value_col,
+        ).filter(self._safe_col(value_col).isNotNull())
+        view = f"_upv_{uuid.uuid4().hex[:8]}"
+        res.createOrReplaceTempView(view)
+        return (
+            f"select * from {view}" + (f" {tail}" if tail else ""),
+            tviews + [view],
+        )
+
     def _rewrite_positional_join(
         self, stmt: str
     ) -> tuple[str, list[str]]:
@@ -6148,6 +6409,8 @@ class AnalyticsEngine:
         # later rewrite must not leak the views an earlier one created
         rewrite_views: list[str] = []
         try:
+            stmt, v = self._rewrite_pivot_statement(stmt)
+            rewrite_views += v
             stmt, v = self._bind_ctes_for_surfaces(stmt)
             rewrite_views += v
             # a WITH statement's unwrapped main may itself be
@@ -6197,6 +6460,7 @@ class AnalyticsEngine:
         views: list[str] = []
         try:
             for rw in (
+                self._rewrite_pivot_statement,
                 self._rewrite_star_exclude,
                 self._rewrite_fetch_first,
                 self._bind_ctes_for_surfaces,
@@ -6803,7 +7067,9 @@ class AnalyticsEngine:
             query, 0
         ) == len(query) - 1:
             query = query[1:-1].strip()
-        if not re.match(r"(select|with|values|table)\b", query, re.I):
+        if not re.match(
+            r"(select|with|values|table|pivot|unpivot)\b", query, re.I
+        ):
             raise EngineError(
                 "CREATE TABLE ... AS expects a SELECT query"
             )

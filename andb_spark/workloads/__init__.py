@@ -81,6 +81,13 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # re-evidenced this round by q_date_funcs (same untouched
     # passthrough path, relational.py:349-380) in this same window.
     "u_constraints",
+    # (a, late-r11) the DuckDB PIVOT STATEMENT form (dynamic value
+    # discovery; identical statement as the DuckDB-native oracle),
+    # never driver-graded. Its slot comes from q_cube, deferring to
+    # r12 with the grouping-sets machinery re-evidenced this round
+    # by q_rollup (same GROUPING SETS lowering, relational.py:
+    # 116,128) plus the grouping-sets fuzz arm in this same window.
+    "u_pivot_stmt",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -114,7 +121,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q19_or_of_ands",
     "q1_pricing_summary",
     "q4_priority_exists",
-    "q_cube",
     "q_date_funcs",
     "q_distinct",
     "q_function_scan",

@@ -976,6 +976,34 @@ def u_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("ctr_t").orderBy("k")
 
 
+def u_pivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's simplified PIVOT STATEMENT form
+    (api.py::_rewrite_pivot_statement — dynamic ON-value discovery
+    via one bounded distinct scan, lowered onto DataFrame
+    groupBy().pivot(): one shuffle with partial aggregation; count
+    aggregates coalesce to DuckDB's 0 fill): pivot ``orders`` status
+    across priorities with a multi-aggregate USING list (the
+    <value>_<alias> naming both engines share). The oracle is the
+    IDENTICAL statement on DuckDB's native PIVOT; the shape grid is
+    tests/test_parser_surfaces_differential.py::
+    test_pivot_statement_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_pv_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "pivot orders on o_orderstatus using"
+        " min(o_totalprice) as lo, count(*) as n"
+        " group by o_orderpriority order by o_orderpriority"
+    )
+    cols = r.columns
+    schema = ", ".join(
+        f"`{c}` " + ("string" if c == "o_orderpriority"
+                     else ("double" if c.endswith("_lo") else "bigint"))
+        for c in cols
+    )
+    return spark.createDataFrame(r.rows, schema)
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -1035,6 +1063,7 @@ QUERIES = {
     "u_create_macro": u_create_macro,
     "u_insert_or_replace": u_insert_or_replace,
     "u_constraints": u_constraints,
+    "u_pivot_stmt": u_pivot_stmt,
 }
 
 ORACLES = {
@@ -1139,6 +1168,11 @@ ORACLES = {
         SELECT k, v FROM ign
         WHERE k NOT IN (SELECT k FROM after_replace)
         ORDER BY k
+    """,
+    "u_pivot_stmt": """
+        PIVOT orders ON o_orderstatus USING
+        min(o_totalprice) AS lo, count(*) AS n
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "u_constraints": """
         WITH ins1 AS (

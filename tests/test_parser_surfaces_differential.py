@@ -2978,3 +2978,118 @@ def test_default_check_unique_matches_duckdb(spark, tmp_path):
     with pytest.raises(EngineError):
         eng2.execute("insert into u2 values (1, 1)")
     eng2.close()
+
+
+def test_pivot_statement_matches_duckdb(spark, tmp_path):
+    """DuckDB's simplified PIVOT / UNPIVOT STATEMENT forms
+    (api.py::_rewrite_pivot_statement — dynamic value discovery via
+    one bounded distinct scan, lowered onto DataFrame
+    groupBy().pivot()/unpivot(); the SQL-standard clauses stay native
+    passthrough): the IDENTICAL statement text through both engines
+    across the probed shapes — dynamic vs explicit IN values,
+    implicit vs explicit GROUP BY, multi-aggregate alias naming
+    (<value>_<alias>), no-USING count with 0 fill, NULL ON-values
+    excluded from discovery, int values as column names, UNPIVOT
+    NULL-row exclusion and default name/value columns, subquery
+    targets (UNPIVOT over a PIVOT), CTAS bodies, and trailing
+    clauses."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whpvt"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table sales (yr int, q varchar, amt int)",
+        "insert into sales values (2023,'q2',10),(2023,'q1',20),"
+        "(2024,NULL,30),(2024,'q1',40),(2024,'q2',5),(2024,'q2',7)",
+        "create table si (yr int, n int, amt int)",
+        "insert into si values (2023,2,10),(2023,1,20),(2024,1,40)",
+        "create table uu (id int, a int, b int)",
+        "insert into uu values (1, 10, NULL), (2, NULL, 20)",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    for sql in (
+        "pivot sales on q using sum(amt) order by yr",
+        "pivot sales on q using sum(amt) group by yr order by yr",
+        "pivot sales on q using sum(amt) as s, count(*) as c"
+        " group by yr order by yr",
+        "pivot sales on q in ('q1') using sum(amt) group by yr"
+        " order by yr",
+        # absent IN value: sum stays NULL, count fills 0
+        "pivot sales on q in ('q1','zz') using count(amt)"
+        " group by yr order by yr",
+        "pivot sales on q in ('q1','zz') using sum(amt)"
+        " group by yr order by yr",
+        # no USING: count(*) with 0 fill
+        "pivot sales on q group by yr order by yr",
+        # int ON values become column names
+        "pivot si on n using sum(amt) group by yr order by yr",
+        # inside a FROM subquery, filtered on a pivot column
+        "select * from (pivot sales on q using sum(amt) group by yr)"
+        " p where p.q1 > 25 order by yr",
+        # unpivot: NULL rows drop; INTO names; default names
+        "unpivot uu on a, b into name k value v order by id",
+        "unpivot uu on a, b order by id",
+        # round trip: unpivot over a pivot subquery
+        "unpivot (pivot sales on q using sum(amt) group by yr)"
+        " on q1, q2 into name quarter value amount"
+        " order by yr, quarter",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, sql
+        # column NAMES are the surface here — compare them too
+        ecols = eng.execute(f"describe {sql}").rows
+        dcols = con.execute(sql).description
+        assert [c[0] for c in ecols] == [d[0] for d in dcols], sql
+    # CTAS body
+    for run in (eng.execute, con.execute):
+        run(
+            "create table pvt as pivot sales on q using sum(amt)"
+            " group by yr"
+        )
+    sql = "select * from pvt order by yr"
+    assert eng.execute(sql).rows == con.execute(sql).fetchall()
+    # named refusals (engine) ≙ unsupported-or-different (documented)
+    for sql in (
+        "pivot sales on yr, q using sum(amt)",       # multi ON
+        "unpivot uu on a, b into name k value v1, v2",  # grouped
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+    eng.close()
+
+
+def test_semi_anti_join_matches_duckdb(surf_engines):
+    """Explicit SEMI JOIN / ANTI JOIN spellings (DuckDB): native in
+    BOTH engines (Spark's joinType grammar admits bare SEMI/ANTI), so
+    they pass through the rewrite layer untouched — the grid proves
+    the layer leaves them intact (an 'asof' literal, a column named
+    semi, a CTE source must not corrupt them) and that both engines
+    agree row-for-row, including only-left-columns projection and
+    USING-clause resolution."""
+    eng, con = surf_engines
+    for sql in (
+        "select * from fact semi join dim on fact.grp = dim.grp"
+        " and dim.grp > 4 order by fid",
+        "select * from fact anti join dim on fact.grp = dim.grp"
+        " and dim.grp > 4 order by fid",
+        "select fid, grp from fact semi join dim using (grp)"
+        " order by fid limit 9",
+        "select count(*) as n from fact anti join dim using (grp)",
+        # composes with WHERE + a string literal containing ' semi '
+        "select fid from fact semi join dim on fact.grp = dim.grp"
+        " where fact.st <> ' semi join ' order by fid limit 7",
+        # CTE sources
+        "with a as (select * from fact where amt > 100),"
+        " b as (select distinct grp from dim where grp % 2 = 0)"
+        " select a.fid from a semi join b on a.grp = b.grp"
+        " order by a.fid",
+        "with a as (select * from fact where amt > 100)"
+        " select a.fid from a anti join dim"
+        " on a.grp = dim.grp and dim.grp < 3 order by a.fid",
+    ):
+        assert (
+            eng.execute(sql).rows == con.execute(sql).fetchall()
+        ), sql
