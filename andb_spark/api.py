@@ -1042,6 +1042,7 @@ class AnalyticsEngine:
                 len(meta.get("columns", [])),
                 meta.get("vnum", 1),
                 bool(meta.get("matview_sql")),
+                meta.get("comment"),
             )
             for name, meta in sorted(self.catalog["tables"].items())
         ]
@@ -1051,6 +1052,7 @@ class AnalyticsEngine:
                 T.StructField("column_count", T.IntegerType(), False),
                 T.StructField("version", T.IntegerType(), False),
                 T.StructField("is_matview", T.BooleanType(), False),
+                T.StructField("comment", T.StringType(), True),
             ]
         )
         self.spark.createDataFrame(
@@ -1058,7 +1060,8 @@ class AnalyticsEngine:
         ).createOrReplaceTempView("andb_tables")
 
         cols_rows = [
-            (name, c["name"], i + 1, c["type"], bool(c.get("notnull")))
+            (name, c["name"], i + 1, c["type"], bool(c.get("notnull")),
+             c.get("comment"))
             for name, meta in sorted(self.catalog["tables"].items())
             for i, c in enumerate(meta.get("columns", []))
         ]
@@ -1069,6 +1072,7 @@ class AnalyticsEngine:
                 T.StructField("ordinal", T.IntegerType(), False),
                 T.StructField("type_name", T.StringType(), False),
                 T.StructField("notnull", T.BooleanType(), False),
+                T.StructField("comment", T.StringType(), True),
             ]
         )
         self.spark.createDataFrame(
@@ -1140,6 +1144,7 @@ class AnalyticsEngine:
                 name,
                 meta["sql"],
                 len(meta.get("columns", [])),
+                meta.get("comment"),
             )
             for name, meta in sorted(
                 self.catalog.get("views", {}).items()
@@ -1150,6 +1155,7 @@ class AnalyticsEngine:
                 T.StructField("view_name", T.StringType(), False),
                 T.StructField("sql", T.StringType(), False),
                 T.StructField("column_count", T.IntegerType(), False),
+                T.StructField("comment", T.StringType(), True),
             ]
         )
         self.spark.createDataFrame(
@@ -1587,7 +1593,7 @@ class AnalyticsEngine:
         single honest value and refuse by name; current_date/
         current_timestamp are query-constant and fold fine."""
         if re.search(
-            r"\b(rand|randn|random|uuid|shuffle|"
+            r"\b(rand|randn|random|uuid|shuffle|nextval|currval|"
             r"monotonically_increasing_id)\s*\(",
             _blank_literals(expr), re.I,
         ):
@@ -1614,6 +1620,388 @@ class AnalyticsEngine:
         # the read-path cast restores the declared type
         return "'" + str(v).replace("'", "''") + "'"
 
+    # ------------------------------------------------- sequences --
+    def _create_sequence(self, stmt: str) -> Result:
+        """CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name
+        [START [WITH] n] [INCREMENT [BY] n] [MINVALUE n] [MAXVALUE n]
+        (DuckDB): driver-held counter state in the catalog — the only
+        place a strictly monotonic per-row counter can live in a
+        distributed engine. CYCLE refuses by name (block allocation
+        and wraparound don't mix); exceeding MAXVALUE/MINVALUE raises
+        like DuckDB's "reached maximum value"."""
+        m = re.match(
+            r"create\s+(or\s+replace\s+)?sequence\s+"
+            r"(if\s+not\s+exists\s+)?(\w+)\s*(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse CREATE SEQUENCE: {stmt!r}")
+        orp, ine, name, opts = m.groups()
+        seqs = self.catalog.setdefault("sequences", {})
+        if name in seqs and ine:
+            return Result(
+                warning=f"sequence {name} already exists, skipped"
+            )
+        if name in seqs and not orp:
+            raise EngineError(f"sequence {name} already exists")
+        if re.search(r"\bcycle\b", opts or "", re.I) and not re.search(
+            r"\bno\s+cycle\b", opts or "", re.I
+        ):
+            raise EngineError(
+                "CREATE SEQUENCE ... CYCLE is not supported (block"
+                " allocation cannot wrap); use NO CYCLE"
+            )
+        seq = {"start": 1, "inc": 1, "min": None, "max": None}
+        for kw, key in (
+            (r"start(?:\s+with)?", "start"),
+            (r"increment(?:\s+by)?", "inc"),
+            (r"minvalue", "min"),
+            (r"maxvalue", "max"),
+        ):
+            km = re.search(rf"\b{kw}\s+(-?\d+)", opts or "", re.I)
+            if km:
+                seq[key] = int(km.group(1))
+        if seq["inc"] == 0:
+            raise EngineError("sequence INCREMENT must be non-zero")
+        if seq["inc"] < 0 and not re.search(
+            r"\bstart\b", opts or "", re.I
+        ):
+            seq["start"] = -1  # DuckDB: descending defaults start -1
+        seq["current"] = None  # advances on first nextval
+        seqs[name] = seq
+        self._save_catalog()
+        return Result()
+
+    def _drop_sequence(self, stmt: str) -> Result:
+        m = re.match(
+            r"drop\s+sequence\s+(if\s+exists\s+)?(\w+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise EngineError(f"cannot parse DROP SEQUENCE: {stmt!r}")
+        ife, name = m.groups()
+        seqs = self.catalog.setdefault("sequences", {})
+        if name not in seqs:
+            if ife:
+                return Result(warning=f"sequence {name} does not exist")
+            raise EngineError(f"sequence {name} does not exist")
+        del seqs[name]
+        self._save_catalog()
+        return Result()
+
+    def _seq_next_block(self, name: str, n: int) -> int:
+        """Reserve ``n`` successive sequence values; returns the FIRST.
+        The bound check covers the whole block (DuckDB parity error).
+        Reservation persists immediately — like DuckDB, a failed
+        statement does not roll a sequence back."""
+        seqs = self.catalog.setdefault("sequences", {})
+        if name not in seqs:
+            raise EngineError(f"sequence {name} does not exist")
+        s = seqs[name]
+        first = (
+            s["start"] if s["current"] is None
+            else s["current"] + s["inc"]
+        )
+        last = first + s["inc"] * (n - 1)
+        if s["inc"] > 0 and s["max"] is not None and last > s["max"]:
+            raise EngineError(
+                f"sequence {name} reached maximum value ({s['max']})"
+            )
+        if s["inc"] < 0 and s["min"] is not None and last < s["min"]:
+            raise EngineError(
+                f"sequence {name} reached minimum value ({s['min']})"
+            )
+        if n > 0:
+            s["current"] = last
+            self._save_catalog()
+        return first
+
+    def _seq_currval(self, name: str) -> int:
+        seqs = self.catalog.setdefault("sequences", {})
+        if name not in seqs:
+            raise EngineError(f"sequence {name} does not exist")
+        if seqs[name]["current"] is None:
+            raise EngineError(
+                f"currval: sequence {name} has not been used yet"
+            )
+        return seqs[name]["current"]
+
+    _NEXTVAL_RE = re.compile(
+        r"\b(nextval|currval)\s*\(\s*'(\w+)'\s*\)", re.I
+    )
+
+    def _seq_calls(self, text: str) -> list[re.Match]:
+        """nextval/currval call sites in ``text`` whose function
+        token sits OUTSIDE string literals (the sequence-name
+        argument is itself a literal, so the match runs on the
+        original text and the blank only vets the function token —
+        a 'nextval(' inside a string must not count)."""
+        b = _blank_literals(text)
+        return [
+            cm for cm in self._NEXTVAL_RE.finditer(text)
+            if b[cm.start(1):cm.end(1)] == text[cm.start(1):cm.end(1)]
+        ]
+
+    def _sub_sequence_calls(self, text: str, rows: int = 1) -> str:
+        """Substitute nextval('s') / currval('s') calls with allocated
+        literals — the scalar path (SELECT without FROM, VALUES
+        tuples: the row count is known at plan time, so each textual
+        occurrence advances once per row in left-to-right order,
+        DuckDB's evaluation order). ``rows`` > 1 means the SAME text
+        evaluates once per row (a VALUES tuple list substitutes
+        per-tuple instead — callers pass each tuple separately)."""
+        calls = self._seq_calls(text)
+        if not calls:
+            return text
+        out, pos = [], 0
+        for cm in calls:
+            out.append(text[pos:cm.start()])
+            fn, name = cm.group(1).lower(), cm.group(2)
+            if fn == "nextval":
+                v = self._seq_next_block(name, rows)
+            else:
+                v = self._seq_currval(name)
+            out.append(str(v))
+            pos = cm.end()
+        out.append(text[pos:])
+        return "".join(out)
+
+    def _seq_default_fill(
+        self, df: DataFrame, colname: str, dt, seqname: str
+    ) -> tuple[DataFrame, int | None]:
+        """Fill a DEFAULT nextval('seq') column over an UNKNOWN-count
+        source: dense 0-based index via the distributed zipWithIndex
+        construction (``_zip_index`` — two passes, no global window),
+        then first + inc * idx. The block reserves AFTER the count is
+        known (the localCheckpoint inside _zip_index pins the rows,
+        so the fill and the reservation see the same count)."""
+        seqs = self.catalog.setdefault("sequences", {})
+        if seqname not in seqs:
+            raise EngineError(f"sequence {seqname} does not exist")
+        idx = f"_seq_{uuid.uuid4().hex[:6]}"
+        d = self._zip_index(df, idx)
+        n = d.count() if not self._planning else 0
+        first = self._seq_next_block(seqname, n) if n else (
+            seqs[seqname]["start"]
+        )
+        inc = seqs[seqname]["inc"]
+        return (
+            d.withColumn(
+                colname,
+                # _zip_index is 1-based: first + inc * (idx - 1)
+                (
+                    F.lit(first) + F.lit(inc) * (F.col(idx) - F.lit(1))
+                ).cast(dt),
+            ).drop(idx),
+            n,
+        )
+
+    def _rewrite_sequence_calls(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """Scalar sequence-call substitution in the SELECT pipeline:
+        nextval/currval over a no-FROM statement (or currval
+        anywhere — it reads without advancing) substitute to
+        literals. nextval over a FROM query refuses by name: the
+        per-row counter belongs on the table as ``DEFAULT
+        nextval('s')``, where the dense-index fill implements it
+        distributed (``_seq_default_fill``)."""
+        calls = self._seq_calls(stmt)
+        if not calls:
+            return stmt, []
+        b = _blank_literals(stmt)
+        has_next = any(
+            c.group(1).lower() == "nextval" for c in calls
+        )
+        if has_next and re.search(r"\bfrom\b", b, re.I):
+            raise EngineError(
+                "nextval over a FROM query is not supported —"
+                " declare the column DEFAULT nextval('seq') and omit"
+                " it from the INSERT instead"
+            )
+        return self._sub_sequence_calls(stmt), []
+
+    def _sub_values_sequences(self, vtext: str) -> str:
+        """Per-tuple sequence substitution in a VALUES list: each row
+        evaluates its nextval calls independently, in row order
+        (DuckDB's evaluation order)."""
+        if not self._seq_calls(vtext):
+            return vtext
+        body = vtext.strip()
+        if not re.match(r"values\b", body, re.I):
+            return vtext
+        out = [
+            self._sub_sequence_calls(row)
+            for row in _split_top_level(body[6:])
+        ]
+        return "values " + ", ".join(out)
+
+    def _sequence_defaults(self, name: str) -> dict[str, str]:
+        """Columns whose DEFAULT is a bare nextval('seq') call, by
+        lowercase column name → sequence name. Expression-wrapped
+        sequence defaults (nextval(..) + 1) refuse at fill time."""
+        out: dict[str, str] = {}
+        for c in self._meta(name).get("columns", []):
+            d = c.get("default")
+            if d is None:
+                continue
+            m = re.fullmatch(
+                r"nextval\s*\(\s*'(\w+)'\s*\)", d.strip(), re.I
+            )
+            if m:
+                out[c["name"].lower()] = m.group(1)
+            elif self._seq_calls(d):
+                raise EngineError(
+                    f"DEFAULT on {c['name']} composes nextval inside"
+                    " an expression — only a bare nextval('seq')"
+                    " default is supported"
+                )
+        return out
+
+    def _comment_on(self, stmt: str) -> Result:
+        """COMMENT ON TABLE/VIEW/COLUMN <target> IS '<text>' | NULL
+        (DuckDB): driver-side catalog metadata — the comment persists
+        in the table/view/column entry and surfaces through the
+        system views (andb_tables.comment, andb_columns.comment,
+        andb_views.comment — the duckdb_tables()/duckdb_columns()
+        analog). IS NULL clears. Strict kinds, like DROP: COMMENT ON
+        TABLE refuses a view and vice versa."""
+        m = re.match(
+            r"comment\s+on\s+(table|view|column)\s+([\w.]+)\s+is\s+"
+            r"(null|'(?:[^']|'')*')\s*$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise EngineError(f"cannot parse COMMENT ON: {stmt!r}")
+        kind, target, val = (
+            m.group(1).lower(), m.group(2), m.group(3)
+        )
+        text = (
+            None if val.lower() == "null"
+            else val[1:-1].replace("''", "'")
+        )
+        if kind == "table":
+            if target in self.catalog.get("views", {}):
+                raise EngineError(
+                    f"{target} is a view — use COMMENT ON VIEW"
+                )
+            self._meta(target)["comment"] = text
+        elif kind == "view":
+            if target not in self.catalog.get("views", {}):
+                if target in self.catalog["tables"]:
+                    raise EngineError(
+                        f"{target} is a table — use COMMENT ON TABLE"
+                    )
+                raise EngineError(f"view {target} does not exist")
+            self.catalog["views"][target]["comment"] = text
+        else:
+            tname, _, cname = target.partition(".")
+            if not cname:
+                raise EngineError(
+                    "COMMENT ON COLUMN expects table.column"
+                )
+            meta = self._meta(tname)
+            col = next(
+                (
+                    c for c in meta.get("columns", [])
+                    if c["name"].lower() == cname.lower()
+                ),
+                None,
+            )
+            if col is None:
+                raise EngineError(
+                    f"column {cname} not in {tname}"
+                )
+            col["comment"] = text
+        self._save_catalog()
+        self._sysviews_dirty = True
+        return Result()
+
+    def _summarize(self, stmt: str) -> Result:
+        """SUMMARIZE <table | query> (DuckDB's exploration statement):
+        per-column min / max / distinct_count / avg / std / q25 / q50
+        / q75 / count / null_percentage, computed in ONE aggregation
+        pass over the source (Spark's Expand handles the per-column
+        exact distincts; percentiles are Spark's exact sort-based
+        percentile()). Declared divergences from DuckDB, by design:
+        distinct_count is EXACT where DuckDB's approx_unique is an
+        HLL estimate, and the quantiles are exact where DuckDB
+        samples — the engine favors exactness since the pass is
+        column-parallel either way; stats render typed (doubles),
+        not VARCHAR."""
+        m = re.match(r"summarize\s+(.*)$", stmt, re.I | re.S)
+        if not m or not m.group(1).strip():
+            raise EngineError(f"cannot parse SUMMARIZE: {stmt!r}")
+        body = m.group(1).strip()
+        views: list[str] = []
+        if re.fullmatch(r"\w+", body):
+            df = self.spark.table(body)
+        else:
+            df, views = self._plan_engine_select(body)
+        try:
+            fields = df.schema.fields
+            aggs = [F.count(F.lit(1)).alias("__total")]
+            for i, f in enumerate(fields):
+                c = self._safe_col(f.name)
+                aggs += [
+                    F.min(c).cast("string").alias(f"min_{i}"),
+                    F.max(c).cast("string").alias(f"max_{i}"),
+                    F.countDistinct(c).alias(f"nd_{i}"),
+                    F.count(c).alias(f"cnt_{i}"),
+                ]
+                if isinstance(f.dataType, T.NumericType):
+                    qc = (
+                        f.name if re.fullmatch(r"\w+", f.name)
+                        else f"`{f.name}`"
+                    )
+                    aggs += [
+                        F.avg(c).cast("double").alias(f"avg_{i}"),
+                        F.stddev(c).cast("double").alias(f"std_{i}"),
+                        F.expr(
+                            f"percentile({qc},"
+                            " array(0.25, 0.5, 0.75))"
+                        ).alias(f"q_{i}"),
+                    ]
+            row = df.agg(*aggs).collect()[0]
+            total = row["__total"]
+            rows = []
+            for i, f in enumerate(fields):
+                numeric = isinstance(f.dataType, T.NumericType)
+                q = row[f"q_{i}"] if numeric else None
+                rows.append((
+                    f.name,
+                    f.dataType.simpleString(),
+                    row[f"min_{i}"],
+                    row[f"max_{i}"],
+                    row[f"nd_{i}"],
+                    row[f"avg_{i}"] if numeric else None,
+                    row[f"std_{i}"] if numeric else None,
+                    float(q[0]) if q and q[0] is not None else None,
+                    float(q[1]) if q and q[1] is not None else None,
+                    float(q[2]) if q and q[2] is not None else None,
+                    total,
+                    (
+                        round(100.0 * (total - row[f"cnt_{i}"]) / total, 2)
+                        if total else None
+                    ),
+                ))
+            return Result(
+                columns=[
+                    "column_name", "column_type", "min", "max",
+                    "distinct_count", "avg", "std", "q25", "q50",
+                    "q75", "count", "null_percentage",
+                ],
+                types=[
+                    "string", "string", "string", "string", "bigint",
+                    "double", "double", "double", "double", "double",
+                    "bigint", "double",
+                ],
+                rows=rows,
+                effect_rows=len(rows),
+            )
+        finally:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+
     def _column_defaults(self, name: str) -> dict[str, F.Column]:
         """Declared DEFAULT expressions by lowercase column name, as
         unevaluated Columns — a default is an arbitrary (usually
@@ -1626,6 +2014,9 @@ class AnalyticsEngine:
             c["name"].lower(): F.expr(c["default"])
             for c in meta.get("columns", [])
             if c.get("default") is not None
+            # sequence defaults fill via _seq_default_fill (dense
+            # index), not as a Spark expression
+            and not self._seq_calls(c["default"])
         }
 
     def _sub_default_keyword(
@@ -2051,6 +2442,18 @@ class AnalyticsEngine:
                 r = self._explain(stmt)
             elif head == "COPY":
                 r = self._copy(stmt)
+            elif head == "CREATE" and re.match(
+                r"create\s+(?:or\s+replace\s+)?sequence\b", stmt, re.I
+            ):
+                r = self._create_sequence(stmt)
+            elif head == "DROP" and re.match(
+                r"drop\s+sequence\b", stmt, re.I
+            ):
+                r = self._drop_sequence(stmt)
+            elif head == "COMMENT":
+                r = self._comment_on(stmt)
+            elif head == "SUMMARIZE":
+                r = self._summarize(stmt)
             elif head == "CHECKPOINT":
                 self.spark.catalog.clearCache()
                 r = Result()
@@ -6409,6 +6812,8 @@ class AnalyticsEngine:
         # later rewrite must not leak the views an earlier one created
         rewrite_views: list[str] = []
         try:
+            stmt, v = self._rewrite_sequence_calls(stmt)
+            rewrite_views += v
             stmt, v = self._rewrite_pivot_statement(stmt)
             rewrite_views += v
             stmt, v = self._bind_ctes_for_surfaces(stmt)
@@ -6460,6 +6865,7 @@ class AnalyticsEngine:
         views: list[str] = []
         try:
             for rw in (
+                self._rewrite_sequence_calls,
                 self._rewrite_pivot_statement,
                 self._rewrite_star_exclude,
                 self._rewrite_fetch_first,
@@ -8535,10 +8941,12 @@ class AnalyticsEngine:
                     " VALUES list has no column names to match)"
                 )
             # bare DEFAULT items substitute to the declared default
-            # expression before any planning (DuckDB VALUES grammar)
+            # expression before any planning (DuckDB VALUES grammar);
+            # then sequence calls allocate per tuple, in row order
             tail = self._sub_default_keyword(
                 name, collist or target_cols, tail
             )
+            tail = self._sub_values_sequences(tail)
             n = self._try_literal_append(
                 name, schema, collist or target_cols,
                 re.sub(r"^values\s*", "", tail, count=1, flags=re.I),
@@ -8604,14 +9012,24 @@ class AnalyticsEngine:
                 )
             src = src.toDF(*cols)
         # missing columns → their declared DEFAULT (NULL without one),
-        # then order + cast to the table schema
+        # then order + cast to the table schema; a bare
+        # nextval('seq') default fills via the distributed dense
+        # index (the surrogate-key path — INSERT..SELECT with the key
+        # column omitted works at any scale)
         defaults = self._column_defaults(name)
+        seq_defaults = self._sequence_defaults(name)
         for f in schema.fields:
             if f.name not in cols:
-                src = src.withColumn(
-                    f.name, defaults.get(f.name.lower(),
-                                         F.lit(None)).cast(f.dataType)
-                )
+                if f.name.lower() in seq_defaults:
+                    src, _ = self._seq_default_fill(
+                        src, f.name, f.dataType,
+                        seq_defaults[f.name.lower()],
+                    )
+                else:
+                    src = src.withColumn(
+                        f.name, defaults.get(f.name.lower(),
+                                             F.lit(None)).cast(f.dataType)
+                    )
         src = src.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
@@ -9038,13 +9456,20 @@ class AnalyticsEngine:
             # ON CONFLICT upsert lowered onto MERGE keeps default
             # parity for freshly inserted keys
             _dflt = self._column_defaults(target)
+            _seqd = self._sequence_defaults(target)
             for f in schema.fields:
                 if f.name not in insert_cols:
-                    ins = ins.withColumn(
-                        f.name,
-                        _dflt.get(f.name.lower(),
-                                  F.lit(None)).cast(f.dataType),
-                    )
+                    if f.name.lower() in _seqd:
+                        ins, _ = self._seq_default_fill(
+                            ins, f.name, f.dataType,
+                            _seqd[f.name.lower()],
+                        )
+                    else:
+                        ins = ins.withColumn(
+                            f.name,
+                            _dflt.get(f.name.lower(),
+                                      F.lit(None)).cast(f.dataType),
+                        )
             parts.append(
                 ins.select(
                     *[
@@ -9567,7 +9992,14 @@ class AnalyticsEngine:
             value = val.strip()
             if re.fullmatch(r"default", value, re.I):
                 # SET col = DEFAULT (DuckDB/Postgres): the declared
-                # default expression, NULL without one
+                # default expression, NULL without one. Sequence
+                # defaults refuse: the matched-row count is unknown
+                # until the CoW scan, no block to allocate here.
+                if target.name.lower() in self._sequence_defaults(name):
+                    raise EngineError(
+                        f"SET {target.name} = DEFAULT on a sequence"
+                        " default is not supported"
+                    )
                 new_val = self._column_defaults(name).get(
                     target.name.lower(), F.lit(None)
                 )
