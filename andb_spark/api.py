@@ -1857,6 +1857,36 @@ class AnalyticsEngine:
                 )
         return out
 
+    # ------------------------------------------------- RETURNING --
+    def _split_returning(self, stmt: str) -> tuple[str, str | None]:
+        """Strip a top-level trailing RETURNING <projection> from a
+        DML statement (DuckDB/Postgres). Returns (dml, projection) —
+        projection None when absent."""
+        f = self._find_top_level_keyword(stmt, ("returning",))
+        if f is None:
+            return stmt, None
+        proj = stmt[f[0] + len("returning"):].strip()
+        if not proj:
+            raise EngineError("RETURNING needs a projection")
+        return stmt[: f[0]].rstrip(), proj
+
+    def _returning_result(
+        self, df: DataFrame, proj: str, effect_rows: int
+    ) -> Result:
+        """Shape a RETURNING result: the projection items evaluate
+        over the affected-row frame (post-image for INSERT/UPDATE,
+        pre-image for DELETE — the caller picks the frame; the
+        versioned write makes the pre-image free, old files are
+        immutable). Row order is engine scan order, like DuckDB's."""
+        items = _split_top_level(proj)
+        out = df.selectExpr(*items)
+        return Result(
+            columns=list(out.columns),
+            types=[f.dataType.simpleString() for f in out.schema.fields],
+            rows=[tuple(r) for r in out.collect()],
+            effect_rows=effect_rows,
+        )
+
     def _comment_on(self, stmt: str) -> Result:
         """COMMENT ON TABLE/VIEW/COLUMN <target> IS '<text>' | NULL
         (DuckDB): driver-side catalog metadata — the comment persists
@@ -8866,6 +8896,53 @@ class AnalyticsEngine:
         )
 
     def _insert(self, stmt: str) -> Result:
+        # RETURNING (DuckDB/Postgres): run the plain INSERT, then
+        # project the rows of the freshly committed segment(s) — the
+        # manifest diff identifies them exactly, no re-execution of
+        # the source. Upsert spellings refuse by name (their
+        # MERGE lowering has no single inserted-segment identity).
+        stmt, _returning = self._split_returning(stmt)
+        if _returning is not None:
+            if re.match(r"insert\s+or\s+", stmt, re.I) or (
+                self._find_top_level_keyword(
+                    _blank_literals(stmt), ("on conflict",)
+                )
+            ):
+                raise EngineError(
+                    "RETURNING is not supported on ON CONFLICT /"
+                    " OR REPLACE / OR IGNORE inserts"
+                )
+            tm = re.match(r"insert\s+into\s+(\w+)", stmt, re.I)
+            if not tm:
+                raise EngineError(f"cannot parse INSERT: {stmt!r}")
+            tname = tm.group(1)
+            before = set(self._segments_of(self._meta(tname)))
+            # hold auto-compaction until the projection collected —
+            # a fold would merge old rows into the "new" segment and
+            # poison the manifest diff
+            saved_ac = self.session_vars.get("andb.auto_compact")
+            self.session_vars["andb.auto_compact"] = "0"
+            try:
+                r = self._insert(stmt)
+                new = [
+                    os.path.join(self.warehouse, tname, e)
+                    for e in self._segments_of(self._meta(tname))
+                    if e not in before
+                ]
+                if not new:  # zero-row insert
+                    frame = self._read_table(tname).filter(F.lit(False))
+                else:
+                    frame = self._read_files(tname, new)
+                out = self._returning_result(
+                    frame, _returning, r.effect_rows
+                )
+            finally:
+                if saved_ac is None:
+                    self.session_vars.pop("andb.auto_compact", None)
+                else:
+                    self.session_vars["andb.auto_compact"] = saved_ac
+            self._maybe_auto_compact(tname)
+            return out
         # INSERT OR REPLACE / OR IGNORE (DuckDB spellings) lower onto
         # the ON CONFLICT machinery with the PRIMARY KEY as the target
         orr = re.match(
@@ -9794,6 +9871,16 @@ class AnalyticsEngine:
         return n
 
     def _delete(self, stmt: str) -> Result:
+        # RETURNING (DuckDB/Postgres): pre-image of the deleted rows
+        # — free from the old affected files (immutable after the
+        # versioned commit). Join-DELETE (USING) refuses by name.
+        stmt, _returning = self._split_returning(stmt)
+        if _returning is not None and re.match(
+            r"delete\s+from\s+\w+\s+using\b", stmt, re.I
+        ):
+            raise EngineError(
+                "RETURNING is not supported on DELETE ... USING"
+            )
         # DELETE FROM t USING s WHERE cond (Postgres/DuckDB join
         # delete): translated onto the MERGE machinery — same
         # join-driven copy-on-write plan (semi join finds affected
@@ -9840,6 +9927,18 @@ class AnalyticsEngine:
         name, cond = m.group(1), m.group(2)
         self._writable_meta(name)
         if not cond:  # truncate-shaped: count, then one empty commit
+            if _returning is not None:
+                # pre-image = the whole table; project BEFORE the
+                # empty commit (one scan — an unfiltered DELETE
+                # RETURNING asked for every row back)
+                ret = self._returning_result(
+                    self._read_table(name), _returning, 0
+                )
+                self._stage_empty(name)
+                self._commit_staged(name)
+                self._maybe_auto_refresh(name)
+                ret.effect_rows = len(ret.rows)
+                return ret
             before = self._read_table(name).count()
             self._stage_empty(name)
             self._commit_staged(name)
@@ -9861,17 +9960,34 @@ class AnalyticsEngine:
                 name, condition, cond
             )
             if n_matched == 0:
+                if _returning is not None:
+                    return self._returning_result(
+                        self._read_table(name).filter(F.lit(False)),
+                        _returning, 0,
+                    )
                 return Result(effect_rows=0)  # no write at all
             kept_rows = self._read_files(name, affected).filter(~condition)
             self._stage_version(name, kept_rows, base=keep)
             self._commit_staged(name)
             self._maybe_auto_refresh(name)  # CoW broke lineage → full
+            if _returning is not None:
+                # pre-image of the deleted rows, from the old
+                # affected files (still on disk — immutable history)
+                return self._returning_result(
+                    self._read_files(name, affected).filter(condition),
+                    _returning, n_matched,
+                )
             return Result(effect_rows=n_matched)
         finally:
             for v in qviews:
                 self.spark.catalog.dropTempView(v)
 
     def _update(self, stmt: str) -> Result:
+        # RETURNING (DuckDB/Postgres): post-image of the updated rows
+        # — computed from the OLD affected files (immutable, free
+        # pre-image) re-projected through the SET map. Join-UPDATE
+        # (FROM) refuses by name.
+        stmt, _returning = self._split_returning(stmt)
         # UPDATE t SET ... FROM s WHERE cond (Postgres/DuckDB join
         # update): translated onto MERGE's join-driven copy-on-write
         # plan. SET expressions may reference source columns
@@ -9919,6 +10035,11 @@ class AnalyticsEngine:
                             " table/view source and a WHERE join"
                             " condition"
                         )
+                    if _returning is not None:
+                        raise EngineError(
+                            "RETURNING is not supported on"
+                            " UPDATE ... FROM"
+                        )
                     return self._merge(
                         f"merge into {hm.group(1)} using {sm.group(1)}"
                         f" on {sm.group(2)}"
@@ -9948,21 +10069,30 @@ class AnalyticsEngine:
                 cond, qviews = self._lift_engine_subqueries(cond)
                 cond, v = self._rewrite_quantified(cond)
                 qviews += v
-            return self._update_resolved(name, setlist, cond)
+            return self._update_resolved(
+                name, setlist, cond, _returning
+            )
         finally:
             for v in qviews:
                 self.spark.catalog.dropTempView(v)
 
     def _update_resolved(
-        self, name: str, setlist: str, cond: str | None
+        self, name: str, setlist: str, cond: str | None,
+        returning: str | None = None,
     ) -> Result:
         condition = F.expr(cond) if cond else F.lit(True)
+        affected: list[str] = []
         if cond:
             # copy-on-write: rewrite only files containing matched rows
             n_hit, keep, affected = self._cow_split(
                 name, F.coalesce(condition, F.lit(False)), cond
             )
             if n_hit == 0:
+                if returning is not None:
+                    return self._returning_result(
+                        self._read_table(name).filter(F.lit(False)),
+                        returning, 0,
+                    )
                 return Result(effect_rows=0)
             df = self._read_files(name, affected)
         else:
@@ -10018,7 +10148,28 @@ class AnalyticsEngine:
         n = self._stage_version(name, df, base=keep)
         self._commit_staged(name)
         self._maybe_auto_refresh(name)  # CoW broke lineage → full path
-        return Result(effect_rows=n_hit if n_hit is not None else n)
+        eff = n_hit if n_hit is not None else n
+        if returning is not None:
+            # post-image of the UPDATED rows: the old affected files
+            # are immutable (the version that referenced them just
+            # became history), so the pre-image filter + SET
+            # projection re-derive exactly the written values — one
+            # extra scan bounded to the affected files
+            if cond:
+                old = self._read_files(name, affected).filter(
+                    F.coalesce(condition, F.lit(False))
+                )
+            else:
+                old = self._read_table(name)  # post-commit = post-image
+                return self._returning_result(old, returning, eff)
+            post = old.select(
+                *[
+                    assigned.get(f.name, F.col(f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            return self._returning_result(post, returning, eff)
+        return Result(effect_rows=eff)
 
 
 def _columns_from_schema(schema: T.StructType) -> list[dict]:

@@ -3323,3 +3323,52 @@ def test_sequences_match_duckdb(spark, tmp_path):
         eng2.execute("drop sequence sq")
     eng2.execute("drop sequence if exists sq")  # no-op
     eng2.close()
+
+
+def test_returning_matches_duckdb(spark, tmp_path):
+    """RETURNING on INSERT/UPDATE/DELETE (DuckDB/Postgres;
+    api.py::_split_returning + _returning_result): INSERT projects
+    the freshly committed segment (manifest diff — no source
+    re-execution), UPDATE the post-image re-derived from the OLD
+    affected files through the SET map, DELETE the pre-image — all
+    free because the versioned write keeps old files immutable; the
+    extra scan is bounded to the affected files. IDENTICAL
+    statements through both engines, compared set-wise (row order is
+    scan order on both). Defaults and sequences land in the
+    projection (the insert returns the filled values)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whret"), spark=spark)
+    con = duckdb.connect()
+    for s in (
+        "create sequence sq",
+        "create table t (k int default nextval('sq'), v int,"
+        " w varchar default 'x')",
+    ):
+        eng.execute(s)
+        con.execute(s)
+    for sql in (
+        "insert into t (v) values (10), (20) returning *",
+        "insert into t (v) values (30) returning k, v * 2 as dbl",
+        "update t set v = v + 1 where v >= 20 returning *",
+        "update t set v = v + 1 where v = 999 returning k",  # 0 rows
+        "delete from t where v > 25 returning k, v",
+        "insert into t (v) select 50 returning *",
+        "update t set w = upper(w) returning k, w",  # unconditional
+        "delete from t returning k, v",              # unfiltered
+        "select * from t order by k",
+    ):
+        er = eng.execute(sql)
+        dr = con.execute(sql)
+        drows = dr.fetchall()
+        assert sorted(map(tuple, er.rows)) == sorted(drows), sql
+        assert er.columns == [d[0] for d in dr.description], sql
+    # refusals: the MERGE-lowered paths have no single affected-row
+    # identity — loud, never silent
+    for sql in (
+        "insert or ignore into t (v) values (1) returning *",
+        "insert into t (v) values (1) on conflict (k) do nothing"
+        " returning *",
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
