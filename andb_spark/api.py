@@ -1857,6 +1857,95 @@ class AnalyticsEngine:
                 )
         return out
 
+    # ---------------------------------------- prepared statements --
+    def _prepare(self, stmt: str) -> Result:
+        """PREPARE name AS <statement> (DuckDB/Postgres): session-
+        scoped statement templates with ``$1``/``?`` positional or
+        ``$name`` named parameters, substituted as SQL literals at
+        EXECUTE and planned through the FULL engine pipeline — so a
+        prepared QUALIFY / PIVOT / BY NAME statement works like any
+        other. Re-PREPARE overwrites (DuckDB-probed); state is
+        session-only, like DuckDB's."""
+        m = re.match(
+            r"prepare\s+(\w+)\s+as\s+(.+)$", stmt, re.I | re.S
+        )
+        if not m:
+            raise EngineError(f"cannot parse PREPARE: {stmt!r}")
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+        self._prepared[m.group(1)] = m.group(2).strip()
+        return Result()
+
+    def _execute_prepared(self, stmt: str) -> Result:
+        m = re.match(
+            r"execute\s+(\w+)\s*(?:\((.*)\))?\s*$", stmt, re.I | re.S
+        )
+        if not m:
+            raise EngineError(f"cannot parse EXECUTE: {stmt!r}")
+        name, argtext = m.group(1), m.group(2)
+        store = getattr(self, "_prepared", {})
+        if name not in store:
+            raise EngineError(
+                f'prepared statement "{name}" does not exist'
+            )
+        body = store[name]
+        pos_args: list[str] = []
+        named_args: dict[str, str] = {}
+        if argtext and argtext.strip():
+            for item in _split_top_level(argtext):
+                nm = re.match(r"^(\w+)\s*:=\s*(.+)$", item.strip(), re.S)
+                if nm:
+                    named_args[nm.group(1).lower()] = nm.group(2).strip()
+                else:
+                    pos_args.append(item.strip())
+        # substitute on the blanked scan ($/? inside string literals
+        # stay untouched); each arg splices verbatim as a SQL literal
+        blanked = _blank_literals(body)
+        out: list[str] = []
+        pos = 0
+        next_q = 0  # successive ?-parameters
+
+        def take(idx: int) -> str:
+            if idx >= len(pos_args):
+                raise EngineError(
+                    f"prepared statement {name}: parameter"
+                    f" ${idx + 1} has no value"
+                )
+            return pos_args[idx]
+
+        for pm in re.finditer(r"\$(\w+)|\?", blanked):
+            out.append(body[pos:pm.start()])
+            if pm.group(0) == "?":
+                out.append(take(next_q))
+                next_q += 1
+            elif pm.group(1).isdigit():
+                out.append(take(int(pm.group(1)) - 1))
+            else:
+                key = pm.group(1).lower()
+                if key not in named_args:
+                    raise EngineError(
+                        f"prepared statement {name}: parameter"
+                        f" ${pm.group(1)} has no value"
+                    )
+                out.append(named_args[key])
+            pos = pm.end()
+        out.append(body[pos:])
+        return self.execute("".join(out))
+
+    def _deallocate(self, stmt: str) -> Result:
+        m = re.match(
+            r"deallocate\s+(?:prepare\s+)?(\w+)\s*$", stmt, re.I
+        )
+        if not m:
+            raise EngineError(f"cannot parse DEALLOCATE: {stmt!r}")
+        store = getattr(self, "_prepared", {})
+        if m.group(1) not in store:
+            raise EngineError(
+                f'prepared statement "{m.group(1)}" does not exist'
+            )
+        del store[m.group(1)]
+        return Result()
+
     # ------------------------------------------------- RETURNING --
     def _split_returning(self, stmt: str) -> tuple[str, str | None]:
         """Strip a top-level trailing RETURNING <projection> from a
@@ -2480,6 +2569,12 @@ class AnalyticsEngine:
                 r"drop\s+sequence\b", stmt, re.I
             ):
                 r = self._drop_sequence(stmt)
+            elif head == "PREPARE":
+                r = self._prepare(stmt)
+            elif head == "EXECUTE":
+                r = self._execute_prepared(stmt)
+            elif head == "DEALLOCATE":
+                r = self._deallocate(stmt)
             elif head == "COMMENT":
                 r = self._comment_on(stmt)
             elif head == "SUMMARIZE":

@@ -3372,3 +3372,61 @@ def test_returning_matches_duckdb(spark, tmp_path):
     ):
         with pytest.raises(EngineError):
             eng.execute(sql)
+
+
+def test_prepare_execute_matches_duckdb(spark, tmp_path):
+    """PREPARE / EXECUTE / DEALLOCATE (DuckDB/Postgres;
+    api.py::_prepare — session-scoped templates; parameters splice as
+    SQL literals on the blanked scan, so $/? inside string literals
+    survive, and the substituted statement re-enters execute(), so
+    engine-only SQL prepares too): IDENTICAL statements through both
+    engines across $n positional, ? positional, $name named, no-arg,
+    re-PREPARE overwrite, and DEALLOCATE."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whprep"), spark=spark)
+    con = duckdb.connect()
+    setup = (
+        "create table t (a int, b varchar)",
+        "insert into t values (1,'x'),(2,'y'),(3,'z$1?')",
+        "prepare q1 as select * from t where a > $1 order by a",
+        "prepare q2 as select * from t where a > ? and b <> ?"
+        " order by a",
+        "prepare q3 as select * from t where a > $low and b <> $n"
+        " order by a",
+        # a literal containing $1 and ? must NOT substitute
+        "prepare q4 as select count(*) as n from t where b = 'z$1?'",
+    )
+    for run in (eng.execute, con.execute):
+        for s in setup:
+            run(s)
+    for sql in (
+        "execute q1(1)",
+        "execute q1(2)",
+        "execute q2(0, 'y')",
+        "execute q3(low := 0, n := 'y')",
+        "execute q4",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # re-PREPARE overwrites; DEALLOCATE removes; both raise on a
+    # missing name
+    for run in (eng.execute, con.execute):
+        run("prepare q1 as select 42 as v")
+    assert eng.execute("execute q1").rows == con.execute(
+        "execute q1"
+    ).fetchall() == [(42,)]
+    for run in (eng.execute, con.execute):
+        run("deallocate q1")
+    with pytest.raises(EngineError):
+        eng.execute("execute q1")
+    with pytest.raises(Exception):
+        con.execute("execute q1")
+    # engine pin: a prepared ENGINE-ONLY statement (QUALIFY) executes
+    eng.execute(
+        "prepare topn as select a, b from t"
+        " qualify row_number() over (order by a desc) <= $1"
+    )
+    assert sorted(eng.execute("execute topn(2)").rows) == [
+        (2, "y"), (3, "z$1?"),
+    ]
+    eng.close()

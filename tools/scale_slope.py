@@ -134,21 +134,54 @@ ENGINE_SQL_OPS = {
         " (select o_custkey as c from orders order by o_custkey desc)"
         " b"
     ),
+    # late-r11 surfaces: the pivot statement's binder scan + grouped
+    # pivot agg, SUMMARIZE's one wide Expand pass, the constraint
+    # choke-point probes riding an INSERT..SELECT (pk + check over
+    # the staged batch — cost must track the BATCH, which here scales
+    # with the corpus), and the sequence dense-index fill (two
+    # passes + the write)
+    "e_pivot_stmt": (
+        "pivot orders on o_orderstatus using min(o_totalprice) as lo,"
+        " count(*) as n group by o_orderpriority"
+    ),
+    "e_summarize": "summarize orders",
+    "e_constraint_insert": (
+        (
+            "create table ck (k bigint primary key,"
+            " v double check (v >= 0))",
+        ),
+        "insert into ck select o_orderkey, o_totalprice from orders",
+    ),
+    "e_seq_fill": (
+        (
+            "create sequence ckseq",
+            "create table sqf (k bigint default nextval('ckseq'),"
+            " v double)",
+        ),
+        "insert into sqf (v) select o_totalprice from orders",
+    ),
 }
 
 
-def _time_engine_sql(spark, sf_dir: str, sql: str) -> float:
+def _time_engine_sql(spark, sf_dir: str, sql) -> float:
     """Seconds spent in ONE engine statement over an attached corpus
     — engine open/attach/close excluded (a fresh engine per run keeps
-    statement caches from compounding across runs)."""
+    statement caches from compounding across runs). ``sql`` may be
+    ``(setup_stmts, stmt)`` — setup (DDL) runs OUTSIDE the timed
+    region."""
     import shutil
     import tempfile
 
     from andb_spark.api import AnalyticsEngine
 
+    setup: tuple = ()
+    if isinstance(sql, tuple):
+        setup, sql = sql
     wh = tempfile.mkdtemp(prefix="andb_slope_e_")
     eng = AnalyticsEngine(wh, spark=spark, attach_dir=sf_dir)
     try:
+        for s in setup:
+            eng.execute(s)
         t0 = time.perf_counter()
         eng.execute(sql)
         return time.perf_counter() - t0
@@ -401,9 +434,18 @@ def main() -> None:
     # other slopes are re-measured only when their code changes)
     only_w = "--write-only" in sys.argv
     only_e = "--engine-only" in sys.argv
+    # --names=a,b,c restricts to specific ops (any family)
+    names = next(
+        (a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+         if a.startswith("--names=")), None,
+    )
     read_queries = () if (only_w or only_e) else QUERIES
     write_ops = () if only_e else WRITE_OPS
     engine_ops = () if only_w else tuple(ENGINE_SQL_OPS)
+    if names:
+        read_queries = tuple(n for n in read_queries if n in names)
+        write_ops = tuple(n for n in write_ops if n in names)
+        engine_ops = tuple(n for n in engine_ops if n in names)
 
     # warm-up at the smallest SF: JIT/codegen/plan caches out of the
     # timed region, exactly like bench.py
