@@ -1857,6 +1857,207 @@ class AnalyticsEngine:
                 )
         return out
 
+    # ------------------------------------- EXPORT/IMPORT DATABASE --
+    def _table_ddl(self, name: str, meta: dict) -> str:
+        """Reconstruct a CREATE TABLE statement from catalog metadata
+        — columns with types/NOT NULL/PRIMARY KEY/DEFAULT, composite
+        keys and UNIQUE/CHECK as table-level entries. Backfill
+        records are deliberately NOT carried: the data export reads
+        through the fill, so the exported files hold the values
+        physically."""
+        cols = []
+        pk = [c["name"] for c in meta["columns"] if c.get("pk")]
+        for c in meta["columns"]:
+            parts = [c["name"], c["type"]]
+            if c.get("default") is not None:
+                parts.append(f"default {c['default']}")
+            if c.get("pk") and len(pk) == 1:
+                parts.append("primary key")
+            elif c.get("notnull"):
+                parts.append("not null")
+            cols.append(" ".join(parts))
+        if len(pk) > 1:
+            cols.append(f"primary key ({', '.join(pk)})")
+        for uq in meta.get("uniques", []):
+            cols.append(f"unique ({', '.join(uq)})")
+        for ck in meta.get("checks", []):
+            cols.append(f"check ({ck})")
+        return f"CREATE TABLE {name} ({', '.join(cols)});"
+
+    @staticmethod
+    def _split_sql_script(text: str) -> list[str]:
+        """Split a script on ';' terminators outside string literals
+        (''-escape-aware) — the IMPORT DATABASE reader."""
+        out, cur = [], []
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch == "'":
+                cur.append(ch)
+                i += 1
+                while i < n:
+                    cur.append(text[i])
+                    if text[i] == "'":
+                        if i + 1 < n and text[i + 1] == "'":
+                            cur.append(text[i + 1])
+                            i += 2
+                            continue
+                        break
+                    i += 1
+                i += 1
+                continue
+            if ch == ";":
+                s = "".join(cur).strip()
+                if s:
+                    out.append(s)
+                cur = []
+            else:
+                cur.append(ch)
+            i += 1
+        s = "".join(cur).strip()
+        if s:
+            out.append(s)
+        return out
+
+    def _export_database(self, stmt: str) -> Result:
+        """EXPORT DATABASE '<dir>' [(FORMAT parquet|csv)] (DuckDB):
+        writes ``schema.sql`` (sequences with their CURRENT state,
+        CREATE TABLE with the full constraint family, logical views
+        in dependency order, macros, comments), ``load.sql`` (one
+        COPY FROM per table, plus indexes and materialized views —
+        those recompute over the loaded data), and one data file per
+        table through the COPY TO path (reads through any backfill,
+        so defaults are physical in the export). IMPORT DATABASE
+        replays the two scripts through execute(), so a round trip
+        restores tables, data, constraints (still enforcing),
+        sequence positions, views, macros and comments."""
+        m = re.match(
+            r"export\s+database\s+'([^']+)'\s*"
+            r"(?:\(\s*format\s+(\w+)\s*\))?\s*$",
+            stmt, re.I,
+        )
+        if not m:
+            raise EngineError(f"cannot parse EXPORT DATABASE: {stmt!r}")
+        outdir, fmt = m.group(1), (m.group(2) or "parquet").lower()
+        if fmt not in ("parquet", "csv"):
+            raise EngineError(
+                f"EXPORT DATABASE format {fmt} not supported"
+                " (parquet|csv)"
+            )
+        os.makedirs(outdir, exist_ok=True)
+        schema: list[str] = []
+        load: list[str] = []
+
+        def _q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        for sname, s in sorted(
+            self.catalog.get("sequences", {}).items()
+        ):
+            nxt = (
+                s["start"] if s["current"] is None
+                else s["current"] + s["inc"]
+            )
+            line = (
+                f"CREATE SEQUENCE {sname} START {nxt}"
+                f" INCREMENT {s['inc']}"
+            )
+            if s.get("min") is not None:
+                line += f" MINVALUE {s['min']}"
+            if s.get("max") is not None:
+                line += f" MAXVALUE {s['max']}"
+            schema.append(line + ";")
+        matviews: list[tuple[str, dict]] = []
+        for tname, meta in sorted(self.catalog["tables"].items()):
+            if meta.get("matview_sql"):
+                matviews.append((tname, meta))
+                continue
+            schema.append(self._table_ddl(tname, meta))
+            if meta.get("comment") is not None:
+                schema.append(
+                    f"COMMENT ON TABLE {tname} IS"
+                    f" {_q(meta['comment'])};"
+                )
+            for c in meta["columns"]:
+                if c.get("comment") is not None:
+                    schema.append(
+                        f"COMMENT ON COLUMN {tname}.{c['name']} IS"
+                        f" {_q(c['comment'])};"
+                    )
+            ext = "parquet" if fmt == "parquet" else "csv"
+            data = os.path.join(outdir, f"{tname}.{ext}")
+            self._copy(f"copy {tname} to '{data}' format {fmt}")
+            load.append(
+                f"COPY {tname} FROM '{data}' FORMAT {fmt};"
+            )
+        for vname in self._view_dep_order(
+            list(self.catalog.get("views", {}))
+        ):
+            vmeta = self.catalog["views"][vname]
+            schema.append(
+                f"CREATE VIEW {vname} AS {vmeta['sql']};"
+            )
+            if vmeta.get("comment") is not None:
+                schema.append(
+                    f"COMMENT ON VIEW {vname} IS"
+                    f" {_q(vmeta['comment'])};"
+                )
+        for kind, reg in (
+            ("", self.catalog.get("macros", {}) or {}),
+            ("table ", self.catalog.get("table_macros", {}) or {}),
+        ):
+            for key, mmeta in sorted(reg.items()):
+                params = ", ".join(
+                    p + (f" := {d}" if d is not None else "")
+                    for p, d in mmeta["params"]
+                )
+                body = mmeta["body"]
+                as_kind = "table " if kind else ""
+                schema.append(
+                    f"CREATE MACRO {mmeta.get('name', key)}({params})"
+                    f" AS {as_kind}{body};"
+                )
+        for iname, imeta in sorted(
+            self.catalog.get("indexes", {}).items()
+        ):
+            load.append(
+                f"CREATE INDEX {iname} ON {imeta['table']}"
+                f" ({', '.join(imeta['columns'])});"
+            )
+        for tname, meta in matviews:
+            load.append(
+                f"CREATE MATERIALIZED VIEW {tname} AS"
+                f" {meta['matview_sql']};"
+            )
+        for fname, lines in (
+            ("schema.sql", schema), ("load.sql", load),
+        ):
+            with open(os.path.join(outdir, fname), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        return Result(effect_rows=len(schema) + len(load))
+
+    def _import_database(self, stmt: str) -> Result:
+        m = re.match(
+            r"import\s+database\s+'([^']+)'\s*$", stmt, re.I
+        )
+        if not m:
+            raise EngineError(f"cannot parse IMPORT DATABASE: {stmt!r}")
+        indir = m.group(1)
+        n = 0
+        for fname in ("schema.sql", "load.sql"):
+            path = os.path.join(indir, fname)
+            if not os.path.exists(path):
+                if fname == "schema.sql":
+                    raise EngineError(
+                        f"IMPORT DATABASE: {path} does not exist"
+                    )
+                continue
+            with open(path) as f:
+                for s in self._split_sql_script(f.read()):
+                    self.execute(s)
+                    n += 1
+        return Result(effect_rows=n)
+
     # ---------------------------------------- prepared statements --
     def _prepare(self, stmt: str) -> Result:
         """PREPARE name AS <statement> (DuckDB/Postgres): session-
@@ -2569,6 +2770,10 @@ class AnalyticsEngine:
                 r"drop\s+sequence\b", stmt, re.I
             ):
                 r = self._drop_sequence(stmt)
+            elif head == "EXPORT":
+                r = self._export_database(stmt)
+            elif head == "IMPORT":
+                r = self._import_database(stmt)
             elif head == "PREPARE":
                 r = self._prepare(stmt)
             elif head == "EXECUTE":

@@ -152,3 +152,63 @@ def test_alter_add_default_after_dropped_column_scrubs(eng):
         c for c in eng._meta("r")["columns"] if c["name"] == "junk"
     )
     assert "backfill" not in col  # rewrite materialized it
+
+
+def test_export_import_database_roundtrip(spark, tmp_path):
+    """EXPORT DATABASE / IMPORT DATABASE (DuckDB statement shapes;
+    api.py::_export_database): schema.sql + load.sql + one data file
+    per table, replayed through execute() into a FRESH warehouse.
+    The round trip must restore data, the full constraint family
+    (still enforcing), sequence POSITIONS (no key reissue), logical
+    views, macros and comments — and the backfilled default must
+    arrive physical (the export reads through the fill)."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    src = AnalyticsEngine(str(tmp_path / "whsrc"), spark=spark)
+    e = src.execute
+    e("create sequence ids start 100 increment 3")
+    e(
+        "create table t (k int default nextval('ids') primary key,"
+        " v double check (v >= 0), tag text default 'n/a')"
+    )
+    e("insert into t (v) values (1.5), (2.5)")
+    e("alter table t add column extra int default 7")  # backfill
+    e("insert into t (v, extra) values (3.5, 8)")
+    e("comment on table t is 'the; table'")  # ';' inside a literal
+    e("comment on column t.v is 'value'")
+    e("create view v2 as select k, v * 2 as dbl from t")
+    e("create view v3 as select max(dbl) as m from v2")  # view chain
+    e("create macro bump(x) as round(x * 1.1, 2)")
+    exp = str(tmp_path / "dump")
+    e(f"export database '{exp}'")
+    src_rows = e("select * from t order by k").rows
+    src.close()
+
+    dst = AnalyticsEngine(str(tmp_path / "whdst"), spark=spark)
+    d = dst.execute
+    d(f"import database '{exp}'")
+    assert d("select * from t order by k").rows == src_rows
+    # constraints still enforce
+    with pytest.raises(EngineError):
+        d("insert into t (k, v) values (100, 1.0)")  # pk dup
+    with pytest.raises(EngineError):
+        d("insert into t (v) values (-1)")  # check
+    # sequence position carried: next key continues, never reissues
+    d("insert into t (v) values (9.0)")
+    ks = [r[0] for r in d("select k from t").rows]
+    assert len(set(ks)) == len(ks)
+    assert max(ks) > max(r[0] for r in src_rows)
+    # defaults + backfill arrived physical
+    row = d("select tag, extra from t where v = 1.5").rows[0]
+    assert row == ("n/a", 7)
+    # views + macros + comments (late-bound: v3 sees the row the
+    # sequence check just inserted, exactly like a live view should)
+    cur_max = max(r[0] for r in d("select max(v) as m from t").rows)
+    assert d("select m from v3").rows[0][0] == pytest.approx(
+        cur_max * 2
+    )
+    assert d("select bump(10.0) as b").rows == [(11.0,)]
+    assert d(
+        "select comment from andb_tables where table_name = 't'"
+    ).rows == [("the; table",)]
+    dst.close()
