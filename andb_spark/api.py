@@ -102,6 +102,12 @@ def _parse_type(name: str) -> tuple[T.DataType, int | None]:
         return T.StringType(), int(m.group(1))
     if name in _TYPE_MAP:
         return _TYPE_MAP[name], None
+    if name.endswith("[]"):
+        # DuckDB list-type spelling: <base>[] (nesting composes:
+        # int[][]); parquet stores lists natively, so the engine
+        # carries them end to end
+        inner, _ = _parse_type(name[:-2])
+        return T.ArrayType(inner), None
     raise EngineError(f"unknown type: {name}")
 
 
@@ -1856,6 +1862,185 @@ class AnalyticsEngine:
                     " default is supported"
                 )
         return out
+
+    # --------------------------------------- window EXCLUDE clause --
+    @staticmethod
+    def _match_paren_back(blanked: str, closepos: int) -> int:
+        """Index of the '(' balancing ``blanked[closepos] == ')'`` —
+        callers pass literal-blanked text, so parens inside strings
+        are gone by construction."""
+        depth = 0
+        for i in range(closepos, -1, -1):
+            if blanked[i] == ")":
+                depth += 1
+            elif blanked[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    return i
+        raise EngineError("unbalanced parentheses")
+
+    _FRAME_RE = re.compile(
+        r"\b(rows|range)\s+between\s+(.+?)\s+and\s+(.+?)\s*$",
+        re.I | re.S,
+    )
+    _LO_OK = re.compile(
+        r"^(unbounded\s+preceding|\d+\s+preceding|current\s+row)$", re.I
+    )
+    _HI_OK = re.compile(
+        r"^(unbounded\s+following|\d+\s+following|current\s+row)$", re.I
+    )
+
+    def _rewrite_window_exclude(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """Window frame EXCLUDE clause (DuckDB/Postgres; absent from
+        Spark's OVER grammar). Supported class, each shape
+        DuckDB-probed:
+
+        - EXCLUDE NO OTHERS — the explicit default: strip.
+        - a frame that provably cannot CONTAIN the current row (both
+          bounds preceding, or both following): EXCLUDE CURRENT ROW
+          is a no-op — strip.
+        - EXCLUDE CURRENT ROW with sum/count/avg: rewrite by
+          SUBTRACTION — ``sum(x) over f  minus  the current row's
+          contribution``, with a count guard so an all-excluded frame
+          yields NULL (SQL's empty-frame result), not 0. Works for
+          ROWS, RANGE and default frames (the current row is inside
+          its own peer group).
+        - EXCLUDE CURRENT ROW with min/max on a ROWS BETWEEN frame:
+          min/max don't subtract — SPLIT the frame into [start, 1
+          preceding] ⊕ [1 following, end] and combine null-safely.
+          RANGE/default frames for min/max refuse by name.
+        - EXCLUDE TIES / EXCLUDE GROUP refuse by name.
+
+        Pure text rewrite into plain OVER clauses, so Catalyst plans
+        the result as ordinary window functions — same shuffle, two
+        window expressions instead of one."""
+        if not re.search(
+            r"\bexclude\b", _blank_literals(stmt), re.I
+        ):
+            return stmt, []
+        out = stmt
+        for _ in range(200):  # bounded: each pass resolves one clause
+            b = _blank_literals(out)
+            hit = None
+            for om in re.finditer(r"\bover\s*\(", b, re.I):
+                cp = self._match_paren(out, om.end() - 1)
+                sb = b[om.end(): cp]
+                em = re.search(
+                    r"\bexclude\s+(current\s+row|ties|group"
+                    r"|no\s+others)\b",
+                    sb, re.I,
+                )
+                if em and _paren_depth_at(sb, em.start()) == 0:
+                    hit = (om, cp, out[om.end(): cp], em)
+                    break
+            if hit is None:
+                return out, []
+            om, cp, spec, em = hit
+            kind = re.sub(r"\s+", " ", em.group(1).lower())
+            if kind in ("ties", "group"):
+                raise EngineError(
+                    "window EXCLUDE TIES/GROUP is not supported —"
+                    " EXCLUDE CURRENT ROW and NO OTHERS are"
+                )
+            spec_wo = (spec[: em.start()] + spec[em.end():]).strip()
+            if kind == "no others":
+                out = out[: om.end()] + spec_wo + out[cp:]
+                continue
+            fm = self._FRAME_RE.search(spec_wo)
+            contains_current = True
+            if fm:
+                contains_current = bool(
+                    self._LO_OK.match(fm.group(2).strip())
+                    and self._HI_OK.match(fm.group(3).strip())
+                )
+            elif re.search(r"\b(rows|range)\b", spec_wo, re.I):
+                raise EngineError(
+                    "window EXCLUDE over a shorthand frame is not"
+                    " supported — spell ROWS/RANGE BETWEEN ... AND"
+                    " ..."
+                )
+            if not contains_current:
+                out = out[: om.end()] + spec_wo + out[cp:]
+                continue
+            # locate the aggregate call the OVER belongs to
+            head = out[: om.start()].rstrip()
+            hb = _blank_literals(head)
+            if not head.endswith(")"):
+                raise EngineError(
+                    "window EXCLUDE CURRENT ROW: cannot locate the"
+                    " aggregate call before OVER"
+                )
+            open_i = self._match_paren_back(hb, len(head) - 1)
+            nm = re.search(r"(\w+)\s*$", head[:open_i])
+            if not nm:
+                raise EngineError(
+                    "window EXCLUDE CURRENT ROW: cannot locate the"
+                    " aggregate call before OVER"
+                )
+            fn = nm.group(1).lower()
+            arg = head[open_i + 1: len(head) - 1].strip()
+            star = arg == "*"
+            if fn == "count":
+                cnt = (
+                    f"((count(*) over ({spec_wo})) - 1)" if star else
+                    f"((count({arg}) over ({spec_wo})) - (case when"
+                    f" ({arg}) is not null then 1 else 0 end))"
+                )
+                repl = cnt
+            elif fn in ("sum", "avg"):
+                if star:
+                    raise EngineError(f"{fn}(*) is not a window call")
+                cnt = (
+                    f"((count({arg}) over ({spec_wo})) - (case when"
+                    f" ({arg}) is not null then 1 else 0 end))"
+                )
+                sum_excl = (
+                    f"(case when {cnt} = 0 then null else"
+                    f" (sum({arg}) over ({spec_wo})) -"
+                    f" coalesce({arg}, 0) end)"
+                )
+                repl = sum_excl if fn == "sum" else (
+                    f"({sum_excl} / nullif(cast({cnt} as double), 0))"
+                )
+            elif fn in ("min", "max"):
+                if not fm or fm.group(1).lower() != "rows":
+                    raise EngineError(
+                        f"window EXCLUDE CURRENT ROW with {fn}()"
+                        " needs an explicit ROWS BETWEEN frame"
+                        " (min/max cannot subtract)"
+                    )
+                prefix = spec_wo[: fm.start()].strip()
+                lo, hi = fm.group(2).strip(), fm.group(3).strip()
+                comb = "least" if fn == "min" else "greatest"
+                lterm = rterm = "null"
+                if re.match(
+                    r"^(unbounded|\d+)\s+preceding$", lo, re.I
+                ):
+                    lterm = (
+                        f"({fn}({arg}) over ({prefix} rows between"
+                        f" {lo} and 1 preceding))"
+                    )
+                if re.match(
+                    r"^(unbounded|\d+)\s+following$", hi, re.I
+                ):
+                    rterm = (
+                        f"({fn}({arg}) over ({prefix} rows between"
+                        f" 1 following and {hi}))"
+                    )
+                repl = (
+                    f"(case when {lterm} is null then {rterm}"
+                    f" when {rterm} is null then {lterm}"
+                    f" else {comb}({lterm}, {rterm}) end)"
+                )
+            else:
+                raise EngineError(
+                    f"window EXCLUDE CURRENT ROW with {fn}() is not"
+                    " supported (sum/count/avg/min/max are)"
+                )
+            out = head[: nm.start(1)] + repl + out[cp + 1:]
+        raise EngineError("window EXCLUDE rewrite did not converge")
 
     # ------------------------------------- EXPORT/IMPORT DATABASE --
     def _table_ddl(self, name: str, meta: dict) -> str:
@@ -7174,6 +7359,8 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_quantified(stmt)
             rewrite_views += v
+            stmt, v = self._rewrite_window_exclude(stmt)
+            rewrite_views += v
             return self._select_resolved(stmt)
         finally:
             # bounded: no per-query leak
@@ -7212,6 +7399,7 @@ class AnalyticsEngine:
                 self._rewrite_select_replace,
                 self._rewrite_qualify,
                 self._rewrite_quantified,
+                self._rewrite_window_exclude,
             ):
                 query, v = rw(query)
                 views += v
@@ -10481,14 +10669,28 @@ def _columns_from_schema(schema: T.StructType) -> list[dict]:
         "timestamp": "timestamp", "date": "date",
         "array<float>": "vector",
     }
+    def _tname(dt) -> str:
+        simple = dt.simpleString()
+        hit = type_names.get(simple)
+        if hit is not None:
+            return hit
+        if isinstance(dt, T.ArrayType):
+            # DuckDB list spelling, recursively (vector keeps its
+            # dedicated name via the simple-string map above)
+            return _tname(dt.elementType) + "[]"
+        raise EngineError(
+            f"unsupported type {simple}"
+        )
+
     columns = []
     for f_ in schema.fields:
-        tname = type_names.get(f_.dataType.simpleString())
-        if tname is None:
+        try:
+            tname = _tname(f_.dataType)
+        except EngineError:
             raise EngineError(
                 f"column {f_.name} has unsupported type "
                 f"{f_.dataType.simpleString()}"
-            )
+            ) from None
         columns.append({"name": f_.name, "type": tname, "notnull": False})
     return columns
 

@@ -212,3 +212,27 @@ def test_export_import_database_roundtrip(spark, tmp_path):
         "select comment from andb_tables where table_name = 't'"
     ).rows == [("the; table",)]
     dst.close()
+
+
+def test_array_column_types(eng):
+    """DuckDB list-type spellings (`int[]`, nested `int[][]`) in
+    CREATE TABLE — parquet stores lists natively, so arrays ride the
+    managed-table path end to end (insert via SELECT, CTAS reverse
+    type mapping, filters over array functions)."""
+    eng.execute("create table a (id int, xs int[], tags text[])")
+    eng.execute(
+        "insert into a select 1, array(1, 2, 3), array('p', 'q')"
+    )
+    eng.execute("insert into a select 2, array(9), array('r')")
+    assert eng.execute(
+        "select id, size(xs) as n, xs[0] as first from a order by id"
+    ).rows == [(1, 3, 1), (2, 1, 9)]
+    # CTAS reverse-maps array types into declared columns
+    eng.execute("create table b as select id, xs from a")
+    cols = {c["name"]: c["type"] for c in eng._meta("b")["columns"]}
+    assert cols["xs"] == "int[]"
+    eng.execute("create table c (m double[][])")
+    eng.execute("insert into c select array(array(1.5), array(2.5))")
+    assert eng.execute(
+        "select m[1][0] as v from c"
+    ).rows == [(2.5,)]

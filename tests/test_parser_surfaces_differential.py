@@ -3430,3 +3430,87 @@ def test_prepare_execute_matches_duckdb(spark, tmp_path):
         (2, "y"), (3, "z$1?"),
     ]
     eng.close()
+
+
+def test_window_exclude_matches_duckdb(spark, tmp_path):
+    """Window frame EXCLUDE clause (DuckDB/Postgres; absent from
+    Spark's OVER grammar — api.py::_rewrite_window_exclude): EXCLUDE
+    CURRENT ROW rewrites by subtraction for sum/count/avg (count
+    guard keeps SQL's NULL for an all-excluded frame) and by a
+    two-sided ROWS frame split for min/max; EXCLUDE NO OTHERS
+    strips; TIES/GROUP refuse by name. IDENTICAL statements through
+    both engines over a NULL-bearing column."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whwx"), spark=spark)
+    con = duckdb.connect()
+    for s in (
+        "create table w (g int, k int, v int)",
+        "insert into w values (1,1,10),(1,2,20),(1,3,null),(1,4,40),"
+        "(2,1,5),(2,2,7),(3,1,null)",
+    ):
+        eng.execute(s)
+        con.execute(s)
+    frame = "rows between 1 preceding and 1 following"
+    wide = "rows between unbounded preceding and unbounded following"
+    for sql in (
+        f"select g, k, sum(v) over (partition by g order by k {frame}"
+        " exclude current row) as s from w order by g, k",
+        f"select g, k, count(v) over (partition by g order by k {wide}"
+        " exclude current row) as c from w order by g, k",
+        f"select g, k, count(*) over (partition by g {wide}"
+        " exclude current row) as c from w order by g, k",
+        f"select g, k, avg(v) over (partition by g order by k {frame}"
+        " exclude current row) as a from w order by g, k",
+        "select g, k, min(v) over (partition by g order by k rows"
+        " between 2 preceding and 2 following exclude current row)"
+        " as m from w order by g, k",
+        f"select g, k, max(v) over (partition by g order by k {wide}"
+        " exclude current row) as m from w order by g, k",
+        # explicit default: EXCLUDE NO OTHERS strips
+        f"select g, k, sum(v) over (partition by g order by k {frame}"
+        " exclude no others) as s from w order by g, k",
+        # RANGE frame containing the current row: subtraction path
+        "select g, k, sum(v) over (partition by g order by k range"
+        " between unbounded preceding and current row exclude"
+        " current row) as s from w order by g, k",
+        # frame starting AT the current row: min via right-side split
+        "select g, k, min(v) over (partition by g order by k rows"
+        " between current row and 2 following exclude current row)"
+        " as m from w order by g, k",
+        # two excluding windows in ONE select (the rewrite loops)
+        f"select g, k, sum(v) over (partition by g order by k {frame}"
+        " exclude current row) as s, count(v) over (partition by g"
+        f" {wide} exclude current row) as c from w order by g, k",
+    ):
+        assert (
+            eng.execute(sql).rows == con.execute(sql).fetchall()
+        ), sql
+    # Declared divergence (pinned): a frame that provably cannot
+    # contain the current row (both bounds FOLLOWING). Excluding a
+    # non-member row must be a no-op — the engine strips the clause
+    # and matches the PLAIN frame; DuckDB v1.0.0 returns a shifted
+    # window instead (its own exclude-handling artifact).
+    shape = (
+        "select g, k, sum(v) over (partition by g order by k rows"
+        " between 3 following and 5 following{}) as s from w"
+        " order by g, k"
+    )
+    plain = con.execute(shape.format("")).fetchall()
+    assert eng.execute(
+        shape.format(" exclude current row")
+    ).rows == plain
+    assert con.execute(
+        shape.format(" exclude current row")
+    ).fetchall() != plain  # the duckdb artifact, pinned as-is
+    # named refusals
+    for sql in (
+        "select sum(v) over (partition by g rows between 1 preceding"
+        " and 1 following exclude ties) as s from w",
+        "select min(v) over (partition by g order by k range between"
+        " unbounded preceding and current row exclude current row)"
+        " as m from w",
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+    eng.close()
