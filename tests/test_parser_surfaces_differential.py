@@ -3514,3 +3514,51 @@ def test_window_exclude_matches_duckdb(spark, tmp_path):
         with pytest.raises(EngineError):
             eng.execute(sql)
     eng.close()
+
+
+def test_using_sample_invariants_match_duckdb(spark, tmp_path):
+    """USING SAMPLE (DuckDB; api.py::_rewrite_using_sample → Spark
+    TABLESAMPLE): sampling is engine-random on BOTH sides (DuckDB's
+    system unit is per-vector, Spark's percent is per-row Bernoulli),
+    so the grade is INVARIANTS on the identical statements: exact
+    row-count for ROWS units, bounded count for percent, and the
+    subset property (every sampled row exists in the source); the
+    method/seed parenthetical parses and is ignored (documented).
+    DuckDB's probed BINDING is honored exactly: the sample applies
+    to the FROM source BEFORE the WHERE — `where k < 100 using
+    sample 10 rows` samples 10 of the TABLE then filters, so both
+    engines return 0..10 rows there, not 10."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whusam"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (k int)")
+        run(
+            "insert into t values "
+            + ", ".join(f"({i})" for i in range(1000))
+        )
+    universe = set(range(1000))
+    for sql, lo, hi in (
+        ("select * from t using sample 50 rows", 50, 50),
+        ("select * from t using sample reservoir(25 rows)", 25, 25),
+        ("select * from t using sample 10 percent (bernoulli)", 2, 400),
+        # sample binds BEFORE the filter: 10 sampled, then k < 100
+        ("select * from t where k < 100 using sample 10 rows", 0, 10),
+        (
+            "select * from (select * from t using sample 100 rows) s",
+            100, 100,
+        ),
+    ):
+        er = eng.execute(sql).rows
+        dr = con.execute(sql).fetchall()
+        assert lo <= len(er) <= hi, (sql, len(er))
+        assert lo <= len(dr) <= hi, (sql, len(dr))
+        assert {r[0] for r in er} <= universe, sql
+        if "where k < 100" in sql:
+            assert all(r[0] < 100 for r in er), sql
+    # percent over a filtered statement-final position: both engines
+    # sample the RESULT (0..total of the filtered set)
+    sql = "select * from t where k < 100 using sample 50%"
+    assert all(r[0] < 100 for r in eng.execute(sql).rows)
+    assert all(r[0] < 100 for r in con.execute(sql).fetchall())
