@@ -88,6 +88,20 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # by q_rollup (same GROUPING SETS lowering, relational.py:
     # 116,128) plus the grouping-sets fuzz arm in this same window.
     "u_pivot_stmt",
+    # (a, late-r11) CREATE SEQUENCE / nextval / DEFAULT-nextval fill
+    # (deterministic VALUES lifecycle), never driver-graded. Its slot
+    # comes from q_distinct, deferring to r12 with the dedup-fold
+    # machinery re-evidenced this round by q_union_distinct (UNION's
+    # distinct fold is the same Spark Distinct operator) plus the
+    # set-op fuzz arm in this same window.
+    "u_sequences",
+    # (a, late-r11) RETURNING on INSERT/UPDATE/DELETE (manifest-diff
+    # post-image / free pre-image projections), never driver-graded.
+    # Its slot comes from q_exists_subquery, deferring to r12 with
+    # Spark-native subquery decorrelation re-evidenced this round by
+    # q_in_subquery + q_scalar_subquery (the same untouched
+    # passthrough path) plus the subquery fuzz arm in this window.
+    "u_returning",
     # (b) changed since their r10 grading: NONE re-graded — the r11
     # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
@@ -103,7 +117,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # name below) and q_pivot (DataFrame pivot — q_pivot_sql, the
     # same operator through the SQL clause, stays in; its slot funds
     # the new u_positional_join surface).
-    "q_exists_subquery",
     "q_scalar_subquery",
     "q_union_distinct",
     "q_window_navigation",
@@ -122,7 +135,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "q1_pricing_summary",
     "q4_priority_exists",
     "q_date_funcs",
-    "q_distinct",
     "q_function_scan",
     "q_gapfill",
     "q_global_agg",
