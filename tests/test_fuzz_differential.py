@@ -993,3 +993,91 @@ def test_random_clause_tail_agrees_with_duckdb(
     ours = eng.execute(sql)
     drows = con.execute(sql).fetchall()
     assert ours.rows == drows, sql
+
+
+# ---------------------------------------------- constraint family --
+# DEFAULT / CHECK / UNIQUE / PRIMARY KEY enforcement fuzz: a random
+# table configuration and a random sequence of small INSERT batches,
+# the IDENTICAL statements through both engines. Every batch either
+# succeeds on both (and the table states stay row-identical) or
+# raises on both (and the failed batch leaves no residue) — the
+# error-parity twin of test_default_check_unique_matches_duckdb's
+# hand-written grid. Value domains are tiny on purpose: collisions
+# against PRIMARY KEY/UNIQUE and CHECK violations must actually
+# happen.
+
+
+@st.composite
+def _constraint_case(draw):
+    pk = draw(st.booleans())
+    a_default = draw(st.one_of(st.none(), st.integers(-2, 2)))
+    a_check = draw(st.one_of(st.none(), st.integers(-1, 1)))
+    b_unique = draw(st.booleans())
+
+    def value(allow_default):
+        opts = [st.integers(-3, 3), st.none()]
+        if allow_default:
+            opts.append(st.just("default"))
+        return st.one_of(*opts)
+
+    batches = draw(
+        st.lists(
+            st.lists(
+                st.tuples(value(False), value(True), value(False)),
+                min_size=1, max_size=3,
+            ),
+            min_size=1, max_size=4,
+        )
+    )
+    return pk, a_default, a_check, b_unique, batches
+
+
+@settings(max_examples=10, deadline=None)
+@seed(FUZZ_ROUND * 104729 + 13)
+@given(case=_constraint_case())
+def test_random_constraint_inserts_agree_with_duckdb(spark, case):
+    import tempfile
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    pk, a_default, a_check, b_unique, batches = case
+    kdef = "k int primary key" if pk else "k int"
+    adef = "a int"
+    if a_default is not None:
+        adef += f" default {a_default}"
+    if a_check is not None:
+        adef += f" check (a >= {a_check})"
+    bdef = "b int unique" if b_unique else "b int"
+    ddl = f"create table fz ({kdef}, {adef}, {bdef})"
+
+    eng = AnalyticsEngine(tempfile.mkdtemp(prefix="fzc_"), spark=spark)
+    con = duckdb.connect()
+    eng.execute(ddl)
+    con.execute(ddl)
+
+    def lit(v):
+        if v is None:
+            return "null"
+        if v == "default":
+            return "default"
+        return str(v)
+
+    sel = "select * from fz order by k nulls first, a nulls first, b"
+    for batch in batches:
+        stmt = "insert into fz (k, a, b) values " + ", ".join(
+            f"({lit(k)}, {lit(a)}, {lit(b)})" for k, a, b in batch
+        )
+        e_err = d_err = False
+        try:
+            eng.execute(stmt)
+        except EngineError:
+            e_err = True
+        try:
+            con.execute(stmt)
+        except Exception:
+            d_err = True
+        assert e_err == d_err, (ddl, stmt, e_err, d_err)
+        got = _rowset([tuple(r) for r in eng.execute(sel).rows])
+        want = _rowset(con.execute(sel).fetchall())
+        assert got == want, (ddl, stmt)
+    eng.close()
