@@ -1716,7 +1716,10 @@ class AnalyticsEngine:
             raise EngineError(
                 f"sequence {name} reached minimum value ({s['min']})"
             )
-        if n > 0:
+        if n > 0 and not self._planning:
+            # plan-only contexts (EXPLAIN / DESCRIBE / view binding)
+            # PEEK: the plan shows the would-be values, the counter
+            # does not move
             s["current"] = last
             self._save_catalog()
         return first
@@ -7651,9 +7654,17 @@ class AnalyticsEngine:
         try:
             inner = self._expand_macros(inner)
             inner = self._rewrite_from_first(inner)
+            # late-r11 surfaces (sequence calls PEEK without advancing
+            # under _planning; pivot's value-discovery scan runs like
+            # DuckDB's binder scan)
+            inner, _sv = self._rewrite_sequence_calls(inner)
+            inner, _uv = self._rewrite_using_sample(inner)
+            inner, pv_views = self._rewrite_pivot_statement(inner)
+            cte_views += pv_views
             inner, _xv = self._rewrite_star_exclude(inner)
             inner, ft_views = self._rewrite_fetch_first(inner)
-            inner, cte_views = self._bind_ctes_for_surfaces(inner)
+            inner, cte_views2 = self._bind_ctes_for_surfaces(inner)
+            cte_views += cte_views2
             inner = self._rewrite_from_first(inner)
             inner, v = self._lift_engine_subqueries(inner)
             cte_views += v
@@ -7671,6 +7682,7 @@ class AnalyticsEngine:
             inner, quant_views = self._rewrite_quantified(
                 inner, plan_only=True
             )
+            inner, _wv = self._rewrite_window_exclude(inner)
         except BaseException:
             for v in (cte_views + ubn_views + don_views + asof_views
                       + range_views + qual_views + quant_views

@@ -3562,3 +3562,29 @@ def test_using_sample_invariants_match_duckdb(spark, tmp_path):
     sql = "select * from t where k < 100 using sample 50%"
     assert all(r[0] < 100 for r in eng.execute(sql).rows)
     assert all(r[0] < 100 for r in con.execute(sql).fetchall())
+
+
+def test_explain_covers_late_r11_surfaces(spark, tmp_path):
+    """EXPLAIN (both plans) composes with every late-r11 surface: the
+    pivot statement, USING SAMPLE, window EXCLUDE and sequence calls
+    plan job-free (EXPLAIN of nextval PEEKS — the counter must NOT
+    advance), and EXPLAIN ANALYZE executes the pivot statement
+    through the full pipeline."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whexp"), spark=spark)
+    eng.execute("create table t (g int, q varchar, v int)")
+    eng.execute("insert into t values (1,'a',10),(2,'b',20)")
+    eng.execute("create sequence s1")
+    for sql in (
+        "explain pivot t on q using sum(v) group by g",
+        "explain select * from t using sample 10 rows",
+        "explain select g, sum(v) over (order by g rows between 1"
+        " preceding and 1 following exclude current row) as s from t",
+        "explain select nextval('s1') as n",
+        "explain analyze pivot t on q using sum(v) group by g",
+    ):
+        assert eng.execute(sql).rows, sql
+    # the EXPLAINs above peeked: the first real nextval is still 1
+    assert eng.execute("select nextval('s1') as n").rows == [(1,)]
+    eng.close()
