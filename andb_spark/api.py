@@ -2247,18 +2247,8 @@ class AnalyticsEngine:
             load.append(
                 f"COPY {tname} FROM '{data}' FORMAT {fmt};"
             )
-        for vname in self._view_dep_order(
-            list(self.catalog.get("views", {}))
-        ):
-            vmeta = self.catalog["views"][vname]
-            schema.append(
-                f"CREATE VIEW {vname} AS {vmeta['sql']};"
-            )
-            if vmeta.get("comment") is not None:
-                schema.append(
-                    f"COMMENT ON VIEW {vname} IS"
-                    f" {_q(vmeta['comment'])};"
-                )
+        # macros BEFORE views: a view body may call a macro, and view
+        # creation validates its body at import time
         for kind, reg in (
             ("", self.catalog.get("macros", {}) or {}),
             ("table ", self.catalog.get("table_macros", {}) or {}),
@@ -2274,6 +2264,30 @@ class AnalyticsEngine:
                     f"CREATE MACRO {mmeta.get('name', key)}({params})"
                     f" AS {as_kind}{body};"
                 )
+        mv_names = {t for t, m in matviews}
+        deferred_views: list[str] = []
+        for vname in self._view_dep_order(
+            list(self.catalog.get("views", {}))
+        ):
+            vmeta = self.catalog["views"][vname]
+            blank = _blank_literals(vmeta["sql"])
+            if deferred_views or any(
+                re.search(rf"\b{re.escape(t)}\b", blank, re.I)
+                for t in mv_names
+            ):
+                # a view over a MATVIEW (or over such a view) can only
+                # bind after the matview exists — defer past load.sql's
+                # matview creation, keeping dependency order
+                deferred_views.append(vname)
+                continue
+            schema.append(
+                f"CREATE VIEW {vname} AS {vmeta['sql']};"
+            )
+            if vmeta.get("comment") is not None:
+                schema.append(
+                    f"COMMENT ON VIEW {vname} IS"
+                    f" {_q(vmeta['comment'])};"
+                )
         for iname, imeta in sorted(
             self.catalog.get("indexes", {}).items()
         ):
@@ -2286,6 +2300,16 @@ class AnalyticsEngine:
                 f"CREATE MATERIALIZED VIEW {tname} AS"
                 f" {meta['matview_sql']};"
             )
+        for vname in deferred_views:
+            vmeta = self.catalog["views"][vname]
+            load.append(
+                f"CREATE VIEW {vname} AS {vmeta['sql']};"
+            )
+            if vmeta.get("comment") is not None:
+                load.append(
+                    f"COMMENT ON VIEW {vname} IS"
+                    f" {_q(vmeta['comment'])};"
+                )
         for fname, lines in (
             ("schema.sql", schema), ("load.sql", load),
         ):

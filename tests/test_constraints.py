@@ -176,9 +176,11 @@ def test_export_import_database_roundtrip(spark, tmp_path):
     e("insert into t (v, extra) values (3.5, 8)")
     e("comment on table t is 'the; table'")  # ';' inside a literal
     e("comment on column t.v is 'value'")
-    e("create view v2 as select k, v * 2 as dbl from t")
-    e("create view v3 as select max(dbl) as m from v2")  # view chain
     e("create macro bump(x) as round(x * 1.1, 2)")
+    e("create view v2 as select k, bump(v * 2) as dbl from t")
+    e("create view v3 as select max(dbl) as m from v2")  # view chain
+    e("create materialized view mv as select count(*) as n from t")
+    e("create view vmv as select n + 1 as n1 from mv")  # over matview
     exp = str(tmp_path / "dump")
     e(f"export database '{exp}'")
     src_rows = e("select * from t order by k").rows
@@ -205,8 +207,15 @@ def test_export_import_database_roundtrip(spark, tmp_path):
     # sequence check just inserted, exactly like a live view should)
     cur_max = max(r[0] for r in d("select max(v) as m from t").rows)
     assert d("select m from v3").rows[0][0] == pytest.approx(
-        cur_max * 2
+        round(cur_max * 2 * 1.1, 2)
     )
+    # matview + the view deferred past its creation both live (the
+    # matview holds its import-time snapshot until REFRESH — correct
+    # matview semantics)
+    d("refresh materialized view mv")
+    assert d("select n1 from vmv").rows[0][0] == d(
+        "select count(*) as n from t"
+    ).rows[0][0] + 1
     assert d("select bump(10.0) as b").rows == [(11.0,)]
     assert d(
         "select comment from andb_tables where table_name = 't'"
