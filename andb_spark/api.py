@@ -9270,6 +9270,12 @@ class AnalyticsEngine:
             )
         src_sql = m.group("src").strip()
         if src_sql.lower().startswith("values"):
+            # DEFAULT keyword + sequence calls substitute like plain
+            # INSERT VALUES (per tuple, in row order)
+            src_sql = self._sub_default_keyword(
+                target, collist, src_sql
+            )
+            src_sql = self._sub_values_sequences(src_sql)
             src_sql = (
                 f"select * from ({src_sql}) as _v({', '.join(collist)})"
             )
@@ -9421,6 +9427,25 @@ class AnalyticsEngine:
             # in-batch duplicates for these spellings — pre-check.
             src_sql = m.group(6).strip()
             if src_sql.lower().startswith("values"):
+                src_sql = self._sub_default_keyword(
+                    target, collist, src_sql
+                )
+                # the PRE-CHECK must not advance sequences (the real
+                # insert substitutes later): nextval placeholders are
+                # per-row-unique, which is exactly their dup behavior
+                calls = self._seq_calls(src_sql)
+                if calls:
+                    parts, pos = [], 0
+                    for cm in calls:
+                        parts.append(src_sql[pos:cm.start()])
+                        parts.append(
+                            "monotonically_increasing_id()"
+                            if cm.group(1).lower() == "nextval"
+                            else str(self._seq_currval(cm.group(2)))
+                        )
+                        pos = cm.end()
+                    parts.append(src_sql[pos:])
+                    src_sql = "".join(parts)
                 src_sql = (
                     f"select * from ({src_sql}) as"
                     f" _v({', '.join(collist)})"
@@ -9466,6 +9491,7 @@ class AnalyticsEngine:
             src_sql = self._sub_default_keyword(
                 target, collist, src_sql
             )
+            src_sql = self._sub_values_sequences(src_sql)
             src_sql = (
                 f"select * from ({src_sql}) as"
                 f" _v({', '.join(collist)})"
