@@ -8454,10 +8454,154 @@ class AnalyticsEngine:
                 self.spark.catalog.dropTempView(v)
         return Result(effect_rows=n)
 
+    def _rename_table(self, old: str, new: str) -> Result:
+        """ALTER TABLE <old> RENAME TO <new> (DuckDB): a catalog key
+        move plus ONE directory rename — zero data I/O at any size.
+        Indexes and matview-base pointers follow; logical views
+        referencing the old name break late (the next bind raises,
+        exactly DuckDB's broken-view behavior). Disallowed inside an
+        explicit transaction: the txn's rollback tracking assumes
+        dirs keep their names."""
+        if self._txn is not None:
+            raise EngineError(
+                "RENAME TO is not allowed inside a transaction"
+            )
+        meta = self._meta(old)  # raises if missing; views excluded
+        if old in self.catalog.get("views", {}):
+            raise EngineError(f"{old} is a view, not a table")
+        self._check_name_free(new)
+        os.rename(
+            os.path.join(self.warehouse, old),
+            os.path.join(self.warehouse, new),
+        )
+        self.catalog["tables"][new] = meta
+        del self.catalog["tables"][old]
+        # the meta shard's pointer is path-relative to the old dir;
+        # dropping it makes the next save write the shard under the
+        # new dir (the orphan inside the moved dir is inert)
+        self._meta_ptrs.pop(old, None)
+        if old in self._seg_stats:
+            self._seg_stats[new] = self._seg_stats.pop(old)
+            self._stats_dirty.add(new)
+        for imeta in self.catalog.get("indexes", {}).values():
+            if imeta.get("table") == old:
+                imeta["table"] = new
+        for tmeta in self.catalog["tables"].values():
+            if tmeta.get("matview_base") == old:
+                tmeta["matview_base"] = new
+        self._save_catalog()
+        try:
+            self.spark.catalog.dropTempView(old)
+        except Exception:
+            pass
+        self._view(new)
+        return Result()
+
+    def _alter_column(
+        self, name: str, col: str, action: str,
+        default_expr: str | None, new_type: str | None,
+    ) -> Result:
+        """ALTER TABLE .. ALTER [COLUMN] c SET DEFAULT expr / DROP
+        DEFAULT / SET NOT NULL / DROP NOT NULL / [SET DATA] TYPE t
+        (DuckDB's column-alter family). Defaults and nullability are
+        metadata-only; SET NOT NULL probes existing rows first
+        (bounded early-exit scan — DuckDB errors on existing NULLs
+        too); TYPE rewrites the table through an ANSI-checked cast
+        (DuckDB rewrites too) — a value the new type cannot represent
+        refuses BEFORE any write, never silently NULLs."""
+        meta = self._meta(name)
+        hit = next(
+            (
+                c for c in meta["columns"]
+                if c["name"].lower() == col.lower()
+            ),
+            None,
+        )
+        if hit is None:
+            raise EngineError(f"column {col} not in {name}")
+        if action.startswith("set default"):
+            expr = default_expr.strip()
+            if not self._seq_calls(expr):
+                try:  # binder-style validation, job-free
+                    self.spark.sql(f"select ({expr}) as v").schema
+                except Exception as e:
+                    raise EngineError(
+                        f"cannot bind DEFAULT expression {expr!r}:"
+                        f" {e}"
+                    ) from e
+            hit["default"] = expr
+        elif action == "drop default":
+            hit.pop("default", None)
+            # the backfill record stays: it captures values EXISTING
+            # rows already hold; only future inserts lose the default
+        elif action == "set not null":
+            if self._read_table(name).filter(
+                self._safe_col(hit["name"]).isNull()
+            ).limit(1).count():
+                raise EngineError(
+                    f"column {hit['name']} of {name} contains NULL"
+                    " values — cannot SET NOT NULL"
+                )
+            hit["notnull"] = True
+        elif action == "drop not null":
+            if hit.get("pk"):
+                raise EngineError(
+                    f"cannot DROP NOT NULL on {hit['name']}: the"
+                    " PRIMARY KEY depends on it"
+                )
+            hit["notnull"] = False
+        else:  # [set data] type <t>
+            t = new_type.strip().rstrip(";").strip()
+            dt, _ = _parse_type(t)
+            src = self._read_table(name)
+            c = self._safe_col(hit["name"])
+            qc = (
+                hit["name"] if re.fullmatch(r"\w+", hit["name"])
+                else f"`{hit['name']}`"
+            )
+            bad = src.filter(
+                c.isNotNull()
+                & F.expr(
+                    f"try_cast({qc} as {dt.simpleString()})"
+                ).isNull()
+            )
+            if bad.limit(1).count():
+                raise EngineError(
+                    f"ALTER TYPE: a value of {hit['name']} cannot"
+                    f" cast to {t}"
+                )
+            df = src.withColumn(hit["name"], c.cast(dt))
+            hit["type"] = t.lower()
+            hit.pop("backfill", None)  # the rewrite materializes
+            self._overwrite(name, df)
+            return Result()
+        self._save_catalog()
+        self._view(name)
+        return Result()
+
     def _alter_table(self, stmt: str) -> Result:
         """ALTER TABLE — parsed-only in the reference (parser_.py:98-101,
         no transformation). Supports ADD COLUMN, DROP COLUMN, RENAME
         COLUMN over the managed parquet (schema change = rewrite)."""
+        rm = re.match(
+            r"alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*$",
+            stmt, re.I,
+        )
+        if rm:
+            return self._rename_table(rm.group(1), rm.group(2))
+        cm = re.match(
+            r"alter\s+table\s+(\w+)\s+alter\s+(?:column\s+)?(\w+)\s+"
+            r"(set\s+default\s+(.+)|drop\s+default"
+            r"|set\s+not\s+null|drop\s+not\s+null"
+            r"|(?:set\s+data\s+)?type\s+(.+))\s*$",
+            stmt, re.I | re.S,
+        )
+        if cm:
+            return self._alter_column(
+                cm.group(1), cm.group(2),
+                re.sub(r"\s+", " ", cm.group(3).strip().lower()),
+                cm.group(4), cm.group(5),
+            )
         add_default: str | None = None
         am = re.match(
             r"alter\s+table\s+(\w+)\s+add\s+column\s+(\w+)\s+(.+?)"

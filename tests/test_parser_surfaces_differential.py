@@ -3588,3 +3588,69 @@ def test_explain_covers_late_r11_surfaces(spark, tmp_path):
     # the EXPLAINs above peeked: the first real nextval is still 1
     assert eng.execute("select nextval('s1') as n").rows == [(1,)]
     eng.close()
+
+
+def test_alter_column_family_matches_duckdb(spark, tmp_path):
+    """The ALTER column family (DuckDB: SET/DROP DEFAULT, SET/DROP
+    NOT NULL, [SET DATA] TYPE, RENAME TO — api.py::_alter_column /
+    _rename_table): identical statements through both engines.
+    Defaults/nullability are metadata-only; SET NOT NULL probes
+    existing rows first; TYPE rewrites through an ANSI-checked cast
+    (an unrepresentable value refuses BEFORE any write on both);
+    RENAME TO is one catalog move + one dir rename."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whalt"), spark=spark)
+    con = duckdb.connect()
+    steps = (
+        "create table t (a int default 1, b varchar)",
+        "insert into t values (5, 'x')",
+        "alter table t alter column a set default 42",
+        "insert into t (b) values ('y')",       # a takes the new 42
+        "alter table t alter column a drop default",
+        "insert into t (b) values ('z')",       # a falls back to NULL
+        "alter table t alter column a type bigint",
+        "alter table t alter b set data type varchar",
+        "alter table t rename to t2",
+        "alter table t2 alter column b set not null",
+    )
+    for run in (eng.execute, con.execute):
+        for s in steps:
+            run(s)
+    for sql in (
+        "select * from t2 order by b nulls first, a nulls first",
+        "select count(*) as n from t2",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # violations raise on BOTH, state intact
+    for sql in (
+        "insert into t2 (a) values (9)",              # b NOT NULL
+        "alter table t2 alter column a type date",    # uncastable
+        "alter table t2 alter column zz set default 1",
+        "select * from t",                            # renamed away
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+        with pytest.raises(Exception):
+            con.execute(sql)
+    for run in (eng.execute, con.execute):
+        run("create table n1 (x int)")
+        run("insert into n1 values (1), (null)")
+    with pytest.raises(EngineError):
+        eng.execute("alter table n1 alter column x set not null")
+    with pytest.raises(Exception):
+        con.execute("alter table n1 alter column x set not null")
+    # engine pins: metadata persists across restart; TYPE rewrite
+    # materialized (zone maps rebuilt under the new type)
+    eng.close()
+    eng2 = AnalyticsEngine(str(tmp_path / "whalt"), spark=spark)
+    with pytest.raises(EngineError):
+        eng2.execute("insert into t2 (a) values (7)")  # b still NOT NULL
+    assert eng2.execute(
+        "select a from t2 where b = 'y'"
+    ).rows == [(42,)]
+    eng2.execute("insert into t2 values (8000000000, 'big')")  # bigint
+    assert eng2.execute(
+        "select a from t2 where b = 'big'"
+    ).rows == [(8000000000,)]
+    eng2.close()
