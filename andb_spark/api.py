@@ -8583,6 +8583,28 @@ class AnalyticsEngine:
         """ALTER TABLE — parsed-only in the reference (parser_.py:98-101,
         no transformation). Supports ADD COLUMN, DROP COLUMN, RENAME
         COLUMN over the managed parquet (schema change = rewrite)."""
+        vm = re.match(
+            r"alter\s+view\s+(\w+)\s+rename\s+to\s+(\w+)\s*$",
+            stmt, re.I,
+        )
+        if vm:
+            old, new = vm.groups()
+            views = self.catalog.get("views", {})
+            if old not in views:
+                if old in self.catalog["tables"]:
+                    raise EngineError(
+                        f"{old} is a table — use ALTER TABLE"
+                    )
+                raise EngineError(f"view {old} does not exist")
+            self._check_name_free(new)
+            views[new] = views.pop(old)
+            self._save_catalog()
+            try:
+                self.spark.catalog.dropTempView(old)
+            except Exception:
+                pass
+            self._bound_views.discard(old)
+            return Result()
         rm = re.match(
             r"alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*$",
             stmt, re.I,
@@ -9995,6 +10017,13 @@ class AnalyticsEngine:
         statement batch pipelines rebuild partitions with). Constraints
         and the declared schema apply exactly as INSERT's do; readers
         see the old or new version, never a mix."""
+        stmt, _ret = self._split_returning(stmt)
+        if _ret is not None:
+            # would otherwise reach the SELECT body and die as a raw
+            # parse error
+            raise EngineError(
+                "RETURNING is not supported on INSERT OVERWRITE"
+            )
         m = re.match(
             r"insert\s+overwrite\s+(?:table\s+)?(\w+)\s+(select\s+.*|values\s*.*)$",
             stmt,

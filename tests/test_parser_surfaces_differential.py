@@ -3640,6 +3640,19 @@ def test_alter_column_family_matches_duckdb(spark, tmp_path):
         eng.execute("alter table n1 alter column x set not null")
     with pytest.raises(Exception):
         con.execute("alter table n1 alter column x set not null")
+    # ALTER VIEW RENAME TO (strict kinds both directions)
+    for run in (eng.execute, con.execute):
+        run("create view av as select a from t2")
+        run("alter view av rename to av2")
+    assert eng.execute(
+        "select count(*) as n from av2"
+    ).rows == con.execute("select count(*) as n from av2").fetchall()
+    with pytest.raises(EngineError):
+        eng.execute("alter view t2 rename to zz")
+    with pytest.raises(Exception):
+        con.execute("alter view t2 rename to zz")
+    with pytest.raises(EngineError):
+        eng.execute("select * from av")
     # engine pins: metadata persists across restart; TYPE rewrite
     # materialized (zone maps rebuilt under the new type)
     eng.close()
