@@ -3070,6 +3070,14 @@ class AnalyticsEngine:
                 r = Result()
             elif head == "SET":
                 r = self._set_var(stmt)
+            elif head == "RESET":
+                # RESET <var> (DuckDB/Postgres): back to the default —
+                # the engine's defaults are "unset"
+                rm_ = re.match(r"reset\s+([\w.]+)\s*$", stmt, re.I)
+                if not rm_:
+                    raise EngineError(f"cannot parse RESET: {stmt!r}")
+                self.session_vars.pop(rm_.group(1), None)
+                r = Result()
             elif head == "ANALYZE":
                 r = self._analyze(stmt)
             elif head == "SHOW" and re.match(r"show\s+stats\s+for\s+\w+", stmt, re.I):

@@ -245,3 +245,33 @@ def test_array_column_types(eng):
     assert eng.execute(
         "select m[1][0] as v from c"
     ).rows == [(2.5,)]
+
+
+def test_export_import_csv_format(spark, tmp_path):
+    """EXPORT DATABASE (FORMAT CSV): the text round trip must survive
+    embedded commas/quotes/escaped quotes, NULLs in every type, and
+    timestamps — the COPY FROM path casts back to the declared
+    schema."""
+    from andb_spark.api import AnalyticsEngine
+
+    src = AnalyticsEngine(str(tmp_path / "whc1"), spark=spark)
+    e = src.execute
+    e("create table t (k int, s text, d double, ts timestamp)")
+    e(
+        "insert into t values"
+        " (1, 'a,b\"c', 1.5, '2020-01-02 03:04:05'),"
+        " (2, null, null, null),"
+        " (3, 'line''q', -2.25, '1999-12-31 23:59:59')"
+    )
+    exp = str(tmp_path / "dump")
+    e(f"export database '{exp}' (format csv)")
+    before = e("select * from t order by k").rows
+    src.close()
+    dst = AnalyticsEngine(str(tmp_path / "whc2"), spark=spark)
+    dst.execute(f"import database '{exp}'")
+    assert dst.execute("select * from t order by k").rows == before
+    # RESET returns a session var to its default
+    dst.execute("set andb.zone_prune = off")
+    dst.execute("reset andb.zone_prune")
+    assert "andb.zone_prune" not in dst.session_vars
+    dst.close()
