@@ -640,6 +640,18 @@ class AnalyticsEngine:
                 os.close(gfd)
         except (OSError, ValueError):
             pass
+        for tname in [
+            n for n, m in self.catalog["tables"].items()
+            if m.get("temp")
+        ]:
+            shutil.rmtree(
+                os.path.join(self.warehouse, tname), ignore_errors=True
+            )
+            self.catalog["tables"].pop(tname, None)
+            try:
+                self.spark.catalog.dropTempView(tname)
+            except Exception:
+                pass
         from andb_spark.caching import release_caches
 
         release_caches()
@@ -996,6 +1008,10 @@ class AnalyticsEngine:
         tables_root: dict[str, dict] = {}
         stale: list[str] = []
         for tname, meta in self.catalog["tables"].items():
+            if meta.get("temp") or tname == getattr(
+                self, "_pending_temp", None
+            ):
+                continue  # session-scoped: never persisted
             blob = json.dumps(meta, sort_keys=True)
             digest = hashlib.sha1(blob.encode()).hexdigest()[:16]
             rel = f"{tname}/_meta.{digest}.json"
@@ -2922,6 +2938,30 @@ class AnalyticsEngine:
                     stmt, re.I,
                 )),
             )
+            # CREATE TEMP[ORARY] TABLE (DuckDB/Postgres): normalize
+            # the keyword away and flag the created table as
+            # SESSION-SCOPED — excluded from every catalog save, its
+            # data dirs removed at close(). Declared divergence:
+            # DuckDB lets a temp table SHADOW a permanent one; the
+            # engine keeps its single strict namespace and refuses
+            # the collision loudly instead.
+            temp_name: str | None = None
+            tm_ = re.match(
+                r"create\s+(or\s+replace\s+)?temp(?:orary)?\s+"
+                r"table\s+(\w+)",
+                stmt, re.I,
+            )
+            if tm_:
+                temp_name = tm_.group(2)
+                stmt = re.sub(
+                    r"^create\s+(or\s+replace\s+)?temp(?:orary)?\s+",
+                    lambda m_: "create " + (m_.group(1) or ""),
+                    stmt, count=1, flags=re.I,
+                )
+                # the create's own commit save must already exclude
+                # the table — a crash between that save and the flag
+                # below must not leak it as permanent
+                self._pending_temp = temp_name
             orm = re.match(
                 r"create\s+or\s+replace\s+table\s+(\w+)\b(\s+as\b)?",
                 stmt, re.I,
@@ -3119,11 +3159,19 @@ class AnalyticsEngine:
                 r = self._select(stmt)
             else:
                 raise EngineError(f"unsupported statement: {head or '<empty>'}")
+            if temp_name and temp_name in self.catalog["tables"]:
+                self.catalog["tables"][temp_name]["temp"] = True
+            if temp_name:
+                self._pending_temp = None
         except EngineError:
             raise
         except Exception as e:  # surface Spark analysis errors uniformly
             raise EngineError(str(e)) from e
         finally:
+            # a FAILED temp create must not leave the pending marker
+            # suppressing saves of a later permanent table of the
+            # same name
+            self._pending_temp = None
             release_caches_since(cmark)
         r.elapsed = time.perf_counter() - t0
         return r

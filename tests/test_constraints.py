@@ -275,3 +275,43 @@ def test_export_import_csv_format(spark, tmp_path):
     dst.execute("reset andb.zone_prune")
     assert "andb.zone_prune" not in dst.session_vars
     dst.close()
+
+
+def test_create_temp_table_session_scoped(spark, tmp_path):
+    """CREATE TEMP[ORARY] TABLE (DuckDB/Postgres): session-scoped —
+    full DML while the engine lives, excluded from every catalog
+    save, data dirs removed at close(), gone after restart while
+    permanent tables persist. Declared divergence: DuckDB lets a
+    temp table shadow a permanent one; the engine's single strict
+    namespace refuses the collision loudly."""
+    import json
+    import os
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    wh = str(tmp_path / "whtemp")
+    eng = AnalyticsEngine(wh, spark=spark)
+    e = eng.execute
+    e("create temp table tt (a int, b varchar default 'x')")
+    e("insert into tt (a) values (1), (2)")
+    e("create temporary table tt2 as select a * 10 as a from tt")
+    e("update tt set a = a + 10 where a = 1")
+    assert e("select * from tt order by a").rows == [
+        (2, "x"), (11, "x"),
+    ]
+    assert e("select * from tt2 order by a").rows == [(10,), (20,)]
+    e("create table perm (p int)")
+    e("insert into perm values (7)")
+    with pytest.raises(EngineError):
+        e("create temp table perm (q int)")
+    # the persisted catalog root never mentions the temp tables
+    e("checkpoint")
+    root = json.load(open(os.path.join(wh, "_catalog.json")))
+    assert "tt" not in root["tables"] and "tt2" not in root["tables"]
+    eng.close()
+    assert not os.path.isdir(os.path.join(wh, "tt"))
+    eng2 = AnalyticsEngine(wh, spark=spark)
+    with pytest.raises(EngineError):
+        eng2.execute("select * from tt")
+    assert eng2.execute("select * from perm").rows == [(7,)]
+    eng2.close()
