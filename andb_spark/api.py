@@ -108,6 +108,20 @@ def _parse_type(name: str) -> tuple[T.DataType, int | None]:
         # carries them end to end
         inner, _ = _parse_type(name[:-2])
         return T.ArrayType(inner), None
+    if name.startswith("struct(") and name.endswith(")"):
+        # DuckDB struct-type spelling: struct(a int, b text) —
+        # fields recurse, so struct(xs int[], inner struct(...))
+        # composes; parquet stores groups natively
+        fields = []
+        for fdef in _split_top_level(name[7:-1]):
+            parts = fdef.strip().split(None, 1)
+            if len(parts) != 2:
+                raise EngineError(f"bad struct field: {fdef!r}")
+            fdt, _ = _parse_type(parts[1])
+            fields.append(T.StructField(parts[0], fdt, True))
+        if not fields:
+            raise EngineError("struct type needs at least one field")
+        return T.StructType(fields), None
     raise EngineError(f"unknown type: {name}")
 
 
@@ -11051,6 +11065,11 @@ def _columns_from_schema(schema: T.StructType) -> list[dict]:
             # DuckDB list spelling, recursively (vector keeps its
             # dedicated name via the simple-string map above)
             return _tname(dt.elementType) + "[]"
+        if isinstance(dt, T.StructType):
+            inner = ", ".join(
+                f"{f.name} {_tname(f.dataType)}" for f in dt.fields
+            )
+            return f"struct({inner})"
         raise EngineError(
             f"unsupported type {simple}"
         )

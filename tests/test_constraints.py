@@ -315,3 +315,35 @@ def test_create_temp_table_session_scoped(spark, tmp_path):
         eng2.execute("select * from tt")
     assert eng2.execute("select * from perm").rows == [(7,)]
     eng2.close()
+
+
+def test_struct_column_types(eng):
+    """DuckDB struct-type spellings in CREATE TABLE — parquet stores
+    groups natively, so structs (and structs nested under lists)
+    ride the managed-table path end to end, including dotted field
+    access, filters, and the CTAS reverse type mapping."""
+    eng.execute(
+        "create table s (id int,"
+        " loc struct(lat double, lon double),"
+        " path struct(tag text, pts int[])[])"
+    )
+    eng.execute(
+        "insert into s select 1,"
+        " named_struct('lat', 1.5, 'lon', -2.5),"
+        " array(named_struct('tag', 'a', 'pts', array(1, 2)))"
+    )
+    assert eng.execute(
+        "select id, loc.lat as lat, path[0].tag as t,"
+        " path[0].pts[1] as p from s"
+    ).rows == [(1, 1.5, "a", 2)]
+    assert eng.execute(
+        "select id from s where loc.lon < 0"
+    ).rows == [(1,)]
+    eng.execute("create table s2 as select id, loc from s")
+    cols = {c["name"]: c["type"] for c in eng._meta("s2")["columns"]}
+    assert cols["loc"] == "struct(lat double, lon double)"
+    # round-trips through restart (declared schema re-parses)
+    eng.execute("insert into s2 select 2, named_struct('lat', 0.0, 'lon', 9.9)")
+    assert eng.execute(
+        "select count(*) as n from s2 where loc.lon > 5"
+    ).rows == [(1,)]
