@@ -7509,6 +7509,12 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_pivot_statement(stmt)
             rewrite_views += v
+            # BEFORE the lift/qualify: those plan window text with
+            # spark.sql inside their machinery, so EXCLUDE clauses
+            # must already be plain OVER text by then (the rewrite is
+            # position-independent — it matches OVER at any depth)
+            stmt, v = self._rewrite_window_exclude(stmt)
+            rewrite_views += v
             stmt, v = self._bind_ctes_for_surfaces(stmt)
             rewrite_views += v
             # a WITH statement's unwrapped main may itself be
@@ -7537,8 +7543,6 @@ class AnalyticsEngine:
             rewrite_views += v
             stmt, v = self._rewrite_quantified(stmt)
             rewrite_views += v
-            stmt, v = self._rewrite_window_exclude(stmt)
-            rewrite_views += v
             return self._select_resolved(stmt)
         finally:
             # bounded: no per-query leak
@@ -7563,6 +7567,7 @@ class AnalyticsEngine:
                 self._rewrite_sequence_calls,
                 self._rewrite_using_sample,
                 self._rewrite_pivot_statement,
+                self._rewrite_window_exclude,
                 self._rewrite_star_exclude,
                 self._rewrite_fetch_first,
                 self._bind_ctes_for_surfaces,
@@ -7578,7 +7583,6 @@ class AnalyticsEngine:
                 self._rewrite_select_replace,
                 self._rewrite_qualify,
                 self._rewrite_quantified,
-                self._rewrite_window_exclude,
             ):
                 query, v = rw(query)
                 views += v
@@ -7755,6 +7759,7 @@ class AnalyticsEngine:
             inner, _uv = self._rewrite_using_sample(inner)
             inner, pv_views = self._rewrite_pivot_statement(inner)
             cte_views += pv_views
+            inner, _wv = self._rewrite_window_exclude(inner)
             inner, _xv = self._rewrite_star_exclude(inner)
             inner, ft_views = self._rewrite_fetch_first(inner)
             inner, cte_views2 = self._bind_ctes_for_surfaces(inner)
@@ -7776,7 +7781,6 @@ class AnalyticsEngine:
             inner, quant_views = self._rewrite_quantified(
                 inner, plan_only=True
             )
-            inner, _wv = self._rewrite_window_exclude(inner)
         except BaseException:
             for v in (cte_views + ubn_views + don_views + asof_views
                       + range_views + qual_views + quant_views

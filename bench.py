@@ -193,12 +193,18 @@ HEADLINE_R10 = (
 
 # r11 additions (same rule: timed and reported, OUT of the cross-round
 # comparable total; subtotal r11_extension_sec): logical views, the
-# positional-join zip, and the macro lifecycle.
+# positional-join zip, the macro lifecycle, and the late-r11 driver
+# rows — the constraint family, the PIVOT statement, sequences and
+# RETURNING.
 HEADLINE_R11 = (
     "u_create_view",
     "u_positional_join",
     "u_create_macro",
     "u_insert_or_replace",
+    "u_constraints",
+    "u_pivot_stmt",
+    "u_sequences",
+    "u_returning",
 )
 
 HEADLINE = (

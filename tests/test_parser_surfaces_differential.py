@@ -3667,3 +3667,39 @@ def test_alter_column_family_matches_duckdb(spark, tmp_path):
         "select a from t2 where b = 'big'"
     ).rows == [(8000000000,)]
     eng2.close()
+
+
+def test_window_exclude_composes_with_engine_surfaces(spark, tmp_path):
+    """EXCLUDE CURRENT ROW composing with the engine's own rewrite
+    surfaces (the rewrite runs BEFORE the lift/qualify machinery, so
+    their internal spark.sql planning sees plain OVER text): inside
+    QUALIFY, inside CTE bodies, inside FROM subqueries, and under
+    DISTINCT ON — identical statements both engines."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whwc"), spark=spark)
+    con = duckdb.connect()
+    for s in (
+        "create table w (g int, k int, v int)",
+        "insert into w values (1,1,10),(1,2,20),(1,3,30),(2,1,5),"
+        "(2,2,7)",
+    ):
+        eng.execute(s)
+        con.execute(s)
+    wide = "rows between unbounded preceding and unbounded following"
+    for sql in (
+        f"select g, k, v from w qualify sum(v) over (partition by g"
+        f" order by k {wide} exclude current row) > 20 order by g, k",
+        f"with c as (select g, k, sum(v) over (partition by g order"
+        f" by k rows between 1 preceding and 1 following exclude"
+        f" current row) as s from w) select * from c order by g, k",
+        f"select * from (select g, k, sum(v) over (partition by g"
+        f" {wide} exclude current row) as s from w) t where s > 10"
+        f" order by g, k",
+        f"select distinct on (g) g, k, max(v) over (partition by g"
+        f" {wide} exclude current row) as m from w order by g, k",
+    ):
+        assert (
+            eng.execute(sql).rows == con.execute(sql).fetchall()
+        ), sql
+    eng.close()
