@@ -107,7 +107,15 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
     # on the r10-graded statements (none references a logical view,
     # fetches 0 rows WITH TIES, or correlates an engine subquery) and
-    # each changed shape is differential-pinned.
+    # each changed shape is differential-pinned. The LATE-r11 engine
+    # changes touch shared DML machinery (RETURNING strip in
+    # INSERT/UPDATE/DELETE, default fills, staged constraint probes,
+    # the backfill-aware read path) — no graded statement's QUERY or
+    # ORACLE text changed, and the full 206-name registry re-verified
+    # green at sf0.001 + sf0.01 + sf0.1 within the round after those
+    # changes (tools/compare.py, this session's logs), so the
+    # machinery changes carry fresh whole-registry evidence rather
+    # than spotlight slots.
     # (c) oldest evidence — the 5 r6 deferrals first (deferred in the
     # r10 rotation comment), then 42 of the 44 r7-graded names; two
     # defer to r12 with their operators re-evidenced THIS round by
