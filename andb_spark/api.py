@@ -2256,6 +2256,8 @@ class AnalyticsEngine:
             schema.append(line + ";")
         matviews: list[tuple[str, dict]] = []
         for tname, meta in sorted(self.catalog["tables"].items()):
+            if meta.get("temp"):
+                continue  # session-scoped: not part of the database
             if meta.get("matview_sql"):
                 matviews.append((tname, meta))
                 continue
