@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import datetime
 import hashlib
+import itertools
 import json
 import os
 import re
@@ -1951,9 +1952,21 @@ class AnalyticsEngine:
             r"\s*(\w+)", head[fk[0] + len("from"):]
         )
         between = head[fk[0] + len("from"):]
-        if not tm or re.search(
-            r",|\bjoin\b", _blank_literals(between), re.I
-        ):
+        # multi-relation guard scans the FROM clause ONLY (up to the
+        # next top-level clause keyword), at paren depth 0 — a comma
+        # inside `where k in (1,2)` is not a join list (ADVICE r11)
+        bb = _blank_literals(between)
+        ck = re.search(
+            r"\b(where|group|having|order|limit|offset|qualify"
+            r"|window|fetch|union|intersect|except)\b",
+            bb, re.I,
+        )
+        from_clause = bb[: ck.start()] if ck else bb
+        multi = re.search(r"\bjoin\b", from_clause, re.I) or any(
+            c == "," and _paren_depth_at(from_clause, i) == 0
+            for i, c in enumerate(from_clause)
+        )
+        if not tm or multi:
             raise EngineError(
                 "USING SAMPLE is supported over a single plain FROM"
                 " relation — sample a subquery/join via TABLESAMPLE"
@@ -2969,6 +2982,20 @@ class AnalyticsEngine:
             )
             if tm_:
                 temp_name = tm_.group(2)
+                prior = self.catalog["tables"].get(temp_name)
+                if prior is not None and not prior.get("temp"):
+                    # the OR REPLACE spelling must NOT bypass the
+                    # refusal (ADVICE r11): DuckDB's temp schema
+                    # SHADOWS the permanent table non-destructively,
+                    # so silently replacing here would let close()
+                    # delete durable data a ported script never asked
+                    # to drop
+                    raise EngineError(
+                        f"table {temp_name} already exists as a"
+                        " permanent table — the engine keeps one"
+                        " strict namespace (no temp shadowing); DROP"
+                        " it first to reuse the name as a temp table"
+                    )
                 stmt = re.sub(
                     r"^create\s+(or\s+replace\s+)?temp(?:orary)?\s+",
                     lambda m_: "create " + (m_.group(1) or ""),
@@ -6493,43 +6520,77 @@ class AnalyticsEngine:
             rest[g[0] + len("group by"): group_end].strip() if g else None
         )
         tail = rest[t[0]:].strip() if t else ""
-        if len(_split_top_level(on_text)) != 1:
-            raise EngineError(
-                "PIVOT ON multiple columns is not supported —"
-                " pivot one column per statement"
-            )
-        om = re.match(
-            r"^(\w+)(?:\s+in\s*\((.*)\))?\s*$", on_text, re.I | re.S
-        )
-        if not om:
-            raise EngineError(
-                f"PIVOT ON expects a column name [IN (...)]:"
-                f" {on_text!r}"
-            )
         by_lower = {c.lower(): c for c in df.columns}
-        pcol = by_lower.get(om.group(1).lower())
-        if pcol is None:
-            raise EngineError(
-                f"PIVOT column {om.group(1)} not in the source"
+        # each ON item: <col> [IN (...)] — several items compose into
+        # DuckDB's Cartesian-product pivot (probed: `pivot t on g, c`
+        # yields one column per combination of each column's DISTINCT
+        # values — absent combinations included, all-NULL — named
+        # v1_v2, with USING aliases appended as v1_v2_alias)
+        specs: list[tuple[str, list]] = []
+        for it in _split_top_level(on_text):
+            om = re.match(
+                r"^(\w+)(?:\s+in\s*\((.*)\))?\s*$", it.strip(),
+                re.I | re.S,
             )
-        if om.group(2) is not None:
-            values = [
-                self._pivot_literal(x)
-                for x in _split_top_level(om.group(2))
-            ]
-        else:
-            rows = (
-                df.select(pcol).dropna().distinct()
-                .orderBy(pcol).limit(self._PIVOT_VALUE_CAP + 1)
-                .collect()
-            )
-            if len(rows) > self._PIVOT_VALUE_CAP:
+            if not om:
                 raise EngineError(
-                    f"PIVOT on {pcol}: more than"
-                    f" {self._PIVOT_VALUE_CAP} distinct values —"
-                    " give an explicit IN (...) list"
+                    f"PIVOT ON expects column names [IN (...)]:"
+                    f" {it.strip()!r}"
                 )
-            values = [r[0] for r in rows]
+            c = by_lower.get(om.group(1).lower())
+            if c is None:
+                raise EngineError(
+                    f"PIVOT column {om.group(1)} not in the source"
+                )
+            if om.group(2) is not None:
+                vals = [
+                    self._pivot_literal(x)
+                    for x in _split_top_level(om.group(2))
+                ]
+            else:
+                rows = (
+                    df.select(c).dropna().distinct()
+                    .orderBy(c).limit(self._PIVOT_VALUE_CAP + 1)
+                    .collect()
+                )
+                if len(rows) > self._PIVOT_VALUE_CAP:
+                    raise EngineError(
+                        f"PIVOT on {c}: more than"
+                        f" {self._PIVOT_VALUE_CAP} distinct values —"
+                        " give an explicit IN (...) list"
+                    )
+                vals = [r[0] for r in rows]
+            specs.append((c, vals))
+        on_cols = [c for c, _ in specs]
+        if len(specs) == 1:
+            pcol, values = specs[0]
+        else:
+            ncombo = 1
+            for _, vals in specs:
+                ncombo *= len(vals)
+            if ncombo > self._PIVOT_VALUE_CAP:
+                raise EngineError(
+                    f"PIVOT on {', '.join(on_cols)}:"
+                    f" {ncombo} value combinations exceed"
+                    f" {self._PIVOT_VALUE_CAP} — give explicit"
+                    " IN (...) lists"
+                )
+            pcol = "_pv_on"
+            for c in on_cols:
+                df = df.filter(self._safe_col(c).isNotNull())
+            df = df.withColumn(
+                pcol,
+                F.concat_ws(
+                    "_",
+                    *[self._safe_col(c).cast("string") for c in on_cols],
+                ),
+            )
+            values = [
+                "_".join(str(v) for v in combo)
+                for combo in itertools.product(
+                    *[vals for _, vals in specs]
+                )
+            ]
         aggs: list[tuple[str, str | None]] = []
         if using_text:
             for it in _split_top_level(using_text):
@@ -6554,7 +6615,7 @@ class AnalyticsEngine:
                 if rc is None:
                     raise EngineError(
                         f"PIVOT GROUP BY column {c.strip()} not in"
-                        f" {target}"
+                        " the source"
                     )
                 gcols.append(rc)
         else:
@@ -6567,7 +6628,8 @@ class AnalyticsEngine:
             }
             gcols = [
                 c for c in df.columns
-                if c != pcol and c.lower() not in referenced
+                if c != pcol and c not in on_cols
+                and c.lower() not in referenced
             ]
         agg_cols = [
             F.expr(e).alias(a) if a else F.expr(e) for e, a in aggs
@@ -6575,6 +6637,17 @@ class AnalyticsEngine:
         res = df.groupBy(*[self._safe_col(c) for c in gcols]).pivot(
             pcol, values
         ).agg(*agg_cols)
+        # Spark names a SINGLE-aggregate pivot's columns by value
+        # only, dropping any alias; DuckDB names them
+        # {value}_{alias} (probed) — rename to match
+        if len(aggs) == 1 and aggs[0][1] is not None:
+            a1 = aggs[0][1]
+            ren = {
+                str(v): f"{v}_{a1}" for v in values
+                if str(v) in res.columns
+            }
+            if ren:
+                res = res.withColumnsRenamed(ren)
         # count() over an absent combination is 0, not NULL (DuckDB
         # count semantics; Spark's pivot leaves the gap NULL)
         for e, a in aggs:

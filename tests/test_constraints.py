@@ -304,6 +304,12 @@ def test_create_temp_table_session_scoped(spark, tmp_path):
     e("insert into perm values (7)")
     with pytest.raises(EngineError):
         e("create temp table perm (q int)")
+    # the OR REPLACE spelling must not bypass the refusal (ADVICE
+    # r11: in DuckDB this is non-destructive shadowing; silently
+    # replacing would let close() delete the permanent table's data)
+    with pytest.raises(EngineError, match="permanent"):
+        e("create or replace temp table perm as select 1 as q")
+    assert e("select * from perm").rows == [(7,)]
     # the persisted catalog root never mentions the temp tables
     e("checkpoint")
     root = json.load(open(os.path.join(wh, "_catalog.json")))

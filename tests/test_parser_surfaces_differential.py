@@ -3025,6 +3025,16 @@ def test_pivot_statement_matches_duckdb(spark, tmp_path):
         "pivot sales on q group by yr order by yr",
         # int ON values become column names
         "pivot si on n using sum(amt) group by yr order by yr",
+        # SINGLE aliased aggregate: DuckDB names {value}_{alias}
+        # (Spark drops the alias — the rewrite renames to match)
+        "pivot sales on q using sum(amt) as s group by yr order by yr",
+        "pivot sales on q using count(*) as n group by yr order by yr",
+        # multiple ON columns: Cartesian product of each column's
+        # distinct values, combination columns named v1_v2[_alias]
+        "pivot sales on yr, q using sum(amt)",
+        "pivot sales on yr, q using sum(amt) as s, count(*) as c",
+        "pivot sales on yr in (2023), q in ('q1','q2')"
+        " using sum(amt) as s",
         # inside a FROM subquery, filtered on a pivot column
         "select * from (pivot sales on q using sum(amt) group by yr)"
         " p where p.q1 > 25 order by yr",
@@ -3053,11 +3063,14 @@ def test_pivot_statement_matches_duckdb(spark, tmp_path):
     assert eng.execute(sql).rows == con.execute(sql).fetchall()
     # named refusals (engine) ≙ unsupported-or-different (documented)
     for sql in (
-        "pivot sales on yr, q using sum(amt)",       # multi ON
         "unpivot uu on a, b into name k value v1, v2",  # grouped
     ):
         with pytest.raises(EngineError):
             eng.execute(sql)
+    # a bad GROUP BY column surfaces as the intended message, not a
+    # NameError (ADVICE r11)
+    with pytest.raises(EngineError, match="not in the source"):
+        eng.execute("pivot sales on q using sum(amt) group by nosuch")
     eng.close()
 
 
@@ -3548,6 +3561,12 @@ def test_using_sample_invariants_match_duckdb(spark, tmp_path):
         (
             "select * from (select * from t using sample 100 rows) s",
             100, 100,
+        ),
+        # a comma inside a WHERE IN-list is NOT a multi-relation FROM
+        # (ADVICE r11: the guard scans the FROM clause only)
+        (
+            "select * from t where k in (1, 2, 3) using sample 2 rows",
+            0, 2,
         ),
     ):
         er = eng.execute(sql).rows
