@@ -1978,6 +1978,268 @@ class AnalyticsEngine:
             + stmt[sm.end():]
         ), []
 
+    # ---------------------------- DuckDB list/struct expressions --
+    # words that can legally precede a bare `[` only when the bracket
+    # opens a LIST LITERAL (clause keywords, operators are handled by
+    # the non-word branch); `array` is ANSI's explicit literal prefix
+    _BRACKET_KEYWORDS = frozenset(
+        """select from where and or not then else when case end in on
+        using by as group order having limit offset union all distinct
+        values set returning join inner left right full cross semi
+        anti lateral between is like ilike glob exclude exists any
+        some over partition rows range preceding following unbounded
+        current row asc desc nulls first last intersect except with
+        recursive array""".split()
+    )
+
+    @staticmethod
+    def _match_bracket(blanked: str, openpos: int, oc: str, cc: str) -> int:
+        depth = 0
+        for j in range(openpos, len(blanked)):
+            if blanked[j] == oc:
+                depth += 1
+            elif blanked[j] == cc:
+                depth -= 1
+                if depth == 0:
+                    return j
+        raise EngineError(f"unbalanced {oc}...{cc} in expression")
+
+    def _expr_base_start(self, b: str, end: int) -> int:
+        """Start index of the primary-expression chain ending at
+        ``end`` (exclusive) in literal-blanked text — dotted
+        identifier segments and call/paren groups compose:
+        ``f(x).g[...]``, ``a.b``, ``(expr)``. Walks left one segment
+        at a time; a segment that begins with ``.`` continues across
+        a preceding paren group (a call or a parenthesized
+        expression)."""
+        i = end
+        while i > 0:
+            m = re.search(r'(?:[\w.$]+|`[^`]*`|"[^"]*")+$', b[:i])
+            if m and m.end() == i:
+                seg_start = m.start()
+                dotted = b[seg_start] == "."
+                i = seg_start
+                if dotted and i > 0 and b[i - 1] == ")":
+                    i = self._match_paren_back(b, i - 1)
+                    continue  # absorb the call's own name, if any
+                return i
+            if i == end and b[i - 1] == ")":
+                i = self._match_paren_back(b, i - 1)
+                continue
+            return i
+        return i
+
+    @staticmethod
+    def _top_level_colon(blanked: str) -> int | None:
+        """First ``:`` at bracket/paren/brace depth 0 — skipping
+        ``::`` casts and ``:=`` named-argument markers."""
+        d = j = 0
+        while j < len(blanked):
+            c = blanked[j]
+            if c in "([{":
+                d += 1
+            elif c in ")]}":
+                d -= 1
+            elif c == ":" and d == 0:
+                if j + 1 < len(blanked) and blanked[j + 1] in ":=":
+                    j += 2
+                    continue
+                return j
+            j += 1
+        return None
+
+    @staticmethod
+    def _split_collection_items(text: str, blanked: str) -> list[str]:
+        """Split on commas at bracket/paren/brace depth 0 (list and
+        struct literal bodies nest all three)."""
+        out, d, start = [], 0, 0
+        for j, c in enumerate(blanked):
+            if c in "([{":
+                d += 1
+            elif c in ")]}":
+                d -= 1
+            elif c == "," and d == 0:
+                out.append(text[start:j])
+                start = j + 1
+        out.append(text[start:])
+        return out
+
+    def _rewrite_duckdb_collections(self, stmt: str) -> str:
+        """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 —
+        the engine's one silent seam), lowered onto Spark's native
+        collection functions as a pure text rewrite so Catalyst
+        plans everything JVM-side. DuckDB-probed semantics:
+
+        - INDEXING ``xs[n]`` → ``try_element_at(xs, n)``: 1-based,
+          negative counts from the end, NULL on out-of-bounds AND on
+          index 0/NULL (Spark's try_element_at raises
+          INVALID_INDEX_OF_ZERO, so indexes not provably nonzero get
+          a CASE guard)
+        - SLICING ``xs[a:b]`` (either bound may be open) →
+          ``slice()`` with DuckDB's clamps: OOB bounds clamp to the
+          list, b < a yields an empty list, negative bounds count
+          from the end; a slice STEP (second colon) refuses by name
+        - LIST literals ``[e1, e2]`` / ANSI ``ARRAY[e1, e2]`` →
+          ``array(e1, e2)``
+        - STRUCT literals ``{'k': v}`` / ``{k: v}`` →
+          ``named_struct('k', v)``
+        - ``len(x)`` → ``size(x)`` (DuckDB's list length; spell
+          string length ``length()`` — shared by both engines)
+        - a string-LITERAL base ``'abc'[2]`` / ``'abc'[2:4]`` →
+          ``substr`` (1-based characters, DuckDB-probed); string
+          COLUMNS under brackets are not typed-resolvable in a text
+          rewrite and surface Spark's type error
+
+        Empty bracket pairs are TYPE spellings (``int[]``) and pass
+        through untouched. Output contains no bracket/brace
+        construct, so the rewrite is idempotent and safe to apply at
+        both the statement entry and the subquery replan paths."""
+        if not re.search(r"[\[{]|\blen\s*\(", stmt, re.I):
+            return stmt
+        out = stmt
+        while True:
+            b = _blank_literals(out)
+            lm = re.search(r"\blen\s*\(", b, re.I)
+            if not lm:
+                break
+            out = out[: lm.start()] + "size(" + out[lm.end():]
+        pos = 0
+        for _ in range(5000):  # bounded: each pass resolves one site
+            b = _blank_literals(out)
+            i = next(
+                (j for j in range(pos, len(b)) if b[j] in "[{"), None
+            )
+            if i is None:
+                return out
+            if b[i] == "{":
+                close = self._match_bracket(b, i, "{", "}")
+                inner, ib = out[i + 1: close], b[i + 1: close]
+                args = []
+                for it_b, it in zip(
+                    self._split_collection_items(ib, ib),
+                    self._split_collection_items(inner, ib),
+                ):
+                    ci = self._top_level_colon(it_b)
+                    if ci is None:
+                        raise EngineError(
+                            "struct literal field needs 'key':"
+                            f" value — got {it.strip()!r}"
+                        )
+                    key, val = it[:ci].strip(), it[ci + 1:].strip()
+                    if re.fullmatch(r"'(?:[^']|'')*'", key):
+                        kq = key
+                    elif re.fullmatch(r"\w+", key):
+                        kq = f"'{key}'"
+                    else:
+                        raise EngineError(
+                            f"bad struct literal key: {key!r}"
+                        )
+                    args.append(f"{kq}, {val}")
+                out = (
+                    out[:i] + "named_struct(" + ", ".join(args) + ")"
+                    + out[close + 1:]
+                )
+                continue
+            close = self._match_bracket(b, i, "[", "]")
+            inner, ib = out[i + 1: close], b[i + 1: close]
+            k = i - 1
+            while k >= 0 and b[k].isspace():
+                k -= 1
+            prev = b[k] if k >= 0 else ""
+            if not inner.strip():
+                if prev.isalnum() or prev in "_`\")]":
+                    pos = close + 1  # type spelling: int[]
+                else:  # DuckDB empty-list literal
+                    out = out[:i] + "array()" + out[close + 1:]
+                continue
+            base_start: int | None = None
+            is_string = False
+            drop_array_kw = False
+            if prev == "'":
+                q = k - 1
+                while q >= 0 and b[q] != "'":
+                    q -= 1
+                base_start, is_string = q, True
+            elif prev == ")" or prev.isalnum() or prev in '_`"$':
+                base_start = self._expr_base_start(b, k + 1)
+                base_txt = out[base_start: k + 1].strip()
+                if re.fullmatch(r"\w+", base_txt):
+                    bl = base_txt.lower()
+                    if bl in self._BRACKET_KEYWORDS:
+                        drop_array_kw = bl == "array"
+                        if not drop_array_kw:
+                            base_start = None
+            if base_start is None or drop_array_kw:
+                start = base_start if drop_array_kw else i
+                out = (
+                    out[:start] + "array(" + inner + ")"
+                    + out[close + 1:]
+                )
+                continue
+            base = out[base_start:i].strip()
+            ci = self._top_level_colon(ib)
+            if ci is None:  # plain index
+                idx = inner.strip()
+                if is_string:
+                    repl = f"substr({base}, {idx}, 1)"
+                elif re.fullmatch(r"-?\d+", idx) and idx != "0":
+                    repl = f"try_element_at({base}, {idx})"
+                else:
+                    # try_element_at needs an INT index (bigint
+                    # expressions abound: any key arithmetic);
+                    # try_cast keeps beyond-int32 indexes NULL (OOB
+                    # by construction) instead of an ANSI overflow
+                    repl = (
+                        f"(case when ({idx}) = 0 then null else"
+                        f" try_element_at({base},"
+                        f" try_cast(({idx}) as int)) end)"
+                    )
+            else:  # slice
+                if self._top_level_colon(ib[ci + 1:]) is not None:
+                    raise EngineError(
+                        "list slice with a STEP is not supported —"
+                        " slice [a:b] then filter instead"
+                    )
+                a, c = inner[:ci].strip(), inner[ci + 1:].strip()
+                if is_string:
+                    s = a or "1"
+                    ln = (
+                        f"({c}) - ({s}) + 1" if c
+                        else f"length({base})"
+                    )
+                    repl = f"substr({base}, {s}, {ln})"
+                else:
+                    size_b = f"size({base})"
+                    if not a:
+                        s = "1"
+                    elif re.fullmatch(r"\d+", a):
+                        s = a if int(a) >= 1 else "1"
+                    else:
+                        s = (
+                            f"greatest(case when ({a}) < 0 then"
+                            f" {size_b} + ({a}) + 1 else ({a}) end,"
+                            " 1)"
+                        )
+                    if not c:
+                        e = size_b
+                    elif re.fullmatch(r"\d+", c):
+                        e = f"least({c}, {size_b})"
+                    else:
+                        e = (
+                            f"least(case when ({c}) < 0 then"
+                            f" {size_b} + ({c}) + 1 else ({c}) end,"
+                            f" {size_b})"
+                        )
+                    repl = (
+                        f"slice({base}, try_cast(({s}) as int),"
+                        f" try_cast(greatest(({e}) - ({s}) + 1, 0)"
+                        " as int))"
+                    )
+            out = out[:base_start] + repl + out[close + 1:]
+        raise EngineError(
+            "list/struct expression rewrite did not converge"
+        )
+
     # --------------------------------------- window EXCLUDE clause --
     @staticmethod
     def _match_paren_back(blanked: str, closepos: int) -> int:
@@ -2005,6 +2267,143 @@ class AnalyticsEngine:
         r"^(unbounded\s+following|\d+\s+following|current\s+row)$", re.I
     )
 
+    def _exclude_peers_repl(
+        self, fn: str, arg: str, star: bool, spec_wo: str,
+        fm: re.Match | None, kind: str,
+    ) -> str:
+        """Replacement text for ``fn(arg) OVER (spec EXCLUDE
+        TIES|GROUP)`` — frame aggregate minus the aggregate of the
+        excluded peers, built from plain window expressions over the
+        SAME partition/order (one sort, one shuffle; Catalyst fuses
+        them into a single Window exec and CSEs the shared
+        cumulatives).
+
+        GROUP excludes every frame row whose ORDER BY key ties the
+        current row's (the current row included); TIES excludes the
+        peers but keeps the current row. Peers-inside-the-frame:
+
+        - RANGE/default frame: a frame that contains the current row
+          contains the WHOLE peer group (value-distance 0), so the
+          excluded aggregate is one window — RANGE BETWEEN CURRENT
+          ROW AND CURRENT ROW.
+        - ROWS frame [lo, hi]: the peer group [pg_lo, pg_hi] can
+          straddle either edge. With cps(p) the cumulative aggregate
+          up to absolute row p, the preceding peers inside the frame
+          sum to cps(rn-1) - cps(max(rn-a, pg_lo) - 1) and the
+          following ones to cps(min(rn+b, pg_hi)) - cps(rn); every
+          cps lands on an expressible bound — rn±const are ROWS
+          cumulatives, cps(pg_hi) is the RANGE cumulative, and
+          cps(pg_lo - 1) is the RANGE cumulative minus the peer
+          aggregate. The max/min branch is decided by row_number -
+          rank (the count of preceding peers) vs the frame offset.
+
+        The empty-kept-frame guard mirrors SQL: sum/avg yield NULL,
+        count yields 0."""
+        prefix = (
+            spec_wo[: fm.start()].strip() if fm else spec_wo.strip()
+        )
+        is_rows = bool(fm) and fm.group(1).lower() == "rows"
+        rng_cur = "range between current row and current row"
+
+        def w(aggexpr: str, frame: str | None) -> str:
+            if frame is None:  # the original (exclude-stripped) frame
+                return f"({aggexpr} over ({spec_wo}))"
+            return f"({aggexpr} over ({prefix} {frame}))"
+
+        def c0(x: str) -> str:
+            return f"coalesce({x}, 0)"
+
+        def excl(af: str, aa: str) -> str:
+            """Aggregate ``af(aa)`` of the EXCLUDED rows."""
+            if af == "count":
+                cur = (
+                    "1" if aa == "*" else
+                    f"(case when ({aa}) is not null then 1 else 0"
+                    " end)"
+                )
+            else:
+                cur = f"coalesce({aa}, 0)"
+            a_call = f"{af}({aa})"
+            peer = c0(w(a_call, rng_cur))
+            if not is_rows:
+                return peer if kind == "group" else (
+                    f"({peer} - {cur})"
+                )
+            lo = re.sub(r"\s+", " ", fm.group(2).strip().lower())
+            hi = re.sub(r"\s+", " ", fm.group(3).strip().lower())
+            cum1p = c0(w(
+                a_call,
+                "rows between unbounded preceding and 1 preceding",
+            ))
+            cum0 = c0(w(
+                a_call,
+                "rows between unbounded preceding and current row",
+            ))
+            rngc = c0(w(
+                a_call,
+                "range between unbounded preceding and current row",
+            ))
+            before_group = f"({rngc} - {peer})"
+            j = (
+                f"(row_number() over ({prefix}) -"
+                f" rank() over ({prefix}))"
+            )
+            am = re.match(r"^(\d+) preceding$", lo)
+            if lo == "current row" or (am and am.group(1) == "0"):
+                pp = "0"
+            elif lo == "unbounded preceding":
+                pp = f"({cum1p} - {before_group})"
+            else:
+                a = int(am.group(1))
+                cumap = c0(w(
+                    a_call,
+                    f"rows between unbounded preceding and {a + 1}"
+                    " preceding",
+                ))
+                pp = (
+                    f"({cum1p} - (case when {j} >= {a} then {cumap}"
+                    f" else {before_group} end))"
+                )
+            bm = re.match(r"^(\d+) following$", hi)
+            if hi == "current row" or (bm and bm.group(1) == "0"):
+                fp = "0"
+            elif hi == "unbounded following":
+                fp = f"({rngc} - {cum0})"
+            else:
+                bnum = int(bm.group(1))
+                cumbf = c0(w(
+                    a_call,
+                    f"rows between unbounded preceding and {bnum}"
+                    " following",
+                ))
+                fcnt = f"({c0(w('count(*)', rng_cur))} - 1 - {j})"
+                fp = (
+                    f"((case when {fcnt} <= {bnum} then {rngc} else"
+                    f" {cumbf} end) - {cum0})"
+                )
+            core = f"({pp} + {fp})"
+            return f"({core} + {cur})" if kind == "group" else core
+
+        cnt_arg = "*" if star else arg
+        cnt_kept = (
+            f"({c0(w(f'count({cnt_arg})', None))}"
+            f" - {excl('count', cnt_arg)})"
+        )
+        if fn == "count":
+            return cnt_kept
+        sum_kept = (
+            f"({c0(w(f'sum({arg})', None))} - {excl('sum', arg)})"
+        )
+        if fn == "sum":
+            return (
+                f"(case when {cnt_kept} = 0 then null else"
+                f" {sum_kept} end)"
+            )
+        return (  # avg
+            f"(case when {cnt_kept} = 0 then null else"
+            f" {sum_kept} / cast({cnt_kept} as double) end)"
+        )
+
     def _rewrite_window_exclude(
         self, stmt: str
     ) -> tuple[str, list[str]]:
@@ -2026,11 +2425,26 @@ class AnalyticsEngine:
           min/max don't subtract — SPLIT the frame into [start, 1
           preceding] ⊕ [1 following, end] and combine null-safely.
           RANGE/default frames for min/max refuse by name.
-        - EXCLUDE TIES / EXCLUDE GROUP refuse by name.
+        - EXCLUDE TIES / EXCLUDE GROUP with sum/count/avg (r11
+          verdict #2): peer-group subtraction. On RANGE/default
+          frames the whole peer group provably sits inside any frame
+          that contains the current row, so the excluded aggregate is
+          one extra window (RANGE BETWEEN CURRENT ROW AND CURRENT
+          ROW). On ROWS frames the peer group can STRADDLE the frame
+          edges, so the peers-inside-the-frame aggregate is computed
+          from cumulative prefix windows at the frame bounds
+          intersected with the peer-group bounds (row_number/rank
+          arithmetic — see ``_exclude_peers_repl``). A RANGE frame
+          that cannot contain the current row contains no peers
+          either (peers sit at value-distance 0), so GROUP/TIES
+          strip there; a ROWS frame that cannot contain the current
+          row CAN still contain peers and refuses by name, as do
+          min/max (no subtraction exists).
 
         Pure text rewrite into plain OVER clauses, so Catalyst plans
-        the result as ordinary window functions — same shuffle, two
-        window expressions instead of one."""
+        the result as ordinary window functions — the extra
+        cumulative windows share the one partition/order sort, same
+        shuffle."""
         if not re.search(
             r"\bexclude\b", _blank_literals(stmt), re.I
         ):
@@ -2054,11 +2468,6 @@ class AnalyticsEngine:
                 return out, []
             om, cp, spec, em = hit
             kind = re.sub(r"\s+", " ", em.group(1).lower())
-            if kind in ("ties", "group"):
-                raise EngineError(
-                    "window EXCLUDE TIES/GROUP is not supported —"
-                    " EXCLUDE CURRENT ROW and NO OTHERS are"
-                )
             spec_wo = (spec[: em.start()] + spec[em.end():]).strip()
             if kind == "no others":
                 out = out[: om.end()] + spec_wo + out[cp:]
@@ -2077,8 +2486,26 @@ class AnalyticsEngine:
                     " ..."
                 )
             if not contains_current:
-                out = out[: om.end()] + spec_wo + out[cp:]
-                continue
+                if kind == "current row" or (
+                    fm and fm.group(1).lower() == "range"
+                ):
+                    # no current row in the frame — and for a RANGE
+                    # frame no peers either (they sit at
+                    # value-distance 0), so GROUP/TIES strip too
+                    out = out[: om.end()] + spec_wo + out[cp:]
+                    continue
+                raise EngineError(
+                    f"window EXCLUDE {kind.upper()} over a ROWS"
+                    " frame that does not contain the current row"
+                    " is not supported"
+                )
+            if kind in ("ties", "group") and not re.search(
+                r"\border\s+by\b", _blank_literals(spec_wo), re.I
+            ):
+                raise EngineError(
+                    f"window EXCLUDE {kind.upper()} needs an ORDER"
+                    " BY (it defines the peer group)"
+                )
             # locate the aggregate call the OVER belongs to
             head = out[: om.start()].rstrip()
             hb = _blank_literals(head)
@@ -2097,7 +2524,19 @@ class AnalyticsEngine:
             fn = nm.group(1).lower()
             arg = head[open_i + 1: len(head) - 1].strip()
             star = arg == "*"
-            if fn == "count":
+            if kind in ("ties", "group"):
+                if fn not in ("sum", "count", "avg"):
+                    raise EngineError(
+                        f"window EXCLUDE {kind.upper()} with {fn}()"
+                        " is not supported (sum/count/avg are —"
+                        " min/max cannot subtract the peer group)"
+                    )
+                if star and fn != "count":
+                    raise EngineError(f"{fn}(*) is not a window call")
+                repl = self._exclude_peers_repl(
+                    fn, arg, star, spec_wo, fm, kind
+                )
+            elif fn == "count":
                 cnt = (
                     f"((count(*) over ({spec_wo})) - 1)" if star else
                     f"((count({arg}) over ({spec_wo})) - (case when"
@@ -2950,6 +3389,17 @@ class AnalyticsEngine:
                 # stays pristine so macro redefinitions LATE-BIND
                 # (their replan paths expand at reference time).
                 stmt = self._expand_macros(stmt)
+            # DuckDB list/struct expression dialect, normalized once
+            # for EVERY statement class (INSERT VALUES, UPDATE SET,
+            # SELECT, CTAS bodies...). View/macro DDL keeps its
+            # stored SQL pristine — their bodies re-enter the rewrite
+            # at reference-time replan (_plan_engine_select).
+            if not re.match(
+                r"create\s+(?:or\s+replace\s+)?"
+                r"(?:materialized\s+view|view|macro)\b",
+                stmt, re.I,
+            ):
+                stmt = self._rewrite_duckdb_collections(stmt)
             # Logical views resolve LAZILY at reference time: any
             # statement mentioning a catalog view (re)binds it — its
             # defining SQL re-plans through the full pipeline over the
@@ -7635,6 +8085,7 @@ class AnalyticsEngine:
         ``spark.sql`` and died on a raw ParseException for statements
         the engine itself executes."""
         query = self._expand_macros(query)
+        query = self._rewrite_duckdb_collections(query)
         query = self._rewrite_from_first(query)
         views: list[str] = []
         try:

@@ -45,130 +45,99 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-11 rotation (r10 verdict #5: new surfaces first, then the
-    # oldest evidence — the 5 r6-deferral names and the 44-name r7
-    # cohort are the whole remaining pre-r8 ledger).
+    # Round-12 rotation (r11 verdict #4: pay the WHOLE remaining
+    # pre-r8 evidence ledger — the r6 deferral and the 7 r7 names,
+    # deferred twice — then new surfaces, then the oldest remainder).
     #
-    # (a) never-graded: the two r11 driver-row surfaces — CREATE
-    # [OR REPLACE] / DROP VIEW (r10 verdict #1's headline ask) and
-    # POSITIONAL JOIN (DuckDB; the r10-probed candidate). The
-    # round's other new surfaces (correlated engine-subquery
-    # decorrelation, WITH TIES source-scope ORDER BY, COLUMNS
-    # composed expressions) are differential-pinned in
-    # test_parser_surfaces_differential.py per the verdict's own
-    # done-criteria (refusal tests converted to executing
-    # differentials), leaving the slots to the ledger.
-    "u_create_view",
-    "u_positional_join",
-    # (a, late-r11) CREATE MACRO / DROP MACRO [TABLE] — the DuckDB
-    # macro surface (scalar + table macros, late binding, defaults),
-    # never driver-graded. Its slot comes from q_join_right, which
-    # defers to r12 with the operator re-evidenced this round by its
-    # mirror-machinery twin q_join_left (both are Spark-native join
-    # types through the same untouched pass-through path) plus
-    # q_join_semi/q_join_cross in this same window.
-    "u_create_macro",
-    # (a, late-r11) PRIMARY KEY constraints + INSERT OR REPLACE /
-    # OR IGNORE (DuckDB implicit-key upserts), never driver-graded.
-    # Its slot comes from q_join_cross, deferring to r12 with the
-    # join family's pass-through machinery re-evidenced this round
-    # by q_join_left + q_join_semi in this same window.
-    "u_insert_or_replace",
-    # (a, late-r11) DEFAULT / CHECK constraint lifecycle incl. the
-    # metadata-only ALTER ADD COLUMN ... DEFAULT backfill, never
-    # driver-graded. Its slot comes from q_math_funcs, deferring to
-    # r12 with the scalar-function-library passthrough machinery
-    # re-evidenced this round by q_date_funcs (same untouched
-    # passthrough path, relational.py:349-380) in this same window.
-    "u_constraints",
-    # (a, late-r11) the DuckDB PIVOT STATEMENT form (dynamic value
-    # discovery; identical statement as the DuckDB-native oracle),
-    # never driver-graded. Its slot comes from q_cube, deferring to
-    # r12 with the grouping-sets machinery re-evidenced this round
-    # by q_rollup (same GROUPING SETS lowering, relational.py:
-    # 116,128) plus the grouping-sets fuzz arm in this same window.
-    "u_pivot_stmt",
-    # (a, late-r11) CREATE SEQUENCE / nextval / DEFAULT-nextval fill
-    # (deterministic VALUES lifecycle), never driver-graded. Its slot
-    # comes from q_distinct, deferring to r12 with the dedup-fold
-    # machinery re-evidenced this round by q_union_distinct (UNION's
-    # distinct fold is the same Spark Distinct operator) plus the
-    # set-op fuzz arm in this same window.
-    "u_sequences",
-    # (a, late-r11) RETURNING on INSERT/UPDATE/DELETE (manifest-diff
-    # post-image / free pre-image projections), never driver-graded.
-    # Its slot comes from q_exists_subquery, deferring to r12 with
-    # Spark-native subquery decorrelation re-evidenced this round by
-    # q_in_subquery + q_scalar_subquery (the same untouched
-    # passthrough path) plus the subquery fuzz arm in this window.
-    "u_returning",
-    # (b) changed since their r10 grading: NONE re-graded — the r11
-    # engine changes (view binding, WITH TIES n=0 guard, COLUMNS
-    # quoting, alias-star-REPLACE, correlated lift) are new-shape-only
-    # on the r10-graded statements (none references a logical view,
-    # fetches 0 rows WITH TIES, or correlates an engine subquery) and
-    # each changed shape is differential-pinned. The LATE-r11 engine
-    # changes touch shared DML machinery (RETURNING strip in
-    # INSERT/UPDATE/DELETE, default fills, staged constraint probes,
-    # the backfill-aware read path) — no graded statement's QUERY or
-    # ORACLE text changed, and the full 206-name registry re-verified
-    # green at sf0.001 + sf0.01 + sf0.1 within the round after those
-    # changes (tools/compare.py, this session's logs), so the
-    # machinery changes carry fresh whole-registry evidence rather
-    # than spotlight slots.
-    # (c) oldest evidence — the 5 r6 deferrals first (deferred in the
-    # r10 rotation comment), then 42 of the 44 r7-graded names; two
-    # defer to r12 with their operators re-evidenced THIS round by
-    # same-machinery twins in the window: q_union_all (UNION ALL
-    # fold — q_union_distinct, same family with stricter dedup, plus
-    # the set-op fuzz arm; its slot funds the family-coverage c_
-    # name below) and q_pivot (DataFrame pivot — q_pivot_sql, the
-    # same operator through the SQL clause, stays in; its slot funds
-    # the new u_positional_join surface).
-    "q_scalar_subquery",
-    "q_union_distinct",
-    "q_window_navigation",
-    "t_dup_rate_report",
-    "a_asof_join",
-    "d_exact_dedup",
-    "d_passage_scrub",
-    "m_audio_decode",
-    "m_image_decode",
-    "m_image_meta",
-    "p_pipeline_e2e",
-    "p_split",
-    "q13_customer_distribution",
-    "q14_type_revenue_ratio",
-    "q19_or_of_ands",
-    "q1_pricing_summary",
-    "q4_priority_exists",
-    "q_date_funcs",
-    "q_function_scan",
-    "q_gapfill",
-    "q_global_agg",
-    "q_group_by_all",
-    "q_having",
-    "q_in_subquery",
-    "q_intersect",
-    "q_join_left",
-    "q_join_semi",
-    "q_lateral_join",
-    "q_limit_offset",
-    "q_percentiles",
-    "q_pivot_sql",
-    "q_rollup",
-    "q_select_no_from",
-    "q_sessionize",
-    "s_tumbling",
-    "t_chunking",
-    "t_lang_quality",
-    "u_asof_tolerance_sql",
-    "u_upsert_sql",
-    "v_cosine_topk",
-    "v_semantic_dedup",
-    # (family cross-section: the r6/r7 cohorts have no c_ name, so
-    # the graded window takes the family's oldest-evidence member —
-    # c_catalog_columns, last graded r9.)
+    # (a) never-graded: the two r12 driver-row surfaces — the DuckDB
+    # list/struct expression dialect (r11 verdict #1, the engine's
+    # one silent seam: 1-based NULL-on-OOB indexing, slices, [..] /
+    # {..} literals, len()) and window frame EXCLUDE TIES/GROUP
+    # (r11 verdict #2: peer-group subtraction on RANGE frames,
+    # cumulative-prefix intersection on ROWS frames). Both also land
+    # with statement-level native differentials in
+    # test_parser_surfaces_differential.py. The round's OTHER new
+    # surfaces (PIVOT ON multiple columns, single-aliased-agg pivot
+    # naming, COLUMNS positions, nextval-over-FROM) are
+    # differential-pinned per their verdict done-criteria and take
+    # no slots.
+    "u_list_ops",
+    "u_window_exclude",
+    # (b) changed since grading: NONE re-graded — the r12 engine
+    # changes (the collections dialect pass, PIVOT naming, the
+    # temp-table refusal, the USING SAMPLE guard, EXCLUDE peers) are
+    # new-shape-only on every graded statement: no graded QUERY or
+    # ORACLE text changed, and the full registry re-verified green at
+    # sf0.001 + sf0.01 + sf0.1 within the round after the changes
+    # (tools/compare.py, session logs), so the shared-machinery edits
+    # carry fresh whole-registry evidence rather than spotlight slots.
+    # (c) oldest evidence — first the ENTIRE pre-r8 ledger (the r6
+    # deferral + all 7 r7 deferrals, each deferred twice; r11 verdict
+    # #4 names exactly these eight):
+    "q_exists_subquery",
+    "q_cube",
+    "q_distinct",
+    "q_join_cross",
+    "q_join_right",
+    "q_math_funcs",
+    "q_pivot",
+    "q_union_all",
+    # ...then 39 of the 49 r8-graded names. Ten defer to r13, each
+    # with its operator re-evidenced THIS round by a same-machinery
+    # twin inside this window (or a fresh r11 grade): q_except and
+    # q_count_distinct (the set-op/distinct fold — q_distinct +
+    # q_union_all in-window, q_intersect r11), q_join_full (the join
+    # pass-through — q_join_cross + q_join_right in-window),
+    # q_grouping_sets + q_grouping_id (the GROUPING SETS lowering —
+    # q_cube in-window, q_rollup r11), u_asof_subquery_sql and
+    # a_asof_nearest (the ASOF rewrite — u_asof_sql in-window,
+    # a_asof_join + u_asof_tolerance_sql r11), s_stream_session and
+    # s_stream_tumbling (the streaming window path — s_session
+    # in-window, s_tumbling r11), and v_rerank_topk (the broadcast
+    # query-set / bounded-window rerank machinery — v_hybrid_rrf +
+    # v_knn_join + v_lsh_topk in-window).
+    "a_range_join",
+    "d_simhash_pairs",
+    "m_audio_meta",
+    "p_sample_weighted",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q_agg_filter",
+    "q_case_cast_concat",
+    "q_cte",
+    "q_is_distinct",
+    "q_json_extract",
+    "q_named_window",
+    "q_predicates",
+    "q_quantified_subquery",
+    "q_select_except",
+    "q_sort_multi_key",
+    "q_string_funcs",
+    "q_tablesample_bound",
+    "q_topk_per_group",
+    "q_try_cast",
+    "q_unpivot_sql",
+    "q_values_list",
+    "q_window_funcs",
+    "s_session",
+    "t_bm25_topk",
+    "t_pii_scrub",
+    "t_tfidf",
+    "u_asof_sql",
+    "u_clone_snapshot",
+    "u_distinct_on_sql",
+    "u_insert_by_name",
+    "u_matview_refresh",
+    "u_range_sql",
+    "u_txn_rollback",
+    "u_update_from",
+    "v_hybrid_rrf",
+    "v_ivf_topk",
+    "v_knn_join",
+    "v_lsh_topk",
+    # (family cross-section: every registry family q/a/d/t/p/v/m/s/
+    # u/c holds a slot — c_ takes its oldest-evidence member, last
+    # graded r11.)
     "c_catalog_columns",
 )
 

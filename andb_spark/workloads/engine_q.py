@@ -1077,6 +1077,92 @@ def u_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tag", "k")
 
 
+def u_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB list/struct EXPRESSION dialect end to end (r11 verdict
+    #1 — api.py::_rewrite_duckdb_collections): CTAS with list and
+    struct LITERAL spellings (``[..]`` / ``{'k': v}``), INSERT more
+    literal rows, then read back through 1-based indexing (NULL on
+    0/OOB, negative-from-end), an expression index, slice-then-index
+    chaining, ``len()``, and struct field access. The oracle runs the
+    IDENTICAL statements natively on DuckDB (the dialect is DuckDB's
+    own), restated declaratively over the same ``orders`` slice; the
+    statement-level grid is tests/test_parser_surfaces_differential
+    .py::test_list_struct_expressions_match_duckdb. All output
+    columns are scalars (the driver's pandas canonicalization hashes
+    scalar kinds)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_ls_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table ls_t as select o_orderkey as k,"
+        " [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] as xs,"
+        " {'s': o_orderstatus, 'p': round(o_totalprice, 2)} as st"
+        " from orders where o_orderkey < 4000"
+    )
+    e(
+        "insert into ls_t values"
+        " (9000001, [41, 42], {'s': 'Z', 'p': 0.5}),"
+        " (9000002, [43], {'s': 'Y', 'p': 1.5})"
+    )
+    r = e(
+        "select k, xs[1] as first_el, xs[-1] as last_el,"
+        " xs[4] as oob, xs[k % 4] as dyn, xs[2:][1] as second_el,"
+        " len(xs[:2]) as head_n, len(xs) as n,"
+        " st.s as s, st.p as p from ls_t order by k"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "k bigint, first_el bigint, last_el bigint, oob bigint,"
+        " dyn bigint, second_el bigint, head_n int, n int,"
+        " s string, p double",
+    )
+
+
+def u_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE (r11 verdict #2 —
+    api.py::_exclude_peers_repl + _rewrite_window_exclude): EXCLUDE
+    GROUP / TIES / CURRENT ROW over RANGE and ROWS frames on a
+    tie-heavy ORDER BY key. The oracle runs the IDENTICAL SQL on
+    DuckDB's native EXCLUDE. Shapes are deterministic under ties by
+    construction — integer sums, RANGE frames (peer-group membership
+    is value-based) and unbounded-both ROWS frames (intra-peer order
+    cancels); the bounded-ROWS shapes are pinned in
+    tests/test_parser_surfaces_differential.py::
+    test_window_exclude_ties_group_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_wx_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select k,"
+        " cast(sum(p) over (partition by s order by ck range between"
+        " unbounded preceding and current row exclude group)"
+        " as double) as rg,"
+        " cast(sum(p) over (partition by s order by ck range between"
+        " 10 preceding and 20 following exclude ties)"
+        " as double) as rt,"
+        " count(*) over (partition by s order by ck range between"
+        " unbounded preceding and current row exclude group) as cg,"
+        " cast(sum(p) over (partition by s order by ck rows between"
+        " unbounded preceding and unbounded following"
+        " exclude group) as double) as rs,"
+        " round(avg(p) over (partition by s order by ck rows between"
+        " unbounded preceding and unbounded following exclude ties),"
+        " 4) as ra,"
+        " cast(sum(p) over (partition by s order by ck, k rows"
+        " between 2 preceding and 2 following exclude current row)"
+        " as double) as rc"
+        " from (select o_orderkey as k, o_orderstatus as s,"
+        " o_custkey % 50 as ck, o_orderkey % 997 as p"
+        " from orders where o_orderkey < 6000) t order by k"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "k bigint, rg double, rt double, cg bigint, rs double,"
+        " ra double, rc double",
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -1139,9 +1225,53 @@ QUERIES = {
     "u_pivot_stmt": u_pivot_stmt,
     "u_sequences": u_sequences,
     "u_returning": u_returning,
+    "u_list_ops": u_list_ops,
+    "u_window_exclude": u_window_exclude,
 }
 
 ORACLES = {
+    "u_window_exclude": """
+        select k,
+         cast(sum(p) over (partition by s order by ck range between
+         unbounded preceding and current row exclude group)
+         as double) as rg,
+         cast(sum(p) over (partition by s order by ck range between
+         10 preceding and 20 following exclude ties)
+         as double) as rt,
+         count(*) over (partition by s order by ck range between
+         unbounded preceding and current row exclude group) as cg,
+         cast(sum(p) over (partition by s order by ck rows between
+         unbounded preceding and unbounded following
+         exclude group) as double) as rs,
+         round(avg(p) over (partition by s order by ck rows between
+         unbounded preceding and unbounded following exclude ties),
+         4) as ra,
+         cast(sum(p) over (partition by s order by ck, k rows
+         between 2 preceding and 2 following exclude current row)
+         as double) as rc
+         from (select o_orderkey as k, o_orderstatus as s,
+         o_custkey % 50 as ck, o_orderkey % 997 as p
+         from orders where o_orderkey < 6000) t order by k
+    """,
+    "u_list_ops": """
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS xs,
+                 {'s': o_orderstatus, 'p': round(o_totalprice, 2)} AS st
+          FROM orders WHERE o_orderkey < 4000
+          UNION ALL
+          SELECT * FROM (VALUES
+            (CAST(9000001 AS BIGINT),
+             [CAST(41 AS BIGINT), 42], {'s': 'Z', 'p': 0.5}),
+            (9000002, [CAST(43 AS BIGINT)], {'s': 'Y', 'p': 1.5})
+          ) v(k, xs, st)
+        )
+        SELECT k, xs[1] AS first_el, xs[-1] AS last_el, xs[4] AS oob,
+               xs[k % 4] AS dyn, xs[2:][1] AS second_el,
+               len(xs[:2]) AS head_n, len(xs) AS n,
+               st.s AS s, st.p AS p
+        FROM base ORDER BY k
+    """,
     "q_fetch_first": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders

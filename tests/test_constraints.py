@@ -233,9 +233,19 @@ def test_array_column_types(eng):
         "insert into a select 1, array(1, 2, 3), array('p', 'q')"
     )
     eng.execute("insert into a select 2, array(9), array('r')")
+    # DuckDB indexing dialect (r11 verdict #1): 1-based, NULL OOB
     assert eng.execute(
-        "select id, size(xs) as n, xs[0] as first from a order by id"
+        "select id, len(xs) as n, xs[1] as first from a order by id"
     ).rows == [(1, 3, 1), (2, 1, 9)]
+    assert eng.execute(
+        "select xs[0] as z, xs[9] as oob, xs[-1] as last_el,"
+        " xs[2:3] as sl, tags[1] as t from a where id = 1"
+    ).rows == [(None, None, 3, [2, 3], "p")]
+    # list literals (DuckDB spellings) parse in any expression spot
+    eng.execute("insert into a select 3, [7, 8], ['s']")
+    assert eng.execute(
+        "select xs from a where id = 3"
+    ).rows == [([7, 8],)]
     # CTAS reverse-maps array types into declared columns
     eng.execute("create table b as select id, xs from a")
     cols = {c["name"]: c["type"] for c in eng._meta("b")["columns"]}
@@ -243,7 +253,7 @@ def test_array_column_types(eng):
     eng.execute("create table c (m double[][])")
     eng.execute("insert into c select array(array(1.5), array(2.5))")
     assert eng.execute(
-        "select m[1][0] as v from c"
+        "select m[2][1] as v from c"
     ).rows == [(2.5,)]
 
 
@@ -335,12 +345,12 @@ def test_struct_column_types(eng):
     )
     eng.execute(
         "insert into s select 1,"
-        " named_struct('lat', 1.5, 'lon', -2.5),"
-        " array(named_struct('tag', 'a', 'pts', array(1, 2)))"
+        " {'lat': 1.5, 'lon': -2.5},"
+        " [{'tag': 'a', 'pts': [1, 2]}]"
     )
     assert eng.execute(
-        "select id, loc.lat as lat, path[0].tag as t,"
-        " path[0].pts[1] as p from s"
+        "select id, loc.lat as lat, path[1].tag as t,"
+        " path[1].pts[2] as p from s"
     ).rows == [(1, 1.5, "a", 2)]
     assert eng.execute(
         "select id from s where loc.lon < 0"

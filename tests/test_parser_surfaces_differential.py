@@ -3722,3 +3722,156 @@ def test_window_exclude_composes_with_engine_surfaces(spark, tmp_path):
             eng.execute(sql).rows == con.execute(sql).fetchall()
         ), sql
     eng.close()
+
+
+def test_list_struct_expressions_match_duckdb(spark, tmp_path):
+    """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 — the
+    engine's one silent seam, now closed): the IDENTICAL SQL through
+    both engines (api.py::_rewrite_duckdb_collections lowers onto
+    try_element_at / slice / array / named_struct so Catalyst plans
+    everything JVM-side). Grid: 1-based indexing with NULL on 0/OOB
+    and negative-from-end, slices with open/negative/backward bounds
+    and OOB clamps, list and struct LITERAL spellings ([..] / {..} /
+    ARRAY[..]) in VALUES and select positions, len(), expression
+    indexes, chained access on nested structures, string-literal
+    indexing, and NULL propagation."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whlst"), spark=spark)
+    con = duckdb.connect()
+    ddl = (
+        "create table lt (id int, xs int[], tags text[],"
+        " st struct(a int, b text))",
+        "insert into lt values"
+        " (1, [10, 20, 30], ['p', 'q'], {'a': 5, 'b': 'x'}),"
+        " (2, [7], ['r'], {a: 1, b: 'y'}),"
+        " (3, NULL, NULL, NULL)",
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    for sql in (
+        # 1-based; 0 and OOB (both signs) are NULL; -1 is the tail
+        "select id, xs[1] as a, xs[0] as z, xs[-1] as l,"
+        " xs[9] as o, xs[-9] as u from lt order by id",
+        # slices: closed, open ends, negative, backward, OOB clamp
+        "select id, xs[2:3] as s1, xs[:2] as s2, xs[2:] as s3,"
+        " xs[-2:-1] as s4, xs[3:1] as e, xs[2:99] as c"
+        " from lt order by id",
+        # len() over lists; NULL propagates
+        "select id, len(xs) as n, len(tags) as m from lt order by id",
+        # struct field access through the dot (native in both)
+        "select id, st.a as a, st.b as b from lt order by id",
+        # expression indexes (CASE-guarded: id can be 0/OOB)
+        "select id, xs[1 + 1] as x2, xs[id] as xi from lt order by id",
+        # literals in select position, incl. ANSI ARRAY and chains
+        "select [1, 2, 3][2] as c1, array[4, 5][1] as c2,"
+        " [[1], [2, 3]][2][1] as c3, {'k': 7}.k as c4",
+        # literal lists compose with list functions
+        "select id from lt where xs[1] >= 7 order by id",
+        "select array_contains([1, 2, 7], xs[1]) as c"
+        " from lt where xs is not null order by id",
+        # string-literal base: 1-based chars, negative from end
+        "select 'hello'[2] as c, 'hello'[2:4] as s, 'hello'[-2] as n",
+        # empty-list literal in an expression position
+        "select len([]) as n",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
+    # a slice STEP refuses by name (engine boundary, documented)
+    with pytest.raises(EngineError, match="STEP"):
+        eng.execute("select xs[1:3:2] from lt")
+    eng.close()
+
+
+def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
+    """Window frame EXCLUDE TIES / EXCLUDE GROUP (r11 verdict #2 —
+    api.py::_exclude_peers_repl): peer-group subtraction over RANGE
+    frames and cumulative-prefix intersection arithmetic over ROWS
+    frames, vs DuckDB's native EXCLUDE on seeded tied data with
+    NULLs. DuckDB's parser requires an explicit frame before
+    EXCLUDE, so the grid spells every frame (the engine also accepts
+    the default-frame shorthand as a superset). EXCLUDE CURRENT ROW
+    regressions ride along."""
+    import random
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whexg"), spark=spark)
+    con = duckdb.connect()
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            rng.randint(1, 3),
+            rng.randint(0, 5),
+            round(rng.uniform(0, 10), 1)
+            if rng.random() > 0.15 else None,
+        )
+        for i in range(120)
+    ]
+    ddl = (
+        "create table t (id int, g int, k int, v double)",
+        "insert into t values " + ", ".join(
+            f"({i},{g},{k},{'null' if v is None else v})"
+            for i, g, k, v in rows
+        ),
+    )
+    for run in (eng.execute, con.execute):
+        for s in ddl:
+            run(s)
+    frames = (
+        "range between unbounded preceding and current row",
+        "range between 1 preceding and 2 following",
+        "rows between 2 preceding and 2 following",
+        "rows between unbounded preceding and current row",
+        "rows between unbounded preceding and 3 following",
+        "rows between 1 preceding and unbounded following",
+        "rows between current row and 2 following",
+        "rows between current row and unbounded following",
+    )
+    grid = [
+        f"select id, {agg} over (partition by g order by k"
+        f" {frame} exclude {kind}) as x from t order by id"
+        for frame in frames
+        for agg in ("sum(v)", "count(v)", "count(*)", "avg(v)")
+        for kind in ("group", "ties")
+    ] + [
+        # a both-preceding RANGE frame holds no peers: GROUP strips
+        "select id, sum(v) over (partition by g order by k range"
+        " between 3 preceding and 1 preceding exclude group) as x"
+        " from t order by id",
+        # EXCLUDE CURRENT ROW regressions (sum subtraction; min split)
+        "select id, sum(v) over (partition by g order by k rows"
+        " between 2 preceding and 2 following exclude current row)"
+        " as x from t order by id",
+        "select id, min(v) over (partition by g order by k rows"
+        " between 2 preceding and 2 following exclude current row)"
+        " as x from t order by id",
+    ]
+
+    def nrm(rws):
+        return [
+            tuple(
+                round(x, 6) if isinstance(x, float) else x
+                for x in r
+            )
+            for r in rws
+        ]
+
+    for sql in grid:
+        er = nrm([tuple(r) for r in eng.execute(sql).rows])
+        dr = nrm(con.execute(sql).fetchall())
+        assert er == dr, sql
+    # named refusals: peers can sit in a both-preceding ROWS frame
+    # (not computable by stripping), and min/max cannot subtract
+    for sql in (
+        "select sum(v) over (partition by g order by k rows between"
+        " 5 preceding and 2 preceding exclude group) from t",
+        "select min(v) over (partition by g order by k rows between"
+        " 2 preceding and 2 following exclude ties) from t",
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+    eng.close()
