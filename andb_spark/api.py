@@ -1841,10 +1841,9 @@ class AnalyticsEngine:
         """Scalar sequence-call substitution in the SELECT pipeline:
         nextval/currval over a no-FROM statement (or currval
         anywhere — it reads without advancing) substitute to
-        literals. nextval over a FROM query refuses by name: the
-        per-row counter belongs on the table as ``DEFAULT
-        nextval('s')``, where the dense-index fill implements it
-        distributed (``_seq_default_fill``)."""
+        literals. nextval over a FROM query (r11 verdict #7) routes
+        through the distributed dense-index fill — see
+        ``_nextval_from_rewrite``."""
         calls = self._seq_calls(stmt)
         if not calls:
             return stmt, []
@@ -1853,12 +1852,113 @@ class AnalyticsEngine:
             c.group(1).lower() == "nextval" for c in calls
         )
         if has_next and re.search(r"\bfrom\b", b, re.I):
-            raise EngineError(
-                "nextval over a FROM query is not supported —"
-                " declare the column DEFAULT nextval('seq') and omit"
-                " it from the INSERT instead"
-            )
+            return self._nextval_from_rewrite(stmt)
         return self._sub_sequence_calls(stmt), []
+
+    def _nextval_from_rewrite(
+        self, stmt: str
+    ) -> tuple[str, list[str]]:
+        """``SELECT ..., nextval('s'), ... FROM <query>`` (DuckDB
+        evaluates nextval once per OUTPUT row, select items left to
+        right): supported for BARE nextval select items (optionally
+        aliased) — the inner query plans WITHOUT them through the
+        full pipeline, rows take a dense 1-based index via the
+        distributed ``_zip_index`` (two passes, no single-task global
+        window), one block per sequence reserves AFTER the count is
+        known, and the j-th select item of a sequence fills
+        COLUMN-MAJOR — ``first + inc * (j*n + idx-1)`` — matching
+        DuckDB's probed vectorized evaluation (two nextval items
+        over two rows yield a=6,7 b=8,9, not row-major
+        interleaving). Row order follows the
+        inner plan's enumeration (deterministic for VALUES, sorted
+        and single-split sources — the POSITIONAL JOIN contract);
+        nextval nested inside expressions or non-select-list clauses
+        refuses by name (DEFAULT nextval('s') is the scale-path
+        workaround either way)."""
+        m = re.match(r"^\s*select\s+", stmt, re.I)
+        f = self._find_top_level_keyword(stmt, ("from",))
+        if not m or f is None or re.match(
+            r"^\s*select\s+distinct\b", stmt, re.I
+        ):
+            raise EngineError(
+                "nextval over a FROM query is supported only as a"
+                " plain SELECT-list item — declare the column"
+                " DEFAULT nextval('seq') instead"
+            )
+        items = self._split_top_level(stmt[m.end(): f[0]])
+        seq_items: dict[int, tuple[str, str]] = {}  # pos → (seq, alias)
+        inner_items: list[str] = []
+        for i, it in enumerate(items):
+            im = re.fullmatch(
+                r"\s*nextval\s*\(\s*'(\w+)'\s*\)"
+                r"(?:\s+(?:as\s+)?(\w+))?\s*",
+                it, re.I,
+            )
+            if im:
+                alias = im.group(2) or f"nextval('{im.group(1)}')"
+                seq_items[i] = (im.group(1), alias)
+            else:
+                if self._seq_calls(it):
+                    raise EngineError(
+                        "nextval composed inside an expression over"
+                        " a FROM query is not supported — use a bare"
+                        " nextval('seq') select item or a DEFAULT"
+                        " nextval('seq') column"
+                    )
+                inner_items.append(it.strip())
+        if self._seq_calls(stmt[f[0]:]):
+            raise EngineError(
+                "nextval outside the SELECT list of a FROM query is"
+                " not supported — use a DEFAULT nextval('seq')"
+                " column"
+            )
+        if not seq_items:  # only currval calls: substitute in place
+            return self._sub_sequence_calls(stmt), []
+        inner = (
+            "select "
+            + (", ".join(inner_items) if inner_items else "1 as _one")
+            + " " + stmt[f[0]:]
+        )
+        df, views = self._plan_engine_select(inner)
+        idx = f"_seq_{uuid.uuid4().hex[:6]}"
+        d = self._zip_index(df, idx)
+        n = d.count() if not self._planning else 0
+        seqs_used = [s for s, _a in seq_items.values()]
+        per_seq_m = {s: seqs_used.count(s) for s in set(seqs_used)}
+        first: dict[str, int] = {}
+        inc: dict[str, int] = {}
+        for s, mm in per_seq_m.items():
+            first[s] = (
+                self._seq_next_block(s, n * mm) if n else
+                self.catalog["sequences"].get(s, {}).get("start", 1)
+            )
+            if s not in self.catalog.get("sequences", {}):
+                raise EngineError(f"sequence {s} does not exist")
+            inc[s] = self.catalog["sequences"][s]["inc"]
+        seen: dict[str, int] = {}
+        out_cols: list = []
+        inner_iter = iter(
+            [c for c in d.columns if c != idx]
+            if inner_items else []
+        )
+        for i, it in enumerate(items):
+            if i in seq_items:
+                s, alias = seq_items[i]
+                j = seen.get(s, 0)
+                seen[s] = j + 1
+                out_cols.append(
+                    (
+                        F.lit(first[s])
+                        + F.lit(inc[s])
+                        * (F.lit(j * n) + F.col(idx) - F.lit(1))
+                    ).cast("bigint").alias(alias)
+                )
+            else:
+                out_cols.append(F.col(f"`{next(inner_iter)}`"))
+        res = d.select(*out_cols)
+        view = f"_nv_{uuid.uuid4().hex[:8]}"
+        res.createOrReplaceTempView(view)
+        return f"select * from {view}", views + [view]
 
     def _sub_values_sequences(self, vtext: str) -> str:
         """Per-tuple sequence substitution in a VALUES list: each row
@@ -3253,15 +3353,31 @@ class AnalyticsEngine:
                 f" duplicate key ({', '.join(pk)}) in the written rows"
             )
         elif base:
-            paths = [
-                os.path.join(self.warehouse, name, seg) for seg in base
-            ]
-            existing = self.spark.read.parquet(*paths).select(*pk)
-            if staged.join(existing, pk, "left_semi").limit(1).collect():
-                violation = (
-                    f"duplicate key violates primary key constraint"
-                    f" on {name} ({', '.join(pk)})"
-                )
+            # zone-map prefilter (r11 verdict #3): intersect the
+            # staged keys' min/max with the manifest's per-segment
+            # zones — a key-disjoint append (sorted/Z-ordered load
+            # pattern) proves absence from metadata and reads ZERO
+            # base files; otherwise only the overlapping ones
+            bounds = self._staged_key_bounds(staged, pk)
+            entries = self._zone_overlap_entries(
+                name, base, bounds
+            ) if bounds else []
+            self.session_vars["andb.last_pk_probe_files"] = len(
+                entries
+            )
+            if entries:
+                paths = [
+                    os.path.join(self.warehouse, name, seg)
+                    for seg in entries
+                ]
+                existing = self.spark.read.parquet(*paths).select(*pk)
+                if staged.join(
+                    existing, pk, "left_semi"
+                ).limit(1).collect():
+                    violation = (
+                        f"duplicate key violates primary key"
+                        f" constraint on {name} ({', '.join(pk)})"
+                    )
         if violation:
             meta.pop("_staged", None)
             shutil.rmtree(new_dir, ignore_errors=True)
@@ -3297,9 +3413,17 @@ class AnalyticsEngine:
                     f" {name} ({', '.join(uq)}) in the written rows"
                 )
             elif base:
+                # the same zone-map prefilter as the PK probe; the
+                # NULL-exempt filter already ran on ``keyed``
+                bounds = self._staged_key_bounds(keyed, list(uq))
+                entries = self._zone_overlap_entries(
+                    name, base, bounds
+                ) if bounds else []
+                if not entries:
+                    continue
                 paths = [
                     os.path.join(self.warehouse, name, seg)
-                    for seg in base
+                    for seg in entries
                 ]
                 existing = self.spark.read.parquet(*paths).select(*uq)
                 for k in uq:
@@ -6250,6 +6374,54 @@ class AnalyticsEngine:
                 return True
         return False
 
+    def _inline_columns_windows(
+        self, stmt: str, blanked: str
+    ) -> tuple[str, str]:
+        """A named WINDOW definition whose spec holds a COLUMNS
+        template (DuckDB-probed: ``over w`` with ``window w as
+        (partition by columns('b.*'))`` fans the REFERENCING select
+        item out per matching column, exactly like an inline OVER)
+        cannot expand in place — the fan-out happens at each use
+        site. Inline such definitions into their ``over <name>``
+        references and drop them from the clause (an UNREFERENCED
+        templated window simply vanishes — DuckDB ignores it too);
+        the ordinary select-item expansion then owns the copies.
+        Definitions without COLUMNS stay native (Spark has the
+        WINDOW clause)."""
+        wk = self._find_top_level_keyword(stmt, ("window",))
+        if wk is None or not re.search(
+            r"\bcolumns\s*\(", blanked[wk[0]:], re.I
+        ):
+            return stmt, blanked
+        nxt = self._find_top_level_keyword(
+            stmt, ("order by", "limit", "offset"), wk[0] + 6
+        )
+        cl_end = nxt[0] if nxt else len(stmt)
+        clause = stmt[wk[0] + 6: cl_end]
+        keep: list[str] = []
+        inline: dict[str, str] = {}
+        for d in self._split_top_level(clause):
+            dm = re.match(r"^\s*(\w+)\s+as\s*\((.*)\)\s*$", d, re.S | re.I)
+            if dm and re.search(
+                r"\bcolumns\s*\(", _blank_literals(dm.group(2)), re.I
+            ):
+                inline[dm.group(1).lower()] = dm.group(2).strip()
+            else:
+                keep.append(d.strip())
+        if not inline:
+            return stmt, blanked
+        head = stmt[: wk[0]]
+        for name, spec in inline.items():
+            head = re.sub(
+                rf"\bover\s+{re.escape(name)}\b",
+                lambda _m: f"over ({spec})",
+                head, flags=re.I,
+            )
+        rebuilt = head + (
+            f"window {', '.join(keep)} " if keep else ""
+        ) + stmt[cl_end:]
+        return rebuilt, _blank_literals(rebuilt)
+
     def _rewrite_columns_projection(
         self, stmt: str
     ) -> tuple[str, list[str]]:
@@ -6300,6 +6472,7 @@ class AnalyticsEngine:
 
         if not _calls_in(stmt, blanked):
             return stmt, []  # nested only: the subquery lift owns those
+        stmt, blanked = self._inline_columns_windows(stmt, blanked)
         f = self._find_top_level_keyword(stmt, ("from",))
         if f is None:
             raise EngineError("COLUMNS(...) requires a FROM source")
@@ -6476,10 +6649,17 @@ class AnalyticsEngine:
                         items.append(it.strip())
                 rebuilt_tail.append(f"{kw[1]} {', '.join(items)} ")
             else:
+                # DuckDB itself binder-errors on COLUMNS in HAVING
+                # and QUALIFY ("STAR expression is not supported
+                # here", probed r12) — the refusal MATCHES the
+                # dialect; templated WINDOW definitions were already
+                # inlined above, so a call here is out of scope
                 raise EngineError(
-                    "COLUMNS(...) is supported in the select list,"
-                    " WHERE, GROUP BY, and ORDER BY — not in"
-                    f" {kw[1].upper()}"
+                    "COLUMNS(...) is supported in the select list"
+                    " (incl. OVER specs and named-WINDOW"
+                    " definitions), WHERE, GROUP BY, and ORDER BY —"
+                    f" not in {kw[1].upper()} (DuckDB refuses there"
+                    " too)"
                 )
             pos = nxt[0] if nxt else None
         return (
@@ -11085,6 +11265,98 @@ class AnalyticsEngine:
             name, self._cow_matched(name, condition, scan_entries)
         )
 
+    @staticmethod
+    def _stat_disjoint(st: dict, col: str, lo, hi) -> bool:
+        """True iff the segment's zone for ``col`` provably misses
+        the [lo, hi] interval. Conservative: missing stats, legacy
+        string stats (no "__v"), non-canonicalizable date literals
+        and type mismatches never prune."""
+        pair = st.get(col)
+        if pair is None or col.startswith("__"):
+            return False
+        if isinstance(lo, str) or isinstance(hi, str):
+            # String-domain bound: sound only when the stats say
+            # which domain the COLUMN is. Legacy stats (no "__v")
+            # cannot — never prune on them. For date columns the
+            # literal canonicalizes to zero-padded ISO ('1995-6-1'
+            # → '1995-06-01'); a non-date literal against a date
+            # column never prunes.
+            if st.get("__v", 1) < 2:
+                return False
+            if col in st.get("__date", ()):
+                if isinstance(lo, str):
+                    lo = _canon_date(lo)
+                if isinstance(hi, str):
+                    hi = _canon_date(hi)
+                if lo is None or hi is None:
+                    return False
+        try:
+            return pair[1] < lo or pair[0] > hi
+        except TypeError:
+            # stat/bound type mismatch (e.g. numeric literal against
+            # a date column): never prune on it
+            return False
+
+    def _zone_overlap_entries(
+        self, name: str, entries: list[str],
+        bounds: dict[str, tuple],
+    ) -> list[str]:
+        """Manifest entries whose per-segment zones OVERLAP every
+        [lo, hi] key bound — the PK/UNIQUE staged probes' prefilter
+        (r11 verdict #3): a key-disjoint append proves absence from
+        the METADATA and reads zero base files instead of the whole
+        table. Entries without stats always scan (prune = provably
+        disjoint only)."""
+        seg_stats = self._stats_of(name)
+        keep: list[str] = []
+        for e in entries:
+            st = seg_stats.get(e.split("/", 1)[0], {})
+            if st.get("__rows") == 0:
+                continue
+            if any(
+                self._stat_disjoint(st, c, lo, hi)
+                for c, (lo, hi) in bounds.items()
+                if lo is not None and hi is not None
+            ):
+                continue
+            keep.append(e)
+        return keep
+
+    @staticmethod
+    def _zone_bound_value(v):
+        """A collected staged min/max as a zone-comparable value —
+        the stats store dates/timestamps as ISO strings and numerics
+        as plain numbers."""
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            return float(v)
+        return v
+
+    def _staged_key_bounds(
+        self, staged: DataFrame, cols: list[str]
+    ) -> dict[str, tuple] | None:
+        """min/max per key column of the staged segment — ONE bounded
+        agg job (the staged side is the small side by construction).
+        Returns None when the staged segment holds no keyed rows (no
+        collision possible)."""
+        aggs = []
+        for i, c in enumerate(cols):
+            aggs.append(F.min(c).alias(f"_lo{i}"))
+            aggs.append(F.max(c).alias(f"_hi{i}"))
+        row = staged.agg(*aggs).collect()[0]
+        if all(row[f"_lo{i}"] is None for i in range(len(cols))):
+            return None
+        return {
+            c: (
+                self._zone_bound_value(row[f"_lo{i}"]),
+                self._zone_bound_value(row[f"_hi{i}"]),
+            )
+            for i, c in enumerate(cols)
+        }
+
     def _zone_scan_entries(
         self, name: str, cond_text: str | None
     ) -> list[str]:
@@ -11099,34 +11371,7 @@ class AnalyticsEngine:
         if not dnf:
             return entries
         seg_stats = self._stats_of(name)
-
-        def stat_disjoint(st, col, lo, hi) -> bool:
-            pair = st.get(col)
-            if pair is None or col.startswith("__"):
-                return False
-            if isinstance(lo, str) or isinstance(hi, str):
-                # String-domain bound: sound only when the stats say
-                # which domain the COLUMN is. Legacy stats (no "__v")
-                # cannot — never prune on them. For date columns the
-                # literal canonicalizes to zero-padded ISO ('1995-6-1'
-                # → '1995-06-01'); a non-date literal against a date
-                # column never prunes.
-                if st.get("__v", 1) < 2:
-                    return False
-                if col in st.get("__date", ()):
-                    if isinstance(lo, str):
-                        lo = _canon_date(lo)
-                    if isinstance(hi, str):
-                        hi = _canon_date(hi)
-                    if lo is None or hi is None:
-                        return False
-            try:
-                return pair[1] < lo or pair[0] > hi
-            except TypeError:
-                # stat/bound type mismatch (e.g. numeric literal against
-                # a date column): never prune on it
-                return False
-
+        stat_disjoint = self._stat_disjoint
         scan: list[str] = []
         for e in entries:
             st = seg_stats.get(e.split("/", 1)[0], {})

@@ -1877,6 +1877,25 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
         "select min(columns(* exclude (ab))) from ct",
         "select columns(c -> c like 'a%') from ct order by ab",
         "select sum(columns(c -> length(c) = 2)) from ct",
+        # COLUMNS inside window specs (r11 verdict #5): the whole
+        # select item fans out per match — an inline OVER, a named
+        # WINDOW reference, and a templated WINDOW definition that
+        # inlines at its use sites (api.py::_inline_columns_windows)
+        "select k, sum(ab) over (partition by columns('a.*')) as x"
+        " from ct order by k, x",
+        "select k, sum(ab) over (order by columns('.*b.*'), k) as x"
+        " from ct order by k, x",
+        "select k, sum(columns('a.*')) over w as sw from ct"
+        " window w as (partition by k) order by k",
+        "select k, sum(ab) over w as x from ct"
+        " window w as (partition by columns('a.*')) order by k, x",
+        # mixed: templated def inlines, the plain def stays native
+        "select k, sum(ab) over w as x, min(ac) over v as m from ct"
+        " window w as (partition by columns('a.*')),"
+        " v as (partition by k) order by k, x",
+        # an unreferenced templated window vanishes in both engines
+        "select k from ct window w as (partition by columns('a.*'))"
+        " order by k",
     ):
         ours = eng.execute(sql)
         duck = con.execute(sql)
@@ -1897,11 +1916,19 @@ def test_columns_projection_matches_duckdb(spark, tmp_path):
     # (DuckDB refuses the same shape)
     with pytest.raises(EngineError, match="different COLUMNS"):
         eng.execute("select columns('ab') + columns('ac') from ct")
-    with pytest.raises(EngineError, match="not in"):
-        eng.execute(
-            "select k, max(ab) as m from ct group by k"
-            " having max(columns('a.*')) > 0"
-        )
+    # HAVING / QUALIFY: DuckDB itself binder-errors on COLUMNS there
+    # ("STAR expression is not supported here", probed) — the named
+    # refusals MATCH the dialect
+    for sql in (
+        "select k, max(ab) as m from ct group by k"
+        " having max(columns('a.*')) > 0",
+        "select k, ab from ct"
+        " qualify min(columns('a.*')) over (partition by k) > 0",
+    ):
+        with pytest.raises(EngineError, match="not in"):
+            eng.execute(sql)
+        with pytest.raises(duckdb.BinderException):
+            con.execute(sql)
     with pytest.raises(EngineError, match="matched no columns"):
         eng.execute("select columns('zzz') from ct")
     with pytest.raises(EngineError, match="matched no columns"):
@@ -3251,8 +3278,11 @@ def test_sequences_match_duckdb(spark, tmp_path):
     distributed dense-index block allocation
     (``_seq_default_fill``) — contiguous block, one reservation per
     statement, works for INSERT..SELECT at any scale. nextval over a
-    FROM query, CYCLE, composed defaults and SET DEFAULT refuse by
-    name."""
+    FROM query executes through the same dense-index machinery
+    (r11 verdict #7, ``_nextval_from_rewrite``): bare select items,
+    COLUMN-MAJOR allocation for repeated items (DuckDB-probed).
+    CYCLE, composed nextval expressions over FROM, non-select-list
+    positions, composed defaults and SET DEFAULT refuse by name."""
     from andb_spark.api import AnalyticsEngine, EngineError
 
     eng = AnalyticsEngine(str(tmp_path / "whsq"), spark=spark)
@@ -3310,9 +3340,24 @@ def test_sequences_match_duckdb(spark, tmp_path):
         eng.execute("select currval('fresh') as c")
     with pytest.raises(Exception):
         con.execute("select currval('fresh') as c")
+    # nextval over a FROM query: deterministic VALUES sources match
+    # row for row (incl. repeated items — column-major blocks — and
+    # mixed sequences); the counter state agrees afterwards
+    for run in (eng.execute, con.execute):
+        run("create sequence nv1")
+        run("create sequence nv2 start 100 increment 10")
+    for sql in (
+        "select nextval('nv1') as id, v"
+        " from (values (10), (20), (30)) t(v)",
+        "select v, nextval('nv1') as a, nextval('nv1') as b,"
+        " nextval('nv2') as k from (values (1), (2)) t(v)",
+        "select currval('nv1') as c1, currval('nv2') as c2",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
     # named refusals (engine boundaries, each loud)
     for sql in (
-        "select nextval('sq') from st",
+        "select nextval('sq') + 1 from st",
+        "select v from st where nextval('sq') > 0",
         "create sequence cyc cycle",
         "update st set k = default where v = 1",
         "create sequence dup",
