@@ -152,6 +152,21 @@ ENGINE_SQL_OPS = {
         ),
         "insert into ck select o_orderkey, o_totalprice from orders",
     ),
+    "e_constraint_append": (
+        # the r12 zone-prefiltered PK probe: the timed statement is a
+        # FIXED-SIZE key-disjoint append onto a base that scales 1x →
+        # 10x — with the prefilter the existence probe reads ZERO
+        # base files, so the time must stay FLAT in base size (the
+        # pre-r12 probe semi-joined the whole table here)
+        (
+            "create table cka (k bigint primary key,"
+            " v double check (v >= 0))",
+            "insert into cka select o_orderkey, o_totalprice"
+            " from orders",
+        ),
+        "insert into cka select o_orderkey + 1000000000,"
+        " o_totalprice from orders where o_orderkey < 1500",
+    ),
     "e_seq_fill": (
         (
             "create sequence ckseq",
