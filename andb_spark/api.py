@@ -1663,9 +1663,17 @@ class AnalyticsEngine:
         [START [WITH] n] [INCREMENT [BY] n] [MINVALUE n] [MAXVALUE n]
         (DuckDB): driver-held counter state in the catalog — the only
         place a strictly monotonic per-row counter can live in a
-        distributed engine. CYCLE refuses by name (block allocation
-        and wraparound don't mix); exceeding MAXVALUE/MINVALUE raises
-        like DuckDB's "reached maximum value"."""
+        distributed engine. CYCLE wraps with the STANDARD semantics
+        (ascending: crossing MAXVALUE restarts at MINVALUE, default
+        1; descending mirror, restart at MAXVALUE, default -1) via a
+        closed-form offset formula (``_seq_value_at``), so block
+        allocation and the distributed fills wrap without iteration.
+        DuckDB 1.0.0's artifact — CYCLE silently ignored for |inc|>1
+        ascending (values run past MAXVALUE unboundedly, probed) —
+        is NOT replicated; the differential grid pins the |inc|=1
+        and exact-hit shapes where the engines agree. NO CYCLE
+        sequences exceeeding MAXVALUE/MINVALUE raise like DuckDB's
+        "reached maximum value"."""
         m = re.match(
             r"create\s+(or\s+replace\s+)?sequence\s+"
             r"(if\s+not\s+exists\s+)?(\w+)\s*(.*)$",
@@ -1681,14 +1689,11 @@ class AnalyticsEngine:
             )
         if name in seqs and not orp:
             raise EngineError(f"sequence {name} already exists")
+        seq = {"start": 1, "inc": 1, "min": None, "max": None}
         if re.search(r"\bcycle\b", opts or "", re.I) and not re.search(
             r"\bno\s+cycle\b", opts or "", re.I
         ):
-            raise EngineError(
-                "CREATE SEQUENCE ... CYCLE is not supported (block"
-                " allocation cannot wrap); use NO CYCLE"
-            )
-        seq = {"start": 1, "inc": 1, "min": None, "max": None}
+            seq["cycle"] = True
         for kw, key in (
             (r"start(?:\s+with)?", "start"),
             (r"increment(?:\s+by)?", "inc"),
@@ -1725,28 +1730,96 @@ class AnalyticsEngine:
         self._save_catalog()
         return Result()
 
+    @staticmethod
+    def _seq_bounds(s: dict) -> tuple[int, int]:
+        """Effective [min, max] window — the standard defaults
+        (ascending min 1, descending max -1, int64 extremes on the
+        open side)."""
+        if s["inc"] > 0:
+            return (
+                s["min"] if s["min"] is not None else 1,
+                s["max"] if s["max"] is not None else (1 << 63) - 1,
+            )
+        return (
+            s["min"] if s["min"] is not None else -(1 << 63),
+            s["max"] if s["max"] is not None else -1,
+        )
+
+    @classmethod
+    def _seq_value_at(cls, s: dict, first: int, k: int) -> int:
+        """Value ``k`` steps after ``first`` (k=0 → first) under the
+        sequence's wrap rule — linear for NO CYCLE; for CYCLE the
+        trajectory runs to the bound then restarts at the opposite
+        one (min ascending, max descending), so a lap of L =
+        floor(window/|inc|)+1 values repeats: past the first wrap the
+        position is (k - s0 - 1) mod L from the restart anchor.
+        Closed-form, so block reservation and the DISTRIBUTED fills
+        wrap without per-step iteration."""
+        inc = s["inc"]
+        if not s.get("cycle"):
+            return first + inc * k
+        mn, mx = cls._seq_bounds(s)
+        if inc > 0:
+            s0 = (mx - first) // inc
+            lap = (mx - mn) // inc + 1
+            anchor = mn
+        else:
+            s0 = (first - mn) // (-inc)
+            lap = (mx - mn) // (-inc) + 1
+            anchor = mx
+        if k <= s0:
+            return first + inc * k
+        return anchor + inc * ((k - s0 - 1) % lap)
+
+    def _seq_fill_col(self, name: str, first: int, idx0) -> F.Column:
+        """The ``_seq_value_at`` formula as a Spark Column over a
+        0-based dense-index column — the distributed twin used by
+        the DEFAULT-nextval fill and nextval-over-FROM."""
+        s = self.catalog["sequences"][name]
+        inc = s["inc"]
+        lin = F.lit(first) + F.lit(inc) * idx0
+        if not s.get("cycle"):
+            return lin
+        mn, mx = self._seq_bounds(s)
+        if inc > 0:
+            s0 = (mx - first) // inc
+            lap = (mx - mn) // inc + 1
+            anchor = mn
+        else:
+            s0 = (first - mn) // (-inc)
+            lap = (mx - mn) // (-inc) + 1
+            anchor = mx
+        wrapped = F.lit(anchor) + F.lit(inc) * (
+            (idx0 - F.lit(s0) - F.lit(1)) % F.lit(lap)
+        )
+        return F.when(idx0 <= F.lit(s0), lin).otherwise(wrapped)
+
     def _seq_next_block(self, name: str, n: int) -> int:
         """Reserve ``n`` successive sequence values; returns the FIRST.
-        The bound check covers the whole block (DuckDB parity error).
-        Reservation persists immediately — like DuckDB, a failed
-        statement does not roll a sequence back."""
+        The bound check covers the whole block (DuckDB parity error);
+        a CYCLE sequence wraps instead of erroring. Reservation
+        persists immediately — like DuckDB, a failed statement does
+        not roll a sequence back."""
         seqs = self.catalog.setdefault("sequences", {})
         if name not in seqs:
             raise EngineError(f"sequence {name} does not exist")
         s = seqs[name]
         first = (
             s["start"] if s["current"] is None
-            else s["current"] + s["inc"]
+            else self._seq_value_at(s, s["current"], 1)
         )
-        last = first + s["inc"] * (n - 1)
-        if s["inc"] > 0 and s["max"] is not None and last > s["max"]:
-            raise EngineError(
-                f"sequence {name} reached maximum value ({s['max']})"
-            )
-        if s["inc"] < 0 and s["min"] is not None and last < s["min"]:
-            raise EngineError(
-                f"sequence {name} reached minimum value ({s['min']})"
-            )
+        last = self._seq_value_at(s, first, n - 1) if n else first
+        if not s.get("cycle"):
+            if s["inc"] > 0 and s["max"] is not None and last > s["max"]:
+                raise EngineError(
+                    f"sequence {name} reached maximum value"
+                    f" ({s['max']})"
+                )
+            if s["inc"] < 0 and s["min"] is not None and last < s["min"]:
+                raise EngineError(
+                    f"sequence {name} reached minimum value"
+                    f" ({s['min']})"
+                )
         if n > 0 and not self._planning:
             # plan-only contexts (EXPLAIN / DESCRIBE / view binding)
             # PEEK: the plan shows the would-be values, the counter
@@ -1823,13 +1896,13 @@ class AnalyticsEngine:
         first = self._seq_next_block(seqname, n) if n else (
             seqs[seqname]["start"]
         )
-        inc = seqs[seqname]["inc"]
         return (
             d.withColumn(
                 colname,
-                # _zip_index is 1-based: first + inc * (idx - 1)
-                (
-                    F.lit(first) + F.lit(inc) * (F.col(idx) - F.lit(1))
+                # _zip_index is 1-based: value at offset idx-1
+                # (linear, or the CYCLE wrap formula)
+                self._seq_fill_col(
+                    seqname, first, F.col(idx) - F.lit(1)
                 ).cast(dt),
             ).drop(idx),
             n,
@@ -1926,15 +1999,13 @@ class AnalyticsEngine:
         seqs_used = [s for s, _a in seq_items.values()]
         per_seq_m = {s: seqs_used.count(s) for s in set(seqs_used)}
         first: dict[str, int] = {}
-        inc: dict[str, int] = {}
         for s, mm in per_seq_m.items():
-            first[s] = (
-                self._seq_next_block(s, n * mm) if n else
-                self.catalog["sequences"].get(s, {}).get("start", 1)
-            )
             if s not in self.catalog.get("sequences", {}):
                 raise EngineError(f"sequence {s} does not exist")
-            inc[s] = self.catalog["sequences"][s]["inc"]
+            first[s] = (
+                self._seq_next_block(s, n * mm) if n else
+                self.catalog["sequences"][s].get("start", 1)
+            )
         seen: dict[str, int] = {}
         out_cols: list = []
         inner_iter = iter(
@@ -1947,10 +2018,9 @@ class AnalyticsEngine:
                 j = seen.get(s, 0)
                 seen[s] = j + 1
                 out_cols.append(
-                    (
-                        F.lit(first[s])
-                        + F.lit(inc[s])
-                        * (F.lit(j * n) + F.col(idx) - F.lit(1))
+                    self._seq_fill_col(
+                        s, first[s],
+                        F.lit(j * n) + F.col(idx) - F.lit(1),
                     ).cast("bigint").alias(alias)
                 )
             else:
@@ -2164,6 +2234,105 @@ class AnalyticsEngine:
         out.append(text[start:])
         return out
 
+    # DuckDB list-function family → Spark natives. Simple renames
+    # keep the argument list (same order, same 1-based/NULL
+    # semantics, each DuckDB-probed); names needing argument surgery
+    # are templated in _map_list_functions. Longest names match
+    # first (list_reverse_sort before list_reverse).
+    _LIST_FN_RENAMES: tuple[tuple[str, str], ...] = (
+        ("array_push_back", "array_append"),
+        ("array_extract", "try_element_at"),
+        ("array_length", "size"),
+        ("list_indexof", "array_position"),
+        ("list_position", "array_position"),
+        ("list_contains", "array_contains"),
+        ("list_transform", "transform"),
+        ("list_extract", "try_element_at"),
+        ("list_reverse", "reverse"),
+        ("list_append", "array_append"),
+        ("list_concat", "concat"),
+        ("list_filter", "filter"),
+        ("list_apply", "transform"),
+        ("list_value", "array"),
+        ("list_pack", "array"),
+        ("list_has", "array_contains"),
+        ("list_cat", "concat"),
+        ("list_max", "array_max"),
+        ("list_min", "array_min"),
+        ("len", "size"),
+    )
+
+    def _map_list_functions(self, stmt: str) -> str:
+        """DuckDB's list_* function spellings onto Spark natives —
+        probed semantics per mapping: list_extract/array_extract OOB
+        → NULL (try_element_at), list_position missing → 0 on BOTH
+        engines (array_position), list_sort/list_reverse_sort order
+        NULLS LAST (Spark's sort_array puts them first ascending —
+        the template splits nulls out; descending maps directly),
+        list_unique counts DISTINCT NON-NULL, list_prepend's
+        argument order is (elem, list) where Spark's is (list,
+        elem), list_slice shares the bracket-slice clamps (rewritten
+        into bracket form for the slice pass). Unmapped list_*
+        names (list_sum/list_avg — DuckDB returns engine-typed
+        totals no Spark native mirrors) surface Spark's
+        unresolved-routine error naming the function."""
+        out = stmt
+        for _ in range(500):
+            b = _blank_literals(out)
+            m = re.search(
+                r"\b(list_sort|list_reverse_sort|list_unique"
+                r"|list_prepend|list_slice)\s*\(",
+                b, re.I,
+            )
+            if not m:
+                break
+            fn = m.group(1).lower()
+            cp = self._match_paren(out, m.end() - 1)
+            inner, ib = out[m.end(): cp], b[m.end(): cp]
+            args = self._split_collection_items(inner, ib)
+            v = "_" + uuid.uuid4().hex[:4]
+            if fn == "list_sort" and len(args) == 1:
+                x = args[0].strip()
+                repl = (
+                    f"concat(sort_array(filter(({x}), {v} -> {v} is"
+                    f" not null)), filter(({x}), {v} -> {v} is"
+                    " null))"
+                )
+            elif fn == "list_reverse_sort" and len(args) == 1:
+                repl = f"sort_array(({args[0].strip()}), false)"
+            elif fn == "list_unique" and len(args) == 1:
+                x = args[0].strip()
+                repl = (
+                    f"size(array_distinct(filter(({x}), {v} ->"
+                    f" {v} is not null)))"
+                )
+            elif fn == "list_prepend" and len(args) == 2:
+                repl = (
+                    f"array_prepend(({args[1].strip()}),"
+                    f" ({args[0].strip()}))"
+                )
+            elif fn == "list_slice" and len(args) == 3:
+                repl = (
+                    f"({args[0].strip()})"
+                    f"[{args[1].strip()}:{args[2].strip()}]"
+                )
+            else:
+                raise EngineError(
+                    f"{fn}() with {len(args)} argument(s) is not"
+                    " supported"
+                )
+            out = out[: m.start()] + repl + out[cp + 1:]
+        for name, target in self._LIST_FN_RENAMES:
+            while True:
+                b = _blank_literals(out)
+                nm = re.search(rf"\b{name}\s*\(", b, re.I)
+                if not nm:
+                    break
+                out = (
+                    out[: nm.start()] + target + "(" + out[nm.end():]
+                )
+        return out
+
     def _rewrite_duckdb_collections(self, stmt: str) -> str:
         """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 —
         the engine's one silent seam), lowered onto Spark's native
@@ -2194,15 +2363,13 @@ class AnalyticsEngine:
         through untouched. Output contains no bracket/brace
         construct, so the rewrite is idempotent and safe to apply at
         both the statement entry and the subquery replan paths."""
-        if not re.search(r"[\[{]|\blen\s*\(", stmt, re.I):
+        if not re.search(
+            r"[\[{]|\b(?:len|list_\w+|array_length|array_extract"
+            r"|array_push_back)\s*\(",
+            stmt, re.I,
+        ):
             return stmt
-        out = stmt
-        while True:
-            b = _blank_literals(out)
-            lm = re.search(r"\blen\s*\(", b, re.I)
-            if not lm:
-                break
-            out = out[: lm.start()] + "size(" + out[lm.end():]
+        out = self._map_list_functions(stmt)
         pos = 0
         for _ in range(5000):  # bounded: each pass resolves one site
             b = _blank_literals(out)

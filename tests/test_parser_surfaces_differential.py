@@ -3281,8 +3281,12 @@ def test_sequences_match_duckdb(spark, tmp_path):
     FROM query executes through the same dense-index machinery
     (r11 verdict #7, ``_nextval_from_rewrite``): bare select items,
     COLUMN-MAJOR allocation for repeated items (DuckDB-probed).
-    CYCLE, composed nextval expressions over FROM, non-select-list
-    positions, composed defaults and SET DEFAULT refuse by name."""
+    CYCLE wraps with standard semantics via the closed-form
+    ``_seq_value_at`` (pinned on the |inc|=1 shapes where DuckDB
+    1.0.0 agrees — its |inc|>1 ascending CYCLE artifact runs past
+    MAXVALUE unboundedly and is not replicated). Composed nextval
+    expressions over FROM, non-select-list positions, composed
+    defaults and SET DEFAULT refuse by name."""
     from andb_spark.api import AnalyticsEngine, EngineError
 
     eng = AnalyticsEngine(str(tmp_path / "whsq"), spark=spark)
@@ -3354,11 +3358,28 @@ def test_sequences_match_duckdb(spark, tmp_path):
         "select currval('nv1') as c1, currval('nv2') as c2",
     ):
         assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
+    # CYCLE: scalar wrap, a FROM block spanning laps, DEFAULT-fill
+    # wrap — identical statements, identical values
+    for run in (eng.execute, con.execute):
+        run("create sequence cy start 2 maxvalue 4 cycle")
+        run("create sequence cyd increment -1 minvalue -3 cycle")
+        run("create sequence cyf start 1 maxvalue 5 cycle")
+        run("create table cyt (k int default nextval('cyf'), v int)")
+        run("insert into cyt (v) values (1),(2),(3),(4),(5),(6),(7)")
+    for sql in (
+        *(("select nextval('cy') as n",) * 9),
+        *(("select nextval('cyd') as n",) * 8),
+        "select nextval('cy') as k, v"
+        " from (values (10),(20),(30),(40),(50),(60)) t(v)",
+        "select k, v from cyt order by v",
+        "select currval('cy') as a, currval('cyd') as b,"
+        " currval('cyf') as c",
+    ):
+        assert eng.execute(sql).rows == con.execute(sql).fetchall(), sql
     # named refusals (engine boundaries, each loud)
     for sql in (
         "select nextval('sq') + 1 from st",
         "select v from st where nextval('sq') > 0",
-        "create sequence cyc cycle",
         "update st set k = default where v = 1",
         "create sequence dup",
         "create sequence dup",  # duplicate without OR REPLACE
@@ -3919,4 +3940,45 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
     ):
         with pytest.raises(EngineError):
             eng.execute(sql)
+    eng.close()
+
+
+def test_list_function_family_matches_duckdb(spark, tmp_path):
+    """DuckDB's list_* function spellings onto Spark natives
+    (api.py::_map_list_functions): simple renames where semantics
+    already agree (probed: list_position missing → 0 on both,
+    list_extract OOB → NULL) and argument-surgery templates where
+    they don't (list_sort/list_reverse_sort order NULLS LAST where
+    Spark's sort_array puts them first ascending; list_unique counts
+    distinct NON-NULL; list_prepend's argument order swaps;
+    list_slice shares the bracket-slice clamps). Identical SQL both
+    engines."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whlfn"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (xs int[], v int)")
+        run("insert into t values ([3,1,2], 1), ([5,5,2], 9)")
+    for sql in (
+        "select list_contains(xs, 2) c, list_position(xs, 5) p,"
+        " list_extract(xs, 2) e, array_extract(xs, 9) o"
+        " from t order by v",
+        "select list_sort(xs) s, list_reverse_sort(xs) r"
+        " from t order by v",
+        "select list_unique(xs) u, array_length(xs) n,"
+        " list_max(xs) mx, list_min(xs) mn from t order by v",
+        "select list_prepend(0, xs) p, list_append(xs, 9) a,"
+        " list_concat(xs, [7]) c from t order by v",
+        "select list_slice(xs, 2, 3) s, list_slice(xs, -2, -1) n"
+        " from t order by v",
+        "select list_transform(xs, x -> x * 10) tr,"
+        " list_filter(xs, x -> x > 2) f from t order by v",
+        "select list_reverse(xs) r, list_value(1, 2) lv"
+        " from t order by v",
+        "select list_sort([2,1,NULL]) s, list_unique([1,NULL,2,2]) u",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
     eng.close()
