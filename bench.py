@@ -207,10 +207,18 @@ HEADLINE_R11 = (
     "u_returning",
 )
 
+# Queries added with the r12 surfaces (kept OUT of the cross-round
+# comparable total; subtotal r12_extension_sec): the DuckDB
+# list/struct expression dialect and window EXCLUDE TIES/GROUP.
+HEADLINE_R12 = (
+    "u_list_ops",
+    "u_window_exclude",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
     + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08 + HEADLINE_R09
-    + HEADLINE_R10 + HEADLINE_R11
+    + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -446,6 +454,7 @@ def main() -> None:
     r09_ext = round(sum(timings[n] for n in HEADLINE_R09), 3)
     r10_ext = round(sum(timings[n] for n in HEADLINE_R10), 3)
     r11_ext = round(sum(timings[n] for n in HEADLINE_R11), 3)
+    r12_ext = round(sum(timings[n] for n in HEADLINE_R12), 3)
     # Lifecycle-subtracted twin for the engine-booting rows (VERDICT
     # r10 #7): every engine_q workload boots a fresh scratch
     # AnalyticsEngine INSIDE its timed region (isolation is the
@@ -501,6 +510,7 @@ def main() -> None:
         "r09_extension_sec": r09_ext,
         "r10_extension_sec": r10_ext,
         "r11_extension_sec": r11_ext,
+        "r12_extension_sec": r12_ext,
     }
     full_record.update(subtotals)
     # Durable full record: the driver's 2000-char stdout tail cannot
