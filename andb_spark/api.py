@@ -2281,7 +2281,8 @@ class AnalyticsEngine:
             b = _blank_literals(out)
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
-                r"|list_prepend|list_slice)\s*\(",
+                r"|list_prepend|list_slice|struct_pack"
+                r"|struct_extract)\s*\(",
                 b, re.I,
             )
             if not m:
@@ -2291,6 +2292,40 @@ class AnalyticsEngine:
             inner, ib = out[m.end(): cp], b[m.end(): cp]
             args = self._split_collection_items(inner, ib)
             v = "_" + uuid.uuid4().hex[:4]
+            if fn == "struct_pack":
+                # struct_pack(a := 1, b := 'x') → named_struct
+                fields = []
+                for a in args:
+                    am = re.match(
+                        r"^\s*(\w+)\s*:=\s*(.+)$", a, re.S
+                    )
+                    if not am:
+                        raise EngineError(
+                            "struct_pack expects name := value"
+                            f" arguments, got {a.strip()!r}"
+                        )
+                    fields.append(
+                        f"'{am.group(1)}', {am.group(2).strip()}"
+                    )
+                out = (
+                    out[: m.start()] + "named_struct("
+                    + ", ".join(fields) + ")" + out[cp + 1:]
+                )
+                continue
+            if fn == "struct_extract":
+                fm2 = re.fullmatch(
+                    r"\s*'(\w+)'\s*", args[1]
+                ) if len(args) == 2 else None
+                if not fm2:
+                    raise EngineError(
+                        "struct_extract expects (struct, 'name')"
+                    )
+                out = (
+                    out[: m.start()]
+                    + f"(({args[0].strip()})).`{fm2.group(1)}`"
+                    + out[cp + 1:]
+                )
+                continue
             if fn == "list_sort" and len(args) == 1:
                 x = args[0].strip()
                 repl = (
@@ -2364,8 +2399,8 @@ class AnalyticsEngine:
         construct, so the rewrite is idempotent and safe to apply at
         both the statement entry and the subquery replan paths."""
         if not re.search(
-            r"[\[{]|\b(?:len|list_\w+|array_length|array_extract"
-            r"|array_push_back)\s*\(",
+            r"[\[{]|\b(?:len|list_\w+|struct_pack|struct_extract"
+            r"|array_length|array_extract|array_push_back)\s*\(",
             stmt, re.I,
         ):
             return stmt

@@ -3977,6 +3977,10 @@ def test_list_function_family_matches_duckdb(spark, tmp_path):
         "select list_reverse(xs) r, list_value(1, 2) lv"
         " from t order by v",
         "select list_sort([2,1,NULL]) s, list_unique([1,NULL,2,2]) u",
+        # struct_pack / struct_extract (DuckDB spellings)
+        "select struct_extract(struct_pack(a := 5, b := 'y'), 'a')"
+        " x, struct_pack(a := 1).a y",
+        "select struct_extract({'k': [1, 2]}, 'k')[2] z",
     ):
         er = [tuple(r) for r in eng.execute(sql).rows]
         dr = con.execute(sql).fetchall()
