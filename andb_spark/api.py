@@ -2250,13 +2250,11 @@ class AnalyticsEngine:
         ("list_extract", "try_element_at"),
         ("list_reverse", "reverse"),
         ("list_append", "array_append"),
-        ("list_concat", "concat"),
         ("list_filter", "filter"),
         ("list_apply", "transform"),
         ("list_value", "array"),
         ("list_pack", "array"),
         ("list_has", "array_contains"),
-        ("list_cat", "concat"),
         ("list_max", "array_max"),
         ("list_min", "array_min"),
         ("len", "size"),
@@ -2281,8 +2279,8 @@ class AnalyticsEngine:
             b = _blank_literals(out)
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
-                r"|list_prepend|list_slice|struct_pack"
-                r"|struct_extract)\s*\(",
+                r"|list_prepend|list_slice|list_concat|list_cat"
+                r"|struct_pack|struct_extract)\s*\(",
                 b, re.I,
             )
             if not m:
@@ -2340,6 +2338,17 @@ class AnalyticsEngine:
                 repl = (
                     f"size(array_distinct(filter(({x}), {v} ->"
                     f" {v} is not null)))"
+                )
+            elif fn in ("list_concat", "list_cat") and len(args) == 2:
+                # DuckDB treats a NULL side as absent (NULL ++ x → x,
+                # fuzz-arm find); Spark's concat nulls the whole
+                # result — branch instead of coalescing to array()
+                # (whose string element type would fight coercion)
+                a0, a1 = args[0].strip(), args[1].strip()
+                repl = (
+                    f"(case when ({a0}) is null then ({a1})"
+                    f" when ({a1}) is null then ({a0})"
+                    f" else concat(({a0}), ({a1})) end)"
                 )
             elif fn == "list_prepend" and len(args) == 2:
                 repl = (
@@ -4808,9 +4817,9 @@ class AnalyticsEngine:
                 in_str = True
                 cur.append(c)
                 continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
+            if c in "([{":  # brackets/braces nest too (list and
+                depth += 1     # struct literals carry top-level commas)
+            elif c in ")]}":
                 depth -= 1
             if c == sep and depth == 0:
                 parts.append("".join(cur))
@@ -10024,9 +10033,17 @@ class AnalyticsEngine:
             except EngineError:
                 raise
             except Exception as e:
-                raise EngineError(
-                    f"CREATE MACRO {name}: body does not bind: {e}"
-                ) from e
+                # the probe binds params as bare NULL, whose VOID
+                # type cannot satisfy array/struct-typed functions
+                # (try_element_at(NULL, 1) for a `l[1]` body) — a
+                # type mismatch ON THE PLACEHOLDER is a valid body
+                # under late binding (DuckDB accepts it; the call
+                # site types it), where unresolved names still refuse
+                if "DATATYPE_MISMATCH" not in str(e):
+                    raise EngineError(
+                        f"CREATE MACRO {name}: body does not bind:"
+                        f" {e}"
+                    ) from e
             finally:
                 self._planning = was
                 for h in helpers:
@@ -12266,10 +12283,10 @@ def _split_top_level(s: str) -> list[str]:
         if ch in "'\"":
             quote = ch
             cur.append(ch)
-        elif ch == "(":
+        elif ch in "([{":  # list/struct literals nest commas too
             depth += 1
             cur.append(ch)
-        elif ch == ")":
+        elif ch in ")]}":
             depth -= 1
             cur.append(ch)
         elif ch == "," and depth == 0:

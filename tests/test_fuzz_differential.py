@@ -25,7 +25,7 @@ from hypothesis import given, seed, settings, strategies as st
 # Rotated once per build round (driver round number): @seed makes each
 # round's exploration reproducible while successive rounds walk fresh
 # regions of the query space instead of re-testing the same examples.
-FUZZ_ROUND = 11
+FUZZ_ROUND = 12
 
 from andb_spark.catalog import table_path
 
@@ -1081,3 +1081,76 @@ def test_random_constraint_inserts_agree_with_duckdb(spark, case):
         want = _rowset(con.execute(sel).fetchall())
         assert got == want, (ddl, stmt)
     eng.close()
+
+
+# Collections-dialect fuzz arm (r12): random list expressions through
+# the ENGINE entry point (the dialect rewrite lives there) vs DuckDB
+# native — indexing (0/OOB/negative), slicing (open/negative/backward
+# bounds), len(), literals, and nesting compose randomly. Exact
+# compare: everything is integer-valued.
+_CLX_IDX = st.integers(-4, 4)
+_CLX_BOUND = st.one_of(st.none(), st.integers(-3, 4))
+
+
+def _clx_base(draw_lit):
+    return "xs" if not draw_lit else None
+
+
+_CLX_EXPR = st.recursive(
+    st.one_of(
+        st.just("xs"),
+        st.lists(st.integers(-9, 9), min_size=0, max_size=4).map(
+            lambda v: "[" + ", ".join(map(str, v)) + "]"
+        ),
+    ),
+    lambda inner: st.one_of(
+        st.tuples(inner, _CLX_IDX).map(lambda t: f"slice(({t[0]}), 1, 3)"
+                                       if False else f"({t[0]})[{t[1]}:]"),
+        st.tuples(inner, _CLX_BOUND, _CLX_BOUND).map(
+            lambda t: "({})[{}:{}]".format(
+                t[0],
+                "" if t[1] is None else t[1],
+                "" if t[2] is None else t[2],
+            )
+        ),
+        st.tuples(inner, inner).map(
+            lambda t: f"list_concat(({t[0]}), ({t[1]}))"
+        ),
+    ),
+    max_leaves=4,
+)
+
+
+@pytest.fixture(scope="module")
+def clx_engines(spark, tmp_path_factory):
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whclx")), spark=spark
+    )
+    con = duckdb.connect()
+    rows = [
+        (0, "[1, 2, 3]"), (1, "[7]"), (2, "[]"), (3, "NULL"),
+        (4, "[-2, 0, 5, 9]"), (5, "[4, 4]"),
+    ]
+    for run in (eng.execute, con.execute):
+        run("create table fzl (k int, xs int[])")
+        run(
+            "insert into fzl values "
+            + ", ".join(f"({k}, {x})" for k, x in rows)
+        )
+    return eng, con
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=60, deadline=None)
+@given(e=_CLX_EXPR, i=_CLX_IDX)
+def test_random_list_expression_agrees_with_duckdb(clx_engines, e, i):
+    eng, con = clx_engines
+    sql = (
+        f"select k, ({e})[{i}] as v, len(({e})) as n"
+        f" from fzl order by k"
+    )
+    er = [tuple(r) for r in eng.execute(sql).rows]
+    dr = con.execute(sql).fetchall()
+    assert er == dr, sql

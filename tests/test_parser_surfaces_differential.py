@@ -3986,3 +3986,47 @@ def test_list_function_family_matches_duckdb(spark, tmp_path):
         dr = con.execute(sql).fetchall()
         assert er == dr, (sql, er, dr)
     eng.close()
+
+
+def test_collections_compose_with_engine_surfaces(spark, tmp_path):
+    """The r12 collections dialect composes with the rest of the
+    engine: list exprs in VIEW bodies (stored pristine, rewritten at
+    replan), MACRO bodies (`l[1]` binds under the NULL-param probe —
+    a DATATYPE_MISMATCH on the placeholder is a valid late-bound
+    body) and macro ARGUMENTS ([9,8] is one argument — the top-level
+    splitters nest brackets), UPDATE SET literals, EXPLAIN over
+    nextval-FROM (plan-only: the counter must not advance), and
+    window EXCLUDE TIES inside QUALIFY."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whcmp"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (k int, xs int[])")
+        run("insert into t values (1, [3,1]), (2, [5])")
+        run("create view lv as select k, xs[1] as f, len(xs) as n"
+            " from t")
+        run("create macro firstof(l) as l[1]")
+        run("update t set xs = [7, 7] where k = 2")
+        run("create table qq (g int, k int, v int)")
+        run("insert into qq values"
+            " (1,1,10),(1,1,20),(1,2,30),(2,1,5),(2,2,6)")
+    for sql in (
+        "select * from lv order by k",
+        "select firstof(xs) a, firstof([9, 8]) b from t order by k",
+        "select k, xs[1] f from t order by k",
+        "select g, k, v from qq qualify sum(v) over (partition by g"
+        " order by k range between unbounded preceding and current"
+        " row exclude ties) > 10 order by g, k, v",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
+    # an unresolved NAME in a macro body still refuses at create
+    with pytest.raises(EngineError, match="does not bind"):
+        eng.execute("create macro bad(x) as x + nosuchcol")
+    # EXPLAIN over nextval-FROM plans job-free and PEEKS the counter
+    eng.execute("create sequence s9")
+    assert eng.execute("explain select nextval('s9') n, k from t").rows
+    assert eng.execute("select nextval('s9') as n").rows == [(1,)]
+    eng.close()
