@@ -2257,6 +2257,7 @@ class AnalyticsEngine:
         ("list_has", "array_contains"),
         ("list_max", "array_max"),
         ("list_min", "array_min"),
+        ("unnest", "explode"),
         ("len", "size"),
     )
 
@@ -2280,7 +2281,7 @@ class AnalyticsEngine:
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
                 r"|list_prepend|list_slice|list_concat|list_cat"
-                r"|struct_pack|struct_extract)\s*\(",
+                r"|struct_pack|struct_extract|list|array_agg)\s*\(",
                 b, re.I,
             )
             if not m:
@@ -2339,6 +2340,62 @@ class AnalyticsEngine:
                     f"size(array_distinct(filter(({x}), {v} ->"
                     f" {v} is not null)))"
                 )
+            elif fn in ("list", "array_agg"):
+                # DuckDB's list aggregate, with the ORDER BY inside
+                # the call Spark's collect_list lacks: sort structs
+                # of (keys..., value) then project the value —
+                # array_sort over structs compares fields in order,
+                # so multi-key ASC is free and all-DESC is a
+                # reverse(); mixed directions refuse. Without ORDER
+                # BY both spellings are Spark's collect_list (scan
+                # order, same contract as DuckDB's)
+                obm = next(
+                    (
+                        mm for mm in re.finditer(
+                            r"\border\s+by\b", ib, re.I
+                        )
+                        if _paren_depth_at(ib, mm.start()) == 0
+                    ),
+                    None,
+                )
+                if obm is None:
+                    out = (
+                        out[: m.start()] + "collect_list(" + inner
+                        + ")" + out[cp + 1:]
+                    )
+                    continue
+                expr = inner[: obm.start()].strip()
+                spec = inner[obm.end():]
+                spec_b = ib[obm.end():]
+                if re.search(r"\bnulls\b", spec_b, re.I):
+                    raise EngineError(
+                        f"{fn}(... ORDER BY ... NULLS FIRST/LAST) is"
+                        " not supported"
+                    )
+                keys, descs = [], []
+                for kp in self._split_collection_items(spec, spec_b):
+                    km = re.match(
+                        r"^(.*?)(?:\s+(asc|desc))?\s*$",
+                        kp.strip(), re.I | re.S,
+                    )
+                    keys.append(km.group(1).strip())
+                    descs.append(
+                        bool(km.group(2))
+                        and km.group(2).lower() == "desc"
+                    )
+                if any(descs) and not all(descs):
+                    raise EngineError(
+                        f"{fn}(... ORDER BY ...) with mixed ASC/DESC"
+                        " keys is not supported"
+                    )
+                fields = ", ".join(
+                    f"'o{i}', ({k})" for i, k in enumerate(keys)
+                ) + f", 'v', ({expr})"
+                core = (
+                    f"transform(array_sort(collect_list("
+                    f"named_struct({fields}))), {v} -> {v}.v)"
+                )
+                repl = f"reverse({core})" if all(descs) else core
             elif fn in ("list_concat", "list_cat") and len(args) == 2:
                 # DuckDB treats a NULL side as absent (NULL ++ x → x,
                 # fuzz-arm find); Spark's concat nulls the whole
@@ -2408,8 +2465,9 @@ class AnalyticsEngine:
         construct, so the rewrite is idempotent and safe to apply at
         both the statement entry and the subquery replan paths."""
         if not re.search(
-            r"[\[{]|\b(?:len|list_\w+|struct_pack|struct_extract"
-            r"|array_length|array_extract|array_push_back)\s*\(",
+            r"[\[{]|\b(?:len|list|list_\w+|struct_pack"
+            r"|struct_extract|array_length|array_extract"
+            r"|array_push_back|array_agg|unnest)\s*\(",
             stmt, re.I,
         ):
             return stmt

@@ -3981,6 +3981,16 @@ def test_list_function_family_matches_duckdb(spark, tmp_path):
         "select struct_extract(struct_pack(a := 5, b := 'y'), 'a')"
         " x, struct_pack(a := 1).a y",
         "select struct_extract({'k': [1, 2]}, 'k')[2] z",
+        # unnest as a row generator (select list and literal forms)
+        "select v, unnest(xs) u from t order by v, u",
+        "select unnest([5, 6]) u order by u",
+        # the list()/array_agg() aggregate with its in-call ORDER BY
+        # (collect_list + struct sort; all-DESC reverses; bare list()
+        # is scan-order on BOTH engines and not order-comparable)
+        "select list(v order by v desc) l from t",
+        "select array_agg(v order by xs[1], v) a from t",
+        "select v % 2 g, list(xs[1] order by v) l from t"
+        " group by g order by g",
     ):
         er = [tuple(r) for r in eng.execute(sql).rows]
         dr = con.execute(sql).fetchall()
