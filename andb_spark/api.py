@@ -871,7 +871,9 @@ class AnalyticsEngine:
             self._bound_views.discard(name)
         try:
             df, helpers = self._plan_engine_select(
-                self.catalog["views"][name]["sql"]
+                self._escape_backslash_literals(
+                    self.catalog["views"][name]["sql"]
+                )
             )
         except EngineError:
             raise
@@ -2261,6 +2263,163 @@ class AnalyticsEngine:
         ("len", "size"),
     )
 
+    @staticmethod
+    def _escape_backslash_literals(stmt: str) -> str:
+        """DuckDB keeps backslashes inside string literals VERBATIM;
+        Spark's parser C-escapes them, so ``'\\d'`` reaches the regex
+        engine as ``d`` — silently corrupting every character-class
+        pattern in ported SQL (r12 probe). Double them ONCE where the
+        statement enters the engine, so Spark's unescaping lands the
+        original byte. Stored view/macro/PREPARE bodies stay pristine
+        and normalize at their replan / expansion / EXECUTE re-entry,
+        each starting from the pristine text — the pass never applies
+        twice to the same literal. (The session-wide alternative,
+        spark.sql.parser.escapedStringLiterals=true, also disables
+        the '' quote escape — probed: 'it''s' kept the doubled
+        quote — so the targeted rewrite it is.)"""
+        if "\\" not in stmt:
+            return stmt
+        b = _blank_literals(stmt)
+        out: list[str] = []
+        for i, c in enumerate(stmt):
+            out.append(c)
+            if c == "\\" and b[i] == " ":  # blanked ⇒ inside a literal
+                out.append("\\")
+        return "".join(out)
+
+    # strftime directive → Java DateTimeFormatter pattern (the
+    # DuckDB/C89 subset; unknown directives refuse by name)
+    _STRF_MAP = {
+        "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd",
+        "-d": "d", "H": "HH", "-H": "H", "I": "hh", "-I": "h",
+        "M": "mm", "-M": "m", "S": "ss", "-S": "s", "f": "SSSSSS",
+        "p": "a", "j": "DDD", "a": "E", "A": "EEEE", "b": "MMM",
+        "B": "MMMM", "%": "%",
+    }
+
+    def _strf_to_java(self, fmt: str) -> str:
+        """C89/DuckDB strftime format → Java DateTimeFormatter
+        pattern: directives map per ``_STRF_MAP``, literal LETTER
+        runs quote (Java reserves every letter as a pattern char),
+        quotes escape."""
+        out: list[str] = []
+        i = 0
+        while i < len(fmt):
+            c = fmt[i]
+            if c == "%":
+                key = fmt[i + 1: i + 3] if fmt[i + 1: i + 2] == "-" \
+                    else fmt[i + 1: i + 2]
+                spark = self._STRF_MAP.get(key)
+                if spark is None:
+                    raise EngineError(
+                        f"strftime directive %{key} is not supported"
+                    )
+                out.append(spark)
+                i += 1 + len(key)
+            elif c.isalpha():
+                j = i
+                while j < len(fmt) and fmt[j].isalpha():
+                    j += 1
+                out.append("'" + fmt[i:j] + "'")
+                i = j
+            elif c == "'":
+                out.append("''")
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    @staticmethod
+    def _sql_str_lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def _dt_regex_repl(
+        self, fn: str, args: list[str], inner: str
+    ) -> str:
+        """Replacement text for the datetime/regex dialect calls —
+        semantics in _map_list_functions's docstring, each
+        DuckDB-probed."""
+        a = [x.strip() for x in args]
+        if fn in ("strftime", "strptime"):
+            if len(a) != 2:
+                raise EngineError(f"{fn} expects (value, format)")
+            fm = re.fullmatch(r"'((?:[^']|'')*)'", a[1])
+            if not fm:
+                raise EngineError(
+                    f"{fn} needs a LITERAL format string (the"
+                    " directive translation happens at plan time)"
+                )
+            jfmt = self._sql_str_lit(
+                self._strf_to_java(fm.group(1).replace("''", "'"))
+            )
+            target = "date_format" if fn == "strftime" else (
+                "to_timestamp"
+            )
+            return f"{target}(({a[0]}), {jfmt})"
+        if fn == "regexp_matches":
+            if len(a) != 2:
+                raise EngineError(
+                    "regexp_matches with options is not supported"
+                )
+            return f"(({a[0]}) rlike ({a[1]}))"
+        if fn == "regexp_extract":
+            if len(a) != 2:
+                raise EngineError(
+                    f"regexp_extract expects 2 or 3 arguments"
+                )
+            # DuckDB's 2-arg default is the WHOLE match (group 0);
+            # Spark's is group 1
+            return f"regexp_extract(({a[0]}), ({a[1]}), 0)"
+        # regexp_replace
+        if len(a) not in (3, 4):
+            raise EngineError("regexp_replace expects 3-4 arguments")
+
+        def _rep_lit(x: str) -> str | None:
+            rm = re.fullmatch(r"'((?:[^']|'')*)'", x)
+            return rm.group(1).replace("''", "'") if rm else None
+
+        rep = _rep_lit(a[2])
+        if len(a) == 4:
+            om = re.fullmatch(r"'(\w*)'", a[3])
+            if not om or om.group(1) != "g":
+                raise EngineError(
+                    "regexp_replace options other than 'g' are not"
+                    " supported"
+                )
+            # 'g' = replace ALL = Spark's semantics; emit the
+            # position form so the pass doesn't re-enter. Backrefs
+            # spell \\1 in DuckDB and $1 in Spark — translate for
+            # literal replacements, refuse ambiguity otherwise
+            if rep is not None:
+                rep2 = re.sub(r"\$", r"\\$", rep)
+                rep2 = re.sub(r"\\(\d)", r"$\1", rep2)
+                return (
+                    f"regexp_replace(({a[0]}), ({a[1]}),"
+                    f" {self._sql_str_lit(rep2)}, 1)"
+                )
+            return (
+                f"regexp_replace(({a[0]}), ({a[1]}), ({a[2]}), 1)"
+            )
+        # 3-arg: DuckDB replaces the FIRST match only — splice via
+        # regexp_instr + the matched text's length (no regex engine
+        # touches the replacement, so backrefs cannot apply: refuse)
+        if rep is not None and re.search(r"\\\d", rep):
+            raise EngineError(
+                "regexp_replace backreferences need the 'g' option"
+                " (the first-only splice inserts the replacement"
+                " verbatim)"
+            )
+        s0, pat, rp = a[0], a[1], a[2]
+        pos = f"regexp_instr(({s0}), ({pat}))"
+        return (
+            f"(case when ({s0}) is null or ({pat}) is null then"
+            f" cast(null as string) when {pos} = 0 then ({s0})"
+            f" else concat(substr(({s0}), 1, {pos} - 1), ({rp}),"
+            f" substr(({s0}), {pos} +"
+            f" length(regexp_extract(({s0}), ({pat}), 0)))) end)"
+        )
+
     def _map_list_functions(self, stmt: str) -> str:
         """DuckDB's list_* function spellings onto Spark natives —
         probed semantics per mapping: list_extract/array_extract OOB
@@ -2274,22 +2433,55 @@ class AnalyticsEngine:
         into bracket form for the slice pass). Unmapped list_*
         names (list_sum/list_avg — DuckDB returns engine-typed
         totals no Spark native mirrors) surface Spark's
-        unresolved-routine error naming the function."""
+        unresolved-routine error naming the function.
+
+        The datetime/regex dialect rides the same pass:
+        strftime/strptime translate their C89 format literal to a
+        Java pattern (date_format / to_timestamp),
+        regexp_matches(a, b) → (a RLIKE b), 2-arg regexp_extract
+        takes DuckDB's whole-match group 0, and regexp_replace gets
+        DuckDB's FIRST-ONLY default (a regexp_instr + substr splice;
+        Spark replaces all) with the 'g' option mapping to Spark's
+        position form; backreference spellings differ (\\1 vs $1) and
+        translate for literal replacements."""
         out = stmt
+        spos = 0  # already-Spark forms pass through: search beyond
         for _ in range(500):
             b = _blank_literals(out)
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
                 r"|list_prepend|list_slice|list_concat|list_cat"
-                r"|struct_pack|struct_extract|list|array_agg)\s*\(",
-                b, re.I,
+                r"|struct_pack|struct_extract|list|array_agg"
+                r"|strftime|strptime|regexp_matches|regexp_extract"
+                r"|regexp_replace)\s*\(",
+                b[spos:], re.I,
             )
             if not m:
                 break
+            moff = spos + m.start()
+            cp = self._match_paren(out, spos + m.end() - 1)
             fn = m.group(1).lower()
-            cp = self._match_paren(out, m.end() - 1)
-            inner, ib = out[m.end(): cp], b[m.end(): cp]
+            inner = out[spos + m.end(): cp]
+            ib = b[spos + m.end(): cp]
             args = self._split_collection_items(inner, ib)
+            if fn == "regexp_extract" and len(args) == 3:
+                spos = cp + 1  # Spark form already (groups agree)
+                continue
+            if fn == "regexp_replace" and len(args) == 4 and (
+                re.fullmatch(r"\s*\d+\s*", args[3])
+            ):
+                spos = cp + 1  # Spark position form already
+                continue
+            if fn in (
+                "strftime", "strptime", "regexp_matches",
+                "regexp_extract", "regexp_replace",
+            ):
+                out = (
+                    out[:moff]
+                    + self._dt_regex_repl(fn, args, inner)
+                    + out[cp + 1:]
+                )
+                continue
             v = "_" + uuid.uuid4().hex[:4]
             if fn == "struct_pack":
                 # struct_pack(a := 1, b := 'x') → named_struct
@@ -2307,7 +2499,7 @@ class AnalyticsEngine:
                         f"'{am.group(1)}', {am.group(2).strip()}"
                     )
                 out = (
-                    out[: m.start()] + "named_struct("
+                    out[:moff] + "named_struct("
                     + ", ".join(fields) + ")" + out[cp + 1:]
                 )
                 continue
@@ -2320,7 +2512,7 @@ class AnalyticsEngine:
                         "struct_extract expects (struct, 'name')"
                     )
                 out = (
-                    out[: m.start()]
+                    out[:moff]
                     + f"(({args[0].strip()})).`{fm2.group(1)}`"
                     + out[cp + 1:]
                 )
@@ -2360,7 +2552,7 @@ class AnalyticsEngine:
                 )
                 if obm is None:
                     out = (
-                        out[: m.start()] + "collect_list(" + inner
+                        out[:moff] + "collect_list(" + inner
                         + ")" + out[cp + 1:]
                     )
                     continue
@@ -2422,7 +2614,7 @@ class AnalyticsEngine:
                     f"{fn}() with {len(args)} argument(s) is not"
                     " supported"
                 )
-            out = out[: m.start()] + repl + out[cp + 1:]
+            out = out[:moff] + repl + out[cp + 1:]
         for name, target in self._LIST_FN_RENAMES:
             while True:
                 b = _blank_literals(out)
@@ -2467,7 +2659,8 @@ class AnalyticsEngine:
         if not re.search(
             r"[\[{]|\b(?:len|list|list_\w+|struct_pack"
             r"|struct_extract|array_length|array_extract"
-            r"|array_push_back|array_agg|unnest)\s*\(",
+            r"|array_push_back|array_agg|unnest|strftime|strptime"
+            r"|regexp_matches|regexp_extract|regexp_replace)\s*\(",
             stmt, re.I,
         ):
             return stmt
@@ -3759,6 +3952,18 @@ class AnalyticsEngine:
             self._refresh_system_views()
         head = stmt.split(None, 2)[0].upper() if stmt else ""
         try:
+            # Verbatim backslash literals normalize BEFORE macro
+            # expansion (the splice normalizes each pristine body
+            # itself, so neither side ever normalizes twice);
+            # view/macro DDL and PREPARE store pristine SQL and
+            # normalize at replan / EXECUTE re-entry instead.
+            keep_pristine = bool(re.match(
+                r"(?:create\s+(?:or\s+replace\s+)?"
+                r"(?:materialized\s+view|view|macro)|prepare)\b",
+                stmt, re.I,
+            ))
+            if not keep_pristine:
+                stmt = self._escape_backslash_literals(stmt)
             if (
                 self.catalog.get("macros")
                 or self.catalog.get("table_macros")
@@ -3784,14 +3989,9 @@ class AnalyticsEngine:
                 stmt = self._expand_macros(stmt)
             # DuckDB list/struct expression dialect, normalized once
             # for EVERY statement class (INSERT VALUES, UPDATE SET,
-            # SELECT, CTAS bodies...). View/macro DDL keeps its
-            # stored SQL pristine — their bodies re-enter the rewrite
-            # at reference-time replan (_plan_engine_select).
-            if not re.match(
-                r"create\s+(?:or\s+replace\s+)?"
-                r"(?:materialized\s+view|view|macro)\b",
-                stmt, re.I,
-            ):
+            # SELECT, CTAS bodies...) — idempotent, so the replan
+            # paths may apply it again to stored bodies.
+            if not keep_pristine:
                 stmt = self._rewrite_duckdb_collections(stmt)
             # Logical views resolve LAZILY at reference time: any
             # statement mentioning a catalog view (re)binds it — its
@@ -9199,7 +9399,15 @@ class AnalyticsEngine:
         if not m:
             raise EngineError(f"cannot parse CREATE MATERIALIZED VIEW: {stmt!r}")
         name, query = m.groups()
-        return self._materialize_select(name, query, matview_sql=query)
+        return self._materialize_select(
+            # plan the normalized + dialect-rewritten text, store the
+            # pristine one (the refresh paths normalize per replan)
+            name,
+            self._rewrite_duckdb_collections(
+                self._escape_backslash_literals(query)
+            ),
+            matview_sql=query,
+        )
 
     def _refresh_matview(self, stmt: str) -> Result:
         m = re.match(r"refresh\s+materialized\s+view\s+(\w+)\s*$", stmt, re.I)
@@ -9213,6 +9421,10 @@ class AnalyticsEngine:
         return Result(effect_rows=self._do_refresh(name, meta, sql))
 
     def _do_refresh(self, name: str, meta: dict, sql: str) -> int:
+        # stored matview SQL is pristine; normalize per replan
+        sql = self._rewrite_duckdb_collections(
+            self._escape_backslash_literals(sql)
+        )
         n = self._incremental_refresh(name, meta, sql)
         if n is None:
             # Full re-run — always sound; re-anchor the seen-file set so
@@ -9458,7 +9670,9 @@ class AnalyticsEngine:
             # SQL re-plans on every REFRESH (and incrementally via
             # _matview_plan's parse), which per-statement surface views
             # could not survive
-            src = self._matview_source(matview_sql, plan)
+            # plan the CALLER-normalized text (dialect + backslash);
+            # the pristine matview_sql is what gets stored
+            src = self._matview_source(query, plan)
             columns = _columns_from_schema(
                 src.select(*plan["out_cols"]).schema if plan else src.schema
             )
@@ -10250,7 +10464,13 @@ class AnalyticsEngine:
             mapping = self._bind_macro_args(
                 mm.group(1), meta, text[op + 1:cp]
             )
-            sub = self._substitute_macro_params(meta["body"], mapping)
+            # the stored body is PRISTINE — its backslash literals
+            # normalize here (the splice point), never twice: the
+            # surrounding statement was normalized before expansion
+            # and arguments splice from it verbatim
+            sub = self._substitute_macro_params(
+                self._escape_backslash_literals(meta["body"]), mapping
+            )
             edits.append((mm.start(), cp + 1, "(" + sub + ")"))
             taken_until = cp
         if not edits:

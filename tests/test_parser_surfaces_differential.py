@@ -4040,3 +4040,97 @@ def test_collections_compose_with_engine_surfaces(spark, tmp_path):
     assert eng.execute("explain select nextval('s9') n, k from t").rows
     assert eng.execute("select nextval('s9') as n").rows == [(1,)]
     eng.close()
+
+
+def test_datetime_regex_dialect_matches_duckdb(spark, tmp_path):
+    """DuckDB's strftime/strptime (C89 directives → Java patterns at
+    plan time), regexp_matches (→ RLIKE), 2-arg regexp_extract
+    (whole-match group 0 where Spark defaults to group 1), and
+    regexp_replace's FIRST-ONLY default (a regexp_instr+substr
+    splice; the 'g' option is Spark's replace-all, with \\N → $N
+    backref translation for literal replacements). Plus the literal
+    seam underneath all of it: DuckDB keeps backslashes in string
+    literals verbatim where Spark's parser C-escapes them, so the
+    engine doubles them ONCE at the statement entry
+    (api.py::_escape_backslash_literals — '\\d' reaches the regex
+    engine as a digit class, not 'd'; the session-wide
+    escapedStringLiterals conf is NOT used — it also disables the ''
+    quote escape, probed). Stored view/macro/matview/PREPARE bodies
+    stay pristine and normalize per replan — the round trips below
+    prove no literal ever normalizes twice."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whdtr"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (k int, ts timestamp, s varchar)")
+        run(
+            "insert into t values"
+            " (1, '2021-03-04 05:06:07', 'abc123xyz9'),"
+            " (2, '1999-12-31 23:59:59', 'no digits'),"
+            " (3, NULL, NULL)"
+        )
+    for sql in (
+        "select k, strftime(ts, '%Y-%m-%d %H:%M:%S') a,"
+        " strftime(ts, '%d/%m/%Y') b from t order by k",
+        "select k, strftime(ts, '%-d %a %B %Y') a from t order by k",
+        "select strptime('2021-03-04 05:06', '%Y-%m-%d %H:%M') p",
+        "select k, regexp_matches(s, '[0-9]+') m from t order by k",
+        "select k, regexp_matches(s, '\\d+') m from t order by k",
+        "select k, regexp_extract(s, '[0-9]+') e,"
+        " regexp_extract(s, '([a-z]+)([0-9]+)', 2) e2"
+        " from t order by k",
+        # 3-arg replaces the FIRST match only (DuckDB default)
+        "select k, regexp_replace(s, '[0-9]+', '#') r"
+        " from t order by k",
+        "select k, regexp_replace(s, '[0-9]', '#', 'g') rg"
+        " from t order by k",
+        # backrefs under 'g' (\\N → $N), and backslash classes
+        "select regexp_replace('a1b2', '([a-z])(\\d)', '\\2\\1',"
+        " 'g') br",
+        "select regexp_replace('a1b2', '\\d', '#') f",
+        "select regexp_replace('hello', 'nomatch', 'x') nm",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
+    # stored-body round trips: pristine SQL normalizes at each
+    # replan, never twice — a view rebind after DML, a macro
+    # expansion, a matview refreshed twice, a prepared statement
+    # executed twice
+    for run in (eng.execute, con.execute):
+        run("create view dv as select k,"
+            " regexp_matches(s, '\\d') m from t")
+        run("create macro hasdig(x) as regexp_matches(x, '\\d')")
+        run("insert into t values (4, NULL, 'd4')")
+    for sql in (
+        "select * from dv order by k",
+        "select k, hasdig(s) h from t order by k",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, sql
+    eng.execute(
+        "create materialized view bmv as select count(*) n from t"
+        " where regexp_matches(s, '\\d')"
+    )
+    assert eng.execute("select * from bmv").rows == [(2,)]
+    eng.execute("insert into t values (5, NULL, 'e5')")
+    eng.execute("refresh materialized view bmv")
+    eng.execute("refresh materialized view bmv")
+    assert eng.execute("select * from bmv").rows == [(3,)]
+    eng.execute(
+        "prepare bp as select k from t where"
+        " regexp_matches(s, '\\d') and k > $1 order by k"
+    )
+    assert eng.execute("execute bp(1)").rows == [(4,), (5,)]
+    assert eng.execute("execute bp(4)").rows == [(5,)]
+    # named refusals
+    for sql in (
+        "select strftime(ts, '%q') from t",      # unknown directive
+        "select regexp_replace(s, 'a', 'b', 'i') from t",  # flag
+        "select regexp_replace(s, '(a)', '\\1') from t",   # backref
+    ):
+        with pytest.raises(EngineError):
+            eng.execute(sql)
+    eng.close()
