@@ -2260,6 +2260,9 @@ class AnalyticsEngine:
         ("list_max", "array_max"),
         ("list_min", "array_min"),
         ("unnest", "explode"),
+        ("starts_with", "startswith"),
+        ("ends_with", "endswith"),
+        ("strpos", "instr"),
         ("len", "size"),
     )
 
@@ -2363,6 +2366,101 @@ class AnalyticsEngine:
                     "regexp_matches with options is not supported"
                 )
             return f"(({a[0]}) rlike ({a[1]}))"
+        if fn in ("date_diff", "datediff", "date_sub"):
+            # DuckDB 3-arg: ('part', start, end). date_diff counts
+            # PART BOUNDARIES crossed (probed: month Jan-31→Feb-1 is
+            # 1); date_sub counts COMPLETE units (same pair is 0)
+            if len(a) != 3:
+                raise EngineError(f"{fn} expects ('part', start, end)")
+            pm = re.fullmatch(r"'(\w+)'", a[0])
+            if not pm:
+                raise EngineError(f"{fn} needs a literal part name")
+            part = pm.group(1).lower().rstrip("s")
+            x, y = f"({a[1]})", f"({a[2]})"
+            sec = {"hour": 3600, "minute": 60, "second": 1}
+            if fn == "date_sub":  # complete units
+                if part == "day":
+                    return f"datediff(cast({y} as date), cast({x} as date))"
+                if part in ("year", "month", "quarter"):
+                    d = {"year": 12, "month": 1, "quarter": 3}[part]
+                    return (
+                        f"cast(floor(months_between({y}, {x})"
+                        f" / {d}) as bigint)"
+                    )
+                if part in sec:
+                    return (
+                        f"cast(floor((unix_timestamp({y}) -"
+                        f" unix_timestamp({x})) / {sec[part]})"
+                        " as bigint)"
+                    )
+                raise EngineError(
+                    f"{fn} part {part!r} is not supported"
+                )
+            # boundary-crossing diff
+            if part == "year":
+                return f"(year({y}) - year({x}))"
+            if part == "quarter":
+                return (
+                    f"((year({y}) - year({x})) * 4 + quarter({y})"
+                    f" - quarter({x}))"
+                )
+            if part == "month":
+                return (
+                    f"((year({y}) - year({x})) * 12 + month({y})"
+                    f" - month({x}))"
+                )
+            if part == "day":
+                return f"datediff(cast({y} as date), cast({x} as date))"
+            if part in sec:
+                n = sec[part]
+                return (
+                    f"(cast(floor(unix_timestamp({y}) / {n}) as"
+                    f" bigint) - cast(floor(unix_timestamp({x}) /"
+                    f" {n}) as bigint))"
+                )
+            raise EngineError(f"{fn} part {part!r} is not supported")
+        if fn == "date_add":
+            # interval form (the int form passed through upstream);
+            # DuckDB returns TIMESTAMP even for date + day intervals
+            return f"cast(({a[0]}) + ({a[1]}) as timestamp)"
+        if fn in ("dayofweek", "weekday"):
+            # DuckDB: Sunday=0..Saturday=6 (weekday is its alias)
+            return f"(extract(dayofweek from ({a[0]})) - 1)"
+        if fn == "isodow":  # Monday=1..Sunday=7, both engines' ISO
+            return f"extract(dayofweek_iso from ({a[0]}))"
+        if fn == "epoch":  # seconds as DOUBLE incl. the fraction
+            return (
+                f"(cast(unix_micros(cast(({a[0]}) as timestamp)) as"
+                " double) / 1000000)"
+            )
+        if fn == "xor":
+            return f"(({a[0]}) ^ ({a[1]}))"
+        if fn == "sign":  # DuckDB returns int, Spark double
+            return f"cast(signum(({a[0]})) as int)"
+        if fn == "to_base":
+            return f"conv(({a[0]}), 10, ({a[1]}))"
+        if fn in ("string_split", "str_split", "string_to_array"):
+            if len(a) != 2:
+                raise EngineError(f"{fn} expects (string, separator)")
+            # DuckDB separators are LITERAL text; Spark split takes a
+            # regex — \\Q..\\E quotes any separator expression
+            return (
+                f"split(({a[0]}), concat('\\\\Q', ({a[1]}),"
+                " '\\\\E'), -1)"
+            )
+        if fn == "format":
+            fm2 = re.fullmatch(r"'((?:[^']|'')*)'", a[0])
+            if not fm2 or re.search(r"\{[^}]", fm2.group(1)):
+                raise EngineError(
+                    "format supports a literal template with plain"
+                    " {} placeholders — use printf for typed specs"
+                )
+            tmpl = fm2.group(1).replace("%", "%%").replace("{}", "%s")
+            rest = ", ".join(f"({x})" for x in a[1:])
+            return (
+                f"format_string({self._sql_str_lit(tmpl)}"
+                + (f", {rest})" if rest else ")")
+            )
         if fn == "regexp_extract":
             if len(a) != 2:
                 raise EngineError(
@@ -2453,7 +2551,10 @@ class AnalyticsEngine:
                 r"|list_prepend|list_slice|list_concat|list_cat"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
-                r"|regexp_replace)\s*\(",
+                r"|regexp_replace|date_diff|datediff|date_sub"
+                r"|date_add|dayofweek|isodow|weekday|epoch|xor"
+                r"|sign|to_base|string_split|str_split"
+                r"|string_to_array|format|extract)\s*\(",
                 b[spos:], re.I,
             )
             if not m:
@@ -2472,9 +2573,41 @@ class AnalyticsEngine:
             ):
                 spos = cp + 1  # Spark position form already
                 continue
+            if fn == "extract":
+                em2 = re.match(
+                    r"\s*(dow|isodow)\s+from\s+(.+)$", inner,
+                    re.I | re.S,
+                )
+                if not em2:  # every other field is Spark-native
+                    spos = cp + 1
+                    continue
+                x = em2.group(2).strip()
+                # emitted spellings must not re-enter this pass:
+                # Spark's extract fields DAYOFWEEK (Sun=1..7) and
+                # DAYOFWEEK_ISO (Mon=1..7) pass through untouched
+                repl2 = (
+                    f"(extract(dayofweek from ({x})) - 1)"
+                    if em2.group(1).lower() == "dow"
+                    else f"extract(dayofweek_iso from ({x}))"
+                )
+                out = out[:moff] + repl2 + out[cp + 1:]
+                continue
+            if fn == "date_add" and not (
+                len(args) == 2
+                and re.match(r"\s*interval\b", args[1], re.I)
+            ):
+                spos = cp + 1  # Spark's (date, int) form
+                continue
+            if fn == "datediff" and len(args) == 2:
+                spos = cp + 1  # Spark's (end, start) form
+                continue
             if fn in (
                 "strftime", "strptime", "regexp_matches",
-                "regexp_extract", "regexp_replace",
+                "regexp_extract", "regexp_replace", "date_diff",
+                "datediff", "date_sub", "date_add", "dayofweek",
+                "isodow", "weekday", "epoch", "xor", "sign",
+                "to_base", "string_split", "str_split",
+                "string_to_array", "format",
             ):
                 out = (
                     out[:moff]
@@ -2660,7 +2793,11 @@ class AnalyticsEngine:
             r"[\[{]|\b(?:len|list|list_\w+|struct_pack"
             r"|struct_extract|array_length|array_extract"
             r"|array_push_back|array_agg|unnest|strftime|strptime"
-            r"|regexp_matches|regexp_extract|regexp_replace)\s*\(",
+            r"|regexp_matches|regexp_extract|regexp_replace"
+            r"|date_diff|datediff|date_sub|date_add|dayofweek"
+            r"|isodow|weekday|epoch|xor|sign|to_base|string_split"
+            r"|str_split|string_to_array|format|extract"
+            r"|starts_with|ends_with|strpos)\s*\(",
             stmt, re.I,
         ):
             return stmt

@@ -4134,3 +4134,72 @@ def test_datetime_regex_dialect_matches_duckdb(spark, tmp_path):
         with pytest.raises(EngineError):
             eng.execute(sql)
     eng.close()
+
+
+def test_function_dialect_sweep_matches_duckdb(spark, tmp_path):
+    """The r12 function-parity sweep (api.py::_map_list_functions +
+    _dt_regex_repl): DuckDB spellings that need more than a rename —
+    boundary-crossing date_diff/datediff vs date_sub's complete
+    units, interval date_add (timestamp result), Sunday-0
+    dayofweek/weekday and ISO isodow, fractional epoch() seconds,
+    literal-separator string_split (\\Q-quoted regex), fmt-style
+    format() with {} placeholders, int-typed sign(), xor(), to_base()
+    — plus renames (starts_with/ends_with/strpos). Identical SQL
+    both engines; Spark-native forms (2-arg datediff, int date_add,
+    other extract fields) pass through untouched."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whfnd"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (k int, d date, ts timestamp, s varchar)")
+        run(
+            "insert into t values"
+            " (1, '2021-03-04', '2021-03-04 05:06:07', 'a,b,,c'),"
+            " (2, '2020-12-31', '1999-12-31 23:59:59', 'hello'),"
+            " (3, NULL, NULL, NULL)"
+        )
+    for sql in (
+        "select k, starts_with(s, 'a') a, ends_with(s, 'o') b,"
+        " strpos(s, 'l') p from t order by k",
+        "select k, string_split(s, ',') parts from t order by k",
+        "select string_split('a.b.c', '.') dots",
+        "select k, dayofweek(d) dw, weekday(d) wd, isodow(d) iso"
+        " from t order by k",
+        "select k, extract(dow from d) dw, extract(isodow from d) i,"
+        " extract(year from d) y from t order by k",
+        "select date_diff('day', date '2021-01-01', date '2021-03-01') dd,"
+        " date_diff('month', date '2021-01-31', date '2021-02-01') dm,"
+        " date_diff('year', date '2020-12-31', date '2021-01-01') dy,"
+        " date_diff('quarter', date '2021-02-01', date '2021-07-01') dq",
+        "select datediff('hour', timestamp '2021-01-01 00:59:00',"
+        " timestamp '2021-01-01 02:01:00') h,"
+        " date_diff('minute', timestamp '2021-01-01 00:00:59',"
+        " timestamp '2021-01-01 00:02:01') m",
+        "select date_sub('month', date '2021-01-31', date"
+        " '2021-02-01') zero, date_sub('day', date '2021-01-01',"
+        " date '2021-03-01') d",
+        "select date_add(date '2021-01-01', interval 3 day) a,"
+        " date_add(timestamp '2021-01-01 01:00:00',"
+        " interval 90 minute) b",
+        "select k, epoch(ts) e from t order by k",
+        "select sign(-5) s1, sign(2.5) s2, xor(5, 3) x,"
+        " to_base(255, 16) tb",
+        "select format('{} + {} = {}', 1, 2, 'three') f,"
+        " format('no placeholders') g",
+        "select printf('%d-%s', 7, 'x') p",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
+    # Spark-native forms pass through (2-arg datediff, int date_add)
+    assert eng.execute(
+        "select datediff(date '2021-03-01', date '2021-01-01') n"
+    ).rows == [(59,)]
+    assert eng.execute(
+        "select date_add(date '2021-01-01', 3) n"
+    ).rows[0][0].isoformat() == "2021-01-04"
+    # typed format specs refuse by name (printf covers them)
+    with pytest.raises(EngineError, match="printf"):
+        eng.execute("select format('{:d}', 7)")
+    eng.close()
