@@ -2601,6 +2601,9 @@ class AnalyticsEngine:
             if fn == "datediff" and len(args) == 2:
                 spos = cp + 1  # Spark's (end, start) form
                 continue
+            if fn == "date_sub" and len(args) == 2:
+                spos = cp + 1  # Spark's (date, int) form
+                continue
             if fn in (
                 "strftime", "strptime", "regexp_matches",
                 "regexp_extract", "regexp_replace", "date_diff",

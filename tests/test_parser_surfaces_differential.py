@@ -4199,6 +4199,9 @@ def test_function_dialect_sweep_matches_duckdb(spark, tmp_path):
     assert eng.execute(
         "select date_add(date '2021-01-01', 3) n"
     ).rows[0][0].isoformat() == "2021-01-04"
+    assert eng.execute(
+        "select date_sub(date '2021-01-10', 3) n"
+    ).rows[0][0].isoformat() == "2021-01-07"
     # typed format specs refuse by name (printf covers them)
     with pytest.raises(EngineError, match="printf"):
         eng.execute("select format('{:d}', 7)")
