@@ -2263,6 +2263,9 @@ class AnalyticsEngine:
         ("starts_with", "startswith"),
         ("ends_with", "endswith"),
         ("strpos", "instr"),
+        ("arg_max", "max_by"),
+        ("arg_min", "min_by"),
+        ("quantile_cont", "percentile"),
         ("len", "size"),
     )
 
@@ -2554,7 +2557,8 @@ class AnalyticsEngine:
                 r"|regexp_replace|date_diff|datediff|date_sub"
                 r"|date_add|dayofweek|isodow|weekday|epoch|xor"
                 r"|sign|to_base|string_split|str_split"
-                r"|string_to_array|format|extract)\s*\(",
+                r"|string_to_array|format|extract|first|last"
+                r"|product|skewness|kurtosis)\s*\(",
                 b[spos:], re.I,
             )
             if not m:
@@ -2603,6 +2607,95 @@ class AnalyticsEngine:
                 continue
             if fn == "date_sub" and len(args) == 2:
                 spos = cp + 1  # Spark's (date, int) form
+                continue
+            if fn in ("first", "last"):
+                fob = next(
+                    (
+                        mm for mm in re.finditer(
+                            r"\border\s+by\b", ib, re.I
+                        )
+                        if _paren_depth_at(ib, mm.start()) == 0
+                    ),
+                    None,
+                )
+                if fob is None:
+                    spos = cp + 1  # Spark's bare first/last
+                    continue
+                # DuckDB's ordered first/last = the value at the
+                # min/max ORDER BY key (min_by/max_by; multi-key
+                # composes through a struct; any DESC flips the
+                # min/max, mixed directions refuse)
+                expr2 = inner[: fob.start()].strip()
+                keys2, descs2 = [], []
+                for kp in self._split_collection_items(
+                    inner[fob.end():], ib[fob.end():]
+                ):
+                    km2 = re.match(
+                        r"^(.*?)(?:\s+(asc|desc))?\s*$",
+                        kp.strip(), re.I | re.S,
+                    )
+                    keys2.append(km2.group(1).strip())
+                    descs2.append(
+                        bool(km2.group(2))
+                        and km2.group(2).lower() == "desc"
+                    )
+                if any(descs2) and not all(descs2):
+                    raise EngineError(
+                        f"{fn}(... ORDER BY ...) with mixed"
+                        " ASC/DESC keys is not supported"
+                    )
+                key2 = (
+                    keys2[0] if len(keys2) == 1
+                    else "struct(" + ", ".join(
+                        f"({k})" for k in keys2
+                    ) + ")"
+                )
+                lo = (fn == "first") != bool(descs2 and all(descs2))
+                by = "min_by" if lo else "max_by"
+                out = (
+                    out[:moff]
+                    + f"{by}(({expr2}), ({key2}))"
+                    + out[cp + 1:]
+                )
+                continue
+            if fn in ("skewness", "kurtosis"):
+                # DuckDB reports the BIAS-CORRECTED sample statistics
+                # (G1 / excess G2); Spark the population ones (g1 /
+                # g2). Exact translation: G1 = g1·sqrt(n(n-1))/(n-2),
+                # G2 = ((n-1)/((n-2)(n-3)))·((n+1)·g2 + 6) —
+                # verified numerically against both engines. The
+                # replacement embeds the Spark call, so the scan
+                # jumps past it (the argument pre-maps recursively).
+                ax = f"({self._map_list_functions(args[0].strip())})"
+                n2 = f"count({ax})"
+                if fn == "skewness":
+                    repl = (
+                        f"(case when {n2} > 2 then skewness({ax})"
+                        f" * sqrt({n2} * ({n2} - 1.0)) / ({n2} - 2)"
+                        " else null end)"
+                    )
+                else:
+                    repl = (
+                        f"(case when {n2} > 3 then (({n2} - 1.0) /"
+                        f" (({n2} - 2) * ({n2} - 3))) * (({n2} + 1)"
+                        f" * kurtosis({ax}) + 6) else null end)"
+                    )
+                out = out[:moff] + repl + out[cp + 1:]
+                spos = moff + len(repl)
+                continue
+            if fn == "product":
+                if len(args) != 1:
+                    raise EngineError("product expects one argument")
+                v2 = "_" + uuid.uuid4().hex[:4]
+                out = (
+                    out[:moff]
+                    + (
+                        f"aggregate(collect_list(({args[0].strip()})),"
+                        f" cast(1.0 as double), ({v2}, {v2}x) ->"
+                        f" {v2} * {v2}x)"
+                    )
+                    + out[cp + 1:]
+                )
                 continue
             if fn in (
                 "strftime", "strptime", "regexp_matches",
@@ -2800,7 +2893,9 @@ class AnalyticsEngine:
             r"|date_diff|datediff|date_sub|date_add|dayofweek"
             r"|isodow|weekday|epoch|xor|sign|to_base|string_split"
             r"|str_split|string_to_array|format|extract"
-            r"|starts_with|ends_with|strpos)\s*\(",
+            r"|starts_with|ends_with|strpos|arg_max|arg_min"
+            r"|quantile_cont|first|last|product|skewness"
+            r"|kurtosis)\s*\(",
             stmt, re.I,
         ):
             return stmt

@@ -4206,3 +4206,56 @@ def test_function_dialect_sweep_matches_duckdb(spark, tmp_path):
     with pytest.raises(EngineError, match="printf"):
         eng.execute("select format('{:d}', 7)")
     eng.close()
+
+
+def test_aggregate_dialect_matches_duckdb(spark, tmp_path):
+    """DuckDB aggregate spellings (the r12 sweep's second family):
+    arg_max/arg_min → max_by/min_by, quantile_cont → percentile,
+    ordered first/last → the value at the min/max ORDER BY key
+    (multi-key via struct; DESC flips; bare first/last pass
+    through), product via the aggregate() HOF, and skewness/kurtosis
+    translated EXACTLY from Spark's population statistics to
+    DuckDB's bias-corrected sample ones (G1 = g1·sqrt(n(n-1))/(n-2);
+    G2 = ((n-1)/((n-2)(n-3)))·((n+1)·g2+6)). Identical SQL; floats
+    rounded (summation order differs legally)."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whagr"), spark=spark)
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (g int, k int, v double, s varchar,"
+            " b boolean)")
+        run(
+            "insert into t values (1,1,1.5,'a',true),"
+            " (1,2,2.5,'b',false), (2,3,9.0,'c',true),"
+            " (2,4,NULL,NULL,true), (1,5,0.5,'a',true)"
+        )
+
+    def nrm(rows):
+        return [
+            tuple(
+                round(x, 8) if isinstance(x, float) else x
+                for x in r
+            )
+            for r in rows
+        ]
+
+    for sql in (
+        "select g, arg_max(s, v) am, arg_min(s, v) an from t"
+        " group by g order by g",
+        "select g, quantile_cont(v, 0.5) q from t group by g"
+        " order by g",
+        "select g, first(k order by k) f, last(k order by k) l,"
+        " first(s order by v desc) fd from t group by g order by g",
+        "select first(s order by g, k) m2 from t",
+        "select g, product(v) p from t group by g order by g",
+        "select skewness(v) sk, kurtosis(v) ku from t",
+        "select g, bool_and(b) ba, bool_or(b) bo, median(v) m,"
+        " count_if(b) ci from t group by g order by g",
+        "select bit_and(k) a, bit_or(k) o, bit_xor(k) x,"
+        " min_by(s, v) mb, max_by(s, v) xb from t",
+    ):
+        er = nrm([tuple(r) for r in eng.execute(sql).rows])
+        dr = nrm(con.execute(sql).fetchall())
+        assert er == dr, (sql, er, dr)
+    eng.close()
