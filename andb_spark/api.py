@@ -2269,6 +2269,46 @@ class AnalyticsEngine:
         ("len", "size"),
     )
 
+    def _refuse_ambiguous_operators(self, stmt: str) -> None:
+        """Operators that MEAN different things in the two dialects
+        refuse loudly instead of silently diverging (probed):
+        DuckDB's ``^`` is POWER (2^3 = 8) where Spark's is bitwise
+        XOR (2^3 = 1); ``//`` is integer division for integers but
+        PLAIN division for decimals (7.5//2 = 3.75); ``~``/``!~``
+        are regex matches. Each has an unambiguous spelling both
+        entry points agree on. Binary-position detection only —
+        Spark's unary ``~`` (bitwise NOT) stays legal."""
+        b = _blank_literals(stmt)
+        for m in re.finditer(r"\*\*|!~|//|[\^~]", b):
+            tok = m.group(0)
+            if tok in ("^", "~"):
+                j = m.start() - 1
+                while j >= 0 and b[j].isspace():
+                    j -= 1
+                if j < 0 or not (
+                    b[j].isalnum() or b[j] in "_'\")]`"
+                ):
+                    continue  # unary position: Spark bitwise NOT ok
+                if b[j].isalnum() or b[j] == "_":
+                    wm = re.search(r"\w+$", b[: j + 1])
+                    if wm and wm.group(0).lower() in (
+                        self._BRACKET_KEYWORDS
+                    ):
+                        continue  # `select ~5`, `where ~x`: unary
+            hint = {
+                "^": "power(a, b) or xor(a, b) — DuckDB's ^ is"
+                     " POWER where Spark's is XOR",
+                "**": "power(a, b)",
+                "//": "a DIV b (integers) or floor(a / b) — DuckDB's"
+                      " // divides decimals without flooring",
+                "~": "regexp_matches(a, b) / a RLIKE b",
+                "!~": "NOT regexp_matches(a, b)",
+            }[tok]
+            raise EngineError(
+                f"the {tok} operator differs between dialects —"
+                f" spell it {hint}"
+            )
+
     @staticmethod
     def _escape_backslash_literals(stmt: str) -> str:
         """DuckDB keeps backslashes inside string literals VERBATIM;
@@ -2898,7 +2938,11 @@ class AnalyticsEngine:
             r"|kurtosis)\s*\(",
             stmt, re.I,
         ):
+            # ambiguous-operator refusals must still run: `2 ^ 3`
+            # carries none of the trigger names
+            self._refuse_ambiguous_operators(stmt)
             return stmt
+        self._refuse_ambiguous_operators(stmt)
         out = self._map_list_functions(stmt)
         pos = 0
         for _ in range(5000):  # bounded: each pass resolves one site

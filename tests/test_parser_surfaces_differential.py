@@ -4259,3 +4259,31 @@ def test_aggregate_dialect_matches_duckdb(spark, tmp_path):
         dr = nrm(con.execute(sql).fetchall())
         assert er == dr, (sql, er, dr)
     eng.close()
+
+
+def test_ambiguous_operators_refuse_loudly(spark, tmp_path):
+    """Operators that MEAN different things in the two dialects
+    refuse by name instead of silently diverging
+    (api.py::_refuse_ambiguous_operators, each probed): DuckDB's ^
+    is POWER (2^3 = 8) where Spark's is XOR (2^3 = 1); // divides
+    decimals without flooring; ~ / !~ are regex matches. Unary ~
+    (Spark bitwise NOT) and literals stay legal."""
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whops"), spark=spark)
+    for sql in (
+        "select 2 ^ 3 as x",
+        "select 7 // 2 as x",
+        "select 2 ** 3 as x",
+        "select 'a' ~ 'b.' as x",
+        "select 'a' !~ 'z' as x",
+    ):
+        with pytest.raises(EngineError, match="differs between"):
+            eng.execute(sql)
+    assert eng.execute("select ~5 as x").rows == [(-6,)]
+    assert eng.execute("select 1 + ~5 as x").rows == [(-5,)]
+    assert eng.execute("select xor(5, 3) as x").rows == [(6,)]
+    assert eng.execute(
+        "select '7 // 2 ~ x ^ y' as s"
+    ).rows == [("7 // 2 ~ x ^ y",)]
+    eng.close()
