@@ -397,3 +397,31 @@ def test_pk_probe_zone_prefilter(spark, tmp_path):
         (1150, 5099)
     ]
     eng.close()
+
+
+def test_export_import_list_struct_tables(spark, tmp_path):
+    """EXPORT/IMPORT DATABASE round-trips list/struct-typed tables
+    (the r12 types: the reconstructed DDL carries `int[]` /
+    `struct(...)` spellings, parquet carries the data natively) and
+    views whose PRISTINE stored bodies hold bracket expressions —
+    the replay normalizes them exactly once."""
+    from andb_spark.api import AnalyticsEngine
+
+    src = AnalyticsEngine(str(tmp_path / "whx1"), spark=spark)
+    e = src.execute
+    e("create table lt (k int, xs int[], st struct(a int, b text))")
+    e("insert into lt values (1, [1,2], {'a': 5, 'b': 'x'}),"
+      " (2, [], NULL)")
+    e("create view lv as select k, xs[1] f, len(xs) n from lt")
+    exp = str(tmp_path / "dump")
+    e(f"export database '{exp}'")
+    before = e("select k, xs[2] x2, st.a a from lt order by k").rows
+    vbefore = e("select * from lv order by k").rows
+    src.close()
+    dst = AnalyticsEngine(str(tmp_path / "whx2"), spark=spark)
+    dst.execute(f"import database '{exp}'")
+    assert dst.execute(
+        "select k, xs[2] x2, st.a a from lt order by k"
+    ).rows == before
+    assert dst.execute("select * from lv order by k").rows == vbefore
+    dst.close()
