@@ -1963,6 +1963,20 @@ class AnalyticsEngine:
         items = self._split_top_level(stmt[m.end(): f[0]])
         seq_items: dict[int, tuple[str, str]] = {}  # pos → (seq, alias)
         inner_items: list[str] = []
+        # a star item expands to MANY inner-plan columns, so the
+        # 1:1 positional mapping below must widen for it; one star
+        # has a determinable span, two or more do not (r12 ADVICE
+        # #2: `select nextval('s'), * from t` used to keep only the
+        # first source column)
+        star_pos = {
+            i for i, it in enumerate(items)
+            if re.fullmatch(r"\s*(?:[\w`\"]+\s*\.\s*)?\*\s*", it)
+        }
+        if len(star_pos) > 1:
+            raise EngineError(
+                "nextval over a FROM query supports at most one *"
+                " select item — list the columns explicitly"
+            )
         for i, it in enumerate(items):
             im = re.fullmatch(
                 r"\s*nextval\s*\(\s*'(\w+)'\s*\)"
@@ -2010,10 +2024,14 @@ class AnalyticsEngine:
             )
         seen: dict[str, int] = {}
         out_cols: list = []
-        inner_iter = iter(
-            [c for c in d.columns if c != idx]
-            if inner_items else []
+        inner_cols = (
+            [c for c in d.columns if c != idx] if inner_items else []
         )
+        # the one permitted star spans every inner column the other
+        # (non-star, non-nextval) items don't account for
+        star_span = len(inner_cols) - (len(inner_items) - 1) \
+            if star_pos else 0
+        inner_iter = iter(inner_cols)
         for i, it in enumerate(items):
             if i in seq_items:
                 s, alias = seq_items[i]
@@ -2025,6 +2043,9 @@ class AnalyticsEngine:
                         F.lit(j * n) + F.col(idx) - F.lit(1),
                     ).cast("bigint").alias(alias)
                 )
+            elif i in star_pos:
+                for _ in range(star_span):
+                    out_cols.append(F.col(f"`{next(inner_iter)}`"))
             else:
                 out_cols.append(F.col(f"`{next(inner_iter)}`"))
         res = d.select(*out_cols)
@@ -2661,10 +2682,20 @@ class AnalyticsEngine:
                 if fob is None:
                     spos = cp + 1  # Spark's bare first/last
                     continue
+                if re.match(r"\s*over\b", b[cp + 1:], re.I):
+                    raise EngineError(
+                        f"ordered {fn}(... ORDER BY ...) as a WINDOW"
+                        " function is not supported — use"
+                        " first_value/last_value OVER (ORDER BY ...)"
+                    )
                 # DuckDB's ordered first/last = the value at the
                 # min/max ORDER BY key (min_by/max_by; multi-key
                 # composes through a struct; any DESC flips the
-                # min/max, mixed directions refuse)
+                # min/max, mixed directions refuse). NULL ordering
+                # keys sort LAST (DuckDB's default null order), never
+                # vanish: each key rides with an is-null flag inside
+                # the struct so all-NULL-key groups still return a
+                # value (r12 verdict #3)
                 expr2 = inner[: fob.start()].strip()
                 keys2, descs2 = [], []
                 for kp in self._split_collection_items(
@@ -2684,13 +2715,14 @@ class AnalyticsEngine:
                         f"{fn}(... ORDER BY ...) with mixed"
                         " ASC/DESC keys is not supported"
                     )
-                key2 = (
-                    keys2[0] if len(keys2) == 1
-                    else "struct(" + ", ".join(
-                        f"({k})" for k in keys2
-                    ) + ")"
-                )
-                lo = (fn == "first") != bool(descs2 and all(descs2))
+                desc2 = bool(descs2 and all(descs2))
+                # ASC: NULLS LAST = (k IS NULL) sorts after; DESC
+                # flips the min/max so the flag flips too
+                flag2 = "is not null" if desc2 else "is null"
+                key2 = "struct(" + ", ".join(
+                    f"(({k}) {flag2}), ({k})" for k in keys2
+                ) + ")"
+                lo = (fn == "first") != desc2
                 by = "min_by" if lo else "max_by"
                 out = (
                     out[:moff]
@@ -2698,6 +2730,14 @@ class AnalyticsEngine:
                     + out[cp + 1:]
                 )
                 continue
+            if fn in ("skewness", "kurtosis", "product") and re.match(
+                r"\s*over\b", b[cp + 1:], re.I
+            ):
+                raise EngineError(
+                    f"{fn}() as a WINDOW function is not supported —"
+                    " the bias-correction/HOF lowering has no OVER"
+                    " form; aggregate in a subquery and join back"
+                )
             if fn in ("skewness", "kurtosis"):
                 # DuckDB reports the BIAS-CORRECTED sample statistics
                 # (G1 / excess G2); Spark the population ones (g1 /
@@ -2727,12 +2767,17 @@ class AnalyticsEngine:
                 if len(args) != 1:
                     raise EngineError("product expects one argument")
                 v2 = "_" + uuid.uuid4().hex[:4]
+                ax2 = f"({args[0].strip()})"
+                # collect_list drops NULLs, so an empty/all-NULL
+                # group would yield the 1.0 seed — DuckDB's product
+                # over zero aggregated rows is NULL (r12 ADVICE #3)
                 out = (
                     out[:moff]
                     + (
-                        f"aggregate(collect_list(({args[0].strip()})),"
+                        f"(case when count({ax2}) = 0 then null"
+                        f" else aggregate(collect_list({ax2}),"
                         f" cast(1.0 as double), ({v2}, {v2}x) ->"
-                        f" {v2} * {v2}x)"
+                        f" {v2} * {v2}x) end)"
                     )
                     + out[cp + 1:]
                 )
@@ -2849,14 +2894,23 @@ class AnalyticsEngine:
                         f"{fn}(... ORDER BY ...) with mixed ASC/DESC"
                         " keys is not supported"
                     )
+                # NULL keys sort LAST in DuckDB's default null order
+                # (r12 verdict #1): each key rides with an is-null
+                # flag so the struct sort places them after values —
+                # the DESC path reverses an ascending sort, so its
+                # flag polarity flips (nulls ascend FIRST, reverse
+                # lands them LAST)
+                dsc = bool(descs) and all(descs)
+                nflag = "is not null" if dsc else "is null"
                 fields = ", ".join(
-                    f"'o{i}', ({k})" for i, k in enumerate(keys)
+                    f"'n{i}', (({k}) {nflag}), 'o{i}', ({k})"
+                    for i, k in enumerate(keys)
                 ) + f", 'v', ({expr})"
                 core = (
                     f"transform(array_sort(collect_list("
                     f"named_struct({fields}))), {v} -> {v}.v)"
                 )
-                repl = f"reverse({core})" if all(descs) else core
+                repl = f"reverse({core})" if dsc else core
             elif fn in ("list_concat", "list_cat") and len(args) == 2:
                 # DuckDB treats a NULL side as absent (NULL ++ x → x,
                 # fuzz-arm find); Spark's concat nulls the whole
@@ -2895,7 +2949,95 @@ class AnalyticsEngine:
                 )
         return out
 
+    _ORDER_TAIL_STOP = re.compile(
+        r"(?:limit|offset|fetch|union|intersect|except|rows|range"
+        r"|groups|window|using|into|having|qualify)\b", re.I
+    )
+
+    def _inject_order_nulls_last(self, stmt: str) -> str:
+        """DuckDB/Postgres place NULL ordering keys LAST on ASC (the
+        default null order) where Spark places them FIRST — a silent
+        cross-cutting seam (r12 verdict #1): it changes
+        row_number/first_value/lag/cumulative values over
+        NULL-bearing keys, the QUALIFY / DISTINCT ON survivor row,
+        ordered-aggregate element order, and the CONTENT of
+        ``ORDER BY k LIMIT n``. Every ASC ORDER BY item without an
+        explicit NULLS qualifier gets NULLS LAST appended (DESC
+        already defaults to NULLS LAST on both engines; explicit
+        NULLS FIRST/LAST is respected) — one text pass, so OVER
+        specs, named WINDOW defs, WITHIN GROUP, subquery and
+        statement-final ORDER BY all normalize together. Spark
+        accepts the qualifier in every such context (probed:
+        ordinal keys, ORDER BY ALL, RANGE/ROWS frames, WITHIN
+        GROUP). Idempotent: qualified items pass through."""
+        if not re.search(r"\border\s+by\b", stmt, re.I):
+            return stmt
+        b = _blank_literals(stmt)
+        out = stmt
+        # right-to-left so earlier offsets stay valid after splices
+        for m in reversed(
+            list(re.finditer(r"\border\s+by\b", b, re.I))
+        ):
+            start = m.end()
+            i, end, depth = start, len(b), 0
+            while i < len(b):
+                c = b[i]
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    at_word_start = not (
+                        b[i - 1].isalnum() or b[i - 1] in "_`"
+                    )
+                    if at_word_start and self._ORDER_TAIL_STOP.match(
+                        b, i
+                    ):
+                        end = i
+                        break
+                    while i < len(b) and (
+                        b[i].isalnum() or b[i] == "_"
+                    ):
+                        i += 1
+                    continue
+                i += 1
+            seg, seg_b = out[start:end], b[start:end]
+            if not seg.strip():
+                continue
+            items = self._split_collection_items(seg, seg_b)
+            items_b = self._split_collection_items(seg_b, seg_b)
+            new = []
+            for it, itb in zip(items, items_b):
+                tail = itb.rstrip()
+                if (
+                    not tail.strip()
+                    or re.search(
+                        r"\bnulls\s+(?:first|last)$", tail, re.I
+                    )
+                    or re.search(r"\bdesc$", tail, re.I)
+                ):
+                    new.append(it.strip())
+                else:
+                    new.append(it.strip() + " nulls last")
+            out = (
+                out[:start] + " " + ", ".join(new) + " " + out[end:]
+            )
+        return out
+
     def _rewrite_duckdb_collections(self, stmt: str) -> str:
+        """Dialect normalization applied to every statement class:
+        the list/struct expression rewrite (``_core``) followed by
+        DuckDB's default-NULLS-LAST ordering injection — one entry
+        point so the statement pipeline and every stored-body replan
+        path normalize identically."""
+        return self._inject_order_nulls_last(
+            self._rewrite_duckdb_collections_core(stmt)
+        )
+
+    def _rewrite_duckdb_collections_core(self, stmt: str) -> str:
         """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 —
         the engine's one silent seam), lowered onto Spark's native
         collection functions as a pure text rewrite so Catalyst
@@ -3021,6 +3163,17 @@ class AnalyticsEngine:
             ci = self._top_level_colon(ib)
             if ci is None:  # plain index
                 idx = inner.strip()
+                if not is_string and re.fullmatch(
+                    r"\s*'[^']*'\s*", ib
+                ):
+                    # string-literal index = struct field / map key
+                    # access (st['name'], m['key']) — native Spark
+                    # syntax with the same semantics as DuckDB's
+                    # struct_extract / map lookup; pass through
+                    # untouched (r12 ADVICE #1: the int-cast path
+                    # silently NULLed these)
+                    pos = close + 1
+                    continue
                 if is_string:
                     repl = f"substr({base}, {idx}, 1)"
                 elif re.fullmatch(r"-?\d+", idx) and idx != "0":
@@ -5110,7 +5263,8 @@ class AnalyticsEngine:
         r"cosine_distance\(\s*(?P<vec>\w+)\s*,\s*array\((?P<lit>[^)]*)\)\s*\)"
         r"\s+as\s+(?P<alias>\w+)\s+"
         r"from\s+(?P<table>\w+)\s+"
-        r"order\s+by\s+(?P=alias)(?:\s+asc)?\s+limit\s+(?P<k>\d+)\s*$",
+        r"order\s+by\s+(?P=alias)(?:\s+asc)?"
+        r"(?:\s+nulls\s+last)?\s+limit\s+(?P<k>\d+)\s*$",
         re.I,
     )
 
@@ -5288,12 +5442,16 @@ class AnalyticsEngine:
     def _order_spec(col, direction: str, nulls: str, reverse: bool = False):
         """A Column sort spec for a parsed ORDER BY item. ``reverse``
         flips both the direction and the nulls placement — the exact
-        inverse total order (used to probe a top-k set's LAST row)."""
+        inverse total order (used to probe a top-k set's LAST row).
+        An item with no explicit NULLS qualifier takes DuckDB's
+        default null order: NULLS LAST in BOTH directions (Spark's
+        ASC default is NULLS FIRST — r12 verdict #1)."""
+        if not nulls:
+            nulls = "last"
         if reverse:
             direction = "desc" if direction == "asc" else "asc"
-            if nulls:
-                nulls = "last" if nulls == "first" else "first"
-        key = direction if not nulls else f"{direction}_nulls_{nulls}"
+            nulls = "last" if nulls == "first" else "first"
+        key = f"{direction}_nulls_{nulls}"
         return {
             "asc": col.asc(), "desc": col.desc(),
             "asc_nulls_first": col.asc_nulls_first(),
@@ -7940,6 +8098,7 @@ class AnalyticsEngine:
                 vals = [r[0] for r in rows]
             specs.append((c, vals))
         on_cols = [c for c, _ in specs]
+        pivot_values: list | None = None  # internal keys if distinct
         if len(specs) == 1:
             pcol, values = specs[0]
         else:
@@ -7956,19 +8115,32 @@ class AnalyticsEngine:
             pcol = "_pv_on"
             for c in on_cols:
                 df = df.filter(self._safe_col(c).isNotNull())
+            # the INTERNAL combo key joins on \x1f (cannot appear in
+            # the data), so string values containing underscores
+            # can't merge two combos (('a_b','c') vs ('a','b_c') —
+            # r12 ADVICE #5); output columns still take DuckDB's
+            # underscore-joined display names via the rename below
             df = df.withColumn(
                 pcol,
                 F.concat_ws(
-                    "_",
+                    "\x1f",
                     *[self._safe_col(c).cast("string") for c in on_cols],
                 ),
             )
-            values = [
-                "_".join(str(v) for v in combo)
-                for combo in itertools.product(
-                    *[vals for _, vals in specs]
-                )
+            combos = list(
+                itertools.product(*[vals for _, vals in specs])
+            )
+            pivot_values = [
+                "\x1f".join(str(v) for v in combo) for combo in combos
             ]
+            values, used = [], {}
+            for combo in combos:
+                nm = "_".join(str(v) for v in combo)
+                if nm in used:  # DuckDB dedups collisions with _N
+                    used[nm] += 1
+                    nm = f"{nm}_{used[nm]}"
+                used.setdefault(nm, 0)
+                values.append(nm)
         aggs: list[tuple[str, str | None]] = []
         if using_text:
             for it in _split_top_level(using_text):
@@ -8013,8 +8185,20 @@ class AnalyticsEngine:
             F.expr(e).alias(a) if a else F.expr(e) for e, a in aggs
         ]
         res = df.groupBy(*[self._safe_col(c) for c in gcols]).pivot(
-            pcol, values
+            pcol, pivot_values if pivot_values is not None else values
         ).agg(*agg_cols)
+        if pivot_values is not None:
+            # \x1f internal keys → underscore display names (both
+            # the bare single-agg form and the {key}_{alias} form)
+            ren0 = {}
+            for vi, vd in zip(pivot_values, values):
+                if vi == vd:
+                    continue
+                for c in res.columns:
+                    if c == vi or c.startswith(vi + "_"):
+                        ren0[c] = vd + c[len(vi):]
+            if ren0:
+                res = res.withColumnsRenamed(ren0)
         # Spark names a SINGLE-aggregate pivot's columns by value
         # only, dropping any alias; DuckDB names them
         # {value}_{alias} (probed) — rename to match

@@ -45,100 +45,92 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-12 rotation (r11 verdict #4: pay the WHOLE remaining
-    # pre-r8 evidence ledger — the r6 deferral and the 7 r7 names,
-    # deferred twice — then new surfaces, then the oldest remainder).
+    # Round-13 rotation (r12 verdict #4: rotate the WHOLE remaining
+    # r8 ledger into the spotlight — the ten names below are exactly
+    # workloads' documented deferral list — then the round's new
+    # rows, then the oldest remainder).
     #
-    # (a) never-graded: the two r12 driver-row surfaces — the DuckDB
-    # list/struct expression dialect (r11 verdict #1, the engine's
-    # one silent seam: 1-based NULL-on-OOB indexing, slices, [..] /
-    # {..} literals, len()) and window frame EXCLUDE TIES/GROUP
-    # (r11 verdict #2: peer-group subtraction on RANGE frames,
-    # cumulative-prefix intersection on ROWS frames). Both also land
-    # with statement-level native differentials in
-    # test_parser_surfaces_differential.py. The round's OTHER new
-    # surfaces (PIVOT ON multiple columns, single-aliased-agg pivot
-    # naming, COLUMNS positions, nextval-over-FROM) are
-    # differential-pinned per their verdict done-criteria and take
-    # no slots.
-    "u_list_ops",
-    "u_window_exclude",
-    # (b) changed since grading: NONE re-graded — the r12 engine
-    # changes (the collections dialect pass, PIVOT naming, the
-    # temp-table refusal, the USING SAMPLE guard, EXCLUDE peers) are
-    # new-shape-only on every graded statement: no graded QUERY or
-    # ORACLE text changed, and the full registry re-verified green at
-    # sf0.001 + sf0.01 + sf0.1 within the round after the changes
-    # (tools/compare.py, session logs), so the shared-machinery edits
-    # carry fresh whole-registry evidence rather than spotlight slots.
-    # (c) oldest evidence — first the ENTIRE pre-r8 ledger (the r6
-    # deferral + all 7 r7 deferrals, each deferred twice; r11 verdict
-    # #4 names exactly these eight):
-    "q_exists_subquery",
-    "q_cube",
-    "q_distinct",
-    "q_join_cross",
-    "q_join_right",
-    "q_math_funcs",
-    "q_pivot",
-    "q_union_all",
-    # ...then 39 of the 49 r8-graded names. Ten defer to r13, each
-    # with its operator re-evidenced THIS round by a same-machinery
-    # twin inside this window (or a fresh r11 grade): q_except and
-    # q_count_distinct (the set-op/distinct fold — q_distinct +
-    # q_union_all in-window, q_intersect r11), q_join_full (the join
-    # pass-through — q_join_cross + q_join_right in-window),
-    # q_grouping_sets + q_grouping_id (the GROUPING SETS lowering —
-    # q_cube in-window, q_rollup r11), u_asof_subquery_sql and
-    # a_asof_nearest (the ASOF rewrite — u_asof_sql in-window,
-    # a_asof_join + u_asof_tolerance_sql r11), s_stream_session and
-    # s_stream_tumbling (the streaming window path — s_session
-    # in-window, s_tumbling r11), and v_rerank_topk (the broadcast
-    # query-set / bounded-window rerank machinery — v_hybrid_rrf +
-    # v_knn_join + v_lsh_topk in-window).
-    "a_range_join",
-    "d_simhash_pairs",
-    "m_audio_meta",
-    "p_sample_weighted",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q_agg_filter",
-    "q_case_cast_concat",
-    "q_cte",
-    "q_is_distinct",
-    "q_json_extract",
-    "q_named_window",
-    "q_predicates",
-    "q_quantified_subquery",
-    "q_select_except",
-    "q_sort_multi_key",
-    "q_string_funcs",
-    "q_tablesample_bound",
-    "q_topk_per_group",
-    "q_try_cast",
-    "q_unpivot_sql",
-    "q_values_list",
-    "q_window_funcs",
-    "s_session",
-    "t_bm25_topk",
-    "t_pii_scrub",
-    "t_tfidf",
-    "u_asof_sql",
-    "u_clone_snapshot",
-    "u_distinct_on_sql",
-    "u_insert_by_name",
-    "u_matview_refresh",
-    "u_range_sql",
-    "u_txn_rollback",
-    "u_update_from",
-    "v_hybrid_rrf",
-    "v_ivf_topk",
-    "v_knn_join",
-    "v_lsh_topk",
-    # (family cross-section: every registry family q/a/d/t/p/v/m/s/
-    # u/c holds a slot — c_ takes its oldest-evidence member, last
-    # graded r11.)
-    "c_catalog_columns",
+    # (a) never-graded: the two r13 driver-row surfaces — ORDER BY
+    # default-NULL-placement parity (r12 verdict #1, the round's one
+    # silent seam: api.py::_inject_order_nulls_last) and ordered
+    # first()/last() NULL-key semantics (r12 verdict #3: is-null-flag
+    # struct inside min_by/max_by). Both also land with statement
+    # batteries + NULL-ordering-key fuzz arms in tests/.
+    "u_order_nulls",
+    "u_first_last_ord",
+    # (c) oldest evidence — first the ENTIRE r8 ledger (deferred at
+    # r12 with in-window twins; r12 verdict #4 names exactly these
+    # ten):
+    "q_except",
+    "q_count_distinct",
+    "q_join_full",
+    "q_grouping_sets",
+    "q_grouping_id",
+    "u_asof_subquery_sql",
+    "a_asof_nearest",
+    "s_stream_session",
+    "s_stream_tumbling",
+    "v_rerank_topk",
+    # (b) changed since grading: NONE re-graded — the r13 engine
+    # changes (the NULLS LAST ordering injection, the ordered
+    # first/last flag structs, the ADVICE batch: string-literal
+    # bracket pass-through, nextval star expansion, product NULL
+    # groups, windowed-agg refusals, \x1f pivot keys) are
+    # whole-registry rewrites verified by fresh tools/compare.py runs
+    # at sf0.001 + sf0.01 + sf0.1 within the round (every graded
+    # query and oracle text unchanged), so they carry
+    # full-registry evidence rather than spotlight slots.
+    # (c) cont. — the oldest-evidence remainder: the c-family slot
+    # (c_catalog_tables, last graded r10) and 37 of the 49 r9-graded
+    # names. Twelve r9 names defer to r14, each with its machinery
+    # re-evidenced by an in-window (or r12-fresh) same-machinery
+    # twin: q2/q11/q12/q15/q16/q17/q20 (the TPC-H join+agg+subquery
+    # pass — q_join_full, q_except, q_count_distinct,
+    # q_grouping_sets/q_grouping_id in-window; q21/q22 r12-fresh),
+    # s_daily_rollup + s_sliding (the windowed-rollup path —
+    # s_stream_tumbling + s_stream_session in-window),
+    # t_token_stats + t_heavy_hitters (the tokenize-once scan —
+    # t_entropy, t_repetition, t_bpe_tokens in-window), and
+    # d_simhash (d_simhash_pairs r12-fresh; d_ngram_jaccard +
+    # d_fingerprint_dup_groups in-window).
+    "c_catalog_tables",
+    "a_asof_forward",
+    "d_cross_source_dups",
+    "d_decontaminate",
+    "d_dedup_survivors",
+    "d_exact_dup_groups",
+    "d_fingerprint_dup_groups",
+    "d_incremental_dedup",
+    "d_ngram_jaccard",
+    "m_binary_meta",
+    "m_frame_sample",
+    "p_mixture_plan",
+    "p_pack_shards",
+    "p_quality_filter",
+    "p_sample_stratified",
+    "p_source_cap",
+    "q_approx_distinct_bound",
+    "s_stateful_user",
+    "s_stream_dedup",
+    "s_stream_distinct",
+    "s_stream_enrich",
+    "s_stream_join",
+    "t_approx_topk_bound",
+    "t_boilerplate",
+    "t_bpe_tokens",
+    "t_entropy",
+    "t_fingerprint",
+    "t_lang_ngram",
+    "t_repetition",
+    "u_alter_schema",
+    "u_distinct_on_qualify",
+    "u_restore_timetravel",
+    "u_select_replace",
+    "u_union_by_name",
+    "v_cluster_near_dup",
+    "v_filtered_topk",
+    "v_ivf_assign",
+    "v_pairwise_near_dup",
 )
 
 

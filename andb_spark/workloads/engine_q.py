@@ -1163,6 +1163,73 @@ def u_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY default-NULL-placement parity (r12 verdict #1 —
+    api.py::_inject_order_nulls_last): window navigation, running
+    aggregate, and top-k CONTENT over an ordering key that is NULL
+    on ~1/7 of rows, with NO explicit NULLS qualifiers. Spark's ASC
+    default is NULLS FIRST; DuckDB/Postgres default NULLS LAST — the
+    dialect pass injects the DuckDB placement, so the IDENTICAL SQL
+    grades on both engines. (o_orderkey tiebreaks every ordering, so
+    results are deterministic.) Statement battery:
+    tests/test_parser_surfaces_differential.py::
+    test_order_by_null_placement_matches_duckdb."""
+    eng = AnalyticsEngine(
+        _scratch("andb_on_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select k, v,"
+        " row_number() over (partition by s order by nk, k) as rn,"
+        " first_value(v) over (partition by s order by nk, k) as fv,"
+        " lag(v) over (partition by s order by nk, k) as lv,"
+        " cast(sum(v) over (partition by s order by nk, k) as double)"
+        " as cs"
+        " from (select o_orderkey as k, o_orderstatus as s,"
+        " nullif(o_custkey % 7, 3) as nk, o_orderkey % 997 as v"
+        " from orders where o_orderkey < 6000) t order by k"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "k bigint, v bigint, rn bigint, fv bigint, lv bigint,"
+        " cs double",
+    )
+
+
+def u_first_last_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first()/last() over NULL-bearing and all-NULL ordering
+    keys (r12 verdict #3 — the min_by/max_by lowering rides an
+    is-null flag struct so NULL keys sort LAST, never vanish). The
+    (k, v) ORDER BY is a total order up to equal values, so every
+    group is deterministic on both engines — including the synthetic
+    group whose keys are ALL NULL (the shape that used to return
+    NULL where DuckDB returns the value)."""
+    eng = AnalyticsEngine(
+        _scratch("andb_flo_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table flo_t as select o_orderkey % 9 as g,"
+        " case when o_orderkey % 11 = 3 then null else o_orderkey end"
+        " as k,"
+        " case when o_orderkey % 11 = 3 then -1 else o_orderkey % 997"
+        " end as v"
+        " from orders where o_orderkey < 6000"
+    )
+    e("insert into flo_t values (99, null, 7), (99, null, 7)")
+    r = e(
+        "select g, first(v order by k, v) as fa,"
+        " last(v order by k, v) as la,"
+        " first(v order by k desc, v desc) as fd,"
+        " last(v order by k desc, v desc) as ld,"
+        " count(*) as n from flo_t group by g order by g"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "g bigint, fa bigint, la bigint, fd bigint, ld bigint,"
+        " n bigint",
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -1227,9 +1294,40 @@ QUERIES = {
     "u_returning": u_returning,
     "u_list_ops": u_list_ops,
     "u_window_exclude": u_window_exclude,
+    "u_order_nulls": u_order_nulls,
+    "u_first_last_ord": u_first_last_ord,
 }
 
 ORACLES = {
+    "u_order_nulls": """
+        select k, v,
+         row_number() over (partition by s order by nk, k) as rn,
+         first_value(v) over (partition by s order by nk, k) as fv,
+         lag(v) over (partition by s order by nk, k) as lv,
+         cast(sum(v) over (partition by s order by nk, k) as double)
+         as cs
+         from (select o_orderkey as k, o_orderstatus as s,
+         nullif(o_custkey % 7, 3) as nk, o_orderkey % 997 as v
+         from orders where o_orderkey < 6000) t order by k
+    """,
+    "u_first_last_ord": """
+        with flo_t as (
+          select o_orderkey % 9 as g,
+                 case when o_orderkey % 11 = 3 then null
+                      else o_orderkey end as k,
+                 case when o_orderkey % 11 = 3 then -1
+                      else o_orderkey % 997 end as v
+          from orders where o_orderkey < 6000
+          union all
+          select * from (values (99, null, 7), (99, null, 7))
+            v(g, k, v)
+        )
+        select g, first(v order by k, v) as fa,
+               last(v order by k, v) as la,
+               first(v order by k desc, v desc) as fd,
+               last(v order by k desc, v desc) as ld,
+               count(*) as n from flo_t group by g order by g
+    """,
     "u_window_exclude": """
         select k,
          cast(sum(p) over (partition by s order by ck range between
