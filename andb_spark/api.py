@@ -2613,6 +2613,7 @@ class AnalyticsEngine:
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
                 r"|list_prepend|list_slice|list_concat|list_cat"
+                r"|list_sum|list_avg"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
@@ -2915,12 +2916,48 @@ class AnalyticsEngine:
                 # DuckDB treats a NULL side as absent (NULL ++ x → x,
                 # fuzz-arm find); Spark's concat nulls the whole
                 # result — branch instead of coalescing to array()
-                # (whose string element type would fight coercion)
+                # (whose string element type would fight coercion).
+                # A LITERAL null side short-circuits textually: the
+                # CASE's concat branch cannot type an untyped NULL
+                # (r12 verdict #6 — it surfaced a raw Spark error)
                 a0, a1 = args[0].strip(), args[1].strip()
+                if a0.lower() == "null":
+                    repl = f"({a1})"
+                elif a1.lower() == "null":
+                    repl = f"({a0})"
+                else:
+                    repl = (
+                        f"(case when ({a0}) is null then ({a1})"
+                        f" when ({a1}) is null then ({a0})"
+                        f" else concat(({a0}), ({a1})) end)"
+                    )
+            elif fn in ("list_sum", "list_avg"):
+                # DuckDB: sum/avg of the non-NULL elements, NULL for
+                # an empty/all-NULL list. The fold accumulates in
+                # DOUBLE — a universal typed zero that dissolves the
+                # typed-zero problem a text rewrite can't otherwise
+                # solve (r12 verdict #7). Declared narrowing vs
+                # DuckDB: integer lists sum to DOUBLE (same value;
+                # exact only below 2^53) where DuckDB widens to
+                # HUGEINT/DECIMAL — README boundary
+                if len(args) != 1:
+                    raise EngineError(f"{fn} expects one argument")
+                v2 = "_" + uuid.uuid4().hex[:4]
+                fl = (
+                    f"filter(({args[0].strip()}),"
+                    f" {v2}f -> {v2}f is not null)"
+                )
+                s2 = (
+                    f"aggregate({fl}, cast(0 as double),"
+                    f" ({v2}a, {v2}x) -> {v2}a + {v2}x)"
+                )
+                body = (
+                    f"({s2}) / size({fl})" if fn == "list_avg"
+                    else s2
+                )
                 repl = (
-                    f"(case when ({a0}) is null then ({a1})"
-                    f" when ({a1}) is null then ({a0})"
-                    f" else concat(({a0}), ({a1})) end)"
+                    f"(case when size({fl}) = 0 then null"
+                    f" else {body} end)"
                 )
             elif fn == "list_prepend" and len(args) == 2:
                 repl = (
@@ -3398,6 +3435,157 @@ class AnalyticsEngine:
             f" {sum_kept} / cast({cnt_kept} as double) end)"
         )
 
+    def _exclude_order_key(
+        self, spec_wo: str, fm: re.Match | None, what: str
+    ) -> tuple[str, str, str]:
+        """The single ORDER BY key of a window spec (RANGE-frame
+        EXCLUDE machinery needs per-key value arithmetic) →
+        (key expr, nulls position 'first'|'last', the spec's
+        partition-only prefix). Multi-key specs refuse by name."""
+        sb = _blank_literals(spec_wo)
+        obm = next(
+            (
+                mm for mm in re.finditer(r"\border\s+by\b", sb, re.I)
+                if _paren_depth_at(sb, mm.start()) == 0
+            ),
+            None,
+        )
+        if obm is None:
+            raise EngineError(f"window {what} needs an ORDER BY")
+        oend = fm.start() if fm else len(spec_wo)
+        items = self._split_collection_items(
+            spec_wo[obm.end(): oend], sb[obm.end(): oend]
+        )
+        if len(items) != 1:
+            raise EngineError(
+                f"window {what} needs a single ORDER BY key"
+                " (the peer/value arithmetic is per-key)"
+            )
+        key, _dirn, nulls = self._parse_order_item(items[0])
+        return key, nulls or "last", spec_wo[: obm.start()].strip()
+
+    def _exclude_minmax_range_repl(
+        self, stmt: str, fn: str, arg: str, spec_wo: str,
+        fm: re.Match | None, kind: str,
+    ) -> str:
+        """min/max OVER (spec EXCLUDE TIES|GROUP) on a RANGE or
+        default frame (r12 verdict #5 — min/max cannot SUBTRACT the
+        peer group the way sum/count/avg do, but on a value-based
+        frame the kept set is two VALUE intervals that exclude the
+        current key exactly: keys in [k-lo, k-1] and [k+1, k+hi]).
+        That split is exact only for an INTEGER ordering key (the ±1
+        is in key units), so the key's type is peeked by lazily
+        planning it against the statement's top-level FROM — the
+        same plan-for-schema trick as _rewrite_select_replace; any
+        non-integral/unresolvable key refuses by name. TIES keeps
+        the current row: combine the GROUP result with the row's own
+        value null-safely."""
+        if fm is not None and fm.group(1).lower() == "rows":
+            raise EngineError(
+                f"window EXCLUDE {kind.upper()} with {fn}() on a"
+                " ROWS frame is not supported (the peer group can"
+                " straddle the frame edge and min/max cannot"
+                " subtract) — use a RANGE frame"
+            )
+        # single integer ORDER BY key (the ±1 arithmetic is exact
+        # there and peers are exactly the equal keys)
+        key, knulls, _pp = self._exclude_order_key(
+            spec_wo, fm, f"EXCLUDE {kind.upper()} with {fn}()"
+        )
+        fb = self._find_top_level_keyword(stmt, ("from",))
+        ktype = None
+        if fb is not None:
+            tail = stmt[fb[0] + 4:]
+            t = self._find_top_level_keyword(
+                tail, ("where", "group by", "having", "qualify",
+                       "window", "order by", "limit", "offset"),
+            )
+            sources = tail[: t[0]] if t else tail
+            try:
+                ktype = self.spark.sql(
+                    f"select ({key}) as _k from {sources}"
+                ).schema[0].dataType.simpleString()
+            except Exception:
+                ktype = None
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            raise EngineError(
+                f"window EXCLUDE {kind.upper()} with {fn}() needs an"
+                " INTEGER ORDER BY key (the value split is exact"
+                f" only in integer key units; key resolves to"
+                f" {ktype or 'unknown'})"
+            )
+        prefix = (
+            spec_wo[: fm.start()].strip() if fm else spec_wo.strip()
+        )
+        lo = (
+            re.sub(r"\s+", " ", fm.group(2).strip().lower())
+            if fm else "unbounded preceding"
+        )
+        hi = (
+            re.sub(r"\s+", " ", fm.group(3).strip().lower())
+            if fm else "current row"
+        )
+        lterm = rterm = "null"
+        if lo != "current row" and lo != "0 preceding":
+            lterm = (
+                f"({fn}({arg}) over ({prefix} range between"
+                f" {lo} and 1 preceding))"
+            )
+        if hi != "current row" and hi != "0 following":
+            rterm = (
+                f"({fn}({arg}) over ({prefix} range between"
+                f" 1 following and {hi}))"
+            )
+        comb = "least" if fn == "min" else "greatest"
+
+        def nz(a: str, b: str) -> str:
+            if a == "null":
+                return b
+            if b == "null":
+                return a
+            return (
+                f"(case when {a} is null then {b}"
+                f" when {b} is null then {a}"
+                f" else {comb}({a}, {b}) end)"
+            )
+
+        g = nz(lterm, rterm)
+        empty = f"nullif(({arg}), ({arg}))"  # NULL of arg's type
+
+        def done(x: str) -> str:
+            return x if x != "null" else empty
+
+        # a NULL ordering key is its own peer group: the value split
+        # above can't see it (NULL compares with nothing), and both
+        # engines give a NULL-key row a frame of exactly its peer
+        # region extended to the partition edge on any UNBOUNDED
+        # side. Excluding the group leaves the non-NULL-key rows on
+        # the unbounded side toward them (NULLS LAST → preceding;
+        # NULLS FIRST → following), else nothing.
+        part_prefix = _pp
+        nn = (
+            f"({fn}(case when ({key}) is not null then ({arg}) end)"
+            f" over ({part_prefix}))"
+        )
+        null_reaches = (
+            lo == "unbounded preceding"
+            if (knulls or "last") == "last"
+            else hi == "unbounded following"
+        )
+        g_null = nn if null_reaches else "null"
+        if kind == "group":
+            body, nbody = done(g), done(g_null)
+        else:
+            body, nbody = done(nz(g, f"({arg})")), done(
+                nz(g_null, f"({arg})")
+            )
+        if body == nbody:
+            return body
+        return (
+            f"(case when ({key}) is null then {nbody}"
+            f" else {body} end)"
+        )
+
     def _rewrite_window_exclude(
         self, stmt: str
     ) -> tuple[str, list[str]]:
@@ -3406,9 +3594,6 @@ class AnalyticsEngine:
         DuckDB-probed:
 
         - EXCLUDE NO OTHERS — the explicit default: strip.
-        - a frame that provably cannot CONTAIN the current row (both
-          bounds preceding, or both following): EXCLUDE CURRENT ROW
-          is a no-op — strip.
         - EXCLUDE CURRENT ROW with sum/count/avg: rewrite by
           SUBTRACTION — ``sum(x) over f  minus  the current row's
           contribution``, with a count guard so an all-excluded frame
@@ -3428,12 +3613,24 @@ class AnalyticsEngine:
           edges, so the peers-inside-the-frame aggregate is computed
           from cumulative prefix windows at the frame bounds
           intersected with the peer-group bounds (row_number/rank
-          arithmetic — see ``_exclude_peers_repl``). A RANGE frame
-          that cannot contain the current row contains no peers
-          either (peers sit at value-distance 0), so GROUP/TIES
-          strip there; a ROWS frame that cannot contain the current
-          row CAN still contain peers and refuses by name, as do
-          min/max (no subtraction exists).
+          arithmetic — see ``_exclude_peers_repl``).
+        - EXCLUDE TIES / EXCLUDE GROUP with min/max on RANGE/default
+          frames (r12 verdict #5 — ``_exclude_minmax_range_repl``):
+          the kept set is two value intervals around an INTEGER
+          ordering key, no subtraction needed; ROWS frames and
+          non-integer keys refuse by name.
+        - a frame that cannot contain the current row: DuckDB
+          computes EVERY exclusion over the frame CLAMPED (row
+          space) to touch the current row — probed on ROWS and RANGE
+          frames, both sides, r13. TIES/GROUP clamp the near bound
+          to CURRENT ROW textually and re-enter the machinery above
+          (for RANGE the value-level clamp is equivalent: the
+          far-side peers it adds are removed again with the peer
+          group). EXCLUDE CURRENT ROW on ROWS clamps the same way;
+          on RANGE the clamped gap is the ROWS cumulative at the
+          current row minus the RANGE cumulative at the near bound
+          (zero for NULL keys, whose frame already contains the
+          row); min/max there refuses by name (no closed form).
 
         Pure text rewrite into plain OVER clauses, so Catalyst plans
         the result as ordinary window functions — the extra
@@ -3479,20 +3676,6 @@ class AnalyticsEngine:
                     " supported — spell ROWS/RANGE BETWEEN ... AND"
                     " ..."
                 )
-            if not contains_current:
-                if kind == "current row" or (
-                    fm and fm.group(1).lower() == "range"
-                ):
-                    # no current row in the frame — and for a RANGE
-                    # frame no peers either (they sit at
-                    # value-distance 0), so GROUP/TIES strip too
-                    out = out[: om.end()] + spec_wo + out[cp:]
-                    continue
-                raise EngineError(
-                    f"window EXCLUDE {kind.upper()} over a ROWS"
-                    " frame that does not contain the current row"
-                    " is not supported"
-                )
             if kind in ("ties", "group") and not re.search(
                 r"\border\s+by\b", _blank_literals(spec_wo), re.I
             ):
@@ -3518,18 +3701,146 @@ class AnalyticsEngine:
             fn = nm.group(1).lower()
             arg = head[open_i + 1: len(head) - 1].strip()
             star = arg == "*"
+            if not contains_current:
+                known = fn in ("sum", "count", "avg", "min", "max")
+                if not known:
+                    # rank-family functions ignore frames: strip
+                    out = out[: om.end()] + spec_wo + out[cp:]
+                    continue
+                is_rng = bool(fm) and fm.group(1).lower() == "range"
+                lo0 = re.sub(r"\s+", " ", fm.group(2).strip().lower())
+                hi0 = re.sub(r"\s+", " ", fm.group(3).strip().lower())
+                prec_side = hi0.endswith("preceding")
+                if kind != "current row" or not is_rng:
+                    # DuckDB computes EVERY frame exclusion over the
+                    # frame CLAMPED to touch the current row (probed
+                    # ROWS + RANGE, both sides, r13): extend the near
+                    # bound to CURRENT ROW and re-enter the loop —
+                    # the clamped frame contains the current row, so
+                    # the standard TIES/GROUP/CURRENT ROW machinery
+                    # applies. For TIES/GROUP the value-level RANGE
+                    # clamp is equivalent to DuckDB's row-level one
+                    # (the far-side peers it adds are removed again
+                    # with the peer group); for EXCLUDE CURRENT ROW
+                    # the ROWS clamp is the row-level one exactly.
+                    body = fm.group(1) + " between " + (
+                        f"{lo0} and current row" if prec_side
+                        else f"current row and {hi0}"
+                    )
+                    new_spec = (
+                        f"{spec_wo[: fm.start()].strip()} {body}"
+                        f" exclude {kind}"
+                    )
+                    out = out[: om.end()] + new_spec + out[cp:]
+                    continue
+                if fn in ("min", "max"):
+                    raise EngineError(
+                        f"window EXCLUDE CURRENT ROW with {fn}() on"
+                        " a RANGE frame that does not contain the"
+                        " current row is not supported (DuckDB"
+                        " row-clamps the frame and the clamped gap"
+                        " has no min/max closed form) — use a ROWS"
+                        " frame"
+                    )
+                # sum/count/avg, RANGE + EXCLUDE CURRENT ROW: the
+                # row-level clamp is frame ∪ rows(gap .. current] —
+                # the gap aggregate is the ROWS cumulative at the
+                # current row minus the RANGE cumulative at the
+                # frame's near bound (both expressible, same sort).
+                # A NULL ordering key's frame already CONTAINS the
+                # row (it clamps to the peer region), so its gap is
+                # zero — the gap term gates on key non-nullness.
+                key0, _kn0, _pp0 = self._exclude_order_key(
+                    spec_wo, fm, "EXCLUDE CURRENT ROW"
+                )
+                pfx2 = spec_wo[: fm.start()].strip()
+
+                def _w2(af: str, aa: str, frame: str) -> str:
+                    return (
+                        f"coalesce({af}({aa}) over"
+                        f" ({pfx2} {frame}), 0)"
+                    )
+
+                def clamped(af: str, aa: str) -> str:
+                    frame_a = _w2(af, aa, f"{fm.group(1)} between {lo0} and {hi0}")
+                    if prec_side:
+                        cum0 = _w2(
+                            af, aa,
+                            "rows between unbounded preceding and"
+                            " current row",
+                        )
+                        cumr = _w2(
+                            af, aa,
+                            f"range between unbounded preceding and"
+                            f" {hi0}",
+                        )
+                    else:
+                        cum0 = _w2(
+                            af, aa,
+                            "rows between current row and unbounded"
+                            " following",
+                        )
+                        cumr = _w2(
+                            af, aa,
+                            f"range between {lo0} and unbounded"
+                            " following",
+                        )
+                    return (
+                        f"({frame_a} + (case when ({key0}) is null"
+                        f" then 0 else {cum0} - {cumr} end))"
+                    )
+
+                if fn == "count":
+                    curn2 = (
+                        "1" if star else
+                        f"(case when ({arg}) is not null then 1"
+                        " else 0 end)"
+                    )
+                    repl = (
+                        f"({clamped('count', '*' if star else arg)}"
+                        f" - {curn2})"
+                    )
+                else:
+                    if star:
+                        raise EngineError(
+                            f"{fn}(*) is not a window call"
+                        )
+                    curn2 = (
+                        f"(case when ({arg}) is not null then 1"
+                        " else 0 end)"
+                    )
+                    tcnt = f"({clamped('count', arg)} - {curn2})"
+                    tsum = (
+                        f"({clamped('sum', arg)} -"
+                        f" coalesce({arg}, 0))"
+                    )
+                    repl = (
+                        f"(case when {tcnt} = 0 then null else"
+                        f" {tsum} end)" if fn == "sum" else
+                        f"(case when {tcnt} = 0 then null else"
+                        f" {tsum} / cast({tcnt} as double) end)"
+                    )
+                out = head[: nm.start(1)] + repl + out[cp + 1:]
+                continue
             if kind in ("ties", "group"):
-                if fn not in ("sum", "count", "avg"):
+                if fn in ("min", "max"):
+                    repl = self._exclude_minmax_range_repl(
+                        out, fn, arg, spec_wo, fm, kind
+                    )
+                elif fn not in ("sum", "count", "avg"):
                     raise EngineError(
                         f"window EXCLUDE {kind.upper()} with {fn}()"
-                        " is not supported (sum/count/avg are —"
-                        " min/max cannot subtract the peer group)"
+                        " is not supported"
+                        " (sum/count/avg/min/max are)"
                     )
-                if star and fn != "count":
-                    raise EngineError(f"{fn}(*) is not a window call")
-                repl = self._exclude_peers_repl(
-                    fn, arg, star, spec_wo, fm, kind
-                )
+                else:
+                    if star and fn != "count":
+                        raise EngineError(
+                            f"{fn}(*) is not a window call"
+                        )
+                    repl = self._exclude_peers_repl(
+                        fn, arg, star, spec_wo, fm, kind
+                    )
             elif fn == "count":
                 cnt = (
                     f"((count(*) over ({spec_wo})) - 1)" if star else
@@ -4684,7 +4995,24 @@ class AnalyticsEngine:
         except EngineError:
             raise
         except Exception as e:  # surface Spark analysis errors uniformly
-            raise EngineError(str(e)) from e
+            msg = str(e)
+            if "DATATYPE_MISMATCH" in msg and '"STRING"' in msg and (
+                "try_element_at" in msg
+                or (
+                    'Cannot resolve "size(' in msg
+                    and "try_cast(greatest(" in stmt
+                )  # the slice lowering's distinctive clamp text
+            ):
+                # the collections rewrite lowered xs[i] for a
+                # STRING-typed column (a text rewrite cannot see
+                # column types) — name the boundary instead of the
+                # raw Spark error (r12 verdict #6)
+                raise EngineError(
+                    "indexing/slicing a string-typed COLUMN with"
+                    " [..] is not supported (a text rewrite cannot"
+                    " see column types) — spell it substr(col, i, n)"
+                ) from e
+            raise EngineError(msg) from e
         finally:
             # a FAILED temp create must not leave the pending marker
             # suppressing saves of a later permanent table of the

@@ -1299,3 +1299,66 @@ def test_random_null_key_ordered_agg_agrees_with_duckdb(
     assert _rowset(eng.execute(sql).rows) == _rowset(
         con.execute(sql).fetchall()
     ), sql
+
+
+# Window-EXCLUDE fuzz arm (r13): random frame × exclusion × aggregate
+# over the NULL-bearing ordering key, engine vs DuckDB's native
+# EXCLUDE. RANGE shapes order by the key alone (peer semantics are
+# the point; interval aggregates are order-independent), ROWS shapes
+# add the unique id for a total order. Combos the engine refuses by
+# name (min/max on ROWS ties/group; min/max RANGE + exclude current
+# row) are excluded by construction — the deterministic grid in
+# test_parser_surfaces_differential.py pins those refusals.
+_EX_LO = st.sampled_from(
+    ["unbounded preceding", "3 preceding", "1 preceding",
+     "current row", "1 following"]
+)
+_EX_HI = st.sampled_from(
+    ["1 preceding", "current row", "2 following",
+     "unbounded following"]
+)
+_EX_KIND = st.sampled_from(["current row", "ties", "group"])
+_EX_AGG = st.sampled_from(
+    ["sum(v)", "count(v)", "count(*)", "avg(v)", "min(v)", "max(v)"]
+)
+
+_EX_ORD = {
+    "unbounded preceding": 0, "3 preceding": 1, "1 preceding": 2,
+    "current row": 3, "1 following": 4, "2 following": 5,
+    "unbounded following": 6,
+}
+
+
+@seed(FUZZ_ROUND * 337 + 4)
+@settings(max_examples=40, deadline=None)
+@given(lo=_EX_LO, hi=_EX_HI, kind=_EX_KIND, agg=_EX_AGG)
+def test_random_window_exclude_agrees_with_duckdb(
+    nulls_fuzz_engine, lo, hi, kind, agg
+):
+    eng, con = nulls_fuzz_engine
+    if _EX_ORD[lo] > _EX_ORD[hi]:
+        return  # invalid frame (lo after hi) — both engines reject
+    is_minmax = agg.startswith(("min", "max"))
+    if is_minmax and kind == "current row":
+        frame = "rows"
+    elif is_minmax:
+        frame = "range"
+    else:
+        frame = "rows" if len(lo + hi + kind + agg) % 2 else "range"
+    order = "k, id" if frame == "rows" else "k"
+    sql = (
+        f"select id, {agg} over (partition by g order by {order}"
+        f" {frame} between {lo} and {hi} exclude {kind}) as x"
+        f" from nfz order by id"
+    )
+    er = [tuple(r) for r in eng.execute(sql).rows]
+    dr = con.execute(sql).fetchall()
+    def nrm(rows):
+        return [
+            tuple(
+                round(float(x), 6) if isinstance(x, float) else x
+                for x in r
+            )
+            for r in rows
+        ]
+    assert nrm(er) == nrm(dr), sql

@@ -3565,23 +3565,23 @@ def test_window_exclude_matches_duckdb(spark, tmp_path):
         assert (
             eng.execute(sql).rows == con.execute(sql).fetchall()
         ), sql
-    # Declared divergence (pinned): a frame that provably cannot
-    # contain the current row (both bounds FOLLOWING). Excluding a
-    # non-member row must be a no-op — the engine strips the clause
-    # and matches the PLAIN frame; DuckDB v1.0.0 returns a shifted
-    # window instead (its own exclude-handling artifact).
+    # A frame that provably cannot contain the current row (both
+    # bounds FOLLOWING): r11 pinned DuckDB's "shifted window" here as
+    # an artifact and stripped the clause; r13's probes showed it is
+    # DuckDB's actual exclusion model — the frame CLAMPS (row space)
+    # to touch the current row before excluding — so the engine now
+    # reproduces it and diverges from the plain frame exactly as
+    # DuckDB does.
     shape = (
         "select g, k, sum(v) over (partition by g order by k rows"
         " between 3 following and 5 following{}) as s from w"
         " order by g, k"
     )
     plain = con.execute(shape.format("")).fetchall()
-    assert eng.execute(
-        shape.format(" exclude current row")
-    ).rows == plain
-    assert con.execute(
-        shape.format(" exclude current row")
-    ).fetchall() != plain  # the duckdb artifact, pinned as-is
+    excl = shape.format(" exclude current row")
+    duck = con.execute(excl).fetchall()
+    assert eng.execute(excl).rows == duck
+    assert duck != plain  # the clamp is observable on this shape
     # named refusals
     for sql in (
         "select sum(v) over (partition by g rows between 1 preceding"
@@ -3877,10 +3877,14 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
         )
         for i in range(120)
     ]
+    rows += [  # NULL ordering keys: their own peer group
+        (200, 1, None, 2.5), (201, 1, None, None), (202, 2, None, 7.0),
+    ]
     ddl = (
         "create table t (id int, g int, k int, v double)",
         "insert into t values " + ", ".join(
-            f"({i},{g},{k},{'null' if v is None else v})"
+            f"({i},{g},{'null' if k is None else k},"
+            f"{'null' if v is None else v})"
             for i, g, k, v in rows
         ),
     )
@@ -3904,10 +3908,79 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
         for agg in ("sum(v)", "count(v)", "count(*)", "avg(v)")
         for kind in ("group", "ties")
     ] + [
-        # a both-preceding RANGE frame holds no peers: GROUP strips
+        # min/max EXCLUDE TIES/GROUP on RANGE frames (r12 verdict #5
+        # — api.py::_exclude_minmax_range_repl): the kept set is two
+        # value intervals around the integer key, so min/max need no
+        # subtraction; NULL keys take the peer-region branch
+        f"select id, {agg} over (partition by g order by k"
+        f" {frame} exclude {kind}) as x from t order by id"
+        for frame in (
+            "range between unbounded preceding and current row",
+            "range between 1 preceding and 2 following",
+            "range between current row and unbounded following",
+            "range between unbounded preceding and unbounded"
+            " following",
+        )
+        for agg in ("min(v)", "max(v)")
+        for kind in ("group", "ties")
+    ] + [
+        # a both-preceding RANGE frame holds no peers FOR NON-NULL
+        # keys (EXCLUDE is a no-op there) — but a NULL key's frame
+        # clamps to its peer region plus any UNBOUNDED side, so the
+        # rewrite case-splits on key nullness (r13: the null-key
+        # fixture rows found the old unconditional strip)
         "select id, sum(v) over (partition by g order by k range"
         " between 3 preceding and 1 preceding exclude group) as x"
         " from t order by id",
+        "select id, sum(v) over (partition by g order by k range"
+        " between 3 preceding and 1 preceding exclude ties) as x"
+        " from t order by id",
+        "select id, avg(v) over (partition by g order by k range"
+        " between unbounded preceding and 1 preceding exclude"
+        " current row) as x from t order by id",
+        "select id, count(v) over (partition by g order by k range"
+        " between 1 following and unbounded following exclude"
+        " group) as x from t order by id",
+        "select id, min(v) over (partition by g order by k range"
+        " between 3 preceding and 1 preceding exclude group) as x"
+        " from t order by id",
+        "select id, max(v) over (partition by g order by k range"
+        " between unbounded preceding and 1 preceding exclude ties)"
+        " as x from t order by id",
+        # EXCLUDE CURRENT ROW on frames missing the current row:
+        # DuckDB extends the frame's NEAR boundary over the
+        # same-side peers before excluding (probed both directions)
+        "select id, sum(v) over (partition by g order by k range"
+        " between unbounded preceding and 1 preceding exclude"
+        " current row) as x from t order by id",
+        "select id, sum(v) over (partition by g order by k range"
+        " between 1 following and unbounded following exclude"
+        " current row) as x from t order by id",
+        "select id, count(v) over (partition by g order by k range"
+        " between 1 following and 3 following exclude current row)"
+        " as x from t order by id",
+        "select id, avg(v) over (partition by g order by k range"
+        " between 2 following and unbounded following exclude ties)"
+        " as x from t order by id",
+        # not-containing ROWS frames: the row-space clamp applies to
+        # every exclusion kind (ties/group re-enter the cumulative
+        # peers machinery; current row re-enters the subtraction /
+        # min-max split paths)
+        "select id, sum(v) over (partition by g order by k, id rows"
+        " between 5 preceding and 2 preceding exclude group) as x"
+        " from t order by id",
+        "select id, sum(v) over (partition by g order by k, id rows"
+        " between 3 preceding and 2 preceding exclude ties) as x"
+        " from t order by id",
+        "select id, sum(v) over (partition by g order by k, id rows"
+        " between 3 preceding and 2 preceding exclude current row)"
+        " as x from t order by id",
+        "select id, min(v) over (partition by g order by k, id rows"
+        " between 2 following and 4 following exclude current row)"
+        " as x from t order by id",
+        "select id, count(v) over (partition by g order by k, id"
+        " rows between 2 following and 4 following exclude group)"
+        " as x from t order by id",
         # EXCLUDE CURRENT ROW regressions (sum subtraction; min split)
         "select id, sum(v) over (partition by g order by k rows"
         " between 2 preceding and 2 following exclude current row)"
@@ -3930,13 +4003,18 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
         er = nrm([tuple(r) for r in eng.execute(sql).rows])
         dr = nrm(con.execute(sql).fetchall())
         assert er == dr, sql
-    # named refusals: peers can sit in a both-preceding ROWS frame
-    # (not computable by stripping), and min/max cannot subtract
+    # named refusals: min/max EXCLUDE TIES/GROUP need a RANGE frame
+    # (ROWS peers straddle) with an INTEGER key (the value split is
+    # in key units); min/max EXCLUDE CURRENT ROW on a not-containing
+    # RANGE frame has no closed form for the row-clamped gap
     for sql in (
-        "select sum(v) over (partition by g order by k rows between"
-        " 5 preceding and 2 preceding exclude group) from t",
         "select min(v) over (partition by g order by k rows between"
         " 2 preceding and 2 following exclude ties) from t",
+        "select min(k) over (partition by g order by v range between"
+        " unbounded preceding and current row exclude group) from t",
+        "select max(v) over (partition by g order by k range between"
+        " unbounded preceding and 2 preceding exclude current row)"
+        " from t",
     ):
         with pytest.raises(EngineError):
             eng.execute(sql)
@@ -3977,6 +4055,17 @@ def test_list_function_family_matches_duckdb(spark, tmp_path):
         "select list_reverse(xs) r, list_value(1, 2) lv"
         " from t order by v",
         "select list_sort([2,1,NULL]) s, list_unique([1,NULL,2,2]) u",
+        # list_sum/list_avg (r12 verdict #7): non-NULL elements,
+        # empty/all-NULL → NULL; the engine accumulates in DOUBLE
+        # (same values below 2^53; declared README boundary) so the
+        # compare relies on Python's cross-type numeric equality
+        "select list_sum([1, 2, null]) s, list_avg([1, 2, null]) a,"
+        " list_sum([]) is null e, list_sum([null]) is null n",
+        "select list_sum(xs) s, list_avg(xs) a from t order by v",
+        # list_concat with an UNTYPED NULL literal side (r12 verdict
+        # #6): the NULL side is absent, same as typed/column NULLs
+        "select list_concat(NULL, xs) c1, list_concat(xs, NULL) c2"
+        " from t order by v",
         # struct_pack / struct_extract (DuckDB spellings)
         "select struct_extract(struct_pack(a := 5, b := 'y'), 'a')"
         " x, struct_pack(a := 1).a y",
