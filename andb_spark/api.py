@@ -2613,7 +2613,9 @@ class AnalyticsEngine:
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
                 r"|list_prepend|list_slice|list_concat|list_cat"
-                r"|list_sum|list_avg"
+                r"|list_sum|list_avg|jaccard|hamming|mismatches"
+                r"|even|fdiv|gcd|greatest_common_divisor|lcm"
+                r"|least_common_multiple"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
@@ -2698,24 +2700,40 @@ class AnalyticsEngine:
                 # the struct so all-NULL-key groups still return a
                 # value (r12 verdict #3)
                 expr2 = inner[: fob.start()].strip()
-                keys2, descs2 = [], []
+                keys2, descs2, nulls2 = [], [], []
                 for kp in self._split_collection_items(
                     inner[fob.end():], ib[fob.end():]
                 ):
-                    km2 = re.match(
-                        r"^(.*?)(?:\s+(asc|desc))?\s*$",
-                        kp.strip(), re.I | re.S,
+                    kx2, kd2, kn2 = self._parse_order_item(kp)
+                    keys2.append(kx2)
+                    descs2.append(kd2 == "desc")
+                    nulls2.append(kn2)
+                if (any(descs2) and not all(descs2)) or any(
+                    (n or "last") == "first" for n in nulls2
+                ):
+                    # mixed directions / explicit NULLS FIRST: no
+                    # flag-struct min_by exists — sort a collected
+                    # struct list with a per-key comparator and take
+                    # the first/last element (r13; formerly a named
+                    # refusal)
+                    fields2 = ", ".join(
+                        f"'o{i}', ({k})"
+                        for i, k in enumerate(keys2)
+                    ) + f", 'v', ({expr2})"
+                    srt2 = (
+                        "transform(array_sort(collect_list("
+                        f"named_struct({fields2})),"
+                        f" {self._ordered_struct_cmp(descs2, nulls2)}"
+                        "), _cv -> _cv.v)"
                     )
-                    keys2.append(km2.group(1).strip())
-                    descs2.append(
-                        bool(km2.group(2))
-                        and km2.group(2).lower() == "desc"
+                    out = (
+                        out[:moff]
+                        + "try_element_at("
+                        + srt2
+                        + (", 1)" if fn == "first" else ", -1)")
+                        + out[cp + 1:]
                     )
-                if any(descs2) and not all(descs2):
-                    raise EngineError(
-                        f"{fn}(... ORDER BY ...) with mixed"
-                        " ASC/DESC keys is not supported"
-                    )
+                    continue
                 desc2 = bool(descs2 and all(descs2))
                 # ASC: NULLS LAST = (k IS NULL) sorts after; DESC
                 # flips the min/max so the flag flips too
@@ -2874,27 +2892,29 @@ class AnalyticsEngine:
                 expr = inner[: obm.start()].strip()
                 spec = inner[obm.end():]
                 spec_b = ib[obm.end():]
-                if re.search(r"\bnulls\b", spec_b, re.I):
-                    raise EngineError(
-                        f"{fn}(... ORDER BY ... NULLS FIRST/LAST) is"
-                        " not supported"
-                    )
-                keys, descs = [], []
+                keys, descs, knulls = [], [], []
                 for kp in self._split_collection_items(spec, spec_b):
-                    km = re.match(
-                        r"^(.*?)(?:\s+(asc|desc))?\s*$",
-                        kp.strip(), re.I | re.S,
+                    kx, kd, kn = self._parse_order_item(kp)
+                    keys.append(kx)
+                    descs.append(kd == "desc")
+                    knulls.append(kn)
+                if (any(descs) and not all(descs)) or any(
+                    (n or "last") == "first" for n in knulls
+                ):
+                    # mixed directions / explicit NULLS FIRST take
+                    # the per-key comparator sort (r13; formerly a
+                    # named refusal)
+                    fieldsm = ", ".join(
+                        f"'o{i}', ({k})" for i, k in enumerate(keys)
+                    ) + f", 'v', ({expr})"
+                    repl = (
+                        "transform(array_sort(collect_list("
+                        f"named_struct({fieldsm})),"
+                        f" {self._ordered_struct_cmp(descs, knulls)}"
+                        f"), {v} -> {v}.v)"
                     )
-                    keys.append(km.group(1).strip())
-                    descs.append(
-                        bool(km.group(2))
-                        and km.group(2).lower() == "desc"
-                    )
-                if any(descs) and not all(descs):
-                    raise EngineError(
-                        f"{fn}(... ORDER BY ...) with mixed ASC/DESC"
-                        " keys is not supported"
-                    )
+                    out = out[:moff] + repl + out[cp + 1:]
+                    continue
                 # NULL keys sort LAST in DuckDB's default null order
                 # (r12 verdict #1): each key rides with an is-null
                 # flag so the struct sort places them after values —
@@ -2959,6 +2979,12 @@ class AnalyticsEngine:
                     f"(case when size({fl}) = 0 then null"
                     f" else {body} end)"
                 )
+            elif fn in (
+                "jaccard", "hamming", "mismatches", "even", "fdiv",
+                "gcd", "greatest_common_divisor", "lcm",
+                "least_common_multiple",
+            ):
+                repl = self._niche_fn_repl(fn, args)
             elif fn == "list_prepend" and len(args) == 2:
                 repl = (
                     f"array_prepend(({args[1].strip()}),"
@@ -3114,7 +3140,9 @@ class AnalyticsEngine:
             r"|str_split|string_to_array|format|extract"
             r"|starts_with|ends_with|strpos|arg_max|arg_min"
             r"|quantile_cont|first|last|product|skewness"
-            r"|kurtosis)\s*\(",
+            r"|kurtosis|jaccard|hamming|mismatches|even|fdiv"
+            r"|gcd|greatest_common_divisor|lcm"
+            r"|least_common_multiple)\s*\(",
             stmt, re.I,
         ):
             # ambiguous-operator refusals must still run: `2 ^ 3`
@@ -3433,6 +3461,107 @@ class AnalyticsEngine:
         return (  # avg
             f"(case when {cnt_kept} = 0 then null else"
             f" {sum_kept} / cast({cnt_kept} as double) end)"
+        )
+
+    @staticmethod
+    def _ordered_struct_cmp(
+        descs: list[bool], nulls: list[str]
+    ) -> str:
+        """An array_sort comparator lambda over ``named_struct('o0',
+        k0, ...)`` elements for a per-key direction/null-order spec —
+        the lowering for MIXED-direction (or explicit NULLS
+        FIRST/LAST) ordered aggregates, which a flag-struct sort
+        cannot express. Unqualified keys take DuckDB's default null
+        order (NULLS LAST in both directions)."""
+        if len(descs) > 8:
+            raise EngineError(
+                "ordered aggregate with more than 8 ORDER BY keys is"
+                " not supported"
+            )
+        body = "0"
+        for i in reversed(range(len(descs))):
+            lt, gt = (1, -1) if descs[i] else (-1, 1)
+            nl = 1 if (nulls[i] or "last") == "last" else -1
+            body = (
+                f"case when _cl.o{i} is null and _cr.o{i} is null"
+                f" then {body}"
+                f" when _cl.o{i} is null then {nl}"
+                f" when _cr.o{i} is null then {-nl}"
+                f" when _cl.o{i} < _cr.o{i} then {lt}"
+                f" when _cl.o{i} > _cr.o{i} then {gt}"
+                f" else {body} end"
+            )
+        return f"(_cl, _cr) -> {body}"
+
+    @staticmethod
+    def _niche_fn_repl(fn: str, args: list[str]) -> str:
+        """DuckDB's niche scalar functions lowered onto Spark
+        natives/HOFs (each DuckDB-probed; r12 verdict: these
+        surfaced raw unresolved-routine errors):
+
+        - jaccard(s1, s2): CHARACTER-SET Jaccard, case-sensitive
+          ('abc' vs 'cx' → 0.25); empty arguments error
+        - hamming / mismatches(s1, s2): differing positions; unequal
+          lengths error (raise_error mirrors DuckDB's)
+        - even(x): next even DOUBLE away from zero (even(-0.5) → -2)
+        - fdiv(x, y): floor division as DOUBLE, NULL on y = 0
+        - gcd / lcm: BIGINT, absolute values, gcd(0, n) = |n| and
+          lcm(0, n) = 0 — a bounded 96-step Euclid fold (the int64
+          worst case, consecutive Fibonacci numbers, needs ≤ 92)
+          via aggregate(), so the whole thing stays JVM-side
+        """
+        two = fn not in ("even",)
+        if len(args) != (2 if two else 1):
+            raise EngineError(
+                f"{fn} expects {2 if two else 1} argument(s)"
+            )
+        x = f"({args[0].strip()})"
+        y = f"({args[1].strip()})" if two else ""
+        if fn == "jaccard":
+            ds = [f"array_distinct(split({a}, ''))" for a in (x, y)]
+            guard = (
+                f"case when length({x}) < 1 or length({y}) < 1 then"
+                " raise_error('jaccard: an argument is too short')"
+            )
+            return (
+                f"({guard} else cast(size(array_intersect({ds[0]},"
+                f" {ds[1]})) as double) / size(array_union({ds[0]},"
+                f" {ds[1]})) end)"
+            )
+        if fn in ("hamming", "mismatches"):
+            return (
+                f"(case when length({x}) <> length({y}) then"
+                f" cast(raise_error('{fn}: strings must be of equal"
+                " length') as bigint) else cast(size(filter("
+                f"zip_with(split({x}, ''), split({y}, ''),"
+                " (_ha, _hb) -> _ha <> _hb), _hz -> _hz)) as bigint)"
+                " end)"
+            )
+        if fn == "even":
+            return (
+                f"(case when {x} = 0 then cast(0 as double)"
+                f" else sign({x}) * 2 * ceil(abs(cast({x} as"
+                " double)) / 2) end)"
+            )
+        if fn == "fdiv":
+            return (
+                f"(case when {y} = 0 then null else"
+                f" cast(floor(cast({x} as double) / {y}) as double)"
+                " end)"
+            )
+        gcd = (
+            "aggregate(sequence(1, 96), named_struct("
+            f"'a', abs(cast({x} as bigint)),"
+            f" 'b', abs(cast({y} as bigint))),"
+            " (_ga, _gi) -> case when _ga.b = 0 then _ga else"
+            " named_struct('a', _ga.b, 'b', _ga.a % _ga.b) end).a"
+        )
+        if fn in ("gcd", "greatest_common_divisor"):
+            return f"({gcd})"
+        return (  # lcm
+            f"(case when {x} = 0 or {y} = 0 then cast(0 as bigint)"
+            f" else abs(cast({x} as bigint) div ({gcd})"
+            f" * cast({y} as bigint)) end)"
         )
 
     def _exclude_order_key(

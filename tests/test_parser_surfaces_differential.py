@@ -4066,6 +4066,12 @@ def test_list_function_family_matches_duckdb(spark, tmp_path):
         # #6): the NULL side is absent, same as typed/column NULLs
         "select list_concat(NULL, xs) c1, list_concat(xs, NULL) c2"
         " from t order by v",
+        # mixed-direction / explicit-NULLS ordered aggregates (r13 —
+        # per-key comparator sort; formerly named refusals)
+        "select list(v order by xs[1] asc, v desc) as l from t",
+        "select list(v order by xs[1] nulls first, v) as l from t",
+        "select first(v order by xs[1], v desc) as f,"
+        " last(v order by xs[1], v desc) as lst from t",
         # struct_pack / struct_extract (DuckDB spellings)
         "select struct_extract(struct_pack(a := 5, b := 'y'), 'a')"
         " x, struct_pack(a := 1).a y",
@@ -4547,4 +4553,46 @@ def test_order_by_null_placement_matches_duckdb(spark, tmp_path):
             "select k from t order by k fetch first 3 rows with ties"
         ).rows
     ) == [(1,), (2,), (3,)]
+    eng.close()
+
+
+def test_niche_scalar_functions_match_duckdb(spark, tmp_path):
+    """DuckDB's niche scalar functions (api.py::_niche_fn_repl —
+    formerly raw unresolved-routine errors): character-set jaccard,
+    positional hamming/mismatches, even (next even away from zero),
+    fdiv (floor division, NULL on zero), and gcd/lcm via a bounded
+    96-step Euclid fold (int64 worst case — consecutive Fibonacci
+    numbers — needs 92). Identical SQL on both engines; the error
+    shapes raise on both."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whnf"), spark=spark)
+    con = duckdb.connect()
+    for sql in (
+        "select jaccard('duck', 'luck') a, jaccard('abc', 'cx') b,"
+        " jaccard('aab', 'ab') c",
+        "select hamming('duck', 'luck') a, hamming('abc', 'abc') b,"
+        " mismatches('ax', 'ab') c",
+        "select even(2.9) a, even(-2.9) b, even(2) c, even(-0.5) d,"
+        " even(0) e",
+        "select fdiv(7, 2) a, fdiv(-7, 2) b, fdiv(7.5, 2) c,"
+        " fdiv(7, 0) z",
+        "select gcd(12, 18) a, lcm(4, 6) b, gcd(-12, 18) c,"
+        " gcd(0, 5) d, lcm(0, 5) e, lcm(-4, 6) f",
+        # consecutive Fibonacci numbers: the Euclid worst case
+        "select gcd(7540113804746346429, 4660046610375530309) a",
+    ):
+        er = [tuple(r) for r in eng.execute(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert er == dr, (sql, er, dr)
+    for sql in (
+        "select jaccard('', 'a')",
+        "select hamming('ab', 'abc')",
+    ):
+        with pytest.raises(Exception):
+            eng.execute(sql)
+        with pytest.raises(Exception):
+            con.execute(sql)
     eng.close()
