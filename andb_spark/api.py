@@ -2613,9 +2613,13 @@ class AnalyticsEngine:
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
                 r"|list_prepend|list_slice|list_concat|list_cat"
-                r"|list_sum|list_avg|jaccard|hamming|mismatches"
+                r"|list_sum|list_avg|list_aggregate|list_aggr"
+                r"|jaccard|hamming|mismatches"
                 r"|even|fdiv|gcd|greatest_common_divisor|lcm"
-                r"|least_common_multiple"
+                r"|least_common_multiple|string_agg|group_concat"
+                r"|array_to_string|regexp_split_to_array"
+                r"|string_split_regex|str_split_regex|quantile_disc"
+                r"|quantile|unicode|generate_series|time_bucket"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
@@ -2865,73 +2869,146 @@ class AnalyticsEngine:
                     f"size(array_distinct(filter(({x}), {v} ->"
                     f" {v} is not null)))"
                 )
-            elif fn in ("list", "array_agg"):
-                # DuckDB's list aggregate, with the ORDER BY inside
-                # the call Spark's collect_list lacks: sort structs
-                # of (keys..., value) then project the value —
-                # array_sort over structs compares fields in order,
-                # so multi-key ASC is free and all-DESC is a
-                # reverse(); mixed directions refuse. Without ORDER
-                # BY both spellings are Spark's collect_list (scan
-                # order, same contract as DuckDB's)
+            elif fn in (
+                "list", "array_agg", "string_agg", "group_concat",
+            ):
+                # DuckDB's list/string aggregates, with the ORDER BY
+                # (and DISTINCT) inside the call Spark's
+                # collect_list lacks: sort structs of (keys...,
+                # value) then project the value. Uniform-direction
+                # default-null keys ride is-null flags (NULLS LAST,
+                # r12 verdict #1; all-DESC reverses); mixed
+                # directions / explicit NULLS use a per-key
+                # comparator. DISTINCT dedups struct-wrapped values
+                # (NULL entries survive, as DuckDB keeps them) and
+                # with ORDER BY requires the key to BE the value —
+                # anything else refuses by name. string_agg /
+                # group_concat join the result (array_join skips
+                # NULLs like DuckDB; zero aggregated values → NULL),
+                # defaulting the separator to ','.
+                is_str = fn in ("string_agg", "group_concat")
+                dm_ = re.match(r"\s*distinct\b", ib, re.I)
+                off0 = dm_.end() if dm_ else 0
+                body, body_b = inner[off0:], ib[off0:]
                 obm = next(
                     (
                         mm for mm in re.finditer(
-                            r"\border\s+by\b", ib, re.I
+                            r"\border\s+by\b", body_b, re.I
                         )
-                        if _paren_depth_at(ib, mm.start()) == 0
+                        if _paren_depth_at(body_b, mm.start()) == 0
                     ),
                     None,
                 )
-                if obm is None:
-                    out = (
-                        out[:moff] + "collect_list(" + inner
-                        + ")" + out[cp + 1:]
-                    )
-                    continue
-                expr = inner[: obm.start()].strip()
-                spec = inner[obm.end():]
-                spec_b = ib[obm.end():]
-                keys, descs, knulls = [], [], []
-                for kp in self._split_collection_items(spec, spec_b):
-                    kx, kd, kn = self._parse_order_item(kp)
-                    keys.append(kx)
-                    descs.append(kd == "desc")
-                    knulls.append(kn)
-                if (any(descs) and not all(descs)) or any(
-                    (n or "last") == "first" for n in knulls
+                if re.match(r"\s*over\b", b[cp + 1:], re.I) and (
+                    dm_ or obm or is_str
                 ):
-                    # mixed directions / explicit NULLS FIRST take
-                    # the per-key comparator sort (r13; formerly a
-                    # named refusal)
-                    fieldsm = ", ".join(
-                        f"'o{i}', ({k})" for i, k in enumerate(keys)
-                    ) + f", 'v', ({expr})"
-                    repl = (
-                        "transform(array_sort(collect_list("
-                        f"named_struct({fieldsm})),"
-                        f" {self._ordered_struct_cmp(descs, knulls)}"
-                        f"), {v} -> {v}.v)"
+                    raise EngineError(
+                        f"{fn}(...) with DISTINCT/ORDER BY/joining"
+                        " as a WINDOW function is not supported —"
+                        " aggregate in a subquery and join back"
                     )
-                    out = out[:moff] + repl + out[cp + 1:]
-                    continue
-                # NULL keys sort LAST in DuckDB's default null order
-                # (r12 verdict #1): each key rides with an is-null
-                # flag so the struct sort places them after values —
-                # the DESC path reverses an ascending sort, so its
-                # flag polarity flips (nulls ascend FIRST, reverse
-                # lands them LAST)
-                dsc = bool(descs) and all(descs)
-                nflag = "is not null" if dsc else "is null"
-                fields = ", ".join(
-                    f"'n{i}', (({k}) {nflag}), 'o{i}', ({k})"
-                    for i, k in enumerate(keys)
-                ) + f", 'v', ({expr})"
-                core = (
-                    f"transform(array_sort(collect_list("
-                    f"named_struct({fields}))), {v} -> {v}.v)"
-                )
-                repl = f"reverse({core})" if dsc else core
+                ob0 = obm.start() if obm else len(body)
+                if is_str:
+                    pieces = self._split_collection_items(
+                        body[:ob0], body_b[:ob0]
+                    )
+                    if len(pieces) == 1:
+                        expr, sep = pieces[0].strip(), "','"
+                    elif len(pieces) == 2:
+                        expr = pieces[0].strip()
+                        sep = f"({pieces[1].strip()})"
+                    else:
+                        raise EngineError(
+                            f"{fn} expects (value [, separator"
+                            " [ORDER BY ...]])"
+                        )
+                else:
+                    expr = body[:ob0].strip()
+                    if "," in body_b[:ob0]:
+                        raise EngineError(
+                            f"{fn} expects one value expression"
+                        )
+                if obm is None and not dm_:
+                    arr = f"collect_list(({expr}))"
+                    if not is_str:  # scan order, DuckDB's contract
+                        out = (
+                            out[:moff] + arr + out[cp + 1:]
+                        )
+                        continue
+                elif obm is None:  # DISTINCT, unordered
+                    arr = (
+                        "transform(array_distinct(collect_list("
+                        f"named_struct('v', ({expr})))),"
+                        f" {v} -> {v}.v)"
+                    )
+                else:
+                    keys, descs, knulls = [], [], []
+                    spec = body[obm.end():]
+                    spec_b = body_b[obm.end():]
+                    for kp in self._split_collection_items(
+                        spec, spec_b
+                    ):
+                        kx, kd, kn = self._parse_order_item(kp)
+                        keys.append(kx)
+                        descs.append(kd == "desc")
+                        knulls.append(kn)
+                    if dm_ and (
+                        len(keys) != 1
+                        or re.sub(r"\s+", "", keys[0]).lower()
+                        != re.sub(r"\s+", "", expr).lower()
+                    ):
+                        raise EngineError(
+                            f"{fn}(DISTINCT x ORDER BY ...) is"
+                            " supported only when the ORDER BY key"
+                            " IS the value expression"
+                        )
+                    dd = "array_distinct" if dm_ else ""
+                    if (any(descs) and not all(descs)) or any(
+                        (n or "last") == "first" for n in knulls
+                    ):
+                        # mixed directions / explicit NULLS FIRST:
+                        # per-key comparator sort (r13)
+                        fieldsm = ", ".join(
+                            f"'o{i}', ({k})"
+                            for i, k in enumerate(keys)
+                        ) + f", 'v', ({expr})"
+                        arr = (
+                            f"transform(array_sort({dd}("
+                            f"collect_list(named_struct({fieldsm}))"
+                            f"), {self._ordered_struct_cmp(descs, knulls)}"
+                            f"), {v} -> {v}.v)"
+                        ) if dm_ else (
+                            "transform(array_sort(collect_list("
+                            f"named_struct({fieldsm})),"
+                            f" {self._ordered_struct_cmp(descs, knulls)}"
+                            f"), {v} -> {v}.v)"
+                        )
+                    else:
+                        # NULL keys sort LAST in DuckDB's default
+                        # null order: is-null flags; the DESC path
+                        # reverses an ascending sort, so the flag
+                        # polarity flips
+                        dsc = bool(descs) and all(descs)
+                        nflag = "is not null" if dsc else "is null"
+                        fields = ", ".join(
+                            f"'n{i}', (({k}) {nflag}), 'o{i}', ({k})"
+                            for i, k in enumerate(keys)
+                        ) + f", 'v', ({expr})"
+                        cl = f"collect_list(named_struct({fields}))"
+                        if dm_:
+                            cl = f"array_distinct({cl})"
+                        core = (
+                            f"transform(array_sort({cl}),"
+                            f" {v} -> {v}.v)"
+                        )
+                        arr = f"reverse({core})" if dsc else core
+                if is_str:
+                    repl = (
+                        f"(case when count(({expr})) = 0 then null"
+                        f" else array_join({arr}, {sep}) end)"
+                    )
+                else:
+                    repl = arr
             elif fn in ("list_concat", "list_cat") and len(args) == 2:
                 # DuckDB treats a NULL side as absent (NULL ++ x → x,
                 # fuzz-arm find); Spark's concat nulls the whole
@@ -2985,6 +3062,104 @@ class AnalyticsEngine:
                 "least_common_multiple",
             ):
                 repl = self._niche_fn_repl(fn, args)
+            elif fn == "array_to_string" and len(args) == 2:
+                # DuckDB skips NULL elements — array_join's default
+                repl = (
+                    f"array_join(({args[0].strip()}),"
+                    f" ({args[1].strip()}))"
+                )
+            elif fn in (
+                "regexp_split_to_array", "string_split_regex",
+                "str_split_regex",
+            ) and len(args) == 2:
+                # Spark's split IS regex-splitting with the same
+                # trailing-empty behavior (probed: 'ab1' \\d →
+                # ['ab',''])
+                repl = (
+                    f"split(({args[0].strip()}),"
+                    f" ({args[1].strip()}))"
+                )
+            elif fn in ("list_aggregate", "list_aggr"):
+                # dispatch on the literal aggregate name: the mapped
+                # names re-enter this scan (list_sum/list_avg) or
+                # lower directly; everything else refuses by name
+                if len(args) != 2 or not re.fullmatch(
+                    r"\s*'(\w+)'\s*", args[1]
+                ):
+                    raise EngineError(
+                        f"{fn} expects (list, 'aggregate_name')"
+                    )
+                an = re.fullmatch(
+                    r"\s*'(\w+)'\s*", args[1]
+                ).group(1).lower()
+                la = f"({args[0].strip()})"
+                if an in ("sum", "avg"):
+                    repl = f"list_{an}({la})"
+                elif an in ("min", "max"):
+                    repl = f"array_{an}({la})"
+                elif an == "count":
+                    repl = (
+                        f"size(filter({la}, {v} -> {v} is not"
+                        " null))"
+                    )
+                elif an == "string_agg":
+                    repl = (
+                        f"array_join(transform({la},"
+                        f" {v} -> cast({v} as string)), ',')"
+                    )
+                else:
+                    raise EngineError(
+                        f"{fn}(..., '{an}') is not supported —"
+                        " sum/avg/min/max/count/string_agg are"
+                    )
+            elif fn in ("quantile", "quantile_disc"):
+                # DuckDB's DISCRETE quantile (quantile is its
+                # alias): the smallest element whose cumulative
+                # position reaches p — ceil(p·n) over the sorted
+                # non-NULL values
+                if len(args) != 2:
+                    raise EngineError(f"{fn} expects two arguments")
+                if re.match(r"\s*over\b", b[cp + 1:], re.I):
+                    raise EngineError(
+                        f"{fn}() as a WINDOW function is not"
+                        " supported — aggregate in a subquery and"
+                        " join back"
+                    )
+                qx = f"({args[0].strip()})"
+                qp = f"({args[1].strip()})"
+                repl = (
+                    f"try_element_at(array_sort(collect_list({qx}))"
+                    f", greatest(1, cast(ceil({qp} * count({qx}))"
+                    " as int)))"
+                )
+            elif fn == "unicode" and len(args) == 1:
+                # Spark's ascii() returns the first CODEPOINT (not
+                # ASCII-only — probed: 'é' → 233 on both)
+                repl = f"ascii(({args[0].strip()}))"
+            elif fn == "generate_series":
+                if not 1 < len(args) < 4:
+                    raise EngineError(
+                        "generate_series expects (start, stop"
+                        " [, step])"
+                    )
+                seq = "sequence(" + ", ".join(
+                    f"({a.strip()})" for a in args
+                ) + ")"
+                # a FROM-list position is DuckDB's table function —
+                # Spark spells it as an exploded subquery; anywhere
+                # else it is the scalar list form (Spark's sequence
+                # IS inclusive like DuckDB's, negative steps agree)
+                prev_w = re.search(r"(\w+)\s*$", b[:moff])
+                if prev_w and prev_w.group(1).lower() in (
+                    "from", "join",
+                ):
+                    repl = (
+                        f"(select explode({seq}) as generate_series)"
+                    )
+                else:
+                    repl = seq
+            elif fn == "time_bucket":
+                repl = self._time_bucket_repl(args)
             elif fn == "list_prepend" and len(args) == 2:
                 repl = (
                     f"array_prepend(({args[1].strip()}),"
@@ -3096,9 +3271,28 @@ class AnalyticsEngine:
         DuckDB's default-NULLS-LAST ordering injection — one entry
         point so the statement pipeline and every stored-body replan
         path normalize identically."""
-        return self._inject_order_nulls_last(
+        out = self._inject_order_nulls_last(
             self._rewrite_duckdb_collections_core(stmt)
         )
+        # DuckDB's length-free VARCHAR (casts, ::varchar, bare DDL
+        # types) → Spark's string: Spark refuses VARCHAR without a
+        # length (r13). Parenthesized VARCHAR(n) stays.
+        if re.search(r"\bvarchar\b(?!\s*\()", out, re.I):
+            out = self._sub_bare_varchar(out, _blank_literals(out))
+        return out
+
+    @staticmethod
+    def _sub_bare_varchar(out: str, b: str) -> str:
+        """Replace length-free ``varchar`` tokens OUTSIDE string
+        literals (the blanked twin drives positions) with
+        ``string``; ``varchar(n)`` passes through."""
+        res, last = [], 0
+        for mm in re.finditer(r"\bvarchar\b(?!\s*\()", b, re.I):
+            res.append(out[last: mm.start()])
+            res.append("string")
+            last = mm.end()
+        res.append(out[last:])
+        return "".join(res)
 
     def _rewrite_duckdb_collections_core(self, stmt: str) -> str:
         """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 —
@@ -3142,7 +3336,11 @@ class AnalyticsEngine:
             r"|quantile_cont|first|last|product|skewness"
             r"|kurtosis|jaccard|hamming|mismatches|even|fdiv"
             r"|gcd|greatest_common_divisor|lcm"
-            r"|least_common_multiple)\s*\(",
+            r"|least_common_multiple|string_agg|group_concat"
+            r"|array_to_string|regexp_split_to_array"
+            r"|string_split_regex|str_split_regex|quantile_disc"
+            r"|quantile|unicode|generate_series|time_bucket"
+            r"|list_aggregate|list_aggr)\s*\(",
             stmt, re.I,
         ):
             # ambiguous-operator refusals must still run: `2 ^ 3`
@@ -3492,6 +3690,60 @@ class AnalyticsEngine:
                 f" else {body} end"
             )
         return f"(_cl, _cr) -> {body}"
+
+    @staticmethod
+    def _time_bucket_repl(args: list[str]) -> str:
+        """DuckDB/TimescaleDB ``time_bucket(interval, ts)`` —
+        fixed-width time bucketing (the hypertable rollup
+        primitive). Sub-month widths floor epoch seconds with
+        DuckDB's probed origins (epoch for seconds..days, Monday
+        2000-01-03 for weeks); month/year widths count calendar
+        months from 2000-01-01. Result is TIMESTAMP (DuckDB narrows
+        to DATE for date inputs — declared boundary); the 3-arg
+        origin/offset form refuses by name."""
+        if len(args) != 2:
+            raise EngineError(
+                "time_bucket expects (INTERVAL literal, ts) — the"
+                " origin/offset form is not supported"
+            )
+        im = re.fullmatch(
+            r"\s*interval\s+(?:'(\d+)\s*(\w+)'|(\d+)\s+(\w+)"
+            r"|'(\d+)'\s+(\w+))\s*",
+            args[0].strip(), re.I,
+        )
+        if not im:
+            raise EngineError(
+                "time_bucket needs a literal INTERVAL first"
+                " argument (e.g. INTERVAL '15 minutes')"
+            )
+        n = int(im.group(1) or im.group(3) or im.group(5))
+        unit = (
+            im.group(2) or im.group(4) or im.group(6)
+        ).lower().rstrip("s")
+        ts = f"cast(({args[1].strip()}) as timestamp)"
+        secs = {
+            "second": 1, "minute": 60, "hour": 3600,
+            "day": 86400, "week": 604800,
+        }
+        if unit in secs:
+            w = n * secs[unit]
+            o = 345600 if unit == "week" else 0  # Monday 2000-01-03
+            return (
+                f"timestamp_seconds(cast(floor((unix_seconds({ts})"
+                f" - {o}) / {w}) as bigint) * {w} + {o})"
+            )
+        if unit in ("month", "year"):
+            mm = n * (12 if unit == "year" else 1)
+            origin = "timestamp '2000-01-01 00:00:00'"
+            return (  # add_months narrows to DATE — widen back
+                f"cast(add_months({origin}, cast(floor("
+                f"months_between({ts}, {origin}) / {mm}) as int)"
+                f" * {mm}) as timestamp)"
+            )
+        raise EngineError(
+            f"time_bucket unit {unit!r} is not supported"
+            " (seconds..weeks, months, years are)"
+        )
 
     @staticmethod
     def _niche_fn_repl(fn: str, args: list[str]) -> str:

@@ -4596,3 +4596,81 @@ def test_niche_scalar_functions_match_duckdb(spark, tmp_path):
         with pytest.raises(Exception):
             con.execute(sql)
     eng.close()
+
+
+def test_function_parity_sweep_r13_matches_duckdb(spark, tmp_path):
+    """Round-13 function-parity batch (api.py::_map_list_functions
+    dispatch + _time_bucket_repl): string_agg/group_concat (incl.
+    in-call ORDER BY, default ',' separator, NULL-skipping, empty →
+    NULL), DISTINCT ordered list/array_agg (NULL entries kept, key
+    must be the value), array_to_string, regexp_split_to_array /
+    string_split_regex, list_aggregate dispatch, DuckDB's DISCRETE
+    quantile/quantile_disc, unicode, generate_series (scalar
+    sequence + FROM-position table function), time_bucket (epoch/
+    Monday/calendar-month origins), and length-free VARCHAR
+    normalization. Identical SQL on both engines."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whf13"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (g varchar(1), k int, v int, s varchar(4))")
+        run(
+            "insert into t values ('a',1,10,'x'),('a',2,20,'y'),"
+            " ('a',2,20,null),('b',3,7,'z'),('b',null,3,'x')"
+        )
+    for sql in (
+        "select g, string_agg(s, '-' order by v, s) as x from t"
+        " group by g order by g",
+        "select string_agg(s order by s) as x from t",
+        "select g, string_agg(cast(v as varchar), '+') as x from t"
+        " group by g order by g",
+        "select string_agg(s, '-') is null as x from t where v > 99",
+        "select g, list(distinct v order by v) as x from t"
+        " group by g order by g",
+        "select g, array_agg(distinct v order by v desc) as x"
+        " from t group by g order by g",
+        "select array_to_string([1, null, 3], '-') as s",
+        "select regexp_split_to_array('a1b22c', '\\d+') as s,"
+        " string_split_regex('x:y::z', ':') as r,"
+        " regexp_split_to_array('ab1', '\\d') as t",
+        "select list_aggregate([3,1,2], 'min') as a,"
+        " list_aggregate([3,1,2], 'sum') as b,"
+        " list_aggregate([1,null,2], 'count') as c",
+        "select quantile(v, 0.5) as a, quantile_disc(v, 0.25) as b,"
+        " quantile_disc(v, 1.0) as c from t",
+        "select unicode('é') as u, unicode('A') as a",
+        "select generate_series(1, 3) as g,"
+        " generate_series(1, 7, 2) as h,"
+        " generate_series(3, 1, -1) as r",
+        "select * from generate_series(2, 5)",
+        "select time_bucket(interval '15 minutes',"
+        " timestamp '2024-01-01 10:22:33') as b,"
+        " time_bucket(interval '1 day',"
+        " timestamp '2024-01-05 10:22:33') as d,"
+        " time_bucket(interval '1 week',"
+        " timestamp '2024-01-05') as w,"
+        " time_bucket(interval '3 months',"
+        " timestamp '2024-05-15') as m",
+        "select cast(5 as varchar) as s, 7::varchar as t,"
+        " 'keep varchar literal' as lit",
+    ):
+        er = sorted(tuple(r) for r in e(sql).rows)
+        dr = sorted(con.execute(sql).fetchall())
+        assert er == dr, (sql, er, dr)
+    # named refusals
+    for sql, pat in (
+        ("select list(distinct v order by k) from t", "IS the value"),
+        ("select quantile(v, 0.5) over () from t", "WINDOW"),
+        ("select list_aggregate([1], 'mode')", "not supported"),
+        (
+            "select time_bucket(interval '5 minutes', k, 3) from t",
+            "origin",
+        ),
+    ):
+        with pytest.raises(EngineError, match=pat):
+            e(sql)
+    eng.close()

@@ -527,3 +527,43 @@ def test_columns_projection_is_pure_projection(spark, tmp_path):
     plan = eng.spark.sql(stmt)._jdf.queryExecution().executedPlan()
     assert plan.toString().count("HashAggregate") >= 2, plan.toString()
     eng.close()
+
+
+def test_window_exclude_shares_one_sort(spark, tmp_path):
+    """The EXCLUDE lowerings (peer subtraction, min/max value
+    splits, frame-clamp gaps) compose MANY helper windows, all over
+    the same partition/order — Catalyst must fuse them into Window
+    execs over ONE Exchange and ONE Sort, or the rewrite silently
+    multiplies shuffles at scale. Pins the heaviest r13 shape:
+    a not-containing RANGE frame EXCLUDE CURRENT ROW (frame + gap
+    cumulatives) next to a min/max EXCLUDE GROUP (two value-split
+    windows + partition-wide NULL branch)."""
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whxs"), spark=spark)
+    eng.execute("create table wx (g int, k int, v double)")
+    eng.execute(
+        "insert into wx values (1,1,10),(1,2,20),(1,2,25),(2,3,30)"
+    )
+    df, views = eng._plan_engine_select(
+        "select g, k,"
+        " sum(v) over (partition by g order by k range between"
+        " unbounded preceding and 2 preceding exclude current row)"
+        " as x,"
+        " min(v) over (partition by g order by k range between"
+        " unbounded preceding and current row exclude group) as m,"
+        " avg(v) over (partition by g order by k range between"
+        " unbounded preceding and current row exclude ties) as t"
+        " from wx"
+    )
+    try:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for v in views:
+            eng.spark.catalog.dropTempView(v)
+    # AQE's toString echoes the initial plan too — count the final
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    assert final.count("Sort [") <= 2, final
+    eng.close()
