@@ -50,14 +50,19 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # workloads' documented deferral list — then the round's new
     # rows, then the oldest remainder).
     #
-    # (a) never-graded: the two r13 driver-row surfaces — ORDER BY
+    # (a) never-graded: the four r13 driver-row surfaces — ORDER BY
     # default-NULL-placement parity (r12 verdict #1, the round's one
-    # silent seam: api.py::_inject_order_nulls_last) and ordered
+    # silent seam: api.py::_inject_order_nulls_last), ordered
     # first()/last() NULL-key semantics (r12 verdict #3: is-null-flag
-    # struct inside min_by/max_by). Both also land with statement
-    # batteries + NULL-ordering-key fuzz arms in tests/.
+    # struct inside min_by/max_by), the r13 function-parity batch
+    # (string_agg / quantile_disc / DISTINCT ordered aggregates /
+    # generate_series / list_aggregate), and the time_bucket
+    # hypertable rollup. All land with statement batteries +
+    # NULL-ordering-key and EXCLUDE fuzz arms in tests/.
     "u_order_nulls",
     "u_first_last_ord",
+    "u_string_agg_ord",
+    "a_time_bucket",
     # (c) oldest evidence — first the ENTIRE r8 ledger (deferred at
     # r12 with in-window twins; r12 verdict #4 names exactly these
     # ten):
@@ -92,7 +97,12 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     # t_token_stats + t_heavy_hitters (the tokenize-once scan —
     # t_entropy, t_repetition, t_bpe_tokens in-window), and
     # d_simhash (d_simhash_pairs r12-fresh; d_ngram_jaccard +
-    # d_fingerprint_dup_groups in-window).
+    # d_fingerprint_dup_groups in-window); two more r9 names yield
+    # their slots to the (a)-class rows above, each with in-window
+    # twins: t_boilerplate (t_entropy + t_repetition + t_bpe_tokens
+    # share the tokenize-once scan) and p_source_cap
+    # (p_sample_stratified shares the hash-ordered window cap;
+    # p_pack_shards + p_mixture_plan in-window).
     "c_catalog_tables",
     "a_asof_forward",
     "d_cross_source_dups",
@@ -108,7 +118,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "p_pack_shards",
     "p_quality_filter",
     "p_sample_stratified",
-    "p_source_cap",
     "q_approx_distinct_bound",
     "s_stateful_user",
     "s_stream_dedup",
@@ -116,7 +125,6 @@ DRIVER_SPOTLIGHT: tuple[str, ...] = (
     "s_stream_enrich",
     "s_stream_join",
     "t_approx_topk_bound",
-    "t_boilerplate",
     "t_bpe_tokens",
     "t_entropy",
     "t_fingerprint",

@@ -1230,6 +1230,57 @@ def u_first_last_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u_string_agg_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 function-parity batch end to end (api.py
+    _map_list_functions dispatch): string_agg with an in-call ORDER
+    BY (sorted-struct lowering + array_join), DuckDB's DISCRETE
+    quantile_disc (ceil(p·n) over the sorted values), a DISTINCT
+    ordered list projected to a scalar, and a generate_series
+    sanity column. Identical SQL is the DuckDB oracle — every
+    construct is its native dialect."""
+    eng = AnalyticsEngine(
+        _scratch("andb_sa_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select o_orderpriority as pri,"
+        " string_agg(o_orderstatus, '' order by o_orderkey) as st,"
+        " quantile_disc(o_totalprice, 0.5) as med,"
+        " array_to_string(list(distinct o_orderstatus"
+        " order by o_orderstatus), '|') as kinds,"
+        " list_aggregate(generate_series(1, 3), 'sum') as gs,"
+        " count(*) as n"
+        " from (select * from orders where o_orderkey < 3000) t"
+        " group by pri order by pri"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "pri string, st string, med double, kinds string,"
+        " gs double, n bigint",
+    )
+
+
+def a_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket hypertable-style rollup (api.py
+    _time_bucket_repl): six-hour epoch-aligned buckets over the
+    events stream table, per event type — the TimescaleDB/DuckDB
+    time-series primitive the reference's roadmap gestures at,
+    lowered onto pure epoch arithmetic (one groupBy shuffle, no
+    UDF). Identical SQL on DuckDB's native time_bucket."""
+    eng = AnalyticsEngine(
+        _scratch("andb_tb_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select time_bucket(interval '6 hours', ts) as bucket,"
+        " event_type, count(*) as n, round(sum(value), 2) as amt"
+        " from events group by bucket, event_type"
+        " order by bucket, event_type"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "bucket timestamp, event_type string, n bigint, amt double",
+    )
+
+
 def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INSERT .. ON CONFLICT (api.py::_insert_on_conflict, the
     Postgres/DuckDB upsert syntax lowered onto MERGE): CTAS a keyed
@@ -1296,9 +1347,28 @@ QUERIES = {
     "u_window_exclude": u_window_exclude,
     "u_order_nulls": u_order_nulls,
     "u_first_last_ord": u_first_last_ord,
+    "u_string_agg_ord": u_string_agg_ord,
+    "a_time_bucket": a_time_bucket,
 }
 
 ORACLES = {
+    "u_string_agg_ord": """
+        select o_orderpriority as pri,
+         string_agg(o_orderstatus, '' order by o_orderkey) as st,
+         quantile_disc(o_totalprice, 0.5) as med,
+         array_to_string(list(distinct o_orderstatus
+         order by o_orderstatus), '|') as kinds,
+         list_aggregate(generate_series(1, 3), 'sum') as gs,
+         count(*) as n
+         from (select * from orders where o_orderkey < 3000) t
+         group by pri order by pri
+    """,
+    "a_time_bucket": """
+        select time_bucket(interval '6 hours', ts) as bucket,
+         event_type, count(*) as n, round(sum(value), 2) as amt
+         from events group by bucket, event_type
+         order by bucket, event_type
+    """,
     "u_order_nulls": """
         select k, v,
          row_number() over (partition by s order by nk, k) as rn,
