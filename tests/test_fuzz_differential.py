@@ -1284,6 +1284,12 @@ _NK_AGG_SHAPES = st.sampled_from(
         " group by g order by g",
         "select g, list(k order by k{d}, id{d}) as xs from nfz"
         " group by g order by g",
+        "select g, string_agg(cast(v as varchar), ','"
+        " order by k{d}, id{d}) as s from nfz group by g order by g",
+        "select g, list(distinct k order by k{d}) as xs from nfz"
+        " group by g order by g",
+        "select g, list(v order by k{d} nulls first, id{d}) as xs"
+        " from nfz group by g order by g",
     ]
 )
 
