@@ -3279,7 +3279,42 @@ class AnalyticsEngine:
         # length (r13). Parenthesized VARCHAR(n) stays.
         if re.search(r"\bvarchar\b(?!\s*\()", out, re.I):
             out = self._sub_bare_varchar(out, _blank_literals(out))
+        if re.search(r"\bsimilar\s+to\b", out, re.I):
+            out = self._rewrite_similar_to(out)
         return out
+
+    @staticmethod
+    def _rewrite_similar_to(out: str) -> str:
+        """``x [NOT] SIMILAR TO '<pattern>'`` (DuckDB-probed: a
+        FULL-STRING regex match — '%'/'_' are NOT wildcards there,
+        unlike the SQL standard) → Spark's anchored [NOT] RLIKE.
+        Literal patterns only: a computed pattern refuses by name
+        (the anchor wrap would need expression-boundary parsing)."""
+        for _ in range(100):
+            b = _blank_literals(out)
+            m = re.search(
+                r"\b(not\s+)?similar\s+to\s+(')", b, re.I
+            )
+            if not m:
+                if re.search(r"\bsimilar\s+to\b", b, re.I):
+                    raise EngineError(
+                        "SIMILAR TO with a non-literal pattern is"
+                        " not supported — spell it"
+                        " rlike concat('^(?:', p, ')$')"
+                    )
+                return out
+            lit_start = m.start(2)
+            # blanked literals keep only the outer quotes, so the
+            # next quote IS the closing one ('' escapes are blanked)
+            lit_end = b.index("'", lit_start + 1)
+            pat = out[lit_start + 1: lit_end]
+            neg = "not " if m.group(1) else ""
+            out = (
+                out[: m.start()]
+                + f"{neg}rlike '^(?:{pat})$'"
+                + out[lit_end + 1:]
+            )
+        raise EngineError("SIMILAR TO rewrite did not converge")
 
     @staticmethod
     def _sub_bare_varchar(out: str, b: str) -> str:

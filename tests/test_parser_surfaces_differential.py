@@ -4674,3 +4674,34 @@ def test_function_parity_sweep_r13_matches_duckdb(spark, tmp_path):
         with pytest.raises(EngineError, match=pat):
             e(sql)
     eng.close()
+
+
+def test_similar_to_matches_duckdb(spark, tmp_path):
+    """[NOT] SIMILAR TO (api.py::_rewrite_similar_to): DuckDB treats
+    it as a FULL-STRING regex match — '%'/'_' are NOT wildcards
+    there (probed: 'abc' SIMILAR TO 'a%' is FALSE) — so a literal
+    pattern lowers onto Spark's anchored [NOT] RLIKE exactly;
+    computed patterns refuse by name. Literal text containing the
+    words stays untouched."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whsim"), spark=spark)
+    con = duckdb.connect()
+    for sql in (
+        "select 'abc' similar to 'a.c' a, 'abc' similar to 'a%' b,"
+        " 'abc' similar to 'ab' c",
+        "select 'abc' not similar to 'x%' n,"
+        " 'ab' similar to '(ab|cd)' alt,"
+        " 'abab' similar to '(ab)+' rep",
+        "select x from (values ('abc'), ('xyz'), ('aXc')) t(x)"
+        " where x similar to 'a.c'",
+        "select 'I am similar to you' s",
+    ):
+        er = sorted(tuple(r) for r in eng.execute(sql).rows)
+        dr = sorted(con.execute(sql).fetchall())
+        assert er == dr, (sql, er, dr)
+    with pytest.raises(EngineError, match="non-literal"):
+        eng.execute("select 'a' similar to ('a' || '.')")
+    eng.close()
