@@ -2612,7 +2612,7 @@ class AnalyticsEngine:
             b = _blank_literals(out)
             m = re.search(
                 r"\b(list_sort|list_reverse_sort|list_unique"
-                r"|list_prepend|list_slice|list_concat|list_cat"
+                r"|list_prepend|list_slice|array_slice|list_concat|list_cat"
                 r"|list_sum|list_avg|list_aggregate|list_aggr"
                 r"|jaccard|hamming|mismatches"
                 r"|even|fdiv|gcd|greatest_common_divisor|lcm"
@@ -2647,7 +2647,7 @@ class AnalyticsEngine:
                 continue
             if fn == "extract":
                 em2 = re.match(
-                    r"\s*(dow|isodow)\s+from\s+(.+)$", inner,
+                    r"\s*(dow|isodow|epoch)\s+from\s+(.+)$", inner,
                     re.I | re.S,
                 )
                 if not em2:  # every other field is Spark-native
@@ -2657,11 +2657,17 @@ class AnalyticsEngine:
                 # emitted spellings must not re-enter this pass:
                 # Spark's extract fields DAYOFWEEK (Sun=1..7) and
                 # DAYOFWEEK_ISO (Mon=1..7) pass through untouched
-                repl2 = (
-                    f"(extract(dayofweek from ({x})) - 1)"
-                    if em2.group(1).lower() == "dow"
-                    else f"extract(dayofweek_iso from ({x}))"
-                )
+                f2 = em2.group(1).lower()
+                if f2 == "dow":
+                    repl2 = f"(extract(dayofweek from ({x})) - 1)"
+                elif f2 == "isodow":
+                    repl2 = f"extract(dayofweek_iso from ({x}))"
+                else:  # epoch: DuckDB returns fractional DOUBLE
+                    # seconds (probed); Spark has no epoch field
+                    repl2 = (
+                        f"(cast(unix_micros(cast(({x}) as"
+                        " timestamp)) as double) / 1000000)"
+                    )
                 out = out[:moff] + repl2 + out[cp + 1:]
                 continue
             if fn == "date_add" and not (
@@ -3165,7 +3171,9 @@ class AnalyticsEngine:
                     f"array_prepend(({args[1].strip()}),"
                     f" ({args[0].strip()}))"
                 )
-            elif fn == "list_slice" and len(args) == 3:
+            elif fn in ("list_slice", "array_slice") and (
+                len(args) == 3
+            ):
                 repl = (
                     f"({args[0].strip()})"
                     f"[{args[1].strip()}:{args[2].strip()}]"
@@ -3362,7 +3370,7 @@ class AnalyticsEngine:
         if not re.search(
             r"[\[{]|\b(?:len|list|list_\w+|struct_pack"
             r"|struct_extract|array_length|array_extract"
-            r"|array_push_back|array_agg|unnest|strftime|strptime"
+            r"|array_push_back|array_agg|array_slice|array_to_string|unnest|strftime|strptime"
             r"|regexp_matches|regexp_extract|regexp_replace"
             r"|date_diff|datediff|date_sub|date_add|dayofweek"
             r"|isodow|weekday|epoch|xor|sign|to_base|string_split"

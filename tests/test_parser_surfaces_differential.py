@@ -4705,3 +4705,44 @@ def test_similar_to_matches_duckdb(spark, tmp_path):
     with pytest.raises(EngineError, match="non-literal"):
         eng.execute("select 'a' similar to ('a' || '.')")
     eng.close()
+
+
+def test_cast_and_date_op_divergences_pinned(spark, tmp_path):
+    """Declared operator/cast-semantics divergences (README table) —
+    pinned so a future change can't silently flip them: Spark
+    TRUNCATES non-integral → integer casts where DuckDB ROUNDS half
+    away from zero, and `date - date` yields an INTERVAL where
+    DuckDB yields INTEGER days. The documented workarounds are
+    differentials. extract(epoch) and array_slice (r13) execute
+    with DuckDB parity."""
+    import datetime
+
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whdiv"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    # the divergences, pinned as-is
+    assert e("select cast(3.5 as int) c").rows == [(3,)]
+    assert con.execute("select cast(3.5 as int) c").fetchall() == [(4,)]
+    d = e("select date '2024-03-01' - date '2024-01-01' d").rows[0][0]
+    assert isinstance(d, datetime.timedelta) and d.days == 60
+    assert con.execute(
+        "select date '2024-03-01' - date '2024-01-01' d"
+    ).fetchall() == [(60,)]
+    # the documented workarounds ARE differentials
+    for sql in (
+        "select cast(round(3.5) as int) a, cast(round(-2.5) as int) b",
+        "select datediff('day', date '2024-01-01',"
+        " date '2024-03-01') d",
+        "select extract(epoch from timestamp"
+        " '2024-01-01 00:00:05.75') ep",
+        "select array_slice([1,2,3,4], 2, 3) s,"
+        " array_slice([1,2,3,4], -2, -1) n",
+    ):
+        er = sorted(tuple(r) for r in e(sql).rows)
+        dr = sorted(con.execute(sql).fetchall())
+        assert er == dr, (sql, er, dr)
+    eng.close()
