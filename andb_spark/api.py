@@ -3140,17 +3140,41 @@ class AnalyticsEngine:
                 )
             elif fn == "unicode" and len(args) == 1:
                 # Spark's ascii() returns the first CODEPOINT (not
-                # ASCII-only — probed: 'é' → 233 on both)
-                repl = f"ascii(({args[0].strip()}))"
+                # ASCII-only — probed: 'é' → 233 on both), but
+                # DuckDB's unicode('') is -1 where ascii('') is 0;
+                # NULL passes through (length(NULL) is NULL → else)
+                ux = f"({args[0].strip()})"
+                repl = (
+                    f"(case when length({ux}) = 0 then -1"
+                    f" else ascii({ux}) end)"
+                )
             elif fn == "generate_series":
                 if not 1 < len(args) < 4:
                     raise EngineError(
                         "generate_series expects (start, stop"
                         " [, step])"
                     )
-                seq = "sequence(" + ", ".join(
-                    f"({a.strip()})" for a in args
-                ) + ")"
+                g0 = f"({args[0].strip()})"
+                g1 = f"({args[1].strip()})"
+                if len(args) == 3:
+                    if re.match(r"\s*interval\b", args[2], re.I):
+                        # DuckDB widens DATE bounds to TIMESTAMP
+                        # for interval steps (probed: TIMESTAMP[])
+                        g0 = f"cast({g0} as timestamp)"
+                        g1 = f"cast({g1} as timestamp)"
+                    seq = (
+                        f"sequence({g0}, {g1},"
+                        f" ({args[2].strip()}))"
+                    )
+                else:
+                    # stepless: Spark's sequence infers -1 when
+                    # start > stop (descending list); DuckDB
+                    # returns [] — guard with a same-typed empty
+                    seq = (
+                        f"(case when {g0} > {g1} then"
+                        f" slice(sequence({g0}, {g0}), 1, 0)"
+                        f" else sequence({g0}, {g1}) end)"
+                    )
                 # a FROM-list position is DuckDB's table function —
                 # Spark spells it as an exploded subquery; anywhere
                 # else it is the scalar list form (Spark's sequence
@@ -3174,9 +3198,15 @@ class AnalyticsEngine:
             elif fn in ("list_slice", "array_slice") and (
                 len(args) == 3
             ):
+                # DuckDB: an explicitly-NULL bound yields NULL (the
+                # bracket slice's open bounds do not exist in this
+                # call form, so plain NULL propagation is exact)
+                s1 = f"({args[1].strip()})"
+                s2 = f"({args[2].strip()})"
                 repl = (
-                    f"({args[0].strip()})"
-                    f"[{args[1].strip()}:{args[2].strip()}]"
+                    f"(case when {s1} is null or {s2} is null"
+                    f" then null else ({args[0].strip()})"
+                    f"[{args[1].strip()}:{args[2].strip()}] end)"
                 )
             else:
                 raise EngineError(
@@ -3218,60 +3248,76 @@ class AnalyticsEngine:
         GROUP). Idempotent: qualified items pass through."""
         if not re.search(r"\border\s+by\b", stmt, re.I):
             return stmt
-        b = _blank_literals(stmt)
         out = stmt
-        # right-to-left so earlier offsets stay valid after splices
-        for m in reversed(
-            list(re.finditer(r"\border\s+by\b", b, re.I))
-        ):
-            start = m.end()
-            i, end, depth = start, len(b), 0
-            while i < len(b):
-                c = b[i]
-                if c in "([{":
-                    depth += 1
-                elif c in ")]}":
-                    if depth == 0:
-                        end = i
-                        break
-                    depth -= 1
-                elif depth == 0 and (c.isalpha() or c == "_"):
-                    at_word_start = not (
-                        b[i - 1].isalnum() or b[i - 1] in "_`"
-                    )
-                    if at_word_start and self._ORDER_TAIL_STOP.match(
-                        b, i
-                    ):
-                        end = i
-                        break
-                    while i < len(b) and (
-                        b[i].isalnum() or b[i] == "_"
-                    ):
-                        i += 1
+        # Fixpoint passes, right-to-left within each: a splice
+        # inside an ENCLOSING ORDER BY segment (a scalar subquery's
+        # ORDER BY sitting inside an outer ORDER BY item) shifts the
+        # outer segment's offsets, so offsets from a pre-splice
+        # blanked twin would corrupt the text (r13 ADVICE #3) —
+        # after every change, restart with a fresh twin. Injection
+        # is idempotent per item (qualified items re-emit the same
+        # canonical text), so each ORDER BY changes at most once and
+        # the loop terminates.
+        for _ in range(500):
+            b = _blank_literals(out)
+            changed = False
+            for m in reversed(
+                list(re.finditer(r"\border\s+by\b", b, re.I))
+            ):
+                start = m.end()
+                i, end, depth = start, len(b), 0
+                while i < len(b):
+                    c = b[i]
+                    if c in "([{":
+                        depth += 1
+                    elif c in ")]}":
+                        if depth == 0:
+                            end = i
+                            break
+                        depth -= 1
+                    elif depth == 0 and (c.isalpha() or c == "_"):
+                        at_word_start = not (
+                            b[i - 1].isalnum() or b[i - 1] in "_`"
+                        )
+                        if at_word_start and (
+                            self._ORDER_TAIL_STOP.match(b, i)
+                        ):
+                            end = i
+                            break
+                        while i < len(b) and (
+                            b[i].isalnum() or b[i] == "_"
+                        ):
+                            i += 1
+                        continue
+                    i += 1
+                seg, seg_b = out[start:end], b[start:end]
+                if not seg.strip():
                     continue
-                i += 1
-            seg, seg_b = out[start:end], b[start:end]
-            if not seg.strip():
-                continue
-            items = self._split_collection_items(seg, seg_b)
-            items_b = self._split_collection_items(seg_b, seg_b)
-            new = []
-            for it, itb in zip(items, items_b):
-                tail = itb.rstrip()
-                if (
-                    not tail.strip()
-                    or re.search(
-                        r"\bnulls\s+(?:first|last)$", tail, re.I
-                    )
-                    or re.search(r"\bdesc$", tail, re.I)
-                ):
-                    new.append(it.strip())
-                else:
-                    new.append(it.strip() + " nulls last")
-            out = (
-                out[:start] + " " + ", ".join(new) + " " + out[end:]
-            )
-        return out
+                items = self._split_collection_items(seg, seg_b)
+                items_b = self._split_collection_items(seg_b, seg_b)
+                new = []
+                for it, itb in zip(items, items_b):
+                    tail = itb.rstrip()
+                    if (
+                        not tail.strip()
+                        or re.search(
+                            r"\bnulls\s+(?:first|last)$", tail, re.I
+                        )
+                        or re.search(r"\bdesc$", tail, re.I)
+                    ):
+                        new.append(it.strip())
+                    else:
+                        new.append(it.strip() + " nulls last")
+                mid = " " + ", ".join(new) + " "
+                if mid != out[start:end]:
+                    out = out[:start] + mid + out[end:]
+                    changed = True
+                    break
+            if not changed:
+                return out
+        raise EngineError(
+            "ORDER BY null-placement normalization did not converge"
+        )
 
     def _rewrite_duckdb_collections(self, stmt: str) -> str:
         """Dialect normalization applied to every statement class:
@@ -3736,18 +3782,25 @@ class AnalyticsEngine:
 
     @staticmethod
     def _time_bucket_repl(args: list[str]) -> str:
-        """DuckDB/TimescaleDB ``time_bucket(interval, ts)`` —
-        fixed-width time bucketing (the hypertable rollup
-        primitive). Sub-month widths floor epoch seconds with
-        DuckDB's probed origins (epoch for seconds..days, Monday
-        2000-01-03 for weeks); month/year widths count calendar
-        months from 2000-01-01. Result is TIMESTAMP (DuckDB narrows
-        to DATE for date inputs — declared boundary); the 3-arg
-        origin/offset form refuses by name."""
-        if len(args) != 2:
+        """DuckDB/TimescaleDB ``time_bucket(interval, ts [, origin |
+        offset])`` — fixed-width time bucketing (the hypertable
+        rollup primitive). Sub-month widths floor epoch seconds with
+        DuckDB's probed origin — Monday 2000-01-03 00:00 UTC for ALL
+        seconds..weeks widths (probed: '2 days' / '2 weeks' / '7
+        seconds' are 2000-01-03-aligned, not epoch-aligned);
+        month/year widths count calendar months from 2000-01-01. The
+        3-arg form (all DuckDB-probed): an INTERVAL third argument
+        shifts via subtract-then-add (``bucket(ts - off) + off`` —
+        a 25-minute offset on a 10-minute grid lands on :55); a
+        timestamp/date origin replaces the grid origin — used in
+        full for sub-month widths, truncated to its month for
+        month/year widths (origin 2024-01-15 13:45 buckets '1 month'
+        to 2024-03-01, not the 15th). Result is TIMESTAMP (DuckDB
+        narrows to DATE for date inputs — declared boundary)."""
+        if not 1 < len(args) < 4:
             raise EngineError(
-                "time_bucket expects (INTERVAL literal, ts) — the"
-                " origin/offset form is not supported"
+                "time_bucket expects (INTERVAL literal, ts"
+                " [, origin or offset])"
             )
         im = re.fullmatch(
             r"\s*interval\s+(?:'(\d+)\s*(\w+)'|(\d+)\s+(\w+)"
@@ -3764,29 +3817,59 @@ class AnalyticsEngine:
             im.group(2) or im.group(4) or im.group(6)
         ).lower().rstrip("s")
         ts = f"cast(({args[1].strip()}) as timestamp)"
+        off = org = None
+        if len(args) == 3:
+            third = args[2].strip()
+            if re.match(r"interval\b", third, re.I):
+                off = f"({third})"
+            elif re.fullmatch(r"[-+]?[\d.]+", third):
+                # a bare number is a DuckDB binder error too — no
+                # numeric-origin overload exists
+                raise EngineError(
+                    "time_bucket's third argument must be an"
+                    " INTERVAL offset or a timestamp/date origin"
+                )
+            else:
+                org = f"cast(({third}) as timestamp)"
+        if off is not None:
+            # subtract-then-add: bucket(ts - off) + off
+            ts = f"({ts} - {off})"
         secs = {
             "second": 1, "minute": 60, "hour": 3600,
             "day": 86400, "week": 604800,
         }
         if unit in secs:
             w = n * secs[unit]
-            o = 345600 if unit == "week" else 0  # Monday 2000-01-03
-            return (
+            # DuckDB aligns EVERY seconds..weeks width to Monday
+            # 2000-01-03 00:00 UTC (probed: '2 days' on 2024-01-05
+            # 10:00 → 2024-01-05, '2 weeks' → 2024-01-01, '7
+            # seconds' → …:58 — all 2000-01-03-aligned, NOT
+            # epoch-aligned; widths dividing 946857600 coincide,
+            # which is why 15-minute/1-day/1-week probes can't
+            # tell the origins apart)
+            o = f"unix_seconds({org})" if org else "946857600"
+            bucket = (
                 f"timestamp_seconds(cast(floor((unix_seconds({ts})"
                 f" - {o}) / {w}) as bigint) * {w} + {o})"
             )
-        if unit in ("month", "year"):
+        elif unit in ("month", "year"):
             mm = n * (12 if unit == "year" else 1)
-            origin = "timestamp '2000-01-01 00:00:00'"
-            return (  # add_months narrows to DATE — widen back
-                f"cast(add_months({origin}, cast(floor("
-                f"months_between({ts}, {origin}) / {mm}) as int)"
-                f" * {mm}) as timestamp)"
+            origin = (
+                f"date_trunc('month', {org})" if org
+                else "timestamp '2000-01-01 00:00:00'"
             )
-        raise EngineError(
-            f"time_bucket unit {unit!r} is not supported"
-            " (seconds..weeks, months, years are)"
-        )
+            # month-truncate BOTH sides so months_between is exact
+            bucket = (  # add_months narrows to DATE — widen back
+                f"cast(add_months({origin}, cast(floor("
+                f"months_between(date_trunc('month', {ts}),"
+                f" {origin}) / {mm}) as int) * {mm}) as timestamp)"
+            )
+        else:
+            raise EngineError(
+                f"time_bucket unit {unit!r} is not supported"
+                " (seconds..weeks, months, years are)"
+            )
+        return f"({bucket} + {off})" if off is not None else bucket
 
     @staticmethod
     def _niche_fn_repl(fn: str, args: list[str]) -> str:

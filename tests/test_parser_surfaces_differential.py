@@ -4676,6 +4676,92 @@ def test_function_parity_sweep_r13_matches_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_function_parity_sweep_r14_matches_duckdb(spark, tmp_path):
+    """Round-14 parity batch (the r13 ADVICE fixes, each probed on
+    DuckDB 1.0 first): time_bucket aligns EVERY seconds..weeks width
+    to Monday 2000-01-03 00:00 UTC (the '2 days'/'2 weeks'/'7
+    seconds' widths distinguish that origin from the epoch; the
+    previously-tested 15-minute/1-day/1-week widths cannot), the
+    3-arg origin/offset form (interval offset = subtract-then-add,
+    timestamp origin = replaced grid origin, month-truncated for
+    month/year widths), stepless generate_series(a, b) with a > b
+    returns [] (Spark's sequence would infer step -1), interval-step
+    generate_series over DATE bounds widens to TIMESTAMP elements
+    (DuckDB's TIMESTAMP[]), unicode('') is -1 (Spark's ascii gives
+    0), array_slice with an explicitly-NULL bound yields NULL, and a
+    scalar subquery carrying its own ORDER BY inside an outer ORDER
+    BY item splices cleanly (the offset-misalignment regression)."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whf14"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (v int)")
+        run("insert into t values (5),(6),(10),(20),(null)")
+    for sql in (
+        "select time_bucket(interval '2 days',"
+        " timestamp '2024-01-05 10:00:00') as a,"
+        " time_bucket(interval '2 weeks',"
+        " timestamp '2024-01-05 10:00:00') as b,"
+        " time_bucket(interval '7 seconds',"
+        " timestamp '2024-01-05 10:00:03') as c,"
+        " time_bucket(interval '5 hours',"
+        " timestamp '2024-01-05 10:00:00') as d",
+        "select time_bucket(interval '10 minutes',"
+        " timestamp '2024-01-05 10:02:00', interval '3 minutes') as a,"
+        " time_bucket(interval '10 minutes',"
+        " timestamp '2024-01-05 10:02:00', interval '25 minutes') as b,"
+        " time_bucket(interval '1 week',"
+        " timestamp '2024-01-05 10:00:00', interval '1 day') as c",
+        "select time_bucket(interval '1 month',"
+        " timestamp '2024-03-05 10:07:00', interval '10 days') as a,"
+        " time_bucket(interval '2 months',"
+        " timestamp '2024-03-05 10:07:00', interval '1 month') as b",
+        "select time_bucket(interval '1 month',"
+        " timestamp '2024-03-10', timestamp '2024-01-15 13:45:00') as a,"
+        " time_bucket(interval '2 months',"
+        " timestamp '2023-03-10', timestamp '2024-01-15') as b,"
+        " time_bucket(interval '1 year',"
+        " timestamp '2024-03-10', timestamp '2000-07-01') as c",
+        "select time_bucket(interval '2 days',"
+        " timestamp '2024-01-05 10:00:00',"
+        " timestamp '2024-01-02 06:00:00') as a,"
+        " time_bucket(interval '10 minutes',"
+        " timestamp '2024-01-05 10:02:00',"
+        " timestamp '2024-06-01 00:03:00') as b",
+        "select time_bucket(interval '10 minutes',"
+        " cast(null as timestamp), interval '3 minutes') as a",
+        "select generate_series(5, 1) as a, generate_series(1, 5)"
+        " as b, generate_series(2, 2) as c",
+        "select generate_series(date '2024-01-01',"
+        " date '2024-01-05', interval '2 days') as g",
+        "select unicode('') as a, unicode('abc') as b,"
+        " unicode(null) as c",
+        "select array_slice([1,2,3,4,5], 2, null) as a,"
+        " array_slice([1,2,3,4,5], null, 3) as b,"
+        " array_slice([1,2,3,4,5], 2, 4) as c,"
+        " array_slice([1,2,3,4,5], -3, -1) as d",
+        "select v from t order by (select x from (values (1),(2))"
+        " s(x) order by x limit 1), v",
+        "select v from t order by (select x from (values (1),(2))"
+        " s(x) order by x desc limit 1), v desc",
+    ):
+        er = [tuple(r) for r in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
+    # a bare numeric third argument binder-errors on BOTH engines
+    with pytest.raises(EngineError, match="origin"):
+        e("select time_bucket(interval '5 minutes', v, 3) from t")
+    with pytest.raises(Exception):
+        con.execute(
+            "select time_bucket(interval '5 minutes', v, 3) from t"
+        )
+    eng.close()
+
+
 def test_similar_to_matches_duckdb(spark, tmp_path):
     """[NOT] SIMILAR TO (api.py::_rewrite_similar_to): DuckDB treats
     it as a FULL-STRING regex match — '%'/'_' are NOT wildcards
