@@ -3133,11 +3133,28 @@ class AnalyticsEngine:
                     )
                 qx = f"({args[0].strip()})"
                 qp = f"({args[1].strip()})"
-                repl = (
-                    f"try_element_at(array_sort(collect_list({qx}))"
-                    f", greatest(1, cast(ceil({qp} * count({qx}))"
-                    " as int)))"
-                )
+                pb = _blank_literals(args[1]).strip()
+                if pb.startswith("[") or re.match(
+                    r"array\s*\(", pb, re.I
+                ):
+                    # list form (r13 verdict #4): one probe per
+                    # element — Spark resolves the aggregates
+                    # inside the transform lambda (verified), so
+                    # this stays a single-pass aggregation; DuckDB
+                    # returns the element-typed LIST
+                    repl = (
+                        f"transform({qp}, _qp -> try_element_at("
+                        f"array_sort(collect_list({qx})),"
+                        f" greatest(1, cast(ceil(_qp * count({qx}))"
+                        " as int))))"
+                    )
+                else:
+                    repl = (
+                        f"try_element_at(array_sort("
+                        f"collect_list({qx})),"
+                        f" greatest(1, cast(ceil({qp} * count({qx}))"
+                        " as int)))"
+                    )
             elif fn == "unicode" and len(args) == 1:
                 # Spark's ascii() returns the first CODEPOINT (not
                 # ASCII-only — probed: 'é' → 233 on both), but
@@ -3328,11 +3345,31 @@ class AnalyticsEngine:
         out = self._inject_order_nulls_last(
             self._rewrite_duckdb_collections_core(stmt)
         )
+        # DuckDB string-type spellings in CAST position (r13 verdict
+        # #1/#2): text / char varying / ::text → varchar, and a
+        # cast's varchar(n) length is DROPPED (DuckDB ignores it —
+        # probed: cast(12345 as varchar(3)) returns '12345' — where
+        # Spark would truncate); then unaliased select-item string
+        # casts gain DuckDB's output column name as an explicit
+        # alias, which both matches the oracle schema and stops
+        # ORDER BY from silently capturing Spark's auto-alias.
+        if re.search(
+            r"::\s*text\b|\bchar(?:acter)?\s+varying\b"
+            r"|\b(?:try_)?cast\s*\(", out, re.I,
+        ):
+            out = self._normalize_string_cast_spellings(out)
         # DuckDB's length-free VARCHAR (casts, ::varchar, bare DDL
         # types) → Spark's string: Spark refuses VARCHAR without a
         # length (r13). Parenthesized VARCHAR(n) stays.
         if re.search(r"\bvarchar\b(?!\s*\()", out, re.I):
             out = self._sub_bare_varchar(out, _blank_literals(out))
+        # AFTER the type substitution (so the appended backticked
+        # alias text is never itself rewritten): unaliased
+        # select-item string casts gain DuckDB's output column name.
+        if re.search(
+            r"\b(?:try_)?cast\s*\(|::\s*string\b", out, re.I
+        ):
+            out = self._alias_unaliased_string_casts(out)
         if re.search(r"\bsimilar\s+to\b", out, re.I):
             out = self._rewrite_similar_to(out)
         return out
@@ -3382,6 +3419,191 @@ class AnalyticsEngine:
             last = mm.end()
         res.append(out[last:])
         return "".join(res)
+
+    def _normalize_string_cast_spellings(self, out: str) -> str:
+        """DuckDB's other string-type spellings → ``varchar`` so the
+        bare-varchar pass can finish the job (r13 verdict #2 —
+        ``cast(x as text)`` / ``x::text`` / ``char varying`` raised
+        raw Spark UNSUPPORTED_DATATYPE): ``char varying`` /
+        ``character varying`` (never a valid identifier sequence)
+        and ``::text`` rewrite by token; a bare ``text`` rewrites
+        ONLY as a cast's top-level tail type (``text`` is a common
+        COLUMN name — the documents table has one — so positional
+        scanning inside the cast's parens is required, and a
+        subquery's ``... as text)`` alias must not match). A cast's
+        ``varchar(n)`` length is dropped here too: DuckDB ignores
+        cast lengths (probed) where Spark would truncate."""
+        b = _blank_literals(out)
+        res, last = [], 0
+        for mm in re.finditer(
+            r"\bchar(?:acter)?\s+varying\b|::\s*text\b", b, re.I
+        ):
+            res.append(out[last: mm.start()])
+            res.append(
+                "::varchar" if mm.group(0).startswith(":")
+                else "varchar"
+            )
+            last = mm.end()
+        if res:
+            res.append(out[last:])
+            out = "".join(res)
+        # cast tails: the LAST top-level `as <type>` inside each
+        # cast's parens; restart after each splice (nested casts)
+        for _ in range(500):
+            b = _blank_literals(out)
+            changed = False
+            for cm in re.finditer(r"\b(?:try_)?cast\s*\(", b, re.I):
+                op = cm.end() - 1
+                try:
+                    close = self._match_bracket(b, op, "(", ")")
+                except EngineError:
+                    continue
+                ib = b[op + 1: close]
+                tm = None
+                for tm_ in re.finditer(
+                    r"\bas\s+(text\b|varchar\s*\(\s*\d+\s*\))\s*$",
+                    ib, re.I,
+                ):
+                    tm = tm_
+                if tm is None or _paren_depth_at(ib, tm.start()) > 0:
+                    continue
+                tstart = op + 1 + tm.start(1)
+                tend = op + 1 + tm.end(1)
+                out = out[:tstart] + "varchar" + out[tend:]
+                changed = True
+                break
+            if not changed:
+                return out
+        raise EngineError(
+            "string-cast spelling normalization did not converge"
+        )
+
+    _SELECT_LIST_STOP = re.compile(
+        r"(?:from|where|group|having|qualify|window|order|limit"
+        r"|offset|fetch|union|intersect|except|into)\b", re.I
+    )
+
+    def _alias_unaliased_string_casts(self, out: str) -> str:
+        """A select-list item that is EXACTLY an unaliased string
+        cast gets DuckDB's output column name appended as an
+        explicit alias (r13 verdict #1 — the round's one silent
+        seam): Spark auto-names ``cast(v as string)`` as ``v``, so a
+        trailing ``ORDER BY v`` binds to the STRING output and
+        returns differently-ordered rows than DuckDB, which names
+        the column ``CAST(v AS VARCHAR)`` and keeps ``v`` bound to
+        the base column. The alias fixes both the schema and the
+        capture. Identifier operands reproduce DuckDB's name
+        exactly; other operands are best-effort ``CAST((<text>) AS
+        VARCHAR)`` (DuckDB re-renders expression whitespace — README
+        boundary) but still break the capture."""
+        b = _blank_literals(out)
+        edits: list[tuple[int, str]] = []  # (insert_at, alias)
+        for sm in re.finditer(r"\bselect\b", b, re.I):
+            j = sm.end()
+            dm = re.match(r"\s+distinct\s+on\s*\(", b[j:], re.I)
+            if dm:
+                j = self._match_bracket(b, j + dm.end() - 1, "(", ")") + 1
+            else:
+                dm = re.match(r"\s+(?:distinct|all)\b", b[j:], re.I)
+                if dm:
+                    j += dm.end()
+            start = j
+            i, end, depth = j, len(b), 0
+            while i < len(b):
+                c = b[i]
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif c == ";" and depth == 0:
+                    end = i
+                    break
+                elif depth == 0 and (c.isalpha() or c == "_"):
+                    at_word_start = not (
+                        b[i - 1].isalnum() or b[i - 1] in "_`"
+                    )
+                    if at_word_start and self._SELECT_LIST_STOP.match(
+                        b, i
+                    ):
+                        end = i
+                        break
+                    while i < len(b) and (
+                        b[i].isalnum() or b[i] == "_"
+                    ):
+                        i += 1
+                    continue
+                i += 1
+            seg, seg_b = out[start:end], b[start:end]
+            if not seg.strip():
+                continue
+            item_off = start
+            for it, itb in zip(
+                self._split_collection_items(seg, seg_b),
+                self._split_collection_items(seg_b, seg_b),
+            ):
+                item_end = item_off + len(it)
+                alias = self._string_cast_item_alias(
+                    it.strip(), itb.strip()
+                )
+                if alias is not None:
+                    pos = item_off + len(it.rstrip())
+                    edits.append((pos, alias))
+                item_off = item_end + 1  # past the comma
+        for pos, alias in sorted(edits, reverse=True):
+            out = out[:pos] + f" as `{alias}`" + out[pos:]
+        return out
+
+    def _string_cast_item_alias(self, it: str, itb: str) -> str | None:
+        """DuckDB's column name for a select item that is exactly an
+        unaliased string cast — ``CAST(<operand> AS VARCHAR)`` /
+        ``TRY_CAST(...)`` (``x::varchar`` names identically,
+        probed) — or None when the item is anything else. Runs after
+        the type substitution, so the cast tail to detect is
+        ``string`` (every DuckDB string spelling normalizes there;
+        Spark-dialect ``cast(x as string)`` gets DuckDB's name too,
+        consistent with the engine's DuckDB-first surface)."""
+        if "`" in it:
+            return None
+        cm = re.match(r"(try_)?cast\s*\(", itb, re.I)
+        if cm:
+            if self._match_bracket(itb, cm.end() - 1, "(", ")") != (
+                len(itb) - 1
+            ):
+                return None
+            ib = itb[cm.end(): -1]
+            tm = None
+            for tm_ in re.finditer(
+                r"\bas\s+string\s*$", ib, re.I
+            ):
+                tm = tm_
+            if tm is None or _paren_depth_at(ib, tm.start()) > 0:
+                return None
+            oper = it[cm.end(): cm.end() + tm.start()].strip()
+            kind = "TRY_CAST" if cm.group(1) else "CAST"
+        else:
+            tm = re.search(r"::\s*string\s*$", itb, re.I)
+            if tm is None or _paren_depth_at(itb, tm.start()) > 0:
+                return None
+            oper = it[: tm.start()].strip()
+            kind = "CAST"
+        # DuckDB strips redundant outer parens in the rendered name
+        # ((v)::varchar names CAST(v AS VARCHAR))
+        while (
+            oper.startswith("(")
+            and oper.endswith(")")
+            and self._match_bracket(
+                _blank_literals(oper), 0, "(", ")"
+            ) == len(oper) - 1
+        ):
+            oper = oper[1:-1].strip()
+        if not re.fullmatch(
+            r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*", oper
+        ):
+            oper = f"({oper})"
+        return f"{kind}({oper} AS VARCHAR)"
 
     def _rewrite_duckdb_collections_core(self, stmt: str) -> str:
         """DuckDB list/struct EXPRESSION dialect (r11 verdict #1 —
@@ -3581,6 +3803,19 @@ class AnalyticsEngine:
                         f" try_cast(greatest(({e}) - ({s}) + 1, 0)"
                         " as int))"
                     )
+                    # DuckDB: a NULL bound yields NULL — without
+                    # this guard Spark's greatest/least would SKIP
+                    # the NULL and silently treat it as open
+                    guards = [
+                        f"({x}) is null"
+                        for x in (a, c)
+                        if x and not re.fullmatch(r"\d+", x)
+                    ]
+                    if guards:
+                        repl = (
+                            f"(case when {' or '.join(guards)}"
+                            f" then null else {repl} end)"
+                        )
             out = out[:base_start] + repl + out[close + 1:]
         raise EngineError(
             "list/struct expression rewrite did not converge"
@@ -3971,6 +4206,78 @@ class AnalyticsEngine:
         key, _dirn, nulls = self._parse_order_item(items[0])
         return key, nulls or "last", spec_wo[: obm.start()].strip()
 
+    def _exclude_minmax_rows_repl(
+        self, fn: str, arg: str, spec_wo: str,
+        fm: re.Match, kind: str,
+    ) -> str:
+        """min/max OVER (spec EXCLUDE TIES|GROUP) on a BOUNDED ROWS
+        frame (r13 verdict #6 — the peer group can straddle the
+        frame edge, so neither subtraction nor a value split works):
+        a bounded ROWS frame materializes at most (p + f + 1) rows,
+        so collect the frame's (key, value) pairs and drop the
+        current key's peers with a null-safe filter — all JVM-side
+        (collect_list shares the window sort; array HOFs do the
+        rest), any key TYPE (the filter is <=> equality, no ±1 key
+        arithmetic). A NULL ordering key is its own peer group and
+        the null-safe compare handles it exactly. UNBOUNDED sides
+        refuse by name: the per-row materialization would be
+        O(partition), a scale hazard the bounded case doesn't have.
+        array_min/array_max skip NULL values like the aggregates;
+        an emptied frame yields NULL. TIES re-includes the current
+        row (even on frames that missed it — DuckDB's row clamp has
+        already run by the time this is called). Multi-key ORDER BY
+        composes (unlike the RANGE value split): the peer test is a
+        null-safe struct equality over every key."""
+        lo = re.sub(r"\s+", " ", fm.group(2).strip().lower())
+        hi = re.sub(r"\s+", " ", fm.group(3).strip().lower())
+        if lo.startswith("unbounded") or hi.startswith("unbounded"):
+            raise EngineError(
+                f"window EXCLUDE {kind.upper()} with {fn}() on a"
+                " ROWS frame with an UNBOUNDED side is not"
+                " supported (the frame materialization is bounded"
+                " by the frame width) — bound the frame, or use a"
+                " RANGE frame with an integer key"
+            )
+        sb = _blank_literals(spec_wo)
+        obm = next(
+            (
+                mm for mm in re.finditer(r"\border\s+by\b", sb, re.I)
+                if _paren_depth_at(sb, mm.start()) == 0
+            ),
+            None,
+        )
+        if obm is None:
+            raise EngineError(
+                f"window EXCLUDE {kind.upper()} with {fn}() needs"
+                " an ORDER BY"
+            )
+        items = self._split_collection_items(
+            spec_wo[obm.end(): fm.start()],
+            sb[obm.end(): fm.start()],
+        )
+        keys = [self._parse_order_item(it)[0] for it in items]
+        key = (
+            f"({keys[0]})" if len(keys) == 1
+            else "named_struct(" + ", ".join(
+                f"'o{i}', ({k})" for i, k in enumerate(keys)
+            ) + ")"
+        )
+        mfn = "array_min" if fn == "min" else "array_max"
+        g = (
+            f"{mfn}(transform(filter(collect_list("
+            f"named_struct('k', {key}, 'v', ({arg})))"
+            f" over ({spec_wo}),"
+            f" _xe -> not (_xe.k <=> {key})), _xe -> _xe.v))"
+        )
+        if kind == "ties":
+            comb = "least" if fn == "min" else "greatest"
+            return (
+                f"(case when {g} is null then ({arg})"
+                f" when ({arg}) is null then {g}"
+                f" else {comb}({g}, ({arg})) end)"
+            )
+        return f"({g})"
+
     def _exclude_minmax_range_repl(
         self, stmt: str, fn: str, arg: str, spec_wo: str,
         fm: re.Match | None, kind: str,
@@ -3988,11 +4295,8 @@ class AnalyticsEngine:
         the current row: combine the GROUP result with the row's own
         value null-safely."""
         if fm is not None and fm.group(1).lower() == "rows":
-            raise EngineError(
-                f"window EXCLUDE {kind.upper()} with {fn}() on a"
-                " ROWS frame is not supported (the peer group can"
-                " straddle the frame edge and min/max cannot"
-                " subtract) — use a RANGE frame"
+            return self._exclude_minmax_rows_repl(
+                fn, arg, spec_wo, fm, kind
             )
         # single integer ORDER BY key (the ±1 arithmetic is exact
         # there and peers are exactly the equal keys)
@@ -4124,8 +4428,14 @@ class AnalyticsEngine:
         - EXCLUDE TIES / EXCLUDE GROUP with min/max on RANGE/default
           frames (r12 verdict #5 — ``_exclude_minmax_range_repl``):
           the kept set is two value intervals around an INTEGER
-          ordering key, no subtraction needed; ROWS frames and
-          non-integer keys refuse by name.
+          ordering key, no subtraction needed; non-integer keys on
+          RANGE frames refuse by name.
+        - EXCLUDE TIES / EXCLUDE GROUP with min/max on BOUNDED ROWS
+          frames (r14 — ``_exclude_minmax_rows_repl``): collect the
+          ≤ width frame rows and drop the current key's peers with
+          a null-safe filter — any key type, multi-key ORDER BY
+          composes; UNBOUNDED sides refuse by name (O(partition)
+          materialization).
         - a frame that cannot contain the current row: DuckDB
           computes EVERY exclusion over the frame CLAMPED (row
           space) to touch the current row — probed on ROWS and RANGE

@@ -45,100 +45,97 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-13 rotation (r12 verdict #4: rotate the WHOLE remaining
-    # r8 ledger into the spotlight — the ten names below are exactly
-    # workloads' documented deferral list — then the round's new
-    # rows, then the oldest remainder).
+    # Round-14 rotation (r13 verdict #3: the fourteen r9-graded
+    # deferrals are the oldest evidence left and MUST rotate in;
+    # then the round's never-graded rows; then the oldest-evidence
+    # remainder — the r10 ledger).
     #
-    # (a) never-graded: the four r13 driver-row surfaces — ORDER BY
-    # default-NULL-placement parity (r12 verdict #1, the round's one
-    # silent seam: api.py::_inject_order_nulls_last), ordered
-    # first()/last() NULL-key semantics (r12 verdict #3: is-null-flag
-    # struct inside min_by/max_by), the r13 function-parity batch
-    # (string_agg / quantile_disc / DISTINCT ordered aggregates /
-    # generate_series / list_aggregate), and the time_bucket
-    # hypertable rollup. All land with statement batteries +
-    # NULL-ordering-key and EXCLUDE fuzz arms in tests/.
-    "u_order_nulls",
-    "u_first_last_ord",
-    "u_string_agg_ord",
-    "a_time_bucket",
-    # (c) oldest evidence — first the ENTIRE r8 ledger (deferred at
-    # r12 with in-window twins; r12 verdict #4 names exactly these
-    # ten):
-    "q_except",
-    "q_count_distinct",
-    "q_join_full",
-    "q_grouping_sets",
-    "q_grouping_id",
-    "u_asof_subquery_sql",
-    "a_asof_nearest",
-    "s_stream_session",
-    "s_stream_tumbling",
-    "v_rerank_topk",
-    # (b) changed since grading: NONE re-graded — the r13 engine
-    # changes (the NULLS LAST ordering injection, the ordered
-    # first/last flag structs, the ADVICE batch: string-literal
-    # bracket pass-through, nextval star expansion, product NULL
-    # groups, windowed-agg refusals, \x1f pivot keys) are
-    # whole-registry rewrites verified by fresh tools/compare.py runs
-    # at sf0.001 + sf0.01 + sf0.1 within the round (every graded
-    # query and oracle text unchanged), so they carry
+    # (a) never-graded: the two r14 surfaces — the string-cast
+    # spelling/alias seam (r13 verdict #1/#2: text / char varying /
+    # ::text / cast-position varchar(n) normalize, and unaliased
+    # select-item string casts carry DuckDB's CAST(x AS VARCHAR)
+    # column name so ORDER BY keeps binding to the base column) and
+    # the r14 function-parity batch (3-arg time_bucket offset on the
+    # 2000-01-03 grid, list-form quantile_disc, stepless
+    # generate_series start>stop → []).
+    "u_cast_spellings",
+    "u_fn_parity_r14",
+    # (c) oldest evidence — the ENTIRE r9 remainder (r13 verdict #3
+    # names exactly these fourteen):
+    "d_simhash",
+    "p_source_cap",
+    "q2_min_ship_supplier",
+    "q11_important_suppliers",
+    "q12_priority_class",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q20_excess_suppliers",
+    "s_daily_rollup",
+    "s_sliding",
+    "t_boilerplate",
+    "t_heavy_hitters",
+    "t_token_stats",
+    # (b) changed since grading: NONE re-graded — the r14 engine
+    # changes (time_bucket origin realignment + 3-arg form,
+    # generate_series stepless guard, unicode('') = -1, array_slice
+    # NULL bounds, the ORDER BY splice fixpoint, the string-cast
+    # normalization/alias passes, list-form quantile_disc) are
+    # whole-registry rewrites verified by fresh tools/compare.py
+    # runs at sf0.001 + sf0.01 + sf0.1 within the round (every
+    # graded query and oracle text unchanged), so they carry
     # full-registry evidence rather than spotlight slots.
-    # (c) cont. — the oldest-evidence remainder: the c-family slot
-    # (c_catalog_tables, last graded r10) and 37 of the 49 r9-graded
-    # names. Twelve r9 names defer to r14, each with its machinery
-    # re-evidenced by an in-window (or r12-fresh) same-machinery
-    # twin: q2/q11/q12/q15/q16/q17/q20 (the TPC-H join+agg+subquery
-    # pass — q_join_full, q_except, q_count_distinct,
-    # q_grouping_sets/q_grouping_id in-window; q21/q22 r12-fresh),
-    # s_daily_rollup + s_sliding (the windowed-rollup path —
-    # s_stream_tumbling + s_stream_session in-window),
-    # t_token_stats + t_heavy_hitters (the tokenize-once scan —
-    # t_entropy, t_repetition, t_bpe_tokens in-window), and
-    # d_simhash (d_simhash_pairs r12-fresh; d_ngram_jaccard +
-    # d_fingerprint_dup_groups in-window); two more r9 names yield
-    # their slots to the (a)-class rows above, each with in-window
-    # twins: t_boilerplate (t_entropy + t_repetition + t_bpe_tokens
-    # share the tokenize-once scan) and p_source_cap
-    # (p_sample_stratified shares the hash-ordered window cap;
-    # p_pack_shards + p_mixture_plan in-window).
-    "c_catalog_tables",
-    "a_asof_forward",
-    "d_cross_source_dups",
-    "d_decontaminate",
-    "d_dedup_survivors",
-    "d_exact_dup_groups",
-    "d_fingerprint_dup_groups",
-    "d_incremental_dedup",
-    "d_ngram_jaccard",
-    "m_binary_meta",
-    "m_frame_sample",
-    "p_mixture_plan",
-    "p_pack_shards",
-    "p_quality_filter",
-    "p_sample_stratified",
-    "q_approx_distinct_bound",
-    "s_stateful_user",
-    "s_stream_dedup",
-    "s_stream_distinct",
-    "s_stream_enrich",
-    "s_stream_join",
-    "t_approx_topk_bound",
-    "t_bpe_tokens",
-    "t_entropy",
-    "t_fingerprint",
-    "t_lang_ngram",
-    "t_repetition",
-    "u_alter_schema",
-    "u_distinct_on_qualify",
-    "u_restore_timetravel",
-    "u_select_replace",
-    "u_union_by_name",
-    "v_cluster_near_dup",
-    "v_filtered_topk",
-    "v_ivf_assign",
-    "v_pairwise_near_dup",
+    # (c) cont. — the oldest-evidence remainder: 33 of the 49
+    # r10-graded names, plus c_catalog_columns (r12) holding the
+    # c-family slot (c_catalog_tables is r13-fresh). Sixteen r10
+    # names defer to r15, each with its machinery re-evidenced by an
+    # in-window (or r13-fresh) same-machinery twin:
+    # q3/q5/q6/q7/q8/q9/q10/q18 (the TPC-H join+agg pass —
+    # q2/q11/q12/q15/q16/q17/q20 in-window; q21/q22 r12-fresh),
+    # q_funnel (q_retention_cohorts in-window shares the events
+    # window-funnel scan), m_embed_topk + m_image_embed (m_resize
+    # in-window; m_binary_meta + m_frame_sample r13-fresh share the
+    # mapInPandas decode path), p_sample_hash (p_source_cap
+    # in-window shares the hash-threshold sampler), d_minhash_lsh +
+    # d_repeated_passages (d_incremental_minhash + d_lsh_recall_audit
+    # in-window share the banded LSH path), v_kmeans_bound
+    # (v_pq_bound + v_quantize in-window share the bounded-sample
+    # training path), and s_stream_asof (a_asof_tolerance in-window;
+    # u_asof_subquery_sql r13-fresh share the as-of machinery).
+    "a_asof_tolerance",
+    "c_catalog_columns",
+    "d_bloom_bound",
+    "d_dup_components",
+    "d_incremental_minhash",
+    "d_lsh_recall_audit",
+    "m_resize",
+    "q_anomaly_zscore",
+    "q_approx_quantile_bound",
+    "q_fetch_first",
+    "q_hll_sketch_bound",
+    "q_join_anti",
+    "q_join_theta",
+    "q_listagg",
+    "q_recursive_cte",
+    "q_retention_cohorts",
+    "q_skew_salted_agg",
+    "q_stats_agg",
+    "q_window_frames",
+    "t_length_histogram",
+    "t_rolling_fingerprint",
+    "t_source_stats",
+    "u_columns",
+    "u_copy_export",
+    "u_create_or_replace",
+    "u_dml_roundtrip",
+    "u_fetch_with_ties",
+    "u_insert_by_position",
+    "u_limit_percent",
+    "u_qualify_sql",
+    "u_union_offset",
+    "u_update_from_subquery",
+    "v_pq_bound",
+    "v_quantize",
 )
 
 

@@ -1305,7 +1305,66 @@ def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(r.rows, "k bigint, v double")
 
 
+def u_cast_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-cast dialect spellings (r13 verdict #1/#2 — the
+    round's one silent seam): unaliased select-item casts must carry
+    DuckDB's output column name (``CAST(v AS VARCHAR)``) so a
+    trailing ``ORDER BY v`` keeps binding to the INTEGER base column
+    instead of Spark's auto-alias ``v`` (which silently reordered
+    rows as strings), and ``text`` / ``char varying`` /
+    ``varchar(n)-in-cast`` all normalize (api.py
+    _normalize_string_cast_spellings + _alias_unaliased_string_
+    casts). The LIMIT makes the ORDER BY binding content-visible."""
+    eng = AnalyticsEngine(
+        _scratch("andb_cs_"), spark=spark, attach_dir=sf_dir
+    )
+    e = eng.execute
+    e(
+        "create table cs_t as select o_orderkey as v,"
+        " o_orderstatus as s from orders where o_orderkey < 3000"
+    )
+    r = e(
+        "select cast(v as varchar), s::text,"
+        " try_cast(v as char varying),"
+        " cast(v as varchar(2)) as v2,"
+        " upper(cast(s as text)) as u"
+        " from cs_t order by v limit 500"
+    )
+    return spark.createDataFrame(r.rows, list(r.columns))
+
+
+def u_fn_parity_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 function-parity batch end to end: time_bucket's
+    3-arg offset form (subtract-then-add over the 2000-01-03 grid —
+    a '2 days' width with a '12 hours' offset distinguishes the
+    DuckDB origin from the epoch), list-form quantile_disc (one
+    sorted-array probe per probability, aggregates resolved inside
+    the transform lambda; elements projected out 1-based — the
+    driver canon hashes scalar cells only), quantile_cont scalar, and stepless
+    generate_series returning [] when start > stop. Identical SQL
+    is the DuckDB oracle."""
+    eng = AnalyticsEngine(
+        _scratch("andb_fp_"), spark=spark, attach_dir=sf_dir
+    )
+    r = eng.execute(
+        "select time_bucket(interval '2 days', ts,"
+        " interval '12 hours') as bucket, count(*) as n,"
+        " quantile_disc(value, [0.25, 0.75])[1] as q25,"
+        " quantile_disc(value, [0.25, 0.75])[2] as q75,"
+        " round(quantile_cont(value, 0.5), 4) as med,"
+        " len(generate_series(5, 1)) as ge"
+        " from events group by bucket order by bucket"
+    )
+    return spark.createDataFrame(
+        r.rows,
+        "bucket timestamp, n bigint, q25 double, q75 double,"
+        " med double, ge int",
+    )
+
+
 QUERIES = {
+    "u_cast_spellings": u_cast_spellings,
+    "u_fn_parity_r14": u_fn_parity_r14,
     "u_dml_roundtrip": u_dml_roundtrip,
     "u_restore_timetravel": u_restore_timetravel,
     "u_txn_rollback": u_txn_rollback,
@@ -1352,6 +1411,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "u_cast_spellings": """
+        with cs_t as (select o_orderkey as v, o_orderstatus as s
+                      from orders where o_orderkey < 3000)
+        select cast(v as varchar), s::text,
+         try_cast(v as char varying),
+         cast(v as varchar(2)) as v2,
+         upper(cast(s as text)) as u
+         from cs_t order by v limit 500
+    """,
+    "u_fn_parity_r14": """
+        select time_bucket(interval '2 days', ts,
+         interval '12 hours') as bucket, count(*) as n,
+         quantile_disc(value, [0.25, 0.75])[1] as q25,
+         quantile_disc(value, [0.25, 0.75])[2] as q75,
+         round(quantile_cont(value, 0.5), 4) as med,
+         len(generate_series(5, 1)) as ge
+         from events group by bucket order by bucket
+    """,
     "u_string_agg_ord": """
         select o_orderpriority as pri,
          string_agg(o_orderstatus, '' order by o_orderkey) as st,

@@ -215,10 +215,30 @@ HEADLINE_R12 = (
     "u_window_exclude",
 )
 
+# r13 driver rows (kept OUT of the cross-round comparable total;
+# subtotal r13_extension_sec): the NULLS LAST ordering parity row,
+# ordered first/last, the ordered/DISTINCT aggregate batch, and the
+# time_bucket rollup.
+HEADLINE_R13 = (
+    "u_order_nulls",
+    "u_first_last_ord",
+    "u_string_agg_ord",
+    "a_time_bucket",
+)
+
+# r14 driver rows (subtotal r14_extension_sec): the string-cast
+# spelling/alias row and the function-parity batch (3-arg
+# time_bucket, list-form quantile_disc, stepless generate_series).
+HEADLINE_R14 = (
+    "u_cast_spellings",
+    "u_fn_parity_r14",
+)
+
 HEADLINE = (
     HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
     + HEADLINE_R06 + HEADLINE_R07 + HEADLINE_R08 + HEADLINE_R09
-    + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
+    + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13
+    + HEADLINE_R14
 )
 COMPARABLE = HEADLINE_R01 + HEADLINE_R02 + HEADLINE_R03 + HEADLINE_R04
 
@@ -455,6 +475,8 @@ def main() -> None:
     r10_ext = round(sum(timings[n] for n in HEADLINE_R10), 3)
     r11_ext = round(sum(timings[n] for n in HEADLINE_R11), 3)
     r12_ext = round(sum(timings[n] for n in HEADLINE_R12), 3)
+    r13_ext = round(sum(timings[n] for n in HEADLINE_R13), 3)
+    r14_ext = round(sum(timings[n] for n in HEADLINE_R14), 3)
     # Lifecycle-subtracted twin for the engine-booting rows (VERDICT
     # r10 #7): every engine_q workload boots a fresh scratch
     # AnalyticsEngine INSIDE its timed region (isolation is the
@@ -511,6 +533,8 @@ def main() -> None:
         "r10_extension_sec": r10_ext,
         "r11_extension_sec": r11_ext,
         "r12_extension_sec": r12_ext,
+        "r13_extension_sec": r13_ext,
+        "r14_extension_sec": r14_ext,
     }
     full_record.update(subtotals)
     # Durable full record: the driver's 2000-char stdout tail cannot

@@ -1089,7 +1089,12 @@ def test_random_constraint_inserts_agree_with_duckdb(spark, case):
 # bounds), len(), literals, and nesting compose randomly. Exact
 # compare: everything is integer-valued.
 _CLX_IDX = st.integers(-4, 4)
-_CLX_BOUND = st.one_of(st.none(), st.integers(-3, 4))
+# r13 verdict #5/#10: a literal NULL bound must propagate (DuckDB
+# yields NULL; Spark's greatest/least would silently skip it) — the
+# seam survived because no generator emitted NULL bounds
+_CLX_BOUND = st.one_of(
+    st.none(), st.integers(-3, 4), st.just("NULL")
+)
 
 
 def _clx_base(draw_lit):
@@ -1154,6 +1159,68 @@ def test_random_list_expression_agrees_with_duckdb(clx_engines, e, i):
     er = [tuple(r) for r in eng.execute(sql).rows]
     dr = con.execute(sql).fetchall()
     assert er == dr, sql
+
+
+# ------------------------------------------- cast-spelling family --
+# r13 verdict #10: the cast-spelling seam (text / char varying /
+# varchar(n)-in-cast raw-erroring, and unaliased select-item casts
+# letting ORDER BY capture Spark's auto-alias and return
+# string-ordered rows) survived because no generator emitted dialect
+# type names or unaliased casts under ORDER BY. Rows AND column
+# names compare — the seam had a schema half.
+_CAST_SPELLING = st.sampled_from(
+    ["varchar", "text", "char varying", "character varying",
+     "varchar(2)", "varchar(8)"]
+)
+_CAST_OPERAND = st.sampled_from(["v", "v + 1", "s", "t.v"])
+_CAST_STYLE = st.sampled_from(["cast", "try_cast", "colons"])
+_CAST_ALIAS = st.sampled_from(["", " as c1"])
+_CAST_ORDER = st.sampled_from(
+    ["v", "v desc", "s nulls first, v", "1", "v nulls last"]
+)
+
+
+@pytest.fixture(scope="module")
+def cast_fuzz_engine(spark, tmp_path_factory):
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(
+        str(tmp_path_factory.mktemp("whcfz")), spark=spark
+    )
+    con = duckdb.connect()
+    for run in (eng.execute, con.execute):
+        run("create table t (v int, s varchar(4))")
+        run(
+            "insert into t values (5,'a'),(6,'b'),(10,'c'),"
+            " (20,'d'),(3,'a'),(null,null)"
+        )
+    return eng, con
+
+
+@seed(FUZZ_ROUND)
+@settings(max_examples=50, deadline=None)
+@given(
+    sp=_CAST_SPELLING, op=_CAST_OPERAND, style=_CAST_STYLE,
+    al=_CAST_ALIAS, ob=_CAST_ORDER,
+)
+def test_random_cast_spelling_agrees_with_duckdb(
+    cast_fuzz_engine, sp, op, style, al, ob
+):
+    eng, con = cast_fuzz_engine
+    if style == "colons":
+        if " " in sp or "(" in sp:
+            sp = "varchar"  # ::char varying isn't DuckDB-parseable
+        item = f"({op})::{sp}{al}"
+    elif style == "try_cast":
+        item = f"try_cast({op} as {sp}){al}"
+    else:
+        item = f"cast({op} as {sp}){al}"
+    sql = f"select {item}, v from t order by {ob}, v limit 4"
+    r = eng.execute(sql)
+    er = ([tuple(x) for x in r.rows], list(r.columns))
+    rd = con.execute(sql)
+    dr = (rd.fetchall(), [d[0] for d in rd.description])
+    assert str(er) == str(dr), (sql, er, dr)
 
 
 # ---------------------------------------- NULL ordering-key family --
@@ -1312,9 +1379,10 @@ def test_random_null_key_ordered_agg_agrees_with_duckdb(
 # EXCLUDE. RANGE shapes order by the key alone (peer semantics are
 # the point; interval aggregates are order-independent), ROWS shapes
 # add the unique id for a total order. Combos the engine refuses by
-# name (min/max on ROWS ties/group; min/max RANGE + exclude current
-# row) are excluded by construction — the deterministic grid in
-# test_parser_surfaces_differential.py pins those refusals.
+# name (min/max TIES/GROUP on UNBOUNDED-side ROWS frames; min/max
+# RANGE + exclude current row) are excluded by construction — the
+# deterministic grid in test_parser_surfaces_differential.py pins
+# those refusals; bounded-ROWS min/max TIES/GROUP executes (r14).
 _EX_LO = st.sampled_from(
     ["unbounded preceding", "3 preceding", "1 preceding",
      "current row", "1 following"]
@@ -1345,13 +1413,30 @@ def test_random_window_exclude_agrees_with_duckdb(
     if _EX_ORD[lo] > _EX_ORD[hi]:
         return  # invalid frame (lo after hi) — both engines reject
     is_minmax = agg.startswith(("min", "max"))
+    minmax_rows_peers = False
     if is_minmax and kind == "current row":
         frame = "rows"
     elif is_minmax:
-        frame = "range"
+        # bounded ROWS frames execute for min/max TIES/GROUP since
+        # r14 (the collect-filter path); UNBOUNDED sides refuse by
+        # name, so those stay on RANGE. The ROWS shape orders by the
+        # unique id — with TIED keys the frame CONTENT is
+        # tie-order-dependent on both engines (underdetermined SQL);
+        # the deterministic battery covers tied keys with equal
+        # values instead.
+        if "unbounded" not in lo and "unbounded" not in hi and (
+            len(lo + hi + agg) % 2
+        ):
+            frame = "rows"
+            minmax_rows_peers = True
+        else:
+            frame = "range"
     else:
         frame = "rows" if len(lo + hi + kind + agg) % 2 else "range"
-    order = "k, id" if frame == "rows" else "k"
+    order = (
+        "id" if minmax_rows_peers
+        else "k, id" if frame == "rows" else "k"
+    )
     sql = (
         f"select id, {agg} over (partition by g order by {order}"
         f" {frame} between {lo} and {hi} exclude {kind}) as x"

@@ -3988,6 +3988,35 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
         "select id, min(v) over (partition by g order by k rows"
         " between 2 preceding and 2 following exclude current row)"
         " as x from t order by id",
+        # min/max EXCLUDE TIES/GROUP on bounded ROWS frames (r14 —
+        # api.py::_exclude_minmax_rows_repl, the collect-filter
+        # path; formerly named refusals). The multi-key (k, id)
+        # ORDER BY makes the frame content deterministic AND
+        # exercises the struct peer key; the single-key shapes below
+        # ride the not-containing clamp
+        "select id, min(v) over (partition by g order by k, id rows"
+        " between 2 preceding and 2 following exclude group) as x"
+        " from t order by id",
+        "select id, max(v) over (partition by g order by k, id rows"
+        " between 3 preceding and 1 following exclude ties) as x"
+        " from t order by id",
+        "select id, max(v) over (partition by g order by k, id rows"
+        " between current row and 3 following exclude group) as x"
+        " from t order by id",
+        "select id, min(v) over (partition by g order by k, id rows"
+        " between 2 following and 4 following exclude ties) as x"
+        " from t order by id",
+        "select id, min(v) over (partition by g order by k, id rows"
+        " between 4 preceding and 2 preceding exclude group) as x"
+        " from t order by id",
+        # non-integer ordering key on a bounded ROWS frame (the
+        # RANGE split can't do these; the collect path is type-blind)
+        "select id, max(k) over (partition by g order by v, id rows"
+        " between 2 preceding and 2 following exclude group) as x"
+        " from t order by id",
+        "select id, min(k) over (partition by g order by v, id rows"
+        " between 1 preceding and 3 following exclude ties) as x"
+        " from t order by id",
     ]
 
     def nrm(rws):
@@ -4003,13 +4032,14 @@ def test_window_exclude_ties_group_matches_duckdb(spark, tmp_path):
         er = nrm([tuple(r) for r in eng.execute(sql).rows])
         dr = nrm(con.execute(sql).fetchall())
         assert er == dr, sql
-    # named refusals: min/max EXCLUDE TIES/GROUP need a RANGE frame
-    # (ROWS peers straddle) with an INTEGER key (the value split is
-    # in key units); min/max EXCLUDE CURRENT ROW on a not-containing
-    # RANGE frame has no closed form for the row-clamped gap
+    # named refusals: min/max EXCLUDE TIES/GROUP on ROWS frames need
+    # BOUNDED sides (the collect path materializes the frame); RANGE
+    # frames need an INTEGER key (the value split is in key units);
+    # min/max EXCLUDE CURRENT ROW on a not-containing RANGE frame
+    # has no closed form for the row-clamped gap
     for sql in (
         "select min(v) over (partition by g order by k rows between"
-        " 2 preceding and 2 following exclude ties) from t",
+        " unbounded preceding and current row exclude ties) from t",
         "select min(k) over (partition by g order by v range between"
         " unbounded preceding and current row exclude group) from t",
         "select max(v) over (partition by g order by k range between"
@@ -4759,6 +4789,95 @@ def test_function_parity_sweep_r14_matches_duckdb(spark, tmp_path):
         con.execute(
             "select time_bucket(interval '5 minutes', v, 3) from t"
         )
+    eng.close()
+
+
+def test_string_cast_spellings_match_duckdb(spark, tmp_path):
+    """The r13 verdict's one silent seam (api.py
+    _normalize_string_cast_spellings + _alias_unaliased_string_
+    casts): every DuckDB string-type spelling executes — text, char
+    varying, character varying, ::text, and a cast's varchar(n)
+    (whose length DuckDB IGNORES where Spark would truncate) — and
+    an unaliased select-item string cast carries DuckDB's output
+    column name CAST(x AS VARCHAR), so ORDER BY on the base column
+    no longer silently binds to Spark's auto-alias and returns
+    string-ordered rows. Column NAMES are compared, not just
+    values — the schema half of the seam."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whcast"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (v int, s varchar(4))")
+        run(
+            "insert into t values (5,'a'),(6,'b'),(10,'c'),"
+            " (20,'d'),(null,null)"
+        )
+    for sql in (
+        # THE verdict probe: ORDER BY must bind to the INT column
+        "select cast(v as varchar) from t order by v limit 2",
+        "select cast(v as text) from t order by v limit 2",
+        "select v::text from t order by v limit 2",
+        "select v::varchar from t order by v limit 2",
+        "select cast(v as char varying) from t order by v limit 2",
+        "select cast(v as character varying) from t"
+        " order by v limit 2",
+        "select cast(v as varchar(2)) from t order by v limit 2",
+        "select try_cast(v as varchar) from t order by v limit 2",
+        "select cast(t.v as varchar) from t order by v limit 2",
+        "select string_agg(cast(v as text), '-' order by v) as x"
+        " from t",
+        "select cast(v as varchar) as s2 from t order by v limit 2",
+        "select cast(v as varchar), s from t order by v limit 2",
+        "select distinct cast(v as varchar) from t"
+        " order by 1 limit 2",
+        "select upper(cast(v as text)) as u from t"
+        " order by v limit 2",
+        "select * from (select cast(v as text) from t) q limit 0",
+        "select 1 as text, 'text' as lit",
+        "select s from t where cast(v as text) = '5'",
+        "select cast(v as varchar) from t union all select s from t"
+        " order by 1 nulls last limit 3",
+    ):
+        r = e(sql)
+        er = ([tuple(x) for x in r.rows], list(r.columns))
+        rd = con.execute(sql)
+        dr = (rd.fetchall(), [d[0] for d in rd.description])
+        assert str(er) == str(dr), (sql, er, dr)
+    eng.close()
+
+
+def test_quantile_disc_list_form_matches_duckdb(spark, tmp_path):
+    """List-form quantile/quantile_disc (r13 verdict #4 — was a raw
+    Spark DATATYPE_MISMATCH from multiplying the probability ARRAY
+    by count()): lowered as one sorted-array probe per element via
+    transform, with the aggregates resolved inside the lambda."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whqd"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (g int, v int)")
+        run(
+            "insert into t values (1,1),(1,2),(1,3),(1,4),(1,5),"
+            " (2,7),(2,9),(1,null)"
+        )
+    for sql in (
+        "select quantile_disc(v, [0.25, 0.75]) as q from t",
+        "select quantile(v, [0.0, 0.5, 1.0]) as q from t",
+        "select g, quantile_disc(v, [0.5]) as q from t"
+        " group by g order by g",
+        "select quantile_cont(v, [0.25, 0.75]) as q from t",
+    ):
+        er = [tuple(x) for x in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
     eng.close()
 
 

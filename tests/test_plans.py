@@ -553,7 +553,9 @@ def test_window_exclude_shares_one_sort(spark, tmp_path):
         " min(v) over (partition by g order by k range between"
         " unbounded preceding and current row exclude group) as m,"
         " avg(v) over (partition by g order by k range between"
-        " unbounded preceding and current row exclude ties) as t"
+        " unbounded preceding and current row exclude ties) as t,"
+        " max(v) over (partition by g order by k rows between"
+        " 2 preceding and 2 following exclude group) as cg"
         " from wx"
     )
     try:
