@@ -4426,8 +4426,12 @@ def test_r13_advice_fixes_match_duckdb(spark, tmp_path):
        refuse
     3. product() over an empty/all-NULL group is NULL, not the fold
        seed 1.0
-    4. windowed forms of the rewritten aggregates (ordered
-       first/last, skewness, kurtosis, product) refuse by name
+    4. windowed skewness/kurtosis/product execute (r14 — the OVER
+       spec distributes onto the inner aggregates; DuckDB-compared
+       with float rounding and −0.0 normalization); ordered
+       first/last OVER refuses by name AND DuckDB 1.0 parser-errors
+       on it too ("ORDER BY is not implemented for window
+       functions") — the refusal IS parity
     5. multi-column PIVOT keys join on \\x1f internally so underscore
        data can't merge combos; display names keep DuckDB's
        underscore form with its _N dedup
@@ -4481,15 +4485,51 @@ def test_r13_advice_fixes_match_duckdb(spark, tmp_path):
         "select g, product(case when x < 25 then x end) as p"
         " from t group by g order by g"
     )
-    # 4 — windowed forms refuse by name
+    # 4 — windowed skewness/kurtosis/product execute (r14): compare
+    # with rounding (exp∘Σln ulp drift; Spark's round() also
+    # normalizes −0.0 where DuckDB keeps the sign, so normalize in
+    # Python)
+    def nrm04(rows):
+        return sorted(
+            (
+                tuple(
+                    (round(x, 6) + 0.0) if isinstance(x, float)
+                    else x
+                    for x in r
+                )
+                for r in rows
+            ),
+            key=str,  # NULL cells don't order against ints
+        )
+
     for sql in (
-        "select skewness(x) over (partition by g) from t",
-        "select kurtosis(x) over (partition by g) from t",
-        "select product(x) over (partition by g) from t",
-        "select first(x order by k) over (partition by g) from t",
+        "select g, k, skewness(x) over (partition by g) as s"
+        " from t",
+        "select g, k, kurtosis(x) over (partition by g) as s"
+        " from t",
+        "select g, k, product(x) over (partition by g) as p"
+        " from t",
+        "select g, k, product(x) over (partition by g order by k)"
+        " as p from t",
+        "select g, k, skewness(x) over"
+        " (order by k rows between 3 preceding and current row)"
+        " as s from t",
+        "select g, k, product(x - 25) over (partition by g"
+        " order by k rows between 1 preceding and current row)"
+        " as p from t",
     ):
-        with pytest.raises(EngineError, match="WINDOW"):
-            e(sql)
+        er = nrm04(tuple(r) for r in e(sql).rows)
+        dr = nrm04(con.execute(sql).fetchall())
+        assert er == dr, (sql, er, dr)
+    # ordered first/last OVER refuses — and DuckDB 1.0
+    # parser-errors on it too (the refusal IS parity)
+    with pytest.raises(EngineError, match="WINDOW"):
+        e("select first(x order by k) over (partition by g) from t")
+    with pytest.raises(Exception):
+        con.execute(
+            "select first(x order by k) over (partition by g)"
+            " from t"
+        )
     # 2 — nextval star expansion
     e("create sequence s13 start 6")
     assert e(
@@ -4847,6 +4887,59 @@ def test_string_cast_spellings_match_duckdb(spark, tmp_path):
         rd = con.execute(sql)
         dr = (rd.fetchall(), [d[0] for d in rd.description])
         assert str(er) == str(dr), (sql, er, dr)
+    eng.close()
+
+
+def test_windowed_quantiles_match_duckdb(spark, tmp_path):
+    """Windowed quantile family (r14): scalar quantile/quantile_disc
+    OVER an explicit BOUNDED ROWS frame lowers to a sorted collect
+    of the ≤-width frame (the min/max EXCLUDE memory bound);
+    quantile_cont and median ride Spark's native percentile as a
+    window aggregate (any frame — Spark buffers partition-side).
+    Unbounded/default/RANGE frames and list probabilities refuse by
+    name for the DISCRETE forms."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whwq"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (g int, k int, x double)")
+        run(
+            "insert into t values (1,1,10.0),(1,2,20.0),(1,3,5.0),"
+            " (1,4,null),(2,1,-3.0),(2,2,0.0),(2,3,4.0)"
+        )
+    for sql in (
+        "select g, k, quantile_disc(x, 0.5) over (partition by g"
+        " order by k rows between 1 preceding and current row) as q"
+        " from t order by g, k",
+        "select g, k, quantile(x, 0.3) over (partition by g"
+        " order by k rows between 2 preceding and current row) as q"
+        " from t order by g, k",
+        "select g, k, quantile_disc(x, 0.9) over (partition by g"
+        " order by k rows between current row and 2 following) as q"
+        " from t order by g, k",
+        "select g, k, quantile_cont(x, 0.5) over (partition by g"
+        " order by k rows between 1 preceding and current row) as q"
+        " from t order by g, k",
+        "select g, k, quantile_cont(x, 0.5) over (partition by g)"
+        " as q from t order by g, k",
+        "select g, k, median(x) over (partition by g) as q"
+        " from t order by g, k",
+    ):
+        er = [tuple(r) for r in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
+    for sql in (
+        "select quantile(x, 0.5) over () from t",
+        "select quantile_disc(x, [0.5]) over (order by k rows"
+        " between 1 preceding and current row) from t",
+        "select quantile_disc(x, 0.5) over (partition by g) from t",
+    ):
+        with pytest.raises(EngineError, match="WINDOW"):
+            e(sql)
     eng.close()
 
 
