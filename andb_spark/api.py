@@ -2287,6 +2287,16 @@ class AnalyticsEngine:
         ("arg_max", "max_by"),
         ("arg_min", "min_by"),
         ("quantile_cont", "percentile"),
+        # r14 breadth batch (each DuckDB-probed: values and NULL
+        # behavior agree under the rename)
+        ("editdist3", "levenshtein"),
+        ("suffix", "endswith"),
+        ("prefix", "startswith"),
+        ("to_hex", "hex"),
+        ("from_hex", "unhex"),
+        ("epoch_ms", "unix_millis"),
+        ("epoch_us", "unix_micros"),
+        ("week", "weekofyear"),
         ("len", "size"),
     )
 
@@ -2620,6 +2630,9 @@ class AnalyticsEngine:
                 r"|array_to_string|regexp_split_to_array"
                 r"|string_split_regex|str_split_regex|quantile_disc"
                 r"|quantile|unicode|generate_series|time_bucket"
+                r"|log|trunc|isinf|isfinite|ord|monthname|dayname"
+                r"|century|decade|list_distinct|array_unique"
+                r"|regexp_full_match|epoch_ns"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
@@ -2928,7 +2941,9 @@ class AnalyticsEngine:
                 )
             elif fn == "list_reverse_sort" and len(args) == 1:
                 repl = f"sort_array(({args[0].strip()}), false)"
-            elif fn == "list_unique" and len(args) == 1:
+            elif fn in ("list_unique", "array_unique") and (
+                len(args) == 1
+            ):
                 x = args[0].strip()
                 repl = (
                     f"size(array_distinct(filter(({x}), {v} ->"
@@ -3255,7 +3270,7 @@ class AnalyticsEngine:
                         f" greatest(1, cast(ceil({qp} * count({qx}))"
                         " as int)))"
                     )
-            elif fn == "unicode" and len(args) == 1:
+            elif fn in ("unicode", "ord") and len(args) == 1:
                 # Spark's ascii() returns the first CODEPOINT (not
                 # ASCII-only — probed: 'é' → 233 on both), but
                 # DuckDB's unicode('') is -1 where ascii('') is 0;
@@ -3265,6 +3280,70 @@ class AnalyticsEngine:
                     f"(case when length({ux}) = 0 then -1"
                     f" else ascii({ux}) end)"
                 )
+            elif fn == "log" and len(args) == 1:
+                # DuckDB's 1-arg log is BASE 10 where Spark's is the
+                # natural log — a silent wrong answer either way
+                # (probed: log(100) = 2 vs 4.605); the 2-arg
+                # log(base, x) form agrees and passes through
+                repl = f"log10(({args[0].strip()}))"
+            elif fn == "log":
+                spos = cp + 1
+                continue
+            elif fn == "trunc" and len(args) == 1:
+                # DuckDB's numeric truncation toward zero; DOUBLE
+                # result (DuckDB keeps DECIMAL for decimal literals
+                # — README-class type seam, values agree)
+                tx = f"({args[0].strip()})"
+                repl = (
+                    f"cast(case when {tx} < 0 then ceil({tx})"
+                    f" else floor({tx}) end as double)"
+                )
+            elif fn == "trunc":
+                spos = cp + 1  # Spark's 2-arg date-trunc form
+                continue
+            elif fn == "isinf" and len(args) == 1:
+                ix = f"({args[0].strip()})"
+                repl = f"(abs({ix}) = cast('Infinity' as double))"
+            elif fn == "isfinite" and len(args) == 1:
+                ix = f"({args[0].strip()})"
+                repl = (
+                    f"(not (isnan({ix}) or abs({ix}) ="
+                    " cast('Infinity' as double)))"
+                )
+            elif fn in ("monthname", "dayname") and len(args) == 1:
+                # full names (probed 'February'/'Monday'; Spark's
+                # MMM/EEE give abbreviations); the engine also
+                # accepts timestamps where DuckDB is date-only
+                fmt = "MMMM" if fn == "monthname" else "EEEE"
+                repl = f"date_format(({args[0].strip()}), '{fmt}')"
+            elif fn == "century" and len(args) == 1:
+                # ceil(year/100): 2001 → 21, 2000 → 20 (probed)
+                repl = (
+                    f"cast(ceil(year(({args[0].strip()})) / 100.0)"
+                    " as bigint)"
+                )
+            elif fn == "decade" and len(args) == 1:
+                repl = (
+                    f"cast(year(({args[0].strip()})) div 10"
+                    " as bigint)"
+                )
+            elif fn == "list_distinct" and len(args) == 1:
+                # DuckDB drops NULLs; its element ORDER is arbitrary
+                # (hash order — probed [1,2,2,null] → [2,1]), the
+                # engine keeps first occurrence
+                repl = (
+                    f"array_distinct(filter(({args[0].strip()}),"
+                    f" {v} -> {v} is not null))"
+                )
+            elif fn == "regexp_full_match" and len(args) == 2:
+                # full-string regex match — the anchor composes for
+                # computed patterns too
+                repl = (
+                    f"(({args[0].strip()}) rlike concat('^(?:',"
+                    f" ({args[1].strip()}), ')$'))"
+                )
+            elif fn == "epoch_ns" and len(args) == 1:
+                repl = f"(unix_micros(({args[0].strip()})) * 1000)"
             elif fn == "generate_series":
                 if not 1 < len(args) < 4:
                     raise EngineError(
@@ -3751,6 +3830,10 @@ class AnalyticsEngine:
             r"|array_to_string|regexp_split_to_array"
             r"|string_split_regex|str_split_regex|quantile_disc"
             r"|quantile|unicode|generate_series|time_bucket"
+            r"|log|trunc|isinf|isfinite|ord|monthname|dayname"
+            r"|century|decade|list_distinct|array_unique"
+            r"|regexp_full_match|epoch_ns|editdist3|suffix"
+            r"|prefix|to_hex|from_hex|epoch_ms|epoch_us|week"
             r"|list_aggregate|list_aggr)\s*\(",
             stmt, re.I,
         ):

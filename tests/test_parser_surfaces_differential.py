@@ -4890,6 +4890,68 @@ def test_string_cast_spellings_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_function_breadth_batch_r14_matches_duckdb(spark, tmp_path):
+    """r14 breadth batch — common DuckDB names a ported query hits
+    that Spark spells differently (each probed first): 1-arg log()
+    is BASE 10 on DuckDB vs natural on Spark (the silent one);
+    1-arg trunc(); isinf/isfinite; monthname/dayname full names;
+    century/decade/week; list_distinct (NULL-dropping; DuckDB's
+    element order is hash-arbitrary, so lists compare sorted);
+    array_unique; regexp_full_match (anchored RLIKE, computed
+    patterns compose); epoch_ms/epoch_us/epoch_ns; ord (unicode
+    alias incl. the '' → -1 edge); editdist3/suffix/prefix/
+    to_hex/from_hex renames. Identical SQL both engines."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "whbr14"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (x double, s varchar(8), d date)")
+        run(
+            "insert into t values (100.0, 'kitten', date"
+            " '2024-02-05'), (-3.7, 'hello', date '2000-12-31'),"
+            " (null, null, null)"
+        )
+    def norm(rows):
+        return [
+            tuple(
+                sorted(c) if isinstance(c, list) else c
+                for c in r
+            )
+            for r in rows
+        ]
+    for sql in (
+        # 2-arg log rounds: both engines are native, libm ulp noise
+        "select log(x) a, round(log(2, abs(x)), 9) b from t"
+        " where x > 0",
+        "select trunc(x) a from t where x is not null",
+        "select isinf(cast('Infinity' as double)) a, isinf(x) b,"
+        " isfinite(x) c from t",
+        "select monthname(d) a, dayname(d) b, century(d) c,"
+        " decade(d) e, week(d) f from t",
+        "select list_distinct([1,2,2,null]) a,"
+        " array_unique([1,2,2,null]) b",
+        "select regexp_full_match(s, '(an)*') a,"
+        " regexp_full_match(s, s) b from t where s is not null",
+        "select epoch_ms(timestamp '2024-02-05 00:00:01.5') a,"
+        " epoch_us(timestamp '2024-02-05 00:00:01.5') b,"
+        " epoch_ns(timestamp '2024-02-05 00:00:01.5') c",
+        "select ord(s) a, ord('') b, unicode('é') c from t"
+        " where s is not null",
+        "select editdist3(s, 'sitting') a, suffix(s, 'llo') b,"
+        " prefix(s, 'kit') c from t where s is not null",
+        "select to_hex(255) a, to_hex(-1) b,"
+        " octet_length(from_hex('ff')) c",
+    ):
+        er = norm(tuple(r) for r in e(sql).rows)
+        dr = norm(con.execute(sql).fetchall())
+        assert str(er) == str(dr), (sql, er, dr)
+    eng.close()
+
+
 def test_windowed_quantiles_match_duckdb(spark, tmp_path):
     """Windowed quantile family (r14): scalar quantile/quantile_disc
     OVER an explicit BOUNDED ROWS frame lowers to a sorted collect
