@@ -2980,12 +2980,17 @@ class AnalyticsEngine:
                     None,
                 )
                 if re.match(r"\s*over\b", b[cp + 1:], re.I) and (
-                    dm_ or obm or is_str
+                    dm_ or obm
                 ):
+                    # DuckDB 1.0 rejects in-call ORDER BY under
+                    # OVER outright, and windowed DISTINCT element
+                    # order is underdetermined — refusal is parity
                     raise EngineError(
-                        f"{fn}(...) with DISTINCT/ORDER BY/joining"
-                        " as a WINDOW function is not supported —"
-                        " aggregate in a subquery and join back"
+                        f"{fn}(...) with DISTINCT/ORDER BY as a"
+                        " WINDOW function is not supported (DuckDB"
+                        " rejects in-call ORDER BY under OVER"
+                        " too) — aggregate in a subquery and join"
+                        " back"
                     )
                 ob0 = obm.start() if obm else len(body)
                 if is_str:
@@ -3008,6 +3013,35 @@ class AnalyticsEngine:
                         raise EngineError(
                             f"{fn} expects one value expression"
                         )
+                sovm = re.match(r"\s*over\s*", b[cp + 1:], re.I)
+                if is_str and sovm:
+                    # windowed plain string_agg (r14): frame-ordered
+                    # join of the frame's non-NULL values — one
+                    # collect_list window (Spark preserves frame
+                    # order); an all-NULL/empty frame is NULL like
+                    # the aggregate form (DuckDB-probed)
+                    j = cp + 1 + sovm.end()
+                    if j < len(b) and b[j] == "(":
+                        oend = self._match_bracket(
+                            b, j, "(", ")"
+                        ) + 1
+                    else:
+                        nm2 = re.match(r"[A-Za-z_]\w*", b[j:])
+                        if not nm2:
+                            raise EngineError(
+                                f"{fn}() OVER: cannot parse the"
+                                " window spec"
+                            )
+                        oend = j + nm2.end()
+                    w = f" over {out[j:oend]}"
+                    repl = (
+                        f"(case when (count(({expr})){w}) = 0"
+                        f" then null else array_join("
+                        f"(collect_list(({expr})){w}), {sep}) end)"
+                    )
+                    out = out[:moff] + repl + out[oend:]
+                    spos = moff + len(repl)
+                    continue
                 if obm is None and not dm_:
                     arr = f"collect_list(({expr}))"
                     if not is_str:  # scan order, DuckDB's contract

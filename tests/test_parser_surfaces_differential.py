@@ -4890,6 +4890,53 @@ def test_string_cast_spellings_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_windowed_string_agg_matches_duckdb(spark, tmp_path):
+    """Windowed PLAIN string_agg/group_concat (r14 — formerly a
+    named refusal): one collect_list window joined frame-ordered,
+    NULLs skipped, empty/all-NULL frame → NULL like the aggregate
+    form (DuckDB-probed). DISTINCT / in-call ORDER BY under OVER
+    refuse — DuckDB 1.0 rejects in-call ORDER BY under OVER too."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whwsa"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (g int, k int, s varchar(2))")
+        run(
+            "insert into t values (1,1,'a'),(1,2,'b'),(1,3,null),"
+            " (1,4,'d'),(2,1,'x'),(2,2,null)"
+        )
+    for sql in (
+        "select g, k, string_agg(s, '|') over (partition by g"
+        " order by k) as a from t order by g, k",
+        "select g, k, string_agg(s, '|') over (partition by g"
+        " order by k rows between 1 preceding and current row) as a"
+        " from t order by g, k",
+        "select g, k, string_agg(s) over (partition by g"
+        " order by k) as a from t order by g, k",
+        "select g, k, group_concat(s, '-') over (partition by g)"
+        " as a from t order by g, k",
+        "select g, k, string_agg(s, '|') over (partition by g order"
+        " by k rows between 3 following and 5 following) as a"
+        " from t order by g, k",
+    ):
+        er = [tuple(r) for r in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
+    for sql in (
+        "select string_agg(s, '|' order by k) over (partition by g)"
+        " from t",
+        "select string_agg(distinct s, '|') over (partition by g)"
+        " from t",
+    ):
+        with pytest.raises(EngineError, match="WINDOW"):
+            e(sql)
+    eng.close()
+
+
 def test_function_breadth_batch_r14_matches_duckdb(spark, tmp_path):
     """r14 breadth batch — common DuckDB names a ported query hits
     that Spark spells differently (each probed first): 1-arg log()
