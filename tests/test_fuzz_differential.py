@@ -25,7 +25,7 @@ from hypothesis import given, seed, settings, strategies as st
 # Rotated once per build round (driver round number): @seed makes each
 # round's exploration reproducible while successive rounds walk fresh
 # regions of the query space instead of re-testing the same examples.
-FUZZ_ROUND = 13
+FUZZ_ROUND = 14
 
 from andb_spark.catalog import table_path
 
