@@ -2618,6 +2618,7 @@ class AnalyticsEngine:
         translate for literal replacements."""
         out = stmt
         spos = 0  # already-Spark forms pass through: search beyond
+        pend_flt = None  # (call offset, " filter (...)", predicate)
         for _ in range(500):
             b = _blank_literals(out)
             m = re.search(
@@ -2650,6 +2651,58 @@ class AnalyticsEngine:
             inner = out[spos + m.end(): cp]
             ib = b[spos + m.end(): cp]
             args = self._split_collection_items(inner, ib)
+            fmf = re.match(
+                r"\s*filter\s*(\()\s*where\b", b[cp + 1:], re.I
+            )
+            if fmf and fn in (
+                "string_agg", "group_concat", "list", "array_agg",
+                "quantile", "quantile_disc", "product", "skewness",
+                "kurtosis", "first", "last",
+            ) and not (
+                fn in ("first", "last")
+                and not any(
+                    _paren_depth_at(ib, mm.start()) == 0
+                    for mm in re.finditer(
+                        r"\border\s+by\b", ib, re.I
+                    )
+                )
+            ):
+                # FILTER (WHERE p) on a REWRITTEN aggregate (r14):
+                # Spark supports the clause only on plain aggregate
+                # calls, so detach it here and re-attach it to the
+                # lowering's inner aggregate calls (exact — the
+                # filter excludes rows before collection) or, in
+                # window position, case-wrap the value (exact for
+                # these NULL-skipping shapes; Spark has no window
+                # FILTER at all). Bare first/last keep the clause
+                # natively (the capture requires an in-call ORDER
+                # BY for them).
+                fpo = cp + 1 + fmf.start(1)
+                fclose = self._match_bracket(b, fpo, "(", ")")
+                if fn in ("list", "array_agg") and re.match(
+                    r"\s*over\b", b[fclose + 1:], re.I
+                ):
+                    # DuckDB's windowed list() keeps genuine NULL
+                    # entries, so the case-wrap (the only window
+                    # FILTER Spark can express) is not equivalent
+                    raise EngineError(
+                        f"{fn}(...) FILTER as a WINDOW function is"
+                        " not supported — aggregate in a subquery"
+                        " and join back"
+                    )
+                wm = re.match(r"\(\s*where\b", b[fpo:], re.I)
+                pred = out[fpo + wm.end(): fclose].strip()
+                pend_flt = (
+                    moff,
+                    " " + out[cp + 1: fclose + 1].strip(),
+                    pred,
+                )
+                out = out[: cp + 1] + out[fclose + 1:]
+                continue
+            flt, fpred = "", None
+            if pend_flt and pend_flt[0] == moff:
+                _, flt, fpred = pend_flt
+                pend_flt = None
             if fn == "regexp_extract" and len(args) == 3:
                 spos = cp + 1  # Spark form already (groups agree)
                 continue
@@ -2745,8 +2798,8 @@ class AnalyticsEngine:
                         for i, k in enumerate(keys2)
                     ) + f", 'v', ({expr2})"
                     srt2 = (
-                        "transform(array_sort(collect_list("
-                        f"named_struct({fields2})),"
+                        "transform(array_sort((collect_list("
+                        f"named_struct({fields2})){flt}),"
                         f" {self._ordered_struct_cmp(descs2, nulls2)}"
                         "), _cv -> _cv.v)"
                     )
@@ -2769,7 +2822,7 @@ class AnalyticsEngine:
                 by = "min_by" if lo else "max_by"
                 out = (
                     out[:moff]
-                    + f"{by}(({expr2}), ({key2}))"
+                    + f"{by}(({expr2}), ({key2})){flt}"
                     + out[cp + 1:]
                 )
                 continue
@@ -2804,6 +2857,12 @@ class AnalyticsEngine:
                 if len(args) != 1:
                     raise EngineError(f"{fn} expects one argument")
                 ax = f"({self._map_list_functions(args[0].strip())})"
+                if fpred is not None:
+                    # window FILTER: Spark has none at all — the
+                    # case-wrap is exact for these NULL-skipping
+                    # aggregates (filtered rows become NULLs, which
+                    # every sum/count below already ignores)
+                    ax = f"(case when ({fpred}) then {ax} end)"
                 n3 = f"(count({ax}){w})"
                 if fn == "skewness":
                     repl = (
@@ -2848,10 +2907,11 @@ class AnalyticsEngine:
                 # replacement embeds the Spark call, so the scan
                 # jumps past it (the argument pre-maps recursively).
                 ax = f"({self._map_list_functions(args[0].strip())})"
-                n2 = f"count({ax})"
+                n2 = f"(count({ax}){flt})"
                 if fn == "skewness":
                     repl = (
-                        f"(case when {n2} > 2 then skewness({ax})"
+                        f"(case when {n2} > 2 then"
+                        f" (skewness({ax}){flt})"
                         f" * sqrt({n2} * ({n2} - 1.0)) / ({n2} - 2)"
                         " else null end)"
                     )
@@ -2859,7 +2919,8 @@ class AnalyticsEngine:
                     repl = (
                         f"(case when {n2} > 3 then (({n2} - 1.0) /"
                         f" (({n2} - 2) * ({n2} - 3))) * (({n2} + 1)"
-                        f" * kurtosis({ax}) + 6) else null end)"
+                        f" * (kurtosis({ax}){flt}) + 6)"
+                        " else null end)"
                     )
                 out = out[:moff] + repl + out[cp + 1:]
                 spos = moff + len(repl)
@@ -2875,9 +2936,10 @@ class AnalyticsEngine:
                 out = (
                     out[:moff]
                     + (
-                        f"(case when count({ax2}) = 0 then null"
-                        f" else aggregate(collect_list({ax2}),"
-                        f" cast(1.0 as double), ({v2}, {v2}x) ->"
+                        f"(case when (count({ax2}){flt}) = 0 then"
+                        f" null else aggregate((collect_list({ax2})"
+                        f"{flt}), cast(1.0 as double),"
+                        f" ({v2}, {v2}x) ->"
                         f" {v2} * {v2}x) end)"
                     )
                     + out[cp + 1:]
@@ -3014,6 +3076,10 @@ class AnalyticsEngine:
                             f"{fn} expects one value expression"
                         )
                 sovm = re.match(r"\s*over\s*", b[cp + 1:], re.I)
+                if is_str and sovm and fpred is not None:
+                    # window FILTER case-wrap (Spark has no window
+                    # FILTER): exact — the join skips NULLs
+                    expr = f"(case when ({fpred}) then ({expr}) end)"
                 if is_str and sovm:
                     # windowed plain string_agg (r14): frame-ordered
                     # join of the frame's non-NULL values — one
@@ -3043,7 +3109,7 @@ class AnalyticsEngine:
                     spos = moff + len(repl)
                     continue
                 if obm is None and not dm_:
-                    arr = f"collect_list(({expr}))"
+                    arr = f"(collect_list(({expr})){flt})"
                     if not is_str:  # scan order, DuckDB's contract
                         out = (
                             out[:moff] + arr + out[cp + 1:]
@@ -3051,8 +3117,8 @@ class AnalyticsEngine:
                         continue
                 elif obm is None:  # DISTINCT, unordered
                     arr = (
-                        "transform(array_distinct(collect_list("
-                        f"named_struct('v', ({expr})))),"
+                        "transform(array_distinct((collect_list("
+                        f"named_struct('v', ({expr}))){flt})),"
                         f" {v} -> {v}.v)"
                     )
                 else:
@@ -3087,13 +3153,14 @@ class AnalyticsEngine:
                             for i, k in enumerate(keys)
                         ) + f", 'v', ({expr})"
                         arr = (
-                            f"transform(array_sort({dd}("
+                            f"transform(array_sort({dd}(("
                             f"collect_list(named_struct({fieldsm}))"
+                            f"{flt})"
                             f"), {self._ordered_struct_cmp(descs, knulls)}"
                             f"), {v} -> {v}.v)"
                         ) if dm_ else (
-                            "transform(array_sort(collect_list("
-                            f"named_struct({fieldsm})),"
+                            "transform(array_sort((collect_list("
+                            f"named_struct({fieldsm})){flt}),"
                             f" {self._ordered_struct_cmp(descs, knulls)}"
                             f"), {v} -> {v}.v)"
                         )
@@ -3108,7 +3175,10 @@ class AnalyticsEngine:
                             f"'n{i}', (({k}) {nflag}), 'o{i}', ({k})"
                             for i, k in enumerate(keys)
                         ) + f", 'v', ({expr})"
-                        cl = f"collect_list(named_struct({fields}))"
+                        cl = (
+                            f"(collect_list(named_struct({fields}))"
+                            f"{flt})"
+                        )
                         if dm_:
                             cl = f"array_distinct({cl})"
                         core = (
@@ -3118,7 +3188,8 @@ class AnalyticsEngine:
                         arr = f"reverse({core})" if dsc else core
                 if is_str:
                     repl = (
-                        f"(case when count(({expr})) = 0 then null"
+                        f"(case when (count(({expr})){flt}) = 0"
+                        f" then null"
                         f" else array_join({arr}, {sep}) end)"
                     )
                 else:
@@ -3234,6 +3305,14 @@ class AnalyticsEngine:
                 if len(args) != 2:
                     raise EngineError(f"{fn} expects two arguments")
                 qovm = re.match(r"\s*over\s*", b[cp + 1:], re.I)
+                if qovm and fpred is not None:
+                    # window FILTER case-wrap: collect_list/count
+                    # skip the NULLs the wrap introduces — exact
+                    args = [
+                        f"(case when ({fpred}) then"
+                        f" ({args[0].strip()}) end)",
+                        args[1],
+                    ]
                 if qovm:
                     # windowed scalar quantile on a BOUNDED ROWS
                     # frame (r14): the sorted-collect probe
@@ -3293,15 +3372,17 @@ class AnalyticsEngine:
                     # returns the element-typed LIST
                     repl = (
                         f"transform({qp}, _qp -> try_element_at("
-                        f"array_sort(collect_list({qx})),"
-                        f" greatest(1, cast(ceil(_qp * count({qx}))"
+                        f"array_sort((collect_list({qx}){flt})),"
+                        f" greatest(1, cast(ceil(_qp *"
+                        f" (count({qx}){flt}))"
                         " as int))))"
                     )
                 else:
                     repl = (
                         f"try_element_at(array_sort("
-                        f"collect_list({qx})),"
-                        f" greatest(1, cast(ceil({qp} * count({qx}))"
+                        f"(collect_list({qx}){flt})),"
+                        f" greatest(1, cast(ceil({qp} *"
+                        f" (count({qx}){flt}))"
                         " as int)))"
                     )
             elif fn in ("unicode", "ord") and len(args) == 1:

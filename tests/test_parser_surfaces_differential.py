@@ -4890,6 +4890,81 @@ def test_string_cast_spellings_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_filter_clause_on_rewritten_aggregates_matches_duckdb(
+    spark, tmp_path
+):
+    """FILTER (WHERE p) on the REWRITTEN aggregates (r14 — Spark
+    only supports the clause on plain aggregate calls, so the
+    string_agg/list/quantile/product/skewness/first-last lowerings
+    used to emit it after a CASE/transform expression and
+    parse-error): the clause detaches at the call site and
+    re-attaches to every inner aggregate the lowering generates
+    (exact — rows are excluded before collection), and in WINDOW
+    position — where Spark has no FILTER at all — the value
+    case-wraps (exact for the NULL-skipping shapes; windowed list()
+    refuses because it keeps genuine NULL entries)."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whflt"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for run in (e, con.execute):
+        run("create table t (g int, k int, v int, s varchar(2))")
+        run(
+            "insert into t values (1,1,1,'a'),(1,2,2,'b'),"
+            " (1,3,3,null),(1,4,4,'d'),(2,1,7,'x'),(2,2,9,null),"
+            " (2,3,2,'y')"
+        )
+    for sql in (
+        "select g, string_agg(s, '|') filter (where v > 1) as a"
+        " from t group by g order by g",
+        "select g, string_agg(s, '|' order by v desc)"
+        " filter (where v > 1) as a from t group by g order by g",
+        "select g, string_agg(distinct s, '|' order by s)"
+        " filter (where v > 1) as a from t group by g order by g",
+        "select g, list(v order by v desc) filter (where v > 1)"
+        " as a from t group by g order by g",
+        "select g, list(v) filter (where v > 2) as a from t"
+        " group by g order by g",
+        "select g, array_agg(distinct s order by s)"
+        " filter (where v < 4) as a from t group by g order by g",
+        "select g, quantile_disc(v, 0.5) filter (where v > 1) as a"
+        " from t group by g order by g",
+        "select g, quantile_disc(v, [0.25, 0.75])"
+        " filter (where v > 1) as a from t group by g order by g",
+        "select g, product(v) filter (where v > 1) as a from t"
+        " group by g order by g",
+        "select g, round(skewness(v) filter (where v > 0), 6) as a,"
+        " round(kurtosis(v) filter (where v >= 1), 6) as b from t"
+        " group by g order by g",
+        "select g, first(v order by v desc) filter (where v < 4)"
+        " as a, last(s order by v) filter (where s is not null)"
+        " as b from t group by g order by g",
+        "select g, first(v) filter (where v > 2) as a from t"
+        " group by g order by g",
+        "select g, k, string_agg(s, '|') filter (where v > 1)"
+        " over (partition by g order by k) as a from t"
+        " order by g, k",
+        "select g, k, round(product(v) filter (where v > 1)"
+        " over (partition by g order by k), 6) as a from t"
+        " order by g, k",
+        "select g, k, quantile_disc(v, 0.5) filter (where v > 1)"
+        " over (partition by g order by k rows between 1 preceding"
+        " and current row) as a from t order by g, k",
+    ):
+        er = [tuple(r) for r in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
+    with pytest.raises(EngineError, match="FILTER"):
+        e(
+            "select list(v) filter (where v > 1)"
+            " over (partition by g) from t"
+        )
+    eng.close()
+
+
 def test_windowed_string_agg_matches_duckdb(spark, tmp_path):
     """Windowed PLAIN string_agg/group_concat (r14 — formerly a
     named refusal): one collect_list window joined frame-ordered,
