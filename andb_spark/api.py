@@ -2290,6 +2290,11 @@ class AnalyticsEngine:
         # r14 breadth batch (each DuckDB-probed: values and NULL
         # behavior agree under the rename)
         ("editdist3", "levenshtein"),
+        ("datetrunc", "date_trunc"),
+        ("today", "current_date"),
+        ("array_reverse", "reverse"),
+        ("list_cosine_similarity", "cosine_similarity"),
+        ("list_cosine_distance", "cosine_distance"),
         ("suffix", "endswith"),
         ("prefix", "startswith"),
         ("to_hex", "hex"),
@@ -2440,6 +2445,8 @@ class AnalyticsEngine:
                     "regexp_matches with options is not supported"
                 )
             return f"(({a[0]}) rlike ({a[1]}))"
+        if fn == "datesub":  # DuckDB's no-underscore alias
+            fn = "date_sub"
         if fn in ("date_diff", "datediff", "date_sub"):
             # DuckDB 3-arg: ('part', start, end). date_diff counts
             # PART BOUNDARIES crossed (probed: month Jan-31→Feb-1 is
@@ -2633,7 +2640,11 @@ class AnalyticsEngine:
                 r"|quantile|unicode|generate_series|time_bucket"
                 r"|log|trunc|isinf|isfinite|ord|monthname|dayname"
                 r"|century|decade|list_distinct|array_unique"
-                r"|regexp_full_match|epoch_ns"
+                r"|regexp_full_match|epoch_ns|list_any_value"
+                r"|list_has_any|list_has_all|list_dot_product"
+                r"|list_inner_product|list_intersect|list_resize"
+                r"|list_where|list_select|range|datesub"
+                r"|array_concat|array_cat"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
@@ -2948,7 +2959,8 @@ class AnalyticsEngine:
             if fn in (
                 "strftime", "strptime", "regexp_matches",
                 "regexp_extract", "regexp_replace", "date_diff",
-                "datediff", "date_sub", "date_add", "dayofweek",
+                "datediff", "date_sub", "datesub", "date_add",
+                "dayofweek",
                 "isodow", "weekday", "epoch", "xor", "sign",
                 "to_base", "string_split", "str_split",
                 "string_to_array", "format",
@@ -3194,7 +3206,10 @@ class AnalyticsEngine:
                     )
                 else:
                     repl = arr
-            elif fn in ("list_concat", "list_cat") and len(args) == 2:
+            elif fn in (
+                "list_concat", "list_cat", "array_concat",
+                "array_cat",
+            ) and len(args) == 2:
                 # DuckDB treats a NULL side as absent (NULL ++ x → x,
                 # fuzz-arm find); Spark's concat nulls the whole
                 # result — branch instead of coalescing to array()
@@ -3395,6 +3410,138 @@ class AnalyticsEngine:
                     f"(case when length({ux}) = 0 then -1"
                     f" else ascii({ux}) end)"
                 )
+            elif fn == "list_any_value" and len(args) == 1:
+                # first non-NULL element; empty/all-NULL → NULL
+                repl = (
+                    f"try_element_at(filter(({args[0].strip()}),"
+                    f" {v} -> {v} is not null), 1)"
+                )
+            elif fn == "list_has_any" and len(args) == 2:
+                # NULL elements never match (probed: [null] vs
+                # [null] is false); Spark's arrays_overlap returns
+                # NULL there — coalesce it away
+                repl = (
+                    f"coalesce(arrays_overlap(({args[0].strip()}),"
+                    f" ({args[1].strip()})), false)"
+                )
+            elif fn == "list_has_all" and len(args) == 2:
+                # NULL needles are vacuously contained (probed:
+                # [1] ⊇ [null] is true); exists + null-safe <=>
+                # instead of array_contains so an all-NULL needle
+                # list (Spark type VOID) still type-checks
+                ha = f"({args[0].strip()})"
+                repl = (
+                    f"forall(({args[1].strip()}), {v} ->"
+                    f" {v} is null or coalesce(exists({ha},"
+                    f" {v}h -> {v}h <=> {v}), false))"
+                )
+            elif fn in (
+                "list_dot_product", "list_inner_product"
+            ) and len(args) == 2:
+                repl = (
+                    f"aggregate(zip_with(({args[0].strip()}),"
+                    f" ({args[1].strip()}), ({v}x, {v}y) ->"
+                    f" {v}x * {v}y), cast(0 as double),"
+                    f" ({v}a, {v}e) -> {v}a + {v}e)"
+                )
+            elif fn == "list_intersect" and len(args) == 2:
+                # deduped; NULLs excluded (probed); DuckDB's element
+                # order is hash-arbitrary — the engine keeps the
+                # first list's order
+                repl = (
+                    f"filter(array_intersect(({args[0].strip()}),"
+                    f" ({args[1].strip()})), {v} -> {v} is not null)"
+                )
+            elif fn == "list_resize" and len(args) in (2, 3):
+                rx = f"({args[0].strip()})"
+                rn = f"({args[1].strip()})"
+                fill = (
+                    f"({args[2].strip()})" if len(args) == 3
+                    else "null"
+                )
+                body = (
+                    f"try_element_at({rx}, {v})" if len(args) == 2
+                    else (
+                        f"case when {v} <= size({rx}) then"
+                        f" try_element_at({rx}, {v})"
+                        f" else {fill} end"
+                    )
+                )
+                repl = (
+                    f"(case when {rn} <= 0 then slice({rx}, 1, 0)"
+                    f" else transform(sequence(1, {rn}),"
+                    f" {v} -> {body}) end)"
+                )
+            elif fn == "list_where" and len(args) == 2:
+                # mask-selected elements; a NULL mask entry DROPS
+                # the element (DuckDB errors there — superset)
+                repl = (
+                    f"transform(filter(zip_with("
+                    f"({args[0].strip()}), ({args[1].strip()}),"
+                    f" ({v}x, {v}b) -> named_struct('v', {v}x,"
+                    f" 'b', {v}b)), {v}s -> {v}s.b),"
+                    f" {v}s -> {v}s.v)"
+                )
+            elif fn == "list_select" and len(args) == 2:
+                # 1-based index projection; OOB → NULL element
+                repl = (
+                    f"transform(({args[1].strip()}), {v}i -> case"
+                    f" when {v}i is null or {v}i = 0 then null"
+                    f" else try_element_at(({args[0].strip()}),"
+                    f" try_cast({v}i as int)) end)"
+                )
+            elif fn == "range":
+                # DuckDB's EXCLUSIVE-stop series (range(3) = [0 1
+                # 2], range(2,2) = []); the universal lowering
+                # filters the inclusive sequence's endpoint, so
+                # expression bounds and interval steps compose
+                if not 0 < len(args) < 4:
+                    raise EngineError(
+                        "range expects (stop) or (start, stop"
+                        " [, step])"
+                    )
+                if len(args) == 1:
+                    r0, r1, rs = "0", f"({args[0].strip()})", "1"
+                else:
+                    r0 = f"({args[0].strip()})"
+                    r1 = f"({args[1].strip()})"
+                    rs = (
+                        f"({args[2].strip()})" if len(args) == 3
+                        else "1"
+                    )
+                is_ivl = bool(re.match(r"\(\s*interval\b", rs, re.I))
+                prev_w2 = re.search(r"(\w+)\s*$", b[:moff])
+                from_pos = bool(
+                    prev_w2
+                    and prev_w2.group(1).lower() in ("from", "join")
+                )
+                if from_pos and not is_ivl:
+                    # Spark's native range TVF: identical values
+                    # (exclusive stop, negative steps agree) —
+                    # column named `id` where DuckDB says `range`
+                    # (README boundary; alias r(x) for portability)
+                    spos = cp + 1
+                    continue
+                if is_ivl:
+                    r0 = f"cast({r0} as timestamp)"
+                    r1 = f"cast({r1} as timestamp)"
+                    rz = "interval '0' second"
+                else:
+                    rz = "0"
+                empty = f"slice(sequence({r0}, {r0}), 1, 0)"
+                seq = (
+                    f"(case when ({rs}) > {rz} and {r0} < {r1}"
+                    f" then filter(sequence({r0}, {r1}, {rs}),"
+                    f" {v} -> {v} < {r1})"
+                    f" when ({rs}) < {rz} and {r0} > {r1}"
+                    f" then filter(sequence({r0}, {r1}, {rs}),"
+                    f" {v} -> {v} > {r1})"
+                    f" else {empty} end)"
+                )
+                if from_pos:
+                    repl = f"(select explode({seq}) as range)"
+                else:
+                    repl = seq
             elif fn == "log" and len(args) == 1:
                 # DuckDB's 1-arg log is BASE 10 where Spark's is the
                 # natural log — a silent wrong answer either way
@@ -3949,6 +4096,12 @@ class AnalyticsEngine:
             r"|century|decade|list_distinct|array_unique"
             r"|regexp_full_match|epoch_ns|editdist3|suffix"
             r"|prefix|to_hex|from_hex|epoch_ms|epoch_us|week"
+            r"|list_any_value|list_has_any|list_has_all"
+            r"|list_dot_product|list_inner_product|list_intersect"
+            r"|list_resize|list_where|list_select|range|datesub"
+            r"|datetrunc|today|array_reverse"
+            r"|list_cosine_similarity|list_cosine_distance"
+            r"|array_concat|array_cat"
             r"|list_aggregate|list_aggr)\s*\(",
             stmt, re.I,
         ):

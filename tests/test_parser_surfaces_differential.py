@@ -4890,6 +4890,83 @@ def test_string_cast_spellings_match_duckdb(spark, tmp_path):
     eng.close()
 
 
+def test_list_function_tier2_matches_duckdb(spark, tmp_path):
+    """r14 tier-2 list/date batch (each DuckDB-probed):
+    list_any_value (first non-NULL), list_has_any (NULLs never
+    match — arrays_overlap's NULL coalesced), list_has_all (NULL
+    needles vacuously contained — exists + null-safe <=> so VOID
+    needle lists type-check), list_dot_product/list_inner_product,
+    list_cosine_similarity (registered cosine), list_intersect
+    (deduped, NULL-free; DuckDB's order is hash-arbitrary → sorted
+    compare), array_concat/array_cat (NULL side absent, like
+    list_concat), list_resize (NULL or value fill), list_where,
+    list_select (1-based, OOB → NULL element), range (EXCLUSIVE
+    stop — scalar form and interval-step TVF; the numeric
+    FROM-position form passes through to Spark's native range TVF,
+    identical values with column `id` vs DuckDB's `range` — README
+    boundary), datetrunc/datesub/today/array_reverse renames."""
+    import duckdb
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "wht2"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+
+    def norm(rows, sort_lists=False):
+        return [
+            tuple(
+                sorted(c, key=str)
+                if sort_lists and isinstance(c, list) else c
+                for c in r
+            )
+            for r in rows
+        ]
+
+    for sql, srt in (
+        ("select list_any_value([null, 2, 3]) a,"
+         " list_any_value([null]) is null b,"
+         " list_any_value([]) is null c", False),
+        ("select list_has_any([1,2],[2,3]) a, list_has_any([1],[2])"
+         " b, list_has_any([null],[null]) c", False),
+        ("select list_has_all([1,2,3],[2,3]) a,"
+         " list_has_all([1],[1,2]) b, list_has_all([1,null],[null])"
+         " c, list_has_all([1],[null]) d, list_has_all([1,2],[2,2])"
+         " e", False),
+        ("select list_dot_product([1.0,2.0],[3.0,4.0]) a,"
+         " list_inner_product([1.0,2.0],[3.0,4.0]) b", False),
+        ("select round(list_cosine_similarity([1.0,0.0],[0.0,1.0]),"
+         " 9) a, round(list_cosine_similarity([1.0,2.0],[2.0,4.0]),"
+         " 9) b", False),
+        ("select list_intersect([1,2,3,2],[2,3,4]) a,"
+         " list_intersect([1,null],[null,2]) b", True),
+        ("select array_concat([1],[2]) a, array_concat([1], NULL)"
+         " b, array_cat([5],[6]) c", False),
+        ("select list_resize([1,2],4) a, list_resize([1,2,3],2) b,"
+         " list_resize([1,2],4,9) c, list_resize([1,2],0) d",
+         False),
+        ("select list_where([10,20,30],[true,false,true]) a",
+         False),
+        ("select list_select([10,20,30],[3,1]) a,"
+         " list_select([10,20],[5]) b", False),
+        ("select datetrunc('month', timestamp '2024-02-15 01:02:00')"
+         " = date_trunc('month', timestamp '2024-02-15 01:02:00') a,"
+         " datesub('day', date '2024-01-01', date '2024-02-01') b",
+         False),
+        ("select today() = current_date a, array_reverse([1,2,3])"
+         " b", False),
+        ("select range(3) a, range(2,5) b, range(5,2,-1) c,"
+         " range(2,2) d", False),
+        ("select * from range(3)", False),
+        ("select range(date '2024-01-01', date '2024-01-05',"
+         " interval '2 days') a", False),
+    ):
+        er = norm([tuple(r) for r in e(sql).rows], srt)
+        dr = norm(con.execute(sql).fetchall(), srt)
+        assert str(er) == str(dr), (sql, er, dr)
+    eng.close()
+
+
 def test_filter_clause_on_rewritten_aggregates_matches_duckdb(
     spark, tmp_path
 ):
