@@ -2423,7 +2423,7 @@ class AnalyticsEngine:
         semantics in _map_list_functions's docstring, each
         DuckDB-probed."""
         a = [x.strip() for x in args]
-        if fn in ("strftime", "strptime"):
+        if fn in ("strftime", "strptime", "try_strptime"):
             if len(a) != 2:
                 raise EngineError(f"{fn} expects (value, format)")
             fm = re.fullmatch(r"'((?:[^']|'')*)'", a[1])
@@ -2436,7 +2436,9 @@ class AnalyticsEngine:
                 self._strf_to_java(fm.group(1).replace("''", "'"))
             )
             target = "date_format" if fn == "strftime" else (
-                "to_timestamp"
+                # try_strptime: NULL on parse failure (DuckDB)
+                "try_to_timestamp" if fn == "try_strptime"
+                else "to_timestamp"
             )
             return f"{target}(({a[0]}), {jfmt})"
         if fn == "regexp_matches":
@@ -2646,7 +2648,8 @@ class AnalyticsEngine:
                 r"|list_where|list_select|range|datesub"
                 r"|array_concat|array_cat"
                 r"|struct_pack|struct_extract|list|array_agg"
-                r"|strftime|strptime|regexp_matches|regexp_extract"
+                r"|strftime|strptime|try_strptime"
+                r"|regexp_matches|regexp_extract"
                 r"|regexp_replace|date_diff|datediff|date_sub"
                 r"|date_add|dayofweek|isodow|weekday|epoch|xor"
                 r"|sign|to_base|string_split|str_split"
@@ -2957,7 +2960,8 @@ class AnalyticsEngine:
                 )
                 continue
             if fn in (
-                "strftime", "strptime", "regexp_matches",
+                "strftime", "strptime", "try_strptime",
+                "regexp_matches",
                 "regexp_extract", "regexp_replace", "date_diff",
                 "datediff", "date_sub", "datesub", "date_add",
                 "dayofweek",
@@ -4079,7 +4083,7 @@ class AnalyticsEngine:
         if not re.search(
             r"[\[{]|\b(?:len|list|list_\w+|struct_pack"
             r"|struct_extract|array_length|array_extract"
-            r"|array_push_back|array_agg|array_slice|array_to_string|unnest|strftime|strptime"
+            r"|array_push_back|array_agg|array_slice|array_to_string|unnest|strftime|strptime|try_strptime"
             r"|regexp_matches|regexp_extract|regexp_replace"
             r"|date_diff|datediff|date_sub|date_add|dayofweek"
             r"|isodow|weekday|epoch|xor|sign|to_base|string_split"

@@ -4955,6 +4955,8 @@ def test_list_function_tier2_matches_duckdb(spark, tmp_path):
          False),
         ("select today() = current_date a, array_reverse([1,2,3])"
          " b", False),
+        ("select try_strptime('xx', '%Y-%m-%d') is null a,"
+         " try_strptime('2024-01-02', '%Y-%m-%d') b", False),
         ("select range(3) a, range(2,5) b, range(5,2,-1) c,"
          " range(2,2) d", False),
         ("select * from range(3)", False),
