@@ -2284,9 +2284,12 @@ class AnalyticsEngine:
         ("starts_with", "startswith"),
         ("ends_with", "endswith"),
         ("strpos", "instr"),
-        ("arg_max", "max_by"),
-        ("arg_min", "min_by"),
         ("quantile_cont", "percentile"),
+        ("arbitrary", "any_value"),
+        ("fsum", "sum"),
+        ("sumkahan", "sum"),
+        ("kahan_sum", "sum"),
+        ("favg", "avg"),
         # r14 breadth batch (each DuckDB-probed: values and NULL
         # behavior agree under the rename)
         ("editdist3", "levenshtein"),
@@ -2647,6 +2650,7 @@ class AnalyticsEngine:
                 r"|list_inner_product|list_intersect|list_resize"
                 r"|list_where|list_select|range|datesub"
                 r"|array_concat|array_cat"
+                r"|arg_max|argmax|arg_min|argmin|geomean|geometric_mean"
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|try_strptime"
                 r"|regexp_matches|regexp_extract"
@@ -3546,6 +3550,28 @@ class AnalyticsEngine:
                     repl = f"(select explode({seq}) as range)"
                 else:
                     repl = seq
+            elif fn in (
+                "arg_max", "argmax", "arg_min", "argmin"
+            ) and len(args) == 2:
+                # DuckDB skips rows whose ARGUMENT is NULL (probed:
+                # arg_max over (…,4.0,null) picks the best non-NULL
+                # row) — Spark's bare max_by would return the NULL.
+                # Spark's min_by/max_by skip NULL KEYS, so gating
+                # the key on the argument's nullness is exact.
+                aa = f"({args[0].strip()})"
+                kk = f"({args[1].strip()})"
+                by2 = (
+                    "max_by" if fn in ("arg_max", "argmax")
+                    else "min_by"
+                )
+                repl = (
+                    f"{by2}({aa}, case when {aa} is null then null"
+                    f" else {kk} end)"
+                )
+            elif fn in ("geomean", "geometric_mean") and (
+                len(args) == 1
+            ):
+                repl = f"exp(avg(ln(({args[0].strip()}))))"
             elif fn == "log" and len(args) == 1:
                 # DuckDB's 1-arg log is BASE 10 where Spark's is the
                 # natural log — a silent wrong answer either way
@@ -4089,6 +4115,8 @@ class AnalyticsEngine:
             r"|isodow|weekday|epoch|xor|sign|to_base|string_split"
             r"|str_split|string_to_array|format|extract"
             r"|starts_with|ends_with|strpos|arg_max|arg_min"
+            r"|argmax|argmin|geomean|geometric_mean|arbitrary"
+            r"|fsum|sumkahan|kahan_sum|favg|try_strptime"
             r"|quantile_cont|first|last|product|skewness"
             r"|kurtosis|jaccard|hamming|mismatches|even|fdiv"
             r"|gcd|greatest_common_divisor|lcm"

@@ -4957,6 +4957,18 @@ def test_list_function_tier2_matches_duckdb(spark, tmp_path):
          " b", False),
         ("select try_strptime('xx', '%Y-%m-%d') is null a,"
          " try_strptime('2024-01-02', '%Y-%m-%d') b", False),
+        # arg_max/arg_min skip NULL-ARGUMENT rows in DuckDB (the
+        # probe row with the max key has a NULL argument — Spark's
+        # bare max_by returns that NULL; the key gating fixes it)
+        ("select arg_max(s, v) a, arg_min(s, v) b, argmax(s, v) c"
+         " from (values (1.0,'a'),(2.0,'bb'),(4.0,cast(null as"
+         " varchar))) t(v, s)", False),
+        # e-notation literals: Spark types bare 1.0 as DECIMAL
+        # where DuckDB says DOUBLE (literal-inference seam, not
+        # these functions')
+        ("select round(geomean(v), 9) a, round(favg(v), 6) b,"
+         " round(fsum(v), 6) c from (values (1.0e0),(2.0e0),"
+         " (4.0e0)) t(v)", False),
         ("select range(3) a, range(2,5) b, range(5,2,-1) c,"
          " range(2,2) d", False),
         ("select * from range(3)", False),
