@@ -45,97 +45,91 @@ _MODULES = (relational, tpch_extra, pipeline, vectors, streaming_q, engine_q)
 # that every slot has an oracle; (b) is the builder's per-round diff
 # responsibility, called out in the rotation comment.
 DRIVER_SPOTLIGHT: tuple[str, ...] = (
-    # Round-14 rotation (r13 verdict #3: the fourteen r9-graded
-    # deferrals are the oldest evidence left and MUST rotate in;
-    # then the round's never-graded rows; then the oldest-evidence
-    # remainder — the r10 ledger).
+    # Round-15 rotation (r14 verdict #1: the sixteen r10-graded
+    # deferrals are the oldest evidence left and MUST rotate in; then
+    # this round's never-graded rows; then the oldest-evidence
+    # remainder — the r11 ledger: 33 names below + the c-family slot).
     #
-    # (a) never-graded: the two r14 surfaces — the string-cast
-    # spelling/alias seam (r13 verdict #1/#2: text / char varying /
-    # ::text / cast-position varchar(n) normalize, and unaliased
-    # select-item string casts carry DuckDB's CAST(x AS VARCHAR)
-    # column name so ORDER BY keeps binding to the base column) and
-    # the r14 function-parity batch (3-arg time_bucket offset on the
-    # 2000-01-03 grid, list-form quantile_disc, stepless
-    # generate_series start>stop → []).
-    "u_cast_spellings",
-    "u_fn_parity_r14",
-    # (c) oldest evidence — the ENTIRE r9 remainder (r13 verdict #3
-    # names exactly these fourteen):
-    "d_simhash",
-    "p_source_cap",
-    "q2_min_ship_supplier",
-    "q11_important_suppliers",
-    "q12_priority_class",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q20_excess_suppliers",
-    "s_daily_rollup",
-    "s_sliding",
-    "t_boilerplate",
-    "t_heavy_hitters",
-    "t_token_stats",
-    # (b) changed since grading: NONE re-graded — the r14 engine
-    # changes (time_bucket origin realignment + 3-arg form,
-    # generate_series stepless guard, unicode('') = -1, array_slice
-    # NULL bounds, the ORDER BY splice fixpoint, the string-cast
-    # normalization/alias passes, list-form quantile_disc) are
-    # whole-registry rewrites verified by fresh tools/compare.py
-    # runs at sf0.001 + sf0.01 + sf0.1 within the round (every
-    # graded query and oracle text unchanged), so they carry
-    # full-registry evidence rather than spotlight slots.
-    # (c) cont. — the oldest-evidence remainder: 33 of the 49
-    # r10-graded names, plus c_catalog_columns (r12) holding the
-    # c-family slot (c_catalog_tables is r13-fresh). Sixteen r10
-    # names defer to r15, each with its machinery re-evidenced by an
-    # in-window (or r13-fresh) same-machinery twin:
-    # q3/q5/q6/q7/q8/q9/q10/q18 (the TPC-H join+agg pass —
-    # q2/q11/q12/q15/q16/q17/q20 in-window; q21/q22 r12-fresh),
-    # q_funnel (q_retention_cohorts in-window shares the events
-    # window-funnel scan), m_embed_topk + m_image_embed (m_resize
-    # in-window; m_binary_meta + m_frame_sample r13-fresh share the
-    # mapInPandas decode path), p_sample_hash (p_source_cap
-    # in-window shares the hash-threshold sampler), d_minhash_lsh +
-    # d_repeated_passages (d_incremental_minhash + d_lsh_recall_audit
-    # in-window share the banded LSH path), v_kmeans_bound
-    # (v_pq_bound + v_quantize in-window share the bounded-sample
-    # training path), and s_stream_asof (a_asof_tolerance in-window;
-    # u_asof_subquery_sql r13-fresh share the as-of machinery).
-    "a_asof_tolerance",
-    "c_catalog_columns",
-    "d_bloom_bound",
-    "d_dup_components",
-    "d_incremental_minhash",
-    "d_lsh_recall_audit",
-    "m_resize",
-    "q_anomaly_zscore",
-    "q_approx_quantile_bound",
-    "q_fetch_first",
-    "q_hll_sketch_bound",
-    "q_join_anti",
-    "q_join_theta",
-    "q_listagg",
-    "q_recursive_cte",
-    "q_retention_cohorts",
-    "q_skew_salted_agg",
-    "q_stats_agg",
-    "q_window_frames",
-    "t_length_histogram",
-    "t_rolling_fingerprint",
-    "t_source_stats",
-    "u_columns",
-    "u_copy_export",
-    "u_create_or_replace",
-    "u_dml_roundtrip",
-    "u_fetch_with_ties",
-    "u_insert_by_position",
-    "u_limit_percent",
-    "u_qualify_sql",
-    "u_union_offset",
-    "u_update_from_subquery",
-    "v_pq_bound",
-    "v_quantize",
+    # (a) never-graded: filled in as r15 lands its new surfaces
+    # (u_fn_parity_r15 / u_window_distinct swap in for the two
+    # youngest policy-(c) picks below when they register).
+    #
+    # (c) oldest evidence — the ENTIRE r10 remainder (r14 verdict #1
+    # names exactly these sixteen):
+    "d_minhash_lsh",
+    "d_repeated_passages",
+    "m_embed_topk",
+    "m_image_embed",
+    "p_sample_hash",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q_funnel",
+    "s_stream_asof",
+    "v_kmeans_bound",
+    # (c) cont. — 34 of the 49 r11-graded names (the next-oldest
+    # ledger). SEVENTEEN r11 names defer to r16, each with its
+    # machinery re-evidenced by an in-window or r13/r14-fresh
+    # same-machinery twin:
+    # q4/q13/q14/q19 + q_having/q_global_agg (the TPC-H join+agg
+    # pass — q3/q5/q6/q7/q8/q9/q10/q18 + q1 in-window;
+    # q_exists_subquery r13-fresh), q_date_funcs (u_fn_parity_r14
+    # r14-fresh shares the datetime dialect pass), q_limit_offset
+    # (q_fetch_first r14-fresh), q_select_no_from (q_values_list
+    # r12-fresh), q_union_distinct (q_intersect in-window;
+    # u_union_offset r14-fresh), q_join_semi (q_join_left in-window;
+    # q_join_anti r14-fresh), s_tumbling (s_stream_tumbling r13-fresh;
+    # s_daily_rollup r14-fresh share the tumbling-window path),
+    # t_dup_rate_report (t_source_stats r14-fresh shares the
+    # documents-profile scan), u_create_view (u_create_macro
+    # in-window; u_create_or_replace r14-fresh), u_sequences
+    # (u_constraints in-window shares the DDL lifecycle path),
+    # q_in_subquery (q_scalar_subquery in-window;
+    # q_quantified_subquery r12-fresh), v_semantic_dedup
+    # (v_cluster_near_dup r13-fresh; d_minhash_lsh in-window share
+    # the near-dup edge machinery).
+    "a_asof_join",
+    "d_exact_dedup",
+    "d_passage_scrub",
+    "m_audio_decode",
+    "m_image_decode",
+    "m_image_meta",
+    "p_pipeline_e2e",
+    "p_split",
+    "q1_pricing_summary",
+    "q_function_scan",
+    "q_gapfill",
+    "q_group_by_all",
+    "q_in_subquery",
+    "q_intersect",
+    "q_join_left",
+    "q_lateral_join",
+    "q_percentiles",
+    "q_pivot_sql",
+    "q_rollup",
+    "q_scalar_subquery",
+    "q_sessionize",
+    "q_window_navigation",
+    "t_chunking",
+    "t_lang_quality",
+    "u_asof_tolerance_sql",
+    "u_constraints",
+    "u_create_macro",
+    "u_insert_or_replace",
+    "u_pivot_stmt",
+    "u_positional_join",
+    "u_returning",
+    "u_upsert_sql",
+    "v_cosine_topk",
+    # family-coverage slot: every name-prefix family must appear in
+    # the graded window (tests/test_registry.py); with both c-names
+    # fresh (r13/r14) the OLDER one holds the slot.
+    "c_catalog_tables",
 )
 
 
