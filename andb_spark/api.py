@@ -2302,7 +2302,10 @@ class AnalyticsEngine:
         ("prefix", "startswith"),
         ("to_hex", "hex"),
         ("from_hex", "unhex"),
-        ("epoch_ms", "unix_millis"),
+        # epoch_ms is NOT here: DuckDB overloads it by argument type
+        # (BIGINT → TIMESTAMP, TIMESTAMP → BIGINT — r14 ADVICE #2),
+        # so it dispatches in _map_list_functions; epoch_us has no
+        # integer overload (probed: binder error) and stays a rename
         ("epoch_us", "unix_micros"),
         ("week", "weekofyear"),
         ("len", "size"),
@@ -2418,6 +2421,16 @@ class AnalyticsEngine:
     @staticmethod
     def _sql_str_lit(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
+
+    @staticmethod
+    def _is_null_literal(expr: str) -> bool:
+        """A bare (possibly parenthesized) NULL literal. Such an
+        argument types as VOID in Spark, which the lambda HOFs and
+        several array natives reject at ANALYSIS time — runtime CASE
+        guards never see it, so lowerings fold these at plan time."""
+        return bool(
+            re.fullmatch(r"\s*\(*\s*null\s*\)*\s*", expr, re.I)
+        )
 
     def _dt_regex_repl(
         self, fn: str, args: list[str], inner: str
@@ -2645,7 +2658,7 @@ class AnalyticsEngine:
                 r"|quantile|unicode|generate_series|time_bucket"
                 r"|log|trunc|isinf|isfinite|ord|monthname|dayname"
                 r"|century|decade|list_distinct|array_unique"
-                r"|regexp_full_match|epoch_ns|list_any_value"
+                r"|regexp_full_match|epoch_ns|epoch_ms|list_any_value"
                 r"|list_has_any|list_has_all|list_dot_product"
                 r"|list_inner_product|list_intersect|list_resize"
                 r"|list_where|list_select|range|datesub"
@@ -2846,7 +2859,10 @@ class AnalyticsEngine:
                 continue
             ovm = (
                 re.match(r"\s*over\s*", b[cp + 1:], re.I)
-                if fn in ("skewness", "kurtosis", "product")
+                if fn in (
+                    "skewness", "kurtosis", "product",
+                    "geomean", "geometric_mean",
+                )
                 else None
             )
             if ovm:
@@ -2895,6 +2911,19 @@ class AnalyticsEngine:
                         f" (({n3} - 2) * ({n3} - 3))) * (({n3} + 1)"
                         f" * (kurtosis({ax}){w}) + 6)"
                         " else null end)"
+                    )
+                elif fn in ("geomean", "geometric_mean"):
+                    # exp∘Σln with the non-positive guard loud
+                    # (r14 ADVICE #5 — DuckDB raises "cannot take
+                    # logarithm of zero"); empty/all-NULL frames
+                    # fall to the else and stay NULL
+                    repl = (
+                        f"(case when (min({ax}){w}) <="
+                        " cast(0 as double) then"
+                        " cast(raise_error('geomean: cannot take"
+                        " logarithm of a non-positive value')"
+                        " as double)"
+                        f" else exp((avg(ln({ax})){w})) end)"
                     )
                 else:  # product
                     zc = (
@@ -3427,22 +3456,49 @@ class AnalyticsEngine:
             elif fn == "list_has_any" and len(args) == 2:
                 # NULL elements never match (probed: [null] vs
                 # [null] is false); Spark's arrays_overlap returns
-                # NULL there — coalesce it away
-                repl = (
-                    f"coalesce(arrays_overlap(({args[0].strip()}),"
-                    f" ({args[1].strip()})), false)"
-                )
+                # NULL there — coalesce it away. A NULL LIST on
+                # either side is NULL, not false (r14 ADVICE #1 —
+                # probed: list_has_any(NULL, [1]) IS NULL), so the
+                # coalesce sits behind a null-argument guard
+                la = f"({args[0].strip()})"
+                lb = f"({args[1].strip()})"
+                if self._is_null_literal(args[0]) or (
+                    self._is_null_literal(args[1])
+                ):
+                    # a BARE NULL literal types as VOID, which the
+                    # array natives reject at ANALYSIS time — the
+                    # runtime CASE guard can't help, so fold here
+                    repl = "cast(null as boolean)"
+                else:
+                    repl = (
+                        f"(case when {la} is null or {lb} is null"
+                        f" then null else"
+                        f" coalesce(arrays_overlap({la}, {lb}),"
+                        " false) end)"
+                    )
             elif fn == "list_has_all" and len(args) == 2:
                 # NULL needles are vacuously contained (probed:
                 # [1] ⊇ [null] is true); exists + null-safe <=>
                 # instead of array_contains so an all-NULL needle
-                # list (Spark type VOID) still type-checks
+                # list (Spark type VOID) still type-checks. A NULL
+                # LIST argument on either side is NULL (r14 ADVICE
+                # #1 — probed), guarded like list_has_any
                 ha = f"({args[0].strip()})"
-                repl = (
-                    f"forall(({args[1].strip()}), {v} ->"
-                    f" {v} is null or coalesce(exists({ha},"
-                    f" {v}h -> {v}h <=> {v}), false))"
-                )
+                nb = f"({args[1].strip()})"
+                if self._is_null_literal(args[0]) or (
+                    self._is_null_literal(args[1])
+                ):
+                    # VOID-typed literal NULL fails forall/exists
+                    # analysis — fold (see list_has_any)
+                    repl = "cast(null as boolean)"
+                else:
+                    repl = (
+                        f"(case when {ha} is null or {nb} is null"
+                        f" then null else"
+                        f" forall({nb}, {v} ->"
+                        f" {v} is null or coalesce(exists({ha},"
+                        f" {v}h -> {v}h <=> {v}), false)) end)"
+                    )
             elif fn in (
                 "list_dot_product", "list_inner_product"
             ) and len(args) == 2:
@@ -3475,11 +3531,20 @@ class AnalyticsEngine:
                         f" else {fill} end"
                     )
                 )
-                repl = (
-                    f"(case when {rn} <= 0 then slice({rx}, 1, 0)"
-                    f" else transform(sequence(1, {rn}),"
-                    f" {v} -> {body}) end)"
-                )
+                # NULL asymmetry (r14 ADVICE #3, probed): a NULL
+                # LIST is NULL, but a NULL SIZE is the EMPTY list
+                if self._is_null_literal(args[0]):
+                    # literal NULL list: VOID fails element_at
+                    # analysis even in the dead branch — fold
+                    repl = "null"
+                else:
+                    repl = (
+                        f"(case when {rx} is null then null"
+                        f" when {rn} is null or {rn} <= 0"
+                        f" then slice({rx}, 1, 0)"
+                        f" else transform(sequence(1, {rn}),"
+                        f" {v} -> {body}) end)"
+                    )
             elif fn == "list_where" and len(args) == 2:
                 # mask-selected elements; a NULL mask entry DROPS
                 # the element (DuckDB errors there — superset)
@@ -3537,8 +3602,14 @@ class AnalyticsEngine:
                 else:
                     rz = "0"
                 empty = f"slice(sequence({r0}, {r0}), 1, 0)"
+                # a NULL bound or step is NULL, not [] (r14 ADVICE
+                # #4 — probed: range(NULL) IS NULL; the bound
+                # comparisons below would otherwise fall through to
+                # the empty-list else)
                 seq = (
-                    f"(case when ({rs}) > {rz} and {r0} < {r1}"
+                    f"(case when {r0} is null or {r1} is null"
+                    f" or ({rs}) is null then null"
+                    f" when ({rs}) > {rz} and {r0} < {r1}"
                     f" then filter(sequence({r0}, {r1}, {rs}),"
                     f" {v} -> {v} < {r1})"
                     f" when ({rs}) < {rz} and {r0} > {r1}"
@@ -3571,7 +3642,19 @@ class AnalyticsEngine:
             elif fn in ("geomean", "geometric_mean") and (
                 len(args) == 1
             ):
-                repl = f"exp(avg(ln(({args[0].strip()}))))"
+                # exp∘Σln, with non-positive inputs POISONING the
+                # group loudly (r14 ADVICE #5: Spark's ln returns
+                # NULL there and avg would silently skip it, where
+                # DuckDB raises "cannot take logarithm of zero");
+                # empty/all-NULL groups: min IS NULL → else → NULL
+                gx = f"({args[0].strip()})"
+                repl = (
+                    f"(case when min({gx}) <= cast(0 as double)"
+                    " then cast(raise_error('geomean: cannot take"
+                    " logarithm of a non-positive value')"
+                    " as double)"
+                    f" else exp(avg(ln({gx}))) end)"
+                )
             elif fn == "log" and len(args) == 1:
                 # DuckDB's 1-arg log is BASE 10 where Spark's is the
                 # natural log — a silent wrong answer either way
@@ -3636,6 +3719,20 @@ class AnalyticsEngine:
                 )
             elif fn == "epoch_ns" and len(args) == 1:
                 repl = f"(unix_micros(({args[0].strip()})) * 1000)"
+            elif fn == "epoch_ms" and len(args) == 1:
+                # DuckDB overloads by type (r14 ADVICE #2):
+                # epoch_ms(BIGINT) builds a TIMESTAMP,
+                # epoch_ms(TIMESTAMP) extracts milliseconds. A text
+                # rewrite sees only literals, so integer LITERALS
+                # (the common ported shape) take timestamp_millis
+                # and everything else takes unix_millis — a
+                # bigint-typed COLUMN surfaces Spark's type error
+                # as a uniform EngineError naming unix_millis
+                em = args[0].strip()
+                if re.fullmatch(r"[-+]?\d+", em):
+                    repl = f"timestamp_millis({em})"
+                else:
+                    repl = f"unix_millis(({em}))"
             elif fn == "generate_series":
                 if not 1 < len(args) < 4:
                     raise EngineError(

@@ -5319,3 +5319,63 @@ def test_cast_and_date_op_divergences_pinned(spark, tmp_path):
         dr = sorted(con.execute(sql).fetchall())
         assert er == dr, (sql, er, dr)
     eng.close()
+
+
+def test_null_argument_list_fn_seams_match_duckdb(spark, tmp_path):
+    """r14 ADVICE batch — NULL-argument seams in the tier-2 list
+    lowerings, each DuckDB-probed: list_has_any/list_has_all return
+    NULL (not false) when EITHER list is NULL; list_resize of a NULL
+    list is NULL but a NULL size is the EMPTY list; range() with any
+    NULL bound/step is NULL (not []); epoch_ms is overloaded by
+    argument type (BIGINT literal → TIMESTAMP, timestamp →
+    millisecond count); geomean POISONS non-positive inputs loudly
+    (DuckDB raises "cannot take logarithm of zero") instead of
+    silently skipping them through ln's NULL."""
+    import duckdb
+    import pytest as _pt
+
+    from andb_spark.api import AnalyticsEngine, EngineError
+
+    eng = AnalyticsEngine(str(tmp_path / "whnul"), spark=spark)
+    e = eng.execute
+    con = duckdb.connect()
+    for sql in (
+        "select list_has_any(NULL,[1]) a, list_has_all(NULL,[1]) b,"
+        " list_has_any([1],NULL) c, list_has_all([1],NULL) d,"
+        " list_has_any([1,2],[2]) e, list_has_all([1,2],[null]) f",
+        "select list_resize(NULL,3) is null a,"
+        " list_resize([1,2],NULL) b, list_resize([1,2],4,9) c",
+        "select range(NULL) is null a, range(1,NULL) is null b,"
+        " range(1,10,NULL) is null c, range(3) d, range(2,2) e",
+        "select epoch_ms(701222400000) a,"
+        " epoch_ms(timestamp '2024-01-02 03:04:05.678') b,"
+        " epoch_ms(-1000) c, epoch_ms(0) d",
+        "select round(geomean(x), 9) g"
+        " from (values (2.0),(8.0),(4.0)) t(x)",
+        "select geomean(x) is null g"
+        " from (values (cast(null as double))) t(x)",
+    ):
+        er = [tuple(r) for r in e(sql).rows]
+        dr = con.execute(sql).fetchall()
+        assert str(er) == str(dr), (sql, er, dr)
+    # non-positive inputs: DuckDB raises Out of Range; the engine
+    # raises USER_RAISED_EXCEPTION — loud on both, pinned here
+    for bad in (
+        "select geomean(x) g from (values (2.0),(0.0)) t(x)",
+        "select geomean(x) g from (values (2.0),(-8.0)) t(x)",
+    ):
+        with _pt.raises(EngineError, match="logarithm"):
+            e(bad)
+        with _pt.raises(Exception, match="logarithm"):
+            con.execute(bad)
+    # windowed geomean is an engine SUPERSET: DuckDB 1.0 has no
+    # geomean window function at all ("not an aggregate function")
+    r = e(
+        "select fid, round(geomean(v) over (order by fid rows"
+        " between 1 preceding and current row), 9) g from (values"
+        " (1, 2.0),(2, 8.0),(3, 4.0)) t(fid, v) order by fid"
+    )
+    assert [tuple(x) for x in r.rows] == [
+        (1, 2.0), (2, 4.0), (3, 5.656854249),
+    ]
+    eng.close()
