@@ -572,7 +572,14 @@ class AnalyticsEngine:
         for name in self.catalog["tables"]:
             if os.path.exists(self._table_dir(name)):
                 self._view(name)
-        self._refresh_system_views()
+        # System views build LAZILY: execute() refreshes them when a
+        # statement actually references andb_* (the same dirty hook
+        # DDL uses). Building all six createDataFrame views eagerly
+        # cost ~0.2 s of driver time per engine open, paid by every
+        # lifecycle bench row and by compare.py's per-query engines,
+        # almost none of which ever read a system view (r15 guide §1
+        # measurement).
+        self._sysviews_dirty = True
         if attach_dir:
             from andb_spark.catalog import register_tables
 
@@ -10157,9 +10164,8 @@ class AnalyticsEngine:
                     "POSITIONAL JOIN: a subquery source needs an alias"
                 )
             alias = am.group(1)
-            if alias.lower() in {
-                t.name.lower() for t in self.spark.catalog.listTables()
-            }:
+            # job-free existence probe (see _bind_inline_source note)
+            if self.spark.catalog.tableExists(alias):
                 raise EngineError(
                     f"POSITIONAL JOIN: subquery alias {alias!r}"
                     " collides with an existing table/view"
@@ -13555,10 +13561,10 @@ class AnalyticsEngine:
                 " (using (select ...) s ...)"
             )
         alias = am.group(1)
-        existing = {
-            t.name.lower() for t in self.spark.catalog.listTables()
-        }
-        if alias.lower() in existing:
+        # tableExists is a pure catalog lookup; listTables here ran
+        # one tiny Spark job PER registered view (~35 jobs/statement
+        # in the r15 job trace — driver latency, no data)
+        if self.spark.catalog.tableExists(alias):
             raise EngineError(
                 f"subquery source alias {alias!r} collides with an"
                 " existing table/view — pick another alias"

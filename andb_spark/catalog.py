@@ -43,6 +43,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Plan-handle memo for the read-only fixture tables: building the scan
+# DataFrame costs a driver-side file listing + parquet footer/schema
+# read (~0.15 s each on the r15 box), and every bench/compare query
+# builder re-reads the same immutable files. The memo stores the LAZY
+# DataFrame only — every action still computes from the parquet inputs
+# (no rows, no results are retained), so this is plan reuse, not result
+# caching. Keyed by the session OBJECT (kept alive by the entry) so a
+# new session never sees another session's plans.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning and predicate pushdown reach
     the parquet reader via Catalyst — callers just select/filter.
@@ -52,6 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as raw nanos (legacy conf) and floor-convert to the engine's
     microsecond TimestampType — the same truncation DuckDB applies when
     casting TIMESTAMP_NS to TIMESTAMP."""
+    key = (spark, os.path.abspath(sf_dir), name)
+    memo = _PLAN_MEMO.get(key)
+    if memo is not None:
+        return memo
     path = table_path(sf_dir, name)
     try:
         df = spark.read.parquet(path)
@@ -82,7 +97,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session TZ is UTC, so this cast is value-preserving; the
         # engine's event-time type is TimestampType (watermarkable).
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _PLAN_MEMO[key] = df
     return df
+
+
+# Last-attached fixture dir per session: re-registering the same ten
+# temp views on every engine open cost ~0.12 s each (r15 ctor
+# profile). Views are re-registered whenever the attach dir CHANGES
+# (warm-up at sf0.001 alternating with timed runs at sf0.1 stays
+# correct); nothing in the engine or workloads ever rebinds a
+# fixture-named view, so a same-dir skip is safe.
+_ATTACHED: dict = {}
 
 
 def register_tables(
@@ -90,6 +115,10 @@ def register_tables(
 ) -> dict[str, DataFrame]:
     """Register each fixture table as a temp view (for the SQL entry
     point) and return the DataFrames keyed by name."""
+    key = (os.path.abspath(sf_dir), tables)
+    hit = _ATTACHED.get(spark)
+    if hit is not None and hit[0] == key:
+        return dict(hit[1])
     out: dict[str, DataFrame] = {}
     local = "://" not in sf_dir  # os.path.exists is meaningless for
     # hdfs://-s3a://-style dirs — there, attempt every table and let a
@@ -100,4 +129,5 @@ def register_tables(
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    return out
+    _ATTACHED[spark] = (key, out)
+    return dict(out)

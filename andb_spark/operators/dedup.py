@@ -84,24 +84,53 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_SPREAD_BYTES_PER_PARTITION = 64 * 1024
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
-    """Fan a narrow scan out to the cluster's parallelism before a
-    CPU-bound per-row stage.
+    """Fan a narrow scan out before a CPU-bound per-row stage, with a
+    SIZE-DERIVED width (guide §2: scale-adaptive partitioning, not a
+    constant tuned to either local mode or the cluster).
 
     The signature stage costs dozens of md5s per shingle, but it runs
     at the SCAN's parallelism — and a small corpus is often one parquet
     row group, so the whole stage lands on ONE core while the rest
     idle (stage-level profile, SCALE.md §7 "Minhash drift, root-caused":
-    1-task 1.1–1.5 s stages under d_minhash_lsh at sf0.1). When the scan has fewer partitions
-    than default parallelism, pay one cheap shuffle of the raw rows to
-    spread the compute; at 100 TB the scan already carries thousands
-    of splits and this returns the frame untouched — no shuffle added.
-    The explicit repartition(N) is exempt from AQE coalescing, so the
-    fan-out survives the small-data estimate that caused it."""
+    1-task 1.1–1.5 s stages under d_minhash_lsh at sf0.1). When the
+    scan has fewer partitions than default parallelism, pay one cheap
+    shuffle of the raw rows to spread the compute; at 100 TB the scan
+    already carries thousands of splits and this returns the frame
+    untouched — no shuffle added.
+
+    Width: one partition per ~64 KiB of the optimizer's input-size
+    estimate, clamped to [1, defaultParallelism]. The earlier
+    unconditional fan-out to defaultParallelism put 32 near-empty
+    concurrent tasks on a sub-MB corpus, and the scheduling + GC +
+    codegen-lock contention cost more than the parallelism bought
+    (r15 width scan at sf0.1, cache released between runs:
+    width 2 → 7.9 s, 4 → 3.3 s, 8 → 1.6 s, 16 → 1.8 s, 32 → 2.4 s
+    best-of-3, and width 32's in-bench number degraded to 11.9 s under
+    a loaded heap). The explicit repartition(N) is exempt from AQE
+    coalescing, so the fan-out survives the small-data estimate that
+    caused it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = 0
+    if est <= 0:  # no usable estimate: the old conservative behavior
+        width = target
+    else:
+        width = max(
+            1, min(target, -(-est // _SPREAD_BYTES_PER_PARTITION))
+        )
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
     return df
 
 
