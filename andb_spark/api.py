@@ -5954,20 +5954,51 @@ class AnalyticsEngine:
             return
         staged = self.spark.read.parquet(new_dir).select(*pk)
         violation = None
-        if staged.groupBy(*pk).count().filter(
-            F.col("count") > 1
-        ).limit(1).collect():
+        # ONE aggregation pass yields both the duplicate probe (max
+        # per-key count) and the zone-prefilter key bounds (min/max
+        # over group keys == min/max over rows) — these were two
+        # separate jobs over the same staged files (guide §1.2: one
+        # pass where one pass suffices).
+        probe = (
+            staged.groupBy(*pk)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.max("_c").alias("_mx"),
+                *[
+                    a
+                    for i, c in enumerate(pk)
+                    for a in (
+                        F.min(c).alias(f"_lo{i}"),
+                        F.max(c).alias(f"_hi{i}"),
+                    )
+                ],
+            )
+            .collect()[0]
+        )
+        if (probe["_mx"] or 0) > 1:
             violation = (
                 f"PRIMARY KEY constraint violated on {name}:"
                 f" duplicate key ({', '.join(pk)}) in the written rows"
             )
-        elif base:
+        elif base and probe["_mx"] is not None:
             # zone-map prefilter (r11 verdict #3): intersect the
             # staged keys' min/max with the manifest's per-segment
             # zones — a key-disjoint append (sorted/Z-ordered load
             # pattern) proves absence from metadata and reads ZERO
             # base files; otherwise only the overlapping ones
-            bounds = self._staged_key_bounds(staged, pk)
+            bounds = (
+                None
+                if all(
+                    probe[f"_lo{i}"] is None for i in range(len(pk))
+                )
+                else {
+                    c: (
+                        self._zone_bound_value(probe[f"_lo{i}"]),
+                        self._zone_bound_value(probe[f"_hi{i}"]),
+                    )
+                    for i, c in enumerate(pk)
+                }
+            )
             entries = self._zone_overlap_entries(
                 name, base, bounds
             ) if bounds else []
@@ -6014,17 +6045,46 @@ class AnalyticsEngine:
             keyed = staged_all.select(*uq)
             for k in uq:
                 keyed = keyed.filter(F.col(k).isNotNull())
-            if keyed.groupBy(*uq).count().filter(
-                F.col("count") > 1
-            ).limit(1).collect():
+            # one fused agg pass per unique set: dup probe + zone
+            # bounds (same fold as _check_staged_pk)
+            probe = (
+                keyed.groupBy(*uq)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.max("_c").alias("_mx"),
+                    *[
+                        a
+                        for i, c in enumerate(uq)
+                        for a in (
+                            F.min(c).alias(f"_lo{i}"),
+                            F.max(c).alias(f"_hi{i}"),
+                        )
+                    ],
+                )
+                .collect()[0]
+            )
+            if (probe["_mx"] or 0) > 1:
                 violation = (
                     f"duplicate key violates unique constraint on"
                     f" {name} ({', '.join(uq)}) in the written rows"
                 )
-            elif base:
+            elif base and probe["_mx"] is not None:
                 # the same zone-map prefilter as the PK probe; the
                 # NULL-exempt filter already ran on ``keyed``
-                bounds = self._staged_key_bounds(keyed, list(uq))
+                bounds = (
+                    None
+                    if all(
+                        probe[f"_lo{i}"] is None
+                        for i in range(len(uq))
+                    )
+                    else {
+                        c: (
+                            self._zone_bound_value(probe[f"_lo{i}"]),
+                            self._zone_bound_value(probe[f"_hi{i}"]),
+                        )
+                        for i, c in enumerate(uq)
+                    }
+                )
                 entries = self._zone_overlap_entries(
                     name, base, bounds
                 ) if bounds else []
@@ -12917,6 +12977,16 @@ class AnalyticsEngine:
                 f"select * from ({src_sql}) as _v({', '.join(collist)})"
             )
         src_df = self.spark.sql(src_sql).toDF(*collist)
+        # Statement-scoped persist (released by execute()'s cache
+        # scope): the staged batch feeds the dup probe plus FOUR
+        # references inside the MERGE lowering (match split, ANSI
+        # multi-match guard, update left-join, insert anti-join) —
+        # unpinned, each re-ran the full source SELECT (guide §1.2:
+        # don't recompute what you already have; the batch is
+        # change-sized by design, so the pin is bounded at any scale).
+        from andb_spark.caching import persist_tracked as _pt
+
+        src_df = _pt(src_df)
         do_update = m.group("act").lower() != "nothing"
         # A row whose conflict key carries ANY NULL component can
         # never conflict (Postgres/DuckDB-probed: two (NULL, x) rows
