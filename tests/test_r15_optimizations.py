@@ -1,0 +1,87 @@
+"""Focused tests for the r15 optimization-round internals: the
+size-derived fan-out width, the fixture attach memo (including the
+correctness-critical dir-change rebind), and the per-session function
+registration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from andb_spark.catalog import load_table, register_tables
+from andb_spark.operators import dedup as DD
+from andb_spark.session import build_session
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return build_session("test_r15_opt")
+
+
+def test_spread_width_is_size_derived_and_bounded(spark):
+    d = load_table(spark, SF001, "documents")
+    target = spark.sparkContext.defaultParallelism
+    out = DD.spread_small_input(d)
+    width = out.rdd.getNumPartitions()
+    # a ~64 KiB fixture must not fan out to the full core count —
+    # the r15 regression was 32 near-empty tasks on sub-MB input
+    assert 1 <= width <= max(2, target // 4)
+
+
+def test_spread_keeps_wide_input_untouched(spark):
+    d = load_table(spark, SF001, "documents").repartition(64)
+    out = DD.spread_small_input(d)
+    # already at/above parallelism: no extra shuffle is added
+    assert out is d
+
+
+def test_spread_results_unchanged(spark):
+    d = load_table(spark, SF001, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+    direct = (
+        d.select(
+            "doc_id", F.explode(DD.shingles("text")).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .count()
+        .count()
+    )
+    # the width choice must not change WHAT is computed, only where
+    assert pairs.columns == ["id_a", "id_b", "jaccard"]
+    assert direct == d.filter(F.size(DD.shingles("text")) > 0).count()
+
+
+def test_register_tables_rebinds_on_dir_change(spark):
+    register_tables(spark, SF001)
+    n_small = spark.table("orders").count()
+    register_tables(spark, SF01)
+    n_big = spark.table("orders").count()
+    # the attach memo must never serve a stale dir's views
+    assert n_big > n_small
+    register_tables(spark, SF001)
+    assert spark.table("orders").count() == n_small
+
+
+def test_load_table_memo_is_per_dir(spark):
+    a = load_table(spark, SF001, "orders")
+    b = load_table(spark, SF001, "orders")
+    c = load_table(spark, SF01, "orders")
+    assert a is b  # plan handle reused within (session, dir, table)
+    assert c is not a
+    assert c.count() != a.count()
+
+
+def test_register_all_idempotent(spark):
+    from andb_spark.functions.register import register_all
+
+    register_all(spark)
+    register_all(spark)  # second call is a no-op, function still works
+    row = spark.sql(
+        "select cosine_similarity(array(1.0, 0.0), array(1.0, 0.0)) as s"
+    ).collect()[0]
+    assert abs(row["s"] - 1.0) < 1e-9
