@@ -2455,15 +2455,57 @@ class AnalyticsEngine:
                     f"{fn} needs a LITERAL format string (the"
                     " directive translation happens at plan time)"
                 )
-            jfmt = self._sql_str_lit(
-                self._strf_to_java(fm.group(1).replace("''", "'"))
-            )
+            raw = fm.group(1).replace("''", "'")
+            jpat = self._strf_to_java(raw)
             target = "date_format" if fn == "strftime" else (
                 # try_strptime: NULL on parse failure (DuckDB)
                 "try_to_timestamp" if fn == "try_strptime"
                 else "to_timestamp"
             )
-            return f"{target}(({a[0]}), {jfmt})"
+            v0 = f"({a[0]})"
+            if fn != "strftime" and not (
+                {d.lstrip("-") for d in re.findall(
+                    r"%(-?.)", raw.replace("%%", "")
+                )} & {"Y", "y"}
+            ):
+                # PARSE with no year directive: DuckDB defaults the
+                # missing year to 1900 where Spark defaults to 1970
+                # (probed: strptime('10:00','%H:%M') → 1900-01-01);
+                # month/day defaults (both 1) agree. Pin DuckDB's
+                # year by parsing a literal prefix alongside.
+                jpat = "yyyy " + jpat
+                v0 = f"concat('1900 ', {v0})"
+            jfmt = self._sql_str_lit(jpat)
+            if fn != "strftime" and "%f" in raw.replace("%%", ""):
+                # PARSE direction: DuckDB reads the %f digit run as
+                # an integer MICROSECOND count ('.123' = 123 us,
+                # '.1' = 1 us — probed); Java's SSSSSS reads a
+                # fraction-of-second ('.123' = 123000 us). Left-pad
+                # the captured digits to 6 so the fraction parse
+                # lands DuckDB's count (r14 verdict #2). Only the
+                # trailing-%f-after-a-non-digit-separator shape is
+                # expressible this way; others refuse by name. The
+                # emitted regexp_extract (3-arg) and regexp_replace
+                # (4-arg literal position) forms pass this rewrite
+                # loop through untouched.
+                if (
+                    not raw.endswith("%f")
+                    or raw.endswith("%%f")
+                    or re.search(r"(%-?[A-Za-z]|\d)%f$", raw)
+                ):
+                    raise EngineError(
+                        f"{fn} %f is only supported as the final"
+                        " directive after a non-digit separator"
+                        " (e.g. '%H:%M:%S.%f')"
+                    )
+                dig = f"regexp_extract({v0}, '([0-9]{{1,6}})$', 1)"
+                v0 = (
+                    f"(case when {dig} = '' then {v0} else"
+                    f" concat(regexp_replace({v0},"
+                    f" '[0-9]{{1,6}}$', '', 1),"
+                    f" lpad({dig}, 6, '0')) end)"
+                )
+            return f"{target}({v0}, {jfmt})"
         if fn == "regexp_matches":
             if len(a) != 2:
                 raise EngineError(
@@ -2674,6 +2716,7 @@ class AnalyticsEngine:
                 r"|struct_pack|struct_extract|list|array_agg"
                 r"|strftime|strptime|try_strptime"
                 r"|regexp_matches|regexp_extract"
+                r"|left|right|substr|substring"
                 r"|regexp_replace|date_diff|datediff|date_sub"
                 r"|date_add|dayofweek|isodow|weekday|epoch|xor"
                 r"|sign|to_base|string_split|str_split"
@@ -2743,6 +2786,90 @@ class AnalyticsEngine:
                 pend_flt = None
             if fn == "regexp_extract" and len(args) == 3:
                 spos = cp + 1  # Spark form already (groups agree)
+                continue
+            if fn in ("substr", "substring"):
+                # DuckDB-1.0.0 substr rule (derived from a full
+                # runtime+folded grid probe — the two paths AGREE):
+                # map the start into a 1-based coordinate
+                #   p = start < 0 ? length + start + 1 : start
+                # (position 0 stays 0 — an invalid slot that consumes
+                # one unit of length: substr('hello',0,3) = 'he'),
+                # then take the window [p+min(len,0), p+max(len,0)-1]
+                # clipped to [1, length] (a NEGATIVE length reads
+                # backward from p: substr('hello',2,-1) = 'h').
+                # Spark's native substring agrees for every start!=0
+                # with a non-negative length (grid-verified incl. the
+                # virtual-window underflow substr('hello',-11,7) =
+                # 'h'), so those literal shapes pass through; start=0,
+                # negative lengths and non-literal args lower to the
+                # window formula. NULL start/length => NULL (Spark's
+                # greatest/least skip NULLs, hence the explicit
+                # guard). The 2-arg form agrees natively for all
+                # starts and passes through. Emissions use the FROM
+                # form so they never re-enter this loop.
+                if len(args) != 3:
+                    spos = cp + 1
+                    continue
+                s0x, stx, lnx = (x.strip() for x in args)
+                stl = re.fullmatch(r"[+-]?\d+", stx)
+                lnl = re.fullmatch(r"[+-]?\d+", lnx)
+                if stl and lnl and int(stx) != 0 and int(lnx) >= 0:
+                    spos = cp + 1  # Spark native agrees
+                    continue
+                p = (
+                    f"({stx})"
+                    if stl and int(stx) >= 0
+                    else (
+                        f"(case when ({stx}) < 0 then"
+                        f" length(({s0x})) + ({stx}) + 1"
+                        f" else ({stx}) end)"
+                    )
+                )
+                lo = f"({p} + least(({lnx}), 0))"
+                hi = f"({p} + greatest(({lnx}), 0) - 1)"
+                repl = (
+                    f"(case when ({stx}) is null or ({lnx}) is null"
+                    f" then cast(null as string)"
+                    f" else substring(({s0x}) FROM greatest({lo}, 1)"
+                    f" FOR {hi} - greatest({lo}, 1) + 1) end)"
+                )
+                out = out[:moff] + repl + out[cp + 1:]
+                continue
+            if fn in ("left", "right"):
+                # DuckDB's NEGATIVE length drops |n| chars from the
+                # other end (left('hello',-2)='hel',
+                # right('hello',-2)='llo'); Spark returns '' (r14
+                # verdict #3), and a NULL n must stay NULL (Spark's
+                # greatest/least skip NULLs, so the templates route
+                # NULL into substring's FROM/FOR argument, which
+                # propagates). Non-negative literals agree natively
+                # and pass through; otherwise the substring(FROM/FOR)
+                # emission below is exact for EVERY n (0, negative,
+                # > length, NULL — grid-probed) and never re-enters.
+                if len(args) != 2:
+                    spos = cp + 1
+                    continue
+                s0x, nx = (x.strip() for x in args)
+                nl = re.fullmatch(r"[+-]?\d+", nx)
+                if nl and int(nx) >= 0:
+                    spos = cp + 1
+                    continue
+                if fn == "left":
+                    repl = (
+                        f"substring(({s0x}) FROM 1 FOR"
+                        f" (case when ({nx}) < 0 then"
+                        f" length(({s0x})) + ({nx}) else ({nx})"
+                        f" end))"
+                    )
+                else:
+                    repl = (
+                        f"substring(({s0x}) FROM (case when"
+                        f" ({nx}) is null then cast(null as int)"
+                        f" when ({nx}) < 0 then 1 - ({nx}) else"
+                        f" greatest(length(({s0x})) - ({nx}), 0)"
+                        f" + 1 end))"
+                    )
+                out = out[:moff] + repl + out[cp + 1:]
                 continue
             if fn == "regexp_replace" and len(args) == 4 and (
                 re.fullmatch(r"\s*\d+\s*", args[3])
@@ -4215,6 +4342,7 @@ class AnalyticsEngine:
             r"|struct_extract|array_length|array_extract"
             r"|array_push_back|array_agg|array_slice|array_to_string|unnest|strftime|strptime|try_strptime"
             r"|regexp_matches|regexp_extract|regexp_replace"
+            r"|substr|substring|left|right"
             r"|date_diff|datediff|date_sub|date_add|dayofweek"
             r"|isodow|weekday|epoch|xor|sign|to_base|string_split"
             r"|str_split|string_to_array|format|extract"
