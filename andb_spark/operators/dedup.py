@@ -412,6 +412,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     history_bands: DataFrame | None = None,
     materialize: bool = False,
+    eager: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of an ingest INCREMENT against the HISTORICAL
     corpus — the production dedup shape (its exact-hash sibling is the
@@ -441,6 +442,21 @@ def incremental_minhash_pairs(
     are within ~0.5s of each other — local stage overhead, not scan
     cost, dominates there; the flag is about the scan multiplicity.
 
+    ``eager`` (only meaningful with ``materialize``): materialize the
+    candidate pairs and the verify shingle table via an EAGER
+    ``localCheckpoint`` instead of a lazy persist. The checkpoint
+    TRUNCATES the plan (guide §3.3): downstream references read a
+    cached leaf instead of carrying the full replicated band-pipeline
+    subtree, which cuts Catalyst analysis time (~1 s of driver-side
+    gap at sf0.1 — the r15 job-timeline profile) and removes the
+    concurrent-branch races that recompute a lazily-persisted frame
+    several times before the first block lands. Both checkpointed
+    frames are change-sized (candidate pairs; increment+hits
+    shingles), never corpus-sized, so the materialization is bounded
+    at any scale. The cost: construction now RUNS JOBS, so callers
+    that must stay execution-free at build time (EXPLAIN, the reuse
+    advisor, streaming foreachBatch composition) keep the default.
+
     Returns (id_a = history id, id_b = new id, jaccard >= threshold).
     New-vs-new duplicates inside the increment are the job of the
     ordinary ``minhash_lsh_pairs`` over the (small) increment.
@@ -466,7 +482,13 @@ def incremental_minhash_pairs(
         # the cache instead of re-deriving signatures. Building the
         # DataFrame stays execution-free, so EXPLAIN / the reuse
         # advisor can invoke this builder without running jobs.
-        cands = _persist_tracked(cands)
+        # ``eager`` trades that property for plan truncation (see
+        # docstring) — the pair set is tiny either way.
+        cands = (
+            cands.localCheckpoint(eager=True)
+            if eager
+            else _persist_tracked(cands)
+        )
     # id is document IDENTITY: if an id somehow appears on both sides
     # (a re-delivered doc with edited text that slipped past the exact
     # screen), keeping both rows would merge two texts' shingles under
@@ -479,8 +501,11 @@ def incremental_minhash_pairs(
     verify_input = hist_hit.unionByName(new_df)
     shingle_df = None
     if materialize:
-        shingle_df = _persist_tracked(
-            exploded_shingles(verify_input, text_col, id_col)
+        sh = exploded_shingles(verify_input, text_col, id_col)
+        shingle_df = (
+            sh.localCheckpoint(eager=True)
+            if eager
+            else _persist_tracked(sh)
         )
     return jaccard_verify(
         verify_input, cands, text_col, id_col, threshold, shingle_df

@@ -227,7 +227,7 @@ def d_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") >= 400)
     return DD.incremental_minhash_pairs(
         hist, new, "text", "doc_id", num_hashes=8, rows_per_band=2,
-        threshold=0.5, materialize=True,
+        threshold=0.5, materialize=True, eager=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -275,16 +275,28 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit, at any corpus scale. recall is NULL (not a crash) if the
     sampled ground truth is ever empty."""
     d_all = _docs(spark, sf_dir)
-    # lazily persist the sampled subset AND the exact ground truth:
-    # exact feeds both n_exact and the hit semi-join, and d feeds both
-    # the exact and the band pipelines — unpinned, the three count
-    # branches re-derive the shingle-filtered subset repeatedly
-    d = DD._persist_tracked(
-        d_all.withColumn(
+    # The sampled subset is EAGERLY localCheckpoint-ed (r15, guide
+    # §2/§3.3): the corpus-wide shingle+md5 sample pass previously ran
+    # at scan parallelism (one parquet row group → ONE 1.1 s task at
+    # sf0.1) and, being lazily persisted, was recomputed by up to four
+    # concurrent downstream branches racing ahead of the first cached
+    # block (r15 job-timeline profile: 4 overlapping 1.14 s
+    # single-task jobs). spread_small_input parallelizes the pass;
+    # the eager checkpoint runs it exactly once and TRUNCATES the
+    # plan, cutting the ~1.2 s Catalyst analysis gap the replicated
+    # subtree cost. The checkpoint is sample-sized (the `_mh` cutoff
+    # bounds it), the same footprint the previous lazy persist pinned.
+    # The exact ground truth stays a lazy persist: it feeds n_exact
+    # and the hit semi-join concurrently, and an eager barrier there
+    # SERIALIZED the exact and band pipelines (measured slower).
+    d = (
+        DD.spread_small_input(d_all)
+        .withColumn(
             "_mh", F.array_min(F.transform(DD.shingles("text"), F.md5))
         )
         .filter(F.col("_mh") < "0100")
         .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
     exact = DD._persist_tracked(
         DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(

@@ -76,6 +76,42 @@ def test_load_table_memo_is_per_dir(spark):
     assert c.count() != a.count()
 
 
+def test_incremental_minhash_eager_matches_lazy(spark):
+    """The eager-localCheckpoint regime (plan truncation, r15) must
+    return exactly the lazy-persist regime's pairs — the flag changes
+    WHERE intermediates live, never what is computed."""
+    d = load_table(spark, SF001, "documents")
+    hist = d.filter(F.col("doc_id") < 40)
+    new = d.filter(F.col("doc_id") >= 40)
+    kw = dict(num_hashes=8, rows_per_band=2, threshold=0.5)
+    lazy = sorted(
+        tuple(r)
+        for r in DD.incremental_minhash_pairs(
+            hist, new, "text", "doc_id", materialize=True, **kw
+        ).collect()
+    )
+    eager = sorted(
+        tuple(r)
+        for r in DD.incremental_minhash_pairs(
+            hist, new, "text", "doc_id", materialize=True, eager=True, **kw
+        ).collect()
+    )
+    assert lazy == eager
+
+
+def test_recall_audit_sample_pass_is_parallel(spark):
+    """The recall audit's corpus-wide sample pass must not run at
+    1-task scan parallelism (the r15 finding: one 1.1 s task while 31
+    cores idle) — spread_small_input must widen it whenever the
+    size-derived width exceeds the scan's split count (sf0.1's ~600
+    KiB documents table → ~10 partitions at 64 KiB each; sf0.01 is
+    under one 64 KiB unit and correctly stays at width 1)."""
+    d = load_table(spark, "/root/testdata/sf0.1", "documents")
+    assert d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    out = DD.spread_small_input(d)
+    assert out.rdd.getNumPartitions() > 1
+
+
 def test_register_all_idempotent(spark):
     from andb_spark.functions.register import register_all
 
