@@ -96,6 +96,23 @@ class Result:
         return iter(self.rows)
 
 
+def _local_df(spark, rows, schema):
+    """Already-local rows → DataFrame with a row-count-derived slice
+    count instead of the default defaultParallelism split: a handful
+    of catalog/stats rows sliced 32 ways costs a 32-task pickled job
+    per action touching the view (r15 job trace: three concurrent
+    ~1 s 32-task jobs under ONE catalog query). ~4k rows per slice,
+    capped at 8, floor 1 — big row sets keep parallel
+    deserialization. Same Python→Catalyst conversion path, same
+    values. Empty inputs keep the default path."""
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    slices = max(1, min(8, len(rows) // 4000))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def _parse_type(name: str) -> tuple[T.DataType, int | None]:
     name = name.strip().lower()
     m = _VARCHAR_RE.match(name)
@@ -1101,8 +1118,8 @@ class AnalyticsEngine:
                 T.StructField("comment", T.StringType(), True),
             ]
         )
-        self.spark.createDataFrame(
-            tables_rows, tables_schema
+        _local_df(
+            self.spark, tables_rows, tables_schema
         ).createOrReplaceTempView("andb_tables")
 
         cols_rows = [
@@ -1121,8 +1138,8 @@ class AnalyticsEngine:
                 T.StructField("comment", T.StringType(), True),
             ]
         )
-        self.spark.createDataFrame(
-            cols_rows, cols_schema
+        _local_df(
+            self.spark, cols_rows, cols_schema
         ).createOrReplaceTempView("andb_columns")
 
         # The manifest as a relation — the lakehouse "files metadata
@@ -1165,8 +1182,8 @@ class AnalyticsEngine:
                 T.StructField("zone_maps", T.StringType(), False),
             ]
         )
-        self.spark.createDataFrame(
-            seg_rows, seg_schema
+        _local_df(
+            self.spark, seg_rows, seg_schema
         ).createOrReplaceTempView("andb_segments")
 
         idx_rows = [
@@ -1181,8 +1198,8 @@ class AnalyticsEngine:
                 T.StructField("method", T.StringType(), False),
             ]
         )
-        self.spark.createDataFrame(
-            idx_rows, idx_schema
+        _local_df(
+            self.spark, idx_rows, idx_schema
         ).createOrReplaceTempView("andb_indexes")
 
         view_rows = [
@@ -1204,8 +1221,8 @@ class AnalyticsEngine:
                 T.StructField("comment", T.StringType(), True),
             ]
         )
-        self.spark.createDataFrame(
-            view_rows, view_schema
+        _local_df(
+            self.spark, view_rows, view_schema
         ).createOrReplaceTempView("andb_views")
         macro_rows = [
             (
@@ -1231,8 +1248,8 @@ class AnalyticsEngine:
                 T.StructField("body", T.StringType(), False),
             ]
         )
-        self.spark.createDataFrame(
-            macro_rows, macro_schema
+        _local_df(
+            self.spark, macro_rows, macro_schema
         ).createOrReplaceTempView("andb_macros")
 
     # How many superseded versions stay readable via VERSION AS OF
@@ -1313,9 +1330,15 @@ class AnalyticsEngine:
         self._check_staged_notnull(name, new_dir)
         if base == "current":
             base = self._segments_of(meta)
-        self._check_staged_pk(name, new_dir, base)
-        self._check_staged_unique(name, new_dir, base)
-        self._check_staged_checks(name, new_dir)
+        # ONE schema-pinned reader over the staged files, shared by
+        # every probe below: we just WROTE the segment, so its schema
+        # is df's — re-inferring it per probe cost a listing +
+        # footer-read driver job each (r15 job trace: 2-3 extra
+        # `parquet at` jobs per statement).
+        staged_df = self.spark.read.schema(df.schema).parquet(new_dir)
+        self._check_staged_pk(name, new_dir, base, staged_df)
+        self._check_staged_unique(name, new_dir, base, staged_df)
+        self._check_staged_checks(name, new_dir, staged_df)
         # Harvest the segment's row count and per-column min/max ZONE
         # MAPS straight from the parquet FOOTERS the write just
         # produced — a driver-side metadata read (O(files), zero Spark
@@ -6056,7 +6079,11 @@ class AnalyticsEngine:
             )
 
     def _check_staged_pk(
-        self, name: str, new_dir: str, base: list[str] | str | None
+        self,
+        name: str,
+        new_dir: str,
+        base: list[str] | str | None,
+        staged_df: DataFrame | None = None,
     ) -> None:
         """PRIMARY KEY enforcement at the versioned-write choke point
         (every INSERT/UPDATE/MERGE/COPY lands through _stage_version):
@@ -6080,7 +6107,11 @@ class AnalyticsEngine:
         ]
         if not pk:
             return
-        staged = self.spark.read.parquet(new_dir).select(*pk)
+        staged = (
+            staged_df
+            if staged_df is not None
+            else self.spark.read.parquet(new_dir)
+        ).select(*pk)
         violation = None
         # ONE aggregation pass yields both the duplicate probe (max
         # per-key count) and the zone-prefilter key bounds (min/max
@@ -6152,7 +6183,11 @@ class AnalyticsEngine:
             raise EngineError(violation)
 
     def _check_staged_unique(
-        self, name: str, new_dir: str, base: list[str] | str | None
+        self,
+        name: str,
+        new_dir: str,
+        base: list[str] | str | None,
+        staged_df: DataFrame | None = None,
     ) -> None:
         """UNIQUE constraint enforcement at the same versioned-write
         choke point as ``_check_staged_pk``, with the one semantic
@@ -6165,7 +6200,11 @@ class AnalyticsEngine:
         uniques = meta.get("uniques") or []
         if not uniques:
             return
-        staged_all = self.spark.read.parquet(new_dir)
+        staged_all = (
+            staged_df
+            if staged_df is not None
+            else self.spark.read.parquet(new_dir)
+        )
         violation = None
         for uq in uniques:
             if violation:
@@ -6237,7 +6276,9 @@ class AnalyticsEngine:
             shutil.rmtree(new_dir, ignore_errors=True)
             raise EngineError(violation)
 
-    def _check_staged_checks(self, name: str, new_dir: str) -> None:
+    def _check_staged_checks(
+        self, name: str, new_dir: str, staged_df: DataFrame | None = None
+    ) -> None:
         """CHECK constraint enforcement at the versioned-write choke
         point: only rows the write actually produced are probed (a
         CoW UPDATE's untouched files were valid before and stay
@@ -6253,7 +6294,11 @@ class AnalyticsEngine:
         bad = " or ".join(
             f"not coalesce(({c}), true)" for c in checks
         )
-        staged = self.spark.read.parquet(new_dir)
+        staged = (
+            staged_df
+            if staged_df is not None
+            else self.spark.read.parquet(new_dir)
+        )
         if staged.filter(F.expr(bad)).limit(1).collect():
             meta.pop("_staged", None)
             shutil.rmtree(new_dir, ignore_errors=True)
@@ -7866,8 +7911,8 @@ class AnalyticsEngine:
                     # re-derive it in the plan — fine, nothing runs)
                     stats_df.createOrReplaceTempView(stats)
                 else:
-                    self.spark.createDataFrame(
-                        stats_df.collect(), stats_df.schema
+                    _local_df(
+                        self.spark, stats_df.collect(), stats_df.schema
                     ).createOrReplaceTempView(stats)
                 views.append(stats)
                 cnt = f"(select cnt from {stats})"
@@ -8553,7 +8598,7 @@ class AnalyticsEngine:
                 # same eqNullSafe predicate keeps SQL tie semantics
                 # (NULL/NaN handling) identical to the cluster side.
                 rows = top.collect()
-                topdf = self.spark.createDataFrame(rows, top.schema)
+                topdf = _local_df(self.spark, rows, top.schema)
                 if len(rows) < off + n or not rows:
                     # top set complete — or an empty page (FETCH
                     # FIRST 0 ROWS: Postgres returns nothing; there

@@ -25,6 +25,28 @@ from pyspark.sql import functions as SF
 from andb_spark.api import AnalyticsEngine
 
 
+def _rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Wrap an engine ``Result``'s already-local rows as a ONE-slice
+    DataFrame. ``spark.createDataFrame(rows, schema)`` splits a
+    handful of local rows across defaultParallelism pickled
+    partitions, and collecting that back costs ~0.6 s of pure
+    task-launch + Python-worker overhead per bench row (r15
+    measurement, 500 rows best-of-5: 32 slices 0.92 s vs 1 slice
+    0.33 s; at 20k rows, 4-8 slices 0.41 s vs 32 slices 0.60 s vs
+    default 0.86 s). Slice count scales with the row count (~4k rows
+    per slice, capped at 8) so big RETURNING/SELECT results still
+    deserialize in parallel. Same Python→Catalyst type-conversion
+    path, same values — only the slice count changes. Empty row
+    lists keep the default path (parallelize of [] cannot carry a
+    schema through inference edge cases)."""
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    slices = max(1, min(8, len(rows) // 4000))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def _scratch(prefix: str) -> str:
     """A throwaway warehouse dir, removed at interpreter exit — bench
     and compare invoke these builders repeatedly (warm-up + n timed
@@ -298,7 +320,7 @@ def u_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " asof join asof_c c on p.user_id = c.user_id"
         " and p.t_us >= c.c_us order by event_id"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "event_id bigint, user_id bigint, click_id bigint,"
         " c_us bigint"
     )
@@ -333,7 +355,7 @@ def u_asof_tolerance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " and p.t_us >= c.c_us and p.t_us - c.c_us <= 3600000000"
         " order by event_id"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "event_id bigint, user_id bigint, click_id bigint"
     )
 
@@ -359,7 +381,7 @@ def u_asof_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " on p.user_id = c.user_id and p.t_us >= c.c_us"
         " order by event_id"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "event_id bigint, user_id bigint, click_id bigint"
     )
 
@@ -465,7 +487,7 @@ def u_range_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " and c.t_us between w.lo_us and w.hi_us"
         " group by purchase_id order by purchase_id"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "purchase_id bigint, n_clicks bigint, first_click bigint"
     )
 
@@ -489,7 +511,7 @@ def u_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " qualify row_number() over (partition by user_id"
         " order by t_us desc, event_id desc) = 1 order by user_id"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "user_id bigint, event_id bigint, event_type string"
     )
 
@@ -508,7 +530,7 @@ def u_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " o_totalprice from orders"
         " order by o_custkey, o_totalprice desc, o_orderkey"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
     )
 
@@ -533,7 +555,7 @@ def u_distinct_on_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  order by o_orderdate, o_orderkey) <= 5"
         " order by o_custkey, o_totalprice desc, o_orderkey"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "o_custkey bigint, o_orderkey bigint, o_totalprice double"
     )
 
@@ -557,7 +579,7 @@ def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         " l_quantity as qty from lineitem where l_orderkey < 1000"
         " order by k, price"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "k bigint, price double, status string, qty double"
     )
 
@@ -579,7 +601,7 @@ def u_select_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         " o_custkey from orders where o_orderkey < 2000) o"
         " order by o_orderkey"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "o_orderkey bigint, o_orderstatus string,"
         " o_totalprice double, o_custkey bigint",
@@ -600,7 +622,7 @@ def q_fetch_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         " order by o_totalprice desc, o_orderkey"
         " offset 10 rows fetch next 25 rows only"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
     )
 
@@ -621,7 +643,7 @@ def u_fetch_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         " where o_orderkey < 8000"
         " order by o_orderstatus fetch first 40 rows with ties"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
     ).orderBy("o_orderkey")
 
@@ -647,7 +669,7 @@ def u_union_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         " where l_orderkey < 200"
         " offset 100000000) t"
     )
-    return spark.createDataFrame(r.rows, "n bigint, mk bigint")
+    return _rows_df(spark,r.rows, "n bigint, mk bigint")
 
 
 def u_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,7 +698,7 @@ def u_create_or_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select t.k, t.v, u.n from cor_t t cross join cor_u u"
         " order by t.k"
     )
-    return spark.createDataFrame(r.rows, "k bigint, v double, n bigint")
+    return _rows_df(spark,r.rows, "k bigint, v double, n bigint")
 
 
 def u_copy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +762,7 @@ def u_limit_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         " where o_orderkey < 4000"
         " order by o_totalprice desc, o_orderkey limit 25%"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "o_orderkey bigint, o_totalprice double"
     )
 
@@ -759,7 +781,7 @@ def u_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         " count(columns('o_orderkey')) from orders"
         " group by o_orderstatus order by o_orderstatus"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "o_orderstatus string, o_totalprice double, o_orderkey bigint",
     )
@@ -830,7 +852,7 @@ def u_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e("drop view cv_big")
     r = e("select s, n, rev, lo from cv_rollup order by s")
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "s string, n bigint, rev double, lo double"
     )
 
@@ -855,7 +877,7 @@ def u_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (select c_custkey as c from customer order by c_custkey desc) y"
         " order by k nulls last, c nulls last"
     )
-    return spark.createDataFrame(r.rows, "k bigint, v double, c bigint")
+    return _rows_df(spark,r.rows, "k bigint, v double, c bigint")
 
 
 def u_create_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +913,7 @@ def u_create_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         " bump2(v, f := 3.0) as b3 from keyed(100, 2000)"
         " where bump(k) >= 150 order by k"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "k bigint, bv double, b2 double, b3 double"
     )
 
@@ -1001,7 +1023,7 @@ def u_pivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
                      else ("double" if c.endswith("_lo") else "bigint"))
         for c in cols
     )
-    return spark.createDataFrame(r.rows, schema)
+    return _rows_df(spark,r.rows, schema)
 
 
 def u_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,7 +1054,7 @@ def u_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = e(
         "select k, v, currval('sq') as cur from sq_t order by v"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows, "k bigint, v double, cur bigint"
     )
 
@@ -1072,8 +1094,8 @@ def u_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [("u",) + tuple(r) for r in upd.rows]
         + [("d",) + tuple(r) for r in dele.rows]
     )
-    return spark.createDataFrame(
-        rows, "tag string, k bigint, v double"
+    return _rows_df(
+        spark, rows, "tag string, k bigint, v double"
     ).orderBy("tag", "k")
 
 
@@ -1111,7 +1133,7 @@ def u_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         " len(xs[:2]) as head_n, len(xs) as n,"
         " st.s as s, st.p as p from ls_t order by k"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "k bigint, first_el bigint, last_el bigint, oob bigint,"
         " dyn bigint, second_el bigint, head_n int, n int,"
@@ -1156,7 +1178,7 @@ def u_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         " o_custkey % 50 as ck, o_orderkey % 997 as p"
         " from orders where o_orderkey < 6000) t order by k"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "k bigint, rg double, rt double, cg bigint, rs double,"
         " ra double, rc double",
@@ -1188,7 +1210,7 @@ def u_order_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         " nullif(o_custkey % 7, 3) as nk, o_orderkey % 997 as v"
         " from orders where o_orderkey < 6000) t order by k"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "k bigint, v bigint, rn bigint, fv bigint, lv bigint,"
         " cs double",
@@ -1223,7 +1245,7 @@ def u_first_last_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         " last(v order by k desc, v desc) as ld,"
         " count(*) as n from flo_t group by g order by g"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "g bigint, fa bigint, la bigint, fd bigint, ld bigint,"
         " n bigint",
@@ -1252,7 +1274,7 @@ def u_string_agg_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
         " from (select * from orders where o_orderkey < 3000) t"
         " group by pri order by pri"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "pri string, st string, med double, kinds string,"
         " gs double, n bigint",
@@ -1275,7 +1297,7 @@ def a_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         " from events group by bucket, event_type"
         " order by bucket, event_type"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "bucket timestamp, event_type string, n bigint, amt double",
     )
@@ -1302,7 +1324,7 @@ def u_upsert_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         " on conflict (k) do update set v = excluded.v"
     )
     r = e("select k, v from up_t order by k")
-    return spark.createDataFrame(r.rows, "k bigint, v double")
+    return _rows_df(spark,r.rows, "k bigint, v double")
 
 
 def u_cast_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,7 +1352,7 @@ def u_cast_spellings(spark: SparkSession, sf_dir: str) -> DataFrame:
         " upper(cast(s as text)) as u"
         " from cs_t order by v limit 500"
     )
-    return spark.createDataFrame(r.rows, list(r.columns))
+    return _rows_df(spark,r.rows, list(r.columns))
 
 
 def u_fn_parity_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,7 +1377,7 @@ def u_fn_parity_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
         " len(generate_series(5, 1)) as ge"
         " from events group by bucket order by bucket"
     )
-    return spark.createDataFrame(
+    return _rows_df(spark,
         r.rows,
         "bucket timestamp, n bigint, q25 double, q75 double,"
         " med double, ge int",

@@ -1268,8 +1268,10 @@ def q_quantified_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         " where o_totalprice > all"
         "  (select l_extendedprice from lineitem where l_quantity >= 49)"
     )
-    return spark.createDataFrame(
-        r.rows, "n_above_all bigint, n_below_any_small bigint"
+    from andb_spark.workloads.engine_q import _rows_df
+
+    return _rows_df(
+        spark, r.rows, "n_above_all bigint, n_below_any_small bigint"
     )
 
 
