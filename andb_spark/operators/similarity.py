@@ -53,6 +53,18 @@ def cosine_topk(
 # shuffle. Same role as plans/ann.py::EXACT_ROW_CAP for top-k.
 EXACT_PAIRS_ROW_CAP = 20_000
 
+# Task granularity for the exact verifier's pair evaluation: the
+# BroadcastNestedLoopJoin evaluates every (a, b) dot product inside the
+# STREAM side's tasks, and a cap-sized input is typically one parquet
+# row group → ONE task grinding n²/2 zip_with folds while every other
+# core idles (r15 job profile: two sequential 0.82 s single-task jobs
+# at n=400). The stream side is therefore repartitioned to about one
+# task per _EXACT_PAIRS_PER_TASK pairs, clamped to defaultParallelism
+# (guide §2: derive the width from the work, not a core-count
+# constant; ~10k pairs ≈ 0.1 s of fold work keeps scheduling overhead
+# amortized — the r15 spread-width scan's sweet spot).
+_EXACT_PAIRS_PER_TASK = 10_000
+
 
 def _score_cosine_pairs(joined: DataFrame, threshold: float) -> DataFrame:
     """Shared tail of both near-dup scorers: given (id_a, va, na,
@@ -87,6 +99,7 @@ def pairwise_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_exact_rows: int | None = EXACT_PAIRS_ROW_CAP,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: cosine >= threshold,
     id_a < id_b. Normalizes once per row (norm is computed in the
@@ -97,7 +110,9 @@ def pairwise_near_dup(
     most cap+1 rows, so the guard itself is O(cap)). Corpus-scale
     callers go through ``near_dup_pairs`` below, which routes to the
     cluster-bucketed plan instead; pass ``max_exact_rows=None`` only
-    when the caller has already sized the input."""
+    when the caller has already sized the input (and forward its count
+    as ``n_rows`` so the fan-out width is still work-derived)."""
+    n = n_rows
     if max_exact_rows is not None:
         n = embeddings.limit(max_exact_rows + 1).count()
         if n > max_exact_rows:
@@ -110,6 +125,17 @@ def pairwise_near_dup(
         F.col(vec_col).alias("va"),
         l2_norm(F.col(vec_col)).alias("na"),
     )
+    # Spread the pair evaluation: the nested-loop join computes every
+    # dot product in the stream (a) side's tasks — width ≈ pairs /
+    # _EXACT_PAIRS_PER_TASK (see constant above). Only widens; a scan
+    # already split finer keeps its layout.
+    if n is not None and n > 0:
+        width = min(
+            embeddings.sparkSession.sparkContext.defaultParallelism,
+            max(1, (n * n // 2) // _EXACT_PAIRS_PER_TASK + 1),
+        )
+        if width > 1 and a.rdd.getNumPartitions() < width:
+            a = a.repartition(width)
     b = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
@@ -128,9 +154,16 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, ties to
     the smallest centroid id). Broadcast cross join + per-row arg-max —
-    the big side never shuffles."""
+    the big side never shuffles at scale. A SMALL corpus (one parquet
+    row group) is first fanned out by the size-derived width
+    (dedup.spread_small_input — r15: the whole corpus × centroids
+    scoring ran as ONE 1.2 s task at sf0.1 while 31 cores idled; at
+    real scale the scan already has ≥ parallelism splits and the
+    fan-out is a no-op)."""
+    from andb_spark.operators.dedup import spread_small_input
+
     scored = (
-        embeddings.crossJoin(F.broadcast(centroids))
+        spread_small_input(embeddings).crossJoin(F.broadcast(centroids))
         .withColumn(
             "cos_sim",
             F.round(
@@ -311,7 +344,8 @@ def near_dup_pairs(
     if mode == "exact" or (mode == "auto" and rows <= exact_row_cap):
         return (
             pairwise_near_dup(
-                embeddings, threshold, id_col, vec_col, max_exact_rows=None
+                embeddings, threshold, id_col, vec_col,
+                max_exact_rows=None, n_rows=rows,
             ),
             "exact",
         )
