@@ -1256,6 +1256,19 @@ class AnalyticsEngine:
     # before the write path prunes them (VACUUM prunes all).
     RETAIN_VERSIONS = 5
 
+    # Staged-write output sizing (guide §6): writes whose OPTIMIZER
+    # OUTPUT ESTIMATE is at most _STAGE_SIZING_MAX_BYTES are
+    # repartitioned to ~one file per _STAGE_TARGET_FILE_BYTES before
+    # landing; bigger or unestimable writes (LogicalRDD sources
+    # report the conf default, effectively infinite) are left to AQE
+    # so a wrong estimate can never serialize a genuinely large
+    # write. Both knobs are session vars
+    # (``andb.stage_sizing_max_bytes`` = 0 disables sizing,
+    # ``andb.stage_target_file_bytes``) so deployments can match
+    # their object-store file-size sweet spot.
+    _STAGE_TARGET_FILE_BYTES = 32 * 1024 * 1024
+    _STAGE_SIZING_MAX_BYTES = 256 * 1024 * 1024
+
     def _overwrite(self, name: str, df: DataFrame) -> int:
         """Versioned full rewrite: the new table state lands in a fresh
         segment dir and the manifest becomes [that segment]. Readers see
@@ -1323,6 +1336,43 @@ class AnalyticsEngine:
         meta = self._meta(name)
         new_version = "v-" + uuid.uuid4().hex[:12]
         new_dir = os.path.join(self.warehouse, name, new_version)
+        # Output sizing at the write choke point (guide §6): a small
+        # change set arriving on many near-empty partitions (an
+        # un-coalesced join/union tail — r15 probe: an INSERT OR
+        # IGNORE batch landed as 32 files / 25 KiB total) would pay
+        # 32 write tasks, 32 driver footer reads, and 32-file probe
+        # scans on every later statement. When the optimizer's output
+        # estimate is SMALL (≤ _STAGE_SIZING_MAX_BYTES), repartition
+        # to ~one file per _STAGE_TARGET_FILE_BYTES — an extra
+        # shuffle of ≤ that many bytes, upstream parallelism
+        # untouched (a plain coalesce would narrow the whole final
+        # stage). Large or unknown estimates are left to AQE: sizing
+        # a big write from a possibly-wrong estimate could serialize
+        # real data volume, the opposite trade.
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        sizing_cap = int(
+            self.session_vars.get(
+                "andb.stage_sizing_max_bytes",
+                self._STAGE_SIZING_MAX_BYTES,
+            )
+        )
+        if 0 < est <= sizing_cap:
+            nparts = df.rdd.getNumPartitions()
+            per_file = int(
+                self.session_vars.get(
+                    "andb.stage_target_file_bytes",
+                    self._STAGE_TARGET_FILE_BYTES,
+                )
+            )
+            target = max(1, min(nparts, -(-est // per_file)))
+            if target < nparts:
+                df = df.repartition(target)
         df.write.mode("overwrite").parquet(new_dir)
         # NOT NULL enforcement reads the STAGED footers (one source
         # execution total — see _check_staged_notnull); a violation

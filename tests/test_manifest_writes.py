@@ -344,15 +344,22 @@ def test_cow_planning_scan_pushes_predicate(engine):
 def test_broad_update_falls_back_to_full_rewrite(engine):
     """A change touching ~every file routes to a plain full rewrite:
     the new manifest is a single segment, not a bloat of per-file
-    entries."""
+    entries. Staged-write output sizing is disabled so the insert
+    lands multi-file (the layout this test is about — r15's sizing
+    would otherwise collapse the 3000-row batch into one file and
+    the update would be a 1-of-2-files CoW, not a broad change)."""
     e = engine.execute
-    e("create table bu (k int, v int)")
-    e("insert into bu select id, 0 from range(0, 3000)")
-    r = e("update bu set v = 1 where k >= 0")  # hits every file
-    assert r.effect_rows == 3000
-    segs = engine._segments_of(engine._meta("bu"))
-    assert len(segs) == 1, segs
-    assert e("select sum(v) as s from bu").rows == [(3000,)]
+    engine.session_vars["andb.stage_sizing_max_bytes"] = 0
+    try:
+        e("create table bu (k int, v int)")
+        e("insert into bu select id, 0 from range(0, 3000)")
+        r = e("update bu set v = 1 where k >= 0")  # hits every file
+        assert r.effect_rows == 3000
+        segs = engine._segments_of(engine._meta("bu"))
+        assert len(segs) == 1, segs
+        assert e("select sum(v) as s from bu").rows == [(3000,)]
+    finally:
+        engine.session_vars.pop("andb.stage_sizing_max_bytes", None)
 
 
 def test_vacuum_sweeps_orphan_staged_dirs(engine):
@@ -524,8 +531,12 @@ def test_zone_maps_prune_on_date_columns(engine):
 
 def test_andb_segments_view_exposes_manifest(engine):
     """The manifest as a SQL relation (Delta DESCRIBE DETAIL / Iceberg
-    .files analog): one row per live entry with row count + zone maps."""
+    .files analog): one row per live entry with row count + zone maps.
+    Sizing is disabled so each insert lands multi-file and the UPDATE
+    below produces the partially-hit segment whose per-file CoW
+    entries this test pins."""
     e = engine.execute
+    engine.session_vars["andb.stage_sizing_max_bytes"] = 0
     e("create table sg (k int)")
     e("insert into sg select id from range(0, 100)")
     e("insert into sg select id from range(500, 600)")
@@ -541,6 +552,7 @@ def test_andb_segments_view_exposes_manifest(engine):
     e("update sg set k = -1 where k = 550")
     r = e("select entry, n_rows from andb_segments where table_name = 'sg'")
     assert any("/" in row[0] and row[1] is None for row in r.rows), r.rows
+    engine.session_vars.pop("andb.stage_sizing_max_bytes", None)
     # creation under a reserved name is rejected
     from andb_spark.api import EngineError
 

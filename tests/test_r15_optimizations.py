@@ -112,6 +112,37 @@ def test_recall_audit_sample_pass_is_parallel(spark):
     assert out.rdd.getNumPartitions() > 1
 
 
+def test_staged_write_output_sizing(spark, tmp_path):
+    """A small change set must land as ~one file regardless of how
+    many near-empty partitions its plan tail produced (guide §6 —
+    pre-r15, an INSERT OR IGNORE batch landed as 32 files / 25 KiB);
+    the session var must disable the sizing for layouts that need
+    raw partitioning."""
+    import glob
+    import os
+
+    from andb_spark.api import AnalyticsEngine
+
+    eng = AnalyticsEngine(str(tmp_path / "wh"), spark=spark)
+    e = eng.execute
+    e("create table sz (k bigint)")
+    e("insert into sz select id from range(0, 3000)")
+
+    def seg_file_counts():
+        return sorted(
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(str(tmp_path / "wh" / "sz" / "v-*"))
+        )
+
+    # range(0,3000) plans at full parallelism; the sized write lands one file
+    assert max(seg_file_counts()) == 1, seg_file_counts()
+    eng.session_vars["andb.stage_sizing_max_bytes"] = 0
+    e("insert into sz select id from range(3000, 6000)")
+    assert max(seg_file_counts()) > 1, seg_file_counts()
+    assert e("select count(*) as n from sz").rows == [(6000,)]
+    eng.close()
+
+
 def test_register_all_idempotent(spark):
     from andb_spark.functions.register import register_all
 
