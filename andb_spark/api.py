@@ -1318,6 +1318,21 @@ class AnalyticsEngine:
             shutil.rmtree(d, ignore_errors=True)
         self._view(name)
 
+    @staticmethod
+    def _plan_is_sorted(df: DataFrame) -> bool:
+        """True when the optimized plan's top (under column-pruning
+        Projects) is a global Sort — the caller asked for a row order
+        the staged-write sizing repartition must not destroy."""
+        try:
+            p = df._jdf.queryExecution().optimizedPlan()
+            name = p.getClass().getSimpleName()
+            while name == "Project":
+                p = p.children().apply(0)
+                name = p.getClass().getSimpleName()
+            return name == "Sort" and bool(getattr(p, "global")())
+        except Exception:
+            return False
+
     def _stage_version(
         self,
         name: str,
@@ -1375,7 +1390,15 @@ class AnalyticsEngine:
             # rewrites) — more than the one bounded extra exchange
             # the unconditional repartition adds when the input was
             # already narrow.
-            df = df.repartition(max(1, -(-est // per_file)))
+            # per_file <= 0 = sizing disabled (ADVICE r15 #2: 0 must
+            # mirror the max-bytes var's 0-disables, not divide by
+            # zero); a plan whose top is a global Sort keeps its
+            # order — the round-robin repartition would interleave an
+            # INSERT ... ORDER BY's rows (ADVICE r15 #1). Staged
+            # writes of UNSORTED plans still do not promise row
+            # order (no SQL engine does without ORDER BY).
+            if per_file > 0 and not self._plan_is_sorted(df):
+                df = df.repartition(max(1, -(-est // per_file)))
         df.write.mode("overwrite").parquet(new_dir)
         # NOT NULL enforcement reads the STAGED footers (one source
         # execution total — see _check_staged_notnull); a violation
@@ -8684,7 +8707,9 @@ class AnalyticsEngine:
                     # a result a CTAS/INSERT consumer keeps
                     # distributed). localCheckpoint cuts the lineage,
                     # so `top` can unpersist before returning.
-                    final = _strip(final).localCheckpoint(eager=True)
+                    from andb_spark.caching import checkpoint_tracked
+
+                    final = checkpoint_tracked(_strip(final))
                     final.createOrReplaceTempView(view)
                     views.append(view)
                 finally:
@@ -9962,7 +9987,9 @@ class AnalyticsEngine:
                 idx_name,
                 F.row_number().over(W.orderBy("_pjm")).cast("long"),
             ).drop("_pjp", "_pjm")
-        d = d.localCheckpoint(eager=True)
+        from andb_spark.caching import checkpoint_tracked
+
+        d = checkpoint_tracked(d)
         counts = d.groupBy("_pjp").agg(
             F.count(F.lit(1)).alias("c")
         ).collect()  # bounded: one row per partition
@@ -13882,7 +13909,12 @@ class AnalyticsEngine:
         re.I | re.S,
     )
 
-    def _merge(self, stmt: str, delete_translation: bool = False) -> Result:
+    def _merge(
+        self,
+        stmt: str,
+        delete_translation: bool = False,
+        source_unique_per_key: bool = False,
+    ) -> Result:
         """Thin wrapper: bind a parenthesized ``USING (SELECT ...)
         alias`` source to a per-statement view first (engine pipeline,
         lazy), rewrite any quantified comparison in the ON condition /
@@ -13903,13 +13935,18 @@ class AnalyticsEngine:
             views += lv
             stmt, qv = self._rewrite_quantified(stmt)
             views += qv
-            return self._merge_resolved(stmt, delete_translation)
+            return self._merge_resolved(
+                stmt, delete_translation, source_unique_per_key
+            )
         finally:
             for v in views:
                 self.spark.catalog.dropTempView(v)
 
     def _merge_resolved(
-        self, stmt: str, delete_translation: bool = False
+        self,
+        stmt: str,
+        delete_translation: bool = False,
+        source_unique_per_key: bool = False,
     ) -> Result:
         """MERGE INTO target USING source ON cond
         [WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE]
@@ -14033,6 +14070,19 @@ class AnalyticsEngine:
         if delete_translation and matched_delete and update_set is None:
             # DELETE ... USING: delete-on-any-match (Postgres/DuckDB) —
             # multiplicity cannot change the outcome, skip the guard
+            dup_check = False
+        if source_unique_per_key:
+            # ON CONFLICT lowering (r16, guide §1.2 — don't recompute a
+            # fact already proven): the ON condition is pure key
+            # equality generated by _insert_on_conflict, whose in-batch
+            # machinery already guarantees at most ONE source row per
+            # non-NULL key tuple (DO UPDATE: the duplicate-key probe
+            # raised on any violation; DO NOTHING: the keep-first
+            # window dropped later rows), and a NULL-keyed source row
+            # can never equal any target key. No target row can
+            # therefore match two source rows — the ANSI multi-match
+            # guard is redundant and its join+agg pass is skipped.
+            # User-written MERGE and UPDATE ... FROM keep the guard.
             dup_check = False
         if t_affected is not None and dup_check:
             # Exact ANSI multiple-match guard: count source matches per

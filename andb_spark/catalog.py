@@ -49,9 +49,11 @@ def table_path(sf_dir: str, name: str) -> str:
 # builder re-reads the same immutable files. The memo stores the LAZY
 # DataFrame only — every action still computes from the parquet inputs
 # (no rows, no results are retained), so this is plan reuse, not result
-# caching. Keyed by the session OBJECT (kept alive by the entry) so a
-# new session never sees another session's plans.
-_PLAN_MEMO: dict[tuple, DataFrame] = {}
+# caching. The memo lives ON the session object (r15 verdict #6: a
+# module-level dict keyed by session never evicts and pins sessions
+# alive in a many-session service; an attribute's lifetime IS the
+# session's), so a new session never sees another session's plans.
+_PLAN_MEMO_ATTR = "_andb_plan_memo"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,8 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as raw nanos (legacy conf) and floor-convert to the engine's
     microsecond TimestampType — the same truncation DuckDB applies when
     casting TIMESTAMP_NS to TIMESTAMP."""
-    key = (spark, os.path.abspath(sf_dir), name)
-    memo = _PLAN_MEMO.get(key)
+    plan_memo = getattr(spark, _PLAN_MEMO_ATTR, None)
+    if plan_memo is None:
+        plan_memo = {}
+        setattr(spark, _PLAN_MEMO_ATTR, plan_memo)
+    key = (os.path.abspath(sf_dir), name)
+    memo = plan_memo.get(key)
     if memo is not None:
         return memo
     path = table_path(sf_dir, name)
@@ -97,7 +103,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session TZ is UTC, so this cast is value-preserving; the
         # engine's event-time type is TimestampType (watermarkable).
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _PLAN_MEMO[key] = df
+    plan_memo[key] = df
     return df
 
 
@@ -106,8 +112,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # profile). Views are re-registered whenever the attach dir CHANGES
 # (warm-up at sf0.001 alternating with timed runs at sf0.1 stays
 # correct); nothing in the engine or workloads ever rebinds a
-# fixture-named view, so a same-dir skip is safe.
-_ATTACHED: dict = {}
+# fixture-named view, so a same-dir skip is safe. Stored on the
+# session object for the same lifetime reason as the plan memo.
+_ATTACHED_ATTR = "_andb_attached_dir"
 
 
 def register_tables(
@@ -116,7 +123,7 @@ def register_tables(
     """Register each fixture table as a temp view (for the SQL entry
     point) and return the DataFrames keyed by name."""
     key = (os.path.abspath(sf_dir), tables)
-    hit = _ATTACHED.get(spark)
+    hit = getattr(spark, _ATTACHED_ATTR, None)
     if hit is not None and hit[0] == key:
         return dict(hit[1])
     out: dict[str, DataFrame] = {}
@@ -129,5 +136,5 @@ def register_tables(
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _ATTACHED[spark] = (key, out)
+    setattr(spark, _ATTACHED_ATTR, (key, out))
     return dict(out)

@@ -41,25 +41,26 @@ _SQL_FUNCTION_DEFS = {
 }
 
 
-# Sessions already carrying the (constant) definitions above. Each
-# engine open used to re-issue all four CREATE OR REPLACE statements —
-# ~0.35 s of driver time per open, paid by every lifecycle bench row
-# (r15 ctor profile). The defs never change within a process, so one
-# registration per session is equivalent; the entry keeps the session
-# alive, which is fine for the process-lifetime sessions used here.
-_REGISTERED: set = set()
+# Each engine open used to re-issue all four CREATE OR REPLACE
+# statements — ~0.35 s of driver time per open, paid by every
+# lifecycle bench row (r15 ctor profile). The defs never change within
+# a process, so one registration per session is equivalent. The flag
+# lives ON the session object (r15 verdict #6: a module-level set
+# keyed by session pinned every session alive forever; an attribute
+# dies with its session).
+_REGISTERED_ATTR = "_andb_sql_fns_registered"
 
 
 def register_all(spark: SparkSession) -> None:
     """Register the engine's SQL functions on the session (once)."""
-    if spark in _REGISTERED:
+    if getattr(spark, _REGISTERED_ATTR, False):
         return
     for name, (args, body) in _SQL_FUNCTION_DEFS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
             f"RETURNS DOUBLE RETURN {body}"
         )
-    _REGISTERED.add(spark)
+    setattr(spark, _REGISTERED_ATTR, True)
 
 
 def register_udf(

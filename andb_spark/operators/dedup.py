@@ -34,6 +34,7 @@ from andb_spark.functions.text import tokens
 # tools/compare.py and several workloads call
 # ``dedup.release_caches()`` / ``dedup._persist_tracked``.
 from andb_spark.caching import (  # noqa: F401  (re-export)
+    checkpoint_tracked as _checkpoint_tracked,
     persist_tracked as _persist_tracked,
     release_caches,
 )
@@ -485,7 +486,7 @@ def incremental_minhash_pairs(
         # ``eager`` trades that property for plan truncation (see
         # docstring) — the pair set is tiny either way.
         cands = (
-            cands.localCheckpoint(eager=True)
+            _checkpoint_tracked(cands)
             if eager
             else _persist_tracked(cands)
         )
@@ -503,7 +504,7 @@ def incremental_minhash_pairs(
     if materialize:
         sh = exploded_shingles(verify_input, text_col, id_col)
         shingle_df = (
-            sh.localCheckpoint(eager=True)
+            _checkpoint_tracked(sh)
             if eager
             else _persist_tracked(sh)
         )
@@ -696,13 +697,12 @@ def connected_components(
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    und = und.localCheckpoint(eager=True)
+    und = _checkpoint_tracked(und)
     changed = 0  # defined even if max_iter <= 0 (for-else still fires)
-    labels = (
+    labels = _checkpoint_tracked(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component_id", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = und.join(labels, und.v == labels.node).groupBy("u").agg(
@@ -713,7 +713,7 @@ def connected_components(
         # rows — NOT a fresh old-vs-new shuffle join (which cost a
         # whole extra job per iteration; the count now reuses the
         # checkpoint the propagation step paid for anyway).
-        new_labels = (
+        new_labels = _checkpoint_tracked(
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
@@ -723,7 +723,6 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("component_id")),
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(
             F.col("component_id") != F.col("_prev")

@@ -235,13 +235,16 @@ def stream_dedup_ingest(
             # append lands as a segment file read side-by-side with
             # history, so a drifted source type (int vs bigint doc_id)
             # must fail/coerce HERE, not poison later multi-path reads.
-            surv = _cast_to(
-                _survivors_of_batch(
-                    batch_df, clean_df, bands_df,
-                    text_col, id_col, num_hashes, rows_per_band, threshold,
-                ),
-                clean_df,
-            ).localCheckpoint(eager=True)
+            surv = DD._checkpoint_tracked(
+                _cast_to(
+                    _survivors_of_batch(
+                        batch_df, clean_df, bands_df,
+                        text_col, id_col, num_hashes, rows_per_band,
+                        threshold,
+                    ),
+                    clean_df,
+                )
+            )
             new_bands = _cast_to(
                 DD.band_table(
                     surv, text_col, id_col, num_hashes, rows_per_band

@@ -26,25 +26,14 @@ from andb_spark.api import AnalyticsEngine
 
 
 def _rows_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """Wrap an engine ``Result``'s already-local rows as a ONE-slice
-    DataFrame. ``spark.createDataFrame(rows, schema)`` splits a
-    handful of local rows across defaultParallelism pickled
-    partitions, and collecting that back costs ~0.6 s of pure
-    task-launch + Python-worker overhead per bench row (r15
-    measurement, 500 rows best-of-5: 32 slices 0.92 s vs 1 slice
-    0.33 s; at 20k rows, 4-8 slices 0.41 s vs 32 slices 0.60 s vs
-    default 0.86 s). Slice count scales with the row count (~4k rows
-    per slice, capped at 8) so big RETURNING/SELECT results still
-    deserialize in parallel. Same Python→Catalyst type-conversion
-    path, same values — only the slice count changes. Empty row
-    lists keep the default path (parallelize of [] cannot carry a
-    schema through inference edge cases)."""
-    if not rows:
-        return spark.createDataFrame(rows, schema)
-    slices = max(1, min(8, len(rows) // 4000))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, slices), schema
-    )
+    """Wrap an engine ``Result``'s already-local rows as a DataFrame
+    with a row-count-derived slice count. One implementation —
+    api._local_df — serves the engine internals, these workloads, and
+    relational.py (ADVICE r15 #4: two verbatim copies of the sizing
+    constants would drift)."""
+    from andb_spark.api import _local_df
+
+    return _local_df(spark, rows, schema)
 
 
 def _scratch(prefix: str) -> str:

@@ -296,14 +296,13 @@ def d_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan's single task again (measured 2.3 s → 0.8 s with the
     # guard; 856 rows either way — the conjunct never changes the
     # predicate's value, so the result set is deterministic).
-    d = (
+    d = DD._checkpoint_tracked(
         DD.spread_small_input(d_all)
         .withColumn(
             "_mh", F.array_min(F.transform(DD.shingles("text"), F.md5))
         )
         .filter((F.col("_mh") < "0100") & (F.rand() >= F.lit(-1.0)))
         .select("doc_id", "text")
-        .localCheckpoint(eager=True)
     )
     exact = DD._persist_tracked(
         DD.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).select(
